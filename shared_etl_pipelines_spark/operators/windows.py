@@ -1,0 +1,90 @@
+"""Window operators: trailing rolling metrics and standardized anomalies.
+
+Reference contracts:
+- geo_raster_running_window.py — w-day trailing SUM per cell, windows
+  w ∈ {3,7,14,30}, input spans all years but output restricted to
+  target_year, i.e. the window looks back across the year boundary
+  (pipelines/prism/stage-ts-ppt-day-mi-rollsum-3d.yml:22-33 and the
+  -7d/-14d/-30d siblings).
+- geo_raster_spi.py — ``method: zscore``: per cell standardize each value
+  against its climatology (pipelines/prism/stage-ts-ppt-day-mi-spi-3d.yml:20-30).
+
+Scale notes: a window over Window.partitionBy(keys).orderBy(date) is ONE
+shuffle on the partition keys followed by an in-partition sort; with
+(y, x) cell keys the cardinality is huge and uniform — no skew. A 30-row
+trailing frame is O(1) state per row in Spark's sliding-frame evaluation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_METRICS = {
+    "sum": F.sum,
+    "avg": F.avg,
+    "mean": F.avg,
+    "min": F.min,
+    "max": F.max,
+    "count": F.count,
+}
+
+
+def rolling_metric(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_col: str,
+    value_col: str,
+    window: int,
+    metric: str = "sum",
+    out_col: str | None = None,
+    target_year: int | None = None,
+    date_col: str | None = None,
+) -> DataFrame:
+    """Trailing ``window``-row metric per partition (G2).
+
+    rowsBetween(-(w-1), 0) matches the reference's w-day windows given one
+    row per (cell, day). ``target_year`` filters AFTER the window so the
+    first w-1 days of the year still see the previous year's tail.
+    """
+    fn = _METRICS[metric.lower()]
+    w = (
+        Window.partitionBy(*partition_cols)
+        .orderBy(F.col(order_col))
+        .rowsBetween(-(window - 1), 0)
+    )
+    name = out_col or f"{metric}_{window}"
+    out = df.withColumn(name, fn(F.col(value_col)).over(w))
+    if target_year is not None:
+        out = out.filter(F.year(F.col(date_col or order_col)) == F.lit(int(target_year)))
+    return out
+
+
+def zscore(
+    df: DataFrame,
+    partition_cols: list[str],
+    value_col: str,
+    out_col: str = "zscore",
+    ddof: int = 1,
+) -> DataFrame:
+    """Standardized anomaly (G3, method=zscore): (x - mean)/stddev over the
+    climatology partition. For SPI the partition is (cell, day-of-year) —
+    build that column with `F.dayofyear` first (leap-day policy: Feb-29
+    coalesces into day-of-year of Feb-28 via `doy_non_leap`).
+
+    Single window, no ordering -> one shuffle, whole-partition frame.
+    """
+    w = Window.partitionBy(*partition_cols)
+    mean = F.mean(F.col(value_col)).over(w)
+    sd = (F.stddev_samp if ddof == 1 else F.stddev_pop)(F.col(value_col)).over(w)
+    return df.withColumn(out_col, (F.col(value_col) - mean) / sd)
+
+
+def doy_non_leap(date_col: str):
+    """Day-of-year with Feb-29 mapped onto Feb-28's ordinal so that a
+    per-day-of-year climatology has stable group sizes across leap years
+    (SURVEY.md §7.7 leap-day policy)."""
+    d = F.col(date_col)
+    doy = F.dayofyear(d)
+    is_leap = (F.year(d) % 4 == 0) & ((F.year(d) % 100 != 0) | (F.year(d) % 400 == 0))
+    return F.when(is_leap & (doy >= 60), doy - 1).otherwise(doy)

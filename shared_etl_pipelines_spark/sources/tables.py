@@ -1,0 +1,57 @@
+"""Parquet table loaders for the engine's warehouse layout.
+
+The reference's data model is file-granular and directory-partitioned
+(one GeoTIFF per day, CSV per day combined per year — SURVEY.md §1.3);
+our native layout is one parquet dataset per logical table, read with
+full predicate pushdown / column pruning.
+
+At 100 TB the same call works unchanged: `spark.read.parquet` over a
+partitioned directory tree; partition pruning comes from Catalyst as
+long as filters reference the partition columns.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+# The driver-generated test corpus (TESTDATA.md): TPC-H-ish star schema
+# + events stream + documents/embeddings for the LLM-data operators.
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table. Accepts both `<dir>/<name>.parquet` (driver layout)
+    and `<dir>/<name>` (partitioned dataset layout)."""
+    p = os.path.join(sf_dir, f"{name}.parquet")
+    if not os.path.exists(p):
+        alt = os.path.join(sf_dir, name)
+        if os.path.exists(alt):
+            p = alt
+    return spark.read.parquet(p)
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register each table as a temp view so operators can be written in SQL."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
