@@ -108,3 +108,436 @@ def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_cells"),
     )
     return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# G1 — clip: attribute-selected semi-join
+# Reference: geo_clip_raster_by_polygon.py (selector key=value, STUSPS='MI'),
+# pipelines/prism/stage-ts-ppt-day-state.yml:24-35. Cast: keep orders whose
+# customer is in the 'BUILDING' segment; zone side broadcast, left_semi.
+# ---------------------------------------------------------------------------
+@defquery(
+    "clip_semi_join",
+    """
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 4) AS o_totalprice,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_date
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    """,
+    doc="G1 clip: semi-join against attribute-filtered zone table",
+    tags=("G1", "semi-join", "filter"),
+)
+def q_clip_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    zones = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    out = clip_semi_join(orders, zones, on=["o_custkey"], key="c_mktsegment", value="BUILDING")
+    return round_floats(
+        out.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# G5 — categorical IN-predicate -> 0/1 indicator
+# Reference: geo_raster_value_mask.py include_values "1"/"5" (corn/soy),
+# pipelines/prism/prism-mi-corn-ppt-county.yml:41-49.
+# ---------------------------------------------------------------------------
+@defquery(
+    "value_mask",
+    """
+    SELECT l_orderkey, l_linenumber, l_returnflag,
+           CASE WHEN l_returnflag IN ('R', 'A') THEN 1 ELSE 0 END AS mask
+    FROM lineitem
+    """,
+    doc="G5 value mask: IN-list -> indicator column",
+    tags=("G5", "predicate"),
+)
+def q_value_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return value_mask(li, "l_returnflag", ["R", "A"]).select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "mask"
+    )
+
+
+# ---------------------------------------------------------------------------
+# G7 — cell-aligned equi-join + elementwise product
+# Reference: geo_raster_multiply.py (daily raster × static weight raster),
+# pipelines/prism/prism-mi-corn-ppt-county.yml:61-70. Weight side broadcast.
+# ---------------------------------------------------------------------------
+@defquery(
+    "multiply_join",
+    """
+    SELECT l_orderkey, l_linenumber, p_partkey,
+           ROUND(l_quantity * p_retailprice, 4) AS weighted_value
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    """,
+    doc="G7 multiply: broadcast equi-join + elementwise product",
+    tags=("G7", "join"),
+)
+def q_multiply_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").withColumnRenamed("l_partkey", "p_partkey")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    out = multiply_join(
+        li, part, on=["p_partkey"], value_col="l_quantity", weight_col="p_retailprice"
+    )
+    return round_floats(
+        out.select("l_orderkey", "l_linenumber", "p_partkey", "weighted_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# G8 — weighted zonal aggregate: sum(v*w)/sum(w) per zone
+# Reference: geo_county_weighted_raster_aggregate.py,
+# pipelines/prism/prism-mi-corn-ppt-county.yml:71-85 (crop-fraction-weighted
+# county precipitation). Cast: quantity-weighted mean price per supplier nation.
+# ---------------------------------------------------------------------------
+@defquery(
+    "weighted_zonal",
+    """
+    SELECT n_name AS zone,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4) AS wavg,
+           ROUND(SUM(l_quantity), 4) AS wavg_weight
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    doc="G8 weighted zonal: sum(v*w)/sum(w) per zone",
+    tags=("G8", "aggregate", "join"),
+)
+def q_weighted_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cells = li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey).join(
+        F.broadcast(nat), sup.s_nationkey == nat.n_nationkey
+    )
+    out = weighted_zonal_aggregate(
+        cells.withColumnRenamed("n_name", "zone"),
+        ["zone"],
+        value_col="l_extendedprice",
+        weight_col="l_quantity",
+        out_col="wavg",
+    )
+    return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# G6 — average-resample a fine grid onto a coarser grid (fraction in [0,1])
+# Reference: geo_raster_reproject.py resampling=average (30 m mask -> 800 m
+# fraction), pipelines/prism/prism-mi-corn-ppt-county.yml:50-60.
+# Cast: part keys laid out on a 16×16 grid, mask = p_size IN (1,5), factor 4.
+# ---------------------------------------------------------------------------
+@defquery(
+    "regrid_fraction",
+    """
+    WITH fine AS (
+      SELECT p_partkey % 16 AS fy,
+             CAST(FLOOR(p_partkey / 16) AS BIGINT) % 16 AS fx,
+             CASE WHEN p_size IN (1, 5) THEN 1 ELSE 0 END AS mask
+      FROM part
+    )
+    SELECT CAST(FLOOR(fy / 4) AS BIGINT) AS cy,
+           CAST(FLOOR(fx / 4) AS BIGINT) AS cx,
+           ROUND(AVG(mask), 4) AS fraction
+    FROM fine GROUP BY 1, 2
+    """,
+    doc="G6 regrid: avg-resample fine mask to coarse fraction",
+    tags=("G6", "aggregate"),
+)
+def q_regrid_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    fine = part.select(
+        (F.col("p_partkey") % 16).alias("fy"),
+        (F.floor(F.col("p_partkey") / 16).cast("long") % 16).alias("fx"),
+        F.when(F.col("p_size").isin([1, 5]), F.lit(1)).otherwise(F.lit(0)).alias("mask"),
+    )
+    out = regrid_average(fine, ("fy", "fx"), factor=4, value_col="mask")
+    return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# G2 — trailing rolling windows w ∈ {3,7,30} with post-window temporal filter
+# Reference: geo_raster_running_window.py (w-day rolling sum per cell; input
+# spans all history, output restricted to target period so the window looks
+# back across the boundary), pipelines/prism/stage-ts-ppt-day-mi-rollsum-*.yml.
+# Cast: per-user trailing sums over the events stream, output ≥ Jan 15.
+# ---------------------------------------------------------------------------
+@defquery(
+    "rolling_sums",
+    """
+    WITH w AS (
+      SELECT event_id, user_id, ts, value,
+        SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)  AS sum_3,
+        SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)  AS sum_7,
+        SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS sum_30
+      FROM events
+    )
+    SELECT event_id, user_id,
+           ROUND(value, 4) AS value, ROUND(sum_3, 4) AS sum_3,
+           ROUND(sum_7, 4) AS sum_7, ROUND(sum_30, 4) AS sum_30
+    FROM w WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+    """,
+    doc="G2 rolling: trailing w-row sums with cross-boundary lookback",
+    tags=("G2", "window"),
+)
+def q_rolling_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    # unique tie-breaker (event_id) in the ordering => deterministic frames
+    ev = ev.withColumn("_ord", F.struct(F.col("ts"), F.col("event_id")))
+    out = ev
+    for w_size, name in [(3, "sum_3"), (7, "sum_7"), (30, "sum_30")]:
+        out = rolling_metric(
+            out, ["user_id"], "_ord", "value", window=w_size, metric="sum", out_col=name
+        )
+    out = out.filter(F.col("ts") >= F.lit("2024-01-15 00:00:00").cast("timestamp"))
+    return round_floats(
+        out.select("event_id", "user_id", "value", "sum_3", "sum_7", "sum_30")
+    )
+
+
+# ---------------------------------------------------------------------------
+# G3 — standardized anomaly (z-score) against a climatology partition
+# Reference: geo_raster_spi.py method=zscore,
+# pipelines/prism/stage-ts-ppt-day-mi-spi-3d.yml:20-30. The climatology key
+# here is (event_type, day-of-month) — the analog of (cell, day-of-year).
+# ---------------------------------------------------------------------------
+@defquery(
+    "spi_zscore",
+    """
+    SELECT event_id, event_type,
+           ROUND((value - AVG(value)    OVER (PARTITION BY event_type, EXTRACT(day FROM ts)))
+               / STDDEV_SAMP(value) OVER (PARTITION BY event_type, EXTRACT(day FROM ts)), 4)
+           AS zscore
+    FROM events
+    """,
+    doc="G3 SPI: z-score against per-group climatology",
+    tags=("G3", "window"),
+)
+def q_spi_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").withColumn("dom", F.dayofmonth("ts"))
+    out = zscore(ev, ["event_type", "dom"], "value", out_col="zscore")
+    return round_floats(out.select("event_id", "event_type", "zscore"))
+
+
+# ---------------------------------------------------------------------------
+# S6 — combine/union: UNION ALL of same-schema slices
+# Reference: combine_files.py (concat CSVs per day into per-year files),
+# pipelines/prism/county_daily_aggregate.yml:38-44.
+# ---------------------------------------------------------------------------
+@defquery(
+    "union_combine",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 4) AS total
+    FROM (
+      SELECT * FROM orders WHERE o_orderstatus = 'O'
+      UNION ALL
+      SELECT * FROM orders WHERE o_orderstatus = 'F'
+    )
+    GROUP BY o_orderstatus
+    """,
+    doc="S6 combine: unionByName then aggregate",
+    tags=("S6", "setop"),
+)
+def q_union_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    u = union_all(
+        [
+            orders.filter(F.col("o_orderstatus") == "O"),
+            orders.filter(F.col("o_orderstatus") == "F"),
+        ]
+    )
+    out = u.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("total")
+    )
+    return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# Top-K per group — ranking window (beyond-reference relational coverage;
+# the reference's only limit is STAC page_size/max_items, SURVEY.md §2.5).
+# ---------------------------------------------------------------------------
+@defquery(
+    "topk_per_group",
+    """
+    SELECT event_type, event_id, value, rn FROM (
+      SELECT event_type, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events
+    ) WHERE rn <= 5
+    """,
+    doc="top-k per group via row_number ranking window",
+    tags=("window", "topk"),
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("event_type", "event_id", "value", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar utilities — date-from-filename regex extraction
+# Reference: day_from_filename_regex "(\d{8})" in
+# geo_county_weighted_raster_aggregate (prism-mi-corn-ppt-county.yml:82);
+# filenames like prism_ppt_us_30s_YYYYMMDD.tif (stage-ts-ppt-day-*.yml:14).
+# ---------------------------------------------------------------------------
+@defquery(
+    "date_from_filename",
+    r"""
+    WITH files AS (
+      SELECT 'data/stage/prism/' || strftime(o_orderdate, '%Y')
+             || '/prism_ppt_us_30s_' || strftime(o_orderdate, '%Y%m%d') || '.tif' AS path
+      FROM orders
+    )
+    SELECT strftime(strptime(regexp_extract(path, '(\d{8})', 1), '%Y%m%d'), '%Y-%m-%d') AS day,
+           COUNT(*) AS n_files
+    FROM files GROUP BY 1
+    """,
+    doc="regex date-from-filename extraction + parse",
+    tags=("scalar", "regex"),
+)
+def q_date_from_filename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    files = orders.select(
+        F.concat(
+            F.lit("data/stage/prism/"),
+            F.date_format("o_orderdate", "yyyy"),
+            F.lit("/prism_ppt_us_30s_"),
+            F.date_format("o_orderdate", "yyyyMMdd"),
+            F.lit(".tif"),
+        ).alias("path")
+    )
+    return (
+        files.select(
+            F.date_format(
+                F.to_date(F.regexp_extract("path", r"(\d{8})", 1), "yyyyMMdd"),
+                "yyyy-MM-dd",
+            ).alias("day")
+        )
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_files"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# §3.3 flagship dataflow — the corn-weighted-precipitation pipeline as ONE
+# lazy plan: mask (G5) -> avg-regrid (G6) -> multiply (G7) -> weighted zonal
+# agg (G8). Reference: pipelines/prism/prism-mi-corn-ppt-county.yml end-to-end
+# (five steps, five intermediate directories; here: zero materializations).
+# ---------------------------------------------------------------------------
+@defquery(
+    "crop_weighted_pipeline",
+    """
+    WITH fine AS (
+      SELECT p_partkey % 16 AS fy,
+             CAST(FLOOR(p_partkey / 16) AS BIGINT) % 16 AS fx,
+             CASE WHEN p_size IN (1, 5) THEN 1 ELSE 0 END AS mask
+      FROM part
+    ),
+    weights AS (
+      SELECT CAST(FLOOR(fy / 4) AS BIGINT) AS y,
+             CAST(FLOOR(fx / 4) AS BIGINT) AS x,
+             AVG(mask) AS w
+      FROM fine GROUP BY 1, 2
+    ),
+    daily AS (
+      SELECT l_orderkey % 4 AS y, l_suppkey % 4 AS x,
+             CAST(l_shipdate AS DATE) AS day, l_quantity AS v
+      FROM lineitem
+    )
+    SELECT d.y AS zone, EXTRACT(year FROM d.day) AS yr,
+           ROUND(SUM(d.v * w.w) / SUM(w.w), 4) AS crop_wavg,
+           ROUND(SUM(w.w), 4) AS crop_wavg_weight
+    FROM daily d JOIN weights w ON d.y = w.y AND d.x = w.x
+    GROUP BY 1, 2
+    """,
+    doc="§3.3 multi-stage pipeline: mask->regrid->multiply->weighted zonal, one plan",
+    tags=("pipeline", "G5", "G6", "G7", "G8"),
+)
+def q_crop_weighted_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    fine = part.select(
+        (F.col("p_partkey") % 16).alias("fy"),
+        (F.floor(F.col("p_partkey") / 16).cast("long") % 16).alias("fx"),
+        F.when(F.col("p_size").isin([1, 5]), F.lit(1)).otherwise(F.lit(0)).alias("mask"),
+    )
+    weights = regrid_average(
+        fine, ("fy", "fx"), factor=4, value_col="mask", coarse_cols=("y", "x"), out_col="w"
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    daily = li.select(
+        (F.col("l_orderkey") % 4).alias("y"),
+        (F.col("l_suppkey") % 4).alias("x"),
+        F.col("l_shipdate").cast("date").alias("day"),
+        F.col("l_quantity").alias("v"),
+    )
+    cells = multiply_join(daily, weights, on=["y", "x"], value_col="v", weight_col="w")
+    out = (
+        cells.withColumn("zone", F.col("y"))
+        .withColumn("yr", F.year("day").cast("long"))
+        .groupBy("zone", "yr")
+        .agg(
+            (F.sum(F.col("v") * F.col("w")) / F.sum("w")).alias("crop_wavg"),
+            F.sum("w").alias("crop_wavg_weight"),
+        )
+    )
+    return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# Pricing summary — TPC-H Q1 shape (groupBy + 8 aggregates); the canonical
+# multi-agg scan the reference's declared-agg-list generalizes to.
+# ---------------------------------------------------------------------------
+@defquery(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 4)                                        AS sum_qty,
+           ROUND(SUM(l_extendedprice), 4)                                   AS sum_base,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)  AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
+           ROUND(AVG(l_discount), 4)                                        AS avg_disc,
+           COUNT(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-shaped pricing summary: filtered scan + 8-agg groupBy",
+    tags=("aggregate", "scan"),
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    out = (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+    return round_floats(out)

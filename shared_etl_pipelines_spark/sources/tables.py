@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # The driver-generated test corpus (TESTDATA.md): TPC-H-ish star schema
 # + events stream + documents/embeddings for the LLM-data operators.
@@ -36,13 +37,24 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table. Accepts both `<dir>/<name>.parquet` (driver layout)
-    and `<dir>/<name>` (partitioned dataset layout)."""
+    and `<dir>/<name>` (partitioned dataset layout).
+
+    Nanosecond-precision parquet timestamps (the `events.ts` column) are
+    illegal for Spark's vectorized reader; we read them as long nanos
+    (`spark.sql.legacy.parquet.nanosAsLong`) and rebuild a microsecond
+    TimestampType column, which is lossless for this corpus and matches
+    DuckDB's microsecond timestamps.
+    """
     p = os.path.join(sf_dir, f"{name}.parquet")
     if not os.path.exists(p):
         alt = os.path.join(sf_dir, name)
         if os.path.exists(alt):
             p = alt
-    return spark.read.parquet(p)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(p)
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
 
 
 def load_tables(

@@ -1,0 +1,141 @@
+"""Unit tests for the operator library on tiny hand-checkable frames."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from shared_etl_pipelines_spark.operators.aggregates import (
+    agg_exprs,
+    parse_agg_list,
+    weighted_zonal_aggregate,
+    zonal_aggregate,
+)
+from shared_etl_pipelines_spark.operators.filters import (
+    attribute_filter,
+    range_filter,
+    temporal_filter,
+    value_mask,
+)
+from shared_etl_pipelines_spark.operators.joins import clip_semi_join, multiply_join
+from shared_etl_pipelines_spark.operators.resample import regrid_average
+from shared_etl_pipelines_spark.operators.setops import union_all
+from shared_etl_pipelines_spark.operators.windows import doy_non_leap, rolling_metric, zscore
+
+
+def test_parse_agg_list():
+    assert parse_agg_list("min, p5, q1, med, avg, q3, p95, max") == [
+        "min", "p5", "q1", "med", "avg", "q3", "p95", "max",
+    ]
+    assert parse_agg_list(["MIN", "Max"]) == ["min", "max"]
+
+
+def test_agg_exprs_prefix_and_percentiles(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(1, 101)], ["v"])
+    row = df.agg(*agg_exprs("v", "min,p5,med,p95,max,avg", "ppt")).collect()[0]
+    assert row["ppt_min"] == 1.0 and row["ppt_max"] == 100.0
+    # linear-interpolated exact percentiles (quantile_cont semantics)
+    assert math.isclose(row["ppt_med"], 50.5)
+    assert math.isclose(row["ppt_p5"], 5.95)
+    assert math.isclose(row["ppt_p95"], 95.05)
+    assert math.isclose(row["ppt_avg"], 50.5)
+
+
+def test_zonal_aggregate_single_cell_zone(spark):
+    # one zone with a single cell stresses percentile edge cases
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("a", 2.0), ("b", 7.0)], ["zone", "v"]
+    )
+    rows = {r["zone"]: r for r in zonal_aggregate(df, ["zone"], "v", "min,med,max").collect()}
+    assert rows["a"]["med"] == 2.0
+    assert rows["b"]["min"] == rows["b"]["med"] == rows["b"]["max"] == 7.0
+
+
+def test_weighted_zonal_aggregate(spark):
+    df = spark.createDataFrame(
+        [("z", 10.0, 1.0), ("z", 20.0, 3.0)], ["zone", "v", "w"]
+    )
+    r = weighted_zonal_aggregate(df, ["zone"], "v", "w").collect()[0]
+    assert math.isclose(r["wavg"], (10 * 1 + 20 * 3) / 4.0)
+    assert math.isclose(r["wavg_weight"], 4.0)
+
+
+def test_filters(spark):
+    df = spark.createDataFrame(
+        [("MI", 1, "2001-02-03"), ("OH", 5, "2002-02-03"), ("MI", 9, "2001-06-01")],
+        ["st", "v", "d"],
+    ).withColumn("d", F.to_date("d"))
+    assert attribute_filter(df, "st", "MI").count() == 2
+    masked = {r["v"]: r["mask"] for r in value_mask(df, "v", "1,5").collect()}
+    assert masked == {1: 1, 5: 1, 9: 0}
+    assert range_filter(df, "v", lo=None, hi=5, hi_inclusive=False).count() == 1
+    assert temporal_filter(df, "d", 2001).count() == 2
+
+
+def test_value_mask_nodata(spark):
+    df = spark.createDataFrame([(1,), (5,), (255,)], ["v"])
+    rows = {r["v"]: r["mask"] for r in value_mask(df, "v", [1], nodata=255).collect()}
+    assert rows[1] == 1 and rows[5] == 0 and rows[255] is None
+
+
+def test_clip_semi_join(spark):
+    cells = spark.createDataFrame([(0, 0, 1.0), (0, 1, 2.0), (9, 9, 3.0)], ["y", "x", "v"])
+    zones = spark.createDataFrame(
+        [(0, 0, "MI"), (0, 1, "OH"), (9, 9, "MI")], ["y", "x", "stusps"]
+    )
+    out = clip_semi_join(cells, zones, on=["y", "x"], key="stusps", value="MI")
+    assert sorted(r["v"] for r in out.collect()) == [1.0, 3.0]
+    assert out.columns == ["y", "x", "v"]  # semi-join adds no zone columns
+
+
+def test_multiply_join(spark):
+    daily = spark.createDataFrame([(0, 0, 10.0), (0, 1, 20.0)], ["y", "x", "v"])
+    weights = spark.createDataFrame([(0, 0, 0.5)], ["y", "x", "w"])
+    out = multiply_join(daily, weights, ["y", "x"], "v", "w").collect()
+    assert len(out) == 1 and out[0]["weighted_value"] == 5.0
+
+
+def test_regrid_average(spark):
+    # 4x4 fine grid, factor 2 -> 2x2 coarse; mask=1 in one quadrant only
+    rows = [(fy, fx, 1 if (fy < 2 and fx < 2) else 0) for fy in range(4) for fx in range(4)]
+    df = spark.createDataFrame(rows, ["fy", "fx", "mask"])
+    out = {(r["cy"], r["cx"]): r["fraction"] for r in
+           regrid_average(df, ("fy", "fx"), 2, "mask").collect()}
+    assert out[(0, 0)] == 1.0
+    assert out[(0, 1)] == out[(1, 0)] == out[(1, 1)] == 0.0
+
+
+def test_rolling_metric_cross_boundary(spark):
+    # 6 consecutive days across a year boundary; w=3 trailing sum
+    data = [
+        ("c", "2000-12-29", 1.0), ("c", "2000-12-30", 2.0), ("c", "2000-12-31", 3.0),
+        ("c", "2001-01-01", 4.0), ("c", "2001-01-02", 5.0), ("c", "2001-01-03", 6.0),
+    ]
+    df = spark.createDataFrame(data, ["cell", "d", "v"]).withColumn("d", F.to_date("d"))
+    out = rolling_metric(df, ["cell"], "d", "v", window=3, metric="sum",
+                         out_col="s3", target_year=2001, date_col="d")
+    got = {str(r["d"]): r["s3"] for r in out.collect()}
+    # Jan 1 looks back into December (cross-year lookback preserved)
+    assert got == {"2001-01-01": 9.0, "2001-01-02": 12.0, "2001-01-03": 15.0}
+
+
+def test_zscore(spark):
+    df = spark.createDataFrame([("g", 1.0), ("g", 2.0), ("g", 3.0)], ["g", "v"])
+    out = {r["v"]: r["zscore"] for r in zscore(df, ["g"], "v").collect()}
+    assert math.isclose(out[2.0], 0.0)
+    assert math.isclose(out[3.0], 1.0)  # (3-2)/stddev_samp([1,2,3])=1/1
+
+
+def test_doy_non_leap(spark):
+    df = spark.createDataFrame(
+        [("2004-02-28",), ("2004-02-29",), ("2004-03-01",), ("2003-03-01",)], ["d"]
+    ).withColumn("d", F.to_date("d"))
+    got = {str(r["d"]): r["doy"] for r in df.select("d", doy_non_leap("d").alias("doy")).collect()}
+    assert got["2004-02-29"] == got["2004-02-28"] == 59
+    assert got["2004-03-01"] == got["2003-03-01"] == 60
+
+
+def test_union_all_by_name(spark):
+    a = spark.createDataFrame([(1, "x")], ["id", "s"])
+    b = spark.createDataFrame([("y", 2)], ["s", "id"])
+    out = union_all([a, b]).collect()
+    assert sorted((r["id"], r["s"]) for r in out) == [(1, "x"), (2, "y")]
