@@ -1,0 +1,72 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Runs every registered query (minus the deliberately-exhaustive O(n^2)
+correctness baselines, which exist only to verify their LSH-bucketed
+scale-path counterparts) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with a noop-format write (full physical
+execution, no driver collect overhead) — the same action a cluster job
+would perform minus sink IO.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Exhaustive all-pairs baselines: correctness oracles for the LSH scale
+# paths (near_dup_minhash_lsh / similarity_topk_lsh), not 100 TB operators.
+EXCLUDE = {"ngram_jaccard_pairs", "embedding_near_dup"}
+
+
+def run_query(fn, spark, sf_dir) -> float:
+    t0 = time.time()
+    df = fn(spark, sf_dir)
+    df.write.mode("overwrite").format("noop").save()
+    return time.time() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from shared_etl_pipelines_spark.engine import get_spark
+    from shared_etl_pipelines_spark.queries import REGISTRY
+
+    spark = get_spark("bench")
+    # Warm the JVM / parquet footer caches so per-query numbers measure the
+    # queries, not session startup.
+    spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+
+    times: dict[str, float] = {}
+    for name, qd in REGISTRY.items():
+        if name in EXCLUDE:
+            continue
+        times[name] = round(run_query(qd.fn, spark, sf_dir), 3)
+        print(f"# {name}: {times[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,161 @@
+"""Deduplication operators for LLM-training-data pipelines.
+
+Four tiers, from exact to fuzzy, each a pure DataFrame function:
+
+- exact:   md5 content hash, groupwise keeper election (one shuffle).
+- near-exact: same, over normalize_text (case/punct/whitespace folded).
+- MinHash+LSH: shingle -> k minhashes -> b bands -> bucket self-join ->
+  Jaccard verification. The LSH band join is the 100 TB path: candidate
+  generation is an equi-join on (band_idx, band_value), so the cross
+  product never materializes; only same-bucket pairs are verified.
+- SimHash: 16-bit locality-sensitive fingerprint from per-token votes;
+  Hamming-distance candidates via bit_count(xor).
+
+All hashing is md5/ascii-arithmetic so the DuckDB oracle can replicate
+results bit-for-bit (see queries_llm.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from shared_etl_pipelines_spark.functions.text import (
+    jaccard,
+    minhash,
+    normalize_text,
+    shingles,
+    token_hash16,
+    tokens,
+)
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str, text_col: str, normalized: bool = False
+) -> DataFrame:
+    """Content-hash dedup: every row gets its hash, the elected keeper
+    (min id per hash group), and an is_dup flag.
+
+    At scale: a single hash-partition shuffle on the 32-char digest —
+    uniformly distributed, no skew; the window min is a partial-aggregable
+    pattern Spark executes without a second shuffle.
+    """
+    txt = normalize_text(F.col(text_col)) if normalized else F.col(text_col)
+    out = df.select(F.col(id_col), F.md5(txt).alias("content_hash"))
+    w = Window.partitionBy("content_hash")
+    return out.withColumn("keeper", F.min(id_col).over(w)).withColumn(
+        "is_dup", (F.col(id_col) != F.col("keeper")).cast("int")
+    )
+
+
+def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    return df.select(
+        F.col(id_col), shingles(tokens(F.col(text_col)), n=n).alias("sh")
+    ).filter(F.size("sh") > 0)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs via MinHash-LSH with Jaccard verification.
+
+    bands of rows_per_band = k/bands minhashes; P(candidate) =
+    1-(1-j^r)^b. Candidate generation = explode bands + self-equi-join on
+    (band_idx, band_hash): linear in data + bucket sizes, never O(n²).
+    Returned pairs are verified: jaccard >= threshold.
+    """
+    rows_per_band = k // bands
+    sh = shingle_sets(df, id_col, text_col, n=n)
+    sig = sh.select(F.col(id_col), F.col("sh"), *minhash(F.col("sh"), k=k))
+    band_cols = [
+        F.md5(F.concat_ws("|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]))
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        F.col(id_col), F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash")
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col(f"l.band_idx") == F.col(f"r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    sh_a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("doc_a", "doc_b", "jaccard")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exhaustive pairwise n-gram Jaccard (the exact baseline the LSH
+    variant approximates). O(n²) — test-scale / within-block use only;
+    at 100 TB always go through minhash_lsh_pairs."""
+    sh = shingle_sets(df, id_col, text_col, n=n)
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash per document.
+
+    Per token: 16-bit md5-derived hash; per bit: +1/-1 vote summed over
+    tokens (explode + groupBy = one shuffle with map-side combine);
+    bit set iff vote >= 0. Fingerprint = Σ bit<<b.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(F.col(text_col))).alias("t"))
+    tok = tok.withColumn("hv", token_hash16(F.col("t")))
+    votes = tok.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("hv"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(16)
+        ]
+    )
+    sim = None
+    for b in range(16):
+        bit = F.when(F.col(f"v{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = bit if sim is None else sim + bit
+    return votes.select(F.col(id_col), sim.cast("long").alias("simhash"))
+
+
+def simhash_candidates(
+    sim: DataFrame, id_col: str, max_hamming: int = 2
+) -> DataFrame:
+    """Candidate near-dup pairs: Hamming distance of simhashes <= k.
+    (16-bit simhash is a coarse filter — candidates, not verdicts.)"""
+    a = sim.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("s_a"))
+    b = sim.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("s_b"))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("hamming", F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1,0 +1,144 @@
+"""Embedding similarity search.
+
+- brute_force_topk: exact cosine top-k — the correctness baseline. At
+  test scale it's a broadcast nested loop; the expressions are all
+  codegen'd array arithmetic (no Python).
+- lsh_bucket_topk: the scale path — sign-random-projection buckets
+  (hyperplanes derived from a deterministic integer formula so the
+  oracle can replicate them), equi-join on bucket, rank within bucket.
+  Recall < 1 by construction; bound and documented, not silent.
+- embedding_near_dup_pairs: all-pairs cosine >= tau (exact; use the LSH
+  bucket join first at scale).
+
+100 TB design note: brute-force top-k against a large query set should
+be written as a block-matrix product (mapInPandas over query×shard
+blocks with numpy GEMM). At the corpus sizes the driver tests, the
+array-expression form is faster than paying the Arrow crossing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from shared_etl_pipelines_spark.functions.vectors import as_double, cosine, dot, l2_norm
+
+
+def _prep(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col), as_double(vec_col).alias("v")
+    ).withColumn("norm", l2_norm(F.col("v")))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k per query vector (excluding self-matches)."""
+    corpus = _prep(embeddings, id_col, vec_col)
+    qs = _prep(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), F.col("norm").alias("qn")
+    )
+    scored = (
+        F.broadcast(qs)
+        .join(corpus, F.col("query_id") != F.col(id_col))
+        .withColumn("cosine", dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("norm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", id_col, "cosine", "rn")
+    )
+
+
+# Deterministic pseudo-random hyperplane component for (plane i, dim j):
+# integer arithmetic only, so Spark and the SQL oracle agree exactly.
+def _hyperplane(i: int, j: int) -> float:
+    return ((i * 37 + j * 101 + 13) % 19 - 9) / 9.0
+
+
+def srp_bucket(vec: F.Column, n_planes: int, dim: int) -> F.Column:
+    """Sign-random-projection bucket id: bit i = (v · h_i) >= 0."""
+    out = None
+    for i in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(_hyperplane(i, j)) for j in range(dim)]),
+                lambda x, h: x * h,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(proj >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        out = bit if out is None else out + bit
+    return out.cast("long")
+
+
+def lsh_bucket_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's SRP bucket.
+
+    At 100 TB the corpus is hash-partitioned by bucket (2^n_planes
+    buckets × multi-probe as needed), so each query scans ~1/2^n of the
+    data. Recall is approximate — compare against brute_force_topk on a
+    sample to tune n_planes.
+    """
+    corpus = _prep(embeddings, id_col, vec_col).withColumn(
+        "bucket", srp_bucket(F.col("v"), n_planes, dim)
+    )
+    qs = (
+        _prep(queries, id_col, vec_col)
+        .withColumn("bucket", srp_bucket(F.col("v"), n_planes, dim))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("norm").alias("qn"),
+            "bucket",
+        )
+    )
+    scored = (
+        F.broadcast(qs)
+        .join(corpus, on="bucket")
+        .filter(F.col("query_id") != F.col(id_col))
+        .withColumn("cosine", dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("norm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", id_col, "cosine", "rn")
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau: float = 0.4,
+) -> DataFrame:
+    """Exact all-pairs cosine near-dup: pairs (a<b) with cosine >= tau."""
+    e = _prep(embeddings, id_col, vec_col)
+    a = e.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("v_a"), F.col("norm").alias("n_a")
+    )
+    b = e.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("v_b"), F.col("norm").alias("n_b")
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")))
+        .filter(F.col("cosine") >= tau)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -541,3 +541,9 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return round_floats(out)
+
+
+# Register the LLM-data operator queries (dedup / similarity / text /
+# multimodal) — the module appends to REGISTRY on import. Import sits at
+# the bottom so defquery/round_floats exist when it re-enters this module.
+from shared_etl_pipelines_spark import queries_llm  # noqa: E402,F401

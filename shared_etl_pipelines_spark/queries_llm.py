@@ -1,0 +1,451 @@
+"""LLM-training-data operator queries + DuckDB oracles.
+
+These are the north-star operators (SURVEY.md §7.5): dedup family,
+embedding similarity search, text analysis, multimodal columns. Every
+hash function used is engine-portable (md5 / ascii arithmetic / integer
+formulas), so even MinHash signatures, SimHash fingerprints and LSH
+buckets are replicated bit-for-bit by the SQL oracle — the approximate
+algorithms are verified exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from shared_etl_pipelines_spark.functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    lang_id,
+    lang_scores,
+    normalize_text,
+    tokens,
+)
+from shared_etl_pipelines_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash16,
+    simhash_candidates,
+)
+from shared_etl_pipelines_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+    lsh_bucket_topk,
+)
+from shared_etl_pipelines_spark.queries import defquery, round_floats
+from shared_etl_pipelines_spark.sources.multimodal import decode_assets, to_asset_table
+from shared_etl_pipelines_spark.sources.tables import load_table
+
+# ---- shared SQL fragments (mirror functions/text.py exactly) --------------
+
+TOKS_SQL = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+SHINGLES_SQL = (
+    "list_distinct(list_transform(range(1, len(toks) - 1), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
+)
+_STOP_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+
+def _mh_sql(i: int) -> str:
+    return f"list_min(list_transform(sh, s -> md5(s || ':{i}')))"
+
+
+def _hexval_sql(i: int) -> str:
+    a = f"ascii(substr(h, {i}, 1))"
+    return f"({a} - 48 - CASE WHEN {a} >= 97 THEN 39 ELSE 0 END)"
+
+
+_HV_SQL = (
+    f"({_hexval_sql(1)} * 4096 + {_hexval_sql(2)} * 256 "
+    f"+ {_hexval_sql(3)} * 16 + {_hexval_sql(4)})"
+)
+
+_SIMHASH_CTE = f"""
+tok AS (
+  SELECT doc_id, unnest({TOKS_SQL}) AS t FROM documents
+),
+hh AS (SELECT doc_id, md5(t) AS h FROM tok),
+hv AS (SELECT doc_id, {_HV_SQL} AS hv FROM hh),
+votes AS (
+  SELECT doc_id,
+         {', '.join(f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(16))}
+  FROM hv GROUP BY doc_id
+),
+sim AS (
+  SELECT doc_id,
+         CAST({' + '.join(f"CASE WHEN v{b} >= 0 THEN {1 << b} ELSE 0 END" for b in range(16))} AS BIGINT) AS simhash
+  FROM votes
+)
+"""
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup — content-hash keeper election
+# ---------------------------------------------------------------------------
+@defquery(
+    "dedup_exact",
+    """
+    SELECT doc_id, md5(text) AS content_hash,
+           MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper,
+           CAST(doc_id <> MIN(doc_id) OVER (PARTITION BY md5(text)) AS INT) AS is_dup
+    FROM documents
+    """,
+    doc="exact dedup: md5 content hash + groupwise keeper election",
+    tags=("llm", "dedup"),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@defquery(
+    "dedup_normalized",
+    """
+    WITH n AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+                                     '\\s+', ' ', 'g'))) AS content_hash
+      FROM documents
+    )
+    SELECT doc_id, content_hash,
+           MIN(doc_id) OVER (PARTITION BY content_hash) AS keeper,
+           CAST(doc_id <> MIN(doc_id) OVER (PARTITION BY content_hash) AS INT) AS is_dup
+    FROM n
+    """,
+    doc="near-exact dedup: case/punct/whitespace-normalized content hash",
+    tags=("llm", "dedup"),
+)
+def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(_t(spark, sf_dir, "documents"), "doc_id", "text", normalized=True)
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH near-dup pairs (verified with exact Jaccard)
+# ---------------------------------------------------------------------------
+@defquery(
+    "minhash_signature",
+    f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    s AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM t)
+    SELECT doc_id,
+           array_to_string([{', '.join(_mh_sql(i) for i in range(8))}], '|') AS signature
+    FROM s WHERE len(sh) > 0
+    """,
+    doc="MinHash k=8 signature over 3-shingles (md5 hash family)",
+    tags=("llm", "dedup", "minhash"),
+)
+def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.functions.text import minhash
+    from shared_etl_pipelines_spark.operators.dedup import shingle_sets
+
+    sh = shingle_sets(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    sig = sh.select(F.col("doc_id"), *minhash(F.col("sh"), k=8))
+    return sig.select(
+        "doc_id", F.concat_ws("|", *[f"mh_{i}" for i in range(8)]).alias("signature")
+    )
+
+
+@defquery(
+    "near_dup_minhash_lsh",
+    f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    s AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM t),
+    sig AS (
+      SELECT doc_id, sh, {', '.join(f"{_mh_sql(i)} AS mh{i}" for i in range(8))}
+      FROM s WHERE len(sh) > 0
+    ),
+    bands AS (
+      {' UNION ALL '.join(
+        f"SELECT doc_id, {b} AS band_idx, md5(mh{2*b} || '|' || mh{2*b+1}) AS band_hash FROM sig"
+        for b in range(4)
+      )}
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM bands l JOIN bands r
+        ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+    FROM cand
+    JOIN sig a ON a.doc_id = doc_a
+    JOIN sig b ON b.doc_id = doc_b
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    """,
+    doc="near-dup via MinHash-LSH (4 bands × 2 rows) + exact Jaccard verify",
+    tags=("llm", "dedup", "minhash", "lsh"),
+)
+def q_near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, k=8, bands=4, threshold=0.5
+    )
+    return round_floats(out)
+
+
+@defquery(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    s AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM t),
+    ss AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+    FROM ss a JOIN ss b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    """,
+    doc="exhaustive pairwise 3-gram Jaccard (exact baseline for LSH)",
+    tags=("llm", "dedup"),
+)
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5
+    )
+    return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# SimHash fingerprint + Hamming candidates
+# ---------------------------------------------------------------------------
+@defquery(
+    "simhash_fingerprint",
+    f"WITH {_SIMHASH_CTE} SELECT doc_id, simhash FROM sim",
+    doc="16-bit SimHash fingerprint from per-token bit votes",
+    tags=("llm", "dedup", "simhash"),
+)
+def q_simhash_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash16(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@defquery(
+    "near_dup_simhash",
+    f"""
+    WITH {_SIMHASH_CTE}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    """,
+    doc="SimHash candidate pairs: Hamming distance <= 2",
+    tags=("llm", "dedup", "simhash"),
+)
+def q_near_dup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sim = simhash16(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    out = simhash_candidates(sim, "doc_id", max_hamming=2)
+    return out.withColumn("hamming", F.col("hamming").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: metrics / quality score / language id
+# ---------------------------------------------------------------------------
+@defquery(
+    "text_metrics",
+    f"""
+    WITH t AS (SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents)
+    SELECT doc_id,
+      CAST(length(text) AS BIGINT) AS n_chars,
+      CAST(len(toks) AS BIGINT) AS n_tokens,
+      CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+      ROUND(CAST(length(array_to_string(toks, '')) AS DOUBLE) / len(toks), 4) AS avg_token_len,
+      ROUND(CAST(len(list_filter(toks, x -> x IN ({_STOP_IN}))) AS DOUBLE) / len(toks), 4) AS stopword_ratio,
+      ROUND(CAST(length(regexp_replace(text, '[a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text), 4) AS punct_ratio,
+      ROUND(LEAST(50, len(toks)) * (len(toks) - len(list_filter(toks, x -> x IN ({_STOP_IN}))))
+            * len(list_distinct(toks))
+            / (50.0 * len(toks) * len(toks)), 4) AS quality_score
+    FROM t WHERE len(toks) > 0
+    """,
+    doc="per-document text metrics + composite quality score",
+    tags=("llm", "text"),
+)
+def q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    df = docs.select("doc_id", "text", toks.alias("toks")).filter(F.size("toks") > 0)
+    nt = F.size("toks").cast("double")
+    n_stop = F.size(F.filter(F.col("toks"), lambda t: t.isin(*STOPWORDS))).cast("double")
+    n_dist = F.size(F.array_distinct("toks")).cast("double")
+    stop_ratio = n_stop / nt
+    punct_ratio = (
+        F.length(F.regexp_replace("text", "[a-zA-Z0-9\\s]", "")).cast("double")
+        / F.length("text")
+    )
+    # quality score as exact-integer numerator / single division: both
+    # engines divide identical exactly-representable values, so the rounded
+    # result can never straddle a boundary differently.
+    quality = (F.least(F.lit(50.0), nt) * (nt - n_stop) * n_dist) / (50.0 * nt * nt)
+    out = df.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct_tokens"),
+        (F.length(F.concat_ws("", F.col("toks"))).cast("double") / nt).alias(
+            "avg_token_len"
+        ),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        quality.alias("quality_score"),
+    )
+    return round_floats(out)
+
+
+@defquery(
+    "lang_id",
+    f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    s AS (
+      SELECT doc_id,
+        {', '.join(
+          "CAST(len(list_filter(toks, x -> x IN ("
+          + ", ".join(f"'{m}'" for m in markers)
+          + f"))) AS BIGINT) AS s_{lang}"
+          for lang, markers in LANG_MARKERS.items()
+        )}
+      FROM t
+    )
+    SELECT doc_id, s_en, s_es, s_de, s_fr,
+      CASE WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'und'
+           WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+           WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+           WHEN s_de >= s_fr THEN 'de'
+           ELSE 'fr' END AS lang_pred
+    FROM s
+    """,
+    doc="marker-token language-id heuristic with deterministic tie order",
+    tags=("llm", "text"),
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    df = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    scores = lang_scores(F.col("toks"))
+    return df.select(
+        "doc_id",
+        *[scores[lang].cast("long").alias(f"s_{lang}") for lang in LANG_MARKERS],
+        lang_id(F.col("toks")).alias("lang_pred"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity search
+# ---------------------------------------------------------------------------
+@defquery(
+    "similarity_topk",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    s AS (
+      SELECT query_id, vec_id, list_cosine_similarity(qv, v) AS c
+      FROM q JOIN e ON vec_id <> query_id
+    ),
+    r AS (
+      SELECT query_id, vec_id, c,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rn
+      FROM s
+    )
+    SELECT query_id, vec_id, ROUND(c, 4) AS cosine, rn FROM r WHERE rn <= 10
+    """,
+    doc="brute-force exact cosine top-10 per query vector",
+    tags=("llm", "similarity"),
+)
+def q_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    out = brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    return round_floats(out)
+
+
+@defquery(
+    "embedding_near_dup",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+    """,
+    doc="embedding near-dup: all pairs with cosine >= 0.4",
+    tags=("llm", "similarity", "dedup"),
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), tau=0.4)
+    return round_floats(out)
+
+
+def _srp_planes_sql(n_planes: int, dim: int) -> list[str]:
+    from shared_etl_pipelines_spark.operators.similarity import _hyperplane
+
+    return [
+        "[" + ", ".join(repr(_hyperplane(i, j)) for j in range(dim)) + "]"
+        for i in range(n_planes)
+    ]
+
+
+_PLANES = _srp_planes_sql(4, 64)
+_BUCKET_SQL = " + ".join(
+    f"CASE WHEN list_dot_product(v, {_PLANES[i]}) >= 0 THEN {1 << i} ELSE 0 END"
+    for i in range(4)
+)
+
+
+@defquery(
+    "similarity_topk_lsh",
+    f"""
+    WITH e AS (
+      SELECT vec_id, v, CAST({_BUCKET_SQL} AS BIGINT) AS bucket FROM
+        (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < 5),
+    s AS (
+      SELECT query_id, vec_id, list_cosine_similarity(qv, e.v) AS c
+      FROM q JOIN e USING (bucket) WHERE vec_id <> query_id
+    ),
+    r AS (
+      SELECT query_id, vec_id, c,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rn
+      FROM s
+    )
+    SELECT query_id, vec_id, ROUND(c, 4) AS cosine, rn FROM r WHERE rn <= 10
+    """,
+    doc="approximate top-10 via sign-random-projection LSH buckets",
+    tags=("llm", "similarity", "lsh"),
+)
+def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    out = lsh_bucket_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, n_planes=4, dim=64)
+    return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: binary asset table + Arrow-batched (stub) decode
+# ---------------------------------------------------------------------------
+_CHECKSUM_SQL = (
+    "("
+    + " + ".join(
+        f"CASE WHEN length(text) >= {i} THEN ascii(substr(text, {i}, 1)) ELSE 0 END"
+        for i in range(1, 17)
+    )
+    + ") % 997"
+)
+
+
+@defquery(
+    "multimodal_decode",
+    f"""
+    SELECT doc_id, 'text/plain' AS media_type,
+           octet_length(encode(text)) AS n_bytes,
+           CAST({_CHECKSUM_SQL} AS BIGINT) AS checksum,
+           CAST(octet_length(encode(text)) % 64 + 1 AS INT) AS fake_width,
+           CAST((octet_length(encode(text)) // 64) % 64 + 1 AS INT) AS fake_height
+    FROM documents
+    """,
+    doc="multimodal asset table + Arrow-batched stub decode (mapInPandas)",
+    tags=("llm", "multimodal"),
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = to_asset_table(_t(spark, sf_dir, "documents"))
+    return decode_assets(assets)

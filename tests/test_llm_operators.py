@@ -1,0 +1,110 @@
+"""Unit tests for dedup / similarity / text / multimodal operators."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from shared_etl_pipelines_spark.functions.text import (
+    jaccard,
+    normalize_text,
+    shingles,
+    tokens,
+)
+from shared_etl_pipelines_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash16,
+    simhash_candidates,
+)
+from shared_etl_pipelines_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_dup_pairs,
+)
+from shared_etl_pipelines_spark.sources.multimodal import decode_assets, to_asset_table
+
+
+def test_tokens_and_normalize(spark):
+    df = spark.createDataFrame([("  Hello,  WORLD! x ",)], ["text"])
+    r = df.select(
+        tokens(F.col("text")).alias("t"), normalize_text(F.col("text")).alias("n")
+    ).collect()[0]
+    assert r["t"] == ["Hello,", "WORLD!", "x"]
+    assert r["n"] == "hello world x"
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame([("a b",), ("a b c d",)], ["text"])
+    rows = df.select(shingles(tokens(F.col("text"))).alias("sh")).collect()
+    assert rows[0]["sh"] == []  # fewer tokens than n -> empty, not error
+    assert sorted(rows[1]["sh"]) == ["a b c", "b c d"]
+
+
+def test_jaccard_identical_and_disjoint(spark):
+    df = spark.createDataFrame([(["a", "b"], ["a", "b"]), (["a"], ["b"])], ["x", "y"])
+    vals = [r["j"] for r in df.select(jaccard(F.col("x"), F.col("y")).alias("j")).collect()]
+    assert vals == [1.0, 0.0]
+
+
+def test_exact_dedup_elects_min_keeper(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other")], ["doc_id", "text"]
+    )
+    rows = {r["doc_id"]: r for r in exact_dedup(df, "doc_id", "text").collect()}
+    assert rows[1]["is_dup"] == 0 and rows[2]["is_dup"] == 1 and rows[2]["keeper"] == 1
+    assert rows[3]["is_dup"] == 0
+
+
+def test_minhash_lsh_finds_planted_near_dup(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    near = base.replace("lazy", "sleepy")
+    other = "completely different words about spark catalyst tungsten arrow " * 5
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], ["doc_id", "text"]
+    )
+    # 8 bands × 1 row: recall ≈ 1-(1-j)^8, high enough to be deterministic
+    # for the planted pair (the 4×2 default targets higher-jaccard dups)
+    pairs = minhash_lsh_pairs(df, "doc_id", "text", k=8, bands=8, threshold=0.3).collect()
+    assert [(p["doc_a"], p["doc_b"]) for p in pairs] == [(1, 2)]
+    exact = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.3).collect()
+    assert [(p["doc_a"], p["doc_b"]) for p in exact] == [(1, 2)]
+
+
+def test_simhash_similar_docs_close(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon eta"),
+         (3, "one two three four five six seven eight nine")],
+        ["doc_id", "text"],
+    )
+    sim = simhash16(df, "doc_id", "text")
+    cands = simhash_candidates(sim, "doc_id", max_hamming=6).collect()
+    pairs = {(c["doc_a"], c["doc_b"]): c["hamming"] for c in cands}
+    assert (1, 2) in pairs  # one-token difference => small hamming distance
+
+
+def test_brute_force_topk_known_neighbors(spark):
+    vecs = [
+        (0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [-1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = brute_force_topk(df, df.filter(F.col("vec_id") == 0), k=2).collect()
+    got = [(r["vec_id"], r["rn"]) for r in out]
+    assert got == [(1, 1), (2, 2)]  # closest first, self excluded
+
+
+def test_embedding_near_dup_threshold(spark):
+    vecs = [(0, [1.0, 0.0]), (1, [1.0, 0.01]), (2, [0.0, 1.0])]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    pairs = embedding_near_dup_pairs(df, tau=0.99).collect()
+    assert [(p["id_a"], p["id_b"]) for p in pairs] == [(0, 1)]
+
+
+def test_multimodal_decode_deterministic(spark):
+    df = spark.createDataFrame([(7, "abcd" * 20)], ["doc_id", "text"])
+    out = decode_assets(to_asset_table(df)).collect()[0]
+    assert out["n_bytes"] == 80
+    assert out["checksum"] == sum(ord(c) for c in ("abcd" * 4)) % 997
+    assert out["fake_width"] == (80 % 64) + 1
+    assert out["fake_height"] == ((80 // 64) % 64) + 1
+    assert out["media_type"] == "text/plain"
