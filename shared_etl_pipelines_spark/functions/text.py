@@ -53,22 +53,48 @@ def shingles(toks: Column, n: int = 3, distinct: bool = True) -> Column:
     return F.array_distinct(out) if distinct else out
 
 
-def minhash(sh: Column, k: int = 8) -> list[Column]:
-    """k MinHash values over a shingle set.
+# Universal affine MinHash family over a 28-bit md5-derived shingle hash:
+#   h(s)  = int(md5(s)[:7], 16)            (one md5 per shingle, 0 <= h < 2^28)
+#   mh_i  = min_s (A_i * h(s) + B_i) % P   (P prime > universe => universal)
+# A_i < 2^17 keeps A_i*h < 2^45 — no 64-bit overflow in either engine.
+MINHASH_P = 2147483647  # 2^31 - 1
 
-    Hash family = md5(shingle || ':' || i) — engine-portable (identical in
-    DuckDB), uniformly distributed, and the lexicographic MIN over hex
-    digests is a valid min-hash. Returns k string columns ``mh_i``.
-    """
+
+def minhash_params(i: int) -> tuple[int, int]:
+    return 7919 * (i + 1) + 769, (104729 * (i + 1)) % MINHASH_P
+
+
+def shingle_hashes(sh: Column) -> Column:
+    """Array of 28-bit integer hashes, one md5 per shingle (the expensive
+    part of MinHash, computed exactly once; the k affine rehashes below are
+    integer-only)."""
+    return F.transform(
+        sh, lambda s: F.conv(F.substring(F.md5(s), 1, 7), 16, 10).cast("long")
+    )
+
+
+def minhash_from_hashes(hv: Column, k: int = 8) -> list[Column]:
+    """k MinHash values from a precomputed shingle-hash array. Returns k
+    long columns ``mh_i`` — bit-identical to the DuckDB oracle mirror."""
+
     def one(i: int) -> Column:
-        suffix = f":{i}"
+        a, b = minhash_params(i)
         # closure, NOT a default-arg lambda: a second lambda parameter would
         # switch pyspark's transform() to its (element, index) form
         return F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat(s, F.lit(suffix))))
+            F.transform(hv, lambda x: (x * a + b) % MINHASH_P)
         ).alias(f"mh_{i}")
 
     return [one(i) for i in range(k)]
+
+
+def minhash(sh: Column, k: int = 8) -> list[Column]:
+    """k MinHash values over a shingle set (see minhash_from_hashes).
+
+    Callers that reuse the signature (LSH) should materialize
+    ``shingle_hashes`` in its own projection first so the md5 pass is not
+    inlined k times."""
+    return minhash_from_hashes(shingle_hashes(sh), k)
 
 
 def _hexval(h: Column, pos: int) -> Column:

@@ -60,6 +60,14 @@ def parse_agg_list(aggregations: str | list[str]) -> list[str]:
     return [p.strip().lower() for p in parts if p.strip()]
 
 
+def _pct_frac(name: str) -> float | None:
+    if name in _PCT:
+        return _PCT[name]
+    if name.startswith("p") and name[1:].replace(".", "", 1).isdigit():
+        return float(name[1:]) / 100.0
+    return None
+
+
 def agg_exprs(
     value_col: str,
     aggregations: str | list[str],
@@ -72,18 +80,51 @@ def agg_exprs(
     v = F.col(value_col)
     for name in parse_agg_list(aggregations):
         alias = f"{value_prefix}_{name}" if value_prefix else name
-        if name in _PCT:
-            frac = _PCT[name]
+        frac = _pct_frac(name)
+        if frac is not None:
             c = F.percentile_approx(v, frac) if approx else F.percentile(v, frac)
         elif name in _SIMPLE:
             c = _SIMPLE[name](v)
-        elif name.startswith("p") and name[1:].replace(".", "", 1).isdigit():
-            frac = float(name[1:]) / 100.0
-            c = F.percentile_approx(v, frac) if approx else F.percentile(v, frac)
         else:
             raise ValueError(f"unknown aggregation: {name!r}")
         cols.append(c.alias(alias))
     return cols
+
+
+def agg_plan(
+    value_col: str,
+    aggregations: str | list[str],
+    value_prefix: str = "",
+    approx: bool = False,
+) -> tuple[list[Column], list[Column]]:
+    """Single-pass form of :func:`agg_exprs`: all percentile fractions share
+    ONE ``percentile(v, array(...))`` aggregate (one sort buffer per group
+    instead of one per fraction), unpacked afterwards by a projection.
+
+    Returns ``(agg_cols, post_cols)``: apply ``agg(*agg_cols)`` then
+    ``select(*group_cols, *post_cols)``.
+    """
+    names = parse_agg_list(aggregations)
+    fracs = [f for f in (_pct_frac(n) for n in names) if f is not None]
+    v = F.col(value_col)
+    pct_alias = f"_pcts_{value_col}"
+    aggs: list[Column] = []
+    if fracs:
+        pfn = F.percentile_approx if approx else F.percentile
+        aggs.append(pfn(v, F.array(*[F.lit(f) for f in fracs])).alias(pct_alias))
+    post: list[Column] = []
+    pct_i = 0
+    for name in names:
+        alias = f"{value_prefix}_{name}" if value_prefix else name
+        if _pct_frac(name) is not None:
+            pct_i += 1  # element_at is 1-indexed
+            post.append(F.element_at(F.col(pct_alias), pct_i).alias(alias))
+        elif name in _SIMPLE:
+            aggs.append(_SIMPLE[name](v).alias(alias))
+            post.append(F.col(alias))
+        else:
+            raise ValueError(f"unknown aggregation: {name!r}")
+    return aggs, post
 
 
 def zonal_aggregate(
@@ -93,18 +134,21 @@ def zonal_aggregate(
     aggregations: str | list[str] = "min,p5,q1,med,avg,q3,p95,max",
     value_prefix: str = "",
     approx: bool = False,
+    extra_aggs: dict[str, Column] | None = None,
 ) -> DataFrame:
     """Zonal statistics = GROUP BY zone + declared multi-aggregate list.
 
     Reference: geo_county_raster_aggregate.py invocation,
     pipelines/prism/county_daily_aggregate.yml:24-36 (agg list line 15).
     Scale note: one shuffle on the zone key with map-side partial
-    aggregation for the algebraic aggs; percentiles are the sort cost —
-    use approx=True at cluster scale.
+    aggregation for the algebraic aggs; all percentiles share a single
+    sort buffer per group (agg_plan) — use approx=True at cluster scale
+    to replace the sort with a mergeable sketch.
     """
-    return cells.groupBy(*zone_cols).agg(
-        *agg_exprs(value_col, aggregations, value_prefix, approx)
-    )
+    aggs, post = agg_plan(value_col, aggregations, value_prefix, approx)
+    extra = {k: c.alias(k) for k, c in (extra_aggs or {}).items()}
+    out = cells.groupBy(*zone_cols).agg(*aggs, *extra.values())
+    return out.select(*zone_cols, *post, *extra)
 
 
 def weighted_zonal_aggregate(

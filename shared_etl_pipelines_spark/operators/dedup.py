@@ -22,8 +22,9 @@ from pyspark.sql import functions as F
 
 from shared_etl_pipelines_spark.functions.text import (
     jaccard,
-    minhash,
+    minhash_from_hashes,
     normalize_text,
+    shingle_hashes,
     shingles,
     token_hash16,
     tokens,
@@ -71,8 +72,28 @@ def minhash_lsh_pairs(
     Returned pairs are verified: jaccard >= threshold.
     """
     rows_per_band = k // bands
-    sh = shingle_sets(df, id_col, text_col, n=n)
-    sig = sh.select(F.col(id_col), F.col("sh"), *minhash(F.col("sh"), k=k))
+    # Persist the hashed-shingle sets (id, hv): ONE tokenize+shingle+md5
+    # pass, materialized. The persist is also the optimization barrier that
+    # stops CollapseProject from re-inlining the md5 transform into each of
+    # the k affine rehashes below. Everything downstream — signatures,
+    # bands, both sides of the bucket self-join, both verification joins —
+    # recomputes only integer-cheap expressions over this cache. Jaccard
+    # verification runs on hv too (hashed shingling): int arrays are 4-8x
+    # smaller than string shingles, which is what gets broadcast.
+    hvdf = (
+        shingle_sets(df, id_col, text_col, n=n)
+        .select(
+            F.col(id_col), F.array_distinct(shingle_hashes(F.col("sh"))).alias("hv")
+        )
+        .persist()
+    )
+    # Eager materialization: the downstream broadcast exchanges are built
+    # concurrently when the final job starts, and would otherwise race to
+    # compute the not-yet-populated cache 3-4x in parallel.
+    hvdf.count()
+    sig = hvdf.select(
+        F.col(id_col), F.col("hv"), *minhash_from_hashes(F.col("hv"), k=k)
+    )
     band_cols = [
         F.md5(F.concat_ws("|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]))
         for b in range(bands)
@@ -93,9 +114,14 @@ def minhash_lsh_pairs(
             F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b")
         )
         .distinct()
+        # Persist+materialize the (tiny) candidate set: the verify join is
+        # then planned with known sizes (broadcast) and the band self-join
+        # runs exactly once rather than once per downstream consumer.
+        .persist()
     )
-    sh_a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
-    sh_b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    cand.count()
+    sh_a = hvdf.select(F.col(id_col).alias("doc_a"), F.col("hv").alias("sh_a"))
+    sh_b = hvdf.select(F.col(id_col).alias("doc_b"), F.col("hv").alias("sh_b"))
     verified = (
         cand.join(sh_a, "doc_a")
         .join(sh_b, "doc_b")

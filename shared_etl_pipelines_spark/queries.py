@@ -35,7 +35,7 @@ from shared_etl_pipelines_spark.operators.joins import clip_semi_join, multiply_
 from shared_etl_pipelines_spark.operators.resample import regrid_average
 from shared_etl_pipelines_spark.operators.setops import union_all
 from shared_etl_pipelines_spark.operators.windows import rolling_metric, zscore
-from shared_etl_pipelines_spark.sources.tables import load_table
+from shared_etl_pipelines_spark.sources.tables import load_table, spread
 
 
 @dataclass
@@ -100,12 +100,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     tags=("G4", "aggregate", "percentile", "join"),
 )
 def q_zonal_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    # spread: exact percentiles buffer every value — build the buffers on
+    # all cores, not in the (single-file) scan task. No-op on real datasets.
+    li = spread(_t(spark, sf_dir, "lineitem"))
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     cells = li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey, "inner")
-    out = cells.groupBy(F.col("o_orderpriority").alias("zone")).agg(
-        *agg_exprs("l_extendedprice", "min,p5,q1,med,avg,q3,p95,max", "price"),
-        F.count(F.lit(1)).alias("n_cells"),
+    out = zonal_aggregate(
+        cells.withColumn("zone", F.col("o_orderpriority")),
+        ["zone"],
+        "l_extendedprice",
+        "min,p5,q1,med,avg,q3,p95,max",
+        value_prefix="price",
+        extra_aggs={"n_cells": F.count(F.lit(1))},
     )
     return round_floats(out)
 

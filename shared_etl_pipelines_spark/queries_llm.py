@@ -35,7 +35,7 @@ from shared_etl_pipelines_spark.operators.similarity import (
 )
 from shared_etl_pipelines_spark.queries import defquery, round_floats
 from shared_etl_pipelines_spark.sources.multimodal import decode_assets, to_asset_table
-from shared_etl_pipelines_spark.sources.tables import load_table
+from shared_etl_pipelines_spark.sources.tables import load_table, spread
 
 # ---- shared SQL fragments (mirror functions/text.py exactly) --------------
 
@@ -44,11 +44,17 @@ SHINGLES_SQL = (
     "list_distinct(list_transform(range(1, len(toks) - 1), "
     "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))"
 )
+# 28-bit md5-derived shingle hash — mirror of functions.text.shingle_hashes
+HV_SQL = "list_transform(sh, s -> CAST('0x' || substr(md5(s), 1, 7) AS BIGINT))"
 _STOP_IN = ", ".join(f"'{s}'" for s in STOPWORDS)
 
 
 def _mh_sql(i: int) -> str:
-    return f"list_min(list_transform(sh, s -> md5(s || ':{i}')))"
+    # mirror of functions.text.minhash_from_hashes / minhash_params
+    from shared_etl_pipelines_spark.functions.text import MINHASH_P, minhash_params
+
+    a, b = minhash_params(i)
+    return f"list_min(list_transform(hv, x -> (x * {a} + {b}) % {MINHASH_P}))"
 
 
 def _hexval_sql(i: int) -> str:
@@ -81,7 +87,9 @@ sim AS (
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_table(spark, sf_dir, name)
+    # text/embedding operators are per-row CPU-bound: make sure the scan's
+    # parallelism matches the cores (no-op on multi-file datasets at scale)
+    return spread(load_table(spark, sf_dir, name))
 
 
 # ---------------------------------------------------------------------------
@@ -130,20 +138,26 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     "minhash_signature",
     f"""
     WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
-    s AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM t)
+    s AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM t),
+    h AS (SELECT doc_id, {HV_SQL} AS hv FROM s WHERE len(sh) > 0)
     SELECT doc_id,
            array_to_string([{', '.join(_mh_sql(i) for i in range(8))}], '|') AS signature
-    FROM s WHERE len(sh) > 0
+    FROM h
     """,
-    doc="MinHash k=8 signature over 3-shingles (md5 hash family)",
+    doc="MinHash k=8 signature over 3-shingles (affine family over md5-derived ints)",
     tags=("llm", "dedup", "minhash"),
 )
 def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from shared_etl_pipelines_spark.functions.text import minhash
+    from shared_etl_pipelines_spark.functions.text import (
+        minhash_from_hashes,
+        shingle_hashes,
+    )
     from shared_etl_pipelines_spark.operators.dedup import shingle_sets
 
     sh = shingle_sets(_t(spark, sf_dir, "documents"), "doc_id", "text")
-    sig = sh.select(F.col("doc_id"), *minhash(F.col("sh"), k=8))
+    sig = sh.withColumn("hv", shingle_hashes(F.col("sh"))).select(
+        F.col("doc_id"), *minhash_from_hashes(F.col("hv"), k=8)
+    )
     return sig.select(
         "doc_id", F.concat_ws("|", *[f"mh_{i}" for i in range(8)]).alias("signature")
     )
@@ -154,9 +168,10 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
     s AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM t),
+    h AS (SELECT doc_id, list_distinct({HV_SQL}) AS hv FROM s WHERE len(sh) > 0),
     sig AS (
-      SELECT doc_id, sh, {', '.join(f"{_mh_sql(i)} AS mh{i}" for i in range(8))}
-      FROM s WHERE len(sh) > 0
+      SELECT doc_id, hv, {', '.join(f"{_mh_sql(i)} AS mh{i}" for i in range(8))}
+      FROM h
     ),
     bands AS (
       {' UNION ALL '.join(
@@ -170,15 +185,15 @@ def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
     )
     SELECT doc_a, doc_b,
-           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+           ROUND(CAST(len(list_intersect(a.hv, b.hv)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.hv, b.hv))), 4) AS jaccard
     FROM cand
     JOIN sig a ON a.doc_id = doc_a
     JOIN sig b ON b.doc_id = doc_b
-    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    WHERE CAST(len(list_intersect(a.hv, b.hv)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.hv, b.hv))) >= 0.5
     """,
-    doc="near-dup via MinHash-LSH (4 bands × 2 rows) + exact Jaccard verify",
+    doc="near-dup via MinHash-LSH (4 bands × 2 rows) + hashed-shingle Jaccard verify",
     tags=("llm", "dedup", "minhash", "lsh"),
 )
 def q_near_dup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:

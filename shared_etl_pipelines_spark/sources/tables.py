@@ -57,6 +57,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition IFF the plan has fewer partitions than the
+    session's parallelism.
+
+    The test corpus is one single-row-group parquet file per table, so every
+    scan is one task and per-row CPU work (hashing, shingling, vector math)
+    would run on one core. On a real cluster the same tables are thousands
+    of files, the partition count exceeds defaultParallelism, and this is a
+    no-op — the shuffle only exists in the degenerate small-file case.
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
 ) -> dict[str, DataFrame]:
