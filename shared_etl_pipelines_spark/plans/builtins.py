@@ -1,0 +1,248 @@
+"""Built-in pipeline plugins: the engine's operators exposed to YAML steps.
+
+Each plugin mirrors a reference plugin contract (arg names from the
+invocation sites cited in SURVEY.md §2) but executes as lazy DataFrame
+dataflow: steps pass DataFrames through ``output_var`` bindings, so a
+multi-step pipeline composes into ONE Catalyst plan and only sink steps
+trigger execution — the reference's five intermediate directories
+(prism-mi-corn-ppt-county.yml) become zero materializations (§3.3).
+
+Result objects are dicts; the conventional field for dataflow is ``df``,
+addressed downstream as ``{stepvar.df}``.
+"""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from shared_etl_pipelines_spark.operators.aggregates import (
+    weighted_zonal_aggregate,
+    zonal_aggregate,
+)
+from shared_etl_pipelines_spark.operators.filters import value_mask
+from shared_etl_pipelines_spark.operators.joins import clip_semi_join, multiply_join
+from shared_etl_pipelines_spark.operators.resample import regrid_average
+from shared_etl_pipelines_spark.operators.setops import union_all
+from shared_etl_pipelines_spark.operators.windows import rolling_metric, zscore
+from shared_etl_pipelines_spark.plans.registry import plugin
+from shared_etl_pipelines_spark.plans.runner import StepContext
+
+
+# -- diagnostics (reference: echo / echo.py, pipelines/sample*.yml) ---------
+@plugin("echo")
+def echo(ctx: StepContext, message: Any = None, **kw: Any) -> dict[str, Any]:
+    if message is not None:
+        print(message)
+    return {"message": message}
+
+
+# -- orchestration (reference: pipeline_execute.py,
+#    county_daily_aggregate_parent.yml:13-22) -------------------------------
+@plugin("pipeline_execute")
+def pipeline_execute(
+    ctx: StepContext,
+    pipeline_path: str,
+    mode: str = "synchronized",
+    vars_kv: str | None = None,
+    **kw: Any,
+) -> dict[str, Any]:
+    """Run a child pipeline with ``vars_kv`` overrides ("year={item}" —
+    the template is rendered BEFORE this plugin sees it)."""
+    import os
+
+    overrides: dict[str, Any] = {}
+    if vars_kv:
+        for pair in vars_kv.replace(";", ",").split(","):
+            if pair.strip():
+                k, _, v = pair.partition("=")
+                overrides[k.strip()] = _coerce(v.strip())
+    base = os.path.dirname(ctx.spec.path) if ctx.spec.path else "."
+    path = pipeline_path if os.path.isabs(pipeline_path) else os.path.join(base, pipeline_path)
+    child = ctx.runner.run(os.path.normpath(path), var_overrides=overrides)
+    return {"outputs": child.outputs, "steps_run": child.steps_run}
+
+
+def _coerce(v: str) -> Any:
+    try:
+        return int(v)
+    except ValueError:
+        return v
+
+
+# -- escape hatch (reference: exec_script.py, pipelines/testdb.yml:7-10) ----
+@plugin("exec_script")
+def exec_script(ctx: StepContext, script: str, **kw: Any) -> dict[str, Any]:
+    proc = subprocess.run(
+        [sys.executable, script], capture_output=True, text=True, check=False
+    )
+    return {
+        "returncode": proc.returncode,
+        "stdout": proc.stdout,
+        "stderr": proc.stderr,
+    }
+
+
+# -- sources / sinks --------------------------------------------------------
+@plugin("read_parquet")
+def read_parquet(ctx: StepContext, path: str, **kw: Any) -> dict[str, Any]:
+    return {"df": ctx.spark.read.parquet(path), "path": path}
+
+
+@plugin("read_csv")
+def read_csv(
+    ctx: StepContext, path: str, header: Any = True, sep: str = ",", **kw: Any
+) -> dict[str, Any]:
+    df = ctx.spark.read.csv(path, header=bool(header), sep=sep, inferSchema=True)
+    return {"df": df, "path": path}
+
+
+@plugin("write_parquet")
+def write_parquet(
+    ctx: StepContext, df: DataFrame, out: str, overwrite: Any = True, **kw: Any
+) -> dict[str, Any]:
+    if ctx.should_skip(out, overwrite):
+        return {"path": out, "skipped": True}
+    df.write.mode("overwrite").parquet(out)
+    return {"path": out, "skipped": False}
+
+
+@plugin("write_csv")
+def write_csv(
+    ctx: StepContext,
+    df: DataFrame,
+    out: str,
+    overwrite: Any = True,
+    single_file: Any = False,
+    **kw: Any,
+) -> dict[str, Any]:
+    if ctx.should_skip(out, overwrite):
+        return {"path": out, "skipped": True}
+    w = (df.coalesce(1) if single_file else df).write.mode("overwrite")
+    w.option("header", True).csv(out)
+    return {"path": out, "skipped": False}
+
+
+# -- S6 combine_files: UNION ALL of same-schema slices
+#    (county_daily_aggregate.yml:38-44) -------------------------------------
+@plugin("combine_files")
+def combine_files(ctx: StepContext, dfs: Any = None, input_glob: str | None = None,
+                  fmt: str = "csv", **kw: Any) -> dict[str, Any]:
+    if dfs is not None:
+        return {"df": union_all(list(dfs))}
+    reader = ctx.spark.read.option("header", True)
+    df = reader.csv(input_glob, inferSchema=True) if fmt == "csv" else reader.parquet(input_glob)
+    return {"df": df}
+
+
+# -- relational / analytic operators (G1..G8) -------------------------------
+@plugin("filter_rows")
+def filter_rows(ctx: StepContext, df: DataFrame, condition: str, **kw: Any) -> dict[str, Any]:
+    return {"df": df.filter(condition)}
+
+
+@plugin("select_cols")
+def select_cols(ctx: StepContext, df: DataFrame, cols: list[str], **kw: Any) -> dict[str, Any]:
+    return {"df": df.selectExpr(*cols)}
+
+
+@plugin("clip_by_selector")
+def clip_by_selector(
+    ctx: StepContext, df: DataFrame, selector: DataFrame, on: Any, key: str, value: Any,
+    **kw: Any,
+) -> dict[str, Any]:
+    on = on if isinstance(on, list) else [on]
+    return {"df": clip_semi_join(df, selector, on=on, key=key, value=value)}
+
+
+@plugin("value_mask")
+def value_mask_plugin(
+    ctx: StepContext, df: DataFrame, column: str, include_values: Any, out_col: str = "mask",
+    **kw: Any,
+) -> dict[str, Any]:
+    vals = include_values if isinstance(include_values, list) else [
+        _coerce(v.strip()) for v in str(include_values).split(",")
+    ]
+    return {"df": value_mask(df, column, vals, mask_col=out_col)}
+
+
+@plugin("regrid_average")
+def regrid_average_plugin(
+    ctx: StepContext, df: DataFrame, fine_cols: list[str], factor: int,
+    value_col: str, coarse_cols: list[str] | None = None, out_col: str = "fraction",
+    **kw: Any,
+) -> dict[str, Any]:
+    out = regrid_average(
+        df, tuple(fine_cols), factor=int(factor), value_col=value_col,
+        coarse_cols=tuple(coarse_cols) if coarse_cols else None, out_col=out_col,
+    )
+    return {"df": out}
+
+
+@plugin("multiply_join")
+def multiply_join_plugin(
+    ctx: StepContext, df: DataFrame, weights: DataFrame, on: Any,
+    value_col: str, weight_col: str, **kw: Any,
+) -> dict[str, Any]:
+    on = on if isinstance(on, list) else [on]
+    return {"df": multiply_join(df, weights, on=on, value_col=value_col, weight_col=weight_col)}
+
+
+@plugin("zonal_aggregate")
+def zonal_aggregate_plugin(
+    ctx: StepContext, df: DataFrame, zone_cols: Any, value_col: str,
+    aggregations: str = "min,p5,q1,med,avg,q3,p95,max", value_prefix: str = "",
+    approx: Any = False, **kw: Any,
+) -> dict[str, Any]:
+    zones = zone_cols if isinstance(zone_cols, list) else [zone_cols]
+    out = zonal_aggregate(
+        df, zones, value_col, aggregations, value_prefix=value_prefix,
+        approx=bool(approx),
+    )
+    return {"df": out}
+
+
+@plugin("weighted_zonal_aggregate")
+def weighted_zonal_aggregate_plugin(
+    ctx: StepContext, df: DataFrame, zone_cols: Any, value_col: str, weight_col: str,
+    out_col: str = "wavg", **kw: Any,
+) -> dict[str, Any]:
+    zones = zone_cols if isinstance(zone_cols, list) else [zone_cols]
+    return {"df": weighted_zonal_aggregate(df, zones, value_col, weight_col, out_col=out_col)}
+
+
+@plugin("rolling_window")
+def rolling_window_plugin(
+    ctx: StepContext, df: DataFrame, partition_cols: Any, order_col: str,
+    value_col: str, windows: Any, metric: str = "sum", **kw: Any,
+) -> dict[str, Any]:
+    parts = partition_cols if isinstance(partition_cols, list) else [partition_cols]
+    ws = windows if isinstance(windows, list) else [int(w) for w in str(windows).split(",")]
+    out = df
+    for w in ws:
+        out = rolling_metric(
+            out, parts, order_col, value_col, window=int(w), metric=metric,
+            out_col=f"{metric}_{w}",
+        )
+    return {"df": out}
+
+
+@plugin("zscore")
+def zscore_plugin(
+    ctx: StepContext, df: DataFrame, partition_cols: Any, value_col: str,
+    out_col: str = "zscore", **kw: Any,
+) -> dict[str, Any]:
+    parts = partition_cols if isinstance(partition_cols, list) else [partition_cols]
+    return {"df": zscore(df, parts, value_col, out_col=out_col)}
+
+
+@plugin("sql")
+def sql_plugin(ctx: StepContext, query: str, views: Any = None, **kw: Any) -> dict[str, Any]:
+    """Run SQL; ``views`` maps view name -> DataFrame (from output_vars)."""
+    for name, df in (views or {}).items():
+        df.createOrReplaceTempView(name)
+    return {"df": ctx.spark.sql(query)}
