@@ -6,6 +6,7 @@ Catalyst plan.
 """
 
 from shared_etl_pipelines_spark.plans import builtins  # registers built-in plugins
+from shared_etl_pipelines_spark.plans import ingest_plugins  # noqa: F401  (ditto)
 from shared_etl_pipelines_spark.plans.registry import Registry, builtin_names, plugin
 from shared_etl_pipelines_spark.plans.runner import PipelineRunner, RunResult, StepContext
 from shared_etl_pipelines_spark.plans.spec import PipelineSpec, StepSpec
