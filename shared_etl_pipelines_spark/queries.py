@@ -550,6 +550,8 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Register the LLM-data operator queries (dedup / similarity / text /
-# multimodal) — the module appends to REGISTRY on import. Import sits at
-# the bottom so defquery/round_floats exist when it re-enters this module.
+# multimodal) and the streaming queries — these modules append to REGISTRY
+# on import. Imports sit at the bottom so defquery/round_floats exist when
+# they re-enter this module.
 from shared_etl_pipelines_spark import queries_llm  # noqa: E402,F401
+from shared_etl_pipelines_spark import queries_streaming  # noqa: E402,F401

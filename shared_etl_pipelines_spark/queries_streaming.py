@@ -1,0 +1,80 @@
+"""Streaming-mode registry queries (rows-only correctness contract).
+
+These run real Structured Streaming jobs (availableNow trigger, memory
+sink) over the sf_dir events table treated as a drop-directory file
+source — the reference's incremental daily cadence (SURVEY.md §7.6).
+They are registered WITHOUT oracle SQL: watermark-driven emission is not
+ANSI-SQL-expressible, so the driver applies its rows-only check; batch
+equivalence is separately asserted in tests/test_streaming.py.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from shared_etl_pipelines_spark.queries import defquery
+from shared_etl_pipelines_spark.streaming import running_totals, tumbling_agg
+
+
+def _events_stream(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import functions as F
+
+    path = os.path.join(sf_dir, "events.parquet")
+    # same nanos-timestamp handling as sources.tables.load_table: read the
+    # nanos column as long and rebuild microsecond timestamps
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    # the file source wants a directory: stream the sf_dir filtered down
+    # to the events file
+    df = (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def _run(df: DataFrame, mode: str) -> DataFrame:
+    name = f"q_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return df.sparkSession.table(name)
+
+
+@defquery(
+    "stream_tumbling_daily",
+    None,  # watermark emission semantics are not ANSI-SQL-expressible
+    doc="streaming tumbling 1-day window counts/sums per event_type",
+    tags=("streaming", "window"),
+)
+def q_stream_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    agg = tumbling_agg(
+        _events_stream(spark, sf_dir),
+        "ts",
+        "1 day",
+        ["event_type"],
+        {"n": "count(1)", "total": "sum(value)"},
+    )
+    return _run(agg, "append")
+
+
+@defquery(
+    "stream_running_totals",
+    None,  # custom stateful operator (applyInPandasWithState)
+    doc="streaming per-user cumulative totals via applyInPandasWithState",
+    tags=("streaming", "stateful"),
+)
+def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _run(running_totals(_events_stream(spark, sf_dir)), "update")

@@ -1,1 +1,19 @@
-"""Structured Streaming forms of the reference's incremental cadence."""
+"""Structured Streaming mode: the reference's incremental daily-append
+cadence (SURVEY.md §7.6) as file-source streams with event-time windows
+and checkpointed state."""
+
+from shared_etl_pipelines_spark.streaming.sources import read_drop_dir
+from shared_etl_pipelines_spark.streaming.windows import (
+    running_totals,
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
+
+__all__ = [
+    "read_drop_dir",
+    "running_totals",
+    "session_agg",
+    "sliding_agg",
+    "tumbling_agg",
+]

@@ -1,0 +1,142 @@
+"""Event-time window aggregations + custom stateful operators.
+
+- tumbling / sliding / session windows with watermark-bounded state:
+  the streaming forms of the reference's daily/annual partitions and the
+  G2 trailing windows (SURVEY.md §7.6).
+- running_totals: an applyInPandasWithState custom stateful operator —
+  the per-key cumulative analog of G2's trailing sum, and the template
+  for any reference-style "plugin" that must keep state across batches.
+
+Watermarks bound state size: a stream over years of daily files holds
+only ``watermark`` worth of open windows per key, so state survives a
+100x scale-up in keys as long as the lateness bound holds.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+
+def tumbling_agg(
+    df: DataFrame,
+    ts_col: str,
+    window: str,
+    keys: list[str],
+    aggs: dict[str, str],
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Tumbling-window aggregate with watermark, e.g. the daily rollup of
+    the PRISM cadence. ``aggs`` maps out_col -> 'fn(col)' expression."""
+    agg_cols = [F.expr(expr).alias(name) for name, expr in aggs.items()]
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"), *keys)
+        .agg(*agg_cols)
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *keys,
+            *[F.col(name) for name in aggs],
+        )
+    )
+
+
+def sliding_agg(
+    df: DataFrame,
+    ts_col: str,
+    window: str,
+    slide: str,
+    keys: list[str],
+    aggs: dict[str, str],
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Sliding-window aggregate — the streaming analog of G2's trailing
+    w-day rolling sum (window='3 days', slide='1 day')."""
+    agg_cols = [F.expr(expr).alias(name) for name, expr in aggs.items()]
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window, slide).alias("win"), *keys)
+        .agg(*agg_cols)
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            *keys,
+            *[F.col(name) for name in aggs],
+        )
+    )
+
+
+def session_agg(
+    df: DataFrame,
+    ts_col: str,
+    gap: str,
+    keys: list[str],
+    aggs: dict[str, str],
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Session windows: activity bursts separated by >= gap of silence."""
+    agg_cols = [F.expr(expr).alias(name) for name, expr in aggs.items()]
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("win"), *keys)
+        .agg(*agg_cols)
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            *keys,
+            *[F.col(name) for name in aggs],
+        )
+    )
+
+
+_RUNNING_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+    ]
+)
+_RUNNING_STATE = StructType(
+    [StructField("n", LongType()), StructField("total", DoubleType())]
+)
+
+
+def _running_fn(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    (n, total) = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, total))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+    )
+
+
+def running_totals(df: DataFrame, key: str = "user_id") -> DataFrame:
+    """Custom stateful operator: per-key cumulative count/sum across
+    micro-batches via applyInPandasWithState (Arrow-batched, update mode).
+
+    This is the engine's template for reference-style stateful plugins:
+    state is a tiny tuple per key, grouped state lives in the state store,
+    and output is one row per key per batch."""
+    return df.groupBy(key).applyInPandasWithState(
+        _running_fn,
+        outputStructType=_RUNNING_SCHEMA,
+        stateStructType=_RUNNING_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,158 @@
+"""Streaming tests: file-source drop dir with filename dates, event-time
+windows vs their batch equivalents, and the custom stateful operator
+across multiple micro-batches (availableNow + memory sink)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from shared_etl_pipelines_spark.streaming import (
+    read_drop_dir,
+    running_totals,
+    session_agg,
+    sliding_agg,
+    tumbling_agg,
+)
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    from shared_etl_pipelines_spark.sources.tables import load_table
+
+    return load_table(spark, sf_dir, "events")
+
+
+@pytest.fixture
+def drop_dir(tmp_path, events):
+    """Stage events as one file per day, named prism-style with the date."""
+    days = [r["d"] for r in events.select(F.to_date("ts").alias("d")).distinct().collect()]
+    root = str(tmp_path / "drop")
+    sub = os.path.join(root, "in")
+    os.makedirs(sub, exist_ok=True)
+    for d in sorted(days)[:3]:  # 3 daily files is enough
+        stage = os.path.join(root, f"stage_{d}")
+        (
+            events.filter(F.to_date("ts") == F.lit(d))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        # name each day-file prism-style: events_YYYYMMDD.parquet
+        part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+        os.rename(
+            os.path.join(stage, part),
+            os.path.join(sub, f"events_{d.strftime('%Y%m%d')}.parquet"),
+        )
+    return sub, sorted(days)[:3]
+
+
+def _run_stream(q_df, name, spark):
+    q = (
+        q_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append" if name != "running" else "update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_drop_dir_filename_dates(spark, events, drop_dir):
+    sub, days = drop_dir
+    stream = read_drop_dir(
+        spark, sub, events.schema, path_glob="events_*.parquet",
+        max_files_per_trigger=1,
+    )
+    out = _run_stream(stream, "dropdir", spark)
+    got_days = {r["event_date"] for r in out.select("event_date").distinct().collect()}
+    assert got_days == set(days)
+    # every row of those days arrived exactly once
+    want = events.filter(F.to_date("ts").isin(days)).count()
+    assert out.count() == want
+
+
+def test_tumbling_window_matches_batch(spark, events, drop_dir):
+    sub, days = drop_dir
+    stream = read_drop_dir(spark, sub, events.schema, date_regex=None)
+    agg = tumbling_agg(
+        stream, "ts", "1 day", ["event_type"],
+        {"n": "count(1)", "total": "sum(value)"},
+    )
+    got = _run_stream(agg, "tumbling", spark)
+    batch = (
+        events.filter(F.to_date("ts").isin(days))
+        .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+    )
+    # availableNow emits only watermark-closed windows; every emitted
+    # window must match its batch counterpart exactly
+    got_rows = {
+        (r["window_start"], r["event_type"]): (r["n"], round(r["total"], 6))
+        for r in got.collect()
+    }
+    want_rows = {
+        (r["win"]["start"], r["event_type"]): (r["n"], round(r["total"], 6))
+        for r in batch.collect()
+    }
+    assert len(got_rows) > 0
+    for k, v in got_rows.items():
+        assert want_rows[k] == v
+
+
+def test_sliding_window_trailing_sum(spark, events, drop_dir):
+    sub, days = drop_dir
+    stream = read_drop_dir(spark, sub, events.schema, date_regex=None)
+    agg = sliding_agg(
+        stream, "ts", "2 days", "1 day", ["user_id"], {"s": "sum(value)"}
+    )
+    got = _run_stream(agg, "sliding", spark)
+    batch = (
+        events.filter(F.to_date("ts").isin(days))
+        .groupBy(F.window("ts", "2 days", "1 day").alias("win"), "user_id")
+        .agg(F.sum("value").alias("s"))
+    )
+    want = {
+        (r["win"]["start"], r["user_id"]): round(r["s"], 6) for r in batch.collect()
+    }
+    rows = got.collect()
+    assert rows
+    for r in rows:
+        assert want[(r["window_start"], r["user_id"])] == round(r["s"], 6)
+
+
+def test_session_windows_emit(spark, events, drop_dir):
+    sub, _days = drop_dir
+    stream = read_drop_dir(spark, sub, events.schema, date_regex=None)
+    agg = session_agg(stream, "ts", "30 minutes", ["user_id"], {"n": "count(1)"})
+    got = _run_stream(agg, "sessions", spark)
+    rows = got.collect()
+    assert rows
+    # sessions are maximal: start<=end, no zero-event sessions
+    assert all(r["n"] >= 1 and r["session_start"] <= r["session_end"] for r in rows)
+
+
+def test_running_totals_stateful_across_batches(spark, events, drop_dir):
+    sub, days = drop_dir
+    stream = read_drop_dir(
+        spark, sub, events.schema, date_regex=None, max_files_per_trigger=1
+    )
+    got = _run_stream(running_totals(stream), "running", spark)
+    # memory sink in update mode keeps every batch's row; the LAST row per
+    # user is the final cumulative state after 3 micro-batches
+    import pandas as pd
+
+    pdf = got.toPandas()
+    final = pdf.groupby("user_id").last()
+    want = (
+        events.filter(F.to_date("ts").isin(days))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert len(final) == len(want)
+    for uid, row in want.iterrows():
+        assert final.loc[uid, "n_events"] == row["n"]
+        assert abs(final.loc[uid, "total_value"] - row["t"]) < 1e-6
