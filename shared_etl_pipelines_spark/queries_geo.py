@@ -1,0 +1,113 @@
+"""Geo operator queries + DuckDB oracles.
+
+The PIP pandas UDF is exercised against polygons whose containment is
+ALSO expressible as SQL range predicates (axis-aligned rectangle + a
+non-convex L-shape = union of two half-open boxes), so the generic
+ray-cast path is hash-verified against the oracle. Cell centers sit at
+half-integers, polygon edges at integers — no point ever lies on an
+edge, so even-odd parity and BETWEEN-style SQL agree exactly.
+
+Grid casting: lineitem rows become cells on a 32x32 grid
+(cx = l_orderkey % 32 + 0.5, cy = l_suppkey % 32 + 0.5, value =
+l_quantity), the same trick the relational queries use for rasters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from shared_etl_pipelines_spark.operators.geo import (
+    Polygon,
+    clip_by_polygon,
+    zonal_stats_polygons,
+)
+from shared_etl_pipelines_spark.queries import defquery, round_floats
+from shared_etl_pipelines_spark.sources.tables import load_table, spread
+
+# west: plain rectangle; east_L: non-convex L (union of two boxes);
+# north: empty zone off-grid (no cells) — percentile edge case
+POLYGONS = [
+    Polygon("west", [[0, 0], [12, 0], [12, 32], [0, 32]], {"stusps": "MI"}),
+    Polygon(
+        "east_L",
+        [[12, 0], [32, 0], [32, 16], [20, 16], [20, 32], [12, 32]],
+        {"stusps": "MI"},
+    ),
+    Polygon("north", [[0, 32], [32, 32], [32, 40], [0, 40]], {"stusps": "OH"}),
+]
+
+# SQL mirrors of the same containment (half-integer points => strict
+# inequalities are equivalent to any closed/open edge convention)
+_WEST_SQL = "(cx > 0 AND cx < 12 AND cy > 0 AND cy < 32)"
+_EASTL_SQL = (
+    "((cx > 12 AND cx < 32 AND cy > 0 AND cy < 16)"
+    " OR (cx > 12 AND cx < 20 AND cy > 16 AND cy < 32))"
+)
+
+_CELLS_SQL = """
+      SELECT l_orderkey % 32 + 0.5 AS cx,
+             l_suppkey % 32 + 0.5 AS cy,
+             l_quantity AS value,
+             l_orderkey, l_linenumber
+      FROM lineitem
+"""
+
+
+def _cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spread(load_table(spark, sf_dir, "lineitem"))
+    return li.select(
+        (F.col("l_orderkey") % 32 + 0.5).alias("cx"),
+        (F.col("l_suppkey") % 32 + 0.5).alias("cy"),
+        F.col("l_quantity").alias("value"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+
+
+@defquery(
+    "geo_clip_polygon",
+    f"""
+    WITH cells AS ({_CELLS_SQL})
+    SELECT l_orderkey, l_linenumber, cx, cy, ROUND(value, 4) AS value
+    FROM cells
+    WHERE {_WEST_SQL} OR {_EASTL_SQL}
+    """,
+    doc="G1 clip: ray-cast PIP semi-join vs SQL box-union oracle",
+    tags=("geo", "G1", "udf"),
+)
+def q_geo_clip_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = clip_by_polygon(_cells(spark, sf_dir), POLYGONS, key="stusps", value="MI")
+    return round_floats(out.select("l_orderkey", "l_linenumber", "cx", "cy", "value"))
+
+
+@defquery(
+    "geo_zonal_polygons",
+    f"""
+    WITH cells AS ({_CELLS_SQL}),
+    tagged AS (
+      SELECT value,
+             CASE WHEN {_WEST_SQL} THEN 'west'
+                  WHEN {_EASTL_SQL} THEN 'east_L' END AS zone_id
+      FROM cells
+    )
+    SELECT zone_id,
+           ROUND(MIN(value), 4)                     AS qty_min,
+           ROUND(quantile_cont(value, 0.05), 4)     AS qty_p5,
+           ROUND(quantile_cont(value, 0.25), 4)     AS qty_q1,
+           ROUND(quantile_cont(value, 0.50), 4)     AS qty_med,
+           ROUND(AVG(value), 4)                     AS qty_avg,
+           ROUND(quantile_cont(value, 0.75), 4)     AS qty_q3,
+           ROUND(quantile_cont(value, 0.95), 4)     AS qty_p95,
+           ROUND(MAX(value), 4)                     AS qty_max
+    FROM tagged WHERE zone_id IS NOT NULL
+    GROUP BY zone_id
+    """,
+    doc="G4 zonal stats over PIP-assigned polygon zones",
+    tags=("geo", "G4", "udf", "percentile"),
+)
+def q_geo_zonal_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = zonal_stats_polygons(
+        _cells(spark, sf_dir), POLYGONS, "value", value_prefix="qty"
+    )
+    return round_floats(out)

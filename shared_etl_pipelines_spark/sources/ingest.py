@@ -242,7 +242,11 @@ def archive_extract(
                     if os.path.exists(dest) and not overwrite:
                         skipped.append(dest)
                         continue
-                    z.extract(info, out)
+                    # not z.extract(): its internal makedirs lacks
+                    # exist_ok and races when archives share directories
+                    os.makedirs(os.path.dirname(dest) or ".", exist_ok=True)
+                    with z.open(info) as src, open(dest, "wb") as f:
+                        shutil.copyfileobj(src, f)
                     extracted.append(dest)
         elif tarfile.is_tarfile(path):
             with tarfile.open(path) as t:
