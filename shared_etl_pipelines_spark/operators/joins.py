@@ -13,7 +13,7 @@ state) versus billions of cells, so the big side never shuffles.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -57,6 +57,71 @@ def multiply_join(
     return values.join(w, on=on, how="inner").withColumn(
         out_col, F.col(value_col) * F.col(weight_col)
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    how: str = "inner",
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` per key (beyond-reference relational coverage;
+    matches DuckDB's ASOF JOIN semantics).
+
+    Implemented union-merge style, NOT as a range join: tag both sides,
+    union, then one window sort per key carries each right value forward
+    with last(ignorenulls). Cost is a single shuffle+sort of |L|+|R| rows
+    — no per-key row explosion, so a key with millions of left rows and
+    millions of right rows stays linear. Right rows are deduplicated to
+    one per (key, ts) first — greatest ``right_tiebreak`` (default: the
+    value columns themselves) wins, keeping ties deterministic.
+    """
+    tb = [right_tiebreak] if right_tiebreak else value_cols
+    rdedup_w = Window.partitionBy(*on, right_ts).orderBy(
+        *[F.col(c).desc() for c in tb]
+    )
+    r = (
+        right.withColumn("_rn", F.row_number().over(rdedup_w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    lcols = [c for c in left.columns]
+    r_tagged = r.select(
+        *[F.col(c) for c in on],
+        F.col(right_ts).alias("_ts"),
+        F.lit(1).alias("_is_right"),
+        *[F.col(c).alias(f"_r_{c}") for c in value_cols],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols if c not in on],
+    )
+    l_tagged = left.select(
+        *[F.col(c) for c in on],
+        F.col(left_ts).alias("_ts"),
+        F.lit(0).alias("_is_right"),
+        *[F.lit(None).cast(r.schema[c].dataType).alias(f"_r_{c}") for c in value_cols],
+        *[F.col(c) for c in lcols if c not in on],
+    )
+    merged = r_tagged.unionByName(l_tagged)
+    # right rows sort before left rows at equal ts => <= semantics
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("_ts"), F.col("_is_right").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for c in value_cols:
+        merged = merged.withColumn(f"_r_{c}", F.last(f"_r_{c}", ignorenulls=True).over(w))
+    out = merged.filter(F.col("_is_right") == 0).select(
+        *on,
+        *[F.col(c) for c in lcols if c not in on],
+        *[F.col(f"_r_{c}").alias(c) for c in value_cols],
+    )
+    if how == "inner":
+        out = out.filter(F.col(value_cols[0]).isNotNull())
+    return out
 
 
 def enrich_join(

@@ -80,6 +80,34 @@ def zscore(
     return df.withColumn(out_col, (F.col(value_col) - mean) / sd)
 
 
+def sessionize(
+    df: DataFrame,
+    partition_cols: list[str],
+    ts_col: str,
+    gap_seconds: int,
+    tiebreak_col: str | None = None,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Batch sessionization: a new session starts when the gap to the
+    previous event exceeds ``gap_seconds``. session_id is the running
+    count of session starts per key (1-based).
+
+    lag + cumulative sum over one key-partitioned sort — a single shuffle;
+    the streaming analog is F.session_window (streaming/windows.py).
+    """
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = Window.partitionBy(*partition_cols).orderBy(*order)
+    prev = F.lag(F.col(ts_col)).over(w)
+    is_start = (
+        prev.isNull()
+        | ((F.col(ts_col).cast("long") - prev.cast("long")) > gap_seconds)
+    ).cast("long")
+    cum = Window.partitionBy(*partition_cols).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return df.withColumn(session_col, F.sum(is_start).over(cum))
+
+
 def doy_non_leap(date_col: str):
     """Day-of-year with Feb-29 mapped onto Feb-28's ordinal so that a
     per-day-of-year climatology has stable group sizes across leap years

@@ -555,4 +555,5 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # they re-enter this module.
 from shared_etl_pipelines_spark import queries_geo  # noqa: E402,F401
 from shared_etl_pipelines_spark import queries_llm  # noqa: E402,F401
+from shared_etl_pipelines_spark import queries_relational  # noqa: E402,F401
 from shared_etl_pipelines_spark import queries_streaming  # noqa: E402,F401

@@ -346,6 +346,112 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+
+@defquery(
+    "token_counts",
+    f"""
+    WITH t AS (
+      SELECT doc_id,
+             {TOKS_SQL} AS ws_toks,
+             regexp_extract_all(text, '{_BPE_RE}') AS bpe_toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(ws_toks) AS BIGINT) AS n_ws_tokens,
+           CAST(len(bpe_toks) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(list_distinct(bpe_toks)) AS BIGINT) AS n_distinct_bpe,
+           ROUND(CAST(len(bpe_toks) AS DOUBLE) / GREATEST(len(ws_toks), 1), 4)
+             AS bpe_per_word
+    FROM t
+    """,
+    doc="token counting: whitespace words vs BPE-ish regex pieces",
+    tags=("llm", "text", "tokens"),
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    out = docs.select(
+        "doc_id",
+        tokens(F.col("text")).alias("ws_toks"),
+        F.regexp_extract_all("text", F.lit(_BPE_RE), F.lit(0)).alias("bpe_toks"),
+    ).select(
+        "doc_id",
+        F.size("ws_toks").cast("long").alias("n_ws_tokens"),
+        F.size("bpe_toks").cast("long").alias("n_bpe_tokens"),
+        F.size(F.array_distinct("bpe_toks")).cast("long").alias("n_distinct_bpe"),
+        (
+            F.size("bpe_toks").cast("double")
+            / F.greatest(F.size("ws_toks"), F.lit(1)).cast("double")
+        ).alias("bpe_per_word"),
+    )
+    return round_floats(out)
+
+
+# rolling polynomial hash over 4-token windows (Horner, mod-at-each-step
+# keeps every intermediate < 2^38 — no 64-bit overflow in either engine)
+_FP_B, _FP_P, _FP_W = 131, 2147483647, 4
+
+
+def _fp_sql() -> str:
+    h = "hv[i]"
+    for j in range(1, _FP_W):
+        h = f"(({h}) * {_FP_B} + hv[i+{j}]) % {_FP_P}"
+    return h
+
+
+@defquery(
+    "doc_fingerprint",
+    f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    h AS (
+      SELECT doc_id,
+             list_transform(toks, s -> CAST('0x' || substr(md5(s), 1, 7) AS BIGINT)) AS hv
+      FROM t WHERE len(toks) >= {_FP_W}
+    ),
+    r AS (
+      SELECT doc_id,
+             list_transform(range(1, len(hv) - {_FP_W - 2}), i -> {_fp_sql()}) AS rh
+      FROM h
+    )
+    SELECT doc_id,
+           CAST(len(rh) AS BIGINT) AS n_windows,
+           CAST(list_min(rh) AS BIGINT) AS fp_min,
+           CAST(list_max(rh) AS BIGINT) AS fp_max
+    FROM r
+    """,
+    doc="document fingerprint: winnowing-style min/max of rolling token hash",
+    tags=("llm", "text", "fingerprint"),
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.functions.text import shingle_hashes
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= _FP_W
+    )
+    hv = base.select("doc_id", shingle_hashes(F.col("toks")).alias("hv"))
+
+    def horner(i):
+        h = F.element_at(F.col("hv"), i)
+        for j in range(1, _FP_W):
+            h = (h * _FP_B + F.element_at(F.col("hv"), i + j)) % _FP_P
+        return h
+
+    rh = hv.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(1), F.size("hv") - (_FP_W - 1)), horner
+        ).alias("rh"),
+    )
+    return rh.select(
+        "doc_id",
+        F.size("rh").cast("long").alias("n_windows"),
+        F.array_min("rh").cast("long").alias("fp_min"),
+        F.array_max("rh").cast("long").alias("fp_max"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding similarity search
 # ---------------------------------------------------------------------------

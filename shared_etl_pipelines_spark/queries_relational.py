@@ -1,0 +1,225 @@
+"""Extended relational coverage + DuckDB oracles.
+
+Beyond the reference's own operator set (SURVEY.md §2.5 lists what it
+lacks: distinct/cube/rollup, intersect/except, as-of, ranking beyond
+top-k) — a complete engine a reference user could switch to needs these,
+and each lands with an exact oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from shared_etl_pipelines_spark.operators.joins import asof_join
+from shared_etl_pipelines_spark.operators.windows import sessionize
+from shared_etl_pipelines_spark.queries import defquery, round_floats
+from shared_etl_pipelines_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP — hierarchical subtotals + grand total with grouping ids
+# ---------------------------------------------------------------------------
+@defquery(
+    "rollup_pricing",
+    """
+    SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+           COALESCE(l_linestatus, '<all>') AS linestatus,
+           GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+           COUNT(*) AS n,
+           ROUND(SUM(l_extendedprice), 4) AS total
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP subtotals with grouping ids",
+    tags=("aggregate", "rollup"),
+)
+def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_extendedprice").alias("total"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            F.col("gid").cast("long"),
+            "n",
+            "total",
+        )
+    )
+    return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# CUBE — all grouping-set combinations
+# ---------------------------------------------------------------------------
+@defquery(
+    "cube_order_counts",
+    """
+    SELECT COALESCE(o_orderstatus, '<all>') AS status,
+           COALESCE(o_orderpriority, '<all>') AS priority,
+           COUNT(*) AS n,
+           ROUND(SUM(o_totalprice), 4) AS total
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE over status x priority",
+    tags=("aggregate", "cube"),
+)
+def q_cube_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    out = (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("total"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "n",
+            "total",
+        )
+    )
+    return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# DISTINCT aggregates
+# ---------------------------------------------------------------------------
+@defquery(
+    "distinct_aggs",
+    """
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey)  AS n_parts,
+           COUNT(DISTINCT l_suppkey)  AS n_supps,
+           ROUND(SUM(DISTINCT l_quantity), 4) AS sum_distinct_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc="multi distinct aggregates per group",
+    tags=("aggregate", "distinct"),
+)
+def q_distinct_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    out = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.sum_distinct(F.col("l_quantity")).alias("sum_distinct_qty"),
+    )
+    return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# INTERSECT / EXCEPT
+# ---------------------------------------------------------------------------
+@defquery(
+    "intersect_except",
+    """
+    WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+    with_orders AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders),
+    both_sets AS (SELECT c_custkey FROM building INTERSECT SELECT c_custkey FROM with_orders),
+    only_building AS (SELECT c_custkey FROM building EXCEPT SELECT c_custkey FROM with_orders)
+    SELECT 'intersect' AS tag, c_custkey FROM both_sets
+    UNION ALL
+    SELECT 'except' AS tag, c_custkey FROM only_building
+    """,
+    doc="INTERSECT and EXCEPT of customer key sets",
+    tags=("setop",),
+)
+def q_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    with_orders = orders.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    both = building.intersect(with_orders).withColumn("tag", F.lit("intersect"))
+    only = building.exceptAll(with_orders).distinct().withColumn("tag", F.lit("except"))
+    return both.unionByName(only).select("tag", "c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# AS-OF join — latest event state at order time
+# ---------------------------------------------------------------------------
+@defquery(
+    "asof_purchase_view",
+    """
+    WITH views AS (
+      SELECT user_id, ts, MAX_BY(value, event_id) AS value
+      FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+    ),
+    purchases AS (
+      SELECT user_id, event_id, ts, value AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.user_id, p.event_id,
+           ROUND(p.purchase_value, 4) AS purchase_value,
+           ROUND(v.value, 4) AS last_view_value
+    FROM purchases p ASOF JOIN views v
+      ON p.user_id = v.user_id AND v.ts <= p.ts
+    """,
+    doc="as-of join: latest prior view value per purchase (union-merge plan)",
+    tags=("join", "asof"),
+)
+def q_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", F.col("value").alias("last_view_value")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", F.col("value").alias("purchase_value")
+    )
+    out = asof_join(
+        purchases, views, on=["user_id"], left_ts="ts", right_ts="ts",
+        value_cols=["last_view_value"], how="inner", right_tiebreak="event_id",
+    )
+    return round_floats(
+        out.select("user_id", "event_id", "purchase_value", "last_view_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sessionization — gap-based batch sessions
+# ---------------------------------------------------------------------------
+@defquery(
+    "sessionize_events",
+    """
+    WITH marked AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                       OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, event_id, ts,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           COUNT(*) AS n_events,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS session_end
+    FROM sess GROUP BY user_id, session_id
+    """,
+    doc="gap-based sessionization (30 min) + per-session rollup",
+    tags=("window", "session"),
+)
+def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, ["user_id"], "ts", gap_seconds=1800, tiebreak_col="event_id")
+    return (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+        )
+        .select("user_id", "session_id", "n_events", "session_start", "session_end")
+    )

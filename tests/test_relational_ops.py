@@ -1,0 +1,68 @@
+"""Unit tests for as-of join (union-merge plan) and sessionization on
+hand-checkable inputs."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from shared_etl_pipelines_spark.operators.joins import asof_join
+from shared_etl_pipelines_spark.operators.windows import sessionize
+
+
+def ts(h, m=0):
+    return dt.datetime(2024, 1, 1, h, m)
+
+
+def test_asof_join_basic_and_ties(spark):
+    quotes = spark.createDataFrame(
+        [
+            (1, ts(9), 100, 10.0),
+            (1, ts(11), 101, 11.0),
+            (1, ts(11), 102, 99.0),  # same ts: max event_id (102) must win
+            (2, ts(10), 103, 20.0),
+        ],
+        ["k", "t", "event_id", "px"],
+    )
+    trades = spark.createDataFrame(
+        [
+            (1, ts(10), "t1"),   # after 9:00 quote
+            (1, ts(11), "t2"),   # ties with 11:00 quotes -> 99.0 (id 102)
+            (1, ts(12), "t3"),   # still 99.0
+            (2, ts(9), "t4"),    # before any quote -> dropped (inner)
+            (3, ts(12), "t5"),   # key with no quotes -> dropped
+        ],
+        ["k", "t", "trade_id"],
+    )
+    out = {
+        r["trade_id"]: r["px"]
+        for r in asof_join(
+            trades, quotes, on=["k"], left_ts="t", right_ts="t",
+            value_cols=["px"], how="inner", right_tiebreak="event_id",
+        ).collect()
+    }
+    assert out == {"t1": 10.0, "t2": 99.0, "t3": 99.0}
+
+
+def test_asof_join_left_keeps_unmatched(spark):
+    right = spark.createDataFrame([(1, ts(10), 1, 5.0)], ["k", "t", "event_id", "v"])
+    left = spark.createDataFrame([(1, ts(9), "a"), (1, ts(11), "b")], ["k", "t", "id"])
+    rows = asof_join(
+        left, right, on=["k"], left_ts="t", right_ts="t",
+        value_cols=["v"], how="left",
+    ).collect()
+    got = {r["id"]: r["v"] for r in rows}
+    assert got == {"a": None, "b": 5.0}
+
+
+def test_sessionize_gap_splits(spark):
+    rows = [
+        (1, ts(9, 0), 1),
+        (1, ts(9, 10), 2),   # 10 min gap -> same session
+        (1, ts(10, 0), 3),   # 50 min gap -> new session
+        (2, ts(9, 0), 4),    # other user -> own session numbering
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id"])
+    out = sessionize(df, ["user_id"], "ts", gap_seconds=1800, tiebreak_col="event_id")
+    got = {r["event_id"]: r["session_id"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1}
