@@ -60,6 +60,9 @@ def main() -> None:
             continue
         times[name] = round(run_query(qd.fn, spark, sf_dir), 3)
         print(f"# {name}: {times[name]:.3f}s", file=sys.stderr)
+        # isolation: drop caches a query persisted (LSH signature frames)
+        # so later queries aren't measured under accumulated heap pressure
+        spark.catalog.clearCache()
 
     total = round(sum(times.values()), 3)
     print(

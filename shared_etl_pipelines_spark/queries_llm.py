@@ -570,3 +570,55 @@ _CHECKSUM_SQL = (
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = to_asset_table(_t(spark, sf_dir, "documents"))
     return decode_assets(assets)
+
+
+@defquery(
+    "multimodal_frame_sample",
+    """
+    WITH a AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    f AS (
+      SELECT doc_id, n, unnest(range(0, LEAST(3, n // 100 + 1))) AS frame_idx
+      FROM a
+    )
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           frame_idx * 100 AS frame_offset,
+           LEAST(100, n - frame_idx * 100) AS frame_len
+    FROM f
+    """,
+    doc="multimodal frame sampling: 1->N mapInPandas row expansion",
+    tags=("llm", "multimodal"),
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.multimodal import sample_frames
+
+    assets = to_asset_table(_t(spark, sf_dir, "documents"))
+    return sample_frames(assets, frame_bytes=100, max_frames=3)
+
+
+@defquery(
+    "multimodal_features",
+    """
+    WITH a AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+    SELECT doc_id,
+           ROUND((n * 1) % 251 / 251.0, 4) AS f0,
+           ROUND((n * 2) % 251 / 251.0, 4) AS f1,
+           ROUND((n * 3) % 251 / 251.0, 4) AS f2,
+           ROUND((n * 4) % 251 / 251.0, 4) AS f3
+    FROM a
+    """,
+    doc="multimodal feature extraction: blob -> array<float> via mapInPandas",
+    tags=("llm", "multimodal", "similarity"),
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.multimodal import extract_features
+
+    assets = to_asset_table(_t(spark, sf_dir, "documents"))
+    feats = extract_features(assets, dim=4)
+    out = feats.select(
+        "doc_id",
+        *[
+            F.element_at(F.col("features"), i + 1).cast("double").alias(f"f{i}")
+            for i in range(4)
+        ],
+    )
+    return round_floats(out)

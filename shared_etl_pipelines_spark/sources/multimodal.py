@@ -73,3 +73,51 @@ def decode_assets(assets: DataFrame) -> DataFrame:
             )
 
     return assets.mapInPandas(batches, schema=DECODED_SCHEMA)
+
+
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_offset bigint, frame_len bigint"
+
+
+def sample_frames(
+    assets: DataFrame, frame_bytes: int = 100, max_frames: int = 3
+) -> DataFrame:
+    """Frame sampling over video-like blobs: 1->N row expansion inside
+    mapInPandas (the real plumbing for per-frame work). STUB sampler:
+    frames are fixed-stride byte windows — a real one would seek keyframes
+    via the codec; the fan-out shape, schema and batching are identical.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in ("doc_id", "frame_idx", "frame_offset", "frame_len")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                n = len(blob)
+                n_frames = min(max_frames, n // frame_bytes + 1)
+                for i in range(n_frames):
+                    off = i * frame_bytes
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(i)
+                    rows["frame_offset"].append(off)
+                    rows["frame_len"].append(min(frame_bytes, n - off))
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+def extract_features(assets: DataFrame, dim: int = 8) -> DataFrame:
+    """Feature extraction: blob -> fixed-dim float vector via mapInPandas.
+    STUB featurizer (deterministic byte-length arithmetic standing in for
+    an embedding model); output column is array<float> so the result
+    plugs straight into operators.similarity (brute_force_topk etc.).
+    """
+    schema = "doc_id bigint, features array<float>"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [
+                [((len(b) * (j + 1)) % 251) / 251.0 for j in range(dim)]
+                for b in pdf["blob"]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "features": feats})
+
+    return assets.mapInPandas(batches, schema=schema)
