@@ -122,6 +122,69 @@ def lsh_bucket_topk(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: assign every vector to its
+    nearest centroid cell, probe the query's ``nprobe`` nearest cells.
+
+    Centroids here are the first ``n_centroids`` corpus vectors — a
+    deterministic stand-in for a k-means fit (the assignment/probe
+    dataflow is identical; only the training step would differ). Both
+    assignment and probing are broadcast joins against the tiny centroid
+    table + a rank window, so the corpus partitions by cell exactly like
+    a production IVF index; each query touches ~nprobe/n_centroids of
+    the data. Recall < 1 by construction — tune with nprobe.
+    """
+    corpus = _prep(embeddings, id_col, vec_col)
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("cent_id"),
+            F.col("v").alias("cv"),
+            F.col("norm").alias("cn"),
+        )
+    )
+
+    def nearest_cells(df: DataFrame, vcol: str, ncol: str, n: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(cents)).withColumn(
+            "_cos", dot(F.col(vcol), F.col("cv")) / (F.col(ncol) * F.col("cn"))
+        )
+        w = Window.partitionBy(id_col).orderBy(F.col("_cos").desc(), F.col("cent_id"))
+        return (
+            scored.withColumn("_crn", F.row_number().over(w))
+            .filter(F.col("_crn") <= n)
+            .drop("cv", "cn", "_cos", "_crn")
+        )
+
+    assigned = nearest_cells(corpus, "v", "norm", 1)  # cell per corpus vector
+    probes = nearest_cells(_prep(queries, id_col, vec_col), "v", "norm", nprobe).select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
+        F.col("cent_id"),
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(assigned, on="cent_id")
+        .filter(F.col("query_id") != F.col(id_col))
+        .withColumn("cosine", dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("norm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", id_col, "cosine", "rn")
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",

@@ -31,6 +31,7 @@ from shared_etl_pipelines_spark.operators.dedup import (
 from shared_etl_pipelines_spark.operators.similarity import (
     brute_force_topk,
     embedding_near_dup_pairs,
+    ivf_topk,
     lsh_bucket_topk,
 )
 from shared_etl_pipelines_spark.queries import defquery, round_floats
@@ -538,6 +539,52 @@ _BUCKET_SQL = " + ".join(
 def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     out = lsh_bucket_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, n_planes=4, dim=64)
+    return round_floats(out)
+
+
+_IVF_RANK = (
+    "ROW_NUMBER() OVER (PARTITION BY e.vec_id "
+    "ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cent_id)"
+)
+
+
+@defquery(
+    "similarity_topk_ivf",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c AS (SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+    ass AS (
+      SELECT vec_id, v, cent_id FROM (
+        SELECT e.vec_id, e.v, c.cent_id, {_IVF_RANK} AS crn
+        FROM e CROSS JOIN c)
+      WHERE crn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, v AS qv, cent_id FROM (
+        SELECT e.vec_id, e.v, c.cent_id, {_IVF_RANK} AS crn
+        FROM e CROSS JOIN c WHERE e.vec_id < 5)
+      WHERE crn <= 2
+    ),
+    s AS (
+      SELECT query_id, a.vec_id, list_cosine_similarity(qv, a.v) AS c
+      FROM probes p JOIN ass a USING (cent_id)
+      WHERE a.vec_id <> query_id
+    ),
+    r AS (
+      SELECT query_id, vec_id, c,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rn
+      FROM s
+    )
+    SELECT query_id, vec_id, ROUND(c, 4) AS cosine, rn FROM r WHERE rn <= 10
+    """,
+    doc="approximate top-10 via IVF cells (nearest-centroid partition, nprobe=2)",
+    tags=("llm", "similarity", "ivf"),
+)
+def q_similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_centroids=8, nprobe=2
+    )
     return round_floats(out)
 
 

@@ -12,7 +12,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from shared_etl_pipelines_spark.operators.joins import asof_join
-from shared_etl_pipelines_spark.operators.windows import sessionize
+from shared_etl_pipelines_spark.operators.skew import salted_aggregate
+from shared_etl_pipelines_spark.operators.windows import doy_non_leap, sessionize
 from shared_etl_pipelines_spark.queries import defquery, round_floats
 from shared_etl_pipelines_spark.sources.tables import load_table
 
@@ -180,6 +181,119 @@ def q_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round_floats(
         out.select("user_id", "event_id", "purchase_value", "last_view_value")
     )
+
+
+# ---------------------------------------------------------------------------
+# Salted aggregation — the hot-key-safe two-phase plan must produce the
+# same answer as the direct groupBy (oracle = plain SQL aggregate)
+# ---------------------------------------------------------------------------
+@defquery(
+    "salted_hot_key_agg",
+    """
+    SELECT l_returnflag AS k,
+           ROUND(SUM(l_extendedprice), 4) AS total,
+           COUNT(l_extendedprice) AS n,
+           ROUND(AVG(l_extendedprice), 4) AS mean,
+           ROUND(MAX(l_extendedprice), 4) AS mx
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="salted two-phase aggregate == direct groupBy (skew mitigation)",
+    tags=("aggregate", "skew"),
+)
+def q_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").withColumnRenamed("l_returnflag", "k")
+    out = salted_aggregate(
+        li,
+        ["k"],
+        {
+            "total": ("sum", "l_extendedprice"),
+            "n": ("count", "l_extendedprice"),
+            "mean": ("avg", "l_extendedprice"),
+            "mx": ("max", "l_extendedprice"),
+        },
+        n_salts=16,
+    )
+    return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# SPI with the documented leap-day policy: Feb-29 folds into Feb-28's
+# day-of-year so climatology group sizes are stable (SURVEY.md §7.7)
+# ---------------------------------------------------------------------------
+@defquery(
+    "spi_doy_climatology",
+    """
+    WITH d AS (
+      SELECT event_id, event_type, value,
+             CASE WHEN (year(ts) % 4 = 0 AND (year(ts) % 100 <> 0 OR year(ts) % 400 = 0))
+                       AND dayofyear(ts) >= 60
+                  THEN dayofyear(ts) - 1 ELSE dayofyear(ts) END AS doy
+      FROM events
+    )
+    SELECT event_id, event_type, doy,
+           ROUND((value - AVG(value)    OVER (PARTITION BY event_type, doy))
+               / STDDEV_SAMP(value) OVER (PARTITION BY event_type, doy), 4) AS zscore
+    FROM d
+    """,
+    doc="SPI z-score over day-of-year climatology with Feb-29 coalescing",
+    tags=("G3", "window", "leap"),
+)
+def q_spi_doy_climatology(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.operators.windows import zscore
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "doy", doy_non_leap("ts").cast("long")
+    )
+    out = zscore(ev, ["event_type", "doy"], "value", out_col="zscore")
+    return round_floats(out.select("event_id", "event_type", "doy", "zscore"))
+
+
+# ---------------------------------------------------------------------------
+# The pipeline language inside the correctness gate: run the packaged
+# crop_weighted.yml through the runner; oracle = the same dataflow in SQL
+# ---------------------------------------------------------------------------
+@defquery(
+    "pipeline_crop_weighted_yaml",
+    """
+    WITH fine AS (
+      SELECT p_partkey % 16 AS fy,
+             CAST(FLOOR(p_partkey / 16) AS BIGINT) % 16 AS fx,
+             CASE WHEN p_size IN (1, 5) THEN 1 ELSE 0 END AS mask
+      FROM part
+    ),
+    weights AS (
+      SELECT CAST(FLOOR(fy / 4) AS BIGINT) AS y,
+             CAST(FLOOR(fx / 4) AS BIGINT) AS x,
+             AVG(mask) AS w
+      FROM fine GROUP BY 1, 2
+    ),
+    daily AS (
+      SELECT l_orderkey % 4 AS y, l_suppkey % 4 AS x,
+             CAST(l_shipdate AS DATE) AS day, l_quantity AS v
+      FROM lineitem
+    )
+    SELECT d.y AS zone, EXTRACT(year FROM d.day) AS yr,
+           ROUND(SUM(d.v * w.w) / SUM(w.w), 4) AS crop_wavg,
+           ROUND(SUM(w.w), 4) AS crop_wavg_weight
+    FROM daily d JOIN weights w ON d.y = w.y AND d.x = w.x
+    GROUP BY 1, 2
+    """,
+    doc="YAML pipeline document through the runner == the SQL dataflow",
+    tags=("pipeline", "yaml"),
+)
+def q_pipeline_crop_weighted_yaml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from shared_etl_pipelines_spark.plans import PipelineRunner, PipelineSpec
+
+    path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "plans", "examples",
+        "crop_weighted.yml",
+    )
+    spec = PipelineSpec.from_yaml(path)
+    spec.vars["sf_dir"] = sf_dir
+    res = PipelineRunner(spark).run(spec)
+    return round_floats(res.outputs["result"]["df"])
 
 
 # ---------------------------------------------------------------------------
