@@ -1,0 +1,68 @@
+"""Warehouse layout tests: dynamic partition overwrite replaces only the
+written partitions; partition filters prune at plan time; bucketed joins
+run without exchanges on either side."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from shared_etl_pipelines_spark.sources.warehouse import (
+    read_partitioned,
+    write_bucketed,
+    write_partitioned,
+)
+
+
+def phys(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    path = str(tmp_path / "by_year")
+    df = spark.createDataFrame(
+        [(2020, "a", 1.0), (2021, "b", 2.0)], ["year", "k", "v"]
+    )
+    write_partitioned(df, path, ["year"])
+    # re-write ONLY 2021 with new data; 2020 must survive
+    df2 = spark.createDataFrame([(2021, "b2", 9.0)], ["year", "k", "v"])
+    write_partitioned(df2, path, ["year"])
+    got = {(r["year"], r["k"]) for r in read_partitioned(spark, path).collect()}
+    assert got == {(2020, "a"), (2021, "b2")}
+    # static overwrite would have dropped 2020 entirely
+    assert os.path.isdir(os.path.join(path, "year=2020"))
+
+
+def test_partition_pruning_visible_in_plan(spark, tmp_path):
+    path = str(tmp_path / "pruned")
+    df = spark.range(100).select(
+        (F.col("id") % 4).alias("year"), F.col("id").alias("v")
+    )
+    write_partitioned(df, path, ["year"])
+    scan = read_partitioned(spark, path).filter(F.col("year") == 2)
+    plan = phys(scan)
+    assert "PartitionFilters" in plan and "year" in plan.split("PartitionFilters")[1][:120]
+    assert scan.count() == 25
+
+
+def test_bucketed_join_no_exchange(spark, tmp_path):
+    big = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v1")
+    )
+    dim = spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v2")
+    )
+    write_bucketed(big, "wb_big", ["k"], 8, sort_cols=["k"], path=str(tmp_path / "b1"))
+    write_bucketed(dim, "wb_dim", ["k"], 8, sort_cols=["k"], path=str(tmp_path / "b2"))
+    try:
+        # disable auto-broadcast so the join would otherwise shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("wb_big").join(spark.table("wb_dim"), on="k")
+        plan = phys(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan  # co-located: neither side shuffles
+        assert joined.count() == 1000
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS wb_big")
+        spark.sql("DROP TABLE IF EXISTS wb_dim")
