@@ -1,0 +1,54 @@
+"""The packaged example pipelines: the requires_pipelines DAG runs the
+stage layer first, the derived rollsum matches a directly-built window
+plan, and stage memoization (skip-if-exists) holds on re-run."""
+
+import os
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from shared_etl_pipelines_spark.plans import PipelineRunner
+
+EXAMPLES = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "shared_etl_pipelines_spark", "plans", "examples",
+)
+
+
+def test_rollsum_pipeline_chain(spark, sf_dir, tmp_path):
+    runner = PipelineRunner(spark, env={"sf_dir": sf_dir, "basedir": str(tmp_path)})
+    res = runner.run(os.path.join(EXAMPLES, "rollsum_daily.yml"))
+    assert not res.outputs["landed"]["skipped"]
+    # upstream stage layer was run first by requires_pipelines
+    assert os.path.isdir(str(tmp_path / "stage_daily_cells"))
+
+    got = spark.read.parquet(str(tmp_path / "stage_daily_cells_rollsum"))
+    # direct equivalent: stage aggregate + trailing windows
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    daily = (
+        li.groupBy(
+            (F.col("l_suppkey") % 8).alias("cell"),
+            F.col("l_shipdate").cast("date").alias("day"),
+        )
+        .agg(F.sum("l_quantity").alias("value"))
+    )
+    out = daily
+    for w in (3, 7):
+        win = Window.partitionBy("cell").orderBy("day").rowsBetween(-(w - 1), 0)
+        out = out.withColumn(f"sum_{w}", F.sum("value").over(win))
+    want = {
+        (r["cell"], r["day"]): (round(r["sum_3"], 6), round(r["sum_7"], 6))
+        for r in out.collect()
+    }
+    got_map = {
+        (r["cell"], r["day"]): (round(r["sum_3"], 6), round(r["sum_7"], 6))
+        for r in got.collect()
+    }
+    assert got_map == want and len(got_map) > 100
+
+    # stage layer is skip-if-exists (overwrite: false): a fresh runner
+    # re-executes the pipeline but skips the landed write
+    runner2 = PipelineRunner(spark, env={"sf_dir": sf_dir, "basedir": str(tmp_path)})
+    res2 = runner2.run(os.path.join(EXAMPLES, "stage_daily_cells.yml"))
+    assert res2.outputs["landed"]["skipped"]

@@ -1,0 +1,93 @@
+"""Property-based tests (hypothesis): the template engine over random
+scopes, daterange laws, JDBC URL rewriting, and trailing windows vs a
+pandas reference implementation."""
+
+import datetime as dt
+import re
+
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from shared_etl_pipelines_spark.plans.template import Scope
+from shared_etl_pipelines_spark.sources.jdbc import resolve_db_url, to_jdbc_url
+
+IDENT = st.from_regex(r"[a-z][a-z0-9_]{0,10}", fullmatch=True)
+VALUE = st.one_of(
+    st.integers(-10**6, 10**6),
+    st.from_regex(r"[A-Za-z0-9 _./:-]{0,20}", fullmatch=True),
+)
+
+
+@given(st.dictionaries(IDENT, VALUE, min_size=1, max_size=6))
+@settings(max_examples=60, deadline=None)
+def test_template_substitution_roundtrip(bindings):
+    """Rendering '{k}' yields exactly the bound value for every k; text
+    with no braces is untouched."""
+    s = Scope(bindings=bindings)
+    for k, v in bindings.items():
+        assert s.render("{" + k + "}") == v
+        embedded = s.render(f"x-{{{k}}}-y")
+        assert embedded == f"x-{v}-y"
+    assert s.render("no braces at all") == "no braces at all"
+
+
+@given(
+    st.dates(dt.date(1990, 1, 1), dt.date(2030, 12, 31)),
+    st.integers(0, 400),
+)
+@settings(max_examples=60, deadline=None)
+def test_daterange_length_and_bounds(start, span):
+    end = start + dt.timedelta(days=span)
+    s = Scope(bindings={"a": start.isoformat(), "b": end.isoformat()})
+    days = s.render("{expr.daterange(a, b)}")
+    assert len(days) == span + 1  # inclusive both ends
+    assert days[0] == start and days[-1] == end
+    assert all(days[i + 1] - days[i] == dt.timedelta(days=1) for i in range(len(days) - 1))
+
+
+@given(st.integers(-1000, 1000), st.integers(-1000, 1000))
+@settings(max_examples=60, deadline=None)
+def test_expr_range_matches_python(a, b):
+    s = Scope(bindings={"a": a, "b": b})
+    assert s.render("{expr.range(a, b)}") == list(range(a, b))
+
+
+def test_jdbc_url_rewrite():
+    url = "postgresql://user:pw@db.internal:5432/land"
+    assert (
+        resolve_db_url(url, tunnel_host="127.0.0.1", tunnel_port=15432)
+        == "postgresql://user:pw@127.0.0.1:15432/land"
+    )
+    assert to_jdbc_url(url).startswith("jdbc:postgresql://")
+    assert to_jdbc_url("jdbc:postgresql://x/y") == "jdbc:postgresql://x/y"
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.floats(-100, 100, allow_nan=False)),
+        min_size=1,
+        max_size=60,
+    ),
+    st.sampled_from([2, 3, 7]),
+)
+@settings(max_examples=25, deadline=None)
+def test_rolling_sum_matches_pandas(spark, rows, w):
+    """Trailing w-row sum per key == pandas groupby.rolling reference."""
+    from shared_etl_pipelines_spark.operators.windows import rolling_metric
+
+    df = spark.createDataFrame(
+        [(k, i, v) for i, (k, v) in enumerate(rows)], ["k", "ord", "v"]
+    )
+    got = {
+        (r["k"], r["ord"]): r["s"]
+        for r in rolling_metric(df, ["k"], "ord", "v", window=w, out_col="s").collect()
+    }
+    pdf = pd.DataFrame([(k, i, v) for i, (k, v) in enumerate(rows)], columns=["k", "ord", "v"])
+    pdf = pdf.sort_values(["k", "ord"])
+    pdf["s"] = pdf.groupby("k")["v"].transform(
+        lambda s: s.rolling(w, min_periods=1).sum()
+    )
+    for (_, row) in pdf.iterrows():
+        assert got[(row["k"], row["ord"])] == pytest.approx(row["s"], rel=1e-9, abs=1e-9)
