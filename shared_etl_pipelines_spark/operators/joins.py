@@ -124,6 +124,46 @@ def asof_join(
     return out
 
 
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_width: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval join over ``[start, end)`` on an integer domain
+    (dates → epoch days, timestamps → epoch seconds), bucketed so it runs
+    as an equi-join (beyond-reference relational coverage).
+
+    A naive theta join (``p >= start AND p < end``) plans as a broadcast
+    nested loop — quadratic work at scale. Instead each interval is
+    exploded to every width-w bucket it overlaps and each point hashes to
+    exactly ONE bucket, so candidate generation is a hash equi-join on
+    ``_bucket`` followed by the exact range refinement. Each matching
+    (point, interval) pair arises from exactly one bucket — no dedup
+    needed. Cost: |points| + |intervals| * (span/w + 1) exploded rows,
+    shuffled once on a uniformly distributed key. Pick ``bucket_width``
+    near the median interval span; AQE absorbs residual bucket skew.
+    Intervals may overlap each other arbitrarily (a point can match many).
+    """
+    p = points.withColumn("_bucket", F.floor(F.col(point_col) / bucket_width))
+    iv = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / bucket_width),
+                F.floor((F.col(end_col) - 1) / bucket_width),
+            )
+        ),
+    )
+    out = p.join(iv, on=["_bucket"], how=how).filter(
+        (F.col(point_col) >= F.col(start_col)) & (F.col(point_col) < F.col(end_col))
+    )
+    return out.drop("_bucket")
+
+
 def enrich_join(
     facts: DataFrame,
     dim: DataFrame,

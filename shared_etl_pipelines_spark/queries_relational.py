@@ -337,3 +337,96 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "session_id", "n_events", "session_start", "session_end")
     )
+
+
+# ---------------------------------------------------------------------------
+# Range join — point-in-interval via bucketed equi-join (overlapping intervals)
+# ---------------------------------------------------------------------------
+@defquery(
+    "range_join_campaigns",
+    """
+    WITH campaigns AS (
+      SELECT CAST(i AS INT) AS campaign_id,
+             DATE '2024-01-01' + CAST(3 * i AS INT) AS start_day
+      FROM generate_series(0, 9) AS t(i)
+    )
+    SELECT c.campaign_id,
+           strftime(c.start_day, '%Y-%m-%d') AS start_day,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT e.user_id) AS n_users,
+           ROUND(SUM(e.value), 4) AS total_value
+    FROM events e
+    JOIN campaigns c
+      ON CAST(e.ts AS DATE) >= c.start_day
+     AND CAST(e.ts AS DATE) < c.start_day + 5
+    GROUP BY 1, 2
+    """,
+    doc="bucketed range join: events into overlapping 5-day campaign windows",
+    tags=("join", "range-join"),
+)
+def q_range_join_campaigns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.operators.joins import range_join
+
+    epoch = F.to_date(F.lit("1970-01-01"))
+    camp = (
+        spark.range(10)
+        .select(
+            F.col("id").cast("int").alias("campaign_id"),
+            F.date_add(
+                F.to_date(F.lit("2024-01-01")), (F.col("id") * 3).cast("int")
+            ).alias("start_day"),
+        )
+        .select(
+            "campaign_id",
+            "start_day",
+            F.datediff("start_day", epoch).alias("start_d"),
+            (F.datediff("start_day", epoch) + F.lit(5)).alias("end_d"),
+        )
+    )
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", F.datediff(F.to_date("ts"), epoch).alias("p")
+    )
+    j = range_join(ev, camp, "p", "start_d", "end_d", bucket_width=4)
+    out = j.groupBy(
+        "campaign_id", F.date_format("start_day", "yyyy-MM-dd").alias("start_day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("value").alias("total_value"),
+    )
+    return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# Hypertable rollup — multi-resolution time buckets via re-aggregation cascade
+# ---------------------------------------------------------------------------
+@defquery(
+    "hypertable_rollup",
+    """
+    SELECT 'hour' AS resolution,
+           strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 4) AS sum_value,
+           ROUND(MIN(value), 4) AS min_value,
+           ROUND(MAX(value), 4) AS max_value,
+           ROUND(SUM(value) / COUNT(*), 4) AS avg_value
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'day', strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S'),
+           COUNT(*), ROUND(SUM(value), 4), ROUND(MIN(value), 4),
+           ROUND(MAX(value), 4), ROUND(SUM(value) / COUNT(*), 4)
+    FROM events GROUP BY 2
+    UNION ALL
+    SELECT 'month', strftime(date_trunc('month', ts), '%Y-%m-%d %H:%M:%S'),
+           COUNT(*), ROUND(SUM(value), 4), ROUND(MIN(value), 4),
+           ROUND(MAX(value), 4), ROUND(SUM(value) / COUNT(*), 4)
+    FROM events GROUP BY 2
+    """,
+    doc="continuous-aggregate cascade: hour -> day -> month from partials",
+    tags=("aggregate", "hypertable", "time-bucket"),
+)
+def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.operators.hypertable import hypertable_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    return round_floats(hypertable_rollup(ev, "ts", "value", ("hour", "day", "month")))

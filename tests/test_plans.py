@@ -52,3 +52,18 @@ def test_clip_semi_join_is_semi(spark, sf):
     plan = phys(REGISTRY["clip_semi_join"].fn(spark, sf))
     assert "LeftSemi" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark, sf):
+    # the bucketed rewrite must plan as an equi-join on _bucket; a naive
+    # theta join would appear as BroadcastNestedLoopJoin (quadratic work)
+    plan = phys(REGISTRY["range_join_campaigns"].fn(spark, sf))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan
+
+
+def test_hypertable_cascade_reuses_partials(spark, sf):
+    # all three union branches must read the cached hour-level partials,
+    # not re-derive from the raw parquet scan (lineage recompute)
+    plan = phys(REGISTRY["hypertable_rollup"].fn(spark, sf))
+    assert plan.count("InMemoryTableScan") == 3

@@ -1,0 +1,84 @@
+"""range_join vs the naive theta join; hypertable cascade vs direct
+per-resolution aggregation from raw rows."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from shared_etl_pipelines_spark.operators.hypertable import hypertable_rollup
+from shared_etl_pipelines_spark.operators.joins import range_join
+
+
+@pytest.mark.parametrize("bucket_width", [1, 3, 7, 100])
+def test_range_join_matches_theta_join(spark, bucket_width):
+    rng = random.Random(7)
+    points = [(i, rng.randrange(0, 200)) for i in range(300)]
+    # overlapping intervals, varied spans incl. width < and > bucket_width
+    intervals = [
+        (j, s, s + rng.randrange(1, 40))
+        for j, s in ((j, rng.randrange(0, 200)) for j in range(40))
+    ]
+    p = spark.createDataFrame(points, ["pid", "p"])
+    iv = spark.createDataFrame(intervals, ["iid", "s", "e"])
+    got = {
+        (r["pid"], r["iid"])
+        for r in range_join(p, iv, "p", "s", "e", bucket_width=bucket_width).collect()
+    }
+    want = {
+        (pid, iid)
+        for pid, pv in points
+        for iid, s, e in intervals
+        if s <= pv < e
+    }
+    assert got == want and len(want) > 100
+
+
+def test_range_join_empty_and_exclusive_end(spark):
+    p = spark.createDataFrame([(1, 10), (2, 20)], ["pid", "p"])
+    iv = spark.createDataFrame([(1, 10, 20)], ["iid", "s", "e"])
+    rows = range_join(p, iv, "p", "s", "e", bucket_width=5).collect()
+    # 10 is included (>= start), 20 excluded (< end)
+    assert [(r["pid"], r["iid"]) for r in rows] == [(1, 1)]
+
+
+def test_hypertable_cascade_equals_direct(spark):
+    rng = random.Random(11)
+    rows = [
+        (i, f"2024-0{rng.randrange(1, 3)}-{rng.randrange(1, 28):02d} "
+            f"{rng.randrange(24):02d}:{rng.randrange(60):02d}:00",
+         round(rng.uniform(-5, 50), 2))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, ["i", "ts_s", "value"]).select(
+        "i", F.to_timestamp("ts_s").alias("ts"), "value"
+    )
+    got = hypertable_rollup(df, "ts", "value", ("hour", "day", "month"))
+    for res in ("hour", "day", "month"):
+        direct = (
+            df.groupBy(F.date_format(F.date_trunc(res, "ts"), "yyyy-MM-dd HH:mm:ss").alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("value").alias("sum_value"),
+                F.min("value").alias("min_value"),
+                F.max("value").alias("max_value"),
+            )
+        )
+        want = {
+            r["bucket"]: (r["n"], round(r["sum_value"], 6), r["min_value"], r["max_value"])
+            for r in direct.collect()
+        }
+        got_res = {
+            r["bucket"]: (r["n"], round(r["sum_value"], 6), r["min_value"], r["max_value"])
+            for r in got.filter(F.col("resolution") == res).collect()
+        }
+        assert got_res == want
+        # avg consistency
+        for r in got.filter(F.col("resolution") == res).collect():
+            assert r["avg_value"] == pytest.approx(r["sum_value"] / r["n"], rel=1e-9)
+
+
+def test_hypertable_rejects_unknown_resolution(spark):
+    df = spark.range(1).select(F.current_timestamp().alias("ts"), F.lit(1.0).alias("v"))
+    with pytest.raises(ValueError):
+        hypertable_rollup(df, "ts", "v", ("hour", "decade"))
