@@ -78,3 +78,42 @@ def q_stream_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(running_totals(_events_stream(spark, sf_dir)), "update")
+
+
+@defquery(
+    "stream_sliding_3d",
+    None,  # watermark emission semantics are not ANSI-SQL-expressible
+    doc="streaming sliding 3-day/1-day window — G2's trailing rolling sum",
+    tags=("streaming", "window", "G2"),
+)
+def q_stream_sliding_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.streaming import sliding_agg
+
+    agg = sliding_agg(
+        _events_stream(spark, sf_dir),
+        "ts",
+        "3 days",
+        "1 day",
+        ["event_type"],
+        {"n": "count(1)", "total": "sum(value)"},
+    )
+    return _run(agg, "append")
+
+
+@defquery(
+    "stream_session_windows",
+    None,  # session_window merge semantics are stateful/streaming-only
+    doc="streaming session windows (30 min gap) per user",
+    tags=("streaming", "session"),
+)
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.streaming import session_agg
+
+    agg = session_agg(
+        _events_stream(spark, sf_dir),
+        "ts",
+        "30 minutes",
+        ["user_id"],
+        {"n_events": "count(1)", "total_value": "sum(value)"},
+    )
+    return _run(agg, "append")
