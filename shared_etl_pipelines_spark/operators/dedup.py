@@ -21,10 +21,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from shared_etl_pipelines_spark.functions.text import (
+    MINHASH_P,
     jaccard,
-    minhash_from_hashes,
+    minhash_params,
     normalize_text,
-    shingle_hashes,
     shingles,
     token_hash16,
     tokens,
@@ -55,6 +55,36 @@ def shingle_sets(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataF
     ).filter(F.size("sh") > 0)
 
 
+def shingle_hash_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """One row per shingle position: ``(id, h)`` with h the 28-bit
+    md5-derived shingle hash (same formula as functions.text.shingle_hashes).
+
+    This is the fast path for MinHash at any scale: array higher-order
+    lambdas (transform/filter bodies) are *interpreted per element* by
+    Spark — they never enter whole-stage codegen — so building shingle
+    arrays costs ~10x more CPU than the equivalent row plan. Here
+    explode + lead() window + md5 + groupBy all stay inside codegen, and
+    the window's doc_id shuffle is reused by the downstream groupBy.
+    Docs with fewer than n tokens yield no rows (== the size>0 filter of
+    shingle_sets). Duplicate shingles keep their rows — harmless for
+    min() aggregation; use collect_set for set semantics.
+    """
+    tok = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos", "t")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    parts = [F.col("t")] + [F.lead("t", j).over(w) for j in range(1, n)]
+    sh = tok.select(
+        F.col(id_col),
+        F.concat_ws(" ", *parts).alias("s"),
+        F.lead("t", n - 1).over(w).alias("_last"),
+    ).filter(F.col("_last").isNotNull())
+    return sh.select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5("s"), 1, 7), 16, 10).cast("long").alias("h"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -72,28 +102,22 @@ def minhash_lsh_pairs(
     Returned pairs are verified: jaccard >= threshold.
     """
     rows_per_band = k // bands
-    # Persist the hashed-shingle sets (id, hv): ONE tokenize+shingle+md5
-    # pass, materialized. The persist is also the optimization barrier that
-    # stops CollapseProject from re-inlining the md5 transform into each of
-    # the k affine rehashes below. Everything downstream — signatures,
-    # bands, both sides of the bucket self-join, both verification joins —
-    # recomputes only integer-cheap expressions over this cache. Jaccard
-    # verification runs on hv too (hashed shingling): int arrays are 4-8x
-    # smaller than string shingles, which is what gets broadcast.
-    hvdf = (
-        shingle_sets(df, id_col, text_col, n=n)
-        .select(
-            F.col(id_col), F.array_distinct(shingle_hashes(F.col("sh"))).alias("hv")
-        )
-        .persist()
-    )
-    # Eager materialization: the downstream broadcast exchanges are built
-    # concurrently when the final job starts, and would otherwise race to
-    # compute the not-yet-populated cache 3-4x in parallel.
-    hvdf.count()
-    sig = hvdf.select(
-        F.col(id_col), F.col("hv"), *minhash_from_hashes(F.col("hv"), k=k)
-    )
+    # ONE codegen'd pass builds everything MinHash needs: shingle-hash ROWS
+    # (see shingle_hash_rows — array lambdas are interpreted, rows are not)
+    # feed a single groupBy computing the k signature mins AND the distinct
+    # hash set per doc. Persisted+materialized: bands, both sides of the
+    # bucket self-join, and both verification joins reuse this cache, and
+    # the downstream broadcast exchanges (built concurrently when the final
+    # job starts) must not race to compute it. Jaccard verification runs on
+    # the int sets: 4-8x smaller than string shingles when broadcast.
+    hrows = shingle_hash_rows(df, id_col, text_col, n=n)
+    mins = [
+        F.min((F.col("h") * a + b) % MINHASH_P).alias(f"mh_{i}")
+        for i, (a, b) in ((i, minhash_params(i)) for i in range(k))
+    ]
+    sig = hrows.groupBy(id_col).agg(*mins, F.collect_set("h").alias("hv")).persist()
+    sig.count()
+    hvdf = sig.select(F.col(id_col), F.col("hv"))
     band_cols = [
         F.md5(F.concat_ws("|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]))
         for b in range(bands)
@@ -173,15 +197,58 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_candidates(
-    sim: DataFrame, id_col: str, max_hamming: int = 2
+    sim: DataFrame, id_col: str, max_hamming: int = 2, n_bits: int = 16
 ) -> DataFrame:
     """Candidate near-dup pairs: Hamming distance of simhashes <= k.
-    (16-bit simhash is a coarse filter — candidates, not verdicts.)"""
-    a = sim.select(F.col(id_col).alias("doc_a"), F.col("simhash").alias("s_a"))
-    b = sim.select(F.col(id_col).alias("doc_b"), F.col("simhash").alias("s_b"))
+    (16-bit simhash is a coarse filter — candidates, not verdicts.)
+
+    Banded, not a theta self-join: the fingerprint is split into
+    ``max_hamming + 1`` contiguous bit-bands; by pigeonhole, any pair
+    within ``max_hamming`` flips leaves at least one band untouched, so an
+    equi-join on (band_idx, band_value) finds EXACTLY the same pairs as
+    the naive all-pairs scan — but as a hash join on bucket keys instead
+    of a quadratic nested loop. Pairs matching in several bands are
+    deduplicated; the Hamming filter then makes the verdict exact.
+    """
+    nb = max_hamming + 1
+    base, rem = divmod(n_bits, nb)
+    widths = [base + 1 if i < rem else base for i in range(nb)]
+    pieces = []
+    off = 0
+    for bi, wdt in enumerate(widths):
+        pieces.append(
+            sim.select(
+                F.col(id_col),
+                F.col("simhash"),
+                F.lit(bi).alias("_band"),
+                F.shiftright(F.col("simhash"), off)
+                .bitwiseAND(F.lit((1 << wdt) - 1))
+                .alias("_bv"),
+            )
+        )
+        off += wdt
+    banded = pieces[0]
+    for p in pieces[1:]:
+        banded = banded.unionByName(p)
+    a = banded.alias("l")
+    b = banded.alias("r")
+    cand = (
+        a.join(
+            b,
+            (F.col("l._band") == F.col("r._band"))
+            & (F.col("l._bv") == F.col("r._bv"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
+            F.col("l.simhash").alias("s_a"),
+            F.col("r.simhash").alias("s_b"),
+        )
+        .distinct()
+    )
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .withColumn("hamming", F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b"))))
+        cand.withColumn("hamming", F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b"))))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )

@@ -149,16 +149,15 @@ def q_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup", "minhash"),
 )
 def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from shared_etl_pipelines_spark.functions.text import (
-        minhash_from_hashes,
-        shingle_hashes,
-    )
-    from shared_etl_pipelines_spark.operators.dedup import shingle_sets
+    from shared_etl_pipelines_spark.functions.text import MINHASH_P, minhash_params
+    from shared_etl_pipelines_spark.operators.dedup import shingle_hash_rows
 
-    sh = shingle_sets(_t(spark, sf_dir, "documents"), "doc_id", "text")
-    sig = sh.withColumn("hv", shingle_hashes(F.col("sh"))).select(
-        F.col("doc_id"), *minhash_from_hashes(F.col("hv"), k=8)
-    )
+    hrows = shingle_hash_rows(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    mins = [
+        F.min((F.col("h") * a + b) % MINHASH_P).alias(f"mh_{i}")
+        for i, (a, b) in ((i, minhash_params(i)) for i in range(8))
+    ]
+    sig = hrows.groupBy("doc_id").agg(*mins)
     return sig.select(
         "doc_id", F.concat_ws("|", *[f"mh_{i}" for i in range(8)]).alias("signature")
     )
