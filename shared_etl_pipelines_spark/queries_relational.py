@@ -430,3 +430,76 @@ def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = _t(spark, sf_dir, "events")
     return round_floats(hypertable_rollup(ev, "ts", "value", ("hour", "day", "month")))
+
+
+# ---------------------------------------------------------------------------
+# Anti join — keys with no match (the complement of the clip semi-join)
+# ---------------------------------------------------------------------------
+@defquery(
+    "anti_join_inactive_customers",
+    """
+    SELECT c.c_custkey, c.c_mktsegment, ROUND(c.c_acctbal, 4) AS acctbal
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND CAST(o.o_orderdate AS DATE) >= DATE '2000-01-01'
+    )
+    """,
+    doc="left_anti join: customers with no orders after a cutoff date",
+    tags=("join", "anti-join"),
+)
+def q_anti_join_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.to_date("o_orderdate") >= F.lit("2000-01-01").cast("date")
+    )
+    out = c.join(
+        o.select(F.col("o_custkey").alias("c_custkey")), on="c_custkey", how="left_anti"
+    ).select("c_custkey", "c_mktsegment", F.col("c_acctbal").alias("acctbal"))
+    return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# Star join — 5-way fact⋈dims rollup (broadcast every dimension side)
+# ---------------------------------------------------------------------------
+@defquery(
+    "regional_revenue",
+    """
+    SELECT r.r_name AS region, n.n_name AS nation,
+           COUNT(*) AS n_items,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE CAST(o.o_orderdate AS DATE) BETWEEN DATE '1995-01-01' AND DATE '1995-12-31'
+    GROUP BY 1, 2
+    """,
+    doc="multi-way star join: lineitem->orders->customer->nation->region revenue",
+    tags=("join", "star", "aggregate"),
+)
+def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.to_date("o_orderdate").between("1995-01-01", "1995-12-31")
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    # dims are broadcast: orders/customer are sf-scaled but still dimension-
+    # sized next to lineitem; nation/region are tiny. The fact side never
+    # shuffles for the joins — only the final 2-key groupBy exchanges.
+    out = (
+        li.join(F.broadcast(o.select("o_orderkey", "o_custkey")), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(c.select("c_custkey", "c_nationkey")), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n.select("n_nationkey", "n_regionkey", "n_name")), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r.select("r_regionkey", "r_name")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        )
+    )
+    return round_floats(out)

@@ -67,3 +67,16 @@ def test_hypertable_cascade_reuses_partials(spark, sf):
     # not re-derive from the raw parquet scan (lineage recompute)
     plan = phys(REGISTRY["hypertable_rollup"].fn(spark, sf))
     assert plan.count("InMemoryTableScan") == 3
+
+
+def test_regional_revenue_all_broadcast(spark, sf):
+    # 5-way star join: every dim side broadcast, fact side never shuffles
+    # for the joins (the only exchange is the final groupBy)
+    plan = phys(REGISTRY["regional_revenue"].fn(spark, sf))
+    assert plan.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_anti_join_is_left_anti(spark, sf):
+    plan = phys(REGISTRY["anti_join_inactive_customers"].fn(spark, sf))
+    assert "LeftAnti" in plan
