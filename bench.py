@@ -31,6 +31,8 @@ EXCLUDE = {
     "embedding_near_dup",
     "stream_tumbling_daily",
     "stream_running_totals",
+    "stream_sliding_3d",
+    "stream_session_windows",
 }
 
 

@@ -242,13 +242,14 @@ def simhash_candidates(
         .select(
             F.col(f"l.{id_col}").alias("doc_a"),
             F.col(f"r.{id_col}").alias("doc_b"),
-            F.col("l.simhash").alias("s_a"),
-            F.col("r.simhash").alias("s_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
         )
+        # Hamming filter BEFORE the pair-level distinct: a close pair can
+        # match in up to nb bands, and dropping far pairs first keeps the
+        # dedup shuffle to the (small) result set instead of all candidates.
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return (
-        cand.withColumn("hamming", F.bit_count(F.col("s_a").bitwiseXOR(F.col("s_b"))))
-        .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
-    )
+    return cand.select("doc_a", "doc_b", "hamming")

@@ -668,3 +668,86 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation — the canonical training-data pipeline as ONE lazy plan:
+# exact-dedup keeper election -> language filter -> quality threshold ->
+# per-source corpus stats. Each stage is an operator verified on its own
+# above; this query verifies their composition end-to-end.
+# ---------------------------------------------------------------------------
+_CURATION_LANG_CASE = (
+    "CASE WHEN s_en = 0 AND s_es = 0 AND s_de = 0 AND s_fr = 0 THEN 'und' "
+    "WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en' "
+    "WHEN s_es >= s_de AND s_es >= s_fr THEN 'es' "
+    "WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END"
+)
+
+
+@defquery(
+    "corpus_curation",
+    f"""
+    WITH keep AS (
+      SELECT doc_id, text, source FROM (
+        SELECT doc_id, text, source,
+               MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+        FROM documents) WHERE doc_id = keeper
+    ),
+    t AS (SELECT doc_id, source, {TOKS_SQL} AS toks FROM keep),
+    m AS (
+      SELECT doc_id, source, len(toks) AS nt,
+        len(list_filter(toks, x -> x IN ({_STOP_IN}))) AS nstop,
+        len(list_distinct(toks)) AS ndist,
+        {', '.join(
+          "len(list_filter(toks, x -> x IN ("
+          + ", ".join(f"'{m}'" for m in markers)
+          + f"))) AS s_{lang}"
+          for lang, markers in LANG_MARKERS.items()
+        )}
+      FROM t WHERE len(toks) > 0
+    ),
+    q AS (
+      SELECT source, nt,
+             LEAST(50, nt) * (nt - nstop) * ndist / (50.0 * nt * nt) AS quality,
+             {_CURATION_LANG_CASE} AS lang_pred
+      FROM m
+    )
+    SELECT source, COUNT(*) AS n_docs, SUM(nt) AS n_tokens,
+           ROUND(AVG(quality), 4) AS avg_quality
+    FROM q WHERE lang_pred = 'en' AND quality >= 0.35
+    GROUP BY source
+    """,
+    doc="dedup -> lang filter -> quality threshold -> per-source stats, one plan",
+    tags=("llm", "pipeline", "curation"),
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5("text"))
+    keep = (
+        docs.withColumn("keeper", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("keeper"))
+        .select("doc_id", "text", "source")
+    )
+    df = keep.select("doc_id", "source", tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    nt = F.size("toks").cast("double")
+    n_stop = F.size(F.filter(F.col("toks"), lambda t: t.isin(*STOPWORDS))).cast("double")
+    n_dist = F.size(F.array_distinct("toks")).cast("double")
+    quality = (F.least(F.lit(50.0), nt) * (nt - n_stop) * n_dist) / (50.0 * nt * nt)
+    staged = df.select(
+        "source",
+        F.size("toks").cast("long").alias("nt"),
+        quality.alias("quality"),
+        lang_id(F.col("toks")).alias("lang_pred"),
+    )
+    out = (
+        staged.filter((F.col("lang_pred") == "en") & (F.col("quality") >= 0.35))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+            F.avg("quality").alias("avg_quality"),
+        )
+    )
+    return round_floats(out)

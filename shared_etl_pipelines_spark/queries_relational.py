@@ -403,24 +403,27 @@ def q_range_join_campaigns(spark: SparkSession, sf_dir: str) -> DataFrame:
 @defquery(
     "hypertable_rollup",
     """
+    WITH c AS (
+      SELECT ts, CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events
+    )
     SELECT 'hour' AS resolution,
            strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
            COUNT(*) AS n,
-           ROUND(SUM(value), 4) AS sum_value,
-           ROUND(MIN(value), 4) AS min_value,
-           ROUND(MAX(value), 4) AS max_value,
-           ROUND(SUM(value) / COUNT(*), 4) AS avg_value
-    FROM events GROUP BY 2
+           ROUND(SUM(cents) / 100.0, 4) AS sum_value,
+           ROUND(MIN(cents) / 100.0, 4) AS min_value,
+           ROUND(MAX(cents) / 100.0, 4) AS max_value,
+           ROUND((SUM(cents) / COUNT(*)) / 100.0, 4) AS avg_value
+    FROM c GROUP BY 2
     UNION ALL
     SELECT 'day', strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S'),
-           COUNT(*), ROUND(SUM(value), 4), ROUND(MIN(value), 4),
-           ROUND(MAX(value), 4), ROUND(SUM(value) / COUNT(*), 4)
-    FROM events GROUP BY 2
+           COUNT(*), ROUND(SUM(cents) / 100.0, 4), ROUND(MIN(cents) / 100.0, 4),
+           ROUND(MAX(cents) / 100.0, 4), ROUND((SUM(cents) / COUNT(*)) / 100.0, 4)
+    FROM c GROUP BY 2
     UNION ALL
     SELECT 'month', strftime(date_trunc('month', ts), '%Y-%m-%d %H:%M:%S'),
-           COUNT(*), ROUND(SUM(value), 4), ROUND(MIN(value), 4),
-           ROUND(MAX(value), 4), ROUND(SUM(value) / COUNT(*), 4)
-    FROM events GROUP BY 2
+           COUNT(*), ROUND(SUM(cents) / 100.0, 4), ROUND(MIN(cents) / 100.0, 4),
+           ROUND(MAX(cents) / 100.0, 4), ROUND((SUM(cents) / COUNT(*)) / 100.0, 4)
+    FROM c GROUP BY 2
     """,
     doc="continuous-aggregate cascade: hour -> day -> month from partials",
     tags=("aggregate", "hypertable", "time-bucket"),
@@ -428,8 +431,24 @@ def q_range_join_campaigns(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shared_etl_pipelines_spark.operators.hypertable import hypertable_rollup
 
-    ev = _t(spark, sf_dir, "events")
-    return round_floats(hypertable_rollup(ev, "ts", "value", ("hour", "day", "month")))
+    # Aggregate exact integer cents, divide once at the end: small-n hourly
+    # averages of 2-decimal values land EXACTLY on .00005 rounding
+    # boundaries, where double summation order (which varies with
+    # partitioning) would otherwise flip the 4th decimal vs the oracle.
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "cents", F.round(F.col("value") * 100).cast("long")
+    )
+    rolled = hypertable_rollup(ev, "ts", "cents", ("hour", "day", "month"))
+    out = rolled.select(
+        "resolution",
+        "bucket",
+        "n",
+        (F.col("sum_value") / 100.0).alias("sum_value"),
+        (F.col("min_value") / 100.0).alias("min_value"),
+        (F.col("max_value") / 100.0).alias("max_value"),
+        (F.col("avg_value") / 100.0).alias("avg_value"),
+    )
+    return round_floats(out)
 
 
 # ---------------------------------------------------------------------------
