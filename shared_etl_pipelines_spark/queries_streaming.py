@@ -23,9 +23,12 @@ def _events_stream(spark: SparkSession, sf_dir: str):
     from pyspark.sql import functions as F
 
     path = os.path.join(sf_dir, "events.parquet")
-    # same nanos-timestamp handling as sources.tables.load_table: read the
-    # nanos column as long and rebuild microsecond timestamps
+    # same nanos-timestamp and canonical-UTC handling as
+    # sources.tables.load_table: read the nanos column as long, rebuild
+    # microsecond timestamps, and pin the session zone so event-time
+    # windows are stable whatever zone the caller session started in
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(path).schema
     # the file source wants a directory: stream the sf_dir filtered down
     # to the events file

@@ -51,6 +51,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if os.path.exists(alt):
             p = alt
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The engine's canonical timezone is UTC: every timestamp in the corpus
+    # is a naive-as-UTC instant, and the DuckDB oracle reads them naively.
+    # A caller session in any other zone would shift date_trunc/date_format
+    # and day-of-year semantics; pin it here (the loader is the one chokepoint
+    # every query passes through).
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(p)
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))

@@ -91,3 +91,17 @@ def test_rolling_sum_matches_pandas(spark, rows, w):
     )
     for (_, row) in pdf.iterrows():
         assert got[(row["k"], row["ord"])] == pytest.approx(row["s"], rel=1e-9, abs=1e-9)
+
+
+def test_load_table_pins_utc(spark, sf_dir):
+    """Queries must be deterministic whatever zone the caller session
+    started in: the loader chokepoint pins the engine's canonical UTC."""
+    from shared_etl_pipelines_spark.sources.tables import load_table
+
+    orig = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        load_table(spark, sf_dir, "events")
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", orig)
