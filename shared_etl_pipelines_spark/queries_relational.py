@@ -522,3 +522,63 @@ def q_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# Salted shuffle join — skew-resistant fact⋈dim beyond broadcast threshold
+# ---------------------------------------------------------------------------
+@defquery(
+    "salted_skew_join",
+    """
+    SELECT s.s_nationkey, COUNT(*) AS n_items,
+           ROUND(SUM(l.l_quantity), 4) AS total_qty
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY 1
+    """,
+    doc="salted join (deterministic salt + replicated dim) == plain join",
+    tags=("join", "skew"),
+)
+def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    j = salted_join(li, supp, on=["l_suppkey"], n_salts=8)
+    out = j.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_items"), F.sum("l_quantity").alias("total_qty")
+    )
+    return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS — explicit set list (beyond the rollup/cube shorthands)
+# ---------------------------------------------------------------------------
+@defquery(
+    "grouping_sets_pricing",
+    """
+    SELECT COALESCE(l_returnflag, '<all>') AS returnflag,
+           COALESCE(l_linestatus, '<all>') AS linestatus,
+           COUNT(*) AS n, ROUND(SUM(l_quantity), 4) AS total_qty
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    doc="explicit GROUPING SETS: per-flag, per-status, and grand total",
+    tags=("aggregate", "grouping-sets"),
+)
+def q_grouping_sets_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.groupingSets(
+            [["l_returnflag"], ["l_linestatus"], []], "l_returnflag", "l_linestatus"
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("total_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("<all>")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("<all>")).alias("linestatus"),
+            "n",
+            "total_qty",
+        )
+    )
+    return round_floats(out)
