@@ -8,7 +8,7 @@ and each lands with an exact oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from shared_etl_pipelines_spark.operators.joins import asof_join
@@ -580,5 +580,67 @@ def q_grouping_sets_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "total_qty",
         )
+    )
+    return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# Global top-N — ORDER BY + LIMIT (TakeOrderedAndProject, no full sort)
+# ---------------------------------------------------------------------------
+@defquery(
+    "global_top_orders",
+    """
+    SELECT rank, o_orderkey, o_custkey, ROUND(o_totalprice, 4) AS totalprice
+    FROM (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rank
+      FROM orders
+    ) WHERE rank <= 100
+    """,
+    doc="global top-100 orders by price (per-partition top-N, no full sort)",
+    tags=("sort", "limit", "top-k"),
+)
+def q_global_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    out = (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")))
+            .alias("rank"),
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").alias("totalprice"),
+        )
+    )
+    return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# JSON scalar functions — the reference's query_json surface (STAC S5) as a
+# row-level expression: extract a property from a JSON column, filter + agg
+# ---------------------------------------------------------------------------
+@defquery(
+    "json_props_rollup",
+    """
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+    GROUP BY 1, 2
+    """,
+    doc="JSON property extraction + range predicate + rollup (query_json analog)",
+    tags=("json", "scalar", "aggregate"),
+)
+def q_json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    out = (
+        ev.filter(k >= 50)
+        .groupBy((k % 10).alias("k_bucket"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
     )
     return round_floats(out)
