@@ -8,6 +8,14 @@ and with tolerance, so we can spot queries at risk of last-ulp
 hash mismatches before the driver does.
 
 Usage: python tools/check_correctness.py [sf_dir] [query ...]
+
+Chaos mode: set SPARK_GRAFT_MASTER / SPARK_GRAFT_SHUFFLE / SPARK_GRAFT_TZ
+to run the gate under a different core count, shuffle-partition count, or
+session timezone. Summation order varies with partitioning and rendering
+varies with zone — results must be identical under ANY config (that is
+what the integer-cents aggregation and the loader's UTC pin guarantee);
+sweeping a few odd configs catches order-dependent rounding before the
+driver's (unknown) session config does.
 """
 
 from __future__ import annotations
@@ -89,9 +97,25 @@ def main():
     import duckdb
 
     import __spark_entry__ as entrymod
-    from shared_etl_pipelines_spark.engine import get_spark
 
-    spark = get_spark("correctness-check")
+    master = os.environ.get("SPARK_GRAFT_MASTER")
+    shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE")
+    tz = os.environ.get("SPARK_GRAFT_TZ")
+    if master or shuffle or tz:
+        from pyspark.sql import SparkSession
+
+        b = (
+            SparkSession.builder.master(master or "local[8]")
+            .config("spark.sql.shuffle.partitions", shuffle or "8")
+            .config("spark.sql.session.timeZone", tz or "UTC")
+            .config("spark.ui.enabled", "false")
+        )
+        spark = b.getOrCreate()
+        print(f"# chaos config: master={master} shuffle={shuffle} tz={tz}")
+    else:
+        from shared_etl_pipelines_spark.engine import get_spark
+
+        spark = get_spark("correctness-check")
     con = duckdb.connect()
     for t in TABLES:
         p = os.path.join(sf_dir, f"{t}.parquet")
