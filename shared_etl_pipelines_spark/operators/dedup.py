@@ -213,23 +213,24 @@ def simhash_candidates(
     nb = max_hamming + 1
     base, rem = divmod(n_bits, nb)
     widths = [base + 1 if i < rem else base for i in range(nb)]
-    pieces = []
+    # The fingerprint frame typically sits atop an expensive aggregation
+    # (simhash16's 16-vote groupBy). Banding via ONE posexplode pass — not
+    # a union of per-band projections — plus persist means that upstream
+    # runs once, not once per band per join side.
+    sim = sim.persist()
+    sim.count()
+    band_vals = []
     off = 0
-    for bi, wdt in enumerate(widths):
-        pieces.append(
-            sim.select(
-                F.col(id_col),
-                F.col("simhash"),
-                F.lit(bi).alias("_band"),
-                F.shiftright(F.col("simhash"), off)
-                .bitwiseAND(F.lit((1 << wdt) - 1))
-                .alias("_bv"),
-            )
+    for wdt in widths:
+        band_vals.append(
+            F.shiftright(F.col("simhash"), off).bitwiseAND(F.lit((1 << wdt) - 1))
         )
         off += wdt
-    banded = pieces[0]
-    for p in pieces[1:]:
-        banded = banded.unionByName(p)
+    banded = sim.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.posexplode(F.array(*band_vals)).alias("_band", "_bv"),
+    )
     a = banded.alias("l")
     b = banded.alias("r")
     cand = (
