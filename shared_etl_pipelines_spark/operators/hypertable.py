@@ -21,12 +21,54 @@ telemetry pipeline needs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # coarse-to-fine ordering; each resolution must be reachable from the next
 # finer one by date_trunc (true for this calendar hierarchy)
 RESOLUTIONS = ("minute", "hour", "day", "month", "year")
+
+
+def gap_fill_locf(
+    df: DataFrame,
+    key_col: str,
+    day_col: str,
+    value_col: str,
+    start: str,
+    end: str,
+) -> DataFrame:
+    """Dense daily spine per key with last-observation-carried-forward.
+
+    TimescaleDB's time_bucket_gapfill + locf(), as a Spark plan: the
+    (keys × days) spine comes from a `sequence()` explode — rows, not a
+    driver loop — left-joined to the observed daily values, then filled
+    with `last(value, ignorenulls=True)` over an expanding window.
+
+    Scale notes: the spine is |keys| × |days| rows generated executor-side
+    (no shuffle); the left join hashes on (key, day) — same key as the
+    upstream daily aggregate, so AQE coalesces them; the LOCF window
+    reuses the key partitioning. Days before a key's first observation
+    remain NULL (no look-behind fabrication). ``was_gap`` marks filled
+    rows.
+
+    Columns out: key, day (DATE), ``{value_col}_locf``, was_gap.
+    """
+    days = F.explode(
+        F.sequence(F.lit(start).cast("date"), F.lit(end).cast("date"))
+    ).alias(day_col)
+    spine = df.select(key_col).distinct().select(F.col(key_col), days)
+    joined = spine.join(df, [key_col, day_col], "left")
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(day_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        F.col(key_col),
+        F.col(day_col),
+        F.last(value_col, ignorenulls=True).over(w).alias(f"{value_col}_locf"),
+        F.when(F.col(value_col).isNull(), F.lit(1)).otherwise(F.lit(0)).alias("was_gap"),
+    )
 
 
 def hypertable_rollup(

@@ -751,3 +751,66 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# Stratified deterministic sampling — training-data curation: per-language
+# quotas selected by a stable row-key hash (operators/sampling.py), so the
+# subset is invariant to partitioning/retries and the predicate pushes
+# down to the scan. df.sample() can't promise either.
+# ---------------------------------------------------------------------------
+@defquery(
+    "stratified_sample_docs",
+    """
+    WITH u AS (
+      SELECT doc_id, lang, source,
+             (doc_id * 2654435761 % 4294967296) / 4294967296.0 AS sample_u
+      FROM documents
+    )
+    SELECT doc_id, lang, source, ROUND(sample_u, 4) AS sample_u
+    FROM u
+    WHERE sample_u < CASE lang WHEN 'en' THEN 0.5 WHEN 'es' THEN 0.25 ELSE 0.1 END
+    """,
+    doc="deterministic hash-stratified sample: per-language keep rates",
+    tags=("llm", "sampling", "curation"),
+)
+def q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs, "doc_id", "lang", rates={"en": 0.5, "es": 0.25}, default_rate=0.1
+    )
+    return round_floats(out.select("doc_id", "lang", "source", "sample_u"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal resize — binary-in/binary-out mapInPandas (stub stride kernel,
+# real plumbing). first_byte proves the resized blob carries real bytes.
+# ---------------------------------------------------------------------------
+@defquery(
+    "multimodal_resize",
+    """
+    WITH a AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+    s AS (SELECT doc_id, text, n, (n + 63) // 64 AS stride FROM a)
+    SELECT doc_id, n AS orig_bytes,
+           (n + stride - 1) // stride AS resized_bytes,
+           CAST(stride AS INT) AS stride,
+           ascii(substring(text, 1, 1)) AS first_byte
+    FROM s
+    """,
+    doc="multimodal resize: stride-downsample blobs to ~64 bytes via mapInPandas",
+    tags=("llm", "multimodal"),
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.multimodal import resize_assets
+
+    assets = to_asset_table(_t(spark, sf_dir, "documents"))
+    resized = resize_assets(assets, target_bytes=64)
+    return resized.select(
+        "doc_id",
+        "orig_bytes",
+        "resized_bytes",
+        "stride",
+        F.ascii(F.decode(F.substring("blob", 1, 1), "UTF-8")).alias("first_byte"),
+    )

@@ -644,3 +644,140 @@ def q_json_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total_value"))
     )
     return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# PIVOT — wide-format counts/totals per month × order status. Spark's
+# .pivot() with an explicit value list (never the implicit distinct scan:
+# at 100 TB the value list must be declared, not discovered).
+# ---------------------------------------------------------------------------
+@defquery(
+    "pivot_status_by_month",
+    """
+    SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_partial,
+           ROUND(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 4) AS total_open,
+           ROUND(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 4) AS total_filled,
+           ROUND(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 4) AS total_partial
+    FROM orders GROUP BY 1
+    """,
+    doc="pivot to wide format: per-month counts/totals by declared status list",
+    tags=("pivot", "aggregate"),
+)
+def q_pivot_status_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    wide = (
+        o.withColumn("month", F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM"))
+        .groupBy("month")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").alias("total"),
+        )
+    )
+    out = wide.select(
+        "month",
+        F.coalesce("O_n", F.lit(0)).alias("n_open"),
+        F.coalesce("F_n", F.lit(0)).alias("n_filled"),
+        F.coalesce("P_n", F.lit(0)).alias("n_partial"),
+        F.col("O_total").alias("total_open"),
+        F.col("F_total").alias("total_filled"),
+        F.col("P_total").alias("total_partial"),
+    )
+    return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# LAG/LEAD — day-over-day deltas on the daily revenue series (the ranking
+# taxonomy beyond row_number/rank: offset window functions).
+# ---------------------------------------------------------------------------
+@defquery(
+    "daily_revenue_deltas",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+      FROM orders GROUP BY 1
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           ROUND(cents / 100.0, 4) AS revenue,
+           ROUND((cents - LAG(cents) OVER (ORDER BY day)) / 100.0, 4) AS delta_prev,
+           ROUND((LEAD(cents) OVER (ORDER BY day) - cents) / 100.0, 4) AS delta_next,
+           ROUND(CAST(cents - LAG(cents) OVER (ORDER BY day) AS DOUBLE)
+                 / NULLIF(LAG(cents) OVER (ORDER BY day), 0) * 100, 4) AS pct_change
+    FROM daily
+    """,
+    doc="offset windows: lag/lead day-over-day revenue deltas",
+    tags=("window", "lag-lead", "timeseries"),
+)
+def q_daily_revenue_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    w = Window.orderBy("day")
+    out = daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (F.col("cents") / 100.0).alias("revenue"),
+        ((F.col("cents") - F.lag("cents").over(w)) / 100.0).alias("delta_prev"),
+        ((F.lead("cents").over(w) - F.col("cents")) / 100.0).alias("delta_next"),
+        (
+            (F.col("cents") - F.lag("cents").over(w)).cast("double")
+            / F.nullif(F.lag("cents").over(w), F.lit(0))
+            * 100
+        ).alias("pct_change"),
+    )
+    return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# Gap fill + LOCF — TimescaleDB time_bucket_gapfill/locf() analog: dense
+# per-user daily spine with last-observation-carried-forward
+# (operators/hypertable.py gap_fill_locf; spine = sequence() explode, no
+# driver loop; integer cents keep the carried value engine-exact).
+# ---------------------------------------------------------------------------
+@defquery(
+    "gap_fill_user_days",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT u.user_id, CAST(d.day AS DATE) AS day
+      FROM (SELECT DISTINCT user_id FROM events) u
+      CROSS JOIN (
+        SELECT UNNEST(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                      INTERVAL 1 DAY)) AS day
+      ) d
+    )
+    SELECT s.user_id,
+           strftime(s.day, '%Y-%m-%d') AS day,
+           ROUND(LAST_VALUE(dl.cents IGNORE NULLS) OVER (
+             PARTITION BY s.user_id ORDER BY s.day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0, 4)
+           AS cents_locf,
+           CASE WHEN dl.cents IS NULL THEN 1 ELSE 0 END AS was_gap
+    FROM spine s LEFT JOIN daily dl ON s.user_id = dl.user_id AND s.day = dl.day
+    """,
+    doc="gap fill + LOCF over a dense per-key daily spine",
+    tags=("timeseries", "gap-fill", "window", "hypertable"),
+)
+def q_gap_fill_user_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.operators.hypertable import gap_fill_locf
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    filled = gap_fill_locf(daily, "user_id", "day", "cents", "2024-01-01", "2024-01-30")
+    out = filled.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (F.col("cents_locf") / 100.0).alias("cents_locf"),
+        "was_gap",
+    )
+    return round_floats(out)

@@ -120,3 +120,27 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"n_events": "count(1)", "total_value": "sum(value)"},
     )
     return _run(agg, "append")
+
+
+@defquery(
+    "stream_dedup_hashes",
+    None,  # watermark-bounded dedup state is streaming-only semantics
+    doc="streaming exact dedup: first arrival per content hash, state "
+    "expired by watermark (dropDuplicatesWithinWatermark)",
+    tags=("streaming", "dedup"),
+)
+def q_stream_dedup_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.streaming import dedup_stream
+
+    deduped = dedup_stream(
+        _events_stream(spark, sf_dir),
+        ["user_id", "event_type", "value"],
+        ts_col="ts",
+        delay="2 days",
+    )
+    kept = _run(deduped, "append")
+    # project the deterministic part: the distinct content-hash set (which
+    # row of a duplicate group arrives first varies with task order)
+    return kept.select("content_hash").distinct()

@@ -75,6 +75,43 @@ def decode_assets(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(batches, schema=DECODED_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "doc_id bigint, media_type string, blob binary, "
+    "orig_bytes bigint, resized_bytes bigint, stride int"
+)
+
+
+def resize_assets(assets: DataFrame, target_bytes: int = 64) -> DataFrame:
+    """Resize/downsample each asset to ~``target_bytes`` via mapInPandas,
+    returning a real (smaller) binary column plus size metadata.
+
+    STUB resampler: fixed-stride byte subsampling (``blob[::stride]`` with
+    stride = ceil(n/target)) standing in for a real image resize
+    (``PIL.Image.resize``) or audio downsample — the binary-in/binary-out
+    plumbing, Arrow batching, and schema are production-real; only the
+    resample kernel is stubbed.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in (
+                "doc_id", "media_type", "blob", "orig_bytes", "resized_bytes", "stride"
+            )}
+            for doc_id, mt, blob in zip(pdf["doc_id"], pdf["media_type"], pdf["blob"]):
+                n = len(blob)
+                stride = max(1, -(-n // target_bytes))
+                out = bytes(blob[::stride])
+                rows["doc_id"].append(doc_id)
+                rows["media_type"].append(mt)
+                rows["blob"].append(out)
+                rows["orig_bytes"].append(n)
+                rows["resized_bytes"].append(len(out))
+                rows["stride"].append(stride)
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
 FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_offset bigint, frame_len bigint"
 
 

@@ -140,3 +140,25 @@ def running_totals(df: DataFrame, key: str = "user_id") -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_stream(
+    df: DataFrame, hash_cols: list[str], ts_col: str = "ts", delay: str = "1 day"
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per content hash,
+    expiring dedup state once the watermark passes ``delay`` — the
+    streaming form of operators.dedup.exact_dedup, and the only way the
+    state store stays bounded on an unbounded stream (plain
+    dropDuplicates would grow keys forever).
+
+    Emits ``(content_hash, event_time)`` of kept rows; duplicates arriving
+    within the watermark horizon are suppressed exactly, later ones are
+    best-effort (the documented dropDuplicatesWithinWatermark contract).
+    """
+    from pyspark.sql import functions as F
+
+    hashed = df.select(
+        F.md5(F.concat_ws("|", *hash_cols)).alias("content_hash"),
+        F.col(ts_col).alias("event_time"),
+    ).withWatermark("event_time", delay)
+    return hashed.dropDuplicatesWithinWatermark(["content_hash"])

@@ -108,3 +108,38 @@ def test_multimodal_decode_deterministic(spark):
     assert out["fake_width"] == (80 % 64) + 1
     assert out["fake_height"] == ((80 // 64) % 64) + 1
     assert out["media_type"] == "text/plain"
+
+
+def test_stratified_sample_deterministic_and_nested(spark, sf_dir):
+    from shared_etl_pipelines_spark.operators.sampling import stratified_sample
+    from shared_etl_pipelines_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = stratified_sample(docs, "doc_id", "lang", {"en": 0.5}, default_rate=0.1)
+    ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    # invariant to physical layout: same subset from a repartitioned input
+    ids2 = {
+        r["doc_id"]
+        for r in stratified_sample(
+            docs.repartition(7, "source"), "doc_id", "lang", {"en": 0.5}, default_rate=0.1
+        ).select("doc_id").collect()
+    }
+    assert ids == ids2
+    # nested subsets: halving every rate selects a subset of the original
+    smaller = stratified_sample(docs, "doc_id", "lang", {"en": 0.25}, default_rate=0.05)
+    assert {r["doc_id"] for r in smaller.select("doc_id").collect()} <= ids
+
+
+def test_resize_assets_bytes_real(spark, sf_dir):
+    from shared_etl_pipelines_spark.sources.multimodal import resize_assets, to_asset_table
+    from shared_etl_pipelines_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    rows = resize_assets(to_asset_table(docs), target_bytes=64).collect()
+    src = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert rows
+    for r in rows:
+        blob = src[r["doc_id"]].encode("utf-8")
+        assert r["orig_bytes"] == len(blob)
+        assert bytes(r["blob"]) == blob[:: r["stride"]]
+        assert r["resized_bytes"] <= 64 + 1

@@ -82,3 +82,22 @@ def test_hypertable_rejects_unknown_resolution(spark):
     df = spark.range(1).select(F.current_timestamp().alias("ts"), F.lit(1.0).alias("v"))
     with pytest.raises(ValueError):
         hypertable_rollup(df, "ts", "v", ("hour", "decade"))
+
+
+def test_gap_fill_locf_semantics(spark):
+    from shared_etl_pipelines_spark.operators.hypertable import gap_fill_locf
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-02", 10), (1, "2024-01-05", 20), (2, "2024-01-03", 7)],
+        "k long, day string, v long",
+    ).select("k", F.col("day").cast("date").alias("day"), "v")
+    out = gap_fill_locf(df, "k", "day", "v", "2024-01-01", "2024-01-06")
+    rows = {(r["k"], str(r["day"])): (r["v_locf"], r["was_gap"]) for r in out.collect()}
+    assert len(rows) == 12  # 2 keys x 6 days
+    assert rows[(1, "2024-01-01")] == (None, 1)  # before first obs: no fabrication
+    assert rows[(1, "2024-01-02")] == (10, 0)
+    assert rows[(1, "2024-01-03")] == (10, 1)  # carried forward
+    assert rows[(1, "2024-01-04")] == (10, 1)
+    assert rows[(1, "2024-01-05")] == (20, 0)
+    assert rows[(1, "2024-01-06")] == (20, 1)
+    assert rows[(2, "2024-01-06")] == (7, 1)

@@ -156,3 +156,25 @@ def test_running_totals_stateful_across_batches(spark, events, drop_dir):
     for uid, row in want.iterrows():
         assert final.loc[uid, "n_events"] == row["n"]
         assert abs(final.loc[uid, "total_value"] - row["t"]) < 1e-6
+
+
+def test_dedup_stream_matches_batch_distinct(spark, events, drop_dir):
+    """Streaming dedup across multi-file micro-batches == batch distinct
+    over the same content hash (all dupes here land within the horizon)."""
+    from shared_etl_pipelines_spark.streaming import dedup_stream
+
+    sub, days = drop_dir
+    stream = read_drop_dir(
+        spark, sub, events.schema, date_regex=None, max_files_per_trigger=1
+    )
+    got = _run_stream(
+        dedup_stream(stream, ["user_id", "event_type", "value"], delay="2 days"),
+        "dedup",
+        spark,
+    )
+    batch = (
+        events.filter(F.to_date("ts").isin(days))
+        .select(F.md5(F.concat_ws("|", "user_id", "event_type", "value")).alias("h"))
+        .distinct()
+    )
+    assert got.select("content_hash").distinct().count() == batch.count()
