@@ -111,3 +111,29 @@ def q_geo_zonal_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cells(spark, sf_dir), POLYGONS, "value", value_prefix="qty"
     )
     return round_floats(out)
+
+
+@defquery(
+    "zonal_stats_approx",
+    None,  # approx_percentile sketches are engine-specific — rows-only check
+    doc="G4 zonal statistics, 100 TB path: approx_percentile sketches "
+    "(mergeable, bounded-memory) instead of exact sort-based percentiles",
+    tags=("G4", "aggregate", "percentile", "approx", "scale-path"),
+)
+def q_zonal_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.operators.aggregates import zonal_aggregate
+    from shared_etl_pipelines_spark.queries import round_floats
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    cells = li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+    out = zonal_aggregate(
+        cells.withColumn("zone", F.col("o_orderpriority")),
+        ["zone"],
+        "l_extendedprice",
+        "min,p5,q1,med,avg,q3,p95,max",
+        value_prefix="price",
+        extra_aggs={"n_cells": F.count(F.lit(1))},
+        approx=True,
+    )
+    return round_floats(out)

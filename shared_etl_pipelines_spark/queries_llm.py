@@ -814,3 +814,43 @@ def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stride",
         F.ascii(F.decode(F.substring("blob", 1, 1), "UTF-8")).alias("first_byte"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus vocabulary — top terms by document frequency (explode + two-level
+# aggregate; the canonical corpus-statistics scan).
+# ---------------------------------------------------------------------------
+@defquery(
+    "vocab_top_terms",
+    """
+    WITH tok AS (
+      SELECT doc_id, UNNEST(str_split_regex(trim(text), '\\s+')) AS term
+      FROM documents WHERE trim(text) <> ''
+    ),
+    stats AS (
+      SELECT term, COUNT(*) AS tf, COUNT(DISTINCT doc_id) AS df
+      FROM tok WHERE term <> '' GROUP BY term
+    )
+    SELECT term, tf, df, rnk FROM (
+      SELECT term, tf, df,
+             ROW_NUMBER() OVER (ORDER BY df DESC, tf DESC, term) AS rnk
+      FROM stats
+    ) WHERE rnk <= 50
+    """,
+    doc="corpus vocabulary: top-50 terms by document frequency",
+    tags=("llm", "text", "vocab", "topk"),
+)
+def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term")
+    )
+    stats = tok.groupBy("term").agg(
+        F.count(F.lit(1)).alias("tf"), F.countDistinct("doc_id").alias("df")
+    )
+    w = Window.orderBy(F.col("df").desc(), F.col("tf").desc(), F.col("term"))
+    return (
+        stats.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 50)
+        .select("term", "tf", "df", "rnk")
+    )

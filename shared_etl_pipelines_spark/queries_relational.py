@@ -781,3 +781,84 @@ def q_gap_fill_user_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         "was_gap",
     )
     return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# SCD2 merge — row-level history-keeping MERGE (generalizes the reference's
+# catalog_json_upsert O5 from file-level to dimension rows). The snapshot is
+# derived deterministically from customer: every 7th key changes segment,
+# every 13th is absent, and 50 synthetic keys are brand-new.
+# ---------------------------------------------------------------------------
+@defquery(
+    "scd2_customer_merge",
+    """
+    WITH current AS (
+      SELECT c_custkey, c_mktsegment, DATE '2020-01-01' AS valid_from,
+             CAST(NULL AS DATE) AS valid_to
+      FROM customer
+    ),
+    snap AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 7 = 0 THEN 'MACHINERY' ELSE c_mktsegment END
+               AS c_mktsegment
+      FROM customer WHERE c_custkey % 13 <> 0
+      UNION ALL
+      SELECT 1000000 + i AS c_custkey, 'FURNITURE' AS c_mktsegment
+      FROM (SELECT UNNEST(range(50)) AS i)
+    ),
+    j AS (
+      SELECT COALESCE(c.c_custkey, s.c_custkey) AS c_custkey,
+             c.c_mktsegment AS cur_seg, s.c_mktsegment AS snap_seg,
+             c.valid_from AS cur_from,
+             c.c_custkey IS NOT NULL AS in_dim,
+             s.c_custkey IS NOT NULL AS in_snap
+      FROM current c FULL OUTER JOIN snap s ON c.c_custkey = s.c_custkey
+    )
+    SELECT c_custkey, cur_seg AS c_mktsegment,
+           strftime(cur_from, '%Y-%m-%d') AS valid_from,
+           CAST(NULL AS VARCHAR) AS valid_to
+    FROM j WHERE in_dim AND (NOT in_snap OR cur_seg = snap_seg)
+    UNION ALL
+    SELECT c_custkey, cur_seg, strftime(cur_from, '%Y-%m-%d'), '2024-06-01'
+    FROM j WHERE in_dim AND in_snap AND cur_seg <> snap_seg
+    UNION ALL
+    SELECT c_custkey, snap_seg, '2024-06-01', CAST(NULL AS VARCHAR)
+    FROM j WHERE in_snap AND (NOT in_dim OR cur_seg <> snap_seg)
+    """,
+    doc="SCD2 dimension merge: close changed rows, insert new versions, keep history",
+    tags=("merge", "scd2", "join"),
+)
+def q_scd2_customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.operators.scd import scd2_merge
+
+    cust = _t(spark, sf_dir, "customer")
+    dim = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("2020-01-01").cast("date").alias("valid_from"),
+        F.lit(None).cast("date").alias("valid_to"),
+    )
+    snap = (
+        cust.filter(F.col("c_custkey") % 13 != 0)
+        .select(
+            "c_custkey",
+            F.when(F.col("c_custkey") % 7 == 0, F.lit("MACHINERY"))
+            .otherwise(F.col("c_mktsegment"))
+            .alias("c_mktsegment"),
+        )
+        .unionByName(
+            spark.range(50).select(
+                (F.col("id") + 1000000).alias("c_custkey"),
+                F.lit("FURNITURE").alias("c_mktsegment"),
+            )
+        )
+    )
+    out = scd2_merge(
+        dim, snap, ["c_custkey"], ["c_mktsegment"], snap_date="2024-06-01"
+    )
+    return out.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
+    )

@@ -66,3 +66,44 @@ def test_sessionize_gap_splits(spark):
     out = sessionize(df, ["user_id"], "ts", gap_seconds=1800, tiebreak_col="event_id")
     got = {r["event_id"]: r["session_id"] for r in out.collect()}
     assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_scd2_merge_row_fates(spark):
+    from shared_etl_pipelines_spark.operators.scd import scd2_merge
+
+    dim = spark.createDataFrame(
+        [
+            # key 1: history row + open row that will change
+            (1, "A", "2019-01-01", "2020-01-01"),
+            (1, "B", "2020-01-01", None),
+            # key 2: open row, unchanged in snapshot
+            (2, "X", "2020-01-01", None),
+            # key 3: open row, absent from snapshot -> stays open
+            (3, "Y", "2020-01-01", None),
+            # key 4: open NULL attr -> becomes value (NULL-safe change)
+            (4, None, "2020-01-01", None),
+        ],
+        "k long, seg string, valid_from string, valid_to string",
+    ).select(
+        "k", "seg",
+        F.col("valid_from").cast("date").alias("valid_from"),
+        F.col("valid_to").cast("date").alias("valid_to"),
+    )
+    snap = spark.createDataFrame(
+        [(1, "C"), (2, "X"), (4, "Z"), (5, "NEW")], "k long, seg string"
+    )
+    out = scd2_merge(dim, snap, ["k"], ["seg"], snap_date="2024-06-01")
+    rows = {
+        (r["k"], r["seg"], str(r["valid_from"]), str(r["valid_to"]))
+        for r in out.collect()
+    }
+    assert rows == {
+        (1, "A", "2019-01-01", "2020-01-01"),  # history untouched
+        (1, "B", "2020-01-01", "2024-06-01"),  # closed
+        (1, "C", "2024-06-01", "None"),        # new version
+        (2, "X", "2020-01-01", "None"),        # unchanged stays open
+        (3, "Y", "2020-01-01", "None"),        # absent from snap stays open
+        (4, None, "2020-01-01", "2024-06-01"), # NULL->Z is a change
+        (4, "Z", "2024-06-01", "None"),
+        (5, "NEW", "2024-06-01", "None"),      # brand-new key
+    }
