@@ -9,6 +9,8 @@ Subcommands:
                           --var k=v overrides
   query <name>            run one registry query against --sf-dir and print
                           up to --limit rows
+  explain <name>          print a registry query's physical plan
+                          (--mode formatted|extended|codegen|...)
   list-queries            list every named query with its doc line
   envs                    show how environment bindings are resolved
 
@@ -98,6 +100,18 @@ def cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_explain(args: argparse.Namespace) -> int:
+    from shared_etl_pipelines_spark.engine import get_spark
+    from shared_etl_pipelines_spark.queries import REGISTRY
+
+    if args.name not in REGISTRY:
+        raise SystemExit(f"unknown query {args.name!r}; see list-queries")
+    spark = get_spark(f"explain:{args.name}")
+    df = REGISTRY[args.name].fn(spark, args.sf_dir)
+    df.explain(args.mode)
+    return 0
+
+
 def cmd_list_queries(_: argparse.Namespace) -> int:
     from shared_etl_pipelines_spark.queries import REGISTRY
 
@@ -132,6 +146,13 @@ def main(argv: list[str] | None = None) -> int:
     q_p.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     q_p.add_argument("--limit", type=int, default=20)
     q_p.set_defaults(fn=cmd_query)
+
+    ex_p = sub.add_parser("explain", help="print a registry query's physical plan")
+    ex_p.add_argument("name")
+    ex_p.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    ex_p.add_argument("--mode", default="formatted",
+                      choices=["simple", "extended", "formatted", "cost", "codegen"])
+    ex_p.set_defaults(fn=cmd_explain)
 
     lq_p = sub.add_parser("list-queries", help="list registry queries")
     lq_p.set_defaults(fn=cmd_list_queries)

@@ -862,3 +862,56 @@ def q_scd2_customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
         F.date_format("valid_to", "yyyy-MM-dd").alias("valid_to"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar subquery — orders priced above their customer's average
+# (decorrelated by Catalyst into an aggregate + join; same shape a window
+# formulation would produce, but written as the subquery users write).
+# ---------------------------------------------------------------------------
+@defquery(
+    "above_customer_avg_orders",
+    """
+    WITH c AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey, cents AS totalprice_cents,
+           CAST(FLOOR(cust_avg_cents) AS BIGINT) AS cust_avg_cents
+    FROM (
+      SELECT o_orderkey, o_custkey, cents,
+             CAST(SUM(cents) OVER (PARTITION BY o_custkey) AS DOUBLE)
+               / COUNT(*) OVER (PARTITION BY o_custkey) AS cust_avg_cents
+      FROM c
+    )
+    WHERE cents > cust_avg_cents
+    """,
+    doc="correlated scalar subquery: orders above their customer's average",
+    tags=("subquery", "window", "filter"),
+)
+def q_above_customer_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # integer cents end-to-end: the per-customer average must be the same
+    # exact value in both engines or boundary rows flip in/out; outputs
+    # stay integral (floor of an IEEE-identical division) so there is no
+    # decimal-rounding surface at all
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    o.createOrReplaceTempView("_orders_corr")
+    out = spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, cents AS totalprice_cents,
+               CAST(FLOOR((SELECT CAST(SUM(o2.cents) AS DOUBLE) / COUNT(*)
+                           FROM _orders_corr o2
+                           WHERE o2.o_custkey = o1.o_custkey)) AS BIGINT)
+                 AS cust_avg_cents
+        FROM _orders_corr o1
+        WHERE cents > (SELECT CAST(SUM(o3.cents) AS DOUBLE) / COUNT(*)
+                       FROM _orders_corr o3
+                       WHERE o3.o_custkey = o1.o_custkey)
+        """
+    )
+    return round_floats(out)

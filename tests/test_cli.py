@@ -42,3 +42,9 @@ def test_run_pipeline_via_cli(sf_dir):
         assert cli.main(["run", examples, "--var", f"sf_dir={sf_dir}"]) == 0
     out = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert out["steps"]["result"] is not None
+
+
+def test_explain_via_cli(sf_dir, capfd):
+    assert cli.main(["explain", "pricing_summary", "--sf-dir", sf_dir]) == 0
+    out = capfd.readouterr().out
+    assert "Physical Plan" in out and "HashAggregate" in out

@@ -80,3 +80,34 @@ def test_regional_revenue_all_broadcast(spark, sf):
 def test_anti_join_is_left_anti(spark, sf):
     plan = phys(REGISTRY["anti_join_inactive_customers"].fn(spark, sf))
     assert "LeftAnti" in plan
+
+
+def test_gap_fill_spine_is_generated_not_scanned(spark, sf):
+    """The dense date spine comes from sequence()+explode (Generate node),
+    never a driver-side loop or an extra table scan."""
+    p = phys(REGISTRY["gap_fill_user_days"].fn(spark, sf))
+    assert "Generate explode" in p
+
+
+def test_stratified_sample_no_shuffle(spark, sf):
+    """Hash sampling is a pure filter evaluated at the scan: no
+    hash-partition shuffle (the loader's round-robin spread is allowed),
+    and the predicate reaches the FileScan's data filters."""
+    p = phys(REGISTRY["stratified_sample_docs"].fn(spark, sf))
+    assert "hashpartitioning" not in p
+    assert "DataFilters: [isnotnull(doc_id" in p
+
+
+def test_scd2_merge_single_join(spark, sf):
+    """One full-outer join decides every row fate; the three fate branches
+    must not re-join (union of filters over the same join)."""
+    p = phys(REGISTRY["scd2_customer_merge"].fn(spark, sf))
+    assert p.count("SortMergeJoin FullOuter") + p.count("ShuffledHashJoin FullOuter") <= 3
+    assert "Union" in p
+
+
+def test_correlated_subquery_decorrelated(spark, sf):
+    """Catalyst must rewrite the correlated scalar subquery into
+    aggregate+join — no per-row subquery execution."""
+    p = phys(REGISTRY["above_customer_avg_orders"].fn(spark, sf))
+    assert "Subquery" not in p or "Join" in p
