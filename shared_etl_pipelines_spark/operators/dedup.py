@@ -254,3 +254,38 @@ def simhash_candidates(
         .distinct()
     )
     return cand.select("doc_a", "doc_b", "hamming")
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    text_col: str,
+    max_distance: int = 2,
+    block_fn=None,
+) -> DataFrame:
+    """Fuzzy string matching: distinct-value pairs within ``max_distance``
+    Levenshtein edits, candidate-pruned by a blocking key.
+
+    Blocking is the scale contract: candidates are generated ONLY within a
+    block (default: first character), turning the O(|V|²) distinct-value
+    self-join into per-block hash-join buckets — the same shape as the
+    LSH band join. Pairs split across blocks are not considered (standard
+    blocking recall trade-off; use multiple passes with different
+    block_fns to raise recall).
+    """
+    if block_fn is None:
+        def block_fn(c):
+            return F.substring(c, 1, 1)
+
+    vals = df.select(F.col(text_col).alias("val")).distinct()
+    vals = vals.withColumn("_blk", block_fn(F.col("val")))
+    a = vals.alias("l")
+    b = vals.alias("r")
+    return (
+        a.join(
+            b,
+            (F.col("l._blk") == F.col("r._blk")) & (F.col("l.val") < F.col("r.val")),
+        )
+        .withColumn("distance", F.levenshtein(F.col("l.val"), F.col("r.val")))
+        .filter(F.col("distance") <= max_distance)
+        .select(F.col("l.val").alias("val_a"), F.col("r.val").alias("val_b"), "distance")
+    )

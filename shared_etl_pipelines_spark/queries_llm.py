@@ -854,3 +854,67 @@ def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 50)
         .select("term", "tf", "df", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy string matching — blocked Levenshtein pairs over the distinct name
+# vocabulary (entity-resolution primitive; blocking = candidate pruning).
+# ---------------------------------------------------------------------------
+@defquery(
+    "fuzzy_name_pairs",
+    """
+    WITH vals AS (
+      SELECT DISTINCT p_name AS val, substring(p_name, 1, 1) AS blk FROM part
+    )
+    SELECT a.val AS val_a, b.val AS val_b,
+           CAST(levenshtein(a.val, b.val) AS INT) AS distance
+    FROM vals a JOIN vals b ON a.blk = b.blk AND a.val < b.val
+    WHERE levenshtein(a.val, b.val) <= 3
+    """,
+    doc="fuzzy matching: blocked Levenshtein pairs over distinct names",
+    tags=("llm", "dedup", "fuzzy", "entity-resolution"),
+)
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.operators.dedup import fuzzy_pairs
+
+    return fuzzy_pairs(_t(spark, sf_dir, "part"), "p_name", max_distance=3)
+
+
+# ---------------------------------------------------------------------------
+# Embedding column statistics — per-label vector norms, fully JVM-side
+# (F.aggregate folds; integer milli-norms make the aggregate engine-exact).
+# ---------------------------------------------------------------------------
+@defquery(
+    "embedding_label_stats",
+    """
+    WITH norms AS (
+      SELECT label,
+             CAST(ROUND(sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) * 1000) AS BIGINT)
+               AS mnorm
+      FROM embeddings
+    )
+    SELECT label, COUNT(*) AS n,
+           ROUND(AVG(mnorm) / 1000.0, 4) AS avg_norm,
+           ROUND(MIN(mnorm) / 1000.0, 4) AS min_norm,
+           ROUND(MAX(mnorm) / 1000.0, 4) AS max_norm
+    FROM norms GROUP BY label
+    """,
+    doc="embedding stats: per-label L2-norm aggregates (array math in codegen)",
+    tags=("llm", "similarity", "vector"),
+)
+def q_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.functions.vectors import as_double, l2_norm
+
+    emb = _t(spark, sf_dir, "embeddings")
+    norms = emb.select(
+        "label",
+        F.round(l2_norm(as_double("embedding")) * 1000).cast("long").alias("mnorm"),
+    )
+    out = norms.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.avg("mnorm") / 1000.0).alias("avg_norm"),
+        (F.min("mnorm") / 1000.0).alias("min_norm"),
+        (F.max("mnorm") / 1000.0).alias("max_norm"),
+    )
+    return round_floats(out)

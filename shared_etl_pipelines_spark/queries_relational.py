@@ -915,3 +915,38 @@ def q_above_customer_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     )
     return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# NTILE — equal-frequency bucketing (quartiles of order value), the missing
+# member of the ranking-window family (row_number/rank/lag/lead covered).
+# ---------------------------------------------------------------------------
+@defquery(
+    "ntile_order_quartiles",
+    """
+    WITH t AS (
+      SELECT o_orderkey, o_totalprice,
+             NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+      FROM orders
+    )
+    SELECT quartile, COUNT(*) AS n,
+           ROUND(MIN(o_totalprice), 4) AS lo,
+           ROUND(MAX(o_totalprice), 4) AS hi
+    FROM t GROUP BY quartile
+    """,
+    doc="NTILE(4) equal-frequency buckets + per-bucket range",
+    tags=("window", "ntile", "aggregate"),
+)
+def q_ntile_order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    out = (
+        o.select("o_orderkey", "o_totalprice", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+    return round_floats(out)
