@@ -144,3 +144,25 @@ def q_stream_dedup_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # project the deterministic part: the distinct content-hash set (which
     # row of a duplicate group arrives first varies with task order)
     return kept.select("content_hash").distinct()
+
+
+@defquery(
+    "stream_interval_join",
+    None,  # watermark-bounded stream-stream join state is streaming-only
+    doc="stream-stream interval join: clicks -> purchases by the same user "
+    "within 1 hour (both sides watermarked; state evicted by time range)",
+    tags=("streaming", "join"),
+)
+def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.streaming import interval_join_stream
+
+    ev = _events_stream(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    joined = interval_join_stream(
+        clicks, purchases, key="user_id", within="1 hour", delay="2 days"
+    )
+    out = _run(joined, "append")
+    return out.select("l_key", "l_event", "r_event")

@@ -5,6 +5,7 @@ and checkpointed state."""
 from shared_etl_pipelines_spark.streaming.sources import read_drop_dir
 from shared_etl_pipelines_spark.streaming.windows import (
     dedup_stream,
+    interval_join_stream,
     running_totals,
     session_agg,
     sliding_agg,
@@ -14,6 +15,7 @@ from shared_etl_pipelines_spark.streaming.windows import (
 __all__ = [
     "read_drop_dir",
     "dedup_stream",
+    "interval_join_stream",
     "running_totals",
     "session_agg",
     "sliding_agg",

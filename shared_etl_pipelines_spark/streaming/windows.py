@@ -162,3 +162,40 @@ def dedup_stream(
         F.col(ts_col).alias("event_time"),
     ).withWatermark("event_time", delay)
     return hashed.dropDuplicatesWithinWatermark(["content_hash"])
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    within: str = "1 hour",
+    delay: str = "1 day",
+) -> DataFrame:
+    """Stream-stream interval join: each left event pairs with right
+    events for the same key whose time falls in [left_ts, left_ts+within].
+
+    Both sides carry watermarks so Spark can bound the join state buffer
+    (the time-range condition tells it when a buffered row can never match
+    again and is evicted) — without both, stream-stream joins grow state
+    forever. The batch equivalent is a plain theta join on
+    (key, time-range); tests assert the two agree.
+    """
+    from pyspark.sql import functions as F
+
+    l = left.select(
+        F.col(key).alias("l_key"),
+        F.col("event_id").alias("l_event"),
+        F.col(ts_col).alias("l_ts"),
+    ).withWatermark("l_ts", delay)
+    r = right.select(
+        F.col(key).alias("r_key"),
+        F.col("event_id").alias("r_event"),
+        F.col(ts_col).alias("r_ts"),
+    ).withWatermark("r_ts", delay)
+    return l.join(
+        r,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
+    ).select("l_key", "l_event", "l_ts", "r_event", "r_ts")

@@ -178,3 +178,39 @@ def test_dedup_stream_matches_batch_distinct(spark, events, drop_dir):
         .distinct()
     )
     assert got.select("content_hash").distinct().count() == batch.count()
+
+
+def test_interval_join_matches_batch(spark, events, drop_dir):
+    from shared_etl_pipelines_spark.streaming import interval_join_stream
+
+    sub, days = drop_dir
+    stream = read_drop_dir(
+        spark, sub, events.schema, date_regex=None, max_files_per_trigger=1
+    )
+    got = _run_stream(
+        interval_join_stream(
+            stream.filter(F.col("event_type") == "click"),
+            stream.filter(F.col("event_type") == "purchase"),
+            key="user_id",
+            within="1 day",
+            delay="3 days",
+        ),
+        "ij",
+        spark,
+    )
+    sel = events.filter(F.to_date("ts").isin(days))
+    c = sel.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("l_key"), F.col("event_id").alias("l_event"), F.col("ts").alias("l_ts")
+    )
+    p = sel.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("r_key"), F.col("event_id").alias("r_event"), F.col("ts").alias("r_ts")
+    )
+    batch = c.join(
+        p,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 1 day")),
+    )
+    got_pairs = {(r["l_event"], r["r_event"]) for r in got.collect()}
+    want_pairs = {(r["l_event"], r["r_event"]) for r in batch.collect()}
+    assert got_pairs == want_pairs and len(want_pairs) > 0
