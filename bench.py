@@ -29,11 +29,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 EXCLUDE = {
     "ngram_jaccard_pairs",
     "embedding_near_dup",
-    "stream_tumbling_daily",
-    "stream_running_totals",
-    "stream_sliding_3d",
-    "stream_session_windows",
 }
+
+
+def _excluded(name: str, qd) -> bool:
+    return name in EXCLUDE or "streaming" in qd.tags
 
 
 def run_query(fn, spark, sf_dir) -> float:
@@ -59,7 +59,7 @@ def main() -> None:
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     times: dict[str, float] = {}
     for name, qd in REGISTRY.items():
-        if name in EXCLUDE:
+        if _excluded(name, qd):
             continue
         best = None
         for _ in range(reps):
