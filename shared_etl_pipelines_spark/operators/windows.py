@@ -116,3 +116,71 @@ def doy_non_leap(date_col: str):
     doy = F.dayofyear(d)
     is_leap = (F.year(d) % 4 == 0) & ((F.year(d) % 100 != 0) | (F.year(d) % 400 == 0))
     return F.when(is_leap & (doy >= 60), doy - 1).otherwise(doy)
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list,
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed global row_number: 1..N in ``order_cols`` order WITHOUT
+    the single-partition window Spark plans for Window.orderBy(...).
+
+    Pattern: range-repartition on the ordering (a sampled range shuffle —
+    every partition gets a contiguous key range), sort within partitions,
+    then add each partition's cumulative row offset to an intra-partition
+    row_number. The per-partition counts are a driver collect of
+    #partitions rows (bounded, not data-sized); the window runs
+    partitioned by spark_partition_id, i.e. fully parallel. The sorted
+    frame is persisted so the count pass and the final pass see identical
+    partitioning.
+
+    ``order_cols`` must be a total order (append a unique tie-breaker) or
+    ranks are nondeterministic.
+    """
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ordered = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {r["_pid"]: r["c"] for r in ordered.groupBy("_pid").agg(F.count(F.lit(1)).alias("c")).collect()}
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    off_expr = F.lit(0)
+    for pid, off in offsets.items():
+        if off:
+            off_expr = F.when(F.col("_pid") == pid, F.lit(off)).otherwise(off_expr)
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return ordered.withColumn(
+        out_col, (F.row_number().over(w) + off_expr).cast("long")
+    ).drop("_pid")
+
+
+def global_ntile(
+    df: DataFrame,
+    order_cols: list,
+    n_buckets: int,
+    out_col: str = "bucket",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed NTILE: equal-frequency buckets with exact NTILE
+    semantics (first N % Q buckets get the extra row), built on
+    global_row_number — no single-partition exchange at any size.
+    """
+    ranked = global_row_number(df, order_cols, out_col="_grn", num_partitions=num_partitions)
+    total = ranked.count()  # cheap: the ranked frame is persisted
+    big = total // n_buckets + 1
+    small = total // n_buckets
+    r = total % n_buckets
+    cutover = big * r  # rows 1..cutover live in the r larger buckets
+    bucket = F.when(
+        F.col("_grn") <= cutover, ((F.col("_grn") - 1) / big).cast("long") + 1
+    ).otherwise(
+        r + ((F.col("_grn") - cutover - 1) / F.lit(max(small, 1))).cast("long") + 1
+    )
+    return ranked.withColumn(out_col, bucket.cast("int")).drop("_grn")

@@ -938,15 +938,16 @@ def q_above_customer_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "ntile", "aggregate"),
 )
 def q_ntile_order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _t(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    out = (
-        o.select("o_orderkey", "o_totalprice", F.ntile(4).over(w).alias("quartile"))
-        .groupBy("quartile")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("o_totalprice").alias("lo"),
-            F.max("o_totalprice").alias("hi"),
-        )
+    # NOT F.ntile over Window.orderBy: a global-order window moves every
+    # row to one partition. global_ntile range-partitions the sort and
+    # adds per-partition offsets — identical semantics, fully parallel.
+    from shared_etl_pipelines_spark.operators.windows import global_ntile
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    tiled = global_ntile(o, ["o_totalprice", "o_orderkey"], 4, out_col="quartile")
+    out = tiled.groupBy("quartile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
     )
     return round_floats(out)

@@ -111,3 +111,12 @@ def test_correlated_subquery_decorrelated(spark, sf):
     aggregate+join — no per-row subquery execution."""
     p = phys(REGISTRY["above_customer_avg_orders"].fn(spark, sf))
     assert "Subquery" not in p or "Join" in p
+
+
+def test_global_ntile_no_single_partition_exchange(spark, sf):
+    """Equal-frequency bucketing must never plan the all-rows-to-one-
+    partition exchange a global-order window would: range partitioning +
+    per-partition-id windows only."""
+    p = phys(REGISTRY["ntile_order_quartiles"].fn(spark, sf))
+    assert "SinglePartition" not in p
+    assert "rangepartitioning" in p

@@ -107,3 +107,23 @@ def test_scd2_merge_row_fates(spark):
         (4, "Z", "2024-06-01", "None"),
         (5, "NEW", "2024-06-01", "None"),      # brand-new key
     }
+
+
+def test_global_rank_and_ntile_match_builtin_windows(spark, sf_dir):
+    from pyspark.sql import Window
+
+    from shared_etl_pipelines_spark.operators.windows import (
+        global_ntile,
+        global_row_number,
+    )
+    from shared_etl_pipelines_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    order = ["o_totalprice", "o_orderkey"]
+    got = global_row_number(o, order)
+    ref = o.withColumn("rn", F.row_number().over(Window.orderBy(*order)))
+    assert got.subtract(ref).count() == 0 and ref.subtract(got).count() == 0
+
+    gt = global_ntile(o, order, 7, out_col="b")
+    rt = o.withColumn("b", F.ntile(7).over(Window.orderBy(*order)))
+    assert gt.subtract(rt).count() == 0 and rt.subtract(gt).count() == 0
