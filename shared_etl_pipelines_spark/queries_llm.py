@@ -848,12 +848,11 @@ def q_vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = tok.groupBy("term").agg(
         F.count(F.lit(1)).alias("tf"), F.countDistinct("doc_id").alias("df")
     )
+    # top-k heap (TakeOrderedAndProject), not a global-order window over
+    # the whole vocabulary; the ranking window then runs over <=50 rows
+    top = stats.orderBy(F.col("df").desc(), F.col("tf").desc(), F.col("term")).limit(50)
     w = Window.orderBy(F.col("df").desc(), F.col("tf").desc(), F.col("term"))
-    return (
-        stats.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 50)
-        .select("term", "tf", "df", "rnk")
-    )
+    return top.withColumn("rnk", F.row_number().over(w)).select("term", "tf", "df", "rnk")
 
 
 # ---------------------------------------------------------------------------
