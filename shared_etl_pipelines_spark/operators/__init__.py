@@ -13,7 +13,14 @@ from shared_etl_pipelines_spark.operators.aggregates import (
     zonal_aggregate,
 )
 from shared_etl_pipelines_spark.operators.filters import attribute_filter, value_mask
-from shared_etl_pipelines_spark.operators.windows import rolling_metric, zscore
+from shared_etl_pipelines_spark.operators.sampling import stratified_sample, uniform_hash
+from shared_etl_pipelines_spark.operators.scd import scd2_merge
+from shared_etl_pipelines_spark.operators.windows import (
+    global_ntile,
+    global_row_number,
+    rolling_metric,
+    zscore,
+)
 
 __all__ = [
     "agg_exprs",
@@ -24,4 +31,9 @@ __all__ = [
     "value_mask",
     "rolling_metric",
     "zscore",
+    "global_row_number",
+    "global_ntile",
+    "stratified_sample",
+    "uniform_hash",
+    "scd2_merge",
 ]

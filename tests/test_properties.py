@@ -105,3 +105,45 @@ def test_load_table_pins_utc(spark, sf_dir):
         assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     finally:
         spark.conf.set("spark.sql.session.timeZone", orig)
+
+
+@given(
+    st.lists(st.integers(0, 10_000), min_size=1, max_size=120, unique=True),
+    st.integers(2, 9),
+)
+@settings(max_examples=12, deadline=None)
+def test_global_ntile_bucket_sizes(spark, keys, q):
+    """NTILE invariants on arbitrary key sets: buckets ordered, sizes
+    differ by at most 1, larger buckets come first."""
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.operators.windows import global_ntile
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    out = global_ntile(df, ["k"], q, out_col="b").collect()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r["b"], []).append(r["k"])
+    sizes = [len(by_bucket[b]) for b in sorted(by_bucket)]
+    assert sum(sizes) == len(keys)
+    assert max(sizes) - min(sizes) <= 1
+    assert sizes == sorted(sizes, reverse=True)
+    # bucket boundaries respect the sort order
+    prev_max = None
+    for b in sorted(by_bucket):
+        vals = by_bucket[b]
+        if prev_max is not None:
+            assert min(vals) > prev_max
+        prev_max = max(vals)
+
+
+@given(st.lists(st.integers(0, 2**31 - 1), min_size=1, max_size=50, unique=True))
+@settings(max_examples=12, deadline=None)
+def test_stratified_sample_nested_subsets(spark, keys):
+    """Halving the rate always selects a subset (the sample_u contract)."""
+    from shared_etl_pipelines_spark.operators.sampling import stratified_sample
+
+    df = spark.createDataFrame([(k, "s") for k in keys], "k long, g string")
+    big = {r["k"] for r in stratified_sample(df, "k", "g", {"s": 0.6}).collect()}
+    small = {r["k"] for r in stratified_sample(df, "k", "g", {"s": 0.3}).collect()}
+    assert small <= big
