@@ -289,3 +289,64 @@ def fuzzy_pairs(
         .filter(F.col("distance") <= max_distance)
         .select(F.col("l.val").alias("val_a"), F.col("r.val").alias("val_b"), "distance")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components by iterative min-label propagation: each node's
+    label converges to the smallest node id reachable from it.
+
+    The dedup endgame: near-dup PAIRS (MinHash/SimHash output) are edges;
+    a component is one duplicate cluster, and min-id is its canonical
+    keeper. Each iteration is one join + groupBy-min over the undirected
+    edge list — O(E) per round, converging in O(diameter) rounds (near-dup
+    clusters are small-diameter, so a handful). Labels are persisted per
+    round and lineage is cut with localCheckpoint so the plan doesn't grow
+    unboundedly; convergence is detected by counting changed labels
+    (a scalar per round, not a collect of data).
+
+    Returns ``(node, component)`` — component = min node id in the
+    component. Nodes appear iff they occur in an edge; union singleton
+    nodes downstream if needed.
+    """
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .persist()
+    )
+    # seed with one propagation fused into the init: label = min(self,
+    # direct neighbors) — one groupBy instead of an identity round
+    labels = (
+        und.groupBy(F.col("a").alias("node"))
+        .agg(F.min(F.least(F.col("a"), F.col("b"))).alias("component"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(max_iter):
+        # candidate label per node: min over self and neighbors' labels
+        nbr = (
+            und.join(labels.withColumnRenamed("node", "b"), "b")
+            .select(F.col("a").alias("node"), "component")
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("component", "old"), "node")
+            .filter(F.col("component") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels

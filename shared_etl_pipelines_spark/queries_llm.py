@@ -917,3 +917,78 @@ def q_embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("mnorm") / 1000.0).alias("max_norm"),
     )
     return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clustering — connected components over near-dup pairs, keeper
+# election per cluster (iterative label propagation; the oracle replays it
+# as a recursive CTE). Every doc appears: linked docs get their cluster's
+# min id, singletons keep themselves.
+# ---------------------------------------------------------------------------
+@defquery(
+    "dedup_clusters",
+    f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    s AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM t),
+    h AS (SELECT doc_id, list_distinct({HV_SQL}) AS hv FROM s WHERE len(sh) > 0),
+    sig AS (
+      SELECT doc_id, hv, {', '.join(f"{_mh_sql(i)} AS mh{i}" for i in range(8))}
+      FROM h
+    ),
+    bands AS (
+      {' UNION ALL '.join(
+        f"SELECT doc_id, {b} AS band_idx, md5(mh{2*b} || '|' || mh{2*b+1}) AS band_hash FROM sig"
+        for b in range(4)
+      )}
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM bands l JOIN bands r
+        ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM cand
+      JOIN sig a ON a.doc_id = doc_a
+      JOIN sig b ON b.doc_id = doc_b
+      WHERE CAST(len(list_intersect(a.hv, b.hv)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.hv, b.hv))) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      WITH RECURSIVE walk(node, root) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        UNION
+        SELECT e.b, w.root FROM walk w JOIN edges e ON e.a = w.node
+      )
+      SELECT node, MIN(root) AS component FROM walk GROUP BY node
+    )
+    SELECT d.doc_id, COALESCE(r.component, d.doc_id) AS component,
+           CASE WHEN COALESCE(r.component, d.doc_id) = d.doc_id THEN 0 ELSE 1 END AS is_dup
+    FROM documents d LEFT JOIN reach r ON d.doc_id = r.node
+    """,
+    doc="duplicate clustering: connected components over MinHash-LSH pairs, "
+    "keeper = min id per cluster",
+    tags=("llm", "dedup", "graph", "iterative"),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=3, k=8, bands=4, threshold=0.5)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    out = docs.select("doc_id").join(
+        comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    )
+    return out.select(
+        "doc_id",
+        F.coalesce("component", "doc_id").alias("component"),
+        F.when(F.coalesce("component", "doc_id") == F.col("doc_id"), 0)
+        .otherwise(1)
+        .alias("is_dup"),
+    )

@@ -143,3 +143,18 @@ def test_resize_assets_bytes_real(spark, sf_dir):
         assert r["orig_bytes"] == len(blob)
         assert bytes(r["blob"]) == blob[:: r["stride"]]
         assert r["resized_bytes"] <= 64 + 1
+
+
+def test_connected_components_chain_and_islands(spark):
+    from shared_etl_pipelines_spark.operators.dedup import connected_components
+
+    # chain 1-2-3-4 (diameter > 1 forces multiple propagation rounds),
+    # pair 10-11, and star 20-(21,22)
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (20, 21), (20, 22)],
+        "src long, dst long",
+    )
+    got = {
+        r["node"]: r["component"] for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
