@@ -992,3 +992,52 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(1)
         .alias("is_dup"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF — term weighting per document; top-3 terms per doc ranked by the
+# integer (tf, term) key so the ranking is engine-exact while the rounded
+# tf-idf score itself is informational.
+# ---------------------------------------------------------------------------
+@defquery(
+    "tfidf_top_terms",
+    """
+    WITH tok AS (
+      SELECT doc_id, UNNEST(list_filter(string_split_regex(text, '\\s+'),
+                                        x -> x <> '')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok)
+    SELECT doc_id, term, tf, df,
+           ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf, rnk
+    FROM (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df, n.n_docs,
+             ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, tf.term) AS rnk
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    WHERE rnk <= 3
+    """,
+    doc="TF-IDF weighting: per-doc top-3 terms (integer-keyed ranking)",
+    tags=("llm", "text", "tfidf"),
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = tok.select("doc_id").distinct().count()
+    w = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), F.col("term"))
+    out = (
+        tf.join(F.broadcast(df), "term")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .withColumn(
+            "tfidf",
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")),
+        )
+        .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
+    )
+    return round_floats(out)

@@ -951,3 +951,40 @@ def q_ntile_order_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_totalprice").alias("hi"),
     )
     return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# Equal-width histogram — declared bounds + integer bin math (the
+# complement of NTILE's equal-frequency buckets). Clamped edge bins.
+# ---------------------------------------------------------------------------
+@defquery(
+    "price_histogram",
+    """
+    WITH c AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+    )
+    SELECT LEAST(19, GREATEST(0, (cents - 100000) // 2500000)) AS bin,
+           COUNT(*) AS n,
+           ROUND(MIN(cents) / 100.0, 4) AS lo,
+           ROUND(MAX(cents) / 100.0, 4) AS hi
+    FROM c GROUP BY 1
+    """,
+    doc="equal-width histogram: 20 declared bins over order value, clamped edges",
+    tags=("aggregate", "histogram"),
+)
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    bin_ = F.least(
+        F.lit(19), F.greatest(F.lit(0), F.floor((cents - 100000) / 2500000))
+    ).cast("long")
+    out = (
+        o.select(cents.alias("cents"), bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.min("cents") / 100.0).alias("lo"),
+            (F.max("cents") / 100.0).alias("hi"),
+        )
+    )
+    return round_floats(out)
