@@ -1026,9 +1026,12 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = tok.select("doc_id").distinct().count()
+    # one explode pass: tf has exactly one row per (doc, term), so df is a
+    # row-count over tf and n_docs a distinct over it — the token stream
+    # is never re-derived
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")).persist()
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = tf.select("doc_id").distinct().count()
     w = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), F.col("term"))
     out = (
         tf.join(F.broadcast(df), "term")
