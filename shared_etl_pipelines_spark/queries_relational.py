@@ -988,3 +988,42 @@ def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# PERCENT_RANK / CUME_DIST — distribution window functions completing the
+# ranking family (row_number/rank/ntile/lag/lead elsewhere). Partitioned
+# by event_type, so the windows run parallel per group.
+# ---------------------------------------------------------------------------
+@defquery(
+    "value_distribution_ranks",
+    """
+    WITH c AS (
+      SELECT event_id, event_type,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT event_id, event_type,
+           ROUND(PERCENT_RANK() OVER (PARTITION BY event_type
+                                      ORDER BY cents, event_id), 4) AS pct_rank,
+           ROUND(CUME_DIST() OVER (PARTITION BY event_type
+                                   ORDER BY cents, event_id), 4) AS cume
+    FROM c
+    """,
+    doc="percent_rank + cume_dist per group (distribution window functions)",
+    tags=("window", "rank", "distribution"),
+)
+def q_value_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("event_type").orderBy("cents", "event_id")
+    out = ev.select(
+        "event_id",
+        "event_type",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+    return round_floats(out)
