@@ -246,3 +246,48 @@ def sql_plugin(ctx: StepContext, query: str, views: Any = None, **kw: Any) -> di
     for name, df in (views or {}).items():
         df.createOrReplaceTempView(name)
     return {"df": ctx.spark.sql(query)}
+
+
+# -- LLM-data curation plugins (beyond-reference: the brief's training-
+# data mandate exposed to the YAML layer, same dataflow conventions) -------
+@plugin("near_dup_pairs")
+def near_dup_pairs_plugin(
+    ctx: StepContext,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    **kw: Any,
+) -> dict[str, Any]:
+    from shared_etl_pipelines_spark.operators.dedup import minhash_lsh_pairs
+
+    return {"df": minhash_lsh_pairs(df, id_col, text_col, threshold=float(threshold))}
+
+
+@plugin("dedup_clusters")
+def dedup_clusters_plugin(
+    ctx: StepContext, pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", **kw: Any
+) -> dict[str, Any]:
+    from shared_etl_pipelines_spark.operators.dedup import connected_components
+
+    return {"df": connected_components(pairs, src=src, dst=dst)}
+
+
+@plugin("stratified_sample")
+def stratified_sample_plugin(
+    ctx: StepContext,
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict,
+    default_rate: float = 0.0,
+    **kw: Any,
+) -> dict[str, Any]:
+    from shared_etl_pipelines_spark.operators.sampling import stratified_sample
+
+    return {
+        "df": stratified_sample(
+            df, key_col, strata_col,
+            {k: float(v) for k, v in rates.items()}, float(default_rate),
+        )
+    }

@@ -52,3 +52,37 @@ def test_rollsum_pipeline_chain(spark, sf_dir, tmp_path):
     runner2 = PipelineRunner(spark, env={"sf_dir": sf_dir, "basedir": str(tmp_path)})
     res2 = runner2.run(os.path.join(EXAMPLES, "stage_daily_cells.yml"))
     assert res2.outputs["landed"]["skipped"]
+
+
+def test_dedup_curation_pipeline(spark, sf_dir):
+    import os
+
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+    from shared_etl_pipelines_spark.operators.sampling import stratified_sample
+    from shared_etl_pipelines_spark.plans import PipelineRunner, PipelineSpec
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "shared_etl_pipelines_spark", "plans", "examples", "dedup_curation.yml",
+    )
+    runner = PipelineRunner(spark)
+    result = runner.run(path, var_overrides={"sf_dir": sf_dir})
+    got = result.outputs["result"]["df"]
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    keepers = docs.join(
+        comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).filter(
+        F.col("component").isNull() | (F.col("component") == F.col("doc_id"))
+    ).select(docs.columns)
+    want = stratified_sample(keepers, "doc_id", "lang", {"en": 0.5, "es": 0.25}, 0.1)
+    got_ids = {r["doc_id"] for r in got.select("doc_id").collect()}
+    want_ids = {r["doc_id"] for r in want.select("doc_id").collect()}
+    assert got_ids == want_ids and len(got_ids) > 0
