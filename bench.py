@@ -62,13 +62,18 @@ def main() -> None:
         if _excluded(name, qd):
             continue
         best = None
-        for _ in range(reps):
-            t = run_query(qd.fn, spark, sf_dir)
-            best = t if best is None else min(best, t)
-            # isolation: drop caches a query persisted (LSH signature
-            # frames) so reps and later queries start cold and aren't
-            # measured under accumulated heap pressure
+        try:
+            for _ in range(reps):
+                t = run_query(qd.fn, spark, sf_dir)
+                best = t if best is None else min(best, t)
+                # isolation: drop caches a query persisted (LSH signature
+                # frames) so reps and later queries start cold and aren't
+                # measured under accumulated heap pressure
+                spark.catalog.clearCache()
+        except Exception as e:  # one broken query must not sink the run
+            print(f"# {name}: ERROR {type(e).__name__}: {e}", file=sys.stderr)
             spark.catalog.clearCache()
+            continue
         times[name] = round(best, 3)
         print(f"# {name}: {times[name]:.3f}s", file=sys.stderr)
 
