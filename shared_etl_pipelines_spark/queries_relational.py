@@ -1027,3 +1027,46 @@ def q_value_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cume"),
     )
     return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# Sliding exact median — percentile aggregate over a trailing row frame
+# (G2's rolling window × G4's percentile vocabulary). Integer cents make
+# the interpolated median (.5 halves) engine-exact.
+# ---------------------------------------------------------------------------
+@defquery(
+    "rolling_median_7",
+    """
+    WITH c AS (
+      SELECT event_id, user_id, ts,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT event_id, user_id,
+           ROUND(quantile_cont(cents, 0.5) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) / 100.0, 4)
+           AS med_7
+    FROM c
+    """,
+    doc="sliding exact median over a 7-row trailing frame per user",
+    tags=("window", "percentile", "G2", "G4"),
+)
+def q_rolling_median_7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    out = ev.select(
+        "event_id",
+        "user_id",
+        (F.expr("percentile(cents, 0.5)").over(w) / 100.0).alias("med_7"),
+    )
+    return round_floats(out)
