@@ -214,3 +214,61 @@ def test_interval_join_matches_batch(spark, events, drop_dir):
     got_pairs = {(r["l_event"], r["r_event"]) for r in got.collect()}
     want_pairs = {(r["l_event"], r["r_event"]) for r in batch.collect()}
     assert got_pairs == want_pairs and len(want_pairs) > 0
+
+
+def test_checkpoint_resume_exactly_once(spark, events, drop_dir, tmp_path):
+    """Restarting an availableNow query with the same checkpoint processes
+    only files that arrived since the last run — the streaming form of the
+    reference's overwrite:false skip-if-exists (SURVEY.md L7)."""
+    sub, days = drop_dir
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+
+    def run_once():
+        stream = read_drop_dir(
+            spark, sub, events.schema, date_regex=None, max_files_per_trigger=1
+        )
+        agg = stream.select("event_id")
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n_first = spark.read.parquet(sink).count()
+    want_first = events.filter(F.to_date("ts").isin(days)).count()
+    assert n_first == want_first
+
+    # second run, nothing new: no duplicates appended
+    run_once()
+    assert spark.read.parquet(sink).count() == want_first
+
+    # a late-arriving day lands; the resumed query picks up ONLY that file
+    all_days = sorted(
+        r["d"] for r in events.select(F.to_date("ts").alias("d")).distinct().collect()
+    )
+    new_day = next(d for d in all_days if d not in days)
+    import os
+
+    stage = str(tmp_path / "stage_new")
+    (
+        events.filter(F.to_date("ts") == F.lit(new_day))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(stage)
+    )
+    part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+    os.rename(
+        os.path.join(stage, part),
+        os.path.join(sub, f"events_{new_day.strftime('%Y%m%d')}.parquet"),
+    )
+    run_once()
+    want_all = want_first + events.filter(F.to_date("ts") == F.lit(new_day)).count()
+    got = spark.read.parquet(sink)
+    assert got.count() == want_all
+    assert got.distinct().count() == want_all  # exactly-once, no dupes
