@@ -190,28 +190,45 @@ def q_asof_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 @defquery(
     "salted_hot_key_agg",
     """
-    SELECT l_returnflag AS k,
-           ROUND(SUM(l_extendedprice), 4) AS total,
-           COUNT(l_extendedprice) AS n,
-           ROUND(AVG(l_extendedprice), 4) AS mean,
-           ROUND(MAX(l_extendedprice), 4) AS mx
-    FROM lineitem GROUP BY l_returnflag
+    WITH c AS (
+      SELECT l_returnflag AS k,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    )
+    SELECT k,
+           ROUND(SUM(cents) / 100.0, 4) AS total,
+           COUNT(cents) AS n,
+           ROUND((CAST(SUM(cents) AS DOUBLE) / COUNT(cents)) / 100.0, 4) AS mean,
+           ROUND(MAX(cents) / 100.0, 4) AS mx
+    FROM c GROUP BY k
     """,
     doc="salted two-phase aggregate == direct groupBy (skew mitigation)",
     tags=("aggregate", "skew"),
 )
 def q_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem").withColumnRenamed("l_returnflag", "k")
+    # integer cents through BOTH salted phases: the per-salt partial sums
+    # change double-summation order vs a one-pass oracle, and at 1e10
+    # magnitudes the last ulp crosses the 4-decimal rounding boundary
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("k"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
     out = salted_aggregate(
         li,
         ["k"],
         {
-            "total": ("sum", "l_extendedprice"),
-            "n": ("count", "l_extendedprice"),
-            "mean": ("avg", "l_extendedprice"),
-            "mx": ("max", "l_extendedprice"),
+            "total_c": ("sum", "cents"),
+            "n": ("count", "cents"),
+            "mx_c": ("max", "cents"),
         },
         n_salts=16,
+    )
+    out = out.select(
+        "k",
+        (F.col("total_c") / 100.0).alias("total"),
+        "n",
+        ((F.col("total_c").cast("double") / F.col("n")) / 100.0).alias("mean"),
+        (F.col("mx_c") / 100.0).alias("mx"),
     )
     return round_floats(out)
 
