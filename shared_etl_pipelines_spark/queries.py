@@ -206,10 +206,16 @@ def q_multiply_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @defquery(
     "weighted_zonal",
     """
+    WITH c AS (
+      SELECT l_suppkey,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS pc,
+             CAST(l_quantity AS BIGINT) AS q
+      FROM lineitem
+    )
     SELECT n_name AS zone,
-           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4) AS wavg,
-           ROUND(SUM(l_quantity), 4) AS wavg_weight
-    FROM lineitem
+           ROUND((CAST(SUM(pc * q) AS DOUBLE) / SUM(q)) / 100.0, 4) AS wavg,
+           ROUND(CAST(SUM(q) AS DOUBLE), 4) AS wavg_weight
+    FROM c
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN nation   ON s_nationkey = n_nationkey
     GROUP BY n_name
@@ -218,7 +224,13 @@ def q_multiply_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("G8", "aggregate", "join"),
 )
 def q_weighted_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
+    # exact integer partials (2-decimal price x integral quantity): the
+    # weighted sum never depends on double summation order at any scale
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("pc"),
+        F.col("l_quantity").cast("long").alias("q"),
+    )
     sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     cells = li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey).join(
@@ -227,9 +239,14 @@ def q_weighted_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = weighted_zonal_aggregate(
         cells.withColumnRenamed("n_name", "zone"),
         ["zone"],
-        value_col="l_extendedprice",
-        weight_col="l_quantity",
+        value_col="pc",
+        weight_col="q",
         out_col="wavg",
+    )
+    out = out.select(
+        "zone",
+        (F.col("wavg") / 100.0).alias("wavg"),
+        F.col("wavg_weight").cast("double").alias("wavg_weight"),
     )
     return round_floats(out)
 
@@ -343,7 +360,8 @@ def q_spi_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 @defquery(
     "union_combine",
     """
-    SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 4) AS total
+    SELECT o_orderstatus, COUNT(*) AS n,
+           ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0, 4) AS total
     FROM (
       SELECT * FROM orders WHERE o_orderstatus = 'O'
       UNION ALL
@@ -363,7 +381,8 @@ def q_union_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     out = u.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("total")
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0).alias("total"),
     )
     return round_floats(out)
 
@@ -513,38 +532,58 @@ def q_crop_weighted_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 @defquery(
     "pricing_summary",
     """
+    WITH c AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(l_quantity AS BIGINT) AS q,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS pc,
+             CAST(ROUND((1 - l_discount) * 100) AS BIGINT) AS d100,
+             CAST(ROUND((1 + l_tax) * 100) AS BIGINT) AS t100,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS disc100
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    )
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 4)                                        AS sum_qty,
-           ROUND(SUM(l_extendedprice), 4)                                   AS sum_base,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)  AS sum_charge,
-           ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
-           ROUND(AVG(l_discount), 4)                                        AS avg_disc,
-           COUNT(*)                                                         AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+           ROUND(CAST(SUM(q) AS DOUBLE), 4)                        AS sum_qty,
+           ROUND(SUM(pc) / 100.0, 4)                               AS sum_base,
+           ROUND(SUM(pc * d100) / 10000.0, 4)                      AS sum_disc_price,
+           ROUND(SUM(pc * d100 * t100) / 1000000.0, 4)             AS sum_charge,
+           ROUND(CAST(SUM(q) AS DOUBLE) / COUNT(*), 4)             AS avg_qty,
+           ROUND((CAST(SUM(pc) AS DOUBLE) / COUNT(*)) / 100.0, 4)  AS avg_price,
+           ROUND((CAST(SUM(disc100) AS DOUBLE) / COUNT(*)) / 100.0, 4) AS avg_disc,
+           COUNT(*)                                                AS count_order
+    FROM c
     GROUP BY l_returnflag, l_linestatus
     """,
     doc="TPC-H Q1-shaped pricing summary: filtered scan + 8-agg groupBy",
     tags=("aggregate", "scan"),
 )
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H money is fixed-point (2-decimal price, 2-decimal rates,
+    # integral quantity): every sum aggregates exact scaled integers with
+    # ONE division at the end, so results are bit-identical under any
+    # partitioning at any scale
     li = _t(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    out = (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-            F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base"),
-            F.sum(disc_price).alias("sum_disc_price"),
-            F.sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
-            F.avg("l_quantity").alias("avg_qty"),
-            F.avg("l_extendedprice").alias("avg_price"),
-            F.avg("l_discount").alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
-        )
+    c = li.filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("long").alias("q"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("pc"),
+        F.round((1 - F.col("l_discount")) * 100).cast("long").alias("d100"),
+        F.round((1 + F.col("l_tax")) * 100).cast("long").alias("t100"),
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc100"),
+    )
+    n = F.count(F.lit(1))
+    out = c.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("q").cast("double").alias("sum_qty"),
+        (F.sum("pc") / 100.0).alias("sum_base"),
+        (F.sum(F.col("pc") * F.col("d100")) / 10000.0).alias("sum_disc_price"),
+        (F.sum(F.col("pc") * F.col("d100") * F.col("t100")) / 1000000.0).alias("sum_charge"),
+        (F.sum("q").cast("double") / n).alias("avg_qty"),
+        ((F.sum("pc").cast("double") / n) / 100.0).alias("avg_price"),
+        ((F.sum("disc100").cast("double") / n) / 100.0).alias("avg_disc"),
+        n.alias("count_order"),
     )
     return round_floats(out)
 
