@@ -219,3 +219,26 @@ steps:
     assert json.load(open(res.outputs["facts"]["vector_facts_json"]))["row_count"] == 3
     cat = json.load(open(f"{tmp_path}/land/catalog.json"))
     assert cat["raw.tree_v1"]["source_step"] == "04_upsert"
+
+
+def test_pipe_delimited_gz_read(spark, tmp_path):
+    """NASS Quick Stats shape: gzipped pipe-delimited text (S4 — Spark
+    reads .gz natively, so the reference's gunzip step disappears;
+    SURVEY.md §2.1, usda_nass download-quickstats yml:10-17,33)."""
+    import gzip
+
+    p = tmp_path / "qs.crops.txt.gz"
+    with gzip.open(p, "wt") as f:
+        f.write("SOURCE_DESC|YEAR|VALUE\n")
+        f.write("SURVEY|2023|1,234\n")
+        f.write("CENSUS|2022|567\n")
+    from shared_etl_pipelines_spark.plans.builtins import read_csv
+
+    class _Ctx:
+        pass
+
+    ctx = _Ctx()
+    ctx.spark = spark
+    out = read_csv(ctx, str(p), header=True, sep="|")["df"]
+    rows = {(r["SOURCE_DESC"], r["YEAR"], r["VALUE"]) for r in out.collect()}
+    assert rows == {("SURVEY", 2023, "1,234"), ("CENSUS", 2022, "567")}
