@@ -1044,3 +1044,56 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
     )
     return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# Custom group-wise Python operator — applyInPandas (the batch analog of
+# the reference's script-plugin escape hatch, S7/G3 style: arbitrary
+# per-group logic in Python, Arrow-batched per group). Quartiles of
+# integer cents interpolate on dyadic fractions, so even the Python-side
+# computation is bit-identical to the SQL oracle.
+# ---------------------------------------------------------------------------
+@defquery(
+    "user_value_iqr",
+    """
+    WITH c AS (
+      SELECT user_id, CAST(ROUND(value * 100) AS BIGINT) AS cents FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n,
+           ROUND(quantile_cont(cents, 0.25) / 100.0, 4) AS q1,
+           ROUND(quantile_cont(cents, 0.50) / 100.0, 4) AS med,
+           ROUND(quantile_cont(cents, 0.75) / 100.0, 4) AS q3,
+           ROUND((quantile_cont(cents, 0.75) - quantile_cont(cents, 0.25)) / 100.0, 4)
+             AS iqr
+    FROM c GROUP BY user_id
+    """,
+    doc="applyInPandas group-wise op: per-user quartiles/IQR in Python",
+    tags=("llm", "udf", "applyinpandas", "percentile"),
+)
+def q_user_value_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+
+    def iqr(pdf: pd.DataFrame) -> pd.DataFrame:
+        # linear interpolation == SQL quantile_cont; quartile fractions are
+        # dyadic, so cents quartiles are exact in double
+        q1, med, q3 = pdf["cents"].quantile([0.25, 0.5, 0.75], interpolation="linear")
+        return pd.DataFrame(
+            {
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n": [len(pdf)],
+                "q1": [q1 / 100.0],
+                "med": [med / 100.0],
+                "q3": [q3 / 100.0],
+                "iqr": [(q3 - q1) / 100.0],
+            }
+        )
+
+    out = ev.groupBy("user_id").applyInPandas(
+        iqr, schema="user_id long, n long, q1 double, med double, q3 double, iqr double"
+    )
+    return round_floats(out)
