@@ -138,3 +138,82 @@ def zonal_stats_polygons(
     return zonal_aggregate(
         inside, ["zone_id"], value_col, aggregations, value_prefix, approx
     )
+
+
+def bucket_clip(
+    cells: DataFrame,
+    polygons: Iterable[Polygon],
+    cell_size: float,
+    key: str | None = None,
+    value: Any = None,
+    x_col: str = "cx",
+    y_col: str = "cy",
+) -> DataFrame:
+    """G1 clip, bucketed scale path: the plan shape for polygon sets far
+    too large to broadcast-scan per point.
+
+    Each polygon's bbox is rasterized onto a coarse grid (one row per
+    covering grid cell — rows, not driver loops, via sequence+explode);
+    points key into the same grid; candidates come from an EQUI-JOIN on
+    the grid key (hash-partitionable at any polygon cardinality, never a
+    nested-loop scan of all polygons per point); the exact even-odd
+    ray-cast then refines candidates only. With a space-filling-curve id
+    in place of (gx, gy) the same plan bucket-joins on one long key.
+
+    Output == clip_by_polygon (the exact refine makes bucketing invisible
+    in the result; first-containing-polygon dedup keeps one row per point).
+    """
+    selected = [p for p in polygons if key is None or p.attrs.get(key) == value]
+    spark = cells.sparkSession
+    metas = []
+    for idx, p in enumerate(selected):
+        x0, y0, x1, y1 = p.bbox()
+        metas.append((idx, float(x0), float(y0), float(x1), float(y1)))
+    bboxes = spark.createDataFrame(
+        metas, "poly_idx int, x0 double, y0 double, x1 double, y1 double"
+    )
+    g = float(cell_size)
+    cover = bboxes.select(
+        "poly_idx",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("x0") / g).cast("long"),
+                F.floor(F.col("x1") / g).cast("long"),
+            )
+        ).alias("gx"),
+        F.sequence(
+            F.floor(F.col("y0") / g).cast("long"),
+            F.floor(F.col("y1") / g).cast("long"),
+        ).alias("gys"),
+    ).select("poly_idx", "gx", F.explode("gys").alias("gy"))
+
+    # row identity, not value identity: clip must preserve bag semantics
+    # (duplicate input rows stay duplicated), and a row hitting several
+    # overlapping polygons must still emit once — so dedup by a per-row id
+    pts = (
+        cells.withColumn("_rid", F.monotonically_increasing_id())
+        .withColumn("_gx", F.floor(F.col(x_col) / g).cast("long"))
+        .withColumn("_gy", F.floor(F.col(y_col) / g).cast("long"))
+    )
+    cand = pts.join(
+        cover,
+        (pts["_gx"] == cover["gx"]) & (pts["_gy"] == cover["gy"]),
+    ).drop("gx", "gy", "_gx", "_gy")
+
+    rings = {i: np.asarray(p.ring, dtype="float64") for i, p in enumerate(selected)}
+
+    @F.pandas_udf("boolean")
+    def _inside(poly_idx: pd.Series, x: pd.Series, y: pd.Series) -> pd.Series:
+        px = x.to_numpy(dtype="float64")
+        py = y.to_numpy(dtype="float64")
+        pidx = poly_idx.to_numpy()
+        out = np.zeros(len(px), dtype=bool)
+        for i in np.unique(pidx):
+            m = pidx == i
+            out[m] = ray_cast(px[m], py[m], rings[int(i)])
+        return pd.Series(out)
+
+    hits = cand.filter(_inside(F.col("poly_idx"), F.col(x_col), F.col(y_col))).drop(
+        "poly_idx"
+    )
+    return hits.dropDuplicates(["_rid"]).drop("_rid")

@@ -137,3 +137,24 @@ def q_zonal_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         approx=True,
     )
     return round_floats(out)
+
+
+@defquery(
+    "geo_clip_bucketed",
+    f"""
+    WITH cells AS ({_CELLS_SQL})
+    SELECT l_orderkey, l_linenumber, cx, cy, ROUND(value, 4) AS value
+    FROM cells
+    WHERE {_WEST_SQL} OR {_EASTL_SQL}
+    """,
+    doc="G1 clip via the bucketed scale path: grid-cell equi-join + exact "
+    "ray-cast refine (same oracle as the broadcast clip)",
+    tags=("geo", "G1", "udf", "scale-path"),
+)
+def q_geo_clip_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.operators.geo import bucket_clip
+
+    out = bucket_clip(
+        _cells(spark, sf_dir), POLYGONS, cell_size=8.0, key="stusps", value="MI"
+    )
+    return round_floats(out.select("l_orderkey", "l_linenumber", "cx", "cy", "value"))

@@ -74,3 +74,20 @@ def test_zonal_stats_polygons_hand_check(spark):
     assert out["q"]["med"] == pytest.approx(2.5)
     assert out["q"]["avg"] == pytest.approx(2.5)
     assert all(out["r"][k] == 10.0 for k in ("min", "med", "avg", "max"))
+
+
+def test_bucket_clip_matches_broadcast_clip(spark, sf_dir):
+    """The bucketed scale path and the broadcast path are the same
+    operator semantically — identical result sets."""
+    from shared_etl_pipelines_spark.operators.geo import bucket_clip, clip_by_polygon
+    from shared_etl_pipelines_spark.queries_geo import POLYGONS, _cells
+
+    cells = _cells(spark, sf_dir)
+    a = clip_by_polygon(cells, POLYGONS, key="stusps", value="MI")
+    b = bucket_clip(cells, POLYGONS, cell_size=5.0, key="stusps", value="MI")
+    from collections import Counter
+
+    cols = ["l_orderkey", "l_linenumber", "cx", "cy", "value"]
+    ca = Counter(tuple(r) for r in a.select(cols).collect())
+    cb = Counter(tuple(r) for r in b.select(cols).collect())
+    assert ca == cb and sum(ca.values()) > 0

@@ -120,3 +120,11 @@ def test_global_ntile_no_single_partition_exchange(spark, sf):
     p = phys(REGISTRY["ntile_order_quartiles"].fn(spark, sf))
     assert "SinglePartition" not in p
     assert "rangepartitioning" in p
+
+
+def test_bucket_clip_is_equi_join(spark, sf):
+    """The bucketed geo clip must candidate-generate via a hash equi-join
+    on grid keys — never a nested-loop over all polygons per point."""
+    p = phys(REGISTRY["geo_clip_bucketed"].fn(spark, sf))
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "HashJoin" in p
