@@ -144,3 +144,11 @@ def lang_id(toks: Column) -> Column:
             out
         )
     return out
+
+
+def redact(text: Column | str, pattern: str, replacement: str = "<X>") -> Column:
+    """Regex redaction (the PII-scrub primitive of a training-data
+    pipeline): replace every match of ``pattern``. Stays JVM-side; the
+    pattern subset used must be RE2-compatible so the oracle can mirror it."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_replace(c, pattern, replacement)

@@ -1097,3 +1097,36 @@ def q_user_value_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         iqr, schema="user_id long, n long, q1 double, med double, q3 double, iqr double"
     )
     return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# Text scrubbing — regex redaction with per-doc match accounting (the
+# PII-removal shape: in this synthetic corpus the target is a stopword).
+# ---------------------------------------------------------------------------
+@defquery(
+    "text_scrub_redactions",
+    r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\bthe\b')) AS BIGINT) AS n_redacted,
+           substring(regexp_replace(text, '\bthe\b', '<W>', 'g'), 1, 40) AS scrubbed_prefix
+    FROM documents
+    WHERE regexp_matches(text, '\bthe\b')
+    """,
+    doc="regex redaction scrub: replace pattern, count matches per doc",
+    tags=("llm", "text", "scrub"),
+)
+def q_text_scrub_redactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.functions.text import redact
+
+    docs = _t(spark, sf_dir, "documents")
+    pat = r"\bthe\b"
+    out = (
+        docs.withColumn("n_redacted", F.size(F.regexp_extract_all("text", F.lit(pat), F.lit(0))).cast("long"))
+        .filter(F.col("n_redacted") > 0)
+        .select(
+            "doc_id",
+            "n_redacted",
+            F.substring(redact(F.col("text"), pat, "<W>"), 1, 40).alias("scrubbed_prefix"),
+        )
+    )
+    return out
