@@ -1078,23 +1078,33 @@ def q_user_value_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", F.round(F.col("value") * 100).cast("long").alias("cents")
     )
 
-    def iqr(pdf: pd.DataFrame) -> pd.DataFrame:
-        # linear interpolation == SQL quantile_cont; quartile fractions are
-        # dyadic, so cents quartiles are exact in double
-        q1, med, q3 = pdf["cents"].quantile([0.25, 0.5, 0.75], interpolation="linear")
-        return pd.DataFrame(
+    def iqr_partition(pdfs):
+        # MANY-SMALL-GROUPS pattern: groupBy().applyInPandas crosses
+        # JVM->Python once PER GROUP — ruinous for thousands of tiny
+        # groups. Repartition by key co-locates each group, then ONE
+        # mapInPandas call per partition runs a pandas groupby over all
+        # of them (linear interpolation == quantile_cont; dyadic quartile
+        # fractions over integer cents are exact in double).
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        if pdf.empty:
+            return
+        g = pdf.groupby("user_id")["cents"]
+        q = g.quantile([0.25, 0.5, 0.75]).unstack()
+        out = pd.DataFrame(
             {
-                "user_id": [pdf["user_id"].iloc[0]],
-                "n": [len(pdf)],
-                "q1": [q1 / 100.0],
-                "med": [med / 100.0],
-                "q3": [q3 / 100.0],
-                "iqr": [(q3 - q1) / 100.0],
+                "user_id": q.index.to_numpy(),
+                "n": g.size().reindex(q.index).to_numpy(),
+                "q1": (q[0.25] / 100.0).to_numpy(),
+                "med": (q[0.5] / 100.0).to_numpy(),
+                "q3": (q[0.75] / 100.0).to_numpy(),
+                "iqr": ((q[0.75] - q[0.25]) / 100.0).to_numpy(),
             }
         )
+        yield out
 
-    out = ev.groupBy("user_id").applyInPandas(
-        iqr, schema="user_id long, n long, q1 double, med double, q3 double, iqr double"
+    out = ev.repartition("user_id").mapInPandas(
+        iqr_partition,
+        schema="user_id long, n long, q1 double, med double, q3 double, iqr double",
     )
     return round_floats(out)
 
