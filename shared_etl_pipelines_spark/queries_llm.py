@@ -1140,3 +1140,46 @@ def q_text_scrub_redactions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding statistics — the normalization pass an ML
+# pipeline computes before training (feature means/ranges). posexplode
+# makes dimensions rows; micro-scaled integers (FLOOR, not ROUND — floor of an
+# IEEE-identical product is bit-equal across engines; round's tie rule
+# is not) make the means exact.
+# ---------------------------------------------------------------------------
+@defquery(
+    "embedding_dim_stats",
+    """
+    WITH e AS (
+      SELECT UNNEST(embedding) AS x,
+             generate_subscripts(embedding, 1) - 1 AS dim
+      FROM embeddings
+    ),
+    m AS (SELECT dim, CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT) AS micro FROM e)
+    SELECT dim, COUNT(*) AS n,
+           CAST(FLOOR(CAST(SUM(micro) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mean_micro,
+           MIN(micro) AS lo_micro,
+           MAX(micro) AS hi_micro
+    FROM m GROUP BY dim
+    """,
+    doc="per-dimension embedding stats (feature-normalization pass)",
+    tags=("llm", "vector", "aggregate"),
+)
+def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"))
+    m = e.select("dim", F.floor(F.col("x") * 1000000).cast("long").alias("micro"))
+    # outputs stay micro-scaled BIGINT: a 6-decimal value re-rounded to 4
+    # decimals lands exactly on .5 boundaries, where the engines' rounding
+    # rules disagree — integers have no rounding surface at all
+    out = m.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.floor(F.sum("micro").cast("double") / F.count(F.lit(1)))
+        .cast("long")
+        .alias("mean_micro"),
+        F.min("micro").alias("lo_micro"),
+        F.max("micro").alias("hi_micro"),
+    )
+    return out.withColumn("dim", F.col("dim").cast("long"))
