@@ -158,3 +158,31 @@ def test_connected_components_chain_and_islands(spark):
         r["node"]: r["component"] for r in connected_components(edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_operators_handle_empty_input(spark):
+    """Empty frames must flow through without errors or phantom rows."""
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.operators.dedup import (
+        connected_components,
+        fuzzy_pairs,
+        minhash_lsh_pairs,
+    )
+    from shared_etl_pipelines_spark.operators.hypertable import gap_fill_locf
+    from shared_etl_pipelines_spark.operators.sampling import stratified_sample
+    from shared_etl_pipelines_spark.operators.windows import global_ntile
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert minhash_lsh_pairs(empty_docs, "doc_id", "text").count() == 0
+    assert fuzzy_pairs(empty_docs, "text").count() == 0
+
+    no_edges = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(no_edges).count() == 0
+
+    empty_daily = spark.createDataFrame([], "k long, day date, v long")
+    assert gap_fill_locf(empty_daily, "k", "day", "v", "2024-01-01", "2024-01-03").count() == 0
+
+    empty_keys = spark.createDataFrame([], "k long, g string")
+    assert stratified_sample(empty_keys, "k", "g", {"a": 1.0}).count() == 0
+    assert global_ntile(spark.createDataFrame([(1,)], "k long"), ["k"], 4).count() == 1
