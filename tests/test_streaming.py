@@ -272,3 +272,44 @@ def test_checkpoint_resume_exactly_once(spark, events, drop_dir, tmp_path):
     got = spark.read.parquet(sink)
     assert got.count() == want_all
     assert got.distinct().count() == want_all  # exactly-once, no dupes
+
+
+def test_foreach_batch_into_partitioned_warehouse(spark, events, drop_dir, tmp_path):
+    """Streaming micro-batches land in the date-partitioned warehouse via
+    foreachBatch + dynamic partition overwrite: re-delivery of a day
+    replaces that day's partition instead of duplicating it (P3 semantics
+    in streaming form)."""
+    from shared_etl_pipelines_spark.sources.warehouse import (
+        read_partitioned,
+        write_partitioned,
+    )
+
+    sub, days = drop_dir
+    wh = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt2")
+    stream = read_drop_dir(
+        spark, sub, events.schema, date_regex=None, max_files_per_trigger=1
+    )
+
+    def sink(batch_df, batch_id):
+        staged = batch_df.withColumn("day", F.to_date("ts"))
+        write_partitioned(staged, wh, ["day"], mode="overwrite", dynamic=True)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = read_partitioned(spark, wh)
+    want = events.filter(F.to_date("ts").isin(days))
+    assert got.count() == want.count()
+    assert {str(r["day"]) for r in got.select("day").distinct().collect()} == {
+        str(d) for d in days
+    }
+    # partition dirs exist per day (the warehouse layout, not one blob)
+    import os
+
+    assert sum(1 for p in os.listdir(wh) if p.startswith("day=")) == len(days)
