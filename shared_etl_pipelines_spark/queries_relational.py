@@ -1087,3 +1087,52 @@ def q_rolling_median_7(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.expr("percentile(cents, 0.5)").over(w) / 100.0).alias("med_7"),
     )
     return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# Advanced aggregates — argmax/argmin (max_by/min_by) and deterministic
+# array aggregation (collect_set sorted; unordered bags never hash-match).
+# ---------------------------------------------------------------------------
+@defquery(
+    "priority_extremes",
+    """
+    WITH c AS (
+      SELECT o_orderpriority, o_orderkey, o_orderstatus,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT o_orderpriority,
+           max_by(o_orderkey, cents * 10000000 + o_orderkey) AS top_order,
+           min_by(o_orderkey, cents * 10000000 - o_orderkey) AS bottom_order,
+           ROUND(MAX(cents) / 100.0, 4) AS top_price,
+           array_to_string(list_sort(list_distinct(list(o_orderstatus))), ',') AS statuses
+    FROM c GROUP BY o_orderpriority
+    """,
+    doc="argmax/argmin aggregates (max_by/min_by) + sorted array_agg",
+    tags=("aggregate", "argmax", "array"),
+)
+def q_priority_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # deterministic tie-break via a composite integer key (cents shifted
+    # past the key space): max side prefers the larger orderkey on equal
+    # price, min side also prefers the larger orderkey (subtracting it)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    out = o.groupBy("o_orderpriority").agg(
+        F.max_by(
+            "o_orderkey", F.col("cents") * 10000000 + F.col("o_orderkey")
+        ).alias("top_order"),
+        F.min_by(
+            "o_orderkey", F.col("cents") * 10000000 - F.col("o_orderkey")
+        ).alias("bottom_order"),
+        (F.max("cents") / 100.0).alias("top_price"),
+        # string-join the sorted set: array-typed outputs stringify
+        # differently per client (numpy vs list) and break value hashing
+        F.array_join(F.sort_array(F.collect_set("o_orderstatus")), ",").alias(
+            "statuses"
+        ),
+    )
+    return round_floats(out)

@@ -40,6 +40,11 @@ def norm_cell(v):
         if math.isnan(v):
             return "NaN"
         return v
+    # arrays/lists (numpy from Spark, list from DuckDB): canonical tuple
+    if hasattr(v, "tolist"):
+        return tuple(v.tolist())
+    if isinstance(v, (list, tuple)):
+        return tuple(v)
     return v
 
 
