@@ -71,6 +71,67 @@ def gap_fill_locf(
     )
 
 
+def gap_fill_interpolate(
+    df: DataFrame,
+    key_col: str,
+    day_col: str,
+    value_col: str,
+    start: str,
+    end: str,
+) -> DataFrame:
+    """Dense daily spine per key with LINEAR interpolation across gaps.
+
+    TimescaleDB's time_bucket_gapfill + interpolate(), as one Spark plan:
+    the spine join is identical to :func:`gap_fill_locf`; the fill then
+    needs BOTH neighbors of each gap — previous observed (value, day) from
+    an expanding window, next observed (value, day) from the reversed
+    expanding window — and fills
+    ``prev + (next - prev) * (day - prev_day) / (next_day - prev_day)``.
+
+    Edges (before the first / after the last observation) have only one
+    neighbor and stay NULL — interpolation never extrapolates. Both window
+    passes reuse the same (key, day) sort, so the physical plan sorts once
+    per direction within an already key-partitioned exchange; at scale
+    this is two window stages over the spine, no extra shuffle beyond the
+    one the spine join already required.
+
+    Columns out: key, day (DATE), ``{value_col}_interp``, was_gap.
+    """
+    days = F.explode(
+        F.sequence(F.lit(start).cast("date"), F.lit(end).cast("date"))
+    ).alias(day_col)
+    spine = df.select(key_col).distinct().select(F.col(key_col), days)
+    joined = spine.join(df, [key_col, day_col], "left")
+
+    w_back = (
+        Window.partitionBy(key_col)
+        .orderBy(day_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_fwd = (
+        Window.partitionBy(key_col)
+        .orderBy(day_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    observed_day = F.when(F.col(value_col).isNotNull(), F.col(day_col))
+    prev_v = F.last(value_col, ignorenulls=True).over(w_back)
+    prev_d = F.last(observed_day, ignorenulls=True).over(w_back)
+    next_v = F.first(value_col, ignorenulls=True).over(w_fwd)
+    next_d = F.first(observed_day, ignorenulls=True).over(w_fwd)
+
+    span = F.datediff(next_d, prev_d)
+    offset = F.datediff(F.col(day_col), prev_d)
+    interp = F.when(F.col(value_col).isNotNull(), F.col(value_col).cast("double")).otherwise(
+        prev_v + (next_v - prev_v) * offset / span
+    )
+    return joined.select(
+        F.col(key_col),
+        F.col(day_col),
+        interp.alias(f"{value_col}_interp"),
+        F.when(F.col(value_col).isNull(), F.lit(1)).otherwise(F.lit(0)).alias("was_gap"),
+    )
+
+
 def hypertable_rollup(
     df: DataFrame,
     ts_col: str,

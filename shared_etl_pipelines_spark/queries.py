@@ -592,6 +592,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 # multimodal) and the streaming queries — these modules append to REGISTRY
 # on import. Imports sit at the bottom so defquery/round_floats exist when
 # they re-enter this module.
+from shared_etl_pipelines_spark import queries_analytics  # noqa: E402,F401
 from shared_etl_pipelines_spark import queries_geo  # noqa: E402,F401
 from shared_etl_pipelines_spark import queries_llm  # noqa: E402,F401
 from shared_etl_pipelines_spark import queries_relational  # noqa: E402,F401

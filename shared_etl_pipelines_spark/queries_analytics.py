@@ -1,0 +1,348 @@
+"""Event-analytics + robust-statistics coverage, each with a DuckDB oracle.
+
+Operators a reference user running event/telemetry pipelines would need
+next, beyond SURVEY.md §2's inventory: staged conversion funnels,
+deterministic per-key mode, MAD-based robust outlier flagging,
+regression/correlation aggregates, CDC keep-latest dedup, and linear
+gap-fill interpolation (the TimescaleDB `interpolate()` analog to the
+existing LOCF query).
+
+Scale posture: every query here is shuffle-minimal by construction —
+funnel stages reuse the user_id hash partitioning across all three
+stage joins (AQE coalesces them); mode and keep-latest are single
+window passes over one exchange; MAD is the unavoidable two-pass
+median (each pass a tiny per-group reduce); the regression aggregates
+are one map-side-combinable pass (Welford-style merge states).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from shared_etl_pipelines_spark.queries import defquery, round_floats
+from shared_etl_pipelines_spark.sources.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Staged conversion funnel: view -> click -> purchase, strictly ordered in
+# event time per user. Each stage's timestamp must be strictly after the
+# previous stage's (a re-ordered click does not count). Generalizes the
+# reference's step-DAG sequencing (SURVEY.md §2.4 L1) from pipeline steps
+# to per-entity event sequences.
+# ---------------------------------------------------------------------------
+@defquery(
+    "event_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id,
+           1 + (CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END)
+             + (CASE WHEN p.user_id IS NOT NULL THEN 1 ELSE 0 END) AS stage
+    FROM v
+    LEFT JOIN c ON v.user_id = c.user_id
+    LEFT JOIN p ON v.user_id = p.user_id
+    """,
+    doc="ordered view->click->purchase funnel: deepest stage reached per user",
+    tags=("events", "funnel", "join"),
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    out = (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            (
+                F.lit(1)
+                + F.when(F.col("t_click").isNotNull(), 1).otherwise(0)
+                + F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("stage"),
+        )
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-key MODE. Built-in mode() has engine-specific tie
+# behavior, so both sides compute it explicitly: count per (key, value),
+# rank by (count DESC, value ASC) — reproducible under any partitioning.
+# ---------------------------------------------------------------------------
+@defquery(
+    "mode_event_type",
+    """
+    WITH counts AS (
+      SELECT user_id, event_type, COUNT(*) AS n
+      FROM events GROUP BY user_id, event_type
+    ),
+    ranked AS (
+      SELECT user_id, event_type, n,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY n DESC, event_type
+             ) AS rn
+      FROM counts
+    )
+    SELECT user_id, event_type AS mode_type, n AS n_events
+    FROM ranked WHERE rn = 1
+    """,
+    doc="deterministic per-user modal event type (count desc, value asc tie-break)",
+    tags=("events", "aggregate", "window"),
+)
+def q_mode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("user_id").orderBy(F.col("n").desc(), F.col("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("mode_type"), F.col("n").alias("n_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust outlier detection: median absolute deviation per group, flag
+# |x - med| > 3 * 1.4826 * MAD. Two exact-percentile passes (median, then
+# median of absolute deviations) — the structure matches on both sides so
+# the double arithmetic is bit-identical.
+# ---------------------------------------------------------------------------
+@defquery(
+    "outlier_mad",
+    """
+    WITH base AS (
+      SELECT l_returnflag AS grp, l_extendedprice AS v FROM lineitem
+    ),
+    med AS (
+      SELECT grp, quantile_cont(v, 0.5) AS med FROM base GROUP BY grp
+    ),
+    mad AS (
+      SELECT b.grp, quantile_cont(ABS(b.v - m.med), 0.5) AS mad
+      FROM base b JOIN med m ON b.grp = m.grp GROUP BY b.grp
+    )
+    SELECT b.grp AS returnflag,
+           ROUND(m.med, 4) AS med,
+           ROUND(d.mad, 4) AS mad,
+           SUM(CASE WHEN ABS(b.v - m.med) > 3 * 1.4826 * d.mad
+                    THEN 1 ELSE 0 END) AS n_outliers,
+           COUNT(*) AS n
+    FROM base b
+    JOIN med m ON b.grp = m.grp
+    JOIN mad d ON b.grp = d.grp
+    GROUP BY b.grp, m.med, d.mad
+    """,
+    doc="per-group MAD robust outlier count (3-sigma-equivalent fence)",
+    tags=("aggregate", "percentile", "quality"),
+)
+def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("grp"), F.col("l_extendedprice").alias("v")
+    )
+    med = base.groupBy("grp").agg(F.percentile("v", F.lit(0.5)).alias("med"))
+    with_med = base.join(F.broadcast(med), "grp")
+    mad = (
+        with_med.withColumn("adev", F.abs(F.col("v") - F.col("med")))
+        .groupBy("grp")
+        .agg(F.percentile("adev", F.lit(0.5)).alias("mad"))
+    )
+    out = (
+        with_med.join(F.broadcast(mad), "grp")
+        .groupBy("grp", "med", "mad")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("v") - F.col("med"))
+                    > F.lit(3) * F.lit(1.4826) * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.col("grp").alias("returnflag"), "med", "mad", "n_outliers", "n"
+        )
+    )
+    return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# Regression / correlation aggregates: one map-side-combinable pass
+# (Welford merge states in both engines).
+# ---------------------------------------------------------------------------
+@defquery(
+    "qty_price_regression",
+    """
+    SELECT l_returnflag AS returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 4)            AS qp_corr,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 4)      AS qp_covar,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4)      AS price_per_qty,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4)  AS price_at_zero,
+           COUNT(*) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="per-group Pearson corr, sample covariance, OLS slope/intercept",
+    tags=("aggregate", "statistics"),
+)
+def q_qty_price_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    out = li.groupBy(F.col("l_returnflag").alias("returnflag")).agg(
+        F.corr("l_quantity", "l_extendedprice").alias("qp_corr"),
+        F.covar_samp("l_quantity", "l_extendedprice").alias("qp_covar"),
+        F.regr_slope("l_extendedprice", "l_quantity").alias("price_per_qty"),
+        F.regr_intercept("l_extendedprice", "l_quantity").alias("price_at_zero"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# CDC keep-latest dedup: collapse an event stream to each key's most
+# recent record (ties broken by event_id — total order). The row-level
+# generalization of the reference's catalog upsert (SURVEY.md §2.3 O5):
+# same keyed-latest-wins semantics the merge applies at file granularity.
+# ---------------------------------------------------------------------------
+@defquery(
+    "dedup_keep_latest",
+    """
+    WITH ranked AS (
+      SELECT user_id, event_id, event_type, value, ts,
+             ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+             ) AS rn
+      FROM events
+    )
+    SELECT user_id,
+           event_id AS last_event_id,
+           event_type AS last_type,
+           ROUND(value, 4) AS last_value,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts
+    FROM ranked WHERE rn = 1
+    """,
+    doc="CDC-style keep-latest-per-key dedup (ts desc, id desc tie-break)",
+    tags=("dedup", "window", "cdc"),
+)
+def q_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    out = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("last_ts"),
+        )
+    )
+    return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# Gap fill + LINEAR interpolation (TimescaleDB interpolate() analog;
+# complements the LOCF query). Daily cents per user on a dense spine;
+# gaps filled by the line between the two surrounding observations;
+# edges (no neighbor on one side) stay NULL — never extrapolates.
+# ---------------------------------------------------------------------------
+@defquery(
+    "gap_fill_interpolated",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    spine AS (
+      SELECT u.user_id, CAST(d.day AS DATE) AS day
+      FROM (SELECT DISTINCT user_id FROM events) u
+      CROSS JOIN (
+        SELECT UNNEST(generate_series(DATE '2024-01-01', DATE '2024-01-30',
+                                      INTERVAL 1 DAY)) AS day
+      ) d
+    ),
+    j AS (
+      SELECT s.user_id, s.day, dl.cents,
+             LAST_VALUE(dl.cents IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+             LAST_VALUE(CASE WHEN dl.cents IS NOT NULL THEN s.day END
+                        IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_d,
+             FIRST_VALUE(dl.cents IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+             FIRST_VALUE(CASE WHEN dl.cents IS NOT NULL THEN s.day END
+                         IGNORE NULLS) OVER (
+               PARTITION BY s.user_id ORDER BY s.day
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d
+      FROM spine s LEFT JOIN daily dl
+        ON s.user_id = dl.user_id AND s.day = dl.day
+    )
+    SELECT user_id,
+           strftime(day, '%Y-%m-%d') AS day,
+           ROUND(CASE WHEN cents IS NOT NULL THEN CAST(cents AS DOUBLE)
+                      ELSE prev_v + (next_v - prev_v)
+                           * DATE_DIFF('day', prev_d, day)
+                           / DATE_DIFF('day', prev_d, next_d)
+                 END / 100.0, 4) AS cents_interp,
+           CASE WHEN cents IS NULL THEN 1 ELSE 0 END AS was_gap
+    FROM j
+    """,
+    doc="gap fill + linear interpolation over a dense per-key daily spine",
+    tags=("timeseries", "gap-fill", "window", "hypertable"),
+)
+def q_gap_fill_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.operators.hypertable import gap_fill_interpolate
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    filled = gap_fill_interpolate(
+        daily, "user_id", "day", "cents", "2024-01-01", "2024-01-30"
+    )
+    out = filled.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        (F.col("cents_interp") / 100.0).alias("cents_interp"),
+        "was_gap",
+    )
+    return round_floats(out)

@@ -1,0 +1,151 @@
+"""Unit tests for the analytics operators: hand-computed interpolation,
+funnel ordering semantics, deterministic mode, MAD fences."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from shared_etl_pipelines_spark.operators.hypertable import gap_fill_interpolate
+
+
+def _d(s):
+    return datetime.date.fromisoformat(s)
+
+
+def test_interpolate_fills_linear_and_keeps_edges_null(spark):
+    df = spark.createDataFrame(
+        [
+            (1, _d("2024-01-02"), 100),
+            (1, _d("2024-01-05"), 400),
+            (1, _d("2024-01-06"), 0),
+        ],
+        "k int, day date, v long",
+    )
+    out = gap_fill_interpolate(df, "k", "day", "v", "2024-01-01", "2024-01-07")
+    rows = {r["day"].isoformat(): (r["v_interp"], r["was_gap"]) for r in out.collect()}
+    assert len(rows) == 7
+    # edge before first observation: NULL, still flagged as gap
+    assert rows["2024-01-01"] == (None, 1)
+    # observed days pass through exactly
+    assert rows["2024-01-02"] == (100.0, 0)
+    assert rows["2024-01-05"] == (400.0, 0)
+    assert rows["2024-01-06"] == (0.0, 0)
+    # interior gap: linear between (01-02, 100) and (01-05, 400)
+    assert rows["2024-01-03"] == (200.0, 1)
+    assert rows["2024-01-04"] == (300.0, 1)
+    # edge after last observation: NULL (never extrapolates)
+    assert rows["2024-01-07"] == (None, 1)
+
+
+def test_interpolate_empty_input(spark):
+    df = spark.createDataFrame([], "k int, day date, v long")
+    out = gap_fill_interpolate(df, "k", "day", "v", "2024-01-01", "2024-01-03")
+    assert out.count() == 0  # no keys -> empty spine, not an error
+
+
+def test_interpolate_single_observation_no_fabrication(spark):
+    df = spark.createDataFrame([(7, _d("2024-01-02"), 50)], "k int, day date, v long")
+    out = gap_fill_interpolate(df, "k", "day", "v", "2024-01-01", "2024-01-03")
+    rows = {r["day"].isoformat(): r["v_interp"] for r in out.collect()}
+    assert rows == {"2024-01-01": None, "2024-01-02": 50.0, "2024-01-03": None}
+
+
+def test_funnel_requires_strict_event_order(spark, sf_dir):
+    """A click BEFORE the first view must not advance the funnel."""
+    from shared_etl_pipelines_spark.queries import REGISTRY
+
+    ts = datetime.datetime
+    ev = spark.createDataFrame(
+        [
+            # user 1: full ordered funnel
+            (1, 1, "view", ts(2024, 1, 1, 0, 0)),
+            (2, 1, "click", ts(2024, 1, 1, 1, 0)),
+            (3, 1, "purchase", ts(2024, 1, 1, 2, 0)),
+            # user 2: click precedes the only view -> stuck at stage 1
+            (4, 2, "click", ts(2024, 1, 1, 0, 0)),
+            (5, 2, "view", ts(2024, 1, 1, 1, 0)),
+            # user 3: purchase before click -> stage 2
+            (6, 3, "view", ts(2024, 1, 1, 0, 0)),
+            (7, 3, "purchase", ts(2024, 1, 1, 1, 0)),
+            (8, 3, "click", ts(2024, 1, 1, 2, 0)),
+            # user 4: never viewed -> absent from the funnel
+            (9, 4, "purchase", ts(2024, 1, 1, 0, 0)),
+        ],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    # rebuild the query body against the synthetic frame
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    out = (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            (
+                F.lit(1)
+                + F.when(F.col("t_click").isNotNull(), 1).otherwise(0)
+                + F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0)
+            ).alias("stage"),
+        )
+    )
+    stages = {r["user_id"]: r["stage"] for r in out.collect()}
+    assert stages == {1: 3, 2: 1, 3: 2}
+
+    # and the registry entry runs end-to-end on real data
+    df = REGISTRY["event_funnel"].fn(spark, sf_dir)
+    assert df.count() > 0
+    assert set(df.columns) == {"user_id", "stage"}
+
+
+def test_mode_deterministic_tiebreak(spark, sf_dir):
+    from shared_etl_pipelines_spark.queries import REGISTRY
+
+    df = REGISTRY["mode_event_type"].fn(spark, sf_dir)
+    rows = df.collect()
+    # one row per user, mode is one of the five types
+    assert len(rows) == df.select("user_id").distinct().count()
+    assert set(r["mode_type"] for r in rows) <= {
+        "view", "click", "purchase", "signup", "error",
+    }
+
+
+def test_outlier_mad_fence(spark):
+    """Hand-checkable: 9 points at 0..8 plus one at 1000 -> exactly 1 outlier."""
+    data = [("A", float(i)) for i in range(9)] + [("A", 1000.0)]
+    df = spark.createDataFrame(data, "grp string, v double")
+    med = df.groupBy("grp").agg(F.percentile("v", F.lit(0.5)).alias("med"))
+    j = df.join(med, "grp")
+    mad = j.withColumn("adev", F.abs(F.col("v") - F.col("med"))).groupBy("grp").agg(
+        F.percentile("adev", F.lit(0.5)).alias("mad")
+    )
+    out = (
+        j.join(mad, "grp")
+        .groupBy("grp", "med", "mad")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("v") - F.col("med"))
+                    > F.lit(3) * F.lit(1.4826) * F.col("mad"),
+                    1,
+                ).otherwise(0)
+            ).alias("n_outliers")
+        )
+        .collect()[0]
+    )
+    assert out["med"] == 4.5  # even count -> interpolated median
+    assert out["n_outliers"] == 1
