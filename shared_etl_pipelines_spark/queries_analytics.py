@@ -276,6 +276,152 @@ def q_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Weekly cohort retention: users grouped by first-activity week, counted
+# per week-offset of later activity. Two shuffles total (per-user first
+# day, then distinct per cohort cell) — both on keys the 100 TB layout
+# would already bucket by.
+# ---------------------------------------------------------------------------
+@defquery(
+    "cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id,
+             CAST(DATE_TRUNC('week', f.first_day) AS DATE) AS cohort_week,
+             CAST(FLOOR(DATE_DIFF('day', f.first_day, CAST(e.ts AS DATE)) / 7.0)
+                  AS BIGINT) AS week_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           week_offset,
+           COUNT(*) AS n_active
+    FROM activity GROUP BY cohort_week, week_offset
+    """,
+    doc="weekly cohort x week-offset retention matrix",
+    tags=("events", "cohort", "aggregate"),
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select("user_id", F.col("ts").cast("date").alias("day"))
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            F.date_trunc("week", "first_day").cast("date").alias("cohort_week"),
+            F.floor(F.datediff("day", "first_day") / F.lit(7.0)).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+    ).agg(F.count(F.lit(1)).alias("n_active"))
+
+
+# ---------------------------------------------------------------------------
+# Weighted median (weighted percentile): G8's weighting vocabulary fused
+# with G4's percentile vocabulary. No engine builtin on either side, so
+# both compute the same deterministic plan: pre-aggregate ties on the
+# value, cumulative-weight window, first value whose cumulative weight
+# crosses half the total. Quantities are whole numbers, so every sum is
+# exact and the crossing comparison is engine-independent.
+# ---------------------------------------------------------------------------
+@defquery(
+    "weighted_median",
+    """
+    WITH w AS (
+      SELECT l_returnflag AS grp, l_extendedprice AS v,
+             SUM(l_quantity) AS wt
+      FROM lineitem GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT grp, v, wt,
+             SUM(wt) OVER (PARTITION BY grp ORDER BY v) AS cum_w,
+             SUM(wt) OVER (PARTITION BY grp) AS tot_w
+      FROM w
+    )
+    SELECT grp AS returnflag,
+           ROUND(MIN(v), 4) AS weighted_median,
+           ROUND(MAX(tot_w), 4) AS total_weight
+    FROM c WHERE cum_w >= 0.5 * tot_w GROUP BY grp
+    """,
+    doc="qty-weighted median price per group via cumulative-weight crossing",
+    tags=("aggregate", "percentile", "weighted"),
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    w = li.groupBy(
+        F.col("l_returnflag").alias("grp"), F.col("l_extendedprice").alias("v")
+    ).agg(F.sum("l_quantity").alias("wt"))
+    win_cum = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    win_all = Window.partitionBy("grp")
+    c = w.select(
+        "grp",
+        "v",
+        F.sum("wt").over(win_cum).alias("cum_w"),
+        F.sum("wt").over(win_all).alias("tot_w"),
+    )
+    out = (
+        c.filter(F.col("cum_w") >= 0.5 * F.col("tot_w"))
+        .groupBy(F.col("grp").alias("returnflag"))
+        .agg(
+            F.min("v").alias("weighted_median"),
+            F.max("tot_w").alias("total_weight"),
+        )
+    )
+    return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# True time-RANGE trailing window: per-user trailing-24h sum by actual
+# event-time range (rangeBetween on epoch seconds), not row frames — the
+# irregular-cadence complement to G2's row-frame rolling sums. Ties in
+# the order key are range-peers on both engines, so the frame is
+# deterministic; cents keep the sums exact.
+# ---------------------------------------------------------------------------
+@defquery(
+    "time_range_rolling",
+    """
+    WITH e AS (
+      SELECT user_id, event_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS epoch_s,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT user_id, event_id,
+           ROUND(SUM(cents) OVER (
+             PARTITION BY user_id ORDER BY epoch_s
+             RANGE BETWEEN 86399 PRECEDING AND CURRENT ROW) / 100.0, 4)
+           AS trailing_24h
+    FROM e
+    """,
+    doc="per-user trailing-24h sum over a time-range frame (irregular cadence)",
+    tags=("window", "timeseries", "range-frame"),
+)
+def q_time_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("long").alias("epoch_s"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = Window.partitionBy("user_id").orderBy("epoch_s").rangeBetween(-86399, 0)
+    out = ev.select(
+        "user_id",
+        "event_id",
+        (F.sum("cents").over(w) / 100.0).alias("trailing_24h"),
+    )
+    return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
 # Gap fill + LINEAR interpolation (TimescaleDB interpolate() analog;
 # complements the LOCF query). Daily cents per user on a dense spine;
 # gaps filled by the line between the two surrounding observations;

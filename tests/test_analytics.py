@@ -149,3 +149,49 @@ def test_outlier_mad_fence(spark):
     )
     assert out["med"] == 4.5  # even count -> interpolated median
     assert out["n_outliers"] == 1
+
+
+def test_weighted_median_hand_computed(spark):
+    """weights shift the median away from the unweighted one."""
+    # values 1..4; weight 10 on value 4 dominates -> weighted median = 4
+    df = spark.createDataFrame(
+        [("A", 1.0, 1), ("A", 2.0, 1), ("A", 3.0, 1), ("A", 4.0, 10)],
+        "grp string, v double, wt long",
+    )
+    from pyspark.sql import Window
+
+    w = df.groupBy("grp", "v").agg(F.sum("wt").alias("wt"))
+    win_cum = (
+        Window.partitionBy("grp")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = w.select(
+        "grp", "v",
+        F.sum("wt").over(win_cum).alias("cum_w"),
+        F.sum("wt").over(Window.partitionBy("grp")).alias("tot_w"),
+    )
+    row = (
+        c.filter(F.col("cum_w") >= 0.5 * F.col("tot_w"))
+        .groupBy("grp")
+        .agg(F.min("v").alias("wm"))
+        .collect()[0]
+    )
+    assert row["wm"] == 4.0
+
+
+def test_time_range_frame_differs_from_row_frame(spark):
+    """Range frame must include peers/time-window, not a fixed row count."""
+    from pyspark.sql import Window
+
+    # events at t=0, 10, 100_000 (outside 24h of nothing), values 1,2,4
+    df = spark.createDataFrame(
+        [(1, 0, 1), (1, 10, 2), (1, 100_000, 4)],
+        "user_id long, epoch_s long, cents long",
+    )
+    w = Window.partitionBy("user_id").orderBy("epoch_s").rangeBetween(-86399, 0)
+    rows = {
+        r["epoch_s"]: r["s"]
+        for r in df.select("epoch_s", F.sum("cents").over(w).alias("s")).collect()
+    }
+    assert rows == {0: 1, 10: 3, 100_000: 4}  # last event sees only itself
