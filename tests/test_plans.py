@@ -128,3 +128,31 @@ def test_bucket_clip_is_equi_join(spark, sf):
     p = phys(REGISTRY["geo_clip_bucketed"].fn(spark, sf))
     assert "BroadcastNestedLoopJoin" not in p
     assert "HashJoin" in p
+
+
+def test_dedup_keep_latest_single_exchange(spark, sf):
+    # keep-latest is one row_number window: exactly one shuffle on the key
+    plan = phys(REGISTRY["dedup_keep_latest"].fn(spark, sf))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_time_range_rolling_single_exchange(spark, sf):
+    # the range-frame window reuses one user_id shuffle; no join, no sort
+    # beyond the window's own
+    plan = phys(REGISTRY["time_range_rolling"].fn(spark, sf))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_weighted_median_two_exchanges(spark, sf):
+    # pre-aggregate ties on (grp, v), then both windows share the grp
+    # partitioning: two exchanges total, never three
+    plan = phys(REGISTRY["weighted_median"].fn(spark, sf))
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_event_funnel_no_nested_loop(spark, sf):
+    # every stage join is an equi-join on user_id (hash-joinable); a theta
+    # formulation would plan as BroadcastNestedLoopJoin and die at scale
+    plan = phys(REGISTRY["event_funnel"].fn(spark, sf))
+    assert "BroadcastNestedLoopJoin" not in plan
