@@ -276,6 +276,29 @@ def q_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 100 TB path for COUNT(DISTINCT): HyperLogLog++ sketches. The exact twin
+# (`distinct_aggs`) is oracle-checked; this registers the mergeable
+# bounded-memory formulation a 1000-executor cluster would actually run —
+# one map-side-combinable pass, no per-group value buffering, sketch
+# error <= the declared rsd. Rows-only: sketch internals are
+# engine-specific, so no DuckDB hash parity is possible by construction.
+# ---------------------------------------------------------------------------
+@defquery(
+    "distinct_users_approx",
+    None,  # HLL++ sketch values are engine-specific — rows-only check
+    doc="approx_count_distinct (HLL++, rsd=0.01) per event_type — the "
+    "mergeable scale path for the exact distinct_aggs twin",
+    tags=("aggregate", "approx", "scale-path", "sketch"),
+)
+def q_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("n_users_approx"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Weekly cohort retention: users grouped by first-activity week, counted
 # per week-offset of later activity. Two shuffles total (per-user first
 # day, then distinct per cohort cell) — both on keys the 100 TB layout

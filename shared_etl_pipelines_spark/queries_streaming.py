@@ -147,6 +147,44 @@ def q_stream_dedup_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "stream_static_enrichment",
+    None,  # watermark emission semantics are not ANSI-SQL-expressible
+    doc="stream-static join: streaming events enriched against the static "
+    "customer dimension (broadcast per micro-batch), then tumbling daily "
+    "counts per market segment",
+    tags=("streaming", "join", "enrichment"),
+)
+def q_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static equi-join: the canonical streaming enrichment shape.
+
+    The static side is a batch DataFrame re-resolved every micro-batch
+    (picks up dimension updates between batches); Spark plans it as a
+    broadcast against each micro-batch, so no streaming state is kept for
+    the join itself — only the downstream windowed aggregate holds state.
+    """
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.sources.tables import load_table
+    from shared_etl_pipelines_spark.streaming import tumbling_agg
+
+    ev = _events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = ev.join(F.broadcast(dim), "user_id", "left").withColumn(
+        "segment", F.coalesce("c_mktsegment", F.lit("<unknown>"))
+    )
+    agg = tumbling_agg(
+        enriched,
+        "ts",
+        "1 day",
+        ["segment"],
+        {"n": "count(1)", "total": "sum(value)"},
+    )
+    return _run(agg, "append")
+
+
+@defquery(
     "stream_interval_join",
     None,  # watermark-bounded stream-stream join state is streaming-only
     doc="stream-stream interval join: clicks -> purchases by the same user "

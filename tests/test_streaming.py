@@ -313,3 +313,43 @@ def test_foreach_batch_into_partitioned_warehouse(spark, events, drop_dir, tmp_p
     import os
 
     assert sum(1 for p in os.listdir(wh) if p.startswith("day=")) == len(days)
+
+
+def test_stream_static_join_matches_batch(spark, events, drop_dir, sf_dir):
+    """Stream-static enrichment: every emitted (window, segment) row must
+    equal the batch join+window on the same days."""
+    from shared_etl_pipelines_spark.sources.tables import load_table
+    from shared_etl_pipelines_spark.streaming import read_drop_dir, tumbling_agg
+
+    sub, days = drop_dir
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    stream = read_drop_dir(spark, sub, events.schema, date_regex=None)
+    enriched = stream.join(F.broadcast(dim), "user_id", "left").withColumn(
+        "segment", F.coalesce("c_mktsegment", F.lit("<unknown>"))
+    )
+    agg = tumbling_agg(
+        enriched, "ts", "1 day", ["segment"],
+        {"n": "count(1)", "total": "sum(value)"},
+    )
+    got = _run_stream(agg, "enrich", spark)
+
+    batch = (
+        events.filter(F.to_date("ts").isin(days))
+        .join(F.broadcast(dim), "user_id", "left")
+        .withColumn("segment", F.coalesce("c_mktsegment", F.lit("<unknown>")))
+        .groupBy(F.window("ts", "1 day").alias("win"), "segment")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+    )
+    got_rows = {
+        (r["window_start"], r["segment"]): (r["n"], round(r["total"], 6))
+        for r in got.collect()
+    }
+    want_rows = {
+        (r["win"]["start"], r["segment"]): (r["n"], round(r["total"], 6))
+        for r in batch.collect()
+    }
+    assert len(got_rows) > 0
+    for k, v in got_rows.items():
+        assert want_rows[k] == v
