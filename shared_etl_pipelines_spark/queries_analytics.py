@@ -276,6 +276,92 @@ def q_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Column profiling: every column's null/distinct/min/max in ONE scan
+# (engine-native form of the reference's vector_facts post-hoc profiler,
+# pipelines/tiger/county.yml:36-41). Exact multi-distinct expands the
+# aggregate; the sketch path for profiling at 100 TB swaps count_distinct
+# for approx_count_distinct (see distinct_users_approx).
+# ---------------------------------------------------------------------------
+_PROFILE_SQL_ONE = """
+    SELECT '{c}' AS col, COUNT(*) AS n,
+           SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,
+           COUNT(DISTINCT {c}) AS n_distinct,
+           {minx} AS min_str, {maxx} AS max_str
+    FROM orders
+"""
+
+
+def _profile_sql(col: str, numeric: bool) -> str:
+    if numeric:
+        minx = f"CAST(ROUND(CAST(MIN({col}) AS DOUBLE), 4) AS VARCHAR)"
+        maxx = f"CAST(ROUND(CAST(MAX({col}) AS DOUBLE), 4) AS VARCHAR)"
+    else:
+        minx, maxx = f"CAST(MIN({col}) AS VARCHAR)", f"CAST(MAX({col}) AS VARCHAR)"
+    return _PROFILE_SQL_ONE.format(c=col, minx=minx, maxx=maxx)
+
+
+@defquery(
+    "data_quality_profile",
+    " UNION ALL ".join(
+        [
+            _profile_sql("o_orderkey", True),
+            _profile_sql("o_custkey", True),
+            _profile_sql("o_totalprice", True),
+            _profile_sql("o_orderstatus", False),
+            _profile_sql("o_orderpriority", False),
+        ]
+    ),
+    doc="single-pass column profile: n/null/distinct/min/max per column",
+    tags=("quality", "profiling", "aggregate"),
+)
+def q_data_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.operators.quality import profile_columns
+
+    o = _t(spark, sf_dir, "orders")
+    return profile_columns(
+        o, ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus", "o_orderpriority"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# Declarative expectations: named row-level invariants folded into ONE
+# aggregation pass — the publish-gate a warehouse pipeline runs before
+# every write (engine-native form of the reference's ON_ERROR_STOP /
+# skip-if-exists run discipline). NULL predicate results count as
+# violations.
+# ---------------------------------------------------------------------------
+_EXPECT_CASES = {
+    "qty_positive": "l_quantity > 0",
+    "discount_unit_interval": "l_discount >= 0 AND l_discount <= 1",
+    "tax_nonneg": "l_tax >= 0",
+    "price_positive": "l_extendedprice > 0",
+    "returnflag_domain": "l_returnflag IN ('A', 'N', 'R')",
+    "shipdate_not_null": "l_shipdate IS NOT NULL",
+}
+
+
+@defquery(
+    "expectations_check",
+    " UNION ALL ".join(
+        f"""
+        SELECT '{name}' AS check_name, COUNT(*) AS n_rows,
+               SUM(CASE WHEN {cond} THEN 0 ELSE 1 END) AS n_violations,
+               SUM(CASE WHEN {cond} THEN 0 ELSE 1 END) = 0 AS pass
+        FROM lineitem
+        """
+        for name, cond in _EXPECT_CASES.items()
+    ),
+    doc="declarative row-level expectations, all folded into one pass",
+    tags=("quality", "expectations", "aggregate"),
+)
+def q_expectations_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.operators.quality import check_expectations
+
+    li = _t(spark, sf_dir, "lineitem")
+    return check_expectations(li, {name: F.expr(cond) for name, cond in _EXPECT_CASES.items()})
+
+
+# ---------------------------------------------------------------------------
 # 100 TB path for COUNT(DISTINCT): HyperLogLog++ sketches. The exact twin
 # (`distinct_aggs`) is oracle-checked; this registers the mergeable
 # bounded-memory formulation a 1000-executor cluster would actually run —

@@ -195,3 +195,47 @@ def test_time_range_frame_differs_from_row_frame(spark):
         for r in df.select("epoch_s", F.sum("cents").over(w).alias("s")).collect()
     }
     assert rows == {0: 1, 10: 3, 100_000: 4}  # last event sees only itself
+
+
+def test_profile_columns_nulls_and_types(spark):
+    from shared_etl_pipelines_spark.operators.quality import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.5), (2, None, 999.0), (None, "b", None), (2, "a", 0.25)],
+        "k long, s string, v double",
+    )
+    rows = {r["col"]: r for r in profile_columns(df).collect()}
+    assert rows["k"]["n"] == 4
+    assert rows["k"]["n_null"] == 1
+    assert rows["k"]["n_distinct"] == 2  # distinct ignores NULL
+    assert rows["k"]["min_str"] == "1.0" and rows["k"]["max_str"] == "2.0"
+    # numeric max must be numeric, not lexicographic: 999.0 > 10.5
+    assert rows["v"]["max_str"] == "999.0" and rows["v"]["min_str"] == "0.25"
+    assert rows["s"]["n_null"] == 1 and rows["s"]["min_str"] == "a"
+
+
+def test_check_expectations_null_counts_as_violation(spark):
+    from shared_etl_pipelines_spark.operators.quality import check_expectations
+
+    df = spark.createDataFrame([(1.0,), (-2.0,), (None,)], "v double")
+    rows = {
+        r["check_name"]: r
+        for r in check_expectations(
+            df, {"v_positive": F.col("v") > 0, "v_not_null": F.col("v").isNotNull()}
+        ).collect()
+    }
+    # -2.0 fails, NULL fails (unevaluable check did not hold)
+    assert rows["v_positive"]["n_violations"] == 2
+    assert rows["v_positive"]["pass"] is False
+    assert rows["v_not_null"]["n_violations"] == 1
+    assert rows["v_positive"]["n_rows"] == 3
+
+
+def test_profile_is_single_scan(spark):
+    """The whole profile must be one aggregation job, not one per column."""
+    from shared_etl_pipelines_spark.operators.quality import profile_columns
+
+    df = spark.range(100).selectExpr("id AS a", "id % 3 AS b")
+    plan = profile_columns(df)._jdf.queryExecution().executedPlan().toString()
+    # one scan of the input, however many columns are profiled
+    assert plan.count("Scan ExistingRDD") + plan.count("Range") == 1
