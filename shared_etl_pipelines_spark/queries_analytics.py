@@ -276,6 +276,94 @@ def q_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Ratio-to-report: each nation's share of its region's revenue — the
+# aggregate-over-aggregate window shape. Revenue sums as exact integer
+# cents; only the final share division is floating point, and it is the
+# same two operands on both engines.
+# ---------------------------------------------------------------------------
+@defquery(
+    "revenue_share_of_region",
+    """
+    WITH rev AS (
+      SELECT n.n_regionkey AS regionkey, n.n_name AS nation,
+             SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT nation,
+           ROUND(cents / 100.0, 4) AS revenue,
+           ROUND(CAST(cents AS DOUBLE)
+                 / SUM(cents) OVER (PARTITION BY regionkey), 4) AS share_of_region
+    FROM rev
+    """,
+    doc="ratio-to-report: nation revenue share within region (window over agg)",
+    tags=("window", "aggregate", "ratio"),
+)
+def q_revenue_share_of_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey"), F.col("n_regionkey").alias("regionkey"), F.col("n_name").alias("nation")
+    )
+    rev = (
+        o.join(F.broadcast(c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)),
+               o.o_custkey == F.col("c_custkey"))
+        .groupBy("regionkey", "nation")
+        .agg(F.sum("cents").alias("cents"))
+    )
+    w = Window.partitionBy("regionkey")
+    out = rev.select(
+        "nation",
+        (F.col("cents") / 100.0).alias("revenue"),
+        (F.col("cents").cast("double") / F.sum("cents").over(w)).alias("share_of_region"),
+    )
+    return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# first/last/nth_value full-frame windows: each customer's order-value
+# trajectory (first, second, latest order). Ordering carries the unique
+# o_orderkey tie-break so every engine picks the same rows.
+# ---------------------------------------------------------------------------
+@defquery(
+    "customer_order_trajectory",
+    """
+    SELECT DISTINCT o_custkey,
+           ROUND(FIRST_VALUE(o_totalprice) OVER w, 4) AS first_order,
+           ROUND(NTH_VALUE(o_totalprice, 2) OVER w, 4) AS second_order,
+           ROUND(LAST_VALUE(o_totalprice) OVER w, 4) AS latest_order,
+           COUNT(*) OVER w AS n_orders
+    FROM orders
+    WINDOW w AS (
+      PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+    )
+    """,
+    doc="first/second/latest order value per customer (full-frame windows)",
+    tags=("window", "nth-value"),
+)
+def q_customer_order_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    out = o.select(
+        "o_custkey",
+        F.first("o_totalprice").over(w).alias("first_order"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_order"),
+        F.last("o_totalprice").over(w).alias("latest_order"),
+        F.count(F.lit(1)).over(w).alias("n_orders"),
+    ).distinct()
+    return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
 # Column profiling: every column's null/distinct/min/max in ONE scan
 # (engine-native form of the reference's vector_facts post-hoc profiler,
 # pipelines/tiger/county.yml:36-41). Exact multi-distinct expands the
