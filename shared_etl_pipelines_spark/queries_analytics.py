@@ -276,6 +276,39 @@ def q_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Z-order (Morton) clustering key: bit-for-bit parity with the SQL
+# formulation — the write-layout primitive behind multi-column data
+# skipping (operators/layout.py; skipping effect proven on parquet
+# row-group stats in tests/test_analytics.py).
+# ---------------------------------------------------------------------------
+def _zorder_oracle() -> str:
+    from shared_etl_pipelines_spark.operators.layout import zorder_sql
+
+    return f"""
+    SELECT p_partkey, p_size,
+           {zorder_sql(['p_partkey', 'p_size'], bits=11)} AS zkey
+    FROM part
+    """
+
+
+@defquery(
+    "zorder_clustering_key",
+    _zorder_oracle(),
+    doc="Morton bit-interleave clustering key over (p_partkey, p_size)",
+    tags=("layout", "zorder", "scale-path"),
+)
+def q_zorder_clustering_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.operators.layout import zorder_key
+
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        "p_size",
+        zorder_key(["p_partkey", "p_size"], bits=11).alias("zkey"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Ratio-to-report: each nation's share of its region's revenue — the
 # aggregate-over-aggregate window shape. Revenue sums as exact integer
 # cents; only the final share division is floating point, and it is the

@@ -239,3 +239,56 @@ def test_profile_is_single_scan(spark):
     plan = profile_columns(df)._jdf.queryExecution().executedPlan().toString()
     # one scan of the input, however many columns are profiled
     assert plan.count("Scan ExistingRDD") + plan.count("Range") == 1
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from shared_etl_pipelines_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame([(0b101, 0b011)], "a long, b int")
+    z = df.select(zorder_key(["a", "b"], bits=3).alias("z")).collect()[0]["z"]
+    # a bits land at even positions (0,2,4), b bits at odd (1,3,5):
+    # a=101 -> set bits at 0 and 4 ; b=011 -> set bits at 1 and 3
+    assert z == 0b011011
+
+
+def test_zorder_write_improves_multi_column_skipping(spark, tmp_path):
+    """Row-group min/max spans must be tight on BOTH clustered columns;
+    a single-column sort leaves the other column unclustered."""
+    import pyarrow.parquet as pq
+
+    from shared_etl_pipelines_spark.operators.layout import write_zordered
+
+    df = (
+        spark.range(20_000)
+        .selectExpr("CAST(id % 1024 AS LONG) AS x", "CAST((id * 7) % 1024 AS LONG) AS y")
+    )
+
+    def span_fraction(path, col):
+        """Mean fraction of the value domain each row group's [min,max] covers."""
+        spans, n = 0.0, 0
+        for piece in __import__("pathlib").Path(path).glob("*.parquet"):
+            f = pq.ParquetFile(str(piece))
+            idx = f.schema_arrow.names.index(col)
+            for rg in range(f.metadata.num_row_groups):
+                st = f.metadata.row_group(rg).column(idx).statistics
+                spans += (st.max - st.min) / 1023.0
+                n += 1
+        return spans / n
+
+    z_path = str(tmp_path / "zordered")
+    s_path = str(tmp_path / "xsorted")
+    write_zordered(df, z_path, ["x", "y"], bits=10, n_files=8)
+    (
+        df.repartitionByRange(8, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(s_path)
+    )
+
+    # x-sorted layout: x is tight but y spans ~everything per row group
+    assert span_fraction(s_path, "y") > 0.9
+    # z-ordered layout: BOTH columns' spans shrink substantially (a
+    # contiguous z-range of fraction f covers ~sqrt(f) of each axis plus
+    # curve-boundary slop — far below the unclustered ~1.0)
+    assert span_fraction(z_path, "x") < 0.6
+    assert span_fraction(z_path, "y") < 0.6
