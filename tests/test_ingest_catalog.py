@@ -242,3 +242,45 @@ def test_pipe_delimited_gz_read(spark, tmp_path):
     out = read_csv(ctx, str(p), header=True, sep="|")["df"]
     rows = {(r["SOURCE_DESC"], r["YEAR"], r["VALUE"]) for r in out.collect()}
     assert rows == {("SURVEY", 2023, "1,234"), ("CENSUS", 2022, "567")}
+
+
+def test_stac_python_datasource(spark, stac_catalog):
+    """S5 as a native Spark read: predicates applied at the source,
+    one row per (item, asset), partition-parallel."""
+    from shared_etl_pipelines_spark.sources.stac_datasource import StacItemsDataSource
+
+    spark.dataSource.register(StacItemsDataSource)
+    df = (
+        spark.read.format("stac_items")
+        .option("path", str(stac_catalog))
+        .option("collection", "sentinel-2-l2a")
+        .option("query_json", '{"eo:cloud_cover": {"lt": 20}}')
+        .option("asset_keys", "B02,SCL")
+        .load()
+    )
+    rows = df.collect()
+    # cloud_cover 5 and 15 pass, 45 filtered; 2 asset keys each
+    assert len(rows) == 4
+    assert {r["item_id"] for r in rows} == {"item0", "item1"}
+    assert {r["asset_key"] for r in rows} == {"B02", "SCL"}
+    assert all(r["asset_href"].startswith("file://") for r in rows)
+    props = json.loads(rows[0]["properties_json"])
+    assert "eo:cloud_cover" in props
+
+    # datetime range + bbox filters, same semantics as the ingest task
+    df2 = (
+        spark.read.format("stac_items")
+        .option("path", str(stac_catalog))
+        .option("datetime", "2025-06-02T00:00:00Z/..")
+        .load()
+    )
+    assert {r["item_id"] for r in df2.collect()} == {"item1", "item2"}
+    df3 = (
+        spark.read.format("stac_items")
+        .option("path", str(stac_catalog))
+        .option("bbox", "-86.5,41.0,-86.0,44.0")
+        .load()
+    )
+    # items whose bbox intersects [-86.5, -86.0]: item0 (-86,-85) touches,
+    # item1 (-87,-86) touches, item2 (-88,-87) does not
+    assert {r["item_id"] for r in df3.collect()} == {"item0", "item1"}
