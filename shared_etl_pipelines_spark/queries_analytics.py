@@ -276,6 +276,41 @@ def q_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Distribution-of-distribution (TPC-H Q13 shape): LEFT OUTER join keeps
+# customers with zero orders, first GROUP BY counts orders per customer,
+# second GROUP BY counts customers per order-count. Two shuffles, the
+# second over a tiny domain — the classic two-level aggregation plan.
+# ---------------------------------------------------------------------------
+@defquery(
+    "customer_order_distribution",
+    """
+    WITH per_cust AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS n_orders
+      FROM customer c
+      LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT n_orders, COUNT(*) AS n_customers
+    FROM per_cust GROUP BY n_orders
+    """,
+    doc="TPC-H Q13 shape: customers-per-order-count histogram via outer join",
+    tags=("join", "outer", "aggregate", "tpch"),
+)
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+# ---------------------------------------------------------------------------
 # Z-order (Morton) clustering key: bit-for-bit parity with the SQL
 # formulation — the write-layout primitive behind multi-column data
 # skipping (operators/layout.py; skipping effect proven on parquet
