@@ -353,3 +353,38 @@ def test_stream_static_join_matches_batch(spark, events, drop_dir, sf_dir):
     assert len(got_rows) > 0
     for k, v in got_rows.items():
         assert want_rows[k] == v
+
+
+def test_event_replay_python_stream_source(spark, sf_dir, tmp_path):
+    """Offset-based Python streaming source: one replay must deliver every
+    row exactly once, partition-parallel within the batch."""
+    import uuid as _uuid
+
+    from shared_etl_pipelines_spark.sources.replay_stream import EventReplayDataSource
+
+    spark.dataSource.register(EventReplayDataSource)
+    path = os.path.join(sf_dir, "events.parquet")
+    name = f"replay_{_uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("event_replay")
+        .option("path", path)
+        .option("slice_rows", "1500")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(once=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.table(name)
+    import pyarrow.parquet as pq
+
+    n_expected = pq.ParquetFile(path).metadata.num_rows
+    assert got.count() == n_expected
+    # exactly-once: no duplicated or dropped event ids
+    assert got.select("event_id").distinct().count() == n_expected
+    # schema contract: ISO timestamp strings survive the Arrow roundtrip
+    row = got.orderBy("event_id").first()
+    assert row["ts_iso"].startswith("20")
