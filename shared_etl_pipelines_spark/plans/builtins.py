@@ -291,3 +291,60 @@ def stratified_sample_plugin(
             {k: float(v) for k, v in rates.items()}, float(default_rate),
         )
     }
+
+
+# -- data quality gates (engine-native form of the reference's run
+#    discipline: ON_ERROR_STOP / skip-if-exists guard the publish path;
+#    here the gate is row-level and declarative) ----------------------------
+@plugin("profile_columns")
+def profile_columns_plugin(
+    ctx: StepContext, df: DataFrame, cols: list[str] | None = None, **kw: Any
+) -> dict[str, Any]:
+    from shared_etl_pipelines_spark.operators.quality import profile_columns
+
+    return {"df": profile_columns(df, cols)}
+
+
+@plugin("expect")
+def expect_plugin(
+    ctx: StepContext,
+    df: DataFrame,
+    checks: dict,
+    fail_on_violation: bool = True,
+    **kw: Any,
+) -> dict[str, Any]:
+    """Evaluate named SQL-expression expectations; optionally abort the
+    pipeline (the ON_ERROR_STOP analog) when any check has violations.
+
+    Returns the per-check result frame either way, so a non-failing mode
+    can route it to a sink for monitoring.
+    """
+    from shared_etl_pipelines_spark.operators.quality import check_expectations
+
+    result = check_expectations(df, {name: F.expr(cond) for name, cond in checks.items()})
+    if fail_on_violation:
+        bad = [
+            f"{r['check_name']} ({r['n_violations']}/{r['n_rows']})"
+            for r in result.collect()
+            if r["n_violations"] > 0
+        ]
+        if bad:
+            raise RuntimeError(f"expectations failed: {', '.join(bad)}")
+    return {"df": result}
+
+
+# -- write layout (Z-order clustering, operators/layout.py) -----------------
+@plugin("write_zordered")
+def write_zordered_plugin(
+    ctx: StepContext,
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    n_files: int = 8,
+    **kw: Any,
+) -> dict[str, Any]:
+    from shared_etl_pipelines_spark.operators.layout import write_zordered
+
+    write_zordered(df, path, cols, bits=int(bits), n_files=int(n_files))
+    return {"path": path}

@@ -86,3 +86,40 @@ def test_dedup_curation_pipeline(spark, sf_dir):
     got_ids = {r["doc_id"] for r in got.select("doc_id").collect()}
     want_ids = {r["doc_id"] for r in want.select("doc_id").collect()}
     assert got_ids == want_ids and len(got_ids) > 0
+
+
+def test_quality_gate_pipeline_publishes(spark, sf_dir, tmp_path):
+    """Profile -> expectations gate -> z-ordered publish, as one pipeline."""
+    from shared_etl_pipelines_spark.plans import PipelineRunner
+
+    runner = PipelineRunner(spark, env={"sf_dir": sf_dir, "basedir": str(tmp_path)})
+    res = runner.run(os.path.join(EXAMPLES, "quality_gate.yml"))
+    prof = {r["col"]: r for r in res.outputs["profile"]["df"].collect()}
+    assert prof["l_quantity"]["n_null"] == 0
+    gate = {r["check_name"]: r for r in res.outputs["gate"]["df"].collect()}
+    assert all(r["pass"] for r in gate.values())
+    out = spark.read.parquet(str(tmp_path / "published_lineitem"))
+    n = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    assert out.count() == n
+
+
+def test_quality_gate_aborts_on_violation(spark, sf_dir, tmp_path):
+    """A failing expectation must stop the pipeline BEFORE the publish step."""
+    import pytest as _pytest
+    import yaml
+
+    from shared_etl_pipelines_spark.plans import PipelineRunner
+
+    with open(os.path.join(EXAMPLES, "quality_gate.yml")) as f:
+        doc = yaml.safe_load(f)
+    # inject an impossible invariant
+    for step in doc["steps"]:
+        if step["plugin"] == "expect":
+            step["args"]["checks"]["impossible"] = "l_quantity > 1000000"
+    bad = tmp_path / "bad_gate.yml"
+    bad.write_text(yaml.dump(doc))
+
+    runner = PipelineRunner(spark, env={"sf_dir": sf_dir, "basedir": str(tmp_path / "bad")})
+    with _pytest.raises(Exception, match="expectations failed.*impossible"):
+        runner.run(str(bad))
+    assert not (tmp_path / "bad" / "published_lineitem").exists()
