@@ -276,6 +276,73 @@ def q_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Recursive CTE (Spark 4): ancestor-chain depth histogram over the
+# deterministic decimal-tree hierarchy parent(k) = floor(k/10). The
+# declarative twin of the iterative connected-components operator —
+# recursion expressed IN the plan, identical SQL on both engines.
+# ---------------------------------------------------------------------------
+_RECURSIVE_SQL = """
+    WITH RECURSIVE up AS (
+      SELECT c_custkey AS node, c_custkey AS ancestor, 0 AS depth
+      FROM customer
+      UNION ALL
+      SELECT node, CAST(FLOOR(ancestor / 10.0) AS BIGINT), depth + 1
+      FROM up WHERE ancestor > 0
+    )
+    SELECT depth, COUNT(*) AS n_nodes, SUM(ancestor) AS ancestor_sum
+    FROM up GROUP BY depth
+"""
+
+
+@defquery(
+    "recursive_ancestor_depths",
+    _RECURSIVE_SQL,
+    doc="recursive CTE: decimal-tree ancestor chains per depth (Spark 4)",
+    tags=("recursive", "hierarchy", "spark4"),
+)
+def q_recursive_ancestor_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_rec_v")
+    return spark.sql(_RECURSIVE_SQL.replace("FROM customer", "FROM customer_rec_v"))
+
+
+# ---------------------------------------------------------------------------
+# VARIANT type (Spark 4): JSON props parsed ONCE into the binary variant
+# encoding, then typed path access — the scale path for repeated
+# semi-structured access (per-path string re-parsing is the slow way;
+# the existing json_props_rollup keeps the portable get_json_object
+# form). Oracle extracts the same path with DuckDB's JSON functions.
+# ---------------------------------------------------------------------------
+@defquery(
+    "props_variant_stats",
+    """
+    SELECT event_type,
+           SUM(k) AS k_sum, MIN(k) AS k_min, MAX(k) AS k_max, COUNT(*) AS n
+    FROM (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    GROUP BY event_type
+    """,
+    doc="typed stats over a VARIANT path (parse_json once, variant_get)",
+    tags=("json", "variant", "spark4", "aggregate"),
+)
+def q_props_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("k_sum"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Distribution-of-distribution (TPC-H Q13 shape): LEFT OUTER join keeps
 # customers with zero orders, first GROUP BY counts orders per customer,
 # second GROUP BY counts customers per order-count. Two shuffles, the
