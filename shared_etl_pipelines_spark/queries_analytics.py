@@ -276,6 +276,60 @@ def q_dedup_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Int8 embedding quantization: per-dimension min/max scaling to [0,255]
+# codes — 4x storage reduction for the ANN scale path (codes join the
+# LSH/IVF searches; exact rerank reads the float vectors for candidates
+# only). All arithmetic is integer-exact after the micro-scaling floor
+# (same discipline as embedding_dim_stats): quantize to micro ints, then
+# (micro - lo) * 255 // range via double floor-div of exact integers.
+# ---------------------------------------------------------------------------
+@defquery(
+    "embedding_quantize_int8",
+    """
+    WITH e AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(FLOOR(CAST(UNNEST(embedding) AS DOUBLE) * 1000000) AS BIGINT)
+               AS micro
+      FROM embeddings
+    ),
+    m AS (SELECT dim, MIN(micro) AS lo, MAX(micro) AS hi FROM e GROUP BY dim)
+    SELECT e.vec_id, e.dim,
+           CASE WHEN m.hi = m.lo THEN 0
+                ELSE CAST(FLOOR(CAST((e.micro - m.lo) * 255 AS DOUBLE)
+                                / (m.hi - m.lo)) AS BIGINT)
+           END AS code
+    FROM e JOIN m ON e.dim = m.dim
+    """,
+    doc="per-dimension int8 quantization codes (min/max scaling, exact ints)",
+    tags=("llm", "vector", "quantization", "scale-path"),
+)
+def q_embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x"),
+    ).select(
+        "vec_id",
+        F.col("dim").cast("long").alias("dim"),
+        F.floor(F.col("x") * 1000000).cast("long").alias("micro"),
+    )
+    m = e.groupBy("dim").agg(F.min("micro").alias("lo"), F.max("micro").alias("hi"))
+    out = e.join(F.broadcast(m), "dim").select(
+        "vec_id",
+        "dim",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.floor(
+                ((F.col("micro") - F.col("lo")) * 255).cast("double")
+                / (F.col("hi") - F.col("lo"))
+            ).cast("long")
+        )
+        .alias("code"),
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
 # Recursive CTE (Spark 4): ancestor-chain depth histogram over the
 # deterministic decimal-tree hierarchy parent(k) = floor(k/10). The
 # declarative twin of the iterative connected-components operator —

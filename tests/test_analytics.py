@@ -292,3 +292,17 @@ def test_zorder_write_improves_multi_column_skipping(spark, tmp_path):
     # curve-boundary slop — far below the unclustered ~1.0)
     assert span_fraction(z_path, "x") < 0.6
     assert span_fraction(z_path, "y") < 0.6
+
+
+def test_embedding_quantization_codes_in_range(spark, sf_dir):
+    """Codes live in [0,255]; min and max of every dimension hit the rails."""
+    from shared_etl_pipelines_spark.queries import REGISTRY
+
+    df = REGISTRY["embedding_quantize_int8"].fn(spark, sf_dir)
+    stats = df.groupBy("dim").agg(
+        F.min("code").alias("lo"), F.max("code").alias("hi")
+    ).collect()
+    assert len(stats) == 64
+    for r in stats:
+        assert r["lo"] == 0  # the dimension minimum quantizes to 0
+        assert 250 <= r["hi"] <= 255  # the maximum lands on/near the top rail
