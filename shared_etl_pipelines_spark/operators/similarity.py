@@ -61,14 +61,19 @@ def _hyperplane(i: int, j: int) -> float:
     return ((i * 37 + j * 101 + 13) % 19 - 9) / 9.0
 
 
-def srp_bucket(vec: F.Column, n_planes: int, dim: int) -> F.Column:
-    """Sign-random-projection bucket id: bit i = (v · h_i) >= 0."""
+def srp_bucket(vec: F.Column, n_planes: int, dim: int, plane_offset: int = 0) -> F.Column:
+    """Sign-random-projection bucket id: bit i = (v · h_{offset+i}) >= 0.
+
+    ``plane_offset`` selects an independent plane family from the shared
+    deterministic sequence — table t of a multi-table LSH uses offset
+    ``t * n_planes``.
+    """
     out = None
     for i in range(n_planes):
         proj = F.aggregate(
             F.zip_with(
                 vec,
-                F.array(*[F.lit(_hyperplane(i, j)) for j in range(dim)]),
+                F.array(*[F.lit(_hyperplane(plane_offset + i, j)) for j in range(dim)]),
                 lambda x, h: x * h,
             ),
             F.lit(0.0),
@@ -87,31 +92,55 @@ def lsh_bucket_topk(
     k: int = 10,
     n_planes: int = 4,
     dim: int = 64,
+    n_tables: int = 4,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's SRP bucket.
+    """Approximate top-k: candidates from the union of the query's SRP
+    bucket across ``n_tables`` independent hash tables.
 
-    At 100 TB the corpus is hash-partitioned by bucket (2^n_planes
-    buckets × multi-probe as needed), so each query scans ~1/2^n of the
-    data. Recall is approximate — compare against brute_force_topk on a
-    sample to tune n_planes.
+    One table misses any neighbor that falls on the far side of a single
+    hyperplane; with L independent tables a neighbor with per-table
+    collision probability p is recalled with 1-(1-p)^L (measured floor
+    pinned in tests/test_llm_operators.py). At 100 TB the corpus is
+    stored once per table, hash-partitioned by (table, bucket) — each
+    query still scans ~L/2^n of the data, candidate generation stays
+    linear, and the (query, candidate) dedup is one shuffle on the pair
+    key before the exact rerank.
     """
-    corpus = _prep(embeddings, id_col, vec_col).withColumn(
-        "bucket", srp_bucket(F.col("v"), n_planes, dim)
+    corpus = _prep(embeddings, id_col, vec_col)
+    qs = _prep(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
     )
-    qs = (
-        _prep(queries, id_col, vec_col)
-        .withColumn("bucket", srp_bucket(F.col("v"), n_planes, dim))
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.col("v").alias("qv"),
-            F.col("norm").alias("qn"),
-            "bucket",
+
+    def with_tables(df: DataFrame, vcol: str) -> DataFrame:
+        tb = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        srp_bucket(F.col(vcol), n_planes, dim, t * n_planes).alias(
+                            "bucket"
+                        ),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb")
+        return df.select(*df.columns, tb).select(
+            *df.columns, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
         )
+
+    pairs = (
+        F.broadcast(with_tables(qs, "qv").select("query_id", "tbl", "bucket"))
+        .join(with_tables(corpus, "v").select(id_col, "tbl", "bucket"), ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col(id_col))
+        .select("query_id", id_col)
+        .distinct()
     )
     scored = (
-        F.broadcast(qs)
-        .join(corpus, on="bucket")
-        .filter(F.col("query_id") != F.col(id_col))
+        pairs.join(F.broadcast(qs), "query_id")
+        .join(corpus, id_col)
         .withColumn("cosine", dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("norm")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))

@@ -506,24 +506,45 @@ def _srp_planes_sql(n_planes: int, dim: int) -> list[str]:
     ]
 
 
-_PLANES = _srp_planes_sql(4, 64)
-_BUCKET_SQL = " + ".join(
-    f"CASE WHEN list_dot_product(v, {_PLANES[i]}) >= 0 THEN {1 << i} ELSE 0 END"
-    for i in range(4)
-)
+def _lsh_tables_union_sql(n_planes: int, dim: int, n_tables: int) -> str:
+    """One SELECT per hash table, each with its own plane family (offset
+    t*n_planes into the shared deterministic sequence) — mirrors
+    operators.similarity.lsh_bucket_topk exactly."""
+    from shared_etl_pipelines_spark.operators.similarity import _hyperplane
+
+    parts = []
+    for t in range(n_tables):
+        planes = [
+            "["
+            + ", ".join(repr(_hyperplane(t * n_planes + i, j)) for j in range(dim))
+            + "]"
+            for i in range(n_planes)
+        ]
+        bucket = " + ".join(
+            f"CASE WHEN list_dot_product(v, {planes[i]}) >= 0 THEN {1 << i} ELSE 0 END"
+            for i in range(n_planes)
+        )
+        parts.append(
+            f"SELECT vec_id, {t} AS tbl, CAST({bucket} AS BIGINT) AS bucket FROM base"
+        )
+    return " UNION ALL ".join(parts)
 
 
 @defquery(
     "similarity_topk_lsh",
     f"""
-    WITH e AS (
-      SELECT vec_id, v, CAST({_BUCKET_SQL} AS BIGINT) AS bucket FROM
-        (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    e AS ({_lsh_tables_union_sql(4, 64, 4)}),
+    q AS (SELECT vec_id AS query_id, tbl, bucket FROM e WHERE vec_id < 5),
+    pairs AS (
+      SELECT DISTINCT query_id, e.vec_id
+      FROM q JOIN e USING (tbl, bucket) WHERE e.vec_id <> query_id
     ),
-    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < 5),
     s AS (
-      SELECT query_id, vec_id, list_cosine_similarity(qv, e.v) AS c
-      FROM q JOIN e USING (bucket) WHERE vec_id <> query_id
+      SELECT p.query_id, p.vec_id, list_cosine_similarity(qb.v, eb.v) AS c
+      FROM pairs p
+      JOIN base qb ON qb.vec_id = p.query_id
+      JOIN base eb ON eb.vec_id = p.vec_id
     ),
     r AS (
       SELECT query_id, vec_id, c,
@@ -532,12 +553,15 @@ _BUCKET_SQL = " + ".join(
     )
     SELECT query_id, vec_id, ROUND(c, 4) AS cosine, rn FROM r WHERE rn <= 10
     """,
-    doc="approximate top-10 via sign-random-projection LSH buckets",
+    doc="approximate top-10 via multi-table sign-random-projection LSH "
+    "(4 tables x 4 planes, union of candidates, exact rerank)",
     tags=("llm", "similarity", "lsh"),
 )
 def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
-    out = lsh_bucket_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, n_planes=4, dim=64)
+    out = lsh_bucket_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_planes=4, dim=64, n_tables=4
+    )
     return round_floats(out)
 
 

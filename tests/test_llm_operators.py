@@ -186,3 +186,65 @@ def test_operators_handle_empty_input(spark):
     empty_keys = spark.createDataFrame([], "k long, g string")
     assert stratified_sample(empty_keys, "k", "g", {"a": 1.0}).count() == 0
     assert global_ntile(spark.createDataFrame([(1,)], "k long"), ["k"], 4).count() == 1
+
+
+def test_ann_scale_paths_recall_floor(spark, sf_dir):
+    """LSH and IVF are approximations — pin their usefulness, not just
+    their determinism: recall@10 against brute-force must clear a floor."""
+    from shared_etl_pipelines_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_bucket_topk,
+    )
+    from shared_etl_pipelines_spark.sources.tables import load_table
+
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)  # 20 query vectors
+    k = 10
+
+    def topk_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return out
+
+    exact = topk_sets(brute_force_topk(emb, queries, k=k))
+    for name, approx_df in (
+        ("lsh", lsh_bucket_topk(emb, queries, k=k)),
+        ("ivf", ivf_topk(emb, queries, k=k)),
+    ):
+        approx = topk_sets(approx_df)
+        recalls = [
+            len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact
+        ]
+        mean_recall = sum(recalls) / len(recalls)
+        # synthetic embeddings are random noise, so most "top-10 neighbors"
+        # are near-orthogonal — the regime where bucketed ANN is weakest.
+        # The floor guards against the single-table cliff (0.14 before the
+        # multi-table union); planted TRUE neighbors are tested below.
+        assert mean_recall >= 0.35, f"{name} recall@{k} too low: {mean_recall:.3f}"
+
+
+def test_lsh_recalls_planted_near_duplicates(spark, sf_dir):
+    """The actual use case: a slightly-perturbed copy of a corpus vector
+    (cosine ~0.99) must find its source. Deterministic perturbation:
+    every 8th dimension scaled by 1.1."""
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.operators.similarity import lsh_bucket_topk
+    from shared_etl_pipelines_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 5 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x, i: F.when(i % 8 == 0, x * 1.1).otherwise(x),
+        ).alias("embedding"),
+    )
+    hits = lsh_bucket_topk(emb, queries, k=1).collect()
+    n_queries = queries.count()
+    found = sum(1 for r in hits if r["vec_id"] == r["query_id"] - 1_000_000)
+    assert found / n_queries >= 0.8, f"planted recall {found}/{n_queries}"
