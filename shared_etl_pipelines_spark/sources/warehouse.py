@@ -45,6 +45,46 @@ def read_partitioned(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def compact_partition(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """Small-files compaction: rewrite a parquet directory into
+    ``ceil(total_bytes / target_bytes)`` files.
+
+    Streaming sinks and per-day foreach recomputes accumulate many small
+    files; at scale the resulting scan is dominated by open/footer costs
+    and task-scheduling overhead, not bytes. Compaction is a single
+    coalesce-rewrite: no shuffle (coalesce narrows), write to a temp dir,
+    then atomically swap directories — a failed compaction leaves the
+    original intact (the same write-to-temp discipline as the catalog
+    upsert O5). Returns {files_before, files_after, bytes}.
+    """
+    import math
+    import os
+    import shutil
+
+    files = [
+        os.path.join(path, f)
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(".")
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / target_bytes))
+    if n_out >= len(files):
+        return {"files_before": len(files), "files_after": len(files), "bytes": total}
+
+    tmp = path.rstrip("/") + "._compact_tmp"
+    spark.read.parquet(path).coalesce(n_out).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "._compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    n_after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    return {"files_before": len(files), "files_after": n_after, "bytes": total}
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -66,3 +66,29 @@ def test_bucketed_join_no_exchange(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS wb_big")
         spark.sql("DROP TABLE IF EXISTS wb_dim")
+
+
+def test_compact_partition_preserves_rows_and_swaps_atomically(spark, tmp_path):
+    from shared_etl_pipelines_spark.sources.warehouse import compact_partition
+
+    path = str(tmp_path / "many_small")
+    df = spark.range(10_000).selectExpr("id", "id % 7 AS g")
+    df.repartition(40).write.parquet(path)  # 40 tiny files
+
+    import os
+    n_before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert n_before >= 40
+
+    res = compact_partition(spark, path, target_bytes=10**9)  # fits in 1 file
+    assert res["files_before"] == n_before
+    assert res["files_after"] == 1
+
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.selectExpr("sum(id)").collect()[0][0] == sum(range(10_000))
+    # no temp/old dirs left behind
+    assert not any("._compact" in d for d in os.listdir(str(tmp_path)))
+
+    # already-compact data is a no-op (no rewrite when n_out >= n_files)
+    res2 = compact_partition(spark, path, target_bytes=10**9)
+    assert res2["files_after"] == res2["files_before"] == 1
