@@ -68,6 +68,12 @@ def srp_bucket(vec: F.Column, n_planes: int, dim: int, plane_offset: int = 0) ->
     deterministic sequence — table t of a multi-table LSH uses offset
     ``t * n_planes``.
     """
+    # HOF aggregate keeps DuckDB's sequential list_dot_product summation
+    # order (oracle parity is bit-exact). It is interpreted per element —
+    # an explicit 64-term expression chain was measured 3x SLOWER still
+    # (1024-node tree breaks codegen). At warehouse scale this cost is
+    # write-side anyway: bucket ids are computed once at ingest and stored
+    # with the table, not per query (see lsh_bucket_topk scale notes).
     out = None
     for i in range(n_planes):
         proj = F.aggregate(
