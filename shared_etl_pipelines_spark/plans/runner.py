@@ -27,7 +27,10 @@ a scheduler pool named after their group.
 from __future__ import annotations
 
 import datetime as _dt
+import json as _json
 import os
+import time as _time
+import uuid as _uuid
 from concurrent.futures import Future, ThreadPoolExecutor
 from dataclasses import dataclass, field
 from typing import Any
@@ -68,6 +71,7 @@ class RunResult:
     spec: PipelineSpec
     outputs: dict[str, Any] = field(default_factory=dict)
     steps_run: list[str] = field(default_factory=list)
+    manifest_path: str | None = None
 
 
 class PipelineRunner:
@@ -103,12 +107,55 @@ class PipelineRunner:
                 return memo
         for rel in spec.requires_pipelines:
             self._run_upstream(spec, rel)
+        started = _time.time()
         result = self._run_steps(spec, var_overrides or {})
+        self._write_manifest(spec, result, started)
         if spec.path and not var_overrides:
             self._completed[spec.path] = result
         return result
 
     # -- internals ----------------------------------------------------------
+
+    def _write_manifest(self, spec: PipelineSpec, result: RunResult, started: float) -> None:
+        """Lineage manifest per run (SURVEY.md §1.4): dataset identity,
+        upstream pipeline edges, steps executed, output bindings. Written
+        under ``{env.basedir}/.runs/`` (the reference keeps run state in a
+        git-ignored ``.runs/``); skipped when no basedir is bound."""
+        basedir = self.env.get("basedir")
+        if not basedir:
+            return
+        run_id = _uuid.uuid4().hex[:12]
+        upstream = []
+        for rel in spec.requires_pipelines:
+            if spec.path:
+                p = os.path.normpath(os.path.join(os.path.dirname(spec.path), rel))
+                up = self._completed.get(p)
+                upstream.append(
+                    {
+                        "pipeline": p,
+                        "dataset_id": up.spec.dataset_id if up else None,
+                        "manifest": up.manifest_path if up else None,
+                    }
+                )
+        doc = {
+            "run_id": run_id,
+            "pipeline": spec.path,
+            "project_id": spec.project_id,
+            "dataset_id": spec.dataset_id,
+            "requires": upstream,
+            "steps_run": result.steps_run,
+            "output_vars": sorted(result.outputs),
+            "started_unix": round(started, 3),
+            "finished_unix": round(_time.time(), 3),
+        }
+        runs_dir = os.path.join(str(basedir), ".runs")
+        os.makedirs(runs_dir, exist_ok=True)
+        path = os.path.join(runs_dir, f"{run_id}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(doc, f, indent=2)
+        os.replace(tmp, path)
+        result.manifest_path = path
 
     def _run_upstream(self, spec: PipelineSpec, rel: str) -> None:
         if not spec.path:

@@ -372,3 +372,33 @@ def test_corn_pipeline_matches_direct_query(runner, spark, sf_dir):
     for k in got:  # want side passed through round_floats(4)
         assert got[k][0] == pytest.approx(want[k][0], abs=1e-4)
         assert got[k][1] == pytest.approx(want[k][1], abs=1e-4)
+
+
+def test_run_manifest_records_lineage(spark, sf_dir, tmp_path):
+    """Each run writes a lineage manifest: dataset identity, upstream
+    pipeline edges (with their dataset_ids), steps run (SURVEY.md §1.4)."""
+    import json
+    import os
+
+    from shared_etl_pipelines_spark.plans import PipelineRunner
+
+    examples = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "shared_etl_pipelines_spark", "plans", "examples",
+    )
+    runner = PipelineRunner(spark, env={"sf_dir": sf_dir, "basedir": str(tmp_path)})
+    res = runner.run(os.path.join(examples, "rollsum_daily.yml"))
+    assert res.manifest_path and os.path.exists(res.manifest_path)
+    doc = json.load(open(res.manifest_path))
+    assert doc["pipeline"].endswith("rollsum_daily.yml")
+    assert doc["steps_run"] == res.steps_run
+    assert doc["finished_unix"] >= doc["started_unix"]
+    # the upstream stage pipeline is recorded as a lineage edge with its
+    # own manifest pointer
+    assert len(doc["requires"]) == 1
+    up = doc["requires"][0]
+    assert up["pipeline"].endswith("stage_daily_cells.yml")
+    assert up["manifest"] and os.path.exists(up["manifest"])
+    # two manifests on disk: upstream + this run
+    runs = os.listdir(str(tmp_path / ".runs"))
+    assert len([f for f in runs if f.endswith(".json")]) == 2
