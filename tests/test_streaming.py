@@ -388,3 +388,77 @@ def test_event_replay_python_stream_source(spark, sf_dir, tmp_path):
     # schema contract: ISO timestamp strings survive the Arrow roundtrip
     row = got.orderBy("event_id").first()
     assert row["ts_iso"].startswith("20")
+
+
+def test_streaming_cdc_foreachbatch_scd2_merge(spark, sf_dir, tmp_path):
+    """Streaming CDC into a history-keeping dimension: each micro-batch of
+    snapshot rows is applied through scd2_merge inside foreachBatch —
+    sequential batches compose exactly like sequential batch merges."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.operators.scd import scd2_merge
+
+    dim_path = str(tmp_path / "dim")
+    # day-0 dimension: two keys
+    spark.createDataFrame(
+        [(1, "BUILDING", "2020-01-01", None), (2, "MACHINERY", "2020-01-01", None)],
+        "k long, seg string, valid_from string, valid_to string",
+    ).write.parquet(dim_path)
+
+    # two CDC snapshot files, applied in event order: day 1 changes key 1;
+    # day 2 adds key 3
+    snaps = str(tmp_path / "snaps")
+    os.makedirs(snaps)
+    spark.createDataFrame(
+        [(1, "FURNITURE", "2024-01-01")], "k long, seg string, d string"
+    ).coalesce(1).write.parquet(snaps + "/batch=2024-01-01")
+    spark.createDataFrame(
+        [(3, "HOUSEHOLD", "2024-01-02")], "k long, seg string, d string"
+    ).coalesce(1).write.parquet(snaps + "/batch=2024-01-02")
+
+    schema = "k long, seg string, d string"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(snaps)
+    )
+
+    def apply_batch(batch_df, batch_id):
+        if batch_df.isEmpty():
+            return
+        sp = batch_df.sparkSession
+        dim = sp.read.parquet(dim_path)
+        for d in [r["d"] for r in batch_df.select("d").distinct().collect()]:
+            snap = batch_df.filter(F.col("d") == d).select("k", "seg")
+            # merge against CURRENT keys only: unmentioned keys stay open
+            merged = scd2_merge(dim, dim.filter(F.col("valid_to").isNull())
+                                .select("k", "seg").join(snap, "k", "left_anti")
+                                .unionByName(snap),
+                                ["k"], ["seg"], snap_date=d)
+            dim = merged
+        dim.write.mode("overwrite").parquet(dim_path + ".tmp")
+        sp.read.parquet(dim_path + ".tmp").write.mode("overwrite").parquet(dim_path)
+
+    q = (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    def iso(v):
+        return v.isoformat() if v is not None else None
+
+    final = {
+        (r["k"], iso(r["valid_from"]), iso(r["valid_to"])): r["seg"]
+        for r in spark.read.parquet(dim_path).collect()
+    }
+    # key 1: closed old row + new open row; key 2 untouched; key 3 inserted
+    assert final[(1, "2020-01-01", "2024-01-01")] == "BUILDING"
+    assert final[(1, "2024-01-01", None)] == "FURNITURE"
+    assert final[(2, "2020-01-01", None)] == "MACHINERY"
+    assert final[(3, "2024-01-02", None)] == "HOUSEHOLD"
+    assert len(final) == 4
