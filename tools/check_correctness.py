@@ -106,7 +106,10 @@ def main():
     master = os.environ.get("SPARK_GRAFT_MASTER")
     shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE")
     tz = os.environ.get("SPARK_GRAFT_TZ")
-    if master or shuffle or tz:
+    # extra chaos confs, semicolon-separated k=v (e.g. disable broadcasts:
+    # SPARK_GRAFT_CONF='spark.sql.autoBroadcastJoinThreshold=-1')
+    extra = os.environ.get("SPARK_GRAFT_CONF")
+    if master or shuffle or tz or extra:
         from pyspark.sql import SparkSession
 
         b = (
@@ -115,8 +118,12 @@ def main():
             .config("spark.sql.session.timeZone", tz or "UTC")
             .config("spark.ui.enabled", "false")
         )
+        for kv in (extra or "").split(";"):
+            if "=" in kv:
+                k, _, v = kv.partition("=")
+                b = b.config(k.strip(), v.strip())
         spark = b.getOrCreate()
-        print(f"# chaos config: master={master} shuffle={shuffle} tz={tz}")
+        print(f"# chaos config: master={master} shuffle={shuffle} tz={tz} conf={extra}")
     else:
         from shared_etl_pipelines_spark.engine import get_spark
 
