@@ -171,6 +171,7 @@ def interval_join_stream(
     ts_col: str = "ts",
     within: str = "1 hour",
     delay: str = "1 day",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: each left event pairs with right
     events for the same key whose time falls in [left_ts, left_ts+within].
@@ -180,6 +181,12 @@ def interval_join_stream(
     again and is evicted) — without both, stream-stream joins grow state
     forever. The batch equivalent is a plain theta join on
     (key, time-range); tests assert the two agree.
+
+    ``how="left_outer"`` additionally emits unmatched left events with
+    NULL right columns — but only once the watermark proves no future
+    right row can match (the time-bound condition is what makes outer
+    stream-stream joins legal at all): unmatched emission is inherently
+    delayed by ``within + delay`` of event time.
     """
     from pyspark.sql import functions as F
 
@@ -198,4 +205,5 @@ def interval_join_stream(
         (F.col("l_key") == F.col("r_key"))
         & (F.col("r_ts") >= F.col("l_ts"))
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
+        how,
     ).select("l_key", "l_event", "l_ts", "r_event", "r_ts")

@@ -462,3 +462,46 @@ def test_streaming_cdc_foreachbatch_scd2_merge(spark, sf_dir, tmp_path):
     assert final[(2, "2020-01-01", None)] == "MACHINERY"
     assert final[(3, "2024-01-02", None)] == "HOUSEHOLD"
     assert len(final) == 4
+
+
+def test_interval_left_outer_join_emits_unmatched(spark, events, drop_dir):
+    """Left-outer stream-stream join: matched rows equal the inner join;
+    unmatched lefts emit with NULL right columns once the watermark proves
+    no future match can arrive."""
+    from shared_etl_pipelines_spark.streaming import interval_join_stream, read_drop_dir
+
+    sub, days = drop_dir
+    stream = read_drop_dir(spark, sub, events.schema, date_regex=None)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    joined = interval_join_stream(
+        clicks, purchases, key="user_id", within="1 hour", delay="1 day",
+        how="left_outer",
+    )
+    got = _run_stream(joined, "louter", spark)
+
+    ev = events.filter(F.to_date("ts").isin(days))
+    bc = ev.filter(F.col("event_type") == "click").selectExpr(
+        "user_id AS l_key", "event_id AS l_event", "ts AS l_ts"
+    )
+    bp = ev.filter(F.col("event_type") == "purchase").selectExpr(
+        "user_id AS r_key", "event_id AS r_event", "ts AS r_ts"
+    )
+    batch_inner = bc.join(
+        bp,
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("r_ts") >= F.col("l_ts"))
+        & (F.col("r_ts") <= F.col("l_ts") + F.expr("INTERVAL 1 hour")),
+    )
+    want_matched = {(r["l_event"], r["r_event"]) for r in batch_inner.collect()}
+    matched_lefts = {p[0] for p in want_matched}
+
+    got_matched = {
+        (r["l_event"], r["r_event"]) for r in got.collect() if r["r_event"] is not None
+    }
+    got_null = {r["l_event"] for r in got.collect() if r["r_event"] is None}
+
+    assert got_matched == want_matched
+    # every NULL-emitted left is genuinely unmatched in batch semantics
+    assert not (got_null & matched_lefts)
+    assert len(got_null) > 0  # the watermark did release unmatched rows
