@@ -1136,3 +1136,145 @@ def q_priority_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# EXISTS correlated subquery (TPC-H Q4 shape): orders with at least one
+# late-shipped line. Catalyst rewrites EXISTS to a left-semi join with the
+# correlated predicate as the join condition — the DataFrame form below IS
+# that plan, stated directly (no per-row subquery execution at any scale).
+# ---------------------------------------------------------------------------
+@defquery(
+    "exists_late_orders",
+    """
+    SELECT o_orderpriority AS priority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    doc="EXISTS correlated subquery as left-semi join (Q4 shape)",
+    tags=("subquery", "semi-join"),
+)
+def q_exists_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o["o_orderkey"] == li["l_orderkey"]) & (li["l_shipdate"] > o["o_orderdate"]),
+        "left_semi",
+    )
+    return late.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# NOT IN with a nullable LHS — three-valued logic: rows whose key is NULL
+# compare UNKNOWN against the list and are excluded, NOT kept. Catalyst
+# plans this as a null-aware anti join; a naive left-anti rewrite would
+# wrongly keep the NULL-key rows. SQL-only surface (the DataFrame API has
+# no null-aware anti), so both sides run the same text.
+# ---------------------------------------------------------------------------
+_NOT_IN_SQL = """
+    SELECT segment, COUNT(*) AS n_kept
+    FROM (SELECT c_mktsegment AS segment, NULLIF(c_nationkey, 3) AS k
+          FROM customer)
+    WHERE k NOT IN (SELECT s_nationkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY segment
+"""
+
+
+@defquery(
+    "not_in_null_aware",
+    _NOT_IN_SQL,
+    doc="NOT IN subquery with nullable LHS (null-aware anti join)",
+    tags=("subquery", "anti-join", "null-semantics"),
+)
+def q_not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_nin_v")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_nin_v")
+    return spark.sql(
+        _NOT_IN_SQL.replace("FROM customer", "FROM customer_nin_v").replace(
+            "FROM supplier", "FROM supplier_nin_v"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# IN (GROUP BY ... HAVING) subquery (TPC-H Q18 shape): orders whose total
+# line quantity exceeds a threshold. The aggregate runs ONCE and joins back
+# to orders — at 100 TB the HAVING set is small relative to lineitem, so
+# the join-back side broadcasts; no second pass over the fact table.
+# ---------------------------------------------------------------------------
+@defquery(
+    "having_large_orders",
+    """
+    SELECT o.o_orderkey AS orderkey,
+           ROUND(o.o_totalprice, 4) AS totalprice,
+           ROUND(big.total_qty, 4) AS total_qty
+    FROM orders o
+    JOIN (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(l_quantity) > 150) big
+      ON o.o_orderkey = big.l_orderkey
+    """,
+    doc="IN (GROUP BY .. HAVING) subquery via aggregate + join-back (Q18 shape)",
+    tags=("subquery", "having", "aggregate"),
+)
+def q_having_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    out = o.join(big, o["o_orderkey"] == big["l_orderkey"]).select(
+        F.col("o_orderkey").alias("orderkey"),
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("total_qty"),
+    )
+    return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# Scalar subquery (TPC-H Q15 shape): supplier(s) with the maximum revenue.
+# The scalar MAX is computed over the same grouped frame and joined as a
+# 1-row broadcast — Catalyst's own plan for `WHERE x = (SELECT MAX..)`,
+# expressed directly. Revenue ties (float-exact) all surface.
+# ---------------------------------------------------------------------------
+@defquery(
+    "top_revenue_suppliers",
+    """
+    WITH rev AS (
+      SELECT l_suppkey, SUM(l_extendedprice * (1 - l_discount)) AS total_rev
+      FROM lineitem GROUP BY l_suppkey)
+    SELECT s.s_suppkey AS suppkey, s.s_name AS name,
+           ROUND(r.total_rev, 4) AS total_rev
+    FROM supplier s
+    JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+    doc="scalar MAX subquery selecting the top-revenue supplier (Q15 shape)",
+    tags=("subquery", "scalar", "aggregate"),
+)
+def q_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_rev")
+    )
+    mx = rev.agg(F.max("total_rev").alias("_mx"))
+    out = (
+        rev.join(F.broadcast(mx))
+        .filter(F.col("total_rev") == F.col("_mx"))
+        .join(s, F.col("l_suppkey") == s["s_suppkey"])
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("name"),
+            F.col("total_rev"),
+        )
+    )
+    return round_floats(out)

@@ -156,3 +156,44 @@ def test_event_funnel_no_nested_loop(spark, sf):
     # formulation would plan as BroadcastNestedLoopJoin and die at scale
     plan = phys(REGISTRY["event_funnel"].fn(spark, sf))
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_exists_rewrites_to_semi_join_with_correlated_condition(spark, sf):
+    """EXISTS must become one left-semi hash join carrying the correlated
+    date predicate as the join condition — not a per-row subquery."""
+    p = phys(REGISTRY["exists_late_orders"].fn(spark, sf))
+    join_lines = [ln for ln in p.splitlines() if "LeftSemi" in ln]
+    assert join_lines and "l_shipdate" in join_lines[0]
+
+
+def test_not_in_plans_as_null_aware_anti_join(spark, sf):
+    """NOT IN with a nullable LHS must plan as a NULL-aware anti join
+    (the trailing `true` NAAJ flag on the BroadcastHashJoin) — a plain
+    LeftAnti would keep NULL-key rows and corrupt the result."""
+    p = phys(REGISTRY["not_in_null_aware"].fn(spark, sf))
+    assert "LeftAnti, BuildRight, true" in p
+
+
+def test_not_in_null_rows_are_excluded(spark):
+    """Three-valued logic micro-check: a NULL LHS key compares UNKNOWN
+    against the NOT IN list and the row is dropped, not kept."""
+    spark.createDataFrame(
+        [(1, None), (2, 10), (3, 99)], "id int, k int"
+    ).createOrReplaceTempView("nin_lhs_v")
+    spark.createDataFrame([(10,)], "k int").createOrReplaceTempView("nin_rhs_v")
+    got = {
+        r["id"]
+        for r in spark.sql(
+            "SELECT id FROM nin_lhs_v WHERE k NOT IN (SELECT k FROM nin_rhs_v)"
+        ).collect()
+    }
+    assert got == {3}  # id=1 (NULL key) and id=2 (matched) both excluded
+
+
+def test_scalar_max_subquery_is_broadcast_one_row(spark, sf):
+    """The Q15-shape scalar MAX joins as a broadcast of a 1-row aggregate;
+    the lineitem fact is scanned once (one grouped pass feeds both the
+    scalar and the filtered result)."""
+    p = phys(REGISTRY["top_revenue_suppliers"].fn(spark, sf))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert p.count("FileScan parquet") <= 3  # lineitem(+reuse), supplier
