@@ -878,3 +878,32 @@ def q_gap_fill_interpolated(spark: SparkSession, sf_dir: str) -> DataFrame:
         "was_gap",
     )
     return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters via the approx_top_k sketch (Spark 4). The sketch tracks up
+# to maxItemsTracked items with exact counts and degrades to approximate
+# only past that — so with tracked >= distinct cardinality the result is
+# provably exact and can face the exact-SQL oracle. That is this query's
+# regime; at 10^9-distinct scale the same expression runs approximate with
+# bounded memory (the scale path), trading the oracle for fixed state —
+# same pattern as zonal exact-vs-approx percentiles.
+# ---------------------------------------------------------------------------
+@defquery(
+    "heavy_hitters_topk",
+    """
+    SELECT event_type AS item, COUNT(*) AS cnt
+    FROM events GROUP BY event_type
+    ORDER BY cnt DESC LIMIT 3
+    """,
+    doc="top-k heavy hitters via approx_top_k sketch (exact-regime oracle)",
+    tags=("sketch", "topk", "spark4"),
+)
+def q_heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    out = ev.select("event_type").agg(
+        F.expr("approx_top_k(event_type, 3, 100)").alias("tk")
+    )
+    return out.select(F.inline("tk")).select(
+        F.col("item"), F.col("count").alias("cnt")
+    )

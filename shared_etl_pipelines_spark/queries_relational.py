@@ -1278,3 +1278,36 @@ def q_top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# LATERAL correlated subquery with per-row ORDER BY + LIMIT: top-2 orders
+# per customer. The SQL-standard form of top-k-per-group; Catalyst
+# decorrelates it to a ranked window under the hood (same physical shape
+# as topk_per_group), so the per-customer "subquery" never executes
+# row-at-a-time. Deterministic tie-break on orderkey.
+# ---------------------------------------------------------------------------
+_LATERAL_SQL = """
+    SELECT c.c_custkey AS custkey, t.o_orderkey AS orderkey,
+           ROUND(t.o_totalprice, 4) AS totalprice
+    FROM customer c,
+    LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+             WHERE o.o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+"""
+
+
+@defquery(
+    "lateral_top_orders",
+    _LATERAL_SQL,
+    doc="LATERAL correlated subquery: top-2 orders per customer",
+    tags=("subquery", "lateral", "topk"),
+)
+def q_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat_v")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_lat_v")
+    return spark.sql(
+        _LATERAL_SQL.replace("FROM customer", "FROM customer_lat_v").replace(
+            "FROM orders", "FROM orders_lat_v"
+        )
+    )

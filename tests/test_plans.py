@@ -197,3 +197,30 @@ def test_scalar_max_subquery_is_broadcast_one_row(spark, sf):
     p = phys(REGISTRY["top_revenue_suppliers"].fn(spark, sf))
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert p.count("FileScan parquet") <= 3  # lineitem(+reuse), supplier
+
+
+def test_lateral_topk_decorrelates_with_group_limit_pushdown(spark, sf):
+    """The LATERAL per-customer ORDER BY..LIMIT must decorrelate into a
+    ranked window with WindowGroupLimit (map-side top-k pruning BEFORE the
+    shuffle) and a hash join — never a per-row nested-loop subquery."""
+    p = phys(REGISTRY["lateral_top_orders"].fn(spark, sf))
+    assert "WindowGroupLimit" in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_heavy_hitters_sketch_exact_in_tracked_regime(spark, sf):
+    """approx_top_k with maxItemsTracked >= distinct cardinality must equal
+    the exact GROUP BY top-k — the property the oracle gate relies on."""
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf, "events")
+    exact = (
+        ev.groupBy("event_type").count().orderBy(F.desc("count"), "event_type")
+        .limit(3).collect()
+    )
+    sk = REGISTRY["heavy_hitters_topk"].fn(spark, sf).collect()
+    assert [(r["item"], r["cnt"]) for r in sk] == [
+        (r["event_type"], r["count"]) for r in exact
+    ]
