@@ -907,3 +907,77 @@ def q_heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(F.inline("tk")).select(
         F.col("item"), F.col("count").alias("cnt")
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA (exponential smoothing) over each user's daily series. The
+# recurrence y_t = a*x_t + (1-a)*y_{t-1} (zero-init) is not a SQL window
+# aggregate, but for a = 1/2 it has an INTEGER-EXACT closed form:
+#     2^t * y_t = SUM_i( x_i * 2^(i-1) )   for i <= t
+# i.e. one BIGINT running-sum window over bit-shifted daily cents — a
+# single shuffle per user, no UDF, no iterative loop, and no float
+# summation to drift between engines (a float formulation measurably
+# breaks 4-decimal rounding at the boundaries). The final >> t and one
+# division are identical IEEE ops on identical integers. Safe while the
+# per-partition sequence length stays under ~45 (shift headroom in 63
+# bits); calendar partition resets (here: one month) keep any data size
+# in that regime.
+# ---------------------------------------------------------------------------
+@defquery(
+    "ewma_daily_value",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             SUM(CAST(ROUND(value * 100) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2),
+    seq AS (
+      SELECT user_id, day, cents,
+             CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                  AS INTEGER) AS t
+      FROM daily),
+    acc AS (
+      SELECT user_id, day, t,
+             SUM(cents * (CAST(1 AS BIGINT) << (t - 1))) OVER (
+               PARTITION BY user_id ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      FROM seq)
+    SELECT user_id, CAST(day AS VARCHAR) AS day,
+           ((s * 100) >> t) / 10000.0 AS ewma
+    FROM acc
+    """,
+    doc="per-user daily EWMA via integer-exact running-sum window (no UDF)",
+    tags=("window", "timeseries", "ewma"),
+)
+def q_ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    seq = daily.select(
+        "user_id",
+        "day",
+        "cents",
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("day"))
+        .alias("t"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    acc = seq.select(
+        "user_id",
+        "day",
+        "t",
+        F.sum(
+            F.col("cents") * F.expr("shiftleft(CAST(1 AS BIGINT), t - 1)")
+        )
+        .over(w)
+        .alias("s"),
+    )
+    return acc.select(
+        "user_id",
+        F.col("day").cast("string").alias("day"),
+        (F.expr("shiftright(s * 100, t)") / 10000.0).alias("ewma"),
+    )

@@ -1311,3 +1311,83 @@ def q_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "FROM orders", "FROM orders_lat_v"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys match each
+# other instead of vanishing from the join — the correct way to join on a
+# column where NULL is a real category (here: a sentinel priority mapped
+# to NULL). Still hash-joinable (NULL hashes like any value under <=>),
+# so it scales exactly like a plain equi-join.
+# ---------------------------------------------------------------------------
+@defquery(
+    "null_safe_join",
+    """
+    WITH a AS (
+      SELECT NULLIF(o_orderpriority, '3-MEDIUM') AS pk, COUNT(*) AS n_a
+      FROM orders WHERE o_orderstatus = 'F' GROUP BY 1),
+    b AS (
+      SELECT NULLIF(o_orderpriority, '3-MEDIUM') AS pk, COUNT(*) AS n_b
+      FROM orders WHERE o_totalprice > 100000 GROUP BY 1)
+    SELECT COALESCE(a.pk, '<null>') AS pk, a.n_a, b.n_b
+    FROM a JOIN b ON a.pk IS NOT DISTINCT FROM b.pk
+    """,
+    doc="null-safe equi-join (<=>): NULL keys match, stays hash-joinable",
+    tags=("join", "null-semantics"),
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    pk = F.nullif(F.col("o_orderpriority"), F.lit("3-MEDIUM"))
+    a = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .groupBy(pk.alias("pk"))
+        .agg(F.count(F.lit(1)).alias("n_a"))
+    )
+    b = (
+        o.filter(F.col("o_totalprice") > 100000)
+        .groupBy(pk.alias("pk"))
+        .agg(F.count(F.lit(1)).alias("n_b"))
+    )
+    return a.join(b, a["pk"].eqNullSafe(b["pk"])).select(
+        F.coalesce(a["pk"], F.lit("<null>")).alias("pk"), "n_a", "n_b"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multiset set ops: EXCEPT ALL / INTERSECT ALL keep duplicate
+# multiplicity (bag semantics) where EXCEPT/INTERSECT collapse to sets —
+# e.g. "how many copies survive subtracting one file's rows from
+# another" in reconciliation. Output is aggregated per key so the result
+# is order-insensitive.
+# ---------------------------------------------------------------------------
+@defquery(
+    "setops_multiset",
+    """
+    WITH a AS (SELECT l_partkey FROM lineitem WHERE l_quantity < 25),
+         b AS (SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+    SELECT 'except_all' AS op, l_partkey AS partkey, COUNT(*) AS n
+    FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY 2
+    UNION ALL
+    SELECT 'intersect_all' AS op, l_partkey AS partkey, COUNT(*) AS n
+    FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY 2
+    """,
+    doc="EXCEPT ALL / INTERSECT ALL multiset semantics, aggregated per key",
+    tags=("setops", "multiset"),
+)
+def q_setops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_quantity") < 25).select("l_partkey")
+    b = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    exc = (
+        a.exceptAll(b)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_all").alias("op"), "partkey", "n")
+    )
+    ins = (
+        a.intersectAll(b)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect_all").alias("op"), "partkey", "n")
+    )
+    return exc.unionByName(ins)

@@ -306,3 +306,30 @@ def test_embedding_quantization_codes_in_range(spark, sf_dir):
     for r in stats:
         assert r["lo"] == 0  # the dimension minimum quantizes to 0
         assert 250 <= r["hi"] <= 255  # the maximum lands on/near the top rail
+
+
+def test_ewma_closed_form_matches_recurrence(spark, sf_dir):
+    """The bit-shift closed form must equal the textbook recurrence
+    y_t = 0.5*x_t + 0.5*y_{t-1} (zero-init) to within the 1e-4 floor
+    granularity, per user, across every day."""
+    import pandas as pd
+
+    from shared_etl_pipelines_spark.queries import REGISTRY
+    from shared_etl_pipelines_spark.sources.tables import load_table
+
+    got = (
+        REGISTRY["ewma_daily_value"].fn(spark, sf_dir).toPandas()
+        .set_index(["user_id", "day"])["ewma"]
+    )
+    ev = load_table(spark, sf_dir, "events").toPandas()
+    ev["day"] = ev["ts"].dt.date.astype(str)
+    ev["cents"] = (ev["value"] * 100).round().astype("int64")
+    daily = ev.groupby(["user_id", "day"], as_index=False)["cents"].sum()
+    n_checked = 0
+    for uid, grp in daily.groupby("user_id"):
+        y = 0.0
+        for _, row in grp.sort_values("day").iterrows():
+            y = 0.5 * (row["cents"] / 100.0) + 0.5 * y
+            assert abs(got[(uid, row["day"])] - y) < 2e-4
+            n_checked += 1
+    assert n_checked == len(got)
