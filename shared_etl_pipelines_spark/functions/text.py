@@ -152,3 +152,28 @@ def redact(text: Column | str, pattern: str, replacement: str = "<X>") -> Column
     pattern subset used must be RE2-compatible so the oracle can mirror it."""
     c = F.col(text) if isinstance(text, str) else text
     return F.regexp_replace(c, pattern, replacement)
+
+
+def make_chunk_udtf(chunk_size: int = 20):
+    """Python UDTF (Spark 4 user-defined table function) splitting a
+    document into fixed word-count chunks — the LLM-training-data
+    chunking step (context-window-sized pieces). One input row yields
+    ceil(n_words/chunk_size) output rows (chunk_idx, chunk, n_words).
+
+    The UDTF surface is the table-valued member of the UDF family
+    (scalar UDF / pandas UDAF / UDTF); it executes row-at-a-time in
+    Python, which is fine for this fan-out shape at moderate width —
+    for 100 TB hot paths the same chunking runs as a mapInPandas batch
+    (see sources/multimodal.py for that pattern).
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="chunk_idx INT, chunk STRING, n_words INT")
+    class ChunkWords:
+        def eval(self, text: str):
+            words = [w for w in (text or "").split(" ") if w]
+            for i in range(0, len(words), chunk_size):
+                piece = words[i : i + chunk_size]
+                yield i // chunk_size, " ".join(piece), len(piece)
+
+    return ChunkWords

@@ -981,3 +981,98 @@ def q_ewma_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("day").cast("string").alias("day"),
         (F.expr("shiftright(s * 100, t)") / 10000.0).alias("ewma"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable distinct-count rollup via Apache DataSketches HLL (Spark 4):
+# one sketch per day, per-day estimates AND a union-merged total from the
+# same sketches. This is the 100 TB pattern — store daily sketches with
+# the partition, answer ANY date-range distinct by merging a handful of
+# sketches instead of rescanning the fact table. At this cardinality the
+# sketch is in its exact (sparse) regime, so it faces the exact
+# COUNT(DISTINCT) oracle; at high cardinality the same query runs with
+# ~1.6% error and fixed state (same exact-regime pattern as
+# heavy_hitters_topk).
+# ---------------------------------------------------------------------------
+@defquery(
+    "hll_daily_distinct",
+    """
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1
+    UNION ALL
+    SELECT '<all>' AS day, COUNT(DISTINCT user_id) AS n_users FROM events
+    """,
+    doc="daily HLL sketches + union-merged total (exact-regime oracle)",
+    tags=("sketch", "distinct", "rollup", "spark4"),
+)
+def q_hll_daily_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.expr("hll_sketch_agg(user_id)").alias("sk")
+    )
+    per_day = daily.select(
+        F.col("day").cast("string").alias("day"),
+        F.expr("hll_sketch_estimate(sk)").alias("n_users"),
+    )
+    total = daily.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("n_users")
+    ).select(F.lit("<all>").alias("day"), "n_users")
+    return per_day.unionByName(total)
+
+
+# ---------------------------------------------------------------------------
+# Trimmed mean via a grouped-aggregate pandas UDF — the UDAF member of
+# the UDF family (Arrow-batched, one Python call per group, never
+# row-at-a-time). Integer-cents arithmetic end to end: the kept-range
+# sum is an exact int64 and the mean a single floor division, so the
+# Python aggregate is bit-identical to the SQL oracle. Trim bounds are
+# linear-interpolated p10/p90 (pandas quantile == quantile_cont).
+# ---------------------------------------------------------------------------
+@defquery(
+    "trimmed_mean_price",
+    """
+    WITH c AS (SELECT l_returnflag AS g,
+                      CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+               FROM lineitem),
+    q AS (SELECT g, quantile_cont(cents, 0.10) AS lo,
+                 quantile_cont(cents, 0.90) AS hi
+          FROM c GROUP BY g)
+    SELECT c.g AS returnflag,
+           ((SUM(c.cents) * 10000) // COUNT(*)) / 1000000.0 AS trimmed_avg,
+           COUNT(*) AS n_kept
+    FROM c JOIN q ON c.g = q.g
+    WHERE c.cents >= q.lo AND c.cents <= q.hi
+    GROUP BY c.g
+    """,
+    doc="p10/p90 trimmed mean via grouped-agg pandas UDF (integer-exact)",
+    tags=("udaf", "pandas-udf", "robust-stats"),
+)
+def q_trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # real annotation objects (module-wide `from __future__ import
+    # annotations` would stringify inline hints and break UDF inference)
+    def _trimmed_avg(v):
+        lo, hi = v.quantile(0.10), v.quantile(0.90)
+        kept = v[(v >= lo) & (v <= hi)]
+        return (int(kept.sum()) * 10000 // len(kept)) / 1e6
+
+    def _n_kept(v):
+        lo, hi = v.quantile(0.10), v.quantile(0.90)
+        return int(((v >= lo) & (v <= hi)).sum())
+
+    _trimmed_avg.__annotations__ = {"v": pd.Series, "return": float}
+    _n_kept.__annotations__ = {"v": pd.Series, "return": int}
+    trimmed_avg = pandas_udf(_trimmed_avg, "double")
+    n_kept = pandas_udf(_n_kept, "long")
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("returnflag"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("cents"),
+    )
+    return li.groupBy("returnflag").agg(
+        trimmed_avg("cents").alias("trimmed_avg"),
+        n_kept("cents").alias("n_kept"),
+    )

@@ -1207,3 +1207,42 @@ def q_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("micro").alias("hi_micro"),
     )
     return out.withColumn("dim", F.col("dim").cast("long"))
+
+
+# ---------------------------------------------------------------------------
+# Document chunking via a Python UDTF (Spark 4): fixed 20-word chunks per
+# document, LATERAL-joined so every chunk keeps its doc_id. The oracle
+# rebuilds the same chunks with DuckDB list slicing — chunk text compared
+# verbatim. See functions/text.py make_chunk_udtf for the scale-path note.
+# ---------------------------------------------------------------------------
+@defquery(
+    "chunk_documents",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    i AS (SELECT doc_id, words,
+          CAST(unnest(range(0, CAST(ceil(len(words) / 20.0) AS BIGINT)))
+               AS INT) AS chunk_idx
+          FROM w)
+    SELECT doc_id, chunk_idx,
+           array_to_string(words[(chunk_idx*20+1):(chunk_idx*20+20)], ' ')
+             AS chunk,
+           CAST(len(words[(chunk_idx*20+1):(chunk_idx*20+20)]) AS INT)
+             AS n_words
+    FROM i
+    """,
+    doc="fixed-size word chunking via Python UDTF + LATERAL (LLM chunking)",
+    tags=("udtf", "text", "llm", "spark4"),
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.functions.text import make_chunk_udtf
+
+    spark.udtf.register("chunk_words_20", make_chunk_udtf(20))
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "documents_chunk_v"
+    )
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk, c.n_words
+        FROM documents_chunk_v d, LATERAL chunk_words_20(d.text) c
+        """
+    )

@@ -333,3 +333,24 @@ def test_ewma_closed_form_matches_recurrence(spark, sf_dir):
             assert abs(got[(uid, row["day"])] - y) < 2e-4
             n_checked += 1
     assert n_checked == len(got)
+
+
+def test_hll_union_estimate_bounded_in_approx_regime(spark):
+    """Past the sparse-exact regime the merged HLL estimate must stay
+    within ~3x the configured rsd of truth AND the union of daily
+    sketches must equal a single global sketch's estimate (merge
+    consistency — the property range rollups rely on)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(200_000).select(
+        (F.col("id") % 30).alias("day"), (F.col("id") % 57_123).alias("uid")
+    )
+    daily = df.groupBy("day").agg(F.expr("hll_sketch_agg(uid)").alias("sk"))
+    merged = daily.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk))").alias("est")
+    ).collect()[0]["est"]
+    direct = df.agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(uid))").alias("est")
+    ).collect()[0]["est"]
+    assert merged == direct  # sketch union == sketch of union
+    assert abs(merged - 57_123) / 57_123 < 0.05

@@ -248,3 +248,34 @@ def test_lsh_recalls_planted_near_duplicates(spark, sf_dir):
     n_queries = queries.count()
     found = sum(1 for r in hits if r["vec_id"] == r["query_id"] - 1_000_000)
     assert found / n_queries >= 0.8, f"planted recall {found}/{n_queries}"
+
+
+def test_chunks_reassemble_to_original_documents(spark, sf_dir):
+    """Lossless chunking: concatenating a doc's chunks in chunk_idx order
+    must rebuild the original text exactly, and every chunk but the last
+    must be exactly chunk_size (20) words."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.queries import REGISTRY
+    from shared_etl_pipelines_spark.sources.tables import load_table
+
+    chunks = REGISTRY["chunk_documents"].fn(spark, sf_dir)
+    last = F.max("chunk_idx").over(Window.partitionBy("doc_id"))
+    n_bad_sizes = (
+        chunks.withColumn("is_last", F.col("chunk_idx") == last)
+        .filter(~F.col("is_last") & (F.col("n_words") != 20))
+        .count()
+    )
+    assert n_bad_sizes == 0
+    rebuilt = chunks.groupBy("doc_id").agg(
+        F.array_join(
+            F.array_sort(F.collect_list(F.struct("chunk_idx", "chunk"))).getField(
+                "chunk"
+            ),
+            " ",
+        ).alias("rebuilt")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bad = rebuilt.join(docs, "doc_id").filter(F.col("rebuilt") != F.col("text"))
+    assert bad.count() == 0
