@@ -44,6 +44,14 @@ def run_query(fn, spark, sf_dir) -> float:
 
 
 def main() -> None:
+    # The driver parses exactly one JSON line from stdout. Spark (the JVM
+    # inherits fd 1 at launch) and any library chatter must never reach it:
+    # save the real stdout, point fd 1 at stderr for the whole run, and
+    # write the summary line to the saved fd at the very end.
+    real_stdout = os.dup(1)
+    os.dup2(2, 1)
+    sys.stdout = sys.stderr
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
@@ -51,7 +59,8 @@ def main() -> None:
     from shared_etl_pipelines_spark.engine import get_spark
     from shared_etl_pipelines_spark.queries import REGISTRY
 
-    spark = get_spark("bench")
+    spark = get_spark("bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
     # Warm the JVM / parquet footer caches so per-query numbers measure the
     # queries, not session startup.
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
@@ -78,17 +87,19 @@ def main() -> None:
         print(f"# {name}: {times[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": times,
+            "sf": sf,
+        }
     )
+    # stop the JVM before emitting: nothing may write after the JSON line
+    spark.stop()
+    os.write(real_stdout, (line + "\n").encode())
+    os.close(real_stdout)
 
 
 if __name__ == "__main__":

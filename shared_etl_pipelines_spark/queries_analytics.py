@@ -158,8 +158,8 @@ def q_mode_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT b.grp AS returnflag,
            ROUND(m.med, 4) AS med,
            ROUND(d.mad, 4) AS mad,
-           SUM(CASE WHEN ABS(b.v - m.med) > 3 * 1.4826 * d.mad
-                    THEN 1 ELSE 0 END) AS n_outliers,
+           CAST(SUM(CASE WHEN ABS(b.v - m.med) > 3 * 1.4826 * d.mad
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
            COUNT(*) AS n
     FROM base b
     JOIN med m ON b.grp = m.grp
@@ -343,7 +343,7 @@ _RECURSIVE_SQL = """
       SELECT node, CAST(FLOOR(ancestor / 10.0) AS BIGINT), depth + 1
       FROM up WHERE ancestor > 0
     )
-    SELECT depth, COUNT(*) AS n_nodes, SUM(ancestor) AS ancestor_sum
+    SELECT depth, COUNT(*) AS n_nodes, CAST(SUM(ancestor) AS BIGINT) AS ancestor_sum
     FROM up GROUP BY depth
 """
 
@@ -370,7 +370,7 @@ def q_recursive_ancestor_depths(spark: SparkSession, sf_dir: str) -> DataFrame:
     "props_variant_stats",
     """
     SELECT event_type,
-           SUM(k) AS k_sum, MIN(k) AS k_min, MAX(k) AS k_max, COUNT(*) AS n
+           CAST(SUM(k) AS BIGINT) AS k_sum, MIN(k) AS k_min, MAX(k) AS k_max, COUNT(*) AS n
     FROM (
       SELECT event_type,
              CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
@@ -561,7 +561,7 @@ def q_customer_order_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _PROFILE_SQL_ONE = """
     SELECT '{c}' AS col, COUNT(*) AS n,
-           SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,
+           CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
            COUNT(DISTINCT {c}) AS n_distinct,
            {minx} AS min_str, {maxx} AS max_str
     FROM orders
@@ -622,8 +622,9 @@ _EXPECT_CASES = {
     " UNION ALL ".join(
         f"""
         SELECT '{name}' AS check_name, COUNT(*) AS n_rows,
-               SUM(CASE WHEN {cond} THEN 0 ELSE 1 END) AS n_violations,
-               SUM(CASE WHEN {cond} THEN 0 ELSE 1 END) = 0 AS pass
+               CAST(SUM(CASE WHEN {cond} THEN 0 ELSE 1 END) AS BIGINT) AS n_violations,
+               CAST(CAST(SUM(CASE WHEN {cond} THEN 0 ELSE 1 END) AS BIGINT) = 0
+                    AS BOOLEAN) AS pass
         FROM lineitem
         """
         for name, cond in _EXPECT_CASES.items()

@@ -38,8 +38,13 @@ def _events_stream(spark: SparkSession, sf_dir: str):
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    elif ts_type == "timestamp_ntz":
+        # parquet timestamp[us] no-tz reads as TIMESTAMP_NTZ; watermarks require
+        # TimestampType — lossless cast with the session zone pinned UTC above
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -58,8 +58,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # every query passes through).
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(p)
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # legacy nanosecond corpus read as long nanos
+            df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        elif ts_type == "timestamp_ntz":
+            # parquet timestamp[us] without tz loads as TIMESTAMP_NTZ in Spark 4;
+            # with the session zone pinned UTC above, NTZ->TIMESTAMP is lossless
+            # and matches the DuckDB oracle's naive-microsecond reading. Watermarks
+            # and window() require TimestampType, so normalize at the chokepoint.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -75,7 +84,14 @@ def spread(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    # Probe width via the file listing (already cached in the relation) instead
+    # of df.rdd.getNumPartitions(): the RDD conversion forces plan translation
+    # on every load and dominated per-query constant cost in the driver gate.
+    try:
+        width = len(df.inputFiles())
+    except Exception:
+        width = df.rdd.getNumPartitions()
+    if width < target:
         return df.repartition(target)
     return df
 
