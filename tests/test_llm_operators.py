@@ -227,6 +227,26 @@ def test_ann_scale_paths_recall_floor(spark, sf_dir):
         assert mean_recall >= 0.35, f"{name} recall@{k} too low: {mean_recall:.3f}"
 
 
+def test_lsh_arrow_and_hof_bucket_paths_identical(spark, sf_dir):
+    """The Arrow-batched bucket UDF accumulates dimensions in the same
+    sequential float64 order as the HOF expression fold, so both paths
+    must return bit-identical top-k rows (not just equal recall)."""
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.operators.similarity import lsh_bucket_topk
+    from shared_etl_pipelines_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    hof = lsh_bucket_topk(emb, queries, k=10).orderBy("query_id", "rn").collect()
+    arrow = (
+        lsh_bucket_topk(emb, queries, k=10, arrow_buckets=True)
+        .orderBy("query_id", "rn")
+        .collect()
+    )
+    assert [tuple(r) for r in hof] == [tuple(r) for r in arrow]
+
+
 def test_lsh_recalls_planted_near_duplicates(spark, sf_dir):
     """The actual use case: a slightly-perturbed copy of a corpus vector
     (cosine ~0.99) must find its source. Deterministic perturbation:
