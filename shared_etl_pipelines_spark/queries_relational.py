@@ -730,21 +730,48 @@ def q_pivot_status_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "lag-lead", "timeseries"),
 )
 def q_daily_revenue_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The naive form is ONE unpartitioned Window.orderBy(day) — bounded by
+    # the date domain, but still a single-task sort. Instead: partition by
+    # year and copy each year's boundary rows into the neighboring year's
+    # partition (the G2 lookback-across-the-boundary trick), so every
+    # partition computes its edge lag/lead correctly and the helper copies
+    # are filtered back out. Scales with years x 365 rows per partition.
     o = _t(spark, sf_dir, "orders")
     daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
     )
-    w = Window.orderBy("day")
-    out = daily.select(
-        F.date_format("day", "yyyy-MM-dd").alias("day"),
-        (F.col("cents") / 100.0).alias("revenue"),
-        ((F.col("cents") - F.lag("cents").over(w)) / 100.0).alias("delta_prev"),
-        ((F.lead("cents").over(w) - F.col("cents")) / 100.0).alias("delta_next"),
-        (
-            (F.col("cents") - F.lag("cents").over(w)).cast("double")
-            / F.nullif(F.lag("cents").over(w), F.lit(0))
-            * 100
-        ).alias("pct_change"),
+    daily = daily.withColumn("yr", F.year("day"))
+    w_asc = Window.partitionBy("yr").orderBy("day")
+    w_desc = Window.partitionBy("yr").orderBy(F.col("day").desc())
+    marked = daily.withColumn("rn_a", F.row_number().over(w_asc)).withColumn(
+        "rn_d", F.row_number().over(w_desc)
+    )
+    own = marked.select("day", "cents", F.col("yr").alias("part"), F.lit(1).alias("own"))
+    # last day of year Y joins partition Y+1 (feeds its first lag);
+    # first day of year Y joins partition Y-1 (feeds its last lead)
+    into_next = marked.filter(F.col("rn_d") == 1).select(
+        "day", "cents", (F.col("yr") + 1).alias("part"), F.lit(0).alias("own")
+    )
+    into_prev = marked.filter(F.col("rn_a") == 1).select(
+        "day", "cents", (F.col("yr") - 1).alias("part"), F.lit(0).alias("own")
+    )
+    aug = own.unionByName(into_next).unionByName(into_prev)
+    w = Window.partitionBy("part").orderBy("day")
+    out = (
+        aug.withColumn("lag_c", F.lag("cents").over(w))
+        .withColumn("lead_c", F.lead("cents").over(w))
+        .filter(F.col("own") == 1)
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            (F.col("cents") / 100.0).alias("revenue"),
+            ((F.col("cents") - F.col("lag_c")) / 100.0).alias("delta_prev"),
+            ((F.col("lead_c") - F.col("cents")) / 100.0).alias("delta_next"),
+            (
+                (F.col("cents") - F.col("lag_c")).cast("double")
+                / F.nullif(F.col("lag_c"), F.lit(0))
+                * 100
+            ).alias("pct_change"),
+        )
     )
     return round_floats(out)
 
