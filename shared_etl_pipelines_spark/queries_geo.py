@@ -158,3 +158,62 @@ def q_geo_clip_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cells(spark, sf_dir), POLYGONS, cell_size=8.0, key="stusps", value="MI"
     )
     return round_floats(out.select("l_orderkey", "l_linenumber", "cx", "cy", "value"))
+
+
+# ---------------------------------------------------------------------------
+# S5'/G2 — real GeoTIFF ingestion round-trip: daily .tif files (strip AND
+# tile layout, raw AND deflate, u2/i4/f4/f8 samples, GDAL nodata) decoded
+# by the pure-numpy codec (sources/raster.py) into the long table, then
+# the reference's 3-day rolling sum per cell
+# (pipelines/prism/stage-ts-ppt-day-mi-rollsum-3d.yml:26 semantics).
+# DuckDB can't read TIFF, so the fixture corpus is generated from an
+# integer formula the oracle regenerates exactly — the decode path is
+# therefore value-hash-verified end to end.
+# ---------------------------------------------------------------------------
+@defquery(
+    "raster_tif_rollsum",
+    f"""
+    WITH days AS (SELECT CAST(d AS INTEGER) AS d FROM range(10) t(d)),
+    cells AS (
+      SELECT CAST(y.y AS INTEGER) AS y, CAST(x.x AS INTEGER) AS x
+      FROM range(16) y(y) CROSS JOIN range(16) x(x)
+    ),
+    px AS (
+      SELECT d, y, x, (d * 7919 + y * 31 + x * 17) % 1000 AS v
+      FROM days CROSS JOIN cells
+    ),
+    kept AS (SELECT d, y, x, CAST(v AS DOUBLE) AS value FROM px WHERE v <> 999)
+    SELECT strftime(DATE '2024-03-01' + INTERVAL (d) DAY, '%Y-%m-%d') AS day,
+           y, x, ROUND(value, 4) AS value,
+           ROUND(SUM(value) OVER (PARTITION BY y, x ORDER BY d
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+           AS sum_3
+    FROM kept
+    """,
+    doc="GeoTIFF decode -> long table -> 3-day rolling sum per cell "
+    "(formula-generated fixture, oracle-exact)",
+    tags=("geo", "raster", "S5", "G2", "window"),
+)
+def q_raster_tif_rollsum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from shared_etl_pipelines_spark.sources.raster import (
+        ensure_demo_rasters,
+        read_geotiff_long,
+    )
+
+    fixture_dir = ensure_demo_rasters()
+    px = read_geotiff_long(spark, fixture_dir, drop_nodata=True)
+    w = (
+        Window.partitionBy("y", "x")
+        .orderBy("day")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    out = px.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "y",
+        "x",
+        "value",
+        F.sum("value").over(w).alias("sum_3"),
+    )
+    return round_floats(out)

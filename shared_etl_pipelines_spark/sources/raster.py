@@ -1,0 +1,382 @@
+"""GeoTIFF -> long-table raster ingestion, dependency-free.
+
+The reference's core data artifacts are daily GeoTIFF rasters (one file
+per day, date in the filename — e.g.
+pipelines/prism/stage-ts-ppt-day-mi-rollsum-3d.yml:14,26 with
+``input_filename_glob: prism_ppt_us_30s_*.tif``), consumed by plugins
+that treat them as (y, x, value) grids. The engine models rasters as
+long tables (SURVEY.md §7.0); this module closes the ingestion gap with
+a minimal pure-numpy GeoTIFF codec so the PRISM/CDL-shaped pipelines can
+run on their actual artifacts without GDAL:
+
+- ``decode_geotiff``: classic TIFF, single band, strip or tile layout,
+  uncompressed / DEFLATE / PackBits, horizontal-differencing predictor,
+  u8/u16/u32/i8/i16/i32/f32/f64 samples, GDAL nodata + GeoTIFF
+  pixel-scale/tiepoint tags.
+- ``write_geotiff``: the matching writer (fixtures, round-trip tests,
+  and staging outputs).
+- ``read_geotiff_long``: Spark's ``binaryFile`` source + ``mapInPandas``
+  decode -> one row per pixel ``(day, y, x, value)`` with the G8
+  date-from-filename regex applied to each path.
+
+Scale shape: one task per file (binaryFile never splits a file), so a
+year of daily rasters decodes 365-way parallel; decode output streams
+through Arrow in bounded batches instead of materializing a python list
+of all pixels. Column pruning/pushdown happen downstream on the long
+table like any other source.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import re
+import struct
+import zlib
+from datetime import date, datetime
+from typing import Iterable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+RASTER_SCHEMA = "day date, y int, x int, value double"
+
+# TIFF tag ids used here
+_T_WIDTH, _T_HEIGHT, _T_BPS, _T_COMP = 256, 257, 258, 259
+_T_PHOTO, _T_STRIP_OFF, _T_SPP, _T_RPS, _T_STRIP_CNT = 262, 273, 277, 278, 279
+_T_PLANAR, _T_PREDICTOR = 284, 317
+_T_TILE_W, _T_TILE_H, _T_TILE_OFF, _T_TILE_CNT = 322, 323, 324, 325
+_T_SFORMAT = 339
+_T_PIXEL_SCALE, _T_TIEPOINT = 33550, 33922
+_T_GDAL_NODATA = 42113
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
+_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
+
+_DTYPES = {
+    (1, 8): "u1", (1, 16): "u2", (1, 32): "u4",
+    (2, 8): "i1", (2, 16): "i2", (2, 32): "i4",
+    (3, 32): "f4", (3, 64): "f8",
+}
+
+
+def _read_ifd(data: bytes, e: str, off: int) -> dict[int, tuple]:
+    (n,) = struct.unpack_from(e + "H", data, off)
+    tags: dict[int, tuple] = {}
+    for i in range(n):
+        base = off + 2 + i * 12
+        tag, typ, cnt = struct.unpack_from(e + "HHI", data, base)
+        size = _TYPE_SIZE.get(typ, 1) * cnt
+        voff = base + 8 if size <= 4 else struct.unpack_from(e + "I", data, base + 8)[0]
+        if typ == 2:  # ASCII
+            tags[tag] = (data[voff : voff + cnt].split(b"\0", 1)[0].decode("ascii", "replace"),)
+        elif typ in _TYPE_FMT:
+            tags[tag] = struct.unpack_from(e + str(cnt) + _TYPE_FMT[typ], data, voff)
+        # RATIONAL (5/10) and unknown types: not needed, skipped
+    return tags
+
+
+def _unpackbits(b: bytes) -> bytes:
+    """PackBits (RLE) decompression."""
+    out = bytearray()
+    i = 0
+    while i < len(b):
+        n = b[i]
+        i += 1
+        if n < 128:
+            out += b[i : i + n + 1]
+            i += n + 1
+        elif n > 128:
+            out += b[i : i + 1] * (257 - n)
+            i += 1
+        # n == 128: no-op
+    return bytes(out)
+
+
+def decode_geotiff(data: bytes) -> tuple[np.ndarray, dict]:
+    """Decode a single-band classic GeoTIFF from bytes.
+
+    Returns ``(array[h, w], meta)`` with meta keys: ``nodata`` (float or
+    None), ``pixel_scale`` ((sx, sy, sz) or None), ``tiepoint`` (raw
+    ModelTiepoint doubles or None).
+    """
+    if data[:2] == b"II":
+        e = "<"
+    elif data[:2] == b"MM":
+        e = ">"
+    else:
+        raise ValueError("not a TIFF: bad byte-order mark")
+    (magic,) = struct.unpack_from(e + "H", data, 2)
+    if magic != 42:
+        raise ValueError(f"unsupported TIFF magic {magic} (classic TIFF only, no BigTIFF)")
+    (ifd_off,) = struct.unpack_from(e + "I", data, 4)
+    tags = _read_ifd(data, e, ifd_off)
+
+    width, height = tags[_T_WIDTH][0], tags[_T_HEIGHT][0]
+    bps = tags.get(_T_BPS, (8,))[0]
+    comp = tags.get(_T_COMP, (1,))[0]
+    sfmt = tags.get(_T_SFORMAT, (1,))[0]
+    predictor = tags.get(_T_PREDICTOR, (1,))[0]
+    spp = tags.get(_T_SPP, (1,))[0]
+    if spp != 1:
+        raise ValueError(f"single-band rasters only (SamplesPerPixel={spp})")
+    key = (sfmt, bps)
+    if key not in _DTYPES:
+        raise ValueError(f"unsupported sample format/bits: {key}")
+    dt = np.dtype(_DTYPES[key]).newbyteorder(e)
+
+    def decomp(chunk: bytes) -> bytes:
+        if comp == 1:
+            return chunk
+        if comp in (8, 32946):  # DEFLATE (new/old code)
+            return zlib.decompress(chunk)
+        if comp == 32773:
+            return _unpackbits(chunk)
+        raise ValueError(f"unsupported compression {comp}")
+
+    def undiff(block: np.ndarray) -> np.ndarray:
+        # predictor 2: horizontal differencing per row
+        if predictor == 2:
+            return np.cumsum(block, axis=1, dtype=block.dtype)
+        return block
+
+    if _T_TILE_OFF in tags:
+        tw, th = tags[_T_TILE_W][0], tags[_T_TILE_H][0]
+        offs, cnts = tags[_T_TILE_OFF], tags[_T_TILE_CNT]
+        ntx = math.ceil(width / tw)
+        arr = np.zeros((height, width), dtype=dt)
+        for idx, (o, c) in enumerate(zip(offs, cnts)):
+            tile = np.frombuffer(decomp(data[o : o + c]), dtype=dt)[: tw * th]
+            tile = undiff(tile.reshape(th, tw))
+            ty, tx = divmod(idx, ntx)
+            y0, x0 = ty * th, tx * tw
+            ys, xs = min(th, height - y0), min(tw, width - x0)
+            arr[y0 : y0 + ys, x0 : x0 + xs] = tile[:ys, :xs]
+    else:
+        rps = tags.get(_T_RPS, (height,))[0] or height
+        offs, cnts = tags[_T_STRIP_OFF], tags[_T_STRIP_CNT]
+        chunks = []
+        for i, (o, c) in enumerate(zip(offs, cnts)):
+            nrows = min(rps, height - i * rps)
+            chunk = np.frombuffer(decomp(data[o : o + c]), dtype=dt)[: nrows * width]
+            chunks.append(undiff(chunk.reshape(nrows, width)))
+        arr = np.vstack(chunks) if len(chunks) > 1 else chunks[0]
+
+    meta = {
+        "nodata": float(tags[_T_GDAL_NODATA][0]) if _T_GDAL_NODATA in tags else None,
+        "pixel_scale": tags.get(_T_PIXEL_SCALE),
+        "tiepoint": tags.get(_T_TIEPOINT),
+    }
+    return arr, meta
+
+
+def write_geotiff(
+    path: str,
+    arr: np.ndarray,
+    nodata: float | None = None,
+    compress: bool = False,
+    tile: int | None = None,
+    pixel_scale: tuple[float, float] | None = None,
+    origin: tuple[float, float] | None = None,
+) -> None:
+    """Write a single-band classic GeoTIFF (little-endian).
+
+    Strip layout by default (one strip per raster); ``tile`` switches to
+    square tiles of that size. ``compress`` applies DEFLATE.
+    """
+    arr = np.ascontiguousarray(arr)
+    if arr.ndim != 2:
+        raise ValueError("expected a 2-D array")
+    h, w = arr.shape
+    kind_map = {"u": 1, "i": 2, "f": 3}
+    sfmt = kind_map.get(arr.dtype.kind)
+    if sfmt is None:
+        raise ValueError(f"unsupported dtype {arr.dtype}")
+    bps = arr.dtype.itemsize * 8
+    arr = arr.astype(arr.dtype.newbyteorder("<"))
+
+    blocks: list[bytes] = []
+    if tile:
+        nty, ntx = math.ceil(h / tile), math.ceil(w / tile)
+        for ty in range(nty):
+            for tx in range(ntx):
+                blk = np.zeros((tile, tile), dtype=arr.dtype)
+                seg = arr[ty * tile : (ty + 1) * tile, tx * tile : (tx + 1) * tile]
+                blk[: seg.shape[0], : seg.shape[1]] = seg
+                blocks.append(blk.tobytes())
+    else:
+        blocks.append(arr.tobytes())
+    if compress:
+        blocks = [zlib.compress(b) for b in blocks]
+
+    entries: list[tuple[int, int, int, tuple]] = [
+        (_T_WIDTH, 4, 1, (w,)),
+        (_T_HEIGHT, 4, 1, (h,)),
+        (_T_BPS, 3, 1, (bps,)),
+        (_T_COMP, 3, 1, (8 if compress else 1,)),
+        (_T_PHOTO, 3, 1, (1,)),  # BlackIsZero
+        (_T_SPP, 3, 1, (1,)),
+        (_T_SFORMAT, 3, 1, (sfmt,)),
+    ]
+    if tile:
+        entries += [
+            (_T_TILE_W, 3, 1, (tile,)),
+            (_T_TILE_H, 3, 1, (tile,)),
+            (_T_TILE_OFF, 4, len(blocks), None),  # patched below
+            (_T_TILE_CNT, 4, len(blocks), tuple(len(b) for b in blocks)),
+        ]
+    else:
+        entries += [
+            (_T_STRIP_OFF, 4, 1, None),
+            (_T_RPS, 4, 1, (h,)),
+            (_T_STRIP_CNT, 4, 1, (len(blocks[0]),)),
+        ]
+    if pixel_scale is not None:
+        entries.append((_T_PIXEL_SCALE, 12, 3, (pixel_scale[0], pixel_scale[1], 0.0)))
+    if origin is not None:
+        entries.append((_T_TIEPOINT, 12, 6, (0.0, 0.0, 0.0, origin[0], origin[1], 0.0)))
+    if nodata is not None:
+        nd = f"{nodata:g}\0".encode("ascii")
+        entries.append((_T_GDAL_NODATA, 2, len(nd), nd))
+    entries.sort(key=lambda t: t[0])
+
+    # layout: header(8) | IFD | overflow values | block data
+    ifd_off = 8
+    ifd_size = 2 + len(entries) * 12 + 4
+    overflow_off = ifd_off + ifd_size
+    overflow = bytearray()
+
+    def enc_values(typ: int, cnt: int, vals) -> bytes:
+        if typ == 2:
+            return bytes(vals)
+        fmt = {3: "H", 4: "I", 12: "d"}[typ]
+        return struct.pack("<" + str(cnt) + fmt, *vals)
+
+    # first pass: compute where block data begins
+    tentative = overflow_off
+    for tag, typ, cnt, vals in entries:
+        size = _TYPE_SIZE[typ] * cnt
+        if size > 4:
+            tentative += size
+    data_off = tentative
+    block_offsets = []
+    pos = data_off
+    for b in blocks:
+        block_offsets.append(pos)
+        pos += len(b)
+
+    out = bytearray()
+    out += struct.pack("<2sHI", b"II", 42, ifd_off)
+    out += struct.pack("<H", len(entries))
+    for tag, typ, cnt, vals in entries:
+        if vals is None:  # offsets tag
+            vals = tuple(block_offsets)
+        enc = enc_values(typ, cnt, vals)
+        if len(enc) <= 4:
+            out += struct.pack("<HHI", tag, typ, cnt) + enc.ljust(4, b"\0")
+        else:
+            out += struct.pack("<HHII", tag, typ, cnt, overflow_off + len(overflow))
+            overflow += enc
+    out += struct.pack("<I", 0)  # next-IFD pointer
+    out += overflow
+    assert len(out) == data_off, f"layout bug: {len(out)} != {data_off}"
+    for b in blocks:
+        out += b
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
+def date_from_path(path: str, date_regex: str = r"(\d{8})") -> date | None:
+    """G8 date-from-filename contract: first YYYYMMDD group in the basename
+    (pipelines/prism/prism-mi-corn-ppt-county.yml:82 ``day_from_filename_regex``)."""
+    m = re.search(date_regex, os.path.basename(path))
+    if not m:
+        return None
+    return datetime.strptime(m.group(1), "%Y%m%d").date()
+
+
+def read_geotiff_long(
+    spark: SparkSession,
+    path: str,
+    date_regex: str = r"(\d{8})",
+    drop_nodata: bool = True,
+    batch_rows: int = 1 << 18,
+) -> DataFrame:
+    """Read GeoTIFF file(s) as a long table ``(day, y, x, value)``.
+
+    ``path`` may be a file, directory, or glob — anything Spark's
+    ``binaryFile`` source accepts. One decode task per file (binaryFile
+    never splits), so a daily-raster directory parallelizes by day;
+    pixels stream out in ``batch_rows``-sized Arrow batches to bound
+    executor memory however large a single raster is.
+    """
+
+    def decode(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for p, content in zip(pdf["path"], pdf["content"]):
+                arr, meta = decode_geotiff(bytes(content))
+                day = date_from_path(p, date_regex)
+                h, w = arr.shape
+                vals = arr.reshape(-1).astype("f8")
+                ys = np.repeat(np.arange(h, dtype="i4"), w)
+                xs = np.tile(np.arange(w, dtype="i4"), h)
+                if drop_nodata and meta["nodata"] is not None:
+                    keep = vals != meta["nodata"]
+                    vals, ys, xs = vals[keep], ys[keep], xs[keep]
+                for s in range(0, len(vals), batch_rows):
+                    sl = slice(s, s + batch_rows)
+                    yield pd.DataFrame(
+                        {"day": day, "y": ys[sl], "x": xs[sl], "value": vals[sl]}
+                    )
+
+    bf = spark.read.format("binaryFile").load(path).select("path", "content")
+    return bf.mapInPandas(decode, RASTER_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic demo corpus: 10 daily PRISM-named rasters whose pixel
+# values follow an integer formula a SQL oracle can regenerate exactly —
+# the correctness bridge for the binary decode path (DuckDB cannot read
+# TIFF, but it can recompute (d*7919 + y*31 + x*17) % 1000). Layout/codec
+# varies per day so one query exercises strips, tiles, DEFLATE and all
+# the numeric dtypes.
+# ---------------------------------------------------------------------------
+DEMO_DAYS = 10
+DEMO_SIZE = 16
+DEMO_START = date(2024, 3, 1)
+DEMO_NODATA = 999.0
+
+
+def demo_raster_values(d: int) -> np.ndarray:
+    yy, xx = np.mgrid[0:DEMO_SIZE, 0:DEMO_SIZE]
+    return (d * 7919 + yy * 31 + xx * 17) % 1000
+
+
+def ensure_demo_rasters(base_dir: str | None = None) -> str:
+    """Write (idempotently) the demo GeoTIFF corpus; returns its directory."""
+    import tempfile
+
+    root = base_dir or os.path.join(tempfile.gettempdir(), "spark_graft_tif_demo_v1")
+    os.makedirs(root, exist_ok=True)
+    from datetime import timedelta
+
+    for d in range(DEMO_DAYS):
+        day = DEMO_START + timedelta(days=d)
+        name = f"prism_ppt_us_30s_{day.strftime('%Y%m%d')}.tif"
+        path = os.path.join(root, name)
+        if os.path.exists(path):
+            continue
+        vals = demo_raster_values(d)
+        dtype = {5: "f8", 7: "f4", 4: "u2"}.get(d, "i4")
+        write_geotiff(
+            path + ".tmp",
+            vals.astype(dtype),
+            nodata=DEMO_NODATA,
+            compress=(d % 2 == 1),
+            tile=8 if d % 3 == 0 else None,
+            pixel_scale=(0.0083, 0.0083),
+            origin=(-125.0, 49.94),
+        )
+        os.replace(path + ".tmp", path)
+    return root

@@ -1,0 +1,166 @@
+"""GeoTIFF codec + long-table ingestion (sources/raster.py).
+
+Round-trips cover every supported layout x codec x dtype combination;
+decoder-only paths (predictor 2, PackBits, big-endian) are exercised via
+hand-assembled minimal TIFFs.
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from shared_etl_pipelines_spark.sources.raster import (
+    DEMO_DAYS,
+    DEMO_SIZE,
+    date_from_path,
+    decode_geotiff,
+    demo_raster_values,
+    ensure_demo_rasters,
+    read_geotiff_long,
+    write_geotiff,
+)
+
+
+@pytest.mark.parametrize("dtype", ["u1", "u2", "u4", "i1", "i2", "i4", "f4", "f8"])
+@pytest.mark.parametrize("compress", [False, True])
+@pytest.mark.parametrize("tile", [None, 8])
+def test_roundtrip_all_layouts(tmp_path, dtype, compress, tile):
+    rng = np.random.default_rng(42)
+    if dtype.startswith("f"):
+        arr = rng.random((13, 17)).astype(dtype)  # non-multiple of tile size
+    else:
+        info = np.iinfo(dtype)
+        arr = rng.integers(info.min, info.max, size=(13, 17)).astype(dtype)
+    p = str(tmp_path / "t.tif")
+    write_geotiff(p, arr, compress=compress, tile=tile)
+    got, meta = decode_geotiff(open(p, "rb").read())
+    assert got.dtype.kind == arr.dtype.kind and got.dtype.itemsize == arr.dtype.itemsize
+    np.testing.assert_array_equal(got, arr)
+    assert meta["nodata"] is None
+
+
+def test_geo_tags_roundtrip(tmp_path):
+    arr = np.arange(12, dtype="i4").reshape(3, 4)
+    p = str(tmp_path / "g.tif")
+    write_geotiff(
+        p, arr, nodata=7.0, pixel_scale=(0.25, 0.25), origin=(-120.0, 45.0)
+    )
+    got, meta = decode_geotiff(open(p, "rb").read())
+    np.testing.assert_array_equal(got, arr)
+    assert meta["nodata"] == 7.0
+    assert meta["pixel_scale"][:2] == (0.25, 0.25)
+    assert meta["tiepoint"][3:5] == (-120.0, 45.0)
+
+
+def _minimal_tiff(arr_bytes, h, w, extra_entries, byteorder="<", bps=8, sfmt=1):
+    """Hand-assemble a classic TIFF: header + IFD + one raw strip."""
+    e = byteorder
+    entries = [
+        (256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, bps), (259, 3, 1, 1),
+        (262, 3, 1, 1), (277, 3, 1, 1), (278, 4, 1, h),
+        (279, 4, 1, len(arr_bytes)), (339, 3, 1, sfmt),
+    ] + extra_entries
+    entries.sort()
+    data_off = 8 + 2 + len(entries) * 12 + 4
+    entries = [(273, 4, 1, data_off)] + entries
+    entries.sort()
+    data_off = 8 + 2 + len(entries) * 12 + 4  # recompute with strip-offset entry
+    entries = [(t, ty, c, data_off if t == 273 else v) for t, ty, c, v in entries]
+    out = struct.pack(e + "2sHI", b"II" if e == "<" else b"MM", 42, 8)
+    out += struct.pack(e + "H", len(entries))
+    for tag, typ, cnt, val in entries:
+        fmt = {3: "H", 4: "I"}[typ]
+        enc = struct.pack(e + fmt, val).ljust(4, b"\0")
+        out += struct.pack(e + "HHI", tag, typ, cnt) + enc
+    out += struct.pack(e + "I", 0)
+    assert len(out) == data_off
+    return out + arr_bytes
+
+
+def test_decoder_predictor2_horizontal_differencing():
+    arr = np.array([[10, 12, 15], [7, 7, 9]], dtype="u1")
+    diffed = np.diff(arr, axis=1, prepend=arr[:, :1].astype("u1"))
+    diffed[:, 0] = arr[:, 0]
+    data = _minimal_tiff(diffed.tobytes(), 2, 3, [(317, 3, 1, 2)])
+    got, _ = decode_geotiff(data)
+    np.testing.assert_array_equal(got, arr)
+
+
+def test_decoder_packbits():
+    arr = np.array([[5, 5, 5, 5, 1, 2]], dtype="u1")
+    # replicate run [-3]->4x5, then literal run [1]-> 1,2
+    packed = bytes([253, 5, 1, 1, 2])
+    e = "<"
+    entries = [
+        (256, 4, 1, 6), (257, 4, 1, 1), (258, 3, 1, 8), (259, 3, 1, 32773),
+        (262, 3, 1, 1), (277, 3, 1, 1), (278, 4, 1, 1),
+        (279, 4, 1, len(packed)), (339, 3, 1, 1),
+    ]
+    data_off = 8 + 2 + (len(entries) + 1) * 12 + 4
+    entries.append((273, 4, 1, data_off))
+    entries.sort()
+    out = struct.pack(e + "2sHI", b"II", 42, 8) + struct.pack(e + "H", len(entries))
+    for tag, typ, cnt, val in entries:
+        fmt = {3: "H", 4: "I"}[typ]
+        out += struct.pack(e + "HHI", tag, typ, cnt) + struct.pack(e + fmt, val).ljust(4, b"\0")
+    out += struct.pack(e + "I", 0) + packed
+    got, _ = decode_geotiff(out)
+    np.testing.assert_array_equal(got, arr)
+
+
+def test_decoder_big_endian():
+    arr = np.array([[258, 772]], dtype=">u2")
+    e = ">"
+    raw = arr.tobytes()
+    entries = [
+        (256, 4, 1, 2), (257, 4, 1, 1), (258, 3, 1, 16), (259, 3, 1, 1),
+        (262, 3, 1, 1), (277, 3, 1, 1), (278, 4, 1, 1),
+        (279, 4, 1, len(raw)), (339, 3, 1, 1),
+    ]
+    data_off = 8 + 2 + (len(entries) + 1) * 12 + 4
+    entries.append((273, 4, 1, data_off))
+    entries.sort()
+    out = struct.pack(e + "2sHI", b"MM", 42, 8) + struct.pack(e + "H", len(entries))
+    for tag, typ, cnt, val in entries:
+        fmt = {3: "H", 4: "I"}[typ]
+        out += struct.pack(e + "HHI", tag, typ, cnt) + struct.pack(e + fmt, val).ljust(4, b"\0")
+    out += struct.pack(e + "I", 0) + raw
+    got, _ = decode_geotiff(out)
+    np.testing.assert_array_equal(got.astype("u2"), arr.astype("u2"))
+
+
+def test_date_from_path_prism_convention():
+    assert str(date_from_path("/x/prism_ppt_us_30s_20240301.tif")) == "2024-03-01"
+    assert date_from_path("/x/no_date_here.tif") is None
+
+
+def test_read_geotiff_long_decodes_corpus_in_parallel(spark, tmp_path):
+    d = ensure_demo_rasters(str(tmp_path / "tifs"))
+    df = read_geotiff_long(spark, d, drop_nodata=False)
+    assert df.schema.simpleString() == (
+        "struct<day:date,y:int,x:int,value:double>"
+    )
+    n = df.count()
+    assert n == DEMO_DAYS * DEMO_SIZE * DEMO_SIZE
+    # one decode task per file
+    assert df.rdd.getNumPartitions() >= 2
+    # spot-check values against the formula for a strip day and a tile day
+    import pandas as pd
+
+    got = df.filter("day = DATE '2024-03-01'").toPandas()  # d=0: tiled
+    expect = demo_raster_values(0)
+    pivot = got.pivot(index="y", columns="x", values="value").to_numpy()
+    np.testing.assert_array_equal(pivot, expect)
+    got1 = df.filter("day = DATE '2024-03-02'").toPandas()  # d=1: deflate strips
+    pivot1 = got1.pivot(index="y", columns="x", values="value").to_numpy()
+    np.testing.assert_array_equal(pivot1, demo_raster_values(1))
+
+
+def test_read_geotiff_long_drops_nodata(spark, tmp_path):
+    p = tmp_path / "tifs2"
+    p.mkdir()
+    arr = np.array([[1, 999], [999, 4]], dtype="i4")
+    write_geotiff(str(p / "prism_ppt_us_30s_20240101.tif"), arr, nodata=999.0)
+    rows = read_geotiff_long(spark, str(p)).orderBy("y", "x").collect()
+    assert [(r["y"], r["x"], r["value"]) for r in rows] == [(0, 0, 1.0), (1, 1, 4.0)]
