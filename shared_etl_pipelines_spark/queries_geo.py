@@ -217,3 +217,49 @@ def q_raster_tif_rollsum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("value").over(w).alias("sum_3"),
     )
     return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# Shapefile ingestion round-trip (the TIGER boundary contract,
+# pipelines/prism/county_daily_aggregate.yml:11-13 county_path=.shp with
+# GEOID/NAME attrs, stage-ts-ppt-day-state.yml:31 key=STUSPS): the demo
+# polygons are written as a real .shp/.dbf pair by sources.vector, read
+# back through the pure-python parser, and clipped — same oracle as
+# geo_clip_polygon, so the binary vector path is value-hash-verified.
+# ---------------------------------------------------------------------------
+@defquery(
+    "shapefile_clip",
+    f"""
+    WITH cells AS ({_CELLS_SQL})
+    SELECT l_orderkey, l_linenumber, cx, cy, ROUND(value, 4) AS value
+    FROM cells
+    WHERE {_WEST_SQL} OR {_EASTL_SQL}
+    """,
+    doc="G1 clip with polygons ingested from a TIGER-format .shp/.dbf "
+    "fixture (pure-python shapefile reader)",
+    tags=("geo", "G1", "shapefile", "source"),
+)
+def q_shapefile_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from shared_etl_pipelines_spark.operators.geo import Polygon
+    from shared_etl_pipelines_spark.sources.vector import (
+        read_shapefile,
+        write_shapefile,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_shp_demo_v1", "zones")
+    os.makedirs(os.path.dirname(base), exist_ok=True)
+    if not os.path.exists(base + ".shp"):
+        write_shapefile(
+            base,
+            [
+                Polygon(p.zone_id, p.ring, {"NAME": p.zone_id, "STUSPS": p.attrs["stusps"]})
+                for p in POLYGONS
+            ],
+            fields=[("NAME", "C", 16, 0), ("STUSPS", "C", 2, 0)],
+        )
+    polys = read_shapefile(base + ".shp", id_field="NAME")
+    out = clip_by_polygon(_cells(spark, sf_dir), polys, key="STUSPS", value="MI")
+    return round_floats(out.select("l_orderkey", "l_linenumber", "cx", "cy", "value"))
