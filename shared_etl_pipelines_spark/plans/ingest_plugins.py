@@ -64,7 +64,7 @@ def ai_dataset_evidence_bundle(
 
 @plugin("ai_dataset_research")
 def ai_dataset_research(ctx: StepContext, **args: Any) -> dict[str, Any]:
-    return C.dataset_research_stub(**args)
+    return C.dataset_research(**args)
 
 
 @plugin("catalog_json_upsert")

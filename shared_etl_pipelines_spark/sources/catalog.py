@@ -93,7 +93,7 @@ def evidence_bundle(
     }
 
 
-def dataset_research_stub(
+def dataset_research(
     dataset_id: str,
     output_dir: str,
     title: str = "",
@@ -102,28 +102,107 @@ def dataset_research_stub(
     sample_file: str | None = None,
     schema_file: str | None = None,
     notes_file: str | None = None,
+    vector_facts_json: str | None = None,
+    supplemental_urls_file: str | None = None,
     **_: Any,
 ) -> dict[str, Any]:
-    """O4 STUB: the reference step is LLM-backed metadata research — an
-    out-of-engine enrichment. This deterministic stand-in records the
-    evidence it WOULD consume so the downstream upsert contract is real."""
+    """O4: dataset research document from the evidence bundle.
+
+    The reference step is LLM-backed metadata research
+    (pipelines/tiger/county.yml:52-64) — an out-of-engine enrichment. The
+    engine's implementation is a DETERMINISTIC synthesis over the same
+    evidence the LLM would read (schema file, sample rows, vector facts,
+    notes, supplemental URLs): same inputs -> same document, no model in
+    the loop. The output record carries every field the downstream
+    ``catalog_json_upsert``/``catalog_yaml_sync`` chain consumes, so the
+    O2 -> O3 -> O4 -> O5 -> O6 pipeline runs end to end.
+    """
     os.makedirs(output_dir, exist_ok=True)
+
+    columns: list[dict[str, Any]] = []
+    if schema_file and os.path.exists(schema_file):
+        schema = json.load(open(schema_file))
+        for f_ in schema.get("fields", []):
+            t = f_.get("type")
+            columns.append(
+                {"name": f_.get("name"), "type": t if isinstance(t, str) else "nested"}
+            )
+
+    sample_rows: list[dict[str, Any]] = []
+    if sample_file and os.path.exists(sample_file):
+        sample_rows = json.load(open(sample_file))
+    for col in columns:
+        observed = [r.get(col["name"]) for r in sample_rows]
+        non_null = [v for v in observed if v is not None]
+        col["sample_nulls"] = len(observed) - len(non_null)
+        if non_null:
+            col["example"] = non_null[0]
+
+    row_count = None
+    if vector_facts_json and os.path.exists(vector_facts_json):
+        facts = json.load(open(vector_facts_json))
+        row_count = facts.get("row_count")
+        fact_cols = {c["name"]: c for c in facts.get("columns", [])}
+        for col in columns:
+            fc = fact_cols.get(col["name"])
+            if fc:
+                col["null_count"] = fc.get("null_count")
+                col["approx_distinct"] = fc.get("approx_distinct")
+
+    notes = ""
+    if notes_file and os.path.exists(notes_file):
+        notes = open(notes_file).read().strip()
+    urls: list[str] = []
+    if supplemental_urls_file and os.path.exists(supplemental_urls_file):
+        urls = [
+            ln.strip()
+            for ln in open(supplemental_urls_file)
+            if ln.strip() and not ln.startswith("#")
+        ]
+
+    col_phrase = (
+        f"{len(columns)} columns ({', '.join(c['name'] for c in columns[:8])}"
+        + (", ..." if len(columns) > 8 else "")
+        + ")"
+        if columns
+        else "an unprofiled schema"
+    )
+    description = (
+        f"{title or dataset_id}: {data_class.lower()} dataset with {col_phrase}"
+        + (f", {row_count} rows" if row_count is not None else "")
+        + (f". {notes}" if notes else ".")
+    )
+    keywords = sorted(
+        {tok for tok in dataset_id.replace(".", "_").split("_") if len(tok) > 2}
+        | {c["name"].lower() for c in columns[:16] if c.get("name")}
+    )
+
     record = {
         "dataset_id": dataset_id,
         "title": title or dataset_id,
         "data_class": data_class,
         "artifact_uri": artifact_uri,
+        "description": description,
+        "columns": columns,
+        "row_count": row_count,
+        "keywords": keywords,
+        "supplemental_urls": urls,
         "evidence": {
             "sample_file": sample_file,
             "schema_file": schema_file,
             "notes_file": notes_file,
+            "vector_facts_json": vector_facts_json,
         },
-        "generator": "stub",  # NOT an LLM output
+        "generator": "evidence-synthesis-v1",  # deterministic, no LLM
     }
     path = os.path.join(output_dir, f"{dataset_id}.research.json")
     with open(path, "w") as f:
         json.dump(record, f, indent=1, sort_keys=True)
     return {"output_file": path, "record": record}
+
+
+# Backwards-compatible alias (pre-round-2 name).
+dataset_research_stub = dataset_research
 
 
 def catalog_json_upsert(

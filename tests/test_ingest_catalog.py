@@ -147,13 +147,35 @@ def test_vector_facts_profile(spark, tmp_path):
 
 
 def test_evidence_research_upsert_yaml_sync_chain(spark, tmp_path):
+    """O2 -> O3 -> O4 -> O5 -> O6 end to end: profile, bundle evidence,
+    synthesize the research doc deterministically, upsert, yaml-sync."""
     df = spark.createDataFrame([(1, "x")], ["id", "v"])
-    ev = C.evidence_bundle(df, "stage.t_v1", str(tmp_path / "ev"), notes="hello")
+    vf = C.vector_facts(df, str(tmp_path / "facts"), name="stage.t_v1")
+    ev = C.evidence_bundle(
+        df, "stage.t_v1", str(tmp_path / "ev"), notes="hello",
+        vector_facts_json=vf["vector_facts_json"],
+    )
     assert json.load(open(ev["sample_file"]))[0]["id"] == 1
-    res = C.dataset_research_stub(
+    res = C.dataset_research(
         "stage.t_v1", str(tmp_path / "research"), title="T", data_class="STAGE",
         sample_file=ev["sample_file"], schema_file=ev["schema_file"],
+        notes_file=ev["notes_file"], vector_facts_json=vf["vector_facts_json"],
     )
+    # the research doc is SYNTHESIZED from the evidence, not a stub marker
+    rec = res["record"]
+    assert rec["generator"] == "evidence-synthesis-v1"
+    assert rec["row_count"] == 1
+    assert "id" in rec["description"] and "v" in rec["description"]
+    assert {c["name"] for c in rec["columns"]} == {"id", "v"}
+    assert rec["columns"][0]["approx_distinct"] == 1
+    assert "hello" in rec["description"]
+    # deterministic: same evidence -> identical document
+    res2 = C.dataset_research(
+        "stage.t_v1", str(tmp_path / "research2"), title="T", data_class="STAGE",
+        sample_file=ev["sample_file"], schema_file=ev["schema_file"],
+        notes_file=ev["notes_file"], vector_facts_json=vf["vector_facts_json"],
+    )
+    assert res2["record"] == rec
     cat = str(tmp_path / "catalog.json")
     up1 = C.catalog_json_upsert(res["output_file"], cat, source_step="05_ai_research")
     assert up1["inserted"]
