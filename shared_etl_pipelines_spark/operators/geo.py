@@ -129,14 +129,25 @@ def zonal_stats_polygons(
     x_col: str = "cx",
     y_col: str = "cy",
     approx: bool = False,
+    extra_group_cols: list[str] | None = None,
 ) -> DataFrame:
     """G4: polygon zonal statistics — PIP zone assignment then the
     declared multi-aggregate list per zone (geo_county_raster_aggregate,
-    pipelines/prism/county_daily_aggregate.yml:24-36)."""
+    pipelines/prism/county_daily_aggregate.yml:24-36).
+
+    ``extra_group_cols`` adds grouping keys beyond the zone — e.g.
+    ``["day"]`` collapses the reference's per-day foreach + per-day CSV +
+    combine into one grouped aggregation over every day at once.
+    """
     tagged = tag_zones(cells, list(polygons), x_col, y_col, zone_col="zone_id")
     inside = tagged.filter(F.col("zone_id").isNotNull())
     return zonal_aggregate(
-        inside, ["zone_id"], value_col, aggregations, value_prefix, approx
+        inside,
+        ["zone_id"] + list(extra_group_cols or []),
+        value_col,
+        aggregations,
+        value_prefix,
+        approx,
     )
 
 

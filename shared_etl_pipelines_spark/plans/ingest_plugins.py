@@ -84,3 +84,80 @@ def _b(args: dict[str, Any], *bool_keys: str) -> dict[str, Any]:
         if k in out and isinstance(out[k], str):
             out[k] = out[k].strip().lower() in ("true", "1", "yes")
     return out
+
+
+# -- geo artifact sources: the reference's actual inputs --------------------
+# Daily GeoTIFF rasters (stage-ts-ppt-day-*.yml input_filename_glob) and
+# TIGER boundary shapefiles (county_daily_aggregate.yml county_path /
+# county_id_field; stage-ts-ppt-day-state.yml key=STUSPS).
+
+
+@plugin("read_geotiff")
+def read_geotiff(
+    ctx: StepContext,
+    path: str,
+    date_regex: str = r"(\d{8})",
+    drop_nodata: Any = True,
+    **kw: Any,
+) -> dict[str, Any]:
+    from shared_etl_pipelines_spark.sources.raster import read_geotiff_long
+
+    dn = _b({"drop_nodata": drop_nodata}, "drop_nodata")["drop_nodata"]
+    df = read_geotiff_long(ctx.spark, path, date_regex=date_regex, drop_nodata=bool(dn))
+    return {"df": df, "path": path}
+
+
+@plugin("clip_by_shapefile")
+def clip_by_shapefile(
+    ctx: StepContext,
+    df: DataFrame,
+    shapefile: str,
+    key: str | None = None,
+    value: Any = None,
+    x_col: str = "x",
+    y_col: str = "y",
+    **kw: Any,
+) -> dict[str, Any]:
+    """G1 on real boundaries: geo_clip_raster_by_polygon's contract
+    (state_path + key/value selector, stage-ts-ppt-day-state.yml:24-35)."""
+    from shared_etl_pipelines_spark.operators.geo import clip_by_polygon
+    from shared_etl_pipelines_spark.sources.vector import read_shapefile
+
+    polys = read_shapefile(shapefile, id_field=key)
+    return {
+        "df": clip_by_polygon(df, polys, key=key, value=value, x_col=x_col, y_col=y_col),
+        "n_polygons": len(polys),
+    }
+
+
+@plugin("zonal_stats_shapefile")
+def zonal_stats_shapefile(
+    ctx: StepContext,
+    df: DataFrame,
+    shapefile: str,
+    id_field: str,
+    value_col: str = "value",
+    aggregations: str = "min,p5,q1,med,avg,q3,p95,max",
+    value_prefix: str = "",
+    x_col: str = "x",
+    y_col: str = "y",
+    group_cols: Any = None,
+    **kw: Any,
+) -> dict[str, Any]:
+    """G4 on real boundaries: geo_county_raster_aggregate's contract
+    (county_path + county_id_field + aggregations + value_prefix,
+    county_daily_aggregate.yml:24-36). ``group_cols`` (e.g. [day])
+    replaces the reference's per-day foreach with one grouped plan."""
+    from shared_etl_pipelines_spark.operators.geo import zonal_stats_polygons
+    from shared_etl_pipelines_spark.sources.vector import read_shapefile
+
+    polys = read_shapefile(shapefile, id_field=id_field)
+    extra = group_cols if isinstance(group_cols, list) else (
+        [c.strip() for c in str(group_cols).split(",") if c.strip()] if group_cols else []
+    )
+    out = zonal_stats_polygons(
+        df, polys, value_col, aggregations=aggregations,
+        value_prefix=value_prefix, x_col=x_col, y_col=y_col,
+        extra_group_cols=extra,
+    )
+    return {"df": out, "n_polygons": len(polys)}

@@ -103,6 +103,64 @@ def test_quality_gate_pipeline_publishes(spark, sf_dir, tmp_path):
     assert out.count() == n
 
 
+def test_county_daily_from_artifacts_pipeline(spark, tmp_path):
+    """The reference's county_daily_aggregate dataflow on its real artifact
+    formats: GeoTIFF rasters -> long table -> shapefile zones -> per-
+    (county, day) multi-agg stats -> combined CSV."""
+    import csv as _csv
+    import glob
+
+    import numpy as np
+
+    from shared_etl_pipelines_spark.operators.geo import Polygon
+    from shared_etl_pipelines_spark.plans import PipelineRunner
+    from shared_etl_pipelines_spark.sources.raster import (
+        DEMO_DAYS,
+        demo_raster_values,
+        ensure_demo_rasters,
+    )
+    from shared_etl_pipelines_spark.sources.vector import write_shapefile
+
+    raster_dir = ensure_demo_rasters(str(tmp_path / "tifs"))
+    # two square "counties" over the 16x16 pixel grid; cell centers are at
+    # integer (x, y), so edges at half-integers avoid on-edge ambiguity
+    west = [[-0.5, -0.5], [7.5, -0.5], [7.5, 15.5], [-0.5, 15.5]]
+    east = [[7.5, -0.5], [15.5, -0.5], [15.5, 15.5], [7.5, 15.5]]
+    shp_base = str(tmp_path / "counties")
+    write_shapefile(
+        shp_base,
+        [
+            Polygon("26001", west, {"GEOID": "26001", "NAME": "West"}),
+            Polygon("26003", east, {"GEOID": "26003", "NAME": "East"}),
+        ],
+        fields=[("GEOID", "C", 5, 0), ("NAME", "C", 16, 0)],
+    )
+    runner = PipelineRunner(
+        spark,
+        env={
+            "basedir": str(tmp_path / "out"),
+            "raster_dir": raster_dir,
+            "county_shp": shp_base + ".shp",
+        },
+    )
+    res = runner.run(os.path.join(EXAMPLES, "county_daily_from_artifacts.yml"))
+    assert res.outputs["county_stats"]["n_polygons"] == 2
+    (csv_path,) = glob.glob(str(tmp_path / "out" / "county_daily" / "*.csv"))
+    with open(csv_path) as f:
+        rows = list(_csv.DictReader(f))
+    # 2 counties x 10 days
+    assert len(rows) == 2 * DEMO_DAYS
+    # spot-check day 0 / west county against the formula (nodata 999 dropped)
+    v = demo_raster_values(0)[:, :8].astype(float)
+    v = v[v != 999.0]
+    r = next(
+        x for x in rows if x["zone_id"] == "26001" and x["day"] == "2024-03-01"
+    )
+    assert float(r["ppt_min"]) == v.min() and float(r["ppt_max"]) == v.max()
+    assert abs(float(r["ppt_avg"]) - v.mean()) < 1e-9
+    assert float(r["ppt_med"]) == float(np.median(v))
+
+
 def test_quality_gate_aborts_on_violation(spark, sf_dir, tmp_path):
     """A failing expectation must stop the pipeline BEFORE the publish step."""
     import pytest as _pytest
