@@ -209,3 +209,33 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run(joined, "append")
     return out.select("l_key", "l_event", "r_event")
+
+
+@defquery(
+    "stream_raster_daily",
+    None,  # custom streaming source — rows-only check
+    doc="GeoTIFF drop-directory streaming source (geotiff_stream): decode "
+    "each day's raster as it arrives, daily per-file pixel aggregates",
+    tags=("streaming", "raster", "source"),
+)
+def q_stream_raster_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's daily raster cadence as Structured Streaming: the
+    fixture corpus stands in for the drop directory; availableNow drains
+    it exactly once and aggregates per day."""
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.sources.raster import ensure_demo_rasters
+    from shared_etl_pipelines_spark.sources.raster_stream import (
+        GeoTiffStreamDataSource,
+    )
+
+    spark.dataSource.register(GeoTiffStreamDataSource)
+    drop_dir = ensure_demo_rasters()
+    px = spark.readStream.format("geotiff_stream").option("path", drop_dir).load()
+    agg = px.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_px"),
+        F.sum("value").alias("sum_value"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+    return _run(agg, "complete").orderBy("day")

@@ -164,3 +164,67 @@ def test_read_geotiff_long_drops_nodata(spark, tmp_path):
     write_geotiff(str(p / "prism_ppt_us_30s_20240101.tif"), arr, nodata=999.0)
     rows = read_geotiff_long(spark, str(p)).orderBy("y", "x").collect()
     assert [(r["y"], r["x"], r["value"]) for r in rows] == [(0, 0, 1.0), (1, 1, 4.0)]
+
+
+def test_geotiff_stream_incremental_daily_arrival(spark, tmp_path):
+    """The reference's daily drop cadence as a real streaming source:
+    first run drains the backlog into a durable sink; files dropped later
+    are emitted by the NEXT run from the same checkpoint exactly once
+    (the memory sink can't recover a checkpoint — parquet sink here)."""
+    from datetime import date, timedelta
+
+    import numpy as np
+
+    from shared_etl_pipelines_spark.sources.raster import write_geotiff
+    from shared_etl_pipelines_spark.sources.raster_stream import (
+        GeoTiffStreamDataSource,
+    )
+
+    spark.dataSource.register(GeoTiffStreamDataSource)
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_day(d):
+        day = date(2024, 3, 1) + timedelta(days=d)
+        arr = np.full((4, 4), d, dtype="i4")
+        write_geotiff(
+            str(drop / f"prism_ppt_us_30s_{day.strftime('%Y%m%d')}.tif"), arr
+        )
+
+    for d in range(3):
+        write_day(d)
+
+    def run_once():
+        q = (
+            spark.readStream.format("geotiff_stream")
+            .option("path", str(drop))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination(300)
+
+    run_once()
+    got = spark.read.parquet(sink)
+    assert got.count() == 3 * 16
+    days = {r["day"] for r in got.select("day").distinct().collect()}
+    assert days == {"2024-03-01", "2024-03-02", "2024-03-03"}
+
+    # two more days arrive; restart from the same checkpoint
+    write_day(3)
+    write_day(4)
+    run_once()
+    got = spark.read.parquet(sink)
+    assert got.count() == 5 * 16  # exactly once: no re-emitted backlog
+    vals = {
+        r["day"]: r["v"]
+        for r in got.groupby("day").agg({"value": "max"})
+        .withColumnRenamed("max(value)", "v").collect()
+    }
+    assert vals["2024-03-05"] == 4.0 and vals["2024-03-01"] == 0.0
