@@ -224,3 +224,34 @@ def test_heavy_hitters_sketch_exact_in_tracked_regime(spark, sf):
     assert [(r["item"], r["cnt"]) for r in sk] == [
         (r["event_type"], r["count"]) for r in exact
     ]
+
+
+def test_raster_decode_has_no_shuffle_before_mapinpandas(spark, sf):
+    """GeoTIFF decode must run where the binaryFile scan runs — one task
+    per file, no Exchange between scan and the Python decode stage."""
+    from shared_etl_pipelines_spark.sources.raster import (
+        ensure_demo_rasters,
+        read_geotiff_long,
+    )
+
+    df = read_geotiff_long(spark, ensure_demo_rasters())
+    plan = phys(df)
+    assert "MapInPandas" in plan
+    assert "Exchange" not in plan
+
+
+def test_lsh_rerank_streams_corpus_without_shuffle(spark, sf):
+    """The top-k rerank joins the full corpus against the small candidate
+    set: the corpus side must be broadcast-joined (possibly via AQE), not
+    sort-merge shuffled."""
+    df = REGISTRY["similarity_topk_lsh"].fn(spark, sf)
+    plan = phys(df)
+    assert "SortMergeJoin" not in plan
+
+
+def test_shapefile_clip_plan_matches_handbuilt_polygon_clip(spark, sf):
+    """Shapefile-ingested polygons must produce the same plan shape as
+    hand-built ones: zones ride in the UDF closure (no join at all)."""
+    plan = phys(REGISTRY["shapefile_clip"].fn(spark, sf))
+    assert "ArrowEvalPython" in plan  # vectorized ray-cast UDF
+    assert "Join" not in plan  # zones are broadcast data, not a join side
