@@ -1246,3 +1246,136 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents_chunk_v d, LATERAL chunk_words_20(d.text) c
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition metrics — the Gopher-rule family of repetition filters:
+# distinct-token ratio + most-frequent-bigram mass per document. Exactly
+# the published "fraction of characters in most common n-gram" family of
+# checks, computed as one token pass + one bigram pass (both codegen'd
+# row plans; bigram rows via lead() reuse the doc_id shuffle).
+# ---------------------------------------------------------------------------
+@defquery(
+    "doc_repetition_metrics",
+    f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    stats AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             len(list_distinct(toks)) AS n_distinct
+      FROM t
+    ),
+    bg AS (
+      SELECT doc_id, UNNEST(list_transform(range(1, len(toks)),
+                                           i -> toks[i] || ' ' || toks[i + 1])) AS b
+      FROM t WHERE len(toks) >= 2
+    ),
+    bgc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    top AS (
+      SELECT doc_id, MAX(c) AS top_bigram_n,
+             CAST(SUM(c) AS BIGINT) AS n_bigrams
+      FROM bgc GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.n_tokens,
+           ROUND(CAST(s.n_distinct AS DOUBLE) / s.n_tokens, 4) AS distinct_ratio,
+           ROUND(CAST(t.top_bigram_n AS DOUBLE) / t.n_bigrams, 4) AS top_bigram_frac,
+           CAST(CAST(s.n_distinct AS DOUBLE) / s.n_tokens < 0.3
+                OR CAST(t.top_bigram_n AS DOUBLE) / t.n_bigrams > 0.18
+                AS INT) AS is_repetitive
+    FROM stats s JOIN top t USING (doc_id)
+    """,
+    doc="Gopher-style repetition filter: distinct-token ratio + top-bigram "
+    "mass per document",
+    tags=("llm", "text", "quality", "repetition"),
+)
+def q_doc_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "t"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    stats = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_distinct("t").alias("n_distinct"),
+    )
+    bg = (
+        tok.select(
+            "doc_id", F.concat_ws(" ", F.col("t"), F.lead("t", 1).over(w)).alias("b"),
+            F.lead("t", 1).over(w).alias("_nxt"),
+        )
+        .filter(F.col("_nxt").isNotNull())
+    )
+    bgc = bg.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    top = bgc.groupBy("doc_id").agg(
+        F.max("c").alias("top_bigram_n"), F.sum("c").alias("n_bigrams")
+    )
+    dr = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    tf = F.col("top_bigram_n").cast("double") / F.col("n_bigrams")
+    out = stats.join(top, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        dr.alias("distinct_ratio"),
+        tf.alias("top_bigram_frac"),
+        ((dr < 0.3) | (tf > 0.18)).cast("int").alias("is_repetitive"),
+    )
+    return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark contamination — eval-set decontamination by shared 5-gram:
+# corpus documents sharing any 5-token shingle with a benchmark document
+# are flagged with overlap counts. Candidate generation is an equi-join
+# on the shingle (the benchmark side is small -> broadcast; at corpus
+# scale you would join on shingle HASHES to shrink the build side — the
+# string join here keeps the oracle byte-identical).
+# ---------------------------------------------------------------------------
+_5GRAM_SQL = (
+    "list_distinct(list_transform(range(1, len(toks) - 3), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' "
+    "|| toks[i+3] || ' ' || toks[i+4]))"
+)
+
+
+@defquery(
+    "benchmark_contamination",
+    f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id, UNNEST({_5GRAM_SQL}) AS s
+      FROM t WHERE len(toks) >= 5
+    ),
+    bench AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 100 = 0),
+    hits AS (
+      SELECT c.doc_id, c.s, b.bench_id
+      FROM sh c JOIN bench b USING (s)
+      WHERE c.doc_id <> b.bench_id
+    )
+    SELECT doc_id,
+           CAST(COUNT(DISTINCT s) AS BIGINT) AS n_shared_shingles,
+           CAST(COUNT(DISTINCT bench_id) AS BIGINT) AS n_benchmark_docs
+    FROM hits GROUP BY doc_id
+    """,
+    doc="eval-set decontamination: corpus docs sharing a 5-token shingle "
+    "with the benchmark slice (doc_id % 100 = 0), overlap counts",
+    tags=("llm", "dedup", "contamination"),
+)
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "t"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("t")] + [F.lead("t", j).over(w) for j in range(1, 5)]
+    sh = (
+        tok.select(
+            "doc_id",
+            F.concat_ws(" ", *parts).alias("s"),
+            F.lead("t", 4).over(w).alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .select("doc_id", "s")
+        .distinct()
+    )
+    bench = sh.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("bench_id"), "s"
+    )
+    hits = sh.join(F.broadcast(bench), "s").filter(F.col("doc_id") != F.col("bench_id"))
+    return hits.groupBy("doc_id").agg(
+        F.count_distinct("s").alias("n_shared_shingles"),
+        F.count_distinct("bench_id").alias("n_benchmark_docs"),
+    )
