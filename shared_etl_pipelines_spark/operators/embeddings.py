@@ -1,0 +1,141 @@
+"""Embedding-matrix analytics: distributed moments, covariance, PCA.
+
+The aggregate -> solve-small -> broadcast-back pattern: statistics whose
+distributed part is a mergeable moment aggregation (counts, per-dim
+sums, pairwise product sums) and whose solve is a tiny dense problem
+(64x64 eigendecomposition) done once on the driver, with the resulting
+projection matrix broadcast back into a vectorized map. This is how
+iterative/linear-algebra steps belong on Spark: never iterate over rows
+driver-side; reduce to sufficient statistics, solve, broadcast.
+
+Exactness: the oracle-paired covariance path quantizes to integer
+(round(v * 10000)) so every distributed sum is an exact BIGINT under any
+partitioning; the covariance formula then runs on exact scalars, giving
+bit-identical doubles on both engines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from shared_etl_pipelines_spark.functions.vectors import as_double
+
+QUANT = 10000  # fixed-point scale for exact distributed sums
+
+
+def quantized_dims(df: DataFrame, vec_col: str, dims: int) -> DataFrame:
+    """Project the first ``dims`` vector components to exact fixed-point
+    longs: column ``q`` = array<long> of round(v * QUANT)."""
+    v = as_double(vec_col)
+    q = F.transform(F.slice(v, 1, dims), lambda x: F.round(x * QUANT).cast("long"))
+    return df.withColumn("q", q)
+
+
+def covariance_matrix(
+    df: DataFrame, vec_col: str = "embedding", dims: int = 8
+) -> DataFrame:
+    """Sample covariance of the first ``dims`` components, exactly.
+
+    One pass: per row, the 36 (i<=j) pair products are built as a codegen
+    expression array and exploded; sums of exact longs feed the
+    single-expression covariance formula — no join, one shuffle of
+    dims*(dims+1)/2 keys. Output: (i, j, cov) with i<=j, 1-indexed.
+    """
+    qdf = quantized_dims(df, vec_col, dims)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("i"),
+                F.lit(j).alias("j"),
+                F.element_at("q", i).alias("qi"),
+                F.element_at("q", j).alias("qj"),
+            )
+            for i in range(1, dims + 1)
+            for j in range(i, dims + 1)
+        ]
+    )
+    long_rows = qdf.select(F.explode(pairs).alias("p")).select("p.*")
+    agg = long_rows.groupBy("i", "j").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("qi") * F.col("qj")).alias("spp"),
+        F.sum("qi").alias("si"),
+        F.sum("qj").alias("sj"),
+    )
+    n = F.col("n").cast("double")
+    cov = (
+        (F.col("spp").cast("double") - F.col("si").cast("double") * F.col("sj") / n)
+        / (n - 1)
+        / (QUANT * QUANT)
+    )
+    return agg.select("i", "j", cov.alias("cov"))
+
+
+def _moment_partials(vec_col: str, dim: int):
+    """mapInPandas stage: per Arrow batch, one partial-moment row
+    (n, sum vector, flattened sum of outer products)."""
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [len(V)],
+                    "s": [V.sum(axis=0)],
+                    "pp": [(V.T @ V).reshape(-1)],
+                }
+            )
+
+    return gen
+
+
+def pca_project(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 8,
+) -> DataFrame:
+    """Project embeddings onto their top-``k`` principal components.
+
+    Phase 1 (distributed): mergeable moment partials per partition via
+    mapInPandas — the collect is O(partitions), never O(rows).
+    Phase 2 (driver): 64x64 covariance -> eigh -> top-k basis, sign
+    canonicalized (largest-|coef| positive) for determinism.
+    Phase 3 (distributed): broadcast basis, one GEMM per Arrow batch.
+    Output: (id, proj array<double> of length k).
+    """
+    prepped = df.select(F.col(id_col), as_double(vec_col).alias("v"))
+    partials = prepped.mapInPandas(
+        _moment_partials("v", dim), "n long, s array<double>, pp array<double>"
+    ).toPandas()
+    n = int(partials["n"].sum())
+    if n < 2:
+        raise ValueError("pca_project needs at least 2 vectors")
+    s = np.sum(np.stack(partials["s"].to_numpy()), axis=0)
+    pp = np.sum(np.stack(partials["pp"].to_numpy()), axis=0).reshape(dim, dim)
+    mean = s / n
+    cov = (pp - np.outer(s, mean)) / (n - 1)
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    order = np.argsort(eigvals)[::-1][:k]
+    basis = eigvecs[:, order]  # (dim, k)
+    # canonical sign: make the largest-magnitude coefficient positive
+    flips = np.sign(basis[np.abs(basis).argmax(axis=0), np.arange(k)])
+    flips[flips == 0] = 1.0
+    basis = basis * flips
+    mean_b = mean.copy()
+    basis_b = basis.copy()
+
+    def project(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            P = (V - mean_b) @ basis_b  # (batch, k)
+            yield pd.DataFrame({id_col: pdf[id_col].values, "proj": list(P)})
+
+    return prepped.mapInPandas(project, f"{id_col} long, proj array<double>")

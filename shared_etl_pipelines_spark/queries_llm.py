@@ -1379,3 +1379,54 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("s").alias("n_shared_shingles"),
         F.count_distinct("bench_id").alias("n_benchmark_docs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding moments/covariance — the aggregate -> solve-small -> broadcast
+# pattern's ORACLE-CHECKED half: fixed-point quantization makes every
+# distributed sum an exact BIGINT under any partitioning, so the
+# covariance formula evaluates identically on both engines.
+# ---------------------------------------------------------------------------
+@defquery(
+    "embedding_covariance",
+    """
+    WITH q AS (
+      SELECT list_transform(range(1, 9),
+                            k -> CAST(ROUND(embedding[k] * 10000) AS BIGINT)) AS q
+      FROM embeddings
+    )
+    SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+           ROUND((CAST(SUM(q[i] * q[j]) AS DOUBLE)
+                  - CAST(SUM(q[i]) AS DOUBLE) * CAST(SUM(q[j]) AS DOUBLE)
+                    / COUNT(*))
+                 / (COUNT(*) - 1) / 100000000.0, 4) AS cov
+    FROM q, range(1, 9) t1(i), range(1, 9) t2(j)
+    WHERE i <= j
+    GROUP BY i, j
+    """,
+    doc="exact sample covariance of the first 8 embedding dims via "
+    "fixed-point moment sums (no join, one 36-key shuffle)",
+    tags=("llm", "embedding", "statistics", "aggregate"),
+)
+def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.operators.embeddings import covariance_matrix
+
+    out = covariance_matrix(_t(spark, sf_dir, "embeddings"), "embedding", dims=8)
+    return round_floats(out)
+
+
+@defquery(
+    "embedding_pca_project",
+    None,  # eigendecomposition is not ANSI-SQL-expressible — rows-only
+    doc="PCA projection to 8 components: distributed moment partials "
+    "(mapInPandas, O(partitions) collect), driver eigh, broadcast GEMM",
+    tags=("llm", "embedding", "pca", "scale-path"),
+)
+def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.operators.embeddings import pca_project
+
+    out = pca_project(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=8)
+    return out.select(
+        "vec_id",
+        F.transform("proj", lambda x: F.round(x, 3)).alias("proj"),
+    )

@@ -299,3 +299,56 @@ def test_chunks_reassemble_to_original_documents(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     bad = rebuilt.join(docs, "doc_id").filter(F.col("rebuilt") != F.col("text"))
     assert bad.count() == 0
+
+
+def test_embedding_covariance_matches_numpy(spark, sf_dir):
+    """Exact fixed-point covariance == numpy on the quantized values."""
+    import numpy as np
+
+    from shared_etl_pipelines_spark.operators.embeddings import (
+        QUANT,
+        covariance_matrix,
+    )
+    from shared_etl_pipelines_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    got = {
+        (r["i"], r["j"]): r["cov"]
+        for r in covariance_matrix(emb, "embedding", dims=4).collect()
+    }
+    V = np.stack([r["embedding"] for r in emb.select("embedding").collect()])
+    Q = np.round(V[:, :4].astype("f8") * QUANT)
+    C = np.cov(Q, rowvar=False, ddof=1) / (QUANT * QUANT)
+    for (i, j), cov in got.items():
+        assert abs(cov - C[i - 1, j - 1]) < 1e-9, (i, j)
+    assert len(got) == 10  # upper triangle of 4x4
+
+
+def test_pca_projection_properties(spark, sf_dir):
+    """Distributed PCA: projections are centered, component variances are
+    the leading eigenvalues in non-increasing order, and cross-component
+    covariance vanishes (orthogonal basis)."""
+    import numpy as np
+
+    from shared_etl_pipelines_spark.operators.embeddings import pca_project
+    from shared_etl_pipelines_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = pca_project(emb, "vec_id", "embedding", k=4)
+    P = np.stack([r["proj"] for r in out.collect()])
+    assert P.shape[1] == 4
+    # centered
+    assert np.abs(P.mean(axis=0)).max() < 1e-9
+    # variance ordering
+    var = P.var(axis=0, ddof=1)
+    assert all(var[i] >= var[i + 1] - 1e-12 for i in range(3))
+    # decorrelated components
+    C = np.cov(P, rowvar=False, ddof=1)
+    off = C - np.diag(np.diag(C))
+    assert np.abs(off).max() < 1e-8
+    # matches a local PCA of the same data up to the canonical sign
+    V = np.stack([r["embedding"] for r in emb.select("embedding").collect()]).astype("f8")
+    Vc = V - V.mean(axis=0)
+    w, U = np.linalg.eigh(np.cov(V, rowvar=False, ddof=1))
+    topw = np.sort(w)[::-1][:4]
+    assert np.allclose(np.sort(var)[::-1], topw, rtol=1e-6)
