@@ -151,6 +151,150 @@ def zonal_aggregate(
     return out.select(*zone_cols, *post, *extra)
 
 
+def ranked_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    aggregations: str | list[str] = "min,p5,q1,med,avg,q3,p95,max",
+    value_prefix: str = "",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """EXACT quantiles with fully distributed sorting — the 100 TB exact
+    path.
+
+    ``percentile()`` buffers every value of a group inside ONE task, so a
+    group bigger than executor memory breaks it and per-group parallelism
+    is 1. This formulation never builds a group-sized buffer:
+
+    1. range-repartition by (group, value) — each task holds a sorted-
+       range slice of each group, bounded by partition size;
+    2. per-(slice, group) row counts -> prefix-sum window over the TINY
+       counts frame (partitions x groups rows) gives each slice's global
+       rank offset — no driver collect anywhere;
+    3. row_number within the slice + offset = exact global rank; only
+       rows landing on a quantile's bracketing ranks survive the filter
+       (<= 2 x quantiles x groups rows);
+    4. final per-group projection interpolates v_lo + frac * (v_hi-v_lo)
+       — the same expression DuckDB's quantile_cont and Spark's
+       percentile evaluate, so results hash-match the oracle exactly.
+
+    Simple aggregates in the declared list (min/max/avg/sum/count) ride
+    the counts pass as mergeable partials — no extra scan. Two passes
+    over the data total; parallelism = partitions x groups throughout.
+    """
+    names = parse_agg_list(aggregations)
+    fracs = {n: _pct_frac(n) for n in names}
+    unsupported = [
+        n for n in names
+        if fracs[n] is None and n not in ("min", "max", "avg", "mean", "sum", "count")
+    ]
+    if unsupported:
+        raise ValueError(f"ranked_quantiles cannot compute: {unsupported}")
+
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    p = num_partitions or spark.sparkContext.defaultParallelism
+    v = F.col(value_col)
+    base = df.select(*group_cols, value_col).filter(v.isNotNull())
+    ranged = base.repartitionByRange(p, *group_cols, value_col).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+
+    # counts pass — also carries the mergeable simple-agg partials
+    slice_stats = ranged.groupBy("_pid", *group_cols).agg(
+        F.count(F.lit(1)).alias("_c"),
+        F.min(v).alias("_min"),
+        F.max(v).alias("_max"),
+        F.sum(v).alias("_sum"),
+    )
+    w_off = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = slice_stats.select(
+        "_pid",
+        *group_cols,
+        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_offset"),
+    )
+    totals = slice_stats.groupBy(*group_cols).agg(
+        F.sum("_c").alias("_n"),
+        F.min("_min").alias("_gmin"),
+        F.max("_max").alias("_gmax"),
+        F.sum("_sum").alias("_gsum"),
+    )
+
+    if not any(f is not None for f in fracs.values()):
+        # no quantiles requested: totals already hold everything
+        per_group = totals.select(*group_cols)
+        out = per_group.join(F.broadcast(totals), group_cols)
+        return _ranked_post(out, names, fracs, group_cols, value_prefix)
+
+    w_rank = Window.partitionBy("_pid", *group_cols).orderBy(value_col)
+    ranked = (
+        ranged.withColumn("_rn", F.row_number().over(w_rank))
+        .join(F.broadcast(offsets), ["_pid", *group_cols])
+        .join(F.broadcast(totals.select(*group_cols, "_n")), group_cols)
+        .withColumn("_rank", F.col("_offset") + F.col("_rn"))
+    )
+
+    # keep only rows bracketing some requested quantile
+    keep = F.lit(False)
+    n1 = (F.col("_n") - 1).cast("double")
+    for frac in {f for f in fracs.values() if f is not None}:
+        h = n1 * F.lit(frac)
+        keep = keep | (F.col("_rank") == F.floor(h) + 1) | (
+            F.col("_rank") == F.ceil(h) + 1
+        )
+    hits = ranked.filter(keep)
+
+    q_aggs: list[Column] = []  # _n arrives via the totals join
+    for name, frac in fracs.items():
+        if frac is None:
+            continue
+        h = n1 * F.lit(frac)
+        q_aggs.append(
+            F.max(F.when(F.col("_rank") == F.floor(h) + 1, v)).alias(f"_lo_{name}")
+        )
+        q_aggs.append(
+            F.max(F.when(F.col("_rank") == F.ceil(h) + 1, v)).alias(f"_hi_{name}")
+        )
+    per_group = hits.groupBy(*group_cols).agg(*q_aggs)
+    out = per_group.join(F.broadcast(totals), group_cols)
+    return _ranked_post(out, names, fracs, group_cols, value_prefix)
+
+
+def _ranked_post(
+    out: DataFrame,
+    names: list[str],
+    fracs: dict[str, float | None],
+    group_cols: list[str],
+    value_prefix: str,
+) -> DataFrame:
+    post: list[Column] = []
+    for name in names:
+        alias = f"{value_prefix}_{name}" if value_prefix else name
+        frac = fracs[name]
+        if frac is not None:
+            h = (F.col("_n") - 1).cast("double") * F.lit(frac)
+            fr = h - F.floor(h)
+            lo, hi = F.col(f"_lo_{name}"), F.col(f"_hi_{name}")
+            # DuckDB quantile_cont / Spark percentile interpolation form
+            post.append((lo + fr * (hi - lo)).alias(alias))
+        elif name in ("min",):
+            post.append(F.col("_gmin").alias(alias))
+        elif name in ("max",):
+            post.append(F.col("_gmax").alias(alias))
+        elif name in ("avg", "mean"):
+            post.append((F.col("_gsum") / F.col("_n")).alias(alias))
+        elif name == "sum":
+            post.append(F.col("_gsum").alias(alias))
+        elif name == "count":
+            post.append(F.col("_n").alias(alias))
+    return out.select(*group_cols, *post)
+
+
 def weighted_zonal_aggregate(
     cells: DataFrame,
     zone_cols: list[str],

@@ -263,3 +263,49 @@ def q_shapefile_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
     polys = read_shapefile(base + ".shp", id_field="NAME")
     out = clip_by_polygon(_cells(spark, sf_dir), polys, key="STUSPS", value="MI")
     return round_floats(out.select("l_orderkey", "l_linenumber", "cx", "cy", "value"))
+
+
+# ---------------------------------------------------------------------------
+# G4, distributed-exact formulation: same oracle as zonal_stats, but the
+# quantiles come from ranked_quantiles (range-repartition + rank offsets)
+# instead of percentile()'s one-buffer-per-group. Exactness AND
+# parallelism: a group larger than executor memory still computes, and
+# per-group work spreads over partitions x groups tasks.
+# ---------------------------------------------------------------------------
+@defquery(
+    "zonal_stats_ranked",
+    """
+    SELECT o_orderpriority AS zone,
+           ROUND(MIN(l_extendedprice), 4)                     AS price_min,
+           ROUND(quantile_cont(l_extendedprice, 0.05), 4)     AS price_p5,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 4)     AS price_q1,
+           ROUND(quantile_cont(l_extendedprice, 0.50), 4)     AS price_med,
+           ROUND(AVG(l_extendedprice), 4)                     AS price_avg,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 4)     AS price_q3,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 4)     AS price_p95,
+           ROUND(MAX(l_extendedprice), 4)                     AS price_max,
+           COUNT(*)                                           AS n_cells
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    doc="G4 zonal statistics via distributed-exact ranked quantiles "
+    "(no per-group sort buffer; parallel within groups)",
+    tags=("G4", "aggregate", "percentile", "scale-path", "exact"),
+)
+def q_zonal_stats_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.operators.aggregates import ranked_quantiles
+    from shared_etl_pipelines_spark.queries import _t
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    cells = li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_orderpriority").alias("zone"), "l_extendedprice"
+    )
+    out = ranked_quantiles(
+        cells,
+        ["zone"],
+        "l_extendedprice",
+        "min,p5,q1,med,avg,q3,p95,max,count",
+        value_prefix="price",
+    ).withColumnRenamed("price_count", "n_cells")
+    return round_floats(out)

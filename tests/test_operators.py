@@ -139,3 +139,69 @@ def test_union_all_by_name(spark):
     b = spark.createDataFrame([("y", 2)], ["s", "id"])
     out = union_all([a, b]).collect()
     assert sorted((r["id"], r["s"]) for r in out) == [(1, "x"), (2, "y")]
+
+
+def test_ranked_quantiles_matches_percentile_path(spark, sf_dir):
+    """ranked_quantiles must agree with the percentile() buffer path to
+    the last ulp on every declared aggregate."""
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.operators.aggregates import (
+        ranked_quantiles,
+        zonal_aggregate,
+    )
+    from shared_etl_pipelines_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("zone"), "l_extendedprice"
+    )
+    specs = "min,p5,q1,med,avg,q3,p95,max,count"
+    a = {
+        r["zone"]: [r[c] for c in r.asDict() if c != "zone"]
+        for r in zonal_aggregate(li, ["zone"], "l_extendedprice", specs).collect()
+    }
+    b = {
+        r["zone"]: [r[c] for c in r.asDict() if c != "zone"]
+        for r in ranked_quantiles(li, ["zone"], "l_extendedprice", specs).collect()
+    }
+    assert a.keys() == b.keys()
+    for z in a:
+        # the driver contract rounds to 4 decimals; summation-order noise
+        # below that (different partial-sum trees for avg, interpolation
+        # expression form for quantiles) is within the contract
+        assert [round(x, 4) for x in a[z]] == [round(x, 4) for x in b[z]], z
+
+
+def test_ranked_quantiles_single_row_and_tiny_groups(spark):
+    from shared_etl_pipelines_spark.operators.aggregates import ranked_quantiles
+
+    df = spark.createDataFrame(
+        [("a", 10.0), ("b", 1.0), ("b", 2.0), ("c", 5.0), ("c", 5.0), ("c", 5.0)],
+        "zone string, v double",
+    )
+    got = {
+        r["zone"]: (r["med"], r["p5"], r["count"])
+        for r in ranked_quantiles(df, ["zone"], "v", "med,p5,count").collect()
+    }
+    assert got["a"] == (10.0, 10.0, 1)      # n=1: every quantile is the value
+    assert got["b"][0] == 1.5               # even n: interpolated middle
+    assert got["c"] == (5.0, 5.0, 3)        # ties collapse to the tied value
+
+
+def test_ranked_quantiles_one_giant_group_is_partition_parallel(spark):
+    """The point of the formulation: ONE group spanning many partitions
+    still ranks correctly (the percentile() path would funnel it into a
+    single task's buffer)."""
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.operators.aggregates import ranked_quantiles
+
+    df = spark.range(100001).select(
+        F.lit("g").alias("zone"), F.col("id").cast("double").alias("v")
+    )
+    r = ranked_quantiles(df, ["zone"], "v", "p5,med,p95,min,max", num_partitions=16)
+    row = r.collect()[0]
+    assert row["med"] == 50000.0
+    assert row["p5"] == 5000.0
+    assert row["p95"] == 95000.0
+    assert row["min"] == 0.0 and row["max"] == 100000.0
