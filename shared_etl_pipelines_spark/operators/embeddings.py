@@ -93,6 +93,89 @@ def _moment_partials(vec_col: str, dim: int):
     return gen
 
 
+def kmeans_fit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    max_iter: int = 10,
+    tol: float = 1e-6,
+) -> tuple[np.ndarray, DataFrame]:
+    """Lloyd's k-means, Spark-shaped: per iteration ONE distributed pass
+    (assign via broadcast centroids in a batched GEMM, update via a
+    (cell, dim) groupBy of exploded components) and one tiny driver
+    collect of k x dim sums. Deterministic: init = first k vectors by id,
+    centroid updates rounded to 6 decimals so partial-sum order noise
+    cannot flip later assignments, ties broken by lowest cell id
+    (argmin). Returns (centroids array, assignments DataFrame
+    (id, cell, dist)).
+
+    At 100 TB this is the standard shape: the data-sized work is a scan +
+    shuffle of k*dim partials; only k x dim floats ever reach the driver.
+    """
+    prepped = df.select(F.col(id_col), as_double(vec_col).alias("v"))
+    first = prepped.orderBy(id_col).limit(k).collect()
+    if len(first) < k:
+        raise ValueError(f"need at least k={k} vectors")
+    centroids = np.stack([np.asarray(r["v"], dtype=np.float64) for r in first])
+    dim = centroids.shape[1]
+
+    def make_assign(C: np.ndarray):
+        Cb = C.copy()
+
+        def assign(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+                # ||v-c||^2 = ||v||^2 - 2 v.c + ||c||^2; argmin over cells
+                d2 = (
+                    (V * V).sum(axis=1)[:, None]
+                    - 2.0 * (V @ Cb.T)
+                    + (Cb * Cb).sum(axis=1)[None, :]
+                )
+                cell = d2.argmin(axis=1)  # numpy argmin: first (lowest) index wins ties
+                dist = np.sqrt(np.maximum(d2[np.arange(len(V)), cell], 0.0))
+                yield pd.DataFrame(
+                    {
+                        "id": pdf[pdf.columns[0]].values,
+                        "cell": cell.astype("int32"),
+                        "dist": dist,
+                        "v": pdf["v"].values,
+                    }
+                )
+
+        return assign
+
+    for _ in range(max_iter):
+        assigned = prepped.mapInPandas(
+            make_assign(centroids), "id long, cell int, dist double, v array<double>"
+        )
+        comp = assigned.select(
+            "cell", F.posexplode("v").alias("d", "x")
+        ).groupBy("cell", "d").agg(
+            F.sum("x").alias("s"), F.count(F.lit(1)).alias("n")
+        )
+        rows = comp.collect()  # k x dim rows — tiny
+        new_c = centroids.copy()
+        counts = np.zeros(k)
+        sums = np.zeros((k, dim))
+        for r in rows:
+            sums[r["cell"], r["d"]] = r["s"]
+            counts[r["cell"]] = r["n"]
+        moved = counts > 0
+        new_c[moved] = np.round(sums[moved] / counts[moved, None], 6)
+        shift = float(np.abs(new_c - centroids).max())
+        centroids = new_c
+        if shift < tol:
+            break
+
+    assignments = prepped.mapInPandas(
+        make_assign(centroids), "id long, cell int, dist double, v array<double>"
+    ).select(F.col("id").alias(id_col), "cell", "dist")
+    return centroids, assignments
+
+
 def pca_project(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -1430,3 +1430,19 @@ def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.transform("proj", lambda x: F.round(x, 3)).alias("proj"),
     )
+
+
+@defquery(
+    "embedding_kmeans",
+    None,  # iterative clustering is not ANSI-SQL-expressible — rows-only
+    doc="distributed Lloyd's k-means (k=8): broadcast-GEMM assignment, "
+    "(cell, dim) partial-sum updates, O(k*dim) driver traffic per round",
+    tags=("llm", "embedding", "clustering", "iterative", "scale-path"),
+)
+def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.operators.embeddings import kmeans_fit
+
+    _, assigned = kmeans_fit(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=8, max_iter=8
+    )
+    return assigned.select("vec_id", "cell", F.round("dist", 3).alias("dist"))

