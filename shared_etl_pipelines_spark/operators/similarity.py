@@ -233,28 +233,36 @@ def ivf_topk(
     k: int = 10,
     n_centroids: int = 8,
     nprobe: int = 2,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: assign every vector to its
     nearest centroid cell, probe the query's ``nprobe`` nearest cells.
 
-    Centroids here are the first ``n_centroids`` corpus vectors — a
-    deterministic stand-in for a k-means fit (the assignment/probe
-    dataflow is identical; only the training step would differ). Both
+    ``centroids`` (columns ``cent_id, cv`` with ``cv`` array<double>)
+    plugs in a trained codebook — e.g. ``operators.embeddings.kmeans_fit``
+    output. By default centroids are the first ``n_centroids`` corpus
+    vectors — a deterministic stand-in with the identical
+    assignment/probe dataflow. Both
     assignment and probing are broadcast joins against the tiny centroid
     table + a rank window, so the corpus partitions by cell exactly like
     a production IVF index; each query touches ~nprobe/n_centroids of
     the data. Recall < 1 by construction — tune with nprobe.
     """
     corpus = _prep(embeddings, id_col, vec_col)
-    cents = (
-        corpus.orderBy(id_col)
-        .limit(n_centroids)
-        .select(
-            F.col(id_col).alias("cent_id"),
-            F.col("v").alias("cv"),
-            F.col("norm").alias("cn"),
+    if centroids is not None:
+        cents = centroids.select(
+            "cent_id", F.col("cv"), l2_norm(F.col("cv")).alias("cn")
         )
-    )
+    else:
+        cents = (
+            corpus.orderBy(id_col)
+            .limit(n_centroids)
+            .select(
+                F.col(id_col).alias("cent_id"),
+                F.col("v").alias("cv"),
+                F.col("norm").alias("cn"),
+            )
+        )
 
     def nearest_cells(df: DataFrame, vcol: str, ncol: str, n: int) -> DataFrame:
         scored = df.crossJoin(F.broadcast(cents)).withColumn(

@@ -1446,3 +1446,26 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=8, max_iter=8
     )
     return assigned.select("vec_id", "cell", F.round("dist", 3).alias("dist"))
+
+
+@defquery(
+    "similarity_topk_ivf_trained",
+    None,  # k-means training is iterative — rows-only
+    doc="IVF top-k probing a TRAINED k-means codebook (kmeans_fit "
+    "centroids instead of the first-n stand-in)",
+    tags=("llm", "similarity", "ivf", "clustering", "scale-path"),
+)
+def q_similarity_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.operators.embeddings import kmeans_fit
+    from shared_etl_pipelines_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cents_np, _ = kmeans_fit(emb, "vec_id", "embedding", k=8, max_iter=5)
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(cents_np)],
+        "cent_id long, cv array<double>",
+    )
+    out = ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 5), k=10, nprobe=2, centroids=cents
+    )
+    return round_floats(out)

@@ -1418,3 +1418,40 @@ def q_setops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("intersect_all").alias("op"), "partkey", "n")
     )
     return exc.unionByName(ins)
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT / melt — the inverse of pivot_status_by_month: wide per-flag
+# metrics back to long (metric, value) rows. Spark's unpivot and DuckDB's
+# UNPIVOT both keep the value expression list ordered, so the row set is
+# deterministic.
+# ---------------------------------------------------------------------------
+@defquery(
+    "unpivot_flag_metrics",
+    """
+    WITH wide AS (
+      SELECT l_returnflag AS flag,
+             ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0, 4)
+               AS sum_price,
+             ROUND(CAST(SUM(CAST(l_quantity AS BIGINT)) AS DOUBLE), 4) AS sum_qty,
+             ROUND(CAST(COUNT(*) AS DOUBLE), 4) AS n_rows
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT flag, metric, value
+    FROM wide UNPIVOT (value FOR metric IN (sum_price, sum_qty, n_rows))
+    """,
+    doc="UNPIVOT: wide per-flag metrics melted to long (metric, value)",
+    tags=("relational", "unpivot", "reshape"),
+)
+def q_unpivot_flag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        (F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / 100.0)
+        .alias("sum_price"),
+        F.sum(F.col("l_quantity").cast("long")).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).cast("double").alias("n_rows"),
+    )
+    out = wide.unpivot(
+        ["flag"], ["sum_price", "sum_qty", "n_rows"], "metric", "value"
+    )
+    return round_floats(out)

@@ -395,3 +395,42 @@ def test_kmeans_converges_and_partitions_corpus(spark, sf_dir):
     ids = [r["vec_id"] for r in emb.select("vec_id").orderBy("vec_id").collect()]
     got = np.array([by_id[i] for i in ids])
     assert (got == want).mean() > 0.999  # float ties aside, identical
+
+
+def test_ivf_trained_codebook_recall_not_worse_than_standin(spark, sf_dir):
+    """A trained codebook must not lose recall vs the first-n stand-in
+    (same nprobe), measured against brute force."""
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.operators.embeddings import kmeans_fit
+    from shared_etl_pipelines_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+    from shared_etl_pipelines_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+
+    def topk_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return out
+
+    exact = topk_sets(brute_force_topk(emb, queries, k=10))
+    cents_np, _ = kmeans_fit(emb, "vec_id", "embedding", k=8, max_iter=5)
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(cents_np)],
+        "cent_id long, cv array<double>",
+    )
+
+    def recall(df):
+        approx = topk_sets(df)
+        rs = [len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact]
+        return sum(rs) / len(rs)
+
+    r_standin = recall(ivf_topk(emb, queries, k=10, nprobe=2))
+    r_trained = recall(ivf_topk(emb, queries, k=10, nprobe=2, centroids=cents))
+    assert r_trained >= r_standin - 0.05  # never meaningfully worse
+    assert r_trained >= 0.3
