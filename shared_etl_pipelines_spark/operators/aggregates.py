@@ -183,10 +183,15 @@ def ranked_quantiles(
     over the data total; parallelism = partitions x groups throughout.
     """
     names = parse_agg_list(aggregations)
-    fracs = {n: _pct_frac(n) for n in names}
+    # "<pct>_disc" = discrete percentile: the value at rank ceil(q*n) (no
+    # interpolation) — DuckDB quantile_disc semantics
+    disc = {n: _pct_frac(n[: -len("_disc")]) for n in names if n.endswith("_disc")}
+    fracs = {n: (None if n in disc else _pct_frac(n)) for n in names}
     unsupported = [
         n for n in names
-        if fracs[n] is None and n not in ("min", "max", "avg", "mean", "sum", "count")
+        if fracs[n] is None
+        and disc.get(n) is None
+        and n not in ("min", "max", "avg", "mean", "sum", "count")
     ]
     if unsupported:
         raise ValueError(f"ranked_quantiles cannot compute: {unsupported}")
@@ -225,11 +230,11 @@ def ranked_quantiles(
         F.sum("_sum").alias("_gsum"),
     )
 
-    if not any(f is not None for f in fracs.values()):
+    if not any(f is not None for f in fracs.values()) and not disc:
         # no quantiles requested: totals already hold everything
         per_group = totals.select(*group_cols)
         out = per_group.join(F.broadcast(totals), group_cols)
-        return _ranked_post(out, names, fracs, group_cols, value_prefix)
+        return _ranked_post(out, names, fracs, {}, group_cols, value_prefix)
 
     w_rank = Window.partitionBy("_pid", *group_cols).orderBy(value_col)
     ranked = (
@@ -247,6 +252,9 @@ def ranked_quantiles(
         keep = keep | (F.col("_rank") == F.floor(h) + 1) | (
             F.col("_rank") == F.ceil(h) + 1
         )
+    for frac in set(disc.values()):
+        dr = F.greatest(F.lit(1), F.ceil(F.col("_n").cast("double") * F.lit(frac)))
+        keep = keep | (F.col("_rank") == dr)
     hits = ranked.filter(keep)
 
     q_aggs: list[Column] = []  # _n arrives via the totals join
@@ -260,21 +268,28 @@ def ranked_quantiles(
         q_aggs.append(
             F.max(F.when(F.col("_rank") == F.ceil(h) + 1, v)).alias(f"_hi_{name}")
         )
+    for name, frac in disc.items():
+        dr = F.greatest(F.lit(1), F.ceil(F.col("_n").cast("double") * F.lit(frac)))
+        q_aggs.append(F.max(F.when(F.col("_rank") == dr, v)).alias(f"_d_{name}"))
     per_group = hits.groupBy(*group_cols).agg(*q_aggs)
     out = per_group.join(F.broadcast(totals), group_cols)
-    return _ranked_post(out, names, fracs, group_cols, value_prefix)
+    return _ranked_post(out, names, fracs, disc, group_cols, value_prefix)
 
 
 def _ranked_post(
     out: DataFrame,
     names: list[str],
     fracs: dict[str, float | None],
+    disc: dict[str, float],
     group_cols: list[str],
     value_prefix: str,
 ) -> DataFrame:
     post: list[Column] = []
     for name in names:
         alias = f"{value_prefix}_{name}" if value_prefix else name
+        if name in disc:
+            post.append(F.col(f"_d_{name}").alias(alias))
+            continue
         frac = fracs[name]
         if frac is not None:
             h = (F.col("_n") - 1).cast("double") * F.lit(frac)

@@ -309,3 +309,36 @@ def q_zonal_stats_ranked(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_prefix="price",
     ).withColumnRenamed("price_count", "n_cells")
     return round_floats(out)
+
+
+@defquery(
+    "zonal_stats_disc",
+    """
+    SELECT o_orderpriority AS zone,
+           ROUND(quantile_disc(l_extendedprice, 0.05), 4) AS price_p5_disc,
+           ROUND(quantile_disc(l_extendedprice, 0.50), 4) AS price_med_disc,
+           ROUND(quantile_disc(l_extendedprice, 0.95), 4) AS price_p95_disc,
+           COUNT(*) AS n_cells
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    doc="G4 discrete quantiles (value at rank ceil(q*n), no interpolation) "
+    "via the distributed ranked path — quantile_disc parity",
+    tags=("G4", "aggregate", "percentile", "disc", "exact"),
+)
+def q_zonal_stats_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.operators.aggregates import ranked_quantiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    cells = li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey).select(
+        F.col("o_orderpriority").alias("zone"), "l_extendedprice"
+    )
+    out = ranked_quantiles(
+        cells,
+        ["zone"],
+        "l_extendedprice",
+        "p5_disc,med_disc,p95_disc,count",
+        value_prefix="price",
+    ).withColumnRenamed("price_count", "n_cells")
+    return round_floats(out)

@@ -1337,9 +1337,15 @@ _5GRAM_SQL = (
     "benchmark_contamination",
     f"""
     WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
-    sh AS (
+    sh0 AS (
       SELECT doc_id, UNNEST({_5GRAM_SQL}) AS s
       FROM t WHERE len(toks) >= 5
+    ),
+    -- skew guard: a boilerplate shingle present in >256 documents would
+    -- explode the join; ubiquitous n-grams carry no contamination signal
+    sh AS (
+      SELECT doc_id, s FROM sh0
+      WHERE s IN (SELECT s FROM sh0 GROUP BY s HAVING COUNT(*) <= 256)
     ),
     bench AS (SELECT doc_id AS bench_id, s FROM sh WHERE doc_id % 100 = 0),
     hits AS (
@@ -1371,6 +1377,16 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "s")
         .distinct()
     )
+    # skew guard (mirrored in the oracle): drop shingles present in >256
+    # docs — boilerplate carries no contamination signal and a hot shingle
+    # would otherwise blow up the join at corpus scale
+    rare = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") <= 256)
+        .select("s")
+    )
+    sh = sh.join(rare, "s")
     bench = sh.filter(F.col("doc_id") % 100 == 0).select(
         F.col("doc_id").alias("bench_id"), "s"
     )
