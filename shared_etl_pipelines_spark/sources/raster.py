@@ -302,6 +302,7 @@ def read_geotiff_long(
     date_regex: str = r"(\d{8})",
     drop_nodata: bool = True,
     batch_rows: int = 1 << 18,
+    on_error: str = "fail",
 ) -> DataFrame:
     """Read GeoTIFF file(s) as a long table ``(day, y, x, value)``.
 
@@ -310,12 +311,23 @@ def read_geotiff_long(
     never splits), so a daily-raster directory parallelizes by day;
     pixels stream out in ``batch_rows``-sized Arrow batches to bound
     executor memory however large a single raster is.
+
+    ``on_error``: ``"fail"`` (default) raises on an undecodable file with
+    its path in the message; ``"skip"`` drops it and continues — the
+    ignoreCorruptFiles posture for bulk backfills over scraped archives.
     """
+    if on_error not in ("fail", "skip"):
+        raise ValueError(f"on_error must be 'fail' or 'skip', got {on_error!r}")
 
     def decode(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for p, content in zip(pdf["path"], pdf["content"]):
-                arr, meta = decode_geotiff(bytes(content))
+                try:
+                    arr, meta = decode_geotiff(bytes(content))
+                except Exception as e:
+                    if on_error == "skip":
+                        continue
+                    raise ValueError(f"undecodable GeoTIFF {p}: {e}") from e
                 day = date_from_path(p, date_regex)
                 h, w = arr.shape
                 vals = arr.reshape(-1).astype("f8")

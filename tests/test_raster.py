@@ -228,3 +228,21 @@ def test_geotiff_stream_incremental_daily_arrival(spark, tmp_path):
         .withColumnRenamed("max(value)", "v").collect()
     }
     assert vals["2024-03-05"] == 4.0 and vals["2024-03-01"] == 0.0
+
+
+def test_read_geotiff_long_corrupt_file_handling(spark, tmp_path):
+    """on_error='skip' drops undecodable files; default mode names the
+    bad path in the failure."""
+    import pytest as _pytest
+
+    p = tmp_path / "tifs3"
+    p.mkdir()
+    write_geotiff(str(p / "prism_20240101.tif"), np.ones((2, 2), dtype="i4"))
+    (p / "prism_20240102.tif").write_bytes(b"not a tiff at all")
+
+    ok = read_geotiff_long(spark, str(p), on_error="skip")
+    assert ok.count() == 4  # only the good file's pixels
+
+    strict = read_geotiff_long(spark, str(p))
+    with _pytest.raises(Exception, match="prism_20240102"):
+        strict.count()
