@@ -225,6 +225,90 @@ def lsh_bucket_topk(
     )
 
 
+def write_ann_index(
+    embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    dim: int = 64,
+    n_tables: int = 4,
+) -> None:
+    """Materialize the SRP-LSH index the way a warehouse would: bucket ids
+    computed ONCE at ingest (Arrow GEMM path), corpus stored
+    ``partitionBy(tbl, bucket)`` so query-time reads prune to the probed
+    buckets only. One row per (table, bucket, vector)."""
+    corpus = _prep(embeddings, id_col, vec_col)
+    bucket_all = srp_buckets_udf(n_planes, dim, n_tables)
+    rows = corpus.withColumn("_bks", bucket_all(F.col("v"))).select(
+        F.col(id_col), "v", "norm", F.posexplode("_bks").alias("tbl", "bucket")
+    )
+    rows.write.mode("overwrite").partitionBy("tbl", "bucket").parquet(path)
+
+
+def lsh_topk_from_index(
+    spark,
+    index_path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_planes: int = 4,
+    dim: int = 64,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Query the materialized index with PARTITION PRUNING: the query
+    batch's bucket ids are computed driver-side (a query batch is small
+    by definition — this is the one deliberate collect) and become
+    literal (tbl, bucket) predicates, so the scan touches only the
+    probed bucket directories — ~L*|queries| partitions of the corpus,
+    never a full scan. Results are identical to ``lsh_bucket_topk`` for
+    the same plane family (verified in tests)."""
+    qs = _prep(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
+    )
+    qb = qs.select(
+        "query_id",
+        F.posexplode(
+            F.array(
+                *[
+                    srp_bucket(F.col("qv"), n_planes, dim, t * n_planes)
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tbl", "bucket"),
+    )
+    probes = qb.collect()  # |queries| x n_tables rows — bounded by design
+    wanted = {(r["tbl"], r["bucket"]) for r in probes}
+    pred = None
+    for tbl, bucket in sorted(wanted):
+        c = (F.col("tbl") == tbl) & (F.col("bucket") == bucket)
+        pred = c if pred is None else (pred | c)
+
+    idx = spark.read.parquet(index_path).filter(pred)
+    pairs = (
+        F.broadcast(qb)
+        .join(idx, ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col(id_col))
+        .select("query_id", id_col)
+        .distinct()
+    )
+    scored = (
+        idx.select(id_col, "v", "norm")
+        .distinct()
+        .join(pairs.join(F.broadcast(qs), "query_id"), id_col)
+        .withColumn("cosine", dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("norm")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", id_col, "cosine", "rn")
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,

@@ -565,6 +565,43 @@ def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round_floats(out)
 
 
+# ---------------------------------------------------------------------------
+# Warehouse-materialized LSH: the SAME oracle as similarity_topk_lsh — the
+# index is bucket ids computed at WRITE time, stored partitionBy(tbl,
+# bucket); the query prunes its scan to the probed bucket directories.
+# Proves the write-side story end to end with full hash parity.
+# ---------------------------------------------------------------------------
+from shared_etl_pipelines_spark.queries import REGISTRY as _REG  # noqa: E402
+
+
+@defquery(
+    "similarity_topk_lsh_indexed",
+    _REG["similarity_topk_lsh"].sql,
+    doc="LSH top-10 from a MATERIALIZED partitioned bucket index "
+    "(write-side bucket assignment, partition-pruned probe scan) — same "
+    "oracle as the on-the-fly path",
+    tags=("llm", "similarity", "lsh", "warehouse", "scale-path"),
+)
+def q_similarity_topk_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from shared_etl_pipelines_spark.operators.similarity import (
+        lsh_topk_from_index,
+        write_ann_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_ann_index_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_ann_index(emb, path)
+    out = lsh_topk_from_index(
+        spark, path, emb.filter(F.col("vec_id") < 5), k=10
+    )
+    return round_floats(out)
+
+
 _IVF_RANK = (
     "ROW_NUMBER() OVER (PARTITION BY e.vec_id "
     "ORDER BY list_cosine_similarity(e.v, c.cv) DESC, c.cent_id)"

@@ -434,3 +434,59 @@ def test_ivf_trained_codebook_recall_not_worse_than_standin(spark, sf_dir):
     r_trained = recall(ivf_topk(emb, queries, k=10, nprobe=2, centroids=cents))
     assert r_trained >= r_standin - 0.05  # never meaningfully worse
     assert r_trained >= 0.3
+
+
+def test_materialized_ann_index_prunes_and_matches(spark, sf_dir, tmp_path):
+    """Write-side LSH: the partitioned index returns EXACTLY the rows of
+    the on-the-fly path, and the pruned scan touches only the probed
+    bucket directories."""
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.operators.similarity import (
+        lsh_bucket_topk,
+        lsh_topk_from_index,
+        write_ann_index,
+    )
+    from shared_etl_pipelines_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    path = str(tmp_path / "ann_index")
+    write_ann_index(emb, path)
+
+    got = (
+        lsh_topk_from_index(spark, path, queries)
+        .orderBy("query_id", "rn")
+        .collect()
+    )
+    want = lsh_bucket_topk(emb, queries).orderBy("query_id", "rn").collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+    # pruning evidence: the filtered scan reads <= |probed buckets| leaf
+    # dirs, strictly fewer files than the full index
+    qb_count = 5 * 4  # queries x tables upper bound on probed buckets
+    pruned = lsh_topk_from_index(spark, path, queries)
+    touched = {
+        f.rsplit("/", 1)[0]
+        for f in spark.read.parquet(path).inputFiles()
+    }
+    # recompute the probe set exactly as the operator does
+    from shared_etl_pipelines_spark.operators.similarity import _prep, srp_bucket
+
+    qs = _prep(queries, "vec_id", "embedding")
+    qb = qs.select(
+        F.posexplode(
+            F.array(*[srp_bucket(F.col("v"), 4, 64, t * 4) for t in range(4)])
+        ).alias("tbl", "bucket")
+    ).collect()
+    probed = {(r["tbl"], r["bucket"]) for r in qb}
+    assert len(probed) <= qb_count
+    probed_dirs = {
+        d for d in touched
+        if any(f"tbl={t}/bucket={b}" in d for t, b in probed)
+    }
+    # the plan prunes on the partition columns, and the probed set is a
+    # strict subset of the index's leaf directories
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "tbl" in plan
+    assert len(probed_dirs) < len(touched)
