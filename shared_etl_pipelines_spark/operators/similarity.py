@@ -380,6 +380,71 @@ def ivf_topk(
     )
 
 
+def embedding_near_dup_lsh(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    tau: float = 0.4,
+    n_planes: int = 4,
+    dim: int = 64,
+    n_tables: int = 4,
+    arrow_buckets: bool = False,
+) -> DataFrame:
+    """Embedding near-dup pairs, LSH-bucketed — the scale path twin of the
+    exact all-pairs baseline below: candidates = same (table, bucket)
+    collisions (equi-join, never a cross product), verified with the
+    exact cosine >= tau. Recall < 1 by construction — a pair is missed
+    iff it collides in NO table; raise n_tables to trade compute for
+    recall (the all-pairs form is the recall oracle)."""
+    corpus = _prep(embeddings, id_col, vec_col)
+    if arrow_buckets:
+        bucket_all = srp_buckets_udf(n_planes, dim, n_tables)
+        b = corpus.withColumn("_bks", bucket_all(F.col("v"))).select(
+            id_col, "v", "norm", F.posexplode("_bks").alias("tbl", "bucket")
+        )
+    else:
+        b = corpus.select(
+            id_col,
+            "v",
+            "norm",
+            F.posexplode(
+                F.array(
+                    *[
+                        srp_bucket(F.col("v"), n_planes, dim, t * n_planes)
+                        for t in range(n_tables)
+                    ]
+                )
+            ).alias("tbl", "bucket"),
+        )
+    keys = b.select(id_col, "tbl", "bucket")
+    l, r = keys.alias("l"), keys.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.tbl") == F.col("r.tbl"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    va = corpus.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("v_a"), F.col("norm").alias("n_a")
+    )
+    vb = corpus.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("v_b"), F.col("norm").alias("n_b")
+    )
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cosine", dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")))
+        .filter(F.col("cosine") >= tau)
+        .select("id_a", "id_b", "cosine")
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     id_col: str = "vec_id",

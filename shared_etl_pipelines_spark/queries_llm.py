@@ -1522,3 +1522,31 @@ def q_similarity_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame
         emb, emb.filter(F.col("vec_id") < 5), k=10, nprobe=2, centroids=cents
     )
     return round_floats(out)
+
+
+@defquery(
+    "embedding_near_dup_lsh",
+    f"""
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    e AS ({_lsh_tables_union_sql(4, 64, 4)}),
+    cand AS (
+      SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+      FROM e l JOIN e r
+        ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+    )
+    SELECT id_a, id_b, ROUND(list_cosine_similarity(a.v, b.v), 4) AS cosine
+    FROM cand
+    JOIN base a ON a.vec_id = id_a
+    JOIN base b ON b.vec_id = id_b
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+    """,
+    doc="embedding near-dup via LSH bucket collisions + exact cosine "
+    "verify — the scale-path twin of the all-pairs embedding_near_dup "
+    "(which is its recall oracle)",
+    tags=("llm", "similarity", "dedup", "lsh", "scale-path"),
+)
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.operators.similarity import embedding_near_dup_lsh
+
+    out = embedding_near_dup_lsh(_t(spark, sf_dir, "embeddings"), tau=0.4)
+    return round_floats(out)

@@ -490,3 +490,34 @@ def test_materialized_ann_index_prunes_and_matches(spark, sf_dir, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "tbl" in plan
     assert len(probed_dirs) < len(touched)
+
+
+def test_embedding_near_dup_lsh_recall_vs_exact(spark, sf_dir):
+    """LSH-bucketed near-dup must recover the high-similarity pairs the
+    all-pairs oracle finds (collision probability rises with cosine), and
+    every returned pair must be in the exact result (no false positives
+    after verification)."""
+    from shared_etl_pipelines_spark.operators.similarity import (
+        embedding_near_dup_lsh,
+        embedding_near_dup_pairs,
+    )
+    from shared_etl_pipelines_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_pairs(emb, tau=0.4).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in embedding_near_dup_lsh(emb, tau=0.4).collect()
+    }
+    assert set(got) <= set(exact)  # verification removes all false positives
+    if exact:
+        recall = len(got) / len(exact)
+        assert recall >= 0.3, recall
+        # strongly-similar pairs (cosine >= 0.6) should nearly all collide
+        strong = {p for p, c in exact.items() if c >= 0.6}
+        if strong:
+            strong_recall = len(strong & set(got)) / len(strong)
+            assert strong_recall >= 0.8, strong_recall
