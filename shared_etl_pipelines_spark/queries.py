@@ -302,15 +302,19 @@ def q_regrid_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)  AS sum_7,
         SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS sum_14,
+        SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS sum_30
       FROM events
     )
     SELECT event_id, user_id,
            ROUND(value, 4) AS value, ROUND(sum_3, 4) AS sum_3,
-           ROUND(sum_7, 4) AS sum_7, ROUND(sum_30, 4) AS sum_30
+           ROUND(sum_7, 4) AS sum_7, ROUND(sum_14, 4) AS sum_14,
+           ROUND(sum_30, 4) AS sum_30
     FROM w WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
     """,
-    doc="G2 rolling: trailing w-row sums with cross-boundary lookback",
+    doc="G2 rolling: trailing w-row sums, w in {3,7,14,30} (the reference's "
+    "full window set), with cross-boundary lookback",
     tags=("G2", "window"),
 )
 def q_rolling_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -318,13 +322,13 @@ def q_rolling_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unique tie-breaker (event_id) in the ordering => deterministic frames
     ev = ev.withColumn("_ord", F.struct(F.col("ts"), F.col("event_id")))
     out = ev
-    for w_size, name in [(3, "sum_3"), (7, "sum_7"), (30, "sum_30")]:
+    for w_size, name in [(3, "sum_3"), (7, "sum_7"), (14, "sum_14"), (30, "sum_30")]:
         out = rolling_metric(
             out, ["user_id"], "_ord", "value", window=w_size, metric="sum", out_col=name
         )
     out = out.filter(F.col("ts") >= F.lit("2024-01-15 00:00:00").cast("timestamp"))
     return round_floats(
-        out.select("event_id", "user_id", "value", "sum_3", "sum_7", "sum_30")
+        out.select("event_id", "user_id", "value", "sum_3", "sum_7", "sum_14", "sum_30")
     )
 
 
