@@ -604,43 +604,99 @@ from shared_etl_pipelines_spark import queries_streaming  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver-gate ordering. The external correctness gate walks REGISTRY in
-# insertion order under a time budget; round 1's budget expired after the
-# first 50 entries, leaving 61 queries with no verdict. Rotate the
-# already-green round-1 block to the back so the unjudged queries are
-# checked first. Relative order inside each block is preserved. The six
-# round-1 entries that FAILED (time_range_rolling err; outlier_mad,
-# recursive_ancestor_depths, props_variant_stats, data_quality_profile,
-# expectations_check hash-mismatch) are deliberately NOT in this set —
-# their fixes need fresh verdicts, so they sort to the front as well.
+# insertion order under a time budget (~50 entries/round). Three blocks:
+#
+#   1. FRONT  — oracle-bearing queries with no green verdict yet: the 23
+#      never-judged relational/analytics entries, queries whose code
+#      changed since their last verdict, and anything new this round.
+#   2. BACK   — the cumulative judged-green set (r1+r2): re-confirmable,
+#      but lowest information value per gate slot.
+#   3. LAST   — sql=None entries. The driver scores these "err:
+#      no_oracle" every time they are judged (rows-only at best), so
+#      they must never displace an oracle-bearing query from the window.
+#      Exception: _FORCE_FRONT pins entries that need a fresh rows-only
+#      verdict (embedding_pca_project crashed the r2 canonicalizer on an
+#      array column; its output is now scalarized).
+#
+# _JUDGED_GREEN must only contain queries UNCHANGED since their verdict —
+# tests/test_registry_meta.py pins each entry's (sql, builder-source)
+# fingerprint against tools/query_fingerprints.json and fails if a listed
+# query was edited without being removed from this set (the rolling_sums
+# b7648b7 staleness class).
 # ---------------------------------------------------------------------------
-_R1_JUDGED = frozenset(
+_R1_GREEN = frozenset(
     {
         "zonal_stats", "clip_semi_join", "value_mask", "multiply_join",
-        "weighted_zonal", "regrid_fraction", "rolling_sums", "spi_zscore",
+        "weighted_zonal", "regrid_fraction", "spi_zscore",
         "union_combine", "topk_per_group", "date_from_filename",
         "crop_weighted_pipeline", "pricing_summary", "event_funnel",
         "mode_event_type", "qty_price_regression",
         "dedup_keep_latest", "embedding_quantize_int8",
         "customer_order_distribution", "zorder_clustering_key",
         "revenue_share_of_region", "customer_order_trajectory",
-        "distinct_users_approx",
         "cohort_retention", "weighted_median",
         "gap_fill_interpolated", "heavy_hitters_topk", "ewma_daily_value",
         "hll_daily_distinct", "trimmed_mean_price", "geo_clip_polygon",
-        "geo_zonal_polygons", "zonal_stats_approx", "geo_clip_bucketed",
+        "geo_zonal_polygons", "geo_clip_bucketed",
         "dedup_exact", "dedup_normalized", "minhash_signature",
         "near_dup_minhash_lsh", "ngram_jaccard_pairs", "simhash_fingerprint",
         "near_dup_simhash", "text_metrics", "lang_id", "token_counts",
+        # "rolling_sums" was r1-green but modified by b7648b7 (sum_14
+        # added) — needs a fresh verdict, so it is NOT in this set.
     }
 )
 
+# CORRECTNESS_r02.json greens: all 50 judged entries except
+# corpus_curation (hash fail — oracle SQL fixed this round, needs
+# re-verdict), embedding_pca_project (canonicalizer crash — output
+# scalarized this round), and the two no_oracle rows (sql=None,
+# handled by the LAST block).
+_R2_GREEN = frozenset(
+    {
+        "outlier_mad", "recursive_ancestor_depths", "props_variant_stats",
+        "data_quality_profile", "expectations_check", "time_range_rolling",
+        "raster_tif_rollsum", "shapefile_clip", "zonal_stats_ranked",
+        "zonal_stats_disc", "doc_fingerprint", "similarity_topk",
+        "embedding_near_dup", "similarity_topk_lsh",
+        "similarity_topk_lsh_indexed", "similarity_topk_ivf",
+        "multimodal_decode", "multimodal_frame_sample", "multimodal_features",
+        "stratified_sample_docs", "multimodal_resize", "vocab_top_terms",
+        "fuzzy_name_pairs", "embedding_label_stats", "dedup_clusters",
+        "tfidf_top_terms", "user_value_iqr", "text_scrub_redactions",
+        "embedding_dim_stats", "chunk_documents", "doc_repetition_metrics",
+        "benchmark_contamination", "embedding_covariance",
+        "embedding_near_dup_lsh", "rollup_pricing", "cube_order_counts",
+        "distinct_aggs", "intersect_except", "asof_purchase_view",
+        "salted_hot_key_agg", "spi_doy_climatology",
+        "pipeline_crop_weighted_yaml", "sessionize_events",
+        "range_join_campaigns", "hypertable_rollup",
+        "anti_join_inactive_customers",
+    }
+)
+
+_JUDGED_GREEN = _R1_GREEN | _R2_GREEN
+
+# sql=None entries that still deserve one gate slot this round.
+_FORCE_FRONT = frozenset({"embedding_pca_project"})
+
 
 def _rotate_registry() -> None:
-    front = {k: v for k, v in REGISTRY.items() if k not in _R1_JUDGED}
-    back = {k: v for k, v in REGISTRY.items() if k in _R1_JUDGED}
+    front: dict[str, QueryDef] = {}
+    back: dict[str, QueryDef] = {}
+    last: dict[str, QueryDef] = {}
+    for k, v in REGISTRY.items():
+        if k in _FORCE_FRONT:
+            front[k] = v
+        elif v.sql is None:
+            last[k] = v
+        elif k in _JUDGED_GREEN:
+            back[k] = v
+        else:
+            front[k] = v
     REGISTRY.clear()
     REGISTRY.update(front)
     REGISTRY.update(back)
+    REGISTRY.update(last)
 
 
 _rotate_registry()

@@ -773,7 +773,7 @@ _CURATION_LANG_CASE = (
              {_CURATION_LANG_CASE} AS lang_pred
       FROM m
     )
-    SELECT source, COUNT(*) AS n_docs, SUM(nt) AS n_tokens,
+    SELECT source, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens,
            ROUND(AVG(quality), 4) AS avg_quality
     FROM q WHERE lang_pred = 'en' AND quality >= 0.35
     GROUP BY source
@@ -1472,16 +1472,23 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_pca_project",
     None,  # eigendecomposition is not ANSI-SQL-expressible — rows-only
     doc="PCA projection to 8 components: distributed moment partials "
-    "(mapInPandas, O(partitions) collect), driver eigh, broadcast GEMM",
+    "(mapInPandas, O(partitions) collect), driver eigh, broadcast GEMM. "
+    "Output is scalarized to (vec_id, component, value) rows — the external "
+    "gate's canonicalizer cannot hash array cells.",
     tags=("llm", "embedding", "pca", "scale-path"),
 )
 def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shared_etl_pipelines_spark.operators.embeddings import pca_project
 
     out = pca_project(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=8)
+    # pca_project sign-canonicalizes the basis, so signed values are
+    # deterministic; posexplode scalarizes the array for the gate
     return out.select(
+        "vec_id", F.posexplode("proj").alias("component", "value")
+    ).select(
         "vec_id",
-        F.transform("proj", lambda x: F.round(x, 3)).alias("proj"),
+        F.col("component").cast("int").alias("component"),
+        F.round("value", 3).alias("value"),
     )
 
 

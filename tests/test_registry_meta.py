@@ -47,6 +47,38 @@ def test_all_oracle_sql_plans_in_duckdb(duck):
     assert not bad, bad
 
 
+def test_judged_green_entries_unchanged():
+    """Staleness guard (VERDICT r2 #8): every query in _JUDGED_GREEN —
+    the set the gate rotation sorts BEHIND the judging window — must be
+    byte-identical (sql + builder source) to the snapshot taken when its
+    driver verdict was recorded. Editing a judged query without removing
+    it from _JUDGED_GREEN silently ships unverified code behind a stale
+    green verdict (the rolling_sums/b7648b7 class). On failure: remove
+    the query from _JUDGED_GREEN (it re-sorts to the front), or if its
+    verdict is genuinely fresh, rerun tools/gen_fingerprints.py."""
+    import hashlib
+    import inspect
+    import json
+
+    from shared_etl_pipelines_spark.queries import _JUDGED_GREEN
+
+    path = os.path.join(os.path.dirname(__file__), "..", "tools", "query_fingerprints.json")
+    with open(path) as fh:
+        pinned = json.load(fh)
+    stale = []
+    for name in sorted(_JUDGED_GREEN):
+        if name not in REGISTRY:
+            continue
+        qd = REGISTRY[name]
+        blob = (qd.sql or "") + "\x00" + inspect.getsource(qd.fn)
+        cur = hashlib.sha256(blob.encode()).hexdigest()
+        if name not in pinned:
+            stale.append((name, "no pinned fingerprint — rerun tools/gen_fingerprints.py"))
+        elif pinned[name] != cur:
+            stale.append((name, "modified since verdict — remove from _JUDGED_GREEN"))
+    assert not stale, stale
+
+
 def test_rows_only_queries_are_justified():
     """Every oracle-less entry must say why in its doc/tags — the driver
     records a weaker check for them, so they need an explicit rationale."""
