@@ -45,6 +45,14 @@ def covariance_matrix(
     dims*(dims+1)/2 keys. Output: (i, j, cov) with i<=j, 1-indexed.
     """
     qdf = quantized_dims(df, vec_col, dims)
+    # ragged-input guard: a null vector or one shorter than `dims` makes
+    # qi/qj null — F.count would still count the row while F.sum skips
+    # it, inflating n relative to the sums and skewing every cov cell
+    qdf = qdf.filter(
+        F.col("q").isNotNull()
+        & (F.size("q") == dims)
+        & ~F.exists("q", lambda x: x.isNull())
+    )
     pairs = F.array(
         *[
             F.struct(

@@ -286,6 +286,8 @@ def lsh_topk_from_index(
     for tbl, bucket in sorted(wanted):
         c = (F.col("tbl") == tbl) & (F.col("bucket") == bucket)
         pred = c if pred is None else (pred | c)
+    if pred is None:  # empty query batch: no probes, no matches
+        pred = F.lit(False)
 
     idx = spark.read.parquet(index_path).filter(pred)
     pairs = (

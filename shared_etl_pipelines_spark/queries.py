@@ -658,13 +658,16 @@ _R2_GREEN = frozenset(
         "raster_tif_rollsum", "shapefile_clip", "zonal_stats_ranked",
         "zonal_stats_disc", "doc_fingerprint", "similarity_topk",
         "embedding_near_dup", "similarity_topk_lsh",
-        "similarity_topk_lsh_indexed", "similarity_topk_ivf",
+        "similarity_topk_ivf",
         "multimodal_decode", "multimodal_frame_sample", "multimodal_features",
         "stratified_sample_docs", "multimodal_resize", "vocab_top_terms",
         "fuzzy_name_pairs", "embedding_label_stats", "dedup_clusters",
         "tfidf_top_terms", "user_value_iqr", "text_scrub_redactions",
         "embedding_dim_stats", "chunk_documents", "doc_repetition_metrics",
-        "benchmark_contamination", "embedding_covariance",
+        "benchmark_contamination",
+        # "embedding_covariance" and "similarity_topk_lsh_indexed" were
+        # r2-green but modified this round (ragged-input guard; index
+        # cache fingerprint) — re-fronted for fresh verdicts.
         "embedding_near_dup_lsh", "rollup_pricing", "cube_order_counts",
         "distinct_aggs", "intersect_except", "asof_purchase_view",
         "salted_hot_key_agg", "spi_doy_climatology",

@@ -592,7 +592,16 @@ def q_similarity_topk_lsh_indexed(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    # cache key includes a content fingerprint of the source parquet
+    # (mtime+size), not just the dir name — regenerated embeddings under
+    # the same sf dir must not silently reuse a stale index
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_mtime_ns}_{st.st_size}"
+    except OSError:
+        fp = "nostat"
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}"
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_ann_index_{tag}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         write_ann_index(emb, path)
@@ -1489,6 +1498,67 @@ def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("component").cast("int").alias("component"),
         F.round("value", 3).alias("value"),
+    )
+
+
+@defquery(
+    "embedding_kmeans_assign",
+    """
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, v AS c
+      FROM base ORDER BY vec_id LIMIT 8
+    ),
+    d AS (
+      SELECT b.vec_id, cents.cell,
+             GREATEST(list_dot_product(b.v, b.v)
+                      - 2 * list_dot_product(b.v, cents.c)
+                      + list_dot_product(cents.c, cents.c), 0.0) AS d2
+      FROM base b CROSS JOIN cents
+    )
+    SELECT vec_id, cell, ROUND(SQRT(d2), 4) AS dist FROM (
+      SELECT vec_id, cell, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+      FROM d
+    ) WHERE rn = 1
+    """,
+    doc="ONE Lloyd assignment step from the deterministic first-8-by-id "
+    "init: argmin_cell ||v - c||^2 with lowest-cell tie-break. The "
+    "SQL-expressible invariant twin that pins embedding_kmeans's "
+    "assignment logic with a real oracle (the 8-iteration fit itself "
+    "stays rows-only). d2 via three dot products — Spark's sequential "
+    "HOF fold matches DuckDB list_dot_product bit-for-bit.",
+    tags=("llm", "embedding", "clustering"),
+)
+def q_embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.functions.vectors import as_double, dot
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1)
+            .cast("long")
+            .alias("cell"),
+            F.col("v").alias("c"),
+        )
+    )
+    pairs = emb.crossJoin(F.broadcast(cents))
+    d2 = F.greatest(
+        dot(F.col("v"), F.col("v"))
+        - 2 * dot(F.col("v"), F.col("c"))
+        + dot(F.col("c"), F.col("c")),
+        F.lit(0.0),
+    )
+    d = pairs.select("vec_id", "cell", d2.alias("d2"))
+    w = Window.partitionBy("vec_id").orderBy("d2", "cell")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell", F.round(F.sqrt("d2"), 4).alias("dist"))
     )
 
 

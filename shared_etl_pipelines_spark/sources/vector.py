@@ -103,10 +103,14 @@ def read_dbf(data: bytes) -> list[dict[str, Any]]:
         fdec = data[off + 17]
         fields.append((name, ftype, flen, fdec))
         off += 32
-    out: list[dict[str, Any]] = []
+    out: list[dict[str, Any] | None] = []
     for r in range(n_records):
         base = header_size + r * record_size
         if chr(data[base]) == "*":
+            # deleted record: keep a placeholder so attribute rows stay
+            # index-aligned with the .shp geometry records (dropping it
+            # would shift every later polygon onto the wrong attrs)
+            out.append(None)
             continue
         rec: dict[str, Any] = {}
         pos = base + 1
@@ -156,7 +160,7 @@ def read_shapefile(
             attrs_rows = []
     polys: list[Polygon] = []
     for idx, rings in enumerate(read_shp_rings(shp)):
-        attrs = attrs_rows[idx] if idx < len(attrs_rows) else {}
+        attrs = (attrs_rows[idx] or {}) if idx < len(attrs_rows) else {}
         zone = str(attrs.get(id_field, idx)) if id_field else str(idx)
         for ring, is_outer in rings:
             if not is_outer and not keep_holes:

@@ -521,3 +521,44 @@ def test_embedding_near_dup_lsh_recall_vs_exact(spark, sf_dir):
         if strong:
             strong_recall = len(strong & set(got)) / len(strong)
             assert strong_recall >= 0.8, strong_recall
+
+
+def test_ann_index_empty_query_batch(spark, sf_dir, tmp_path):
+    """An empty query batch must return an empty frame, not crash on a
+    null pruning predicate (ADVICE r2)."""
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.operators.similarity import (
+        lsh_topk_from_index,
+        write_ann_index,
+    )
+    from shared_etl_pipelines_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = str(tmp_path / "ann_index_empty")
+    write_ann_index(emb, path)
+    out = lsh_topk_from_index(spark, path, emb.filter(F.col("vec_id") < 0))
+    assert out.count() == 0
+
+
+def test_covariance_ignores_ragged_vectors(spark):
+    """Null / short vectors are excluded entirely — they must not inflate
+    n while F.sum silently skips their null products (ADVICE r2)."""
+    from shared_etl_pipelines_spark.operators.embeddings import covariance_matrix
+
+    clean = [(1, [1.0, 2.0]), (2, [3.0, 5.0]), (3, [2.0, 9.0])]
+    dirty = clean + [(4, None), (5, [1.0]), (6, [None, 4.0])]
+    schema = "vec_id long, embedding array<double>"
+    want = {
+        (r["i"], r["j"]): r["cov"]
+        for r in covariance_matrix(
+            spark.createDataFrame(clean, schema), "embedding", dims=2
+        ).collect()
+    }
+    got = {
+        (r["i"], r["j"]): r["cov"]
+        for r in covariance_matrix(
+            spark.createDataFrame(dirty, schema), "embedding", dims=2
+        ).collect()
+    }
+    assert got == want

@@ -156,3 +156,32 @@ def test_vector_facts_profiles_shapefile_attrs(spark, tmp_path):
     assert facts["row_count"] == 2
     cols = {c["name"]: c for c in facts["columns"]}
     assert cols["STUSPS"]["null_count"] == 0
+
+
+def test_dbf_deleted_record_keeps_alignment(tmp_path):
+    """A deleted .dbf record must not shift later polygons' attributes
+    (ADVICE r2): geometry record i always pairs with attribute row i."""
+    import struct
+
+    base = str(tmp_path / "del")
+    write_shapefile(
+        base,
+        [
+            Polygon("a", SQUARE, {"NAME": "first"}),
+            Polygon("b", SQUARE, {"NAME": "second"}),
+            Polygon("c", SQUARE, {"NAME": "third"}),
+        ],
+        fields=[("NAME", "C", 8, 0)],
+    )
+    raw = bytearray(open(base + ".dbf", "rb").read())
+    header_size = struct.unpack_from("<H", raw, 8)[0]
+    record_size = struct.unpack_from("<H", raw, 10)[0]
+    raw[header_size + 0 * record_size] = ord("*")  # delete record 0
+    open(base + ".dbf", "wb").write(bytes(raw))
+
+    rows = read_dbf(bytes(raw))
+    assert rows[0] is None and rows[1]["NAME"] == "second"
+
+    polys = read_shapefile(base + ".shp", id_field="NAME")
+    # record 0's attrs are gone (placeholder), records 1/2 keep their own
+    assert [p.zone_id for p in polys] == ["0", "second", "third"]
