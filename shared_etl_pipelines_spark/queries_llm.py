@@ -689,6 +689,41 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "multimodal_png_decode",
+    """
+    WITH a AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    dims AS (
+      SELECT doc_id,
+             CAST(n % 16 + 1 AS INT) AS width,
+             CAST((n // 16) % 16 + 1 AS INT) AS height
+      FROM a
+    )
+    SELECT doc_id, TRUE AS is_real_decode, width, height, CAST(1 AS INT) AS channels,
+           CAST(list_sum(list_transform(range(0, width * height),
+                                        i -> (doc_id * 31 + i) % 256)) AS BIGINT)
+             AS px_sum
+    FROM dims
+    """,
+    doc="REAL PNG codec round trip: deterministic grayscale fixtures "
+    "(all five scanline filters across the corpus) encoded and decoded "
+    "by sources/png.py inside mapInPandas; the oracle recomputes the "
+    "pixel stats in closed form, pinning the full encode->decode path",
+    tags=("llm", "multimodal", "codec"),
+)
+def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.multimodal import (
+        decode_images,
+        synthetic_png_assets,
+    )
+
+    assets = synthetic_png_assets(_t(spark, sf_dir, "documents"))
+    out = decode_images(assets)
+    return out.select(
+        "doc_id", "is_real_decode", "width", "height", "channels", "px_sum"
+    )
+
+
+@defquery(
     "multimodal_frame_sample",
     """
     WITH a AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
