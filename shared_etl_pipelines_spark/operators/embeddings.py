@@ -101,6 +101,53 @@ def _moment_partials(vec_col: str, dim: int):
     return gen
 
 
+def _make_assign(C: np.ndarray):
+    """mapInPandas stage: nearest-centroid assignment via one batched
+    GEMM against the broadcast centroid matrix."""
+    Cb = C.copy()
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            # ||v-c||^2 = ||v||^2 - 2 v.c + ||c||^2; argmin over cells
+            d2 = (
+                (V * V).sum(axis=1)[:, None]
+                - 2.0 * (V @ Cb.T)
+                + (Cb * Cb).sum(axis=1)[None, :]
+            )
+            cell = d2.argmin(axis=1)  # numpy argmin: first (lowest) index wins ties
+            dist = np.sqrt(np.maximum(d2[np.arange(len(V)), cell], 0.0))
+            yield pd.DataFrame(
+                {
+                    "id": pdf[pdf.columns[0]].values,
+                    "cell": cell.astype("int32"),
+                    "dist": dist,
+                    "v": pdf["v"].values,
+                }
+            )
+
+    return assign
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (one distributed
+    pass, no iteration). This is the read side of the train-once /
+    assign-many split: at warehouse scale the codebook is fitted once,
+    write-side, and reused — callers cache the centroids and pay only
+    this scan per query (VERDICT r2 #9)."""
+    prepped = df.select(F.col(id_col), as_double(vec_col).alias("v"))
+    return prepped.mapInPandas(
+        _make_assign(centroids), "id long, cell int, dist double, v array<double>"
+    ).select(F.col("id").alias(id_col), "cell", "dist")
+
+
 def kmeans_fit(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -128,36 +175,9 @@ def kmeans_fit(
     centroids = np.stack([np.asarray(r["v"], dtype=np.float64) for r in first])
     dim = centroids.shape[1]
 
-    def make_assign(C: np.ndarray):
-        Cb = C.copy()
-
-        def assign(batches):
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-                # ||v-c||^2 = ||v||^2 - 2 v.c + ||c||^2; argmin over cells
-                d2 = (
-                    (V * V).sum(axis=1)[:, None]
-                    - 2.0 * (V @ Cb.T)
-                    + (Cb * Cb).sum(axis=1)[None, :]
-                )
-                cell = d2.argmin(axis=1)  # numpy argmin: first (lowest) index wins ties
-                dist = np.sqrt(np.maximum(d2[np.arange(len(V)), cell], 0.0))
-                yield pd.DataFrame(
-                    {
-                        "id": pdf[pdf.columns[0]].values,
-                        "cell": cell.astype("int32"),
-                        "dist": dist,
-                        "v": pdf["v"].values,
-                    }
-                )
-
-        return assign
-
     for _ in range(max_iter):
         assigned = prepped.mapInPandas(
-            make_assign(centroids), "id long, cell int, dist double, v array<double>"
+            _make_assign(centroids), "id long, cell int, dist double, v array<double>"
         )
         comp = assigned.select(
             "cell", F.posexplode("v").alias("d", "x")
@@ -179,7 +199,7 @@ def kmeans_fit(
             break
 
     assignments = prepped.mapInPandas(
-        make_assign(centroids), "id long, cell int, dist double, v array<double>"
+        _make_assign(centroids), "id long, cell int, dist double, v array<double>"
     ).select(F.col("id").alias(id_col), "cell", "dist")
     return centroids, assignments
 
