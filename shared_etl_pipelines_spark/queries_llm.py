@@ -859,6 +859,420 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Source mixing (temperature resampling) — the data-mixture step of LLM
+# pretraining (GPT-3 / LLaMA style): per-source sampling weight
+# proportional to token_count^alpha, alpha < 1 upweighting small
+# high-quality sources; epochs = how many passes a 1M-token budget
+# implies per source. One groupBy + a window over the ~|sources| rows.
+# ---------------------------------------------------------------------------
+@defquery(
+    "source_mixing_weights",
+    f"""
+    WITH t AS (SELECT source, len({TOKS_SQL}) AS nt FROM documents),
+    a AS (
+      SELECT source, COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens
+      FROM t GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens,
+           ROUND(pow(n_tokens, 0.7) / SUM(pow(n_tokens, 0.7)) OVER (), 4)
+             AS mix_weight,
+           ROUND(pow(n_tokens, 0.7) / SUM(pow(n_tokens, 0.7)) OVER ()
+                 * 1000000.0 / n_tokens, 4) AS sample_epochs
+    FROM a
+    """,
+    doc="temperature-based source mixing: weight ~ tokens^0.7 normalized "
+    "across sources, plus implied epochs for a 1M-token budget. The "
+    "global window runs over |sources| aggregate rows (tiny at any "
+    "corpus scale).",
+    tags=("llm", "curation", "sampling"),
+)
+def q_source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select("source", F.size(tokens(F.col("text"))).cast("long").alias("nt"))
+    agg = t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("nt").alias("n_tokens")
+    )
+    raw = F.pow(F.col("n_tokens").cast("double"), F.lit(0.7))
+    w = Window.partitionBy()
+    weight = raw / F.sum(raw).over(w)
+    out = agg.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(weight, 4).alias("mix_weight"),
+        F.round(weight * 1000000.0 / F.col("n_tokens"), 4).alias("sample_epochs"),
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Token-budget packing — select documents per source until a per-source
+# token budget is filled (deterministic doc_id order). The running sum
+# partitions by source, so packing parallelizes across sources; a single
+# global greedy pack would be the one inherently sequential shape (use
+# the ranked-quantile range-partition trick if ever needed globally).
+# ---------------------------------------------------------------------------
+@defquery(
+    "token_budget_pack",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, len({TOKS_SQL}) AS nt FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, nt,
+             SUM(nt) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_tokens
+      FROM t
+    )
+    SELECT doc_id, source, CAST(nt AS BIGINT) AS nt,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= 2000
+    """,
+    doc="per-source greedy token-budget packing: running token sum in "
+    "deterministic doc_id order, keep while <= 2000 tokens per source",
+    tags=("llm", "curation", "window"),
+)
+def q_token_budget_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", F.size(tokens(F.col("text"))).cast("long").alias("nt")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.withColumn("cum_tokens", F.sum("nt").over(w))
+        .filter(F.col("cum_tokens") <= 2000)
+        .select("doc_id", "source", "nt", "cum_tokens")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-distribution entropy — quality signal: low entropy = repetitive /
+# template text, high = diverse vocabulary. Exact Shannon entropy over
+# the per-doc token frequency distribution: explode -> (doc, token)
+# counts -> one more groupBy. Both engines evaluate -sum(p*log2(p)) on
+# the same exact integer counts; ROUND(4) removes last-ulp noise.
+# ---------------------------------------------------------------------------
+@defquery(
+    "token_entropy_quality",
+    f"""
+    WITH t AS (SELECT doc_id, unnest({TOKS_SQL}) AS tok FROM documents),
+    c AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM t GROUP BY doc_id, tok),
+    e AS (
+      SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+             COUNT(*) AS n_distinct,
+             SUM(CAST(cnt AS DOUBLE) * log2(CAST(cnt AS DOUBLE))) AS clogc
+      FROM c GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_distinct,
+           ROUND(log2(CAST(n_tokens AS DOUBLE))
+                 - clogc / CAST(n_tokens AS DOUBLE), 4) AS entropy,
+           CASE WHEN n_distinct > 1
+                THEN ROUND((log2(CAST(n_tokens AS DOUBLE))
+                            - clogc / CAST(n_tokens AS DOUBLE))
+                           / log2(CAST(n_distinct AS DOUBLE)), 4) END
+             AS entropy_norm
+    FROM e
+    """,
+    doc="per-document Shannon entropy of the token distribution (plus "
+    "normalized-by-log2(n_distinct) form) — repetitive-text quality "
+    "signal. Uses H = log2(n) - sum(c*log2(c))/n, which needs only "
+    "mergeable aggregates over the (doc, token) counts: no per-doc "
+    "window, one shuffle fewer than the p*log2(p) form",
+    tags=("llm", "text", "quality"),
+)
+def q_token_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    c = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cd = F.col("cnt").cast("double")
+    e = c.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(cd * F.log2(cd)).alias("clogc"),
+    )
+    nd = F.col("n_tokens").cast("double")
+    h = F.log2(nd) - F.col("clogc") / nd
+    return e.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.round(h, 4).alias("entropy"),
+        F.when(
+            F.col("n_distinct") > 1,
+            F.round(h / F.log2(F.col("n_distinct").cast("double")), 4),
+        ).alias("entropy_norm"),
+    )
+
+
+def _lang_en_pred_sql(toks: str) -> str:
+    """SQL predicate mirroring ``lang_id(toks) == 'en'`` exactly: not
+    all-zero marker scores, and the en score >= every other score (the
+    tie order of _CURATION_LANG_CASE)."""
+
+    def score(lang: str) -> str:
+        markers = ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        return f"len(list_filter({toks}, x -> x IN ({markers})))"
+
+    s_en, s_es, s_de, s_fr = (score(lang) for lang in ("en", "es", "de", "fr"))
+    return (
+        f"NOT ({s_en} = 0 AND {s_es} = 0 AND {s_de} = 0 AND {s_fr} = 0) "
+        f"AND {s_en} >= {s_es} AND {s_en} >= {s_de} AND {s_en} >= {s_fr}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curation funnel — per-stage survivor counts for the corpus_curation
+# pipeline (dedup -> nonempty -> lang -> quality): the observability
+# summary every production curation run ships with. Flags are computed
+# once in a single scan; the five stage rows come from conditional sums.
+# ---------------------------------------------------------------------------
+@defquery(
+    "curation_funnel",
+    f"""
+    WITH k AS (
+      SELECT doc_id, text,
+             CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
+                  THEN 1 ELSE 0 END AS is_keeper
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, is_keeper, {TOKS_SQL} AS toks FROM k
+    ),
+    f AS (
+      SELECT doc_id, is_keeper,
+             CASE WHEN len(toks) > 0 THEN 1 ELSE 0 END AS nonempty,
+             len(toks) AS nt,
+             CASE WHEN len(toks) = 0 THEN 0 ELSE
+               CASE WHEN ({_lang_en_pred_sql('toks')}) THEN 1 ELSE 0 END
+             END AS lang_en,
+             CASE WHEN len(toks) = 0 THEN 0 ELSE
+               CASE WHEN LEAST(50, len(toks))
+                         * (len(toks) - len(list_filter(toks, x -> x IN ({_STOP_IN}))))
+                         * len(list_distinct(toks))
+                         / (50.0 * len(toks) * len(toks)) >= 0.35
+                    THEN 1 ELSE 0 END
+             END AS quality_ok
+      FROM m
+    )
+    SELECT * FROM (
+      SELECT 0 AS stage_id, 'total' AS stage,
+             COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens FROM f
+      UNION ALL
+      SELECT 1, 'dedup', COUNT(*), CAST(SUM(nt) AS BIGINT)
+      FROM f WHERE is_keeper = 1
+      UNION ALL
+      SELECT 2, 'nonempty', COUNT(*), CAST(SUM(nt) AS BIGINT)
+      FROM f WHERE is_keeper = 1 AND nonempty = 1
+      UNION ALL
+      SELECT 3, 'lang_en', COUNT(*), CAST(SUM(nt) AS BIGINT)
+      FROM f WHERE is_keeper = 1 AND nonempty = 1 AND lang_en = 1
+      UNION ALL
+      SELECT 4, 'quality', COUNT(*), CAST(SUM(nt) AS BIGINT)
+      FROM f WHERE is_keeper = 1 AND nonempty = 1 AND lang_en = 1 AND quality_ok = 1
+    )
+    """,
+    doc="curation-funnel observability: doc/token survivor counts after "
+    "each stage of the corpus_curation pipeline (total -> dedup -> "
+    "nonempty -> lang -> quality), one scan + conditional sums",
+    tags=("llm", "pipeline", "curation"),
+)
+def q_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    wk = Window.partitionBy(F.md5("text"))
+    toks = tokens(F.col("text"))
+    nt = F.size("toks")
+    n_stop = F.size(F.filter(F.col("toks"), lambda t: t.isin(*STOPWORDS)))
+    n_dist = F.size(F.array_distinct("toks"))
+    quality = (
+        F.least(F.lit(50), nt).cast("double")
+        * (nt - n_stop)
+        * n_dist
+        / (50.0 * nt * nt)
+    )
+    f = (
+        docs.withColumn(
+            "is_keeper",
+            F.when(F.col("doc_id") == F.min("doc_id").over(wk), 1).otherwise(0),
+        )
+        .withColumn("toks", toks)
+        .select(
+            "doc_id",
+            "is_keeper",
+            nt.alias("nt"),
+            F.when(nt > 0, 1).otherwise(0).alias("nonempty"),
+            F.when(
+                (nt > 0) & (lang_id(F.col("toks")) == "en"), 1
+            ).otherwise(0).alias("lang_en"),
+            F.when((nt > 0) & (quality >= 0.35), 1).otherwise(0).alias("quality_ok"),
+        )
+    )
+    stages = [
+        (0, "total", F.lit(True)),
+        (1, "dedup", F.col("is_keeper") == 1),
+        (2, "nonempty", (F.col("is_keeper") == 1) & (F.col("nonempty") == 1)),
+        (
+            3,
+            "lang_en",
+            (F.col("is_keeper") == 1) & (F.col("nonempty") == 1) & (F.col("lang_en") == 1),
+        ),
+        (
+            4,
+            "quality",
+            (F.col("is_keeper") == 1)
+            & (F.col("nonempty") == 1)
+            & (F.col("lang_en") == 1)
+            & (F.col("quality_ok") == 1),
+        ),
+    ]
+    agg = f.agg(
+        *[F.sum(F.when(cond, 1).otherwise(0)).alias(f"n_{sid}") for sid, _, cond in stages],
+        *[
+            F.sum(F.when(cond, F.col("nt")).otherwise(0)).alias(f"t_{sid}")
+            for sid, _, cond in stages
+        ],
+    )
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(sid).alias("stage_id"),
+                F.lit(name).alias("stage"),
+                F.col(f"n_{sid}").cast("long").alias("n_docs"),
+                F.col(f"t_{sid}").cast("long").alias("n_tokens"),
+            )
+            for sid, name, _ in stages
+        ]
+    )
+    return agg.select(F.explode(rows).alias("r")).select("r.*")
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing — the concat-then-chunk step that turns curated docs
+# into fixed-length pretraining sequences: documents are concatenated in
+# deterministic order inside each source shard and split at 512-token
+# boundaries; a document reports the sequence it starts in and its token
+# offset there. Window cumsum per source — parallel across shards, the
+# same math a distributed packer runs write-side.
+# ---------------------------------------------------------------------------
+@defquery(
+    "sequence_pack",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, len({TOKS_SQL}) AS nt FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, nt,
+             SUM(nt) OVER (PARTITION BY source ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - nt AS start_tok
+      FROM t
+    )
+    SELECT doc_id, source, CAST(nt AS BIGINT) AS nt,
+           CAST(start_tok // 512 AS BIGINT) AS seq_id,
+           CAST(start_tok % 512 AS BIGINT) AS seq_offset,
+           CAST(CASE WHEN nt = 0 THEN 0
+                     ELSE (start_tok + nt - 1) // 512 - start_tok // 512
+                END AS BIGINT) AS n_boundary_crossings
+    FROM c
+    """,
+    doc="sequence packing for pretraining: per-source concat order, "
+    "512-token sequence ids + offsets + boundary-crossing counts via one "
+    "running-sum window",
+    tags=("llm", "curation", "window"),
+)
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", F.size(tokens(F.col("text"))).cast("long").alias("nt")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("start_tok", F.sum("nt").over(w) - F.col("nt"))
+    return c.select(
+        "doc_id",
+        "source",
+        "nt",
+        F.floor(F.col("start_tok") / 512).alias("seq_id"),
+        (F.col("start_tok") % 512).alias("seq_offset"),
+        F.when(F.col("nt") == 0, F.lit(0).cast("long"))
+        .otherwise(
+            F.floor((F.col("start_tok") + F.col("nt") - 1) / 512)
+            - F.floor(F.col("start_tok") / 512)
+        )
+        .alias("n_boundary_crossings"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality band filter — keep each source's interquartile quality band
+# (drop the worst quarter AND the suspiciously-best quarter — boilerplate
+# detectors often sit there). percent_rank inside the source partition.
+# ---------------------------------------------------------------------------
+@defquery(
+    "quality_band_filter",
+    f"""
+    WITH m AS (
+      SELECT doc_id, source, {TOKS_SQL} AS toks FROM documents
+    ),
+    q AS (
+      SELECT doc_id, source,
+             LEAST(50, len(toks))
+               * (len(toks) - len(list_filter(toks, x -> x IN ({_STOP_IN}))))
+               * len(list_distinct(toks)) / (50.0 * len(toks) * len(toks))
+               AS quality
+      FROM m WHERE len(toks) > 0
+    ),
+    r AS (
+      SELECT doc_id, source, quality,
+             PERCENT_RANK() OVER (PARTITION BY source
+                                  ORDER BY quality, doc_id) AS pr
+      FROM q
+    )
+    SELECT doc_id, source, ROUND(quality, 4) AS quality, ROUND(pr, 4) AS pr
+    FROM r WHERE pr >= 0.25 AND pr <= 0.75
+    """,
+    doc="per-source interquartile quality band: percent_rank window with "
+    "deterministic tie-break, keep 0.25 <= pr <= 0.75",
+    tags=("llm", "curation", "quality", "window"),
+)
+def q_quality_band_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    m = docs.select("doc_id", "source", tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    nt = F.size("toks")
+    n_stop = F.size(F.filter(F.col("toks"), lambda t: t.isin(*STOPWORDS)))
+    n_dist = F.size(F.array_distinct("toks"))
+    quality = (
+        F.least(F.lit(50), nt).cast("double") * (nt - n_stop) * n_dist
+        / (50.0 * nt * nt)
+    )
+    q = m.select("doc_id", "source", quality.alias("quality"))
+    w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    r = q.withColumn("pr", F.percent_rank().over(w))
+    return (
+        r.filter((F.col("pr") >= 0.25) & (F.col("pr") <= 0.75))
+        .select(
+            "doc_id",
+            "source",
+            F.round("quality", 4).alias("quality"),
+            F.round("pr", 4).alias("pr"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Stratified deterministic sampling — training-data curation: per-language
 # quotas selected by a stable row-key hash (operators/sampling.py), so the
 # subset is invariant to partitioning/retries and the predicate pushes
