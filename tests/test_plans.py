@@ -255,3 +255,40 @@ def test_shapefile_clip_plan_matches_handbuilt_polygon_clip(spark, sf):
     plan = phys(REGISTRY["shapefile_clip"].fn(spark, sf))
     assert "ArrowEvalPython" in plan  # vectorized ray-cast UDF
     assert "Join" not in plan  # zones are broadcast data, not a join side
+
+
+def test_sequence_pack_single_window_shuffle(spark, sf):
+    # one running-sum window per source shard: exactly one hash shuffle
+    # (plus AQE reads); a global pack would show SinglePartition
+    plan = phys(REGISTRY["sequence_pack"].fn(spark, sf))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SinglePartition" not in plan
+
+
+def test_token_budget_pack_partitions_by_source(spark, sf):
+    plan = phys(REGISTRY["token_budget_pack"].fn(spark, sf))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SinglePartition" not in plan
+
+
+def test_token_entropy_no_window_no_single_partition(spark, sf):
+    # the log-sum identity keeps entropy as mergeable aggregates: no
+    # per-doc Window node, no single-partition exchange
+    plan = phys(REGISTRY["token_entropy_quality"].fn(spark, sf))
+    assert "Window" not in plan
+    assert "SinglePartition" not in plan
+    # partial aggregation must run map-side before both shuffles
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_mixing_weights_window_is_post_aggregate(spark, sf):
+    # the single-partition window is allowed ONLY because it runs over
+    # the |sources| aggregate rows, never over the corpus: the plan must
+    # aggregate (HashAggregate) before the SinglePartition exchange
+    plan = phys(REGISTRY["source_mixing_weights"].fn(spark, sf))
+    agg_pos = plan.find("HashAggregate")
+    sp_pos = plan.find("SinglePartition")
+    assert agg_pos != -1 and sp_pos != -1
+    # physical plans print top-down: the window's exchange appears above
+    # (before) the aggregate that feeds it
+    assert sp_pos < agg_pos
