@@ -155,6 +155,105 @@ def minhash_lsh_pairs(
     return verified.select("doc_a", "doc_b", "jaccard")
 
 
+def incremental_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """New-batch-vs-corpus dedup: flag each batch document that already
+    exists in the corpus exactly (content hash) or nearly (MinHash-LSH
+    band collision + Jaccard verify). Output: one row per batch doc —
+    (id, exact_dup, near_dup, keep).
+
+    The asymmetry IS the scale story: the batch (a day's crawl) is small,
+    the corpus is the 100 TB side. Every PROBE join streams the corpus
+    against a BROADCAST batch-side build (hashes, band buckets,
+    candidate ids) — no corpus shuffle in the probe path. The corpus
+    signature derivation here (shingle window + groupBy) is the in-plan
+    stand-in for what a warehouse precomputes write-side and stores with
+    the table (the write_ann_index pattern); swap `signatures(corpus)`
+    for a stored signature read and the whole plan is probe-only. Dedup
+    WITHIN the batch is a separate (tiny, single-node-sized) exact_dedup
+    pass — this operator covers batch-vs-corpus only.
+    """
+    rows_per_band = k // bands
+    b_hash = batch.select(F.col(id_col), F.md5(F.col(text_col)).alias("th"))
+    c_hash = corpus.select(F.md5(F.col(text_col)).alias("th"))
+    # corpus streams against the broadcast batch hash set
+    exact_ids = (
+        c_hash.join(F.broadcast(b_hash), "th").select(F.col(id_col)).distinct()
+    )
+
+    def signatures(df: DataFrame) -> DataFrame:
+        hrows = shingle_hash_rows(df, id_col, text_col, n=n)
+        mins = [
+            F.min((F.col("h") * a + b) % MINHASH_P).alias(f"mh_{i}")
+            for i, (a, b) in ((i, minhash_params(i)) for i in range(k))
+        ]
+        return hrows.groupBy(id_col).agg(*mins, F.collect_set("h").alias("hv"))
+
+    def banded(sig: DataFrame) -> DataFrame:
+        band_cols = [
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+                )
+            )
+            for b in range(bands)
+        ]
+        return sig.select(
+            F.col(id_col),
+            F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash"),
+        )
+
+    b_sig = signatures(batch).persist()
+    b_sig.count()  # materialize once: bands + verify both reuse it
+    c_sig = signatures(corpus)
+    cand = (
+        banded(c_sig)
+        .withColumnRenamed(id_col, "c_id")
+        .join(
+            F.broadcast(banded(b_sig).withColumnRenamed(id_col, "b_id")),
+            ["band_idx", "band_hash"],
+        )
+        .select("b_id", "c_id")
+        .distinct()
+    )
+    near_ids = (
+        cand.join(
+            F.broadcast(b_sig.select(F.col(id_col).alias("b_id"), F.col("hv").alias("hv_b"))),
+            "b_id",
+        )
+        .join(c_sig.select(F.col(id_col).alias("c_id"), F.col("hv").alias("hv_c")), "c_id")
+        .withColumn("jaccard", jaccard(F.col("hv_b"), F.col("hv_c")))
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("b_id").alias(id_col))
+        .distinct()
+    )
+    out = (
+        batch.select(id_col)
+        .join(exact_ids.withColumn("_e", F.lit(1)), id_col, "left")
+        .join(near_ids.withColumn("_n", F.lit(1)), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_e"), F.lit(0)).alias("exact_dup"),
+            F.coalesce(F.col("_n"), F.lit(0)).alias("near_dup"),
+            (
+                F.coalesce(F.col("_e"), F.lit(0)) + F.coalesce(F.col("_n"), F.lit(0))
+                == 0
+            )
+            .cast("int")
+            .alias("keep"),
+        )
+    )
+    return out
+
+
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
 ) -> DataFrame:

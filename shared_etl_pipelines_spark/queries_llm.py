@@ -227,6 +227,83 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Incremental (new-batch-vs-corpus) dedup — the production daily-ingest
+# shape: a small new batch probes the big existing corpus for exact and
+# near duplicates; the corpus streams against broadcast batch-side
+# builds and is never shuffled. Batch = doc_id % 10 == 0.
+# ---------------------------------------------------------------------------
+def _sig_cte(side: str, pred: str) -> str:
+    return f"""
+    {side}t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents WHERE {pred}),
+    {side}s AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM {side}t),
+    {side}h AS (SELECT doc_id, list_distinct({HV_SQL}) AS hv FROM {side}s WHERE len(sh) > 0),
+    {side}sig AS (
+      SELECT doc_id, hv, {', '.join(f"{_mh_sql(i)} AS mh{i}" for i in range(8))}
+      FROM {side}h
+    ),
+    {side}bands AS (
+      {' UNION ALL '.join(
+        f"SELECT doc_id, {b} AS band_idx, md5(mh{2*b} || '|' || mh{2*b+1}) AS band_hash FROM {side}sig"
+        for b in range(4)
+      )}
+    )"""
+
+
+@defquery(
+    "incremental_dedup",
+    f"""
+    WITH {_sig_cte('b', 'doc_id % 10 = 0')},
+    {_sig_cte('c', 'doc_id % 10 <> 0')},
+    exact_hits AS (
+      SELECT DISTINCT b.doc_id
+      FROM documents b JOIN documents c
+        ON md5(b.text) = md5(c.text)
+       AND b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS b_id, r.doc_id AS c_id
+      FROM bbands l JOIN cbands r
+        ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+    ),
+    near_hits AS (
+      SELECT DISTINCT b_id AS doc_id
+      FROM cand
+      JOIN bsig a ON a.doc_id = b_id
+      JOIN csig c2 ON c2.doc_id = c_id
+      WHERE CAST(len(list_intersect(a.hv, c2.hv)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.hv, c2.hv))) >= 0.5
+    )
+    SELECT b.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS exact_dup,
+           CASE WHEN nh.doc_id IS NOT NULL THEN 1 ELSE 0 END AS near_dup,
+           CASE WHEN e.doc_id IS NULL AND nh.doc_id IS NULL THEN 1 ELSE 0 END AS keep
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) b
+    LEFT JOIN exact_hits e ON e.doc_id = b.doc_id
+    LEFT JOIN near_hits nh ON nh.doc_id = b.doc_id
+    """,
+    doc="incremental new-batch-vs-corpus dedup: exact content-hash probe "
+    "+ MinHash-LSH band probe with Jaccard verify; the corpus side only "
+    "streams against broadcast batch builds (never shuffles)",
+    tags=("llm", "dedup", "minhash", "lsh", "incremental"),
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.operators.dedup import incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    out = incremental_dedup(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        "doc_id",
+        "text",
+        n=3,
+        k=8,
+        bands=4,
+        threshold=0.5,
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
 # SimHash fingerprint + Hamming candidates
 # ---------------------------------------------------------------------------
 @defquery(

@@ -292,3 +292,12 @@ def test_mixing_weights_window_is_post_aggregate(spark, sf):
     # physical plans print top-down: the window's exchange appears above
     # (before) the aggregate that feeds it
     assert sp_pos < agg_pos
+
+
+def test_incremental_dedup_probes_broadcast_batch(spark, sf):
+    # every probe join must broadcast the (small) batch side — the
+    # corpus is only ever scanned/aggregated, never the shuffled side of
+    # a probe join, and nothing plans as a nested loop
+    plan = phys(REGISTRY["incremental_dedup"].fn(spark, sf))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
