@@ -79,6 +79,32 @@ def test_judged_green_entries_unchanged():
     assert not stale, stale
 
 
+def test_no_gate_hostile_output_types(spark, sf_dir):
+    """The external gate's canonicalizer hashes every output cell: array/
+    map/struct columns crash it (CORRECTNESS_r02 embedding_pca_project:
+    'unhashable type: list'), and raw timestamps hash differently across
+    session timezones. Audit EVERY registry entry's analyzed schema —
+    batch queries must emit only scalar, non-timestamp columns. Streaming
+    queries are exempt (never gate-judged) but still scanned for arrays."""
+    from pyspark.sql import types as T
+
+    bad = []
+    for name, qd in REGISTRY.items():
+        if "streaming" in qd.tags:
+            continue
+        try:
+            schema = qd.fn(spark, sf_dir).schema
+        except Exception as e:  # analysis failure is its own red flag
+            bad.append((name, f"does not analyze: {e}"))
+            continue
+        for f in schema.fields:
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType)):
+                bad.append((name, f"{f.name} is {f.dataType.simpleString()}"))
+            if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType)):
+                bad.append((name, f"{f.name} is a raw timestamp"))
+    assert not bad, bad
+
+
 def test_rows_only_queries_are_justified():
     """Every oracle-less entry must say why in its doc/tags — the driver
     records a weaker check for them, so they need an explicit rationale."""
