@@ -801,6 +801,38 @@ def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "multimodal_wav_decode",
+    """
+    WITH a AS (
+      SELECT doc_id, octet_length(encode(text)) % 256 + 16 AS n FROM documents
+    )
+    SELECT doc_id, TRUE AS is_real_decode,
+           CAST(16000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(list_sum(list_transform(range(0, n),
+                                        i -> abs((doc_id * 7 + i * 13) % 4001 - 2000)))
+                AS BIGINT) AS amp_sum
+    FROM a
+    """,
+    doc="REAL WAV codec round trip: deterministic 16-bit PCM fixtures "
+    "encoded and decoded by sources/wav.py inside mapInPandas; the "
+    "oracle recomputes the amplitude stats in closed form",
+    tags=("llm", "multimodal", "codec"),
+)
+def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.multimodal import (
+        decode_audio,
+        synthetic_wav_assets,
+    )
+
+    assets = synthetic_wav_assets(_t(spark, sf_dir, "documents"))
+    out = decode_audio(assets)
+    return out.select(
+        "doc_id", "is_real_decode", "sample_rate", "channels", "n_samples", "amp_sum"
+    )
+
+
+@defquery(
     "multimodal_frame_sample",
     """
     WITH a AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),

@@ -164,6 +164,86 @@ def decode_images(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(batches, schema=IMAGE_SCHEMA)
 
 
+AUDIO_SCHEMA = (
+    "doc_id bigint, media_type string, n_bytes bigint, "
+    "is_real_decode boolean, sample_rate int, channels int, "
+    "n_samples bigint, amp_sum bigint"
+)
+
+
+def synthetic_wav_assets(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "text"
+) -> DataFrame:
+    """Deterministic REAL-WAV fixtures: for payload byte-length n, a mono
+    16 kHz clip of (n % 256 + 16) samples with sample i =
+    ((id*7 + i*13) % 4001) - 2000 — closed-form amplitude stats let a
+    SQL oracle pin the encode->decode round trip."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from shared_etl_pipelines_spark.sources import wav
+
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                n = len(str(payload).encode("utf-8")) % 256 + 16
+                i = np.arange(n, dtype=np.int64)
+                s = ((int(doc_id) * 7 + i * 13) % 4001) - 2000
+                ids.append(doc_id)
+                blobs.append(wav.encode_wav(s.astype("<i2"), 16000))
+            yield pd.DataFrame(
+                {"doc_id": ids, "media_type": "audio/wav", "blob": blobs}
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches, "doc_id bigint, media_type string, blob binary"
+    )
+
+
+def decode_audio(assets: DataFrame) -> DataFrame:
+    """Arrow-batched audio decode with a REAL WAV path (sources/wav.py);
+    non-WAV blobs fall back to the byte-stat stub with
+    is_real_decode=false. amp_sum = exact sum of |sample| — an integer,
+    reproducible bit-for-bit."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from shared_etl_pipelines_spark.sources import wav
+
+        for pdf in it:
+            rows: dict[str, list] = {
+                k: []
+                for k in (
+                    "doc_id", "media_type", "n_bytes", "is_real_decode",
+                    "sample_rate", "channels", "n_samples", "amp_sum",
+                )
+            }
+            for doc_id, mt, blob in zip(pdf["doc_id"], pdf["media_type"], pdf["blob"]):
+                blob = bytes(blob)
+                rows["doc_id"].append(doc_id)
+                rows["media_type"].append(mt)
+                rows["n_bytes"].append(len(blob))
+                if wav.is_wav(blob):
+                    arr, info = wav.decode_wav(blob)
+                    rows["is_real_decode"].append(True)
+                    rows["sample_rate"].append(info["sample_rate"])
+                    rows["channels"].append(info["channels"])
+                    rows["n_samples"].append(info["n_samples"])
+                    rows["amp_sum"].append(int(np.abs(arr.astype("int64")).sum()))
+                else:
+                    n, checksum, _, _ = _fake_decode(blob)
+                    rows["is_real_decode"].append(False)
+                    rows["sample_rate"].append(0)
+                    rows["channels"].append(1)
+                    rows["n_samples"].append(n)
+                    rows["amp_sum"].append(checksum)
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(batches, schema=AUDIO_SCHEMA)
+
+
 RESIZED_SCHEMA = (
     "doc_id bigint, media_type string, blob binary, "
     "orig_bytes bigint, resized_bytes bigint, stride int"
