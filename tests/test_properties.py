@@ -147,3 +147,37 @@ def test_stratified_sample_nested_subsets(spark, keys):
     big = {r["k"] for r in stratified_sample(df, "k", "g", {"s": 0.6}).collect()}
     small = {r["k"] for r in stratified_sample(df, "k", "g", {"s": 0.3}).collect()}
     assert small <= big
+
+
+@given(
+    st.integers(1, 40), st.integers(1, 40),
+    st.sampled_from([1, 2, 3, 4]), st.sampled_from([0, 1, 2, 3, 4]),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_png_round_trip_property(h, w, ch, filter_type, seed):
+    """Any uint8 image, any channel count, any filter: decode(encode(x)) == x."""
+    import numpy as np
+
+    from shared_etl_pipelines_spark.sources.png import decode_png, encode_png
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+    got, info = decode_png(encode_png(arr, filter_type=filter_type))
+    # grayscale decodes to (h, w); multichannel keeps (h, w, ch)
+    np.testing.assert_array_equal(got, arr[:, :, 0] if ch == 1 else arr)
+    assert (info["height"], info["width"]) == (h, w)
+
+
+@given(st.integers(1, 500), st.sampled_from([1, 2, 4]), st.integers(0, 2**32 - 1))
+@settings(max_examples=25, deadline=None)
+def test_wav_round_trip_property(n, channels, seed):
+    import numpy as np
+
+    from shared_etl_pipelines_spark.sources.wav import decode_wav, encode_wav
+
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-32768, 32768, size=(n, channels), dtype=np.int16)
+    got, info = decode_wav(encode_wav(s, 44100))
+    np.testing.assert_array_equal(got, s)
+    assert info["n_samples"] == n and info["channels"] == channels
