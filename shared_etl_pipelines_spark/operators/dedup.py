@@ -85,6 +85,69 @@ def shingle_hash_rows(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> 
     )
 
 
+def positional_shingle_hash_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8
+) -> DataFrame:
+    """Like shingle_hash_rows but keeps the (1-based) token position:
+    ``(id, pos, h)``. Same codegen'd explode + lead() plan; position is
+    what lets span-level dedup reconstruct WHERE inside a document a
+    duplicated passage sits, not just that one exists.
+    """
+    tok = df.select(
+        F.col(id_col), F.posexplode(tokens(F.col(text_col))).alias("pos0", "t")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos0")
+    parts = [F.col("t")] + [F.lead("t", j).over(w) for j in range(1, n)]
+    sh = tok.select(
+        F.col(id_col),
+        (F.col("pos0") + 1).alias("pos"),  # 1-based, matches SQL list indexing
+        F.concat_ws(" ", *parts).alias("s"),
+        F.lead("t", n - 1).over(w).alias("_last"),
+    ).filter(F.col("_last").isNotNull())
+    return sh.select(
+        F.col(id_col),
+        "pos",
+        F.conv(F.substring(F.md5("s"), 1, 7), 16, 10).cast("long").alias("h"),
+    )
+
+
+def duplicated_spans(
+    df: DataFrame, id_col: str, text_col: str, n: int = 8, min_count: int = 2
+) -> DataFrame:
+    """Maximal duplicated token spans per document (substring-level exact
+    dedup in the style of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better" — adapted from suffix arrays to distributed
+    token shingles).
+
+    A position is *duplicated* when its n-gram shingle hash occurs >=
+    min_count times corpus-wide (covers both cross-document and
+    within-document repetition). Consecutive duplicated positions merge
+    into maximal spans via gaps-and-islands: ``pos - row_number()`` is
+    constant exactly on a run of consecutive positions.
+
+    Returns one row per span: ``(id, span_start, span_tokens)`` with
+    span_start 1-based and span_tokens = run_length + n - 1 (the span
+    covers every token touched by a duplicated shingle).
+
+    Scale: two shuffles total. (1) a window count over h — map-side
+    partial aggregation into a uniform 28-bit key space, no self-join and
+    no broadcast of a corpus-sized dup set; (2) the islands window +
+    groupBy on id, which reuse one doc-keyed exchange. Nothing is
+    quadratic; the all-positions frame is ~tokens-per-doc x rows, the
+    same order as the MinHash signature build.
+    """
+    rows = positional_shingle_hash_rows(df, id_col, text_col, n=n)
+    dup = rows.withColumn(
+        "c", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    ).filter(F.col("c") >= min_count)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    grp = dup.withColumn("grp", F.col("pos") - F.row_number().over(w))
+    return grp.groupBy(id_col, "grp").agg(
+        F.min("pos").alias("span_start"),
+        (F.count(F.lit(1)) + F.lit(n - 1)).cast("long").alias("span_tokens"),
+    ).drop("grp")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,

@@ -2216,3 +2216,93 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = embedding_near_dup_lsh(_t(spark, sf_dir, "embeddings"), tau=0.4)
     return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# Substring-level exact dedup: maximal duplicated n-gram spans
+# (Lee et al., "Deduplicating Training Data Makes Language Models
+# Better" — suffix-array semantics re-expressed as distributed shingle
+# joins; no reference counterpart, LLM-pipeline mandate).
+# ---------------------------------------------------------------------------
+_SPAN_N = 8
+_SPAN_SHINGLE = " || ' ' || ".join(
+    "toks[pos]" if j == 0 else f"toks[pos+{j}]" for j in range(_SPAN_N)
+)
+_SPANS_CTE = f"""
+t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+p AS (SELECT doc_id, unnest(range(1, len(toks) - {_SPAN_N} + 2)) AS pos, toks FROM t),
+sh AS (SELECT doc_id, pos,
+              CAST('0x' || substr(md5({_SPAN_SHINGLE}), 1, 7) AS BIGINT) AS h
+       FROM p),
+d AS (SELECT doc_id, pos FROM
+        (SELECT doc_id, pos, COUNT(*) OVER (PARTITION BY h) AS c FROM sh)
+      WHERE c >= 2),
+g AS (SELECT doc_id, pos,
+             pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM d),
+spans AS (SELECT doc_id, MIN(pos) AS span_start,
+                 CAST(COUNT(*) + {_SPAN_N} - 1 AS BIGINT) AS span_tokens
+          FROM g GROUP BY doc_id, grp)
+"""
+
+
+@defquery(
+    "dup_spans",
+    f"WITH {_SPANS_CTE} SELECT doc_id, span_start, span_tokens FROM spans",
+    doc=f"maximal duplicated {_SPAN_N}-gram token spans per document "
+    "(substring-level exact dedup): window count over the 28-bit shingle "
+    "hash marks duplicated positions, gaps-and-islands merges runs",
+    tags=("llm", "dedup", "text", "spans"),
+)
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.operators.dedup import duplicated_spans
+
+    return duplicated_spans(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=_SPAN_N
+    )
+
+
+@defquery(
+    "dup_span_profile",
+    f"""
+    WITH {_SPANS_CTE},
+    agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+                   CAST(SUM(span_tokens) AS BIGINT) AS dup_tokens
+            FROM spans GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(len(toks) AS BIGINT) AS total_tokens,
+           CAST(COALESCE(a.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           CAST(COALESCE(a.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           ROUND(CAST(COALESCE(a.dup_tokens, 0) AS DOUBLE) / len(toks), 4)
+             AS dup_frac
+    FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id
+    """,
+    doc="per-document duplicated-passage profile: span count, duplicated "
+    "token total, duplicated fraction — the remove-or-keep signal a "
+    "curation pipeline thresholds on",
+    tags=("llm", "dedup", "text", "spans", "profile"),
+)
+def q_dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.functions.text import tokens
+    from shared_etl_pipelines_spark.operators.dedup import duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    spans = duplicated_spans(docs, "doc_id", "text", n=_SPAN_N)
+    agg = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+        F.sum("span_tokens").cast("long").alias("dup_tokens"),
+    )
+    base = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("long").alias("total_tokens")
+    )
+    out = base.join(agg, "doc_id", "left").select(
+        "doc_id",
+        "total_tokens",
+        F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+        F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+        F.round(
+            F.coalesce("dup_tokens", F.lit(0)).cast("double") / F.col("total_tokens"),
+            4,
+        ).alias("dup_frac"),
+    )
+    return out

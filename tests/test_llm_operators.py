@@ -562,3 +562,41 @@ def test_covariance_ignores_ragged_vectors(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_duplicated_spans_exact_boundaries(spark):
+    # Two docs share an 10-token passage; doc 3 is unique. With n=4 the
+    # shared passage should come back as ONE maximal span in each doc,
+    # covering exactly the shared tokens, at the right (1-based) offsets.
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    d1 = "u1 u2 u3 " + shared + " v1 v2"  # shared tokens at positions 4..13
+    d2 = shared + " w1 w2 w3"  #            shared tokens at positions 1..10
+    d3 = "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10 x11 x12"
+    from shared_etl_pipelines_spark.operators.dedup import duplicated_spans
+
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], ["doc_id", "text"]
+    )
+    spans = {
+        r["doc_id"]: (r["span_start"], r["span_tokens"])
+        for r in duplicated_spans(df, "doc_id", "text", n=4).collect()
+    }
+    assert spans == {1: (4, 10), 2: (1, 10)}  # doc 3 has no duplicated span
+
+
+def test_duplicated_spans_within_doc_repetition(spark):
+    # Repetition INSIDE one document also counts (count>=2 corpus-wide):
+    # the 6-token phrase repeated back-to-back yields one span per copy
+    # (duplicated shingle positions 1 and 7 are not consecutive, so the
+    # islands merge keeps them distinct — each copy is flagged).
+    from shared_etl_pipelines_spark.operators.dedup import duplicated_spans
+
+    phrase = "p1 p2 p3 p4 p5 p6"
+    df = spark.createDataFrame(
+        [(1, phrase + " " + phrase + " tail1 tail2")], ["doc_id", "text"]
+    )
+    got = sorted(
+        (r["span_start"], r["span_tokens"])
+        for r in duplicated_spans(df, "doc_id", "text", n=6).collect()
+    )
+    assert got == [(1, 6), (7, 6)]  # both copies, nothing from the tail
