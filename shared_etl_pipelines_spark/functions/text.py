@@ -177,3 +177,38 @@ def make_chunk_udtf(chunk_size: int = 20):
                 yield i // chunk_size, " ".join(piece), len(piece)
 
     return ChunkWords
+
+
+# ---------------------------------------------------------------------------
+# PII scanning — the detect side of the redact() primitive above.
+# Pattern subset is deliberately RE2-compatible (no lookarounds, no
+# backrefs) so a DuckDB/RE2 oracle and Spark's Java regex agree match
+# for match. Order matters when redacting sequentially: EMAIL before
+# IPV4 before PHONE, so a longer match is never split by an earlier
+# shorter rewrite.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+}
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-type PII match counts for one text column. Stays JVM-side
+    (regexp_extract_all + size): codegen'd, no Python on the data path."""
+    c = F.col(text) if isinstance(text, str) else text
+    return {
+        name: F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).cast("long")
+        for name, pat in PII_PATTERNS.items()
+    }
+
+
+def pii_redact_all(text: Column | str) -> Column:
+    """Redact every PII pattern, each with its own typed placeholder —
+    what a training-data pipeline writes back out after the scan."""
+    c = F.col(text) if isinstance(text, str) else text
+    for name, pat in PII_PATTERNS.items():
+        c = F.regexp_replace(c, pat, f"<{name.upper()}>")
+    return c

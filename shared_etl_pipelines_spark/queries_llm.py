@@ -2306,3 +2306,151 @@ def q_dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dup_frac"),
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# PII scan + scrub over log lines (LLM-pipeline mandate: the detect side
+# of the redaction primitive). The fixture corpus carries no organic
+# PII, so the query first materializes a deterministic log-line
+# projection from events columns — identical string synthesis in both
+# engines — then verifies the pattern library (functions.text.
+# PII_PATTERNS, RE2-compatible subset) and the sequential typed
+# redaction on those non-trivial strings.
+# ---------------------------------------------------------------------------
+_PII_LINE_SQL = (
+    "'user=' || CAST(user_id AS VARCHAR)"
+    " || ' mail=u' || CAST(user_id AS VARCHAR) || '@ex'"
+    " || CAST(user_id % 7 AS VARCHAR) || '.com src=10.'"
+    " || CAST(event_id % 256 AS VARCHAR) || '.'"
+    " || CAST(user_id % 200 AS VARCHAR) || '.'"
+    " || CAST(event_id % 100 AS VARCHAR) || ' t=' || event_type"
+    " || CASE WHEN event_id % 5 = 0 THEN"
+    " ' cb=555-' || lpad(CAST(event_id % 1000 AS VARCHAR), 3, '0')"
+    " || '-' || lpad(CAST(user_id % 10000 AS VARCHAR), 4, '0')"
+    " ELSE '' END"
+)
+
+
+def _pii_redact_sql(col: str) -> str:
+    from shared_etl_pipelines_spark.functions.text import PII_PATTERNS
+
+    out = col
+    for name, pat in PII_PATTERNS.items():
+        out = f"regexp_replace({out}, '{pat}', '<{name.upper()}>', 'g')"
+    return out
+
+
+def _pii_count_sql(name: str) -> str:
+    from shared_etl_pipelines_spark.functions.text import PII_PATTERNS
+
+    return (
+        f"CAST(SUM(len(regexp_extract_all(line, '{PII_PATTERNS[name]}'))) AS BIGINT)"
+        f" AS {name}s"
+    )
+
+
+@defquery(
+    "pii_scan_events",
+    f"""
+    WITH lines AS (
+      SELECT event_type, {_PII_LINE_SQL} AS line FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           {_pii_count_sql('email')},
+           {_pii_count_sql('ipv4')},
+           {_pii_count_sql('phone')},
+           CAST(SUM(length({_pii_redact_sql('line')})) AS BIGINT) AS redacted_chars
+    FROM lines GROUP BY event_type
+    """,
+    doc="PII scan + typed redaction over synthesized log lines: per-type "
+    "match counts and post-scrub char totals per event_type; patterns "
+    "are the RE2-compatible PII_PATTERNS library, applied JVM-side",
+    tags=("llm", "text", "pii", "scrub"),
+)
+def q_pii_scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.functions.text import pii_counts, pii_redact_all
+
+    ev = _t(spark, sf_dir, "events")
+    s = lambda c: c.cast("string")  # noqa: E731
+    line = F.concat(
+        F.lit("user="), s(F.col("user_id")),
+        F.lit(" mail=u"), s(F.col("user_id")),
+        F.lit("@ex"), s(F.col("user_id") % 7),
+        F.lit(".com src=10."), s(F.col("event_id") % 256),
+        F.lit("."), s(F.col("user_id") % 200),
+        F.lit("."), s(F.col("event_id") % 100),
+        F.lit(" t="), F.col("event_type"),
+        F.when(
+            F.col("event_id") % 5 == 0,
+            F.concat(
+                F.lit(" cb=555-"),
+                F.lpad(s(F.col("event_id") % 1000), 3, "0"),
+                F.lit("-"),
+                F.lpad(s(F.col("user_id") % 10000), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    lines = ev.select("event_type", line.alias("line"))
+    cnts = pii_counts("line")
+    return lines.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(cnts["email"]).cast("long").alias("emails"),
+        F.sum(cnts["ipv4"]).cast("long").alias("ipv4s"),
+        F.sum(cnts["phone"]).cast("long").alias("phones"),
+        F.sum(F.length(pii_redact_all("line"))).cast("long").alias("redacted_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# URL/domain curation: extract the registrable host from document URLs
+# and suppress over-represented domains — the per-domain cap every
+# web-corpus pipeline applies. URLs are synthesized from part columns
+# (no organic URLs in the fixture), identically in both engines; the
+# verified logic is the host-extraction regex + the rollup + the cap.
+# At 100 TB the same plan holds: one groupBy on domain (map-side
+# combinable), no joins — the cap flag folds into the aggregate row.
+# ---------------------------------------------------------------------------
+_URL_SQL = (
+    "'https://' || lower(replace(p_brand, '#', '')) || '.example-'"
+    " || CAST(p_size % 4 AS VARCHAR) || '.com/p/' || CAST(p_partkey AS VARCHAR)"
+)
+
+
+@defquery(
+    "url_domain_stats",
+    f"""
+    WITH u AS (SELECT p_partkey, {_URL_SQL} AS url FROM part),
+    d AS (SELECT p_partkey,
+                 regexp_extract(url, 'https?://([^/]+)/', 1) AS domain
+          FROM u)
+    SELECT domain,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT p_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(*) > 30 AS INT) AS blocked
+    FROM d GROUP BY domain
+    """,
+    doc="per-domain URL rollup with over-representation cap: host "
+    "extracted by regex, one map-side-combinable groupBy, blocked flag "
+    "for domains past the per-domain document budget",
+    tags=("llm", "text", "url", "curation"),
+)
+def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    url = F.concat(
+        F.lit("https://"),
+        F.lower(F.regexp_replace("p_brand", "#", "")),
+        F.lit(".example-"),
+        (F.col("p_size") % 4).cast("string"),
+        F.lit(".com/p/"),
+        F.col("p_partkey").cast("string"),
+    )
+    d = part.select(
+        "p_partkey",
+        F.regexp_extract(url, r"https?://([^/]+)/", 1).alias("domain"),
+    )
+    return d.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("long").alias("n_urls"),
+        F.countDistinct("p_partkey").cast("long").alias("n_parts"),
+        (F.count(F.lit(1)) > 30).cast("int").alias("blocked"),
+    )

@@ -600,3 +600,24 @@ def test_duplicated_spans_within_doc_repetition(spark):
         for r in duplicated_spans(df, "doc_id", "text", n=6).collect()
     )
     assert got == [(1, 6), (7, 6)]  # both copies, nothing from the tail
+
+
+def test_pii_patterns_detect_and_redact(spark):
+    from shared_etl_pipelines_spark.functions.text import pii_counts, pii_redact_all
+
+    df = spark.createDataFrame(
+        [
+            ("contact a.b+x@mail.example.org or 10.0.255.3 tel 555-123-4567",),
+            ("no pii here, just 1.2 numbers and almost-phone 55-123-4567",),
+            ("two mails x@y.io z@w.co one ip 192.168.0.1",),
+        ],
+        ["line"],
+    )
+    c = pii_counts("line")
+    rows = df.select(
+        c["email"].alias("e"), c["ipv4"].alias("i"), c["phone"].alias("p"),
+        pii_redact_all("line").alias("r"),
+    ).collect()
+    assert [(r["e"], r["i"], r["p"]) for r in rows] == [(1, 1, 1), (0, 0, 0), (2, 1, 0)]
+    assert rows[0]["r"] == "contact <EMAIL> or <IPV4> tel <PHONE>"
+    assert rows[2]["r"] == "two mails <EMAIL> <EMAIL> one ip <IPV4>"
