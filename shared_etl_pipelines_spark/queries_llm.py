@@ -2454,3 +2454,92 @@ def q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("p_partkey").cast("long").alias("n_parts"),
         (F.count(F.lit(1)) > 30).cast("int").alias("blocked"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (Sennrich et al. 2016) — operators/bpe.py.
+# bpe_top_pairs pins the per-iteration statistic (weighted adjacent-pair
+# counts + deterministic argmax ordering) with a full SQL oracle;
+# bpe_learn_merges is the iterative trainer itself (rows-only — merge i
+# depends on the rewrite from merge i-1, not ANSI-expressible), pinned
+# exactly by a pure-python replay test in tests/test_llm_operators.py.
+# ---------------------------------------------------------------------------
+@defquery(
+    "bpe_top_pairs",
+    f"""
+    WITH w AS (SELECT unnest({TOKS_SQL}) AS w FROM documents),
+    wc AS (SELECT w, COUNT(*) AS cnt FROM w GROUP BY w),
+    p AS (SELECT substr(w, i, 1) AS pair_left, substr(w, i + 1, 1) AS pair_right, cnt
+          FROM (SELECT w, cnt, unnest(range(1, length(w))) AS i FROM wc)),
+    agg AS (SELECT pair_left, pair_right, CAST(SUM(cnt) AS BIGINT) AS weight
+            FROM p GROUP BY pair_left, pair_right)
+    SELECT pair_left, pair_right, weight, CAST(rnk AS BIGINT) AS rnk
+    FROM (SELECT *, ROW_NUMBER() OVER
+            (ORDER BY weight DESC, pair_left, pair_right) AS rnk
+          FROM agg)
+    WHERE rnk <= 20
+    """,
+    doc="BPE first-iteration statistic: top-20 weighted adjacent character "
+    "pairs over the word-frequency table, deterministic tie-break — the "
+    "argmax each training round takes",
+    tags=("llm", "text", "bpe", "tokenizer"),
+)
+def q_bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from shared_etl_pipelines_spark.operators.bpe import (
+        adjacent_pair_counts,
+        word_freq_table,
+    )
+
+    words = word_freq_table(_t(spark, sf_dir, "documents"), "text")
+    syms = words.select("cnt", F.split("w", "").alias("syms"))
+    agg = adjacent_pair_counts(syms).withColumnRenamed("left", "pair_left") \
+        .withColumnRenamed("right", "pair_right")
+    w = Window.orderBy(F.desc("weight"), "pair_left", "pair_right")
+    return (
+        agg.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 20)
+    )
+
+
+_BPE_CACHE: dict = {}
+
+
+def _learned_merges(spark: SparkSession, sf_dir: str, num_merges: int = 10):
+    import os
+
+    from shared_etl_pipelines_spark.operators.bpe import bpe_train
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        fp = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        fp = None
+    key = (os.path.normpath(sf_dir), fp, num_merges)
+    if key not in _BPE_CACHE:
+        merges, final = bpe_train(
+            _t(spark, sf_dir, "documents"), "text", num_merges=num_merges
+        )
+        final.unpersist()
+        _BPE_CACHE[key] = merges
+    return _BPE_CACHE[key]
+
+
+@defquery(
+    "bpe_learn_merges",
+    None,  # merge i rewrites the input of merge i+1 — iterative, rows-only
+    doc="distributed BPE training (10 merges): corpus collapses to the "
+    "word-frequency table in one pass, then each round is one "
+    "map-side-combinable pair count + O(1)-driver argmax + Arrow-batched "
+    "merge rewrite; learned sequence pinned exactly by a pure-python "
+    "replay test, per-round statistic pinned by the bpe_top_pairs oracle",
+    tags=("llm", "text", "bpe", "tokenizer", "iterative"),
+)
+def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges = _learned_merges(spark, sf_dir, num_merges=10)
+    return spark.createDataFrame(
+        [(i, a, b, w) for i, (a, b, w) in enumerate(merges)],
+        "merge_idx INT, merge_left STRING, merge_right STRING, weight BIGINT",
+    )

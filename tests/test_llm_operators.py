@@ -621,3 +621,70 @@ def test_pii_patterns_detect_and_redact(spark):
     assert [(r["e"], r["i"], r["p"]) for r in rows] == [(1, 1, 1), (0, 0, 0), (2, 1, 0)]
     assert rows[0]["r"] == "contact <EMAIL> or <IPV4> tel <PHONE>"
     assert rows[2]["r"] == "two mails <EMAIL> <EMAIL> one ip <IPV4>"
+
+
+def test_bpe_train_matches_pure_python_replay(spark, sf_dir):
+    """The distributed trainer must learn EXACTLY the sequence a
+    reference single-process BPE (Sennrich-style, same tie-break)
+    learns on the same corpus."""
+    from collections import Counter
+
+    from shared_etl_pipelines_spark.operators.bpe import bpe_train
+    from shared_etl_pipelines_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    got, final = bpe_train(docs, "text", num_merges=6)
+    final.unpersist()
+
+    words = Counter()
+    for r in docs.select("text").collect():
+        for w in (r["text"] or "").split():
+            words[w] += 1
+    vocab = {tuple(w): c for w, c in words.items()}
+    expect = []
+    for _ in range(6):
+        pairs = Counter()
+        for syms, c in vocab.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += c
+        if not pairs:
+            break
+        (a, b), w = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        if w < 2:
+            break
+        expect.append((a, b, w))
+        nv = {}
+        for syms, c in vocab.items():
+            out, i, n = [], 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            nv[key] = nv.get(key, 0) + c
+        vocab = nv
+    assert got == expect
+
+
+def test_bpe_segment_reassembles_words(spark):
+    """Segmenting with any merge list must be lossless: concatenating a
+    word's subword tokens in order gives back the word."""
+    from shared_etl_pipelines_spark.operators.bpe import bpe_segment, bpe_train
+
+    df = spark.createDataFrame(
+        [(1, "banana bandana banana"), (2, "ban banana nab")], ["doc_id", "text"]
+    )
+    merges, final = bpe_train(df, "text", num_merges=4)
+    final.unpersist()
+    assert merges  # 'an'/'na' repeats guarantee at least one merge
+    toks = bpe_segment(df, "doc_id", "text", merges).collect()
+    joined = {}
+    for r in sorted(toks, key=lambda r: (r["doc_id"], r["token_idx"])):
+        joined.setdefault(r["doc_id"], []).append(r["token"])
+    # token stream concatenation == original text sans spaces, per doc
+    originals = {1: "banana bandana banana", 2: "ban banana nab"}
+    for doc_id, text in originals.items():
+        assert "".join(joined[doc_id]) == text.replace(" ", "")
