@@ -2543,3 +2543,79 @@ def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, a, b, w) for i, (a, b, w) in enumerate(merges)],
         "merge_idx INT, merge_left STRING, merge_right STRING, weight BIGINT",
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL BMP codec + REAL AVI frame sampling (r3): third and fourth honest
+# container formats (after TIFF and PNG/WAV). The oracle regenerates the
+# deterministic fixtures' pixel stats in closed form, pinning the whole
+# encode -> container parse -> decode -> stat path.
+# ---------------------------------------------------------------------------
+@defquery(
+    "multimodal_bmp_decode",
+    """
+    WITH a AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    dims AS (
+      SELECT doc_id,
+             CAST(n % 6 + 2 AS INT) AS width,
+             CAST((n // 6) % 5 + 2 AS INT) AS height
+      FROM a
+    )
+    SELECT doc_id, TRUE AS is_real_decode, width, height, CAST(3 AS INT) AS channels,
+           CAST(list_sum(list_transform(range(0, width * height * 3),
+                                        j -> (doc_id * 13 + j) % 256)) AS BIGINT)
+             AS px_sum
+    FROM dims
+    """,
+    doc="REAL BMP codec round trip: RGB fixtures with padded bottom-up "
+    "DIB rows encoded and decoded by sources/bmp.py inside mapInPandas; "
+    "oracle recomputes pixel stats in closed form",
+    tags=("llm", "multimodal", "codec"),
+)
+def q_multimodal_bmp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.multimodal import (
+        decode_images,
+        synthetic_bmp_assets,
+    )
+
+    assets = synthetic_bmp_assets(_t(spark, sf_dir, "documents"))
+    out = decode_images(assets)
+    return out.select(
+        "doc_id", "is_real_decode", "width", "height", "channels", "px_sum"
+    )
+
+
+@defquery(
+    "multimodal_avi_frames",
+    """
+    WITH a AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    dims AS (
+      SELECT doc_id,
+             CAST(n % 3 + 2 AS INT) AS n_frames,
+             CAST(n % 6 + 2 AS INT) AS width,
+             CAST((n // 6) % 5 + 2 AS INT) AS height
+      FROM a
+    ),
+    f AS (SELECT doc_id, width, height,
+                 CAST(unnest(range(0, n_frames)) AS INT) AS frame_idx
+          FROM dims)
+    SELECT doc_id, frame_idx, TRUE AS is_real_decode, width, height,
+           CAST(list_sum(list_transform(range(0, width * height * 3),
+                                        j -> (doc_id * 31 + frame_idx * 11 + j) % 256))
+                AS BIGINT) AS px_sum
+    FROM f WHERE frame_idx % 2 = 0
+    """,
+    doc="REAL AVI frame sampling: every 2nd uncompressed DIB frame of a "
+    "real RIFF/AVI container (sources/avi.py) decoded to per-frame pixel "
+    "stats — the 1->N video fan-out with an honest parse; oracle "
+    "regenerates the sampled frames' stats in closed form",
+    tags=("llm", "multimodal", "codec", "video"),
+)
+def q_multimodal_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.multimodal import (
+        sample_video_frames,
+        synthetic_avi_assets,
+    )
+
+    assets = synthetic_avi_assets(_t(spark, sf_dir, "documents"))
+    return sample_video_frames(assets, stride=2)

@@ -130,7 +130,7 @@ def decode_images(assets: DataFrame) -> DataFrame:
     shuffle."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from shared_etl_pipelines_spark.sources import png
+        from shared_etl_pipelines_spark.sources import bmp, png
 
         for pdf in it:
             rows: dict[str, list] = {
@@ -147,6 +147,13 @@ def decode_images(assets: DataFrame) -> DataFrame:
                 rows["n_bytes"].append(len(blob))
                 if png.is_png(blob):
                     arr, info = png.decode_png(blob)
+                    rows["is_real_decode"].append(True)
+                    rows["width"].append(info["width"])
+                    rows["height"].append(info["height"])
+                    rows["channels"].append(info["channels"])
+                    rows["px_sum"].append(int(arr.astype("int64").sum()))
+                elif bmp.is_bmp(blob):
+                    arr, info = bmp.decode_bmp(blob)
                     rows["is_real_decode"].append(True)
                     rows["width"].append(info["width"])
                     rows["height"].append(info["height"])
@@ -327,3 +334,118 @@ def extract_features(assets: DataFrame, dim: int = 8) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "features": feats})
 
     return assets.mapInPandas(batches, schema=schema)
+
+
+def synthetic_bmp_assets(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "text"
+) -> DataFrame:
+    """Deterministic REAL-BMP fixtures: for payload byte-length n, an RGB
+    (n%6+2) x ((n//6)%5+2) image with flat pixel byte j = (id*13 + j) % 256
+    (RGB, rows top-down) — closed-form stats for the SQL oracle, padded
+    DIB rows and the vertical flip exercised on every asset."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from shared_etl_pipelines_spark.sources import bmp
+
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                n = len(str(payload).encode("utf-8"))
+                w, h = n % 6 + 2, (n // 6) % 5 + 2
+                j = np.arange(w * h * 3, dtype=np.int64)
+                arr = ((int(doc_id) * 13 + j) % 256).astype(np.uint8).reshape(h, w, 3)
+                ids.append(doc_id)
+                blobs.append(bmp.encode_bmp(arr))
+            yield pd.DataFrame(
+                {"doc_id": ids, "media_type": "image/bmp", "blob": blobs}
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches, "doc_id bigint, media_type string, blob binary"
+    )
+
+
+def synthetic_avi_assets(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "text"
+) -> DataFrame:
+    """Deterministic REAL-AVI fixtures: n%3+2 frames of RGB (n%6+2) x
+    ((n//6)%5+2), frame f flat pixel byte j = (id*31 + f*11 + j) % 256 —
+    the whole container (RIFF lists, avih/strh/strf, '00db' DIB frames)
+    is written by sources/avi.py, so decoding exercises a real parse."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from shared_etl_pipelines_spark.sources import avi
+
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                n = len(str(payload).encode("utf-8"))
+                nf, w, h = n % 3 + 2, n % 6 + 2, (n // 6) % 5 + 2
+                f = np.arange(nf, dtype=np.int64)[:, None]
+                j = np.arange(w * h * 3, dtype=np.int64)[None, :]
+                px = ((int(doc_id) * 31 + f * 11 + j) % 256).astype(np.uint8)
+                ids.append(doc_id)
+                blobs.append(avi.encode_avi(px.reshape(nf, h, w, 3), fps=10))
+            yield pd.DataFrame(
+                {"doc_id": ids, "media_type": "video/avi", "blob": blobs}
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches, "doc_id bigint, media_type string, blob binary"
+    )
+
+
+VIDEO_FRAME_SCHEMA = (
+    "doc_id bigint, frame_idx int, is_real_decode boolean, "
+    "width int, height int, px_sum bigint"
+)
+
+
+def sample_video_frames(assets: DataFrame, stride: int = 2) -> DataFrame:
+    """Frame sampling with a REAL AVI path: every ``stride``-th frame of
+    an uncompressed AVI is decoded (sources/avi.py) and reduced to
+    per-frame pixel stats — the 1->N fan-out a video pipeline feeds to a
+    vision encoder. Non-AVI blobs keep the documented byte-window stub
+    (is_real_decode=false). One Arrow-batched mapInPandas pass, no
+    shuffle; at 100 TB this is a full-scan columnar batch job whose
+    parallelism is the input partitioning."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from shared_etl_pipelines_spark.sources import avi
+
+        for pdf in it:
+            rows: dict[str, list] = {
+                k: []
+                for k in (
+                    "doc_id", "frame_idx", "is_real_decode",
+                    "width", "height", "px_sum",
+                )
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                blob = bytes(blob)
+                if avi.is_avi(blob):
+                    frames, info = avi.decode_avi(blob)
+                    for idx in range(0, info["n_frames"], stride):
+                        rows["doc_id"].append(doc_id)
+                        rows["frame_idx"].append(idx)
+                        rows["is_real_decode"].append(True)
+                        rows["width"].append(info["width"])
+                        rows["height"].append(info["height"])
+                        rows["px_sum"].append(int(frames[idx].astype("int64").sum()))
+                else:
+                    n, checksum, fw, fh = _fake_decode(blob)
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(0)
+                    rows["is_real_decode"].append(False)
+                    rows["width"].append(fw)
+                    rows["height"].append(fh)
+                    rows["px_sum"].append(checksum)
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(batches, schema=VIDEO_FRAME_SCHEMA)

@@ -181,3 +181,39 @@ def test_wav_round_trip_property(n, channels, seed):
     got, info = decode_wav(encode_wav(s, 44100))
     np.testing.assert_array_equal(got, s)
     assert info["n_samples"] == n and info["channels"] == channels
+
+
+@given(
+    st.integers(1, 40), st.integers(1, 40), st.integers(0, 2**32 - 1)
+)
+@settings(max_examples=25, deadline=None)
+def test_bmp_round_trip_property(h, w, seed):
+    """Any RGB uint8 image, any width (all four row-pad phases):
+    decode(encode(x)) == x."""
+    import numpy as np
+
+    from shared_etl_pipelines_spark.sources.bmp import decode_bmp, encode_bmp
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    got, info = decode_bmp(encode_bmp(arr))
+    np.testing.assert_array_equal(got, arr)
+    assert (info["height"], info["width"]) == (h, w)
+
+
+@given(
+    st.integers(1, 6), st.integers(1, 12), st.integers(1, 12),
+    st.integers(0, 2**32 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_avi_round_trip_property(n, h, w, seed):
+    """Any frame stack: decode(encode(x)) == x, frame-exact."""
+    import numpy as np
+
+    from shared_etl_pipelines_spark.sources.avi import decode_avi, encode_avi
+
+    rng = np.random.default_rng(seed)
+    frames = rng.integers(0, 256, size=(n, h, w, 3), dtype=np.uint8)
+    got, info = decode_avi(encode_avi(frames, fps=25))
+    np.testing.assert_array_equal(got, frames)
+    assert (info["n_frames"], info["height"], info["width"]) == (n, h, w)
