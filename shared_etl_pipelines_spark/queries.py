@@ -654,7 +654,10 @@ _R1_GREEN = frozenset(
 _R2_GREEN = frozenset(
     {
         "outlier_mad", "recursive_ancestor_depths", "props_variant_stats",
-        "data_quality_profile", "expectations_check", "time_range_rolling",
+        "expectations_check", "time_range_rolling",
+        # "data_quality_profile" was r2-green but profile_columns was
+        # rewritten this round (Expand-free union-of-branches) — re-fronted
+        # for a fresh verdict.
         "raster_tif_rollsum", "shapefile_clip", "zonal_stats_ranked",
         "zonal_stats_disc", "doc_fingerprint", "similarity_topk",
         "embedding_near_dup", "similarity_topk_lsh",

@@ -231,14 +231,19 @@ def test_check_expectations_null_counts_as_violation(spark):
     assert rows["v_positive"]["n_rows"] == 3
 
 
-def test_profile_is_single_scan(spark):
-    """The whole profile must be one aggregation job, not one per column."""
+def test_profile_is_expand_free(spark):
+    """Exact multi-column COUNT(DISTINCT) in one agg makes Spark plan an
+    Expand (every row replicated once per distinct agg — benched 3.6x
+    slower). The union-of-branches profile must never contain one; each
+    branch is its own column-pruned scan + two-phase distinct."""
     from shared_etl_pipelines_spark.operators.quality import profile_columns
 
     df = spark.range(100).selectExpr("id AS a", "id % 3 AS b")
     plan = profile_columns(df)._jdf.queryExecution().executedPlan().toString()
-    # one scan of the input, however many columns are profiled
-    assert plan.count("Scan ExistingRDD") + plan.count("Range") == 1
+    assert "Expand" not in plan
+    # one branch (scan) per profiled column, unioned
+    assert plan.count("Range") == 2
+    assert "Union" in plan
 
 
 def test_zorder_key_interleaves_bits(spark):
