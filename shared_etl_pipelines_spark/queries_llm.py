@@ -2619,3 +2619,98 @@ def q_multimodal_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assets = synthetic_avi_assets(_t(spark, sf_dir, "documents"))
     return sample_video_frames(assets, stride=2)
+
+
+# ---------------------------------------------------------------------------
+# Corpus bigram language-model quality score: per-doc mean negative
+# log2-likelihood of its token bigrams under the corpus-wide bigram
+# distribution — the cheap perplexity proxy curation pipelines threshold
+# on when no external LM is available. Train and score are ONE dataflow:
+# bigram counts (map-side-combinable groupBy) -> equi-join back to doc
+# bigrams -> per-doc mean. At 100 TB the count table is vocabulary^2-
+# bounded and usually broadcastable after a frequency cutoff; here it
+# streams through a shuffle join, which is the general path.
+# ---------------------------------------------------------------------------
+@defquery(
+    "bigram_lm_quality",
+    f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    bg AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM (SELECT doc_id, unnest(range(1, len(toks))) AS i, toks FROM t)
+    ),
+    cnt AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+    tot AS (SELECT SUM(c) AS n FROM cnt)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(log2(CAST(n AS DOUBLE) / c)), 4) AS avg_nll
+    FROM bg JOIN cnt USING (w1, w2) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+    doc="bigram LM quality score: per-doc mean -log2 P(bigram) under the "
+    "corpus distribution (perplexity proxy for curation thresholds)",
+    tags=("llm", "text", "quality", "lm"),
+)
+def q_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "w1")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        tok.withColumn("w2", F.lead("w1").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", "w1", "w2")
+    )
+    cnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.agg(F.sum("c").alias("n"))
+    scored = bg.join(cnt, ["w1", "w2"]).crossJoin(F.broadcast(tot))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.avg(F.log2(F.col("n").cast("double") / F.col("c"))), 4).alias(
+            "avg_nll"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-source document cap — the enforcement step after
+# url_domain_stats flags over-represented sources: keep at most K docs
+# per source, selected by a stable hash order so the subset is
+# reproducible and layout-invariant (same discipline as
+# operators/sampling.py). One window shuffle on source; no skew risk at
+# K << group size because only rank <= K rows survive the filter.
+# ---------------------------------------------------------------------------
+@defquery(
+    "per_source_cap",
+    """
+    SELECT doc_id, source, CAST(pick AS BIGINT) AS pick
+    FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS pick
+      FROM documents
+    )
+    WHERE pick <= 10
+    """,
+    doc="per-source document cap: keep <= 10 docs per source in stable-"
+    "hash order (reproducible, layout-invariant over-representation cap)",
+    tags=("llm", "curation", "sampling"),
+)
+def q_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select(
+            "doc_id", "source", F.row_number().over(w).cast("long").alias("pick")
+        )
+        .filter(F.col("pick") <= 10)
+    )
