@@ -2496,11 +2496,11 @@ def q_bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     syms = words.select("cnt", F.split("w", "").alias("syms"))
     agg = adjacent_pair_counts(syms).withColumnRenamed("left", "pair_left") \
         .withColumnRenamed("right", "pair_right")
+    # distributed top-k (TakeOrderedAndProject), NOT a global window over
+    # the full pair frame; the rank window runs on the 20 surviving rows
+    top = agg.orderBy(F.desc("weight"), "pair_left", "pair_right").limit(20)
     w = Window.orderBy(F.desc("weight"), "pair_left", "pair_right")
-    return (
-        agg.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= 20)
-    )
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))
 
 
 _BPE_CACHE: dict = {}

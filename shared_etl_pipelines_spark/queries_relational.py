@@ -1455,3 +1455,107 @@ def q_unpivot_flag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["flag"], ["sum_price", "sum_qty", "n_rows"], "metric", "value"
     )
     return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape (suppliers who kept orders waiting), adapted to this
+# schema's dates: a supplier's line is LATE when it ships more than 30
+# days after the order date. Report suppliers with a late line in a
+# multi-supplier order where NO OTHER supplier was late — the classic
+# semi-join + anti-join of a fact table against itself, both correlated
+# on the same order key. Catalyst plans one hash-partitioning of the
+# late-lines frame reused by both self-joins; supplier names arrive by
+# broadcast at the end.
+# ---------------------------------------------------------------------------
+@defquery(
+    "waiting_supplier_blame",
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier, lineitem l1, orders o
+    WHERE s_suppkey = l1.l_suppkey
+      AND o.o_orderkey = l1.l_orderkey
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY s_name
+    """,
+    doc="Q21 shape: late line in a multi-supplier order where no other "
+    "supplier was late — fact self semi-join + self anti-join on the "
+    "order key, supplier dimension broadcast",
+    tags=("subquery", "semi-join", "anti-join", "join"),
+)
+def q_waiting_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    lat = li.join(o, li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey", "l_suppkey",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .alias("late"),
+    )
+    l1 = lat.filter("late")
+    l2 = li.select(F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2"))
+    multi = l1.join(
+        l2, (l1["l_orderkey"] == l2["k2"]) & (l1["l_suppkey"] != l2["s2"]), "left_semi"
+    )
+    l3 = lat.filter("late").select(
+        F.col("l_orderkey").alias("k3"), F.col("l_suppkey").alias("s3")
+    )
+    blame = multi.join(
+        l3,
+        (multi["l_orderkey"] == l3["k3"]) & (multi["l_suppkey"] != l3["s3"]),
+        "left_anti",
+    )
+    out = blame.join(F.broadcast(sup), blame["l_suppkey"] == sup["s_suppkey"])
+    return out.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q22 shape: above-average-balance customers with no orders — a
+# 1-row scalar subquery (broadcast) AND a null-free NOT EXISTS (plain
+# left-anti) in one query. Balance sums as integer cents (the repo's
+# float discipline: summation order can't move a BIGINT).
+# ---------------------------------------------------------------------------
+@defquery(
+    "idle_rich_customers",
+    """
+    SELECT c_mktsegment AS segment, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100, 0) AS BIGINT)) AS BIGINT)
+             AS balance_cents
+    FROM customer c
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
+    GROUP BY c_mktsegment
+    """,
+    doc="Q22 shape: high-balance customers with no jumbo order — scalar "
+    "AVG subquery (1-row broadcast) + NOT EXISTS anti join in one "
+    "query; integer-cents sums",
+    tags=("subquery", "anti-join", "aggregate"),
+)
+def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 400000)
+        .select("o_custkey")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_avg")
+    )
+    rich = c.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("_avg")
+    )
+    idle = rich.join(o, rich["c_custkey"] == o["o_custkey"], "left_anti")
+    return idle.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("balance_cents"),
+    )

@@ -301,3 +301,38 @@ def test_incremental_dedup_probes_broadcast_batch(spark, sf):
     plan = phys(REGISTRY["incremental_dedup"].fn(spark, sf))
     assert "BroadcastHashJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_waiting_supplier_blame_semi_anti_and_broadcast(spark, sf):
+    """Q21 shape: the fact self-correlations plan as one LeftSemi and one
+    LeftAnti join (no nested loop over the fact), and the supplier
+    dimension arrives by broadcast."""
+    p = phys(REGISTRY["waiting_supplier_blame"].fn(spark, sf))
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_idle_rich_customers_scalar_broadcast_and_anti(spark, sf):
+    """Q22 shape: the AVG scalar rides a 1-row broadcast (nested-loop on
+    a single-row build side is fine and expected); the NOT EXISTS is a
+    plain LeftAnti hash join."""
+    p = phys(REGISTRY["idle_rich_customers"].fn(spark, sf))
+    assert "LeftAnti" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_dup_spans_two_exchanges_no_join(spark, sf):
+    """Substring-level dedup: ONE hash exchange on the shingle hash (the
+    window count) + ONE on doc_id (islands + rollup) — no self-join, no
+    broadcast of a corpus-sized dup set."""
+    p = phys(REGISTRY["dup_spans"].fn(spark, sf))
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
+    assert p.count("Exchange hashpartitioning") <= 3  # h, doc_id(+reuse)
+
+
+def test_bpe_top_pairs_distributed_topk(spark, sf):
+    """The argmax statistic must plan as TakeOrderedAndProject (map-side
+    top-k), never a global window over the full pair frame."""
+    p = phys(REGISTRY["bpe_top_pairs"].fn(spark, sf))
+    assert "TakeOrderedAndProject" in p
