@@ -2714,3 +2714,45 @@ def q_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("pick") <= 10)
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL image resize (r3): the resample kernel stops being a stub for
+# formats with an in-repo codec — decode PNG, nearest-neighbor to 4x4,
+# re-encode. The oracle recomputes the resized pixel sum in closed form
+# (integer source-index math), pinning decode -> resample -> stat.
+# ---------------------------------------------------------------------------
+@defquery(
+    "multimodal_resize_real",
+    """
+    WITH a AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    dims AS (
+      SELECT doc_id,
+             CAST(n % 16 + 1 AS INT) AS w,
+             CAST((n // 16) % 16 + 1 AS INT) AS h
+      FROM a
+    )
+    SELECT doc_id, TRUE AS is_real_resize,
+           CAST(4 AS INT) AS out_width, CAST(4 AS INT) AS out_height,
+           CAST(list_sum(list_transform(range(0, 16),
+                 j -> (doc_id * 31
+                       + (((j // 4) * h) // 4) * w
+                       + (((j % 4) * w) // 4)) % 256)) AS BIGINT) AS px_sum
+    FROM dims
+    """,
+    doc="REAL image resize: PNG decode -> nearest-neighbor 4x4 resample "
+    "-> re-encode inside mapInPandas; oracle recomputes the resampled "
+    "pixel sum via the integer source-index formula",
+    tags=("llm", "multimodal", "codec", "resize"),
+)
+def q_multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.multimodal import (
+        resize_images,
+        synthetic_png_assets,
+    )
+
+    assets = synthetic_png_assets(_t(spark, sf_dir, "documents"))
+    out = resize_images(assets, out_w=4, out_h=4)
+    return out.select(
+        "doc_id", "is_real_resize", "out_width", "out_height", "px_sum"
+    )

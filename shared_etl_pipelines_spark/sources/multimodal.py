@@ -449,3 +449,70 @@ def sample_video_frames(assets: DataFrame, stride: int = 2) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return assets.mapInPandas(batches, schema=VIDEO_FRAME_SCHEMA)
+
+
+RESIZED_IMAGE_SCHEMA = (
+    "doc_id bigint, media_type string, is_real_resize boolean, "
+    "out_width int, out_height int, px_sum bigint, blob binary"
+)
+
+
+def resize_images(assets: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFrame:
+    """REAL image resize for formats with an in-repo codec (PNG, BMP):
+    decode -> nearest-neighbor resample to (out_h, out_w) -> re-encode in
+    the same format. Source pixel for target (ty, tx) is
+    (ty*h // out_h, tx*w // out_w) — pure integer math, so a SQL oracle
+    can recompute the resized pixel sum in closed form. Non-decodable
+    formats keep the documented byte-stride stub (is_real_resize=false,
+    stats from the stub path). One Arrow-batched mapInPandas pass."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from shared_etl_pipelines_spark.sources import bmp, png
+
+        def nn(arr):
+            h, w = arr.shape[:2]
+            ys = (np.arange(out_h) * h) // out_h
+            xs = (np.arange(out_w) * w) // out_w
+            return arr[np.ix_(ys, xs)]
+
+        for pdf in it:
+            rows: dict[str, list] = {
+                k: []
+                for k in (
+                    "doc_id", "media_type", "is_real_resize",
+                    "out_width", "out_height", "px_sum", "blob",
+                )
+            }
+            for doc_id, mt, blob in zip(pdf["doc_id"], pdf["media_type"], pdf["blob"]):
+                blob = bytes(blob)
+                rows["doc_id"].append(doc_id)
+                rows["media_type"].append(mt)
+                if png.is_png(blob):
+                    arr, _ = png.decode_png(blob)
+                    small = nn(arr)
+                    out = png.encode_png(small.astype("uint8"))
+                elif bmp.is_bmp(blob):
+                    arr, _ = bmp.decode_bmp(blob)
+                    small = nn(arr)
+                    out = bmp.encode_bmp(small.astype("uint8"))
+                else:
+                    n = len(blob)
+                    stride = max(1, -(-n // (out_w * out_h)))
+                    small = None
+                    out = bytes(blob[::stride])
+                if small is not None:
+                    rows["is_real_resize"].append(True)
+                    rows["out_width"].append(out_w)
+                    rows["out_height"].append(out_h)
+                    rows["px_sum"].append(int(small.astype("int64").sum()))
+                else:
+                    rows["is_real_resize"].append(False)
+                    rows["out_width"].append(0)
+                    rows["out_height"].append(0)
+                    rows["px_sum"].append(len(out))
+                rows["blob"].append(out)
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(batches, schema=RESIZED_IMAGE_SCHEMA)

@@ -97,3 +97,35 @@ def test_sample_video_frames_real_and_stub(spark):
         assert r["px_sum"] == int(frames[r["frame_idx"]].astype("int64").sum())
     stub = [r for r in got if r["doc_id"] == 2]
     assert len(stub) == 1 and not stub[0]["is_real_decode"]
+
+
+def test_resize_images_real_and_stub(spark):
+    import numpy as np
+
+    from shared_etl_pipelines_spark.sources.multimodal import resize_images
+    from shared_etl_pipelines_spark.sources.png import encode_png, decode_png
+
+    gray = RNG.integers(0, 256, size=(9, 13), dtype=np.uint8)
+    rgb = RNG.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+    rows = [
+        (1, "image/png", bytearray(encode_png(gray))),
+        (2, "image/bmp", bytearray(encode_bmp(rgb))),
+        (3, "application/octet-stream", bytearray(b"\x01" * 100)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media_type string, blob binary")
+    got = {r["doc_id"]: r for r in resize_images(df, out_w=4, out_h=4).collect()}
+
+    def nn(arr, oh=4, ow=4):
+        ys = (np.arange(oh) * arr.shape[0]) // oh
+        xs = (np.arange(ow) * arr.shape[1]) // ow
+        return arr[np.ix_(ys, xs)]
+
+    assert got[1]["is_real_resize"] and got[2]["is_real_resize"]
+    assert not got[3]["is_real_resize"]
+    assert got[1]["px_sum"] == int(nn(gray).astype("int64").sum())
+    assert got[2]["px_sum"] == int(nn(rgb).astype("int64").sum())
+    # re-encoded blob decodes back to the exact resampled image
+    back, _ = decode_png(bytes(got[1]["blob"]))
+    np.testing.assert_array_equal(back, nn(gray))
+    back2, _ = decode_bmp(bytes(got[2]["blob"]))
+    np.testing.assert_array_equal(back2, nn(rgb))
