@@ -293,6 +293,75 @@ def stratified_sample_plugin(
     }
 
 
+@plugin("pii_scrub")
+def pii_scrub_plugin(
+    ctx: StepContext, df: DataFrame, text_col: str = "text", **kw: Any
+) -> dict[str, Any]:
+    """Redact every PII_PATTERNS match in ``text_col`` (typed placeholders)
+    and count matches per row — the scrub step of a curation pipeline."""
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.functions.text import pii_counts, pii_redact_all
+
+    cnts = pii_counts(F.col(text_col))
+    total = None
+    for c in cnts.values():
+        total = c if total is None else total + c
+    return {
+        "df": df.withColumn("n_pii", total).withColumn(
+            text_col, pii_redact_all(F.col(text_col))
+        )
+    }
+
+
+@plugin("dup_span_profile")
+def dup_span_profile_plugin(
+    ctx: StepContext,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    **kw: Any,
+) -> dict[str, Any]:
+    """Per-document duplicated-span rollup (see operators.dedup.
+    duplicated_spans): id, n_dup_spans, dup_tokens — join back to the
+    corpus and threshold on the duplicated fraction."""
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.operators.dedup import duplicated_spans
+
+    spans = duplicated_spans(df, id_col, text_col, n=int(n))
+    agg = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum("span_tokens").alias("dup_tokens"),
+    )
+    return {"df": agg}
+
+
+@plugin("source_cap")
+def source_cap_plugin(
+    ctx: StepContext,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    max_per_group: int = 10,
+    **kw: Any,
+) -> dict[str, Any]:
+    """Keep at most ``max_per_group`` rows per group in stable-hash order
+    (reproducible over-representation cap)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), id_col
+    )
+    return {
+        "df": df.withColumn("_pick", F.row_number().over(w))
+        .filter(F.col("_pick") <= int(max_per_group))
+        .drop("_pick")
+    }
+
+
 # -- data quality gates (engine-native form of the reference's run
 #    discipline: ON_ERROR_STOP / skip-if-exists guard the publish path;
 #    here the gate is row-level and declarative) ----------------------------

@@ -181,3 +181,39 @@ def test_quality_gate_aborts_on_violation(spark, sf_dir, tmp_path):
     with _pytest.raises(Exception, match="expectations failed.*impossible"):
         runner.run(str(bad))
     assert not (tmp_path / "bad" / "published_lineitem").exists()
+
+
+def test_llm_curation_pipeline(spark, sf_dir):
+    """llm_curation.yml == the direct operator composition: PII scrub ->
+    dup-span threshold -> per-source cap."""
+    import os
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.functions.text import pii_redact_all
+    from shared_etl_pipelines_spark.operators.dedup import duplicated_spans
+    from shared_etl_pipelines_spark.plans import PipelineRunner
+
+    path = os.path.join(EXAMPLES, "llm_curation.yml")
+    runner = PipelineRunner(spark)
+    result = runner.run(path, var_overrides={"sf_dir": sf_dir})
+    got = result.outputs["result"]["df"]
+    assert "n_pii" in got.columns  # scrub stage ran and annotated
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    clean = docs.withColumn("text", pii_redact_all(F.col("text")))
+    prof = duplicated_spans(clean, "doc_id", "text", n=8).groupBy("doc_id").agg(
+        F.sum("span_tokens").alias("dup_tokens")
+    )
+    kept = clean.join(prof, "doc_id", "left").filter(
+        F.col("dup_tokens").isNull()
+        | (F.col("dup_tokens") <= 0.5 * F.col("n_chars"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    want = kept.withColumn("_p", F.row_number().over(w)).filter(F.col("_p") <= 15)
+    got_ids = {r["doc_id"] for r in got.select("doc_id").collect()}
+    want_ids = {r["doc_id"] for r in want.select("doc_id").collect()}
+    assert got_ids == want_ids and len(got_ids) > 0
