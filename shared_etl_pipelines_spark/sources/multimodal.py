@@ -145,15 +145,17 @@ def decode_images(assets: DataFrame) -> DataFrame:
                 rows["doc_id"].append(doc_id)
                 rows["media_type"].append(mt)
                 rows["n_bytes"].append(len(blob))
-                if png.is_png(blob):
-                    arr, info = png.decode_png(blob)
-                    rows["is_real_decode"].append(True)
-                    rows["width"].append(info["width"])
-                    rows["height"].append(info["height"])
-                    rows["channels"].append(info["channels"])
-                    rows["px_sum"].append(int(arr.astype("int64").sum()))
-                elif bmp.is_bmp(blob):
-                    arr, info = bmp.decode_bmp(blob)
+                # corrupt blobs must NOT kill the scan task: a bad file in
+                # a 100 TB corpus degrades to the stub row, never an abort
+                arr = info = None
+                try:
+                    if png.is_png(blob):
+                        arr, info = png.decode_png(blob)
+                    elif bmp.is_bmp(blob):
+                        arr, info = bmp.decode_bmp(blob)
+                except Exception:  # struct/zlib/Value errors from bad bytes
+                    arr = info = None
+                if info is not None:
                     rows["is_real_decode"].append(True)
                     rows["width"].append(info["width"])
                     rows["height"].append(info["height"])
@@ -232,8 +234,13 @@ def decode_audio(assets: DataFrame) -> DataFrame:
                 rows["doc_id"].append(doc_id)
                 rows["media_type"].append(mt)
                 rows["n_bytes"].append(len(blob))
-                if wav.is_wav(blob):
-                    arr, info = wav.decode_wav(blob)
+                arr = info = None
+                try:
+                    if wav.is_wav(blob):
+                        arr, info = wav.decode_wav(blob)
+                except Exception:  # corrupt container degrades to stub
+                    arr = info = None
+                if info is not None:
                     rows["is_real_decode"].append(True)
                     rows["sample_rate"].append(info["sample_rate"])
                     rows["channels"].append(info["channels"])
@@ -429,8 +436,13 @@ def sample_video_frames(assets: DataFrame, stride: int = 2) -> DataFrame:
             }
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
                 blob = bytes(blob)
-                if avi.is_avi(blob):
-                    frames, info = avi.decode_avi(blob)
+                frames = info = None
+                try:
+                    if avi.is_avi(blob):
+                        frames, info = avi.decode_avi(blob)
+                except Exception:  # corrupt container degrades to stub
+                    frames = info = None
+                if info is not None:
                     for idx in range(0, info["n_frames"], stride):
                         rows["doc_id"].append(doc_id)
                         rows["frame_idx"].append(idx)
@@ -489,18 +501,21 @@ def resize_images(assets: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFram
                 blob = bytes(blob)
                 rows["doc_id"].append(doc_id)
                 rows["media_type"].append(mt)
-                if png.is_png(blob):
-                    arr, _ = png.decode_png(blob)
-                    small = nn(arr)
-                    out = png.encode_png(small.astype("uint8"))
-                elif bmp.is_bmp(blob):
-                    arr, _ = bmp.decode_bmp(blob)
-                    small = nn(arr)
-                    out = bmp.encode_bmp(small.astype("uint8"))
-                else:
+                small = None
+                try:
+                    if png.is_png(blob):
+                        arr, _ = png.decode_png(blob)
+                        small = nn(arr)
+                        out = png.encode_png(small.astype("uint8"))
+                    elif bmp.is_bmp(blob):
+                        arr, _ = bmp.decode_bmp(blob)
+                        small = nn(arr)
+                        out = bmp.encode_bmp(small.astype("uint8"))
+                except Exception:  # corrupt image degrades to the stub
+                    small = None
+                if small is None:
                     n = len(blob)
                     stride = max(1, -(-n // (out_w * out_h)))
-                    small = None
                     out = bytes(blob[::stride])
                 if small is not None:
                     rows["is_real_resize"].append(True)

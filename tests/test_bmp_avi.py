@@ -129,3 +129,47 @@ def test_resize_images_real_and_stub(spark):
     np.testing.assert_array_equal(back, nn(gray))
     back2, _ = decode_bmp(bytes(got[2]["blob"]))
     np.testing.assert_array_equal(back2, nn(rgb))
+
+
+def test_corrupt_blobs_degrade_to_stub_not_task_failure(spark):
+    """A truncated/corrupt file with a valid magic must yield a stub row
+    (is_real_decode/resize=false), never abort the scan task — bad files
+    exist in any 100 TB corpus."""
+    import numpy as np
+
+    from shared_etl_pipelines_spark.sources.multimodal import (
+        decode_audio,
+        decode_images,
+        resize_images,
+        sample_video_frames,
+    )
+    from shared_etl_pipelines_spark.sources.png import SIGNATURE
+    from shared_etl_pipelines_spark.sources.wav import encode_wav
+
+    bad_png = bytearray(SIGNATURE + b"\x00" * 30)         # signature, no chunks
+    bad_bmp = bytearray(b"BM" + b"\x00" * 20)             # header cut short
+    good_wav = encode_wav(np.zeros((8, 1), dtype=np.int16))
+    bad_wav = bytearray(good_wav[:20])                    # truncated mid-fmt
+    frames = np.zeros((2, 2, 2, 3), dtype=np.uint8)
+    from shared_etl_pipelines_spark.sources.avi import encode_avi
+
+    bad_avi = bytearray(encode_avi(frames)[:40])          # truncated container
+
+    imgs = spark.createDataFrame(
+        [(1, "image/png", bad_png), (2, "image/bmp", bad_bmp)],
+        "doc_id long, media_type string, blob binary",
+    )
+    for r in decode_images(imgs).collect():
+        assert not r["is_real_decode"]
+    for r in resize_images(imgs).collect():
+        assert not r["is_real_resize"]
+
+    aud = spark.createDataFrame(
+        [(3, "audio/wav", bad_wav)], "doc_id long, media_type string, blob binary"
+    )
+    assert not decode_audio(aud).collect()[0]["is_real_decode"]
+
+    vid = spark.createDataFrame(
+        [(4, "video/avi", bad_avi)], "doc_id long, media_type string, blob binary"
+    )
+    assert not sample_video_frames(vid).collect()[0]["is_real_decode"]
