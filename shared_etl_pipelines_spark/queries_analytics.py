@@ -1077,3 +1077,70 @@ def q_trimmed_mean_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         trimmed_avg("cents").alias("trimmed_avg"),
         n_kept("cents").alias("n_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal decomposition (STL-lite): daily series -> centered 7-day
+# moving-average trend, day-of-week seasonal means of the detrended
+# series, remainder. The TimescaleDB-flavored time-series analysis a
+# monitoring pipeline runs on its continuous aggregates. Two window
+# passes + one 7-row broadcast join; edges where the centered window is
+# incomplete stay NULL (never extrapolated, same discipline as
+# gap_fill_interpolate).
+# ---------------------------------------------------------------------------
+@defquery(
+    "seasonal_decompose_daily",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100
+               AS v
+      FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    tr AS (
+      SELECT day, v,
+             CASE WHEN COUNT(*) OVER w = 7
+                  THEN AVG(v) OVER w END AS trend
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    se AS (
+      SELECT dayofweek(day) AS dow, AVG(v - trend) AS seasonal
+      FROM tr WHERE trend IS NOT NULL GROUP BY dayofweek(day)
+    )
+    SELECT CAST(day AS VARCHAR) AS day, ROUND(v, 4) AS value,
+           ROUND(trend, 4) AS trend,
+           ROUND(seasonal, 4) AS seasonal,
+           ROUND(v - trend - seasonal, 4) AS resid
+    FROM tr JOIN se ON se.dow = dayofweek(tr.day)
+    """,
+    doc="STL-lite seasonal decomposition: centered 7-day MA trend, "
+    "day-of-week seasonal means, remainder; incomplete edge windows "
+    "stay NULL",
+    tags=("timeseries", "window", "aggregate"),
+)
+def q_seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        (
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("double") / 100
+        ).alias("v")
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    tr = daily.select(
+        "day", "v",
+        F.when(F.count(F.lit(1)).over(w) == 7, F.avg("v").over(w)).alias("trend"),
+    )
+    se = (
+        tr.filter(F.col("trend").isNotNull())
+        .groupBy(F.dayofweek("day").alias("dow"))
+        .agg(F.avg(F.col("v") - F.col("trend")).alias("seasonal"))
+    )
+    out = tr.join(F.broadcast(se), F.dayofweek(tr["day"]) == se["dow"]).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round("v", 4).alias("value"),
+        F.round("trend", 4).alias("trend"),
+        F.round("seasonal", 4).alias("seasonal"),
+        F.round(F.col("v") - F.col("trend") - F.col("seasonal"), 4).alias("resid"),
+    )
+    return out
