@@ -1144,3 +1144,90 @@ def q_seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("v") - F.col("trend") - F.col("seasonal"), 4).alias("resid"),
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Time-series subsequence similarity search (UCR-style z-normalized
+# Euclidean; cf. "Time Series Similarity Search for Streaming Data in
+# Distributed Systems", EDBT 2019): find the per-user 7-day windows
+# whose z-normalized shape best matches a spike pattern. Windows come
+# from 6 lead() columns over one (user, day) exchange — no per-series
+# collection, no UDF; the top-10 is a distributed TakeOrdered. The
+# pattern's z-normalized values are inlined as identical literals in
+# both engines (spike [0,0,0,1,0,0,0] -> lo=-0.4082482905 x6,
+# hi=2.4494897428).
+# ---------------------------------------------------------------------------
+_TSS_P = ["-0.4082482905"] * 3 + ["2.4494897428"] + ["-0.4082482905"] * 3
+
+
+def _tss_sql() -> str:
+    ls = ", ".join(
+        f"LEAD(v, {j}) OVER (PARTITION BY user_id ORDER BY day) AS l{j}"
+        for j in range(1, 7)
+    )
+    vs = ["v"] + [f"l{j}" for j in range(1, 7)]
+    m = f"(({' + '.join(vs)}) / 7)"
+    var = f"(({' + '.join(f'({x} - {m}) * ({x} - {m})' for x in vs)}) / 7)"
+    dist = " + ".join(
+        f"((({x} - {m}) / sd - ({p})) * (({x} - {m}) / sd - ({p})))"
+        for x, p in zip(vs, _TSS_P)
+    )
+    return f"""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100 AS v
+      FROM events GROUP BY 1, 2
+    ),
+    win AS (SELECT user_id, day, v, {ls} FROM daily),
+    stats AS (
+      SELECT user_id, day, v, l1, l2, l3, l4, l5, l6, sqrt({var}) AS sd
+      FROM win WHERE l6 IS NOT NULL
+    ),
+    dists AS (
+      SELECT user_id, CAST(day AS VARCHAR) AS day, ROUND({dist}, 4) AS dist
+      FROM stats WHERE sd > 0
+    )
+    SELECT user_id, day, dist FROM dists
+    ORDER BY dist, user_id, day LIMIT 10
+    """
+
+
+@defquery(
+    "ts_pattern_match",
+    _tss_sql(),
+    doc="z-normalized 7-day subsequence similarity search: lead() "
+    "windows, inline z-norm + Euclidean distance to a spike pattern, "
+    "distributed top-10 (UCR-style, EDBT'19 lineage)",
+    tags=("timeseries", "similarity", "window"),
+)
+def q_ts_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(
+        (
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("double") / 100
+        ).alias("v")
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    cols = [F.col("v")] + [F.lead("v", j).over(w).alias(f"l{j}") for j in range(1, 7)]
+    win = daily.select("user_id", "day", *cols).filter(F.col("l6").isNotNull())
+    vs = [F.col("v")] + [F.col(f"l{j}") for j in range(1, 7)]
+    m = sum(vs[1:], vs[0]) / 7
+    var = sum(((x - m) * (x - m) for x in vs[1:]), (vs[0] - m) * (vs[0] - m)) / 7
+    sd = F.sqrt(var)
+    zp = [F.lit(float(p)) for p in _TSS_P]
+    terms = [((x - m) / sd - p) for x, p in zip(vs, zp)]
+    dist = sum((t * t for t in terms[1:]), terms[0] * terms[0])
+    out = (
+        win.withColumn("sd", sd)
+        .filter(F.col("sd") > 0)
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round(dist, 4).alias("dist"),
+        )
+        .orderBy("dist", "user_id", "day")
+        .limit(10)
+    )
+    return out
