@@ -1559,3 +1559,113 @@ def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("balance_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC snapshot diff: two keyed snapshots -> insert/update/delete change
+# rows via ONE full-outer join on the key, value width collapsed to a
+# digest before the exchange (operators/scd.py snapshot_diff — the
+# row-level complement of scd2_merge). Snapshots are derived
+# deterministically from orders so both engines diff identical inputs;
+# the oracle replays the diff with direct value comparison, pinning the
+# digest-compare implementation against the semantic definition.
+# ---------------------------------------------------------------------------
+@defquery(
+    "snapshot_diff_orders",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+      WHERE o_orderkey % 7 <> 0
+    ),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1
+                  ELSE o_totalprice END AS o_totalprice,
+             o_orderstatus
+      FROM orders WHERE o_orderkey % 5 <> 0
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                WHEN n.o_orderkey IS NULL THEN 'delete'
+                WHEN o.o_totalprice <> n.o_totalprice
+                  OR o.o_orderstatus <> n.o_orderstatus THEN 'update'
+           END AS change_type
+    FROM old o FULL OUTER JOIN new n ON o.o_orderkey = n.o_orderkey
+    WHERE NOT (o.o_orderkey IS NOT NULL AND n.o_orderkey IS NOT NULL
+               AND o.o_totalprice = n.o_totalprice
+               AND o.o_orderstatus = n.o_orderstatus)
+    """,
+    doc="CDC snapshot diff: full-outer join on the key, digest-compare "
+    "values, emit insert/update/delete rows (oracle replays with direct "
+    "value comparison)",
+    tags=("cdc", "join", "warehouse"),
+)
+def q_snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.operators.scd import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    new = orders.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 3 == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        "o_orderstatus",
+    )
+    return snapshot_diff(old, new, ["o_orderkey"])
+
+
+# ---------------------------------------------------------------------------
+# Referential-integrity audit: orphan counts for every declared FK
+# relation in one pass each — left join against the (broadcast)
+# referenced keys, conditional count. events.user_id -> customer is
+# deliberately included although it is NOT guaranteed by the generator,
+# so the audit demonstrates a nonzero orphan report, not just green
+# checkmarks.
+# ---------------------------------------------------------------------------
+_FK_RELATIONS = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("events", "user_id", "customer", "c_custkey"),
+]
+
+
+@defquery(
+    "fk_integrity_check",
+    " UNION ALL ".join(
+        f"""
+        SELECT '{ft}.{fk}->{rt}' AS relation,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN r.{rk} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_orphans
+        FROM {ft} f LEFT JOIN (SELECT DISTINCT {rk} FROM {rt}) r
+          ON f.{fk} = r.{rk}
+        """
+        for ft, fk, rt, rk in _FK_RELATIONS
+    ),
+    doc="referential-integrity audit: orphan count per declared FK "
+    "relation, referenced keys deduped and broadcast",
+    tags=("quality", "join", "warehouse"),
+)
+def q_fk_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    outs = []
+    for ft, fk, rt, rk in _FK_RELATIONS:
+        f = _t(spark, sf_dir, ft).select(fk)
+        r = _t(spark, sf_dir, rt).select(rk).distinct()
+        j = f.join(F.broadcast(r), f[fk] == r[rk], "left")
+        outs.append(
+            j.agg(
+                F.lit(f"{ft}.{fk}->{rt}").alias("relation"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(F.col(rk).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_orphans"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs)

@@ -127,3 +127,17 @@ def test_global_rank_and_ntile_match_builtin_windows(spark, sf_dir):
     gt = global_ntile(o, order, 7, out_col="b")
     rt = o.withColumn("b", F.ntile(7).over(Window.orderBy(*order)))
     assert gt.subtract(rt).count() == 0 and rt.subtract(gt).count() == 0
+
+
+def test_snapshot_diff_classifies_all_three(spark):
+    from shared_etl_pipelines_spark.operators.scd import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, s string, v double"
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20.0), (3, "c", 31.0), (4, "d", 40.0)], "k long, s string, v double"
+    )
+    got = {r["k"]: r["change_type"] for r in snapshot_diff(old, new, ["k"]).collect()}
+    # 1 deleted, 2 unchanged (absent), 3 updated, 4 inserted
+    assert got == {1: "delete", 3: "update", 4: "insert"}
