@@ -336,3 +336,22 @@ def test_bpe_top_pairs_distributed_topk(spark, sf):
     top-k), never a global window over the full pair frame."""
     p = phys(REGISTRY["bpe_top_pairs"].fn(spark, sf))
     assert "TakeOrderedAndProject" in p
+
+
+def test_snapshot_diff_single_slim_join(spark, sf):
+    """The CDC diff must shuffle (key, digest) pairs once — a full-outer
+    SortMergeJoin on the key with md5 projected BELOW the exchange."""
+    p = phys(REGISTRY["snapshot_diff_orders"].fn(spark, sf))
+    assert "FullOuter" in p
+    assert p.count("Exchange hashpartitioning") <= 2  # one per side
+    # digest computed below the exchange: the join output carries only
+    # key + digests, never the wide value columns
+    assert "md5" in p
+
+
+def test_fk_integrity_all_dims_broadcast(spark, sf):
+    """Every referenced-keys side is deduped then broadcast — the fact
+    tables never shuffle for the audit."""
+    p = phys(REGISTRY["fk_integrity_check"].fn(spark, sf))
+    assert p.count("BroadcastHashJoin") == 5
+    assert "SortMergeJoin" not in p
