@@ -1231,3 +1231,101 @@ def q_ts_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(10)
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Pairwise correlation matrix over the lineitem measures in ONE
+# aggregation pass (six corr() aggregates — mergeable moment partials,
+# no Expand, no per-pair scan), scalarized to (col_a, col_b, corr) rows.
+# The feature-correlation profile an ML pipeline computes before
+# training; the single-pair regression twin is qty_price_regression.
+# ---------------------------------------------------------------------------
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_CORR_PAIRS = [
+    (a, b) for i, a in enumerate(_CORR_COLS) for b in _CORR_COLS[i + 1:]
+]
+
+
+@defquery(
+    "correlation_matrix",
+    " UNION ALL ".join(
+        f"""
+        SELECT '{a}' AS col_a, '{b}' AS col_b,
+               ROUND(corr({a}, {b}), 4) AS corr
+        FROM lineitem
+        """
+        for a, b in _CORR_PAIRS
+    ),
+    doc="pairwise correlation matrix of the lineitem measures: six "
+    "corr() aggregates in one mergeable pass, scalar long-form output",
+    tags=("statistics", "aggregate", "profiling"),
+)
+def q_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = [
+        F.round(F.corr(a, b), 4).alias(f"c_{i}")
+        for i, (a, b) in enumerate(_CORR_PAIRS)
+    ]
+    one = li.agg(*aggs)
+    stacked = [
+        F.struct(
+            F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+            F.col(f"c_{i}").alias("corr"),
+        )
+        for i, (a, b) in enumerate(_CORR_PAIRS)
+    ]
+    return one.select(F.explode(F.array(*stacked)).alias("s")).select("s.*")
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence test: event_type x day-of-week contingency,
+# expected counts from broadcast marginals, X^2 = sum (obs-exp)^2/exp.
+# All aggregates are mergeable; the marginals are tiny broadcast joins
+# (5 types x 7 days), so the plan is one scan + three small rollups.
+# dow classes are engine-local (Spark Sunday=1, DuckDB Sunday=0) but
+# partition identically, so the statistic matches.
+# ---------------------------------------------------------------------------
+@defquery(
+    "chi2_event_dow",
+    """
+    WITH obs AS (
+      SELECT event_type AS e, dayofweek(CAST(ts AS DATE)) AS d,
+             CAST(COUNT(*) AS DOUBLE) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    rowt AS (SELECT e, SUM(o) AS rt FROM obs GROUP BY e),
+    colt AS (SELECT d, SUM(o) AS ct FROM obs GROUP BY d),
+    tot AS (SELECT SUM(o) AS n FROM obs)
+    SELECT ROUND(SUM((o - rt * ct / n) * (o - rt * ct / n) / (rt * ct / n)), 4)
+             AS chi2,
+           CAST((COUNT(DISTINCT e) - 1) * (COUNT(DISTINCT d) - 1) AS BIGINT)
+             AS dof,
+           CAST(MAX(n) AS BIGINT) AS n
+    FROM obs JOIN rowt USING (e) JOIN colt USING (d) CROSS JOIN tot
+    """,
+    doc="chi-square independence test of event_type vs day-of-week: "
+    "contingency + broadcast marginals, mergeable aggregates only",
+    tags=("statistics", "aggregate"),
+)
+def q_chi2_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        F.col("event_type").alias("e"),
+        F.dayofweek(F.col("ts").cast("date")).alias("d"),
+    ).agg(F.count(F.lit(1)).cast("double").alias("o"))
+    rowt = obs.groupBy("e").agg(F.sum("o").alias("rt"))
+    colt = obs.groupBy("d").agg(F.sum("o").alias("ct"))
+    tot = obs.agg(F.sum("o").alias("n"))
+    j = (
+        obs.join(F.broadcast(rowt), "e")
+        .join(F.broadcast(colt), "d")
+        .crossJoin(F.broadcast(tot))
+    )
+    exp = F.col("rt") * F.col("ct") / F.col("n")
+    return j.agg(
+        F.round(F.sum((F.col("o") - exp) * (F.col("o") - exp) / exp), 4).alias("chi2"),
+        (
+            (F.countDistinct("e") - 1) * (F.countDistinct("d") - 1)
+        ).cast("long").alias("dof"),
+        F.max("n").cast("long").alias("n"),
+    )
