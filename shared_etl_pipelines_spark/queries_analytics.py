@@ -1329,3 +1329,62 @@ def q_chi2_event_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("dof"),
         F.max("n").cast("long").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-view refresh: merge EXISTING day-level
+# partials with a raw delta instead of recomputing the view. The
+# partials here are derived in-plan (days < 2024-01-20) so both engines
+# see identical inputs; the oracle is the FULL recompute by month —
+# green means merge-of-partials == recompute, the invariant every
+# incremental view maintenance scheme rests on. All aggregates are
+# mergeable (sum/count); at 100 TB the partials come off the
+# hypertable's stored daily layer (operators/hypertable.py) and only
+# the delta touches raw data.
+# ---------------------------------------------------------------------------
+@defquery(
+    "incremental_rollup_refresh",
+    """
+    WITH monthly AS (
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m') AS month,
+             event_type,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT month, event_type, cents, n FROM monthly
+    """,
+    doc="incremental view refresh: stored daily partials + raw delta "
+    "merged into the month rollup; oracle is the full recompute, so "
+    "green pins merge == recompute",
+    tags=("warehouse", "aggregate", "incremental"),
+)
+def q_incremental_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    cutoff = F.lit("2024-01-20").cast("date")
+    day = F.col("ts").cast("date")
+    # the "materialized" daily layer: partial states for days before the
+    # cutoff (in production: read back from the hypertable daily table)
+    partials = (
+        ev.filter(day < cutoff)
+        .groupBy(day.alias("day"), "event_type")
+        .agg(F.sum(cents).alias("cents"), F.count(F.lit(1)).alias("n"))
+    )
+    # the delta: raw rows at/after the cutoff, aggregated to the same grain
+    delta = (
+        ev.filter(day >= cutoff)
+        .groupBy(day.alias("day"), "event_type")
+        .agg(F.sum(cents).alias("cents"), F.count(F.lit(1)).alias("n"))
+    )
+    merged = partials.unionByName(delta)
+    return (
+        merged.groupBy(
+            F.date_format("day", "yyyy-MM").alias("month"), "event_type"
+        )
+        .agg(
+            F.sum("cents").cast("long").alias("cents"),
+            F.sum("n").cast("long").alias("n"),
+        )
+    )
