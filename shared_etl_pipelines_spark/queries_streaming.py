@@ -239,3 +239,45 @@ def q_stream_raster_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("value").alias("max_value"),
     )
     return _run(agg, "complete").orderBy("day")
+
+
+def _documents_stream(spark: SparkSession, sf_dir: str):
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = spark.read.parquet(path).schema
+    return (
+        spark.readStream.format("parquet")
+        .schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+
+
+@defquery(
+    "stream_new_doc_dedup",
+    None,  # stream-static anti-join emission is streaming-only semantics
+    doc="streaming ingestion dedup: arriving documents anti-joined "
+    "against the static corpus' content hashes (the streaming twin of "
+    "incremental_dedup) — only never-seen documents pass through",
+    tags=("streaming", "dedup", "llm"),
+)
+def q_stream_new_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static LEFT ANTI join: the arrival-time form of
+    operators/dedup.py incremental_dedup. The static side (the already-
+    ingested corpus, here docs with doc_id % 10 == 0) is re-resolved per
+    micro-batch and broadcast; no streaming state is kept — the hash
+    membership check is stateless per batch, which is what makes this
+    shape safe at any stream length."""
+    from pyspark.sql import functions as F
+
+    stream = _documents_stream(spark, sf_dir)
+    corpus = (
+        spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        .filter(F.col("doc_id") % 10 == 0)
+        .select(F.md5("text").alias("content_hash"))
+        .distinct()
+    )
+    novel = stream.withColumn("content_hash", F.md5("text")).join(
+        corpus, "content_hash", "left_anti"
+    )
+    out = _run(novel.select("doc_id", "source"), "append")
+    return out

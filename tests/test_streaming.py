@@ -505,3 +505,32 @@ def test_interval_left_outer_join_emits_unmatched(spark, events, drop_dir):
     # every NULL-emitted left is genuinely unmatched in batch semantics
     assert not (got_null & matched_lefts)
     assert len(got_null) > 0  # the watermark did release unmatched rows
+
+
+def test_stream_new_doc_dedup_matches_batch_anti_join(spark, sf_dir):
+    """The streaming stream-static anti join must admit exactly the
+    documents a batch anti join admits."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.queries import REGISTRY
+
+    got = {
+        r["doc_id"]
+        for r in REGISTRY["stream_new_doc_dedup"].fn(spark, sf_dir).collect()
+    }
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    corpus = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(F.md5("text").alias("content_hash"))
+        .distinct()
+    )
+    want = {
+        r["doc_id"]
+        for r in docs.withColumn("content_hash", F.md5("text"))
+        .join(corpus, "content_hash", "left_anti")
+        .select("doc_id")
+        .collect()
+    }
+    assert got == want and len(got) > 0
