@@ -1388,3 +1388,85 @@ def q_incremental_rollup_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n").cast("long").alias("n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting on the co-purchase graph (parts appearing in the
+# same order). Edges are ORIENTED low-id -> high-id before the
+# triangle join — the classic trick that makes distributed triangle
+# counting tractable: each triangle is generated exactly once (a<b<c),
+# and the two-hop join fans out only along the orientation, bounding
+# the intermediate by sum(out-degree^2) instead of sum(degree^2).
+# The graph is thinned to high-quantity lines (l_quantity >= 40) — the
+# filter reaches the parquet scan, and the oriented two-hop stays
+# ~25x smaller than the full co-purchase graph while leaving thousands
+# of triangles at every SF. Companion shape to connected_components
+# (dedup clustering): the other canonical graph pattern expressed as
+# pure DataFrame joins.
+# ---------------------------------------------------------------------------
+@defquery(
+    "copurchase_triangles",
+    """
+    WITH li AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 40
+    ),
+    e AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM li l1 JOIN li l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    ),
+    tri AS (
+      SELECT COUNT(*) AS n_triangles
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    )
+    SELECT CAST((SELECT COUNT(DISTINCT a) FROM (SELECT a FROM e UNION ALL SELECT b FROM e)) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+           CAST(n_triangles AS BIGINT) AS n_triangles
+    FROM tri
+    """,
+    doc="triangle count on the part co-purchase graph: edges oriented "
+    "low->high so each triangle is counted once and the two-hop join "
+    "is out-degree-bounded",
+    tags=("graph", "join", "analytics"),
+)
+def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 40)
+        .select("l_orderkey", "l_partkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("p2")
+    )
+    e = (
+        li.join(l2, (li["l_orderkey"] == l2["k2"]) & (li["l_partkey"] < l2["p2"]))
+        .select(F.col("l_partkey").alias("a"), F.col("p2").alias("b"))
+        .distinct()
+    )
+    e.persist()
+    e1 = e
+    e2 = e.select(F.col("a").alias("b_"), F.col("b").alias("c"))
+    e3 = e.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        e1.join(e2, e1["b"] == e2["b_"])
+        .join(e3, (e1["a"] == e3["a3"]) & (e2["c"] == e3["c3"]))
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    nodes = (
+        e.select(F.col("a").alias("n"))
+        .unionByName(e.select(F.col("b").alias("n")))
+        .agg(F.countDistinct("n").alias("n_nodes"))
+    )
+    edges = e.agg(F.count(F.lit(1)).alias("n_edges"))
+    out = (
+        nodes.crossJoin(edges)
+        .crossJoin(tri)
+        .select(
+            F.col("n_nodes").cast("long").alias("n_nodes"),
+            F.col("n_edges").cast("long").alias("n_edges"),
+            F.col("n_triangles").cast("long").alias("n_triangles"),
+        )
+    )
+    return out
