@@ -2756,3 +2756,55 @@ def q_multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "is_real_resize", "out_width", "out_height", "px_sum"
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary Zipf diagnostics: type/token counts, top-100 coverage, and
+# the fitted Zipf exponent (regr_slope of log2 freq on log2 rank) — the
+# corpus-health metrics a tokenizer-planning pass reports. The rank
+# window is global but runs over the TYPE table (vocabulary-bounded,
+# orders of magnitude smaller than the corpus), which is the only place
+# a global sort is acceptable; the corpus-sized work is one tokenize +
+# groupBy pass.
+# ---------------------------------------------------------------------------
+@defquery(
+    "vocab_zipf_stats",
+    f"""
+    WITH tok AS (SELECT unnest({TOKS_SQL}) AS t FROM documents),
+    types AS (SELECT t, CAST(COUNT(*) AS DOUBLE) AS c FROM tok GROUP BY t),
+    ranked AS (
+      SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS r FROM types
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           ROUND(SUM(CASE WHEN r <= 100 THEN c ELSE 0 END) / SUM(c), 4)
+             AS top100_coverage,
+           ROUND(regr_slope(log2(c), log2(CAST(r AS DOUBLE))), 4) AS zipf_slope
+    FROM ranked
+    """,
+    doc="corpus Zipf diagnostics: type/token counts, top-100 coverage, "
+    "fitted Zipf exponent via regr_slope over the vocabulary table",
+    tags=("llm", "text", "statistics", "tokenizer"),
+)
+def q_vocab_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    types = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).cast("double").alias("c"))
+    )
+    w = Window.orderBy(F.desc("c"), "t")
+    ranked = types.withColumn("r", F.row_number().over(w))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.round(
+            F.sum(F.when(F.col("r") <= 100, F.col("c")).otherwise(0.0)) / F.sum("c"),
+            4,
+        ).alias("top100_coverage"),
+        F.round(
+            F.regr_slope(F.log2("c"), F.log2(F.col("r").cast("double"))), 4
+        ).alias("zipf_slope"),
+    )
