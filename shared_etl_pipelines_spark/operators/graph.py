@@ -1,0 +1,79 @@
+"""Graph operators beyond connected components: PageRank.
+
+Same iterative-operator discipline as operators/dedup.py
+connected_components and operators/embeddings.py kmeans_fit:
+
+- each round is ONE join + ONE aggregation over the edge list (O(E)),
+- lineage is cut with a non-eager localCheckpoint per round,
+- a fixed iteration count keeps driver traffic at zero until the
+  caller materializes the result (no per-round collect at all —
+  PageRank contracts geometrically, so a fixed budget is the standard
+  cluster formulation),
+- the per-round statistic (one damped propagation step) has an
+  ANSI-SQL oracle twin (queries_analytics.q_pagerank_one_step), which
+  pins the propagation arithmetic even though the fixpoint itself is
+  rows-only.
+
+Scale: ranks and degrees are (node, double) tables partitioned by
+node; the contribution join shuffles edges by src then dst — the same
+two-exchange round as every vertex-program formulation (Pregel/GraphX)
+without leaving the DataFrame API.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank"]
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 10,
+    undirected: bool = True,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """PageRank over an edge list; returns ``(node, rank)``.
+
+    With ``undirected=True`` every edge contributes in both directions
+    (the co-purchase / near-dup graphs are symmetric). Every node seen
+    in an edge has degree >= 1, so there are no dangling nodes and the
+    total rank mass stays exactly n_nodes * 1.0 through every round —
+    the conservation the replay test asserts.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    if undirected:
+        e = e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    if num_partitions:
+        # every round rescans the cached edge frame: its partition count
+        # is pure per-round task overhead when the graph is small
+        # relative to the cluster (size num_partitions to ~edges/64MB)
+        e = e.repartition(num_partitions, "s")
+    e = e.persist()
+    deg = e.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg"))
+    # contributions-per-edge frame reused every round: (s, d, 1/outdeg)
+    contrib_edges = e.join(deg, "s").select(
+        "s", "d", (F.lit(1.0) / F.col("outdeg")).alias("w")
+    )
+    if num_partitions:
+        contrib_edges = contrib_edges.repartition(num_partitions, "s")
+    contrib_edges = contrib_edges.persist()
+    ranks = deg.select(F.col("s").alias("node"), F.lit(1.0).alias("rank"))
+    for _ in range(iterations):
+        inflow = (
+            contrib_edges.join(
+                ranks.withColumnRenamed("node", "s"), "s"
+            )
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("inflow"))
+        )
+        ranks = inflow.select(
+            "node",
+            (F.lit(1.0 - damping) + F.lit(damping) * F.col("inflow")).alias("rank"),
+        ).localCheckpoint(eager=False)
+    e.unpersist()
+    return ranks

@@ -1470,3 +1470,87 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# PageRank on the (thinned) co-purchase graph — operators/graph.py.
+# pagerank_one_step pins the damped-propagation arithmetic with a full
+# SQL oracle (one step from uniform ranks IS ANSI-expressible);
+# pagerank_copurchase is the fixed-10-iteration fit (rows-only, exact
+# replay test in tests/test_analytics.py) — same oracle-twin pattern as
+# embedding_kmeans / embedding_kmeans_assign.
+# ---------------------------------------------------------------------------
+_PR_EDGES_SQL = """
+    li AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 40
+    ),
+    e0 AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM li l1 JOIN li l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    ),
+    e AS (SELECT a AS s, b AS d FROM e0 UNION ALL SELECT b AS s, a AS d FROM e0),
+    deg AS (SELECT s, COUNT(*) AS outdeg FROM e GROUP BY s)
+"""
+
+
+def _pr_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 40)
+        .select("l_orderkey", "l_partkey")
+    )
+    l2 = li.select(F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("p2"))
+    return (
+        li.join(l2, (li["l_orderkey"] == l2["k2"]) & (li["l_partkey"] < l2["p2"]))
+        .select(F.col("l_partkey").alias("src"), F.col("p2").alias("dst"))
+        .distinct()
+    )
+
+
+@defquery(
+    "pagerank_one_step",
+    f"""
+    WITH {_PR_EDGES_SQL},
+    inflow AS (
+      SELECT e.d AS node,
+             SUM(CAST(FLOOR(850000.0 / deg.outdeg) AS BIGINT)) AS m
+      FROM e JOIN deg ON e.s = deg.s GROUP BY e.d
+    )
+    SELECT node, CAST(150000 + m AS BIGINT) AS rank_micro FROM inflow
+    """,
+    doc="one damped PageRank step from uniform ranks over the co-purchase "
+    "graph, in exact integer micro-units (per-edge contribution "
+    "FLOOR(0.85e6/outdeg); integer sums are summation-order-free, so "
+    "the statistic is hash-exact) — the gate twin of the double-"
+    "precision iterative fit",
+    tags=("graph", "join", "aggregate"),
+)
+def q_pagerank_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _pr_edges(spark, sf_dir)
+    und = e.select(F.col("src").alias("s"), F.col("dst").alias("d")).unionByName(
+        e.select(F.col("dst").alias("s"), F.col("src").alias("d"))
+    )
+    deg = und.groupBy("s").agg(F.count(F.lit(1)).alias("outdeg"))
+    contrib = und.join(deg, "s").select(
+        "d", F.floor(F.lit(850000.0) / F.col("outdeg")).cast("long").alias("c")
+    )
+    return contrib.groupBy(F.col("d").alias("node")).agg(
+        (F.lit(150000) + F.sum("c")).cast("long").alias("rank_micro")
+    )
+
+
+@defquery(
+    "pagerank_copurchase",
+    None,  # the fixpoint is iterative — rows-only; one step has the oracle
+    doc="PageRank (10 damped rounds) on the co-purchase graph: one "
+    "join + one aggregation per round, localCheckpoint lineage cuts, "
+    "zero driver traffic until materialization; exact replay test "
+    "pins the fit",
+    tags=("graph", "iterative", "scale-path"),
+)
+def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.operators.graph import pagerank
+
+    out = pagerank(_pr_edges(spark, sf_dir), iterations=10, num_partitions=8)
+    return out.select("node", F.round("rank", 4).alias("rank"))

@@ -383,3 +383,28 @@ def test_compact_small_files(spark, tmp_path):
     got = spark.read.parquet(dst)
     assert got.count() == 10_000
     assert got.agg({"id": "sum"}).collect()[0][0] == sum(range(10_000))
+
+
+def test_pagerank_matches_pure_python_replay(spark):
+    """The distributed fit must match a dense numpy PageRank on the same
+    graph (tolerance: summation-order ulps only), and conserve total
+    rank mass exactly (no dangling nodes in an undirected graph)."""
+    import numpy as np
+
+    from shared_etl_pipelines_spark.operators.graph import pagerank
+
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iterations=10).collect()}
+
+    n = 5
+    adj = np.zeros((n, n))
+    for a, b in edges:
+        adj[a, b] = adj[b, a] = 1
+    outdeg = adj.sum(axis=1)
+    r = np.ones(n)
+    for _ in range(10):
+        r = 0.15 + 0.85 * (adj.T @ (r / outdeg))
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])
+    assert abs(sum(got.values()) - n) < 1e-9  # mass conservation
