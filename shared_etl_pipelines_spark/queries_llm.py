@@ -2808,3 +2808,68 @@ def q_vocab_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regr_slope(F.log2("c"), F.log2(F.col("r").cast("double"))), 4
         ).alias("zipf_slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood entity resolution — the third classic blocking
+# family next to exact hashing (dedup_exact) and LSH (near_dup_*):
+# sort records by a normalized key, compare each record only to its w
+# following neighbors (lead() columns), verify with edit distance.
+# Applied per first-letter block so the sort window partitions (no
+# global single-partition window — the blocks are the alphabet ranges a
+# range-partitioner would produce); candidate count is exactly n*w per
+# block, immune to hot-block skew. Window w=3 over distinct part names.
+# ---------------------------------------------------------------------------
+@defquery(
+    "sorted_neighborhood_pairs",
+    """
+    WITH v AS (SELECT DISTINCT p_name AS name, substr(p_name, 1, 1) AS blk
+               FROM part),
+    w AS (
+      SELECT name,
+             LEAD(name, 1) OVER (PARTITION BY blk ORDER BY name) AS n1,
+             LEAD(name, 2) OVER (PARTITION BY blk ORDER BY name) AS n2,
+             LEAD(name, 3) OVER (PARTITION BY blk ORDER BY name) AS n3
+      FROM v
+    ),
+    cand AS (
+      SELECT name AS name_a, n1 AS name_b FROM w WHERE n1 IS NOT NULL
+      UNION ALL
+      SELECT name, n2 FROM w WHERE n2 IS NOT NULL
+      UNION ALL
+      SELECT name, n3 FROM w WHERE n3 IS NOT NULL
+    )
+    SELECT name_a, name_b,
+           CAST(levenshtein(name_a, name_b) AS BIGINT) AS dist
+    FROM cand
+    WHERE levenshtein(name_a, name_b) <= 6
+    """,
+    doc="sorted-neighborhood dedup blocking: one range sort, each record "
+    "compared to its 3 successors, edit-distance verify — n*w "
+    "candidates, no hot-block skew",
+    tags=("llm", "dedup", "fuzzy", "window"),
+)
+def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    v = (
+        _t(spark, sf_dir, "part")
+        .select(F.col("p_name").alias("name"))
+        .distinct()
+        .withColumn("blk", F.substring("name", 1, 1))
+    )
+    w = Window.partitionBy("blk").orderBy("name")
+    withn = v.select(
+        "name",
+        *[F.lead("name", j).over(w).alias(f"n{j}") for j in (1, 2, 3)],
+    )
+    cands = None
+    for j in (1, 2, 3):
+        c = withn.filter(F.col(f"n{j}").isNotNull()).select(
+            F.col("name").alias("name_a"), F.col(f"n{j}").alias("name_b")
+        )
+        cands = c if cands is None else cands.unionByName(c)
+    out = cands.withColumn(
+        "dist", F.levenshtein("name_a", "name_b").cast("long")
+    ).filter(F.col("dist") <= 6)
+    return out
