@@ -688,3 +688,23 @@ def test_bpe_segment_reassembles_words(spark):
     originals = {1: "banana bandana banana", 2: "ban banana nab"}
     for doc_id, text in originals.items():
         assert "".join(joined[doc_id]) == text.replace(" ", "")
+
+
+def test_new_operators_handle_empty_and_degenerate_input(spark):
+    from shared_etl_pipelines_spark.operators.bpe import bpe_segment, bpe_train
+    from shared_etl_pipelines_spark.operators.dedup import duplicated_spans
+    from shared_etl_pipelines_spark.operators.graph import pagerank
+    from shared_etl_pipelines_spark.operators.scd import snapshot_diff
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert duplicated_spans(empty_docs, "doc_id", "text").count() == 0
+    merges, fin = bpe_train(empty_docs, "text", num_merges=3)
+    assert merges == [] and fin.count() == 0
+    # no merges -> pure character stream, still lossless
+    one = spark.createDataFrame([(1, "ab cd")], ["doc_id", "text"])
+    assert bpe_segment(one, "doc_id", "text", []).count() == 4
+    assert pagerank(
+        spark.createDataFrame([], "src long, dst long"), iterations=2
+    ).count() == 0
+    same = spark.createDataFrame([(1, "a", 1.0)], "k long, s string, v double")
+    assert snapshot_diff(same, same, ["k"]).count() == 0  # no phantom changes
