@@ -29,6 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 EXCLUDE = {
     "ngram_jaccard_pairs",
     "embedding_near_dup",
+    "near_dup_lsh_eval",  # embeds the O(n^2) baseline it evaluates
 }
 
 

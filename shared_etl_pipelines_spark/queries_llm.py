@@ -2873,3 +2873,84 @@ def q_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dist", F.levenshtein("name_a", "name_b").cast("long")
     ).filter(F.col("dist") <= 6)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Approximation-quality evaluation: MinHash-LSH recall measured against
+# the exhaustive n-gram Jaccard baseline ON THE SAME CORPUS, as a
+# query. Because LSH pairs are exact-verified post-candidate, LSH
+# output is a subset of the exact pair set — precision is 1.0 by
+# construction and the reported recall isolates candidate-generation
+# loss (the banding probability). This embeds the O(n²) baseline, so
+# it joins the bench EXCLUDE list with it; its role is the measurement,
+# not throughput.
+# ---------------------------------------------------------------------------
+_EXACT_PAIRS_SQL = f"""
+    t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    s AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM t),
+    hh AS (SELECT doc_id, list_distinct({HV_SQL}) AS hv FROM s WHERE len(sh) > 0),
+    exact AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM hh a JOIN hh b ON a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.hv, b.hv)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.hv, b.hv))) >= 0.5
+    ),
+    sig AS (
+      SELECT doc_id, {', '.join(f"{_mh_sql(i).replace('hv,', 'hv,')} AS mh{i}" for i in range(8))}
+      FROM hh
+    ),
+    bands AS (
+      {' UNION ALL '.join(
+        f"SELECT doc_id, {b} AS band_idx, md5(mh{2*b} || '|' || mh{2*b+1}) AS band_hash FROM sig"
+        for b in range(4)
+      )}
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM bands l JOIN bands r
+        ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+       AND l.doc_id < r.doc_id
+    ),
+    lsh AS (SELECT doc_a, doc_b FROM cand INTERSECT SELECT doc_a, doc_b FROM exact)
+"""
+
+
+@defquery(
+    "near_dup_lsh_eval",
+    f"""
+    WITH {_EXACT_PAIRS_SQL}
+    SELECT CAST((SELECT COUNT(*) FROM exact) AS BIGINT) AS n_exact,
+           CAST((SELECT COUNT(*) FROM lsh) AS BIGINT) AS n_lsh,
+           ROUND(CAST((SELECT COUNT(*) FROM lsh) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM exact), 4) AS recall
+    """,
+    doc="LSH quality evaluation: banded-MinHash recall vs the exhaustive "
+    "Jaccard baseline on the same corpus (precision is 1.0 by "
+    "construction — candidates are exact-verified)",
+    tags=("llm", "dedup", "lsh", "evaluation"),
+)
+def q_near_dup_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    exact = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).select(
+        "doc_a", "doc_b"
+    )
+    lsh = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, k=8, bands=4, threshold=0.5
+    ).select("doc_a", "doc_b")
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    n_lsh = lsh.intersect(exact).agg(F.count(F.lit(1)).alias("n_lsh"))
+    return (
+        n_exact.crossJoin(n_lsh)
+        .select(
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.col("n_lsh").cast("long").alias("n_lsh"),
+            F.round(
+                F.col("n_lsh").cast("double") / F.col("n_exact"), 4
+            ).alias("recall"),
+        )
+    )
