@@ -145,6 +145,7 @@ def lsh_bucket_topk(
     dim: int = 64,
     n_tables: int = 4,
     arrow_buckets: bool = False,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """Approximate top-k: candidates from the union of the query's SRP
     bucket across ``n_tables`` independent hash tables.
@@ -190,17 +191,26 @@ def lsh_bucket_topk(
                 )
             ).alias("tbl", "bucket"),
         )
+    # Multi-probe: besides its own bucket, each query probes the n_planes
+    # buckets one hyperplane-bit away (the neighbors a near-miss falls
+    # into). Probing is QUERY-side only — the corpus layout is untouched,
+    # so the same stored/partitioned tables serve both modes; candidate
+    # volume grows ~(1+n_planes)x per table, recall rises accordingly
+    # (pinned >= single-probe in tests). Lv et al.'s multi-probe LSH,
+    # restricted to Hamming-1 perturbations.
+    probe_entries = []
+    for t in range(n_tables):
+        b = srp_bucket(F.col("qv"), n_planes, dim, t * n_planes)
+        probes = [b]
+        if multiprobe:
+            probes += [b.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+        probe_entries += [
+            F.struct(F.lit(t).alias("tbl"), p.cast("long").alias("bucket"))
+            for p in probes
+        ]
     qs_b = qs.select(
-        "query_id",
-        F.posexplode(
-            F.array(
-                *[
-                    srp_bucket(F.col("qv"), n_planes, dim, t * n_planes)
-                    for t in range(n_tables)
-                ]
-            )
-        ).alias("tbl", "bucket"),
-    )
+        "query_id", F.explode(F.array(*probe_entries)).alias("_e")
+    ).select("query_id", F.col("_e.tbl").alias("tbl"), F.col("_e.bucket").alias("bucket"))
     pairs = (
         F.broadcast(qs_b)
         .join(corpus_b, ["tbl", "bucket"])

@@ -708,3 +708,27 @@ def test_new_operators_handle_empty_and_degenerate_input(spark):
     ).count() == 0
     same = spark.createDataFrame([(1, "a", 1.0)], "k long, s string, v double")
     assert snapshot_diff(same, same, ["k"]).count() == 0  # no phantom changes
+
+
+def test_multiprobe_recall_not_worse_than_single(spark, sf_dir):
+    """Hamming-1 multi-probe must recall at least every pair single-probe
+    recalls (its probe set is a superset), and strictly more candidates
+    reach the rerank on the noise corpus."""
+    from shared_etl_pipelines_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_bucket_topk,
+    )
+    from shared_etl_pipelines_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter("vec_id < 5")
+
+    def topk_set(df):
+        return {(r["query_id"], r["vec_id"]) for r in df.collect()}
+
+    truth = topk_set(brute_force_topk(emb, qs, k=10))
+    single = topk_set(lsh_bucket_topk(emb, qs, k=10))
+    multi = topk_set(lsh_bucket_topk(emb, qs, k=10, multiprobe=True))
+    r_single = len(single & truth) / len(truth)
+    r_multi = len(multi & truth) / len(truth)
+    assert r_multi >= r_single
