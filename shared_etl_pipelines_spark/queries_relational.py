@@ -1669,3 +1669,77 @@ def q_fk_integrity_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time (PIT) dimension join — the feature-store / SCD2 lookup:
+# each fact row joins the dimension VERSION that was valid at the
+# fact's event time, never a later one (no leakage). The versioned
+# dimension is derived deterministically from customer (3 versions per
+# key, valid_to = lead(valid_from)), so both engines join identical
+# inputs; the join itself is equi on the key + half-open interval
+# containment — a hash join with a range residual, NOT a range-only
+# join, so it scales like any keyed join. Row-level complement of
+# asof_purchase_view (which matches on time alone).
+# ---------------------------------------------------------------------------
+@defquery(
+    "pit_dimension_join",
+    """
+    WITH hist AS (
+      SELECT c_custkey, v,
+             CAST('1994-06-01' AS DATE)
+               + INTERVAL (CAST(c_custkey % 97 AS INT) + v * 800) DAY AS valid_from
+      FROM customer, (SELECT unnest(range(0, 3)) AS v)
+    ),
+    hist2 AS (
+      SELECT c_custkey, v, valid_from,
+             LEAD(valid_from) OVER (PARTITION BY c_custkey ORDER BY v) AS valid_to
+      FROM hist
+    )
+    SELECT h.v AS dim_version,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders o
+    JOIN hist2 h
+      ON o.o_custkey = h.c_custkey
+     AND CAST(o.o_orderdate AS DATE) >= h.valid_from
+     AND (h.valid_to IS NULL OR CAST(o.o_orderdate AS DATE) < h.valid_to)
+    GROUP BY h.v
+    """,
+    doc="point-in-time SCD2 dimension join: fact rows match the version "
+    "valid at event time (no leakage); equi-join on the key with an "
+    "interval residual, versions derived deterministically",
+    tags=("warehouse", "join", "scd", "pit"),
+)
+def q_pit_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    versions = cust.crossJoin(
+        F.broadcast(
+            cust.sparkSession.range(3).select(F.col("id").cast("int").alias("v"))
+        )
+    )
+    hist = versions.select(
+        "c_custkey", "v",
+        F.date_add(
+            F.lit("1994-06-01").cast("date"),
+            (F.col("c_custkey") % 97 + F.col("v") * 800).cast("int"),
+        ).alias("valid_from"),
+    )
+    w = Window.partitionBy("c_custkey").orderBy("v")
+    hist2 = hist.withColumn("valid_to", F.lead("valid_from").over(w))
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("od"), "o_totalprice"
+    )
+    j = o.join(
+        hist2,
+        (o["o_custkey"] == hist2["c_custkey"])
+        & (o["od"] >= hist2["valid_from"])
+        & (hist2["valid_to"].isNull() | (o["od"] < hist2["valid_to"])),
+    )
+    return j.groupBy(F.col("v").alias("dim_version")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("revenue_cents"),
+    )
