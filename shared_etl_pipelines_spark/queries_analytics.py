@@ -1554,3 +1554,89 @@ def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = pagerank(_pr_edges(spark, sf_dir), iterations=10, num_partitions=8)
     return out.select("node", F.round("rank", 4).alias("rank"))
+
+
+# ---------------------------------------------------------------------------
+# SAX symbolization (Lin et al.; the iSAX indexing primitive): each
+# user's 8-day window -> z-normalize -> PAA to 4 two-day segments ->
+# map segments to a 4-letter alphabet at the N(0,1) quartile
+# breakpoints (+-0.6745, 0). Output: corpus vocabulary of window
+# shapes (sax_word, n) — the discretization a symbolic time-series
+# index stores instead of raw floats. Arithmetic is written in the
+# same association order in both engines, so symbol boundaries see
+# bit-identical doubles.
+# ---------------------------------------------------------------------------
+_SAX_BP = ("-0.6745", "0.0", "0.6745")
+
+
+def _sax_sql() -> str:
+    ls = ", ".join(
+        f"LEAD(v, {j}) OVER (PARTITION BY user_id ORDER BY day) AS l{j}"
+        for j in range(1, 8)
+    )
+    vs = ["v"] + [f"l{j}" for j in range(1, 8)]
+    m = f"(({' + '.join(vs)}) / 8)"
+    var = f"(({' + '.join(f'({x} - {m}) * ({x} - {m})' for x in vs)}) / 8)"
+    segs = [f"((({vs[2*i]} - {m}) + ({vs[2*i+1]} - {m})) / 2 / sd)" for i in range(4)]
+    sym = lambda e: (  # noqa: E731
+        f"CASE WHEN {e} < {_SAX_BP[0]} THEN 'a' WHEN {e} < {_SAX_BP[1]} THEN 'b' "
+        f"WHEN {e} < {_SAX_BP[2]} THEN 'c' ELSE 'd' END"
+    )
+    word = " || ".join(sym(s) for s in segs)
+    return f"""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) / 100 AS v
+      FROM events GROUP BY 1, 2
+    ),
+    win AS (SELECT user_id, day, v, {ls} FROM daily),
+    stats AS (
+      SELECT *, sqrt({var}) AS sd FROM win WHERE l7 IS NOT NULL
+    )
+    SELECT {word} AS sax_word, CAST(COUNT(*) AS BIGINT) AS n
+    FROM stats WHERE sd > 0 GROUP BY 1
+    """
+
+
+@defquery(
+    "sax_window_vocab",
+    _sax_sql(),
+    doc="SAX symbolization of 8-day windows (PAA-4, alphabet-4 at N(0,1) "
+    "quartiles): the vocabulary of window shapes a symbolic index "
+    "(iSAX) stores in place of raw series",
+    tags=("timeseries", "window", "symbolic"),
+)
+def q_sax_window_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(
+        (
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).cast("double") / 100
+        ).alias("v")
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    cols = [F.col("v")] + [F.lead("v", j).over(w).alias(f"l{j}") for j in range(1, 8)]
+    win = daily.select("user_id", "day", *cols).filter(F.col("l7").isNotNull())
+    vs = [F.col("v")] + [F.col(f"l{j}") for j in range(1, 8)]
+    m = sum(vs[1:], vs[0]) / 8
+    var = sum(((x - m) * (x - m) for x in vs[1:]), (vs[0] - m) * (vs[0] - m)) / 8
+    sd = F.sqrt(var)
+    bp = [float(b) for b in _SAX_BP]
+
+    def sym(e):
+        return (
+            F.when(e < bp[0], F.lit("a"))
+            .when(e < bp[1], F.lit("b"))
+            .when(e < bp[2], F.lit("c"))
+            .otherwise(F.lit("d"))
+        )
+
+    segs = [((vs[2 * i] - m) + (vs[2 * i + 1] - m)) / 2 / sd for i in range(4)]
+    word = F.concat(*[sym(s) for s in segs])
+    return (
+        win.withColumn("sd", sd)
+        .filter(F.col("sd") > 0)
+        .groupBy(word.alias("sax_word"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
