@@ -1640,3 +1640,62 @@ def q_sax_window_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(word.alias("sax_word"))
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling correlation: 14-day trailing corr() between the daily click
+# and purchase revenue series — corr as a WINDOW aggregate over a
+# pivoted two-column frame, the co-movement monitor a metrics pipeline
+# ships next to the global correlation_matrix. One pivot scan + one
+# ordered window; windows shorter than 4 days are suppressed (corr of
+# a near-empty frame is noise in any engine).
+# ---------------------------------------------------------------------------
+@defquery(
+    "rolling_corr_14",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             CAST(SUM(CASE WHEN event_type = 'click'
+                  THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END) AS DOUBLE)
+               AS click_v,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(ROUND(value * 100, 0) AS BIGINT) ELSE 0 END) AS DOUBLE)
+               AS buy_v
+      FROM events GROUP BY 1
+    ),
+    w AS (
+      SELECT day, click_v, buy_v,
+             corr(click_v, buy_v) OVER
+               (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS c,
+             COUNT(*) OVER
+               (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS nw
+      FROM daily
+    )
+    SELECT CAST(day AS VARCHAR) AS day, ROUND(c, 4) AS corr14
+    FROM w WHERE nw >= 4
+    """,
+    doc="14-day rolling correlation between click and purchase daily "
+    "revenue: corr as a window aggregate over one pivoted scan",
+    tags=("timeseries", "statistics", "window"),
+)
+def q_rolling_corr_14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "click", cents).otherwise(0))
+        .cast("double")
+        .alias("click_v"),
+        F.sum(F.when(F.col("event_type") == "purchase", cents).otherwise(0))
+        .cast("double")
+        .alias("buy_v"),
+    )
+    w = Window.orderBy("day").rowsBetween(-13, 0)
+    out = daily.select(
+        "day",
+        F.corr("click_v", "buy_v").over(w).alias("c"),
+        F.count(F.lit(1)).over(w).alias("nw"),
+    ).filter(F.col("nw") >= 4)
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.round("c", 4).alias("corr14"),
+    )

@@ -3009,3 +3009,48 @@ def q_similarity_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFr
     return out.select(
         "query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rn"
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split: the hash-range assignment every
+# training pipeline needs — layout-invariant (pure function of doc_id),
+# stratification-friendly (the hash is uniform within every source),
+# and auditable (the query reports the realized counts per source x
+# split). 28-bit md5 range cut at 80%/90% — same formula family as
+# operators/sampling.py stratified_sample.
+# ---------------------------------------------------------------------------
+@defquery(
+    "train_val_test_split",
+    """
+    WITH h AS (
+      SELECT source,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) AS hv
+      FROM documents
+    ),
+    s AS (
+      SELECT source,
+             CASE WHEN hv < 0.8 * 268435456 THEN 'train'
+                  WHEN hv < 0.9 * 268435456 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM h
+    )
+    SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n
+    FROM s GROUP BY source, split
+    """,
+    doc="deterministic hash-range train/val/test split (80/10/10): "
+    "layout-invariant doc assignment with a per-source audit rollup",
+    tags=("llm", "curation", "sampling"),
+)
+def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    hv = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 7), 16, 10
+    ).cast("long")
+    split = (
+        F.when(hv < 0.8 * (1 << 28), F.lit("train"))
+        .when(hv < 0.9 * (1 << 28), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select("source", split.alias("split")).groupBy(
+        "source", "split"
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
