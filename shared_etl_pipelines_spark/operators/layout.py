@@ -117,3 +117,28 @@ def compact_small_files(
         out = df.repartition(n_out)
     out.write.mode("overwrite").parquet(dst_path)
     return {"files_in": files_in, "bytes_in": int(bytes_in), "files_out": int(n_out)}
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int = 8,
+    sort_cols: Sequence[str] | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sorted) managed
+    table — Spark's co-location contract: two tables bucketed by the
+    same key into the same bucket count join WITHOUT an exchange on
+    either side (the classic big-fact x big-fact answer when broadcast
+    is impossible and shuffle is the bottleneck). Bucket pruning also
+    serves point lookups on the bucket key.
+
+    At 100 TB this is a write-once cost paid at ingest; every
+    subsequent co-keyed join, aggregation, or MERGE reads pre-shuffled
+    data. (File-format note: bucketing metadata lives in the catalog,
+    so this writes a managed table, not bare parquet paths.)
+    """
+    w = df.write.mode("overwrite").bucketBy(int(num_buckets), *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table)
