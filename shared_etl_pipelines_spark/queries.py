@@ -660,7 +660,11 @@ _R2_GREEN = frozenset(
         # for a fresh verdict.
         "raster_tif_rollsum", "shapefile_clip", "zonal_stats_ranked",
         "zonal_stats_disc", "doc_fingerprint", "similarity_topk",
-        "embedding_near_dup", "similarity_topk_lsh",
+        "embedding_near_dup",
+        # "similarity_topk_lsh" was r2-green but lsh_bucket_topk's
+        # query-side probe construction was refactored for multi-probe
+        # this round (behavior-identical for single probe, locally
+        # re-verified) — re-fronted for a fresh verdict.
         "similarity_topk_ivf",
         "multimodal_decode", "multimodal_frame_sample", "multimodal_features",
         "stratified_sample_docs", "multimodal_resize", "vocab_top_terms",
