@@ -1699,3 +1699,101 @@ def q_rolling_corr_14(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         F.round("c", 4).alias("corr14"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-drift detection: PSI (population stability index) of
+# order prices, current period vs baseline period, over decile bins cut
+# from the BASELINE distribution — the monitoring gate a production
+# data pipeline runs before accepting a new batch (PSI > 0.2 = major
+# shift). Scale shape: one exact-percentile pass over the baseline for
+# the 9 edges (a 9-row broadcast), then bin assignment is a broadcast
+# join + conditional count — all mergeable, no global sort, no
+# per-value window (contrast a KS statistic, which needs a full-order
+# cumsum).
+# ---------------------------------------------------------------------------
+@defquery(
+    "psi_drift_check",
+    """
+    WITH base AS (
+      SELECT o_totalprice AS v FROM orders WHERE o_orderdate < '1998-01-01'
+    ),
+    cur AS (
+      SELECT o_totalprice AS v FROM orders WHERE o_orderdate >= '1998-01-01'
+    ),
+    edges AS (
+      SELECT unnest(quantile_cont(v, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9])) AS e
+      FROM base
+    ),
+    bb AS (
+      SELECT (SELECT COUNT(*) FROM edges WHERE v > e) AS bin FROM base
+    ),
+    cb AS (
+      SELECT (SELECT COUNT(*) FROM edges WHERE v > e) AS bin FROM cur
+    ),
+    counts AS (
+      SELECT b.bin,
+             CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM base) AS pa,
+             CAST(COALESCE(c.n, 0) AS DOUBLE) / (SELECT COUNT(*) FROM cur) AS pb
+      FROM bb b
+      LEFT JOIN (SELECT bin, COUNT(*) AS n FROM cb GROUP BY bin) c USING (bin)
+      GROUP BY b.bin, c.n
+    )
+    SELECT CAST(bin AS BIGINT) AS bin, ROUND(pa, 4) AS frac_base,
+           ROUND(pb, 4) AS frac_cur,
+           ROUND((pb - pa) * ln(GREATEST(pb, 0.0001) / GREATEST(pa, 0.0001)), 4)
+             AS psi_term
+    FROM counts
+    """,
+    doc="PSI drift check: current-vs-baseline order prices over decile "
+    "bins cut from the baseline; per-bin PSI terms (sum > 0.2 = major "
+    "shift) — 9-row broadcast edges, mergeable counts, no global sort",
+    tags=("statistics", "quality", "drift"),
+)
+def q_psi_drift_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("v"), F.col("o_orderdate").cast("date").alias("d")
+    )
+    cutoff = F.lit("1998-01-01").cast("date")
+    base = o.filter(F.col("d") < cutoff).select("v")
+    cur = o.filter(F.col("d") >= cutoff).select("v")
+    edges = base.agg(
+        F.percentile("v", F.array(*[F.lit(x / 10) for x in range(1, 10)])).alias("es")
+    ).select(F.explode("es").alias("e"))
+
+    # bin per DISTINCT value (multiplicity carried as n), so the 9-row
+    # broadcast join fans out over value cardinality, not row count
+    vb = (
+        base.groupBy("v").agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(edges))
+        .groupBy("v", "n")
+        .agg(F.sum(F.when(F.col("v") > F.col("e"), 1).otherwise(0)).alias("bin"))
+    )
+    cb = (
+        cur.groupBy("v").agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(edges))
+        .groupBy("v", "n")
+        .agg(F.sum(F.when(F.col("v") > F.col("e"), 1).otherwise(0)).alias("bin"))
+    )
+    # two bounded scalar collects (row counts), same discipline as the
+    # convergence scalars in connected_components
+    nb = base.count()
+    nc = cur.count()
+    pa = vb.groupBy("bin").agg((F.sum("n").cast("double") / nb).alias("pa"))
+    pb = cb.groupBy("bin").agg((F.sum("n").cast("double") / nc).alias("pb"))
+    j = pa.join(pb, "bin", "left").select(
+        "bin", "pa", F.coalesce("pb", F.lit(0.0)).alias("pb")
+    )
+    return j.select(
+        F.col("bin").cast("long").alias("bin"),
+        F.round("pa", 4).alias("frac_base"),
+        F.round("pb", 4).alias("frac_cur"),
+        F.round(
+            (F.col("pb") - F.col("pa"))
+            * F.log(
+                F.greatest(F.col("pb"), F.lit(0.0001))
+                / F.greatest(F.col("pa"), F.lit(0.0001))
+            ),
+            4,
+        ).alias("psi_term"),
+    )
