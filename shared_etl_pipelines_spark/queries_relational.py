@@ -1743,3 +1743,58 @@ def q_pit_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("revenue_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Primary-key uniqueness audit — the PK companion of
+# fk_integrity_check: for every declared key, how many key values are
+# duplicated and how many rows sit in duplicate groups. One map-side-
+# combinable groupBy per table; the per-table results union into one
+# report frame.
+# ---------------------------------------------------------------------------
+_PK_KEYS = [
+    ("orders", ["o_orderkey"]),
+    ("customer", ["c_custkey"]),
+    ("part", ["p_partkey"]),
+    ("supplier", ["s_suppkey"]),
+    ("lineitem", ["l_orderkey", "l_linenumber"]),
+    ("documents", ["doc_id"]),
+    ("events", ["event_id"]),
+]
+
+
+@defquery(
+    "pk_uniqueness_check",
+    " UNION ALL ".join(
+        f"""
+        SELECT '{t}({" ".join(k)})' AS key_name,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys,
+               CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_rows
+        FROM (SELECT COUNT(*) AS c FROM {t} GROUP BY {", ".join(k)})
+        """
+        for t, k in _PK_KEYS
+    ),
+    doc="primary-key uniqueness audit: duplicated key values and rows "
+    "per declared key, one mergeable groupBy per table",
+    tags=("quality", "aggregate", "warehouse"),
+)
+def q_pk_uniqueness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    outs = []
+    for t, k in _PK_KEYS:
+        g = _t(spark, sf_dir, t).groupBy(*k).agg(F.count(F.lit(1)).alias("c"))
+        outs.append(
+            g.agg(
+                F.lit(f"{t}({' '.join(k)})").alias("key_name"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("n_dup_keys"),
+                F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+                .cast("long")
+                .alias("n_dup_rows"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), outs)
