@@ -1797,3 +1797,45 @@ def q_psi_drift_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("psi_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day distinct users (the WAU curve). COUNT(DISTINCT) is not
+# a window aggregate in any engine at scale; the scalable exact form:
+# collapse to distinct (day, user) pairs (one mergeable groupBy), then
+# for each day of the spine count pairs within its trailing window via
+# a range-condition join — |pairs| x 7 intermediate, linear in data,
+# no per-day re-scan, no window state. The approximate twin at extreme
+# cardinality is hll_daily_distinct (sketch union over the window).
+# ---------------------------------------------------------------------------
+@defquery(
+    "rolling_wau",
+    """
+    WITH du AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du)
+    SELECT CAST(d.day AS VARCHAR) AS day,
+           CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+    FROM days d
+    JOIN du u ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+    GROUP BY d.day
+    """,
+    doc="rolling 7-day distinct users (WAU): distinct (day,user) pairs "
+    "joined to the day spine on a trailing range — exact, linear, no "
+    "window distinct state; hll_daily_distinct is the sketch twin",
+    tags=("timeseries", "aggregate", "distinct"),
+)
+def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    du = ev.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = du.select(F.col("day").alias("d")).distinct()
+    j = days.join(
+        du,
+        (F.col("day") >= F.date_sub(F.col("d"), 6)) & (F.col("day") <= F.col("d")),
+    )
+    return j.groupBy(F.col("d")).agg(
+        F.countDistinct("user_id").cast("long").alias("wau")
+    ).select(F.date_format("d", "yyyy-MM-dd").alias("day"), "wau")

@@ -1798,3 +1798,59 @@ def q_pk_uniqueness_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return reduce(lambda a, b: a.unionByName(b), outs)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5 shape: revenue from LOCAL suppliers — customer and supplier
+# must share a nation, which makes the join graph CYCLIC (orders ->
+# customer -> nation <- supplier <- lineitem): the one decision-support
+# shape the acyclic star queries (regional_revenue) don't cover.
+# Catalyst breaks the cycle by joining the fact chain first and
+# applying c_nationkey = s_nationkey as a residual equi-condition;
+# all dimension sides broadcast.
+# ---------------------------------------------------------------------------
+@defquery(
+    "local_supplier_revenue",
+    """
+    SELECT n_name AS nation,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM customer, orders, lineitem, supplier, nation
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    doc="Q5 shape: local-supplier revenue per nation — cyclic join graph "
+    "(customer and supplier share a nation), dimensions broadcast, "
+    "integer-cents revenue",
+    tags=("join", "aggregate", "star", "cyclic"),
+)
+def q_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(
+            F.broadcast(s),
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    return j.groupBy(F.col("n_name").alias("nation")).agg(
+        F.sum(cents).cast("long").alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
