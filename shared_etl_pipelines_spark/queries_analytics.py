@@ -1839,3 +1839,83 @@ def q_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.groupBy(F.col("d")).agg(
         F.countDistinct("user_id").cast("long").alias("wau")
     ).select(F.date_format("d", "yyyy-MM-dd").alias("day"), "wau")
+
+
+# ---------------------------------------------------------------------------
+# Column-profile drift: the schema/quality companion of the PSI value
+# check — per column, null-rate and distinct-cardinality change between
+# the baseline and current periods. Runs the Expand-free profile
+# (operators/quality.py) once per period and joins the two one-row-per-
+# column frames; the oracle recomputes both profiles directly.
+# ---------------------------------------------------------------------------
+_DRIFT_COLS = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"]
+
+
+def _drift_side_sql(pred: str, alias: str) -> str:
+    parts = []
+    for c in _DRIFT_COLS:
+        parts.append(f"""
+        SELECT '{c}' AS col,
+               CAST(COUNT(*) AS BIGINT) AS n_{alias},
+               CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS null_{alias},
+               CAST(COUNT(DISTINCT {c}) AS BIGINT) AS dist_{alias}
+        FROM orders WHERE {pred}
+        """)
+    return " UNION ALL ".join(parts)
+
+
+@defquery(
+    "profile_drift",
+    f"""
+    WITH b AS ({_drift_side_sql("o_orderdate < '1998-01-01'", 'b')}),
+    c AS ({_drift_side_sql("o_orderdate >= '1998-01-01'", 'c')})
+    SELECT b.col,
+           ROUND(CAST(null_b AS DOUBLE) / n_b, 4) AS null_rate_base,
+           ROUND(CAST(null_c AS DOUBLE) / n_c, 4) AS null_rate_cur,
+           dist_b, dist_c,
+           ROUND(CAST(dist_c AS DOUBLE) * n_b / (CAST(dist_b AS DOUBLE) * n_c), 4)
+             AS dist_density_ratio
+    FROM b JOIN c USING (col)
+    """,
+    doc="column-profile drift: null-rate and distinct-density change "
+    "between baseline and current periods (schema/quality companion of "
+    "psi_drift_check)",
+    tags=("quality", "drift", "profiling"),
+)
+def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.operators.quality import profile_columns
+
+    o = _t(spark, sf_dir, "orders")
+    cutoff = F.lit("1998-01-01").cast("date")
+    d = F.col("o_orderdate").cast("date")
+    base = profile_columns(o.filter(d < cutoff), _DRIFT_COLS).select(
+        "col",
+        F.col("n").alias("n_b"),
+        F.col("n_null").alias("null_b"),
+        F.col("n_distinct").alias("dist_b"),
+    )
+    cur = profile_columns(o.filter(d >= cutoff), _DRIFT_COLS).select(
+        "col",
+        F.col("n").alias("n_c"),
+        F.col("n_null").alias("null_c"),
+        F.col("n_distinct").alias("dist_c"),
+    )
+    j = base.join(cur, "col")
+    return j.select(
+        "col",
+        F.round(F.col("null_b").cast("double") / F.col("n_b"), 4).alias(
+            "null_rate_base"
+        ),
+        F.round(F.col("null_c").cast("double") / F.col("n_c"), 4).alias(
+            "null_rate_cur"
+        ),
+        F.col("dist_b"),
+        F.col("dist_c"),
+        F.round(
+            F.col("dist_c").cast("double")
+            * F.col("n_b")
+            / (F.col("dist_b").cast("double") * F.col("n_c")),
+            4,
+        ).alias("dist_density_ratio"),
+    )
