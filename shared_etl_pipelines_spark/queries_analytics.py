@@ -1919,3 +1919,63 @@ def q_profile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("dist_density_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Conversion latency: the time-to-convert distribution (view -> first
+# qualifying purchase per user), p50/p90 in minutes — the metric next
+# to event_funnel's stage counts. Exact percentiles over per-user
+# scalars (one row per converting user — tiny), integer minutes so the
+# hashes are summation-order-free.
+# ---------------------------------------------------------------------------
+@defquery(
+    "conversion_latency",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_buy
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+      WHERE e.event_type = 'purchase'
+      GROUP BY e.user_id
+    ),
+    lat AS (
+      SELECT CAST(FLOOR(date_diff('second', v.t_view, p.t_buy) / 60.0) AS BIGINT)
+               AS mins
+      FROM v JOIN p ON v.user_id = p.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           CAST(FLOOR(quantile_cont(mins, 0.5)) AS BIGINT) AS p50_mins,
+           CAST(FLOOR(quantile_cont(mins, 0.9)) AS BIGINT) AS p90_mins,
+           CAST(MAX(mins) AS BIGINT) AS max_mins
+    FROM lat
+    """,
+    doc="conversion latency: minutes from first view to first subsequent "
+    "purchase per user; floored continuous p50/p90 over integer minutes",
+    tags=("analytics", "funnel", "percentile"),
+)
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_buy"))
+    )
+    lat = v.join(p, "user_id").select(
+        F.floor(
+            (F.unix_timestamp("t_buy") - F.unix_timestamp("t_view")) / 60.0
+        ).cast("long").alias("mins")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.floor(F.percentile("mins", F.lit(0.5))).cast("long").alias("p50_mins"),
+        F.floor(F.percentile("mins", F.lit(0.9))).cast("long").alias("p90_mins"),
+        F.max("mins").cast("long").alias("max_mins"),
+    )
