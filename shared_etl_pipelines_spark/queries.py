@@ -689,12 +689,37 @@ _JUDGED_GREEN = _R1_GREEN | _R2_GREEN
 # sql=None entries that still deserve one gate slot this round.
 _FORCE_FRONT = frozenset({"embedding_pca_project"})
 
+# Oracle-bearing entries that existed at the r2 judging but were never
+# reached by the time-capped gate (r1+r2 carryovers, VERDICT r2 item 2).
+# They have waited two rounds, so they outrank this round's new entries
+# in the walk order — without this tier the ~45 r3 additions (which
+# register earlier in module import order) would starve them again.
+_CARRYOVER_FIRST = (
+    "regional_revenue", "salted_skew_join", "grouping_sets_pricing",
+    "global_top_orders", "json_props_rollup", "pivot_status_by_month",
+    "daily_revenue_deltas", "gap_fill_user_days", "scd2_customer_merge",
+    "above_customer_avg_orders", "ntile_order_quartiles", "price_histogram",
+    "value_distribution_ranks", "rolling_median_7", "priority_extremes",
+    "exists_late_orders", "not_in_null_aware", "having_large_orders",
+    "top_revenue_suppliers", "lateral_top_orders", "null_safe_join",
+    "setops_multiset", "unpivot_flag_metrics",
+    # judged-then-modified entries re-fronted this round:
+    "rolling_sums", "embedding_covariance", "similarity_topk_lsh_indexed",
+    "corpus_curation", "data_quality_profile", "similarity_topk_lsh",
+)
+
 
 def _rotate_registry() -> None:
+    first: dict[str, QueryDef] = {}
     front: dict[str, QueryDef] = {}
     back: dict[str, QueryDef] = {}
     last: dict[str, QueryDef] = {}
+    for name in _CARRYOVER_FIRST:
+        if name in REGISTRY and REGISTRY[name].sql is not None:
+            first[name] = REGISTRY[name]
     for k, v in REGISTRY.items():
+        if k in first:
+            continue
         if k in _FORCE_FRONT:
             front[k] = v
         elif v.sql is None:
@@ -704,6 +729,7 @@ def _rotate_registry() -> None:
         else:
             front[k] = v
     REGISTRY.clear()
+    REGISTRY.update(first)
     REGISTRY.update(front)
     REGISTRY.update(back)
     REGISTRY.update(last)
