@@ -3054,3 +3054,51 @@ def q_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("source", split.alias("split")).groupBy(
         "source", "split"
     ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Positional inverted index + phrase search: build (term, doc, pos)
+# postings and answer the phrase query "data value" by a positional
+# self-join (term A at pos p, term B at p+1) — the retrieval structure
+# under every corpus search tool. Scale shape: the postings frame is
+# the tokenize explode (one corpus pass); the phrase join filters each
+# side to ITS term first, so the join input is two slim posting lists,
+# equi-joined on (doc, pos) alignment — never a full postings x
+# postings product.
+# ---------------------------------------------------------------------------
+@defquery(
+    "phrase_search",
+    f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    p AS (SELECT doc_id, CAST(unnest(range(1, len(toks) + 1)) AS BIGINT) AS pos,
+                 toks FROM t),
+    post AS (SELECT doc_id, pos, toks[pos] AS term FROM p),
+    a AS (SELECT doc_id, pos FROM post WHERE term = 'data'),
+    b AS (SELECT doc_id, pos FROM post WHERE term = 'value'),
+    hits AS (
+      SELECT a.doc_id, a.pos FROM a JOIN b
+        ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MIN(pos) AS BIGINT) AS first_pos
+    FROM hits GROUP BY doc_id
+    """,
+    doc="positional inverted-index phrase search ('data value'): "
+    "term-filtered posting lists equi-joined on (doc, pos+1) adjacency",
+    tags=("llm", "text", "search", "index"),
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    post = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos0", "term")
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "term")
+    a = post.filter(F.col("term") == "data").select("doc_id", "pos")
+    b = post.filter(F.col("term") == "value").select(
+        F.col("doc_id").alias("d2"), F.col("pos").alias("p2")
+    )
+    hits = a.join(b, (a["doc_id"] == b["d2"]) & (b["p2"] == a["pos"] + 1))
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.min("pos").cast("long").alias("first_pos"),
+    )
