@@ -1854,3 +1854,63 @@ def q_local_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents).cast("long").alias("revenue_cents"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q19 shape: disjunctive multi-table predicates — three OR
+# branches, each an AND of part attributes and lineitem ranges. The
+# plan point: Catalyst extracts the common l_partkey = p_partkey
+# conjunct OUT of the disjunction so the join stays an equi-join (a
+# naive reading would force a nested loop); the per-branch residual
+# evaluates post-join, and the common lineitem bounds are pushed to
+# the scan.
+# ---------------------------------------------------------------------------
+@defquery(
+    "promo_revenue_disjunctive",
+    """
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem, part
+    WHERE (p_partkey = l_partkey AND p_brand = 'Brand#1'
+           AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+       OR (p_partkey = l_partkey AND p_brand = 'Brand#2'
+           AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+       OR (p_partkey = l_partkey AND p_brand = 'Brand#3'
+           AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+    """,
+    doc="Q19 shape: disjunctive part x lineitem predicates — the common "
+    "equi-conjunct is factored out of the OR so the join stays hash, "
+    "branch residuals evaluate post-join",
+    tags=("join", "predicate", "aggregate"),
+)
+def q_promo_revenue_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    branch = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 40)
+        )
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    return j.filter(branch).agg(
+        F.sum(cents).cast("long").alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
