@@ -534,3 +534,68 @@ def test_stream_new_doc_dedup_matches_batch_anti_join(spark, sf_dir):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_foreach_batch_keyed_upsert_merge(spark, events, drop_dir, tmp_path):
+    """Streaming MERGE: each micro-batch upserts latest-per-user rows
+    into a keyed parquet table via foreachBatch (read-merge-rewrite,
+    the file-format analog of MERGE INTO). Final table == batch
+    keep-latest over the whole stream, independent of batch slicing."""
+    import os
+
+    sub, days = drop_dir
+    tbl = str(tmp_path / "user_latest")
+    ckpt = str(tmp_path / "ckpt3")
+    stream = read_drop_dir(
+        spark, sub, events.schema, date_regex=None, max_files_per_trigger=1
+    )
+
+    def upsert(batch_df, batch_id):
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        latest = (
+            batch_df.withColumn("_rn", F.row_number().over(w))
+            .filter("_rn = 1")
+            .select("user_id", "ts", "event_id", "value")
+        )
+        if os.path.exists(tbl):
+            cur = spark.read.parquet(tbl)
+            merged = (
+                cur.unionByName(latest)
+                .withColumn("_rn", F.row_number().over(w))
+                .filter("_rn = 1")
+                .drop("_rn")
+            )
+        else:
+            merged = latest
+        out = str(tmp_path / f"_stage_{batch_id}")
+        merged.write.mode("overwrite").parquet(out)
+        stage = spark.read.parquet(out)
+        stage.write.mode("overwrite").parquet(tbl)
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        r["user_id"]: (r["event_id"])
+        for r in spark.read.parquet(tbl).collect()
+    }
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    streamed = events.filter(F.to_date("ts").isin(days))
+    want = {
+        r["user_id"]: r["event_id"]
+        for r in streamed.withColumn("_rn", F.row_number().over(w))
+        .filter("_rn = 1")
+        .collect()
+    }
+    assert got == want and len(got) > 0
