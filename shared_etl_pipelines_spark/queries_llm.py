@@ -3102,3 +3102,80 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_occurrences"),
         F.min("pos").cast("long").alias("first_pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval for a two-term query ('data', 'value') — the
+# scoring function under classic corpus search, next to phrase_search's
+# positional index. Everything is aggregates over the postings frame:
+# tf per (doc, term), df per term (2-row broadcast), dl and avgdl from
+# one doc-length pass; score = sum_t idf(t) * tf*(k1+1) /
+# (tf + k1*(1-b+b*dl/avgdl)) with k1=1.2, b=0.75. Top-20 via
+# distributed TakeOrdered, arithmetic written in the same association
+# order in both engines.
+# ---------------------------------------------------------------------------
+_BM25_TERMS = ("data", "value")
+
+
+@defquery(
+    "bm25_search",
+    f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    post AS (SELECT doc_id, unnest(toks) AS term FROM t),
+    dl AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl FROM t),
+    avgdl AS (SELECT AVG(dl) AS avgdl FROM dl),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM t),
+    tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+      FROM post WHERE term IN ('data', 'value') GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(ln((n.n - df.df + 0.5) / (df.df + 0.5) + 1)
+                 * (tf.tf * 2.2)
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / avgdl.avgdl)))
+               AS score
+      FROM tf JOIN df USING (term)
+      JOIN dl ON dl.doc_id = tf.doc_id
+      CROSS JOIN avgdl CROSS JOIN n
+      GROUP BY tf.doc_id
+    )
+    SELECT doc_id, ROUND(score, 4) AS score
+    FROM scored ORDER BY score DESC, doc_id LIMIT 20
+    """,
+    doc="BM25 top-20 for the query ('data','value'): tf/df/dl aggregates "
+    "over one postings pass, 2-row idf broadcast, distributed top-k",
+    tags=("llm", "text", "search", "ranking"),
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    post = toks.select("doc_id", F.explode("toks").alias("term"))
+    dl = toks.select("doc_id", F.size("toks").cast("double").alias("dl"))
+    avgdl = dl.agg(F.avg("dl").alias("avgdl"))
+    n = toks.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    tf = (
+        post.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    j = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(avgdl))
+        .crossJoin(F.broadcast(n))
+    )
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    termscore = (
+        idf
+        * (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / F.col("avgdl")))
+    )
+    scored = j.groupBy("doc_id").agg(F.sum(termscore).alias("score"))
+    return (
+        scored.select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(20)
+    )
