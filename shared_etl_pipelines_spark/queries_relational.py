@@ -1914,3 +1914,602 @@ def q_promo_revenue_disjunctive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(cents).cast("long").alias("revenue_cents"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+# ===========================================================================
+# Round-3 batch: the remaining classic TPC-H decision-support shapes,
+# adapted to the reduced testdata schema (no partsupp / commitdate /
+# receiptdate / shipmode — the part<->supplier relationship is derived
+# from lineitem, ship lag from shipdate - orderdate). Together with the
+# existing pricing_summary (Q1), exists_late_orders (Q4), local_supplier_
+# revenue (Q5), customer_order_distribution (Q13), promo_revenue_
+# disjunctive (Q19), waiting_supplier_blame (Q21) and idle_rich_customers
+# (Q22) this completes the TPC-H query-shape catalog.
+# All money sums use the integer-cents convention (header of queries.py).
+# ===========================================================================
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q2 shape: minimum-cost supplier per part within a region — the
+# correlated-MIN shape. Unit cost is derived from lineitem (cents, so
+# the min-equality join is exact integer math). Plan: per-(part,supp)
+# agg, window-MIN per part (no self-join), dimension sides broadcast.
+# ---------------------------------------------------------------------------
+@defquery(
+    "min_cost_supplier_region",
+    """
+    WITH costs AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(MIN(CAST(ROUND(l_extendedprice * 100 / l_quantity, 0)
+                             AS BIGINT)) AS BIGINT) AS unit_cost_cents
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+    ), eligible AS (
+        SELECT c.l_partkey, c.unit_cost_cents, s_name, n_name
+        FROM costs c, supplier, nation, region
+        WHERE c.l_suppkey = s_suppkey
+          AND s_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey
+          AND r_name = 'EUROPE'
+    )
+    SELECT e.l_partkey AS partkey,
+           e.s_name AS supplier,
+           e.n_name AS nation,
+           e.unit_cost_cents AS unit_cost_cents
+    FROM eligible e, part
+    WHERE p_partkey = e.l_partkey
+      AND p_type = 'LARGE'
+      AND p_size BETWEEN 10 AND 20
+      AND e.unit_cost_cents = (SELECT MIN(e2.unit_cost_cents)
+                               FROM eligible e2
+                               WHERE e2.l_partkey = e.l_partkey)
+    """,
+    doc="Q2 shape: min-cost supplier per part in a region — correlated MIN "
+    "done as a window (no self-join), integer-cents cost, dims broadcast",
+    tags=("join", "subquery", "window"),
+)
+def q_min_cost_supplier_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(
+            F.round(F.col("l_extendedprice") * 100 / F.col("l_quantity"), 0).cast(
+                "long"
+            )
+        ).alias("unit_cost_cents")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE").select(
+        "r_regionkey"
+    )
+    eligible = (
+        costs.join(F.broadcast(s), costs["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .select("l_partkey", "unit_cost_cents", "s_name", "n_name")
+    )
+    w = Window.partitionBy("l_partkey")
+    best = eligible.withColumn(
+        "min_cost", F.min("unit_cost_cents").over(w)
+    ).filter(F.col("unit_cost_cents") == F.col("min_cost"))
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "LARGE") & F.col("p_size").between(10, 20))
+        .select("p_partkey")
+    )
+    return best.join(F.broadcast(p), best["l_partkey"] == p["p_partkey"]).select(
+        F.col("l_partkey").alias("partkey"),
+        F.col("s_name").alias("supplier"),
+        F.col("n_name").alias("nation"),
+        "unit_cost_cents",
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q7 shape: bidirectional trade volume between two nations by
+# ship year — the both-directions OR predicate over a 6-table join.
+# ---------------------------------------------------------------------------
+@defquery(
+    "nation_pair_trade_volume",
+    """
+    SELECT n1.n_name AS supp_nation,
+           n2.n_name AS cust_nation,
+           CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                         AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM supplier, lineitem, orders, customer, nation n1, nation n2
+    WHERE s_suppkey = l_suppkey
+      AND o_orderkey = l_orderkey
+      AND c_custkey = o_custkey
+      AND s_nationkey = n1.n_nationkey
+      AND c_nationkey = n2.n_nationkey
+      AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY n1.n_name, n2.n_name, year(l_shipdate)
+    """,
+    doc="Q7 shape: trade volume between a nation pair, both directions, "
+    "per ship year — shipdate range pushed to the scan, dims broadcast",
+    tags=("join", "aggregate", "predicate"),
+)
+def q_nation_pair_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation"))
+    j = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n1), s["s_nationkey"] == F.col("n1_key"))
+        .join(F.broadcast(n2), c["c_nationkey"] == F.col("n2_key"))
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    return j.groupBy(
+        "supp_nation",
+        "cust_nation",
+        F.year("l_shipdate").cast("int").alias("ship_year"),
+    ).agg(
+        F.sum(cents).cast("long").alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q8 shape: a nation's market share inside a region per order
+# year. Numerator and denominator are integer-cents sums, so the final
+# division is deterministic across engines (sum order can't perturb it).
+# ---------------------------------------------------------------------------
+@defquery(
+    "nation_market_share",
+    """
+    SELECT o_year,
+           ROUND(CAST(SUM(CASE WHEN nation = 'NATION_5' THEN cents ELSE 0 END)
+                      AS DOUBLE) / SUM(cents), 4) AS mkt_share,
+           CAST(SUM(cents) AS BIGINT) AS total_cents
+    FROM (
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0)
+                    AS BIGINT) AS cents,
+               n2.n_name AS nation
+        FROM part, supplier, lineitem, orders, customer, nation n1,
+             nation n2, region
+        WHERE p_partkey = l_partkey
+          AND s_suppkey = l_suppkey
+          AND l_orderkey = o_orderkey
+          AND o_custkey = c_custkey
+          AND c_nationkey = n1.n_nationkey
+          AND n1.n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND s_nationkey = n2.n_nationkey
+          AND p_type = 'PROMO'
+    ) t
+    GROUP BY o_year
+    """,
+    doc="Q8 shape: supplier-nation market share within a consumer region "
+    "per year — nested agg over an 8-table join, exact integer-cents "
+    "numerator/denominator",
+    tags=("join", "aggregate", "star"),
+)
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region"))
+    n2 = n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation"))
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA").select("r_regionkey")
+    j = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n1), c["c_nationkey"] == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == r["r_regionkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n2), s["s_nationkey"] == F.col("n2_key"))
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100, 0
+    ).cast("long")
+    agg = j.groupBy(F.year("o_orderdate").cast("int").alias("o_year")).agg(
+        F.sum(F.when(F.col("nation") == "NATION_5", cents).otherwise(F.lit(0))).alias(
+            "nat_cents"
+        ),
+        F.sum(cents).alias("tot_cents"),
+    )
+    return agg.select(
+        "o_year",
+        F.round(F.col("nat_cents").cast("double") / F.col("tot_cents"), 4).alias(
+            "mkt_share"
+        ),
+        F.col("tot_cents").cast("long").alias("total_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q9 shape: product-type profit by supplier nation and year. No
+# partsupp in this schema, so cost is proxied as 60% of retail price;
+# profit is rounded to cents ONCE per row, then integer-summed (exact).
+# ---------------------------------------------------------------------------
+@defquery(
+    "product_type_profit",
+    """
+    SELECT n_name AS nation,
+           CAST(year(o_orderdate) AS INTEGER) AS o_year,
+           CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)
+                                - 0.6 * p_retailprice * l_quantity) * 100, 0)
+                         AS BIGINT)) AS BIGINT) AS profit_cents
+    FROM part, supplier, lineitem, orders, nation
+    WHERE p_partkey = l_partkey
+      AND s_suppkey = l_suppkey
+      AND o_orderkey = l_orderkey
+      AND s_nationkey = n_nationkey
+      AND p_type = 'ECONOMY'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+    doc="Q9 shape: profit (revenue minus 0.6*retail cost proxy) by "
+    "supplier nation and order year — per-row cents rounding, exact sums",
+    tags=("join", "aggregate", "star"),
+)
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey", "p_retailprice")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+    )
+    profit_cents = F.round(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - 0.6 * F.col("p_retailprice") * F.col("l_quantity")
+        )
+        * 100,
+        0,
+    ).cast("long")
+    return j.groupBy(
+        F.col("n_name").alias("nation"),
+        F.year("o_orderdate").cast("int").alias("o_year"),
+    ).agg(F.sum(profit_cents).cast("long").alias("profit_cents"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q11 shape: important stock — per-part shipped value within one
+# nation's suppliers, kept if above a fraction of the nation total (a
+# global scalar-subquery threshold). The Spark side broadcasts the
+# 1-row total back against the per-part aggregate — no single-partition
+# window exchange.
+# ---------------------------------------------------------------------------
+@defquery(
+    "important_stock_value",
+    """
+    WITH v AS (
+        SELECT l_partkey,
+               CAST(SUM(CAST(ROUND(l_quantity * p_retailprice * 100, 0)
+                             AS BIGINT)) AS BIGINT) AS value_cents
+        FROM lineitem, supplier, nation, part
+        WHERE l_suppkey = s_suppkey
+          AND s_nationkey = n_nationkey
+          AND n_name = 'NATION_3'
+          AND p_partkey = l_partkey
+        GROUP BY l_partkey
+    )
+    SELECT l_partkey AS partkey, value_cents
+    FROM v
+    WHERE value_cents > (SELECT 0.001 * SUM(value_cents) FROM v)
+    """,
+    doc="Q11 shape: per-part stock value for one nation's suppliers above "
+    "a global-total fraction — scalar subquery via 1-row broadcast join",
+    tags=("join", "aggregate", "subquery"),
+)
+def q_important_stock_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_name") == "NATION_3")
+        .select("n_nationkey")
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    v = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_quantity") * F.col("p_retailprice") * 100, 0).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("value_cents")
+        )
+    )
+    total = v.agg((F.lit(0.001) * F.sum("value_cents")).alias("threshold"))
+    return (
+        v.join(F.broadcast(total))
+        .filter(F.col("value_cents") > F.col("threshold"))
+        .select(F.col("l_partkey").alias("partkey"), "value_cents")
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q12 shape: ship-lag service buckets vs order priority. The
+# schema has no shipmode/receiptdate, so the bucket is days from order
+# to ship (integer datediff — exact in both engines).
+# ---------------------------------------------------------------------------
+@defquery(
+    "ship_lag_priority_counts",
+    """
+    SELECT CASE
+             WHEN datediff('day', CAST(o_orderdate AS DATE),
+                           CAST(l_shipdate AS DATE)) <= 30 THEN 'fast'
+             WHEN datediff('day', CAST(o_orderdate AS DATE),
+                           CAST(l_shipdate AS DATE)) <= 90 THEN 'normal'
+             ELSE 'slow'
+           END AS lag_bucket,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM orders, lineitem
+    WHERE o_orderkey = l_orderkey
+    GROUP BY 1
+    """,
+    doc="Q12 shape: order-to-ship lag buckets vs priority class — integer "
+    "datediff bucketing, conditional counts",
+    tags=("join", "aggregate", "timeseries"),
+)
+def q_ship_lag_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    j = li.join(o, li["l_orderkey"] == o["o_orderkey"])
+    lag = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    bucket = (
+        F.when(lag <= 30, "fast").when(lag <= 90, "normal").otherwise("slow")
+    ).alias("lag_bucket")
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return j.groupBy(bucket).agg(
+        F.sum(F.when(is_high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+        F.sum(F.when(is_high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q16 shape: how many distinct suppliers ship each (brand, type,
+# size) combo — COUNT(DISTINCT) after an anti-join exclusion list
+# (suppliers with negative balance), part attribute NOT-filters.
+# ---------------------------------------------------------------------------
+@defquery(
+    "part_supplier_variety",
+    """
+    SELECT p_brand, p_type, p_size,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand <> 'Brand#1'
+      AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                            WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    doc="Q16 shape: distinct-supplier variety per part attribute combo, "
+    "excluding negative-balance suppliers via broadcast anti-join",
+    tags=("join", "aggregate", "subquery"),
+)
+def q_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"], "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q17 shape: revenue from small-quantity orders — lineitems below
+# 50% of their part's average quantity. Quantities are integer-valued
+# doubles, so AVG is exact (integer sum / count) and the comparison is
+# deterministic across engines. The correlated scalar AVG becomes a
+# per-part aggregate joined back on partkey (shuffle join at scale —
+# the avg table is part-cardinality, too big to broadcast at 100 TB).
+# ---------------------------------------------------------------------------
+@defquery(
+    "small_qty_order_revenue",
+    """
+    SELECT CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS revenue_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem, part
+    WHERE p_partkey = l_partkey
+      AND p_brand = 'Brand#4'
+      AND l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                        FROM lineitem l2
+                        WHERE l2.l_partkey = p_partkey)
+    """,
+    doc="Q17 shape: small-quantity order revenue — correlated per-part "
+    "AVG as an aggregate-and-rejoin, exact integer-valued quantity math",
+    tags=("join", "aggregate", "subquery"),
+)
+def q_small_qty_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    avg_qty = li.groupBy(F.col("l_partkey").alias("a_partkey")).agg(
+        (F.lit(0.5) * F.avg("l_quantity")).alias("half_avg_qty")
+    )
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == "Brand#4")
+        .select("p_partkey")
+    )
+    j = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .join(avg_qty, li["l_partkey"] == F.col("a_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+    )
+    return j.agg(
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q18 shape: large-volume customers — orders whose total quantity
+# exceeds a threshold, with customer detail. The HAVING subquery is the
+# same aggregate reused (semi-join on orderkey).
+# ---------------------------------------------------------------------------
+@defquery(
+    "large_volume_customers",
+    """
+    SELECT c_custkey,
+           o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+           ROUND(o_totalprice, 4) AS totalprice,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+    FROM customer, orders, lineitem
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                         GROUP BY l_orderkey
+                         HAVING SUM(l_quantity) > 200)
+      AND c_custkey = o_custkey
+      AND o_orderkey = l_orderkey
+    GROUP BY c_custkey, o_orderkey, strftime(o_orderdate, '%Y-%m-%d'),
+             o_totalprice
+    """,
+    doc="Q18 shape: customers with orders above a total-quantity "
+    "threshold — aggregate once, filter, rejoin detail",
+    tags=("join", "aggregate", "subquery"),
+)
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("total_qty"))
+        .filter(F.col("total_qty") > 200)
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    return (
+        big.join(o, big["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 4).alias("totalprice"),
+            F.col("total_qty").cast("long").alias("total_qty"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q20 shape: suppliers who shipped an excess volume of a part
+# class in a year — nested HAVING aggregate driving a semi-join into
+# the supplier dimension.
+# ---------------------------------------------------------------------------
+@defquery(
+    "excess_shipper_names",
+    """
+    SELECT s_name AS supplier, n_name AS nation
+    FROM supplier, nation
+    WHERE s_nationkey = n_nationkey
+      AND s_suppkey IN (
+          SELECT l_suppkey
+          FROM lineitem, part
+          WHERE p_partkey = l_partkey
+            AND p_type = 'SMALL'
+            AND l_shipdate >= TIMESTAMP '1997-01-01'
+            AND l_shipdate < TIMESTAMP '1998-01-01'
+          GROUP BY l_suppkey
+          HAVING SUM(l_quantity) > 400)
+    """,
+    doc="Q20 shape: suppliers shipping excess volume of a part class in "
+    "a year — HAVING aggregate driving a semi-join",
+    tags=("join", "aggregate", "subquery"),
+)
+def q_excess_shipper_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "SMALL")
+        .select("p_partkey")
+    )
+    heavy = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 400)
+        .select("l_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        s.join(F.broadcast(heavy), s["s_suppkey"] == heavy["l_suppkey"], "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
+        .select(F.col("s_name").alias("supplier"), F.col("n_name").alias("nation"))
+    )
