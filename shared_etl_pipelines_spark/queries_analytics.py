@@ -1979,3 +1979,114 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.percentile("mins", F.lit(0.9))).cast("long").alias("p90_mins"),
         F.max("mins").cast("long").alias("max_mins"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Last-touch attribution: credit each purchase to the most recent
+# preceding non-purchase event of the same user. One window pass per
+# user (LAG over the filtered union is wrong — the previous event may
+# be any type, so the window runs over ALL events ordered by ts with
+# event_id as the deterministic tie-breaker), then aggregate credited
+# touch types. Scale: single hash-partition-by-user exchange; the
+# window state is O(1) per user (last non-purchase seen).
+# ---------------------------------------------------------------------------
+@defquery(
+    "attribution_last_touch",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type, value, ts, event_id,
+             LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch_type
+      FROM events
+    )
+    SELECT touch_type,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+             AS credited_value_cents
+    FROM seq
+    WHERE event_type = 'purchase' AND touch_type IS NOT NULL
+    GROUP BY touch_type
+    """,
+    doc="last-touch attribution: each purchase credited to the user's most "
+    "recent preceding non-purchase event type — one window pass, exact "
+    "integer-cents credited value",
+    tags=("window", "aggregate", "funnel"),
+)
+def q_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value", "ts", "event_id"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    seq = e.withColumn("touch_type", touch)
+    return (
+        seq.filter(
+            (F.col("event_type") == "purchase") & F.col("touch_type").isNotNull()
+        )
+        .groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("credited_value_cents"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# First-order Markov transition matrix over event types: consecutive
+# event pairs per user (LAG window), counts and per-from-state
+# probabilities. Probabilities divide two exact integer counts, so the
+# 4-decimal rounding is deterministic across engines.
+# ---------------------------------------------------------------------------
+@defquery(
+    "markov_event_transitions",
+    """
+    WITH pairs AS (
+      SELECT LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS from_type,
+             event_type AS to_type
+      FROM events
+    ),
+    cnt AS (
+      SELECT from_type, to_type, COUNT(*) AS n
+      FROM pairs WHERE from_type IS NOT NULL
+      GROUP BY from_type, to_type
+    )
+    SELECT from_type, to_type,
+           CAST(n AS BIGINT) AS n_transitions,
+           ROUND(CAST(n AS DOUBLE) /
+                 SUM(n) OVER (PARTITION BY from_type), 4) AS p_transition
+    FROM cnt
+    """,
+    doc="first-order Markov transition matrix of user event sequences — "
+    "LAG pairs, exact counts, deterministic probability rounding",
+    tags=("window", "aggregate", "statistics"),
+)
+def q_markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    cnt = pairs.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    wf = Window.partitionBy("from_type")
+    return cnt.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n_transitions"),
+        F.round(F.col("n").cast("double") / F.sum("n").over(wf), 4).alias(
+            "p_transition"
+        ),
+    )

@@ -3179,3 +3179,86 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), "doc_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations: pointwise mutual information of adjacent token
+# pairs over the whole corpus — the classic collocation detector for
+# tokenizer/vocab curation (flags multi-word units like "new york"
+# worth merging before BPE training). All inputs to the PMI expression
+# are exact integer counts, so the double math is bit-identical across
+# engines and the 4-decimal rounding is deterministic.
+# Scale: two groupBy passes (unigrams, bigrams) + one broadcast of the
+# two 1-row totals; the final unigram joins hash-partition on token.
+# ---------------------------------------------------------------------------
+@defquery(
+    "pmi_collocations",
+    f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    uni AS (
+      SELECT tok, COUNT(*) AS c
+      FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok
+    ),
+    nu AS (SELECT SUM(c) AS n FROM uni),
+    bg AS (
+      SELECT toks[i] AS w1, toks[i + 1] AS w2
+      FROM (SELECT unnest(range(1, len(toks))) AS i, toks FROM t)
+    ),
+    bc AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+    nb AS (SELECT SUM(c) AS n FROM bc)
+    SELECT w1, w2, CAST(bc.c AS BIGINT) AS n_pair,
+           ROUND(log2((CAST(bc.c AS DOUBLE) / nb.n) /
+                      ((CAST(u1.c AS DOUBLE) / nu.n)
+                       * (CAST(u2.c AS DOUBLE) / nu.n))), 4) + 0.0 AS pmi
+    FROM bc, nb, nu, uni u1, uni u2
+    WHERE u1.tok = w1 AND u2.tok = w2 AND bc.c >= 3
+    """,
+    doc="PMI collocations: pointwise mutual information of adjacent token "
+    "pairs (min pair count 3) — exact integer counts feed deterministic "
+    "double math; flags multi-word units for vocab curation",
+    tags=("llm", "text", "statistics"),
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    )
+    uni = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("uc"))
+    nu = uni.agg(F.sum("uc").alias("nu"))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        tok.withColumn("w2", F.lead("tok").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select(F.col("tok").alias("w1"), "w2")
+    )
+    bc_all = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    nb = bc_all.agg(F.sum("c").alias("nb"))
+    bc = bc_all.filter(F.col("c") >= 3)
+    u1 = uni.select(F.col("tok").alias("t1"), F.col("uc").alias("c1"))
+    u2 = uni.select(F.col("tok").alias("t2"), F.col("uc").alias("c2"))
+    j = (
+        bc.join(u1, bc["w1"] == u1["t1"])
+        .join(u2, bc["w2"] == u2["t2"])
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nu))
+    )
+    return j.select(
+        "w1",
+        "w2",
+        F.col("c").cast("long").alias("n_pair"),
+        (
+            # + 0.0 collapses IEEE negative zero: the gate's row sort keys
+            # on str(cell), where "-0.0" != "0.0" misaligns every row after
+            F.round(
+                F.log2(
+                    (F.col("c").cast("double") / F.col("nb"))
+                    / (
+                        (F.col("c1").cast("double") / F.col("nu"))
+                        * (F.col("c2").cast("double") / F.col("nu"))
+                    )
+                ),
+                4,
+            )
+            + F.lit(0.0)
+        ).alias("pmi"),
+    )
