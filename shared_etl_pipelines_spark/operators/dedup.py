@@ -520,3 +520,65 @@ def connected_components(
         prev_sum = cur_sum
     und.unpersist()
     return labels
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """AllPairs-style prefix-filtered n-gram Jaccard join — the exact
+    scale path for ngram_jaccard_pairs (same output, no all-pairs scan).
+
+    Canonical shingle order = (corpus frequency asc, shingle asc):
+    rarest first, ties broken lexically, so every executor derives the
+    identical order from one broadcastable frequency table. For a doc
+    with |S| distinct shingles the PREFIX is its first
+    |S| - ceil(t*|S|) + 1 shingles in that order.
+
+    Completeness: J(A,B) >= t implies |A∩B| >= t*|A∪B| >= t*|A|, hence
+    (integer) |A∩B| >= ceil(t*|A|). If A's prefix held no common
+    shingle, all of A∩B would sit in A's last ceil(t*|A|) - 1
+    positions — capping |A∩B| at ceil(t*|A|) - 1, a contradiction. So
+    A's prefix contains some common shingle w, and w ∈ B by definition:
+    joining PREFIX rows against ALL shingle rows on the shingle finds
+    every qualifying pair (the asymmetric probe is what makes this
+    complete — prefix-vs-prefix alone is not). Candidates are then
+    exactly verified on their full shingle arrays, so the output equals
+    the O(n^2) baseline's bit-for-bit.
+
+    Scale: cost concentrates in the prefix ⨝ rows equi-join, which is
+    linear in candidate count; rarest-first ordering keeps common
+    shingles out of prefixes unless a doc consists almost entirely of
+    common shingles. For adversarially skewed shingle distributions
+    compose with operators/skew.py salting on the join key.
+    """
+    sh = shingle_sets(df, id_col, text_col, n=n).filter(F.size("sh") > 0)
+    rows = sh.select(F.col(id_col).alias("doc"), F.explode("sh").alias("s"))
+    freq = rows.groupBy("s").agg(F.count(F.lit(1)).alias("s_freq"))
+    w = Window.partitionBy("doc").orderBy("s_freq", "s")
+    ranked = (
+        rows.join(freq, "s")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("doc")))
+    )
+    prefix = ranked.filter(
+        F.col("rn")
+        <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    ).select(F.col("doc").alias("pd"), "s")
+    cand = (
+        prefix.join(rows.select(F.col("doc").alias("od"), "s"), "s")
+        .filter(F.col("pd") != F.col("od"))
+        .select(
+            F.least("pd", "od").alias("doc_a"),
+            F.greatest("pd", "od").alias("doc_b"),
+        )
+        .distinct()
+    )
+    a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    return (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

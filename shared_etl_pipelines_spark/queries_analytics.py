@@ -2090,3 +2090,31 @@ def q_markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_transition"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min-prefiltered exact heavy hitters over part demand. The
+# answer equals the plain GROUP BY / HAVING oracle; the sketch only
+# prunes the exact-count shuffle to candidate keys (see
+# operators/sketches.py for the two-pass exactness argument and the
+# bounded depth*width driver collect).
+# ---------------------------------------------------------------------------
+@defquery(
+    "heavy_demand_parts_sketch",
+    """
+    SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING COUNT(*) >= 40
+    """,
+    doc="exact heavy-demand parts (count >= 40) behind a count-min sketch "
+    "prefilter: bounded-memory candidate pruning before the exact shuffle",
+    tags=("aggregate", "sketch", "scale-path"),
+)
+def q_heavy_demand_parts_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.operators.sketches import (
+        count_min_heavy_hitters,
+    )
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey")
+    return count_min_heavy_hitters(li, "l_partkey", threshold=40)

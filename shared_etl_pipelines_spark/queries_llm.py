@@ -3262,3 +3262,41 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("pmi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered exact Jaccard join — the scale path that makes the
+# O(n^2) ngram_jaccard_pairs baseline obsolete while returning the
+# IDENTICAL output (so it shares the exhaustive query's oracle SQL).
+# Unlike the MinHash-LSH path this is exact by construction, not
+# probabilistic: the rarest-first prefix probe is provably complete
+# (see operators/dedup.py:prefix_filter_jaccard_pairs) and candidates
+# are verified on full shingle arrays. Benched (the baseline is not).
+# ---------------------------------------------------------------------------
+@defquery(
+    "near_dup_prefix_filter",
+    f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    s AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM t),
+    ss AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+    FROM ss a JOIN ss b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.5
+    """,
+    doc="prefix-filtered exact 3-gram Jaccard join: AllPairs rarest-first "
+    "prefix probe + exact verify — same output as the O(n^2) baseline "
+    "without the all-pairs scan",
+    tags=("llm", "dedup", "scale-path"),
+)
+def q_near_dup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs,
+    )
+
+    out = prefix_filter_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5
+    )
+    return round_floats(out)

@@ -1,0 +1,90 @@
+"""Prefix-filtered Jaccard join and count-min-prefiltered heavy hitters:
+both are EXACT scale paths — pinned here against their brute-force twins
+on adversarial fixtures (the sf oracles cover the corpus tables)."""
+
+from pyspark.sql import functions as F
+
+from shared_etl_pipelines_spark.operators.dedup import (
+    ngram_jaccard_pairs,
+    prefix_filter_jaccard_pairs,
+)
+from shared_etl_pipelines_spark.operators.sketches import (
+    count_min_heavy_hitters,
+)
+
+
+def _pairs(rows):
+    return sorted((r["doc_a"], r["doc_b"], round(r["jaccard"], 4)) for r in rows)
+
+
+def test_prefix_filter_matches_exhaustive(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    near = base.replace("delta", "lambda")
+    far = "one two three four five six seven eight nine ten " * 3
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far), (4, base + " extra tail tokens here")],
+        ["doc_id", "text"],
+    )
+    for t in (0.3, 0.5, 0.8):
+        exact = _pairs(ngram_jaccard_pairs(df, "doc_id", "text", threshold=t).collect())
+        fast = _pairs(
+            prefix_filter_jaccard_pairs(df, "doc_id", "text", threshold=t).collect()
+        )
+        assert fast == exact, f"threshold {t}"
+
+
+def test_prefix_filter_boundary_jaccard(spark):
+    # Two docs engineered to sit exactly AT the threshold: shared prefix
+    # shingle is the rarest, so completeness can't ride on luck.
+    a = "w1 w2 w3 w4 w5 w6"
+    b = "w1 w2 w3 w4 zz yy"
+    df = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "text"])
+    # distinct 3-shingles: a has 4, b has 4, intersection 2 -> J = 2/6 = 0.3333
+    exact = _pairs(ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.33).collect())
+    fast = _pairs(
+        prefix_filter_jaccard_pairs(df, "doc_id", "text", threshold=0.33).collect()
+    )
+    assert fast == exact == [(1, 2, 0.3333)]
+
+
+def test_prefix_filter_empty_and_short_docs(spark):
+    df = spark.createDataFrame(
+        [(1, ""), (2, "only two"), (3, "x y z"), (4, "x y z")], ["doc_id", "text"]
+    )
+    fast = _pairs(prefix_filter_jaccard_pairs(df, "doc_id", "text").collect())
+    assert fast == [(3, 4, 1.0)]
+
+
+def test_cms_heavy_hitters_exact(spark):
+    rows = [(k,) for k in [1] * 50 + [2] * 30 + [3] * 5 + list(range(100, 400))]
+    df = spark.createDataFrame(rows, ["k"])
+    got = {
+        (r["k"], r["n"])
+        for r in count_min_heavy_hitters(df, "k", threshold=30).collect()
+    }
+    assert got == {(1, 50), (2, 30)}
+    expected = {
+        (r["k"], r["n"])
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 30)
+        .collect()
+    }
+    assert got == expected
+
+
+def test_cms_heavy_hitters_no_hot_cells(spark):
+    df = spark.createDataFrame([(k,) for k in range(200)], ["k"])
+    assert count_min_heavy_hitters(df, "k", threshold=10).count() == 0
+
+
+def test_cms_narrow_width_collisions_still_exact(spark):
+    # width 2 forces every key into hot cells -> the sketch prunes
+    # nothing, but the exact recount keeps the answer right.
+    rows = [(k,) for k in [7] * 40 + list(range(8, 28))]
+    df = spark.createDataFrame(rows, ["k"])
+    got = {
+        (r["k"], r["n"])
+        for r in count_min_heavy_hitters(df, "k", threshold=20, width=2).collect()
+    }
+    assert got == {(7, 40)}
