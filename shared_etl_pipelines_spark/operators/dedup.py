@@ -548,37 +548,71 @@ def prefix_filter_jaccard_pairs(
     Scale: cost concentrates in the prefix ⨝ rows equi-join, which is
     linear in candidate count; rarest-first ordering keeps common
     shingles out of prefixes unless a doc consists almost entirely of
-    common shingles. For adversarially skewed shingle distributions
-    compose with operators/skew.py salting on the join key.
+    common shingles, and the size-ratio filter (|B| >= t*|A|, a Jaccard
+    necessity) drops incompatible pairs before the pair-distinct. For
+    adversarially skewed shingle distributions compose with
+    operators/skew.py salting on the join key.
+
+    Everything stays in whole-stage codegen: shingle ROWS come from
+    explode(sequence) + slice + concat_ws (native expressions — the
+    array-lambda path in functions.text.shingles is interpreted, which
+    made the first cut of this operator slower than the LSH twin), and
+    the verify arrays are rebuilt by collect_list so array_intersect
+    (native) runs only on candidate pairs.
     """
-    sh = shingle_sets(df, id_col, text_col, n=n).filter(F.size("sh") > 0)
-    rows = sh.select(F.col(id_col).alias("doc"), F.explode("sh").alias("s"))
-    freq = rows.groupBy("s").agg(F.count(F.lit(1)).alias("s_freq"))
+    toks = df.select(
+        F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("toks")
+    ).filter(F.size("toks") >= n)
+    srows = (
+        toks.select(
+            "doc",
+            F.explode(F.sequence(F.lit(1), F.size("toks") - n + 1)).alias("i"),
+            "toks",
+        )
+        .select(
+            "doc", F.concat_ws(" ", F.slice(F.col("toks"), F.col("i"), n)).alias("s")
+        )
+        .distinct()
+    )
+    freq = srows.groupBy("s").agg(F.count(F.lit(1)).alias("s_freq"))
     w = Window.partitionBy("doc").orderBy("s_freq", "s")
     ranked = (
-        rows.join(freq, "s")
+        srows.join(freq, "s")
         .withColumn("rn", F.row_number().over(w))
         .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("doc")))
     )
     prefix = ranked.filter(
         F.col("rn")
         <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    ).select(F.col("doc").alias("pd"), "s")
+    ).select(F.col("doc").alias("pd"), F.col("sz").alias("p_sz"), "s")
+    sizes = srows.groupBy("doc").agg(F.count(F.lit(1)).alias("o_sz"))
+    orows = srows.join(sizes, "doc").select(
+        F.col("doc").alias("od"), F.col("o_sz"), "s"
+    )
     cand = (
-        prefix.join(rows.select(F.col("doc").alias("od"), "s"), "s")
-        .filter(F.col("pd") != F.col("od"))
+        prefix.join(orows, "s")
+        .filter(
+            (F.col("pd") != F.col("od"))
+            # Jaccard >= t forces t <= |B|/|A| <= 1/t — prune size-
+            # incompatible pairs before the expensive pair-distinct.
+            & (F.col("o_sz") >= F.ceil(F.lit(threshold) * F.col("p_sz")))
+            & (F.col("p_sz") >= F.ceil(F.lit(threshold) * F.col("o_sz")))
+        )
         .select(
             F.least("pd", "od").alias("doc_a"),
             F.greatest("pd", "od").alias("doc_b"),
         )
         .distinct()
     )
-    a = sh.select(F.col(id_col).alias("doc_a"), F.col("sh").alias("sh_a"))
-    b = sh.select(F.col(id_col).alias("doc_b"), F.col("sh").alias("sh_b"))
+    sharr = srows.groupBy("doc").agg(F.collect_list("s").alias("sh"))
+    a = sharr.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sharr.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
     return (
         cand.join(a, "doc_a")
         .join(b, "doc_b")
-        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
