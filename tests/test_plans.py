@@ -355,3 +355,66 @@ def test_fk_integrity_all_dims_broadcast(spark, sf):
     p = phys(REGISTRY["fk_integrity_check"].fn(spark, sf))
     assert p.count("BroadcastHashJoin") == 5
     assert "SortMergeJoin" not in p
+
+
+def test_tpch_shapes_broadcast_dimensions_no_cartesian(spark, sf):
+    # The round-3 TPC-H batch: every dimension side must broadcast and no
+    # plan may degrade to nested-loop/cartesian. min_cost_supplier_region
+    # additionally must keep its correlated MIN as a window, not a
+    # self-join of the aggregate.
+    for name in (
+        "min_cost_supplier_region",
+        "nation_pair_trade_volume",
+        "nation_market_share",
+        "product_type_profit",
+        "part_supplier_variety",
+        "excess_shipper_names",
+    ):
+        plan = phys(REGISTRY[name].fn(spark, sf))
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    plan = phys(REGISTRY["min_cost_supplier_region"].fn(spark, sf))
+    assert "Window" in plan
+
+
+def test_important_stock_threshold_is_one_row_broadcast(spark, sf):
+    # Q11: the global-total threshold joins back as a broadcast of ONE
+    # row — the only acceptable BroadcastNestedLoopJoin shape (same
+    # contract as test_scalar_max_subquery_is_broadcast_one_row); the
+    # per-part aggregate side must still be hash joins.
+    plan = phys(REGISTRY["important_stock_value"].fn(spark, sf))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_small_qty_avg_join_is_shuffle_not_broadcast_shape(spark, sf):
+    # Q17: the per-part AVG table is part-cardinality — it must join as a
+    # plain equi-join (sort-merge or shuffled-hash acceptable), never via
+    # nested loop; the brand filter must reach the part scan.
+    plan = phys(REGISTRY["small_qty_order_revenue"].fn(spark, sf))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "p_brand" in plan and "PushedFilters" in plan
+
+
+def test_prefix_filter_join_stays_codegen_equi(spark, sf):
+    # The exact scale path must be equi-joins end to end (no cartesian
+    # fallback) and its shingle construction must not use interpreted
+    # array lambdas (LambdaFunction never appears in the plan).
+    plan = phys(REGISTRY["near_dup_prefix_filter"].fn(spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # positive marker of the codegen shingle path (explode+slice), which
+    # replaced the interpreted array-lambda construction
+    assert "slice(" in plan
+
+
+def test_cms_filter_is_map_side_before_exact_shuffle(spark, sf):
+    # Pass-2 of the sketch-prefiltered heavy hitters: the hot-cell IN
+    # probes must sit under the partial aggregate (map side), so only
+    # candidate rows enter the exchange.
+    plan = phys(REGISTRY["heavy_demand_parts_sketch"].fn(spark, sf))
+    ex = plan.split("Exchange")[-1]  # below the last exchange = map side
+    assert "xxhash64" in ex and "INSET" in ex
+    assert "CartesianProduct" not in plan
