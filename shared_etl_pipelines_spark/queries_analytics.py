@@ -2118,3 +2118,117 @@ def q_heavy_demand_parts_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem").select("l_partkey")
     return count_min_heavy_hitters(li, "l_partkey", threshold=40)
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint detection per event type: cumulative sum of daily
+# deviations from the series mean; the |S| argmax is the classic
+# single-changepoint estimate. Daily values are integer cents (exact),
+# the mean is exact-sum/count, and the running window sum accumulates
+# in day order in both engines, so every float is deterministic.
+# ---------------------------------------------------------------------------
+@defquery(
+    "cusum_changepoint",
+    """
+    WITH daily AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS v_cents
+      FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+    ),
+    stats AS (
+      SELECT event_type, AVG(CAST(v_cents AS DOUBLE)) AS mu
+      FROM daily GROUP BY event_type
+    ),
+    cs AS (
+      SELECT d.event_type, day,
+             SUM(CAST(v_cents AS DOUBLE) - mu)
+               OVER (PARTITION BY d.event_type ORDER BY day) AS s
+      FROM daily d JOIN stats USING (event_type)
+    )
+    SELECT event_type, day AS change_day, ROUND(ABS(s), 4) AS cusum_abs
+    FROM cs
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY event_type
+                               ORDER BY ABS(s) DESC, day) = 1
+    """,
+    doc="CUSUM changepoint per event type: argmax |cumsum(daily - mean)| "
+    "— exact integer daily sums, order-deterministic running sum",
+    tags=("window", "timeseries", "statistics"),
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("v_cents")
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.avg(F.col("v_cents").cast("double")).alias("mu")
+    )
+    wcs = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cs = daily.join(stats, "event_type").withColumn(
+        "s", F.sum(F.col("v_cents").cast("double") - F.col("mu")).over(wcs)
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.abs("s").desc(), "day")
+    return (
+        cs.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("change_day"),
+            F.round(F.abs("s"), 4).alias("cusum_abs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: longest consecutive-active-day streak per user via
+# the date-minus-row_number grouping trick (one window + one aggregate,
+# both on the user partition — a single exchange reused).
+# ---------------------------------------------------------------------------
+@defquery(
+    "longest_user_streak",
+    """
+    WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    g AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INTEGER) AS grp
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS streak_len,
+             strftime(MIN(d), '%Y-%m-%d') AS streak_start
+      FROM g GROUP BY user_id, grp
+    )
+    SELECT user_id, streak_len, streak_start
+    FROM streaks
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY streak_len DESC, streak_start) = 1
+    """,
+    doc="gaps-and-islands: longest consecutive-day activity streak per "
+    "user (date minus row_number grouping), earliest on ties",
+    tags=("window", "timeseries"),
+)
+def q_longest_user_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    days = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    wd = Window.partitionBy("user_id").orderBy("d")
+    g = days.withColumn(
+        "grp", F.date_sub(F.col("d"), F.row_number().over(wd))
+    )
+    streaks = g.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("streak_len"),
+        F.date_format(F.min("d"), "yyyy-MM-dd").alias("streak_start"),
+    )
+    wr = Window.partitionBy("user_id").orderBy(
+        F.col("streak_len").desc(), "streak_start"
+    )
+    return (
+        streaks.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("streak_len").cast("long").alias("streak_len"), "streak_start")
+    )
