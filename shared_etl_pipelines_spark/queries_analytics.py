@@ -2232,3 +2232,83 @@ def q_longest_user_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", F.col("streak_len").cast("long").alias("streak_len"), "streak_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket association rules at the brand grain: co-occurrence of
+# brand pairs within an order, with support / confidence / lift from
+# exact integer counts (deterministic ratios). The pair generation is a
+# self-join on the order key — fanout is bounded by brands-per-order
+# (<= 25), so the join output is linear in orders at any scale, not
+# quadratic in the catalog.
+# ---------------------------------------------------------------------------
+@defquery(
+    "basket_lift_pairs",
+    """
+    WITH ob AS (
+      SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+      FROM lineitem, part WHERE p_partkey = l_partkey
+    ),
+    n AS (SELECT COUNT(DISTINCT ok) AS n_orders FROM ob),
+    cb AS (SELECT b, COUNT(*) AS nb FROM ob GROUP BY b),
+    pairs AS (
+      SELECT a.b AS brand_a, c.b AS brand_b, COUNT(*) AS n_both
+      FROM ob a JOIN ob c ON a.ok = c.ok AND a.b < c.b
+      GROUP BY a.b, c.b
+    )
+    SELECT brand_a, brand_b,
+           CAST(n_both AS BIGINT) AS n_both,
+           ROUND(CAST(n_both AS DOUBLE) / n_orders, 4) AS support,
+           ROUND(CAST(n_both AS DOUBLE) / ca.nb, 4) AS confidence,
+           ROUND(CAST(n_both AS DOUBLE) * n_orders / (ca.nb * cc.nb), 4)
+             AS lift
+    FROM pairs, n, cb ca, cb cc
+    WHERE ca.b = brand_a AND cc.b = brand_b AND n_both >= 3
+    """,
+    doc="market-basket association rules over brand pairs per order: "
+    "support/confidence/lift from exact counts; pair fanout bounded by "
+    "brands-per-order",
+    tags=("join", "aggregate", "statistics"),
+)
+def q_basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .select(F.col("l_orderkey").alias("ok"), F.col("p_brand").alias("b"))
+        .distinct()
+    )
+    n = ob.agg(F.count_distinct("ok").alias("n_orders"))
+    cb = ob.groupBy("b").agg(F.count(F.lit(1)).alias("nb"))
+    a = ob.select(F.col("ok"), F.col("b").alias("brand_a"))
+    c = ob.select(F.col("ok"), F.col("b").alias("brand_b"))
+    pairs = (
+        a.join(c, "ok")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 3)
+    )
+    ca = cb.select(F.col("b").alias("brand_a"), F.col("nb").alias("na_"))
+    cc = cb.select(F.col("b").alias("brand_b"), F.col("nb").alias("nb_"))
+    j = (
+        pairs.join(F.broadcast(ca), "brand_a")
+        .join(F.broadcast(cc), "brand_b")
+        .crossJoin(F.broadcast(n))
+    )
+    return j.select(
+        "brand_a",
+        "brand_b",
+        F.col("n_both").cast("long").alias("n_both"),
+        F.round(F.col("n_both").cast("double") / F.col("n_orders"), 4).alias(
+            "support"
+        ),
+        F.round(F.col("n_both").cast("double") / F.col("na_"), 4).alias(
+            "confidence"
+        ),
+        F.round(
+            F.col("n_both").cast("double") * F.col("n_orders")
+            / (F.col("na_") * F.col("nb_")),
+            4,
+        ).alias("lift"),
+    )
