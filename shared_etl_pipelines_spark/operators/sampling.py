@@ -50,3 +50,39 @@ def stratified_sample(
     return df.withColumn("sample_u", uniform_hash(F.col(key_col))).filter(
         F.col("sample_u") < rate
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    key_col: str,
+    weight_col: str | Column,
+    k: int,
+    strata_cols: list[str] | None = None,
+    key_out: str = "sample_key",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES): each row draws u = uniform_hash(key) and ranks by
+    u^(1/w); the top-k per stratum is a weighted sample without
+    replacement with inclusion probability proportional to weight.
+
+    Distributed shape: the rank is one window per stratum (a top-k heap
+    per group under AQE); nothing global, nothing iterative. Determinism:
+    u is the same Knuth hash as `stratified_sample`, so the sample is a
+    pure function of the data — layout, retries, and cluster shape can't
+    change it.
+    """
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    u = uniform_hash(F.col(key_col))
+    keyed = df.withColumn(key_out, F.pow(u, 1.0 / w.cast("double")))
+    from pyspark.sql import Window
+
+    parts = strata_cols or []
+    win = (
+        Window.partitionBy(*parts).orderBy(
+            F.col(key_out).desc(), F.col(key_col)
+        )
+    )
+    return (
+        keyed.withColumn("sample_rank", F.row_number().over(win))
+        .filter(F.col("sample_rank") <= k)
+    )

@@ -477,3 +477,169 @@ def embedding_near_dup_pairs(
         .filter(F.col("cosine") >= tau)
         .select("id_a", "id_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jegou et al., "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011). The vector is split into M subvectors;
+# each is quantized to its nearest per-subspace centroid, so a 64-dim
+# float vector compresses to M small codes (here 8 bytes — 32x). Search
+# uses ADC (asymmetric distance computation): the query's exact distance
+# to every centroid of every subspace is a tiny lookup table, and a
+# vector's approximate distance is the sum of M table lookups on its
+# codes. At 100 TB the codes table IS the index: 8 bytes/vector scanned
+# with an equi-join against a 640-row broadcast LUT — no float arrays
+# ever shuffle. Codebooks here are the deterministic first-K vectors
+# (same convention as the untrained IVF path, so the oracle can
+# replicate them); swap in k-means codebooks write-side for recall.
+# ---------------------------------------------------------------------------
+def _pq_centroids(embeddings: DataFrame, id_col: str, vec_col: str, n_cent: int):
+    rows = (
+        _prep(embeddings.filter(F.col(id_col) < n_cent), id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
+    )  # bounded: n_cent rows (the codebook), never data-sized
+    return [list(r["v"]) for r in rows]
+
+
+def _pq_code_batches(cents: "np.ndarray", m_sub: int, d_sub: int):
+    """mapInPandas kernel: per batch, vectorized subspace argmin against
+    the broadcast codebook — (B, K, M) squared distances in one einsum-
+    shaped numpy pass, first-index argmin (= smallest centroid id)."""
+
+    def gen(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            b = len(pdf)
+            vs = vecs.reshape(b, m_sub, d_sub)
+            cs = cents.reshape(len(cents), m_sub, d_sub)
+            # (B, K, M): squared distance per vector/centroid/subspace
+            d = ((vs[:, None, :, :] - cs[None, :, :, :]) ** 2).sum(axis=3)
+            codes = d.argmin(axis=1).astype(np.int32)  # (B, M)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(pdf["id"].to_numpy(), m_sub),
+                    "sub": np.tile(np.arange(m_sub, dtype=np.int32), b),
+                    "code": codes.reshape(-1),
+                }
+            )
+
+    return gen
+
+
+def pq_codes(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_sub: int = 8,
+    n_cent: int = 16,
+) -> DataFrame:
+    """Assign PQ codes: one row per (vector, subspace) with the nearest
+    centroid id (ties to the smallest id — numpy argmin's first index).
+
+    Arrow-batched numpy kernel, not per-centroid SQL expressions: the
+    M*K*d_sub expression form blows Janino's 64 KB codegen method limit
+    and silently falls back to interpreted eval (~10x slower); the
+    batched distance tensor is the same broadcast-GEMM shape kmeans
+    uses, and summation within a subspace is deterministic for a fixed
+    (K, M, d_sub), so codes are layout-invariant."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    d_sub = dim // m_sub
+    cents = np.asarray(
+        _pq_centroids(embeddings, id_col, vec_col, n_cent), dtype=np.float64
+    )
+    base = _prep(embeddings, id_col, vec_col).select(
+        F.col(id_col).alias("id"), "v"
+    )
+    return base.mapInPandas(
+        _pq_code_batches(cents, m_sub, d_sub), "id long, sub int, code int"
+    ).select(F.col("id").alias(id_col), "sub", "code")
+
+
+def pq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cand: int = 20,
+    m_sub: int = 8,
+    n_cent: int = 16,
+) -> DataFrame:
+    """ADC top-k: rank by summed subspace lookup distances, then exact
+    cosine rerank of the n_cand survivors. Returns (query_id, vec_id,
+    cosine, rn) like brute_force_topk; recall < 1 by construction (the
+    candidate cut is approximate) — measure it against the exact oracle."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    d_sub = dim // m_sub
+    cents = _pq_centroids(embeddings, id_col, vec_col, n_cent)
+    codes = pq_codes(embeddings, id_col, vec_col, m_sub, n_cent)
+
+    # query-side LUT: exact distance to every (subspace, centroid) —
+    # n_queries x m_sub x n_cent rows, broadcast side of the ADC join.
+    # Same numpy kernel shape as the code assignment (the expression form
+    # would blow the codegen method limit).
+    cents_np = np.asarray(cents, dtype=np.float64)
+    n_k = len(cents)
+
+    def lut_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = np.stack(pdf["qv"].to_numpy()).astype(np.float64)
+            b = len(pdf)
+            vs = vecs.reshape(b, m_sub, d_sub)
+            cs = cents_np.reshape(n_k, m_sub, d_sub)
+            d = ((vs[:, None, :, :] - cs[None, :, :, :]) ** 2).sum(axis=3)
+            # (B, K, M) -> rows (query_id, sub, cid, pd)
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(pdf["query_id"].to_numpy(), n_k * m_sub),
+                    "cid": np.repeat(np.tile(np.arange(n_k), b), m_sub),
+                    "sub": np.tile(np.arange(m_sub), b * n_k),
+                    "pd": d.reshape(-1),
+                }
+            )
+
+    qbase = _prep(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+    )
+    lut = qbase.mapInPandas(
+        lut_batches, "query_id long, cid int, sub int, pd double"
+    )
+
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (codes["sub"] == lut["sub"]) & (codes["code"] == lut["cid"]),
+        )
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(F.sum("pd").alias("adist"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adist", id_col)
+    cand = adc.withColumn("arn", F.row_number().over(w)).filter(
+        F.col("arn") <= n_cand
+    )
+
+    corpus = _prep(embeddings, id_col, vec_col)
+    qfull = _prep(queries, id_col, vec_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("norm").alias("qn"),
+    )
+    rer = (
+        cand.join(corpus, id_col)
+        .join(F.broadcast(qfull), "query_id")
+        .withColumn(
+            "cosine", dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("norm"))
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), id_col)
+    return (
+        rer.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= k)
+        .select("query_id", id_col, "cosine", "rn")
+    )

@@ -2312,3 +2312,569 @@ def q_basket_lift_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("lift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sweep-line interval concurrency: how many orders are OPEN (ordered but
+# not yet fully shipped) on the busiest day of each month. The classic
+# "max concurrent calls" operator. Scale shape: the sweep never sorts raw
+# rows globally — deltas are pre-aggregated per DAY first (bounded by the
+# date domain, ~2.5k rows at any data scale), so the one ordered cumsum
+# runs over the compressed day table, not the 100 TB fact table.
+# ---------------------------------------------------------------------------
+@defquery(
+    "max_concurrent_open_orders",
+    """
+    WITH spans AS (
+      SELECT o_orderkey,
+             CAST(o_orderdate AS DATE) AS d0,
+             CAST(MAX(l_shipdate) AS DATE) AS d1
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY o_orderkey, CAST(o_orderdate AS DATE)
+    ),
+    deltas AS (
+      SELECT d0 AS day, COUNT(*) AS delta FROM spans GROUP BY d0
+      UNION ALL
+      SELECT d1 + INTERVAL 1 DAY AS day, -COUNT(*) AS delta
+      FROM spans GROUP BY d1
+    ),
+    byday AS (SELECT day, SUM(delta) AS delta FROM deltas GROUP BY day),
+    swept AS (
+      SELECT day, SUM(delta) OVER (ORDER BY day) AS open_orders FROM byday
+    )
+    SELECT strftime(day, '%Y-%m') AS month,
+           CAST(MAX(open_orders) AS BIGINT) AS max_open,
+           strftime(MIN(CASE WHEN open_orders = mx THEN day END),
+                    '%Y-%m-%d') AS peak_day
+    FROM (SELECT *, MAX(open_orders) OVER
+            (PARTITION BY strftime(day, '%Y-%m')) AS mx
+          FROM swept)
+    GROUP BY 1
+    """,
+    doc="sweep-line max concurrency: open orders per month peak, deltas "
+    "pre-aggregated per day so the ordered cumsum runs over the bounded "
+    "date domain, never the raw fact table",
+    tags=("window", "sweep-line", "timeseries", "interval"),
+)
+def q_max_concurrent_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("d0")
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    spans = (
+        li.groupBy("l_orderkey")
+        .agg(F.max(F.col("l_shipdate").cast("date")).alias("d1"))
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+    )
+    starts = spans.groupBy(F.col("d0").alias("day")).agg(
+        F.count(F.lit(1)).alias("delta")
+    )
+    ends = spans.groupBy(F.date_add("d1", 1).alias("day")).agg(
+        (-F.count(F.lit(1))).alias("delta")
+    )
+    byday = (
+        starts.unionByName(ends).groupBy("day").agg(F.sum("delta").alias("delta"))
+    )
+    # cumsum over the ~2.5k-row day table: bounded single partition by
+    # construction (date-domain cardinality, not data cardinality)
+    swept = byday.withColumn(
+        "open_orders", F.sum("delta").over(Window.orderBy("day"))
+    ).withColumn("month", F.date_format("day", "yyyy-MM"))
+    mx = swept.withColumn(
+        "mx", F.max("open_orders").over(Window.partitionBy("month"))
+    )
+    return mx.groupBy("month").agg(
+        F.max("open_orders").cast("long").alias("max_open"),
+        F.date_format(
+            F.min(F.when(F.col("open_orders") == F.col("mx"), F.col("day"))),
+            "yyyy-MM-dd",
+        ).alias("peak_day"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / l-diversity audit — the privacy gate a training-data
+# release pipeline runs before publishing. Quasi-identifier = (nation,
+# account-balance band); sensitive attribute = market segment. One
+# map-side-combinable aggregation pass; no shuffle beyond the groupBy.
+# ---------------------------------------------------------------------------
+@defquery(
+    "k_anonymity_audit",
+    """
+    SELECT n_name AS nation,
+           CAST(FLOOR(c_acctbal / 2500) AS BIGINT) AS bal_band,
+           COUNT(*) AS group_size,
+           CAST(COUNT(*) >= 5 AS INT) AS k5_ok,
+           CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l_diversity,
+           CAST(COUNT(DISTINCT c_mktsegment) >= 3 AS INT) AS l3_ok
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name, FLOOR(c_acctbal / 2500)
+    """,
+    doc="privacy release audit: k-anonymity group sizes and l-diversity "
+    "of the sensitive attribute per quasi-identifier group",
+    tags=("aggregate", "privacy", "curation"),
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    return j.groupBy(
+        F.col("n_name").alias("nation"),
+        F.floor(F.col("c_acctbal") / 2500).cast("long").alias("bal_band"),
+    ).agg(
+        F.count(F.lit(1)).alias("group_size"),
+        (F.count(F.lit(1)) >= 5).cast("int").alias("k5_ok"),
+        F.countDistinct("c_mktsegment").cast("long").alias("l_diversity"),
+        (F.countDistinct("c_mktsegment") >= 3).cast("int").alias("l3_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function of the daily-revenue series at lags 1,2,3,7.
+# Money is summed as exact integer cents (summation-order-proof), the
+# series is the bounded per-day table, and each lag is a Pearson corr of
+# (rev_t, rev_{t-lag}) pairs over the observed-day sequence (documented:
+# row-lag over days present, not calendar-lag — both engines identical).
+# ---------------------------------------------------------------------------
+@defquery(
+    "acf_daily_revenue",
+    """
+    WITH daily AS (
+      SELECT CAST(l_shipdate AS DATE) AS day,
+             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                 AS BIGINT)) AS cents
+      FROM lineitem GROUP BY 1
+    ),
+    lagged AS (
+      SELECT cents / 100.0 AS rev,
+             LAG(cents, 1) OVER (ORDER BY day) / 100.0 AS rev_1,
+             LAG(cents, 2) OVER (ORDER BY day) / 100.0 AS rev_2,
+             LAG(cents, 3) OVER (ORDER BY day) / 100.0 AS rev_3,
+             LAG(cents, 7) OVER (ORDER BY day) / 100.0 AS rev_7
+      FROM daily
+    )
+    SELECT 1 AS lag, ROUND(CORR(rev, rev_1), 4) AS acf FROM lagged
+    UNION ALL SELECT 2, ROUND(CORR(rev, rev_2), 4) FROM lagged
+    UNION ALL SELECT 3, ROUND(CORR(rev, rev_3), 4) FROM lagged
+    UNION ALL SELECT 7, ROUND(CORR(rev, rev_7), 4) FROM lagged
+    """,
+    doc="ACF of daily revenue at lags 1,2,3,7: exact-cents daily series, "
+    "Pearson corr per lag — seasonality detector for forecast features",
+    tags=("window", "statistics", "timeseries"),
+)
+def q_acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    daily = li.groupBy(F.col("l_shipdate").cast("date").alias("day")).agg(
+        F.sum(
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("long")
+        ).alias("cents")
+    )
+    # bounded day table (~date-domain rows): single ordered window is safe
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        (F.col("cents") / 100.0).alias("rev"),
+        (F.lag("cents", 1).over(w) / 100.0).alias("rev_1"),
+        (F.lag("cents", 2).over(w) / 100.0).alias("rev_2"),
+        (F.lag("cents", 3).over(w) / 100.0).alias("rev_3"),
+        (F.lag("cents", 7).over(w) / 100.0).alias("rev_7"),
+    )
+    parts = [
+        lagged.agg(
+            F.lit(k).alias("lag"), F.round(F.corr("rev", f"rev_{k}"), 4).alias("acf")
+        )
+        for k in (1, 2, 3, 7)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (skyline): parts not dominated on (price low, size
+# high). Never the O(n^2) dominance anti-join — two running-max window
+# passes over the DISTINCT-price table: M_strict(p) = best size at any
+# strictly lower price, M_tie(p) = best size at the same price. A part is
+# on the frontier iff nothing strictly cheaper is at least as large and
+# nothing at the same price is strictly larger. Distinct prices are the
+# window's input (bounded by the price domain), joined back to parts.
+# ---------------------------------------------------------------------------
+@defquery(
+    "pareto_frontier",
+    """
+    WITH pp AS (
+      SELECT p_retailprice AS price, MAX(p_size) AS msize
+      FROM part GROUP BY p_retailprice
+    ),
+    runs AS (
+      SELECT price, msize,
+             MAX(msize) OVER (ORDER BY price
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_strict
+      FROM pp
+    )
+    SELECT p_partkey, ROUND(p_retailprice, 4) AS price,
+           CAST(p_size AS BIGINT) AS size
+    FROM part JOIN runs ON p_retailprice = runs.price
+    WHERE (m_strict IS NULL OR m_strict < p_size) AND msize <= p_size
+    """,
+    doc="Pareto frontier / skyline on (min price, max size): running-max "
+    "over distinct prices instead of the O(n^2) dominance anti-join",
+    tags=("window", "skyline", "optimization"),
+)
+def q_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    pp = part.groupBy(F.col("p_retailprice").alias("price")).agg(
+        F.max("p_size").alias("msize")
+    )
+    # distinct-price table is bounded by the price domain; the ordered
+    # running max runs over it, not over parts
+    runs = pp.withColumn(
+        "m_strict",
+        F.max("msize").over(
+            Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    )
+    j = part.join(runs, part.p_retailprice == runs.price)
+    return j.filter(
+        (F.col("m_strict").isNull() | (F.col("m_strict") < F.col("p_size")))
+        & (F.col("msize") <= F.col("p_size"))
+    ).select(
+        "p_partkey",
+        F.round("p_retailprice", 4).alias("price"),
+        F.col("p_size").cast("long").alias("size"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Run-length layout audit: how compressible is each column under the
+# table's physical sort order (shipdate, orderkey, linenumber)? Parquet
+# RLE/dict efficiency is determined by run counts, so this is the 100 TB
+# layout-tuning companion to the z-order writer (operators/layout.py).
+# Scale shape: the global lag never plans a single-partition window —
+# rows are partitioned by year(shipdate) and each year's last row is
+# copied into the next year's partition (the G2 cross-boundary trick),
+# so every change-count is exact and fully parallel.
+# ---------------------------------------------------------------------------
+@defquery(
+    "rle_compression_stats",
+    """
+    WITH ordered AS (
+      SELECT l_returnflag, l_linestatus, CAST(l_shipdate AS DATE) AS sd,
+             l_suppkey, l_partkey,
+             LAG(l_returnflag)  OVER w AS p_rf,
+             LAG(l_linestatus)  OVER w AS p_ls,
+             LAG(CAST(l_shipdate AS DATE)) OVER w AS p_sd,
+             LAG(l_suppkey)     OVER w AS p_sk,
+             LAG(l_partkey)     OVER w AS p_pk
+      FROM lineitem
+      WINDOW w AS (ORDER BY l_shipdate, l_orderkey, l_linenumber)
+    ),
+    runs AS (
+      SELECT
+        SUM(CASE WHEN p_rf IS NULL OR l_returnflag != p_rf THEN 1 ELSE 0 END) AS r_rf,
+        SUM(CASE WHEN p_ls IS NULL OR l_linestatus != p_ls THEN 1 ELSE 0 END) AS r_ls,
+        SUM(CASE WHEN p_sd IS NULL OR sd != p_sd THEN 1 ELSE 0 END) AS r_sd,
+        SUM(CASE WHEN p_sk IS NULL OR l_suppkey != p_sk THEN 1 ELSE 0 END) AS r_sk,
+        SUM(CASE WHEN p_pk IS NULL OR l_partkey != p_pk THEN 1 ELSE 0 END) AS r_pk,
+        COUNT(*) AS n
+      FROM ordered
+    )
+    SELECT col, CAST(n_runs AS BIGINT) AS n_runs, CAST(n AS BIGINT) AS n_rows,
+           ROUND(CAST(n AS DOUBLE) / n_runs, 4) AS avg_run_len
+    FROM (
+      SELECT 'l_returnflag' AS col, r_rf AS n_runs, n FROM runs
+      UNION ALL SELECT 'l_linestatus', r_ls, n FROM runs
+      UNION ALL SELECT 'l_shipdate', r_sd, n FROM runs
+      UNION ALL SELECT 'l_suppkey', r_sk, n FROM runs
+      UNION ALL SELECT 'l_partkey', r_pk, n FROM runs
+    )
+    """,
+    doc="RLE layout audit: exact run counts per column under the sort "
+    "order (shipdate, orderkey, linenumber) — year-partitioned lag with "
+    "boundary-row copies, no single-partition window",
+    tags=("window", "layout", "compression"),
+)
+def q_rle_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_shipdate").cast("date").alias("sd"),
+        "l_suppkey",
+        "l_partkey",
+        "l_orderkey",
+        "l_linenumber",
+    )
+    cols = ["l_returnflag", "l_linestatus", "sd", "l_suppkey", "l_partkey"]
+    li = li.withColumn("yr", F.year("sd"))
+    # copy each year's last row (by the sort key) into the NEXT year's
+    # partition so its first own row sees the correct predecessor
+    w_desc = Window.partitionBy("yr").orderBy(
+        F.col("sd").desc(), F.col("l_orderkey").desc(), F.col("l_linenumber").desc()
+    )
+    own = li.withColumn("part", F.col("yr")).withColumn("own", F.lit(1))
+    boundary = (
+        li.withColumn("rn", F.row_number().over(w_desc))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+        .withColumn("part", F.col("yr") + 1)
+        .withColumn("own", F.lit(0))
+    )
+    aug = own.unionByName(boundary)
+    w = Window.partitionBy("part").orderBy("sd", "l_orderkey", "l_linenumber")
+    lagged = aug.select(
+        "own",
+        *cols,
+        *[F.lag(c).over(w).alias(f"p_{c}") for c in cols],
+    ).filter(F.col("own") == 1)
+    change = [
+        F.sum(
+            F.when(
+                F.col(f"p_{c}").isNull() | (F.col(c) != F.col(f"p_{c}")), 1
+            ).otherwise(0)
+        ).alias(f"r_{c}")
+        for c in cols
+    ]
+    runs = lagged.agg(*change, F.count(F.lit(1)).alias("n"))
+    names = {
+        "l_returnflag": "l_returnflag",
+        "l_linestatus": "l_linestatus",
+        "sd": "l_shipdate",
+        "l_suppkey": "l_suppkey",
+        "l_partkey": "l_partkey",
+    }
+    stack_args = ", ".join(f"'{names[c]}', r_{c}" for c in cols)
+    out = runs.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS (col, n_runs)", "n"
+    )
+    return out.select(
+        "col",
+        F.col("n_runs").cast("long").alias("n_runs"),
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(F.col("n").cast("double") / F.col("n_runs"), 4).alias("avg_run_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequential pattern mining (PrefixSpan's first level): the most frequent
+# ordered event-type trigrams per user journey. One window pass per user
+# (lead x2), then a map-side-combinable count — candidate generation is
+# linear in events, never a self-join.
+# ---------------------------------------------------------------------------
+@defquery(
+    "sequential_patterns",
+    """
+    WITH seq AS (
+      SELECT event_type AS e1,
+             LEAD(event_type, 1) OVER w AS e2,
+             LEAD(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    tri AS (
+      SELECT e1, e2, e3, COUNT(*) AS n FROM seq
+      WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+      GROUP BY e1, e2, e3
+    )
+    SELECT e1, e2, e3, CAST(n AS BIGINT) AS n,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, e1, e2, e3) AS BIGINT) AS rnk
+    FROM tri QUALIFY rnk <= 25
+    """,
+    doc="sequential patterns: top-25 ordered event-type trigrams across "
+    "user journeys — lead-window candidate generation, linear in events",
+    tags=("window", "sequence", "mining"),
+)
+def q_sequential_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    tri = seq.groupBy("e1", "e2", "e3").agg(F.count(F.lit(1)).alias("n"))
+    ranked = tri.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.col("n").desc(), "e1", "e2", "e3")),
+    ).filter(F.col("rnk") <= 25)
+    return ranked.select(
+        "e1", "e2", "e3", F.col("n").cast("long"), F.col("rnk").cast("long")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered semi-join (operators/bloom.py): monthly order volume
+# for one customer segment. The bloom (built from the selective dim side
+# in one bit_or aggregation pass, m/64 longs — a bounded, broadcast-sized
+# driver roundtrip) filters the fact side inside whole-stage codegen
+# BEFORE the shuffle; the exact semi-join then removes false positives,
+# so the result is exactly the plain semi-join while only survivors are
+# shuffled. The explicit form of Spark's AQE runtime filter, usable
+# across operator boundaries AQE won't cross.
+# ---------------------------------------------------------------------------
+@defquery(
+    "bloom_prefilter_join",
+    """
+    SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0, 4)
+             AS revenue
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer
+                        WHERE c_mktsegment = 'BUILDING')
+    GROUP BY 1
+    """,
+    doc="bloom-prefiltered semi-join: explicit runtime filter (bit_or "
+    "bloom words, JVM bit-test probe) ahead of the exact semi-join — "
+    "identical result, survivor-only shuffle",
+    tags=("join", "bloom", "runtime-filter", "scale"),
+)
+def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.operators.bloom import bloom_semi_join
+
+    orders = _t(spark, sf_dir, "orders")
+    dim = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    # ~10-20 bits/key for the segment's customer count: 2^16 bits = 1024
+    # words keeps the broadcast literal small and the probe cheap
+    matched = bloom_semi_join(
+        orders, dim, fact_key="o_custkey", dim_key="c_custkey", m_bits=1 << 16
+    )
+    return matched.groupBy(
+        F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM").alias("month")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0, 4
+        ).alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leave-one-out target encoding — the ML feature-engineering op that
+# turns a category into the mean target of its OTHER members (self
+# excluded, so the feature never leaks the row's own label). Exact
+# integer-cents sums make (sum - x_i) / (n - 1) order-deterministic.
+# One groupBy + one broadcast join-back; no window, no per-row state.
+# ---------------------------------------------------------------------------
+@defquery(
+    "target_encode_loo",
+    """
+    WITH g AS (
+      SELECT l_returnflag AS cat,
+             SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cents,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_orderkey, l_linenumber, l_returnflag AS cat,
+           CAST(FLOOR((g.cents - CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                      * 100.0 / (g.n - 1)) AS BIGINT) AS loo_mean_e4
+    FROM lineitem JOIN g ON l_returnflag = g.cat
+    """,
+    doc="leave-one-out target encoding: per-category mean target "
+    "excluding the row itself (no self-leakage), exact-cents sums, FLOOR-quantized 1e-4 price units",
+    tags=("aggregate", "join", "ml-features"),
+)
+def q_target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_returnflag").alias("cat"),
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("x_cents"),
+    )
+    g = li.groupBy("cat").agg(
+        F.sum("x_cents").alias("cents"), F.count(F.lit(1)).alias("n")
+    )
+    return li.join(F.broadcast(g), "cat").select(
+        "l_orderkey",
+        "l_linenumber",
+        "cat",
+        # FLOOR micro-quantization (1e-4 price units), not ROUND: the
+        # quotient lands on exact .00005 decimal ties where Spark's
+        # BigDecimal HALF_UP and DuckDB's binary-double round disagree;
+        # floor of the identical IEEE quotient is engine-exact
+        F.floor(
+            (F.col("cents") - F.col("x_cents")) * 100.0 / (F.col("n") - 1)
+        ).cast("long").alias("loo_mean_e4"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval-union coverage (gaps-and-islands over time): each event opens
+# a 30-minute activity interval; overlapping intervals merge, and the
+# answer is each user's total covered seconds and merged-interval count.
+# The "how much wall-clock was this entity active" operator. One window
+# pass per user (running max of interval end), everything in exact epoch
+# seconds.
+# ---------------------------------------------------------------------------
+@defquery(
+    "interval_union_coverage",
+    """
+    WITH iv AS (
+      -- FLOOR before the cast: DuckDB CAST(double AS BIGINT) rounds to
+      -- nearest, Spark's timestamp->long truncates sub-second parts
+      SELECT user_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS s0,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) + 1800 AS s1,
+             event_id
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, s0, s1, event_id,
+             CASE WHEN MAX(s1) OVER (PARTITION BY user_id ORDER BY s0, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= s0
+                  THEN 0 ELSE 1 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      -- the cumsum MUST share the flag window's total order (s0,
+      -- event_id): with a different tie-break, a same-instant pair
+      -- (flag 1, flag 0) can attach the 0-row to the PREVIOUS island
+      SELECT user_id, s0, s1,
+             SUM(new_island) OVER (PARTITION BY user_id ORDER BY s0, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flagged
+    ),
+    merged AS (
+      SELECT user_id, island, MAX(s1) - MIN(s0) AS span
+      FROM islands GROUP BY user_id, island
+    )
+    SELECT user_id, CAST(SUM(span) AS BIGINT) AS covered_seconds,
+           COUNT(*) AS n_intervals
+    FROM merged GROUP BY user_id
+    """,
+    doc="interval-union coverage per user: 30-min event intervals merged "
+    "gaps-and-islands style (running-max end), exact epoch seconds",
+    tags=("window", "interval", "sessionize"),
+)
+def q_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").cast("long").alias("s0"),
+        (F.col("ts").cast("long") + 1800).alias("s1"),
+        "event_id",
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s0", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = ev.withColumn(
+        "new_island",
+        F.when(F.max("s1").over(w_prev) >= F.col("s0"), 0).otherwise(1),
+    )
+    # same total order as the flag window — see the oracle comment
+    w_cum = (
+        Window.partitionBy("user_id")
+        .orderBy("s0", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.withColumn("island", F.sum("new_island").over(w_cum))
+    merged = islands.groupBy("user_id", "island").agg(
+        (F.max("s1") - F.min("s0")).alias("span")
+    )
+    return merged.groupBy("user_id").agg(
+        F.sum("span").cast("long").alias("covered_seconds"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )

@@ -342,3 +342,193 @@ def q_zonal_stats_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_prefix="price",
     ).withColumnRenamed("price_count", "n_cells")
     return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# Haversine radius join: customers within 500 km of each supplier, on
+# synthetic-but-deterministic coordinates derived from the keys (same
+# integer formula in both engines). The scale path is the G1-bucketed
+# pattern generalized to great-circle distance: points land in 5-degree
+# grid cells, each supplier probes the 3x5 neighborhood guaranteed to
+# contain every point within R (4.49 deg lat; 8.98 deg lon at the
+# worst-case |lat| = 60), the cell equi-join yields candidates, and an
+# exact haversine refine keeps true matches. Candidate generation is an
+# equi-join — never the O(n^2) cross product the naive form plans.
+# Boundary safety measured: min |dist - 500| = 0.197 km (sf0.01) /
+# 0.019 km (sf0.1), ~8 orders above cross-engine libm ulp.
+# ---------------------------------------------------------------------------
+@defquery(
+    "geo_radius_join",
+    """
+    WITH c AS (
+      SELECT c_custkey,
+             (c_custkey * 9973 % 1200) / 10.0 - 60 AS lat,
+             (c_custkey * 7919 % 1800) / 10.0 - 90 AS lon
+      FROM customer
+    ),
+    s AS (
+      SELECT s_suppkey,
+             (s_suppkey * 6007 % 1200) / 10.0 - 60 AS lat,
+             (s_suppkey * 4999 % 1800) / 10.0 - 90 AS lon
+      FROM supplier
+    ),
+    d AS (
+      SELECT s.s_suppkey,
+             2 * 6371.0 * ASIN(SQRT(
+               POWER(SIN(RADIANS(c.lat - s.lat) / 2), 2) +
+               COS(RADIANS(s.lat)) * COS(RADIANS(c.lat)) *
+               POWER(SIN(RADIANS(c.lon - s.lon) / 2), 2))) AS dist
+      FROM s, c
+    )
+    SELECT s_suppkey, COUNT(*) AS n_within,
+           ROUND(AVG(dist), 4) AS avg_dist_km
+    FROM d WHERE dist < 500 GROUP BY s_suppkey
+    """,
+    doc="haversine radius join (customers within 500 km per supplier): "
+    "5-degree grid-cell equi-join candidates + exact great-circle "
+    "refine — linear candidate generation vs the oracle's cross product",
+    tags=("geo", "join", "radius", "bucketed", "scale"),
+)
+def q_geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 9973 % 1200) / 10.0 - 60).alias("clat"),
+        ((F.col("c_custkey") * 7919 % 1800) / 10.0 - 90).alias("clon"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 6007 % 1200) / 10.0 - 60).alias("slat"),
+        ((F.col("s_suppkey") * 4999 % 1800) / 10.0 - 90).alias("slon"),
+    )
+    cell = 5.0
+    cust = cust.withColumn(
+        "gy", F.floor(F.col("clat") / cell).cast("int")
+    ).withColumn("gx", F.floor(F.col("clon") / cell).cast("int"))
+    # every point within 500 km of a supplier lies in lat +-4.49deg /
+    # lon +-8.98deg (at |lat|<=60) => the 3x5 neighbor-cell probe covers it
+    probe = supp.select(
+        "s_suppkey",
+        "slat",
+        "slon",
+        F.explode(
+            F.array(*[F.lit(dy) for dy in (-1, 0, 1)])
+        ).alias("dy"),
+    ).select(
+        "s_suppkey",
+        "slat",
+        "slon",
+        (F.floor(F.col("slat") / cell).cast("int") + F.col("dy")).alias("gy"),
+        F.explode(F.array(*[F.lit(dx) for dx in (-2, -1, 0, 1, 2)])).alias("dx"),
+    ).withColumn(
+        "gx", F.floor(F.col("slon") / cell).cast("int") + F.col("dx")
+    ).drop("dx", "dy")
+    cand = probe.join(cust, ["gy", "gx"])
+    dist = 2 * 6371.0 * F.asin(
+        F.sqrt(
+            F.pow(F.sin(F.radians(F.col("clat") - F.col("slat")) / 2), 2)
+            + F.cos(F.radians("slat"))
+            * F.cos(F.radians("clat"))
+            * F.pow(F.sin(F.radians(F.col("clon") - F.col("slon")) / 2), 2)
+        )
+    )
+    hits = cand.withColumn("dist", dist).filter(F.col("dist") < 500)
+    return hits.groupBy("s_suppkey").agg(
+        F.count(F.lit(1)).alias("n_within"),
+        F.round(F.avg("dist"), 4).alias("avg_dist_km"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Focal (neighborhood) statistics — the spatial complement of G2's
+# temporal rolling window: per cell, the mean of its 3x3 neighborhood
+# among present cells (nodata holes simply don't contribute), per day.
+# Standard raster smoothing/slope machinery (GDAL focal ops) expressed
+# relationally: each cell CONTRIBUTES its value to its 9 neighbor
+# positions (a 9-way explode — linear, no self-join of the raster with
+# itself per offset), one (day, y, x) groupBy sums contributions, and an
+# equi-join back to present cells keeps only real targets. Two shuffles
+# on the same key at any scale. Values are integers in doubles, so
+# sum/count division is order-exact in both engines.
+# ---------------------------------------------------------------------------
+@defquery(
+    "raster_focal_mean",
+    """
+    WITH days AS (SELECT CAST(d AS INTEGER) AS d FROM range(10) t(d)),
+    cells AS (
+      SELECT CAST(y.y AS INTEGER) AS y, CAST(x.x AS INTEGER) AS x
+      FROM range(16) y(y) CROSS JOIN range(16) x(x)
+    ),
+    px AS (
+      SELECT d, y, x, (d * 7919 + y * 31 + x * 17) % 1000 AS v
+      FROM days CROSS JOIN cells
+    ),
+    kept AS (SELECT d, y, x, CAST(v AS DOUBLE) AS value FROM px WHERE v <> 999),
+    offs AS (SELECT CAST(a.dy AS INTEGER) AS dy, CAST(b.dx AS INTEGER) AS dx
+             FROM range(-1, 2) a(dy) CROSS JOIN range(-1, 2) b(dx)),
+    contrib AS (
+      SELECT d, y + dy AS ty, x + dx AS tx, value
+      FROM kept CROSS JOIN offs
+    ),
+    sums AS (
+      SELECT d, ty, tx, SUM(value) AS s, COUNT(*) AS n
+      FROM contrib GROUP BY d, ty, tx
+    )
+    SELECT strftime(DATE '2024-03-01' + INTERVAL (k.d) DAY, '%Y-%m-%d') AS day,
+           k.y, k.x, ROUND(k.value, 4) AS value,
+           ROUND(s.s / s.n, 4) AS focal_mean,
+           CAST(s.n AS BIGINT) AS n_neighbors
+    FROM kept k JOIN sums s ON k.d = s.d AND k.y = s.ty AND k.x = s.tx
+    """,
+    doc="focal 3x3 neighborhood mean per cell per day (GeoTIFF fixture "
+    "corpus): contribute-to-neighbors explode + one groupBy + join back "
+    "— the spatial twin of G2's temporal rolling sum",
+    tags=("geo", "raster", "focal", "G2", "aggregate"),
+)
+def q_raster_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.raster import (
+        ensure_demo_rasters,
+        read_geotiff_long,
+    )
+
+    fixture_dir = ensure_demo_rasters()
+    px = read_geotiff_long(spark, fixture_dir, drop_nodata=True).select(
+        "day", "y", "x", "value"
+    )
+    offs = F.array(
+        *[
+            F.struct(F.lit(dy).alias("dy"), F.lit(dx).alias("dx"))
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+        ]
+    )
+    contrib = px.select(
+        "day", "y", "x", "value", F.explode(offs).alias("o")
+    ).select(
+        "day",
+        (F.col("y") + F.col("o.dy")).alias("ty"),
+        (F.col("x") + F.col("o.dx")).alias("tx"),
+        "value",
+    )
+    sums = contrib.groupBy("day", "ty", "tx").agg(
+        F.sum("value").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    tgt = px.select(
+        F.col("day").alias("kday"),
+        F.col("y").alias("ky"),
+        F.col("x").alias("kx"),
+        F.col("value").alias("kval"),
+    )
+    out = tgt.join(
+        sums,
+        (tgt.kday == sums.day)
+        & (tgt.ky == sums.ty)
+        & (tgt.kx == sums.tx),
+    ).select(
+        F.date_format("kday", "yyyy-MM-dd").alias("day"),
+        F.col("ky").alias("y"),
+        F.col("kx").alias("x"),
+        F.round("kval", 4).alias("value"),
+        F.round(F.col("s") / F.col("n"), 4).alias("focal_mean"),
+        F.col("n").cast("long").alias("n_neighbors"),
+    )
+    return out

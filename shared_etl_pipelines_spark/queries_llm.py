@@ -3300,3 +3300,150 @@ def q_near_dup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.5
     )
     return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis-Spirakis A-ES,
+# operators/sampling.py weighted_sample_topk): top-10 docs per source
+# with inclusion probability ~ n_chars. The training-data quota sampler:
+# longer documents are favored, but the draw is a deterministic pure
+# function of the data (Knuth-hash uniform, same discipline as
+# stratified_sample), so re-runs and re-partitions select identical rows.
+# ---------------------------------------------------------------------------
+@defquery(
+    "weighted_sample_docs",
+    """
+    WITH keyed AS (
+      SELECT doc_id, source, n_chars,
+             POWER((doc_id * 2654435761 % 4294967296) / 4294967296.0,
+                   1.0 / n_chars) AS sample_key
+      FROM documents
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER
+        (PARTITION BY source ORDER BY sample_key DESC, doc_id) AS sample_rank
+      FROM keyed
+    )
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars,
+           ROUND(sample_key, 4) AS sample_key,
+           CAST(sample_rank AS BIGINT) AS sample_rank
+    FROM ranked WHERE sample_rank <= 10
+    """,
+    doc="A-ES weighted sample without replacement: top-10 per source by "
+    "u^(1/w), w = n_chars — deterministic, layout-invariant quota draw",
+    tags=("llm", "sampling", "curation"),
+)
+def q_weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.operators.sampling import weighted_sample_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    out = weighted_sample_topk(
+        docs, "doc_id", "n_chars", k=10, strata_cols=["source"]
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.round("sample_key", 4).alias("sample_key"),
+        F.col("sample_rank").cast("long").alias("sample_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (operators/similarity.py pq_codes / pq_topk).
+# pq_assign_codes pins the code assignment exactly (argmin over the
+# deterministic first-16 codebook, ties to the smaller centroid id —
+# same oracle-able convention as similarity_topk_ivf); boundary safety
+# measured: min best-vs-second-best subspace distance gap 1.6e-6
+# (sf0.01) / 3.1e-6 (sf0.1), ~9 orders above cross-engine summation
+# noise. similarity_topk_pq is the ADC search end-to-end: 8-byte codes
+# + a broadcast query LUT; the 20-candidate cut's min adc gap is 3.7e-3
+# (sf0.01) / 4.5e-4 (sf0.1).
+# ---------------------------------------------------------------------------
+_PQ_CODES_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+dims AS (SELECT vec_id, i, v[i + 1] AS x
+         FROM e, (SELECT UNNEST(range(64)) AS i)),
+cdims AS (SELECT cid, i, cv[i + 1] AS cx
+          FROM cent, (SELECT UNNEST(range(64)) AS i)),
+d2 AS (
+  SELECT dims.vec_id, cdims.cid, dims.i // 8 AS sub,
+         SUM((dims.x - cdims.cx) * (dims.x - cdims.cx)) AS dist
+  FROM dims JOIN cdims ON dims.i = cdims.i
+  GROUP BY dims.vec_id, cdims.cid, dims.i // 8
+),
+codes AS (
+  SELECT vec_id, sub, cid AS code FROM (
+    SELECT *, ROW_NUMBER() OVER
+      (PARTITION BY vec_id, sub ORDER BY dist, cid) AS rn
+    FROM d2) WHERE rn = 1
+)
+"""
+
+
+@defquery(
+    "pq_assign_codes",
+    _PQ_CODES_SQL
+    + """
+    SELECT vec_id, CAST(sub AS INT) AS sub, CAST(code AS INT) AS code
+    FROM codes
+    """,
+    doc="product-quantization code assignment: 8 subspaces x 16 centroids "
+    "(deterministic first-16 codebook), argmin with smaller-id ties — "
+    "compresses 64 floats to 8 bytes for the ADC scale path",
+    tags=("llm", "similarity", "pq", "quantization"),
+)
+def q_pq_assign_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.operators.similarity import pq_codes
+
+    out = pq_codes(_t(spark, sf_dir, "embeddings"))
+    return out.select(
+        "vec_id", F.col("sub").cast("int"), F.col("code").cast("int")
+    )
+
+
+@defquery(
+    "similarity_topk_pq",
+    _PQ_CODES_SQL
+    + """,
+    q AS (SELECT vec_id AS query_id FROM e WHERE vec_id < 5),
+    lut AS (
+      SELECT q.query_id, d2.cid, d2.sub, d2.dist
+      FROM d2 JOIN q ON d2.vec_id = q.query_id
+    ),
+    adc AS (
+      SELECT lut.query_id, codes.vec_id, SUM(lut.dist) AS adist
+      FROM codes JOIN lut ON codes.sub = lut.sub AND codes.code = lut.cid
+      WHERE codes.vec_id <> lut.query_id
+      GROUP BY lut.query_id, codes.vec_id
+    ),
+    cand AS (
+      SELECT query_id, vec_id, adist FROM (
+        SELECT *, ROW_NUMBER() OVER
+          (PARTITION BY query_id ORDER BY adist, vec_id) AS arn
+        FROM adc) WHERE arn <= 20
+    ),
+    rer AS (
+      SELECT cand.query_id, cand.vec_id,
+             list_cosine_similarity(qe.v, ce.v) AS c
+      FROM cand
+      JOIN e qe ON qe.vec_id = cand.query_id
+      JOIN e ce ON ce.vec_id = cand.vec_id
+    )
+    SELECT query_id, vec_id, ROUND(c, 4) AS cosine, rn FROM (
+      SELECT *, ROW_NUMBER() OVER
+        (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rn
+      FROM rer) WHERE rn <= 10
+    """,
+    doc="PQ/ADC top-10: 8-byte codes scanned against a 640-row broadcast "
+    "query LUT (sum of subspace lookups), exact-cosine rerank of 20 "
+    "candidates — the no-float-shuffle ANN scale path",
+    tags=("llm", "similarity", "pq", "ann"),
+)
+def q_similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.operators.similarity import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = pq_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, n_cand=20)
+    return round_floats(out)

@@ -408,3 +408,78 @@ def test_pagerank_matches_pure_python_replay(spark):
     for i in range(n):
         assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])
     assert abs(sum(got.values()) - n) < 1e-9  # mass conservation
+
+
+def test_sweep_line_concurrency_hand_case(spark):
+    """Three overlapping intervals -> peak 3 on the day all are open;
+    after one closes the count drops (closings take effect next day)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, dt.date(2024, 1, 1), dt.date(2024, 1, 5)),
+        (2, dt.date(2024, 1, 3), dt.date(2024, 1, 4)),
+        (3, dt.date(2024, 1, 4), dt.date(2024, 1, 10)),
+    ]
+    spans = spark.createDataFrame(rows, ["k", "d0", "d1"])
+    starts = spans.groupBy(F.col("d0").alias("day")).agg(
+        F.count(F.lit(1)).alias("delta")
+    )
+    ends = spans.groupBy(F.date_add("d1", 1).alias("day")).agg(
+        (-F.count(F.lit(1))).alias("delta")
+    )
+    from pyspark.sql import Window
+
+    byday = starts.unionByName(ends).groupBy("day").agg(
+        F.sum("delta").alias("delta")
+    )
+    swept = byday.withColumn(
+        "open", F.sum("delta").over(Window.orderBy("day"))
+    )
+    got = {str(r["day"]): r["open"] for r in swept.collect()}
+    assert got["2024-01-04"] == 3      # all three open
+    assert got["2024-01-05"] == 2      # k=2 closed end-of-Jan-4
+    assert got["2024-01-11"] == 0      # everything closed
+
+
+def test_pareto_frontier_matches_bruteforce(spark):
+    """Running-max skyline == O(n^2) dominance anti-join on random data."""
+    from pyspark.sql import Window, functions as F
+
+    df = spark.range(500).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 7919) % 97).cast("double").alias("price"),
+        ((F.col("id") * 104729) % 53).cast("int").alias("size"),
+    )
+    pp = df.groupBy("price").agg(F.max("size").alias("msize"))
+    runs = pp.withColumn(
+        "m_strict",
+        F.max("msize").over(
+            Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    )
+    sky = (
+        df.join(runs, "price")
+        .filter(
+            (F.col("m_strict").isNull() | (F.col("m_strict") < F.col("size")))
+            & (F.col("msize") <= F.col("size"))
+        )
+        .select("k")
+    )
+    a = df.alias("a")
+    b = df.alias("b")
+    dominated = a.join(
+        b,
+        (F.col("b.price") <= F.col("a.price"))
+        & (F.col("b.size") >= F.col("a.size"))
+        & (
+            (F.col("b.price") < F.col("a.price"))
+            | (F.col("b.size") > F.col("a.size"))
+        ),
+        "left_semi",
+    ).select("a.k")
+    brute = df.select("k").exceptAll(dominated)
+    assert sorted(r["k"] for r in sky.collect()) == sorted(
+        r["k"] for r in brute.collect()
+    )

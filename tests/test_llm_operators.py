@@ -732,3 +732,69 @@ def test_multiprobe_recall_not_worse_than_single(spark, sf_dir):
     r_single = len(single & truth) / len(truth)
     r_multi = len(multi & truth) / len(truth)
     assert r_multi >= r_single
+
+
+def test_pq_topk_recall_vs_exact(spark, sf_dir):
+    """PQ/ADC top-10 must overlap the exact top-10 meaningfully; with a
+    20-candidate rerank the floor is conservative (measured ~0.5+ on the
+    fixture corpus) — pinned so codebook/LUT regressions surface."""
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.operators.similarity import (
+        brute_force_topk,
+        pq_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(emb, qs, k=10)
+    approx = pq_topk(emb, qs, k=10, n_cand=20)
+    ex = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    ap = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(ex & ap) / len(ex)
+    assert recall >= 0.3, f"PQ recall collapsed: {recall}"
+
+
+def test_pq_codes_compress_and_cover(spark, sf_dir):
+    """Every vector gets exactly m_sub codes, all in [0, n_cent)."""
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.operators.similarity import pq_codes
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    codes = pq_codes(emb, m_sub=8, n_cent=16)
+    n_vec = emb.count()
+    assert codes.count() == n_vec * 8
+    bad = codes.filter((F.col("code") < 0) | (F.col("code") >= 16)).count()
+    assert bad == 0
+    # the first 16 vectors ARE the codebook: vector c quantizes to c in
+    # every subspace (its distance to itself is 0)
+    self_codes = codes.filter(F.col("vec_id") < 16).filter(
+        F.col("code") != F.col("vec_id")
+    )
+    assert self_codes.count() == 0
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    """A-ES with weight w=100 vs w=1: heavy rows must dominate the
+    sample (inclusion probability ~ weight), and the draw must be
+    deterministic across repartitionings."""
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.operators.sampling import weighted_sample_topk
+
+    df = spark.range(1000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 10 == 0, 100.0).otherwise(1.0).alias("w"),
+    )
+    out = weighted_sample_topk(df, "k", "w", k=50)
+    rows = out.collect()
+    heavy = sum(1 for r in rows if r["w"] == 100.0)
+    # 100 heavy rows at weight 100 vs 900 light at weight 1: expect the
+    # sample to be mostly heavy
+    assert heavy >= 35, f"only {heavy}/50 heavy rows sampled"
+
+    out2 = weighted_sample_topk(df.repartition(7), "k", "w", k=50)
+    assert sorted(r["k"] for r in rows) == sorted(
+        r["k"] for r in out2.collect()
+    )

@@ -205,3 +205,35 @@ def test_ranked_quantiles_one_giant_group_is_partition_parallel(spark):
     assert row["p5"] == 5000.0
     assert row["p95"] == 95000.0
     assert row["min"] == 0.0 and row["max"] == 100000.0
+
+
+def test_bloom_semi_join_exact_and_filtering(spark):
+    """Bloom pre-filter must (a) never drop a true match (no false
+    negatives) and (b) actually thin the fact side before the join."""
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.operators.bloom import (
+        bloom_might_contain,
+        bloom_semi_join,
+        build_bloom,
+    )
+
+    fact = spark.range(10000).select((F.col("id") % 997).alias("k"), "id")
+    dim = spark.range(50).select((F.col("id") * 13).alias("d"))
+
+    got = bloom_semi_join(fact, dim, "k", "d", m_bits=1 << 12)
+    want = fact.join(
+        dim.select(F.col("d").alias("k")).distinct(), "k", "left_semi"
+    )
+    assert sorted(r["id"] for r in got.collect()) == sorted(
+        r["id"] for r in want.collect()
+    )
+
+    # the probe predicate alone keeps every true key (no false negatives)
+    words = build_bloom(dim, "d", m_bits=1 << 12)
+    survivors = fact.filter(
+        bloom_might_contain(words, F.col("k"), m_bits=1 << 12)
+    ).count()
+    assert survivors >= want.count()
+    # and discards a meaningful share of the 997 distinct fact keys
+    assert survivors < fact.count()

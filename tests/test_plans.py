@@ -418,3 +418,40 @@ def test_cms_filter_is_map_side_before_exact_shuffle(spark, sf):
     ex = plan.split("Exchange")[-1]  # below the last exchange = map side
     assert "xxhash64" in ex and "INSET" in ex
     assert "CartesianProduct" not in plan
+
+
+def test_geo_radius_join_is_equi_join(spark, sf):
+    """Grid-cell candidates must plan as a hash equi-join — never the
+    cartesian/nested-loop product the naive radius filter degrades to."""
+    plan = phys(REGISTRY["geo_radius_join"].fn(spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bloom_prefilter_probe_below_join(spark, sf):
+    """The bloom bit-test must run as a plain Filter on the fact scan
+    (before any Exchange), and the exact join must still be present."""
+    plan = phys(REGISTRY["bloom_prefilter_join"].fn(spark, sf))
+    assert "xxhash64" in plan          # probe predicate is in the plan
+    assert "Join" in plan              # exact semi-join still happens
+    # the probe filter must sit under the scan side, i.e. appear in the
+    # same subtree as the parquet scan of orders (codegen'd filter)
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_codes_single_pass_no_shuffle(spark, sf):
+    """Code assignment is a pure projection (argmin over literal
+    centroids): no Exchange anywhere in the plan."""
+    from shared_etl_pipelines_spark.operators.similarity import pq_codes
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    plan = phys(pq_codes(emb))
+    assert "Exchange" not in plan
+
+
+def test_pareto_frontier_no_dominance_self_join(spark, sf):
+    """The skyline must come from the running-max formulation — no
+    nested-loop/cartesian dominance comparison."""
+    plan = phys(REGISTRY["pareto_frontier"].fn(spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
