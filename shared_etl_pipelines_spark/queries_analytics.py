@@ -2878,3 +2878,57 @@ def q_interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("span").cast("long").alias("covered_seconds"),
         F.count(F.lit(1)).alias("n_intervals"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit — the classic fabricated-numbers detector:
+# naturally occurring money amounts follow P(d) = log10(1 + 1/d). The
+# first significant digit comes from the exact integer-cents STRING, not
+# floor(log10(x)) — log10 on a double at a power-of-ten boundary is an
+# engine-dependent ulp coin-flip; substr of an exact integer is not.
+# One mergeable aggregation; the chi-square stat says how far the ledger
+# deviates.
+# ---------------------------------------------------------------------------
+@defquery(
+    "benford_first_digit",
+    """
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                         AS VARCHAR), 1, 1) AS INTEGER) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ),
+    c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT SUM(n) AS total FROM c)
+    SELECT digit, CAST(n AS BIGINT) AS n,
+           ROUND(CAST(n AS DOUBLE) / total, 4) AS observed_p,
+           ROUND(LOG10(1 + 1.0 / digit), 4) AS benford_p,
+           ROUND(POWER(CAST(n AS DOUBLE) / total - LOG10(1 + 1.0 / digit), 2)
+                 / LOG10(1 + 1.0 / digit) * total, 4) AS chi2_term
+    FROM c, t
+    """,
+    doc="Benford's-law first-digit audit over order totals: digit from "
+    "the exact cents string (no log10-on-double boundary), observed vs "
+    "expected share + per-digit chi-square contribution",
+    tags=("aggregate", "statistics", "quality", "fraud"),
+)
+def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    c = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    j = c.crossJoin(F.broadcast(t))
+    obs = F.col("n").cast("double") / F.col("total")
+    exp = F.log10(1 + 1.0 / F.col("digit"))
+    return j.select(
+        "digit",
+        F.col("n").cast("long").alias("n"),
+        F.round(obs, 4).alias("observed_p"),
+        F.round(exp, 4).alias("benford_p"),
+        F.round(F.pow(obs - exp, 2) / exp * F.col("total"), 4).alias("chi2_term"),
+    )

@@ -532,3 +532,102 @@ def q_raster_focal_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_neighbors"),
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Radius-bounded nearest neighbor: each customer's closest supplier
+# within 500 km (customers with none drop out — the bounded form is what
+# scales; unbounded NN needs expanding-ring probes). Same grid-cell
+# candidate machinery as geo_radius_join, then an argmin window per
+# customer. Rank stability measured: min (2nd - 1st) distance gap
+# 3.54 km (sf0.01) / 0.023 km (sf0.1).
+# ---------------------------------------------------------------------------
+@defquery(
+    "geo_nearest_supplier",
+    """
+    WITH c AS (
+      SELECT c_custkey,
+             (c_custkey * 9973 % 1200) / 10.0 - 60 AS lat,
+             (c_custkey * 7919 % 1800) / 10.0 - 90 AS lon
+      FROM customer
+    ),
+    s AS (
+      SELECT s_suppkey,
+             (s_suppkey * 6007 % 1200) / 10.0 - 60 AS lat,
+             (s_suppkey * 4999 % 1800) / 10.0 - 90 AS lon
+      FROM supplier
+    ),
+    d AS (
+      SELECT c.c_custkey, s.s_suppkey,
+             2 * 6371.0 * ASIN(SQRT(
+               POWER(SIN(RADIANS(c.lat - s.lat) / 2), 2) +
+               COS(RADIANS(s.lat)) * COS(RADIANS(c.lat)) *
+               POWER(SIN(RADIANS(c.lon - s.lon) / 2), 2))) AS dist
+      FROM c, s
+    ),
+    r AS (
+      SELECT c_custkey, s_suppkey, dist,
+             ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                ORDER BY dist, s_suppkey) AS rn
+      FROM d WHERE dist < 500
+    )
+    SELECT c_custkey, s_suppkey AS nearest_suppkey,
+           ROUND(dist, 4) AS dist_km
+    FROM r WHERE rn = 1
+    """,
+    doc="radius-bounded nearest supplier per customer: grid-cell "
+    "candidates + exact refine + per-customer argmin window — the "
+    "scale-safe NN form (oracle does the cross product)",
+    tags=("geo", "join", "nearest-neighbor", "bucketed", "scale"),
+)
+def q_geo_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        ((F.col("c_custkey") * 9973 % 1200) / 10.0 - 60).alias("clat"),
+        ((F.col("c_custkey") * 7919 % 1800) / 10.0 - 90).alias("clon"),
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        ((F.col("s_suppkey") * 6007 % 1200) / 10.0 - 60).alias("slat"),
+        ((F.col("s_suppkey") * 4999 % 1800) / 10.0 - 90).alias("slon"),
+    )
+    cell = 5.0
+    cust = cust.withColumn(
+        "gy", F.floor(F.col("clat") / cell).cast("int")
+    ).withColumn("gx", F.floor(F.col("clon") / cell).cast("int"))
+    probe = supp.select(
+        "s_suppkey",
+        "slat",
+        "slon",
+        F.explode(F.array(*[F.lit(dy) for dy in (-1, 0, 1)])).alias("dy"),
+    ).select(
+        "s_suppkey",
+        "slat",
+        "slon",
+        (F.floor(F.col("slat") / cell).cast("int") + F.col("dy")).alias("gy"),
+        F.explode(F.array(*[F.lit(dx) for dx in (-2, -1, 0, 1, 2)])).alias("dx"),
+    ).withColumn(
+        "gx", F.floor(F.col("slon") / cell).cast("int") + F.col("dx")
+    ).drop("dx", "dy")
+    cand = probe.join(cust, ["gy", "gx"])
+    dist = 2 * 6371.0 * F.asin(
+        F.sqrt(
+            F.pow(F.sin(F.radians(F.col("clat") - F.col("slat")) / 2), 2)
+            + F.cos(F.radians("slat"))
+            * F.cos(F.radians("clat"))
+            * F.pow(F.sin(F.radians(F.col("clon") - F.col("slon")) / 2), 2)
+        )
+    )
+    hits = cand.withColumn("dist", dist).filter(F.col("dist") < 500)
+    w = Window.partitionBy("c_custkey").orderBy("dist", "s_suppkey")
+    return (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "c_custkey",
+            F.col("s_suppkey").alias("nearest_suppkey"),
+            F.round("dist", 4).alias("dist_km"),
+        )
+    )

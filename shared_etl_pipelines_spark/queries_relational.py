@@ -2513,3 +2513,232 @@ def q_excess_shipper_names(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == n["n_nationkey"])
         .select(F.col("s_name").alias("supplier"), F.col("n_name").alias("nation"))
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3 shape: shipping-priority top-10 — unshipped revenue of
+# BUILDING-segment orders placed before a date, shipped after it.
+# Three-way join with the customer filter semi-joined in, distributed
+# top-10 as orderBy().limit() (map-side partial top-k, never a global
+# single-partition sort).
+# ---------------------------------------------------------------------------
+@defquery(
+    "shipping_priority_top10",
+    """
+    SELECT l_orderkey,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                          AS BIGINT)) / 100.0, 4) AS revenue,
+           strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND CAST(o_orderdate AS DATE) < DATE '1995-03-15'
+      AND CAST(l_shipdate AS DATE) > DATE '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape: unshipped-order revenue top-10 for one segment "
+    "(priority column stands in for the absent shippriority)",
+    tags=("tpch", "join", "topk"),
+)
+def q_shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate").cast("date") < F.lit("1995-03-15").cast("date")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").cast("date") > F.lit("1995-03-15").cast("date")
+    )
+    j = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    ).join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"], "left_semi")
+    agg = j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        F.round(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+                .cast("long")
+            )
+            / 100.0,
+            4,
+        ).alias("revenue")
+    )
+    return (
+        agg.orderBy(F.col("revenue").desc(), "l_orderkey")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format(F.col("o_orderdate").cast("date"), "yyyy-MM-dd").alias(
+                "orderdate"
+            ),
+            "o_orderpriority",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q6 shape: forecast revenue change — one tight scan with every
+# predicate pushed to parquet, SUM(price * discount) over the qualifying
+# band. The pushdown poster child: the plan must show all four filters
+# in PushedFilters and read only three columns.
+# ---------------------------------------------------------------------------
+@defquery(
+    "forecast_revenue_change",
+    """
+    SELECT ROUND(SUM(CAST(ROUND(l_extendedprice * l_discount * 100)
+                          AS BIGINT)) / 100.0, 4) AS revenue_delta,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape: single-scan aggregate with every predicate "
+    "pushed down — what-if revenue from discount elimination",
+    tags=("tpch", "scan", "pushdown", "aggregate"),
+)
+def q_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    filt = li.filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1997-01-01").cast("date"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return filt.agg(
+        F.round(
+            F.sum(
+                F.round(F.col("l_extendedprice") * F.col("l_discount") * 100)
+                .cast("long")
+            )
+            / 100.0,
+            4,
+        ).alias("revenue_delta"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q10 shape: returned-item reporting — top-20 customers by revenue
+# lost to returns in one quarter. Fact filtered first, dimensions
+# broadcast, distributed top-k limit.
+# ---------------------------------------------------------------------------
+@defquery(
+    "returned_item_customers",
+    """
+    SELECT c_custkey, c_name, n_name AS nation,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                          AS BIGINT)) / 100.0, 4) AS lost_revenue,
+           ROUND(MAX(c_acctbal), 4) AS acctbal
+    FROM customer, orders, lineitem, nation
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+      AND CAST(o_orderdate AS DATE) < DATE '1996-04-01'
+      AND l_returnflag = 'R'
+      AND c_nationkey = n_nationkey
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY lost_revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q10 shape: top-20 customers by returned revenue in a "
+    "quarter — filtered fact, broadcast dims, distributed top-k",
+    tags=("tpch", "join", "topk", "aggregate"),
+)
+def q_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+    )
+    nat = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1996-04-01").cast("date"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    j = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+    )
+    agg = j.groupBy("c_custkey", "c_name", "n_name").agg(
+        F.round(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+                .cast("long")
+            )
+            / 100.0,
+            4,
+        ).alias("lost_revenue"),
+        F.round(F.max("c_acctbal"), 4).alias("acctbal"),
+    )
+    return (
+        agg.orderBy(F.col("lost_revenue").desc(), "c_custkey")
+        .limit(20)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("n_name").alias("nation"),
+            "lost_revenue",
+            "acctbal",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q14 shape: promotion effect — the share of one month's revenue
+# from promo-class parts. Conditional aggregation over a single join;
+# exact integer-cents numerator AND denominator, one final division.
+# ---------------------------------------------------------------------------
+@defquery(
+    "promo_revenue_share",
+    """
+    WITH j AS (
+      SELECT CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+               AS cents,
+             CASE WHEN p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS is_promo
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey
+        AND CAST(l_shipdate AS DATE) >= DATE '1995-09-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1995-10-01'
+    )
+    SELECT ROUND(100.0 * SUM(CASE WHEN is_promo = 1 THEN cents ELSE 0 END)
+                 / SUM(cents), 4) AS promo_pct,
+           ROUND(SUM(CASE WHEN is_promo = 1 THEN cents ELSE 0 END) / 100.0, 4)
+             AS promo_revenue,
+           ROUND(SUM(cents) / 100.0, 4) AS total_revenue
+    FROM j
+    """,
+    doc="TPC-H Q14 shape: promo revenue share for one month — "
+    "conditional aggregation, exact-cents numerator and denominator",
+    tags=("tpch", "join", "aggregate"),
+)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", F.col("p_type").startswith("PROMO").alias("is_promo")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate").cast("date") >= F.lit("1995-09-01").cast("date"))
+        & (F.col("l_shipdate").cast("date") < F.lit("1995-10-01").cast("date"))
+    )
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"]).select(
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+        .alias("cents"),
+        F.when(F.col("is_promo"), 1).otherwise(0).alias("is_promo"),
+    )
+    promo = F.sum(F.when(F.col("is_promo") == 1, F.col("cents")).otherwise(0))
+    total = F.sum("cents")
+    return j.agg(
+        F.round(100.0 * promo / total, 4).alias("promo_pct"),
+        F.round(promo / 100.0, 4).alias("promo_revenue"),
+        F.round(total / 100.0, 4).alias("total_revenue"),
+    )

@@ -455,3 +455,29 @@ def test_pareto_frontier_no_dominance_self_join(spark, sf):
     plan = phys(REGISTRY["pareto_frontier"].fn(spark, sf))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_forecast_revenue_change_full_pushdown(spark, sf):
+    """Q6 shape is the pushdown poster child: discount/quantity filters
+    must reach the parquet scan and the read schema must stay narrow."""
+    plan = phys(REGISTRY["forecast_revenue_change"].fn(spark, sf))
+    # toString truncates the filter list — assert the stable prefix
+    # (all three columns reached the scan as pushed predicates)
+    assert ("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_discount), "
+            "IsNotNull(l_quantity)") in plan
+    read = plan.split("ReadSchema")[-1]
+    assert "l_partkey" not in read and "l_returnflag" not in read
+
+
+def test_topk_queries_use_ordered_limit(spark, sf):
+    """Q3/Q10 top-k must plan TakeOrderedAndProject (distributed partial
+    top-k), never a global sort of the aggregate output."""
+    for name in ("shipping_priority_top10", "returned_item_customers"):
+        plan = phys(REGISTRY[name].fn(spark, sf))
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_geo_nearest_supplier_equi_join(spark, sf):
+    plan = phys(REGISTRY["geo_nearest_supplier"].fn(spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
