@@ -2932,3 +2932,253 @@ def q_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(exp, 4).alias("benford_p"),
         F.round(F.pow(obs - exp, 2) / exp * F.col("total"), 4).alias("chi2_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental JOIN maintenance — the delta-propagation rule for a
+# materialized join view: Δ(A ⋈ B) = ΔA ⋈ B_new ∪ A_old ⋈ ΔB.
+# Here the "view" is orders ⋈ customer monthly revenue by segment; the
+# simulated batch is orders after a cutoff (ΔA) plus a segment change
+# for a slice of customers (ΔB as before/after pairs). The refresh
+# merges the old view state with delta terms — never rescanning old
+# facts against old dims — and the oracle is the FULL recompute on the
+# post-change state, pinning merge == recompute exactly.
+# ---------------------------------------------------------------------------
+@defquery(
+    "incremental_join_refresh",
+    """
+    WITH cust2 AS (  -- post-change dimension: movers flip to 'MACHINERY'
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 17 = 0 THEN 'MACHINERY'
+                  ELSE c_mktsegment END AS seg
+      FROM customer
+    )
+    SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS month, seg,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS cents,
+           COUNT(*) AS n
+    FROM orders JOIN cust2 ON o_custkey = c_custkey
+    GROUP BY 1, 2
+    """,
+    doc="incremental materialized-JOIN maintenance: old view + dA><Bnew "
+    "+ Aold><dB delta terms merged to the new view state; oracle is the "
+    "full recompute, so green pins the delta algebra exactly",
+    tags=("warehouse", "join", "incremental"),
+)
+def q_incremental_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+    )
+    cust_old = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("seg")
+    )
+    mover = F.col("c_custkey") % 17 == 0
+    cust_new = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(mover, "MACHINERY").otherwise(F.col("c_mktsegment")).alias("seg"),
+    )
+    cutoff = F.lit("2000-01-01").cast("date")
+    a_old = orders.filter(F.col("day") < cutoff)
+    d_a = orders.filter(F.col("day") >= cutoff)
+
+    month = F.date_format("day", "yyyy-MM").alias("month")
+    agg = lambda df: df.groupBy(month, "seg").agg(  # noqa: E731
+        F.sum("cents").alias("cents"), F.count(F.lit(1)).alias("n")
+    )
+    # stored view state (built against the OLD dimension, as it would be)
+    view_old = agg(a_old.join(F.broadcast(cust_old), orders.o_custkey == cust_old.c_custkey))
+    # delta term 1: new facts against the NEW dimension
+    t1 = agg(d_a.join(F.broadcast(cust_new), orders.o_custkey == cust_new.c_custkey))
+    # delta term 2: old facts of CHANGED dim rows — retract the old
+    # attribution (negative) and add the new one, without a full rescan
+    movers_old = cust_old.filter(mover)
+    movers_new = cust_new.filter(mover)
+    retract = agg(
+        a_old.join(F.broadcast(movers_old), orders.o_custkey == movers_old.c_custkey)
+    ).select("month", "seg", (-F.col("cents")).alias("cents"), (-F.col("n")).alias("n"))
+    attach = agg(
+        a_old.join(F.broadcast(movers_new), orders.o_custkey == movers_new.c_custkey)
+    )
+    merged = view_old.unionByName(t1).unionByName(retract).unionByName(attach)
+    return (
+        merged.groupBy("month", "seg")
+        .agg(F.sum("cents").cast("long").alias("cents"),
+             F.sum("n").alias("n"))
+        .filter(F.col("n") > 0)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rank-movement report: each brand's monthly revenue rank and its shift
+# vs the previous month. Windows run over the bounded (month x brand)
+# aggregate, never raw rows; the rank and the lag share one partition
+# layout.
+# ---------------------------------------------------------------------------
+@defquery(
+    "brand_rank_shift",
+    """
+    WITH m AS (
+      SELECT strftime(CAST(l_shipdate AS DATE), '%Y-%m') AS month, p_brand,
+             SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100)
+                 AS BIGINT)) AS cents
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT month, p_brand, cents,
+             ROW_NUMBER() OVER (PARTITION BY month
+                                ORDER BY cents DESC, p_brand) AS rnk
+      FROM m
+    )
+    SELECT month, p_brand, revenue, rnk, rank_gain FROM (
+      -- lag BEFORE the top-5 filter: the shift is against the brand's
+      -- true previous rank, not its previous top-5 appearance
+      SELECT month, p_brand, ROUND(cents / 100.0, 4) AS revenue,
+             CAST(rnk AS BIGINT) AS rnk,
+             CAST(LAG(rnk) OVER (PARTITION BY p_brand ORDER BY month)
+                  - rnk AS BIGINT) AS rank_gain
+      FROM r
+    ) WHERE rnk <= 5
+    """,
+    doc="rank-movement BI report: top-5 brands per month by revenue with "
+    "rank shift vs previous month — windows over the bounded aggregate",
+    tags=("window", "ranking", "timeseries"),
+)
+def q_brand_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    m = (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(
+            F.date_format(F.col("l_shipdate").cast("date"), "yyyy-MM").alias(
+                "month"
+            ),
+            "p_brand",
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+                .cast("long")
+            ).alias("cents")
+        )
+    )
+    w_rank = Window.partitionBy("month").orderBy(F.col("cents").desc(), "p_brand")
+    r = m.withColumn("rnk", F.row_number().over(w_rank))
+    w_lag = Window.partitionBy("p_brand").orderBy("month")
+    return (
+        r.withColumn("rank_gain", (F.lag("rnk").over(w_lag) - F.col("rnk")).cast("long"))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            "month",
+            "p_brand",
+            F.round(F.col("cents") / 100.0, 4).alias("revenue"),
+            F.col("rnk").cast("long").alias("rnk"),
+            "rank_gain",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# New-vs-returning split per day — the growth dashboard's base metric.
+# First-touch day per user is one pre-aggregation; the daily split is a
+# conditional count against it. No window over raw events.
+# ---------------------------------------------------------------------------
+@defquery(
+    "new_vs_returning",
+    """
+    WITH first_touch AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+    ),
+    daily AS (
+      SELECT CAST(ts AS DATE) AS day, e.user_id, f.d0
+      FROM events e JOIN first_touch f ON e.user_id = f.user_id
+      GROUP BY CAST(ts AS DATE), e.user_id, f.d0
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) FILTER (WHERE day = d0) AS BIGINT) AS new_users,
+           CAST(COUNT(*) FILTER (WHERE day > d0) AS BIGINT) AS returning_users
+    FROM daily GROUP BY day
+    """,
+    doc="daily new-vs-returning user split: first-touch pre-aggregation "
+    "+ conditional counts — no window over raw events",
+    tags=("aggregate", "timeseries", "growth"),
+)
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("d0"))
+    daily = ev.distinct().join(first, "user_id")
+    return daily.groupBy(
+        F.date_format("day", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.when(F.col("day") == F.col("d0"), 1)).cast("long").alias("new_users"),
+        F.count(F.when(F.col("day") > F.col("d0"), 1))
+        .cast("long")
+        .alias("returning_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wilson score interval for per-type conversion rates — the A/B-test
+# readout that stays valid at small n (a plain normal interval lies).
+# Deterministic closed form over exact integer counts; one aggregation.
+# ---------------------------------------------------------------------------
+@defquery(
+    "conversion_wilson_ci",
+    """
+    WITH peruser AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS saw,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS bought
+      FROM events GROUP BY user_id
+    ),
+    agg AS (
+      SELECT CAST(SUM(saw) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN saw = 1 AND bought = 1 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS k
+      FROM peruser
+    )
+    SELECT n, k,
+           ROUND(CAST(k AS DOUBLE) / n, 4) AS p_hat,
+           ROUND((k + 1.9208) / (n + 3.8416)
+                 - 1.96 * SQRT((CAST(k AS DOUBLE) * (n - k)) / n + 0.9604)
+                   / (n + 3.8416), 4) AS wilson_lo,
+           ROUND((k + 1.9208) / (n + 3.8416)
+                 + 1.96 * SQRT((CAST(k AS DOUBLE) * (n - k)) / n + 0.9604)
+                   / (n + 3.8416), 4) AS wilson_hi
+    FROM agg
+    """,
+    doc="Wilson 95% score interval for view->purchase conversion: exact "
+    "integer counts, closed-form bounds identical in both engines",
+    tags=("aggregate", "statistics", "ab-test"),
+)
+def q_conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    peruser = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("saw"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "bought"
+        ),
+    )
+    agg = peruser.agg(
+        F.sum("saw").cast("long").alias("n"),
+        F.sum(
+            F.when((F.col("saw") == 1) & (F.col("bought") == 1), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("k"),
+    )
+    n = F.col("n")
+    k = F.col("k").cast("double")
+    center = (k + 1.9208) / (n + 3.8416)
+    half = 1.96 * F.sqrt((k * (n - F.col("k"))) / n + 0.9604) / (n + 3.8416)
+    return agg.select(
+        "n",
+        "k",
+        F.round(k / n, 4).alias("p_hat"),
+        F.round(center - half, 4).alias("wilson_lo"),
+        F.round(center + half, 4).alias("wilson_hi"),
+    )

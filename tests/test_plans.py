@@ -481,3 +481,12 @@ def test_geo_nearest_supplier_equi_join(spark, sf):
     plan = phys(REGISTRY["geo_nearest_supplier"].fn(spark, sf))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_incremental_join_refresh_reuses_exchange(spark, sf):
+    """The four delta terms scan orders/customer repeatedly; Spark must
+    reuse at least one exchange/subquery instead of four full rescans,
+    and every dimension join must stay broadcast."""
+    plan = phys(REGISTRY["incremental_join_refresh"].fn(spark, sf))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
