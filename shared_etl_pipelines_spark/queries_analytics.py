@@ -3182,3 +3182,80 @@ def q_conversion_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(center - half, 4).alias("wilson_lo"),
         F.round(center + half, 4).alias("wilson_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Key-skew diagnosis — the report you run BEFORE picking a partitioning
+# key at 100 TB: per-key share of the biggest keys, decile concentration
+# and the Gini coefficient of the key-frequency distribution. Everything
+# windows over the bounded distinct-key table (one groupBy of the fact,
+# then key-domain-sized math), never raw rows.
+# ---------------------------------------------------------------------------
+@defquery(
+    "key_skew_report",
+    """
+    WITH kc AS (
+      SELECT l_suppkey AS key, COUNT(*) AS n FROM lineitem GROUP BY l_suppkey
+    ),
+    ranked AS (
+      SELECT key, n,
+             ROW_NUMBER() OVER (ORDER BY n, key) AS r,
+             COUNT(*) OVER () AS nk,
+             SUM(n) OVER () AS total
+      FROM kc
+    ),
+    g AS (
+      SELECT MAX(nk) AS nk, MAX(total) AS total,
+             SUM(CAST(r AS DOUBLE) * n) AS rn_sum,
+             MAX(CASE WHEN r = nk THEN n END) AS top1,
+             SUM(CASE WHEN r > nk - 10 THEN n ELSE 0 END) AS top10
+      FROM ranked
+    )
+    SELECT CAST(nk AS BIGINT) AS n_keys,
+           CAST(total AS BIGINT) AS n_rows,
+           ROUND(CAST(top1 AS DOUBLE) / total, 4) AS top1_share,
+           ROUND(CAST(top10 AS DOUBLE) / total, 4) AS top10_share,
+           ROUND(2 * rn_sum / (nk * total) - CAST(nk + 1 AS DOUBLE) / nk, 4)
+             AS gini
+    FROM g
+    """,
+    doc="partitioning-key skew report: top-1/top-10 share and Gini "
+    "coefficient of the key-frequency distribution — windows over the "
+    "bounded distinct-key table only",
+    tags=("aggregate", "skew", "diagnostics", "scale"),
+)
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    kc = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # distinct-key table is bounded; single-partition windows acceptable
+    ranked = (
+        kc.withColumn("r", F.row_number().over(Window.orderBy("n", "key")))
+        .withColumn("nk", F.count(F.lit(1)).over(Window.partitionBy()))
+        .withColumn("total", F.sum("n").over(Window.partitionBy()))
+    )
+    g = ranked.agg(
+        F.max("nk").alias("nk"),
+        F.max("total").alias("total"),
+        F.sum(F.col("r").cast("double") * F.col("n")).alias("rn_sum"),
+        F.max(F.when(F.col("r") == F.col("nk"), F.col("n"))).alias("top1"),
+        F.sum(
+            F.when(F.col("r") > F.col("nk") - 10, F.col("n")).otherwise(0)
+        ).alias("top10"),
+    )
+    return g.select(
+        F.col("nk").cast("long").alias("n_keys"),
+        F.col("total").cast("long").alias("n_rows"),
+        F.round(F.col("top1").cast("double") / F.col("total"), 4).alias(
+            "top1_share"
+        ),
+        F.round(F.col("top10").cast("double") / F.col("total"), 4).alias(
+            "top10_share"
+        ),
+        F.round(
+            2 * F.col("rn_sum") / (F.col("nk") * F.col("total"))
+            - (F.col("nk") + 1).cast("double") / F.col("nk"),
+            4,
+        ).alias("gini"),
+    )

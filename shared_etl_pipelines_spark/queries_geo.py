@@ -631,3 +631,115 @@ def q_geo_nearest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("dist", 4).alias("dist_km"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Polygon metrics through the real .shp round-trip: the fixture zones
+# are written as an actual shapefile, re-read by the pure-python parser
+# (sources/vector.py), and their shoelace area / perimeter / centroid
+# are computed RELATIONALLY — vertices become rows, each edge is
+# (v_i, v_{i+1 mod n}) via a lead window with wraparound, and the
+# closed forms are plain aggregations. The oracle recomputes from the
+# fixture's literal vertex list, so a single vertex mis-parsed anywhere
+# in the .shp binary path flips the hash. Integer vertices keep area
+# and centroid rational-exact in both engines.
+# ---------------------------------------------------------------------------
+@defquery(
+    "shapefile_zone_metrics",
+    """
+    WITH v(zone, i, x, y) AS (VALUES
+      ('west', 0, 0.0, 0.0), ('west', 1, 12.0, 0.0),
+      ('west', 2, 12.0, 32.0), ('west', 3, 0.0, 32.0),
+      ('east_L', 0, 12.0, 0.0), ('east_L', 1, 32.0, 0.0),
+      ('east_L', 2, 32.0, 16.0), ('east_L', 3, 20.0, 16.0),
+      ('east_L', 4, 20.0, 32.0), ('east_L', 5, 12.0, 32.0),
+      ('north', 0, 0.0, 32.0), ('north', 1, 32.0, 32.0),
+      ('north', 2, 32.0, 40.0), ('north', 3, 0.0, 40.0)
+    ),
+    n AS (SELECT zone, COUNT(*) AS nv FROM v GROUP BY zone),
+    e AS (
+      SELECT v.zone, v.x, v.y, w.x AS x2, w.y AS y2
+      FROM v JOIN n ON v.zone = n.zone
+      JOIN v w ON w.zone = v.zone AND w.i = (v.i + 1) % n.nv
+    ),
+    agg AS (
+      SELECT zone,
+             SUM(x * y2 - x2 * y) AS cross2,
+             SUM(SQRT((x2 - x) * (x2 - x) + (y2 - y) * (y2 - y))) AS perim,
+             SUM((x + x2) * (x * y2 - x2 * y)) AS cx6a,
+             SUM((y + y2) * (x * y2 - x2 * y)) AS cy6a
+      FROM e GROUP BY zone
+    )
+    SELECT a.zone, CAST(n.nv AS BIGINT) AS n_vertices,
+           ROUND(ABS(cross2) / 2, 4) AS area,
+           ROUND(perim, 4) AS perimeter,
+           ROUND(cx6a / (3 * cross2), 4) AS centroid_x,
+           ROUND(cy6a / (3 * cross2), 4) AS centroid_y
+    FROM agg a JOIN n ON a.zone = n.zone
+    """,
+    doc="polygon shoelace area/perimeter/centroid computed relationally "
+    "from .shp-round-tripped vertices (vertex rows + modular lead edge "
+    "pairing) — any mis-parsed vertex in the binary path flips the hash",
+    tags=("geo", "shapefile", "vector", "aggregate"),
+)
+def q_shapefile_zone_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from shared_etl_pipelines_spark.operators.geo import Polygon
+    from shared_etl_pipelines_spark.sources.vector import (
+        read_shapefile,
+        write_shapefile,
+    )
+
+    base = os.path.join(tempfile.gettempdir(), "spark_graft_shp_demo_v1", "zones")
+    os.makedirs(os.path.dirname(base), exist_ok=True)
+    if not os.path.exists(base + ".shp"):
+        write_shapefile(
+            base,
+            [
+                Polygon(p.zone_id, p.ring, {"NAME": p.zone_id, "STUSPS": p.attrs["stusps"]})
+                for p in POLYGONS
+            ],
+            fields=[("NAME", "C", 16, 0), ("STUSPS", "C", 2, 0)],
+        )
+    polys = read_shapefile(base + ".shp", id_field="NAME")
+    rows = [
+        (p.zone_id, i, float(x), float(y))
+        for p in polys
+        for i, (x, y) in enumerate(p.ring)
+    ]
+    v = spark.createDataFrame(rows, ["zone", "i", "x", "y"])
+    n = v.groupBy("zone").agg(F.count(F.lit(1)).alias("nv"))
+    w = v.select(
+        F.col("zone").alias("wz"), F.col("i").alias("wi"),
+        F.col("x").alias("x2"), F.col("y").alias("y2"),
+    )
+    e = (
+        v.join(n, "zone")
+        .join(
+            w,
+            (F.col("wz") == F.col("zone"))
+            & (F.col("wi") == (F.col("i") + 1) % F.col("nv")),
+        )
+    )
+    cross = F.col("x") * F.col("y2") - F.col("x2") * F.col("y")
+    agg = e.groupBy("zone").agg(
+        F.sum(cross).alias("cross2"),
+        F.sum(
+            F.sqrt(
+                (F.col("x2") - F.col("x")) * (F.col("x2") - F.col("x"))
+                + (F.col("y2") - F.col("y")) * (F.col("y2") - F.col("y"))
+            )
+        ).alias("perim"),
+        F.sum((F.col("x") + F.col("x2")) * cross).alias("cx6a"),
+        F.sum((F.col("y") + F.col("y2")) * cross).alias("cy6a"),
+    )
+    return agg.join(n, "zone").select(
+        "zone",
+        F.col("nv").cast("long").alias("n_vertices"),
+        F.round(F.abs(F.col("cross2")) / 2, 4).alias("area"),
+        F.round("perim", 4).alias("perimeter"),
+        F.round(F.col("cx6a") / (3 * F.col("cross2")), 4).alias("centroid_x"),
+        F.round(F.col("cy6a") / (3 * F.col("cross2")), 4).alias("centroid_y"),
+    )
