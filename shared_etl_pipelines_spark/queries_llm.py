@@ -3447,3 +3447,239 @@ def q_similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     out = pq_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, n_cand=20)
     return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# Label-centroid similarity — "are my class clusters separable?": mean
+# embedding per label, then pairwise cosine between the 10 centroids.
+# Components are milli-quantized to exact integers BEFORE summing, so
+# the (label, dim) sums are engine-exact BIGINTs; counts cancel out of
+# the cosine (cos of the sum vectors == cos of the means), leaving one
+# bounded 10x10 pairwise join over 64-dim integer vectors.
+# ---------------------------------------------------------------------------
+@defquery(
+    "label_centroid_similarity",
+    """
+    WITH comp AS (
+      SELECT label, i, CAST(ROUND(CAST(embedding[i + 1] AS DOUBLE) * 1000)
+                            AS BIGINT) AS mx
+      FROM embeddings, (SELECT UNNEST(range(64)) AS i)
+    ),
+    cent AS (
+      SELECT label, i, CAST(SUM(mx) AS BIGINT) AS s
+      FROM comp GROUP BY label, i
+    ),
+    pairs AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             SUM(CAST(a.s AS DOUBLE) * b.s) AS dot,
+             SQRT(SUM(CAST(a.s AS DOUBLE) * a.s)) AS na,
+             SQRT(SUM(CAST(b.s AS DOUBLE) * b.s)) AS nb
+      FROM cent a JOIN cent b ON a.i = b.i AND a.label < b.label
+      GROUP BY a.label, b.label
+    )
+    SELECT label_a, label_b, ROUND(dot / (na * nb), 4) AS centroid_cosine
+    FROM pairs
+    """,
+    doc="pairwise cosine between label centroids: milli-quantized exact "
+    "integer (label, dim) sums; counts cancel so cos(sums) == cos(means)",
+    tags=("llm", "similarity", "vector", "clustering-eval"),
+)
+def q_label_centroid_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
+    ).select(
+        "label", "i", F.round(F.col("x") * 1000).cast("long").alias("mx")
+    )
+    cent = comp.groupBy("label", "i").agg(F.sum("mx").alias("s"))
+    a = cent.select(
+        F.col("label").alias("label_a"), "i", F.col("s").alias("sa")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), F.col("i").alias("ib"), F.col("s").alias("sb")
+    )
+    pairs = (
+        a.join(b, (F.col("i") == F.col("ib")) & (F.col("label_a") < F.col("label_b")))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("sa").cast("double") * F.col("sb")).alias("dot"),
+            F.sqrt(F.sum(F.col("sa").cast("double") * F.col("sa"))).alias("na"),
+            F.sqrt(F.sum(F.col("sb").cast("double") * F.col("sb"))).alias("nb"),
+        )
+    )
+    return pairs.select(
+        "label_a",
+        "label_b",
+        F.round(F.col("dot") / (F.col("na") * F.col("nb")), 4).alias(
+            "centroid_cosine"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Naive Bayes language-model training — the distributed trainer for the
+# n-gram lang-id the engine already serves: per-language character-
+# bigram log-likelihoods with add-one smoothing, from exact integer
+# counts. One explode + one groupBy; the model IS a table (score by
+# joining bigrams against it — the lang_id query is the read side).
+# ---------------------------------------------------------------------------
+@defquery(
+    "nb_train_langid",
+    """
+    WITH t AS (
+      SELECT lang, lower(text) AS s FROM documents
+    ),
+    bg AS (
+      SELECT lang, substr(s, i + 1, 2) AS bigram
+      FROM t, (SELECT UNNEST(range(400)) AS i)
+      WHERE i + 2 <= length(s) AND substr(s, i + 1, 2) NOT LIKE '% %'
+    ),
+    cnt AS (SELECT lang, bigram, COUNT(*) AS n FROM bg GROUP BY lang, bigram),
+    tot AS (SELECT lang, SUM(n) AS tn, COUNT(*) AS v FROM cnt GROUP BY lang),
+    ranked AS (
+      SELECT c.lang, c.bigram, c.n,
+             ROUND(LN((c.n + 1.0) / (t.tn + t.v)), 4) AS loglik,
+             ROW_NUMBER() OVER (PARTITION BY c.lang
+                                ORDER BY c.n DESC, c.bigram) AS rn
+      FROM cnt c JOIN tot t ON c.lang = t.lang
+    )
+    SELECT lang, bigram, CAST(n AS BIGINT) AS n, loglik,
+           CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 20
+    """,
+    doc="naive-Bayes lang-id trainer: per-language char-bigram add-one "
+    "log-likelihoods from exact counts, top-20 per language — the write "
+    "side of the lang_id scorer",
+    tags=("llm", "text", "langid", "ml-train"),
+)
+def q_nb_train_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang", F.lower(F.col("text")).alias("s")
+    )
+    idx = F.sequence(F.lit(0), F.least(F.length("s") - 2, F.lit(399)))
+    bg = (
+        docs.filter(F.length("s") >= 2)
+        .select("lang", F.explode(idx).alias("i"), "s")
+        .select("lang", F.expr("substr(s, i + 1, 2)").alias("bigram"))
+        .filter(~F.col("bigram").contains(" "))
+        .select("lang", "bigram")
+    )
+    cnt = bg.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("lang").agg(
+        F.sum("n").alias("tn"), F.count(F.lit(1)).alias("v")
+    )
+    ranked = cnt.join(F.broadcast(tot), "lang").select(
+        "lang",
+        "bigram",
+        "n",
+        F.round(F.log((F.col("n") + 1.0) / (F.col("tn") + F.col("v"))), 4).alias(
+            "loglik"
+        ),
+        F.row_number()
+        .over(
+            Window.partitionBy("lang").orderBy(F.col("n").desc(), "bigram")
+        )
+        .alias("rn"),
+    )
+    return ranked.filter(F.col("rn") <= 20).select(
+        "lang", "bigram", F.col("n").cast("long").alias("n"), "loglik",
+        F.col("rn").cast("long").alias("rn"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Feature hashing (the "hashing trick", Weinberger et al. 2009): tokens
+# map to a fixed 256-bucket feature space via an engine-portable md5
+# slot, so the feature matrix has bounded width with no vocabulary
+# dictionary to build, ship, or keep consistent — the property that
+# matters at 100 TB. Output is the sparse (doc, slot, count) triple
+# form; signed variants just split the next md5 hex digit.
+# ---------------------------------------------------------------------------
+@defquery(
+    "hashed_features",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST({TOKS_SQL}) AS t FROM documents
+    ),
+    slots AS (
+      SELECT doc_id,
+             CAST(CAST('0x' || substr(md5(lower(t)), 1, 7) AS BIGINT) % 256
+                  AS INTEGER) AS slot
+      FROM tok
+    )
+    SELECT doc_id, slot, COUNT(*) AS cnt
+    FROM slots GROUP BY doc_id, slot
+    """,
+    doc="hashing-trick features: tokens -> 256 md5 slots, sparse "
+    "(doc, slot, count) triples — no vocabulary to build or ship",
+    tags=("llm", "text", "ml-features", "hashing"),
+)
+def q_hashed_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    slots = tok.select(
+        "doc_id",
+        (F.conv(F.substring(F.md5(F.lower("t")), 1, 7), 16, 10).cast("long") % 256)
+        .cast("int")
+        .alias("slot"),
+    )
+    return slots.groupBy("doc_id", "slot").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# Broadcast model scoring — a trained logistic model applied at scan
+# speed: the weight vector is a literal (at scale: a broadcast), the
+# features are cheap aggregates, and the score is one sigmoid per
+# entity. No Python, no UDF — model inference as a projection.
+# ---------------------------------------------------------------------------
+@defquery(
+    "churn_score_logistic",
+    """
+    WITH feats AS (
+      SELECT user_id,
+             COUNT(*) AS n_events,
+             CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+               / COUNT(*) AS purchase_rate,
+             (MAX(CAST(FLOOR(epoch(ts)) AS BIGINT))
+              - MIN(CAST(FLOOR(epoch(ts)) AS BIGINT))) / 86400.0 AS span_days
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+           ROUND(purchase_rate, 4) AS purchase_rate,
+           ROUND(1 / (1 + EXP(-(-1.2 + 0.015 * n_events
+                                - 2.0 * purchase_rate
+                                - 0.05 * span_days))), 4) AS churn_score
+    FROM feats
+    """,
+    doc="broadcast-model inference: logistic churn score as a pure "
+    "projection over per-user aggregates — literal weights, no UDF",
+    tags=("aggregate", "ml-inference", "scoring"),
+)
+def q_churn_score_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    feats = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.count(F.when(F.col("event_type") == "purchase", 1)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("purchase_rate"),
+        (
+            (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long")))
+            / 86400.0
+        ).alias("span_days"),
+    )
+    z = (
+        -1.2
+        + 0.015 * F.col("n_events")
+        - 2.0 * F.col("purchase_rate")
+        - 0.05 * F.col("span_days")
+    )
+    return feats.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("purchase_rate", 4).alias("purchase_rate"),
+        F.round(1 / (1 + F.exp(-z)), 4).alias("churn_score"),
+    )
