@@ -3683,3 +3683,120 @@ def q_churn_score_logistic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("purchase_rate", 4).alias("purchase_rate"),
         F.round(1 / (1 + F.exp(-z)), 4).alias("churn_score"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN over embeddings (Ester et al. 1996), composed from the engine's
+# own scale-path operators: the eps-neighborhood graph is the LSH
+# bucket-collision + exact-cosine-verify edge set (the
+# embedding_near_dup_lsh machinery — candidate generation stays linear),
+# core points are nodes with >= min_pts verified neighbors, clusters are
+# connected components over CORE-CORE edges (the dedup_clusters
+# iterative operator), and border points attach to the smallest cluster
+# id among their core neighbors. Noise never enters the component loop.
+# The oracle replays everything: same deterministic hyperplane buckets,
+# degree counts, a recursive CTE for the core-graph reachability, and
+# the same min-tie border election.
+# ---------------------------------------------------------------------------
+@defquery(
+    "embedding_dbscan",
+    f"""
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    e AS ({_lsh_tables_union_sql(4, 64, 4)}),
+    cand AS (
+      SELECT DISTINCT l.vec_id AS id_a, r.vec_id AS id_b
+      FROM e l JOIN e r
+        ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id
+    ),
+    pairs AS (
+      SELECT id_a, id_b FROM cand
+      JOIN base a ON a.vec_id = id_a
+      JOIN base b ON b.vec_id = id_b
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+    ),
+    edges AS (
+      SELECT id_a AS a, id_b AS b FROM pairs
+      UNION SELECT id_b, id_a FROM pairs
+    ),
+    deg AS (SELECT a AS node, COUNT(*) AS d FROM edges GROUP BY a),
+    core AS (SELECT node FROM deg WHERE d >= 2),
+    core_edges AS (
+      SELECT e.a, e.b FROM edges e
+      JOIN core ca ON ca.node = e.a
+      JOIN core cb ON cb.node = e.b
+    ),
+    reach AS (
+      WITH RECURSIVE walk(node, root) AS (
+        SELECT node, node FROM core
+        UNION
+        SELECT e.b, w.root FROM walk w JOIN core_edges e ON e.a = w.node
+      )
+      SELECT node, MIN(root) AS cluster FROM walk GROUP BY node
+    ),
+    border AS (
+      SELECT e.a AS node, MIN(r.cluster) AS cluster
+      FROM edges e
+      JOIN reach r ON r.node = e.b
+      WHERE e.a NOT IN (SELECT node FROM core)
+      GROUP BY e.a
+    )
+    SELECT node AS vec_id, cluster, 'core' AS role FROM reach
+    UNION ALL
+    SELECT node, cluster, 'border' FROM border
+    """,
+    doc="DBSCAN over embeddings: LSH-verified eps-graph, core = degree "
+    ">= 2, clusters = components of the core graph, border points "
+    "attach to their smallest core neighbor's cluster; noise excluded",
+    tags=("llm", "similarity", "clustering-eval", "dedup", "graph"),
+)
+def q_embedding_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.operators.dedup import connected_components
+    from shared_etl_pipelines_spark.operators.similarity import (
+        embedding_near_dup_lsh,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_lsh(emb, tau=0.4).select("id_a", "id_b")
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+        )
+    ).distinct()
+    deg = edges.groupBy(F.col("id_a").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    core = deg.filter(F.col("d") >= 2).select("node")
+    core_edges = (
+        edges.join(core.withColumnRenamed("node", "id_a"), "id_a", "left_semi")
+        .join(core.withColumnRenamed("node", "id_b"), "id_b", "left_semi")
+    )
+    comp = connected_components(core_edges, src="id_a", dst="id_b")
+    # isolated core nodes (core but no core neighbor) cluster as themselves
+    comp_all = core.join(
+        comp.withColumnRenamed("node", "node_c"),
+        core.node == F.col("node_c"),
+        "left",
+    ).select(
+        "node", F.coalesce("component", F.col("node")).alias("cluster")
+    )
+    non_core = edges.join(
+        core.withColumnRenamed("node", "id_a"), "id_a", "left_anti"
+    )
+    border = (
+        non_core.join(
+            comp_all.select(
+                F.col("node").alias("id_b"), F.col("cluster")
+            ),
+            "id_b",
+        )
+        .groupBy(F.col("id_a").alias("node"))
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    out = comp_all.select(
+        F.col("node").alias("vec_id"), "cluster", F.lit("core").alias("role")
+    ).unionByName(
+        border.select(
+            F.col("node").alias("vec_id"), "cluster", F.lit("border").alias("role")
+        )
+    )
+    return out
