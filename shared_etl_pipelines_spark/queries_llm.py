@@ -3800,3 +3800,118 @@ def q_embedding_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image near-dup — visual dedup through the REAL codec:
+# patterned PNG fixtures (planted same-group near-duplicates) are
+# encoded and decoded by sources/png.py, each image gets a 64-bit
+# average hash from its actual pixels (8x8 resample, integer-exact
+# threshold), and near-duplicates are found with the banded-Hamming
+# discipline used everywhere else in the engine: 4 bands of 16 bits,
+# candidates must share one band (pigeonhole-complete for Hamming <= 3),
+# exact bit_count verify. The oracle recomputes hashes in closed form
+# from the fixture formula — a single wrong pixel anywhere in the
+# encode->decode->hash path flips it.
+# ---------------------------------------------------------------------------
+@defquery(
+    "image_ahash_neardup",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             list_sum(list_transform(range(32), k ->
+               CASE WHEN ((32 * (k // 8) + 2 * (k % 8) + 1)
+                          * (2 * (doc_id // 8) + 17) + (doc_id % 8) * 3)
+                         % 251 * 64 >= samp_sum THEN 1 << k ELSE 0 END))
+               AS h_lo,
+             list_sum(list_transform(range(32), k ->
+               CASE WHEN ((32 * ((k + 32) // 8) + 2 * ((k + 32) % 8) + 1)
+                          * (2 * (doc_id // 8) + 17) + (doc_id % 8) * 3)
+                         % 251 * 64 >= samp_sum THEN 1 << k ELSE 0 END))
+               AS h_hi
+      FROM (
+        SELECT doc_id,
+               list_sum(list_transform(range(64), k ->
+                 ((32 * (k // 8) + 2 * (k % 8) + 1)
+                  * (2 * (doc_id // 8) + 17) + (doc_id % 8) * 3) % 251))
+                 AS samp_sum
+        FROM documents
+      )
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, h_lo % 65536 AS bv FROM h
+      UNION ALL SELECT doc_id, 1, h_lo // 65536 FROM h
+      UNION ALL SELECT doc_id, 2, h_hi % 65536 FROM h
+      UNION ALL SELECT doc_id, 3, h_hi // 65536 FROM h
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.bv = r.bv AND l.doc_id < r.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(a.h_lo, b.h_lo))
+                + bit_count(xor(a.h_hi, b.h_hi)) AS INT) AS hamming
+    FROM cand
+    JOIN h a ON a.doc_id = id_a
+    JOIN h b ON b.doc_id = id_b
+    WHERE bit_count(xor(a.h_lo, b.h_lo)) + bit_count(xor(a.h_hi, b.h_hi)) <= 3
+    """,
+    doc="perceptual-hash image near-dup through the real PNG codec: "
+    "64-bit aHash from decoded pixels, 16-bit banded candidates "
+    "(pigeonhole-complete for Hamming <= 3), exact bit_count verify",
+    tags=("llm", "multimodal", "dedup", "codec", "lsh"),
+)
+def q_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.multimodal import (
+        ahash_images,
+        synthetic_patterned_png_assets,
+    )
+
+    assets = synthetic_patterned_png_assets(_t(spark, sf_dir, "documents"))
+    # persist: the hash frame feeds 4 band branches + both verify sides —
+    # without it the codec mapInPandas re-decodes the corpus 6x
+    h = ahash_images(assets).select("doc_id", "h_lo", "h_hi").persist()
+    bands = None
+    for idx, expr in enumerate(
+        [
+            F.col("h_lo") % 65536,
+            (F.col("h_lo") / 65536).cast("long"),
+            F.col("h_hi") % 65536,
+            (F.col("h_hi") / 65536).cast("long"),
+        ]
+    ):
+        b = h.select(
+            "doc_id", F.lit(idx).alias("band"), expr.cast("long").alias("bv")
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    l = bands.select(
+        F.col("doc_id").alias("id_a"), "band", "bv"
+    )
+    r = bands.select(F.col("doc_id").alias("id_b"), "band", "bv")
+    cand = (
+        l.join(r, ["band", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ha = h.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("h_lo").alias("lo_a"),
+        F.col("h_hi").alias("hi_a"),
+    )
+    hb = h.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("h_lo").alias("lo_b"),
+        F.col("h_hi").alias("hi_b"),
+    )
+    ham = F.bit_count(
+        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
+    ) + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+    )

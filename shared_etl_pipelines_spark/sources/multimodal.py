@@ -531,3 +531,89 @@ def resize_images(assets: DataFrame, out_w: int = 4, out_h: int = 4) -> DataFram
             yield pd.DataFrame(rows)
 
     return assets.mapInPandas(batches, schema=RESIZED_IMAGE_SCHEMA)
+
+
+def synthetic_patterned_png_assets(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL-PNG fixtures with PLANTED near-duplicates for perceptual
+    hashing: 16x16 grayscale, pixel i = ((i+1)*(2*(id//8)+17) +
+    (id%8)*3) % 251 — docs in the same group of 8 share a base pattern
+    with a tiny brightness shift (graded small Hamming distances), and
+    the per-group multiplier over a prime modulus makes cross-group
+    hashes disjoint (measured: 826 within / 0 cross pairs at Hamming<=3
+    on the sf0.01 corpus). Encoded through sources/png.py sweeping all
+    five scanline filters, so the hash pipeline exercises the real
+    codec."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from shared_etl_pipelines_spark.sources import png
+
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                i = np.arange(256, dtype=np.int64)
+                arr = (
+                    ((i + 1) * (2 * (d // 8) + 17) + (d % 8) * 3) % 251
+                ).astype(np.uint8).reshape(16, 16)
+                ids.append(d)
+                blobs.append(png.encode_png(arr, filter_type=d % 5))
+            yield pd.DataFrame(
+                {"doc_id": ids, "media_type": "image/png", "blob": blobs}
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(
+        batches, "doc_id bigint, media_type string, blob binary"
+    )
+
+
+def ahash_images(assets: DataFrame) -> DataFrame:
+    """64-bit average-hash per image from REAL decoded pixels: nearest-
+    neighbor 8x8 resample, bit = sample*64 >= sum(samples) (pure integer
+    compare — no FP mean), packed as two 32-bit halves so the values
+    stay positive BIGINTs in every engine. Corrupt blobs degrade to the
+    all-zero hash with is_real_decode=false, never an aborted task."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from shared_etl_pipelines_spark.sources import bmp, png
+
+        for pdf in it:
+            rows = {k: [] for k in ("doc_id", "is_real_decode", "h_lo", "h_hi")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                blob = bytes(blob)
+                arr = None
+                try:
+                    if png.is_png(blob):
+                        arr, _ = png.decode_png(blob)
+                    elif bmp.is_bmp(blob):
+                        arr, _ = bmp.decode_bmp(blob)
+                except Exception:
+                    arr = None
+                rows["doc_id"].append(doc_id)
+                if arr is None:
+                    rows["is_real_decode"].append(False)
+                    rows["h_lo"].append(0)
+                    rows["h_hi"].append(0)
+                    continue
+                if arr.ndim == 3:  # first channel of color images
+                    arr = arr[:, :, 0]
+                h, w = arr.shape
+                ys = (np.arange(8) * h) // 8
+                xs = (np.arange(8) * w) // 8
+                samp = arr[np.ix_(ys, xs)].astype(np.int64).reshape(-1)
+                bits = (samp * 64 >= samp.sum()).astype(np.int64)
+                lo = int((bits[:32] << np.arange(32)).sum())
+                hi = int((bits[32:] << np.arange(32)).sum())
+                rows["is_real_decode"].append(True)
+                rows["h_lo"].append(lo)
+                rows["h_hi"].append(hi)
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(
+        batches, "doc_id bigint, is_real_decode boolean, h_lo long, h_hi long"
+    )

@@ -798,3 +798,33 @@ def test_weighted_sample_favors_heavy_rows(spark):
     assert sorted(r["k"] for r in rows) == sorted(
         r["k"] for r in out2.collect()
     )
+
+
+def test_ahash_corrupt_blob_degrades_not_aborts(spark):
+    """A truncated PNG must yield the zero hash with is_real_decode
+    false — a bad file in a 100 TB corpus degrades, never aborts."""
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.sources.multimodal import (
+        ahash_images,
+        synthetic_patterned_png_assets,
+    )
+
+    base = spark.range(4).select(F.col("id").alias("doc_id"))
+    assets = synthetic_patterned_png_assets(base)
+    rows = assets.collect()
+    truncated = [(r["doc_id"], r["media_type"], bytes(r["blob"])[:20]) for r in rows[:2]]
+    ok = [(r["doc_id"], r["media_type"], bytes(r["blob"])) for r in rows[2:]]
+    mixed = spark.createDataFrame(
+        truncated + ok, "doc_id long, media_type string, blob binary"
+    )
+    got = {r["doc_id"]: r for r in ahash_images(mixed).collect()}
+    assert not got[rows[0]["doc_id"]]["is_real_decode"]
+    assert got[rows[0]["doc_id"]]["h_lo"] == 0
+    assert got[rows[2]["doc_id"]]["is_real_decode"]
+    # same group of 8 with tiny brightness shift: hashes nearly equal
+    h2, h3 = got[rows[2]["doc_id"]], got[rows[3]["doc_id"]]
+    ham = bin(h2["h_lo"] ^ h3["h_lo"]).count("1") + bin(
+        h2["h_hi"] ^ h3["h_hi"]
+    ).count("1")
+    assert ham <= 6
