@@ -3259,3 +3259,81 @@ def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Conversion funnel with per-stage time windows — the realistic funnel:
+# a click only counts within 1 hour of the first view, a purchase only
+# within 24 hours of that click. Same one-aggregation-per-stage shape
+# as event_funnel (user-partitioned joins, no window over raw events),
+# plus the interval predicates on exact epoch seconds.
+# ---------------------------------------------------------------------------
+@defquery(
+    "funnel_within_windows",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE event_type = 'click'
+        AND CAST(FLOOR(epoch(ts)) AS BIGINT) > v.t_view
+        AND CAST(FLOOR(epoch(ts)) AS BIGINT) <= v.t_view + 3600
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS t_buy
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE event_type = 'purchase'
+        AND CAST(FLOOR(epoch(ts)) AS BIGINT) > c.t_click
+        AND CAST(FLOOR(epoch(ts)) AS BIGINT) <= c.t_click + 86400
+      GROUP BY e.user_id
+    )
+    SELECT 'view' AS stage, COUNT(*) AS users FROM v
+    UNION ALL SELECT 'click_1h', COUNT(*) FROM c
+    UNION ALL SELECT 'purchase_24h', COUNT(*) FROM p
+    """,
+    doc="time-window funnel: click within 1h of first view, purchase "
+    "within 24h of that click — stage joins reuse the user partitioning, "
+    "exact epoch-second interval predicates",
+    tags=("join", "funnel", "timeseries"),
+)
+def q_funnel_within_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("long").alias("s")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("s").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter((F.col("s") > F.col("t_view")) & (F.col("s") <= F.col("t_view") + 3600))
+        .groupBy("user_id")
+        .agg(F.min("s").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(
+            (F.col("s") > F.col("t_click")) & (F.col("s") <= F.col("t_click") + 86400)
+        )
+        .groupBy("user_id")
+        .agg(F.min("s").alias("t_buy"))
+    )
+    out = (
+        v.agg(F.lit("view").alias("stage"), F.count(F.lit(1)).alias("users"))
+        .unionByName(
+            c.agg(F.lit("click_1h").alias("stage"), F.count(F.lit(1)).alias("users"))
+        )
+        .unionByName(
+            p.agg(
+                F.lit("purchase_24h").alias("stage"), F.count(F.lit(1)).alias("users")
+            )
+        )
+    )
+    return out

@@ -3915,3 +3915,140 @@ def q_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Sparse TF-IDF cosine join — the third near-dup family next to shingle
+# Jaccard (syntactic) and embedding cosine (dense semantic): an
+# inverted-index equi-join on shared terms, sum-of-weight-products per
+# pair, norms joined back. Candidate generation is linear in postings —
+# never an all-pairs product — and the df <= 100 posting cap is the
+# standard index skew guard (a term in every doc would reintroduce the
+# quadratic blowup; mirrored in the oracle) — relative (max(100, N/5))
+# so the cap scales with the corpus instead of silently dropping
+# everything at 10x the doc count. The corpus' planted dups
+# sit at cosine ~1.0 with the background below 0.3, so the 0.5 cut has
+# no boundary risk.
+# ---------------------------------------------------------------------------
+@defquery(
+    "tfidf_cosine_pairs",
+    f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    tf AS (SELECT doc_id, t AS term, COUNT(*) AS tf
+           FROM (SELECT doc_id, UNNEST(toks) AS t FROM t)
+           GROUP BY doc_id, t),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS nd FROM t),
+    w AS (SELECT tf.doc_id, tf.term, tf.tf * LN(CAST(nd AS DOUBLE) / df.df) AS wt
+          FROM tf JOIN df USING (term), n
+          WHERE df.df <= GREATEST(100, nd // 5)),
+    nrm AS (SELECT doc_id, SQRT(SUM(wt * wt)) AS nn FROM w GROUP BY doc_id),
+    dots AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.wt * b.wt) AS dot
+             FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+             GROUP BY a.doc_id, b.doc_id)
+    SELECT id_a, id_b, ROUND(dot / (x.nn * y.nn), 4) AS cosine
+    FROM dots JOIN nrm x ON x.doc_id = id_a JOIN nrm y ON y.doc_id = id_b
+    WHERE dot / (x.nn * y.nn) >= 0.5
+    """,
+    doc="sparse TF-IDF cosine near-dup: inverted-index term join + "
+    "weight-product sums, df-capped postings as the skew guard — "
+    "linear in postings, never all-pairs",
+    tags=("llm", "text", "dedup", "similarity", "index"),
+)
+def q_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfc = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    nd = docs.count()  # one scalar, not data-sized
+    w = (
+        tf.join(dfc, "term")
+        .filter(F.col("df") <= max(100, nd // 5))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.lit(float(nd)) / F.col("df"))).alias("wt"),
+        )
+    )
+    nrm = w.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nn"))
+    a = w.select(F.col("doc_id").alias("id_a"), "term", F.col("wt").alias("wa"))
+    b = w.select(F.col("doc_id").alias("id_b"), "term", F.col("wt").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = nrm.select(F.col("doc_id").alias("id_a"), F.col("nn").alias("na"))
+    nb = nrm.select(F.col("doc_id").alias("id_b"), F.col("nn").alias("nb"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .filter(F.col("dot") / (F.col("na") * F.col("nb")) >= 0.5)
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 4).alias("cosine"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension quantile normalization of embeddings — the rank-based
+# feature transform (uniformize each dimension's marginal): percent_rank
+# within each of the 64 dimension partitions, FLOOR micro-quantized to
+# integer rank units so the output is engine-exact. Dimension partitions
+# are data-parallel (64 independent sorts, each 1/64th of the exploded
+# rows); summarized per (dim, decile) so the output stays bounded.
+# ---------------------------------------------------------------------------
+@defquery(
+    "embedding_quantile_normalize",
+    """
+    WITH comp AS (
+      SELECT vec_id, i, CAST(embedding[i + 1] AS DOUBLE) AS x
+      FROM embeddings, (SELECT UNNEST(range(64)) AS i)
+    ),
+    ranked AS (
+      SELECT vec_id, i, x,
+             PERCENT_RANK() OVER (PARTITION BY i ORDER BY x, vec_id) AS pr
+      FROM comp
+    ),
+    q AS (
+      SELECT i, CAST(FLOOR(pr * 9.999) AS INT) AS decile,
+             COUNT(*) AS n,
+             CAST(FLOOR(AVG(x) * 10000) AS BIGINT) AS avg_x_e4
+      FROM ranked GROUP BY i, FLOOR(pr * 9.999)
+    )
+    SELECT CAST(i AS INT) AS dim, decile, CAST(n AS BIGINT) AS n, avg_x_e4
+    FROM q
+    """,
+    doc="per-dimension quantile normalization: percent_rank within each "
+    "of 64 data-parallel dimension partitions, decile summary with "
+    "FLOOR-quantized means — the rank-based feature uniformizer",
+    tags=("llm", "vector", "ml-features", "window"),
+)
+def q_embedding_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "x"),
+    )
+    ranked = comp.withColumn(
+        "pr",
+        F.percent_rank().over(Window.partitionBy("i").orderBy("x", "vec_id")),
+    )
+    q = ranked.groupBy(
+        "i", F.floor(F.col("pr") * 9.999).cast("int").alias("decile")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.floor(F.avg("x") * 10000).cast("long").alias("avg_x_e4"),
+    )
+    return q.select(
+        F.col("i").cast("int").alias("dim"), "decile",
+        F.col("n").cast("long").alias("n"), "avg_x_e4",
+    )
