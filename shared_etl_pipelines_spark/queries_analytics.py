@@ -3337,3 +3337,140 @@ def q_funnel_within_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Join-fanout audit — the guard you run before shipping a new join at
+# 100 TB: per declared relationship, the max and mean fan-out per key on
+# the many side. A key whose fan-out exploded (bad dedup upstream, a
+# changed grain) multiplies the join output; this catches it in one
+# aggregation per relationship, over the bounded key domain.
+# ---------------------------------------------------------------------------
+@defquery(
+    "join_fanout_audit",
+    """
+    WITH lo AS (
+      SELECT l_orderkey AS key, COUNT(*) AS n FROM lineitem GROUP BY 1
+    ),
+    oc AS (
+      SELECT o_custkey AS key, COUNT(*) AS n FROM orders GROUP BY 1
+    ),
+    lp AS (
+      SELECT l_partkey AS key, COUNT(*) AS n FROM lineitem GROUP BY 1
+    )
+    SELECT 'lineitem->orders' AS relation, COUNT(*) AS n_keys,
+           CAST(MAX(n) AS BIGINT) AS max_fanout,
+           ROUND(AVG(CAST(n AS DOUBLE)), 4) AS avg_fanout FROM lo
+    UNION ALL
+    SELECT 'orders->customer', COUNT(*), CAST(MAX(n) AS BIGINT),
+           ROUND(AVG(CAST(n AS DOUBLE)), 4) FROM oc
+    UNION ALL
+    SELECT 'lineitem->part', COUNT(*), CAST(MAX(n) AS BIGINT),
+           ROUND(AVG(CAST(n AS DOUBLE)), 4) FROM lp
+    """,
+    doc="join-fanout audit: per-relationship max/mean rows per key on "
+    "the many side — the pre-flight multiplier check for new joins",
+    tags=("aggregate", "quality", "diagnostics", "join"),
+)
+def q_join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+
+    def fanout(df, key, name):
+        kc = df.groupBy(F.col(key).alias("key")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        return kc.agg(
+            F.lit(name).alias("relation"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("n").cast("long").alias("max_fanout"),
+            F.round(F.avg(F.col("n").cast("double")), 4).alias("avg_fanout"),
+        )
+
+    return (
+        fanout(li, "l_orderkey", "lineitem->orders")
+        .unionByName(fanout(o, "o_custkey", "orders->customer"))
+        .unionByName(fanout(li, "l_partkey", "lineitem->part"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Largest-remainder allocation (Hamilton apportionment) — distribute an
+# integer budget across groups proportionally WITHOUT fractional drift:
+# floor shares first, then the leftover units go to the largest
+# fractional remainders (deterministic tie-break). The finance/quota
+# primitive; everything is exact integer math, and the remainder rank
+# runs over the bounded group table.
+# ---------------------------------------------------------------------------
+@defquery(
+    "largest_remainder_alloc",
+    """
+    WITH g AS (
+      SELECT n_name AS nation,
+             SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name
+    ),
+    t AS (SELECT SUM(cents) AS total FROM g),
+    shares AS (
+      SELECT nation, cents,
+             (cents * 10000) // total AS base_units,
+             (cents * 10000) % total AS rem
+      FROM g, t
+    ),
+    leftover AS (
+      SELECT 10000 - SUM(base_units) AS extra FROM shares
+    ),
+    ranked AS (
+      SELECT nation, cents, base_units,
+             ROW_NUMBER() OVER (ORDER BY rem DESC, nation) AS rr
+      FROM shares
+    )
+    SELECT nation,
+           CAST(base_units + CASE WHEN rr <= extra THEN 1 ELSE 0 END
+                AS BIGINT) AS units,
+           CAST(cents AS BIGINT) AS cents
+    FROM ranked, leftover
+    """,
+    doc="largest-remainder (Hamilton) allocation of a 10000-unit budget "
+    "across nations by exact revenue cents: floor shares + remainder "
+    "rank — allocations always sum exactly to the budget",
+    tags=("aggregate", "window", "finance", "allocation"),
+)
+def q_largest_remainder_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.round(F.col("o_totalprice") * 100).cast("long").alias("cents")
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    g = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum("cents").alias("cents"))
+    )
+    t = g.agg(F.sum("cents").alias("total"))
+    shares = g.crossJoin(F.broadcast(t)).select(
+        "nation",
+        "cents",
+        # integer `div`, not double-divide-then-cast: a double quotient
+        # one ulp under an exact integer would floor off by one
+        F.expr("(cents * 10000L) div total").alias("base_units"),
+        ((F.col("cents") * 10000) % F.col("total")).alias("rem"),
+    )
+    extra = shares.agg((F.lit(10000) - F.sum("base_units")).alias("extra"))
+    ranked = shares.withColumn(
+        "rr", F.row_number().over(Window.orderBy(F.col("rem").desc(), "nation"))
+    )
+    return ranked.crossJoin(F.broadcast(extra)).select(
+        "nation",
+        (
+            F.col("base_units")
+            + F.when(F.col("rr") <= F.col("extra"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("units"),
+        F.col("cents").cast("long").alias("cents"),
+    )
