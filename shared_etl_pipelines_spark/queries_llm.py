@@ -4052,3 +4052,107 @@ def q_embedding_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("i").cast("int").alias("dim"), "decile",
         F.col("n").cast("long").alias("n"), "avg_x_e4",
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint near-dup — the WAV twin of image_ahash_neardup:
+# patterned real RIFF/PCM fixtures (planted same-group waveforms) are
+# decoded by sources/wav.py, each stream gets a 64-bit frame-energy
+# fingerprint (integer-exact threshold), and pairs come from the same
+# 16-bit banded Hamming discipline. Oracle recomputes fingerprints in
+# closed form from the sample formula.
+# ---------------------------------------------------------------------------
+@defquery(
+    "audio_fingerprint_neardup",
+    """
+    WITH fr AS (
+      SELECT doc_id, f,
+             list_sum(list_transform(range(10), j ->
+               ABS(((f * 10 + j + 1) * (2 * (doc_id // 8) + 23)
+                    + (doc_id % 8) * 5) % 401 - 200))) AS fe
+      FROM documents, (SELECT UNNEST(range(64)) AS f)
+    ),
+    tot AS (SELECT doc_id, SUM(fe) AS te FROM fr GROUP BY doc_id),
+    bits AS (
+      SELECT fr.doc_id, f, CASE WHEN fe * 64 >= te THEN 1 ELSE 0 END AS b
+      FROM fr JOIN tot ON fr.doc_id = tot.doc_id
+    ),
+    h AS (
+      SELECT doc_id,
+             SUM(CASE WHEN f < 32 THEN b << f ELSE 0 END) AS h_lo,
+             SUM(CASE WHEN f >= 32 THEN b << (f - 32) ELSE 0 END) AS h_hi
+      FROM bits GROUP BY doc_id
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, h_lo % 65536 AS bv FROM h
+      UNION ALL SELECT doc_id, 1, h_lo // 65536 FROM h
+      UNION ALL SELECT doc_id, 2, h_hi % 65536 FROM h
+      UNION ALL SELECT doc_id, 3, h_hi // 65536 FROM h
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.bv = r.bv AND l.doc_id < r.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(a.h_lo, b.h_lo))
+                + bit_count(xor(a.h_hi, b.h_hi)) AS INT) AS hamming
+    FROM cand
+    JOIN h a ON a.doc_id = id_a
+    JOIN h b ON b.doc_id = id_b
+    WHERE bit_count(xor(a.h_lo, b.h_lo)) + bit_count(xor(a.h_hi, b.h_hi)) <= 3
+    """,
+    doc="audio near-dup through the real WAV codec: 64-bit frame-energy "
+    "fingerprint from decoded samples, banded Hamming candidates + "
+    "exact bit_count verify",
+    tags=("llm", "multimodal", "dedup", "codec", "audio", "lsh"),
+)
+def q_audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.multimodal import (
+        audio_fingerprints,
+        synthetic_patterned_wav_assets,
+    )
+
+    assets = synthetic_patterned_wav_assets(_t(spark, sf_dir, "documents"))
+    h = audio_fingerprints(assets).select("doc_id", "h_lo", "h_hi").persist()
+    bands = None
+    for idx, expr in enumerate(
+        [
+            F.col("h_lo") % 65536,
+            (F.col("h_lo") / 65536).cast("long"),
+            F.col("h_hi") % 65536,
+            (F.col("h_hi") / 65536).cast("long"),
+        ]
+    ):
+        b = h.select(
+            "doc_id", F.lit(idx).alias("band"), expr.cast("long").alias("bv")
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    l = bands.select(F.col("doc_id").alias("id_a"), "band", "bv")
+    r = bands.select(F.col("doc_id").alias("id_b"), "band", "bv")
+    cand = (
+        l.join(r, ["band", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ha = h.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("h_lo").alias("lo_a"),
+        F.col("h_hi").alias("hi_a"),
+    )
+    hb = h.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("h_lo").alias("lo_b"),
+        F.col("h_hi").alias("hi_b"),
+    )
+    ham = F.bit_count(
+        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
+    ) + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= 3)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -617,3 +617,75 @@ def ahash_images(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(
         batches, "doc_id bigint, is_real_decode boolean, h_lo long, h_hi long"
     )
+
+
+def synthetic_patterned_wav_assets(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL-WAV fixtures with PLANTED near-duplicate waveforms: 640
+    int16 samples, sample i = ((i+1)*(2*(id//8)+23) + (id%8)*5) % 401
+    - 200 — docs in a group of 8 share an energy envelope with a small
+    amplitude shift. Encoded as real RIFF/PCM by sources/wav.py."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from shared_etl_pipelines_spark.sources import wav
+
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                i = np.arange(640, dtype=np.int64)
+                s = ((i + 1) * (2 * (d // 8) + 23) + (d % 8) * 5) % 401 - 200
+                ids.append(d)
+                blobs.append(wav.encode_wav(s.astype(np.int16)))
+            yield pd.DataFrame(
+                {"doc_id": ids, "media_type": "audio/wav", "blob": blobs}
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(
+        batches, "doc_id bigint, media_type string, blob binary"
+    )
+
+
+def audio_fingerprints(assets: DataFrame, n_frames: int = 64) -> DataFrame:
+    """64-bit energy fingerprint per audio blob from REAL decoded
+    samples: the stream splits into n_frames equal frames, bit f =
+    frame_abs_energy * n_frames >= total_abs_energy (integer-exact
+    threshold), packed as two 32-bit halves. Corrupt blobs degrade to
+    the zero hash."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from shared_etl_pipelines_spark.sources import wav
+
+        for pdf in it:
+            rows = {k: [] for k in ("doc_id", "is_real_decode", "h_lo", "h_hi")}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                blob = bytes(blob)
+                arr = None
+                try:
+                    if wav.is_wav(blob):
+                        arr, _ = wav.decode_wav(blob)
+                except Exception:
+                    arr = None
+                rows["doc_id"].append(doc_id)
+                if arr is None or arr.size < n_frames:
+                    rows["is_real_decode"].append(False)
+                    rows["h_lo"].append(0)
+                    rows["h_hi"].append(0)
+                    continue
+                mono = np.abs(arr.astype(np.int64)).reshape(len(arr), -1)[:, 0]
+                fl = len(mono) // n_frames
+                frames = mono[: fl * n_frames].reshape(n_frames, fl).sum(axis=1)
+                bits = (frames * n_frames >= frames.sum()).astype(np.int64)
+                rows["is_real_decode"].append(True)
+                rows["h_lo"].append(int((bits[:32] << np.arange(32)).sum()))
+                rows["h_hi"].append(int((bits[32:] << np.arange(32)).sum()))
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(
+        batches, "doc_id bigint, is_real_decode boolean, h_lo long, h_hi long"
+    )
