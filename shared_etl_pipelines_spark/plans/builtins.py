@@ -417,3 +417,47 @@ def write_zordered_plugin(
 
     write_zordered(df, path, cols, bits=int(bits), n_files=int(n_files))
     return {"path": path}
+
+
+@plugin("bloom_semi_join")
+def bloom_semi_join_plugin(
+    ctx: StepContext,
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    m_bits: int = 1 << 16,
+    **kw: Any,
+) -> dict[str, Any]:
+    """Exact semi-join with an explicit bloom runtime filter ahead of
+    the shuffle (operators/bloom.py) — the YAML form of the selective
+    dimension probe."""
+    from shared_etl_pipelines_spark.operators.bloom import bloom_semi_join
+
+    return {
+        "df": bloom_semi_join(
+            fact, dim, fact_key=fact_key, dim_key=dim_key, m_bits=int(m_bits)
+        )
+    }
+
+
+@plugin("weighted_sample")
+def weighted_sample_plugin(
+    ctx: StepContext,
+    df: DataFrame,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    strata_cols: list | None = None,
+    **kw: Any,
+) -> dict[str, Any]:
+    """Deterministic weighted sample without replacement (A-ES keys,
+    operators/sampling.py weighted_sample_topk)."""
+    from shared_etl_pipelines_spark.operators.sampling import weighted_sample_topk
+
+    return {
+        "df": weighted_sample_topk(
+            df, key_col, weight_col, int(k),
+            list(strata_cols) if strata_cols else None,
+        )
+    }

@@ -217,3 +217,38 @@ def test_llm_curation_pipeline(spark, sf_dir):
     got_ids = {r["doc_id"] for r in got.select("doc_id").collect()}
     want_ids = {r["doc_id"] for r in want.select("doc_id").collect()}
     assert got_ids == want_ids and len(got_ids) > 0
+
+
+def test_quota_draw_pipeline(spark, sf_dir):
+    """quota_draw.yml == direct composition: bloom semi-join on the
+    segment dim, then the A-ES weighted per-source sample."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.operators.bloom import bloom_semi_join
+    from shared_etl_pipelines_spark.operators.sampling import weighted_sample_topk
+    from shared_etl_pipelines_spark.plans import PipelineRunner
+
+    path = os.path.join(EXAMPLES, "quota_draw.yml")
+    runner = PipelineRunner(spark)
+    result = runner.run(path, var_overrides={"sf_dir": sf_dir})
+
+    seg = result.outputs["seg_orders"]["df"]
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    dim = (
+        spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    want_seg = bloom_semi_join(orders, dim, "o_custkey", "c_custkey")
+    assert seg.count() == want_seg.count() > 0
+
+    got = result.outputs["result"]["df"]
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    want = weighted_sample_topk(
+        docs, "doc_id", "n_chars", k=10, strata_cols=["source"]
+    )
+    got_ids = sorted(r["doc_id"] for r in got.select("doc_id").collect())
+    want_ids = sorted(r["doc_id"] for r in want.select("doc_id").collect())
+    assert got_ids == want_ids and len(got_ids) > 0
