@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "label_propagation"]
 
 
 def pagerank(
@@ -77,3 +77,50 @@ def pagerank(
         ).localCheckpoint(eager=False)
     e.unpersist()
     return ranks
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    undirected: bool = True,
+) -> DataFrame:
+    """Synchronous label propagation (community detection); returns
+    ``(node, label)`` after a fixed iteration budget.
+
+    Initial label = own node id. Each round every node adopts the most
+    frequent label among its neighbours, ties broken by the SMALLEST
+    label — fully deterministic, so a fixed 3-round run has an exact
+    ANSI-SQL oracle (queries_analytics.label_prop_communities nests one
+    CTE per round). Same iterative-operator discipline as pagerank
+    above: one join + one aggregation per round over the edge list,
+    argmax via a single max(struct(cnt, -label)) aggregate (no window,
+    one shuffle), lineage cut per round with a non-eager
+    localCheckpoint. The synchronous (Jacobi) schedule is the standard
+    distributed formulation (GraphX/Pregel LPA): label oscillation on
+    bipartite-ish structures is bounded by the fixed budget, which is
+    what makes the result reproducible cluster-to-cluster.
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    if undirected:
+        e = e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    e = e.persist()
+    labels = e.select(F.col("s").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(iterations):
+        counts = (
+            e.join(labels.withColumnRenamed("node", "s"), "s")
+            .groupBy(F.col("d").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        # (max cnt, min label): max of struct(cnt, -label) is exactly that
+        labels = (
+            counts.groupBy("node")
+            .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("m"))
+            .select("node", (-F.col("m.neg")).alias("label"))
+            .localCheckpoint(eager=False)
+        )
+    e.unpersist()
+    return labels

@@ -3474,3 +3474,57 @@ def q_largest_remainder_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("units"),
         F.col("cents").cast("long").alias("cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Label propagation communities on the co-purchase graph — the third
+# canonical distributed graph pattern next to connected components
+# (dedup_clusters) and PageRank. Fully deterministic: synchronous
+# schedule, (max count, min label) tie-break — so the FIXED 3-round run
+# has an exact ANSI-SQL oracle (one CTE pair per round), unlike the
+# PageRank fixpoint whose oracle covers only one step. Operator:
+# operators/graph.py label_propagation.
+# ---------------------------------------------------------------------------
+def _lpa_sql(rounds: int = 3) -> str:
+    ctes = [
+        "l0 AS (SELECT DISTINCT s AS node, s AS label FROM e)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""c{r} AS (
+      SELECT e.d AS node, l.label, COUNT(*) AS cnt
+      FROM e JOIN l{r - 1} l ON e.s = l.node GROUP BY e.d, l.label
+    ),
+    l{r} AS (
+      SELECT node, MIN(label) AS label FROM (
+        SELECT node, label, cnt, MAX(cnt) OVER (PARTITION BY node) AS mx
+        FROM c{r}
+      ) WHERE cnt = mx GROUP BY node
+    )"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {_PR_EDGES_SQL.rstrip()},
+    {body}
+    SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+    FROM l{rounds}
+    """
+
+
+@defquery(
+    "label_prop_communities",
+    _lpa_sql(3),
+    doc="community detection by synchronous label propagation, 3 rounds, "
+    "deterministic (max-count, min-label) tie-break; one join + one "
+    "aggregation per round, argmax as a single max(struct) aggregate — "
+    "hash-exact against a 3-round nested-CTE SQL oracle",
+    tags=("graph", "iterative", "aggregate"),
+)
+def q_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.operators.graph import label_propagation
+
+    out = label_propagation(_pr_edges(spark, sf_dir), iterations=3)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("label").cast("long").alias("label"),
+    )

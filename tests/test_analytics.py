@@ -483,3 +483,36 @@ def test_pareto_frontier_matches_bruteforce(spark):
     assert sorted(r["k"] for r in sky.collect()) == sorted(
         r["k"] for r in brute.collect()
     )
+
+
+def test_label_propagation_replay_and_convergence(spark):
+    """3-round synchronous LPA must match a pure-python replay with the
+    same (max count, min label) tie-break, and a two-clique graph with
+    one bridge must converge to exactly two communities."""
+    from shared_etl_pipelines_spark.operators.graph import label_propagation
+
+    # two triangles {0,1,2} and {10,11,12} joined by a single bridge 2-10
+    edges = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12), (2, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["label"] for r in label_propagation(df, iterations=3).collect()}
+
+    # pure-python synchronous replay
+    nbrs: dict[int, list[int]] = {}
+    for a, b in edges:
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    labels = {n: n for n in nbrs}
+    for _ in range(3):
+        nxt = {}
+        for n in nbrs:
+            cnt: dict[int, int] = {}
+            for m in nbrs[n]:
+                cnt[labels[m]] = cnt.get(labels[m], 0) + 1
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            nxt[n] = best[0]
+        labels = nxt
+    assert got == labels
+    # two communities survive the bridge: one per triangle
+    assert got[0] == got[1] == got[2] == 0
+    assert got[10] == got[11] == got[12]
+    assert got[10] != got[0]
