@@ -10,6 +10,7 @@ from shared_etl_pipelines_spark.streaming.windows import (
     session_agg,
     sliding_agg,
     tumbling_agg,
+    welford_stats,
 )
 
 __all__ = [
@@ -20,4 +21,5 @@ __all__ = [
     "session_agg",
     "sliding_agg",
     "tumbling_agg",
+    "welford_stats",
 ]

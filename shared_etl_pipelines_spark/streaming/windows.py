@@ -207,3 +207,111 @@ def interval_join_stream(
         & (F.col("r_ts") <= F.col("l_ts") + F.expr(f"INTERVAL {within}")),
         how,
     ).select("l_key", "l_event", "l_ts", "r_event", "r_ts")
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas — the Spark 4.x successor to
+# applyInPandasWithState (running_totals above keeps the older API as
+# the portable template). The processor owns NAMED, TYPED state
+# variables through a handle instead of one opaque tuple, so operators
+# can mix ValueState/ListState/MapState and add TTL per variable; the
+# state store must be RocksDB (welford_stats sets the provider conf).
+#
+# Environment note: the Python side of this API speaks protobuf to the
+# JVM driver worker; `google.protobuf` is NOT in this sandbox, so the
+# e2e path raises at query start here (tests skip it) while the merge
+# arithmetic below is pure and fully tested. On a real cluster with
+# protobuf installed the operator runs as-is.
+# ---------------------------------------------------------------------------
+def welford_merge(
+    n: int, mean: float, m2: float, v: "pd.Series"
+) -> tuple[int, float, float]:
+    """Merge a batch of values into a running (n, mean, m2) Welford
+    triple by the Chan et al. parallel-variance formula — exact up to fp
+    rounding regardless of how the stream is cut into micro-batches."""
+    nb = int(len(v))
+    if nb == 0:
+        return n, mean, m2
+    v = v.astype("float64")
+    mb = float(v.mean())
+    m2b = float(((v - mb) ** 2).sum())
+    delta = mb - mean
+    tot = n + nb
+    m2 = m2 + m2b + delta * delta * n * nb / tot
+    mean = mean + delta * nb / tot
+    return tot, mean, m2
+
+
+_WELFORD_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("mean_value", DoubleType()),
+        StructField("var_value", DoubleType()),
+    ]
+)
+
+
+def _make_welford_processor():
+    """Build the StatefulProcessor subclass lazily: the import only
+    exists on Spark >= 4.0, and module import must not require it."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class WelfordProcessor(StatefulProcessor):
+        """Per-key running mean/variance (Welford/Chan parallel merge):
+        state is one (n, mean, m2) triple per key; each batch computes
+        its own moments vectorized in pandas, then merges with state by
+        the parallel-variance formula — numerically stable across any
+        number of micro-batches, O(1) state per key."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState(
+                "welford", "n long, mean double, m2 double"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            if self._agg.exists():
+                n, mean, m2 = self._agg.get()
+            else:
+                n, mean, m2 = 0, 0.0, 0.0
+            for pdf in rows:
+                n, mean, m2 = welford_merge(n, mean, m2, pdf["value"])
+            self._agg.update((n, mean, m2))
+            var = m2 / (n - 1) if n > 1 else 0.0
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "mean_value": [mean],
+                    "var_value": [var],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return WelfordProcessor()
+
+
+def welford_stats(df: DataFrame, key: str = "user_id") -> DataFrame:
+    """Per-key streaming running mean/variance via
+    transformWithStateInPandas (Spark 4.x typed-state API).
+
+    Emits one (key, n, mean, var) row per key per micro-batch; state is
+    a single fixed-width triple per key, so the store stays O(keys)
+    forever. Requires the RocksDB state store provider — set here on the
+    session (transformWithState refuses the default HDFS-backed store)."""
+    spark = df.sparkSession
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    return df.groupBy(key).transformWithStateInPandas(
+        statefulProcessor=_make_welford_processor(),
+        outputStructType=_WELFORD_OUT,
+        outputMode="Update",
+        timeMode="None",
+    )

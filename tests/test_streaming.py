@@ -599,3 +599,86 @@ def test_foreach_batch_keyed_upsert_merge(spark, events, drop_dir, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_welford_merge_batch_cut_invariance():
+    """The Chan parallel-variance merge must give the same (n, mean, var)
+    whatever way the stream is cut into micro-batches, and must match
+    numpy's two-pass answer."""
+    import numpy as np
+    import pandas as pd
+
+    from shared_etl_pipelines_spark.streaming.windows import welford_merge
+
+    rng = np.random.default_rng(7)
+    vals = pd.Series(rng.normal(3.0, 2.0, size=1000))
+    for cuts in ([1000], [1, 999], [300, 300, 400], [10] * 100):
+        n, mean, m2 = 0, 0.0, 0.0
+        start = 0
+        for c in cuts:
+            n, mean, m2 = welford_merge(n, mean, m2, vals[start : start + c])
+            start += c
+        assert n == 1000
+        assert abs(mean - float(vals.mean())) < 1e-9
+        assert abs(m2 / (n - 1) - float(vals.var(ddof=1))) < 1e-9
+    # empty batch is a no-op
+    assert welford_merge(5, 1.0, 2.0, pd.Series([], dtype="float64")) == (5, 1.0, 2.0)
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithStateInPandas needs google.protobuf (absent in sandbox)",
+)
+def test_welford_stats_transform_with_state(spark, events, drop_dir):
+    """transformWithStateInPandas running mean/variance: after consuming
+    all daily files the per-user stats must match the batch computation
+    on the same rows."""
+    from pyspark.sql.window import Window
+
+    from shared_etl_pipelines_spark.streaming import read_drop_dir, welford_stats
+
+    sub, days = drop_dir
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    stream = read_drop_dir(spark, sub, events.schema)
+    try:
+        got = _run_stream(welford_stats(stream), "welford", spark)
+        final = (
+            got.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+                ),
+            )
+            .filter("rn = 1")
+            .drop("rn")
+        )
+        exp = (
+            events.filter(F.to_date("ts").isin(days))
+            .groupBy("user_id")
+            .agg(
+                F.count("value").alias("n"),
+                F.avg("value").alias("mean"),
+                F.var_samp("value").alias("var"),
+            )
+        )
+        j = {r["user_id"]: r for r in final.collect()}
+        for r in exp.collect():
+            g = j[r["user_id"]]
+            assert g["n_events"] == r["n"]
+            assert abs(g["mean_value"] - r["mean"]) < 1e-9
+            ev = r["var"] if r["var"] is not None else 0.0
+            assert abs(g["var_value"] - ev) < 1e-6
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
