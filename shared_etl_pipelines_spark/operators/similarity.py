@@ -57,6 +57,47 @@ def brute_force_topk(
     )
 
 
+def hard_negatives(
+    embeddings: DataFrame,
+    anchors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    top-k most-similar corpus vectors whose label DIFFERS from the
+    anchor's — the negatives a contrastive loss learns most from.
+
+    Same plan shape as brute_force_topk (broadcast anchors x corpus,
+    codegen'd cosine, per-anchor top-k window) plus the label-mismatch
+    predicate applied in the join condition, so disqualified pairs are
+    dropped before scoring. At 100 TB scale the corpus side streams
+    through one scan; restrict candidates first with lsh_bucket_topk and
+    feed its candidate set here as `embeddings`."""
+    corpus = embeddings.select(
+        F.col(id_col), as_double(vec_col).alias("v"), F.col(label_col).alias("_lbl")
+    ).withColumn("norm", l2_norm(F.col("v")))
+    qs = anchors.select(
+        F.col(id_col).alias("query_id"),
+        as_double(vec_col).alias("qv"),
+        F.col(label_col).alias("_qlbl"),
+    ).withColumn("qn", l2_norm(F.col("qv")))
+    scored = (
+        F.broadcast(qs)
+        .join(corpus, F.col("_qlbl") != F.col("_lbl"))
+        .withColumn(
+            "cosine", dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("norm"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", id_col, "cosine", "rn")
+    )
+
+
 # Deterministic pseudo-random hyperplane component for (plane i, dim j):
 # integer arithmetic only, so Spark and the SQL oracle agree exactly.
 def _hyperplane(i: int, j: int) -> float:

@@ -4156,3 +4156,41 @@ def q_audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= 3)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining — contrastive-training data op: per anchor, the
+# top-5 most-similar vectors with a DIFFERENT label (the negatives a
+# contrastive loss learns most from). operators/similarity.py
+# hard_negatives; same broadcast-scored plan as similarity_topk plus the
+# label-mismatch join predicate.
+# ---------------------------------------------------------------------------
+@defquery(
+    "hard_negative_mining",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+               FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv, label AS qlbl
+          FROM e WHERE vec_id < 5),
+    s AS (
+      SELECT query_id, vec_id, list_cosine_similarity(qv, v) AS c
+      FROM q JOIN e ON label <> qlbl
+    ),
+    r AS (
+      SELECT query_id, vec_id, c,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rn
+      FROM s
+    )
+    SELECT query_id, vec_id, ROUND(c, 4) AS cosine, rn FROM r WHERE rn <= 5
+    """,
+    doc="hard-negative mining: top-5 nearest different-label vectors per "
+    "anchor (contrastive-training negatives); broadcast anchors, "
+    "label-mismatch predicate inside the join, per-anchor top-k window",
+    tags=("llm", "similarity", "training-data"),
+)
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.operators.similarity import hard_negatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = hard_negatives(emb, emb.filter(F.col("vec_id") < 5), k=5)
+    return round_floats(out)

@@ -828,3 +828,22 @@ def test_ahash_corrupt_blob_degrades_not_aborts(spark):
         h2["h_hi"] ^ h3["h_hi"]
     ).count("1")
     assert ham <= 6
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    """The nearest vector overall shares the anchor's label, so it must
+    NOT appear; the top negative is the nearest different-label vector."""
+    from shared_etl_pipelines_spark.operators.similarity import hard_negatives
+
+    rows = [
+        (0, [1.0, 0.0, 0.0], "a"),   # anchor
+        (1, [0.99, 0.1, 0.0], "a"),  # nearest, same label -> excluded
+        (2, [0.9, 0.2, 0.0], "b"),   # nearest different-label
+        (3, [0.0, 1.0, 0.0], "b"),
+        (4, [0.0, 0.0, 1.0], "c"),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label string")
+    got = hard_negatives(df, df.filter("vec_id = 0"), k=2).collect()
+    ids = [r["vec_id"] for r in sorted(got, key=lambda r: r["rn"])]
+    assert 1 not in ids
+    assert ids[0] == 2
