@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "label_propagation"]
+__all__ = ["pagerank", "label_propagation", "k_core"]
 
 
 def pagerank(
@@ -124,3 +124,44 @@ def label_propagation(
         )
     e.unpersist()
     return labels
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    undirected: bool = True,
+) -> DataFrame:
+    """k-core peeling: repeatedly drop nodes with degree < k; returns
+    ``(node, degree)`` of the subgraph after a FIXED number of peel
+    rounds (monotone contraction — a fixed budget under-peels at worst,
+    never wrongly removes, and makes the result deterministic and
+    ANSI-SQL-expressible like label_propagation above).
+
+    Each round: one degree aggregation + two semi-joins restricting the
+    edge list to surviving endpoints — all O(E) shuffles on the edge
+    key, lineage cut per round. The full converged decomposition is the
+    same loop run to fixpoint with a count-based stopping check (one
+    scalar collect per round, same discipline as dedup_clusters)."""
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    if undirected:
+        e = e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    alive = e.persist()
+    for _ in range(rounds):
+        keep = (
+            alive.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("s")
+        )
+        alive = (
+            alive.join(keep, "s", "left_semi")
+            .join(keep.withColumnRenamed("s", "d"), "d", "left_semi")
+            .select("s", "d")
+            .localCheckpoint(eager=False)
+        )
+    return alive.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )

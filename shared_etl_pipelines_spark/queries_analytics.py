@@ -3528,3 +3528,49 @@ def q_label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("long").alias("node"),
         F.col("label").cast("long").alias("label"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling on the co-purchase graph — the monotone-contraction
+# iterative pattern (vs LPA's relabeling and PageRank's value
+# iteration). Fixed 3 peel rounds at k=5 (the sf0.01 median degree), so
+# the whole result is ANSI-expressible as nested CTEs.
+# ---------------------------------------------------------------------------
+def _kcore_sql(k: int = 5, rounds: int = 3) -> str:
+    ctes = ["a0 AS (SELECT s, d FROM e)"]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""k{r} AS (
+      SELECT s FROM a{r - 1} GROUP BY s HAVING COUNT(*) >= {k}
+    ),
+    a{r} AS (
+      SELECT a.s, a.d FROM a{r - 1} a
+      WHERE a.s IN (SELECT s FROM k{r}) AND a.d IN (SELECT s FROM k{r})
+    )"""
+        )
+    body = ",\n    ".join(ctes)
+    return f"""
+    WITH {_PR_EDGES_SQL.rstrip()},
+    {body}
+    SELECT CAST(s AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM a{rounds} GROUP BY s
+    """
+
+
+@defquery(
+    "kcore_peeling",
+    _kcore_sql(5, 3),
+    doc="k-core subgraph (k=5, 3 peel rounds): per round one degree "
+    "aggregation + two semi-joins dropping nodes under degree k; "
+    "monotone contraction makes the fixed-round result deterministic "
+    "and fully SQL-expressible",
+    tags=("graph", "iterative", "aggregate"),
+)
+def q_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.operators.graph import k_core
+
+    out = k_core(_pr_edges(spark, sf_dir), k=5, rounds=3)
+    return out.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("degree").cast("long").alias("degree"),
+    )

@@ -516,3 +516,17 @@ def test_label_propagation_replay_and_convergence(spark):
     assert got[0] == got[1] == got[2] == 0
     assert got[10] == got[11] == got[12]
     assert got[10] != got[0]
+
+
+def test_k_core_peels_low_degree_nodes(spark):
+    """A 4-clique with two pendant chains: 2-core peeling must keep the
+    clique (degree 3 each) and drop the chain nodes — the second round
+    removes a node whose degree only fell below k after round one."""
+    from shared_etl_pipelines_spark.operators.graph import k_core
+
+    clique = [(0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)]
+    chain = [(3, 4), (4, 5)]  # 5 is degree-1; 4 becomes degree-1 after 5 goes
+    df = spark.createDataFrame(clique + chain, "src long, dst long")
+    got = {r["node"]: r["degree"] for r in k_core(df, k=2, rounds=3).collect()}
+    assert set(got) == {0, 1, 2, 3}
+    assert all(v == 3 for v in got.values())
