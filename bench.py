@@ -68,9 +68,19 @@ def main() -> None:
 
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     times: dict[str, float] = {}
+    n_run = 0
     for name, qd in REGISTRY.items():
         if _excluded(name, qd):
             continue
+        # ~200 queries accumulate unreferenced checkpoint RDDs / shuffle
+        # state faster than the ContextCleaner's own GC cadence reclaims
+        # them, and late iterative queries then pay multi-second GC pauses
+        # mid-measurement (BENCH.md: embedding_dbscan 11.9s in-session vs
+        # ~3.5s fresh). A periodic explicit driver-JVM GC lets the cleaner
+        # drop dead state between queries, outside any timed region.
+        n_run += 1
+        if n_run % 20 == 0:
+            spark.sparkContext._jvm.System.gc()
         best = None
         try:
             for _ in range(reps):

@@ -133,6 +133,7 @@ def k_core(
     src: str = "src",
     dst: str = "dst",
     undirected: bool = True,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """k-core peeling: repeatedly drop nodes with degree < k; returns
     ``(node, degree)`` of the subgraph after a FIXED number of peel
@@ -160,8 +161,11 @@ def k_core(
             alive.join(keep, "s", "left_semi")
             .join(keep.withColumnRenamed("s", "d"), "d", "left_semi")
             .select("s", "d")
-            .localCheckpoint(eager=False)
         )
+        # checkpoint=False keeps the whole iterative lineage visible for
+        # plan assertions (localCheckpoint truncates executedPlan)
+        if checkpoint:
+            alive = alive.localCheckpoint(eager=False)
     return alive.groupBy(F.col("s").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     )

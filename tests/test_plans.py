@@ -490,3 +490,34 @@ def test_incremental_join_refresh_reuses_exchange(spark, sf):
     plan = phys(REGISTRY["incremental_join_refresh"].fn(spark, sf))
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hard_negatives_broadcast_no_cartesian(spark, sf):
+    # anchors are broadcast; the label-mismatch predicate is a theta
+    # condition, so the join is a broadcast nested-loop over a TINY
+    # broadcast side (5 anchors) — what must NOT appear is a shuffled
+    # cartesian of corpus x corpus
+    plan = phys(REGISTRY["hard_negative_mining"].fn(spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan
+
+
+def test_graph_iteratives_no_cartesian_one_agg_per_round(spark, sf):
+    # LPA/k-core rounds must stay equi-join + hash aggregate: any
+    # cartesian or nested-loop in the per-round body would be O(V*E)
+    for q in ("label_prop_communities", "kcore_peeling"):
+        plan = phys(REGISTRY[q].fn(spark, sf))
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
+
+
+def test_kcore_semi_joins(spark, sf):
+    # the registry query checkpoints each round (lineage cut), which
+    # truncates executedPlan — build the operator without checkpoints to
+    # see the full iterative body: 2 semi-joins per round, no cartesian
+    from shared_etl_pipelines_spark.operators.graph import k_core
+    from shared_etl_pipelines_spark.queries_analytics import _pr_edges
+
+    plan = phys(k_core(_pr_edges(spark, sf), k=5, rounds=2, checkpoint=False))
+    assert plan.count("LeftSemi") >= 4
+    assert "CartesianProduct" not in plan
