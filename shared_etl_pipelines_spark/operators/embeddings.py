@@ -250,3 +250,40 @@ def pca_project(
             yield pd.DataFrame({id_col: pdf[id_col].values, "proj": list(P)})
 
     return prepped.mapInPandas(project, f"{id_col} long, proj array<double>")
+
+
+def jl_project(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    k: int = 16,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection to ``k`` dims — the
+    data-independent scale twin of pca_project: no fit pass, no driver
+    moments, just one broadcast GEMM per Arrow batch against a
+    DETERMINISTIC pseudo-random matrix (the same integer hyperplane
+    formula the SRP-LSH family uses, so the SQL oracle can rebuild the
+    matrix as literals). Scaled by 1/sqrt(k), so Euclidean distances are
+    preserved in expectation (the JL lemma); at 100 TB this is the
+    projection you apply write-side, because it needs zero statistics.
+
+    Output: (id, proj array<double> of length k).
+    """
+    from shared_etl_pipelines_spark.operators.similarity import _hyperplane
+
+    R = np.array(
+        [[_hyperplane(i, j) for j in range(dim)] for i in range(k)]
+    )  # (k, dim)
+    scale = 1.0 / np.sqrt(k)
+    prepped = df.select(F.col(id_col), as_double(vec_col).alias("v"))
+
+    def project(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            P = (V @ R.T) * scale
+            yield pd.DataFrame({id_col: pdf[id_col].values, "proj": list(P)})
+
+    return prepped.mapInPandas(project, f"{id_col} long, proj array<double>")

@@ -12,7 +12,10 @@ hashes line up:
   last-ulp noise removed);
 - timestamps are projected as DATE or epoch seconds (Spark session TZ is
   pinned UTC to match DuckDB's naive timestamps);
-- window orderings always carry a unique tie-breaker column.
+- window orderings always carry a unique tie-breaker column;
+- rounded outputs that can straddle zero add ``+ 0.0`` in BOTH engines:
+  IEEE negative zero stringifies as "-0.0" and breaks the gate's
+  sort-by-string row alignment (embedding_jl_project).
 """
 
 from __future__ import annotations

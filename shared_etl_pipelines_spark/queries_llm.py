@@ -4194,3 +4194,58 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     out = hard_negatives(emb, emb.filter(F.col("vec_id") < 5), k=5)
     return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss projection — the data-independent (no-fit)
+# dimensionality reduction next to embedding_pca_project: deterministic
+# integer-formula matrix, one broadcast GEMM per Arrow batch, applied
+# write-side at scale because it needs zero statistics. The oracle
+# rebuilds the matrix as SQL literals; posexplode scalarizes the output
+# (the gate canonicalizer cannot hash array cells).
+# ---------------------------------------------------------------------------
+def _jl_sql(dim: int = 64, k: int = 16) -> str:
+    from shared_etl_pipelines_spark.operators.similarity import _hyperplane
+
+    import math
+
+    planes = []
+    for i in range(k):
+        lits = ", ".join(repr(_hyperplane(i, j)) for j in range(dim))
+        planes.append(
+            f"SELECT {i} AS component, [{lits}]::DOUBLE[] AS plane"
+        )
+    planes_sql = " UNION ALL ".join(planes)
+    return f"""
+    WITH p AS ({planes_sql}),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    SELECT e.vec_id, p.component,
+           ROUND(list_dot_product(e.v, p.plane) / {math.sqrt(k)!r}, 4) + 0.0 AS value
+    FROM e CROSS JOIN p
+    """
+
+
+@defquery(
+    "embedding_jl_project",
+    _jl_sql(64, 16),
+    doc="Johnson-Lindenstrauss projection 64->16 dims: deterministic "
+    "pseudo-random matrix (shared integer hyperplane formula), "
+    "broadcast GEMM per Arrow batch, 1/sqrt(k) scaling — the no-fit "
+    "write-side projection; oracle rebuilds the matrix as literals",
+    tags=("llm", "vector", "projection"),
+)
+def q_embedding_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.operators.embeddings import jl_project
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = jl_project(emb, dim=64, k=16)
+    flat = out.select(
+        "vec_id", F.posexplode("proj").alias("component", "value")
+    ).select(
+        "vec_id",
+        F.col("component").cast("int").alias("component"),
+        # + 0.0 canonicalizes IEEE negative zero: the gate sorts rows by
+        # the string form, where "-0.0" != "0.0"
+        (F.round("value", 4) + F.lit(0.0)).alias("value"),
+    )
+    return flat

@@ -847,3 +847,21 @@ def test_hard_negatives_excludes_same_label(spark):
     ids = [r["vec_id"] for r in sorted(got, key=lambda r: r["rn"])]
     assert 1 not in ids
     assert ids[0] == 2
+
+
+def test_jl_project_matches_matrix_definition(spark):
+    """Projecting the j-th basis vector must return column j of the
+    deterministic matrix scaled by 1/sqrt(k) — pins both the formula
+    and the orientation of the GEMM."""
+    import math
+
+    from shared_etl_pipelines_spark.operators.embeddings import jl_project
+    from shared_etl_pipelines_spark.operators.similarity import _hyperplane
+
+    dim, k, j = 8, 4, 3
+    basis = [0.0] * dim
+    basis[j] = 1.0
+    df = spark.createDataFrame([(0, basis)], "vec_id long, embedding array<double>")
+    got = jl_project(df, dim=dim, k=k).collect()[0]["proj"]
+    exp = [_hyperplane(i, j) / math.sqrt(k) for i in range(k)]
+    assert all(abs(a - b) < 1e-12 for a, b in zip(got, exp))
