@@ -35,7 +35,7 @@ operators require.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -97,3 +97,45 @@ def count_min_heavy_hitters(
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= threshold)
     )
+
+
+def kmv_sketches(
+    df,
+    key_col: str,
+    seg_col: str,
+    k: int = 128,
+):
+    """K-minimum-values distinct sketch per segment: the k smallest
+    28-bit md5 hashes of ``key_col`` (house hash convention, so the SQL
+    oracle reproduces every hash bit-exactly).
+
+    Returns (segment, h, rn) rows with rn <= k — a mergeable sketch:
+    union = k smallest of the concatenation, intersection estimated by
+    the fraction of union-sketch members present in both sides (the
+    standard KMV set-operation estimators, Beyer et al. 2007).
+
+    Scale note: the per-segment k-smallest is a window rank here (one
+    sort per segment of its DISTINCT hash set). At warehouse scale the
+    same sketch is built with per-partition k-smallest partials merged
+    associatively — the mergeability that makes KMV a sketch at all;
+    the window form keeps the gate path in one declarative plan.
+    """
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 7), 16, 10).cast(
+        "long"
+    )
+    uniq = df.select(F.col(seg_col).alias("segment"), h.alias("h")).distinct()
+    w = Window.partitionBy("segment").orderBy("h")
+    return uniq.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k)
+
+
+def kmv_estimate(sketch, k: int = 128):
+    """Distinct-count estimate per segment from a kmv_sketches frame:
+    (k-1) * 2^28 / kth_min when the sketch is full, else the exact
+    member count (a sketch smaller than k holds the whole set)."""
+    agg = sketch.groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_mem"), F.max("h").alias("kth")
+    )
+    est = F.when(
+        F.col("n_mem") < k, F.col("n_mem").cast("double")
+    ).otherwise(F.lit(float((k - 1) * (1 << 28))) / F.col("kth"))
+    return agg.select("segment", est.alias("est_distinct"))

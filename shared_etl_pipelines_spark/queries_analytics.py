@@ -3574,3 +3574,113 @@ def q_kcore_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").cast("long").alias("node"),
         F.col("degree").cast("long").alias("degree"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct sketch + set-operation estimates (Beyer et al. 2007) —
+# the mergeable-sketch companion to hll_daily_distinct: where HLL gives
+# distinct counts only, KMV additionally estimates UNION and
+# INTERSECTION sizes between segments. All hash arithmetic is the house
+# 28-bit md5 convention, so the estimates are deterministic and
+# hash-exact against the SQL oracle.
+# ---------------------------------------------------------------------------
+_KMV_K = 128
+_KMV_SQL = f"""
+    WITH u AS (
+      SELECT DISTINCT event_type AS segment,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 7) AS BIGINT) AS h
+      FROM events WHERE event_type IN ('view', 'click')
+    ),
+    sk AS (
+      SELECT segment, h,
+             ROW_NUMBER() OVER (PARTITION BY segment ORDER BY h) AS rn
+      FROM u
+    ),
+    s AS (SELECT segment, h FROM sk WHERE rn <= {_KMV_K}),
+    est AS (
+      SELECT segment, COUNT(*) AS n_mem, MAX(h) AS kth,
+             CASE WHEN COUNT(*) < {_KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
+                  ELSE {float((_KMV_K - 1) * (1 << 28))!r} / MAX(h) END AS est
+      FROM s GROUP BY segment
+    ),
+    un AS (
+      SELECT h, COUNT(*) AS sides FROM s GROUP BY h
+    ),
+    unk AS (
+      SELECT h, sides, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM un
+    ),
+    usk AS (SELECT h, sides FROM unk WHERE rn <= {_KMV_K}),
+    uest AS (
+      SELECT COUNT(*) AS n_mem, MAX(h) AS kth,
+             SUM(CASE WHEN sides = 2 THEN 1 ELSE 0 END) AS n_both,
+             CASE WHEN COUNT(*) < {_KMV_K} THEN CAST(COUNT(*) AS DOUBLE)
+                  ELSE {float((_KMV_K - 1) * (1 << 28))!r} / MAX(h) END AS est_union
+      FROM usk
+    )
+    SELECT ROUND(a.est, 4) AS est_view,
+           ROUND(b.est, 4) AS est_click,
+           ROUND(u.est_union, 4) AS est_union,
+           ROUND(CAST(u.n_both AS DOUBLE) / u.n_mem * u.est_union, 4)
+             AS est_intersection
+    FROM est a, est b, uest u
+    WHERE a.segment = 'view' AND b.segment = 'click'
+    """
+
+
+@defquery(
+    "kmv_distinct_intersection",
+    _KMV_SQL,
+    doc="KMV (k-minimum-values) sketch, k=128: distinct-user estimates "
+    "for the view/click segments plus union and intersection estimates "
+    "from the merged sketch — the set-operation capability HLL lacks; "
+    "deterministic 28-bit md5 hashes make it oracle-exact",
+    tags=("sketch", "approx", "aggregate"),
+)
+def q_kmv_distinct_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketches,
+    )
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click")
+    )
+    s = kmv_sketches(ev, "user_id", "event_type", k=_KMV_K).select("segment", "h")
+    s.persist()
+    est = kmv_estimate(s, k=_KMV_K)
+    un = s.groupBy("h").agg(F.count(F.lit(1)).alias("sides"))
+    wu = Window.orderBy("h")
+    usk = un.withColumn("rn", F.row_number().over(wu)).filter(
+        F.col("rn") <= _KMV_K
+    )
+    uest = usk.agg(
+        F.count(F.lit(1)).alias("n_mem"),
+        F.max("h").alias("kth"),
+        F.sum(F.when(F.col("sides") == 2, 1).otherwise(0)).alias("n_both"),
+    ).select(
+        "n_mem",
+        "n_both",
+        F.when(F.col("n_mem") < _KMV_K, F.col("n_mem").cast("double"))
+        .otherwise(F.lit(float((_KMV_K - 1) * (1 << 28))) / F.col("kth"))
+        .alias("est_union"),
+    )
+    a = est.filter(F.col("segment") == "view").select(
+        F.col("est_distinct").alias("est_view")
+    )
+    b = est.filter(F.col("segment") == "click").select(
+        F.col("est_distinct").alias("est_click")
+    )
+    out = (
+        a.crossJoin(b)
+        .crossJoin(uest)
+        .select(
+            F.round("est_view", 4).alias("est_view"),
+            F.round("est_click", 4).alias("est_click"),
+            F.round("est_union", 4).alias("est_union"),
+            F.round(
+                F.col("n_both").cast("double") / F.col("n_mem") * F.col("est_union"),
+                4,
+            ).alias("est_intersection"),
+        )
+    )
+    return out

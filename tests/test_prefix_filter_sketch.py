@@ -88,3 +88,38 @@ def test_cms_narrow_width_collisions_still_exact(spark):
         for r in count_min_heavy_hitters(df, "k", threshold=20, width=2).collect()
     }
     assert got == {(7, 40)}
+
+
+def test_kmv_estimates_within_tolerance(spark):
+    """KMV with k=128 over planted segments: 4000 distinct in A, 3000 in
+    B, 1000 shared. Estimates must land within ~4/sqrt(k) (~35%) of
+    truth — loose enough to be deterministic-safe, tight enough to catch
+    a broken estimator (off by 2x+)."""
+    from shared_etl_pipelines_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketches,
+    )
+
+    rows = [("A", i) for i in range(4000)] + [("B", i) for i in range(3000, 6000)]
+    df = spark.createDataFrame(rows, "seg string, uid long")
+    sk = kmv_sketches(df, "uid", "seg", k=128)
+    est = {r["segment"]: r["est_distinct"] for r in kmv_estimate(sk, k=128).collect()}
+    assert abs(est["A"] - 4000) / 4000 < 0.35
+    assert abs(est["B"] - 3000) / 3000 < 0.35
+    # sketch is deterministic: same input -> identical estimate
+    est2 = {r["segment"]: r["est_distinct"] for r in kmv_estimate(sk, k=128).collect()}
+    assert est == est2
+
+
+def test_kmv_small_set_is_exact(spark):
+    """A segment with fewer distinct keys than k holds the whole set:
+    the estimate must be exactly the true distinct count."""
+    from shared_etl_pipelines_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketches,
+    )
+
+    df = spark.createDataFrame([("S", i % 50) for i in range(500)], "seg string, uid long")
+    sk = kmv_sketches(df, "uid", "seg", k=128)
+    est = kmv_estimate(sk, k=128).collect()[0]
+    assert est["est_distinct"] == 50.0
