@@ -72,14 +72,20 @@ def main() -> None:
     for name, qd in REGISTRY.items():
         if _excluded(name, qd):
             continue
-        # ~200 queries accumulate unreferenced checkpoint RDDs / shuffle
-        # state faster than the ContextCleaner's own GC cadence reclaims
-        # them, and late iterative queries then pay multi-second GC pauses
-        # mid-measurement (BENCH.md: embedding_dbscan 11.9s in-session vs
-        # ~3.5s fresh). A periodic explicit driver-JVM GC lets the cleaner
-        # drop dead state between queries, outside any timed region.
+        # Iterative queries (CC/PageRank/LPA/k-core/k-means/DBSCAN) cut
+        # lineage with localCheckpoint, which persists RDD-level storage
+        # that spark.catalog.clearCache() does NOT touch; ~20 such
+        # queries leave hundreds of checkpoint partitions squatting in
+        # the unified memory pool, and late iterative queries then fight
+        # storage eviction mid-measurement (embedding_dbscan 11.9-23.5s
+        # in-session vs ~3.5s fresh). Explicitly unpersist every
+        # persistent RDD between queries — deterministic, unlike hoping
+        # the ContextCleaner gets there first.
         n_run += 1
-        if n_run % 20 == 0:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for jrdd in jmap.values():
+            jrdd.unpersist()
+        if n_run % 40 == 0:
             spark.sparkContext._jvm.System.gc()
         best = None
         try:
