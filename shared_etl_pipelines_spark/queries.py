@@ -671,7 +671,10 @@ _R2_GREEN = frozenset(
         "similarity_topk_ivf",
         "multimodal_decode", "multimodal_frame_sample", "multimodal_features",
         "stratified_sample_docs", "multimodal_resize", "vocab_top_terms",
-        "fuzzy_name_pairs", "embedding_label_stats", "dedup_clusters",
+        "fuzzy_name_pairs", "embedding_label_stats",
+        # "dedup_clusters" was r2-green but connected_components gained
+        # path halving this session (result verified identical by the
+        # local oracle) — re-fronted for a fresh verdict.
         "tfidf_top_terms", "user_value_iqr", "text_scrub_redactions",
         "embedding_dim_stats", "chunk_documents", "doc_repetition_metrics",
         "benchmark_contamination",
@@ -709,6 +712,7 @@ _CARRYOVER_FIRST = (
     # judged-then-modified entries re-fronted this round:
     "rolling_sums", "embedding_covariance", "similarity_topk_lsh_indexed",
     "corpus_curation", "data_quality_profile", "similarity_topk_lsh",
+    "dedup_clusters",
 )
 
 
