@@ -3684,3 +3684,122 @@ def q_kmv_distinct_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival curve — time from first view to first purchase
+# with right-censoring at the study end (global max event day). The
+# whole estimator is integer event tables (durations, risk counts,
+# event counts) plus ONE float step: the cumulative product
+# prod(1 - d_i/n_i). Both engines fold that product over the SAME
+# t-ordered list (Spark: collect_list window + F.aggregate fold;
+# DuckDB: list(...) window + list_aggregate 'product'), so every factor
+# and the multiplication order are bit-identical — no exp/sum/ln
+# round-trip, whose libm last-ulp differences would leak through.
+# ---------------------------------------------------------------------------
+@defquery(
+    "kaplan_meier_conversion",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS d0
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(CAST(e.ts AS DATE)) AS dp
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS DATE) >= v.d0
+      GROUP BY e.user_id
+    ),
+    study AS (SELECT MAX(CAST(ts AS DATE)) AS dend FROM events),
+    dur AS (
+      SELECT v.user_id,
+             CASE WHEN p.dp IS NOT NULL THEN datediff('day', v.d0, p.dp)
+                  ELSE datediff('day', v.d0, study.dend) END AS t,
+             CASE WHEN p.dp IS NOT NULL THEN 1 ELSE 0 END AS ev
+      FROM v LEFT JOIN p ON v.user_id = p.user_id CROSS JOIN study
+    ),
+    byt AS (
+      SELECT t, CAST(SUM(ev) AS BIGINT) AS d_i, CAST(COUNT(*) AS BIGINT) AS c_i
+      FROM dur GROUP BY t
+    ),
+    risk AS (
+      SELECT t, d_i,
+             CAST(SUM(c_i) OVER (ORDER BY t DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS n_i
+      FROM byt
+    ),
+    km AS (
+      SELECT t, d_i, n_i,
+             list(1.0 - CAST(d_i AS DOUBLE) / n_i)
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS fs
+      FROM risk WHERE d_i > 0
+    )
+    SELECT t AS t_days, n_i AS n_risk, d_i AS n_events,
+           ROUND(list_aggregate(fs, 'product'), 4) AS surv
+    FROM km
+    """,
+    doc="Kaplan-Meier survival: first-view -> first-purchase durations, "
+    "right-censored at the study end; risk sets by reverse cumulative "
+    "sum, survival as a t-ordered fold product so both engines multiply "
+    "bit-identical factors in the same order",
+    tags=("analytics", "survival", "window", "aggregate"),
+)
+def q_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(F.to_date("ts")).alias("d0"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.to_date("ts").alias("dpe"))
+        .join(v, "user_id")
+        .filter(F.col("dpe") >= F.col("d0"))
+        .groupBy("user_id")
+        .agg(F.min("dpe").alias("dp"))
+    )
+    dend = ev.agg(F.max(F.to_date("ts")).alias("dend"))
+    dur = (
+        v.join(p, "user_id", "left")
+        .crossJoin(F.broadcast(dend))
+        .select(
+            F.when(
+                F.col("dp").isNotNull(), F.datediff("dp", "d0")
+            )
+            .otherwise(F.datediff("dend", "d0"))
+            .alias("t"),
+            F.when(F.col("dp").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    byt = dur.groupBy("t").agg(
+        F.sum("ev").cast("long").alias("d_i"),
+        F.count(F.lit(1)).cast("long").alias("c_i"),
+    )
+    w_desc = (
+        Window.orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    risk = byt.select(
+        "t", "d_i", F.sum("c_i").over(w_desc).cast("long").alias("n_i")
+    ).filter(F.col("d_i") > 0)
+    w_asc = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    factors = risk.withColumn(
+        "fs",
+        F.collect_list(
+            F.lit(1.0) - F.col("d_i").cast("double") / F.col("n_i")
+        ).over(w_asc),
+    )
+    out = factors.select(
+        F.col("t").alias("t_days"),
+        F.col("n_i").alias("n_risk"),
+        F.col("d_i").alias("n_events"),
+        F.round(
+            F.aggregate("fs", F.lit(1.0), lambda acc, x: acc * x), 4
+        ).alias("surv"),
+    )
+    return out

@@ -530,3 +530,37 @@ def test_k_core_peels_low_degree_nodes(spark):
     got = {r["node"]: r["degree"] for r in k_core(df, k=2, rounds=3).collect()}
     assert set(got) == {0, 1, 2, 3}
     assert all(v == 3 for v in got.values())
+
+
+def test_kaplan_meier_hand_computed(spark):
+    """4 users, events planted so t=2 has 2/4 conversions and t=4 has
+    1/2 among those still at risk: S(2)=0.5, S(4)=0.25; the censored
+    user consumes risk without an event."""
+    import datetime as dt
+
+    from shared_etl_pipelines_spark import queries_analytics as QA
+    from shared_etl_pipelines_spark.queries import REGISTRY
+
+    ts = dt.datetime
+    rows = [
+        (1, 1, "view", ts(2024, 1, 1)), (2, 1, "purchase", ts(2024, 1, 3)),
+        (3, 2, "view", ts(2024, 1, 1)), (4, 2, "purchase", ts(2024, 1, 3)),
+        (5, 3, "view", ts(2024, 1, 1)),  # censored at study end (Jan 5)
+        (6, 4, "view", ts(2024, 1, 1)), (7, 4, "purchase", ts(2024, 1, 5)),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    orig = QA.load_table
+    try:
+        QA.load_table = lambda s, d, n: ev if n == "events" else orig(s, d, n)
+        out = {
+            r["t_days"]: r
+            for r in REGISTRY["kaplan_meier_conversion"].fn(spark, "ignored").collect()
+        }
+    finally:
+        QA.load_table = orig
+    assert out[2]["n_risk"] == 4 and out[2]["n_events"] == 2
+    assert out[2]["surv"] == 0.5
+    assert out[4]["n_risk"] == 2 and out[4]["n_events"] == 1
+    assert out[4]["surv"] == 0.25
