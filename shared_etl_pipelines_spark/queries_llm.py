@@ -4249,3 +4249,40 @@ def q_embedding_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round("value", 4) + F.lit(0.0)).alias("value"),
     )
     return flat
+
+
+# ---------------------------------------------------------------------------
+# Block-GEMM exact top-k — the non-broadcast scale path of
+# similarity_topk (operators/similarity.py block_topk): queries packed
+# into blocks, corpus x block partial top-k via numpy GEMM, exact final
+# merge. Same result as the broadcast form, different physical shape —
+# the one that survives a query set too large to broadcast.
+# ---------------------------------------------------------------------------
+@defquery(
+    "similarity_topk_blocked",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 50),
+    s AS (
+      SELECT query_id, vec_id, list_cosine_similarity(qv, v) AS c
+      FROM q JOIN e ON vec_id <> query_id
+    ),
+    r AS (
+      SELECT query_id, vec_id, c,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rn
+      FROM s
+    )
+    SELECT query_id, vec_id, ROUND(c, 4) AS cosine, rn FROM r WHERE rn <= 5
+    """,
+    doc="exact cosine top-5 for 50 queries via block-matrix partial "
+    "top-k (no query broadcast): shuffle volume O(batches*queries*k), "
+    "merged by one per-query rank — the exact-search shape for query "
+    "sets beyond broadcast size",
+    tags=("llm", "similarity", "scale-path"),
+)
+def q_similarity_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.operators.similarity import block_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = block_topk(emb, emb.filter(F.col("vec_id") < 50), k=5, n_query_blocks=4)
+    return round_floats(out)

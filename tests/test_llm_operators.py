@@ -865,3 +865,25 @@ def test_jl_project_matches_matrix_definition(spark):
     got = jl_project(df, dim=dim, k=k).collect()[0]["proj"]
     exp = [_hyperplane(i, j) / math.sqrt(k) for i in range(k)]
     assert all(abs(a - b) < 1e-12 for a, b in zip(got, exp))
+
+
+def test_block_topk_matches_brute_force(spark, sf_dir):
+    """The block-GEMM scale path must reproduce brute_force_topk
+    row-for-row (same ids, ranks; cosines within fp-noise) on a 50-query
+    batch spanning multiple query blocks."""
+    from shared_etl_pipelines_spark.operators.similarity import (
+        block_topk,
+        brute_force_topk,
+    )
+    from shared_etl_pipelines_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter("vec_id < 50")
+    a = {(r["query_id"], r["rn"]): (r["vec_id"], r["cosine"])
+         for r in brute_force_topk(emb, qs, k=5).collect()}
+    b = {(r["query_id"], r["rn"]): (r["vec_id"], r["cosine"])
+         for r in block_topk(emb, qs, k=5, n_query_blocks=4).collect()}
+    assert set(a) == set(b)
+    for key in a:
+        assert a[key][0] == b[key][0], key
+        assert abs(a[key][1] - b[key][1]) < 1e-9
