@@ -4286,3 +4286,116 @@ def q_similarity_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     out = block_topk(emb, emb.filter(F.col("vec_id") < 50), k=5, n_query_blocks=4)
     return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
+# embedding space, then near-dup ONLY within clusters — the trick that
+# turns O(n^2) semantic dedup into sum(cluster_size^2), because
+# cross-cluster pairs are below threshold by construction of the
+# clustering. Cells are the deterministic one-Lloyd-step assignment
+# embedding_kmeans_assign pins; within a cell a vector is dropped when a
+# LOWER-id vector within cosine >= tau exists (greedy-by-id keeper
+# election — deterministic, no iterative components needed).
+# ---------------------------------------------------------------------------
+@defquery(
+    "semantic_dedup",
+    """
+    WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    cents AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, v AS c
+      FROM base ORDER BY vec_id LIMIT 8
+    ),
+    d AS (
+      SELECT b.vec_id, cents.cell,
+             list_dot_product(b.v, b.v)
+             - 2 * list_dot_product(b.v, cents.c)
+             + list_dot_product(cents.c, cents.c) AS d2
+      FROM base b CROSS JOIN cents
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ),
+    av AS (
+      SELECT a.vec_id, a.cell, b.v FROM assign a JOIN base b ON a.vec_id = b.vec_id
+    ),
+    dup AS (
+      SELECT DISTINCT hi.vec_id
+      FROM av hi JOIN av lo
+        ON hi.cell = lo.cell AND lo.vec_id < hi.vec_id
+      WHERE list_cosine_similarity(hi.v, lo.v) >= 0.4
+    )
+    SELECT a.vec_id, a.cell,
+           CAST(CASE WHEN d.vec_id IS NULL THEN 0 ELSE 1 END AS INT) AS is_dup
+    FROM assign a LEFT JOIN dup d ON a.vec_id = d.vec_id
+    """,
+    doc="SemDeDup semantic dedup: one-Lloyd-step cells, within-cell "
+    "cosine >= 0.4 against any lower id marks a duplicate — per-cell "
+    "all-pairs bounds the quadratic term by cluster size, the published "
+    "trick for web-scale semantic dedup",
+    tags=("llm", "dedup", "embedding", "clustering", "scale-path"),
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.functions.vectors import (
+        as_double,
+        cosine,
+        dot,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double("embedding").alias("v")
+    )
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(
+            (F.row_number().over(Window.orderBy("vec_id")) - 1)
+            .cast("long")
+            .alias("cell"),
+            F.col("v").alias("c"),
+        )
+    )
+    pairs = emb.crossJoin(F.broadcast(cents))
+    d2 = (
+        dot(F.col("v"), F.col("v"))
+        - 2 * dot(F.col("v"), F.col("c"))
+        + dot(F.col("c"), F.col("c"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("d2"), "cell")
+    assign = (
+        pairs.select("vec_id", "cell", d2.alias("d2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell")
+    )
+    av = assign.join(emb, "vec_id")
+    hi = av.select(
+        F.col("vec_id").alias("hi_id"), F.col("cell"), F.col("v").alias("hv")
+    )
+    lo = av.select(
+        F.col("vec_id").alias("lo_id"),
+        F.col("cell").alias("cell2"),
+        F.col("v").alias("lv"),
+    )
+    dup = (
+        hi.join(
+            lo,
+            (F.col("cell") == F.col("cell2"))
+            & (F.col("lo_id") < F.col("hi_id")),
+        )
+        .filter(cosine(F.col("hv"), F.col("lv")) >= 0.4)
+        .select(F.col("hi_id").alias("vec_id"))
+        .distinct()
+    )
+    out = assign.join(
+        dup.withColumn("flag", F.lit(1)), "vec_id", "left"
+    ).select(
+        "vec_id",
+        "cell",
+        F.coalesce("flag", F.lit(0)).cast("int").alias("is_dup"),
+    )
+    return out

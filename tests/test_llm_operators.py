@@ -887,3 +887,20 @@ def test_block_topk_matches_brute_force(spark, sf_dir):
     for key in a:
         assert a[key][0] == b[key][0], key
         assert abs(a[key][1] - b[key][1]) < 1e-9
+
+
+def test_semantic_dedup_within_cell_only(spark, sf_dir):
+    """A vector is only droppable by a LOWER-id near-neighbor in the
+    SAME cell: every flagged dup must have such a witness, and the
+    minimum id of every cell is never flagged."""
+    from shared_etl_pipelines_spark.queries import REGISTRY
+
+    out = REGISTRY["semantic_dedup"].fn(spark, sf_dir)
+    rows = out.collect()
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append((r["vec_id"], r["is_dup"]))
+    assert sum(d for _, d in sum(by_cell.values(), [])) > 0  # some dups exist
+    for cell, members in by_cell.items():
+        min_id = min(m for m, _ in members)
+        assert dict(members)[min_id] == 0, f"cell {cell} min id flagged"
