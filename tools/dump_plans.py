@@ -56,6 +56,12 @@ SHOWCASE = {
     "forecast_revenue_change": "Q6 shape: every predicate pushed to the scan, 3-column read schema",
     "pareto_frontier": "skyline via running-max over distinct prices; no dominance self-join",
     "max_concurrent_open_orders": "sweep line: deltas pre-aggregated per day before the ordered cumsum",
+    "label_prop_communities": "LPA round: edge-label equi-join + ONE max(struct) argmax aggregate, no window",
+    "kcore_peeling": "k-core round: degree aggregate + two semi-joins, monotone contraction",
+    "kmv_distinct_intersection": "KMV sketch: per-segment rank; the union merge ranks <= 2k rows whatever the input size",
+    "similarity_topk_blocked": "block-GEMM top-k: corpus x packed query blocks, partial top-k bounds the shuffle",
+    "semantic_dedup": "SemDeDup: near-dup self-join keyed on cluster cell — quadratic term bounded by cell size",
+    "kaplan_meier_conversion": "KM curve: integer event tables, windows over |event days| rows only",
 }
 
 
