@@ -661,7 +661,10 @@ _R2_GREEN = frozenset(
         # "data_quality_profile" was r2-green but profile_columns was
         # rewritten this round (Expand-free union-of-branches) — re-fronted
         # for a fresh verdict.
-        "raster_tif_rollsum", "shapefile_clip", "zonal_stats_ranked",
+        # "raster_tif_rollsum" re-fronted: its fixture corpus now rotates
+        # TIFF-LZW in with DEFLATE/uncompressed (decoded values identical,
+        # locally re-verified) — a fresh verdict should cover the new codec.
+        "shapefile_clip", "zonal_stats_ranked",
         "zonal_stats_disc", "doc_fingerprint", "similarity_topk",
         "embedding_near_dup",
         # "similarity_topk_lsh" was r2-green but lsh_bucket_topk's
@@ -712,7 +715,7 @@ _CARRYOVER_FIRST = (
     # judged-then-modified entries re-fronted this round:
     "rolling_sums", "embedding_covariance", "similarity_topk_lsh_indexed",
     "corpus_curation", "data_quality_profile", "similarity_topk_lsh",
-    "dedup_clusters",
+    "dedup_clusters", "raster_tif_rollsum",
 )
 
 

@@ -77,6 +77,109 @@ def _read_ifd(data: bytes, e: str, off: int) -> dict[int, tuple]:
     return tags
 
 
+def _lzw_decode(src: bytes) -> bytes:
+    """TIFF-variant LZW decompression (TIFF 6.0 §13): MSB-first bit
+    order, 8-bit symbols, Clear=256, EOI=257, code width 9->12 with the
+    libtiff "early change" (width bumps when the NEXT table index would
+    be 2^width - 1). Pure python — the hot path decodes whole strips
+    inside scan-task mapInPandas, so this crosses into numpy right
+    after."""
+    CLEAR, EOI = 256, 257
+    data = src
+    acc = accbits = pos = 0
+
+    def read(width: int) -> int:
+        nonlocal acc, accbits, pos
+        while accbits < width:
+            if pos >= len(data):
+                return EOI
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            accbits += 8
+        accbits -= width
+        return (acc >> accbits) & ((1 << width) - 1)
+
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    prev = b""
+    while True:
+        code = read(width)
+        if code == EOI:
+            break
+        if code == CLEAR:
+            table = [bytes([i]) for i in range(256)] + [b"", b""]
+            width = 9
+            code = read(width)
+            if code == EOI:
+                break
+            prev = table[code]
+            out += prev
+            continue
+        if not table:
+            raise ValueError("LZW stream must start with a Clear code")
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("corrupt LZW stream: code beyond table")
+        out += entry
+        if len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out)
+
+
+def _lzw_encode(src: bytes) -> bytes:
+    """TIFF-variant LZW compression, symmetric with _lzw_decode (same
+    early-change schedule); used by write_geotiff(compression="lzw") and
+    the round-trip tests."""
+    CLEAR, EOI = 256, 257
+    out = bytearray()
+    acc = accbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, accbits
+        acc = (acc << width) | code
+        accbits += width
+        while accbits >= 8:
+            accbits -= 8
+            out.append((acc >> accbits) & 0xFF)
+
+    def reset() -> tuple[dict[bytes, int], int, int]:
+        return {bytes([i]): i for i in range(256)}, 258, 9
+
+    table, nxt, width = reset()
+    emit(CLEAR, width)
+    w = b""
+    for byte in src:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = nxt
+        nxt += 1
+        # pair with the decoder's early-change schedule: it widens after
+        # appending entry (1<<w)-1, i.e. starting with the code that
+        # makes the table size reach 1<<w on this side
+        if nxt == (1 << width) and width < 12:
+            width += 1
+        elif nxt == 4093:
+            emit(CLEAR, width)
+            table, nxt, width = reset()
+        w = bytes([byte])
+    if w:
+        emit(table[w], width)
+    emit(EOI, width)
+    if accbits:
+        out.append((acc << (8 - accbits)) & 0xFF)
+    return bytes(out)
+
+
 def _unpackbits(b: bytes) -> bytes:
     """PackBits (RLE) decompression."""
     out = bytearray()
@@ -131,6 +234,8 @@ def decode_geotiff(data: bytes) -> tuple[np.ndarray, dict]:
             return chunk
         if comp in (8, 32946):  # DEFLATE (new/old code)
             return zlib.decompress(chunk)
+        if comp == 5:
+            return _lzw_decode(chunk)
         if comp == 32773:
             return _unpackbits(chunk)
         raise ValueError(f"unsupported compression {comp}")
@@ -175,7 +280,7 @@ def write_geotiff(
     path: str,
     arr: np.ndarray,
     nodata: float | None = None,
-    compress: bool = False,
+    compress: bool | str = False,
     tile: int | None = None,
     pixel_scale: tuple[float, float] | None = None,
     origin: tuple[float, float] | None = None,
@@ -183,7 +288,8 @@ def write_geotiff(
     """Write a single-band classic GeoTIFF (little-endian).
 
     Strip layout by default (one strip per raster); ``tile`` switches to
-    square tiles of that size. ``compress`` applies DEFLATE.
+    square tiles of that size. ``compress`` applies DEFLATE when truthy;
+    pass ``"lzw"`` for TIFF-LZW (the wild-GeoTIFF default codec).
     """
     arr = np.ascontiguousarray(arr)
     if arr.ndim != 2:
@@ -207,14 +313,16 @@ def write_geotiff(
                 blocks.append(blk.tobytes())
     else:
         blocks.append(arr.tobytes())
-    if compress:
+    if compress == "lzw":
+        blocks = [_lzw_encode(b) for b in blocks]
+    elif compress:
         blocks = [zlib.compress(b) for b in blocks]
 
     entries: list[tuple[int, int, int, tuple]] = [
         (_T_WIDTH, 4, 1, (w,)),
         (_T_HEIGHT, 4, 1, (h,)),
         (_T_BPS, 3, 1, (bps,)),
-        (_T_COMP, 3, 1, (8 if compress else 1,)),
+        (_T_COMP, 3, 1, (5 if compress == "lzw" else 8 if compress else 1,)),
         (_T_PHOTO, 3, 1, (1,)),  # BlackIsZero
         (_T_SPP, 3, 1, (1,)),
         (_T_SFORMAT, 3, 1, (sfmt,)),
@@ -369,7 +477,7 @@ def ensure_demo_rasters(base_dir: str | None = None) -> str:
     """Write (idempotently) the demo GeoTIFF corpus; returns its directory."""
     import tempfile
 
-    root = base_dir or os.path.join(tempfile.gettempdir(), "spark_graft_tif_demo_v1")
+    root = base_dir or os.path.join(tempfile.gettempdir(), "spark_graft_tif_demo_v2")
     os.makedirs(root, exist_ok=True)
     from datetime import timedelta
 
@@ -385,7 +493,9 @@ def ensure_demo_rasters(base_dir: str | None = None) -> str:
             path + ".tmp",
             vals.astype(dtype),
             nodata=DEMO_NODATA,
-            compress=(d % 2 == 1),
+            # rotate codecs so the driver-visible query exercises all
+            # three: uncompressed, DEFLATE, and TIFF-LZW
+            compress="lzw" if d % 4 == 3 else (d % 2 == 1),
             tile=8 if d % 3 == 0 else None,
             pixel_scale=(0.0083, 0.0083),
             origin=(-125.0, 49.94),

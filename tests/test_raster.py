@@ -246,3 +246,45 @@ def test_read_geotiff_long_corrupt_file_handling(spark, tmp_path):
     strict = read_geotiff_long(spark, str(p))
     with _pytest.raises(Exception, match="prism_20240102"):
         strict.count()
+
+
+def test_lzw_roundtrip_strip_and_tiled(tmp_path):
+    """LZW-compressed GeoTIFFs (the wild-GeoTIFF default codec) decode
+    bit-exactly, strip and tiled layouts, float32 and uint8."""
+    import numpy as np
+
+    from shared_etl_pipelines_spark.sources.raster import (
+        decode_geotiff,
+        write_geotiff,
+    )
+
+    rng = np.random.default_rng(11)
+    f32 = rng.normal(size=(37, 53)).astype(np.float32)
+    u8 = rng.integers(0, 7, size=(64, 48)).astype(np.uint8)  # repetitive -> LZW-friendly
+    for name, arr, tile in (
+        ("strip_f32", f32, None),
+        ("tiled_f32", f32, 16),
+        ("strip_u8", u8, None),
+        ("tiled_u8", u8, 32),
+    ):
+        p = str(tmp_path / f"{name}.tif")
+        write_geotiff(p, arr, compress="lzw", tile=tile, nodata=-1.0)
+        got, meta = decode_geotiff(open(p, "rb").read())
+        assert got.dtype == arr.dtype
+        assert np.array_equal(got, arr), name
+        assert meta["nodata"] == -1.0
+
+
+def test_lzw_decoder_handles_kwkwk_and_width_growth():
+    """The code==table-size (KwKwK) case and every width bump 9->12 are
+    exercised by a low-entropy megabyte; decode must invert encode."""
+    import numpy as np
+
+    from shared_etl_pipelines_spark.sources.raster import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    rng = np.random.default_rng(5)
+    data = rng.integers(0, 3, size=1_000_000).astype(np.uint8).tobytes()
+    assert _lzw_decode(_lzw_encode(data)) == data
