@@ -4399,3 +4399,43 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("flag", F.lit(0)).cast("int").alias("is_dup"),
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# GIF decode — third real image codec (sources/gif.py: GIF87a container
+# + LSB-first LZW). Same fixture pixel formula as the PNG/BMP paths, so
+# the closed-form oracle pins the full encode->decode round trip
+# through the new container.
+# ---------------------------------------------------------------------------
+@defquery(
+    "multimodal_gif_decode",
+    """
+    WITH a AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    dims AS (
+      SELECT doc_id,
+             CAST(n % 16 + 1 AS INT) AS width,
+             CAST((n // 16) % 16 + 1 AS INT) AS height
+      FROM a
+    )
+    SELECT doc_id, TRUE AS is_real_decode, width, height, CAST(1 AS INT) AS channels,
+           CAST(list_sum(list_transform(range(0, width * height),
+                                        i -> (doc_id * 31 + i) % 256)) AS BIGINT)
+             AS px_sum
+    FROM dims
+    """,
+    doc="REAL GIF codec round trip: GIF87a container + LSB-first LZW "
+    "(sources/gif.py) encoded and decoded inside mapInPandas; the "
+    "oracle recomputes pixel stats in closed form",
+    tags=("llm", "multimodal", "codec"),
+)
+def q_multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.multimodal import (
+        decode_images,
+        synthetic_gif_assets,
+    )
+
+    assets = synthetic_gif_assets(_t(spark, sf_dir, "documents"))
+    out = decode_images(assets)
+    return out.select(
+        "doc_id", "is_real_decode", "width", "height", "channels", "px_sum"
+    )

@@ -1,0 +1,209 @@
+"""Pure-python GIF87a codec (single frame, global 256-gray palette,
+no interlace) — the third real image codec next to sources/png.py and
+sources/bmp.py, so multimodal queries exercise actual bytes for the
+third major container too.
+
+GIF's LZW is the LSB-first cousin of the TIFF variant in
+sources/raster.py: codes pack little-endian bit order, width grows at
+table size 1<<width (no TIFF early change), data rides in <=255-byte
+sub-blocks. Both directions implemented so tests round-trip without any
+external imaging library (none exists in this sandbox).
+
+No reference counterpart (LLM multimodal mandate); container layout per
+the public GIF87a specification.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_CLEAR = 256
+_EOI = 257
+
+
+def is_gif(data: bytes) -> bool:
+    return data[:6] in (b"GIF87a", b"GIF89a")
+
+
+def _lzw_encode_gif(indices: bytes, min_code_size: int = 8) -> bytes:
+    """GIF-variant LZW: LSB-first packing, width bump at table size
+    1<<width, Clear emitted up-front and on table overflow."""
+    out = bytearray()
+    acc = 0
+    accbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, accbits
+        acc |= code << accbits
+        accbits += width
+        while accbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            accbits -= 8
+
+    def reset() -> tuple[dict[bytes, int], int, int]:
+        return (
+            {bytes([i]): i for i in range(1 << min_code_size)},
+            _EOI + 1,
+            min_code_size + 1,
+        )
+
+    table, nxt, width = reset()
+    emit(_CLEAR, width)
+    w = b""
+    for byte in indices:
+        wc = w + bytes([byte])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        # canonical GIF schedule (one later than TIFF's early change):
+        # width grows just BEFORE assigning index 1<<width, so the emit
+        # above still used the old width
+        if nxt == 4096:
+            emit(_CLEAR, width)
+            table, nxt, width = reset()
+        else:
+            if nxt == (1 << width) and width < 12:
+                width += 1
+            table[wc] = nxt
+            nxt += 1
+        w = bytes([byte])
+    if w:
+        emit(table[w], width)
+    emit(_EOI, width)
+    if accbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode_gif(data: bytes, min_code_size: int = 8) -> bytes:
+    acc = 0
+    accbits = 0
+    pos = 0
+
+    def read(width: int) -> int:
+        nonlocal acc, accbits, pos
+        while accbits < width:
+            if pos >= len(data):
+                return _EOI
+            acc |= data[pos] << accbits
+            pos += 1
+            accbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        accbits -= width
+        return code
+
+    out = bytearray()
+    table: list[bytes] = []
+    width = min_code_size + 1
+    prev = b""
+    while True:
+        code = read(width)
+        if code == _EOI:
+            break
+        if code == _CLEAR:
+            table = [bytes([i]) for i in range(1 << min_code_size)] + [b"", b""]
+            width = min_code_size + 1
+            code = read(width)
+            if code == _EOI:
+                break
+            prev = table[code]
+            out += prev
+            continue
+        if not table:
+            raise ValueError("GIF LZW stream must start with Clear")
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table):
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        out += entry
+        if len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out)
+
+
+def encode_gif(img: np.ndarray) -> bytes:
+    """Encode a 2-D uint8 grayscale array as a GIF87a (global gray
+    palette, one image block)."""
+    if img.ndim != 2 or img.dtype != np.uint8:
+        raise ValueError("expected 2-D uint8 grayscale")
+    h, w = img.shape
+    out = bytearray(b"GIF87a")
+    # logical screen: global table flag=1, color res=8, table size 256
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    for i in range(256):  # grayscale global palette
+        out += bytes((i, i, i))
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)  # image descriptor
+    out.append(8)  # LZW minimum code size
+    payload = _lzw_encode_gif(img.tobytes())
+    for i in range(0, len(payload), 255):
+        chunk = payload[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out.append(0)  # block terminator
+    out.append(0x3B)  # trailer
+    return bytes(out)
+
+
+def decode_gif(data: bytes) -> np.ndarray:
+    """Decode a GIF87a/89a single-frame image to 2-D uint8 of palette
+    GRAY values (the palette's red channel; exact for gray palettes)."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        palette = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(
+            n, 3
+        )
+        pos += 3 * n
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x2C:  # image descriptor
+            _l, _t, iw, ih, ipacked = struct.unpack_from("<HHHHB", data, pos + 1)
+            pos += 10
+            if ipacked & 0x80:  # local palette overrides
+                n = 2 << (ipacked & 0x07)
+                palette = np.frombuffer(
+                    data[pos : pos + 3 * n], dtype=np.uint8
+                ).reshape(n, 3)
+                pos += 3 * n
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIF not supported")
+            mcs = data[pos]
+            pos += 1
+            payload = bytearray()
+            while True:
+                ln = data[pos]
+                pos += 1
+                if ln == 0:
+                    break
+                payload += data[pos : pos + ln]
+                pos += ln
+            idx = np.frombuffer(
+                _lzw_decode_gif(bytes(payload), mcs), dtype=np.uint8
+            )[: iw * ih]
+            if palette is None:
+                raise ValueError("GIF without a color table")
+            return palette[idx, 0].reshape(ih, iw)
+        elif block == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+    raise ValueError("no image block in GIF")

@@ -112,6 +112,38 @@ def synthetic_png_assets(
     )
 
 
+def synthetic_gif_assets(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "text"
+) -> DataFrame:
+    """Deterministic REAL-GIF fixtures: same (id, n)-derived dimensions
+    and pixel formula as synthetic_png_assets, but encoded as GIF87a by
+    sources/gif.py — so the PNG closed-form oracle applies verbatim to
+    the GIF container + LZW codec path."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from shared_etl_pipelines_spark.sources import gif
+
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                n = len(str(payload).encode("utf-8"))
+                w = n % 16 + 1
+                h = (n // 16) % 16 + 1
+                i = np.arange(w * h, dtype=np.int64)
+                arr = ((int(doc_id) * 31 + i) % 256).astype(np.uint8).reshape(h, w)
+                ids.append(doc_id)
+                blobs.append(gif.encode_gif(arr))
+            yield pd.DataFrame(
+                {"doc_id": ids, "media_type": "image/gif", "blob": blobs}
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches, "doc_id bigint, media_type string, blob binary"
+    )
+
+
 IMAGE_SCHEMA = (
     "doc_id bigint, media_type string, n_bytes bigint, "
     "is_real_decode boolean, width int, height int, channels int, "
@@ -130,7 +162,7 @@ def decode_images(assets: DataFrame) -> DataFrame:
     shuffle."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from shared_etl_pipelines_spark.sources import bmp, png
+        from shared_etl_pipelines_spark.sources import bmp, gif, png
 
         for pdf in it:
             rows: dict[str, list] = {
@@ -153,6 +185,13 @@ def decode_images(assets: DataFrame) -> DataFrame:
                         arr, info = png.decode_png(blob)
                     elif bmp.is_bmp(blob):
                         arr, info = bmp.decode_bmp(blob)
+                    elif gif.is_gif(blob):
+                        arr = gif.decode_gif(blob)
+                        info = {
+                            "width": arr.shape[1],
+                            "height": arr.shape[0],
+                            "channels": 1,
+                        }
                 except Exception:  # struct/zlib/Value errors from bad bytes
                     arr = info = None
                 if info is not None:

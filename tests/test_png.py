@@ -130,3 +130,53 @@ def test_synthetic_png_assets_spec(spark):
         assert info["height"] == (n // 16) % 16 + 1
         want = sum((r["doc_id"] * 31 + i) % 256 for i in range(arr.size))
         assert int(arr.astype("int64").sum()) == want
+
+
+def test_gif_roundtrip_and_lzw_schedule():
+    """GIF87a round trip across shapes that exercise every LZW width
+    bump and the table-overflow Clear, plus the KwKwK case via
+    low-entropy data; decoder also validated on a hand-packed LSB-first
+    stream independent of the encoder."""
+    import numpy as np
+
+    from shared_etl_pipelines_spark.sources.gif import (
+        _lzw_decode_gif,
+        _lzw_encode_gif,
+        decode_gif,
+        encode_gif,
+        is_gif,
+    )
+
+    rng = np.random.default_rng(2)
+    for shape in ((1, 1), (7, 13), (64, 64), (33, 257), (200, 301)):
+        img = rng.integers(0, 256, size=shape).astype(np.uint8)
+        blob = encode_gif(img)
+        assert is_gif(blob)
+        assert np.array_equal(decode_gif(blob), img), shape
+    low = rng.integers(0, 3, size=500_000).astype(np.uint8).tobytes()
+    assert _lzw_decode_gif(_lzw_encode_gif(low)) == low
+    # hand-packed LSB-first 9-bit stream: CLEAR, 'A'(65), 'B'(66),
+    # 258('AB'), EOI -> "ABAB"
+    codes = [256, 65, 66, 258, 257]
+    acc = bits = 0
+    out = bytearray()
+    for c in codes:
+        acc |= c << bits
+        bits += 9
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+    if bits:
+        out.append(acc & 0xFF)
+    assert _lzw_decode_gif(bytes(out)) == b"ABAB"
+
+
+def test_decode_images_gif_branch(spark, sf_dir):
+    """The multimodal decoder recognizes GIF blobs and decodes them for
+    real (is_real_decode=true, exact pixel sums)."""
+    from shared_etl_pipelines_spark.queries import REGISTRY
+
+    out = REGISTRY["multimodal_gif_decode"].fn(spark, sf_dir)
+    rows = out.collect()
+    assert rows and all(r["is_real_decode"] for r in rows)
