@@ -716,6 +716,13 @@ _CARRYOVER_FIRST = (
     "rolling_sums", "embedding_covariance", "similarity_topk_lsh_indexed",
     "corpus_curation", "data_quality_profile", "similarity_topk_lsh",
     "dedup_clusters", "raster_tif_rollsum",
+    # this session's new oracle-bearing operators: without this tier
+    # they register at the END of their modules and the time-capped
+    # walk would not reach them until next round
+    "label_prop_communities", "kcore_peeling", "hard_negative_mining",
+    "embedding_jl_project", "kmv_distinct_intersection",
+    "kaplan_meier_conversion", "similarity_topk_blocked",
+    "semantic_dedup", "multimodal_gif_decode",
 )
 
 
