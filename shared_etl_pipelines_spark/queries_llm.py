@@ -4294,7 +4294,9 @@ def q_similarity_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
 # turns O(n^2) semantic dedup into sum(cluster_size^2), because
 # cross-cluster pairs are below threshold by construction of the
 # clustering. Cells are the deterministic one-Lloyd-step assignment
-# embedding_kmeans_assign pins; within a cell a vector is dropped when a
+# embedding_kmeans_assign pins (same formula, 32 first-by-id centroids
+# here — more cells shrink the per-cell quadratic term); within a cell
+# a vector is dropped when a
 # LOWER-id vector within cosine >= tau exists (greedy-by-id keeper
 # election — deterministic, no iterative components needed).
 # ---------------------------------------------------------------------------
@@ -4304,7 +4306,7 @@ def q_similarity_topk_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     cents AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell, v AS c
-      FROM base ORDER BY vec_id LIMIT 8
+      FROM base ORDER BY vec_id LIMIT 32
     ),
     d AS (
       SELECT b.vec_id, cents.cell,
@@ -4351,7 +4353,7 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = (
         emb.orderBy("vec_id")
-        .limit(8)
+        .limit(32)
         .select(
             (F.row_number().over(Window.orderBy("vec_id")) - 1)
             .cast("long")
