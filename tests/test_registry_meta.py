@@ -114,3 +114,16 @@ def test_rows_only_queries_are_justified():
         if qd.sql is not None:
             continue
         assert justified_tags & set(qd.tags), f"{name} rows-only without rationale tag"
+
+
+def test_rotation_tiers_are_disjoint_and_resolvable():
+    """A query must never sit in both the re-front tier and the
+    judged-green back block (the walk order would silently depend on
+    dict-merge order), and every tier member must exist in the
+    registry."""
+    import shared_etl_pipelines_spark.queries as Q
+
+    cf = set(Q._CARRYOVER_FIRST)
+    assert not (cf & set(Q._JUDGED_GREEN))
+    assert all(n in Q.REGISTRY for n in cf)
+    assert all(n in Q.REGISTRY for n in Q._FORCE_FRONT)
