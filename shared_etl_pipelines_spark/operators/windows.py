@@ -184,3 +184,40 @@ def global_ntile(
         r + ((F.col("_grn") - cutover - 1) / F.lit(max(small, 1))).cast("long") + 1
     )
     return ranked.withColumn(out_col, bucket.cast("int")).drop("_grn")
+
+
+def partial_topk(
+    df: DataFrame,
+    keys: list[str],
+    value: str,
+    tiebreak: str,
+    k: int,
+) -> DataFrame:
+    """Exact top-k per group WITHOUT sorting whole groups in the window:
+    each Arrow batch first keeps only its own per-key top-k (any row in
+    the true global top-k is necessarily in its batch's top-k, so
+    pruning loses nothing), then the final ranking window runs over at
+    most k * n_batches candidates per key instead of the full group.
+
+    This is the map-side-combine form of the ranking window — the
+    difference between shuffling every row of a hot group and shuffling
+    k per batch at 100 TB. Ties break on ``tiebreak`` ascending, same
+    order as the final window, so the result is deterministic and
+    row-identical to the plain window form (tested).
+    """
+
+    def shrink(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values([value, tiebreak], ascending=[False, True])
+            yield pdf.groupby(keys, sort=False).head(k)
+
+    pruned = df.mapInPandas(shrink, df.schema)
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(value).desc(), F.col(tiebreak)
+    )
+    return (
+        pruned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )

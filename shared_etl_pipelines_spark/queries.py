@@ -753,3 +753,38 @@ def _rotate_registry() -> None:
 
 
 _rotate_registry()
+
+
+# ---------------------------------------------------------------------------
+# Top-K per group, map-side-combine form — operators/windows.py
+# partial_topk: per-batch per-key top-k pruning before the ranking
+# window, so the shuffle carries k rows per (key, batch) instead of
+# whole groups. Same result as topk_per_group (same oracle), different
+# physical shape — the one that survives a hot key at 100 TB.
+# ---------------------------------------------------------------------------
+@defquery(
+    "topk_per_group_partial",
+    """
+    SELECT event_type, event_id, value, rn FROM (
+      SELECT event_type, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value DESC, event_id) AS rn
+      FROM events
+    ) WHERE rn <= 5
+    """,
+    doc="top-k per group with per-batch partial pruning before the "
+    "ranking window: shuffle volume k per (key, batch), never whole "
+    "groups — the map-side-combine form of topk_per_group",
+    tags=("window", "topk", "scale-path"),
+)
+def q_topk_per_group_partial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.operators.windows import partial_topk
+
+    ev = _t(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    out = partial_topk(ev, ["event_type"], "value", "event_id", 5)
+    return out.select("event_type", "event_id", "value", "rn")
+
+
+# queries defined below the first _rotate_registry() call (this module's
+# own late additions) would otherwise trail the sql=None block; re-sort.
+_rotate_registry()

@@ -237,3 +237,32 @@ def test_bloom_semi_join_exact_and_filtering(spark):
     assert survivors >= want.count()
     # and discards a meaningful share of the 997 distinct fact keys
     assert survivors < fact.count()
+
+
+def test_partial_topk_identical_to_window_form(spark, sf_dir):
+    """Per-batch pruning must lose nothing: the partial form returns the
+    exact same rows/ranks as the plain ranking window, including ties,
+    across multiple input partitions."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.operators.windows import partial_topk
+    from shared_etl_pipelines_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    ).repartition(7)
+    got = {
+        (r["event_type"], r["rn"]): r["event_id"]
+        for r in partial_topk(ev, ["event_type"], "value", "event_id", 5).collect()
+    }
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id")
+    )
+    exp = {
+        (r["event_type"], r["rn"]): r["event_id"]
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 5")
+        .collect()
+    }
+    assert got == exp
