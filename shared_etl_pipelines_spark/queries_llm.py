@@ -4441,3 +4441,72 @@ def q_multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "is_real_decode", "width", "height", "channels", "px_sum"
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weights (Xie et al. 2023, "Data Selection via
+# Importance Resampling"): score every raw document by how much more
+# likely a TARGET-domain unigram LM finds it than the raw-corpus LM —
+# log w(x) = sum_tokens [ln p_target(w) - ln p_raw(w)], add-one
+# smoothed over the shared corpus vocabulary. Resampling raw data with
+# these weights approximates sampling from the target distribution —
+# the published recipe for cheap domain-targeted pretraining data.
+# Target here: the lang='en' slice of source src0.
+# ---------------------------------------------------------------------------
+@defquery(
+    "dsir_importance_weights",
+    f"""
+    WITH t AS (SELECT doc_id, lang, source, {TOKS_SQL} AS toks FROM documents),
+    tok AS (SELECT doc_id, UNNEST(toks) AS w FROM t),
+    rc AS (SELECT w, COUNT(*) AS c FROM tok GROUP BY w),
+    ttok AS (
+      SELECT w FROM t, UNNEST(t.toks) AS u(w)
+      WHERE t.lang = 'en' AND t.source = 'src0'
+    ),
+    tc AS (SELECT w, COUNT(*) AS c FROM ttok GROUP BY w),
+    tots AS (
+      SELECT (SELECT SUM(c) FROM rc) AS nr,
+             (SELECT COUNT(*) FROM rc) AS v,
+             (SELECT SUM(c) FROM tc) AS nt
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(SUM(ln((COALESCE(tc.c, 0) + 1.0) / (nt + v))
+                     - ln((rc.c + 1.0) / (nr + v))), 4) AS log_weight
+    FROM tok JOIN rc USING (w) LEFT JOIN tc USING (w) CROSS JOIN tots
+    GROUP BY doc_id
+    """,
+    doc="DSIR importance weights: per-doc sum of ln p_target/p_raw under "
+    "add-one-smoothed unigram LMs (target = en/src0 slice); resampling "
+    "raw data by these weights approximates the target domain — counts "
+    "and vocab are exact integers, one float pass at the end",
+    tags=("llm", "curation", "sampling", "lm"),
+)
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "lang", "source", tokens(F.col("text")).alias("toks"))
+    tok = t.select("doc_id", F.explode("toks").alias("w"))
+    rc = tok.groupBy("w").agg(F.count(F.lit(1)).alias("rc"))
+    ttok = (
+        t.filter((F.col("lang") == "en") & (F.col("source") == "src0"))
+        .select(F.explode("toks").alias("w"))
+    )
+    tc = ttok.groupBy("w").agg(F.count(F.lit(1)).alias("tc"))
+    tots = (
+        rc.agg(
+            F.sum("rc").alias("nr"), F.count(F.lit(1)).alias("v")
+        )
+        .crossJoin(tc.agg(F.sum("tc").alias("nt")))
+    )
+    j = (
+        tok.join(rc, "w")
+        .join(tc, "w", "left")
+        .crossJoin(F.broadcast(tots))
+    )
+    term = F.log(
+        (F.coalesce(F.col("tc"), F.lit(0)) + 1.0)
+        / (F.col("nt") + F.col("v"))
+    ) - F.log((F.col("rc") + 1.0) / (F.col("nr") + F.col("v")))
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.round(F.sum(term), 4).alias("log_weight"),
+    )

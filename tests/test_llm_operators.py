@@ -904,3 +904,27 @@ def test_semantic_dedup_within_cell_only(spark, sf_dir):
     for cell, members in by_cell.items():
         min_id = min(m for m, _ in members)
         assert dict(members)[min_id] == 0, f"cell {cell} min id flagged"
+
+
+def test_dsir_weights_favor_target_like_docs(spark, sf_dir):
+    """Documents IN the target slice (en/src0) must average a higher
+    importance weight than the rest — the defining property of DSIR."""
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.queries import REGISTRY
+    from shared_etl_pipelines_spark.sources.tables import load_table
+
+    out = REGISTRY["dsir_importance_weights"].fn(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    j = out.join(docs, "doc_id").withColumn(
+        "in_target",
+        ((F.col("lang") == "en") & (F.col("source") == "src0")).cast("int"),
+    )
+    # per-token normalization so weight isn't just doc length
+    rows = (
+        j.groupBy("in_target")
+        .agg(F.avg(F.col("log_weight") / F.col("n_tokens")).alias("m"))
+        .collect()
+    )
+    m = {r["in_target"]: r["m"] for r in rows}
+    assert m[1] > m[0]
