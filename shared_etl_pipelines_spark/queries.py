@@ -723,6 +723,7 @@ _CARRYOVER_FIRST = (
     "embedding_jl_project", "kmv_distinct_intersection",
     "kaplan_meier_conversion", "similarity_topk_blocked",
     "semantic_dedup", "multimodal_gif_decode",
+    "topk_per_group_partial", "dsir_importance_weights",
 )
 
 
