@@ -461,3 +461,72 @@ def weighted_sample_plugin(
             list(strata_cols) if strata_cols else None,
         )
     }
+
+
+@plugin("label_propagation")
+def label_propagation_plugin(
+    ctx: StepContext,
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    **kw: Any,
+) -> dict[str, Any]:
+    """Community labels over an edge frame (operators/graph.py) — the
+    YAML form of the deterministic fixed-round LPA."""
+    from shared_etl_pipelines_spark.operators.graph import label_propagation
+
+    return {"df": label_propagation(edges, src=src, dst=dst, iterations=int(iterations))}
+
+
+@plugin("k_core")
+def k_core_plugin(
+    ctx: StepContext,
+    edges: DataFrame,
+    k: int,
+    rounds: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    **kw: Any,
+) -> dict[str, Any]:
+    from shared_etl_pipelines_spark.operators.graph import k_core
+
+    return {"df": k_core(edges, k=int(k), rounds=int(rounds), src=src, dst=dst)}
+
+
+@plugin("topk_per_group")
+def topk_per_group_plugin(
+    ctx: StepContext,
+    df: DataFrame,
+    keys: list,
+    value_col: str,
+    tiebreak_col: str,
+    k: int = 5,
+    **kw: Any,
+) -> dict[str, Any]:
+    """Map-side-combined exact top-k per group (operators/windows.py
+    partial_topk): the scale form — k rows per (key, batch) shuffle."""
+    from shared_etl_pipelines_spark.operators.windows import partial_topk
+
+    return {"df": partial_topk(df, list(keys), value_col, tiebreak_col, int(k))}
+
+
+@plugin("hard_negatives")
+def hard_negatives_plugin(
+    ctx: StepContext,
+    embeddings: DataFrame,
+    anchors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 5,
+    **kw: Any,
+) -> dict[str, Any]:
+    from shared_etl_pipelines_spark.operators.similarity import hard_negatives
+
+    return {
+        "df": hard_negatives(
+            embeddings, anchors, id_col=id_col, vec_col=vec_col,
+            label_col=label_col, k=int(k),
+        )
+    }

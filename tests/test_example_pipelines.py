@@ -252,3 +252,41 @@ def test_quota_draw_pipeline(spark, sf_dir):
     got_ids = sorted(r["doc_id"] for r in got.select("doc_id").collect())
     want_ids = sorted(r["doc_id"] for r in want.select("doc_id").collect())
     assert got_ids == want_ids and len(got_ids) > 0
+
+
+def test_graph_communities_pipeline(spark, sf_dir):
+    """The YAML graph pipeline must reproduce the direct operator
+    composition: same community label histogram, same k-core nodes."""
+    import os
+
+    from shared_etl_pipelines_spark.operators.graph import k_core, label_propagation
+    from shared_etl_pipelines_spark.plans import PipelineRunner
+    from shared_etl_pipelines_spark.queries_analytics import _pr_edges
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "shared_etl_pipelines_spark", "plans", "examples", "graph_communities.yml",
+    )
+    runner = PipelineRunner(spark)
+    result = runner.run(path, var_overrides={"sf_dir": sf_dir})
+    got_top = {
+        (r["label"], r["size"])
+        for r in result.outputs["result"]["df"].collect()
+    }
+    got_core = {
+        r["node"] for r in result.outputs["core"]["df"].collect()
+    }
+
+    from pyspark.sql import functions as F
+
+    edges = _pr_edges(spark, sf_dir)
+    labels = label_propagation(edges, iterations=3)
+    want = (
+        labels.groupBy("label").count()
+        .orderBy(F.desc("count"), "label")
+        .limit(10)
+    )
+    want_top = {(r["label"], r["count"]) for r in want.collect()}
+    want_core = {r["node"] for r in k_core(edges, k=5, rounds=3).collect()}
+    assert got_top == want_top
+    assert got_core == want_core and len(got_core) > 0
