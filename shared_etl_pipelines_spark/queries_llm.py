@@ -4510,3 +4510,99 @@ def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
         F.round(F.sum(term), 4).alias("log_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lang-id evaluation: classify every document with the FULL naive-Bayes
+# char-bigram model (nb_train_langid is its top-20 inspection view) and
+# report the confusion matrix. Unseen (lang, bigram) pairs get the
+# add-one smoothing floor ln(1/(tn+v)); argmax ties break on language
+# code ascending. Train + classify + evaluate in ONE declarative plan —
+# no model ships anywhere, which is the point at warehouse scale.
+# ---------------------------------------------------------------------------
+@defquery(
+    "langid_confusion",
+    """
+    WITH t AS (
+      SELECT doc_id, lang, lower(text) AS s FROM documents
+    ),
+    bg AS (
+      SELECT lang, substr(s, i + 1, 2) AS bigram
+      FROM t, (SELECT UNNEST(range(400)) AS i)
+      WHERE i + 2 <= length(s) AND substr(s, i + 1, 2) NOT LIKE '% %'
+    ),
+    cnt AS (SELECT lang, bigram, COUNT(*) AS n FROM bg GROUP BY lang, bigram),
+    tot AS (SELECT lang, SUM(n) AS tn, COUNT(*) AS v FROM cnt GROUP BY lang),
+    dbg AS (
+      SELECT doc_id, lang AS true_lang, substr(s, i + 1, 2) AS bigram
+      FROM t, (SELECT UNNEST(range(400)) AS i)
+      WHERE i + 2 <= length(s) AND substr(s, i + 1, 2) NOT LIKE '% %'
+    ),
+    scored AS (
+      SELECT d.doc_id, d.true_lang, tot.lang AS cand,
+             SUM(COALESCE(LN((c.n + 1.0) / (tot.tn + tot.v)),
+                          LN(1.0 / (tot.tn + tot.v)))) AS ll
+      FROM dbg d
+      CROSS JOIN tot
+      LEFT JOIN cnt c ON c.lang = tot.lang AND c.bigram = d.bigram
+      GROUP BY d.doc_id, d.true_lang, tot.lang
+    ),
+    pred AS (
+      SELECT doc_id, true_lang, cand AS pred_lang FROM (
+        SELECT doc_id, true_lang, cand,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY ll DESC, cand) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    )
+    SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM pred GROUP BY true_lang, pred_lang
+    """,
+    doc="naive-Bayes lang-id confusion matrix: full char-bigram model "
+    "trained, applied, and evaluated in one declarative plan; smoothing "
+    "floor for unseen bigrams, deterministic argmax tie-break",
+    tags=("llm", "text", "langid", "ml-eval"),
+)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.lower(F.col("text")).alias("s")
+    )
+    idx = F.sequence(F.lit(0), F.least(F.length("s") - 2, F.lit(399)))
+    dbg = (
+        docs.filter(F.length("s") >= 2)
+        .select("doc_id", F.col("lang").alias("true_lang"),
+                F.explode(idx).alias("i"), "s")
+        .select("doc_id", "true_lang",
+                F.expr("substr(s, i + 1, 2)").alias("bigram"))
+        .filter(~F.col("bigram").contains(" "))
+    )
+    bg = dbg.select(F.col("true_lang").alias("lang"), "bigram")
+    cnt = bg.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.groupBy("lang").agg(
+        F.sum("n").alias("tn"), F.count(F.lit(1)).alias("v")
+    ).select(F.col("lang").alias("cand"), "tn", "v")
+    model = cnt.select(
+        F.col("lang").alias("cand"), "bigram", F.col("n").alias("mn")
+    )
+    scored = (
+        dbg.crossJoin(F.broadcast(tot))
+        .join(model, ["cand", "bigram"], "left")
+        .groupBy("doc_id", "true_lang", "cand")
+        .agg(
+            F.sum(
+                F.coalesce(
+                    F.log((F.col("mn") + 1.0) / (F.col("tn") + F.col("v"))),
+                    F.log(F.lit(1.0) / (F.col("tn") + F.col("v"))),
+                )
+            ).alias("ll")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("ll").desc(), "cand")
+    pred = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("true_lang", F.col("cand").alias("pred_lang"))
+    )
+    return pred.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
