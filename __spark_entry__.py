@@ -26,23 +26,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _fresh(fn: Callable[[SparkSession, str], DataFrame]):
-    """Unpersist leftover RDD-level storage before building each query.
+    """Unpersist leftover RDD-level storage before building each query
+    (engine.sweep_persistent_rdds has the full rationale).
 
-    Iterative operators cut lineage with localCheckpoint, which persists
-    RDD storage that spark.catalog.clearCache() does not reach; a gate
-    session running a few hundred queries otherwise accumulates dead
-    checkpoint partitions in the unified memory pool and late queries
-    pay storage-eviction churn (measured: embedding_dbscan ~3.5s fresh
-    vs 11-23s late-in-session). Safe here: nothing from a PREVIOUS
-    query is ever a live dependency of the next one.
+    Contract: the gate evaluates queries SEQUENTIALLY (build one,
+    collect it, move to the next) — which both the external driver and
+    tools/check_correctness.py do. A harness that interleaves (builds
+    several DataFrames, then collects them later) must call the raw
+    builders from queries.REGISTRY instead: the sweep would release
+    localCheckpoint blocks an earlier, still-unevaluated DataFrame
+    depends on, and truncated lineage cannot recompute them.
     """
 
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-        try:
-            for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-                jrdd.unpersist()
-        except Exception:
-            pass  # cleanup must never fail a query (e.g. exotic masters)
+        from shared_etl_pipelines_spark.engine import sweep_persistent_rdds
+
+        sweep_persistent_rdds(spark)
         return fn(spark, sf_dir)
 
     return wrapped

@@ -57,7 +57,7 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else None
 
-    from shared_etl_pipelines_spark.engine import get_spark
+    from shared_etl_pipelines_spark.engine import get_spark, sweep_persistent_rdds
     from shared_etl_pipelines_spark.queries import REGISTRY
 
     spark = get_spark("bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
@@ -72,19 +72,12 @@ def main() -> None:
     for name, qd in REGISTRY.items():
         if _excluded(name, qd):
             continue
-        # Iterative queries (CC/PageRank/LPA/k-core/k-means/DBSCAN) cut
-        # lineage with localCheckpoint, which persists RDD-level storage
-        # that spark.catalog.clearCache() does NOT touch; ~20 such
-        # queries leave hundreds of checkpoint partitions squatting in
-        # the unified memory pool, and late iterative queries then fight
-        # storage eviction mid-measurement (embedding_dbscan 11.9-23.5s
-        # in-session vs ~3.5s fresh). Explicitly unpersist every
-        # persistent RDD between queries — deterministic, unlike hoping
-        # the ContextCleaner gets there first.
+        # localCheckpoint storage is invisible to clearCache and
+        # accumulates across ~20 iterative queries (embedding_dbscan
+        # 23.5s -> 12.0s once swept); shared rationale and guard live in
+        # engine.sweep_persistent_rdds
         n_run += 1
-        jmap = spark.sparkContext._jsc.getPersistentRDDs()
-        for jrdd in jmap.values():
-            jrdd.unpersist()
+        sweep_persistent_rdds(spark)
         if n_run % 40 == 0:
             spark.sparkContext._jvm.System.gc()
         best = None

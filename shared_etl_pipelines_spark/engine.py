@@ -62,3 +62,21 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def sweep_persistent_rdds(spark: SparkSession) -> None:
+    """Unpersist every RDD-level storage registration in the session.
+
+    Iterative operators cut lineage with localCheckpoint, whose storage
+    ``spark.catalog.clearCache()`` does not reach; a session running
+    hundreds of queries otherwise accumulates dead checkpoint partitions
+    and late iterative queries pay storage-eviction churn. Call BETWEEN
+    independent queries only: unpersisting a localCheckpoint that a
+    still-unevaluated DataFrame depends on is unrecoverable (truncated
+    lineage cannot recompute).
+    """
+    try:
+        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            jrdd.unpersist()
+    except Exception:
+        pass  # cleanup must never fail the caller (exotic masters)

@@ -16,6 +16,8 @@ bit-identical doubles on both engines.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -252,6 +254,21 @@ def pca_project(
     return prepped.mapInPandas(project, f"{id_col} long, proj array<double>")
 
 
+def jl_second_moment(dim: int, k: int) -> float:
+    """Mean square of the deterministic hyperplane entries actually used
+    by a (dim -> k) JL projection — the normalization constant shared
+    verbatim by the Spark operator and the SQL oracle generator (plain
+    python arithmetic in both, so the factor is bit-identical)."""
+    from shared_etl_pipelines_spark.operators.similarity import _hyperplane
+
+    tot = 0.0
+    for i in range(k):
+        for j in range(dim):
+            h = _hyperplane(i, j)
+            tot += h * h
+    return tot / (k * dim)
+
+
 def jl_project(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -264,8 +281,11 @@ def jl_project(
     moments, just one broadcast GEMM per Arrow batch against a
     DETERMINISTIC pseudo-random matrix (the same integer hyperplane
     formula the SRP-LSH family uses, so the SQL oracle can rebuild the
-    matrix as literals). Scaled by 1/sqrt(k), so Euclidean distances are
-    preserved in expectation (the JL lemma); at 100 TB this is the
+    matrix as literals). The hyperplane entries are NOT unit-variance
+    (their second moment is ~0.371), so the JL normalization is
+    1/sqrt(k * E[h^2]) with E[h^2] computed from the actual matrix —
+    that makes E[||Px||^2] = ||x||^2 exactly, i.e. Euclidean distances
+    are preserved in expectation (tested). At 100 TB this is the
     projection you apply write-side, because it needs zero statistics.
 
     Output: (id, proj array<double> of length k).
@@ -275,7 +295,7 @@ def jl_project(
     R = np.array(
         [[_hyperplane(i, j) for j in range(dim)] for i in range(k)]
     )  # (k, dim)
-    scale = 1.0 / np.sqrt(k)
+    scale = 1.0 / math.sqrt(k * jl_second_moment(dim, k))
     prepped = df.select(F.col(id_col), as_double(vec_col).alias("v"))
 
     def project(batches):

@@ -75,7 +75,11 @@ def pagerank(
             "node",
             (F.lit(1.0 - damping) + F.lit(damping) * F.col("inflow")).alias("rank"),
         ).localCheckpoint(eager=False)
-    e.unpersist()
+    # persists stay registered: this operator is LAZY (no action runs in
+    # here), so an unpersist now would fire before the caller's action
+    # and silently discard the per-round cache reuse the persist exists
+    # for. Session harnesses release the storage between queries via
+    # engine.sweep_persistent_rdds.
     return ranks
 
 
@@ -84,7 +88,6 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     iterations: int = 3,
-    undirected: bool = True,
 ) -> DataFrame:
     """Synchronous label propagation (community detection); returns
     ``(node, label)`` after a fixed iteration budget.
@@ -100,11 +103,13 @@ def label_propagation(
     localCheckpoint. The synchronous (Jacobi) schedule is the standard
     distributed formulation (GraphX/Pregel LPA): label oscillation on
     bipartite-ish structures is bounded by the fixed budget, which is
-    what makes the result reproducible cluster-to-cluster.
+    what makes the result reproducible cluster-to-cluster. Edges are
+    treated as undirected (each contributes votes both ways); a
+    directed mode would need explicit dangling-node handling and is
+    deliberately not offered.
     """
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-    if undirected:
-        e = e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    e = e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
     e = e.persist()
     labels = e.select(F.col("s").alias("node")).distinct().withColumn(
         "label", F.col("node")
@@ -122,7 +127,9 @@ def label_propagation(
             .select("node", (-F.col("m.neg")).alias("label"))
             .localCheckpoint(eager=False)
         )
-    e.unpersist()
+    # e stays persisted — see the note in pagerank: unpersisting a lazy
+    # operator's cache here would discard the per-round reuse; session
+    # harnesses sweep it after the caller's action.
     return labels
 
 
@@ -132,7 +139,6 @@ def k_core(
     rounds: int = 3,
     src: str = "src",
     dst: str = "dst",
-    undirected: bool = True,
     checkpoint: bool = True,
 ) -> DataFrame:
     """k-core peeling: repeatedly drop nodes with degree < k; returns
@@ -147,9 +153,9 @@ def k_core(
     same loop run to fixpoint with a count-based stopping check (one
     scalar collect per round, same discipline as dedup_clusters)."""
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
-    if undirected:
-        e = e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
-    alive = e.persist()
+    e = e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    e = e.persist()
+    alive = e
     for _ in range(rounds):
         keep = (
             alive.groupBy("s")
@@ -166,6 +172,9 @@ def k_core(
         # plan assertions (localCheckpoint truncates executedPlan)
         if checkpoint:
             alive = alive.localCheckpoint(eager=False)
-    return alive.groupBy(F.col("s").alias("node")).agg(
+    out = alive.groupBy(F.col("s").alias("node")).agg(
         F.count(F.lit(1)).alias("degree")
     )
+    # e stays persisted — see the note in pagerank; released between
+    # queries by engine.sweep_persistent_rdds.
+    return out

@@ -211,7 +211,7 @@ def partial_topk(
             if not len(pdf):
                 continue
             pdf = pdf.sort_values([value, tiebreak], ascending=[False, True])
-            yield pdf.groupby(keys, sort=False).head(k)
+            yield pdf.groupby(keys, sort=False, dropna=False).head(k)
 
     pruned = df.mapInPandas(shrink, df.schema)
     w = Window.partitionBy(*keys).orderBy(

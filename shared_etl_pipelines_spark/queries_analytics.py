@@ -3645,8 +3645,10 @@ def q_kmv_distinct_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").filter(
         F.col("event_type").isin("view", "click")
     )
+    # no persist: the sketch frame is tiny (<= 2k rows) and is read by
+    # only two branches of one plan — caching it would just leak a
+    # session-lifetime storage registration per run
     s = kmv_sketches(ev, "user_id", "event_type", k=_KMV_K).select("segment", "h")
-    s.persist()
     est = kmv_estimate(s, k=_KMV_K)
     un = s.groupBy("h").agg(F.count(F.lit(1)).alias("sides"))
     wu = Window.orderBy("h")

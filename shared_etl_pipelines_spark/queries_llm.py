@@ -4205,10 +4205,12 @@ def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (the gate canonicalizer cannot hash array cells).
 # ---------------------------------------------------------------------------
 def _jl_sql(dim: int = 64, k: int = 16) -> str:
-    from shared_etl_pipelines_spark.operators.similarity import _hyperplane
-
     import math
 
+    from shared_etl_pipelines_spark.operators.embeddings import jl_second_moment
+    from shared_etl_pipelines_spark.operators.similarity import _hyperplane
+
+    scale = math.sqrt(k * jl_second_moment(dim, k))
     planes = []
     for i in range(k):
         lits = ", ".join(repr(_hyperplane(i, j)) for j in range(dim))
@@ -4220,7 +4222,7 @@ def _jl_sql(dim: int = 64, k: int = 16) -> str:
     WITH p AS ({planes_sql}),
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
     SELECT e.vec_id, p.component,
-           ROUND(list_dot_product(e.v, p.plane) / {math.sqrt(k)!r}, 4) + 0.0 AS value
+           ROUND(list_dot_product(e.v, p.plane) / {scale!r}, 4) + 0.0 AS value
     FROM e CROSS JOIN p
     """
 
@@ -4230,8 +4232,9 @@ def _jl_sql(dim: int = 64, k: int = 16) -> str:
     _jl_sql(64, 16),
     doc="Johnson-Lindenstrauss projection 64->16 dims: deterministic "
     "pseudo-random matrix (shared integer hyperplane formula), "
-    "broadcast GEMM per Arrow batch, 1/sqrt(k) scaling — the no-fit "
-    "write-side projection; oracle rebuilds the matrix as literals",
+    "broadcast GEMM per Arrow batch, 1/sqrt(k*E[h^2]) scaling so "
+    "distances are preserved in expectation — the no-fit write-side "
+    "projection; oracle rebuilds the matrix as literals",
     tags=("llm", "vector", "projection"),
 )
 def q_embedding_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -19,10 +19,6 @@ import struct
 
 import numpy as np
 
-_CLEAR = 256
-_EOI = 257
-
-
 def is_gif(data: bytes) -> bool:
     return data[:6] in (b"GIF87a", b"GIF89a")
 
@@ -30,6 +26,8 @@ def is_gif(data: bytes) -> bool:
 def _lzw_encode_gif(indices: bytes, min_code_size: int = 8) -> bytes:
     """GIF-variant LZW: LSB-first packing, width bump at table size
     1<<width, Clear emitted up-front and on table overflow."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
     out = bytearray()
     acc = 0
     accbits = 0
@@ -45,13 +43,13 @@ def _lzw_encode_gif(indices: bytes, min_code_size: int = 8) -> bytes:
 
     def reset() -> tuple[dict[bytes, int], int, int]:
         return (
-            {bytes([i]): i for i in range(1 << min_code_size)},
-            _EOI + 1,
+            {bytes([i]): i for i in range(clear)},
+            eoi + 1,
             min_code_size + 1,
         )
 
     table, nxt, width = reset()
-    emit(_CLEAR, width)
+    emit(clear, width)
     w = b""
     for byte in indices:
         wc = w + bytes([byte])
@@ -63,7 +61,7 @@ def _lzw_encode_gif(indices: bytes, min_code_size: int = 8) -> bytes:
         # width grows just BEFORE assigning index 1<<width, so the emit
         # above still used the old width
         if nxt == 4096:
-            emit(_CLEAR, width)
+            emit(clear, width)
             table, nxt, width = reset()
         else:
             if nxt == (1 << width) and width < 12:
@@ -73,13 +71,15 @@ def _lzw_encode_gif(indices: bytes, min_code_size: int = 8) -> bytes:
         w = bytes([byte])
     if w:
         emit(table[w], width)
-    emit(_EOI, width)
+    emit(eoi, width)
     if accbits:
         out.append(acc & 0xFF)
     return bytes(out)
 
 
 def _lzw_decode_gif(data: bytes, min_code_size: int = 8) -> bytes:
+    clear = 1 << min_code_size
+    eoi = clear + 1
     acc = 0
     accbits = 0
     pos = 0
@@ -88,7 +88,7 @@ def _lzw_decode_gif(data: bytes, min_code_size: int = 8) -> bytes:
         nonlocal acc, accbits, pos
         while accbits < width:
             if pos >= len(data):
-                return _EOI
+                return eoi
             acc |= data[pos] << accbits
             pos += 1
             accbits += 8
@@ -103,13 +103,13 @@ def _lzw_decode_gif(data: bytes, min_code_size: int = 8) -> bytes:
     prev = b""
     while True:
         code = read(width)
-        if code == _EOI:
+        if code == eoi:
             break
-        if code == _CLEAR:
-            table = [bytes([i]) for i in range(1 << min_code_size)] + [b"", b""]
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
             width = min_code_size + 1
             code = read(width)
-            if code == _EOI:
+            if code == eoi:
                 break
             prev = table[code]
             out += prev

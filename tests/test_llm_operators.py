@@ -858,13 +858,38 @@ def test_jl_project_matches_matrix_definition(spark):
     from shared_etl_pipelines_spark.operators.embeddings import jl_project
     from shared_etl_pipelines_spark.operators.similarity import _hyperplane
 
+    from shared_etl_pipelines_spark.operators.embeddings import jl_second_moment
+
     dim, k, j = 8, 4, 3
     basis = [0.0] * dim
     basis[j] = 1.0
     df = spark.createDataFrame([(0, basis)], "vec_id long, embedding array<double>")
     got = jl_project(df, dim=dim, k=k).collect()[0]["proj"]
-    exp = [_hyperplane(i, j) / math.sqrt(k) for i in range(k)]
+    scale = math.sqrt(k * jl_second_moment(dim, k))
+    exp = [_hyperplane(i, j) / scale for i in range(k)]
     assert all(abs(a - b) < 1e-12 for a, b in zip(got, exp))
+
+
+def test_jl_project_preserves_norms_in_expectation():
+    """The 1/sqrt(k*E[h^2]) normalization must make projected squared
+    norms unbiased: the mean ratio over a gaussian sample sits near 1
+    (the 0.61x shrink of a naive 1/sqrt(k) scale would fail this)."""
+    import math
+
+    import numpy as np
+
+    from shared_etl_pipelines_spark.operators.embeddings import jl_second_moment
+    from shared_etl_pipelines_spark.operators.similarity import _hyperplane
+
+    dim, k = 64, 16
+    R = np.array(
+        [[_hyperplane(i, j) for j in range(dim)] for i in range(k)]
+    ) / math.sqrt(k * jl_second_moment(dim, k))
+    X = np.random.default_rng(0).normal(size=(2000, dim))
+    ratio = (np.linalg.norm(X @ R.T, axis=1) ** 2).mean() / (
+        np.linalg.norm(X, axis=1) ** 2
+    ).mean()
+    assert 0.9 < ratio < 1.1
 
 
 def test_block_topk_matches_brute_force(spark, sf_dir):
