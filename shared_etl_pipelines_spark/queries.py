@@ -724,7 +724,7 @@ _CARRYOVER_FIRST = (
     "kaplan_meier_conversion", "similarity_topk_blocked",
     "semantic_dedup", "multimodal_gif_decode",
     "topk_per_group_partial", "dsir_importance_weights",
-    "langid_confusion",
+    "langid_confusion", "theil_sen_trend",
 )
 
 

@@ -3805,3 +3805,84 @@ def q_kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("surv"),
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend — the robust-regression sibling of outlier_mad
+# (median fences) and qty_price_regression (OLS): slope = exact median
+# of all pairwise slopes of the per-type daily series, intercept =
+# median(y - slope*x). A 29% contamination of wild days cannot move it,
+# unlike OLS. Daily values are exact integer cents; the pairwise frame
+# is bounded (days^2 per type) and both engines use exact interpolated
+# medians (the zonal_stats precedent).
+# ---------------------------------------------------------------------------
+@defquery(
+    "theil_sen_trend",
+    """
+    WITH daily AS (
+      SELECT event_type,
+             datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS x,
+             SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS cents
+      FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT a.event_type,
+             CAST(b.cents - a.cents AS DOUBLE) / (b.x - a.x) AS slope
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.x < b.x
+    ),
+    m AS (
+      SELECT event_type, quantile_cont(slope, 0.5) AS slope
+      FROM pairs GROUP BY event_type
+    )
+    SELECT d.event_type,
+           ROUND(m.slope, 4) AS slope_cents_per_day,
+           ROUND(quantile_cont(d.cents - m.slope * d.x, 0.5), 4)
+             AS intercept_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM daily d JOIN m ON d.event_type = m.event_type
+    GROUP BY d.event_type, m.slope
+    """,
+    doc="Theil-Sen robust trend per event type: exact median of all "
+    "pairwise slopes of the daily cents series, median-residual "
+    "intercept — a 29% outlier fraction cannot move it, unlike OLS",
+    tags=("analytics", "robust", "regression", "aggregate"),
+)
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date")).alias("x"),
+            F.round(F.col("value") * 100, 0).cast("long").alias("c"),
+        )
+        .groupBy("event_type", "x")
+        .agg(F.sum("c").alias("cents"))
+    )
+    b = daily.select(
+        F.col("event_type").alias("et2"),
+        F.col("x").alias("x2"),
+        F.col("cents").alias("c2"),
+    )
+    pairs = daily.join(
+        b, (daily.event_type == b.et2) & (daily.x < b.x2)
+    ).select(
+        "event_type",
+        ((F.col("c2") - F.col("cents")).cast("double") / (F.col("x2") - F.col("x"))).alias(
+            "slope"
+        ),
+    )
+    m = pairs.groupBy("event_type").agg(
+        F.percentile("slope", F.lit(0.5)).alias("slope")
+    )
+    resid = daily.join(m, "event_type").select(
+        "event_type",
+        "slope",
+        (F.col("cents") - F.col("slope") * F.col("x")).alias("r"),
+        "cents",
+    )
+    return resid.groupBy("event_type", "slope").agg(
+        F.round(F.first("slope"), 4).alias("slope_cents_per_day"),
+        F.round(F.percentile("r", F.lit(0.5)), 4).alias("intercept_cents"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    ).select("event_type", "slope_cents_per_day", "intercept_cents", "n_days")

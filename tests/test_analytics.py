@@ -564,3 +564,22 @@ def test_kaplan_meier_hand_computed(spark):
     assert out[2]["surv"] == 0.5
     assert out[4]["n_risk"] == 2 and out[4]["n_events"] == 1
     assert out[4]["surv"] == 0.25
+
+
+def test_theil_sen_resists_outliers(spark):
+    """A clean slope-2 line with two wild outlier days: OLS slope moves
+    far from 2; the Theil-Sen median-of-slopes stays at 2 exactly."""
+    from pyspark.sql import functions as F
+
+    rows = [(float(x), 2.0 * x + 5.0) for x in range(20)]
+    rows[3] = (3.0, 500.0)
+    rows[17] = (17.0, -400.0)
+    df = spark.createDataFrame(rows, "x double, y double")
+    b = df.select(F.col("x").alias("x2"), F.col("y").alias("y2"))
+    pairs = df.join(b, F.col("x") < F.col("x2")).select(
+        ((F.col("y2") - F.col("y")) / (F.col("x2") - F.col("x"))).alias("s")
+    )
+    ts = pairs.agg(F.percentile("s", F.lit(0.5))).collect()[0][0]
+    ols = df.agg(F.regr_slope("y", "x")).collect()[0][0]
+    assert abs(ts - 2.0) < 1e-9
+    assert abs(ols - 2.0) > 1.0
