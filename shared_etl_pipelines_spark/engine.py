@@ -73,10 +73,28 @@ def sweep_persistent_rdds(spark: SparkSession) -> None:
     and late iterative queries pay storage-eviction churn. Call BETWEEN
     independent queries only: unpersisting a localCheckpoint that a
     still-unevaluated DataFrame depends on is unrecoverable (truncated
-    lineage cannot recompute).
+    lineage cannot recompute). As a guard against exactly that misuse,
+    this function refuses to sweep while any job or streaming query is
+    active in the session.
     """
+    sc = spark.sparkContext
+    if spark.streams.active:
+        raise RuntimeError(
+            "sweep_persistent_rdds called with active streaming queries; "
+            "stop them first — sweeping would truncate live state lineage"
+        )
     try:
-        for jrdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+        from py4j.protocol import Py4JError
+
+        tracker = sc.statusTracker()
+        if tracker.getActiveJobsIds():
+            raise RuntimeError(
+                "sweep_persistent_rdds called while Spark jobs are active; "
+                "call it only between independent queries"
+            )
+        for jrdd in sc._jsc.getPersistentRDDs().values():
             jrdd.unpersist()
-    except Exception:
-        pass  # cleanup must never fail the caller (exotic masters)
+    except Py4JError as e:  # exotic masters without the JVM surface
+        import logging
+
+        logging.getLogger(__name__).debug("persistent-RDD sweep skipped: %s", e)

@@ -18,6 +18,16 @@ Scale: ranks and degrees are (node, double) tables partitioned by
 node; the contribution join shuffles edges by src then dst — the same
 two-exchange round as every vertex-program formulation (Pregel/GraphX)
 without leaving the DataFrame API.
+
+Storage lifecycle (PUBLIC CONTRACT): these operators are LAZY — no
+action runs inside them — so the edge frames they ``persist()`` for
+per-round reuse stay registered after they return (an unpersist here
+would fire before the caller's action and discard the cache). After
+materializing the result (collect/write/count), the CALLER releases
+that storage: call ``engine.sweep_persistent_rdds(spark)`` between
+independent queries, exactly as ``bench.py`` and ``__spark_entry__``
+do. Library callers and long-running YAML pipeline sessions that skip
+the sweep accumulate executor storage across repeated calls.
 """
 
 from __future__ import annotations

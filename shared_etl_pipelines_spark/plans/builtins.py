@@ -473,7 +473,13 @@ def label_propagation_plugin(
     **kw: Any,
 ) -> dict[str, Any]:
     """Community labels over an edge frame (operators/graph.py) — the
-    YAML form of the deterministic fixed-round LPA."""
+    YAML form of the deterministic fixed-round LPA.
+
+    Storage note: the operator persists the edge frame for per-round
+    reuse and, being lazy, leaves it registered. Sessions that run many
+    pipelines back-to-back should call engine.sweep_persistent_rdds
+    after each pipeline's outputs are materialized (see
+    operators/graph.py module docstring)."""
     from shared_etl_pipelines_spark.operators.graph import label_propagation
 
     return {"df": label_propagation(edges, src=src, dst=dst, iterations=int(iterations))}
@@ -489,6 +495,8 @@ def k_core_plugin(
     dst: str = "dst",
     **kw: Any,
 ) -> dict[str, Any]:
+    """k-core subgraph (operators/graph.py). Same storage note as
+    label_propagation: sweep persistent RDDs between pipeline runs."""
     from shared_etl_pipelines_spark.operators.graph import k_core
 
     return {"df": k_core(edges, k=int(k), rounds=int(rounds), src=src, dst=dst)}

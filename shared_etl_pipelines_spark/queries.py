@@ -693,38 +693,82 @@ _R2_GREEN = frozenset(
     }
 )
 
-_JUDGED_GREEN = _R1_GREEN | _R2_GREEN
+# CORRECTNESS_r03.json greens: all 50 judged entries passed
+# rows+schema+hash — the 23 r1/r2 carryovers, the 8 judged-then-modified
+# re-fronts, and 19 of the r3 additions.
+_R3_GREEN = frozenset(
+    {
+        "regional_revenue", "salted_skew_join", "grouping_sets_pricing",
+        "global_top_orders", "json_props_rollup", "pivot_status_by_month",
+        "daily_revenue_deltas", "gap_fill_user_days", "scd2_customer_merge",
+        "above_customer_avg_orders", "ntile_order_quartiles",
+        "price_histogram", "value_distribution_ranks", "rolling_median_7",
+        "priority_extremes", "exists_late_orders", "not_in_null_aware",
+        "having_large_orders", "top_revenue_suppliers", "lateral_top_orders",
+        "null_safe_join", "setops_multiset", "unpivot_flag_metrics",
+        "rolling_sums", "embedding_covariance", "similarity_topk_lsh_indexed",
+        "corpus_curation", "data_quality_profile", "similarity_topk_lsh",
+        "dedup_clusters", "raster_tif_rollsum", "label_prop_communities",
+        "kcore_peeling", "hard_negative_mining",
+        # "embedding_jl_project" was r3-green but its oracle SQL changed
+        # this round (multiply-by-reciprocal to match the operator's
+        # arithmetic exactly, ADVICE r3) — re-fronted for a fresh verdict.
+        "kmv_distinct_intersection", "kaplan_meier_conversion",
+        "similarity_topk_blocked", "semantic_dedup", "multimodal_gif_decode",
+        "topk_per_group_partial", "dsir_importance_weights",
+        "langid_confusion", "theil_sen_trend", "seasonal_decompose_daily",
+        "ts_pattern_match", "correlation_matrix", "chi2_event_dow",
+        "incremental_rollup_refresh", "copurchase_triangles",
+    }
+)
+
+_JUDGED_GREEN = _R1_GREEN | _R2_GREEN | _R3_GREEN
 
 # sql=None entries that still deserve one gate slot this round.
 _FORCE_FRONT = frozenset({"embedding_pca_project"})
 
-# Oracle-bearing entries that existed at the r2 judging but were never
-# reached by the time-capped gate (r1+r2 carryovers, VERDICT r2 item 2).
-# They have waited two rounds, so they outrank this round's new entries
-# in the walk order — without this tier the ~45 r3 additions (which
-# register earlier in module import order) would starve them again.
+# Round-4 judging window (~50 slots). 98 oracle-bearing entries have
+# never been judged (all r3 additions the time-capped gate didn't
+# reach); this tier picks WHICH ~50 go first, interleaving families so
+# the verdict sample covers breadth: the TPC-H-shape relational catalog
+# (the "could a reference user switch" core), then the LLM-curation
+# block (codecs, dedup, packing, PII), then the highest-value analytics.
+# The remainder follow in registry insertion order and land in round 5.
+# embedding_pca_project (sql=None, _FORCE_FRONT) is pinned mid-window:
+# it crashed the r2 canonicalizer, was scalarized, and has waited two
+# rounds for its rows-only re-verdict.
 _CARRYOVER_FIRST = (
-    "regional_revenue", "salted_skew_join", "grouping_sets_pricing",
-    "global_top_orders", "json_props_rollup", "pivot_status_by_month",
-    "daily_revenue_deltas", "gap_fill_user_days", "scd2_customer_merge",
-    "above_customer_avg_orders", "ntile_order_quartiles", "price_histogram",
-    "value_distribution_ranks", "rolling_median_7", "priority_extremes",
-    "exists_late_orders", "not_in_null_aware", "having_large_orders",
-    "top_revenue_suppliers", "lateral_top_orders", "null_safe_join",
-    "setops_multiset", "unpivot_flag_metrics",
-    # judged-then-modified entries re-fronted this round:
-    "rolling_sums", "embedding_covariance", "similarity_topk_lsh_indexed",
-    "corpus_curation", "data_quality_profile", "similarity_topk_lsh",
-    "dedup_clusters", "raster_tif_rollsum",
-    # this session's new oracle-bearing operators: without this tier
-    # they register at the END of their modules and the time-capped
-    # walk would not reach them until next round
-    "label_prop_communities", "kcore_peeling", "hard_negative_mining",
-    "embedding_jl_project", "kmv_distinct_intersection",
-    "kaplan_meier_conversion", "similarity_topk_blocked",
-    "semantic_dedup", "multimodal_gif_decode",
-    "topk_per_group_partial", "dsir_importance_weights",
-    "langid_confusion", "theil_sen_trend",
+    # TPC-H shape catalog (queries_relational.py, registered last in
+    # module import order — would otherwise be starved a third round)
+    "waiting_supplier_blame", "idle_rich_customers", "snapshot_diff_orders",
+    "fk_integrity_check", "pit_dimension_join", "pk_uniqueness_check",
+    "local_supplier_revenue", "promo_revenue_disjunctive",
+    "min_cost_supplier_region", "nation_pair_trade_volume",
+    "nation_market_share", "product_type_profit", "important_stock_value",
+    "ship_lag_priority_counts", "part_supplier_variety",
+    "small_qty_order_revenue", "large_volume_customers",
+    "excess_shipper_names", "shipping_priority_top10",
+    "forecast_revenue_change", "returned_item_customers",
+    "promo_revenue_share",
+    # guaranteed rows-only slot (see _FORCE_FRONT note above)
+    "embedding_pca_project",
+    # judged-then-modified re-front: oracle arithmetic aligned (ADVICE r3)
+    "embedding_jl_project",
+    # LLM-curation core: real codecs, incremental dedup, span dedup,
+    # packing/mixing, PII, BPE
+    "incremental_dedup", "multimodal_png_decode", "multimodal_wav_decode",
+    "multimodal_bmp_decode", "multimodal_avi_frames",
+    "multimodal_resize_real", "dup_spans", "dup_span_profile",
+    "pii_scan_events", "bpe_top_pairs", "near_dup_prefix_filter",
+    "heavy_demand_parts_sketch", "embedding_kmeans_assign",
+    "source_mixing_weights", "token_budget_pack", "sequence_pack",
+    "token_entropy_quality", "curation_funnel", "quality_band_filter",
+    "url_domain_stats", "per_source_cap", "bigram_lm_quality",
+    "train_val_test_split",
+    # highest-value analytics/similarity additions
+    "pagerank_one_step", "bloom_prefilter_join", "bm25_search",
+    "embedding_dbscan", "image_ahash_neardup", "audio_fingerprint_neardup",
+    "tfidf_cosine_pairs",
 )
 
 
@@ -734,7 +778,9 @@ def _rotate_registry() -> None:
     back: dict[str, QueryDef] = {}
     last: dict[str, QueryDef] = {}
     for name in _CARRYOVER_FIRST:
-        if name in REGISTRY and REGISTRY[name].sql is not None:
+        if name in REGISTRY and (
+            REGISTRY[name].sql is not None or name in _FORCE_FRONT
+        ):
             first[name] = REGISTRY[name]
     for k, v in REGISTRY.items():
         if k in first:

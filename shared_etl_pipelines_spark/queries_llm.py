@@ -4210,7 +4210,11 @@ def _jl_sql(dim: int = 64, k: int = 16) -> str:
     from shared_etl_pipelines_spark.operators.embeddings import jl_second_moment
     from shared_etl_pipelines_spark.operators.similarity import _hyperplane
 
-    scale = math.sqrt(k * jl_second_moment(dim, k))
+    # MULTIPLY by the same precomputed reciprocal the Spark operator
+    # uses (jl_project: `* scale`) — x / s and x * (1/s) can differ by
+    # 1 ulp, enough to flip ROUND(..., 4) at a halfway case and break
+    # the hash-exact gate on an unlucky fixture.
+    scale = 1.0 / math.sqrt(k * jl_second_moment(dim, k))
     planes = []
     for i in range(k):
         lits = ", ".join(repr(_hyperplane(i, j)) for j in range(dim))
@@ -4222,7 +4226,7 @@ def _jl_sql(dim: int = 64, k: int = 16) -> str:
     WITH p AS ({planes_sql}),
     e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
     SELECT e.vec_id, p.component,
-           ROUND(list_dot_product(e.v, p.plane) / {scale!r}, 4) + 0.0 AS value
+           ROUND(list_dot_product(e.v, p.plane) * {scale!r}, 4) + 0.0 AS value
     FROM e CROSS JOIN p
     """
 

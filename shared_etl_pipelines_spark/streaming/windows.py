@@ -302,13 +302,32 @@ def welford_stats(df: DataFrame, key: str = "user_id") -> DataFrame:
 
     Emits one (key, n, mean, var) row per key per micro-batch; state is
     a single fixed-width triple per key, so the store stays O(keys)
-    forever. Requires the RocksDB state store provider — set here on the
-    session (transformWithState refuses the default HDFS-backed store)."""
+    forever.
+
+    REQUIRES the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass`` =
+    ``...RocksDBStateStoreProvider``) — transformWithState refuses the
+    default HDFS-backed store. The provider class is a SESSION-WIDE
+    setting that affects every streaming query started after it
+    changes, so this function never mutates it silently: set it on the
+    session (or per-query via the writer's options on a cluster that
+    supports it) before calling, or get a ValueError here."""
     spark = df.sparkSession
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    _ROCKSDB = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
     )
+    current = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", ""
+    )
+    if not current.endswith("RocksDBStateStoreProvider"):
+        raise ValueError(
+            "welford_stats needs the RocksDB state store. Set "
+            "spark.conf.set('spark.sql.streaming.stateStore.providerClass', "
+            f"'{_ROCKSDB}') before calling — it is session-wide for all "
+            "streaming queries, so the engine refuses to change it "
+            "behind your back."
+        )
     return df.groupBy(key).transformWithStateInPandas(
         statefulProcessor=_make_welford_processor(),
         outputStructType=_WELFORD_OUT,

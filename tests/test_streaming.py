@@ -650,6 +650,14 @@ def test_welford_stats_transform_with_state(spark, events, drop_dir):
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
     stream = read_drop_dir(spark, sub, events.schema)
     try:
+        # welford_stats never mutates the session-wide provider itself
+        # (it would silently affect every later streaming query) — the
+        # caller opts in explicitly:
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
         got = _run_stream(welford_stats(stream), "welford", spark)
         final = (
             got.withColumn(
@@ -682,3 +690,17 @@ def test_welford_stats_transform_with_state(spark, events, drop_dir):
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
         else:
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_welford_stats_refuses_default_state_store(spark, events, drop_dir):
+    """The RocksDB provider is a session-wide setting; welford_stats must
+    fail loudly instead of flipping it behind the caller's back (it would
+    switch the store for every streaming query started afterwards)."""
+    from shared_etl_pipelines_spark.streaming import read_drop_dir, welford_stats
+
+    sub, _ = drop_dir
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    assert prev is None or not prev.endswith("RocksDBStateStoreProvider")
+    stream = read_drop_dir(spark, sub, events.schema)
+    with pytest.raises(ValueError, match="RocksDB"):
+        welford_stats(stream)
