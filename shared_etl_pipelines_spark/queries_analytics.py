@@ -3886,3 +3886,213 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("r", F.lit(0.5)), 4).alias("intercept_cents"),
         F.count(F.lit(1)).cast("long").alias("n_days"),
     ).select("event_type", "slope_cents_per_day", "intercept_cents", "n_days")
+
+
+# ---------------------------------------------------------------------------
+# Exact ROC-AUC as a rank statistic — the standard evaluation aggregate
+# for any scored binary label (quality classifiers, churn scores, dedup
+# verdicts). AUC = P(score_pos > score_neg) + 0.5 * P(tie), computed
+# WITHOUT materializing pairs: group rows by integer score (exact cents,
+# so group keys are never floats), then one cumulative window over the
+# bounded distinct-score table:
+#     numer2 = sum_s pos(s) * (2 * negatives_below(s) + neg(s))
+#     AUC    = numer2 / (2 * P * N)
+# Everything up to the final division is 64-bit integer arithmetic, so
+# both engines produce the identical rational; one division + round is
+# all the float exposure. The window runs over distinct scores only
+# (bounded by the score codomain, not the row count) — no raw-row
+# global sort at any scale.
+# ---------------------------------------------------------------------------
+@defquery(
+    "roc_auc_exact",
+    """
+    WITH scored AS (
+      SELECT CAST(ROUND(value * 100) AS BIGINT) AS s,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+      FROM events
+    ),
+    per_score AS (
+      SELECT s, CAST(SUM(y) AS BIGINT) AS pos,
+             CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg
+      FROM scored GROUP BY s
+    ),
+    cum AS (
+      SELECT s, pos, neg,
+             COALESCE(SUM(neg) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS neg_below
+      FROM per_score
+    )
+    SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+           CAST(SUM(neg) AS BIGINT) AS n_neg,
+           ROUND(CAST(SUM(pos * (2 * neg_below + neg)) AS DOUBLE)
+                 / (2.0 * SUM(pos) * SUM(neg)), 4) AS auc
+    FROM cum
+    """,
+    doc="exact ROC-AUC of value predicting the purchase label, as a rank "
+    "statistic over the bounded distinct-score table: integer numerator "
+    "(ties get half credit), one division at the end — no pair "
+    "materialization, no raw-row global sort",
+    tags=("analytics", "ml-eval", "window", "aggregate"),
+)
+def q_roc_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    scored = ev.select(
+        F.round(F.col("value") * 100, 0).cast("long").alias("s"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("y"),
+    )
+    per_score = scored.groupBy("s").agg(
+        F.sum("y").cast("long").alias("pos"),
+        (F.count(F.lit(1)) - F.sum("y")).cast("long").alias("neg"),
+    )
+    w = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    cum = per_score.withColumn(
+        "neg_below", F.coalesce(F.sum("neg").over(w), F.lit(0))
+    )
+    return cum.agg(
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("neg").cast("long").alias("n_neg"),
+        F.round(
+            F.sum(F.col("pos") * (2 * F.col("neg_below") + F.col("neg"))).cast(
+                "double"
+            )
+            / (F.lit(2.0) * F.sum("pos") * F.sum("neg")),
+            4,
+        ).alias("auc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information between a categorical column and a binned numeric —
+# the feature-relevance screen run before training on tabular data.
+# Bins are FIXED-WIDTH deciles cut from the global max (one 1-row
+# broadcast), not ntile: ntile ranks every raw row through one global
+# sort, fixed-width bins are a pure projection. All probabilities come
+# from exact integer counts; MI = sum p(x,y) * log2(p(x,y)/(p(x)p(y)))
+# evaluated with the same operation order in both engines, rounded.
+# ---------------------------------------------------------------------------
+@defquery(
+    "mutual_information_bins",
+    """
+    WITH mx AS (SELECT MAX(value) AS maxv FROM events),
+    binned AS (
+      SELECT event_type AS x,
+             LEAST(9, CAST(FLOOR(value * 10.0 / (SELECT maxv FROM mx))
+                           AS BIGINT)) AS b
+      FROM events
+    ),
+    joint AS (SELECT x, b, COUNT(*) AS cxy FROM binned GROUP BY x, b),
+    rx AS (SELECT x, SUM(cxy) AS cx FROM joint GROUP BY x),
+    cy AS (SELECT b, SUM(cxy) AS cb FROM joint GROUP BY b),
+    n AS (SELECT SUM(cxy) AS n FROM joint)
+    SELECT ROUND(SUM((CAST(cxy AS DOUBLE) / n.n)
+                     * LOG2(CAST(cxy AS DOUBLE) * n.n / (rx.cx * cy.cb))), 4)
+             AS mi_bits,
+           CAST(COUNT(*) AS BIGINT) AS n_joint_cells,
+           CAST(MAX(n.n) AS BIGINT) AS n_rows
+    FROM joint JOIN rx USING (x) JOIN cy USING (b) CROSS JOIN n
+    """,
+    doc="mutual information (bits) between event_type and fixed-width "
+    "value deciles: exact integer contingency counts, one 1-row "
+    "broadcast max, no global sort (the ntile-free binning)",
+    tags=("analytics", "ml-eval", "aggregate"),
+)
+def q_mutual_information_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    mx = ev.agg(F.max("value").alias("maxv"))
+    binned = ev.join(F.broadcast(mx)).select(
+        F.col("event_type").alias("x"),
+        F.least(
+            F.lit(9),
+            F.floor(F.col("value") * 10.0 / F.col("maxv")).cast("long"),
+        ).alias("b"),
+    )
+    joint = binned.groupBy("x", "b").agg(F.count(F.lit(1)).alias("cxy"))
+    rx = joint.groupBy("x").agg(F.sum("cxy").alias("cx"))
+    cyt = joint.groupBy("b").agg(F.sum("cxy").alias("cb"))
+    n = joint.agg(F.sum("cxy").alias("n"))
+    j = (
+        joint.join(F.broadcast(rx), "x")
+        .join(F.broadcast(cyt), "b")
+        .join(F.broadcast(n))
+    )
+    return j.agg(
+        F.round(
+            F.sum(
+                (F.col("cxy").cast("double") / F.col("n"))
+                * F.log2(
+                    F.col("cxy").cast("double") * F.col("n")
+                    / (F.col("cx") * F.col("cb"))
+                )
+            ),
+            4,
+        ).alias("mi_bits"),
+        F.count(F.lit(1)).cast("long").alias("n_joint_cells"),
+        F.max("n").cast("long").alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Right-to-be-forgotten cascade audit — the pre-flight for a GDPR/CCPA
+# delete: given a forget-set of customers, count every dependent row
+# that the cascade must remove, per table. The forget set is tiny by
+# nature (explicit broadcast); orders resolve by customer key, line
+# items by the affected order keys (re-broadcast of an already-filtered
+# set), events by the shared user/customer id domain. Read-only:
+# the audit runs BEFORE any destructive write, and its per-table counts
+# are what the deletion job reconciles against afterwards.
+# ---------------------------------------------------------------------------
+@defquery(
+    "forget_cascade_audit",
+    """
+    WITH forget AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 50 = 7
+    ),
+    ords AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM forget)
+    )
+    SELECT 'customer' AS tbl, CAST(COUNT(*) AS BIGINT) AS rows_to_delete
+      FROM forget
+    UNION ALL
+    SELECT 'orders', CAST(COUNT(*) AS BIGINT) FROM ords
+    UNION ALL
+    SELECT 'lineitem', CAST(COUNT(*) AS BIGINT) FROM lineitem
+      WHERE l_orderkey IN (SELECT o_orderkey FROM ords)
+    UNION ALL
+    SELECT 'events', CAST(COUNT(*) AS BIGINT) FROM events
+      WHERE user_id IN (SELECT c_custkey FROM forget)
+    """,
+    doc="GDPR delete-cascade audit: rows per table a forget-set of "
+    "customers would remove (semi-join counts, forget set broadcast; "
+    "read-only pre-flight for the destructive job)",
+    tags=("analytics", "governance", "semi-join"),
+)
+def q_forget_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ev = _t(spark, sf_dir, "events")
+    forget = cust.filter(F.col("c_custkey") % 50 == 7).select("c_custkey")
+    ords = orders.join(
+        F.broadcast(forget), orders.o_custkey == forget.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    li_hit = li.join(
+        F.broadcast(ords), li.l_orderkey == ords.o_orderkey, "left_semi"
+    )
+    ev_hit = ev.join(
+        F.broadcast(forget), ev.user_id == forget.c_custkey, "left_semi"
+    )
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("tbl"),
+            F.count(F.lit(1)).cast("long").alias("rows_to_delete"),
+        )
+
+    return (
+        one("customer", forget)
+        .unionByName(one("orders", ords))
+        .unionByName(one("lineitem", li_hit))
+        .unionByName(one("events", ev_hit))
+    )

@@ -743,3 +743,223 @@ def q_shapefile_zone_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("cx6a") / (3 * F.col("cross2")), 4).alias("centroid_x"),
         F.round(F.col("cy6a") / (3 * F.col("cross2")), 4).alias("centroid_y"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Zonal MAJORITY class, weight-aware — the categorical-raster companion
+# of G4's numeric zonal stats. The reference's CDL pipelines mask
+# specific crop codes (include_values "1"/"5",
+# pipelines/prism/prism-mi-corn-ppt-county.yml:46) and weight PRISM
+# cells by crop fraction (G8); this operator answers the upstream
+# question those masks came from: WHICH class dominates each zone, by
+# total cell weight (area fraction), not raw cell count. One exact
+# integer-cents aggregation per (zone, class), then a single
+# max(struct(weight, -class)) per zone — no window, two shuffles, both
+# on bounded keys. Deterministic tie-break: heavier weight, then
+# smaller class code.
+# ---------------------------------------------------------------------------
+@defquery(
+    "zonal_majority_class",
+    """
+    WITH cells AS (
+      SELECT o_orderpriority AS zone,
+             CAST(l_quantity AS BIGINT) % 8 AS class,
+             CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS wc
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    per_class AS (
+      SELECT zone, class, SUM(wc) AS class_cents
+      FROM cells GROUP BY zone, class
+    ),
+    best AS (
+      SELECT zone,
+             MAX(struct_pack(w := class_cents, negc := -class)) AS m
+      FROM per_class GROUP BY zone
+    )
+    SELECT b.zone, CAST(-(b.m).negc AS BIGINT) AS majority_class,
+           ROUND(CAST((b.m).w AS DOUBLE) / 100, 4) AS class_weight
+    FROM best b
+    """,
+    doc="zonal majority class by total cell weight (CDL majority-crop per "
+    "county shape): exact integer-cents weights, argmax via one "
+    "max(struct) aggregate, deterministic smaller-class tie-break",
+    tags=("geo", "G4", "categorical", "aggregate"),
+)
+def q_zonal_majority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spread(load_table(spark, sf_dir, "lineitem"))
+    orders = load_table(spark, sf_dir, "orders")
+    cells = li.join(
+        orders.select("o_orderkey", "o_orderpriority"),
+        li.l_orderkey == orders.o_orderkey,
+    ).select(
+        F.col("o_orderpriority").alias("zone"),
+        (F.col("l_quantity").cast("long") % 8).alias("class"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("wc"),
+    )
+    per_class = cells.groupBy("zone", "class").agg(F.sum("wc").alias("class_cents"))
+    best = per_class.groupBy("zone").agg(
+        F.max(F.struct(F.col("class_cents"), (-F.col("class")).alias("neg"))).alias("m")
+    )
+    return best.select(
+        "zone",
+        (-F.col("m.neg")).cast("long").alias("majority_class"),
+        F.round(F.col("m.class_cents").cast("double") / 100, 4).alias("class_weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Growing degree days — THE agronomic accumulation the reference's
+# PRISM tmax/tmin pipelines exist to feed (pipelines/prism/README.md
+# lists tmax/tmin alongside ppt). GDD_day = max(0, (tmax+tmin)/2 - base)
+# per cell per day, accumulated per zone per month. Exactness: daily
+# temperatures become integer centi-degrees BEFORE any aggregation, the
+# daily GDD numerator max(0, tmax_c + tmin_c - 2*base_c) stays integer,
+# and only the final accumulated sum sees one division — so both
+# engines sum identical integers in any order. Two shuffles: daily
+# extremes per (zone, day), then the monthly rollup.
+# ---------------------------------------------------------------------------
+@defquery(
+    "growing_degree_days",
+    """
+    WITH daily AS (
+      SELECT user_id % 5 AS zone,
+             CAST(ts AS DATE) AS day,
+             MAX(CAST(ROUND(value * 100) AS BIGINT) % 4000) AS tmax_c,
+             MIN(CAST(ROUND(value * 100) AS BIGINT) % 4000) AS tmin_c
+      FROM events
+      GROUP BY user_id % 5, CAST(ts AS DATE)
+    )
+    SELECT zone,
+           CAST(EXTRACT(month FROM day) AS BIGINT) AS month,
+           ROUND(CAST(SUM(GREATEST(0, tmax_c + tmin_c - 2000)) AS DOUBLE)
+                 / 200, 4) AS gdd,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM daily GROUP BY zone, EXTRACT(month FROM day)
+    """,
+    doc="growing degree days per zone per month from daily tmax/tmin "
+    "extremes (base 10C): integer centi-degree arithmetic end-to-end, "
+    "one division at the very end — the PRISM tmax/tmin consumer",
+    tags=("geo", "climate", "window", "aggregate"),
+)
+def q_growing_degree_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    t_c = F.round(F.col("value") * 100, 0).cast("long") % 4000
+    daily = (
+        ev.select(
+            (F.col("user_id") % 5).alias("zone"),
+            F.to_date("ts").alias("day"),
+            t_c.alias("t_c"),
+        )
+        .groupBy("zone", "day")
+        .agg(F.max("t_c").alias("tmax_c"), F.min("t_c").alias("tmin_c"))
+    )
+    return daily.groupBy(
+        "zone", F.month("day").cast("long").alias("month")
+    ).agg(
+        F.round(
+            F.sum(F.greatest(F.lit(0), F.col("tmax_c") + F.col("tmin_c") - 2000))
+            .cast("double")
+            / 200,
+            4,
+        ).alias("gdd"),
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cell-polygon overlap weights — the GENERATOR of the area-fraction
+# weights G8's weighted zonal aggregate consumes (the reference's crop
+# fraction rasters play this role). Cells are 3x3 boxes centered at
+# (i+.5, j+.5); zones decompose into axis-aligned rectangles (west is
+# one, east_L is two), so the exact overlap is a sum of clipped
+# rectangle areas — closed form in both engines, no geometry library.
+# The cell table is the bounded distinct grid (1024 rows here; at any
+# scale it is the raster's cell domain, not the observation count), and
+# the zone rectangles are literals — this is a pure projection over the
+# grid, zero shuffles beyond the distinct.
+# ---------------------------------------------------------------------------
+_RECTS = [
+    ("west", 0.0, 12.0, 0.0, 32.0),
+    ("east_L", 12.0, 32.0, 0.0, 16.0),
+    ("east_L", 12.0, 20.0, 16.0, 32.0),
+]
+
+
+def _overlap_sql() -> str:
+    terms = []
+    for zid, x1, x2, y1, y2 in _RECTS:
+        terms.append(
+            f"SELECT '{zid}' AS zone_id, {x1} AS rx1, {x2} AS rx2, "
+            f"{y1} AS ry1, {y2} AS ry2"
+        )
+    rects = " UNION ALL ".join(terms)
+    return f"""
+    WITH grid AS (
+      SELECT DISTINCT CAST(l_orderkey % 32 AS BIGINT) AS gx,
+                      CAST(l_suppkey % 32 AS BIGINT) AS gy
+      FROM lineitem
+    ),
+    rects AS ({rects}),
+    ov AS (
+      SELECT gx, gy, zone_id,
+             GREATEST(0.0, LEAST(gx + 2.0, rx2) - GREATEST(gx - 1.0, rx1))
+               * GREATEST(0.0, LEAST(gy + 2.0, ry2) - GREATEST(gy - 1.0, ry1))
+               AS a
+      FROM grid CROSS JOIN rects
+    )
+    SELECT gx, gy, zone_id, ROUND(SUM(a) / 9.0, 4) AS w
+    FROM ov GROUP BY gx, gy, zone_id
+    HAVING SUM(a) > 0
+    """
+
+
+@defquery(
+    "cell_overlap_weights",
+    _overlap_sql(),
+    doc="exact cell-polygon area-fraction weights (the G8 weight "
+    "generator): 3x3 cell boxes vs rectangle-decomposed zones, clipped "
+    "rectangle areas in closed form, projection over the bounded grid",
+    tags=("geo", "G8", "weights"),
+)
+def q_cell_overlap_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spread(load_table(spark, sf_dir, "lineitem"))
+    grid = li.select(
+        (F.col("l_orderkey") % 32).cast("long").alias("gx"),
+        (F.col("l_suppkey") % 32).cast("long").alias("gy"),
+    ).distinct()
+    rows = [
+        F.struct(
+            F.lit(zid).alias("zone_id"),
+            F.lit(x1).alias("rx1"),
+            F.lit(x2).alias("rx2"),
+            F.lit(y1).alias("ry1"),
+            F.lit(y2).alias("ry2"),
+        )
+        for zid, x1, x2, y1, y2 in _RECTS
+    ]
+    rects = grid.sparkSession.range(1).select(
+        F.explode(F.array(*rows)).alias("r")
+    ).select("r.*")
+    ov = grid.crossJoin(F.broadcast(rects)).select(
+        "gx",
+        "gy",
+        "zone_id",
+        (
+            F.greatest(
+                F.lit(0.0),
+                F.least(F.col("gx") + 2.0, F.col("rx2"))
+                - F.greatest(F.col("gx") - 1.0, F.col("rx1")),
+            )
+            * F.greatest(
+                F.lit(0.0),
+                F.least(F.col("gy") + 2.0, F.col("ry2"))
+                - F.greatest(F.col("gy") - 1.0, F.col("ry1")),
+            )
+        ).alias("a"),
+    )
+    return (
+        ov.groupBy("gx", "gy", "zone_id")
+        .agg(F.sum("a").alias("sa"))
+        .filter(F.col("sa") > 0)
+        .select("gx", "gy", "zone_id", F.round(F.col("sa") / 9.0, 4).alias("w"))
+    )
