@@ -583,6 +583,10 @@ def prefix_filter_jaccard_pairs(
     toks = df.select(
         F.col(id_col).alias("doc"), tokens(F.col(text_col)).alias("toks")
     ).filter(F.size("toks") >= n)
+    # srows feeds five consumers (freq, ranked, sizes, orows, sharr) but
+    # needs no persist: it ends in a distinct whose exchange is identical
+    # in every subtree, so ReusedExchange computes it once per job
+    # (verified — persisting it changed nothing at sf0.1).
     srows = (
         toks.select(
             "doc",

@@ -3757,11 +3757,22 @@ def q_embedding_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     pairs = embedding_near_dup_lsh(emb, tau=0.4).select("id_a", "id_b")
-    edges = pairs.unionByName(
-        pairs.select(
-            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+    # The verified eps-edge list is tiny but COSTLY (LSH bucket join +
+    # exact cosine verify). Its consumers span MANY separate jobs (the
+    # connected-components loop collects a convergence scalar per round,
+    # plus the deg/border actions), and exchange reuse only dedupes
+    # within one job — uncached, the LSH verify re-runs per job: 15.3 s
+    # vs 11.9 s at sf0.1. Intra-query persist per the repo cache-hygiene
+    # convention (bench/gate harnesses clearCache between queries).
+    edges = (
+        pairs.unionByName(
+            pairs.select(
+                F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+            )
         )
-    ).distinct()
+        .distinct()
+        .persist()
+    )
     deg = edges.groupBy(F.col("id_a").alias("node")).agg(
         F.count(F.lit(1)).alias("d")
     )
