@@ -37,7 +37,13 @@ from pyspark.sql.functions import pandas_udf
 
 from shared_etl_pipelines_spark.functions.text import tokens
 
-__all__ = ["word_freq_table", "adjacent_pair_counts", "bpe_train", "bpe_segment"]
+__all__ = [
+    "word_freq_table",
+    "adjacent_pair_counts",
+    "bpe_train",
+    "bpe_segment",
+    "bpe_apply",
+]
 
 
 def word_freq_table(docs: DataFrame, text_col: str) -> DataFrame:
@@ -166,3 +172,60 @@ def bpe_segment(
     return docs.select(
         F.col(id_col), F.posexplode(segment(F.col(text_col))).alias("token_idx", "token")
     )
+
+
+def bpe_apply(words: DataFrame, word_col: str, merges: list[tuple[str, str]]) -> DataFrame:
+    """Apply a PRETRAINED merge sequence to a word table: the inference
+    side of BPE (encode with a frozen tokenizer, the everyday path of a
+    training-data pipeline — training happens once, encoding happens on
+    every corpus refresh).
+
+    Input is the distinct-word *vocabulary*, not the corpus: at 100 TB
+    the corpus tokenize step is ``word_freq_table`` (one pass) followed
+    by this per-word segmentation over ~10^7 vocabulary rows, then a
+    broadcast join of ``(word, pieces)`` back onto the corpus — the
+    pandas UDF never sees corpus-sized data.
+
+    Each merge ``(a, b)`` rewrites the symbol array with a greedy
+    leftmost non-overlapping scan (the standard BPE apply loop). All
+    merges must satisfy ``a != b``: then two adjacent (a, b) pairs can
+    never share a symbol, every occurrence gets merged (greedy == "merge
+    all disjoint occurrences"), and a merge cannot create a new
+    occurrence of its own pair — which makes the operation equal to one
+    plain string replace per merge on the DOUBLE-space-delimited symbol
+    string (each occurrence owns a private boundary space, so a
+    left-to-right non-overlapping replace hits them all). That replace
+    chain is exactly what the SQL oracle replays. With ``a == b``
+    (e.g. merging "aa") occurrences overlap and the grouping becomes
+    scan-order-dependent, so such merges are rejected.
+
+    Returns the input columns plus ``pieces array<string>``.
+    """
+    for a, b in merges:
+        if a == b:
+            raise ValueError(
+                "bpe_apply requires left != right for every merge "
+                f"(got ({a!r}, {b!r})): equal-sided pairs make the greedy "
+                "scan grouping-dependent and break the replace-chain oracle"
+            )
+    seq = list(merges)
+
+    @pandas_udf(T.ArrayType(T.StringType()))
+    def seg(col: pd.Series) -> pd.Series:
+        def one(word):
+            syms = list(word or "")
+            for a, b in seq:
+                i, out, n = 0, [], len(syms)
+                while i < n:
+                    if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            return syms
+
+        return col.map(one)
+
+    return words.withColumn("pieces", seg(F.col(word_col)))

@@ -4624,3 +4624,353 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("true_lang", "pred_lang").agg(
         F.count(F.lit(1)).cast("long").alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, Appendix A1.1) — the published
+# document-level quality filter, adapted to the fixture corpus (single-
+# line docs, so the line-based bullet/ellipsis-line rules collapse into
+# the symbol-to-word ratio; the word-level rules are verbatim). Pure
+# column arithmetic on both sides — no UDF anywhere.
+# ---------------------------------------------------------------------------
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+_GOPHER_STOPS_IN = ", ".join(f"'{s}'" for s in _GOPHER_STOPS)
+
+
+@defquery(
+    "gopher_quality_rules",
+    f"""
+    WITH t AS (SELECT doc_id, text, {TOKS_SQL} AS toks FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n_words,
+             CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE)
+               / len(toks) AS mwl,
+             CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+                  AS DOUBLE) / len(toks) AS alpha_frac,
+             (length(text) - length(replace(text, '#', ''))
+              + (length(text) - length(replace(text, '...', ''))) / 3)
+               / CAST(len(toks) AS DOUBLE) AS sym_ratio,
+             len(list_distinct(list_filter(toks,
+                 x -> lower(x) IN ({_GOPHER_STOPS_IN})))) AS n_stop
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           ROUND(mwl, 4) AS mean_word_len,
+           ROUND(alpha_frac, 4) AS alpha_frac,
+           ROUND(sym_ratio, 4) AS sym_ratio,
+           CAST(n_stop AS BIGINT) AS n_stop,
+           CAST(n_words >= 50 AND n_words <= 100000 AS INT) AS r_word_count,
+           CAST(mwl >= 3 AND mwl <= 10 AS INT) AS r_mean_word_len,
+           CAST(alpha_frac >= 0.80 AS INT) AS r_alpha_words,
+           CAST(sym_ratio <= 0.10 AS INT) AS r_symbol_ratio,
+           CAST(n_stop >= 2 AS INT) AS r_stopwords,
+           CAST(n_words >= 50 AND n_words <= 100000
+                AND mwl >= 3 AND mwl <= 10
+                AND alpha_frac >= 0.80
+                AND sym_ratio <= 0.10
+                AND n_stop >= 2 AS INT) AS keep
+    FROM m
+    """,
+    doc="Gopher quality rules (Rae et al. 2021 A1.1): word-count bounds, "
+    "mean-word-length band, alphabetic-word fraction, symbol-to-word "
+    "ratio, required-stopword count — per-rule flags plus the conjunctive "
+    "keep decision, all JVM column arithmetic (no UDF)",
+    tags=("llm", "curation", "quality"),
+)
+def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select("doc_id", "text", tokens(F.col("text")).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    nw = F.size("toks")
+    mwl = (
+        F.expr("aggregate(toks, 0L, (a, x) -> a + length(x))").cast("double") / nw
+    )
+    alpha = (
+        F.size(F.filter(F.col("toks"), lambda x: x.rlike("[A-Za-z]"))).cast("double")
+        / nw
+    )
+    n_hash = F.length("text") - F.length(F.regexp_replace("text", "#", ""))
+    n_ell = (
+        F.length("text") - F.length(F.regexp_replace("text", r"\.\.\.", ""))
+    ) / 3
+    sym = (n_hash + n_ell) / nw.cast("double")
+    n_stop = F.size(
+        F.array_distinct(
+            F.filter(F.col("toks"), lambda x: F.lower(x).isin(*_GOPHER_STOPS))
+        )
+    )
+    m = t.select(
+        "doc_id",
+        nw.cast("long").alias("n_words"),
+        mwl.alias("mwl"),
+        alpha.alias("alpha_frac"),
+        sym.alias("sym_ratio"),
+        n_stop.cast("long").alias("n_stop"),
+    )
+    r1 = (F.col("n_words") >= 50) & (F.col("n_words") <= 100000)
+    r2 = (F.col("mwl") >= 3) & (F.col("mwl") <= 10)
+    r3 = F.col("alpha_frac") >= 0.80
+    r4 = F.col("sym_ratio") <= 0.10
+    r5 = F.col("n_stop") >= 2
+    return m.select(
+        "doc_id",
+        "n_words",
+        F.round("mwl", 4).alias("mean_word_len"),
+        F.round("alpha_frac", 4).alias("alpha_frac"),
+        F.round("sym_ratio", 4).alias("sym_ratio"),
+        "n_stop",
+        r1.cast("int").alias("r_word_count"),
+        r2.cast("int").alias("r_mean_word_len"),
+        r3.cast("int").alias("r_alpha_words"),
+        r4.cast("int").alias("r_symbol_ratio"),
+        r5.cast("int").alias("r_stopwords"),
+        (r1 & r2 & r3 & r4 & r5).cast("int").alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rendezvous (highest-random-weight) sharding — stable doc -> shard
+# assignment for corpus layout. The defining property: growing the
+# cluster from 8 to 9 shards moves ONLY the docs that the new shard
+# wins (~1/9 of the corpus), and every mover lands on the new shard —
+# the output table exhibits this (n_moved_in = 0 for shards 0..7).
+# Portable md5 weights, so the oracle replays the assignment exactly.
+# ---------------------------------------------------------------------------
+def _hrw_w_sql(s: int) -> str:
+    return (
+        f"CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{s}'), 1, 7) "
+        "AS BIGINT)"
+    )
+
+
+@defquery(
+    "rendezvous_shard_stats",
+    f"""
+    WITH d AS (SELECT doc_id FROM documents),
+    a8 AS (
+      SELECT doc_id, s,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                     CAST(s AS VARCHAR)), 1, 7) AS BIGINT) AS w
+      FROM d, (SELECT UNNEST(range(8)) AS s)
+    ),
+    s8 AS (
+      SELECT doc_id, s AS shard8 FROM (
+        SELECT doc_id, s,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY w DESC, s) AS rn
+        FROM a8) WHERE rn = 1
+    ),
+    a9 AS (
+      SELECT doc_id, s,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                                     CAST(s AS VARCHAR)), 1, 7) AS BIGINT) AS w
+      FROM d, (SELECT UNNEST(range(9)) AS s)
+    ),
+    s9 AS (
+      SELECT doc_id, s AS shard9 FROM (
+        SELECT doc_id, s,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY w DESC, s) AS rn
+        FROM a9) WHERE rn = 1
+    ),
+    j AS (SELECT s8.doc_id, shard8, shard9 FROM s8 JOIN s9 USING (doc_id)),
+    c8 AS (SELECT shard8 AS shard, COUNT(*) AS n8 FROM j GROUP BY shard8),
+    c9 AS (
+      SELECT shard9 AS shard, COUNT(*) AS n9,
+             SUM(CASE WHEN shard8 <> shard9 THEN 1 ELSE 0 END) AS moved
+      FROM j GROUP BY shard9
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(COALESCE(n8, 0) AS BIGINT) AS n_docs_8,
+           CAST(COALESCE(n9, 0) AS BIGINT) AS n_docs_9,
+           CAST(COALESCE(moved, 0) AS BIGINT) AS n_moved_in
+    FROM c9 FULL OUTER JOIN c8 USING (shard)
+    """,
+    doc="rendezvous/HRW sharding: argmax of portable md5 weights per "
+    "(doc, shard); per-shard counts under 8 and 9 shards plus movers — "
+    "demonstrates minimal-movement elasticity (only the new shard gains)",
+    tags=("llm", "layout", "sharding"),
+)
+def q_rendezvous_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def hrw_shard(n: int):
+        # argmax over n candidate weights, tie-break smallest shard id:
+        # array_max over (weight, -shard) structs — pure column math,
+        # no explode/shuffle; one projection computes the assignment.
+        cands = [
+            F.struct(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{s}"))),
+                        1,
+                        7,
+                    ),
+                    16,
+                    10,
+                )
+                .cast("long")
+                .alias("w"),
+                F.lit(-s).alias("ns"),
+            )
+            for s in range(n)
+        ]
+        return (-F.array_max(F.array(*cands))["ns"]).cast("long")
+
+    j = d.select(
+        "doc_id", hrw_shard(8).alias("shard8"), hrw_shard(9).alias("shard9")
+    )
+    c8 = j.groupBy(F.col("shard8").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n8")
+    )
+    c9 = j.groupBy(F.col("shard9").alias("shard")).agg(
+        F.count(F.lit(1)).alias("n9"),
+        F.sum((F.col("shard8") != F.col("shard9")).cast("long")).alias("moved"),
+    )
+    return (
+        c9.join(c8, "shard", "full_outer")
+        .select(
+            F.col("shard").cast("long").alias("shard"),
+            F.coalesce("n8", F.lit(0)).cast("long").alias("n_docs_8"),
+            F.coalesce("n9", F.lit(0)).cast("long").alias("n_docs_9"),
+            F.coalesce("moved", F.lit(0)).cast("long").alias("n_moved_in"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation — recall@10 of the IVF path against the exact
+# brute-force baseline, per query. The eval every production ANN rollout
+# runs before flipping traffic; both sides reuse the exact CTE bodies of
+# the (driver-green) similarity_topk and similarity_topk_ivf oracles.
+# ---------------------------------------------------------------------------
+@defquery(
+    "ann_recall_eval",
+    f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    sb AS (
+      SELECT query_id, vec_id, list_cosine_similarity(qv, v) AS c
+      FROM q JOIN e ON vec_id <> query_id
+    ),
+    brute AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY c DESC, vec_id) AS rn
+        FROM sb) WHERE rn <= 10
+    ),
+    c AS (SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+    ass AS (
+      SELECT vec_id, v, cent_id FROM (
+        SELECT e.vec_id, e.v, c.cent_id, {_IVF_RANK} AS crn
+        FROM e CROSS JOIN c)
+      WHERE crn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, v AS qv, cent_id FROM (
+        SELECT e.vec_id, e.v, c.cent_id, {_IVF_RANK} AS crn
+        FROM e CROSS JOIN c WHERE e.vec_id < 5)
+      WHERE crn <= 2
+    ),
+    si AS (
+      SELECT query_id, a.vec_id, list_cosine_similarity(qv, a.v) AS c
+      FROM probes p JOIN ass a USING (cent_id)
+      WHERE a.vec_id <> query_id
+    ),
+    ivf AS (
+      SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY c DESC, vec_id) AS rn
+        FROM si) WHERE rn <= 10
+    )
+    SELECT b.query_id,
+           CAST(COUNT(i.vec_id) AS BIGINT) AS n_hits,
+           ROUND(COUNT(i.vec_id) / 10.0, 4) AS recall_at_10
+    FROM brute b LEFT JOIN ivf i USING (query_id, vec_id)
+    GROUP BY b.query_id
+    """,
+    doc="ANN rollout eval: recall@10 of IVF (8 cells, nprobe=2) vs the "
+    "exact brute-force cosine baseline, per query — membership overlap "
+    "of the two (driver-green) top-k paths",
+    tags=("llm", "similarity", "ivf", "evaluation"),
+)
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    brute = brute_force_topk(emb, qs, k=10).select("query_id", "vec_id")
+    ivf = ivf_topk(emb, qs, k=10, n_centroids=8, nprobe=2).select(
+        "query_id", "vec_id", F.lit(1).alias("hit")
+    )
+    j = brute.join(ivf, ["query_id", "vec_id"], "left")
+    return j.groupBy("query_id").agg(
+        F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+        F.round(
+            F.sum(F.coalesce("hit", F.lit(0))).cast("double") / 10.0, 4
+        ).alias("recall_at_10"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE encode with a FROZEN tokenizer — the inference twin of
+# bpe_learn_merges. The corpus collapses to its distinct-word vocabulary
+# (one pass), the pandas UDF segments only vocabulary rows, and the
+# result joins back by word — at 100 TB the UDF sees ~10^7 words, never
+# the corpus. Because every merge has left != right, the greedy leftmost
+# scan is exactly a chain of plain string replaces on the space-
+# delimited symbol string, which is how the oracle replays it (see
+# operators/bpe.py bpe_apply for the argument).
+# ---------------------------------------------------------------------------
+_BPE_FROZEN: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("e", "r"), ("a", "n"),
+    ("an", "d"), ("o", "u"), ("in", "g"), ("s", "t"), ("e", "d"),
+]
+
+
+def _bpe_replace_chain_sql() -> str:
+    # Symbols delimited by DOUBLE spaces, pattern wrapped in single
+    # spaces: each occurrence of " a  b " then owns a private boundary
+    # space on each side, so occurrences of an a!=b pair are provably
+    # disjoint and one replace() merges exactly the pairs the greedy
+    # scan merges (single-space delimiters fail on e.g. 'inin': the
+    # second " i n " shares the middle space with the first and a
+    # non-overlapping scan misses it).
+    s = "'  ' || regexp_replace(w, '(.)', '\\1  ', 'g')"
+    for a, b in _BPE_FROZEN:
+        s = f"replace({s}, ' {a}  {b} ', ' {a}{b} ')"
+    return f"replace(trim({s}), '  ', ' ')"
+
+
+@defquery(
+    "bpe_encode_apply",
+    f"""
+    WITH w AS (
+      SELECT unnest({TOKS_SQL}) AS w FROM documents
+    ),
+    v AS (SELECT w, COUNT(*) AS n_occurrences FROM w GROUP BY w),
+    seg AS (SELECT w, n_occurrences, {_bpe_replace_chain_sql()} AS pieces FROM v)
+    SELECT w AS word, pieces,
+           CAST(len(string_split(pieces, ' ')) AS BIGINT) AS n_pieces,
+           CAST(n_occurrences AS BIGINT) AS n_occurrences
+    FROM seg
+    """,
+    doc="BPE encode with a frozen 10-merge tokenizer over the distinct-"
+    "word vocabulary (greedy leftmost merge scan, pandas UDF on vocab "
+    "rows only), weighted by corpus occurrence counts; oracle replays "
+    "the identical segmentation as a replace chain on the space-"
+    "delimited symbol string (exact because every merge has left!=right)",
+    tags=("llm", "text", "bpe", "tokenizer"),
+)
+def q_bpe_encode_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.operators.bpe import bpe_apply, word_freq_table
+
+    vocab = word_freq_table(_t(spark, sf_dir, "documents"), "text")
+    seg = bpe_apply(vocab, "w", _BPE_FROZEN)
+    return seg.select(
+        F.col("w").alias("word"),
+        F.array_join("pieces", " ").alias("pieces"),
+        F.size("pieces").cast("long").alias("n_pieces"),
+        F.col("cnt").cast("long").alias("n_occurrences"),
+    )

@@ -690,6 +690,70 @@ def test_bpe_segment_reassembles_words(spark):
         assert "".join(joined[doc_id]) == text.replace(" ", "")
 
 
+def test_bpe_apply_matches_greedy_scan_and_replace_chain(spark):
+    """bpe_apply (frozen-tokenizer encode) must equal BOTH the pure-python
+    greedy leftmost scan AND the space-delimited replace chain the SQL
+    oracle uses — the left!=right constraint is exactly what makes the
+    two formulations coincide (see operators/bpe.py)."""
+    import pytest
+
+    from shared_etl_pipelines_spark.operators.bpe import bpe_apply
+    from shared_etl_pipelines_spark.queries_llm import _BPE_FROZEN
+
+    words = [
+        "the", "then", "there", "another", "standing", "oust", "and",
+        "inin", "erst", "thethe", "x", "", "sted", "anand", "interesting",
+    ]
+    df = spark.createDataFrame([(w,) for w in words], ["w"])
+    got = {r["w"]: r["pieces"] for r in bpe_apply(df, "w", _BPE_FROZEN).collect()}
+
+    def greedy(word):
+        syms = list(word)
+        for a, b in _BPE_FROZEN:
+            out, i, n = [], 0, len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    def replace_chain(word):
+        # double-space delimiters: see operators/bpe.py bpe_apply
+        s = "  " + "  ".join(word) + "  " if word else "  "
+        for a, b in _BPE_FROZEN:
+            s = s.replace(f" {a}  {b} ", f" {a}{b} ")
+        return s.split()
+
+    for w in words:
+        assert got[w] == greedy(w) == replace_chain(w), w
+        assert "".join(got[w]) == w  # lossless
+
+    # equal-sided merges break the replace-chain equivalence -> rejected
+    with pytest.raises(ValueError):
+        bpe_apply(df, "w", [("a", "a")])
+
+
+def test_hrw_rendezvous_minimal_movement(spark, sf_dir):
+    """Adding a 9th shard must move docs ONLY onto the new shard — the
+    defining elasticity property of rendezvous hashing."""
+    from shared_etl_pipelines_spark.queries_llm import q_rendezvous_shard_stats
+
+    rows = q_rendezvous_shard_stats(spark, sf_dir).collect()
+    by_shard = {r["shard"]: r for r in rows}
+    assert set(by_shard) == set(range(9))
+    assert by_shard[8]["n_docs_8"] == 0
+    for s in range(8):
+        assert by_shard[s]["n_moved_in"] == 0, s
+    assert by_shard[8]["n_moved_in"] == by_shard[8]["n_docs_9"] > 0
+    total = sum(r["n_docs_9"] for r in rows)
+    # expected ~1/9 of the corpus moves; allow generous sampling slack
+    assert by_shard[8]["n_docs_9"] < 0.3 * total
+
+
 def test_new_operators_handle_empty_and_degenerate_input(spark):
     from shared_etl_pipelines_spark.operators.bpe import bpe_segment, bpe_train
     from shared_etl_pipelines_spark.operators.dedup import duplicated_spans
