@@ -738,6 +738,17 @@ _FORCE_FRONT = frozenset({"embedding_pca_project"})
 # it crashed the r2 canonicalizer, was scalarized, and has waited two
 # rounds for its rows-only re-verdict.
 _CARRYOVER_FIRST = (
+    # Round-4 additions pinned first: the 8 streaming queries flipped
+    # from sql=None to REAL batch-replay oracles this round (the
+    # highest-information verdicts on the board — they upgrade a
+    # "no-oracle by design" family to hash-checked), plus the 4 new
+    # LLM-pipeline operators.
+    "stream_tumbling_daily", "stream_running_totals", "stream_sliding_3d",
+    "stream_session_windows", "stream_dedup_hashes",
+    "stream_static_enrichment", "stream_interval_join",
+    "stream_new_doc_dedup",
+    "gopher_quality_rules", "rendezvous_shard_stats", "ann_recall_eval",
+    "bpe_encode_apply",
     # TPC-H shape catalog (queries_relational.py, registered last in
     # module import order — would otherwise be starved a third round)
     "waiting_supplier_blame", "idle_rich_customers", "snapshot_diff_orders",

@@ -1,11 +1,32 @@
-"""Streaming-mode registry queries (rows-only correctness contract).
+"""Streaming-mode registry queries — now with REAL batch-replay oracles.
 
-These run real Structured Streaming jobs (availableNow trigger, memory
+These run actual Structured Streaming jobs (availableNow trigger, memory
 sink) over the sf_dir events table treated as a drop-directory file
 source — the reference's incremental daily cadence (SURVEY.md §7.6).
-They are registered WITHOUT oracle SQL: watermark-driven emission is not
-ANSI-SQL-expressible, so the driver applies its rows-only check; batch
-equivalence is separately asserted in tests/test_streaming.py.
+
+Why these CAN carry oracle SQL (they were rows-only until round 4): on a
+finite source drained by ``availableNow``, the whole pipeline is
+deterministic and its emission rule is closed-form. The file source
+delivers one micro-batch; after it, the watermark advances to
+``max(event_time) - delay`` and the no-data batch (on by default) flushes
+every window whose end is ≤ that watermark. So the append-mode output is
+exactly
+
+    batch_aggregate(events) WHERE window_end <= max(ts) - delay
+
+which is plain ANSI SQL. Stream-stream inner joins emit every match (the
+watermark only bounds state, it never filters matches on a single
+batch), stream-static joins are stateless per batch, and
+dropDuplicatesWithinWatermark over one batch keeps exactly one row per
+key — all replayable. Only the custom raster source stays rows-only
+(its fixture corpus is not a DuckDB-registered table).
+
+Emission boundary fine print: Spark tracks event time in MILLISECONDS,
+so the watermark is ``truncate_ms(max ts) - delay``; the oracles
+replicate the truncation where sub-second window ends exist (sessions).
+Equality at the boundary would need a window end to land on the exact
+watermark instant — measure-zero for the randomized fixtures, and the
+``<=``/``<`` choice is pinned by the oracle gate every round.
 """
 
 from __future__ import annotations
@@ -61,13 +82,33 @@ def _run(df: DataFrame, mode: str) -> DataFrame:
     return df.sparkSession.table(name)
 
 
+# watermark-closed emission filter shared by the day-window oracles:
+# append mode flushes windows whose end is at or below max(ts) - 1 day
+_EMIT_DAY = (
+    "CAST(window_day AS TIMESTAMP) + INTERVAL 1 DAY"
+    " <= (SELECT MAX(ts) FROM events) - INTERVAL 1 DAY"
+)
+
+
 @defquery(
     "stream_tumbling_daily",
-    None,  # watermark emission semantics are not ANSI-SQL-expressible
-    doc="streaming tumbling 1-day window counts/sums per event_type",
+    f"""
+    WITH agg AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS window_day, event_type,
+             CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 4) AS total
+      FROM events GROUP BY 1, 2
+    )
+    SELECT strftime(window_day, '%Y-%m-%d') AS window_day, event_type, n, total
+    FROM agg WHERE {_EMIT_DAY}
+    """,
+    doc="streaming tumbling 1-day window counts/sums per event_type; "
+    "oracle replays the availableNow emission (windows closed by the "
+    "final watermark = max ts - 1 day)",
     tags=("streaming", "window"),
 )
 def q_stream_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
     agg = tumbling_agg(
         _events_stream(spark, sf_dir),
         "ts",
@@ -75,26 +116,64 @@ def q_stream_tumbling_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type"],
         {"n": "count(1)", "total": "sum(value)"},
     )
-    return _run(agg, "append")
+    out = _run(agg, "append")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd").alias("window_day"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round("total", 4).alias("total"),
+    )
 
 
 @defquery(
     "stream_running_totals",
-    None,  # custom stateful operator (applyInPandasWithState)
-    doc="streaming per-user cumulative totals via applyInPandasWithState",
+    """
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events GROUP BY user_id
+    """,
+    doc="streaming per-user cumulative totals via applyInPandasWithState; "
+    "the availableNow drain delivers one micro-batch, so update mode "
+    "emits each key's final cumulative row — the plain GROUP BY",
     tags=("streaming", "stateful"),
 )
 def q_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _run(running_totals(_events_stream(spark, sf_dir)), "update")
+    from pyspark.sql import functions as F
+
+    out = _run(running_totals(_events_stream(spark, sf_dir)), "update")
+    return out.select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("total_value", 4).alias("total_value"),
+    )
 
 
 @defquery(
     "stream_sliding_3d",
-    None,  # watermark emission semantics are not ANSI-SQL-expressible
-    doc="streaming sliding 3-day/1-day window — G2's trailing rolling sum",
+    """
+    WITH w AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) - CAST(k AS INT) AS window_day,
+             event_type, value
+      FROM events, (SELECT UNNEST(range(3)) AS k)
+    ),
+    agg AS (
+      SELECT window_day, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(value), 4) AS total
+      FROM w GROUP BY 1, 2
+    )
+    SELECT strftime(window_day, '%Y-%m-%d') AS window_day, event_type, n, total
+    FROM agg
+    WHERE CAST(window_day AS TIMESTAMP) + INTERVAL 3 DAY
+          <= (SELECT MAX(ts) FROM events) - INTERVAL 1 DAY
+    """,
+    doc="streaming sliding 3-day/1-day window — G2's trailing rolling "
+    "sum; oracle fans each event into its 3 covering windows and applies "
+    "the watermark-closed emission filter",
     tags=("streaming", "window", "G2"),
 )
 def q_stream_sliding_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
     from shared_etl_pipelines_spark.streaming import sliding_agg
 
     agg = sliding_agg(
@@ -105,16 +184,55 @@ def q_stream_sliding_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["event_type"],
         {"n": "count(1)", "total": "sum(value)"},
     )
-    return _run(agg, "append")
+    out = _run(agg, "append")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd").alias("window_day"),
+        "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.round("total", 4).alias("total"),
+    )
 
 
 @defquery(
     "stream_session_windows",
-    None,  # session_window merge semantics are stateful/streaming-only
-    doc="streaming session windows (30 min gap) per user",
+    """
+    WITH s AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    g AS (
+      SELECT user_id, ts, value,
+             SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM s
+    ),
+    agg AS (
+      SELECT user_id, MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             ROUND(SUM(value), 4) AS total_value
+      FROM g GROUP BY user_id, sid
+    )
+    SELECT user_id,
+           CAST(epoch_us(session_start) AS BIGINT) AS session_start_us,
+           CAST(epoch_us(session_end) AS BIGINT) AS session_end_us,
+           n_events, total_value
+    FROM agg
+    WHERE session_end <= date_trunc('milliseconds', (SELECT MAX(ts) FROM events))
+                         - INTERVAL 1 DAY
+    """,
+    doc="streaming session windows (30 min gap) per user; oracle is the "
+    "classic lag/cumsum sessionization with session_end = last event + "
+    "gap and the ms-truncated watermark emission filter",
     tags=("streaming", "session"),
 )
 def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
     from shared_etl_pipelines_spark.streaming import session_agg
 
     agg = session_agg(
@@ -124,19 +242,31 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["user_id"],
         {"n_events": "count(1)", "total_value": "sum(value)"},
     )
-    return _run(agg, "append")
+    out = _run(agg, "append")
+    return out.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("total_value", 4).alias("total_value"),
+    )
 
 
 @defquery(
     "stream_dedup_hashes",
-    None,  # watermark-bounded dedup state is streaming-only semantics
+    """
+    SELECT DISTINCT md5(CAST(user_id AS VARCHAR) || '|' || event_type
+                        || '|' || CAST(value AS VARCHAR)) AS content_hash
+    FROM events
+    """,
     doc="streaming exact dedup: first arrival per content hash, state "
-    "expired by watermark (dropDuplicatesWithinWatermark)",
+    "expired by watermark (dropDuplicatesWithinWatermark); a single "
+    "availableNow batch keeps exactly one row per hash, so the kept set "
+    "is the distinct hash set (value renders identically in both "
+    "engines: 2-decimal currency doubles, shortest-round-trip form)",
     tags=("streaming", "dedup"),
 )
 def q_stream_dedup_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-
     from shared_etl_pipelines_spark.streaming import dedup_stream
 
     deduped = dedup_stream(
@@ -153,10 +283,24 @@ def q_stream_dedup_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @defquery(
     "stream_static_enrichment",
-    None,  # watermark emission semantics are not ANSI-SQL-expressible
+    f"""
+    WITH e AS (
+      SELECT CAST(date_trunc('day', ev.ts) AS DATE) AS window_day,
+             COALESCE(c.c_mktsegment, '<unknown>') AS segment, ev.value
+      FROM events ev LEFT JOIN customer c ON ev.user_id = c.c_custkey
+    ),
+    agg AS (
+      SELECT window_day, segment, CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(value), 4) AS total
+      FROM e GROUP BY 1, 2
+    )
+    SELECT strftime(window_day, '%Y-%m-%d') AS window_day, segment, n, total
+    FROM agg WHERE {_EMIT_DAY}
+    """,
     doc="stream-static join: streaming events enriched against the static "
     "customer dimension (broadcast per micro-batch), then tumbling daily "
-    "counts per market segment",
+    "counts per market segment; oracle = batch join + windowed aggregate "
+    "+ watermark emission filter",
     tags=("streaming", "join", "enrichment"),
 )
 def q_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -186,14 +330,31 @@ def q_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["segment"],
         {"n": "count(1)", "total": "sum(value)"},
     )
-    return _run(agg, "append")
+    out = _run(agg, "append")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd").alias("window_day"),
+        "segment",
+        F.col("n").cast("long").alias("n"),
+        F.round("total", 4).alias("total"),
+    )
 
 
 @defquery(
     "stream_interval_join",
-    None,  # watermark-bounded stream-stream join state is streaming-only
+    """
+    WITH c AS (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id, ts FROM events
+          WHERE event_type = 'purchase')
+    SELECT c.user_id AS l_key, CAST(c.event_id AS BIGINT) AS l_event,
+           CAST(p.event_id AS BIGINT) AS r_event
+    FROM c JOIN p ON c.user_id = p.user_id
+                 AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
     doc="stream-stream interval join: clicks -> purchases by the same user "
-    "within 1 hour (both sides watermarked; state evicted by time range)",
+    "within 1 hour (both sides watermarked; state evicted by time range); "
+    "a single-batch drain emits every match, so the oracle is the plain "
+    "theta join",
     tags=("streaming", "join"),
 )
 def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -213,7 +374,8 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @defquery(
     "stream_raster_daily",
-    None,  # custom streaming source — rows-only check
+    None,  # custom streaming source over the raster fixture corpus — the
+    # inputs are not DuckDB-registered tables, so rows-only by necessity
     doc="GeoTIFF drop-directory streaming source (geotiff_stream): decode "
     "each day's raster as it arrives, daily per-file pixel aggregates",
     tags=("streaming", "raster", "source"),
@@ -254,10 +416,16 @@ def _documents_stream(spark: SparkSession, sf_dir: str):
 
 @defquery(
     "stream_new_doc_dedup",
-    None,  # stream-static anti-join emission is streaming-only semantics
+    """
+    SELECT doc_id, source FROM documents
+    WHERE md5(text) NOT IN (SELECT md5(text) FROM documents
+                            WHERE doc_id % 10 = 0)
+    """,
     doc="streaming ingestion dedup: arriving documents anti-joined "
     "against the static corpus' content hashes (the streaming twin of "
-    "incremental_dedup) — only never-seen documents pass through",
+    "incremental_dedup) — only never-seen documents pass through; the "
+    "anti-join is stateless per batch, so the oracle is the batch "
+    "anti-join",
     tags=("streaming", "dedup", "llm"),
 )
 def q_stream_new_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
