@@ -187,27 +187,19 @@ def bpe_apply(words: DataFrame, word_col: str, merges: list[tuple[str, str]]) ->
     pandas UDF never sees corpus-sized data.
 
     Each merge ``(a, b)`` rewrites the symbol array with a greedy
-    leftmost non-overlapping scan (the standard BPE apply loop). All
-    merges must satisfy ``a != b``: then two adjacent (a, b) pairs can
-    never share a symbol, every occurrence gets merged (greedy == "merge
-    all disjoint occurrences"), and a merge cannot create a new
-    occurrence of its own pair — which makes the operation equal to one
-    plain string replace per merge on the DOUBLE-space-delimited symbol
-    string (each occurrence owns a private boundary space, so a
-    left-to-right non-overlapping replace hits them all). That replace
-    chain is exactly what the SQL oracle replays. With ``a == b``
-    (e.g. merging "aa") occurrences overlap and the grouping becomes
-    scan-order-dependent, so such merges are rejected.
+    leftmost non-overlapping scan (the standard BPE apply loop). The
+    scan equals one plain string replace per merge on the DOUBLE-space-
+    delimited symbol string — for ANY pair, including ``a == b``: each
+    occurrence owns a private boundary space, so two occurrences sharing
+    a SYMBOL always overlap as strings (the shared symbol plus its full
+    inner gap lie inside the first occurrence) and a left-to-right
+    non-overlapping replace merges exactly the pairs the greedy scan
+    merges. That replace chain is what the SQL oracles replay
+    (queries_llm._bpe_replace_chain_sql / _bpe_learn_sql); the
+    equivalence is regression-pinned in tests/test_llm_operators.py.
 
     Returns the input columns plus ``pieces array<string>``.
     """
-    for a, b in merges:
-        if a == b:
-            raise ValueError(
-                "bpe_apply requires left != right for every merge "
-                f"(got ({a!r}, {b!r})): equal-sided pairs make the greedy "
-                "scan grouping-dependent and break the replace-chain oracle"
-            )
     seq = list(merges)
 
     @pandas_udf(T.ArrayType(T.StringType()))

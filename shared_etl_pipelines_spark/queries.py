@@ -746,9 +746,9 @@ _CARRYOVER_FIRST = (
     "stream_tumbling_daily", "stream_running_totals", "stream_sliding_3d",
     "stream_session_windows", "stream_dedup_hashes",
     "stream_static_enrichment", "stream_interval_join",
-    "stream_new_doc_dedup",
+    "stream_new_doc_dedup", "stream_raster_daily",
     "gopher_quality_rules", "rendezvous_shard_stats", "ann_recall_eval",
-    "bpe_encode_apply",
+    "bpe_encode_apply", "bpe_learn_merges",
     # TPC-H shape catalog (queries_relational.py, registered last in
     # module import order — would otherwise be starved a third round)
     "waiting_supplier_blame", "idle_rich_customers", "snapshot_diff_orders",

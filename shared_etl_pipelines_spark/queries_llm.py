@@ -2527,14 +2527,67 @@ def _learned_merges(spark: SparkSession, sf_dir: str, num_merges: int = 10):
     return _BPE_CACHE[key]
 
 
+def _bpe_learn_sql(num_merges: int) -> str:
+    """UNROLLED SQL replay of the full iterative BPE trainer.
+
+    Why this is exact where kmeans/pagerank oracles cannot be: every
+    statistic in BPE training is an INTEGER (pair weights are sums of
+    word counts — summation-order-free), the argmax tie-break is total
+    (weight DESC, left, right), and the merge rewrite is one string
+    replace per round on the DOUBLE-space-delimited symbol string. With
+    double-space delimiters each occurrence of the pair owns a private
+    boundary space, so two occurrences sharing a SYMBOL always overlap
+    as strings (the shared symbol plus its full inner gap lie inside the
+    first occurrence) and a left-to-right non-overlapping replace merges
+    exactly the pairs the greedy scan merges — for ANY pair, including
+    left == right (e.g. merging 'gg': '  g  g  g  ' replaces the first
+    occurrence and correctly skips the straddling second). Early
+    saturation (top weight < 2) empties the round's argmax CTE, which
+    cascades empty through the remaining rounds — the same truncation
+    as the trainer's break.
+    """
+    toks = TOKS_SQL
+    parts = [
+        f"""v0 AS (
+      SELECT '  ' || regexp_replace(w, '(.)', '\\1  ', 'g') AS s, cnt FROM (
+        SELECT w, COUNT(*) AS cnt
+        FROM (SELECT unnest({toks}) AS w FROM documents) GROUP BY w)
+    )"""
+    ]
+    for i in range(num_merges):
+        parts.append(
+            f"""t{i} AS (SELECT string_split(trim(s), '  ') AS tk, cnt FROM v{i}),
+    p{i} AS (SELECT tk, cnt, unnest(range(1, len(tk))) AS i FROM t{i}),
+    m{i} AS (
+      SELECT tk[i] AS l, tk[i+1] AS r, CAST(SUM(cnt) AS BIGINT) AS wgt
+      FROM p{i} GROUP BY 1, 2 HAVING SUM(cnt) >= 2
+      ORDER BY wgt DESC, l, r LIMIT 1
+    ),
+    v{i + 1} AS (
+      SELECT replace(s, ' ' || m.l || '  ' || m.r || ' ',
+                     ' ' || m.l || m.r || ' ') AS s, cnt
+      FROM v{i}, m{i} m
+    )"""
+        )
+    union = "\n      UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS merge_idx, l AS merge_left, "
+        f"r AS merge_right, wgt AS weight FROM m{i}"
+        for i in range(num_merges)
+    )
+    body = ",\n    ".join(parts)
+    return f"WITH {body}\n    {union}"
+
+
 @defquery(
     "bpe_learn_merges",
-    None,  # merge i rewrites the input of merge i+1 — iterative, rows-only
+    _bpe_learn_sql(10),  # fully-exact UNROLLED oracle — see _bpe_learn_sql
     doc="distributed BPE training (10 merges): corpus collapses to the "
     "word-frequency table in one pass, then each round is one "
     "map-side-combinable pair count + O(1)-driver argmax + Arrow-batched "
-    "merge rewrite; learned sequence pinned exactly by a pure-python "
-    "replay test, per-round statistic pinned by the bpe_top_pairs oracle",
+    "merge rewrite; oracle unrolls all 10 iterations in SQL (integer "
+    "pair weights are summation-order-free, the rewrite is one string "
+    "replace per round on the double-space-delimited symbol string, so "
+    "the replay is hash-exact — upgraded from rows-only in r4)",
     tags=("llm", "text", "bpe", "tokenizer", "iterative"),
 )
 def q_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:

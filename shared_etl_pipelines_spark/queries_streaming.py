@@ -372,12 +372,44 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("l_key", "l_event", "r_event")
 
 
+def _raster_daily_sql() -> str:
+    # The demo corpus is CLOSED-FORM (sources/raster.py demo_raster_values:
+    # (d*7919 + y*31 + x*17) % 1000 over a SIZE x SIZE grid, nodata
+    # dropped), so the oracle regenerates the expected aggregates from
+    # generators — no raster table needed. Values are small integers, so
+    # the double SUM is exact regardless of summation order. Constants are
+    # imported from the module, not copied, so a fixture change breaks the
+    # gate loudly instead of silently diverging.
+    from shared_etl_pipelines_spark.sources.raster import (
+        DEMO_DAYS,
+        DEMO_NODATA,
+        DEMO_SIZE,
+        DEMO_START,
+    )
+
+    return f"""
+    WITH g AS (
+      SELECT CAST(d AS INT) AS d,
+             CAST((d * 7919 + y * 31 + x * 17) % 1000 AS DOUBLE) AS v
+      FROM range({DEMO_DAYS}) t(d), range({DEMO_SIZE}) ty(y),
+           range({DEMO_SIZE}) tx(x)
+    )
+    SELECT strftime(DATE '{DEMO_START.isoformat()}' + d, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_px,
+           SUM(v) AS sum_value, MIN(v) AS min_value, MAX(v) AS max_value
+    FROM g WHERE v <> {DEMO_NODATA}
+    GROUP BY d
+    """
+
+
 @defquery(
     "stream_raster_daily",
-    None,  # custom streaming source over the raster fixture corpus — the
-    # inputs are not DuckDB-registered tables, so rows-only by necessity
+    _raster_daily_sql(),
     doc="GeoTIFF drop-directory streaming source (geotiff_stream): decode "
-    "each day's raster as it arrives, daily per-file pixel aggregates",
+    "each day's raster as it arrives, daily per-file pixel aggregates; "
+    "oracle regenerates the closed-form demo corpus from SQL generators "
+    "(upgraded from rows-only in r4 — the whole TIFF encode -> stream -> "
+    "decode -> aggregate path is now hash-checked)",
     tags=("streaming", "raster", "source"),
 )
 def q_stream_raster_daily(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -692,11 +692,11 @@ def test_bpe_segment_reassembles_words(spark):
 
 def test_bpe_apply_matches_greedy_scan_and_replace_chain(spark):
     """bpe_apply (frozen-tokenizer encode) must equal BOTH the pure-python
-    greedy leftmost scan AND the space-delimited replace chain the SQL
-    oracle uses — the left!=right constraint is exactly what makes the
-    two formulations coincide (see operators/bpe.py)."""
-    import pytest
-
+    greedy leftmost scan AND the double-space-delimited replace chain the
+    SQL oracles use — including for equal-sided merges like ('g','g'),
+    where the private-boundary-space argument (operators/bpe.py) is what
+    makes straddling occurrences overlap and get skipped exactly as the
+    greedy scan skips them."""
     from shared_etl_pipelines_spark.operators.bpe import bpe_apply
     from shared_etl_pipelines_spark.queries_llm import _BPE_FROZEN
 
@@ -732,9 +732,17 @@ def test_bpe_apply_matches_greedy_scan_and_replace_chain(spark):
         assert got[w] == greedy(w) == replace_chain(w), w
         assert "".join(got[w]) == w  # lossless
 
-    # equal-sided merges break the replace-chain equivalence -> rejected
-    with pytest.raises(ValueError):
-        bpe_apply(df, "w", [("a", "a")])
+    # equal-sided merge: greedy == replace-chain on every chain parity
+    eq = [("g", "g")]
+    chains = ["g", "gg", "ggg", "gggg", "ggggg", "agga", "aggga", "gagg"]
+    cdf = spark.createDataFrame([(w,) for w in chains], ["w"])
+    got_eq = {r["w"]: r["pieces"] for r in bpe_apply(cdf, "w", eq).collect()}
+    for w in chains:
+        s = "  " + "  ".join(w) + "  "
+        s = s.replace(" g  g ", " gg ")
+        expect = s.split()
+        assert got_eq[w] == expect, w
+        assert "".join(got_eq[w]) == w
 
 
 def test_hrw_rendezvous_minimal_movement(spark, sf_dir):
