@@ -521,3 +521,35 @@ def test_kcore_semi_joins(spark, sf):
     plan = phys(k_core(_pr_edges(spark, sf), k=5, rounds=2, checkpoint=False))
     assert plan.count("LeftSemi") >= 4
     assert "CartesianProduct" not in plan
+
+
+def test_gopher_rules_pure_codegen_no_python(spark, sf):
+    # the published quality filter must stay entirely JVM-side: no
+    # Python UDF eval nodes, no shuffle (per-row arithmetic only), and
+    # only the two referenced columns read from the scan
+    plan = phys(REGISTRY["gopher_quality_rules"].fn(spark, sf))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # the only exchange allowed is _t()'s deliberate parallelism spread
+    # (RoundRobin repartition); no aggregation/join shuffle may appear
+    assert "hashpartitioning" not in plan
+    assert "lang" not in plan.split("ReadSchema")[-1]
+
+
+def test_rendezvous_shard_no_explode(spark, sf):
+    # HRW assignment is a single projection (array_max over struct
+    # candidates), NOT a 17-way explode + window argmax: the plan must
+    # contain no Generate/Expand and exactly the two count aggregations
+    plan = phys(REGISTRY["rendezvous_shard_stats"].fn(spark, sf))
+    assert "Generate" not in plan and "Expand" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bpe_encode_udf_sees_vocab_not_corpus(spark, sf):
+    # the pandas UDF must run AFTER the word-frequency aggregation
+    # (vocabulary rows), never on the exploded corpus: in the plan tree
+    # the ArrowEvalPython node must sit above the HashAggregate pair
+    plan = phys(REGISTRY["bpe_encode_apply"].fn(spark, sf))
+    assert "ArrowEvalPython" in plan
+    arrow_at = plan.index("ArrowEvalPython")
+    agg_at = plan.index("HashAggregate")
+    assert agg_at > arrow_at  # tree prints top-down: UDF above the agg
