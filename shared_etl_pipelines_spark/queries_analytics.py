@@ -4096,3 +4096,52 @@ def q_forget_cascade_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(one("lineitem", li_hit))
         .unionByName(one("events", ev_hit))
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / l-diversity audit — the privacy pre-flight a governed
+# corpus release runs (Sweeney 2002; Machanavajjhala et al. 2007): group
+# records by the quasi-identifier tuple, flag groups smaller than k and
+# groups whose sensitive attribute lacks diversity. One map-side-
+# combinable aggregation; at 100 TB this is a single shuffle on the QI
+# tuple with partial counts, the same shape as any rollup.
+# ---------------------------------------------------------------------------
+@defquery(
+    "k_anonymity_audit",
+    """
+    SELECT c_mktsegment AS segment,
+           CAST(c_nationkey AS BIGINT) AS nation,
+           CAST(FLOOR(c_acctbal / 2000) AS BIGINT) AS bal_band,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT c_custkey % 7) AS BIGINT) AS l_div,
+           CAST(COUNT(*) < 5 AS INT) AS k_violation,
+           CAST(COUNT(DISTINCT c_custkey % 7) < 2 AS INT) AS l_violation
+    FROM customer
+    GROUP BY 1, 2, 3
+    """,
+    doc="k-anonymity/l-diversity audit over the quasi-identifier tuple "
+    "(segment, nation, balance band): group sizes, distinct sensitive "
+    "values (a synthetic 7-way plan-tier stands in for the sensitive "
+    "column the fixture lacks), and the k<5 / l<2 violation flags — the "
+    "read-only privacy pre-flight before a governed release",
+    tags=("analytics", "governance", "privacy", "aggregate"),
+)
+def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    g = cust.groupBy(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.floor(F.col("c_acctbal") / 2000).cast("long").alias("bal_band"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct(F.col("c_custkey") % 7).cast("long").alias("l_div"),
+    )
+    return g.select(
+        "segment",
+        "nation",
+        "bal_band",
+        "n",
+        "l_div",
+        (F.col("n") < 5).cast("int").alias("k_violation"),
+        (F.col("l_div") < 2).cast("int").alias("l_violation"),
+    )

@@ -5027,3 +5027,114 @@ def q_bpe_encode_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("pieces").cast("long").alias("n_pieces"),
         F.col("cnt").cast("long").alias("n_occurrences"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization — the normalize-before-dedup step of web-corpus
+# curation: lowercase scheme+host, drop the default port, strip
+# fragments and utm_* tracking params, keep meaningful params. The
+# messy raw URLs are synthesized deterministically from part (mixed-
+# case hosts, default/explicit ports, tracking params, fragments) so
+# the canonicalizer has real work; the dedup payoff is measured by
+# grouping on the canonical form. Pure regex/concat — JVM codegen on
+# the Spark side, identical RE2-compatible patterns in the oracle.
+# ---------------------------------------------------------------------------
+_RAW_URL_SQL = (
+    "'HTTPS://' || upper(replace(p_brand, '#', '')) || '.Example-'"
+    " || CAST(p_size % 4 AS VARCHAR) || '.COM'"
+    " || CASE WHEN p_size % 3 = 0 THEN ':443' ELSE '' END"
+    " || '/p/' || CAST(p_partkey % 500 AS VARCHAR)"
+    " || CASE WHEN p_size % 2 = 0 THEN '?utm_source=feed&id='"
+    "      || CAST(p_partkey % 500 AS VARCHAR) ELSE '?id='"
+    "      || CAST(p_partkey % 500 AS VARCHAR) END"
+    " || CASE WHEN p_size % 5 = 0 THEN '#sec' ELSE '' END"
+)
+
+
+@defquery(
+    "url_canonicalize",
+    f"""
+    WITH u AS (SELECT p_partkey, {_RAW_URL_SQL} AS url FROM part),
+    parts AS (
+      SELECT p_partkey, url,
+             lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) AS scheme,
+             lower(regexp_extract(url, '^[A-Za-z]+://([^/:?#]+)', 1)) AS host,
+             regexp_extract(url, '^[A-Za-z]+://[^/:?#]+:([0-9]+)', 1) AS port,
+             regexp_extract(url, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1) AS path,
+             regexp_extract(url, '\\?([^#]*)', 1) AS q
+      FROM u
+    ),
+    canon AS (
+      SELECT p_partkey, url,
+             scheme || '://' || host
+             || CASE WHEN port = '' OR (scheme = 'https' AND port = '443')
+                       OR (scheme = 'http' AND port = '80')
+                     THEN '' ELSE ':' || port END
+             || path
+             || CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canonical
+      FROM (SELECT *,
+              regexp_replace(regexp_replace(q, '(^|&)utm_[^&]*', '', 'g'),
+                             '^&', '') AS cq
+            FROM parts)
+    )
+    SELECT canonical,
+           CAST(COUNT(*) AS BIGINT) AS n_raw,
+           CAST(COUNT(DISTINCT url) AS BIGINT) AS n_forms,
+           CAST(MIN(p_partkey) AS BIGINT) AS keeper_part
+    FROM canon GROUP BY canonical
+    """,
+    doc="URL canonicalization for web-corpus dedup: lowercase scheme+"
+    "host, drop default ports, strip fragments and utm_* params, then "
+    "group by canonical form — n_raw collapses the tracking-param and "
+    "case variants a naive URL dedup would treat as distinct",
+    tags=("llm", "text", "url", "curation"),
+)
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey") % 500
+    raw = F.concat(
+        F.lit("HTTPS://"),
+        F.upper(F.regexp_replace("p_brand", "#", "")),
+        F.lit(".Example-"),
+        (F.col("p_size") % 4).cast("string"),
+        F.lit(".COM"),
+        F.when(F.col("p_size") % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/p/"),
+        pk.cast("string"),
+        F.when(
+            F.col("p_size") % 2 == 0,
+            F.concat(F.lit("?utm_source=feed&id="), pk.cast("string")),
+        ).otherwise(F.concat(F.lit("?id="), pk.cast("string"))),
+        F.when(F.col("p_size") % 5 == 0, F.lit("#sec")).otherwise(F.lit("")),
+    )
+    u = part.select("p_partkey", raw.alias("url"))
+    scheme = F.lower(F.regexp_extract("url", r"^([A-Za-z]+)://", 1))
+    host = F.lower(F.regexp_extract("url", r"^[A-Za-z]+://([^/:?#]+)", 1))
+    port = F.regexp_extract("url", r"^[A-Za-z]+://[^/:?#]+:([0-9]+)", 1)
+    path = F.regexp_extract("url", r"^[A-Za-z]+://[^/?#]+([^?#]*)", 1)
+    q = F.regexp_extract("url", r"\?([^#]*)", 1)
+    cq = F.regexp_replace(
+        F.regexp_replace(q, r"(^|&)utm_[^&]*", ""), r"^&", ""
+    )
+    keep_port = ~(
+        (port == "")
+        | ((scheme == "https") & (port == "443"))
+        | ((scheme == "http") & (port == "80"))
+    )
+    canonical = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        path,
+        F.when(cq == "", F.lit("")).otherwise(F.concat(F.lit("?"), cq)),
+    )
+    return (
+        u.select("p_partkey", "url", canonical.alias("canonical"))
+        .groupBy("canonical")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_raw"),
+            F.countDistinct("url").cast("long").alias("n_forms"),
+            F.min("p_partkey").cast("long").alias("keeper_part"),
+        )
+    )
