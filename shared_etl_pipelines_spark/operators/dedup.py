@@ -600,19 +600,28 @@ def prefix_filter_jaccard_pairs(
     )
     freq = srows.groupBy("s").agg(F.count(F.lit(1)).alias("s_freq"))
     w = Window.partitionBy("doc").orderBy("s_freq", "s")
+    # persisted: prefix, the probe side, and the verify arrays all read
+    # this frame; without the persist each consumer re-runs the
+    # srows-join-freq + ranking-window subtree (their exchange subtrees
+    # differ, so ReusedExchange cannot dedupe them). Storage is released
+    # by the session harness (engine.sweep_persistent_rdds).
     ranked = (
         srows.join(freq, "s")
         .withColumn("rn", F.row_number().over(w))
         .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("doc")))
+        .persist()
     )
     prefix = ranked.filter(
         F.col("rn")
         <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
     ).select(F.col("doc").alias("pd"), F.col("sz").alias("p_sz"), "s")
-    sizes = srows.groupBy("doc").agg(F.count(F.lit(1)).alias("o_sz"))
-    orows = srows.join(sizes, "doc").select(
-        F.col("doc").alias("od"), F.col("o_sz"), "s"
-    )
+    # ranked already carries each doc's shingle count (sz) on every row:
+    # deriving the probe side and the verify arrays from it — instead of
+    # fresh groupBys over srows — collapses three corpus-sized doc-key
+    # shuffles into the one the ranking window already pays (the three
+    # exchange subtrees differ, so ReusedExchange cannot dedupe them;
+    # sharing the frame can).
+    orows = ranked.select(F.col("doc").alias("od"), F.col("sz").alias("o_sz"), "s")
     cand = (
         prefix.join(orows, "s")
         .filter(
@@ -628,7 +637,9 @@ def prefix_filter_jaccard_pairs(
         )
         .distinct()
     )
-    sharr = srows.groupBy("doc").agg(F.collect_list("s").alias("sh"))
+    # ranked's window output keeps hashpartitioning(doc), so this
+    # aggregate satisfies its required distribution with NO new exchange
+    sharr = ranked.groupBy("doc").agg(F.collect_list("s").alias("sh"))
     a = sharr.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sharr.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
