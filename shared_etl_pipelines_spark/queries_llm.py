@@ -5138,3 +5138,65 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("p_partkey").cast("long").alias("keeper_part"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# WARC ingestion — the CommonCrawl entry point of a web-scale training-
+# data pipeline (sources/warc.py: pure-python WARC/1.0 codec, plain +
+# per-record-gzip members; binaryFile + mapInPandas, one task per
+# archive). The demo crawl is closed-form, so the oracle regenerates
+# the expected per-domain aggregates from SQL generators — the whole
+# encode -> (gzip) -> parse -> decode -> aggregate path is hash-checked.
+# ---------------------------------------------------------------------------
+def _warc_ingest_sql() -> str:
+    from shared_etl_pipelines_spark.sources.warc import (
+        DEMO_WARC_FILES,
+        DEMO_WARC_RECORDS,
+    )
+
+    return f"""
+    WITH g AS (
+      SELECT CAST(f * {DEMO_WARC_RECORDS} + r AS BIGINT) AS seed
+      FROM range({DEMO_WARC_FILES}) tf(f), range({DEMO_WARC_RECORDS}) tr(r)
+    ),
+    rec AS (
+      SELECT 'site-' || CAST(seed % 7 AS VARCHAR) || '.example.com' AS domain,
+             5 + seed % 25 AS n_toks,
+             1 + seed % 10 AS dom
+      FROM g
+    )
+    SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_records,
+           CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+           CAST(COUNT(DISTINCT dom) AS BIGINT) AS n_days
+    FROM rec GROUP BY domain
+    """
+
+
+@defquery(
+    "warc_ingest_stats",
+    _warc_ingest_sql(),
+    doc="WARC crawl ingestion: parse the demo crawl (plain .warc + "
+    "CommonCrawl per-record-gzip .warc.gz) with one binaryFile task per "
+    "archive, then per-domain record/token/day rollups; oracle "
+    "regenerates the closed-form crawl from SQL generators",
+    tags=("llm", "source", "warc", "ingestion"),
+)
+def q_warc_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.warc import ensure_demo_warc, read_warc
+
+    recs = read_warc(spark, ensure_demo_warc())
+    return (
+        recs.select(
+            F.regexp_extract("target_uri", r"https?://([^/]+)/", 1).alias(
+                "domain"
+            ),
+            F.size(F.split("payload", " ")).alias("n_toks"),
+            F.substring("warc_date", 1, 10).alias("day"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_records"),
+            F.sum("n_toks").cast("long").alias("total_tokens"),
+            F.countDistinct("day").cast("long").alias("n_days"),
+        )
+    )
