@@ -5161,7 +5161,7 @@ def _warc_ingest_sql() -> str:
     ),
     rec AS (
       SELECT 'site-' || CAST(seed % 7 AS VARCHAR) || '.example.com' AS domain,
-             5 + seed % 25 AS n_toks,
+             5 + (seed % 60) % 25 AS n_toks,
              1 + seed % 10 AS dom
       FROM g
     )
@@ -5199,4 +5199,58 @@ def q_warc_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_toks").cast("long").alias("total_tokens"),
             F.countDistinct("day").cast("long").alias("n_days"),
         )
+    )
+
+
+@defquery(
+    "warc_curation_funnel",
+    f"""
+    WITH g AS (
+      SELECT CAST(f * {{R}} + r AS BIGINT) AS seed
+      FROM range({{F}}) tf(f), range({{R}}) tr(r)
+    ),
+    rec AS (
+      SELECT seed, seed % 60 AS eff, 5 + (seed % 60) % 25 AS n_toks,
+             'https://site-' || CAST(seed % 7 AS VARCHAR)
+               || '.example.com/doc/' || CAST(seed // {{R}} AS VARCHAR)
+               || '/' || CAST(seed % {{R}} AS VARCHAR) AS uri
+      FROM g
+    ),
+    quality AS (SELECT * FROM rec WHERE n_toks >= 10),
+    dedup AS (
+      SELECT eff, MIN(uri) AS keeper FROM quality GROUP BY eff
+    )
+    SELECT 'parsed' AS stage, CAST(COUNT(*) AS BIGINT) AS n FROM rec
+    UNION ALL
+    SELECT 'quality', CAST(COUNT(*) AS BIGINT) FROM quality
+    UNION ALL
+    SELECT 'deduped', CAST(COUNT(*) AS BIGINT) FROM dedup
+    """.replace("{F}", "3").replace("{R}", "40"),
+    doc="end-to-end crawl curation in one DAG: WARC parse -> token-count "
+    "quality floor -> exact content dedup (md5 keeper election, "
+    "lexicographic-min URI) -> per-stage funnel counts; the demo crawl "
+    "plants exact duplicates (payload period 60), so the dedup stage "
+    "does real work; oracle regenerates the funnel in closed form",
+    tags=("llm", "source", "warc", "curation", "dedup"),
+)
+def q_warc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.warc import ensure_demo_warc, read_warc
+
+    recs = read_warc(spark, ensure_demo_warc()).select(
+        "target_uri",
+        F.md5("payload").alias("content_hash"),
+        F.size(F.split("payload", " ")).alias("n_toks"),
+    )
+    quality = recs.filter(F.col("n_toks") >= 10)
+    dedup = quality.groupBy("content_hash").agg(F.min("target_uri").alias("keeper"))
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias("n")).select(
+            F.lit(name).alias("stage"), "n"
+        )
+
+    return (
+        stage("parsed", recs)
+        .unionByName(stage("quality", quality))
+        .unionByName(stage("deduped", dedup))
     )

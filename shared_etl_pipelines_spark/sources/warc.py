@@ -206,8 +206,11 @@ DEMO_WARC_RECORDS = 40
 
 def demo_warc_record(f: int, r: int) -> dict:
     seed = f * DEMO_WARC_RECORDS + r
-    n_toks = 5 + seed % 25
-    payload = " ".join(f"w{(seed * 13 + j) % 53}" for j in range(n_toks))
+    # payloads repeat with period 60: records 60..119 duplicate 0..59
+    # exactly, giving the dedup stage of the curation funnel real work
+    eff = seed % 60
+    n_toks = 5 + eff % 25
+    payload = " ".join(f"w{(eff * 13 + j) % 53}" for j in range(n_toks))
     return {
         "type": "response",
         "target_uri": f"https://site-{seed % 7}.example.com/doc/{f}/{r}",
@@ -222,7 +225,7 @@ def ensure_demo_warc(base_dir: str | None = None) -> str:
     import tempfile
 
     root = base_dir or os.path.join(
-        tempfile.gettempdir(), "spark_graft_warc_demo_v1"
+        tempfile.gettempdir(), "spark_graft_warc_demo_v2"
     )
     os.makedirs(root, exist_ok=True)
     for f in range(DEMO_WARC_FILES):
