@@ -161,3 +161,20 @@ def zonal_stats_shapefile(
         extra_group_cols=extra,
     )
     return {"df": out, "n_polygons": len(polys)}
+
+
+@plugin("read_warc")
+def read_warc_plugin(
+    ctx: StepContext,
+    path: str,
+    on_error: str = "fail",
+    **kw: Any,
+) -> dict[str, Any]:
+    """Web-corpus ingestion: parse WARC archives (plain .warc or
+    CommonCrawl per-record-gzip .warc.gz) into a records table — the
+    crawl-side twin of read_geotiff (one binaryFile task per archive,
+    Arrow-batched parse; sources/warc.py)."""
+    from shared_etl_pipelines_spark.sources.warc import read_warc
+
+    df = read_warc(ctx.spark, path, on_error=on_error)
+    return {"df": df, "path": path}

@@ -122,3 +122,25 @@ def test_read_warc_skip_posture(spark, tmp_path):
         read_warc(spark, str(work)).count()
     n = read_warc(spark, str(work), on_error="skip").count()
     assert n == DEMO_WARC_FILES * DEMO_WARC_RECORDS
+
+
+def test_crawl_curation_pipeline_matches_registry(spark):
+    """The YAML crawl-curation pipeline must reproduce the registry
+    query's funnel exactly (same stages, same counts)."""
+    import os
+
+    from shared_etl_pipelines_spark.plans import PipelineRunner
+    from shared_etl_pipelines_spark.queries_llm import q_warc_curation_funnel
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "shared_etl_pipelines_spark", "plans", "examples", "crawl_curation.yml",
+    )
+    runner = PipelineRunner(spark)
+    result = runner.run(path, var_overrides={"crawl_dir": ensure_demo_warc()})
+    got = {(r["stage"], r["n"]) for r in result.outputs["result"]["df"].collect()}
+    want = {
+        (r["stage"], r["n"])
+        for r in q_warc_curation_funnel(spark, "unused").collect()
+    }
+    assert got == want == {("parsed", 120), ("quality", 90), ("deduped", 45)}
