@@ -749,7 +749,7 @@ _CARRYOVER_FIRST = (
     "stream_new_doc_dedup", "stream_raster_daily",
     "gopher_quality_rules", "rendezvous_shard_stats", "ann_recall_eval",
     "bpe_encode_apply", "bpe_learn_merges",
-    "k_anonymity_audit", "url_canonicalize", "warc_ingest_stats", "warc_curation_funnel",
+    "k_anonymity_audit", "url_canonicalize", "warc_ingest_stats", "warc_curation_funnel", "html_extract_text",
     # TPC-H shape catalog (queries_relational.py, registered last in
     # module import order — would otherwise be starved a third round)
     "waiting_supplier_blame", "idle_rich_customers", "snapshot_diff_orders",

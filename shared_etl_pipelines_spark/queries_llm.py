@@ -5254,3 +5254,98 @@ def q_warc_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(stage("quality", quality))
         .unionByName(stage("deduped", dedup))
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML text extraction — the boilerplate-removal stage between crawl
+# parse and quality filtering (trafilatura-lite): drop script/style
+# blocks and nav/footer chrome, strip remaining tags, collapse
+# whitespace. Deterministic HTML is synthesized around each document's
+# text so the extractor has real chrome to remove; both engines run the
+# IDENTICAL regex chain (non-greedy block patterns are RE2- and
+# Java-regex-compatible), so the extraction is hash-checked end to end.
+# ---------------------------------------------------------------------------
+_HTML_WRAP_SQL = (
+    "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || '</title>'"
+    " || '<script type=\"text/javascript\">var x = '"
+    " || CAST(doc_id AS VARCHAR) || ';</script>'"
+    " || '<style>.a{color:red}</style></head><body>'"
+    " || '<nav><a href=\"/\">home</a> | ' || source || ' menu</nav>'"
+    " || '<div class=\"content\"><p>' || text || '</p></div>'"
+    " || '<footer>(c) 2024 ' || source || '.example.com</footer>'"
+    " || '</body></html>'"
+)
+
+_HTML_STRIP_STEPS = [
+    ("<script[^>]*>.*?</script>", " "),
+    ("<style[^>]*>.*?</style>", " "),
+    ("<nav>.*?</nav>", " "),
+    ("<footer>.*?</footer>", " "),
+    ("<[^>]*>", " "),
+]
+
+
+def _html_extract_sql() -> str:
+    s = "h"
+    for pat, rep in _HTML_STRIP_STEPS:
+        s = f"regexp_replace({s}, '{pat}', '{rep}', 'g')"
+    s = f"trim(regexp_replace({s}, '\\s+', ' ', 'g'))"
+    return f"""
+    WITH raw AS (SELECT doc_id, {_HTML_WRAP_SQL} AS h FROM documents),
+    ex AS (SELECT doc_id, h, {s} AS extracted FROM raw)
+    SELECT doc_id,
+           CAST(length(h) AS BIGINT) AS n_chars_raw,
+           CAST(length(extracted) AS BIGINT) AS n_chars_text,
+           ROUND(1.0 - CAST(length(extracted) AS DOUBLE) / length(h), 4)
+             AS boilerplate_frac,
+           extracted
+    FROM ex
+    """
+
+
+@defquery(
+    "html_extract_text",
+    _html_extract_sql(),
+    doc="HTML boilerplate removal (trafilatura-lite): drop script/style "
+    "blocks and nav/footer chrome, strip tags, collapse whitespace — "
+    "the crawl-to-text stage, run as one JVM-side regex chain with the "
+    "identical chain replayed in the oracle (extracted text compared "
+    "verbatim, not just counts)",
+    tags=("llm", "text", "extraction", "curation"),
+)
+def q_html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    h = F.concat(
+        F.lit("<html><head><title>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</title>"),
+        F.lit('<script type="text/javascript">var x = '),
+        F.col("doc_id").cast("string"),
+        F.lit(";</script>"),
+        F.lit("<style>.a{color:red}</style></head><body>"),
+        F.lit('<nav><a href="/">home</a> | '),
+        F.col("source"),
+        F.lit(" menu</nav>"),
+        F.lit('<div class="content"><p>'),
+        F.col("text"),
+        F.lit("</p></div>"),
+        F.lit("<footer>(c) 2024 "),
+        F.col("source"),
+        F.lit(".example.com</footer>"),
+        F.lit("</body></html>"),
+    )
+    raw = docs.select("doc_id", h.alias("h"))
+    ex = F.col("h")
+    for pat, rep in _HTML_STRIP_STEPS:
+        ex = F.regexp_replace(ex, pat, rep)
+    ex = F.trim(F.regexp_replace(ex, r"\s+", " "))
+    out = raw.select("doc_id", "h", ex.alias("extracted"))
+    return out.select(
+        "doc_id",
+        F.length("h").cast("long").alias("n_chars_raw"),
+        F.length("extracted").cast("long").alias("n_chars_text"),
+        F.round(
+            1.0 - F.length("extracted").cast("double") / F.length("h"), 4
+        ).alias("boilerplate_frac"),
+        "extracted",
+    )
