@@ -62,6 +62,12 @@ SHOWCASE = {
     "similarity_topk_blocked": "block-GEMM top-k: corpus x packed query blocks, partial top-k bounds the shuffle",
     "semantic_dedup": "SemDeDup: near-dup self-join keyed on cluster cell — quadratic term bounded by cell size",
     "kaplan_meier_conversion": "KM curve: integer event tables, windows over |event days| rows only",
+    "gopher_quality_rules": "published quality filter as pure codegen: no Python eval, no agg shuffle, 2-column scan",
+    "rendezvous_shard_stats": "HRW sharding in ONE projection (array_max over struct candidates), no explode/window",
+    "bpe_encode_apply": "frozen-tokenizer encode: pandas UDF above the word-frequency agg — vocab rows, never the corpus",
+    "warc_ingest_stats": "WARC parse inside scan-task mapInPandas (one task per archive), then one domain rollup",
+    "html_extract_text": "boilerplate strip as one JVM regex chain: no Python eval, single projection over the scan",
+    "near_dup_prefix_filter": "AllPairs prefix filter: ranked frame persisted once, probe join linear in candidates",
 }
 
 
