@@ -704,3 +704,43 @@ def test_welford_stats_refuses_default_state_store(spark, events, drop_dir):
     stream = read_drop_dir(spark, sub, events.schema)
     with pytest.raises(ValueError, match="RocksDB"):
         welford_stats(stream)
+
+
+def test_append_emission_boundary_is_inclusive(spark, tmp_path):
+    """The streaming oracles (queries_streaming.py) replay availableNow
+    emission as `window_end <= max(ts) - delay`. Pin that Spark's append
+    flush is INCLUSIVE at the boundary: with max ts exactly Jan 5
+    00:00:00, watermark = Jan 4 00:00:00, and the [Jan 3, Jan 4) window
+    (end == watermark) must be emitted."""
+    import datetime
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    d = str(tmp_path / "ev")
+    rows = [
+        (datetime.datetime(2024, 1, 3, 12, 0, 0), 1.0),
+        (datetime.datetime(2024, 1, 5, 0, 0, 0), 2.0),
+    ]
+    spark.createDataFrame(rows, "ts timestamp, v double").coalesce(
+        1
+    ).write.mode("overwrite").parquet(d)
+    schema = spark.read.parquet(d).schema
+    s = spark.readStream.format("parquet").schema(schema).load(d)
+    agg = (
+        s.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = "b" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.table(name).collect()
+    starts = {str(r["w"]["start"])[:10] for r in out}
+    assert starts == {"2024-01-03"}  # boundary window in, newer window held
