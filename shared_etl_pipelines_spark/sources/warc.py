@@ -74,15 +74,28 @@ def encode_warc(records: list[dict], per_record_gzip: bool = False) -> bytes:
     return b"".join(_encode_record(r) for r in records)
 
 
+_GZ_CHUNK = 1 << 16
+
+
 def _split_gzip_members(data: bytes) -> Iterator[bytes]:
-    pos = 0
-    while pos < len(data):
+    # Feed fixed-size chunks, not the whole remaining tail: a real crawl
+    # archive holds tens of thousands of members, and handing zlib
+    # `data[pos:]` per member copies the tail each time — O(n^2) bytes.
+    # Chunked feeding keeps the walk linear; memoryview slices are free.
+    view = memoryview(data)
+    pos, n = 0, len(data)
+    while pos < n:
         d = zlib.decompressobj(wbits=16 + zlib.MAX_WBITS)
-        out = d.decompress(data[pos:])
-        if not out and not d.eof:
-            raise ValueError(f"corrupt gzip member at offset {pos}")
-        yield out
-        consumed = len(data) - pos - len(d.unused_data)
+        out = []
+        p = pos
+        while not d.eof and p < n:
+            chunk = view[p : p + _GZ_CHUNK]
+            out.append(d.decompress(chunk))
+            p += len(chunk)
+        if not d.eof:
+            raise ValueError(f"corrupt/truncated gzip member at offset {pos}")
+        yield b"".join(out)
+        consumed = (p - pos) - len(d.unused_data)
         if consumed <= 0:
             raise ValueError(f"gzip member at offset {pos} consumed no bytes")
         pos += consumed
