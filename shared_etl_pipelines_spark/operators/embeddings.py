@@ -212,6 +212,7 @@ def pca_project(
     vec_col: str = "embedding",
     dim: int = 64,
     k: int = 8,
+    basis: "np.ndarray | None" = None,
 ) -> DataFrame:
     """Project embeddings onto their top-``k`` principal components.
 
@@ -221,6 +222,14 @@ def pca_project(
     canonicalized (largest-|coef| positive) for determinism.
     Phase 3 (distributed): broadcast basis, one GEMM per Arrow batch.
     Output: (id, proj array<double> of length k).
+
+    ``basis`` (dim x k) skips phase 2 and projects onto the GIVEN
+    directions (still mean-centered from phase 1). The eigensolve is a
+    driver-side LAPACK call no SQL engine replays, but with an injected
+    deterministic basis phases 1+3 — the distributed moment pass and the
+    centered GEMM — ARE replayable, which is what the
+    pca_project_fixed_basis oracle twin pins (the covariance input to
+    the eigensolve is separately pinned by embedding_covariance).
     """
     prepped = df.select(F.col(id_col), as_double(vec_col).alias("v"))
     partials = prepped.mapInPandas(
@@ -230,16 +239,22 @@ def pca_project(
     if n < 2:
         raise ValueError("pca_project needs at least 2 vectors")
     s = np.sum(np.stack(partials["s"].to_numpy()), axis=0)
-    pp = np.sum(np.stack(partials["pp"].to_numpy()), axis=0).reshape(dim, dim)
     mean = s / n
-    cov = (pp - np.outer(s, mean)) / (n - 1)
-    eigvals, eigvecs = np.linalg.eigh(cov)
-    order = np.argsort(eigvals)[::-1][:k]
-    basis = eigvecs[:, order]  # (dim, k)
-    # canonical sign: make the largest-magnitude coefficient positive
-    flips = np.sign(basis[np.abs(basis).argmax(axis=0), np.arange(k)])
-    flips[flips == 0] = 1.0
-    basis = basis * flips
+    if basis is not None:
+        basis = np.asarray(basis, dtype=np.float64)
+        if basis.shape[0] != dim:
+            raise ValueError(f"basis must be ({dim}, k), got {basis.shape}")
+        k = basis.shape[1]
+    else:
+        pp = np.sum(np.stack(partials["pp"].to_numpy()), axis=0).reshape(dim, dim)
+        cov = (pp - np.outer(s, mean)) / (n - 1)
+        eigvals, eigvecs = np.linalg.eigh(cov)
+        order = np.argsort(eigvals)[::-1][:k]
+        basis = eigvecs[:, order]  # (dim, k)
+        # canonical sign: make the largest-magnitude coefficient positive
+        flips = np.sign(basis[np.abs(basis).argmax(axis=0), np.arange(k)])
+        flips[flips == 0] = 1.0
+        basis = basis * flips
     mean_b = mean.copy()
     basis_b = basis.copy()
 

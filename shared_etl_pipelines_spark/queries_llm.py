@@ -5349,3 +5349,54 @@ def q_html_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("boilerplate_frac"),
         "extracted",
     )
+
+
+# ---------------------------------------------------------------------------
+# PCA oracle twin: inject a deterministic basis so phases 1+3 of
+# pca_project (the distributed mean pass + the centered Arrow-batch
+# GEMM) run against a full SQL replay. Together with embedding_covariance
+# (which pins the eigensolve's INPUT) this brackets the one step no SQL
+# engine can replay — the driver-side LAPACK eigh. Basis entries are
+# integer-derived ((d*7 + j*3) % 5 - 2) / 10, computed identically in
+# both engines.
+# ---------------------------------------------------------------------------
+@defquery(
+    "pca_project_fixed_basis",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    x AS (
+      SELECT vec_id, d, v[d + 1] AS x
+      FROM e, (SELECT UNNEST(range(64)) AS d)
+    ),
+    m AS (SELECT d, AVG(x) AS mu FROM x GROUP BY d),
+    b AS (
+      SELECT d, j, ((d * 7 + j * 3) % 5 - 2) / 10.0 AS w
+      FROM (SELECT UNNEST(range(64)) AS d), (SELECT UNNEST(range(2)) AS j)
+    )
+    SELECT vec_id, CAST(j AS INT) AS component,
+           ROUND(SUM((x - mu) * w), 4) AS value
+    FROM x JOIN m USING (d) JOIN b USING (d)
+    GROUP BY vec_id, j
+    """,
+    doc="PCA phases 1+3 twin: mean-centered projection onto an injected "
+    "deterministic basis through the operator's own mapInPandas GEMM; "
+    "SQL replays the identical centered matrix-vector product — with "
+    "embedding_covariance this brackets the LAPACK eigensolve",
+    tags=("llm", "embedding", "projection"),
+)
+def q_pca_project_fixed_basis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from shared_etl_pipelines_spark.operators.embeddings import pca_project
+
+    d_idx = np.arange(64)[:, None]
+    j_idx = np.arange(2)[None, :]
+    basis = ((d_idx * 7 + j_idx * 3) % 5 - 2) / 10.0
+    out = pca_project(_t(spark, sf_dir, "embeddings"), basis=basis)
+    return out.select(
+        "vec_id", F.posexplode("proj").alias("component", "value")
+    ).select(
+        "vec_id",
+        F.col("component").cast("int").alias("component"),
+        F.round("value", 4).alias("value"),
+    )
