@@ -70,16 +70,34 @@ def _events_stream(spark: SparkSession, sf_dir: str):
 
 
 def _run(df: DataFrame, mode: str) -> DataFrame:
-    name = f"q_{uuid.uuid4().hex[:12]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
-    return df.sparkSession.table(name)
+    # Streaming state operators take their partition count from
+    # spark.sql.shuffle.partitions AT QUERY START (then it's checkpoint-
+    # pinned). Under the driver's unknown session config (e.g. the 200
+    # default) that is pure task-scheduling overhead at gate scale
+    # (stream_interval_join: 30 s at 200 partitions vs 3 s at 8), so pin
+    # a small count for the drain and restore the caller's setting
+    # after. The underlying operators (streaming/windows.py) remain
+    # config-agnostic — a production job sizes this to its key space.
+    spark = df.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "8")
+    try:
+        name = f"q_{uuid.uuid4().hex[:12]}"
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    return spark.table(name)
 
 
 # watermark-closed emission filter shared by the day-window oracles:
