@@ -83,9 +83,11 @@ def covariance_matrix(
     return agg.select("i", "j", cov.alias("cov"))
 
 
-def _moment_partials(vec_col: str, dim: int):
+def _moment_partials(vec_col: str, dim: int, with_pp: bool = True):
     """mapInPandas stage: per Arrow batch, one partial-moment row
-    (n, sum vector, flattened sum of outer products)."""
+    (n, sum vector, flattened sum of outer products). ``with_pp=False``
+    emits an empty pp (callers that inject a basis never read it —
+    skips the O(rows * dim^2) GEMM and the dim^2 driver transfer)."""
 
     def gen(batches):
         for pdf in batches:
@@ -96,7 +98,11 @@ def _moment_partials(vec_col: str, dim: int):
                 {
                     "n": [len(V)],
                     "s": [V.sum(axis=0)],
-                    "pp": [(V.T @ V).reshape(-1)],
+                    "pp": [
+                        (V.T @ V).reshape(-1)
+                        if with_pp
+                        else np.zeros(0, dtype=np.float64)
+                    ],
                 }
             )
 
@@ -231,21 +237,24 @@ def pca_project(
     pca_project_fixed_basis oracle twin pins (the covariance input to
     the eigensolve is separately pinned by embedding_covariance).
     """
+    if basis is not None:
+        basis = np.asarray(basis, dtype=np.float64)
+        if basis.ndim != 2 or basis.shape[0] != dim:
+            raise ValueError(f"basis must be ({dim}, k), got {basis.shape}")
+        k = basis.shape[1]
     prepped = df.select(F.col(id_col), as_double(vec_col).alias("v"))
+    # with an injected basis, phase 2 never reads the dim x dim outer-
+    # product partials — skip computing/shipping them entirely
     partials = prepped.mapInPandas(
-        _moment_partials("v", dim), "n long, s array<double>, pp array<double>"
+        _moment_partials("v", dim, with_pp=basis is None),
+        "n long, s array<double>, pp array<double>",
     ).toPandas()
     n = int(partials["n"].sum())
     if n < 2:
         raise ValueError("pca_project needs at least 2 vectors")
     s = np.sum(np.stack(partials["s"].to_numpy()), axis=0)
     mean = s / n
-    if basis is not None:
-        basis = np.asarray(basis, dtype=np.float64)
-        if basis.shape[0] != dim:
-            raise ValueError(f"basis must be ({dim}, k), got {basis.shape}")
-        k = basis.shape[1]
-    else:
+    if basis is None:
         pp = np.sum(np.stack(partials["pp"].to_numpy()), axis=0).reshape(dim, dim)
         cov = (pp - np.outer(s, mean)) / (n - 1)
         eigvals, eigvecs = np.linalg.eigh(cov)

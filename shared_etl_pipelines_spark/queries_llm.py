@@ -4704,8 +4704,9 @@ _GOPHER_STOPS_IN = ", ".join(f"'{s}'" for s in _GOPHER_STOPS)
              (length(text) - length(replace(text, '#', ''))
               + (length(text) - length(replace(text, '...', ''))) / 3)
                / CAST(len(toks) AS DOUBLE) AS sym_ratio,
-             len(list_distinct(list_filter(toks,
-                 x -> lower(x) IN ({_GOPHER_STOPS_IN})))) AS n_stop
+             len(list_distinct(list_transform(list_filter(toks,
+                 x -> lower(x) IN ({_GOPHER_STOPS_IN})), x -> lower(x))))
+               AS n_stop
       FROM t WHERE len(toks) > 0
     )
     SELECT doc_id,
@@ -4752,7 +4753,10 @@ def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     sym = (n_hash + n_ell) / nw.cast("double")
     n_stop = F.size(
         F.array_distinct(
-            F.filter(F.col("toks"), lambda x: F.lower(x).isin(*_GOPHER_STOPS))
+            F.transform(
+                F.filter(F.col("toks"), lambda x: F.lower(x).isin(*_GOPHER_STOPS)),
+                F.lower,
+            )
         )
     )
     m = t.select(
@@ -4792,11 +4796,10 @@ def q_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the output table exhibits this (n_moved_in = 0 for shards 0..7).
 # Portable md5 weights, so the oracle replays the assignment exactly.
 # ---------------------------------------------------------------------------
-def _hrw_w_sql(s: int) -> str:
-    return (
-        f"CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':{s}'), 1, 7) "
-        "AS BIGINT)"
-    )
+_HRW_W = (
+    "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || "
+    "CAST(s AS VARCHAR)), 1, 7) AS BIGINT)"
+)
 
 
 @defquery(
@@ -4804,9 +4807,7 @@ def _hrw_w_sql(s: int) -> str:
     f"""
     WITH d AS (SELECT doc_id FROM documents),
     a8 AS (
-      SELECT doc_id, s,
-             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
-                                     CAST(s AS VARCHAR)), 1, 7) AS BIGINT) AS w
+      SELECT doc_id, s, {_HRW_W} AS w
       FROM d, (SELECT UNNEST(range(8)) AS s)
     ),
     s8 AS (
@@ -4816,9 +4817,7 @@ def _hrw_w_sql(s: int) -> str:
         FROM a8) WHERE rn = 1
     ),
     a9 AS (
-      SELECT doc_id, s,
-             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
-                                     CAST(s AS VARCHAR)), 1, 7) AS BIGINT) AS w
+      SELECT doc_id, s, {_HRW_W} AS w
       FROM d, (SELECT UNNEST(range(9)) AS s)
     ),
     s9 AS (
@@ -5202,18 +5201,22 @@ def q_warc_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@defquery(
-    "warc_curation_funnel",
-    f"""
+def _warc_funnel_sql() -> str:
+    from shared_etl_pipelines_spark.sources.warc import (
+        DEMO_WARC_FILES as NF,
+        DEMO_WARC_RECORDS as NR,
+    )
+
+    return f"""
     WITH g AS (
-      SELECT CAST(f * {{R}} + r AS BIGINT) AS seed
-      FROM range({{F}}) tf(f), range({{R}}) tr(r)
+      SELECT CAST(f * {NR} + r AS BIGINT) AS seed
+      FROM range({NF}) tf(f), range({NR}) tr(r)
     ),
     rec AS (
       SELECT seed, seed % 60 AS eff, 5 + (seed % 60) % 25 AS n_toks,
              'https://site-' || CAST(seed % 7 AS VARCHAR)
-               || '.example.com/doc/' || CAST(seed // {{R}} AS VARCHAR)
-               || '/' || CAST(seed % {{R}} AS VARCHAR) AS uri
+               || '.example.com/doc/' || CAST(seed // {NR} AS VARCHAR)
+               || '/' || CAST(seed % {NR} AS VARCHAR) AS uri
       FROM g
     ),
     quality AS (SELECT * FROM rec WHERE n_toks >= 10),
@@ -5225,7 +5228,12 @@ def q_warc_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'quality', CAST(COUNT(*) AS BIGINT) FROM quality
     UNION ALL
     SELECT 'deduped', CAST(COUNT(*) AS BIGINT) FROM dedup
-    """.replace("{F}", "3").replace("{R}", "40"),
+    """
+
+
+@defquery(
+    "warc_curation_funnel",
+    _warc_funnel_sql(),
     doc="end-to-end crawl curation in one DAG: WARC parse -> token-count "
     "quality floor -> exact content dedup (md5 keeper election, "
     "lexicographic-min URI) -> per-stage funnel counts; the demo crawl "

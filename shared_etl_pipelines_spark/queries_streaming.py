@@ -273,23 +273,32 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 @defquery(
     "stream_dedup_hashes",
     """
-    SELECT DISTINCT md5(CAST(user_id AS VARCHAR) || '|' || event_type
-                        || '|' || CAST(value AS VARCHAR)) AS content_hash
+    SELECT DISTINCT md5(concat_ws('|', user_id, event_type,
+                                  CAST(ROUND(value * 100) AS BIGINT)))
+             AS content_hash
     FROM events
     """,
     doc="streaming exact dedup: first arrival per content hash, state "
     "expired by watermark (dropDuplicatesWithinWatermark); a single "
     "availableNow batch keeps exactly one row per hash, so the kept set "
-    "is the distinct hash set (value renders identically in both "
-    "engines: 2-decimal currency doubles, shortest-round-trip form)",
+    "is the distinct hash set. The value enters the hash as INTEGER "
+    "CENTS (the repo's money convention) — raw double-to-string "
+    "rendering diverges between engines outside ~[1e-3, 1e7) (Java "
+    "scientific notation vs positional), so it must never feed a "
+    "cross-engine hash",
     tags=("streaming", "dedup"),
 )
 def q_stream_dedup_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
     from shared_etl_pipelines_spark.streaming import dedup_stream
 
+    ev = _events_stream(spark, sf_dir).withColumn(
+        "value_cents", F.round(F.col("value") * 100).cast("long")
+    )
     deduped = dedup_stream(
-        _events_stream(spark, sf_dir),
-        ["user_id", "event_type", "value"],
+        ev,
+        ["user_id", "event_type", "value_cents"],
         ts_col="ts",
         delay="2 days",
     )

@@ -234,11 +234,21 @@ def demo_warc_record(f: int, r: int) -> dict:
 
 
 def ensure_demo_warc(base_dir: str | None = None) -> str:
-    """Write (idempotently) the demo crawl; returns its directory."""
+    """Write (idempotently) the demo crawl; returns its directory.
+
+    The default directory name embeds a hash of the generator's own
+    output, so editing demo_warc_record or the DEMO_* constants
+    automatically busts the /tmp cache instead of silently serving
+    stale archive bytes to the oracle-checked queries."""
+    import hashlib
     import tempfile
 
+    tag = hashlib.md5(
+        _encode_record(demo_warc_record(0, DEMO_WARC_RECORDS - 1))
+        + f"{DEMO_WARC_FILES}x{DEMO_WARC_RECORDS}".encode()
+    ).hexdigest()[:10]
     root = base_dir or os.path.join(
-        tempfile.gettempdir(), "spark_graft_warc_demo_v2"
+        tempfile.gettempdir(), f"spark_graft_warc_demo_{tag}"
     )
     os.makedirs(root, exist_ok=True)
     for f in range(DEMO_WARC_FILES):

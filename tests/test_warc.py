@@ -104,8 +104,9 @@ def test_read_warc_end_to_end(spark):
             assert got["target_uri"] == exp["target_uri"]
             assert got["payload"] == exp["payload"]
             assert got["warc_date"] == exp["date"]
-    # archives parallelize: one parse task per file
-    assert df.rdd.getNumPartitions() >= 1
+    # (binaryFile may pack small files into one partition — per-archive
+    # task granularity only materializes with real ~GiB archives, so no
+    # partition-count assertion here; full-content parse is pinned above)
 
 
 def test_read_warc_skip_posture(spark, tmp_path):
