@@ -651,3 +651,102 @@ def prefix_filter_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def incremental_minhash_lsh(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """NEAR-dup probe of a new batch against an existing corpus — the
+    continuous-crawl shape of minhash_lsh_pairs (and the LSH twin of
+    incremental_dedup's exact-hash probe).
+
+    Emits verified pairs where at least one side is new: (new, old) from
+    probing the corpus' band buckets, plus (new, new) from the batch's
+    self-join. (old, old) pairs are by definition already known and are
+    never recomputed — that is the whole point: per refresh the work is
+    O(|batch| + collisions), not O(|corpus|).
+
+    Scale shape: the batch's band rows are BROADCAST against the corpus
+    band index. At warehouse scale the corpus signatures/bands are a
+    materialized write-side table (same posture as the ANN index in
+    operators/similarity.py) — this function computes them in-flight
+    only because the gate corpus is parquet-fresh; swapping in a stored
+    index changes no downstream logic. Determinism: bucketing is a pure
+    per-doc function of the text, so the incremental result equals the
+    full-corpus LSH pair set restricted to pairs touching the batch —
+    which is exactly what the SQL oracle checks.
+    """
+    rows_per_band = k // bands
+
+    def prep(df: DataFrame):
+        hrows = shingle_hash_rows(df, id_col, text_col, n=n)
+        mins = [
+            F.min((F.col("h") * a + b) % MINHASH_P).alias(f"mh_{i}")
+            for i, (a, b) in ((i, minhash_params(i)) for i in range(k))
+        ]
+        sig = hrows.groupBy(id_col).agg(
+            *mins, F.collect_set("h").alias("hv")
+        ).persist()
+        band_cols = [
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)],
+                )
+            )
+            for b in range(bands)
+        ]
+        banded = sig.select(
+            F.col(id_col),
+            F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash"),
+        )
+        return sig, banded
+
+    sig_c, band_c = prep(corpus)
+    sig_b, band_b = prep(batch)
+
+    new_old = (
+        F.broadcast(band_b.alias("b"))
+        .join(
+            band_c.alias("c"),
+            (F.col("b.band_idx") == F.col("c.band_idx"))
+            & (F.col("b.band_hash") == F.col("c.band_hash")),
+        )
+        .select(
+            F.least(F.col(f"b.{id_col}"), F.col(f"c.{id_col}")).alias("doc_a"),
+            F.greatest(F.col(f"b.{id_col}"), F.col(f"c.{id_col}")).alias("doc_b"),
+        )
+    )
+    new_new = (
+        band_b.alias("l")
+        .join(
+            band_b.alias("r"),
+            (F.col("l.band_idx") == F.col("r.band_idx"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b")
+        )
+    )
+    cand = new_old.unionByName(new_new).distinct().persist()
+    cand.count()
+    hv_all = sig_c.select(F.col(id_col), "hv").unionByName(
+        sig_b.select(F.col(id_col), "hv")
+    )
+    sh_a = hv_all.select(F.col(id_col).alias("doc_a"), F.col("hv").alias("sh_a"))
+    sh_b = hv_all.select(F.col(id_col).alias("doc_b"), F.col("hv").alias("sh_b"))
+    verified = (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("doc_a", "doc_b", "jaccard")

@@ -750,7 +750,7 @@ _CARRYOVER_FIRST = (
     "gopher_quality_rules", "rendezvous_shard_stats", "ann_recall_eval",
     "bpe_encode_apply", "bpe_learn_merges",
     "k_anonymity_audit", "url_canonicalize", "warc_ingest_stats", "warc_curation_funnel", "html_extract_text",
-    "pca_project_fixed_basis",
+    "pca_project_fixed_basis", "incremental_near_dup",
     # TPC-H shape catalog (queries_relational.py, registered last in
     # module import order — would otherwise be starved a third round)
     "waiting_supplier_blame", "idle_rich_customers", "snapshot_diff_orders",

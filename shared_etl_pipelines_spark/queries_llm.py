@@ -5408,3 +5408,63 @@ def q_pca_project_fixed_basis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").cast("int").alias("component"),
         F.round("value", 4).alias("value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental NEAR-dup — the continuous-crawl refresh: probe a new batch
+# against the existing corpus' LSH band index (broadcast batch bands),
+# plus the batch self-join; (old, old) pairs are never recomputed. The
+# LSH twin of incremental_dedup's exact-hash probe. Because bucketing is
+# a pure per-doc function of the text, the incremental result equals the
+# full-corpus LSH pair set restricted to pairs touching the batch —
+# which is exactly how the oracle states it.
+# ---------------------------------------------------------------------------
+@defquery(
+    "incremental_near_dup",
+    f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    s AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM t),
+    h AS (SELECT doc_id, list_distinct({HV_SQL}) AS hv FROM s WHERE len(sh) > 0),
+    sig AS (
+      SELECT doc_id, hv, {', '.join(f"{_mh_sql(i)} AS mh{i}" for i in range(8))}
+      FROM h
+    ),
+    bands AS (
+      {' UNION ALL '.join(
+        f"SELECT doc_id, {b} AS band_idx, md5(mh{2 * b} || '|' || mh{2 * b + 1}) AS band_hash FROM sig"
+        for b in range(4)
+      )}
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM bands l JOIN bands r
+        ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash
+       AND l.doc_id < r.doc_id
+      WHERE l.doc_id % 7 = 3 OR r.doc_id % 7 = 3
+    )
+    SELECT doc_a, doc_b,
+           ROUND(CAST(len(list_intersect(a.hv, b.hv)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.hv, b.hv))), 4) AS jaccard
+    FROM cand
+    JOIN sig a ON a.doc_id = doc_a
+    JOIN sig b ON b.doc_id = doc_b
+    WHERE CAST(len(list_intersect(a.hv, b.hv)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.hv, b.hv))) >= 0.5
+    """,
+    doc="incremental near-dup: new batch (doc_id % 7 = 3) probed against "
+    "the corpus LSH band index (broadcast batch side) + batch self-join, "
+    "exact Jaccard verify; equals the full-corpus LSH pairs restricted "
+    "to pairs touching the batch — per refresh the work is "
+    "O(batch + collisions), never O(corpus)",
+    tags=("llm", "dedup", "minhash", "lsh", "incremental", "scale-path"),
+)
+def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.operators.dedup import incremental_minhash_lsh
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 7 != 3)
+    batch = docs.filter(F.col("doc_id") % 7 == 3)
+    out = incremental_minhash_lsh(
+        corpus, batch, "doc_id", "text", n=3, k=8, bands=4, threshold=0.5
+    )
+    return round_floats(out)

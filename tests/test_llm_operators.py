@@ -1042,3 +1042,35 @@ def test_langid_confusion_diagonal_dominates(spark, sf_dir):
     for lang, rs in by_true.items():
         d = sum(r["n"] for r in rs if r["pred_lang"] == lang)
         assert d >= max(r["n"] for r in rs), lang
+
+
+def test_incremental_minhash_lsh_equals_restricted_full(spark, sf_dir):
+    """The incremental probe must produce EXACTLY the full-corpus LSH
+    pair set restricted to pairs touching the batch (bucketing is a pure
+    per-doc function, so refreshes lose nothing and invent nothing) —
+    and must never emit an (old, old) pair."""
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.operators.dedup import (
+        incremental_minhash_lsh,
+        minhash_lsh_pairs,
+    )
+    from shared_etl_pipelines_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = lambda c: c % 7 == 3  # noqa: E731
+    corpus = docs.filter(~is_new(F.col("doc_id")))
+    batch = docs.filter(is_new(F.col("doc_id")))
+    inc = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 4))
+        for r in incremental_minhash_lsh(
+            corpus, batch, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    full = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 4))
+        for r in minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    want = {t for t in full if t[0] % 7 == 3 or t[1] % 7 == 3}
+    assert inc == want
+    assert all(t[0] % 7 == 3 or t[1] % 7 == 3 for t in inc)
