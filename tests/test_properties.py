@@ -217,3 +217,40 @@ def test_avi_round_trip_property(n, h, w, seed):
     got, info = decode_avi(encode_avi(frames, fps=25))
     np.testing.assert_array_equal(got, frames)
     assert (info["n_frames"], info["height"], info["width"]) == (n, h, w)
+
+
+_WARC_PAYLOAD = st.binary(min_size=0, max_size=400)
+_WARC_URI = st.from_regex(r"https://[a-z0-9.-]{1,30}/[A-Za-z0-9/._-]{0,30}", fullmatch=True)
+
+
+@given(
+    st.lists(
+        st.tuples(_WARC_URI, _WARC_PAYLOAD, st.sampled_from(["response", "metadata"])),
+        min_size=1,
+        max_size=8,
+    ),
+    st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_warc_round_trip_property(recs, gz):
+    """encode -> decode is the identity on (uri, payload, type) for ANY
+    payload bytes — including payloads containing CRLFs, fake 'WARC/1.0'
+    version lines, gzip magic, and NULs (Content-Length framing, never
+    separator scanning) — in both container forms."""
+    from shared_etl_pipelines_spark.sources.warc import decode_warc, encode_warc
+
+    records = [
+        {
+            "type": t,
+            "target_uri": u,
+            "date": "2024-05-01T00:00:00Z",
+            "record_id": f"<urn:p:{i}>",
+            "payload": p,
+        }
+        for i, (u, p, t) in enumerate(recs)
+    ]
+    out = decode_warc(encode_warc(records, per_record_gzip=gz))
+    assert [(r["target_uri"], r["payload"], r["type"]) for r in out] == [
+        (u, p, t) for (u, p, t) in recs
+    ]
+    assert all(r["content_length"] == len(p) for r, (_, p, _) in zip(out, recs))
