@@ -682,6 +682,13 @@ def incremental_minhash_lsh(
     per-doc function of the text, so the incremental result equals the
     full-corpus LSH pair set restricted to pairs touching the batch —
     which is exactly what the SQL oracle checks.
+
+    Overlapping ids (a re-crawled doc present on BOTH sides) are handled:
+    the batch version wins — corpus rows whose id appears in the batch are
+    dropped from the signature table before verification, and the probe
+    join never emits self-pairs (doc_a == doc_b). Without this guard a
+    shared id would yield a jaccard-1.0 self-pair and duplicate verified
+    rows via the doubled signature (ADVICE r4 #1).
     """
     rows_per_band = k // bands
 
@@ -717,7 +724,9 @@ def incremental_minhash_lsh(
         .join(
             band_c.alias("c"),
             (F.col("b.band_idx") == F.col("c.band_idx"))
-            & (F.col("b.band_hash") == F.col("c.band_hash")),
+            & (F.col("b.band_hash") == F.col("c.band_hash"))
+            # re-crawled doc on both sides: never pair a doc with itself
+            & (F.col(f"b.{id_col}") != F.col(f"c.{id_col}")),
         )
         .select(
             F.least(F.col(f"b.{id_col}"), F.col(f"c.{id_col}")).alias("doc_a"),
@@ -738,8 +747,12 @@ def incremental_minhash_lsh(
     )
     cand = new_old.unionByName(new_new).distinct().persist()
     cand.count()
-    hv_all = sig_c.select(F.col(id_col), "hv").unionByName(
-        sig_b.select(F.col(id_col), "hv")
+    # batch version wins for shared ids — anti-join keeps the signature
+    # table one-row-per-id so verification never duplicates pairs
+    hv_all = (
+        sig_c.select(F.col(id_col), "hv")
+        .join(F.broadcast(sig_b.select(id_col)), id_col, "left_anti")
+        .unionByName(sig_b.select(F.col(id_col), "hv"))
     )
     sh_a = hv_all.select(F.col(id_col).alias("doc_a"), F.col("hv").alias("sh_a"))
     sh_b = hv_all.select(F.col(id_col).alias("doc_b"), F.col("hv").alias("sh_b"))

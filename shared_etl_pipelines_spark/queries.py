@@ -54,6 +54,15 @@ REGISTRY: dict[str, QueryDef] = {}
 
 def defquery(name: str, sql: str | None, doc: str = "", tags: tuple[str, ...] = ()):
     def deco(fn):
+        # Last-writer-wins would let a rename silently swap an oracle-checked
+        # query for an unchecked one (the shadowed-k_anonymity_audit class),
+        # so duplicate registration is a hard error.
+        if name in REGISTRY:
+            raise ValueError(
+                f"duplicate @defquery registration: {name!r} "
+                f"(already defined by {REGISTRY[name].fn.__module__}."
+                f"{REGISTRY[name].fn.__qualname__})"
+            )
         REGISTRY[name] = QueryDef(fn=fn, sql=sql, doc=doc, tags=tags)
         return fn
 
@@ -722,55 +731,63 @@ _R3_GREEN = frozenset(
     }
 )
 
-_JUDGED_GREEN = _R1_GREEN | _R2_GREEN | _R3_GREEN
+# CORRECTNESS_r04.json greens: all 50 judged entries passed
+# rows+schema+hash except embedding_pca_project, which is sql=None and
+# scored "err: no_oracle" (ran, 4000 rows) — it stays out of this set
+# and out of _FORCE_FRONT (VERDICT r4: stop spending slots on sql=None).
+_R4_GREEN = frozenset(
+    {
+        "stream_tumbling_daily", "stream_running_totals", "stream_sliding_3d",
+        "stream_session_windows", "stream_dedup_hashes",
+        "stream_static_enrichment", "stream_interval_join",
+        "stream_new_doc_dedup", "stream_raster_daily",
+        "gopher_quality_rules", "rendezvous_shard_stats", "ann_recall_eval",
+        "bpe_encode_apply", "bpe_learn_merges", "k_anonymity_audit",
+        "url_canonicalize", "warc_ingest_stats", "warc_curation_funnel",
+        "html_extract_text", "pca_project_fixed_basis",
+        # "incremental_near_dup" was r4-green but incremental_minhash_lsh
+        # gained the overlapping-doc_id guard this round (ADVICE r4 #1;
+        # disjoint-fixture output locally re-verified identical) —
+        # re-fronted for a fresh verdict.
+        "waiting_supplier_blame", "idle_rich_customers",
+        "snapshot_diff_orders", "fk_integrity_check", "pit_dimension_join",
+        "pk_uniqueness_check", "local_supplier_revenue",
+        "promo_revenue_disjunctive", "min_cost_supplier_region",
+        "nation_pair_trade_volume", "nation_market_share",
+        "product_type_profit", "important_stock_value",
+        "ship_lag_priority_counts", "part_supplier_variety",
+        "small_qty_order_revenue", "large_volume_customers",
+        "excess_shipper_names", "shipping_priority_top10",
+        "forecast_revenue_change", "returned_item_customers",
+        "promo_revenue_share", "embedding_jl_project",
+        # "incremental_dedup" shares the guarded helper — re-fronted too.
+        "multimodal_png_decode", "multimodal_wav_decode",
+        "multimodal_bmp_decode", "multimodal_avi_frames",
+    }
+)
 
-# sql=None entries that still deserve one gate slot this round.
-_FORCE_FRONT = frozenset({"embedding_pca_project"})
+_JUDGED_GREEN = _R1_GREEN | _R2_GREEN | _R3_GREEN | _R4_GREEN
 
-# Round-4 judging window (~50 slots). 98 oracle-bearing entries have
-# never been judged (all r3 additions the time-capped gate didn't
-# reach); this tier picks WHICH ~50 go first, interleaving families so
-# the verdict sample covers breadth: the TPC-H-shape relational catalog
-# (the "could a reference user switch" core), then the LLM-curation
-# block (codecs, dedup, packing, PII), then the highest-value analytics.
-# The remainder follow in registry insertion order and land in round 5.
-# embedding_pca_project (sql=None, _FORCE_FRONT) is pinned mid-window:
-# it crashed the r2 canonicalizer, was scalarized, and has waited two
-# rounds for its rows-only re-verdict.
+# sql=None entries that still deserve one gate slot this round. Round 5:
+# none — every sql=None entry already has its rows-only verdict and a
+# hash-green integer/fixed-basis twin; fronting them only burns slots
+# (VERDICT r4 finding #2).
+_FORCE_FRONT: frozenset[str] = frozenset()
+
+# Round-5 judging window (~50 slots). The mandate (VERDICT r4 #1) is to
+# clear the driver-verdict backlog: 76 oracle-bearing entries have never
+# been judged. This tier fronts ALL of them — new round-5 queries and
+# judged-then-modified re-fronts first (new code = highest information),
+# then the r3/r4 backlog in family order (LLM-curation core, analytics,
+# geo/raster, text/similarity). ~50 land this round; the remainder keep
+# their position for round 6. No sql=None entry is fronted.
 _CARRYOVER_FIRST = (
-    # Round-4 additions pinned first: the 8 streaming queries flipped
-    # from sql=None to REAL batch-replay oracles this round (the
-    # highest-information verdicts on the board — they upgrade a
-    # "no-oracle by design" family to hash-checked), plus the 4 new
-    # LLM-pipeline operators.
-    "stream_tumbling_daily", "stream_running_totals", "stream_sliding_3d",
-    "stream_session_windows", "stream_dedup_hashes",
-    "stream_static_enrichment", "stream_interval_join",
-    "stream_new_doc_dedup", "stream_raster_daily",
-    "gopher_quality_rules", "rendezvous_shard_stats", "ann_recall_eval",
-    "bpe_encode_apply", "bpe_learn_merges",
-    "k_anonymity_audit", "url_canonicalize", "warc_ingest_stats", "warc_curation_funnel", "html_extract_text",
-    "pca_project_fixed_basis", "incremental_near_dup",
-    # TPC-H shape catalog (queries_relational.py, registered last in
-    # module import order — would otherwise be starved a third round)
-    "waiting_supplier_blame", "idle_rich_customers", "snapshot_diff_orders",
-    "fk_integrity_check", "pit_dimension_join", "pk_uniqueness_check",
-    "local_supplier_revenue", "promo_revenue_disjunctive",
-    "min_cost_supplier_region", "nation_pair_trade_volume",
-    "nation_market_share", "product_type_profit", "important_stock_value",
-    "ship_lag_priority_counts", "part_supplier_variety",
-    "small_qty_order_revenue", "large_volume_customers",
-    "excess_shipper_names", "shipping_priority_top10",
-    "forecast_revenue_change", "returned_item_customers",
-    "promo_revenue_share",
-    # guaranteed rows-only slot (see _FORCE_FRONT note above)
-    "embedding_pca_project",
-    # judged-then-modified re-front: oracle arithmetic aligned (ADVICE r3)
-    "embedding_jl_project",
-    # LLM-curation core: real codecs, incremental dedup, span dedup,
-    # packing/mixing, PII, BPE
-    "incremental_dedup", "multimodal_png_decode", "multimodal_wav_decode",
-    "multimodal_bmp_decode", "multimodal_avi_frames",
+    # --- new round-5 queries are pinned here as they land ---
+    # --- judged-then-modified re-fronts (ADVICE r4 #1: the shared
+    # incremental_minhash_lsh helper gained the overlapping-id guard;
+    # disjoint-fixture outputs locally re-verified identical) ---
+    "incremental_dedup", "incremental_near_dup",
+    # --- never-judged backlog: LLM-curation core ---
     "multimodal_resize_real", "dup_spans", "dup_span_profile",
     "pii_scan_events", "bpe_top_pairs", "near_dup_prefix_filter",
     "heavy_demand_parts_sketch", "embedding_kmeans_assign",
@@ -778,10 +795,31 @@ _CARRYOVER_FIRST = (
     "token_entropy_quality", "curation_funnel", "quality_band_filter",
     "url_domain_stats", "per_source_cap", "bigram_lm_quality",
     "train_val_test_split",
-    # highest-value analytics/similarity additions
+    # --- never-judged: graph/similarity/text ---
     "pagerank_one_step", "bloom_prefilter_join", "bm25_search",
     "embedding_dbscan", "image_ahash_neardup", "audio_fingerprint_neardup",
-    "tfidf_cosine_pairs",
+    "tfidf_cosine_pairs", "vocab_zipf_stats", "sorted_neighborhood_pairs",
+    "near_dup_lsh_eval", "similarity_topk_lsh_multiprobe", "phrase_search",
+    "pmi_collocations", "weighted_sample_docs", "pq_assign_codes",
+    "similarity_topk_pq", "label_centroid_similarity", "nb_train_langid",
+    "hashed_features", "churn_score_logistic",
+    "embedding_quantile_normalize",
+    # --- never-judged: analytics block (registry insertion order) ---
+    "sax_window_vocab", "rolling_corr_14", "psi_drift_check",
+    "rolling_wau", "profile_drift", "conversion_latency",
+    "attribution_last_touch", "markov_event_transitions",
+    "cusum_changepoint", "longest_user_streak", "basket_lift_pairs",
+    "max_concurrent_open_orders", "acf_daily_revenue", "pareto_frontier",
+    "rle_compression_stats", "sequential_patterns", "target_encode_loo",
+    "interval_union_coverage", "benford_first_digit",
+    "incremental_join_refresh", "brand_rank_shift", "new_vs_returning",
+    "conversion_wilson_ci", "key_skew_report", "funnel_within_windows",
+    "join_fanout_audit", "largest_remainder_alloc", "roc_auc_exact",
+    "mutual_information_bins", "forget_cascade_audit",
+    # --- never-judged: geo/raster ---
+    "geo_radius_join", "raster_focal_mean", "geo_nearest_supplier",
+    "shapefile_zone_metrics", "zonal_majority_class",
+    "growing_degree_days", "cell_overlap_weights",
 )
 
 

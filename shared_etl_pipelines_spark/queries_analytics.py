@@ -2393,43 +2393,6 @@ def q_max_concurrent_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# k-anonymity / l-diversity audit — the privacy gate a training-data
-# release pipeline runs before publishing. Quasi-identifier = (nation,
-# account-balance band); sensitive attribute = market segment. One
-# map-side-combinable aggregation pass; no shuffle beyond the groupBy.
-# ---------------------------------------------------------------------------
-@defquery(
-    "k_anonymity_audit",
-    """
-    SELECT n_name AS nation,
-           CAST(FLOOR(c_acctbal / 2500) AS BIGINT) AS bal_band,
-           COUNT(*) AS group_size,
-           CAST(COUNT(*) >= 5 AS INT) AS k5_ok,
-           CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS l_diversity,
-           CAST(COUNT(DISTINCT c_mktsegment) >= 3 AS INT) AS l3_ok
-    FROM customer JOIN nation ON c_nationkey = n_nationkey
-    GROUP BY n_name, FLOOR(c_acctbal / 2500)
-    """,
-    doc="privacy release audit: k-anonymity group sizes and l-diversity "
-    "of the sensitive attribute per quasi-identifier group",
-    tags=("aggregate", "privacy", "curation"),
-)
-def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _t(spark, sf_dir, "customer")
-    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-    return j.groupBy(
-        F.col("n_name").alias("nation"),
-        F.floor(F.col("c_acctbal") / 2500).cast("long").alias("bal_band"),
-    ).agg(
-        F.count(F.lit(1)).alias("group_size"),
-        (F.count(F.lit(1)) >= 5).cast("int").alias("k5_ok"),
-        F.countDistinct("c_mktsegment").cast("long").alias("l_diversity"),
-        (F.countDistinct("c_mktsegment") >= 3).cast("int").alias("l3_ok"),
-    )
-
-
-# ---------------------------------------------------------------------------
 # Autocorrelation function of the daily-revenue series at lags 1,2,3,7.
 # Money is summed as exact integer cents (summation-order-proof), the
 # series is the bounded per-day table, and each lag is a Pearson corr of

@@ -91,7 +91,15 @@ def _run(df: DataFrame, mode: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        # On timeout the still-running query would leave a partially
+        # drained memory table AND stay in spark.streams.active, tripping
+        # the sweep_persistent_rdds guard for every later query — stop it
+        # and fail loudly instead (ADVICE r4 #2).
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError(
+                f"streaming drain {name} did not finish within 300s"
+            )
     finally:
         if prev is None:
             spark.conf.unset(key)

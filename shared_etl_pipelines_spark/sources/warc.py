@@ -203,7 +203,17 @@ def read_warc(
         "target_uri string, warc_date string, content_length long, "
         "payload string"
     )
-    df = spark.read.format("binaryFile").load(path)
+    # Extension filter: a directory load must never pick up an orphaned
+    # temp file from a crashed writer (e.g. a stray "<name>.warc.tmp") —
+    # with on_error='fail' that would poison every query over the dir.
+    # pathGlobFilter applies to file names only, so explicit file paths
+    # and user globs still work; dot-/underscore-prefixed files are
+    # hidden to Spark's file index regardless.
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.{warc,warc.gz}")
+        .load(path)
+    )
     return df.select("path", "content").mapInPandas(parse, schema=schema)
 
 
@@ -259,7 +269,19 @@ def ensure_demo_warc(base_dir: str | None = None) -> str:
             continue
         recs = [demo_warc_record(f, r) for r in range(DEMO_WARC_RECORDS)]
         blob = encode_warc(recs, per_record_gzip=gz)
-        with open(path + ".tmp", "wb") as fh:
-            fh.write(blob)
-        os.replace(path + ".tmp", path)
+        # Unique temp name: a writer that dies mid-write must not leave a
+        # predictable "<path>.tmp" that a concurrent writer collides with.
+        # Dot-prefixed = hidden to Spark's file index, so a torn write can
+        # never be picked up by a directory load (ADVICE r4 #4); read_warc's
+        # pathGlobFilter additionally screens non-hidden strays.
+        fd, tmp = tempfile.mkstemp(
+            prefix="." + name + ".", suffix=".part", dir=root
+        )
+        try:
+            with os.fdopen(fd, "wb") as fh:
+                fh.write(blob)
+            os.replace(tmp, path)
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
     return root

@@ -215,7 +215,9 @@ def interval_join_stream(
 # the portable template). The processor owns NAMED, TYPED state
 # variables through a handle instead of one opaque tuple, so operators
 # can mix ValueState/ListState/MapState and add TTL per variable; the
-# state store must be RocksDB (welford_stats sets the provider conf).
+# state store must be RocksDB — welford_stats requires the CALLER to set
+# the provider conf and raises ValueError otherwise (fail-loud, because
+# silently flipping a session-wide provider mid-stream is worse).
 #
 # Environment note: the Python side of this API speaks protobuf to the
 # JVM driver worker; `google.protobuf` is NOT in this sandbox, so the

@@ -1074,3 +1074,47 @@ def test_incremental_minhash_lsh_equals_restricted_full(spark, sf_dir):
     want = {t for t in full if t[0] % 7 == 3 or t[1] % 7 == 3}
     assert inc == want
     assert all(t[0] % 7 == 3 or t[1] % 7 == 3 for t in inc)
+
+
+def test_incremental_minhash_lsh_recrawled_ids(spark, sf_dir):
+    """ADVICE r4 #1: a doc_id present on BOTH sides (a re-crawled doc,
+    the stated continuous-crawl use case) must not yield self-pairs
+    (doc_a == doc_b, jaccard 1.0) or duplicated verified rows from the
+    doubled signature. Batch version wins for shared ids."""
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.operators.dedup import (
+        incremental_minhash_lsh,
+        minhash_lsh_pairs,
+    )
+    from shared_etl_pipelines_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(400)
+    # batch re-crawls every 7th doc with IDENTICAL text — worst case for
+    # self-pair emission — plus every 11th doc with a tweaked text
+    batch = docs.filter(F.col("doc_id") % 7 == 3).unionByName(
+        docs.filter(F.col("doc_id") % 11 == 5).withColumn(
+            "text", F.concat(F.col("text"), F.lit(" recrawl delta"))
+        )
+    ).dropDuplicates(["doc_id"])
+    out = incremental_minhash_lsh(
+        docs, batch, "doc_id", "text", threshold=0.5
+    ).collect()
+    assert all(r["doc_a"] != r["doc_b"] for r in out)
+    keys = [(r["doc_a"], r["doc_b"]) for r in out]
+    assert len(keys) == len(set(keys)), "duplicated verified rows"
+    # batch-wins: the result equals the full LSH pair set over the
+    # corpus-with-batch-overrides table, restricted to pairs touching
+    # a batch id
+    batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    merged = docs.join(
+        batch.select("doc_id"), "doc_id", "left_anti"
+    ).unionByName(batch)
+    full = minhash_lsh_pairs(merged, "doc_id", "text", threshold=0.5).collect()
+    want = {
+        (r["doc_a"], r["doc_b"], round(r["jaccard"], 4))
+        for r in full
+        if r["doc_a"] in batch_ids or r["doc_b"] in batch_ids
+    }
+    got = {(r["doc_a"], r["doc_b"], round(r["jaccard"], 4)) for r in out}
+    assert got == want

@@ -125,6 +125,25 @@ def test_read_warc_skip_posture(spark, tmp_path):
     assert n == DEMO_WARC_FILES * DEMO_WARC_RECORDS
 
 
+def test_read_warc_ignores_orphaned_temp_files(spark, tmp_path):
+    """ADVICE r4 #4: a writer that dies mid-write leaves a *.part temp
+    file; a directory load with on_error='fail' must not pick it up."""
+    import shutil
+
+    root = ensure_demo_warc()
+    work = tmp_path / "crawl"
+    work.mkdir()
+    for f in range(DEMO_WARC_FILES):
+        name = f"crawl-{f:02d}.warc" + (".gz" if f == DEMO_WARC_FILES - 1 else "")
+        shutil.copy(f"{root}/{name}", work / name)
+    # the exact ADVICE scenario: a predictable "<path>.tmp" torn write,
+    # plus the hidden unique-name form ensure_demo_warc now uses
+    (work / "crawl-00.warc.tmp").write_bytes(b"torn half-write")
+    (work / ".crawl-01.warc.abc123.part").write_bytes(b"torn half-write")
+    n = read_warc(spark, str(work)).count()  # on_error='fail'
+    assert n == DEMO_WARC_FILES * DEMO_WARC_RECORDS
+
+
 def test_crawl_curation_pipeline_matches_registry(spark):
     """The YAML crawl-curation pipeline must reproduce the registry
     query's funnel exactly (same stages, same counts)."""
