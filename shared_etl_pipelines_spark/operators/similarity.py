@@ -208,13 +208,14 @@ def lsh_bucket_topk(
     )
 
     # Corpus buckets, bit-identical either way (same sequential float64
-    # fold): the interpreted HOF expression wins below ~10^6 vectors per
-    # executor (no Arrow crossing, no Python runner stage — measured 3x
-    # faster at the bench corpus); ``arrow_buckets=True`` switches to the
-    # numpy GEMM pandas UDF whose per-row cost is ~100x lower once the
-    # corpus is large enough to amortize the crossing. At warehouse scale
-    # this choice is moot: bucket ids are computed once at INGEST (with
-    # the Arrow path) and stored, not recomputed per query.
+    # fold). With one table the interpreted HOF expression avoided the
+    # Arrow crossing and won; with 4 tables (16 plane dot-products per
+    # vector) the numpy GEMM pandas UDF wins from ~10^3 vectors up
+    # (round-5 re-measure at the bench corpus: 1.7s vs 2.5s warm) —
+    # registry queries pass arrow_buckets=True. At warehouse scale this
+    # choice is moot: bucket ids are computed once at INGEST (with the
+    # Arrow path, see write_ann_index) and stored, not recomputed per
+    # query.
     if arrow_buckets:
         bucket_all = srp_buckets_udf(n_planes, dim, n_tables)
         corpus_b = corpus.withColumn("_bks", bucket_all(F.col("v"))).select(

@@ -716,7 +716,10 @@ _R3_GREEN = frozenset(
         "having_large_orders", "top_revenue_suppliers", "lateral_top_orders",
         "null_safe_join", "setops_multiset", "unpivot_flag_metrics",
         "rolling_sums", "embedding_covariance", "similarity_topk_lsh_indexed",
-        "corpus_curation", "data_quality_profile", "similarity_topk_lsh",
+        "corpus_curation", "data_quality_profile",
+        # "similarity_topk_lsh" was r3-green but flipped to the Arrow
+        # bucket path this round (bit-identical buckets, 1.7x faster —
+        # VERDICT r4 #4) — re-fronted for a fresh verdict.
         "dedup_clusters", "raster_tif_rollsum", "label_prop_communities",
         "kcore_peeling", "hard_negative_mining",
         # "embedding_jl_project" was r3-green but its oracle SQL changed
@@ -783,10 +786,12 @@ _FORCE_FRONT: frozenset[str] = frozenset()
 # their position for round 6. No sql=None entry is fronted.
 _CARRYOVER_FIRST = (
     # --- new round-5 queries are pinned here as they land ---
+    "multimodal_jpeg_decode", "image_ahash_neardup_jpeg",
     # --- judged-then-modified re-fronts (ADVICE r4 #1: the shared
     # incremental_minhash_lsh helper gained the overlapping-id guard;
-    # disjoint-fixture outputs locally re-verified identical) ---
-    "incremental_dedup", "incremental_near_dup",
+    # disjoint-fixture outputs locally re-verified identical;
+    # similarity_topk_lsh flipped to the Arrow bucket path, VERDICT #4) ---
+    "incremental_dedup", "incremental_near_dup", "similarity_topk_lsh",
     # --- never-judged backlog: LLM-curation core ---
     "multimodal_resize_real", "dup_spans", "dup_span_profile",
     "pii_scan_events", "bpe_top_pairs", "near_dup_prefix_filter",

@@ -635,9 +635,14 @@ def _lsh_tables_union_sql(n_planes: int, dim: int, n_tables: int) -> str:
     tags=("llm", "similarity", "lsh"),
 )
 def q_similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # arrow_buckets: the 4-table family evaluates 16 plane dot-products
+    # per vector — the numpy GEMM path wins from ~10^3 vectors up
+    # (re-measured round 5: 1.7s vs 2.5s warm at the bench corpus), and
+    # is what write_ann_index uses at ingest. Bit-identical bucket ids.
     emb = _t(spark, sf_dir, "embeddings")
     out = lsh_bucket_topk(
-        emb, emb.filter(F.col("vec_id") < 5), k=10, n_planes=4, dim=64, n_tables=4
+        emb, emb.filter(F.col("vec_id") < 5), k=10, n_planes=4, dim=64,
+        n_tables=4, arrow_buckets=True,
     )
     return round_floats(out)
 
@@ -794,6 +799,44 @@ def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     assets = synthetic_png_assets(_t(spark, sf_dir, "documents"))
+    out = decode_images(assets)
+    return out.select(
+        "doc_id", "is_real_decode", "width", "height", "channels", "px_sum"
+    )
+
+
+@defquery(
+    "multimodal_jpeg_decode",
+    """
+    WITH a AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    dims AS (
+      SELECT doc_id,
+             CAST(n % 4 + 1 AS INT) AS bw,
+             CAST((n // 4) % 4 + 1 AS INT) AS bh
+      FROM a
+    )
+    SELECT doc_id, TRUE AS is_real_decode,
+           CAST(bw * 8 AS INT) AS width, CAST(bh * 8 AS INT) AS height,
+           CAST(1 AS INT) AS channels,
+           CAST(64 * list_sum(list_transform(range(0, bw * bh),
+                                             k -> (doc_id * 31 + k) % 256))
+                AS BIGINT) AS px_sum
+    FROM dims
+    """,
+    doc="REAL baseline-JPEG codec round trip: block-constant grayscale "
+    "fixtures (all-ones qtable => bit-exact decode; doc_id%3 sweeps "
+    "restart intervals) encoded and decoded by sources/jpeg.py — "
+    "Huffman entropy coding, DCT/IDCT and the marker walk all pinned "
+    "by a closed-form oracle, same discipline as multimodal_png_decode",
+    tags=("llm", "multimodal", "codec"),
+)
+def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.multimodal import (
+        decode_images,
+        synthetic_jpeg_assets,
+    )
+
+    assets = synthetic_jpeg_assets(_t(spark, sf_dir, "documents"))
     out = decode_images(assets)
     return out.select(
         "doc_id", "is_real_decode", "width", "height", "channels", "px_sum"
@@ -3057,7 +3100,8 @@ def q_similarity_topk_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFr
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 5)
     out = lsh_bucket_topk(
-        emb, qs, k=10, n_planes=4, dim=64, n_tables=4, multiprobe=True
+        emb, qs, k=10, n_planes=4, dim=64, n_tables=4, multiprobe=True,
+        arrow_buckets=True,
     )
     return out.select(
         "query_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rn"
@@ -3866,6 +3910,55 @@ def q_embedding_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _banded_hamming_pairs(h: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Banded-Hamming near-dup over a (doc_id, h_lo, h_hi) 64-bit hash
+    frame: 4 bands of 16 bits (pigeonhole-complete for Hamming <=
+    ``max_hamming`` = 3), exact bit_count verify. ``h`` should be
+    persisted by the caller — it feeds 4 band branches + both verify
+    sides."""
+    bands = None
+    for idx, expr in enumerate(
+        [
+            F.col("h_lo") % 65536,
+            (F.col("h_lo") / 65536).cast("long"),
+            F.col("h_hi") % 65536,
+            (F.col("h_hi") / 65536).cast("long"),
+        ]
+    ):
+        b = h.select(
+            "doc_id", F.lit(idx).alias("band"), expr.cast("long").alias("bv")
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    l = bands.select(F.col("doc_id").alias("id_a"), "band", "bv")
+    r = bands.select(F.col("doc_id").alias("id_b"), "band", "bv")
+    cand = (
+        l.join(r, ["band", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ha = h.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("h_lo").alias("lo_a"),
+        F.col("h_hi").alias("hi_a"),
+    )
+    hb = h.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("h_lo").alias("lo_b"),
+        F.col("h_hi").alias("hi_b"),
+    )
+    ham = F.bit_count(
+        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
+    ) + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+    return (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Perceptual-hash image near-dup — visual dedup through the REAL codec:
 # patterned PNG fixtures (planted same-group near-duplicates) are
@@ -3936,49 +4029,73 @@ def q_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist: the hash frame feeds 4 band branches + both verify sides —
     # without it the codec mapInPandas re-decodes the corpus 6x
     h = ahash_images(assets).select("doc_id", "h_lo", "h_hi").persist()
-    bands = None
-    for idx, expr in enumerate(
-        [
-            F.col("h_lo") % 65536,
-            (F.col("h_lo") / 65536).cast("long"),
-            F.col("h_hi") % 65536,
-            (F.col("h_hi") / 65536).cast("long"),
-        ]
-    ):
-        b = h.select(
-            "doc_id", F.lit(idx).alias("band"), expr.cast("long").alias("bv")
-        )
-        bands = b if bands is None else bands.unionByName(b)
-    l = bands.select(
-        F.col("doc_id").alias("id_a"), "band", "bv"
+    return _banded_hamming_pairs(h, max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# The JPEG twin of image_ahash_neardup — the honest crawl shape: real
+# WARC corpora (sources/warc.py) are overwhelmingly JPEG, so the
+# perceptual-hash dedup must survive the LOSSY codec. Fixtures are
+# 64x64 images of constant 8x8 blocks (sources/jpeg.py's exactness
+# contract), ahash samples exactly one pixel per block, and the oracle
+# recomputes the hashes in closed form — Huffman tables, restart
+# markers, and the IDCT all sit inside the checked path.
+# ---------------------------------------------------------------------------
+@defquery(
+    "image_ahash_neardup_jpeg",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             list_sum(list_transform(range(32), k ->
+               CASE WHEN ((k + 1) * (2 * (doc_id // 8) + 17)
+                          + (doc_id % 8) * 3) % 251 * 64 >= samp_sum
+                    THEN 1 << k ELSE 0 END)) AS h_lo,
+             list_sum(list_transform(range(32), k ->
+               CASE WHEN ((k + 33) * (2 * (doc_id // 8) + 17)
+                          + (doc_id % 8) * 3) % 251 * 64 >= samp_sum
+                    THEN 1 << k ELSE 0 END)) AS h_hi
+      FROM (
+        SELECT doc_id,
+               list_sum(list_transform(range(64), k ->
+                 ((k + 1) * (2 * (doc_id // 8) + 17)
+                  + (doc_id % 8) * 3) % 251)) AS samp_sum
+        FROM documents
+      )
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, h_lo % 65536 AS bv FROM h
+      UNION ALL SELECT doc_id, 1, h_lo // 65536 FROM h
+      UNION ALL SELECT doc_id, 2, h_hi % 65536 FROM h
+      UNION ALL SELECT doc_id, 3, h_hi // 65536 FROM h
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.bv = r.bv AND l.doc_id < r.doc_id
     )
-    r = bands.select(F.col("doc_id").alias("id_b"), "band", "bv")
-    cand = (
-        l.join(r, ["band", "bv"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(a.h_lo, b.h_lo))
+                + bit_count(xor(a.h_hi, b.h_hi)) AS INT) AS hamming
+    FROM cand
+    JOIN h a ON a.doc_id = id_a
+    JOIN h b ON b.doc_id = id_b
+    WHERE bit_count(xor(a.h_lo, b.h_lo)) + bit_count(xor(a.h_hi, b.h_hi)) <= 3
+    """,
+    doc="perceptual-hash image near-dup through the real baseline-JPEG "
+    "codec (Huffman + DCT + restart markers): 64-bit aHash from decoded "
+    "pixels, banded candidates, exact bit_count verify — the "
+    "crawl-corpus twin of image_ahash_neardup",
+    tags=("llm", "multimodal", "dedup", "codec", "lsh"),
+)
+def q_image_ahash_neardup_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.multimodal import (
+        ahash_images,
+        synthetic_patterned_jpeg_assets,
     )
-    ha = h.select(
-        F.col("doc_id").alias("id_a"),
-        F.col("h_lo").alias("lo_a"),
-        F.col("h_hi").alias("hi_a"),
-    )
-    hb = h.select(
-        F.col("doc_id").alias("id_b"),
-        F.col("h_lo").alias("lo_b"),
-        F.col("h_hi").alias("hi_b"),
-    )
-    ham = F.bit_count(
-        F.col("lo_a").bitwiseXOR(F.col("lo_b"))
-    ) + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
-    return (
-        cand.join(ha, "id_a")
-        .join(hb, "id_b")
-        .withColumn("hamming", ham.cast("int"))
-        .filter(F.col("hamming") <= 3)
-        .select("id_a", "id_b", "hamming")
-    )
+
+    assets = synthetic_patterned_jpeg_assets(_t(spark, sf_dir, "documents"))
+    h = ahash_images(assets).select("doc_id", "h_lo", "h_hi").persist()
+    return _banded_hamming_pairs(h, max_hamming=3)
 
 
 # ---------------------------------------------------------------------------

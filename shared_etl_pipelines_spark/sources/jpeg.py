@@ -1,0 +1,601 @@
+"""Pure-python baseline JPEG (JFIF) codec (decode + fixture encode).
+
+The container ships no image libraries, but baseline JPEG needs only a
+marker walk, canonical Huffman tables, and an 8x8 IDCT — numpy covers
+the math. This closes the round-4 gap where anything non-PNG/GIF/BMP
+fell back to the byte-stat stub: a real CommonCrawl corpus (the WARC
+ingestion path in sources/warc.py) is overwhelmingly JPEG.
+
+Scope (asserted, not silently wrong):
+  Decoder — baseline sequential DCT (SOF0), 8-bit samples, Huffman
+  entropy coding, 1 or 3 components, sampling factors 1 or 2 (covers
+  4:4:4, 4:2:2, 4:2:0), restart intervals (DRI/RSTn), multi-DQT/DHT
+  segments. Raises ValueError on progressive (SOF2), extended (SOF1+),
+  arithmetic coding, 12-bit, or unknown-SOF streams.
+  Encoder — fixture/round-trip grade: grayscale or RGB, 4:4:4 or 4:2:0,
+  single interleaved scan, the ITU T.81 Annex K example Huffman tables,
+  caller-supplied quantization table (default all-ones).
+
+Exactness contract used by the SQL oracles: with the all-ones
+quantization table, an image whose every aligned 8x8 block is CONSTANT
+survives encode->decode bit-exactly (the forward DCT of a flat block is
+DC-only and integral; quantize/round is lossless on it; the IDCT of a
+DC-only block is flat). That lets multimodal_jpeg_decode pin the full
+entropy-coding + DCT path against a closed-form DuckDB oracle, the same
+discipline as sources/png.py. Arbitrary images round-trip within a
+small tolerance (pinned in tests), as lossy JPEG must.
+
+Reference parity note: the reference pipelines move imagery as GeoTIFF/
+COG (pipelines/sentinel/download-sentinel2-l2a-michigan.yml:15-35);
+JPEG support exists for the LLM multimodal/crawl mandate, not parity.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# Shared constants
+# ---------------------------------------------------------------------------
+
+
+def _zigzag_positions() -> list[tuple[int, int]]:
+    """The standard JPEG zigzag scan as (row, col) pairs, generated (not
+    typed in) so it cannot be mistranscribed."""
+    out, x, y = [], 0, 0
+    for _ in range(64):
+        out.append((y, x))
+        if (x + y) % 2 == 0:  # moving up-right
+            if x == 7:
+                y += 1
+            elif y == 0:
+                x += 1
+            else:
+                x, y = x + 1, y - 1
+        else:  # moving down-left
+            if y == 7:
+                x += 1
+            elif x == 0:
+                y += 1
+            else:
+                x, y = x - 1, y + 1
+    return out
+
+
+_ZIGZAG = _zigzag_positions()
+# flat index (r*8+c) for each zigzag position, and its inverse
+_ZZ_FLAT = np.array([r * 8 + c for r, c in _ZIGZAG], dtype=np.int64)
+
+# Orthonormal 8x8 DCT-II basis: spatial = A.T @ coeffs @ A,
+# coeffs = A @ spatial @ A.T. A DC-only block IDCTs to the constant
+# DC/8 — the exactness the block-constant oracle fixtures rely on.
+_A = np.zeros((8, 8), dtype=np.float64)
+for _u in range(8):
+    _alpha = np.sqrt(1.0 / 8.0) if _u == 0 else np.sqrt(2.0 / 8.0)
+    for _x in range(8):
+        _A[_u, _x] = _alpha * np.cos((2 * _x + 1) * _u * np.pi / 16.0)
+
+# ITU T.81 Annex K.3 example Huffman tables (public spec constants).
+# (bits[1..16] counts, then values). Used for every component we encode;
+# the decoder reads whatever tables the stream carries.
+_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def is_jpeg(data: bytes) -> bool:
+    return len(data) >= 3 and data[:3] == b"\xff\xd8\xff"
+
+
+# ---------------------------------------------------------------------------
+# Huffman machinery (canonical codes, shared by encode and decode)
+# ---------------------------------------------------------------------------
+
+
+def _canonical_codes(bits: list[int], vals: list[int]):
+    """(length, code) pairs in value order — the canonical assignment of
+    T.81 C.2 (codes of each length count up, then shift left)."""
+    out, code, k = [], 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out.append((vals[k], length, code))
+            k += 1
+            code += 1
+        code <<= 1
+    return out
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> dict:
+    return {(ln, code): v for v, ln, code in _canonical_codes(bits, vals)}
+
+
+def _encode_table(bits: list[int], vals: list[int]) -> dict:
+    return {v: (ln, code) for v, ln, code in _canonical_codes(bits, vals)}
+
+
+class _BitReader:
+    """MSB-first bit reader over an already-unstuffed entropy segment."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("entropy stream truncated")
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_huffman(self, table: dict) -> int:
+        length, code = 0, 0
+        while length < 16:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in entropy stream")
+
+
+def _extend(v: int, ssss: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map the ssss raw bits to a signed value."""
+    if ssss == 0:
+        return 0
+    if v < (1 << (ssss - 1)):
+        return v - (1 << ssss) + 1
+    return v
+
+
+# ---------------------------------------------------------------------------
+# Decoder
+# ---------------------------------------------------------------------------
+
+
+def decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
+    """Decode a baseline JPEG into (array, info).
+
+    Array: (height, width) uint8 for grayscale, (height, width, 3) RGB
+    for color (JFIF YCbCr -> RGB, chroma upsampled by replication).
+    info: width, height, channels, n_components, subsampling (e.g.
+    '4:2:0'), restart_interval.
+    """
+    if not is_jpeg(data):
+        raise ValueError("not a JPEG (bad SOI)")
+
+    qtables: dict[int, np.ndarray] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    frame = None  # (h, w, [(cid, hs, vs, tq), ...])
+    restart_interval = 0
+    scan = None  # ([(comp_idx, td, ta), ...], entropy_offset)
+
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"marker expected at offset {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack_from(">H", data, pos + 2)
+        body = data[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0x0F
+                off += 1
+                if pq == 0:
+                    tbl = np.frombuffer(body[off : off + 64], dtype=np.uint8)
+                    off += 64
+                else:
+                    tbl = np.frombuffer(
+                        body[off : off + 128], dtype=">u2"
+                    ).astype(np.int64)
+                    off += 128
+                q = np.zeros(64, dtype=np.int64)
+                q[_ZZ_FLAT] = tbl.astype(np.int64)
+                qtables[tq] = q.reshape(8, 8)
+        elif marker == 0xC4:  # DHT
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0x0F
+                bits = list(body[off + 1 : off + 17])
+                n = sum(bits)
+                vals = list(body[off + 17 : off + 17 + n])
+                (dc_tables if tc == 0 else ac_tables)[th] = _decode_table(
+                    bits, vals
+                )
+                off += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            precision = body[0]
+            if precision != 8:
+                raise ValueError(f"unsupported sample precision {precision}")
+            h, w = struct.unpack_from(">HH", body, 1)
+            ncomp = body[5]
+            comps = []
+            for i in range(ncomp):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (h, w, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            kind = "progressive" if marker == 0xC2 else f"SOF{marker - 0xC0}"
+            raise ValueError(f"unsupported JPEG variant: {kind}")
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:  # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF0")
+            ns = body[0]
+            sel = []
+            for i in range(ns):
+                cs, t = body[1 + 2 * i : 3 + 2 * i]
+                idx = next(
+                    (j for j, c in enumerate(frame[2]) if c[0] == cs), None
+                )
+                if idx is None:
+                    raise ValueError(f"scan references unknown component {cs}")
+                sel.append((idx, t >> 4, t & 0x0F))
+            scan = (sel, pos + 2 + seglen)
+            break
+        # APPn / COM / anything else with a length: skip
+        pos += 2 + seglen
+
+    if frame is None or scan is None:
+        raise ValueError("missing SOF0/SOS")
+    h, w, comps = frame
+    if h == 0 or w == 0:
+        raise ValueError("zero-sized frame")
+    sel, ent_off = scan
+    if len(sel) != len(comps):
+        raise ValueError("non-interleaved scans not supported")
+    for _, hs, vs, _ in comps:
+        if hs not in (1, 2) or vs not in (1, 2):
+            raise ValueError(f"unsupported sampling factor {hs}x{vs}")
+
+    # Split the entropy-coded bytes into restart segments, unstuffing
+    # FF00 as we go; any non-RST marker terminates the scan.
+    segments: list[bytes] = []
+    cur = bytearray()
+    p = ent_off
+    n = len(data)
+    while p < n:
+        b = data[p]
+        if b != 0xFF:
+            cur.append(b)
+            p += 1
+            continue
+        nxt = data[p + 1] if p + 1 < n else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            p += 2
+        elif 0xD0 <= nxt <= 0xD7:  # RSTn
+            segments.append(bytes(cur))
+            cur = bytearray()
+            p += 2
+        else:  # EOI or any other marker ends the scan
+            break
+    segments.append(bytes(cur))
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = []
+    for _, hs, vs, _ in comps:
+        planes.append(
+            np.zeros((mcuy * vs * 8, mcux * hs * 8), dtype=np.float64)
+        )
+
+    seg_i = 0
+    reader = _BitReader(segments[0])
+    preds = [0] * len(comps)
+    mcu_in_segment = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_in_segment == restart_interval:
+                seg_i += 1
+                if seg_i >= len(segments):
+                    raise ValueError("missing restart segment")
+                reader = _BitReader(segments[seg_i])
+                preds = [0] * len(comps)
+                mcu_in_segment = 0
+            for ci, (comp, (cidx, td, ta)) in enumerate(zip(comps, sel)):
+                _, hs, vs, tq = comp
+                if tq not in qtables:
+                    raise ValueError(f"missing quantization table {tq}")
+                if td not in dc_tables or ta not in ac_tables:
+                    raise ValueError("missing Huffman table")
+                for by in range(vs):
+                    for bx in range(hs):
+                        zz = np.zeros(64, dtype=np.int64)
+                        ssss = reader.read_huffman(dc_tables[td])
+                        diff = _extend(reader.read_bits(ssss), ssss)
+                        preds[ci] += diff
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            rs = reader.read_huffman(ac_tables[ta])
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:  # ZRL
+                                    k += 16
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            zz[k] = _extend(reader.read_bits(s), s)
+                            k += 1
+                        coeffs = np.zeros(64, dtype=np.float64)
+                        coeffs[_ZZ_FLAT] = zz
+                        block = coeffs.reshape(8, 8) * qtables[tq]
+                        spatial = _A.T @ block @ _A + 128.0
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = spatial
+            mcu_in_segment += 1
+
+    # Upsample each plane to full MCU-padded resolution, then crop.
+    full = []
+    for (_, hs, vs, _), plane in zip(comps, planes):
+        up = np.repeat(np.repeat(plane, vmax // vs, 0), hmax // hs, 1)
+        full.append(up[:h, :w])
+
+    if len(comps) == 3:
+        ch, cv = comps[1][1], comps[1][2]  # chroma sampling vs luma max
+        sub = {
+            (1, 1): "4:4:4" if hmax == 1 and vmax == 1 else "4:2:0"
+            if hmax == 2 and vmax == 2 else "4:2:2",
+            (2, 2): "4:4:4",
+        }.get((ch, cv), f"{hmax}x{vmax}/{ch}x{cv}")
+    else:
+        sub = "4:4:4"
+    info = {
+        "width": w,
+        "height": h,
+        "n_components": len(comps),
+        "restart_interval": restart_interval,
+    }
+    if len(comps) == 1:
+        arr = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+        info.update(channels=1, subsampling="4:4:4")
+        return arr, info
+    if len(comps) != 3:
+        raise ValueError(f"unsupported component count {len(comps)}")
+    y, cb, cr = full
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    arr = np.clip(np.rint(np.stack([r, g, b], axis=2)), 0, 255).astype(
+        np.uint8
+    )
+    info.update(channels=3, subsampling=sub)
+    return arr, info
+
+
+# ---------------------------------------------------------------------------
+# Encoder (fixture grade)
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            byte = ((self.acc << pad) | ((1 << pad) - 1)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self.acc = self.nbits = 0
+        return bytes(self.out)
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v >= 0 else int(-v).bit_length()
+
+
+def _encode_block(
+    wtr: _BitWriter,
+    block: np.ndarray,
+    q: np.ndarray,
+    pred: int,
+    dc_tbl: dict,
+    ac_tbl: dict,
+) -> int:
+    coeffs = _A @ (block.astype(np.float64) - 128.0) @ _A.T
+    zz = np.rint(coeffs / q).astype(np.int64).reshape(-1)[_ZZ_FLAT]
+    diff = int(zz[0]) - pred
+    ssss = _category(diff)
+    ln, code = dc_tbl[ssss]
+    wtr.write(code, ln)
+    if ssss:
+        wtr.write(diff if diff >= 0 else diff + (1 << ssss) - 1, ssss)
+    run = 0
+    last_nz = int(np.nonzero(zz[1:])[0][-1]) + 1 if np.any(zz[1:]) else 0
+    for k in range(1, last_nz + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            ln, code = ac_tbl[0xF0]  # ZRL
+            wtr.write(code, ln)
+            run -= 16
+        s = _category(v)
+        ln, code = ac_tbl[(run << 4) | s]
+        wtr.write(code, ln)
+        wtr.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        ln, code = ac_tbl[0x00]  # EOB
+        wtr.write(code, ln)
+    return int(zz[0])
+
+
+def _pad_to(arr: np.ndarray, mult: int) -> np.ndarray:
+    h, w = arr.shape
+    ph = (-h) % mult
+    pw = (-w) % mult
+    if ph or pw:
+        arr = np.pad(arr, ((0, ph), (0, pw)), mode="edge")
+    return arr
+
+
+def encode_jpeg(
+    arr: np.ndarray,
+    qtable: np.ndarray | None = None,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode a uint8 array as baseline JFIF. (h, w) -> one grayscale
+    component; (h, w, 3) -> RGB converted to YCbCr, '4:4:4' or '4:2:0'.
+    ``qtable`` is an 8x8 integer table used for every component (default
+    all-ones — lossless on block-constant images, see module docstring).
+    ``restart_interval`` > 0 emits DRI + RSTn markers every that many
+    MCUs (exercises the decoder's restart path)."""
+    a = np.asarray(arr, dtype=np.uint8)
+    if a.ndim not in (2, 3):
+        raise ValueError("expect (h, w) or (h, w, 3)")
+    if a.ndim == 3 and a.shape[2] != 3:
+        raise ValueError("color input must have 3 channels")
+    if subsampling not in ("4:4:4", "4:2:0"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    q = (
+        np.ones((8, 8), dtype=np.int64)
+        if qtable is None
+        else np.asarray(qtable, dtype=np.int64).reshape(8, 8)
+    )
+    if (q < 1).any() or (q > 255).any():
+        raise ValueError("qtable entries must be in 1..255")
+
+    h, w = a.shape[:2]
+    color = a.ndim == 3
+    if color:
+        rf = a[:, :, 0].astype(np.float64)
+        gf = a[:, :, 1].astype(np.float64)
+        bf = a[:, :, 2].astype(np.float64)
+        y = 0.299 * rf + 0.587 * gf + 0.114 * bf
+        cb = 128.0 - 0.168736 * rf - 0.331264 * gf + 0.5 * bf
+        cr = 128.0 + 0.5 * rf - 0.418688 * gf - 0.081312 * bf
+        if subsampling == "4:2:0":
+            yp = _pad_to(y, 16)
+            cbp = _pad_to(cb, 16)
+            crp = _pad_to(cr, 16)
+            # box-average 2x2 for chroma
+            cbs = cbp.reshape(cbp.shape[0] // 2, 2, cbp.shape[1] // 2, 2).mean((1, 3))
+            crs = crp.reshape(crp.shape[0] // 2, 2, crp.shape[1] // 2, 2).mean((1, 3))
+            planes = [yp, cbs, crs]
+            samps = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [_pad_to(y, 8), _pad_to(cb, 8), _pad_to(cr, 8)]
+            samps = [(1, 1), (1, 1), (1, 1)]
+    else:
+        planes = [_pad_to(a.astype(np.float64), 8)]
+        samps = [(1, 1)]
+
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+
+    dc_tbl = _encode_table(_DC_BITS, _DC_VALS)
+    ac_tbl = _encode_table(_AC_BITS, _AC_VALS)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    zz_q = q.reshape(-1)[_ZZ_FLAT]
+    out += seg(0xDB, bytes([0x00]) + bytes(int(v) for v in zz_q))
+    ncomp = len(planes)
+    # Frame dims are the TRUE (h, w); MCU padding is edge-replicated and
+    # the decoder crops it back off, as every real codec pair does.
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for i, (hs, vs) in enumerate(samps):
+        sof += bytes([i + 1, (hs << 4) | vs, 0])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sos = bytes([ncomp])
+    for i in range(ncomp):
+        sos += bytes([i + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+
+    wtr = _BitWriter()
+    preds = [0] * ncomp
+    entropy_parts: list[bytes] = []
+    mcu_in_segment = 0
+    rst = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_in_segment == restart_interval:
+                entropy_parts.append(wtr.flush())
+                entropy_parts.append(bytes([0xFF, 0xD0 + (rst % 8)]))
+                rst += 1
+                wtr = _BitWriter()
+                preds = [0] * ncomp
+                mcu_in_segment = 0
+            for ci, (plane, (hs, vs)) in enumerate(zip(planes, samps)):
+                for by in range(vs):
+                    for bx in range(hs):
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        block = plane[y0 : y0 + 8, x0 : x0 + 8]
+                        preds[ci] = _encode_block(
+                            wtr, block, q, preds[ci], dc_tbl, ac_tbl
+                        )
+            mcu_in_segment += 1
+    entropy_parts.append(wtr.flush())
+    out += b"".join(entropy_parts)
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

@@ -6,13 +6,13 @@ an asset row is (id, media_type, blob BINARY, meta STRUCT). Decode /
 feature-extract runs as Arrow-batched mapInPandas — the only sane way to
 touch bytes at scale (whole-partition batches, zero-copy into pandas).
 
-PNG decoding is REAL (sources/png.py — pure-python DEFLATE + scanline
-unfiltering, same machinery family as the TIFF reader): decode_images
-dispatches on the PNG signature and emits actual width/height/pixel
-stats. Formats without an in-container codec (JPEG, audio, video) still
-use the clearly-marked deterministic fake in decode_assets — schema,
-partitioning, batch shape, and UDF signature are production-real; only
-that codec call is stubbed.
+PNG, GIF, BMP and baseline JPEG decoding are REAL (sources/{png,gif,
+bmp,jpeg}.py — pure-python codecs): decode_images dispatches on the
+container signature and emits actual width/height/pixel stats. Formats
+without an in-container codec still use the clearly-marked
+deterministic fake in decode_assets — schema, partitioning, batch
+shape, and UDF signature are production-real; only that codec call is
+stubbed.
 """
 
 from __future__ import annotations
@@ -144,6 +144,44 @@ def synthetic_gif_assets(
     )
 
 
+def synthetic_jpeg_assets(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "text"
+) -> DataFrame:
+    """Deterministic REAL-JPEG fixtures riding the codec's exactness
+    contract (sources/jpeg.py): for payload byte-length n, a grayscale
+    image of (n//4 % 4 + 1) x (n % 4 + 1) aligned 8x8 blocks, block k
+    CONSTANT at (id*31 + k) % 256, all-ones quantization table — the
+    encode->decode round trip is bit-exact, so px_sum is the closed form
+    64 * sum_k((id*31 + k) % 256). doc_id % 3 sweeps the restart
+    interval (0 = none), exercising DRI/RSTn across the corpus the way
+    the PNG fixtures sweep scanline filters."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from shared_etl_pipelines_spark.sources import jpeg
+
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                d = int(doc_id)
+                n = len(str(payload).encode("utf-8"))
+                bw = n % 4 + 1
+                bh = (n // 4) % 4 + 1
+                k = np.arange(bw * bh, dtype=np.int64)
+                blocks = ((d * 31 + k) % 256).astype(np.uint8).reshape(bh, bw)
+                arr = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+                ids.append(d)
+                blobs.append(jpeg.encode_jpeg(arr, restart_interval=d % 3))
+            yield pd.DataFrame(
+                {"doc_id": ids, "media_type": "image/jpeg", "blob": blobs}
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches, "doc_id bigint, media_type string, blob binary"
+    )
+
+
 IMAGE_SCHEMA = (
     "doc_id bigint, media_type string, n_bytes bigint, "
     "is_real_decode boolean, width int, height int, channels int, "
@@ -162,7 +200,7 @@ def decode_images(assets: DataFrame) -> DataFrame:
     shuffle."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from shared_etl_pipelines_spark.sources import bmp, gif, png
+        from shared_etl_pipelines_spark.sources import bmp, gif, jpeg, png
 
         for pdf in it:
             rows: dict[str, list] = {
@@ -185,6 +223,8 @@ def decode_images(assets: DataFrame) -> DataFrame:
                         arr, info = png.decode_png(blob)
                     elif bmp.is_bmp(blob):
                         arr, info = bmp.decode_bmp(blob)
+                    elif jpeg.is_jpeg(blob):
+                        arr, info = jpeg.decode_jpeg(blob)
                     elif gif.is_gif(blob):
                         arr = gif.decode_gif(blob)
                         info = {
@@ -609,6 +649,43 @@ def synthetic_patterned_png_assets(
     )
 
 
+def synthetic_patterned_jpeg_assets(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """REAL-JPEG fixtures with PLANTED near-duplicates for perceptual
+    hashing: a 64x64 grayscale image of 8x8 CONSTANT blocks, block k =
+    ((k+1)*(2*(id//8)+17) + (id%8)*3) % 251 — the same group-of-8
+    brightness-shift structure as the PNG patterned corpus. Because
+    ahash_images samples pixel (8y, 8x) of a 64x64 image — exactly one
+    pixel per block — and the lossy codec is bit-exact on block-constant
+    input (all-ones qtable), the aHash closed form over the block values
+    applies verbatim to the JPEG path: Huffman + DCT included."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from shared_etl_pipelines_spark.sources import jpeg
+
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                k = np.arange(64, dtype=np.int64)
+                blocks = (
+                    ((k + 1) * (2 * (d // 8) + 17) + (d % 8) * 3) % 251
+                ).astype(np.uint8).reshape(8, 8)
+                arr = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+                ids.append(d)
+                blobs.append(jpeg.encode_jpeg(arr, restart_interval=d % 3))
+            yield pd.DataFrame(
+                {"doc_id": ids, "media_type": "image/jpeg", "blob": blobs}
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(
+        batches, "doc_id bigint, media_type string, blob binary"
+    )
+
+
 def ahash_images(assets: DataFrame) -> DataFrame:
     """64-bit average-hash per image from REAL decoded pixels: nearest-
     neighbor 8x8 resample, bit = sample*64 >= sum(samples) (pure integer
@@ -619,7 +696,7 @@ def ahash_images(assets: DataFrame) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        from shared_etl_pipelines_spark.sources import bmp, png
+        from shared_etl_pipelines_spark.sources import bmp, jpeg, png
 
         for pdf in it:
             rows = {k: [] for k in ("doc_id", "is_real_decode", "h_lo", "h_hi")}
@@ -631,6 +708,8 @@ def ahash_images(assets: DataFrame) -> DataFrame:
                         arr, _ = png.decode_png(blob)
                     elif bmp.is_bmp(blob):
                         arr, _ = bmp.decode_bmp(blob)
+                    elif jpeg.is_jpeg(blob):
+                        arr, _ = jpeg.decode_jpeg(blob)
                 except Exception:
                     arr = None
                 rows["doc_id"].append(doc_id)

@@ -1,0 +1,173 @@
+"""Baseline JPEG codec: the block-constant exactness contract the SQL
+oracle rides on, lossy-tolerance round trips, color + subsampling,
+restart markers, unsupported-variant errors, and the Spark-side
+dispatch in sources/multimodal.py."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from shared_etl_pipelines_spark.sources.jpeg import (
+    _ZZ_FLAT,
+    decode_jpeg,
+    encode_jpeg,
+    is_jpeg,
+)
+
+RNG = np.random.default_rng(11)
+
+
+def _block_constant(bh: int, bw: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    blocks = rng.integers(0, 256, size=(bh, bw), dtype=np.int64)
+    return np.repeat(np.repeat(blocks, 8, 0), 8, 1).astype(np.uint8)
+
+
+def test_zigzag_is_the_standard_order():
+    # first and last few entries of the T.81 zigzag, flat-indexed
+    assert list(_ZZ_FLAT[:8]) == [0, 1, 8, 16, 9, 2, 3, 10]
+    assert list(_ZZ_FLAT[-4:]) == [47, 55, 62, 63]
+    assert sorted(_ZZ_FLAT) == list(range(64))
+
+
+@pytest.mark.parametrize("bh,bw", [(1, 1), (1, 4), (3, 2), (8, 8)])
+def test_block_constant_exact_round_trip(bh, bw):
+    """The exactness contract: flat 8x8 blocks + all-ones qtable survive
+    encode->decode bit-for-bit — what multimodal_jpeg_decode's closed-
+    form oracle relies on."""
+    img = _block_constant(bh, bw, seed=bh * 10 + bw)
+    blob = encode_jpeg(img)
+    assert is_jpeg(blob)
+    got, info = decode_jpeg(blob)
+    np.testing.assert_array_equal(got, img)
+    assert (info["width"], info["height"]) == (bw * 8, bh * 8)
+    assert info["channels"] == 1
+
+
+def test_block_constant_exact_with_restart_markers():
+    img = _block_constant(4, 5, seed=3)
+    for ri in (1, 2, 3, 7):
+        got, info = decode_jpeg(encode_jpeg(img, restart_interval=ri))
+        np.testing.assert_array_equal(got, img)
+        assert info["restart_interval"] == ri
+
+
+def test_arbitrary_gray_round_trip_tolerance():
+    """Arbitrary content through qtable=1 is near-lossless: the only
+    error is forward-DCT rounding, bounded by ±1 per sample... but edge
+    padding on non-multiple-of-8 sizes must not bleed either."""
+    img = RNG.integers(0, 256, size=(41, 53), dtype=np.uint8)
+    got, info = decode_jpeg(encode_jpeg(img))
+    assert got.shape == img.shape
+    assert int(np.abs(got.astype(int) - img.astype(int)).max()) <= 2
+
+
+def test_quant_table_bounds_error():
+    """Coarser quantization loses more — but stays within the classic
+    q/2-per-coefficient bound propagated through the IDCT."""
+    xx, yy = np.meshgrid(np.arange(48), np.arange(48))
+    img = ((xx * 3 + yy * 5) % 256).astype(np.uint8)
+    for q in (2, 4, 8):
+        got, _ = decode_jpeg(encode_jpeg(img, qtable=np.full((8, 8), q)))
+        assert int(np.abs(got.astype(int) - img.astype(int)).max()) <= 4 * q
+
+
+def test_color_444_round_trip():
+    img = RNG.integers(0, 256, size=(24, 16, 3), dtype=np.uint8)
+    got, info = decode_jpeg(encode_jpeg(img))
+    assert info["channels"] == 3
+    assert info["subsampling"] == "4:4:4"
+    assert got.shape == img.shape
+    # YCbCr conversion + DCT rounding both ways
+    assert int(np.abs(got.astype(int) - img.astype(int)).max()) <= 3
+
+
+def test_color_420_smooth_round_trip():
+    """4:2:0 halves chroma resolution; on a chroma-flat image the loss
+    is conversion rounding only."""
+    xx, yy = np.meshgrid(np.arange(32), np.arange(32))
+    lum = ((xx * 2 + yy) % 256).astype(np.uint8)
+    img = np.stack([lum, lum, lum], axis=2)  # gray in RGB: Cb=Cr=128
+    got, info = decode_jpeg(encode_jpeg(img, subsampling="4:2:0"))
+    assert info["subsampling"] == "4:2:0"
+    assert got.shape == img.shape
+    assert int(np.abs(got.astype(int) - img.astype(int)).max()) <= 2
+
+
+def test_odd_sizes_crop_back():
+    for shape in [(1, 1), (9, 17), (8, 1), (1, 24), (15, 15, 3)]:
+        img = RNG.integers(0, 256, size=shape, dtype=np.uint8)
+        got, _ = decode_jpeg(encode_jpeg(img))
+        assert got.shape == img.shape
+
+
+def test_unsupported_variants_raise():
+    img = _block_constant(1, 1, seed=0)
+    blob = bytearray(encode_jpeg(img))
+    # flip SOF0 (FFC0) into progressive SOF2 (FFC2)
+    i = bytes(blob).find(b"\xff\xc0")
+    blob[i + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg(bytes(blob))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"not a jpeg")
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(encode_jpeg(img)[:40]))  # truncated
+
+
+def test_is_jpeg_signature():
+    assert is_jpeg(b"\xff\xd8\xff\xe0rest")
+    assert not is_jpeg(b"\x89PNG\r\n\x1a\n")
+    assert not is_jpeg(b"")
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    bh=st.integers(1, 4),
+    bw=st.integers(1, 4),
+    seed=st.integers(0, 2**31 - 1),
+    ri=st.integers(0, 4),
+)
+def test_fuzz_block_constant_exact(bh, bw, seed, ri):
+    img = _block_constant(bh, bw, seed)
+    got, _ = decode_jpeg(encode_jpeg(img, restart_interval=ri))
+    np.testing.assert_array_equal(got, img)
+
+
+@settings(max_examples=20, deadline=None)
+@given(h=st.integers(1, 40), w=st.integers(1, 40), seed=st.integers(0, 2**31 - 1))
+def test_fuzz_arbitrary_gray_tolerance(h, w, seed):
+    img = np.random.default_rng(seed).integers(0, 256, size=(h, w), dtype=np.uint8)
+    got, _ = decode_jpeg(encode_jpeg(img))
+    assert got.shape == img.shape
+    assert int(np.abs(got.astype(int) - img.astype(int)).max()) <= 2
+
+
+def test_spark_decode_images_dispatches_jpeg(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.sources.multimodal import (
+        decode_images,
+        synthetic_jpeg_assets,
+    )
+    from shared_etl_pipelines_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(64)
+    out = decode_images(synthetic_jpeg_assets(docs)).collect()
+    assert len(out) == 64
+    assert all(r["is_real_decode"] for r in out)
+    for r in out:
+        bw = (r["width"] // 8)
+        bh = (r["height"] // 8)
+        k = np.arange(bw * bh, dtype=np.int64)
+        want = int((64 * ((r["doc_id"] * 31 + k) % 256)).sum())
+        assert r["px_sum"] == want, r["doc_id"]
+    # corrupt blob degrades, never aborts
+    bad = docs.limit(1).select(
+        F.col("doc_id"),
+        F.lit("image/jpeg").alias("media_type"),
+        F.lit(b"\xff\xd8\xffgarbage").cast("binary").alias("blob"),
+    )
+    rows = decode_images(bad).collect()
+    assert len(rows) == 1 and not rows[0]["is_real_decode"]
