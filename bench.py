@@ -33,7 +33,16 @@ EXCLUDE = {
 }
 
 
+# Comma-separated query names to bench in isolation (same warmup/sweep
+# as a full run, so numbers stay comparable); empty = everything.
+ONLY = {
+    n for n in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if n
+}
+
+
 def _excluded(name: str, qd) -> bool:
+    if ONLY:
+        return name not in ONLY
     return name in EXCLUDE or "streaming" in qd.tags
 
 
