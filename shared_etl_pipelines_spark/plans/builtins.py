@@ -30,7 +30,7 @@ from shared_etl_pipelines_spark.operators.resample import regrid_average
 from shared_etl_pipelines_spark.operators.setops import union_all
 from shared_etl_pipelines_spark.operators.windows import rolling_metric, zscore
 from shared_etl_pipelines_spark.plans.registry import plugin
-from shared_etl_pipelines_spark.plans.runner import StepContext
+from shared_etl_pipelines_spark.plans.runner import StepContext, _truthy
 
 
 # -- diagnostics (reference: echo / echo.py, pipelines/sample*.yml) ---------
@@ -264,13 +264,40 @@ def near_dup_pairs_plugin(
     return {"df": minhash_lsh_pairs(df, id_col, text_col, threshold=float(threshold))}
 
 
+def _eager_release(ctx: StepContext, make_df, eager: Any) -> DataFrame:
+    """Run a lazy iterative operator; with ``eager: true`` materialize
+    its result to scratch parquet and release every persist /
+    localCheckpoint the call registered (engine.StorageScope) before
+    returning. The storage-lifecycle fix for pipelines that LOOP a graph
+    plugin (foreach over snapshots): without it each iteration's edge
+    caches and round checkpoints accumulate in executor storage until a
+    session-wide sweep; with it per-iteration footprint is flat zero and
+    the returned frame is a plain parquet scan."""
+    if not _truthy(eager, default=False):
+        return make_df()
+    from shared_etl_pipelines_spark.engine import StorageScope, checkpoint_to_scratch
+
+    with StorageScope(ctx.spark):
+        out = checkpoint_to_scratch(make_df(), ctx.step.plugin)
+    return out
+
+
 @plugin("dedup_clusters")
 def dedup_clusters_plugin(
-    ctx: StepContext, pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b", **kw: Any
+    ctx: StepContext,
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    eager: Any = False,
+    **kw: Any,
 ) -> dict[str, Any]:
     from shared_etl_pipelines_spark.operators.dedup import connected_components
 
-    return {"df": connected_components(pairs, src=src, dst=dst)}
+    return {
+        "df": _eager_release(
+            ctx, lambda: connected_components(pairs, src=src, dst=dst), eager
+        )
+    }
 
 
 @plugin("stratified_sample")
@@ -470,19 +497,29 @@ def label_propagation_plugin(
     src: str = "src",
     dst: str = "dst",
     iterations: int = 3,
+    eager: Any = False,
     **kw: Any,
 ) -> dict[str, Any]:
     """Community labels over an edge frame (operators/graph.py) — the
     YAML form of the deterministic fixed-round LPA.
 
-    Storage note: the operator persists the edge frame for per-round
-    reuse and, being lazy, leaves it registered. Sessions that run many
-    pipelines back-to-back should call engine.sweep_persistent_rdds
-    after each pipeline's outputs are materialized (see
-    operators/graph.py module docstring)."""
+    Storage note: lazily composed (default), the operator's persisted
+    edge frame stays registered until the session sweep
+    (engine.sweep_persistent_rdds / operators/graph.py module
+    docstring). ``eager: true`` materializes to scratch and releases the
+    call's storage immediately — use it when a pipeline loops this
+    plugin (see _eager_release)."""
     from shared_etl_pipelines_spark.operators.graph import label_propagation
 
-    return {"df": label_propagation(edges, src=src, dst=dst, iterations=int(iterations))}
+    return {
+        "df": _eager_release(
+            ctx,
+            lambda: label_propagation(
+                edges, src=src, dst=dst, iterations=int(iterations)
+            ),
+            eager,
+        )
+    }
 
 
 @plugin("k_core")
@@ -493,13 +530,52 @@ def k_core_plugin(
     rounds: int = 3,
     src: str = "src",
     dst: str = "dst",
+    eager: Any = False,
     **kw: Any,
 ) -> dict[str, Any]:
     """k-core subgraph (operators/graph.py). Same storage note as
-    label_propagation: sweep persistent RDDs between pipeline runs."""
+    label_propagation: ``eager: true`` for looping pipelines, session
+    sweep otherwise."""
     from shared_etl_pipelines_spark.operators.graph import k_core
 
-    return {"df": k_core(edges, k=int(k), rounds=int(rounds), src=src, dst=dst)}
+    return {
+        "df": _eager_release(
+            ctx,
+            lambda: k_core(edges, k=int(k), rounds=int(rounds), src=src, dst=dst),
+            eager,
+        )
+    }
+
+
+@plugin("pagerank")
+def pagerank_plugin(
+    ctx: StepContext,
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 10,
+    eager: Any = False,
+    **kw: Any,
+) -> dict[str, Any]:
+    """Fixed-budget PageRank over an edge frame (operators/graph.py).
+    Same storage note as label_propagation: ``eager: true`` for looping
+    pipelines, session sweep otherwise."""
+    from shared_etl_pipelines_spark.operators.graph import pagerank
+
+    return {
+        "df": _eager_release(
+            ctx,
+            lambda: pagerank(
+                edges,
+                src=src,
+                dst=dst,
+                damping=float(damping),
+                iterations=int(iterations),
+            ),
+            eager,
+        )
+    }
 
 
 @plugin("topk_per_group")
