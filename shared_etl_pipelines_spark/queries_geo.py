@@ -220,6 +220,55 @@ def q_raster_tif_rollsum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S5'' — COG overview-level scan: every demo raster carries chained
+# reduced-resolution IFDs (write_geotiff overviews=k, two days BigTIFF),
+# and read_geotiff_long(overview=1) decodes the half-resolution level
+# only — the cheap-scan contract for 100 TB imagery (a coarse-statistics
+# pipeline reads ~1/4 the pixel data and never touches the full grids).
+# The oracle recomputes the 2x2 block means from the pixel formula:
+# exact for the float days (quarters are exact in f4/f8), floor for the
+# integer days (downsample2x truncates back to the source dtype).
+# ---------------------------------------------------------------------------
+@defquery(
+    "raster_overview_scan",
+    """
+    WITH days AS (SELECT CAST(d AS INTEGER) AS d FROM range(10) t(d)),
+    cells AS (
+      SELECT CAST(y.y AS INTEGER) AS y, CAST(x.x AS INTEGER) AS x
+      FROM range(8) y(y) CROSS JOIN range(8) x(x)
+    ),
+    m AS (
+      SELECT d, y, x,
+             ((d * 7919 + (2*y) * 31 + (2*x) * 17) % 1000
+              + (d * 7919 + (2*y) * 31 + (2*x+1) * 17) % 1000
+              + (d * 7919 + (2*y+1) * 31 + (2*x) * 17) % 1000
+              + (d * 7919 + (2*y+1) * 31 + (2*x+1) * 17) % 1000) / 4.0 AS mean4
+      FROM days CROSS JOIN cells
+    )
+    SELECT strftime(DATE '2024-03-01' + INTERVAL (d) DAY, '%Y-%m-%d') AS day,
+           y, x,
+           ROUND(CASE WHEN d IN (5, 7) THEN mean4 ELSE FLOOR(mean4) END, 4)
+           AS value
+    FROM m
+    """,
+    doc="COG overview-level read: decode ONLY the level-1 reduced IFD of "
+    "each daily raster (BigTIFF days included) — 2x2 block means pinned "
+    "by the closed-form oracle, the 4^-k cheap-scan path at scale",
+    tags=("geo", "raster", "S5", "source", "scale-path"),
+)
+def q_raster_overview_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.raster import (
+        ensure_demo_rasters,
+        read_geotiff_long,
+    )
+
+    fixture_dir = ensure_demo_rasters()
+    px = read_geotiff_long(spark, fixture_dir, drop_nodata=False, overview=1)
+    out = px.select(F.date_format("day", "yyyy-MM-dd").alias("day"), "y", "x", "value")
+    return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
 # Shapefile ingestion round-trip (the TIGER boundary contract,
 # pipelines/prism/county_daily_aggregate.yml:11-13 county_path=.shp with
 # GEOID/NAME attrs, stage-ts-ppt-day-state.yml:31 key=STUSPS): the demo

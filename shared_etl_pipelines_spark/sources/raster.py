@@ -9,12 +9,17 @@ long tables (SURVEY.md §7.0); this module closes the ingestion gap with
 a minimal pure-numpy GeoTIFF codec so the PRISM/CDL-shaped pipelines can
 run on their actual artifacts without GDAL:
 
-- ``decode_geotiff``: classic TIFF, single band, strip or tile layout,
-  uncompressed / DEFLATE / PackBits, horizontal-differencing predictor,
+- ``decode_geotiff``: classic TIFF **and BigTIFF** (magic 43, 64-bit
+  offsets, LONG8/SLONG8/IFD8 types — the >4 GiB Sentinel-2 COG shape),
+  single band, strip or tile layout, uncompressed / DEFLATE / LZW /
+  PackBits, horizontal-differencing predictor,
   u8/u16/u32/i8/i16/i32/f32/f64 samples, GDAL nodata + GeoTIFF
-  pixel-scale/tiepoint tags.
+  pixel-scale/tiepoint tags, and COG overview levels (chained
+  reduced-resolution IFDs) selectable via ``overview=k`` — the
+  cheap-scan path reading ~4^-k of the pixels.
 - ``write_geotiff``: the matching writer (fixtures, round-trip tests,
-  and staging outputs).
+  and staging outputs), including ``bigtiff=True`` containers and
+  ``overviews=k`` chained 2x-average reduced IFDs.
 - ``read_geotiff_long``: Spark's ``binaryFile`` source + ``mapInPandas``
   decode -> one row per pixel ``(day, y, x, value)`` with the G8
   date-from-filename regex applied to each path.
@@ -43,6 +48,7 @@ from pyspark.sql import DataFrame, SparkSession
 RASTER_SCHEMA = "day date, y int, x int, value double"
 
 # TIFF tag ids used here
+_T_NEWSUBFILE = 254
 _T_WIDTH, _T_HEIGHT, _T_BPS, _T_COMP = 256, 257, 258, 259
 _T_PHOTO, _T_STRIP_OFF, _T_SPP, _T_RPS, _T_STRIP_CNT = 262, 273, 277, 278, 279
 _T_PLANAR, _T_PREDICTOR = 284, 317
@@ -51,8 +57,14 @@ _T_SFORMAT = 339
 _T_PIXEL_SCALE, _T_TIEPOINT = 33550, 33922
 _T_GDAL_NODATA = 42113
 
-_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4, 12: 8}
-_TYPE_FMT = {1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d"}
+_TYPE_SIZE = {
+    1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8, 11: 4,
+    12: 8, 16: 8, 17: 8, 18: 8,  # 16/17/18: BigTIFF LONG8/SLONG8/IFD8
+}
+_TYPE_FMT = {
+    1: "B", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i", 11: "f", 12: "d",
+    16: "Q", 17: "q", 18: "Q",
+}
 
 _DTYPES = {
     (1, 8): "u1", (1, 16): "u2", (1, 32): "u4",
@@ -61,20 +73,42 @@ _DTYPES = {
 }
 
 
-def _read_ifd(data: bytes, e: str, off: int) -> dict[int, tuple]:
-    (n,) = struct.unpack_from(e + "H", data, off)
+def _read_ifd(
+    data: bytes, e: str, off: int, big: bool = False
+) -> tuple[dict[int, tuple], int]:
+    """Parse one IFD; returns ``(tags, next_ifd_offset)`` (0 = end of
+    chain). ``big=True`` switches to BigTIFF geometry: u64 entry count,
+    20-byte entries (u64 value count, 8 inline bytes), u64 next-IFD
+    pointer, and the LONG8/SLONG8/IFD8 value types."""
+    if big:
+        (n,) = struct.unpack_from(e + "Q", data, off)
+        first, esz, inline_max = off + 8, 20, 8
+    else:
+        (n,) = struct.unpack_from(e + "H", data, off)
+        first, esz, inline_max = off + 2, 12, 4
     tags: dict[int, tuple] = {}
     for i in range(n):
-        base = off + 2 + i * 12
-        tag, typ, cnt = struct.unpack_from(e + "HHI", data, base)
+        base = first + i * esz
+        tag, typ = struct.unpack_from(e + "HH", data, base)
+        if big:
+            (cnt,) = struct.unpack_from(e + "Q", data, base + 4)
+            vbase = base + 12
+        else:
+            (cnt,) = struct.unpack_from(e + "I", data, base + 4)
+            vbase = base + 8
         size = _TYPE_SIZE.get(typ, 1) * cnt
-        voff = base + 8 if size <= 4 else struct.unpack_from(e + "I", data, base + 8)[0]
+        voff = (
+            vbase
+            if size <= inline_max
+            else struct.unpack_from(e + ("Q" if big else "I"), data, vbase)[0]
+        )
         if typ == 2:  # ASCII
             tags[tag] = (data[voff : voff + cnt].split(b"\0", 1)[0].decode("ascii", "replace"),)
         elif typ in _TYPE_FMT:
             tags[tag] = struct.unpack_from(e + str(cnt) + _TYPE_FMT[typ], data, voff)
         # RATIONAL (5/10) and unknown types: not needed, skipped
-    return tags
+    (nxt,) = struct.unpack_from(e + ("Q" if big else "I"), data, first + n * esz)
+    return tags, nxt
 
 
 def _lzw_decode(src: bytes) -> bytes:
@@ -197,13 +231,10 @@ def _unpackbits(b: bytes) -> bytes:
     return bytes(out)
 
 
-def decode_geotiff(data: bytes) -> tuple[np.ndarray, dict]:
-    """Decode a single-band classic GeoTIFF from bytes.
-
-    Returns ``(array[h, w], meta)`` with meta keys: ``nodata`` (float or
-    None), ``pixel_scale`` ((sx, sy, sz) or None), ``tiepoint`` (raw
-    ModelTiepoint doubles or None).
-    """
+def _tiff_header(data: bytes) -> tuple[str, bool, int]:
+    """Parse the TIFF header; returns ``(endianness, is_bigtiff,
+    first_ifd_offset)``. Classic magic 42 (u32 offsets) and BigTIFF
+    magic 43 (u64 offsets, offset-size field must be 8) both accepted."""
     if data[:2] == b"II":
         e = "<"
     elif data[:2] == b"MM":
@@ -211,10 +242,53 @@ def decode_geotiff(data: bytes) -> tuple[np.ndarray, dict]:
     else:
         raise ValueError("not a TIFF: bad byte-order mark")
     (magic,) = struct.unpack_from(e + "H", data, 2)
-    if magic != 42:
-        raise ValueError(f"unsupported TIFF magic {magic} (classic TIFF only, no BigTIFF)")
-    (ifd_off,) = struct.unpack_from(e + "I", data, 4)
-    tags = _read_ifd(data, e, ifd_off)
+    if magic == 42:
+        (ifd_off,) = struct.unpack_from(e + "I", data, 4)
+        return e, False, ifd_off
+    if magic == 43:
+        osize, zero = struct.unpack_from(e + "HH", data, 4)
+        if osize != 8 or zero != 0:
+            raise ValueError(f"malformed BigTIFF header: offsize={osize}, pad={zero}")
+        (ifd_off,) = struct.unpack_from(e + "Q", data, 8)
+        return e, True, ifd_off
+    raise ValueError(f"unsupported TIFF magic {magic}")
+
+
+def list_overviews(data: bytes) -> list[tuple[int, int]]:
+    """``(width, height)`` of every IFD in the file, full-resolution
+    first — COG overview levels appear as successive reduced-resolution
+    IFDs (NewSubfileType=1) on the next-IFD chain."""
+    e, big, off = _tiff_header(data)
+    dims = []
+    while off:
+        tags, off = _read_ifd(data, e, off, big)
+        dims.append((tags[_T_WIDTH][0], tags[_T_HEIGHT][0]))
+    return dims
+
+
+def decode_geotiff(data: bytes, overview: int = 0) -> tuple[np.ndarray, dict]:
+    """Decode a single-band classic or BigTIFF GeoTIFF from bytes.
+
+    ``overview`` selects an IFD on the next-IFD chain: 0 = the
+    full-resolution image, k = the k-th reduced-resolution (COG
+    overview) level — the cheap-scan path at scale, reading ~4^-k of
+    the pixel data. Raises if the file has no such level.
+
+    Returns ``(array[h, w], meta)`` with meta keys: ``nodata`` (float or
+    None), ``pixel_scale`` ((sx, sy, sz) or None), ``tiepoint`` (raw
+    ModelTiepoint doubles or None), ``n_ifds`` (total IFD count — 1 +
+    number of overview levels).
+    """
+    e, big, off = _tiff_header(data)
+    ifds: list[dict[int, tuple]] = []
+    while off:
+        t, off = _read_ifd(data, e, off, big)
+        ifds.append(t)
+    if overview >= len(ifds):
+        raise ValueError(
+            f"overview level {overview} not present ({len(ifds)} IFDs in file)"
+        )
+    tags, n_ifds = ifds[overview], len(ifds)
 
     width, height = tags[_T_WIDTH][0], tags[_T_HEIGHT][0]
     bps = tags.get(_T_BPS, (8,))[0]
@@ -272,28 +346,36 @@ def decode_geotiff(data: bytes) -> tuple[np.ndarray, dict]:
         "nodata": float(tags[_T_GDAL_NODATA][0]) if _T_GDAL_NODATA in tags else None,
         "pixel_scale": tags.get(_T_PIXEL_SCALE),
         "tiepoint": tags.get(_T_TIEPOINT),
+        "n_ifds": n_ifds,
     }
     return arr, meta
 
 
-def write_geotiff(
-    path: str,
-    arr: np.ndarray,
-    nodata: float | None = None,
-    compress: bool | str = False,
-    tile: int | None = None,
-    pixel_scale: tuple[float, float] | None = None,
-    origin: tuple[float, float] | None = None,
-) -> None:
-    """Write a single-band classic GeoTIFF (little-endian).
+def downsample2x(a: np.ndarray) -> np.ndarray:
+    """One COG overview step: 2x2 block average (odd edges clamped by
+    repeating the last row/column), truncated back to the input dtype
+    for integer rasters — closed-form reproducible, so overview reads
+    stay SQL-oracle-checkable."""
+    if a.shape[0] % 2:
+        a = np.vstack([a, a[-1:]])
+    if a.shape[1] % 2:
+        a = np.hstack([a, a[:, -1:]])
+    h2, w2 = a.shape[0] // 2, a.shape[1] // 2
+    m = a.reshape(h2, 2, w2, 2).astype("f8").mean(axis=(1, 3))
+    return m.astype(a.dtype)
 
-    Strip layout by default (one strip per raster); ``tile`` switches to
-    square tiles of that size. ``compress`` applies DEFLATE when truthy;
-    pass ``"lzw"`` for TIFF-LZW (the wild-GeoTIFF default codec).
-    """
-    arr = np.ascontiguousarray(arr)
-    if arr.ndim != 2:
-        raise ValueError("expected a 2-D array")
+
+def _image_blocks_entries(
+    arr: np.ndarray,
+    compress: bool | str,
+    tile: int | None,
+    nodata: float | None,
+    pixel_scale,
+    origin,
+    reduced: bool,
+) -> tuple[list[bytes], list[tuple[int, int, int, tuple]]]:
+    """Encode one image into (blocks, IFD entries); offset tags carry
+    ``None`` values to be patched by the serializer."""
     h, w = arr.shape
     kind_map = {"u": 1, "i": 2, "f": 3}
     sfmt = kind_map.get(arr.dtype.kind)
@@ -327,11 +409,13 @@ def write_geotiff(
         (_T_SPP, 3, 1, (1,)),
         (_T_SFORMAT, 3, 1, (sfmt,)),
     ]
+    if reduced:
+        entries.append((_T_NEWSUBFILE, 4, 1, (1,)))  # reduced-resolution image
     if tile:
         entries += [
             (_T_TILE_W, 3, 1, (tile,)),
             (_T_TILE_H, 3, 1, (tile,)),
-            (_T_TILE_OFF, 4, len(blocks), None),  # patched below
+            (_T_TILE_OFF, 4, len(blocks), None),  # patched by serializer
             (_T_TILE_CNT, 4, len(blocks), tuple(len(b) for b in blocks)),
         ]
     else:
@@ -348,49 +432,115 @@ def write_geotiff(
         nd = f"{nodata:g}\0".encode("ascii")
         entries.append((_T_GDAL_NODATA, 2, len(nd), nd))
     entries.sort(key=lambda t: t[0])
+    return blocks, entries
 
-    # layout: header(8) | IFD | overflow values | block data
-    ifd_off = 8
-    ifd_size = 2 + len(entries) * 12 + 4
-    overflow_off = ifd_off + ifd_size
-    overflow = bytearray()
+
+def write_geotiff(
+    path: str,
+    arr: np.ndarray,
+    nodata: float | None = None,
+    compress: bool | str = False,
+    tile: int | None = None,
+    pixel_scale: tuple[float, float] | None = None,
+    origin: tuple[float, float] | None = None,
+    bigtiff: bool = False,
+    overviews: int = 0,
+) -> None:
+    """Write a single-band GeoTIFF (little-endian).
+
+    Strip layout by default (one strip per raster); ``tile`` switches to
+    square tiles of that size. ``compress`` applies DEFLATE when truthy;
+    pass ``"lzw"`` for TIFF-LZW (the wild-GeoTIFF default codec).
+    ``bigtiff=True`` emits the BigTIFF container (magic 43, 64-bit
+    offsets, LONG8 block-offset tags — what real Sentinel-2 COG assets
+    use once they cross 4 GiB). ``overviews=k`` appends k chained
+    reduced-resolution IFDs (COG overview levels), each a 2x block
+    average of the previous (``downsample2x``), sharing the codec/tile
+    layout of the main image.
+    """
+    arr = np.ascontiguousarray(arr)
+    if arr.ndim != 2:
+        raise ValueError("expected a 2-D array")
+
+    images = [arr]
+    for _ in range(overviews):
+        images.append(downsample2x(images[-1]))
+    per_img = [
+        _image_blocks_entries(
+            a, compress, tile, nodata,
+            pixel_scale if i == 0 else None,
+            origin if i == 0 else None,
+            reduced=i > 0,
+        )
+        for i, a in enumerate(images)
+    ]
+
+    # geometry knobs per container flavor
+    if bigtiff:
+        header_size, esz, cnt_fld, inline_max, off_fmt = 16, 20, 8, 8, "Q"
+        off_typ = 16  # LONG8 block offsets — exercises the 8-byte types
+    else:
+        header_size, esz, cnt_fld, inline_max, off_fmt = 8, 12, 2, 4, "I"
+        off_typ = 4
+    ptr_size = 8 if bigtiff else 4
 
     def enc_values(typ: int, cnt: int, vals) -> bytes:
         if typ == 2:
             return bytes(vals)
-        fmt = {3: "H", 4: "I", 12: "d"}[typ]
+        fmt = {3: "H", 4: "I", 12: "d", 16: "Q"}[typ]
         return struct.pack("<" + str(cnt) + fmt, *vals)
 
-    # first pass: compute where block data begins
-    tentative = overflow_off
-    for tag, typ, cnt, vals in entries:
-        size = _TYPE_SIZE[typ] * cnt
-        if size > 4:
-            tentative += size
-    data_off = tentative
-    block_offsets = []
-    pos = data_off
-    for b in blocks:
-        block_offsets.append(pos)
-        pos += len(b)
+    # pass 1 — lay out: header | (IFD_i + overflow_i)... | all block data
+    ifd_offs, overflow_offs = [], []
+    pos = header_size
+    for blocks, entries in per_img:
+        ifd_offs.append(pos)
+        pos += cnt_fld + len(entries) * esz + ptr_size
+        overflow_offs.append(pos)
+        for tag, typ, cnt, vals in entries:
+            typ = off_typ if vals is None else typ
+            size = _TYPE_SIZE[typ] * cnt
+            if size > inline_max:
+                pos += size
+    block_offsets_per_img: list[list[int]] = []
+    for blocks, _ in per_img:
+        offs = []
+        for b in blocks:
+            offs.append(pos)
+            pos += len(b)
+        block_offsets_per_img.append(offs)
 
+    # pass 2 — serialize
     out = bytearray()
-    out += struct.pack("<2sHI", b"II", 42, ifd_off)
-    out += struct.pack("<H", len(entries))
-    for tag, typ, cnt, vals in entries:
-        if vals is None:  # offsets tag
-            vals = tuple(block_offsets)
-        enc = enc_values(typ, cnt, vals)
-        if len(enc) <= 4:
-            out += struct.pack("<HHI", tag, typ, cnt) + enc.ljust(4, b"\0")
-        else:
-            out += struct.pack("<HHII", tag, typ, cnt, overflow_off + len(overflow))
-            overflow += enc
-    out += struct.pack("<I", 0)  # next-IFD pointer
-    out += overflow
-    assert len(out) == data_off, f"layout bug: {len(out)} != {data_off}"
-    for b in blocks:
-        out += b
+    if bigtiff:
+        out += struct.pack("<2sHHHQ", b"II", 43, 8, 0, ifd_offs[0])
+    else:
+        out += struct.pack("<2sHI", b"II", 42, ifd_offs[0])
+    for i, (blocks, entries) in enumerate(per_img):
+        assert len(out) == ifd_offs[i], f"layout bug: {len(out)} != {ifd_offs[i]}"
+        out += struct.pack("<" + ("Q" if bigtiff else "H"), len(entries))
+        overflow = bytearray()
+        ovf_base = overflow_offs[i]
+        for tag, typ, cnt, vals in entries:
+            if vals is None:  # offsets tag
+                typ, vals = off_typ, tuple(block_offsets_per_img[i])
+            enc = enc_values(typ, cnt, vals)
+            if bigtiff:
+                hdr = struct.pack("<HHQ", tag, typ, cnt)
+            else:
+                hdr = struct.pack("<HHI", tag, typ, cnt)
+            if len(enc) <= inline_max:
+                out += hdr + enc.ljust(inline_max, b"\0")
+            else:
+                out += hdr + struct.pack("<" + off_fmt, ovf_base + len(overflow))
+                overflow += enc
+        nxt = ifd_offs[i + 1] if i + 1 < len(per_img) else 0
+        out += struct.pack("<" + off_fmt, nxt)
+        out += overflow
+    for offs, (blocks, _) in zip(block_offsets_per_img, per_img):
+        for o, b in zip(offs, blocks):
+            assert len(out) == o, f"layout bug: {len(out)} != {o}"
+            out += b
     with open(path, "wb") as f:
         f.write(bytes(out))
 
@@ -411,6 +561,7 @@ def read_geotiff_long(
     drop_nodata: bool = True,
     batch_rows: int = 1 << 18,
     on_error: str = "fail",
+    overview: int = 0,
 ) -> DataFrame:
     """Read GeoTIFF file(s) as a long table ``(day, y, x, value)``.
 
@@ -423,6 +574,10 @@ def read_geotiff_long(
     ``on_error``: ``"fail"`` (default) raises on an undecodable file with
     its path in the message; ``"skip"`` drops it and continues — the
     ignoreCorruptFiles posture for bulk backfills over scraped archives.
+
+    ``overview``: COG overview level to decode (0 = full resolution).
+    Level k emits ~4^-k of the rows — the cheap-scan path when a
+    pipeline only needs coarse statistics over 100 TB of imagery.
     """
     if on_error not in ("fail", "skip"):
         raise ValueError(f"on_error must be 'fail' or 'skip', got {on_error!r}")
@@ -431,7 +586,7 @@ def read_geotiff_long(
         for pdf in batches:
             for p, content in zip(pdf["path"], pdf["content"]):
                 try:
-                    arr, meta = decode_geotiff(bytes(content))
+                    arr, meta = decode_geotiff(bytes(content), overview=overview)
                 except Exception as e:
                     if on_error == "skip":
                         continue
@@ -477,7 +632,7 @@ def ensure_demo_rasters(base_dir: str | None = None) -> str:
     """Write (idempotently) the demo GeoTIFF corpus; returns its directory."""
     import tempfile
 
-    root = base_dir or os.path.join(tempfile.gettempdir(), "spark_graft_tif_demo_v2")
+    root = base_dir or os.path.join(tempfile.gettempdir(), "spark_graft_tif_demo_v3")
     os.makedirs(root, exist_ok=True)
     from datetime import timedelta
 
@@ -497,6 +652,12 @@ def ensure_demo_rasters(base_dir: str | None = None) -> str:
             # three: uncompressed, DEFLATE, and TIFF-LZW
             compress="lzw" if d % 4 == 3 else (d % 2 == 1),
             tile=8 if d % 3 == 0 else None,
+            # rotate containers too: two days are BigTIFF (magic 43,
+            # LONG8 offsets — the >4 GiB Sentinel-2 COG shape), and
+            # every day carries one COG overview level (tiled days two)
+            # so the overview-scan query covers the whole corpus
+            bigtiff=d in (2, 7),
+            overviews=2 if d % 3 == 0 else 1,
             pixel_scale=(0.0083, 0.0083),
             origin=(-125.0, 49.94),
         )

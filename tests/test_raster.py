@@ -288,3 +288,87 @@ def test_lzw_decoder_handles_kwkwk_and_width_growth():
     rng = np.random.default_rng(5)
     data = rng.integers(0, 3, size=1_000_000).astype(np.uint8).tobytes()
     assert _lzw_decode(_lzw_encode(data)) == data
+
+
+def test_bigtiff_roundtrip_all_layouts(tmp_path):
+    """BigTIFF container (magic 43, u64 offsets, LONG8 offset tags)
+    round-trips bit-exactly across codecs and strip/tile layouts, and
+    geo tags survive."""
+    import numpy as np
+
+    from shared_etl_pipelines_spark.sources.raster import (
+        decode_geotiff,
+        write_geotiff,
+    )
+
+    rng = np.random.default_rng(13)
+    arr = rng.integers(0, 1000, size=(37, 53)).astype("i4")
+    for compress in (False, True, "lzw"):
+        for tile in (None, 16):
+            p = str(tmp_path / f"bt_{compress}_{tile}.tif")
+            write_geotiff(
+                p, arr, compress=compress, tile=tile, nodata=-9.0,
+                bigtiff=True, pixel_scale=(0.5, 0.5), origin=(-100.0, 40.0),
+            )
+            data = open(p, "rb").read()
+            assert data[2:4] == b"\x2b\x00"  # magic 43
+            got, meta = decode_geotiff(data)
+            assert np.array_equal(got, arr), (compress, tile)
+            assert meta["nodata"] == -9.0
+            assert meta["pixel_scale"][:2] == (0.5, 0.5)
+
+
+def test_cog_overview_chain_selection(tmp_path):
+    """overviews=k writes k chained reduced-resolution IFDs; decode
+    selects by level, each level is the 2x block average of the one
+    above (odd edges clamped), and a missing level raises."""
+    import numpy as np
+    import pytest
+
+    from shared_etl_pipelines_spark.sources.raster import (
+        decode_geotiff,
+        downsample2x,
+        list_overviews,
+        write_geotiff,
+    )
+
+    rng = np.random.default_rng(17)
+    arr = rng.integers(0, 1000, size=(37, 53)).astype("i4")
+    for big in (False, True):
+        p = str(tmp_path / f"cog_{big}.tif")
+        write_geotiff(p, arr, tile=16, compress="lzw", overviews=2, bigtiff=big)
+        data = open(p, "rb").read()
+        assert list_overviews(data) == [(53, 37), (27, 19), (14, 10)]
+        full, meta = decode_geotiff(data)
+        assert meta["n_ifds"] == 3 and np.array_equal(full, arr)
+        o1, _ = decode_geotiff(data, overview=1)
+        assert np.array_equal(o1, downsample2x(arr))
+        o2, _ = decode_geotiff(data, overview=2)
+        assert np.array_equal(o2, downsample2x(downsample2x(arr)))
+        with pytest.raises(ValueError, match="overview level 3"):
+            decode_geotiff(data, overview=3)
+
+
+def test_read_geotiff_long_overview_level(spark, tmp_path):
+    """read_geotiff_long(overview=1) emits the reduced grid only —
+    the 4^-k cheap-scan path — with values matching downsample2x."""
+    import numpy as np
+
+    from shared_etl_pipelines_spark.sources.raster import (
+        downsample2x,
+        read_geotiff_long,
+        write_geotiff,
+    )
+
+    arr = (np.arange(256, dtype="i4") % 97).reshape(16, 16)
+    write_geotiff(
+        str(tmp_path / "prism_ppt_us_30s_20240301.tif"), arr,
+        overviews=1, bigtiff=True,
+    )
+    rows = read_geotiff_long(
+        spark, str(tmp_path), drop_nodata=False, overview=1
+    ).collect()
+    want = downsample2x(arr)
+    assert len(rows) == 64
+    got = {(r["y"], r["x"]): r["value"] for r in rows}
+    assert all(got[(y, x)] == float(want[y, x]) for y in range(8) for x in range(8))
