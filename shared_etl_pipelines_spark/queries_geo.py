@@ -1012,3 +1012,75 @@ def q_cell_overlap_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sa") > 0)
         .select("gx", "gy", "zone_id", F.round(F.col("sa") / 9.0, 4).alias("w"))
     )
+
+
+# ---------------------------------------------------------------------------
+# True affine/CRS regrid over a ROTATED source grid (VERDICT r4 #8) —
+# the non-aligned generalization of G6 that rasterio's `reproject`
+# covers and regrid_average cannot: a unit-resolution source grid
+# rotated by the 3-4-5 angle (cos=0.6, sin=0.8) is resampled onto an
+# axis-aligned 2-unit destination grid via operators/resample.py
+# affine_regrid (supersampled point mapping, one shuffle). The oracle
+# replays the mapping in INTEGER arithmetic: with s=2 the subpoint
+# numerators u = 4*gx + 2k+1, v = 4*gy + 2j+1 are odd, so the dst
+# pixel index floor((3u - 4v + 520)/40) (resp. (4u + 3v + 20)/40)
+# never sits on a cell boundary — the float path and the rational path
+# agree exactly, making a rotated-reprojection hash-checkable.
+# ---------------------------------------------------------------------------
+@defquery(
+    "affine_regrid_rotated",
+    """
+    WITH grid AS (
+      SELECT DISTINCT CAST(l_orderkey % 32 AS BIGINT) AS gx,
+                      CAST(l_suppkey % 32 AS BIGINT) AS gy
+      FROM lineitem
+    ),
+    sub AS (
+      SELECT gx, gy,
+             CAST((gx * 31 + gy * 17) % 100 AS DOUBLE) AS val,
+             4 * gx + 2 * k.k + 1 AS u,
+             4 * gy + 2 * j.j + 1 AS v
+      FROM grid CROSS JOIN range(2) k(k) CROSS JOIN range(2) j(j)
+    ),
+    mapped AS (
+      SELECT CAST(FLOOR((4 * u + 3 * v + 20) / 40.0) AS BIGINT) AS dy,
+             CAST(FLOOR((3 * u - 4 * v + 520) / 40.0) AS BIGINT) AS dx,
+             val
+      FROM sub
+    )
+    SELECT dy, dx, CAST(COUNT(*) AS BIGINT) AS n_pts,
+           ROUND(AVG(val), 4) AS avg_value
+    FROM mapped
+    WHERE dy >= 0 AND dy < 24 AND dx >= 0 AND dx < 24
+    GROUP BY dy, dx
+    """,
+    doc="average-resample a rotated source grid onto an axis-aligned "
+    "coarser grid through general affine transforms (the rasterio "
+    "reproject semantic G6 needs for non-aligned CRS pairs); "
+    "integer-exact oracle via the 3-4-5 rational rotation",
+    tags=("geo", "G6", "scale-path", "resample"),
+)
+def q_affine_regrid_rotated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.operators.resample import affine_regrid
+
+    li = spread(load_table(spark, sf_dir, "lineitem"))
+    grid = li.select(
+        (F.col("l_orderkey") % 32).cast("long").alias("gx"),
+        (F.col("l_suppkey") % 32).cast("long").alias("gy"),
+    ).distinct()
+    src = grid.withColumn(
+        "val", ((F.col("gx") * 31 + F.col("gy") * 17) % 100).cast("double")
+    )
+    out = affine_regrid(
+        src,
+        value_col="val",
+        # source pixel -> world: unit resolution rotated by the 3-4-5
+        # angle, translated to (10, 5)
+        src_transform=(0.6, -0.8, 10.0, 0.8, 0.6, 5.0),
+        # dst pixel -> world: axis-aligned, 2-unit cells, origin (-16, 4)
+        dst_transform=(2.0, 0.0, -16.0, 0.0, 2.0, 4.0),
+        dst_shape=(24, 24),
+        src_cols=("gy", "gx"),
+        supersample=2,
+    )
+    return out.select("dy", "dx", "n_pts", F.round("avg_value", 4).alias("avg_value"))

@@ -266,3 +266,65 @@ def test_partial_topk_identical_to_window_form(spark, sf_dir):
         .collect()
     }
     assert got == exp
+
+
+def test_affine_regrid_aligned_matches_regrid_average(spark):
+    """With axis-aligned unit->factor-2 transforms, affine_regrid must
+    reproduce regrid_average exactly (any supersample: every subpoint of
+    a fine cell lands in the same coarse cell)."""
+    from shared_etl_pipelines_spark.operators.resample import affine_regrid
+
+    rows = [
+        (fy, fx, float((fy * 7 + fx * 3) % 5))
+        for fy in range(8)
+        for fx in range(8)
+    ]
+    df = spark.createDataFrame(rows, ["fy", "fx", "v"])
+    want = {
+        (r["cy"], r["cx"]): r["fraction"]
+        for r in regrid_average(df, ("fy", "fx"), 2, "v").collect()
+    }
+    out = affine_regrid(
+        df,
+        value_col="v",
+        src_transform=(1.0, 0.0, 0.0, 0.0, 1.0, 0.0),
+        dst_transform=(2.0, 0.0, 0.0, 0.0, 2.0, 0.0),
+        dst_shape=(4, 4),
+        src_cols=("fy", "fx"),
+        supersample=3,
+    ).collect()
+    got = {(r["dy"], r["dx"]): r["avg_value"] for r in out}
+    assert got == want
+    assert all(r["n_pts"] == 4 * 9 for r in out)
+
+
+def test_affine_regrid_rotated_mask_fraction_converges(spark):
+    """A 45-degree-rotated unit mask square resampled onto a unit grid:
+    the mask covers exactly half of cell (0,0)'s area in the limit; the
+    supersampled fraction must stay within sampling error of 0.5 (the
+    s=4 grid happens to hit it exactly by symmetry) and never leave
+    [0, 1]."""
+    import math
+
+    from shared_etl_pipelines_spark.operators.resample import affine_regrid
+
+    df = spark.createDataFrame([(0, 0, 1.0)], ["r", "c", "mask"])
+    s2 = math.sqrt(2.0) / 2.0
+    errs = []
+    for s in (4, 16):
+        out = affine_regrid(
+            df,
+            value_col="mask",
+            # rotate the unit pixel 45deg about the origin, shift so the
+            # diamond straddles dst cell (0, 0)
+            src_transform=(s2, -s2, 0.5, s2, s2, -s2),
+            dst_transform=(1.0, 0.0, 0.0, 0.0, 1.0, 0.0),
+            dst_shape=(2, 2),
+            src_cols=("r", "c"),
+            supersample=s,
+        ).collect()
+        got = {(r["dy"], r["dx"]): r["n_pts"] for r in out}
+        frac00 = got.get((0, 0), 0) / (s * s)
+        assert 0.0 <= frac00 <= 1.0
+        errs.append(abs(frac00 - 0.5))
+    assert max(errs) < 0.05
