@@ -720,7 +720,10 @@ _R3_GREEN = frozenset(
         # "similarity_topk_lsh" was r3-green but flipped to the Arrow
         # bucket path this round (bit-identical buckets, 1.7x faster —
         # VERDICT r4 #4) — re-fronted for a fresh verdict.
-        "dedup_clusters", "raster_tif_rollsum", "label_prop_communities",
+        # "raster_tif_rollsum" was r3-green but re-fronted this round:
+        # its fixture corpus now rotates BigTIFF containers + chained
+        # overview IFDs in (same pixel values, locally re-verified).
+        "dedup_clusters", "label_prop_communities",
         "kcore_peeling", "hard_negative_mining",
         # "embedding_jl_project" was r3-green but its oracle SQL changed
         # this round (multiply-by-reciprocal to match the operator's
@@ -787,7 +790,7 @@ _FORCE_FRONT: frozenset[str] = frozenset()
 _CARRYOVER_FIRST = (
     # --- new round-5 queries are pinned here as they land ---
     "multimodal_jpeg_decode", "image_ahash_neardup_jpeg",
-    "raster_overview_scan", "affine_regrid_rotated",
+    "raster_overview_scan", "affine_regrid_rotated", "near_dup_levenshtein",
     # raster_tif_rollsum was r3-green but its fixture corpus changed
     # this round (BigTIFF containers + chained overview IFDs on the
     # same pixel values) — re-fronted for a fresh verdict on the new

