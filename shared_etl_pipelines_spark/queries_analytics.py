@@ -465,6 +465,96 @@ def q_zorder_clustering_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Hilbert-curve clustering key + locality audit: the better-locality
+# sibling of the Z-order key (operators/layout.py with_hilbert_key).
+# Consecutive Hilbert indices are always Manhattan-adjacent cells, so
+# equal index ranges cover tighter bounding boxes than the Z-curve's
+# seam-jumping ranges — which is exactly what parquet row-group min/max
+# pruning rewards. The query computes BOTH keys over the dense 32x32
+# grid, buckets each curve into 16 contiguous 64-cell index ranges, and
+# emits the per-range bounding boxes; the Hilbert rows bound every
+# range at area 64 (perfect squares at this order) while Z-order ranges
+# straddle seams. Bit-for-bit SQL parity via the same unrolled xy2d
+# walk (hilbert_sql_ctes).
+# ---------------------------------------------------------------------------
+def _hilbert_oracle() -> str:
+    from shared_etl_pipelines_spark.operators.layout import (
+        hilbert_sql_ctes,
+        zorder_sql,
+    )
+
+    ctes = hilbert_sql_ctes("gx", "gy", 5, "grid", ["gx", "gy"], out="hkey")
+    return f"""
+    WITH grid AS (
+      SELECT DISTINCT CAST(l_orderkey % 32 AS BIGINT) AS gx,
+                      CAST(l_suppkey % 32 AS BIGINT) AS gy
+      FROM lineitem
+    ),
+    {ctes},
+    both_curves AS (
+      SELECT 'hilbert' AS curve, hkey >> 6 AS range_id, gx, gy FROM hfinal
+      UNION ALL
+      SELECT 'zorder', ({zorder_sql(['gx', 'gy'], bits=5)}) >> 6, gx, gy
+      FROM grid
+    )
+    SELECT curve, CAST(range_id AS BIGINT) AS range_id,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(MAX(gx) - MIN(gx) + 1 AS BIGINT) AS bbox_w,
+           CAST(MAX(gy) - MIN(gy) + 1 AS BIGINT) AS bbox_h,
+           CAST((MAX(gx) - MIN(gx) + 1) * (MAX(gy) - MIN(gy) + 1) AS BIGINT)
+           AS bbox_area
+    FROM both_curves
+    GROUP BY curve, range_id
+    """
+
+
+@defquery(
+    "hilbert_layout_audit",
+    _hilbert_oracle(),
+    doc="Hilbert vs Z-order clustering locality: per-64-cell-range "
+    "bounding boxes over the dense grid (Hilbert ranges are perfect "
+    "8x8 squares; Z-order ranges straddle power-of-two seams) — the "
+    "data-skipping rationale, bit-for-bit SQL parity on both curves",
+    tags=("layout", "zorder", "scale-path"),
+)
+def q_hilbert_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.operators.layout import (
+        with_hilbert_key,
+        zorder_key,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    grid = li.select(
+        (F.col("l_orderkey") % 32).cast("long").alias("gx"),
+        (F.col("l_suppkey") % 32).cast("long").alias("gy"),
+    ).distinct()
+    h = with_hilbert_key(grid, "gx", "gy", order=5, out="hkey").select(
+        F.lit("hilbert").alias("curve"),
+        F.shiftright("hkey", 6).alias("range_id"),
+        "gx",
+        "gy",
+    )
+    z = grid.select(
+        F.lit("zorder").alias("curve"),
+        F.shiftright(zorder_key(["gx", "gy"], bits=5), 6).alias("range_id"),
+        "gx",
+        "gy",
+    )
+    return (
+        h.unionByName(z)
+        .groupBy("curve", "range_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            (F.max("gx") - F.min("gx") + 1).cast("long").alias("bbox_w"),
+            (F.max("gy") - F.min("gy") + 1).cast("long").alias("bbox_h"),
+            ((F.max("gx") - F.min("gx") + 1) * (F.max("gy") - F.min("gy") + 1))
+            .cast("long")
+            .alias("bbox_area"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Ratio-to-report: each nation's share of its region's revenue — the
 # aggregate-over-aggregate window shape. Revenue sums as exact integer
 # cents; only the final share division is floating point, and it is the

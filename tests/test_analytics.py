@@ -583,3 +583,76 @@ def test_theil_sen_resists_outliers(spark):
     ols = df.agg(F.regr_slope("y", "x")).collect()[0][0]
     assert abs(ts - 2.0) < 1e-9
     assert abs(ols - 2.0) > 1.0
+
+
+def _xy2d_ref(order: int, x: int, y: int) -> int:
+    """Classic iterative Hilbert xy2d (Wikipedia formulation) — the
+    independent reference the column walk must reproduce."""
+    d = 0
+    s = 1 << (order - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = s - 1 - x
+                y = s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_key_matches_reference_and_is_a_space_filling_curve(spark):
+    """with_hilbert_key equals the reference xy2d on every cell of a
+    16x16 grid, is a bijection onto [0, 256), and consecutive indices
+    are ALWAYS Manhattan-adjacent — the locality property Z-order lacks
+    (its seam jumps exceed distance 1)."""
+    from shared_etl_pipelines_spark.operators.layout import (
+        with_hilbert_key,
+        zorder_key,
+    )
+
+    order = 4
+    cells = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(cells, ["x", "y"])
+    rows = with_hilbert_key(df, "x", "y", order=order, out="hkey").collect()
+    got = {(r["x"], r["y"]): r["hkey"] for r in rows}
+    assert got == {(x, y): _xy2d_ref(order, x, y) for x, y in cells}
+    assert sorted(got.values()) == list(range(256))  # bijection
+    by_d = {d: xy for xy, d in got.items()}
+    steps = [
+        abs(by_d[d][0] - by_d[d + 1][0]) + abs(by_d[d][1] - by_d[d + 1][1])
+        for d in range(255)
+    ]
+    assert set(steps) == {1}  # unit Manhattan steps everywhere
+    # contrast: the Z-curve's max consecutive step on the same grid > 1
+    zrows = df.select("x", "y", zorder_key(["x", "y"], bits=4).alias("z")).collect()
+    zby_d = {r["z"]: (r["x"], r["y"]) for r in zrows}
+    zsteps = [
+        abs(zby_d[d][0] - zby_d[d + 1][0]) + abs(zby_d[d][1] - zby_d[d + 1][1])
+        for d in range(255)
+    ]
+    assert max(zsteps) > 1
+
+
+def test_hilbert_ranges_are_perfect_squares_at_power_boundaries(spark):
+    """Splitting the order-5 curve into 16 contiguous 64-cell ranges
+    yields 8x8 bounding boxes (area exactly 64) for every range — the
+    tight-row-group story the hilbert_layout_audit query exposes."""
+    from shared_etl_pipelines_spark.operators.layout import with_hilbert_key
+
+    cells = [(x, y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(cells, ["x", "y"])
+    rows = with_hilbert_key(df, "x", "y", order=5, out="hkey").collect()
+    import collections
+
+    boxes = collections.defaultdict(list)
+    for r in rows:
+        boxes[r["hkey"] >> 6].append((r["x"], r["y"]))
+    assert len(boxes) == 16
+    for pts in boxes.values():
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        assert len(pts) == 64
+        assert (max(xs) - min(xs) + 1) * (max(ys) - min(ys) + 1) == 64
