@@ -5640,3 +5640,47 @@ def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, batch, "doc_id", "text", n=3, k=8, bands=4, threshold=0.5
     )
     return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# JSONL ingestion — the interchange format LLM corpora ship as (Pile/
+# RedPajama/Dolma). sources/jsonl.py writes the documents table as
+# nested JSON lines (struct meta + tag array + one corrupt line);
+# Spark reads it back schema-enforced/PERMISSIVE and flattens. Every
+# field is a closed-form function of (doc_id, text), so the oracle
+# recomputes the flattened rows from `documents` alone — and the
+# md5(text) content hash pins JSON escaping round-trip fidelity.
+# ---------------------------------------------------------------------------
+@defquery(
+    "jsonl_nested_ingest",
+    """
+    SELECT doc_id,
+           'crawl-' || CAST(doc_id % 4 AS VARCHAR) AS source,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           unnest([CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END,
+                   'demo']) AS tag,
+           md5(text) AS content_hash
+    FROM documents
+    """,
+    doc="schema-enforced PERMISSIVE JSONL read (struct + array fields) "
+    "-> flatten via dot-path + explode; corrupt-line quarantine; "
+    "content hash pins escaping round-trip fidelity",
+    tags=("llm", "source", "json"),
+)
+def q_jsonl_nested_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.jsonl import (
+        ensure_demo_jsonl,
+        read_jsonl,
+    )
+
+    df = read_jsonl(spark, ensure_demo_jsonl(sf_dir))
+    return (
+        df.filter(F.col("_corrupt_record").isNull())
+        .select(
+            "doc_id",
+            F.col("meta.source").alias("source"),
+            F.col("meta.n_chars").alias("n_chars"),
+            F.explode("tags").alias("tag"),
+            F.md5("text").alias("content_hash"),
+        )
+    )

@@ -1166,3 +1166,32 @@ def test_levenshtein_near_dup_rejects_distant_candidates(spark):
         df, "doc_id", "text", k=8, bands=8, rel_threshold=0.9
     ).collect()
     assert [(p["doc_a"], p["doc_b"]) for p in loose] == [(1, 2)]
+
+
+def test_jsonl_read_quarantines_corrupt_lines(spark, sf_dir):
+    """The demo JSONL file ends with one deliberately corrupt line: it
+    must land whole in _corrupt_record (data columns NULL), never fail
+    the read, and every valid row must round-trip text verbatim."""
+    from shared_etl_pipelines_spark.sources.jsonl import (
+        ensure_demo_jsonl,
+        read_jsonl,
+    )
+
+    df = read_jsonl(spark, ensure_demo_jsonl(sf_dir)).cache()
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).collect()
+    assert len(bad) == 1 and bad[0]["_corrupt_record"].startswith("{this")
+    assert bad[0]["doc_id"] is None
+    import os
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    want = dict(zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist()))
+    got = {
+        r["doc_id"]: r["text"]
+        for r in df.filter(F.col("_corrupt_record").isNull()).collect()
+    }
+    assert got == want
+    df.unpersist()
