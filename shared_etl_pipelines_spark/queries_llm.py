@@ -5684,3 +5684,65 @@ def q_jsonl_nested_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5("text").alias("content_hash"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Video keyframe / scene-cut detection through the REAL AVI codec:
+# fixtures plant a +120 pixel jump every third frame transition
+# (synthetic_scene_avi_assets), frame_deltas computes per-transition
+# mean absolute pixel deltas from decoded frames, and a threshold flags
+# the cuts — the curation primitive behind one-frame-per-scene
+# sampling. The oracle regenerates the deltas in closed form: for shift
+# d, a pixel's |delta| is d unless the +d wraps mod 256 (then 256-d),
+# so within-scene transitions mean <= ~31 while cuts sit in [125, 131]
+# for ANY base offset — threshold 64 is unconditionally robust.
+# ---------------------------------------------------------------------------
+@defquery(
+    "video_keyframe_detect",
+    """
+    WITH a AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    dims AS (
+      SELECT doc_id, n % 3 + 4 AS nf,
+             (n % 6 + 2) * ((n // 6) % 5 + 2) * 3 AS np
+      FROM a
+    ),
+    bases AS (
+      SELECT d.doc_id, d.nf, d.np,
+             SUM((d.doc_id * 31 + j.j) % 120) AS base_sum
+      FROM dims d CROSS JOIN range(126) j(j) WHERE j.j < d.np
+      GROUP BY d.doc_id, d.nf, d.np
+    ),
+    tr AS (
+      SELECT b.doc_id, b.np, b.base_sum, f.f AS frame_idx,
+             11 + CASE WHEN f.f % 3 = 0 THEN 60 ELSE 0 END AS delta
+      FROM bases b CROSS JOIN range(1, 6) f(f) WHERE f.f < b.nf
+    )
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           ROUND((base_sum + np * (11 * frame_idx + 60 * (frame_idx // 3)))
+                 / CAST(np AS DOUBLE), 4) AS mean_px,
+           ROUND(CAST(delta AS DOUBLE), 4) AS mean_delta,
+           CAST(delta > 40 AS INT) AS is_cut
+    FROM tr
+    """,
+    doc="scene-cut keyframe detection over real decoded AVI frames: "
+    "per-transition mean |pixel delta| (wrap-free fixtures: exactly 11 "
+    "within a scene, 71 at a planted cut) + per-frame mean pixel value "
+    "pinning decoded content — the one-frame-per-scene sampling "
+    "primitive",
+    tags=("llm", "multimodal", "codec", "video"),
+)
+def q_video_keyframe_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.multimodal import (
+        frame_deltas,
+        synthetic_scene_avi_assets,
+    )
+
+    assets = synthetic_scene_avi_assets(_t(spark, sf_dir, "documents"))
+    d = frame_deltas(assets)
+    return d.select(
+        "doc_id",
+        "frame_idx",
+        F.round("mean_px", 4).alias("mean_px"),
+        F.round("mean_delta", 4).alias("mean_delta"),
+        (F.col("mean_delta") > 40).cast("int").alias("is_cut"),
+    )

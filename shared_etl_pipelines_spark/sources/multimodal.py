@@ -807,3 +807,83 @@ def audio_fingerprints(assets: DataFrame, n_frames: int = 64) -> DataFrame:
     return assets.mapInPandas(
         batches, "doc_id bigint, is_real_decode boolean, h_lo long, h_hi long"
     )
+
+
+def synthetic_scene_avi_assets(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "text"
+) -> DataFrame:
+    """REAL-AVI fixtures with PLANTED scene cuts for keyframe
+    detection: n%3+4 frames of RGB (n%6+2) x ((n//6)%5+2); frame f flat
+    pixel byte j = (id*31 + j) % 120 + f*11 + (f//3)*60 — consecutive
+    frames inside a scene brighten by +11, every third transition
+    (f=2->3) jumps an extra +60 (the cut). Values peak at
+    119 + 55 + 60 = 234 < 256, so deltas NEVER wrap: within-scene
+    |delta| is exactly 11 per pixel and a cut exactly 71 — the
+    threshold argument in video_keyframe_detect is unconditional. Same
+    closed-form-oracle discipline as synthetic_avi_assets."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from shared_etl_pipelines_spark.sources import avi
+
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                n = len(str(payload).encode("utf-8"))
+                nf, w, h = n % 3 + 4, n % 6 + 2, (n // 6) % 5 + 2
+                f = np.arange(nf, dtype=np.int64)[:, None]
+                j = np.arange(w * h * 3, dtype=np.int64)[None, :]
+                px = (
+                    (int(doc_id) * 31 + j) % 120 + f * 11 + (f // 3) * 60
+                ).astype(np.uint8)
+                ids.append(doc_id)
+                blobs.append(avi.encode_avi(px.reshape(nf, h, w, 3), fps=10))
+            yield pd.DataFrame(
+                {"doc_id": ids, "media_type": "video/avi", "blob": blobs}
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches, "doc_id bigint, media_type string, blob binary"
+    )
+
+
+DELTA_SCHEMA = "doc_id bigint, frame_idx int, mean_px double, mean_delta double"
+
+
+def frame_deltas(assets: DataFrame) -> DataFrame:
+    """Per-transition statistics from REAL decoded AVI frames — the
+    signal behind keyframe/scene-cut extraction (a frame whose delta to
+    its predecessor exceeds a threshold starts a new scene; curation
+    pipelines sample one frame per scene instead of every Nth). One
+    decode per video inside mapInPandas, all arithmetic vectorized
+    numpy; emits ``(doc_id, frame_idx, mean_px, mean_delta)`` for
+    frame_idx >= 1 — ``mean_px`` (the frame's mean pixel value) pins
+    decoded VALUES, ``mean_delta`` the transition structure. Corrupt
+    blobs are quarantined (dropped) like the image decoders."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from shared_etl_pipelines_spark.sources import avi
+
+        for pdf in it:
+            rows: dict[str, list] = {
+                "doc_id": [], "frame_idx": [], "mean_px": [], "mean_delta": []
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                try:
+                    frames, _ = avi.decode_avi(bytes(blob))
+                except Exception:
+                    continue
+                a = frames.astype(np.int64)
+                d = np.abs(a[1:] - a[:-1]).mean(axis=(1, 2, 3))
+                m = a.mean(axis=(1, 2, 3))
+                for i, dv in enumerate(d, start=1):
+                    rows["doc_id"].append(int(doc_id))
+                    rows["frame_idx"].append(i)
+                    rows["mean_px"].append(float(m[i]))
+                    rows["mean_delta"].append(float(dv))
+            yield pd.DataFrame(rows)
+
+    return assets.select("doc_id", "blob").mapInPandas(batches, DELTA_SCHEMA)

@@ -173,3 +173,37 @@ def test_corrupt_blobs_degrade_to_stub_not_task_failure(spark):
         [(4, "video/avi", bad_avi)], "doc_id long, media_type string, blob binary"
     )
     assert not sample_video_frames(vid).collect()[0]["is_real_decode"]
+
+
+def test_frame_deltas_flags_planted_scene_cuts(spark, sf_dir):
+    """Every third transition carries the +60 scene jump: wrap-free
+    fixtures make the mean delta exactly 71 at a cut and exactly 11
+    inside a scene — the unconditional threshold-40 contract the
+    video_keyframe_detect oracle encodes."""
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.sources.multimodal import (
+        frame_deltas,
+        synthetic_scene_avi_assets,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(40)
+    )
+    d = frame_deltas(synthetic_scene_avi_assets(docs)).collect()
+    assert len(d) >= 3 * 40  # nf >= 4 per doc -> >= 3 transitions
+    for r in d:
+        assert r["mean_delta"] == (71.0 if r["frame_idx"] % 3 == 0 else 11.0), r
+
+
+def test_frame_deltas_quarantines_corrupt_blob(spark):
+    """A non-AVI blob is dropped, never raised — the scraped-corpus
+    posture shared with the image decoders."""
+    from shared_etl_pipelines_spark.sources.multimodal import frame_deltas
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"not an avi at all"))], "doc_id long, blob binary"
+    )
+    assert frame_deltas(df).collect() == []
