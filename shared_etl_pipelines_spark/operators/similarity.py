@@ -294,8 +294,128 @@ def write_ann_index(
     bucket_all = srp_buckets_udf(n_planes, dim, n_tables)
     rows = corpus.withColumn("_bks", bucket_all(F.col("v"))).select(
         F.col(id_col), "v", "norm", F.posexplode("_bks").alias("tbl", "bucket")
-    )
+    ).withColumn("seq", F.lit(0).cast("long"))  # ingest epoch for upserts
     rows.write.mode("overwrite").partitionBy("tbl", "bucket").parquet(path)
+
+
+def _tombstone_path(index_path: str) -> str:
+    # underscore prefix => invisible to the main parquet listing, so the
+    # bucket scan never sees tombstone files; explicit reads still work
+    import os
+
+    return os.path.join(index_path, "_tombstones")
+
+
+def _apply_tombstones(spark, index_path: str, idx: DataFrame, id_col: str) -> DataFrame:
+    """Liveness filter for an upserted index: a row survives iff no
+    tombstone for its id carries a NEWER sequence number (each upsert
+    batch tombstones the ids it re-ingests/deletes at its own seq).
+    Pre-upsert indexes (no seq column / no tombstone dir) pass through
+    unchanged."""
+    import os
+
+    if "seq" not in idx.columns:
+        idx = idx.withColumn("seq", F.lit(0).cast("long"))
+    tpath = _tombstone_path(index_path)
+    if not os.path.exists(tpath):
+        return idx
+    tomb = (
+        spark.read.parquet(tpath)
+        .groupBy(F.col(id_col))
+        .agg(F.max("seq").alias("_dead_seq"))
+    )
+    return (
+        idx.join(F.broadcast(tomb), id_col, "left")
+        .filter(F.col("_dead_seq").isNull() | (F.col("seq") >= F.col("_dead_seq")))
+        .drop("_dead_seq")
+    )
+
+
+def ann_index_upsert(
+    spark,
+    index_path: str,
+    batch: DataFrame | None = None,
+    delete_ids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    dim: int = 64,
+    n_tables: int = 4,
+) -> dict:
+    """Incremental maintenance of the materialized SRP-LSH index — the
+    production continuous-ingest shape (the vector-store twin of
+    operators/dedup.py incremental_minhash_lsh): a new/updated vector
+    batch is bucketed with the SAME ingest path as write_ann_index and
+    APPENDED into its (tbl, bucket) partition directories; stale rows
+    (previous versions of re-ingested ids anywhere in the index, plus
+    explicit deletes) are masked by TOMBSTONES rather than rewritten —
+    one (id, seq) parquet append under ``_tombstones/`` (hidden from the
+    bucket scan), no scan-and-rewrite of untouched partitions.
+
+    Readers (``lsh_topk_from_index``) resolve liveness with one
+    broadcast anti-condition join: row live iff no tombstone for its id
+    has seq > row.seq. Tombstone debt is bounded by upsert volume;
+    ``compact_ann_index`` folds it back to zero. Work per batch is
+    O(|batch| + |tombstones|) — never proportional to the corpus.
+    """
+    import os
+
+    n_new = n_dead = 0
+    seq = 1
+    tpath = _tombstone_path(index_path)
+    if os.path.exists(tpath):
+        prev = spark.read.parquet(tpath).agg(F.max("seq")).collect()[0][0]
+        seq = int(prev or 0) + 1
+    dead = None
+    if batch is not None:
+        dead = batch.select(F.col(id_col))
+    if delete_ids is not None:
+        d = delete_ids.select(F.col(id_col))
+        dead = d if dead is None else dead.unionByName(d)
+    if dead is None:
+        return {"seq": 0, "rows_appended": 0, "ids_tombstoned": 0}
+    tomb = dead.distinct().withColumn("seq", F.lit(seq).cast("long"))
+    n_dead = tomb.count()
+    tomb.coalesce(1).write.mode("append").parquet(tpath)
+    if batch is not None:
+        corpus = _prep(batch, id_col, vec_col)
+        bucket_all = srp_buckets_udf(n_planes, dim, n_tables)
+        rows = corpus.withColumn("_bks", bucket_all(F.col("v"))).select(
+            F.col(id_col),
+            "v",
+            "norm",
+            F.posexplode("_bks").alias("tbl", "bucket"),
+        ).withColumn("seq", F.lit(seq).cast("long"))
+        n_new = rows.count()
+        rows.write.mode("append").partitionBy("tbl", "bucket").parquet(index_path)
+    return {"seq": seq, "rows_appended": int(n_new), "ids_tombstoned": int(n_dead)}
+
+
+def compact_ann_index(
+    spark, index_path: str, id_col: str = "vec_id"
+) -> dict:
+    """Fold tombstone debt to zero: materialize the live rows (seq reset
+    to 0), atomically swap directories, drop ``_tombstones/``. Run when
+    the dead fraction makes probe scans wasteful — the LSM-style
+    compaction every tombstone design needs. (A cluster deployment
+    writes the compacted copy to a new location and swaps the catalog
+    pointer; the directory rename here is the local-filesystem analog.)"""
+    import os
+    import shutil
+
+    idx = spark.read.parquet(index_path)
+    live = _apply_tombstones(spark, index_path, idx, id_col).withColumn(
+        "seq", F.lit(0).cast("long")
+    )
+    tmp = index_path.rstrip("/") + ".compacting"
+    live.write.mode("overwrite").partitionBy("tbl", "bucket").parquet(tmp)
+    n = spark.read.parquet(tmp).count()
+    old = index_path.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(index_path, old)
+    os.rename(tmp, index_path)
+    shutil.rmtree(old, ignore_errors=True)
+    return {"live_rows": int(n)}
 
 
 def lsh_topk_from_index(
@@ -342,6 +462,7 @@ def lsh_topk_from_index(
         pred = F.lit(False)
 
     idx = spark.read.parquet(index_path).filter(pred)
+    idx = _apply_tombstones(spark, index_path, idx, id_col)
     pairs = (
         F.broadcast(qb)
         .join(idx, ["tbl", "bucket"])

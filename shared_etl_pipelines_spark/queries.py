@@ -715,7 +715,11 @@ _R3_GREEN = frozenset(
         "priority_extremes", "exists_late_orders", "not_in_null_aware",
         "having_large_orders", "top_revenue_suppliers", "lateral_top_orders",
         "null_safe_join", "setops_multiset", "unpivot_flag_metrics",
-        "rolling_sums", "embedding_covariance", "similarity_topk_lsh_indexed",
+        # "similarity_topk_lsh_indexed" was r3-green but re-fronted this
+        # round: lsh_topk_from_index gained the upsert tombstone
+        # liveness join (no-tombstone reads bit-identical, locally
+        # re-verified).
+        "rolling_sums", "embedding_covariance",
         "corpus_curation", "data_quality_profile",
         # "similarity_topk_lsh" was r3-green but flipped to the Arrow
         # bucket path this round (bit-identical buckets, 1.7x faster —
@@ -791,7 +795,7 @@ _CARRYOVER_FIRST = (
     # --- new round-5 queries are pinned here as they land ---
     "multimodal_jpeg_decode", "image_ahash_neardup_jpeg",
     "raster_overview_scan", "affine_regrid_rotated", "near_dup_levenshtein",
-    "hilbert_layout_audit", "jsonl_nested_ingest", "video_keyframe_detect",
+    "hilbert_layout_audit", "jsonl_nested_ingest", "video_keyframe_detect", "ann_index_upsert_topk",
     # raster_tif_rollsum was r3-green but its fixture corpus changed
     # this round (BigTIFF containers + chained overview IFDs on the
     # same pixel values) — re-fronted for a fresh verdict on the new
@@ -802,6 +806,7 @@ _CARRYOVER_FIRST = (
     # disjoint-fixture outputs locally re-verified identical;
     # similarity_topk_lsh flipped to the Arrow bucket path, VERDICT #4) ---
     "incremental_dedup", "incremental_near_dup", "similarity_topk_lsh",
+    "similarity_topk_lsh_indexed",
     # --- never-judged backlog: LLM-curation core ---
     "multimodal_resize_real", "dup_spans", "dup_span_profile",
     "pii_scan_events", "bpe_top_pairs", "near_dup_prefix_filter",

@@ -5746,3 +5746,85 @@ def q_video_keyframe_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_delta", 4).alias("mean_delta"),
         (F.col("mean_delta") > 40).cast("int").alias("is_cut"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental ANN index maintenance (the vector-store continuous-ingest
+# shape): a full index is built, then ONE upsert batch re-ingests every
+# vec_id % 10 == 3 vector with a CHANGED embedding (reversed — moves it
+# to different buckets) and deletes every vec_id % 10 == 7. The probe
+# query then runs against the upserted index (tombstone liveness join,
+# partition-pruned scan) and must equal the LSH top-k computed directly
+# over the FINAL corpus state — which is exactly what the oracle does.
+# ---------------------------------------------------------------------------
+@defquery(
+    "ann_index_upsert_topk",
+    f"""
+    WITH base AS (
+      SELECT vec_id,
+             CASE WHEN vec_id % 10 = 3
+                  THEN list_reverse(CAST(embedding AS DOUBLE[]))
+                  ELSE CAST(embedding AS DOUBLE[]) END AS v
+      FROM embeddings WHERE vec_id % 10 <> 7
+    ),
+    e AS ({{union_sql}}),
+    q AS (SELECT vec_id AS query_id, tbl, bucket FROM e WHERE vec_id < 5),
+    pairs AS (
+      SELECT DISTINCT query_id, e.vec_id
+      FROM q JOIN e USING (tbl, bucket) WHERE e.vec_id <> query_id
+    ),
+    s AS (
+      SELECT p.query_id, p.vec_id, list_cosine_similarity(qb.v, eb.v) AS c
+      FROM pairs p
+      JOIN base qb ON qb.vec_id = p.query_id
+      JOIN base eb ON eb.vec_id = p.vec_id
+    ),
+    r AS (
+      SELECT query_id, vec_id, c,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rn
+      FROM s
+    )
+    SELECT query_id, vec_id, ROUND(c, 4) AS cosine, rn FROM r WHERE rn <= 10
+    """.replace("{union_sql}", _lsh_tables_union_sql(4, 64, 4)),
+    doc="LSH top-10 from an UPSERTED materialized index: one batch "
+    "re-embeds vec_id%10==3 (reversed vectors -> new buckets) and "
+    "deletes vec_id%10==7 via tombstones; probe results must equal the "
+    "LSH top-k over the final corpus state",
+    tags=("llm", "similarity", "lsh", "warehouse", "scale-path"),
+)
+def q_ann_index_upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from shared_etl_pipelines_spark.operators.similarity import (
+        ann_index_upsert,
+        lsh_topk_from_index,
+        write_ann_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_mtime_ns}_{st.st_size}"
+    except OSError:
+        fp = "nostat"
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}"
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_ann_upsert_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_ann_index(emb, path)
+        batch = emb.filter(F.col("vec_id") % 10 == 3).select(
+            "vec_id", F.reverse("embedding").alias("embedding")
+        )
+        deletes = emb.filter(F.col("vec_id") % 10 == 7).select("vec_id")
+        ann_index_upsert(spark, path, batch=batch, delete_ids=deletes)
+    final_state = emb.filter(F.col("vec_id") % 10 != 7).select(
+        "vec_id",
+        F.when(F.col("vec_id") % 10 == 3, F.reverse("embedding"))
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    out = lsh_topk_from_index(
+        spark, path, final_state.filter(F.col("vec_id") < 5), k=10
+    )
+    return round_floats(out)

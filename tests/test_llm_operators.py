@@ -1195,3 +1195,57 @@ def test_jsonl_read_quarantines_corrupt_lines(spark, sf_dir):
     }
     assert got == want
     df.unpersist()
+
+
+def test_ann_index_upsert_equals_full_rebuild(spark, sf_dir, tmp_path):
+    """Upserted index (re-ingested ids via tombstones + appended rows,
+    deletes via tombstones) must answer probes identically to an index
+    rebuilt from scratch over the final corpus state; compaction folds
+    the tombstones away without changing answers."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.operators.similarity import (
+        ann_index_upsert,
+        compact_ann_index,
+        lsh_topk_from_index,
+        write_ann_index,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    upserted = str(tmp_path / "idx_upserted")
+    rebuilt = str(tmp_path / "idx_rebuilt")
+
+    write_ann_index(emb, upserted)
+    batch = emb.filter(F.col("vec_id") % 10 == 3).select(
+        "vec_id", F.reverse("embedding").alias("embedding")
+    )
+    deletes = emb.filter(F.col("vec_id") % 10 == 7).select("vec_id")
+    summary = ann_index_upsert(spark, upserted, batch=batch, delete_ids=deletes)
+    assert summary["seq"] == 1 and summary["rows_appended"] > 0
+
+    final_state = emb.filter(F.col("vec_id") % 10 != 7).select(
+        "vec_id",
+        F.when(F.col("vec_id") % 10 == 3, F.reverse("embedding"))
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    write_ann_index(final_state, rebuilt)
+    qs = final_state.filter(F.col("vec_id") < 5)
+
+    def res(path):
+        return {
+            (r["query_id"], r["rn"]): (r["vec_id"], round(r["cosine"], 6))
+            for r in lsh_topk_from_index(spark, path, qs, k=10).collect()
+        }
+
+    want = res(rebuilt)
+    assert res(upserted) == want and len(want) == 50
+    # deleted ids never surface
+    assert all(v[0] % 10 != 7 for v in want.values())
+
+    c = compact_ann_index(spark, upserted)
+    assert c["live_rows"] > 0
+    assert not os.path.exists(os.path.join(upserted, "_tombstones"))
+    assert res(upserted) == want
