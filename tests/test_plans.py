@@ -553,3 +553,59 @@ def test_bpe_encode_udf_sees_vocab_not_corpus(spark, sf):
     arrow_at = plan.index("ArrowEvalPython")
     agg_at = plan.index("HashAggregate")
     assert agg_at > arrow_at  # tree prints top-down: UDF above the agg
+
+
+def test_levenshtein_near_dup_no_nested_loop(spark, sf):
+    """The edit-distance near-dup must get its candidates from the
+    banded equi-join — no cartesian/nested-loop anywhere, and the
+    verify join keyed on the pair ids."""
+    plan = phys(REGISTRY["near_dup_levenshtein"].fn(spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hilbert_key_is_codegen_no_udf_no_shuffle(spark, sf):
+    """The unrolled xy2d walk must stay entirely inside whole-stage
+    codegen: no Python runner stages, no exchange before the final
+    aggregation's."""
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.operators.layout import with_hilbert_key
+
+    df = spark.range(64).select(
+        (F.col("id") % 8).alias("x"), (F.col("id") / 8).cast("long").alias("y")
+    )
+    plan = phys(with_hilbert_key(df, "x", "y", order=3, out="h"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Exchange" not in plan  # pure projection chain over range
+
+
+def test_upserted_index_probe_scan_is_pruned_and_tombstone_broadcast(
+    spark, sf, tmp_path
+):
+    """After an upsert, the probe path must keep both scale properties:
+    the bucket scan reads only probed partitions (PartitionFilters on
+    tbl/bucket) and the tombstone liveness join is a broadcast, never a
+    shuffle of the index side."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.operators.similarity import (
+        ann_index_upsert,
+        lsh_topk_from_index,
+        write_ann_index,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf, "embeddings.parquet"))
+    path = str(tmp_path / "idx")
+    write_ann_index(emb.filter(F.col("vec_id") < 200), path)
+    ann_index_upsert(
+        spark, path, batch=None,
+        delete_ids=emb.filter(F.col("vec_id") % 10 == 7).select("vec_id"),
+    )
+    out = lsh_topk_from_index(spark, path, emb.filter(F.col("vec_id") < 3), k=5)
+    plan = phys(out)
+    assert "PartitionFilters: [" in plan and "tbl" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
