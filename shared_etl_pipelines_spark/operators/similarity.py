@@ -357,6 +357,11 @@ def ann_index_upsert(
     has seq > row.seq. Tombstone debt is bounded by upsert volume;
     ``compact_ann_index`` folds it back to zero. Work per batch is
     O(|batch| + |tombstones|) — never proportional to the corpus.
+
+    SINGLE-WRITER contract: the next seq is read-then-append, so two
+    concurrent upserts would mint the same sequence number and mask
+    each other's rows. Serialize ingest (every production vector store
+    does) or route batches through one writer task.
     """
     import os
 
