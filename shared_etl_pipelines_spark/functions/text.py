@@ -212,3 +212,57 @@ def pii_redact_all(text: Column | str) -> Column:
     for name, pat in PII_PATTERNS.items():
         c = F.regexp_replace(c, pat, f"<{name.upper()}>")
     return c
+
+
+CODE_KEYWORDS = (
+    "def ", "return", "import ", "class ", "#include", "function ", "=>",
+    "void ",
+)
+_CODE_SYMBOLS_RE = r"[{}();=<>\[\]]"
+
+
+def code_features(text: Column | str) -> dict[str, Column]:
+    """Code-vs-prose detection features — the training-mix routing
+    signal (code corpora get different dedup/tokenizer treatment than
+    prose). Pure column arithmetic with exact ANSI-SQL mirrors:
+
+    - ``n_lines``: newline-split count;
+    - ``indent_ratio``: fraction of lines starting with two spaces or a
+      tab (layout-indented source);
+    - ``symbol_ratio``: density of ``{}();=<>[]`` characters;
+    - ``kw_hits``: literal occurrence count of CODE_KEYWORDS
+      (occurrences via length-delta under ``replace``, no regex);
+    - ``code_score``: indent + 4*symbol + kw/(tokens+1), a monotone
+      blend whose exact weighting is pinned by the oracle, not tuned;
+    - ``is_code``: score >= 0.3.
+    """
+    t = F.col(text) if isinstance(text, str) else text
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    indented = F.size(
+        F.filter(
+            lines,
+            lambda ln: ln.startswith("  ") | ln.startswith("\t"),
+        )
+    )
+    indent_ratio = indented / n_lines.cast("double")
+    symbol_ratio = (
+        F.length(t) - F.length(F.regexp_replace(t, _CODE_SYMBOLS_RE, ""))
+    ) / F.greatest(F.length(t), F.lit(1)).cast("double")
+    kw = None
+    for k in CODE_KEYWORDS:
+        hits = (F.length(t) - F.length(F.replace(t, F.lit(k), F.lit("")))) / F.lit(
+            len(k)
+        )
+        kw = hits if kw is None else kw + hits
+    kw_hits = kw.cast("long")
+    n_toks = F.size(tokens(t))
+    score = indent_ratio + 4.0 * symbol_ratio + kw_hits / (n_toks + F.lit(1.0))
+    return {
+        "n_lines": n_lines.cast("long"),
+        "indent_ratio": indent_ratio,
+        "symbol_ratio": symbol_ratio,
+        "kw_hits": kw_hits,
+        "code_score": score,
+        "is_code": (score >= 0.3).cast("int"),
+    }

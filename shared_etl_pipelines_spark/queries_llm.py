@@ -5828,3 +5828,70 @@ def q_ann_index_upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, path, final_state.filter(F.col("vec_id") < 5), k=10
     )
     return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# Code-vs-prose detection — the training-mix routing signal (code
+# corpora get different dedup/tokenizer treatment than prose). Pure
+# column arithmetic (functions/text.py code_features); both engines
+# compute the unrounded score with identical expression order, so the
+# threshold bit never disagrees.
+# ---------------------------------------------------------------------------
+def _code_detect_sql() -> str:
+    from shared_etl_pipelines_spark.functions.text import CODE_KEYWORDS
+
+    kw = " + ".join(
+        f"(length(text) - length(replace(text, '{k}', ''))) / {len(k)}"
+        for k in CODE_KEYWORDS
+    )
+    return f"""
+    WITH f AS (
+      SELECT doc_id,
+             len(string_split(text, chr(10))) AS n_lines,
+             len(list_filter(string_split(text, chr(10)),
+                 l -> l LIKE '  %' OR l LIKE chr(9) || '%')) AS indented,
+             length(text) AS lc,
+             length(regexp_replace(text, '[{{}}();=<>\\[\\]]', '', 'g')) AS lns,
+             {kw} AS kwh,
+             len({TOKS_SQL}) AS n_toks
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, n_lines, kwh,
+             indented / CAST(n_lines AS DOUBLE) AS ir,
+             (lc - lns) / CAST(GREATEST(lc, 1) AS DOUBLE) AS sr,
+             indented / CAST(n_lines AS DOUBLE)
+               + 4.0 * ((lc - lns) / CAST(GREATEST(lc, 1) AS DOUBLE))
+               + CAST(CAST(kwh AS BIGINT) AS DOUBLE) / (n_toks + 1.0) AS score
+      FROM f
+    )
+    SELECT doc_id, CAST(n_lines AS BIGINT) AS n_lines,
+           ROUND(ir, 4) AS indent_ratio, ROUND(sr, 4) AS symbol_ratio,
+           CAST(kwh AS BIGINT) AS kw_hits, ROUND(score, 4) AS code_score,
+           CAST(score >= 0.3 AS INT) AS is_code
+    FROM s
+    """
+
+
+@defquery(
+    "code_detect_heuristic",
+    _code_detect_sql(),
+    doc="code-vs-prose routing heuristic: indent/symbol/keyword "
+    "features blended into a score + threshold, pure column "
+    "arithmetic with an exact SQL mirror",
+    tags=("llm", "text", "quality"),
+)
+def q_code_detect_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.functions.text import code_features
+
+    docs = _t(spark, sf_dir, "documents")
+    feats = code_features(F.col("text"))
+    return docs.select(
+        "doc_id",
+        feats["n_lines"].alias("n_lines"),
+        F.round(feats["indent_ratio"], 4).alias("indent_ratio"),
+        F.round(feats["symbol_ratio"], 4).alias("symbol_ratio"),
+        feats["kw_hits"].alias("kw_hits"),
+        F.round(feats["code_score"], 4).alias("code_score"),
+        feats["is_code"].alias("is_code"),
+    )

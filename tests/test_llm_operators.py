@@ -1249,3 +1249,27 @@ def test_ann_index_upsert_equals_full_rebuild(spark, sf_dir, tmp_path):
     assert c["live_rows"] > 0
     assert not os.path.exists(os.path.join(upserted, "_tombstones"))
     assert res(upserted) == want
+
+
+def test_code_features_separates_code_from_prose(spark):
+    """An indented/braced/keyworded snippet scores as code; plain prose
+    does not; feature values are the closed-form expectations."""
+    from shared_etl_pipelines_spark.functions.text import code_features
+
+    code = 'def f(x):\n  return x + 1\n\nimport os\nclass A:\n  pass\n'
+    prose = "the quick brown fox jumps over the lazy dog and runs away"
+    df = spark.createDataFrame([(1, code), (2, prose)], ["doc_id", "text"])
+    feats = code_features(F.col("text"))
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            feats["n_lines"].alias("nl"),
+            feats["kw_hits"].alias("kw"),
+            feats["is_code"].alias("ic"),
+        ).collect()
+    }
+    assert rows[1]["ic"] == 1 and rows[2]["ic"] == 0
+    assert rows[1]["nl"] == 7  # trailing newline keeps its empty line
+    # def, return, import, class each hit once
+    assert rows[1]["kw"] == 4 and rows[2]["kw"] == 0
