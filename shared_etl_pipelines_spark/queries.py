@@ -796,6 +796,7 @@ _CARRYOVER_FIRST = (
     "multimodal_jpeg_decode", "image_ahash_neardup_jpeg",
     "raster_overview_scan", "affine_regrid_rotated", "near_dup_levenshtein",
     "hilbert_layout_audit", "jsonl_nested_ingest", "video_keyframe_detect", "ann_index_upsert_topk", "code_detect_heuristic",
+    "mor_orders_state",
     # raster_tif_rollsum was r3-green but its fixture corpus changed
     # this round (BigTIFF containers + chained overview IFDs on the
     # same pixel values) — re-fronted for a fresh verdict on the new

@@ -2742,3 +2742,101 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(promo / 100.0, 4).alias("promo_revenue"),
         F.round(total / 100.0, 4).alias("total_revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Merge-on-read table maintenance (sources/warehouse.py mor_*): the
+# Iceberg/Delta deletion-vector pattern next to O5's copy-on-write
+# MERGE. Two change batches over an orders base snapshot:
+#   batch 1: DELETE keys %13==0, UPSERT keys %17==0 (price +1000.00,
+#            priority '1-URGENT') — a key that is both (%221==0) is
+#            deleted AND re-upserted in the same batch; the upsert wins
+#            (tombstones kill strictly older versions only).
+#   batch 2: UPSERT keys %26==0 (price 1234.50, priority '5-LOW') —
+#            re-insertion of keys deleted in batch 1.
+# The reader folds appended versions + tombstones with one keyed
+# shuffle; the oracle computes the final state directly from orders.
+# Integer-cents arithmetic keeps every price exact.
+# ---------------------------------------------------------------------------
+@defquery(
+    "mor_orders_state",
+    """
+    WITH final AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 26 = 0 THEN '5-LOW'
+                  WHEN o_orderkey % 17 = 0 THEN '1-URGENT'
+                  ELSE o_orderpriority END AS o_orderpriority,
+             CASE WHEN o_orderkey % 26 = 0 THEN 123450
+                  WHEN o_orderkey % 17 = 0
+                       THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) + 100000
+                  ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT) END AS cents
+      FROM orders
+      WHERE o_orderkey % 26 = 0 OR o_orderkey % 17 = 0 OR o_orderkey % 13 <> 0
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(cents) / 100.0, 4) AS total_price,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM final GROUP BY o_orderpriority
+    """,
+    doc="merge-on-read table state after two change batches (append-only "
+    "upserts + key tombstones, same-batch delete+upsert, delete-then-"
+    "reinsert) folded by the keyed reader — the deletion-vector twin of "
+    "O5's copy-on-write MERGE",
+    tags=("warehouse", "merge", "scale-path"),
+)
+def q_mor_orders_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from shared_etl_pipelines_spark.sources.warehouse import (
+        mor_apply_changes,
+        mor_read,
+        mor_write_base,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    src = os.path.join(sf_dir, "orders.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_mtime_ns}_{st.st_size}"
+    except OSError:
+        fp = "nostat"
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}"
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_mor_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        mor_write_base(orders, path)
+        k = F.col("o_orderkey")
+        mor_apply_changes(
+            spark,
+            path,
+            ["o_orderkey"],
+            upserts=orders.filter(k % 17 == 0).select(
+                "o_orderkey",
+                F.lit("1-URGENT").alias("o_orderpriority"),
+                (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+            ),
+            delete_keys=orders.filter(k % 13 == 0).select("o_orderkey"),
+        )
+        mor_apply_changes(
+            spark,
+            path,
+            ["o_orderkey"],
+            upserts=orders.filter(k % 26 == 0).select(
+                "o_orderkey",
+                F.lit("5-LOW").alias("o_orderpriority"),
+                F.lit(1234.5).alias("o_totalprice"),
+            ),
+        )
+    state = mor_read(spark, path, ["o_orderkey"])
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    out = state.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.sum(cents) / 100.0, 4).alias("total_price"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+    )
+    return round_floats(out)

@@ -184,3 +184,59 @@ def test_bucketed_tables_join_without_exchange(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_mor_table_matches_copy_on_write_semantics(spark, tmp_path):
+    """Merge-on-read state after delete/upsert/reinsert batches equals
+    the hand-computed final state; same-batch delete+upsert keeps the
+    upsert; compaction preserves state and drops the tombstone dir."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.sources.warehouse import (
+        mor_apply_changes,
+        mor_compact,
+        mor_read,
+        mor_write_base,
+    )
+
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], ["k", "val"]
+    )
+    path = str(tmp_path / "mor")
+    mor_write_base(base, path)
+    # batch 1: delete evens; upsert multiples of 3 (includes evens 6, 12, 18)
+    s1 = mor_apply_changes(
+        spark, path, ["k"],
+        upserts=base.filter(F.col("k") % 3 == 0).select(
+            "k", F.concat(F.lit("u"), F.col("k")).alias("val")
+        ),
+        delete_keys=base.filter(F.col("k") % 2 == 0).select("k"),
+    )
+    assert s1["seq"] == 1
+    # batch 2: reinsert key 4 (deleted in batch 1)
+    s2 = mor_apply_changes(
+        spark, path, ["k"],
+        upserts=spark.createDataFrame([(4, "back")], ["k", "val"]),
+    )
+    assert s2["seq"] == 2
+
+    def state():
+        return {r["k"]: r["val"] for r in mor_read(spark, path, ["k"]).collect()}
+
+    want = {}
+    for i in range(20):
+        if i == 4:
+            want[i] = "back"
+        elif i % 3 == 0:
+            want[i] = f"u{i}"  # same-batch delete+upsert: upsert wins
+        elif i % 2 == 0:
+            continue  # deleted
+        else:
+            want[i] = f"v{i}"
+    assert state() == want
+    c = mor_compact(spark, path, ["k"])
+    assert c["live_rows"] == len(want)
+    assert not os.path.exists(os.path.join(path, "_deletes"))
+    assert state() == want
