@@ -776,56 +776,55 @@ _R4_GREEN = frozenset(
     }
 )
 
-_JUDGED_GREEN = _R1_GREEN | _R2_GREEN | _R3_GREEN | _R4_GREEN
+# CORRECTNESS_r05.json greens: all 50 judged entries passed
+# rows+schema+hash — the first perfect round. Entries later re-fronted
+# this round (code/fixture changes) must be REMOVED from this set per
+# the re-fronting convention (tests/test_registry_meta.py enforces it).
+_R5_GREEN = frozenset(
+    {
+        "affine_regrid_rotated", "ann_index_upsert_topk",
+        "audio_fingerprint_neardup", "bigram_lm_quality",
+        "bloom_prefilter_join", "bm25_search", "bpe_top_pairs",
+        "code_detect_heuristic", "curation_funnel", "dup_span_profile",
+        "dup_spans", "embedding_dbscan", "embedding_kmeans_assign",
+        "heavy_demand_parts_sketch", "hilbert_layout_audit",
+        "image_ahash_neardup", "image_ahash_neardup_jpeg",
+        "incremental_dedup", "incremental_near_dup", "jsonl_nested_ingest",
+        "mor_orders_state", "multimodal_jpeg_decode",
+        "multimodal_resize_real", "near_dup_levenshtein",
+        "near_dup_lsh_eval", "near_dup_prefix_filter", "pagerank_one_step",
+        "per_source_cap", "phrase_search", "pii_scan_events",
+        "pmi_collocations", "pq_assign_codes", "quality_band_filter",
+        "raster_overview_scan", "raster_tif_rollsum", "sequence_pack",
+        "similarity_topk_lsh", "similarity_topk_lsh_indexed",
+        "similarity_topk_lsh_multiprobe", "similarity_topk_pq",
+        "sorted_neighborhood_pairs", "source_mixing_weights",
+        "tfidf_cosine_pairs", "token_budget_pack", "token_entropy_quality",
+        "train_val_test_split", "url_domain_stats", "video_keyframe_detect",
+        "vocab_zipf_stats", "weighted_sample_docs",
+    }
+)
 
-# sql=None entries that still deserve one gate slot this round. Round 5:
-# none — every sql=None entry already has its rows-only verdict and a
-# hash-green integer/fixed-basis twin; fronting them only burns slots
-# (VERDICT r4 finding #2).
-_FORCE_FRONT: frozenset[str] = frozenset()
+_JUDGED_GREEN = _R1_GREEN | _R2_GREEN | _R3_GREEN | _R4_GREEN | _R5_GREEN
 
-# Round-5 judging window (~50 slots). The mandate (VERDICT r4 #1) is to
-# clear the driver-verdict backlog: 76 oracle-bearing entries have never
-# been judged. This tier fronts ALL of them — new round-5 queries and
-# judged-then-modified re-fronts first (new code = highest information),
-# then the r3/r4 backlog in family order (LLM-curation core, analytics,
-# geo/raster, text/similarity). ~50 land this round; the remainder keep
-# their position for round 6. No sql=None entry is fronted.
+# sql=None entries that deserve one gate slot this round. Round 6:
+# pagerank_copurchase is the single registry entry with NO driver verdict
+# of any kind (rows-only at best, but 0 verdicts so far). Fronting it
+# once completes cumulative driver coverage at 272/272 (VERDICT r5 #1);
+# it already has a hash-green integer twin (pagerank_one_step).
+_FORCE_FRONT: frozenset[str] = frozenset({"pagerank_copurchase"})
+
+# Round-6 judging window (~50 slots). Mandate (VERDICT r5 #1): finish the
+# driver-verdict backlog — the 42 oracle-bearing never-judged queries
+# (r3 session-3 analytics/geo block) plus rows-only pagerank_copurchase
+# via _FORCE_FRONT. They go FIRST so cumulative coverage closes even if
+# the window shrinks; new round-6 queries and judged-then-modified
+# re-fronts append after them as they land.
 _CARRYOVER_FIRST = (
-    # --- new round-5 queries are pinned here as they land ---
-    "multimodal_jpeg_decode", "image_ahash_neardup_jpeg",
-    "raster_overview_scan", "affine_regrid_rotated", "near_dup_levenshtein",
-    "hilbert_layout_audit", "jsonl_nested_ingest", "video_keyframe_detect", "ann_index_upsert_topk", "code_detect_heuristic",
-    "mor_orders_state",
-    # raster_tif_rollsum was r3-green but its fixture corpus changed
-    # this round (BigTIFF containers + chained overview IFDs on the
-    # same pixel values) — re-fronted for a fresh verdict on the new
-    # container mix.
-    "raster_tif_rollsum",
-    # --- judged-then-modified re-fronts (ADVICE r4 #1: the shared
-    # incremental_minhash_lsh helper gained the overlapping-id guard;
-    # disjoint-fixture outputs locally re-verified identical;
-    # similarity_topk_lsh flipped to the Arrow bucket path, VERDICT #4) ---
-    "incremental_dedup", "incremental_near_dup", "similarity_topk_lsh",
-    "similarity_topk_lsh_indexed",
-    # --- never-judged backlog: LLM-curation core ---
-    "multimodal_resize_real", "dup_spans", "dup_span_profile",
-    "pii_scan_events", "bpe_top_pairs", "near_dup_prefix_filter",
-    "heavy_demand_parts_sketch", "embedding_kmeans_assign",
-    "source_mixing_weights", "token_budget_pack", "sequence_pack",
-    "token_entropy_quality", "curation_funnel", "quality_band_filter",
-    "url_domain_stats", "per_source_cap", "bigram_lm_quality",
-    "train_val_test_split",
-    # --- never-judged: graph/similarity/text ---
-    "pagerank_one_step", "bloom_prefilter_join", "bm25_search",
-    "embedding_dbscan", "image_ahash_neardup", "audio_fingerprint_neardup",
-    "tfidf_cosine_pairs", "vocab_zipf_stats", "sorted_neighborhood_pairs",
-    "near_dup_lsh_eval", "similarity_topk_lsh_multiprobe", "phrase_search",
-    "pmi_collocations", "weighted_sample_docs", "pq_assign_codes",
-    "similarity_topk_pq", "label_centroid_similarity", "nb_train_langid",
-    "hashed_features", "churn_score_logistic",
-    "embedding_quantile_normalize",
-    # --- never-judged: analytics block (registry insertion order) ---
+    # --- never-judged backlog: similarity/text tail ---
+    "label_centroid_similarity", "nb_train_langid", "hashed_features",
+    "churn_score_logistic", "embedding_quantile_normalize",
+    # --- never-judged backlog: analytics block (registry order) ---
     "sax_window_vocab", "rolling_corr_14", "psi_drift_check",
     "rolling_wau", "profile_drift", "conversion_latency",
     "attribution_last_touch", "markov_event_transitions",
@@ -837,10 +836,13 @@ _CARRYOVER_FIRST = (
     "conversion_wilson_ci", "key_skew_report", "funnel_within_windows",
     "join_fanout_audit", "largest_remainder_alloc", "roc_auc_exact",
     "mutual_information_bins", "forget_cascade_audit",
-    # --- never-judged: geo/raster ---
+    # --- never-judged backlog: geo/raster ---
     "geo_radius_join", "raster_focal_mean", "geo_nearest_supplier",
     "shapefile_zone_metrics", "zonal_majority_class",
     "growing_degree_days", "cell_overlap_weights",
+    # --- the one never-judged sql=None entry (rows-only, _FORCE_FRONT) ---
+    "pagerank_copurchase",
+    # --- new round-6 queries / re-fronts are pinned here as they land ---
 )
 
 
