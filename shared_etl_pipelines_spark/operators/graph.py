@@ -60,6 +60,7 @@ def pagerank(
     iterations: int = 10,
     undirected: bool = True,
     num_partitions: int | None = None,
+    checkpoint_interval: int = 5,
 ) -> DataFrame:
     """PageRank over an edge list; returns ``(node, rank)``.
 
@@ -68,6 +69,16 @@ def pagerank(
     in an edge has degree >= 1, so there are no dangling nodes and the
     total rank mass stays exactly n_nodes * 1.0 through every round —
     the conservation the replay test asserts.
+
+    ``checkpoint_interval`` cuts lineage with a localCheckpoint every
+    k-th round instead of every round. A checkpoint is a pure
+    materialization boundary — results are bit-identical for any
+    interval — but each one costs a full rank-frame store+reload, which
+    at moderate graph sizes dominates the round itself (measured round
+    6: per-round checkpoints 4.2-4.5 s for 10 rounds at sf0.1, interval
+    5 → 2.7-3.0 s, same values). The interval bounds plan depth at k
+    joins, which keeps optimizer time flat for long runs; interval<=0
+    disables cuts entirely (fine for short fixed budgets).
     """
     e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
     if undirected:
@@ -87,7 +98,7 @@ def pagerank(
         contrib_edges = contrib_edges.repartition(num_partitions, "s")
     contrib_edges = contrib_edges.persist()
     ranks = deg.select(F.col("s").alias("node"), F.lit(1.0).alias("rank"))
-    for _ in range(iterations):
+    for i in range(iterations):
         inflow = (
             contrib_edges.join(
                 ranks.withColumnRenamed("node", "s"), "s"
@@ -98,7 +109,9 @@ def pagerank(
         ranks = inflow.select(
             "node",
             (F.lit(1.0 - damping) + F.lit(damping) * F.col("inflow")).alias("rank"),
-        ).localCheckpoint(eager=False)
+        )
+        if checkpoint_interval > 0 and (i + 1) % checkpoint_interval == 0:
+            ranks = ranks.localCheckpoint(eager=False)
     # persists stay registered: this operator is LAZY (no action runs in
     # here), so an unpersist now would fire before the caller's action
     # and silently discard the per-round cache reuse the persist exists
