@@ -162,6 +162,89 @@ class StorageScope:
         return False
 
 
+def hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the session's Hadoop conf.
+
+    Resolves the scheme the same way every Spark reader/writer does, so
+    existence checks and deletes behave identically on file://, hdfs://
+    and s3a:// — unlike ``os.path``, which silently answers False for
+    any non-local URI (ADVICE r5 #1).
+    """
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    """Scheme-aware existence check (Hadoop FileSystem API)."""
+    fs, jpath = hadoop_fs(spark, path)
+    return bool(fs.exists(jpath))
+
+
+def acquire_fs_lock(spark: SparkSession, lock_path: str, owner: str = "") -> None:
+    """Fail-loud single-writer lock: atomically create ``lock_path``
+    (Hadoop ``createNewFile`` — atomic on local FS and HDFS) and raise
+    ``RuntimeError`` if it already exists. This turns the read-then-
+    append sequence-number race in the merge-on-read / ANN-index
+    writers from silent row masking into an explicit error.
+
+    A crashed writer leaves the lock behind (deliberately — better a
+    blocked writer than two writers minting the same seq); clear it
+    with :func:`release_fs_lock` after confirming no writer is live.
+    On S3, object creation is not compare-and-swap atomic; serialize
+    writers externally there (catalog lock / single ingest task) — the
+    same caveat every file-based table format documents.
+    """
+    fs, jpath = hadoop_fs(spark, lock_path)
+    parent = jpath.getParent()
+    if parent is not None and not fs.exists(parent):
+        fs.mkdirs(parent)
+    if not fs.createNewFile(jpath):
+        raise RuntimeError(
+            f"single-writer lock already held: {lock_path} — another "
+            "maintenance writer is active (or crashed without releasing; "
+            "clear with release_fs_lock after confirming it is dead)"
+            + (f" [{owner}]" if owner else "")
+        )
+
+
+def release_fs_lock(spark: SparkSession, lock_path: str) -> None:
+    """Release a lock taken by :func:`acquire_fs_lock` (idempotent)."""
+    fs, jpath = hadoop_fs(spark, lock_path)
+    if fs.exists(jpath):
+        fs.delete(jpath, False)
+
+
+# Scratch directories created by checkpoint_to_scratch, for sweep_scratch.
+# Each entry is (spark, path); paths may be on any Hadoop scheme.
+_SCRATCH_DIRS: list[tuple[SparkSession, str]] = []
+
+
+def sweep_scratch() -> int:
+    """Delete every scratch directory checkpoint_to_scratch created in
+    this process (ADVICE r5 #5: the eager looping-pipeline use case
+    otherwise leaks one directory per iteration). Call BETWEEN loop
+    iterations / queries only — a frame returned by
+    ``checkpoint_to_scratch`` is a scan of its scratch dir and dies with
+    it. Registered at ``atexit`` as a best-effort final sweep; a cluster
+    deployment should additionally put a TTL on ``$SPARK_GRAFT_SCRATCH``
+    (checkpoint roots on object stores outlive driver crashes)."""
+    swept = 0
+    while _SCRATCH_DIRS:
+        spark, path = _SCRATCH_DIRS.pop()
+        try:
+            fs, jpath = hadoop_fs(spark, path)
+            if fs.exists(jpath):
+                fs.delete(jpath, True)
+                swept += 1
+        except Exception:  # session already stopped — fall back locally
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
+    return swept
+
+
 def checkpoint_to_scratch(df, name: str = "ckpt") -> "DataFrame":  # noqa: F821
     """Materialize ``df`` to scratch parquet and return the read-back
     frame — a storage-backed checkpoint whose lineage is a plain scan.
@@ -172,7 +255,13 @@ def checkpoint_to_scratch(df, name: str = "ckpt") -> "DataFrame":  # noqa: F821
     release every persist/localCheckpoint the operator made while the
     result stays valid. ``$SPARK_GRAFT_SCRATCH`` points the scratch root
     at cluster storage (HDFS/S3) in production; default is local tmp.
+
+    Every scratch dir is registered for :func:`sweep_scratch` (and an
+    ``atexit`` best-effort sweep), so loops that checkpoint per
+    iteration can reclaim space once the previous iteration's frame is
+    dead.
     """
+    import atexit
     import tempfile
     import uuid
 
@@ -182,4 +271,7 @@ def checkpoint_to_scratch(df, name: str = "ckpt") -> "DataFrame":  # noqa: F821
     )
     path = os.path.join(root, f"{name}-{uuid.uuid4().hex}")
     df.write.mode("overwrite").parquet(path)
+    if not _SCRATCH_DIRS:
+        atexit.register(sweep_scratch)
+    _SCRATCH_DIRS.append((spark, path))
     return spark.read.parquet(path)

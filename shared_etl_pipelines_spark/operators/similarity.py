@@ -311,23 +311,41 @@ def _apply_tombstones(spark, index_path: str, idx: DataFrame, id_col: str) -> Da
     tombstone for its id carries a NEWER sequence number (each upsert
     batch tombstones the ids it re-ingests/deletes at its own seq).
     Pre-upsert indexes (no seq column / no tombstone dir) pass through
-    unchanged."""
-    import os
+    unchanged.
 
+    Existence is checked through the Hadoop FileSystem API so hdfs://
+    and s3a:// index paths resolve their tombstones exactly like
+    file:// ones — ``os.path`` would silently answer False there and
+    return deleted rows (ADVICE r5 #1).
+
+    Among live rows, only the newest version per id is kept (seq ==
+    max(seq) over id — a window on the already-pruned frame). This
+    makes the reader safe against the upsert crash window: data rows
+    append BEFORE tombstones, so a crash between the writes leaves
+    recoverable duplicates, and this filter resolves them to the newest
+    version."""
     if "seq" not in idx.columns:
         idx = idx.withColumn("seq", F.lit(0).cast("long"))
+    from shared_etl_pipelines_spark.engine import fs_exists
+
     tpath = _tombstone_path(index_path)
-    if not os.path.exists(tpath):
+    if not fs_exists(spark, tpath):
         return idx
     tomb = (
         spark.read.parquet(tpath)
         .groupBy(F.col(id_col))
         .agg(F.max("seq").alias("_dead_seq"))
     )
-    return (
+    live = (
         idx.join(F.broadcast(tomb), id_col, "left")
         .filter(F.col("_dead_seq").isNull() | (F.col("seq") >= F.col("_dead_seq")))
         .drop("_dead_seq")
+    )
+    wmax = Window.partitionBy(id_col)
+    return (
+        live.withColumn("_mx", F.max("seq").over(wmax))
+        .filter(F.col("seq") == F.col("_mx"))
+        .drop("_mx")
     )
 
 
@@ -358,19 +376,31 @@ def ann_index_upsert(
     ``compact_ann_index`` folds it back to zero. Work per batch is
     O(|batch| + |tombstones|) — never proportional to the corpus.
 
-    SINGLE-WRITER contract: the next seq is read-then-append, so two
-    concurrent upserts would mint the same sequence number and mask
-    each other's rows. Serialize ingest (every production vector store
-    does) or route batches through one writer task.
+    SINGLE-WRITER contract, enforced: the next seq is read-then-append,
+    so two concurrent upserts would mint the same sequence number and
+    mask each other's rows — a fail-loud lock file (``_ann.lock``,
+    atomic createNewFile via engine.acquire_fs_lock) turns that race
+    into an explicit error. A crashed writer leaves the lock held;
+    clear with ``engine.release_fs_lock`` once confirmed dead.
+
+    Crash safety (ADVICE r5 #2): data rows append BEFORE tombstones. A
+    crash between the two writes leaves recoverable duplicates — the
+    old and new versions are both live until the batch is re-run, and
+    the reader's max-seq-per-id filter already resolves re-ingested ids
+    to the newest row — instead of vanished keys (the failure mode of
+    tombstone-first ordering, which masks every pre-existing version of
+    the batch's ids with no replacement). Remaining window: a pure
+    DELETE batch is one tombstone append; a crash before it simply
+    loses the delete, recoverable by re-running the (idempotent) batch.
     """
     import os
 
-    n_new = n_dead = 0
-    seq = 1
-    tpath = _tombstone_path(index_path)
-    if os.path.exists(tpath):
-        prev = spark.read.parquet(tpath).agg(F.max("seq")).collect()[0][0]
-        seq = int(prev or 0) + 1
+    from shared_etl_pipelines_spark.engine import (
+        acquire_fs_lock,
+        fs_exists,
+        release_fs_lock,
+    )
+
     dead = None
     if batch is not None:
         dead = batch.select(F.col(id_col))
@@ -379,20 +409,33 @@ def ann_index_upsert(
         dead = d if dead is None else dead.unionByName(d)
     if dead is None:
         return {"seq": 0, "rows_appended": 0, "ids_tombstoned": 0}
-    tomb = dead.distinct().withColumn("seq", F.lit(seq).cast("long"))
-    n_dead = tomb.count()
-    tomb.coalesce(1).write.mode("append").parquet(tpath)
-    if batch is not None:
-        corpus = _prep(batch, id_col, vec_col)
-        bucket_all = srp_buckets_udf(n_planes, dim, n_tables)
-        rows = corpus.withColumn("_bks", bucket_all(F.col("v"))).select(
-            F.col(id_col),
-            "v",
-            "norm",
-            F.posexplode("_bks").alias("tbl", "bucket"),
-        ).withColumn("seq", F.lit(seq).cast("long"))
-        n_new = rows.count()
-        rows.write.mode("append").partitionBy("tbl", "bucket").parquet(index_path)
+    lock = os.path.join(index_path, "_ann.lock")
+    acquire_fs_lock(spark, lock, owner="ann_index_upsert")
+    try:
+        n_new = n_dead = 0
+        seq = 1
+        tpath = _tombstone_path(index_path)
+        if fs_exists(spark, tpath):
+            prev = spark.read.parquet(tpath).agg(F.max("seq")).collect()[0][0]
+            seq = int(prev or 0) + 1
+        if batch is not None:
+            corpus = _prep(batch, id_col, vec_col)
+            bucket_all = srp_buckets_udf(n_planes, dim, n_tables)
+            rows = corpus.withColumn("_bks", bucket_all(F.col("v"))).select(
+                F.col(id_col),
+                "v",
+                "norm",
+                F.posexplode("_bks").alias("tbl", "bucket"),
+            ).withColumn("seq", F.lit(seq).cast("long")).persist()
+            n_new = rows.count()  # persisted: the write below reuses, not recomputes
+            rows.write.mode("append").partitionBy("tbl", "bucket").parquet(index_path)
+            rows.unpersist()
+        tomb = dead.distinct().withColumn("seq", F.lit(seq).cast("long")).persist()
+        n_dead = tomb.count()  # persisted: ditto (was double-computed, VERDICT r5 #3)
+        tomb.coalesce(1).write.mode("append").parquet(tpath)
+        tomb.unpersist()
+    finally:
+        release_fs_lock(spark, lock)
     return {"seq": seq, "rows_appended": int(n_new), "ids_tombstoned": int(n_dead)}
 
 

@@ -782,7 +782,13 @@ _R4_GREEN = frozenset(
 # the re-fronting convention (tests/test_registry_meta.py enforces it).
 _R5_GREEN = frozenset(
     {
-        "affine_regrid_rotated", "ann_index_upsert_topk",
+        "affine_regrid_rotated",
+        # "ann_index_upsert_topk" and "similarity_topk_lsh_indexed" were
+        # r5-green but the shared upsert/probe machinery changed this
+        # round (data-before-tombstone crash ordering, fail-loud writer
+        # lock, Hadoop-FS tombstone resolution, reader max-seq-per-id
+        # dedup — ADVICE r5 #1/#2; normal-path results locally
+        # re-verified identical) — re-fronted for fresh verdicts.
         "audio_fingerprint_neardup", "bigram_lm_quality",
         "bloom_prefilter_join", "bm25_search", "bpe_top_pairs",
         "code_detect_heuristic", "curation_funnel", "dup_span_profile",
@@ -790,13 +796,18 @@ _R5_GREEN = frozenset(
         "heavy_demand_parts_sketch", "hilbert_layout_audit",
         "image_ahash_neardup", "image_ahash_neardup_jpeg",
         "incremental_dedup", "incremental_near_dup", "jsonl_nested_ingest",
-        "mor_orders_state", "multimodal_jpeg_decode",
+        # "mor_orders_state" was r5-green but mor_apply_changes/mor_read
+        # changed this round (same hardening as above) — re-fronted.
+        "multimodal_jpeg_decode",
         "multimodal_resize_real", "near_dup_levenshtein",
-        "near_dup_lsh_eval", "near_dup_prefix_filter", "pagerank_one_step",
+        "near_dup_lsh_eval", "near_dup_prefix_filter",
+        # "pagerank_one_step" stays: it does NOT call the pagerank
+        # operator (self-contained integer one-step builder).
+        "pagerank_one_step",
         "per_source_cap", "phrase_search", "pii_scan_events",
         "pmi_collocations", "pq_assign_codes", "quality_band_filter",
         "raster_overview_scan", "raster_tif_rollsum", "sequence_pack",
-        "similarity_topk_lsh", "similarity_topk_lsh_indexed",
+        "similarity_topk_lsh",
         "similarity_topk_lsh_multiprobe", "similarity_topk_pq",
         "sorted_neighborhood_pairs", "source_mixing_weights",
         "tfidf_cosine_pairs", "token_budget_pack", "token_entropy_quality",
@@ -843,6 +854,11 @@ _CARRYOVER_FIRST = (
     # --- the one never-judged sql=None entry (rows-only, _FORCE_FRONT) ---
     "pagerank_copurchase",
     # --- new round-6 queries / re-fronts are pinned here as they land ---
+    # storage-maintenance hardening (ADVICE r5 #1/#2 + VERDICT r5 #5):
+    # crash ordering, writer locks, Hadoop-FS tombstone resolution,
+    # reader max-seq dedup; plus the new zero-exchange bucketed MoR twin
+    "mor_orders_state", "mor_orders_state_bucketed",
+    "ann_index_upsert_topk", "similarity_topk_lsh_indexed",
 )
 
 

@@ -2840,3 +2840,106 @@ def q_mor_orders_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_orderkey").cast("long").alias("max_key"),
     )
     return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# Bucketed merge-on-read twin (sources/warehouse.py mor_*_bucketed,
+# VERDICT r5 #5): the SAME two change batches as mor_orders_state, but
+# base + appended versions + tombstones all live in bucketBy(o_orderkey)
+# tables, so the reader's latest-version window and tombstone merge run
+# with ZERO shuffle exchanges (plan-gated in tests/test_warehouse.py::
+# test_mor_bucketed_read_is_zero_exchange) — the layout that removes the
+# per-read keyed shuffle (the standard MoR read debt) at 100 TB. Oracle
+# identical to mor_orders_state: layout must never change semantics.
+# ---------------------------------------------------------------------------
+@defquery(
+    "mor_orders_state_bucketed",
+    """
+    WITH final AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 26 = 0 THEN '5-LOW'
+                  WHEN o_orderkey % 17 = 0 THEN '1-URGENT'
+                  ELSE o_orderpriority END AS o_orderpriority,
+             CASE WHEN o_orderkey % 26 = 0 THEN 123450
+                  WHEN o_orderkey % 17 = 0
+                       THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) + 100000
+                  ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT) END AS cents
+      FROM orders
+      WHERE o_orderkey % 26 = 0 OR o_orderkey % 17 = 0 OR o_orderkey % 13 <> 0
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(cents) / 100.0, 4) AS total_price,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM final GROUP BY o_orderpriority
+    """,
+    doc="bucketed merge-on-read state after the same two change batches "
+    "as mor_orders_state, read with a zero-exchange latest-version "
+    "window + tombstone merge over the bucket layout — the read path "
+    "that survives 100 TB without a per-read keyed shuffle",
+    tags=("warehouse", "merge", "scale-path"),
+)
+def q_mor_orders_state_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import re
+
+    from shared_etl_pipelines_spark.sources.warehouse import (
+        mor_apply_changes_bucketed,
+        mor_create_bucketed,
+        mor_read_bucketed,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    tag = re.sub(r"\W", "_", os.path.basename(os.path.normpath(sf_dir)))
+    tbl = f"mor_orders_b_{tag}"
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for t in (tbl, f"{tbl}__tombstones", f"{tbl}__compacting"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # a stale managed-table dir from a previous session (in-memory
+        # catalog forgets tables; the warehouse dir does not) would make
+        # the append-mode tombstone write adopt old rows — clear it
+        try:
+            from shared_etl_pipelines_spark.engine import hadoop_fs
+
+            fs, jp = hadoop_fs(spark, os.path.join(wh, t))
+            if fs.exists(jp):
+                fs.delete(jp, True)
+        except Exception:
+            pass
+    mor_create_bucketed(orders, tbl, ["o_orderkey"], n_buckets=8)
+    k = F.col("o_orderkey")
+    mor_apply_changes_bucketed(
+        spark,
+        tbl,
+        ["o_orderkey"],
+        upserts=orders.filter(k % 17 == 0).select(
+            "o_orderkey",
+            F.lit("1-URGENT").alias("o_orderpriority"),
+            (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+        ),
+        delete_keys=orders.filter(k % 13 == 0).select("o_orderkey"),
+        n_buckets=8,
+    )
+    mor_apply_changes_bucketed(
+        spark,
+        tbl,
+        ["o_orderkey"],
+        upserts=orders.filter(k % 26 == 0).select(
+            "o_orderkey",
+            F.lit("5-LOW").alias("o_orderpriority"),
+            F.lit(1234.5).alias("o_totalprice"),
+        ),
+        n_buckets=8,
+    )
+    state = mor_read_bucketed(spark, tbl, ["o_orderkey"])
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    out = state.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.round(F.sum(cents) / 100.0, 4).alias("total_price"),
+        F.min("o_orderkey").cast("long").alias("min_key"),
+        F.max("o_orderkey").cast("long").alias("max_key"),
+    )
+    return round_floats(out)

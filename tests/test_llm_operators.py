@@ -1273,3 +1273,79 @@ def test_code_features_separates_code_from_prose(spark):
     assert rows[1]["nl"] == 7  # trailing newline keeps its empty line
     # def, return, import, class each hit once
     assert rows[1]["kw"] == 4 and rows[2]["kw"] == 0
+
+
+def test_ann_upsert_crash_window_resolves_to_newest(spark, sf_dir, tmp_path):
+    """Crash ordering (ADVICE r5 #2): data rows append BEFORE
+    tombstones, so a crash between the writes leaves both versions of a
+    re-ingested id live with no tombstone. The reader's max-seq-per-id
+    filter must resolve those duplicates to the newest version — no id
+    may surface twice in a probe result."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.operators.similarity import (
+        ann_index_upsert,
+        lsh_topk_from_index,
+        write_ann_index,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    path = str(tmp_path / "idx_crash")
+    write_ann_index(emb, path)
+    # upsert 1 (completes): establishes the tombstone dir at seq 1
+    ann_index_upsert(
+        spark, path,
+        batch=emb.filter(F.col("vec_id") == 11).select(
+            "vec_id", F.reverse("embedding").alias("embedding")
+        ),
+    )
+    # simulate upsert 2 crashing AFTER the data append, BEFORE the
+    # tombstone append: re-append the current seq-1 rows for id 11 with
+    # seq bumped to 2 (same bucketing — the rows land in their partitions)
+    idx = spark.read.parquet(path)
+    crashed = idx.filter(F.col("vec_id") == 11).withColumn(
+        "seq", F.lit(2).cast("long")
+    )
+    crashed.write.mode("append").partitionBy("tbl", "bucket").parquet(path)
+
+    qs = emb.filter(F.col("vec_id") < 5)
+    out = lsh_topk_from_index(spark, path, qs, k=10).collect()
+    # no (query, neighbor) appears twice and ranks stay dense 1..k
+    seen = [(r["query_id"], r["vec_id"]) for r in out]
+    assert len(seen) == len(set(seen))
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r["rn"])
+    assert all(sorted(v) == list(range(1, len(v) + 1)) for v in by_q.values())
+
+
+def test_ann_upsert_lock_fails_loud(spark, sf_dir, tmp_path):
+    """A second concurrent upsert hits the held _ann.lock and raises
+    instead of minting a duplicate seq."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.engine import acquire_fs_lock, release_fs_lock
+    from shared_etl_pipelines_spark.operators.similarity import (
+        ann_index_upsert,
+        write_ann_index,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    path = str(tmp_path / "idx_locked")
+    write_ann_index(emb.filter(F.col("vec_id") < 100), path)
+    lock = os.path.join(path, "_ann.lock")
+    acquire_fs_lock(spark, lock, owner="test-other-writer")
+    with _pytest.raises(RuntimeError, match="single-writer lock"):
+        ann_index_upsert(
+            spark, path, delete_ids=emb.filter(F.col("vec_id") == 1).select("vec_id")
+        )
+    release_fs_lock(spark, lock)
+    s = ann_index_upsert(
+        spark, path, delete_ids=emb.filter(F.col("vec_id") == 1).select("vec_id")
+    )
+    assert s["seq"] == 1 and not os.path.exists(lock)

@@ -240,3 +240,136 @@ def test_mor_table_matches_copy_on_write_semantics(spark, tmp_path):
     assert c["live_rows"] == len(want)
     assert not os.path.exists(os.path.join(path, "_deletes"))
     assert state() == want
+
+
+def test_mor_bucketed_matches_path_based_semantics(spark, tmp_path):
+    """The bucketed MoR twin must reproduce the path-based state machine
+    exactly: same delete/upsert/reinsert batches, same final state, and
+    compaction preserves state while dropping the tombstone table."""
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.sources.warehouse import (
+        mor_apply_changes_bucketed,
+        mor_compact_bucketed,
+        mor_create_bucketed,
+        mor_read_bucketed,
+    )
+
+    tbl = "t_mor_bucketed_sem"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}__tombstones")
+    try:
+        base = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(20)], ["k", "val"]
+        )
+        mor_create_bucketed(base, tbl, ["k"], n_buckets=4)
+        s1 = mor_apply_changes_bucketed(
+            spark, tbl, ["k"],
+            upserts=base.filter(F.col("k") % 3 == 0).select(
+                "k", F.concat(F.lit("u"), F.col("k")).alias("val")
+            ),
+            delete_keys=base.filter(F.col("k") % 2 == 0).select("k"),
+            n_buckets=4,
+        )
+        assert s1["seq"] == 1
+        s2 = mor_apply_changes_bucketed(
+            spark, tbl, ["k"],
+            upserts=spark.createDataFrame([(4, "back")], ["k", "val"]),
+            n_buckets=4,
+        )
+        assert s2["seq"] == 2
+
+        def state():
+            return {
+                r["k"]: r["val"]
+                for r in mor_read_bucketed(spark, tbl, ["k"]).collect()
+            }
+
+        want = {}
+        for i in range(20):
+            if i == 4:
+                want[i] = "back"
+            elif i % 3 == 0:
+                want[i] = f"u{i}"
+            elif i % 2 == 0:
+                continue
+            else:
+                want[i] = f"v{i}"
+        assert state() == want
+        c = mor_compact_bucketed(spark, tbl, ["k"], n_buckets=4)
+        assert c["live_rows"] == len(want)
+        assert not spark.catalog.tableExists(f"{tbl}__tombstones")
+        assert state() == want
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}__tombstones")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}__compacting")
+
+
+def test_mor_bucketed_read_is_zero_exchange(spark, tmp_path):
+    """The whole point of the bucketed layout: latest-per-key window AND
+    tombstone merge consume the bucket distribution — no shuffle
+    exchange anywhere in the read plan (VERDICT r5 #5)."""
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.sources.warehouse import (
+        mor_apply_changes_bucketed,
+        mor_create_bucketed,
+        mor_read_bucketed,
+    )
+
+    tbl = "t_mor_bucketed_plan"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}__tombstones")
+    try:
+        base = spark.range(500).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("val")
+        )
+        mor_create_bucketed(base, tbl, ["k"], n_buckets=4)
+        mor_apply_changes_bucketed(
+            spark, tbl, ["k"],
+            upserts=spark.range(50).select(
+                F.col("id").alias("k"), F.lit(-1).cast("long").alias("val")
+            ),
+            delete_keys=spark.range(450, 500).select(F.col("id").alias("k")),
+            n_buckets=4,
+        )
+        out = mor_read_bucketed(spark, tbl, ["k"])
+        plan = phys(out)
+        assert "Exchange hashpartitioning" not in plan
+        assert "Bucketed: true" in plan
+        # and it still answers correctly
+        got = {r["k"]: r["val"] for r in out.collect()}
+        assert len(got) == 450 and got[10] == -1 and got[100] == 200
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}__tombstones")
+
+
+def test_mor_writer_lock_fails_loud(spark, tmp_path):
+    """Two concurrent change batches must not mint the same seq: the
+    second writer hits the held lock and errors instead of silently
+    masking rows; release unblocks it."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.engine import acquire_fs_lock, release_fs_lock
+    from shared_etl_pipelines_spark.sources.warehouse import (
+        mor_apply_changes,
+        mor_write_base,
+    )
+
+    path = str(tmp_path / "mor_locked")
+    base = spark.range(10).select(F.col("id").alias("k"), F.lit("x").alias("val"))
+    mor_write_base(base, path)
+    lock = os.path.join(path, "_mor.lock")
+    acquire_fs_lock(spark, lock, owner="test-other-writer")
+    up = spark.createDataFrame([(1, "y")], ["k", "val"])
+    with _pytest.raises(RuntimeError, match="single-writer lock"):
+        mor_apply_changes(spark, path, ["k"], upserts=up)
+    release_fs_lock(spark, lock)
+    s = mor_apply_changes(spark, path, ["k"], upserts=up)
+    assert s["seq"] == 1
+    # the writer released its own lock on the way out
+    assert not os.path.exists(lock)
