@@ -148,6 +148,75 @@ def duplicated_spans(
     ).drop("grp")
 
 
+def _cap_band_buckets(banded: DataFrame, max_bucket_size: int | None) -> DataFrame:
+    """Hot-bucket guard for banded-LSH candidate joins (VERDICT r5 #6).
+
+    A degenerate band value — empty documents, boilerplate headers, a
+    template shared by millions of pages — puts a huge population into
+    ONE (band_idx, band_hash) bucket, and the candidate self-join goes
+    quadratic in that bucket at 100 TB. The guard drops every bucket
+    whose occupancy exceeds ``max_bucket_size`` BEFORE candidate
+    generation: a window count over the band key, which reuses the very
+    exchange the self-join needs next (one extra sort, no extra
+    shuffle). Dropped buckets mean those pairs are simply not probed —
+    the standard LSH engineering trade (a bucket that hot is almost
+    never a real near-dup cluster, and a real one that size should go
+    through ``duplicate_clusters`` instead). ``lsh_bucket_audit``
+    surfaces exactly which buckets a cap drops and how big they were;
+    ``None`` disables the guard."""
+    if not max_bucket_size:
+        return banded
+    w = Window.partitionBy("band_idx", "band_hash")
+    return (
+        banded.withColumn("_occ", F.count(F.lit(1)).over(w))
+        .filter(F.col("_occ") <= max_bucket_size)
+        .drop("_occ")
+    )
+
+
+def lsh_bucket_audit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    max_bucket_size: int | None = 256,
+) -> DataFrame:
+    """Band-bucket occupancy report for the MinHash-LSH family: one row
+    per (band_idx, band_hash) with ``size`` and ``dropped`` (whether
+    the default guard in ``minhash_lsh_pairs`` / ``levenshtein_near_
+    dup_pairs`` / ``incremental_minhash_lsh`` would exclude it). Run it
+    whenever a capped pair query returns suspiciously few pairs — the
+    dropped-bucket count IS the recall debt the cap bought throughput
+    with."""
+    rows_per_band = k // bands
+    hrows = shingle_hash_rows(df, id_col, text_col, n=n)
+    mins = [
+        F.min((F.col("h") * a + b) % MINHASH_P).alias(f"mh_{i}")
+        for i, (a, b) in ((i, minhash_params(i)) for i in range(k))
+    ]
+    sig = hrows.groupBy(id_col).agg(*mins)
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            )
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        F.col(id_col), F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash")
+    )
+    out = banded.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).cast("long").alias("size")
+    )
+    cap = F.lit(max_bucket_size) if max_bucket_size else F.lit(None).cast("long")
+    return out.withColumn(
+        "dropped", (cap.isNotNull() & (F.col("size") > cap)).cast("int")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -156,6 +225,7 @@ def minhash_lsh_pairs(
     k: int = 8,
     bands: int = 4,
     threshold: float = 0.5,
+    max_bucket_size: int | None = 256,
 ) -> DataFrame:
     """Near-dup pairs via MinHash-LSH with Jaccard verification.
 
@@ -163,6 +233,13 @@ def minhash_lsh_pairs(
     1-(1-j^r)^b. Candidate generation = explode bands + self-equi-join on
     (band_idx, band_hash): linear in data + bucket sizes, never O(n²).
     Returned pairs are verified: jaccard >= threshold.
+
+    ``max_bucket_size`` (default 256) is the built-in hot-bucket guard:
+    buckets over the cap are excluded from candidate generation before
+    the self-join (see ``_cap_band_buckets``; ``lsh_bucket_audit``
+    reports what a cap drops). Normal corpora sit far under the cap —
+    results are unchanged; adversarial same-band floods stop being
+    quadratic.
     """
     rows_per_band = k // bands
     # ONE codegen'd pass builds everything MinHash needs: shingle-hash ROWS
@@ -185,8 +262,12 @@ def minhash_lsh_pairs(
         F.md5(F.concat_ws("|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]))
         for b in range(bands)
     ]
-    banded = sig.select(
-        F.col(id_col), F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash")
+    banded = _cap_band_buckets(
+        sig.select(
+            F.col(id_col),
+            F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash"),
+        ),
+        max_bucket_size,
     )
     left = banded.alias("l")
     right = banded.alias("r")
@@ -662,6 +743,7 @@ def incremental_minhash_lsh(
     k: int = 8,
     bands: int = 4,
     threshold: float = 0.5,
+    max_bucket_size: int | None = 256,
 ) -> DataFrame:
     """NEAR-dup probe of a new batch against an existing corpus — the
     continuous-crawl shape of minhash_lsh_pairs (and the LSH twin of
@@ -689,6 +771,16 @@ def incremental_minhash_lsh(
     join never emits self-pairs (doc_a == doc_b). Without this guard a
     shared id would yield a jaccard-1.0 self-pair and duplicate verified
     rows via the doubled signature (ADVICE r4 #1).
+
+    ``max_bucket_size`` is the same hot-bucket guard as
+    ``minhash_lsh_pairs``, applied to the COMBINED occupancy of each
+    batch-touched bucket (corpus rows in that bucket + batch rows), so
+    a capped incremental run still equals the capped full-corpus run
+    restricted to pairs touching the batch. Occupancy is only counted
+    for buckets the batch probes — the corpus-wide bucket census is
+    never taken, preserving the O(|batch| + collisions) refresh cost.
+    (A re-crawled id present on both sides counts twice toward the
+    cap — conservative by one.)
     """
     rows_per_band = k // bands
 
@@ -718,6 +810,23 @@ def incremental_minhash_lsh(
 
     sig_c, band_c = prep(corpus)
     sig_b, band_b = prep(batch)
+
+    if max_bucket_size:
+        # combined occupancy of batch-touched buckets only: corpus rows
+        # stream against the broadcast batch-bucket keys (same shape as
+        # the new_old probe below), so no corpus-wide census happens
+        bkeys = band_b.select("band_idx", "band_hash").distinct()
+        probed_c = band_c.join(F.broadcast(bkeys), ["band_idx", "band_hash"])
+        hot = (
+            probed_c.select("band_idx", "band_hash")
+            .unionByName(band_b.select("band_idx", "band_hash"))
+            .groupBy("band_idx", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_occ"))
+            .filter(F.col("_occ") > max_bucket_size)
+            .select("band_idx", "band_hash")
+        )
+        band_c = band_c.join(F.broadcast(hot), ["band_idx", "band_hash"], "left_anti")
+        band_b = band_b.join(F.broadcast(hot), ["band_idx", "band_hash"], "left_anti")
 
     new_old = (
         F.broadcast(band_b.alias("b"))
@@ -773,6 +882,7 @@ def levenshtein_near_dup_pairs(
     k: int = 8,
     bands: int = 4,
     rel_threshold: float = 0.25,
+    max_bucket_size: int | None = 256,
 ) -> DataFrame:
     """Edit-distance near-dup: MinHash-banded candidates verified with
     EXACT Levenshtein distance — the string-edit member of the near-dup
@@ -783,16 +893,25 @@ def levenshtein_near_dup_pairs(
 
     Candidates come from the same banded MinHash scheme as
     ``minhash_lsh_pairs`` (equi-join on (band_idx, band_hash) — never
-    O(n^2)); the verify is one ``F.levenshtein`` per candidate pair,
-    entirely JVM-side. A pair survives when
+    O(n^2), with the same ``max_bucket_size`` hot-bucket guard); the
+    verify is one ``F.levenshtein`` per candidate pair, entirely
+    JVM-side. A pair survives when
     ``edit_dist <= rel_threshold * max(len_a, len_b)``.
 
     At 100 TB the verify cost is bounded two ways: candidates are
-    LSH-bucket pairs (linear in bucket co-occupancy), and Spark's
-    3-arg ``levenshtein(l, r, threshold)`` early-exits the DP at the
-    band limit — O(threshold * len) per pair instead of O(len^2). The
-    2-arg form is used here because the bound is relative; a cluster
-    deployment with a fixed byte budget should pass the literal bound.
+    LSH-bucket pairs (linear in bucket co-occupancy, capped), and
+    Spark's 3-arg ``levenshtein(l, r, threshold)`` early-exits the DP
+    at the band limit — O(threshold * len) per pair instead of
+    O(len^2). The 2-arg form is used here because the bound is
+    relative; a cluster deployment with a fixed byte budget should pass
+    the literal bound.
+
+    Storage: the banded signature frame is persisted only until the
+    candidate set materializes (eager count) and is unpersisted here;
+    the candidate persist itself stays registered until the caller's
+    action — release it like the graph operators (harnesses sweep via
+    ``engine.sweep_persistent_rdds``; library callers wrap the call +
+    action in ``engine.StorageScope``). (ADVICE r5 #4.)
 
     Returns ``(doc_a, doc_b, edit_dist, rel_dist)``.
     """
@@ -811,8 +930,12 @@ def levenshtein_near_dup_pairs(
         )
         for b in range(bands)
     ]
-    banded = sig.select(
-        F.col(id_col), F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash")
+    banded = _cap_band_buckets(
+        sig.select(
+            F.col(id_col),
+            F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash"),
+        ),
+        max_bucket_size,
     ).persist()
     cand = (
         banded.alias("l")
@@ -826,7 +949,10 @@ def levenshtein_near_dup_pairs(
             F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b")
         )
         .distinct()
+        .persist()
     )
+    cand.count()  # materialize candidates off the banded cache...
+    banded.unpersist()  # ...then release it (ADVICE r5 #4)
     txt = df.select(F.col(id_col), F.col(text_col).alias("_t"))
     ta = txt.select(F.col(id_col).alias("doc_a"), F.col("_t").alias("t_a"))
     tb = txt.select(F.col(id_col).alias("doc_b"), F.col("_t").alias("t_b"))

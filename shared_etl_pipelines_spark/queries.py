@@ -651,7 +651,9 @@ _R1_GREEN = frozenset(
         "hll_daily_distinct", "trimmed_mean_price", "geo_clip_polygon",
         "geo_zonal_polygons", "geo_clip_bucketed",
         "dedup_exact", "dedup_normalized", "minhash_signature",
-        "near_dup_minhash_lsh", "ngram_jaccard_pairs", "simhash_fingerprint",
+        # "near_dup_minhash_lsh" was r1-green but minhash_lsh_pairs
+        # gained the hot-bucket guard this round — re-fronted.
+        "ngram_jaccard_pairs", "simhash_fingerprint",
         "near_dup_simhash", "text_metrics", "lang_id", "token_counts",
         # "rolling_sums" was r1-green but modified by b7648b7 (sum_14
         # added) — needs a fresh verdict, so it is NOT in this set.
@@ -727,7 +729,9 @@ _R3_GREEN = frozenset(
         # "raster_tif_rollsum" was r3-green but re-fronted this round:
         # its fixture corpus now rotates BigTIFF containers + chained
         # overview IFDs in (same pixel values, locally re-verified).
-        "dedup_clusters", "label_prop_communities",
+        # "dedup_clusters" was r3-green but its pair source
+        # (minhash_lsh_pairs) gained the hot-bucket guard — re-fronted.
+        "label_prop_communities",
         "kcore_peeling", "hard_negative_mining",
         # "embedding_jl_project" was r3-green but its oracle SQL changed
         # this round (multiply-by-reciprocal to match the operator's
@@ -795,12 +799,14 @@ _R5_GREEN = frozenset(
         "dup_spans", "embedding_dbscan", "embedding_kmeans_assign",
         "heavy_demand_parts_sketch", "hilbert_layout_audit",
         "image_ahash_neardup", "image_ahash_neardup_jpeg",
-        "incremental_dedup", "incremental_near_dup", "jsonl_nested_ingest",
+        # "incremental_near_dup", "near_dup_levenshtein" and
+        # "near_dup_lsh_eval" were r5-green but their shared banded-LSH
+        # machinery gained the hot-bucket guard — re-fronted.
+        "incremental_dedup", "jsonl_nested_ingest",
         # "mor_orders_state" was r5-green but mor_apply_changes/mor_read
         # changed this round (same hardening as above) — re-fronted.
         "multimodal_jpeg_decode",
-        "multimodal_resize_real", "near_dup_levenshtein",
-        "near_dup_lsh_eval", "near_dup_prefix_filter",
+        "multimodal_resize_real", "near_dup_prefix_filter",
         # "pagerank_one_step" stays: it does NOT call the pagerank
         # operator (self-contained integer one-step builder).
         "pagerank_one_step",
@@ -859,6 +865,12 @@ _CARRYOVER_FIRST = (
     # reader max-seq dedup; plus the new zero-exchange bucketed MoR twin
     "mor_orders_state", "mor_orders_state_bucketed",
     "ann_index_upsert_topk", "similarity_topk_lsh_indexed",
+    # banded-LSH hot-bucket guard (VERDICT r5 #6): shared candidate
+    # machinery gained the default occupancy cap (no-op on the normal
+    # corpus, locally re-verified identical) — re-fronted for fresh
+    # verdicts
+    "near_dup_minhash_lsh", "dedup_clusters", "near_dup_lsh_eval",
+    "near_dup_levenshtein", "incremental_near_dup",
 )
 
 

@@ -5688,14 +5688,14 @@ def q_jsonl_nested_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Video keyframe / scene-cut detection through the REAL AVI codec:
-# fixtures plant a +120 pixel jump every third frame transition
-# (synthetic_scene_avi_assets), frame_deltas computes per-transition
-# mean absolute pixel deltas from decoded frames, and a threshold flags
-# the cuts — the curation primitive behind one-frame-per-scene
-# sampling. The oracle regenerates the deltas in closed form: for shift
-# d, a pixel's |delta| is d unless the +d wraps mod 256 (then 256-d),
-# so within-scene transitions mean <= ~31 while cuts sit in [125, 131]
-# for ANY base offset — threshold 64 is unconditionally robust.
+# fixtures plant a +60 extra pixel jump every third frame transition
+# (synthetic_scene_avi_assets: +11 within a scene, +11+60 at a cut),
+# frame_deltas computes per-transition mean absolute pixel deltas from
+# decoded frames, and a threshold flags the cuts — the curation
+# primitive behind one-frame-per-scene sampling. The oracle regenerates
+# the deltas in closed form: fixture values peak at 234 < 256, so
+# deltas never wrap — within-scene transitions are exactly 11 and cuts
+# exactly 71 for ANY doc — threshold 40 is unconditionally robust.
 # ---------------------------------------------------------------------------
 @defquery(
     "video_keyframe_detect",

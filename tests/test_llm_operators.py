@@ -1349,3 +1349,110 @@ def test_ann_upsert_lock_fails_loud(spark, sf_dir, tmp_path):
         spark, path, delete_ids=emb.filter(F.col("vec_id") == 1).select("vec_id")
     )
     assert s["seq"] == 1 and not os.path.exists(lock)
+
+
+def test_lsh_hot_bucket_guard_caps_adversarial_floods(spark):
+    """VERDICT r5 #6: a degenerate band value (hundreds of identical
+    docs) must not go quadratic — with the default cap the flooded
+    buckets are excluded from candidate generation, the audit surfaces
+    them, and cap=None restores the uncapped behavior."""
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.operators.dedup import (
+        levenshtein_near_dup_pairs,
+        lsh_bucket_audit,
+        minhash_lsh_pairs,
+    )
+
+    # 600 byte-identical docs: every one lands in the same 4 band
+    # buckets (occupancy 600 > 256) plus 3 distinct near-pairs far
+    # below the cap
+    flood = spark.range(600).select(
+        F.concat(F.lit("flood_"), F.col("id")).alias("doc_id"),
+        F.lit("the same boilerplate header text repeated everywhere").alias(
+            "text"
+        ),
+    )
+    reals = spark.createDataFrame(
+        [
+            ("real_a1", "alpha beta gamma delta epsilon zeta eta theta"),
+            ("real_a2", "alpha beta gamma delta epsilon zeta eta iota"),
+            ("real_b1", "one two three four five six seven eight nine"),
+        ],
+        ["doc_id", "text"],
+    )
+    docs = flood.unionByName(reals)
+
+    capped = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.3)
+    got = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    # flood pairs suppressed (would be ~180k pairs); real pair survives
+    assert ("real_a1", "real_a2") in got
+    assert not any(a.startswith("flood") or b.startswith("flood") for a, b in got)
+
+    audit = lsh_bucket_audit(docs, "doc_id", "text").collect()
+    dropped = [r for r in audit if r["dropped"] == 1]
+    assert dropped and all(r["size"] == 600 for r in dropped)
+    kept = [r for r in audit if r["dropped"] == 0]
+    assert kept and all(r["size"] <= 256 for r in kept)
+
+    # cap disabled: the flood pairs come back (bounded fixture keeps
+    # this test itself tractable)
+    uncapped = minhash_lsh_pairs(
+        flood.limit(30).unionByName(reals), "doc_id", "text",
+        threshold=0.3, max_bucket_size=None,
+    )
+    assert uncapped.filter(F.col("doc_a").startswith("flood")).count() > 0
+
+    # same guard on the edit-distance member of the family
+    lev = levenshtein_near_dup_pairs(docs, "doc_id", "text")
+    lgot = {(r["doc_a"], r["doc_b"]) for r in lev.collect()}
+    assert ("real_a1", "real_a2") in lgot
+    assert not any(a.startswith("flood") for a, _ in lgot)
+
+
+def test_incremental_lsh_cap_equals_capped_full_restriction(spark):
+    """Capped incremental probe == capped full-corpus LSH restricted to
+    pairs touching the batch (disjoint ids), including when the batch
+    probes a flooded corpus bucket."""
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.operators.dedup import (
+        incremental_minhash_lsh,
+        minhash_lsh_pairs,
+    )
+
+    corpus = spark.range(400).select(
+        F.concat(F.lit("c_"), F.col("id")).alias("doc_id"),
+        F.lit("the same boilerplate header text repeated everywhere").alias(
+            "text"
+        ),
+    ).unionByName(
+        spark.createDataFrame(
+            [("c_real", "alpha beta gamma delta epsilon zeta eta theta")],
+            ["doc_id", "text"],
+        )
+    )
+    batch = spark.createDataFrame(
+        [
+            ("b_flood", "the same boilerplate header text repeated everywhere"),
+            ("b_real", "alpha beta gamma delta epsilon zeta eta iota"),
+        ],
+        ["doc_id", "text"],
+    )
+    inc = {
+        (r["doc_a"], r["doc_b"])
+        for r in incremental_minhash_lsh(
+            corpus, batch, "doc_id", "text", threshold=0.3
+        ).collect()
+    }
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in minhash_lsh_pairs(
+            corpus.unionByName(batch), "doc_id", "text", threshold=0.3
+        ).collect()
+        if r["doc_a"].startswith("b_") or r["doc_b"].startswith("b_")
+    }
+    assert inc == full
+    # the real cross pair survived; the flooded bucket was capped out
+    assert ("b_real", "c_real") in inc
+    assert not any("flood" in a or "flood" in b for a, b in inc)
