@@ -798,14 +798,18 @@ _R5_GREEN = frozenset(
         "code_detect_heuristic", "curation_funnel", "dup_span_profile",
         "dup_spans", "embedding_dbscan", "embedding_kmeans_assign",
         "heavy_demand_parts_sketch", "hilbert_layout_audit",
-        "image_ahash_neardup", "image_ahash_neardup_jpeg",
+        "image_ahash_neardup",
         # "incremental_near_dup", "near_dup_levenshtein" and
         # "near_dup_lsh_eval" were r5-green but their shared banded-LSH
         # machinery gained the hot-bucket guard — re-fronted.
         "incremental_dedup", "jsonl_nested_ingest",
         # "mor_orders_state" was r5-green but mor_apply_changes/mor_read
         # changed this round (same hardening as above) — re-fronted.
-        "multimodal_jpeg_decode",
+        # "multimodal_jpeg_decode" and "image_ahash_neardup_jpeg" were
+        # r5-green but their fixture corpora now rotate PROGRESSIVE
+        # (SOF2) streams in (odd doc_ids; same closed-form pixel values,
+        # locally hash-green) — re-fronted for verdicts on the new
+        # container mix.
         "multimodal_resize_real", "near_dup_prefix_filter",
         # "pagerank_one_step" stays: it does NOT call the pagerank
         # operator (self-contained integer one-step builder).
@@ -871,6 +875,8 @@ _CARRYOVER_FIRST = (
     # verdicts
     "near_dup_minhash_lsh", "dedup_clusters", "near_dup_lsh_eval",
     "near_dup_levenshtein", "incremental_near_dup",
+    # progressive-JPEG fixture rotation (VERDICT r5 next-round #3)
+    "multimodal_jpeg_decode", "image_ahash_neardup_jpeg",
 )
 
 

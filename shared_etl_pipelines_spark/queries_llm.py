@@ -878,11 +878,13 @@ def q_multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS px_sum
     FROM dims
     """,
-    doc="REAL baseline-JPEG codec round trip: block-constant grayscale "
-    "fixtures (all-ones qtable => bit-exact decode; doc_id%3 sweeps "
-    "restart intervals) encoded and decoded by sources/jpeg.py — "
-    "Huffman entropy coding, DCT/IDCT and the marker walk all pinned "
-    "by a closed-form oracle, same discipline as multimodal_png_decode",
+    doc="REAL JPEG codec round trip, baseline AND progressive: block-"
+    "constant grayscale fixtures (all-ones qtable => bit-exact decode; "
+    "doc_id%3 sweeps restart intervals; odd doc_ids encode SOF2 "
+    "progressive with spectral-selection + successive-approximation "
+    "scans) encoded and decoded by sources/jpeg.py — both entropy "
+    "codings, DCT/IDCT and the marker walk all pinned by one "
+    "closed-form oracle, same discipline as multimodal_png_decode",
     tags=("llm", "multimodal", "codec"),
 )
 def q_multimodal_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4136,10 +4138,11 @@ def q_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN h b ON b.doc_id = id_b
     WHERE bit_count(xor(a.h_lo, b.h_lo)) + bit_count(xor(a.h_hi, b.h_hi)) <= 3
     """,
-    doc="perceptual-hash image near-dup through the real baseline-JPEG "
-    "codec (Huffman + DCT + restart markers): 64-bit aHash from decoded "
-    "pixels, banded candidates, exact bit_count verify — the "
-    "crawl-corpus twin of image_ahash_neardup",
+    doc="perceptual-hash image near-dup through the real JPEG codec "
+    "(Huffman + DCT + restart markers; odd doc_ids are SOF2 "
+    "progressive, so near-dup pairs span both codings): 64-bit aHash "
+    "from decoded pixels, banded candidates, exact bit_count verify — "
+    "the crawl-corpus twin of image_ahash_neardup",
     tags=("llm", "multimodal", "dedup", "codec", "lsh"),
 )
 def q_image_ahash_neardup_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -154,7 +154,11 @@ def synthetic_jpeg_assets(
     encode->decode round trip is bit-exact, so px_sum is the closed form
     64 * sum_k((id*31 + k) % 256). doc_id % 3 sweeps the restart
     interval (0 = none), exercising DRI/RSTn across the corpus the way
-    the PNG fixtures sweep scanline filters."""
+    the PNG fixtures sweep scanline filters. ODD doc_ids encode
+    PROGRESSIVE (SOF2, successive-approximation depth doc_id%3): real
+    crawl corpora are heavily progressive, so the corpus pins both
+    entropy codings against the same closed-form oracle — the exactness
+    contract holds identically for both (sources/jpeg.py)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -172,7 +176,14 @@ def synthetic_jpeg_assets(
                 blocks = ((d * 31 + k) % 256).astype(np.uint8).reshape(bh, bw)
                 arr = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
                 ids.append(d)
-                blobs.append(jpeg.encode_jpeg(arr, restart_interval=d % 3))
+                if d % 2:
+                    blobs.append(
+                        jpeg.encode_jpeg_progressive(
+                            arr, restart_interval=d % 3, al=d % 3
+                        )
+                    )
+                else:
+                    blobs.append(jpeg.encode_jpeg(arr, restart_interval=d % 3))
             yield pd.DataFrame(
                 {"doc_id": ids, "media_type": "image/jpeg", "blob": blobs}
             )
@@ -659,7 +670,10 @@ def synthetic_patterned_jpeg_assets(
     ahash_images samples pixel (8y, 8x) of a 64x64 image — exactly one
     pixel per block — and the lossy codec is bit-exact on block-constant
     input (all-ones qtable), the aHash closed form over the block values
-    applies verbatim to the JPEG path: Huffman + DCT included."""
+    applies verbatim to the JPEG path: Huffman + DCT included. ODD
+    doc_ids encode PROGRESSIVE (SOF2) — the dominant real-crawl flavor —
+    so near-dup pairs routinely span a baseline and a progressive blob,
+    exactly as a re-crawled image pair does in the wild."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -676,7 +690,14 @@ def synthetic_patterned_jpeg_assets(
                 ).astype(np.uint8).reshape(8, 8)
                 arr = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
                 ids.append(d)
-                blobs.append(jpeg.encode_jpeg(arr, restart_interval=d % 3))
+                if d % 2:
+                    blobs.append(
+                        jpeg.encode_jpeg_progressive(
+                            arr, restart_interval=d % 3, al=d % 3
+                        )
+                    )
+                else:
+                    blobs.append(jpeg.encode_jpeg(arr, restart_interval=d % 3))
             yield pd.DataFrame(
                 {"doc_id": ids, "media_type": "image/jpeg", "blob": blobs}
             )

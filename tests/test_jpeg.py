@@ -105,11 +105,18 @@ def test_odd_sizes_crop_back():
 def test_unsupported_variants_raise():
     img = _block_constant(1, 1, seed=0)
     blob = bytearray(encode_jpeg(img))
-    # flip SOF0 (FFC0) into progressive SOF2 (FFC2)
+    # flip SOF0 (FFC0) into extended sequential SOF1 (FFC1): still
+    # unsupported. (SOF2 progressive is now a real decode path; a
+    # baseline stream relabeled SOF2 is MALFORMED progressive — its
+    # interleaved full-band scan violates G.1 — and must error, not
+    # decode garbage.)
     i = bytes(blob).find(b"\xff\xc0")
-    blob[i + 1] = 0xC2
-    with pytest.raises(ValueError, match="progressive"):
+    blob[i + 1] = 0xC1
+    with pytest.raises(ValueError, match="SOF1"):
         decode_jpeg(bytes(blob))
+    blob[i + 1] = 0xC2
+    with pytest.raises(ValueError):
+        decode_jpeg(bytes(blob))  # malformed fake-progressive
     with pytest.raises(ValueError, match="SOI"):
         decode_jpeg(b"not a jpeg")
     with pytest.raises(ValueError):
@@ -171,3 +178,84 @@ def test_spark_decode_images_dispatches_jpeg(spark, sf_dir):
     )
     rows = decode_images(bad).collect()
     assert len(rows) == 1 and not rows[0]["is_real_decode"]
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2)
+# ---------------------------------------------------------------------------
+
+
+def _prog(img, **kw):
+    from shared_etl_pipelines_spark.sources.jpeg import encode_jpeg_progressive
+
+    return encode_jpeg_progressive(img, **kw)
+
+
+def test_progressive_equals_baseline_decode_exactly():
+    """The conformance anchor: both encoders quantize to bit-identical
+    coefficients and both entropy codings are lossless on those
+    integers, so the decodes must match bit-for-bit — for every
+    geometry, subsampling, successive-approximation depth and restart
+    interval."""
+    rng = np.random.default_rng(42)
+    for shape in [(8, 8), (16, 16), (9, 17), (1, 1), (24, 31, 3), (33, 15, 3)]:
+        for sub in ["4:4:4"] if len(shape) == 2 else ["4:4:4", "4:2:0"]:
+            for al in [0, 1, 2]:
+                for ri in [0, 2]:
+                    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+                    base, _ = decode_jpeg(
+                        encode_jpeg(img, subsampling=sub, restart_interval=ri)
+                    )
+                    prog, info = decode_jpeg(
+                        _prog(img, subsampling=sub, restart_interval=ri, al=al)
+                    )
+                    assert info["progressive"] is True
+                    assert np.array_equal(base, prog), (shape, sub, al, ri)
+
+
+def test_progressive_block_constant_exact():
+    """The closed-form oracle contract holds through the progressive
+    path too: block-constant images survive encode->decode bit-exactly
+    with the all-ones quantization table."""
+    img = _block_constant(3, 4, seed=9)
+    got, info = decode_jpeg(_prog(img, al=1))
+    assert info["progressive"] and np.array_equal(got, img)
+    rgb = np.stack([img, img[::-1], img[::-1, ::-1]], 2)
+    got3, _ = decode_jpeg(_prog(rgb, al=1))
+    assert np.array_equal(got3, rgb)
+
+
+def test_progressive_truncated_after_dc_scan_is_dc_approximation():
+    """Scan independence: a stream cut after the DC-first scan decodes
+    to the blockwise-DC approximation — flat 8x8 blocks within ~1 of
+    each block's true mean (Al=1 loses the DC low bit)."""
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, size=(32, 32), dtype=np.uint8)
+    data = _prog(img, al=1)
+    # cut just before the SECOND SOS marker
+    first = data.find(b"\xff\xda")
+    second = data.find(b"\xff\xda", first + 2)
+    assert second > 0
+    got, info = decode_jpeg(data[:second] + b"\xff\xd9")
+    assert got.shape == img.shape and info["progressive"]
+    for by in range(4):
+        for bx in range(4):
+            blk = got[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            assert blk.min() == blk.max()  # DC-only => flat
+            true_mean = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].mean()
+            assert abs(int(blk[0, 0]) - true_mean) <= 1.5
+
+
+def test_progressive_long_eob_runs():
+    """A flat-gray image makes every AC band empty: the whole scan is
+    one EOBn run with appended length bits (r > 0) — the run path a
+    per-block EOB0 encoder would never exercise."""
+    img = np.full((64, 64), 128, dtype=np.uint8)
+    got, _ = decode_jpeg(_prog(img, al=1))
+    assert np.array_equal(got, img)
+    # sparse variant: one hot block in a sea of zeros splits the run
+    img2 = np.full((64, 64), 128, dtype=np.uint8)
+    img2[30, 30] = 255
+    base, _ = decode_jpeg(encode_jpeg(img2))
+    prog, _ = decode_jpeg(_prog(img2, al=1))
+    assert np.array_equal(base, prog)
