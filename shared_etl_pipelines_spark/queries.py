@@ -776,7 +776,9 @@ _R4_GREEN = frozenset(
         "promo_revenue_share", "embedding_jl_project",
         # "incremental_dedup" shares the guarded helper — re-fronted too.
         "multimodal_png_decode", "multimodal_wav_decode",
-        "multimodal_bmp_decode", "multimodal_avi_frames",
+        # "multimodal_avi_frames" was r4-green but decode_avi gained the
+        # MJPEG ('00dc') path this round — re-fronted.
+        "multimodal_bmp_decode",
     }
 )
 
@@ -821,7 +823,10 @@ _R5_GREEN = frozenset(
         "similarity_topk_lsh_multiprobe", "similarity_topk_pq",
         "sorted_neighborhood_pairs", "source_mixing_weights",
         "tfidf_cosine_pairs", "token_budget_pack", "token_entropy_quality",
-        "train_val_test_split", "url_domain_stats", "video_keyframe_detect",
+        "train_val_test_split", "url_domain_stats",
+        # "video_keyframe_detect" was r5-green but its fixture corpus now
+        # mixes MJPEG containers in (odd doc_ids, half DHT-less; same
+        # closed-form deltas, locally hash-green) — re-fronted.
         "vocab_zipf_stats", "weighted_sample_docs",
     }
 )
@@ -877,6 +882,8 @@ _CARRYOVER_FIRST = (
     "near_dup_levenshtein", "incremental_near_dup",
     # progressive-JPEG fixture rotation (VERDICT r5 next-round #3)
     "multimodal_jpeg_decode", "image_ahash_neardup_jpeg",
+    # MJPEG AVI frames (VERDICT r5 next-round #4)
+    "video_keyframe_detect", "multimodal_avi_frames",
 )
 
 

@@ -5710,8 +5710,13 @@ def q_jsonl_nested_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM a
     ),
     bases AS (
+      -- odd doc_ids are MJPEG fixtures with FLAT frames (no per-byte
+      -- term, so the lossy codec is bit-exact); even ids are DIB with
+      -- the per-byte pattern
       SELECT d.doc_id, d.nf, d.np,
-             SUM((d.doc_id * 31 + j.j) % 120) AS base_sum
+             CASE WHEN d.doc_id % 2 = 1
+                  THEN d.np * ((d.doc_id * 31) % 120)
+                  ELSE SUM((d.doc_id * 31 + j.j) % 120) END AS base_sum
       FROM dims d CROSS JOIN range(126) j(j) WHERE j.j < d.np
       GROUP BY d.doc_id, d.nf, d.np
     ),
@@ -5727,11 +5732,14 @@ def q_jsonl_nested_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(delta > 40 AS INT) AS is_cut
     FROM tr
     """,
-    doc="scene-cut keyframe detection over real decoded AVI frames: "
-    "per-transition mean |pixel delta| (wrap-free fixtures: exactly 11 "
-    "within a scene, 71 at a planted cut) + per-frame mean pixel value "
-    "pinning decoded content — the one-frame-per-scene sampling "
-    "primitive",
+    doc="scene-cut keyframe detection over real decoded AVI frames — "
+    "odd doc_ids are MJPEG ('00dc' baseline-JPEG chunks, half of them "
+    "DHT-less, decoded bit-exactly on the flat-frame fixtures), even "
+    "ids uncompressed DIB: per-transition mean |pixel delta| (wrap-free "
+    "fixtures: exactly 11 within a scene, 71 at a planted cut) + "
+    "per-frame mean pixel value pinning decoded content — the "
+    "one-frame-per-scene sampling primitive on the dominant real "
+    "container",
     tags=("llm", "multimodal", "codec", "video"),
 )
 def q_video_keyframe_detect(spark: SparkSession, sf_dir: str) -> DataFrame:

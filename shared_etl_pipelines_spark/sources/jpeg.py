@@ -111,6 +111,37 @@ _AC_VALS = [
 ]
 
 
+# K.3.3 chroma tables (public spec constants; structurally validated
+# below: counts sum to the value-list lengths and every run/size symbol
+# appears exactly once). Used only as DEFAULT tables for DHT-less
+# streams — the MJPEG convention, where AVI '00dc' frames omit DHT and
+# assume the Annex K examples (luma = id 0, chroma = id 1).
+_DC_CHROMA_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHROMA_VALS = list(range(12))
+_AC_CHROMA_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHROMA_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+assert sum(_DC_CHROMA_BITS) == len(_DC_CHROMA_VALS) == 12
+assert sum(_AC_CHROMA_BITS) == len(_AC_CHROMA_VALS) == 162
+assert sum(_AC_BITS) == len(_AC_VALS) == 162
+assert sorted(_AC_CHROMA_VALS) == sorted(_AC_VALS)  # same symbol set
+
+
 def is_jpeg(data: bytes) -> bool:
     return len(data) >= 3 and data[:3] == b"\xff\xd8\xff"
 
@@ -190,13 +221,19 @@ def _extend(v: int, ssss: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
+def decode_jpeg(data: bytes, default_tables: bool = False) -> tuple[np.ndarray, dict]:
     """Decode a baseline JPEG into (array, info).
 
     Array: (height, width) uint8 for grayscale, (height, width, 3) RGB
     for color (JFIF YCbCr -> RGB, chroma upsampled by replication).
     info: width, height, channels, n_components, subsampling (e.g.
     '4:2:0'), restart_interval.
+
+    ``default_tables`` fills any Huffman-table id the stream does NOT
+    define with the T.81 Annex K examples (luma at 0, chroma at 1) —
+    the MJPEG convention: AVI '00dc' frame payloads routinely omit DHT
+    entirely and assume exactly those tables (sources/avi.py passes
+    this). Tables the stream DOES carry always win.
     """
     if not is_jpeg(data):
         raise ValueError("not a JPEG (bad SOI)")
@@ -282,6 +319,11 @@ def decode_jpeg(data: bytes) -> tuple[np.ndarray, dict]:
 
     if frame is None or scan is None:
         raise ValueError("missing SOF0/SOS")
+    if default_tables:
+        dc_tables.setdefault(0, _decode_table(_DC_BITS, _DC_VALS))
+        ac_tables.setdefault(0, _decode_table(_AC_BITS, _AC_VALS))
+        dc_tables.setdefault(1, _decode_table(_DC_CHROMA_BITS, _DC_CHROMA_VALS))
+        ac_tables.setdefault(1, _decode_table(_AC_CHROMA_BITS, _AC_CHROMA_VALS))
     h, w, comps = frame
     if h == 0 or w == 0:
         raise ValueError("zero-sized frame")

@@ -841,7 +841,15 @@ def synthetic_scene_avi_assets(
     119 + 55 + 60 = 234 < 256, so deltas NEVER wrap: within-scene
     |delta| is exactly 11 per pixel and a cut exactly 71 — the
     threshold argument in video_keyframe_detect is unconditional. Same
-    closed-form-oracle discipline as synthetic_avi_assets."""
+    closed-form-oracle discipline as synthetic_avi_assets.
+
+    ODD doc_ids are MJPEG ('00dc' chunks, the dominant real container —
+    doc_id%4==1 additionally strips DHT, the format's notorious
+    default-table convention): their frames drop the per-byte term
+    (byte value = (id*31)%120 + f*11 + (f//3)*60 — FLAT frames, i.e.
+    one constant <=8x8 block), so the lossy JPEG path is bit-exact and
+    the same closed-form delta/mean oracle applies with base_sum =
+    np * ((id*31)%120)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -851,15 +859,28 @@ def synthetic_scene_avi_assets(
         for pdf in it:
             ids, blobs = [], []
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                d = int(doc_id)
                 n = len(str(payload).encode("utf-8"))
                 nf, w, h = n % 3 + 4, n % 6 + 2, (n // 6) % 5 + 2
                 f = np.arange(nf, dtype=np.int64)[:, None]
                 j = np.arange(w * h * 3, dtype=np.int64)[None, :]
-                px = (
-                    (int(doc_id) * 31 + j) % 120 + f * 11 + (f // 3) * 60
-                ).astype(np.uint8)
+                if d % 2:
+                    px = (
+                        (d * 31) % 120 + 0 * j + f * 11 + (f // 3) * 60
+                    ).astype(np.uint8)
+                else:
+                    px = (
+                        (d * 31 + j) % 120 + f * 11 + (f // 3) * 60
+                    ).astype(np.uint8)
                 ids.append(doc_id)
-                blobs.append(avi.encode_avi(px.reshape(nf, h, w, 3), fps=10))
+                blobs.append(
+                    avi.encode_avi(
+                        px.reshape(nf, h, w, 3),
+                        fps=10,
+                        codec="MJPG" if d % 2 else "DIB",
+                        omit_dht=(d % 4 == 1),
+                    )
+                )
             yield pd.DataFrame(
                 {"doc_id": ids, "media_type": "video/avi", "blob": blobs}
             )

@@ -207,3 +207,98 @@ def test_frame_deltas_quarantines_corrupt_blob(spark):
         [(1, bytearray(b"not an avi at all"))], "doc_id long, blob binary"
     )
     assert frame_deltas(df).collect() == []
+
+
+# ---------------------------------------------------------------------------
+# MJPEG ('00dc') frames
+# ---------------------------------------------------------------------------
+
+
+def test_avi_mjpeg_flat_frames_bit_exact():
+    """Block-constant (flat) frames ride the JPEG exactness contract:
+    the MJPEG round trip is bit-for-bit, with and without DHT segments
+    (DHT-less payloads fall back to the Annex K default tables — the
+    real-world MJPEG convention)."""
+    frames = np.stack(
+        [np.full((5, 6, 3), v, dtype=np.uint8) for v in (10, 21, 32, 103)]
+    )
+    for omit in (False, True):
+        blob = encode_avi(frames, codec="MJPG", omit_dht=omit)
+        if omit:
+            assert b"\xff\xc4" not in blob.split(b"movi")[1][:200]
+        got, info = decode_avi(blob)
+        assert info["codec"] == "MJPG"
+        np.testing.assert_array_equal(got, frames)
+
+
+def test_avi_mjpeg_arbitrary_frames_lossy_tolerance():
+    frames = RNG.integers(0, 256, size=(3, 16, 24, 3), dtype=np.uint8)
+    got, info = decode_avi(encode_avi(frames, codec="MJPG"))
+    assert info["codec"] == "MJPG" and got.shape == frames.shape
+    assert int(np.abs(got.astype(int) - frames.astype(int)).max()) <= 3
+
+
+def test_avi_mixed_dib_and_mjpeg_chunks_in_one_file():
+    """A file carrying both '00db' and '00dc' chunks decodes per-chunk
+    (the decoder dispatches on the chunk id, not the header fourcc)."""
+    import struct
+
+    from shared_etl_pipelines_spark.sources import jpeg
+
+    frames = np.stack(
+        [np.full((5, 6, 3), v, dtype=np.uint8) for v in (7, 77)]
+    )
+    blob = bytearray(encode_avi(frames, codec="DIB"))
+    jp = jpeg.encode_jpeg(np.full((5, 6, 3), 99, dtype=np.uint8))
+    extra = b"00dc" + struct.pack("<I", len(jp)) + jp
+    if len(jp) & 1:
+        extra += b"\x00"
+    i = bytes(blob).find(b"movi")
+    (lsz,) = struct.unpack_from("<I", blob, i - 4)
+    blob[i - 4 : i] = struct.pack("<I", lsz + len(extra))
+    (rsz,) = struct.unpack_from("<I", blob, 4)
+    blob[4:8] = struct.pack("<I", rsz + len(extra))
+    blob += extra
+    got, info = decode_avi(bytes(blob))
+    assert info["codec"] == "mixed" and info["n_frames"] == 3
+    np.testing.assert_array_equal(got[:2], frames)
+    np.testing.assert_array_equal(
+        got[2], np.full((5, 6, 3), 99, dtype=np.uint8)
+    )
+
+
+def test_avi_unknown_compression_fourcc_rejected():
+    import struct
+
+    frames = RNG.integers(0, 256, size=(1, 2, 2, 3), dtype=np.uint8)
+    blob = bytearray(encode_avi(frames, codec="MJPG"))
+    i = bytes(blob).find(b"MJPG", 20)  # strh fourcc; strf holds the int
+    j = bytes(blob).find(struct.pack("<I", int.from_bytes(b"MJPG", "little")), i + 4)
+    blob[j : j + 4] = b"XVID"
+    with pytest.raises(ValueError, match="compression"):
+        decode_avi(bytes(blob))
+
+
+def test_scene_corpus_mixes_dib_and_mjpeg(spark, sf_dir):
+    """The keyframe fixture corpus really carries both containers: odd
+    doc_ids decode as MJPG (doc%4==1 without DHT), even as DIB — and
+    the planted-cut contract holds identically on both."""
+    from shared_etl_pipelines_spark.sources import avi
+    from shared_etl_pipelines_spark.sources.multimodal import (
+        synthetic_scene_avi_assets,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(12)
+    )
+    rows = synthetic_scene_avi_assets(docs).collect()
+    kinds = {}
+    for r in rows:
+        _, info = avi.decode_avi(bytes(r["blob"]))
+        kinds[int(r["doc_id"])] = info["codec"]
+    assert any(v == "MJPG" for v in kinds.values())
+    assert any(v == "DIB" for v in kinds.values())
+    for d, k in kinds.items():
+        assert k == ("MJPG" if d % 2 else "DIB"), (d, k)
