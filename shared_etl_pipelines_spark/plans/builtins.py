@@ -614,3 +614,124 @@ def hard_negatives_plugin(
             label_col=label_col, k=int(k),
         )
     }
+
+
+# -- storage maintenance: merge-on-read tables + incremental ANN index
+#    (sources/warehouse.py mor_*, operators/similarity.py ann_index_*) —
+#    YAML parity with the O5 catalog_upsert / write_zordered plugins
+#    (VERDICT r5 #8). The write plugins return their stats dicts, so a
+#    pipeline can assert/log rows_appended via {stepvar.rows_appended}. --
+
+
+@plugin("mor_write_base")
+def mor_write_base_plugin(
+    ctx: StepContext, df: DataFrame, path: str, overwrite: Any = True, **kw: Any
+) -> dict[str, Any]:
+    from shared_etl_pipelines_spark.sources.warehouse import mor_write_base
+
+    if ctx.should_skip(path, overwrite):
+        return {"path": path, "skipped": True}
+    mor_write_base(df, path)
+    return {"path": path, "skipped": False}
+
+
+@plugin("mor_apply_changes")
+def mor_apply_changes_plugin(
+    ctx: StepContext,
+    path: str,
+    key_cols: list[str],
+    upserts: DataFrame | None = None,
+    delete_keys: DataFrame | None = None,
+    **kw: Any,
+) -> dict[str, Any]:
+    from shared_etl_pipelines_spark.sources.warehouse import mor_apply_changes
+
+    stats = mor_apply_changes(
+        ctx.spark, path, list(key_cols), upserts=upserts, delete_keys=delete_keys
+    )
+    return {"path": path, **stats}
+
+
+@plugin("mor_read")
+def mor_read_plugin(
+    ctx: StepContext, path: str, key_cols: list[str], **kw: Any
+) -> dict[str, Any]:
+    from shared_etl_pipelines_spark.sources.warehouse import mor_read
+
+    return {"df": mor_read(ctx.spark, path, list(key_cols)), "path": path}
+
+
+@plugin("mor_compact")
+def mor_compact_plugin(
+    ctx: StepContext, path: str, key_cols: list[str], **kw: Any
+) -> dict[str, Any]:
+    from shared_etl_pipelines_spark.sources.warehouse import mor_compact
+
+    stats = mor_compact(ctx.spark, path, list(key_cols))
+    return {"path": path, **stats}
+
+
+@plugin("ann_index_write")
+def ann_index_write_plugin(
+    ctx: StepContext,
+    embeddings: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    overwrite: Any = True,
+    **kw: Any,
+) -> dict[str, Any]:
+    from shared_etl_pipelines_spark.operators.similarity import write_ann_index
+
+    if ctx.should_skip(path, overwrite):
+        return {"path": path, "skipped": True}
+    write_ann_index(embeddings, path, id_col=id_col, vec_col=vec_col)
+    return {"path": path, "skipped": False}
+
+
+@plugin("ann_index_upsert")
+def ann_index_upsert_plugin(
+    ctx: StepContext,
+    path: str,
+    batch: DataFrame | None = None,
+    delete_ids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **kw: Any,
+) -> dict[str, Any]:
+    from shared_etl_pipelines_spark.operators.similarity import ann_index_upsert
+
+    stats = ann_index_upsert(
+        ctx.spark, path, batch=batch, delete_ids=delete_ids,
+        id_col=id_col, vec_col=vec_col,
+    )
+    return {"path": path, **stats}
+
+
+@plugin("ann_index_topk")
+def ann_index_topk_plugin(
+    ctx: StepContext,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **kw: Any,
+) -> dict[str, Any]:
+    from shared_etl_pipelines_spark.operators.similarity import lsh_topk_from_index
+
+    return {
+        "df": lsh_topk_from_index(
+            ctx.spark, path, queries, id_col=id_col, vec_col=vec_col, k=int(k)
+        )
+    }
+
+
+@plugin("ann_index_compact")
+def ann_index_compact_plugin(
+    ctx: StepContext, path: str, id_col: str = "vec_id", **kw: Any
+) -> dict[str, Any]:
+    from shared_etl_pipelines_spark.operators.similarity import compact_ann_index
+
+    stats = compact_ann_index(ctx.spark, path, id_col=id_col)
+    return {"path": path, **stats}

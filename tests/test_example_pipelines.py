@@ -290,3 +290,98 @@ def test_graph_communities_pipeline(spark, sf_dir):
     want_core = {r["node"] for r in k_core(edges, k=5, rounds=3).collect()}
     assert got_top == want_top
     assert got_core == want_core and len(got_core) > 0
+
+
+def test_storage_maintenance_pipeline(spark, sf_dir, tmp_path):
+    """The YAML storage-maintenance lifecycle (MoR base -> change batch
+    -> read -> compact; ANN write -> upsert -> probe -> compact) equals
+    the direct operator composition — the plugin-parity pattern of the
+    catalog_upsert / write_zordered plugins (VERDICT r5 #8)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.operators.similarity import (
+        lsh_topk_from_index,
+        write_ann_index,
+    )
+    from shared_etl_pipelines_spark.sources.warehouse import (
+        mor_apply_changes,
+        mor_read,
+        mor_write_base,
+    )
+
+    runner = PipelineRunner(spark, env={"basedir": str(tmp_path / "p")})
+    res = runner.run(
+        os.path.join(EXAMPLES, "storage_maintenance.yml"),
+        var_overrides={"sf_dir": sf_dir},
+    )
+    assert res.outputs["applied"]["seq"] == 1
+    assert res.outputs["applied"]["rows_appended"] > 0
+    assert res.outputs["compacted"]["live_rows"] > 0
+    assert res.outputs["upserted"]["ids_tombstoned"] > 0
+    assert res.outputs["ann_compacted"]["live_rows"] > 0
+
+    # --- MoR parity: pipeline state == direct composition ---
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    dpath = str(tmp_path / "direct_mor")
+    mor_write_base(orders, dpath)
+    k = F.col("o_orderkey")
+    mor_apply_changes(
+        spark, dpath, ["o_orderkey"],
+        upserts=orders.filter(k % 17 == 0).select(
+            "o_orderkey",
+            F.lit("1-URGENT").alias("o_orderpriority"),
+            (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+        ),
+        delete_keys=orders.filter(k % 13 == 0).select("o_orderkey"),
+    )
+    want = {
+        r["o_orderkey"]: (r["o_orderpriority"], round(r["o_totalprice"], 2))
+        for r in mor_read(spark, dpath, ["o_orderkey"]).collect()
+    }
+    got = {
+        r["o_orderkey"]: (r["o_orderpriority"], round(r["o_totalprice"], 2))
+        for r in spark.read.parquet(str(tmp_path / "p" / "mor_state_out")).collect()
+    }
+    assert got == want and len(got) > 1000
+    # compaction preserved the state in place
+    after = {
+        r["o_orderkey"]: (r["o_orderpriority"], round(r["o_totalprice"], 2))
+        for r in mor_read(
+            spark, str(tmp_path / "p" / "mor_orders"), ["o_orderkey"]
+        ).collect()
+    }
+    assert after == want
+
+    # --- ANN parity: pipeline probe == probe of a from-scratch index
+    # over the post-change corpus state ---
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    final = emb.filter(F.col("vec_id") % 10 != 7).select(
+        "vec_id",
+        F.when(F.col("vec_id") % 10 == 3, F.reverse("embedding"))
+        .otherwise(F.col("embedding"))
+        .alias("embedding"),
+    )
+    rpath = str(tmp_path / "direct_ann")
+    write_ann_index(final, rpath)
+    # probes use the ORIGINAL vectors (the pipeline's probe step reads
+    # the raw embeddings table), not the post-upsert corpus state
+    qs = emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding")
+    want_ann = {
+        (r["query_id"], r["rn"]): (r["vec_id"], round(r["cosine"], 6))
+        for r in lsh_topk_from_index(spark, rpath, qs, k=10).collect()
+    }
+    got_ann = {
+        (r["query_id"], r["rn"]): (r["vec_id"], round(r["cosine"], 6))
+        for r in spark.read.parquet(str(tmp_path / "p" / "ann_topk_out")).collect()
+    }
+    assert got_ann == want_ann and len(got_ann) == 50
+    # post-compaction probe still answers identically
+    got_after = {
+        (r["query_id"], r["rn"]): (r["vec_id"], round(r["cosine"], 6))
+        for r in res.outputs["topk_after"]["df"].collect()
+    }
+    assert got_after == want_ann
