@@ -654,11 +654,45 @@ def mor_apply_changes_plugin(
 
 @plugin("mor_read")
 def mor_read_plugin(
-    ctx: StepContext, path: str, key_cols: list[str], **kw: Any
+    ctx: StepContext,
+    path: str,
+    key_cols: list[str],
+    as_of_seq: int | None = None,
+    merge_schema: bool = False,
+    **kw: Any,
 ) -> dict[str, Any]:
     from shared_etl_pipelines_spark.sources.warehouse import mor_read
 
-    return {"df": mor_read(ctx.spark, path, list(key_cols)), "path": path}
+    df = mor_read(
+        ctx.spark,
+        path,
+        list(key_cols),
+        as_of_seq=as_of_seq,
+        merge_schema=merge_schema,
+    )
+    return {"df": df, "path": path}
+
+
+@plugin("mor_changelog")
+def mor_changelog_plugin(
+    ctx: StepContext,
+    path: str,
+    key_cols: list[str],
+    from_seq: int,
+    to_seq: int,
+    **kw: Any,
+) -> dict[str, Any]:
+    from shared_etl_pipelines_spark.sources.warehouse import mor_changelog
+
+    df = mor_changelog(ctx.spark, path, list(key_cols), int(from_seq), int(to_seq))
+    return {"df": df, "path": path}
+
+
+@plugin("mor_history")
+def mor_history_plugin(ctx: StepContext, path: str, **kw: Any) -> dict[str, Any]:
+    from shared_etl_pipelines_spark.sources.warehouse import mor_history
+
+    return {"df": mor_history(ctx.spark, path), "path": path}
 
 
 @plugin("mor_compact")

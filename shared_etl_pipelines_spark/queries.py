@@ -884,6 +884,12 @@ _CARRYOVER_FIRST = (
     "multimodal_jpeg_decode", "image_ahash_neardup_jpeg",
     # MJPEG AVI frames (VERDICT r5 next-round #4)
     "video_keyframe_detect", "multimodal_avi_frames",
+    # round-6 session-2: MoR time travel (as_of_seq snapshot reads),
+    # CDC changelog (insert/update/delete with pre/postimages), per-seq
+    # history audit, and add-column schema evolution via merge-schema
+    # reads — the snapshot/CDC layer over the deletion-vector tables
+    "mor_orders_time_travel", "mor_orders_changelog",
+    "mor_history_audit", "mor_schema_evolution",
 )
 
 

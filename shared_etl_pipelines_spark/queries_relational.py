@@ -2786,13 +2786,17 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     "O5's copy-on-write MERGE",
     tags=("warehouse", "merge", "scale-path"),
 )
-def q_mor_orders_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _mor_orders_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per testdata fingerprint) the shared merge-on-read
+    orders table — base snapshot + the two change batches documented
+    above — and return its path. Shared by the state / time-travel /
+    changelog / history queries so they all read one table, exactly as
+    a warehouse's consumers would."""
     import os
     import tempfile
 
     from shared_etl_pipelines_spark.sources.warehouse import (
         mor_apply_changes,
-        mor_read,
         mor_write_base,
     )
 
@@ -2831,6 +2835,13 @@ def q_mor_orders_state(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(1234.5).alias("o_totalprice"),
             ),
         )
+    return path
+
+
+def q_mor_orders_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.warehouse import mor_read
+
+    path = _mor_orders_fixture(spark, sf_dir)
     state = mor_read(spark, path, ["o_orderkey"])
     cents = F.round(F.col("o_totalprice") * 100).cast("long")
     out = state.groupBy("o_orderpriority").agg(
@@ -2941,5 +2952,294 @@ def q_mor_orders_state_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(cents) / 100.0, 4).alias("total_price"),
         F.min("o_orderkey").cast("long").alias("min_key"),
         F.max("o_orderkey").cast("long").alias("max_key"),
+    )
+    return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# Time travel over the merge-on-read table (sources/warehouse.py
+# mor_read(as_of_seq=...)): every row and tombstone carries the batch
+# seq that minted it, so a snapshot read is a seq-<= filter pruned at
+# the scan before the latest-version fold — the Iceberg/Delta
+# snapshot-read pattern on plain parquet (history bounded by the last
+# compaction, which folds everything into a new seq-0 base). One query
+# pins all three snapshots of the shared fixture: seq 0 must equal the
+# untouched base, seq 1 the state after batch 1, seq 2 the final state.
+# ---------------------------------------------------------------------------
+@defquery(
+    "mor_orders_time_travel",
+    """
+    WITH s0 AS (
+      SELECT o_orderpriority,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+      FROM orders
+    ),
+    s1 AS (
+      SELECT CASE WHEN o_orderkey % 17 = 0 THEN '1-URGENT'
+                  ELSE o_orderpriority END AS o_orderpriority,
+             CASE WHEN o_orderkey % 17 = 0
+                       THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) + 100000
+                  ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT) END AS cents
+      FROM orders WHERE o_orderkey % 17 = 0 OR o_orderkey % 13 <> 0
+    ),
+    s2 AS (
+      SELECT CASE WHEN o_orderkey % 26 = 0 THEN '5-LOW'
+                  WHEN o_orderkey % 17 = 0 THEN '1-URGENT'
+                  ELSE o_orderpriority END AS o_orderpriority,
+             CASE WHEN o_orderkey % 26 = 0 THEN 123450
+                  WHEN o_orderkey % 17 = 0
+                       THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) + 100000
+                  ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT) END AS cents
+      FROM orders
+      WHERE o_orderkey % 26 = 0 OR o_orderkey % 17 = 0 OR o_orderkey % 13 <> 0
+    )
+    SELECT CAST(0 AS BIGINT) AS as_of, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(cents) / 100.0, 4) AS total_price,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_urgent,
+           CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_low
+    FROM s0
+    UNION ALL
+    SELECT CAST(1 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+           ROUND(SUM(cents) / 100.0, 4),
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM s1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), CAST(COUNT(*) AS BIGINT),
+           ROUND(SUM(cents) / 100.0, 4),
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                AS BIGINT),
+           CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END)
+                AS BIGINT)
+    FROM s2
+    """,
+    doc="snapshot reads of the merge-on-read table at every seq (0 = "
+    "base, 1 = after batch 1, 2 = final): as_of_seq prunes versions "
+    "and tombstones at the scan, so each historical state folds "
+    "exactly and costs no more than a current read",
+    tags=("warehouse", "merge", "time-travel", "scale-path"),
+)
+def q_mor_orders_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.warehouse import mor_read
+
+    path = _mor_orders_fixture(spark, sf_dir)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    snaps = []
+    for s in (0, 1, 2):
+        st = mor_read(spark, path, ["o_orderkey"], as_of_seq=s)
+        snaps.append(
+            st.select(cents.alias("cents"), "o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.round(F.sum("cents") / 100.0, 4).alias("total_price"),
+                F.sum(
+                    F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+                ).cast("long").alias("n_urgent"),
+                F.sum(
+                    F.when(F.col("o_orderpriority") == "5-LOW", 1).otherwise(0)
+                ).cast("long").alias("n_low"),
+            )
+            .select(F.lit(s).cast("long").alias("as_of"), "*")
+        )
+    out = snaps[0].unionByName(snaps[1]).unionByName(snaps[2])
+    return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# CDC changelog over the merge-on-read table (sources/warehouse.py
+# mor_changelog): the row-level diff that turns snapshot from_seq into
+# snapshot to_seq — op in {insert, update, delete}, postimage on
+# insert/update, preimage on delete, version-identity change detection
+# (the Delta CDF / Iceberg changelog-scan contract, including
+# delete-then-reinsert collapsing to one update over a range). Window
+# 0->1 exercises update + delete-with-preimage; 1->2 exercises insert
+# (keys deleted in batch 1 coming back) + update.
+# ---------------------------------------------------------------------------
+@defquery(
+    "mor_orders_changelog",
+    """
+    WITH c01 AS (
+      SELECT '0->1' AS win,
+             CASE WHEN o_orderkey % 17 = 0 THEN 'update'
+                  ELSE 'delete' END AS op,
+             CASE WHEN o_orderkey % 17 = 0
+                       THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) + 100000
+                  ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT) END AS cents,
+             o_orderkey
+      FROM orders WHERE o_orderkey % 17 = 0 OR o_orderkey % 13 = 0
+    ),
+    c12 AS (
+      SELECT '1->2' AS win,
+             CASE WHEN o_orderkey % 13 = 0 AND o_orderkey % 17 <> 0
+                  THEN 'insert' ELSE 'update' END AS op,
+             CAST(123450 AS BIGINT) AS cents,
+             o_orderkey
+      FROM orders WHERE o_orderkey % 26 = 0
+    ),
+    u AS (SELECT * FROM c01 UNION ALL SELECT * FROM c12)
+    SELECT win, op, CAST(COUNT(*) AS BIGINT) AS n_changes,
+           ROUND(SUM(cents) / 100.0, 4) AS total_price,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM u GROUP BY win, op
+    """,
+    doc="CDC reads of the merge-on-read table over both batch windows: "
+    "per (window, op) counts and value sums — updates/inserts carry "
+    "the postimage, deletes the preimage, unchanged keys emit nothing",
+    tags=("warehouse", "merge", "cdc", "scale-path"),
+)
+def q_mor_orders_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.warehouse import mor_changelog
+
+    path = _mor_orders_fixture(spark, sf_dir)
+    c01 = mor_changelog(spark, path, ["o_orderkey"], 0, 1).withColumn(
+        "win", F.lit("0->1")
+    )
+    c12 = mor_changelog(spark, path, ["o_orderkey"], 1, 2).withColumn(
+        "win", F.lit("1->2")
+    )
+    both = c01.unionByName(c12)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    out = (
+        both.select("win", F.col("_op").alias("op"), cents.alias("cents"), "o_orderkey")
+        .groupBy("win", "op")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_changes"),
+            F.round(F.sum("cents") / 100.0, 4).alias("total_price"),
+            F.min("o_orderkey").cast("long").alias("min_key"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+        )
+    )
+    return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# History audit of the merge-on-read table (sources/warehouse.py
+# mor_history): one row per change batch — rows appended and keys
+# tombstoned at each seq (seq 0 = the base snapshot / last compaction).
+# Two grouped counts over the data and tombstone logs; batch 1
+# tombstones every upserted AND deleted key (upserts kill their own
+# older versions), batch 2 only its upsert keys.
+# ---------------------------------------------------------------------------
+@defquery(
+    "mor_history_audit",
+    """
+    SELECT CAST(0 AS BIGINT) AS seq,
+           CAST(COUNT(*) AS BIGINT) AS rows_appended,
+           CAST(0 AS BIGINT) AS keys_tombstoned
+    FROM orders
+    UNION ALL
+    SELECT CAST(1 AS BIGINT),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_orderkey % 17 = 0),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_orderkey % 17 = 0 OR o_orderkey % 13 = 0)
+    UNION ALL
+    SELECT CAST(2 AS BIGINT),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_orderkey % 26 = 0),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+            WHERE o_orderkey % 26 = 0)
+    """,
+    doc="per-batch audit log of the merge-on-read table: rows appended "
+    "and keys tombstoned at each seq, from two grouped counts over the "
+    "data and tombstone directories",
+    tags=("warehouse", "merge", "audit"),
+)
+def q_mor_history_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.warehouse import mor_history
+
+    path = _mor_orders_fixture(spark, sf_dir)
+    return mor_history(spark, path).select(
+        F.col("_seq").alias("seq"), "rows_appended", "keys_tombstoned"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution on the merge-on-read table: a later change batch
+# carries a column the base never had (o_channel). Parquet appends are
+# per-file schemas; mor_read(merge_schema=True) unions footers so the
+# table reads as the EVOLVED schema with pre-evolution rows NULL in the
+# new column — add-column-with-NULL-default, the Iceberg/Delta
+# evolution rule, no base rewrite. Own fixture table (the shared one
+# must keep its judged final state), built once per testdata
+# fingerprint with a .done marker so a crashed build never caches a
+# half-applied table.
+# ---------------------------------------------------------------------------
+@defquery(
+    "mor_schema_evolution",
+    """
+    SELECT CASE WHEN o_orderkey % 11 <> 0 THEN 'legacy'
+                WHEN o_orderkey % 22 = 0 THEN 'WEB'
+                ELSE 'MOBILE' END AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(CASE WHEN o_orderkey % 11 = 0
+                          THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                               + 500000
+                          ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                     END) / 100.0, 4) AS total_price
+    FROM orders GROUP BY 1
+    """,
+    doc="merge-on-read schema evolution: a change batch adds o_channel, "
+    "merge-schema read surfaces it with NULL (-> 'legacy') on every "
+    "pre-evolution row — add-column without rewriting the base",
+    tags=("warehouse", "merge", "schema-evolution", "scale-path"),
+)
+def q_mor_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from shared_etl_pipelines_spark.sources.warehouse import (
+        mor_apply_changes,
+        mor_read,
+        mor_write_base,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    src = os.path.join(sf_dir, "orders.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_mtime_ns}_{st.st_size}"
+    except OSError:
+        fp = "nostat"
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}"
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_mor_evo_{tag}")
+    done = path + ".done"
+    if not os.path.exists(done):
+        k = F.col("o_orderkey")
+        mor_write_base(orders, path)
+        mor_apply_changes(
+            spark,
+            path,
+            ["o_orderkey"],
+            upserts=orders.filter(k % 11 == 0).select(
+                "o_orderkey",
+                "o_orderpriority",
+                (F.col("o_totalprice") + 5000.0).alias("o_totalprice"),
+                F.when(k % 22 == 0, F.lit("WEB"))
+                .otherwise(F.lit("MOBILE"))
+                .alias("o_channel"),
+            ),
+        )
+        with open(done, "w") as fh:
+            fh.write("ok")
+    state = mor_read(spark, path, ["o_orderkey"], merge_schema=True)
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    out = (
+        state.select(
+            F.coalesce(F.col("o_channel"), F.lit("legacy")).alias("channel"),
+            cents.alias("cents"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum("cents") / 100.0, 4).alias("total_price"),
+        )
     )
     return round_floats(out)

@@ -192,21 +192,27 @@ def mor_apply_changes(
     return {"seq": seq, "rows_appended": int(n_new), "keys_tombstoned": int(n_dead)}
 
 
-def mor_read(spark: SparkSession, path: str, key_cols: list[str]) -> DataFrame:
-    """Current state of a merge-on-read table: latest version per key
-    (row_number over ``_seq`` desc — ONE keyed shuffle, the read-side
-    price merge-on-read trades for O(|batch|) writes), minus keys whose
-    newest tombstone outranks the row. Tombstone side is change-batch
-    sized — broadcast. ``mor_compact`` folds the debt back to a plain
-    scan when it grows. Tombstone existence goes through the Hadoop
-    FileSystem API so hdfs:// and s3a:// tables resolve their deletes
-    exactly like local ones (ADVICE r5 #1)."""
+def _mor_state(
+    spark: SparkSession,
+    path: str,
+    key_cols: list[str],
+    as_of_seq: int | None = None,
+    merge_schema: bool = False,
+) -> DataFrame:
+    """Latest surviving row per key (``_seq`` column retained), as of
+    ``as_of_seq`` (None = newest). The shared fold behind ``mor_read``
+    and ``mor_changelog``."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     from shared_etl_pipelines_spark.engine import fs_exists
 
-    rows = spark.read.parquet(path)
+    reader = spark.read
+    if merge_schema:
+        reader = reader.option("mergeSchema", "true")
+    rows = reader.parquet(path)
+    if as_of_seq is not None:
+        rows = rows.filter(F.col("_seq") <= int(as_of_seq))
     w = Window.partitionBy(*key_cols).orderBy(F.col("_seq").desc())
     latest = (
         rows.withColumn("_rn", F.row_number().over(w))
@@ -215,17 +221,142 @@ def mor_read(spark: SparkSession, path: str, key_cols: list[str]) -> DataFrame:
     )
     dpath = _mor_deletes_path(path)
     if fs_exists(spark, dpath):
-        tomb = (
-            spark.read.parquet(dpath)
-            .groupBy(*key_cols)
-            .agg(F.max("_seq").alias("_dead_seq"))
-        )
+        tomb = spark.read.parquet(dpath)
+        if as_of_seq is not None:
+            tomb = tomb.filter(F.col("_seq") <= int(as_of_seq))
+        tomb = tomb.groupBy(*key_cols).agg(F.max("_seq").alias("_dead_seq"))
         latest = (
             latest.join(F.broadcast(tomb), key_cols, "left")
             .filter(F.col("_dead_seq").isNull() | (F.col("_seq") >= F.col("_dead_seq")))
             .drop("_dead_seq")
         )
-    return latest.drop("_seq")
+    return latest
+
+
+def mor_read(
+    spark: SparkSession,
+    path: str,
+    key_cols: list[str],
+    as_of_seq: int | None = None,
+    merge_schema: bool = False,
+) -> DataFrame:
+    """Current state of a merge-on-read table: latest version per key
+    (row_number over ``_seq`` desc — ONE keyed shuffle, the read-side
+    price merge-on-read trades for O(|batch|) writes), minus keys whose
+    newest tombstone outranks the row. Tombstone side is change-batch
+    sized — broadcast. ``mor_compact`` folds the debt back to a plain
+    scan when it grows. Tombstone existence goes through the Hadoop
+    FileSystem API so hdfs:// and s3a:// tables resolve their deletes
+    exactly like local ones (ADVICE r5 #1).
+
+    ``as_of_seq`` time-travels: the fold sees only versions and
+    tombstones with ``_seq <= as_of_seq`` (0 = the base snapshot),
+    pruned at the scan before any shuffle — the Iceberg/Delta
+    snapshot-read pattern on plain parquet. History is bounded by the
+    last ``mor_compact``, which folds every version into a new seq-0
+    base (the snapshot-expiry analog: compaction trades time-travel
+    depth for read speed). ``merge_schema`` unions parquet footers so a
+    table whose later batches added columns reads as the evolved
+    schema, pre-evolution rows NULL in the new columns."""
+    return _mor_state(spark, path, key_cols, as_of_seq, merge_schema).drop("_seq")
+
+
+def mor_changelog(
+    spark: SparkSession,
+    path: str,
+    key_cols: list[str],
+    from_seq: int,
+    to_seq: int,
+) -> DataFrame:
+    """CDC read: the row-level changes that turn snapshot ``from_seq``
+    into snapshot ``to_seq``, as (key cols, value cols, ``_op``) with
+    ``_op`` in {'insert','update','delete'} — the Delta CDF / Iceberg
+    changelog-scan shape. Updates and inserts carry the postimage,
+    deletes the preimage. A key whose row version is unchanged between
+    the snapshots emits nothing; a delete-then-reinsert between the
+    endpoints collapses to one 'update' (endpoint semantics, exactly
+    like Delta CDF over a version range). Change detection is by row
+    version (``_seq``), not value equality, so an upsert that rewrote
+    identical values still emits 'update' — the standard CDC contract.
+
+    Plan shape: two as-of folds (each one keyed window over a
+    seq-pruned scan) + one full-outer join on the key — no value-column
+    comparison, no driver traffic; at 100 TB both sides prune to
+    ``_seq <= endpoint`` before shuffling."""
+    from pyspark.sql import functions as F
+
+    old = _mor_state(spark, path, key_cols, from_seq, merge_schema=True)
+    new = _mor_state(spark, path, key_cols, to_seq, merge_schema=True)
+    val_cols = [c for c in new.columns if c not in key_cols and c != "_seq"]
+    old_vals = {c for c in old.columns if c not in key_cols and c != "_seq"}
+    o = old.select(
+        *key_cols,
+        F.col("_seq").alias("_from_seq"),
+        *[F.col(c).alias(f"_from_{c}") for c in val_cols if c in old_vals],
+    )
+    n = new.select(*key_cols, F.col("_seq").alias("_to_seq"), *val_cols)
+    j = o.join(n, key_cols, "full_outer")
+    op = (
+        F.when(F.col("_to_seq").isNull(), F.lit("delete"))
+        .when(F.col("_from_seq").isNull(), F.lit("insert"))
+        .when(F.col("_to_seq") != F.col("_from_seq"), F.lit("update"))
+    )
+    picked = [
+        (
+            F.when(
+                F.col("_to_seq").isNull(), F.col(f"_from_{c}")
+            ).otherwise(F.col(c))
+            if c in old_vals
+            else F.col(c)
+        ).alias(c)
+        for c in val_cols
+    ]
+    return (
+        j.withColumn("_op", op)
+        .filter(F.col("_op").isNotNull())
+        .select(*key_cols, *picked, "_op")
+    )
+
+
+def mor_history(spark: SparkSession, path: str) -> DataFrame:
+    """Audit log of a merge-on-read table: one row per change batch —
+    (``_seq``, ``rows_appended``, ``keys_tombstoned``). Seq 0 is the
+    base snapshot (or the last compaction). Two grouped counts over the
+    data and tombstone directories; O(versions) output."""
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.engine import fs_exists
+
+    appended = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(path)
+        .groupBy("_seq")
+        .agg(F.count(F.lit(1)).alias("rows_appended"))
+    )
+    dpath = _mor_deletes_path(path)
+    if fs_exists(spark, dpath):
+        tombs = (
+            spark.read.parquet(dpath)
+            .groupBy("_seq")
+            .agg(F.count(F.lit(1)).alias("keys_tombstoned"))
+        )
+    else:
+        tombs = appended.select(
+            "_seq", F.lit(0).cast("long").alias("keys_tombstoned")
+        ).limit(0)
+    return (
+        appended.join(tombs, "_seq", "full_outer")
+        .select(
+            F.col("_seq").cast("long").alias("_seq"),
+            F.coalesce(F.col("rows_appended"), F.lit(0)).cast("long").alias(
+                "rows_appended"
+            ),
+            F.coalesce(F.col("keys_tombstoned"), F.lit(0)).cast("long").alias(
+                "keys_tombstoned"
+            ),
+        )
+        .orderBy("_seq")
+    )
 
 
 def mor_compact(spark: SparkSession, path: str, key_cols: list[str]) -> dict:
@@ -359,17 +490,24 @@ def mor_apply_changes_bucketed(
 
 
 def mor_read_bucketed(
-    spark: SparkSession, table: str, key_cols: list[str]
+    spark: SparkSession,
+    table: str,
+    key_cols: list[str],
+    as_of_seq: int | None = None,
 ) -> DataFrame:
     """Current state of a bucketed merge-on-read table with ZERO
     exchanges: the latest-version window and the tombstone merge both
     consume the bucket layout directly. Semantics identical to
     ``mor_read`` (latest row per key unless a newer tombstone kills
-    it)."""
+    it), including ``as_of_seq`` time travel — the seq filter prunes
+    before the (exchange-free) window, so a snapshot read costs the
+    same as a current read."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
     rows = spark.table(table)
+    if as_of_seq is not None:
+        rows = rows.filter(F.col("_seq") <= int(as_of_seq))
     w = Window.partitionBy(*key_cols).orderBy(F.col("_seq").desc())
     latest = (
         rows.withColumn("_rn", F.row_number().over(w))
@@ -378,11 +516,10 @@ def mor_read_bucketed(
     )
     ttable = _mor_tombstone_table(table)
     if spark.catalog.tableExists(ttable):
-        tomb = (
-            spark.table(ttable)
-            .groupBy(*key_cols)
-            .agg(F.max("_seq").alias("_dead_seq"))
-        )
+        tomb = spark.table(ttable)
+        if as_of_seq is not None:
+            tomb = tomb.filter(F.col("_seq") <= int(as_of_seq))
+        tomb = tomb.groupBy(*key_cols).agg(F.max("_seq").alias("_dead_seq"))
         latest = (
             latest.join(tomb, key_cols, "left")
             .filter(F.col("_dead_seq").isNull() | (F.col("_seq") >= F.col("_dead_seq")))

@@ -356,6 +356,34 @@ def test_storage_maintenance_pipeline(spark, sf_dir, tmp_path):
     }
     assert after == want
 
+    # --- snapshot / CDC / audit parity (ran pre-compaction) ---
+    base_rows = {
+        r["o_orderkey"]
+        for r in spark.read.parquet(str(tmp_path / "p" / "mor_asof0_out"))
+        .select("o_orderkey")
+        .collect()
+    }
+    assert base_rows == {r["o_orderkey"] for r in orders.select("o_orderkey").collect()}
+    ops = {
+        r["o_orderkey"]: r["_op"]
+        for r in spark.read.parquet(
+            str(tmp_path / "p" / "mor_changelog_out")
+        ).collect()
+    }
+    n_upd = sum(1 for v in ops.values() if v == "update")
+    n_del = sum(1 for v in ops.values() if v == "delete")
+    assert n_upd == orders.filter(F.col("o_orderkey") % 17 == 0).count()
+    assert n_del == orders.filter(
+        (F.col("o_orderkey") % 13 == 0) & (F.col("o_orderkey") % 17 != 0)
+    ).count()
+    hist = {
+        r["_seq"]: (r["rows_appended"], r["keys_tombstoned"])
+        for r in spark.read.parquet(
+            str(tmp_path / "p" / "mor_history_out")
+        ).collect()
+    }
+    assert hist[0] == (orders.count(), 0) and hist[1][0] == n_upd
+
     # --- ANN parity: pipeline probe == probe of a from-scratch index
     # over the post-change corpus state ---
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))

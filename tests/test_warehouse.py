@@ -373,3 +373,178 @@ def test_mor_writer_lock_fails_loud(spark, tmp_path):
     assert s["seq"] == 1
     # the writer released its own lock on the way out
     assert not os.path.exists(lock)
+
+
+def test_mor_time_travel_snapshots(spark, tmp_path):
+    """as_of_seq reads reproduce every historical state exactly: seq 0
+    is the untouched base, seq 1 the post-batch-1 state (tombstones at
+    later seqs invisible), newest-seq read == current read. The
+    bucketed twin honors the same parameter."""
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.sources.warehouse import (
+        mor_apply_changes,
+        mor_apply_changes_bucketed,
+        mor_create_bucketed,
+        mor_read,
+        mor_read_bucketed,
+        mor_write_base,
+    )
+
+    base = spark.createDataFrame([(i, f"v{i}") for i in range(12)], ["k", "val"])
+    path = str(tmp_path / "mor_tt")
+    mor_write_base(base, path)
+    mor_apply_changes(
+        spark, path, ["k"],
+        upserts=base.filter(F.col("k") % 3 == 0).select(
+            "k", F.concat(F.lit("u"), F.col("k")).alias("val")
+        ),
+        delete_keys=base.filter(F.col("k") % 2 == 0).select("k"),
+    )
+    mor_apply_changes(
+        spark, path, ["k"],
+        upserts=spark.createDataFrame([(4, "back")], ["k", "val"]),
+        delete_keys=spark.createDataFrame([(3,)], ["k"]),
+    )
+
+    def snap(s=None):
+        return {
+            r["k"]: r["val"]
+            for r in mor_read(spark, path, ["k"], as_of_seq=s).collect()
+        }
+
+    want0 = {i: f"v{i}" for i in range(12)}
+    want1 = {
+        i: (f"u{i}" if i % 3 == 0 else f"v{i}")
+        for i in range(12)
+        if i % 3 == 0 or i % 2 != 0
+    }
+    want2 = dict(want1)
+    want2[4] = "back"
+    del want2[3]
+    assert snap(0) == want0
+    assert snap(1) == want1
+    assert snap(2) == want2
+    assert snap(None) == want2  # newest == current
+
+    tbl = "t_mor_tt_bucketed"
+    for t in (tbl, f"{tbl}__tombstones"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    mor_create_bucketed(base, tbl, ["k"], n_buckets=4)
+    mor_apply_changes_bucketed(
+        spark, tbl, ["k"],
+        upserts=base.filter(F.col("k") % 3 == 0).select(
+            "k", F.concat(F.lit("u"), F.col("k")).alias("val")
+        ),
+        delete_keys=base.filter(F.col("k") % 2 == 0).select("k"),
+        n_buckets=4,
+    )
+    got1 = {
+        r["k"]: r["val"]
+        for r in mor_read_bucketed(spark, tbl, ["k"], as_of_seq=1).collect()
+    }
+    got0 = {
+        r["k"]: r["val"]
+        for r in mor_read_bucketed(spark, tbl, ["k"], as_of_seq=0).collect()
+    }
+    assert got1 == want1 and got0 == want0
+    for t in (tbl, f"{tbl}__tombstones"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_mor_changelog_ops(spark, tmp_path):
+    """CDC contract: update carries the postimage, delete the preimage,
+    reinsert-after-delete is an insert within its window but the whole
+    0->2 range collapses delete+reinsert to one update (endpoint
+    semantics); unchanged keys emit nothing."""
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.sources.warehouse import (
+        mor_apply_changes,
+        mor_changelog,
+        mor_write_base,
+    )
+
+    base = spark.createDataFrame([(i, f"v{i}") for i in range(8)], ["k", "val"])
+    path = str(tmp_path / "mor_cdc")
+    mor_write_base(base, path)
+    # batch 1: update 0,3,6; delete 2,4 (0,6 not deleted: %2 keys kept odd here)
+    mor_apply_changes(
+        spark, path, ["k"],
+        upserts=base.filter(F.col("k") % 3 == 0).select(
+            "k", F.concat(F.lit("u"), F.col("k")).alias("val")
+        ),
+        delete_keys=spark.createDataFrame([(2,), (4,)], ["k"]),
+    )
+    # batch 2: reinsert 4, update 1
+    mor_apply_changes(
+        spark, path, ["k"],
+        upserts=spark.createDataFrame([(4, "back"), (1, "u1")], ["k", "val"]),
+    )
+
+    def log(a, b):
+        return {
+            r["k"]: (r["_op"], r["val"])
+            for r in mor_changelog(spark, path, ["k"], a, b).collect()
+        }
+
+    assert log(0, 1) == {
+        0: ("update", "u0"),
+        3: ("update", "u3"),
+        6: ("update", "u6"),
+        2: ("delete", "v2"),  # preimage
+        4: ("delete", "v4"),
+    }
+    assert log(1, 2) == {4: ("insert", "back"), 1: ("update", "u1")}
+    full = log(0, 2)
+    assert full[4] == ("update", "back")  # delete+reinsert collapses
+    assert full[2] == ("delete", "v2")
+    assert 5 not in full and 7 not in full  # unchanged keys silent
+
+
+def test_mor_history_and_schema_evolution(spark, tmp_path):
+    """mor_history reports per-seq append/tombstone counts; a batch
+    that adds a column reads back with merge_schema as the evolved
+    schema, NULL on pre-evolution rows, and the changelog still works
+    across the evolution boundary."""
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.sources.warehouse import (
+        mor_apply_changes,
+        mor_changelog,
+        mor_history,
+        mor_read,
+        mor_write_base,
+    )
+
+    base = spark.createDataFrame([(i, f"v{i}") for i in range(10)], ["k", "val"])
+    path = str(tmp_path / "mor_evo")
+    mor_write_base(base, path)
+    mor_apply_changes(
+        spark, path, ["k"],
+        upserts=spark.createDataFrame(
+            [(1, "n1", "web"), (10, "n10", "app")], ["k", "val", "channel"]
+        ),
+        delete_keys=spark.createDataFrame([(9,)], ["k"]),
+    )
+    hist = {
+        r["_seq"]: (r["rows_appended"], r["keys_tombstoned"])
+        for r in mor_history(spark, path).collect()
+    }
+    assert hist == {0: (10, 0), 1: (2, 3)}  # tombstones: upsert keys 1,10 + delete 9
+
+    state = mor_read(spark, path, ["k"], merge_schema=True)
+    assert "channel" in state.columns
+    rows = {r["k"]: (r["val"], r["channel"]) for r in state.collect()}
+    assert rows[1] == ("n1", "web")
+    assert rows[10] == ("n10", "app")
+    assert rows[0] == ("v0", None)  # pre-evolution row: NULL default
+    assert 9 not in rows
+
+    ops = {
+        r["k"]: (r["_op"], r["val"], r["channel"])
+        for r in mor_changelog(spark, path, ["k"], 0, 1).collect()
+    }
+    assert ops[10] == ("insert", "n10", "app")
+    assert ops[1] == ("update", "n1", "web")
+    assert ops[9] == ("delete", "v9", None)  # preimage predates the column
