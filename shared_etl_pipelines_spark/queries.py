@@ -890,6 +890,9 @@ _CARRYOVER_FIRST = (
     # reads — the snapshot/CDC layer over the deletion-vector tables
     "mor_orders_time_travel", "mor_orders_changelog",
     "mor_history_audit", "mor_schema_evolution",
+    # round-6 session-2: real windowed-FFT spectral inversion through
+    # the WAV codec (two planted tones per doc, closed-form spectra)
+    "audio_spectral_tones",
 )
 
 

@@ -5906,3 +5906,54 @@ def q_code_detect_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(feats["code_score"], 4).alias("code_score"),
         feats["is_code"].alias("is_code"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spectral analysis through the real WAV codec (sources/multimodal.py
+# audio_spectral_profile): every document gets a two-tone int16 clip
+# (dominant tone k1 = 3 + d%13 cycles/frame at amplitude 4000 +
+# (d%7)*500, secondary k2 = 20 + d%9 at 1500 — integer cycles, so each
+# tone lands exactly in its own 256-point DFT bin), the operator
+# decodes the RIFF container and runs a real windowed rfft, and the
+# recovered (dominant_bin, second_bin, amplitude) integers must match
+# the closed-form spectra: |X[k]| = A*N/2 with int16 rounding noise
+# ~sqrt(N)/2, four orders of magnitude below the peaks. The oracle
+# computes the same integers straight from doc_id. 100 TB: one decode+
+# FFT pass per blob inside mapInPandas (Arrow-batched, no shuffle until
+# the final small groupBy).
+# ---------------------------------------------------------------------------
+@defquery(
+    "audio_spectral_tones",
+    """
+    SELECT CAST(3 + doc_id % 13 AS INT) AS dominant_bin,
+           CAST(20 + doc_id % 9 AS INT) AS second_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(4000 + (doc_id % 7) * 500) AS BIGINT) AS amp_total,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM documents GROUP BY 1, 2
+    """,
+    doc="real windowed-FFT spectral profile over decoded WAV clips: "
+    "dominant/secondary DFT bin and amplitude recovered per document "
+    "from two planted tones, grouped — sinusoid inversion through the "
+    "actual RIFF codec, pinned by closed-form spectra",
+    tags=("llm", "multimodal", "codec", "audio", "dsp"),
+)
+def q_audio_spectral_tones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.multimodal import (
+        audio_spectral_profile,
+        synthetic_tone_wav_assets,
+    )
+
+    assets = synthetic_tone_wav_assets(_t(spark, sf_dir, "documents"))
+    prof = audio_spectral_profile(assets)
+    return (
+        prof.filter(F.col("is_real_decode"))
+        .groupBy("dominant_bin", "second_bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("amp_est").cast("long").alias("amp_total"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+    )

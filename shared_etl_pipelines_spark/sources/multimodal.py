@@ -929,3 +929,105 @@ def frame_deltas(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return assets.select("doc_id", "blob").mapInPandas(batches, DELTA_SCHEMA)
+
+
+def synthetic_tone_wav_assets(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL-WAV two-tone fixtures with closed-form spectra: doc_id d
+    gets 1024 samples of A1*sin(2*pi*k1*i/256) + A2*sin(2*pi*k2*i/256)
+    rounded to int16, with k1 = 3 + d%13 cycles/frame (the dominant
+    tone, A1 = 4000 + (d%7)*500), k2 = 20 + d%9 (the secondary tone,
+    A2 = 1500). Both k are integers, so over a 256-sample rectangular
+    frame each tone lands EXACTLY in its own DFT bin: |X[k]| = A*N/2 in
+    exact arithmetic, and int16 rounding perturbs any bin magnitude by
+    at most ~sqrt(N)/2 << A*N/2 — dominant/secondary bin and
+    round(2*|X[k1]|/N) == A1 are all hash-stable integers a SQL oracle
+    computes straight from doc_id."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from shared_etl_pipelines_spark.sources import wav
+
+        i = np.arange(1024, dtype=np.float64)
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                k1, k2 = 3 + d % 13, 20 + d % 9
+                a1 = 4000 + (d % 7) * 500
+                s = a1 * np.sin(2 * np.pi * k1 * i / 256.0) + 1500.0 * np.sin(
+                    2 * np.pi * k2 * i / 256.0
+                )
+                ids.append(d)
+                blobs.append(wav.encode_wav(np.round(s).astype(np.int16), 16000))
+            yield pd.DataFrame(
+                {"doc_id": ids, "media_type": "audio/wav", "blob": blobs}
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(
+        batches, "doc_id bigint, media_type string, blob binary"
+    )
+
+
+def audio_spectral_profile(assets: DataFrame, frame_len: int = 256) -> DataFrame:
+    """REAL spectral analysis over decoded WAV samples: each clip is
+    split into rectangular ``frame_len`` frames, the magnitude spectrum
+    (numpy rfft) is averaged across frames, and the profile emits the
+    dominant and secondary non-DC bins plus the dominant tone's
+    amplitude estimate round(2*|X[dom]|/N) — the textbook sinusoid
+    inversion, integer-exact for int16 tones (see
+    synthetic_tone_wav_assets for the error budget). Corrupt or
+    too-short blobs quarantine as is_real_decode=false rows instead of
+    failing the batch. Arrow-batched mapInPandas; per-row cost is
+    O(samples log frame_len), no shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from shared_etl_pipelines_spark.sources import wav
+
+        for pdf in it:
+            rows = {
+                k: []
+                for k in (
+                    "doc_id", "is_real_decode", "n_frames",
+                    "dominant_bin", "second_bin", "amp_est",
+                )
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                blob = bytes(blob)
+                arr = None
+                try:
+                    if wav.is_wav(blob):
+                        arr, _ = wav.decode_wav(blob)
+                except Exception:
+                    arr = None
+                rows["doc_id"].append(doc_id)
+                if arr is None or len(arr) < frame_len:
+                    rows["is_real_decode"].append(False)
+                    rows["n_frames"].append(0)
+                    rows["dominant_bin"].append(-1)
+                    rows["second_bin"].append(-1)
+                    rows["amp_est"].append(0)
+                    continue
+                mono = arr.astype(np.float64).reshape(len(arr), -1)[:, 0]
+                nf = len(mono) // frame_len
+                frames = mono[: nf * frame_len].reshape(nf, frame_len)
+                mag = np.abs(np.fft.rfft(frames, axis=1)).mean(axis=0)
+                mag[0] = 0.0  # exclude DC from peak picking
+                dom = int(np.argmax(mag))
+                amp = int(round(2.0 * mag[dom] / frame_len))
+                mag[dom] = 0.0
+                second = int(np.argmax(mag))
+                rows["is_real_decode"].append(True)
+                rows["n_frames"].append(nf)
+                rows["dominant_bin"].append(dom)
+                rows["second_bin"].append(second)
+                rows["amp_est"].append(amp)
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(
+        batches,
+        "doc_id bigint, is_real_decode boolean, n_frames int, "
+        "dominant_bin int, second_bin int, amp_est int",
+    )

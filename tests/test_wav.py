@@ -51,3 +51,36 @@ def test_decode_audio_dispatch(spark):
     assert got[1]["n_samples"] == 3
     assert got[1]["amp_sum"] == 600
     assert got[2]["is_real_decode"] is False
+
+
+def test_audio_spectral_profile_recovers_planted_tones(spark):
+    """The rfft profile must invert the two-tone fixtures exactly:
+    dominant bin k1 = 3 + d%13, secondary k2 = 20 + d%9, amplitude
+    4000 + (d%7)*500 — through the real RIFF encode/decode. A corrupt
+    blob quarantines instead of failing the batch."""
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.sources.multimodal import (
+        audio_spectral_profile,
+        synthetic_tone_wav_assets,
+    )
+
+    docs = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    assets = synthetic_tone_wav_assets(docs)
+    got = {
+        r["doc_id"]: (r["dominant_bin"], r["second_bin"], r["amp_est"], r["n_frames"])
+        for r in audio_spectral_profile(assets).collect()
+    }
+    for d in range(40):
+        assert got[d] == (3 + d % 13, 20 + d % 9, 4000 + (d % 7) * 500, 4)
+
+    corrupt = assets.select(
+        "doc_id",
+        "media_type",
+        F.when(F.col("doc_id") == 0, F.lit(b"nota wav"))
+        .otherwise(F.col("blob"))
+        .alias("blob"),
+    )
+    prof = {r["doc_id"]: r["is_real_decode"]
+            for r in audio_spectral_profile(corrupt).collect()}
+    assert prof[0] is False and prof[1] is True
