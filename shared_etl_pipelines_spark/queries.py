@@ -897,6 +897,10 @@ _CARRYOVER_FIRST = (
     # merge-on-read table; folded state == batch-mode oracle, max_seq
     # pins the two ordered micro-batches
     "stream_mor_cdc_apply",
+    # round-6 session-2: exact rank statistics over bounded distinct
+    # tables (two-sample KS drift, Gini/Lorenz inequality) and the ORC
+    # container round trip with plan-gated pushdown
+    "ks_drift_exact", "gini_customer_spend", "orc_roundtrip_pricing",
 )
 
 

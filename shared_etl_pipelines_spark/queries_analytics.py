@@ -4198,3 +4198,162 @@ def q_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") < 5).cast("int").alias("k_violation"),
         (F.col("l_div") < 2).cast("int").alias("l_violation"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact two-sample Kolmogorov–Smirnov drift — the distribution-shift
+# alarm run between a baseline and a current window before retraining
+# (the nonparametric sibling of psi_drift_check's binned PSI). D =
+# sup_x |F_base(x) - F_cur(x)| evaluated exactly at every distinct
+# value of the pooled sample: per-value integer counts, one cumulative
+# window over the BOUNDED distinct-cents table (the roc_auc_exact
+# pattern — never a raw-row global sort), one double division per
+# side at the end. 100 TB: the distinct table is |values|-sized, the
+# heavy input collapses in the grouped count.
+# ---------------------------------------------------------------------------
+@defquery(
+    "ks_drift_exact",
+    """
+    WITH scored AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+             CASE WHEN CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+                  THEN 1 ELSE 0 END AS grp
+      FROM orders
+    ),
+    per_v AS (
+      SELECT v, CAST(SUM(grp) AS BIGINT) AS ca,
+             CAST(COUNT(*) - SUM(grp) AS BIGINT) AS cb
+      FROM scored GROUP BY v
+    ),
+    tot AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM per_v),
+    cum AS (
+      SELECT SUM(ca) OVER (ORDER BY v) AS cuma,
+             SUM(cb) OVER (ORDER BY v) AS cumb
+      FROM per_v
+    )
+    SELECT ROUND(MAX(ABS(CAST(cuma AS DOUBLE) / (SELECT na FROM tot)
+                         - CAST(cumb AS DOUBLE) / (SELECT nb FROM tot))), 4)
+             AS ks_d,
+           (SELECT CAST(na AS BIGINT) FROM tot) AS n_base,
+           (SELECT CAST(nb AS BIGINT) FROM tot) AS n_current
+    FROM cum
+    """,
+    doc="exact two-sample Kolmogorov-Smirnov statistic between pre-1997 "
+    "and 1997+ order totals: sup-norm ECDF distance over the bounded "
+    "distinct-value table, integer counts until two final divisions",
+    tags=("analytics", "drift", "window", "aggregate"),
+)
+def q_ks_drift_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    scored = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        F.when(
+            F.col("o_orderdate").cast("date") < F.lit("1997-01-01").cast("date"), 1
+        ).otherwise(0).alias("grp"),
+    )
+    per_v = scored.groupBy("v").agg(
+        F.sum("grp").cast("long").alias("ca"),
+        (F.count(F.lit(1)) - F.sum("grp")).cast("long").alias("cb"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_v.select(
+        F.sum("ca").over(w).alias("cuma"), F.sum("cb").over(w).alias("cumb")
+    )
+    tot = per_v.agg(
+        F.sum("ca").cast("long").alias("na"), F.sum("cb").cast("long").alias("nb")
+    )
+    out = cum.crossJoin(F.broadcast(tot)).agg(  # tot: 1-row broadcast frame
+        F.round(
+            F.max(
+                F.abs(
+                    F.col("cuma").cast("double") / F.col("na")
+                    - F.col("cumb").cast("double") / F.col("nb")
+                )
+            ),
+            4,
+        ).alias("ks_d"),
+        F.max("na").cast("long").alias("n_base"),
+        F.max("nb").cast("long").alias("n_current"),
+    )
+    return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# Gini coefficient + Lorenz bottom-half share of per-customer spend —
+# the inequality profile of a long-tailed key (customer revenue, source
+# contribution, token share) that decides capping/mixing policy. Rank
+# formulation: with spend sorted ascending and rn = 1..n (ties broken
+# by custkey so both engines rank identically), Gini = 2*Σ(rn·x)/(n·Σx)
+# - (n+1)/n — every sum an exact BIGINT over the bounded per-customer
+# aggregate, two double divisions at the end. The Lorenz point is the
+# spend share of the bottom half (rn*2 <= n).
+# ---------------------------------------------------------------------------
+@defquery(
+    "gini_customer_spend",
+    """
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cents,
+             ROW_NUMBER() OVER (ORDER BY cents, o_custkey) AS rn
+      FROM spend
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM ranked),
+    agg AS (
+      SELECT (SELECT n FROM nn) AS n,
+             CAST(SUM(cents) AS BIGINT) AS t,
+             CAST(SUM(rn * cents) AS BIGINT) AS s,
+             CAST(SUM(CASE WHEN rn * 2 <= (SELECT n FROM nn)
+                           THEN cents ELSE 0 END) AS BIGINT) AS bottom
+      FROM ranked
+    )
+    SELECT ROUND(2.0 * s / (CAST(n AS DOUBLE) * t)
+                 - (CAST(n AS DOUBLE) + 1.0) / n, 4) AS gini,
+           ROUND(CAST(bottom AS DOUBLE) / t, 4) AS bottom_half_share,
+           n AS n_customers,
+           ROUND(t / 100.0, 4) AS total_spend
+    FROM agg
+    """,
+    doc="Gini coefficient and Lorenz bottom-half share of per-customer "
+    "spend: exact integer rank sums over the bounded customer "
+    "aggregate, deterministic tie-break, two final divisions",
+    tags=("analytics", "inequality", "window", "aggregate"),
+)
+def q_gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    spend = o.groupBy("o_custkey").agg(F.sum(cents).cast("long").alias("cents"))
+    rw = Window.orderBy("cents", "o_custkey")
+    ranked = spend.select(
+        "cents", F.row_number().over(rw).alias("rn")
+    )
+    nw = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    agg = ranked.select(
+        "cents",
+        "rn",
+        F.count(F.lit(1)).over(nw).alias("n_all"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("t"),
+        F.sum(F.col("rn") * F.col("cents")).cast("long").alias("s"),
+        F.sum(
+            F.when(F.col("rn") * 2 <= F.col("n_all"), F.col("cents")).otherwise(0)
+        ).cast("long").alias("bottom"),
+    )
+    out = agg.select(
+        F.round(
+            2.0 * F.col("s") / (F.col("n").cast("double") * F.col("t"))
+            - (F.col("n").cast("double") + 1.0) / F.col("n"),
+            4,
+        ).alias("gini"),
+        F.round(F.col("bottom").cast("double") / F.col("t"), 4).alias(
+            "bottom_half_share"
+        ),
+        F.col("n").alias("n_customers"),
+        F.round(F.col("t") / 100.0, 4).alias("total_spend"),
+    )
+    return round_floats(out)

@@ -3243,3 +3243,66 @@ def q_mor_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# ORC round trip (sources/sinks coverage beside parquet and JSONL): the
+# lineitem slice is written once to ORC and every read goes through the
+# ORC scan with the date filter PUSHED into the reader (plan-gated in
+# tests/test_warehouse.py — PushedFilters on the OrcScan) and the
+# projection pruned to the 5 used columns. Q1-shaped integer-cents
+# aggregate; the oracle runs the same query over the parquet source, so
+# a single flipped value anywhere in the container round trip fails the
+# hash.
+# ---------------------------------------------------------------------------
+@defquery(
+    "orc_roundtrip_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0, 4)
+             AS sum_base_price,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="Q1-shaped pricing aggregate read back through an ORC container "
+    "round trip with filter pushdown and column pruning on the ORC "
+    "scan; oracle runs over the parquet source — any container "
+    "corruption fails the value hash",
+    tags=("sources", "orc", "aggregate", "scale-path"),
+)
+def q_orc_roundtrip_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_shipdate", "l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice",
+    )
+    src = os.path.join(sf_dir, "lineitem.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_mtime_ns}_{st.st_size}"
+    except OSError:
+        fp = "nostat"
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}"
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_orc_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        li.withColumn(
+            "l_shipdate_d", F.col("l_shipdate").cast("date")
+        ).write.mode("overwrite").orc(path)
+    o = spark.read.orc(path).filter(
+        F.col("l_shipdate_d") <= F.lit("1998-09-02").cast("date")
+    )
+    out = o.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.round(F.col("l_quantity")).cast("long")).cast("long").alias(
+            "sum_qty"
+        ),
+        F.round(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")) / 100.0, 4
+        ).alias("sum_base_price"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    return round_floats(out)

@@ -548,3 +548,30 @@ def test_mor_history_and_schema_evolution(spark, tmp_path):
     assert ops[10] == ("insert", "n10", "app")
     assert ops[1] == ("update", "n1", "web")
     assert ops[9] == ("delete", "v9", None)  # preimage predates the column
+
+
+def test_orc_scan_pushes_filter_and_prunes_columns(spark, tmp_path):
+    """The ORC read path must push the date filter into the scan and
+    prune the projection — a scan reading all columns for a 2-column
+    aggregate is wrong at 100 TB regardless of the container format."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).alias("grp"),
+        (F.col("id") * 3).alias("val"),
+        F.concat(F.lit("pad"), F.col("id")).alias("padding"),
+    )
+    path = str(tmp_path / "orc_t")
+    df.write.orc(path)
+    q = (
+        spark.read.orc(path)
+        .filter(F.col("k") < 100)
+        .groupBy("grp")
+        .agg(F.sum("val").alias("s"))
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(k), LessThan(k,100)]" in plan
+    # projection pruned: the pad column never reaches the scan schema
+    assert "padding" not in plan.split("ReadSchema")[1].split("\n")[0]
+    assert q.count() == 7
