@@ -2758,34 +2758,6 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shuffle; the oracle computes the final state directly from orders.
 # Integer-cents arithmetic keeps every price exact.
 # ---------------------------------------------------------------------------
-@defquery(
-    "mor_orders_state",
-    """
-    WITH final AS (
-      SELECT o_orderkey,
-             CASE WHEN o_orderkey % 26 = 0 THEN '5-LOW'
-                  WHEN o_orderkey % 17 = 0 THEN '1-URGENT'
-                  ELSE o_orderpriority END AS o_orderpriority,
-             CASE WHEN o_orderkey % 26 = 0 THEN 123450
-                  WHEN o_orderkey % 17 = 0
-                       THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) + 100000
-                  ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT) END AS cents
-      FROM orders
-      WHERE o_orderkey % 26 = 0 OR o_orderkey % 17 = 0 OR o_orderkey % 13 <> 0
-    )
-    SELECT o_orderpriority,
-           CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(SUM(cents) / 100.0, 4) AS total_price,
-           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
-           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
-    FROM final GROUP BY o_orderpriority
-    """,
-    doc="merge-on-read table state after two change batches (append-only "
-    "upserts + key tombstones, same-batch delete+upsert, delete-then-"
-    "reinsert) folded by the keyed reader — the deletion-vector twin of "
-    "O5's copy-on-write MERGE",
-    tags=("warehouse", "merge", "scale-path"),
-)
 def _mor_orders_fixture(spark: SparkSession, sf_dir: str) -> str:
     """Build (once per testdata fingerprint) the shared merge-on-read
     orders table — base snapshot + the two change batches documented
@@ -2838,6 +2810,34 @@ def _mor_orders_fixture(spark: SparkSession, sf_dir: str) -> str:
     return path
 
 
+@defquery(
+    "mor_orders_state",
+    """
+    WITH final AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 26 = 0 THEN '5-LOW'
+                  WHEN o_orderkey % 17 = 0 THEN '1-URGENT'
+                  ELSE o_orderpriority END AS o_orderpriority,
+             CASE WHEN o_orderkey % 26 = 0 THEN 123450
+                  WHEN o_orderkey % 17 = 0
+                       THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) + 100000
+                  ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT) END AS cents
+      FROM orders
+      WHERE o_orderkey % 26 = 0 OR o_orderkey % 17 = 0 OR o_orderkey % 13 <> 0
+    )
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(cents) / 100.0, 4) AS total_price,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM final GROUP BY o_orderpriority
+    """,
+    doc="merge-on-read table state after two change batches (append-only "
+    "upserts + key tombstones, same-batch delete+upsert, delete-then-"
+    "reinsert) folded by the keyed reader — the deletion-vector twin of "
+    "O5's copy-on-write MERGE",
+    tags=("warehouse", "merge", "scale-path"),
+)
 def q_mor_orders_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shared_etl_pipelines_spark.sources.warehouse import mor_read
 
