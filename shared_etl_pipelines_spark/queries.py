@@ -901,6 +901,9 @@ _CARRYOVER_FIRST = (
     # tables (two-sample KS drift, Gini/Lorenz inequality) and the ORC
     # container round trip with plan-gated pushdown
     "ks_drift_exact", "gini_customer_spend", "orc_roundtrip_pricing",
+    # round-6 session-2: header-only JPEG triage (marker walk, no
+    # entropy decode) and PERMISSIVE CSV quarantine ingestion
+    "jpeg_marker_scan", "csv_quarantine_ingest",
 )
 
 

@@ -5957,3 +5957,122 @@ def q_audio_spectral_tones(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").cast("long").alias("max_doc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# JPEG header triage (sources/jpeg.py scan_markers via
+# sources/multimodal.py jpeg_metadata_profile): the marker walk a crawl
+# pipeline runs over billions of blobs BEFORE deciding what to decode —
+# frame type (baseline vs progressive), geometry, scan count, restart
+# interval, embedded comment — reading a few hundred header bytes per
+# blob, never the entropy stream. Fixtures plant every field as a
+# closed form in doc_id (COM 'cam-{d%5}'; even = SOF0 with DRI d%3 and
+# 1 scan, odd = SOF2 whose grayscale scan script is exactly 3 + 2*(d%3)
+# scans), so the oracle recomputes the whole profile from doc_id.
+# ---------------------------------------------------------------------------
+@defquery(
+    "jpeg_marker_scan",
+    """
+    WITH a AS (
+      SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+    ),
+    prof AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 2 = 1 THEN 'SOF2' ELSE 'SOF0' END AS sof,
+             'cam-' || CAST(doc_id % 5 AS VARCHAR) AS comment,
+             CAST(CASE WHEN doc_id % 2 = 1 THEN 0
+                       ELSE doc_id % 3 END AS INT) AS restart_interval,
+             CAST(CASE WHEN doc_id % 2 = 1 THEN 3 + 2 * (doc_id % 3)
+                       ELSE 1 END AS BIGINT) AS n_scans,
+             CAST((n % 4 + 1) * 8 AS BIGINT) AS width,
+             CAST(((n // 4) % 4 + 1) * 8 AS BIGINT) AS height
+      FROM a
+    )
+    SELECT sof, comment, restart_interval,
+           CAST(COUNT(*) AS BIGINT) AS n_blobs,
+           CAST(SUM(n_scans) AS BIGINT) AS total_scans,
+           CAST(SUM(width * height) AS BIGINT) AS total_px,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM prof GROUP BY sof, comment, restart_interval
+    """,
+    doc="header-only JPEG triage: frame type, scan count, restart "
+    "interval, geometry and embedded comment recovered by the marker "
+    "walk (no entropy decode) and pinned field-by-field against the "
+    "closed-form fixture profile",
+    tags=("llm", "multimodal", "codec", "triage"),
+)
+def q_jpeg_marker_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.multimodal import (
+        jpeg_metadata_profile,
+        synthetic_commented_jpeg_assets,
+    )
+
+    assets = synthetic_commented_jpeg_assets(_t(spark, sf_dir, "documents"))
+    prof = jpeg_metadata_profile(assets)
+    return (
+        prof.filter(F.col("is_jpeg"))
+        .groupBy("sof", "comment", "restart_interval")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_blobs"),
+            F.sum("n_scans").cast("long").alias("total_scans"),
+            F.sum(F.col("width").cast("long") * F.col("height")).cast("long").alias(
+                "total_px"
+            ),
+            F.min("doc_id").cast("long").alias("min_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CSV ingestion with malformed-row quarantine (sources/csvq.py — the
+# delimited twin of jsonl_nested_ingest): schema-enforced PERMISSIVE
+# read where rows with an untypeable cell land whole in
+# _corrupt_record (planted on doc_id % 37 == 0) instead of failing the
+# job; parseable cells of a quarantined row survive (the Univocity
+# partial-parse contract, pinned here: sum_chars covers BOTH good and
+# quarantined rows while sum_doc_id only the good ones). Score
+# aggregates in integer tenths so the sum is order-independent.
+# ---------------------------------------------------------------------------
+@defquery(
+    "csv_quarantine_ingest",
+    """
+    SELECT 'crawl-' || CAST(doc_id % 4 AS VARCHAR) AS source,
+           doc_id % 37 = 0 AS quarantined,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_chars,
+           CAST(SUM(CASE WHEN doc_id % 37 <> 0 THEN doc_id ELSE 0 END)
+                AS BIGINT) AS sum_doc_id,
+           CAST(SUM(doc_id % 100) AS BIGINT) AS sum_score_x10
+    FROM documents GROUP BY 1, 2
+    """,
+    doc="PERMISSIVE CSV read with _corrupt_record quarantine: malformed "
+    "rows (untypeable doc_id) quarantine whole while their parseable "
+    "cells survive, good rows flow — the split and every aggregate "
+    "pinned against the closed-form fixture",
+    tags=("llm", "sources", "csv", "quarantine"),
+)
+def q_csv_quarantine_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.csvq import (
+        ensure_demo_csv,
+        read_csv_quarantine,
+    )
+
+    df = read_csv_quarantine(spark, ensure_demo_csv(sf_dir))
+    return (
+        df.select(
+            F.col("source"),
+            F.col("_corrupt_record").isNotNull().alias("quarantined"),
+            F.col("n_chars"),
+            F.coalesce(F.col("doc_id"), F.lit(0)).alias("did"),
+            F.round(F.col("score") * 10).cast("long").alias("score_x10"),
+        )
+        .groupBy("source", "quarantined")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum("did").cast("long").alias("sum_doc_id"),
+            F.sum("score_x10").cast("long").alias("sum_score_x10"),
+        )
+    )

@@ -146,6 +146,68 @@ def is_jpeg(data: bytes) -> bool:
     return len(data) >= 3 and data[:3] == b"\xff\xd8\xff"
 
 
+def scan_markers(data: bytes) -> dict:
+    """Lightweight marker walk — container metadata WITHOUT entropy
+    decode (the crawl-triage pass: frame type/geometry/comments for
+    billions of blobs is a few hundred bytes of header each, the full
+    DCT pipeline is not). Returns sof marker name (SOF0/1/2/...),
+    precision, width, height, n_components, n_scans, restart_interval,
+    JFIF version/density from APP0, the first COM text, and per-marker
+    counts. Raises ValueError on a non-JPEG or truncated header, like
+    decode_jpeg (ITU T.81 B.1; cites the reference's ingestion triage,
+    pipelines/*/download-*.yml asset typing)."""
+    if not is_jpeg(data):
+        raise ValueError("not a JPEG stream")
+    out: dict = {
+        "sof": None, "precision": 0, "width": 0, "height": 0,
+        "n_components": 0, "n_scans": 0, "restart_interval": 0,
+        "jfif_version": None, "x_density": 0, "y_density": 0,
+        "comment": None, "markers": {},
+    }
+    pos = 2
+    n = len(data)
+    while pos + 1 < n:
+        if data[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # standalone
+            continue
+        if pos + 2 > n:
+            raise ValueError("truncated segment header")
+        seglen = struct.unpack(">H", data[pos : pos + 2])[0]
+        body = data[pos + 2 : pos + seglen]
+        pos += seglen
+        name = f"0x{marker:02X}"
+        out["markers"][name] = out["markers"].get(name, 0) + 1
+        if marker == 0xE0 and body[:5] == b"JFIF\x00":
+            out["jfif_version"] = f"{body[5]}.{body[6]:02d}"
+            out["x_density"] = struct.unpack(">H", body[8:10])[0]
+            out["y_density"] = struct.unpack(">H", body[10:12])[0]
+        elif marker == 0xFE and out["comment"] is None:
+            out["comment"] = body.decode("latin-1")
+        elif marker == 0xDD:
+            out["restart_interval"] = struct.unpack(">H", body[:2])[0]
+        elif 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            out["sof"] = f"SOF{marker - 0xC0}"
+            out["precision"] = body[0]
+            out["height"], out["width"] = struct.unpack(">HH", body[1:5])
+            out["n_components"] = body[5]
+        elif marker == 0xDA:
+            out["n_scans"] += 1
+            # skip entropy-coded bytes: stop at any non-stuffing,
+            # non-restart marker
+            while pos + 1 < n:
+                if data[pos] == 0xFF and data[pos + 1] not in (0x00,) and not (
+                    0xD0 <= data[pos + 1] <= 0xD7
+                ):
+                    break
+                pos += 1
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Huffman machinery (canonical codes, shared by encode and decode)
 # ---------------------------------------------------------------------------
@@ -611,6 +673,7 @@ def encode_jpeg(
     qtable: np.ndarray | None = None,
     subsampling: str = "4:4:4",
     restart_interval: int = 0,
+    comment: bytes | None = None,
 ) -> bytes:
     """Encode a uint8 array as baseline JFIF. (h, w) -> one grayscale
     component; (h, w, 3) -> RGB converted to YCbCr, '4:4:4' or '4:2:0'.
@@ -634,6 +697,8 @@ def encode_jpeg(
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    if comment is not None:
+        out += seg(0xFE, comment)
     zz_q = q.reshape(-1)[_ZZ_FLAT]
     out += seg(0xDB, bytes([0x00]) + bytes(int(v) for v in zz_q))
     ncomp = len(planes)
@@ -1150,6 +1215,7 @@ def encode_jpeg_progressive(
     subsampling: str = "4:4:4",
     restart_interval: int = 0,
     al: int = 1,
+    comment: bytes | None = None,
 ) -> bytes:
     """Encode a uint8 array as PROGRESSIVE JFIF (SOF2) with a scan
     script that exercises every scan type the decoder implements:
@@ -1189,6 +1255,8 @@ def encode_jpeg_progressive(
 
     out = bytearray(b"\xff\xd8")
     out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    if comment is not None:
+        out += seg(0xFE, comment)
     zz_q = q.reshape(-1)[_ZZ_FLAT]
     out += seg(0xDB, bytes([0x00]) + bytes(int(v) for v in zz_q))
     sof = struct.pack(">BHHB", 8, h, w, ncomp)

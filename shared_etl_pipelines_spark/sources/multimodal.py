@@ -1031,3 +1031,97 @@ def audio_spectral_profile(assets: DataFrame, frame_len: int = 256) -> DataFrame
         "doc_id bigint, is_real_decode boolean, n_frames int, "
         "dominant_bin int, second_bin int, amp_est int",
     )
+
+
+def synthetic_commented_jpeg_assets(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "text"
+) -> DataFrame:
+    """REAL-JPEG fixtures for header triage: same closed-form geometry
+    as synthetic_jpeg_assets (payload byte-length n -> (n//4%4+1) x
+    (n%4+1) blocks), plus a COM segment 'cam-{d%5}' on every blob.
+    Even doc_ids encode baseline (SOF0, DRI = d%3), odd PROGRESSIVE
+    (SOF2, Al = d%3, no DRI) whose scan script for grayscale is exactly
+    3 + 2*Al scans — every header field a closed form in doc_id."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from shared_etl_pipelines_spark.sources import jpeg
+
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                d = int(doc_id)
+                n = len(str(payload).encode("utf-8"))
+                bw = n % 4 + 1
+                bh = (n // 4) % 4 + 1
+                k = np.arange(bw * bh, dtype=np.int64)
+                blocks = ((d * 31 + k) % 256).astype(np.uint8).reshape(bh, bw)
+                arr = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+                com = f"cam-{d % 5}".encode()
+                ids.append(d)
+                if d % 2:
+                    blobs.append(
+                        jpeg.encode_jpeg_progressive(arr, al=d % 3, comment=com)
+                    )
+                else:
+                    blobs.append(
+                        jpeg.encode_jpeg(arr, restart_interval=d % 3, comment=com)
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "media_type": "image/jpeg", "blob": blobs}
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches, "doc_id bigint, media_type string, blob binary"
+    )
+
+
+def jpeg_metadata_profile(assets: DataFrame) -> DataFrame:
+    """Header-only triage over JPEG blobs (sources/jpeg.py scan_markers
+    — NO entropy decode): frame type, geometry, scan count, restart
+    interval, first comment. The pass a crawl pipeline runs over
+    billions of images before deciding what to decode — a few hundred
+    header bytes each instead of the DCT pipeline. Corrupt headers
+    quarantine as is_jpeg=false rows."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shared_etl_pipelines_spark.sources import jpeg
+
+        for pdf in it:
+            rows = {
+                k: []
+                for k in (
+                    "doc_id", "is_jpeg", "sof", "width", "height",
+                    "n_scans", "restart_interval", "comment",
+                )
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                rows["doc_id"].append(doc_id)
+                try:
+                    m = jpeg.scan_markers(bytes(blob))
+                except Exception:
+                    m = None
+                if m is None or m["sof"] is None:
+                    rows["is_jpeg"].append(False)
+                    rows["sof"].append("")
+                    rows["width"].append(0)
+                    rows["height"].append(0)
+                    rows["n_scans"].append(0)
+                    rows["restart_interval"].append(0)
+                    rows["comment"].append("")
+                else:
+                    rows["is_jpeg"].append(True)
+                    rows["sof"].append(m["sof"])
+                    rows["width"].append(m["width"])
+                    rows["height"].append(m["height"])
+                    rows["n_scans"].append(m["n_scans"])
+                    rows["restart_interval"].append(m["restart_interval"])
+                    rows["comment"].append(m["comment"] or "")
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(
+        batches,
+        "doc_id bigint, is_jpeg boolean, sof string, width int, height int, "
+        "n_scans int, restart_interval int, comment string",
+    )

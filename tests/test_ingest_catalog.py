@@ -306,3 +306,25 @@ def test_stac_python_datasource(spark, stac_catalog):
     # items whose bbox intersects [-86.5, -86.0]: item0 (-86,-85) touches,
     # item1 (-87,-86) touches, item2 (-88,-87) does not
     assert {r["item_id"] for r in df3.collect()} == {"item0", "item1"}
+
+
+def test_csv_quarantine_split(spark, sf_dir):
+    """PERMISSIVE CSV: malformed rows (untypeable doc_id) carry the
+    whole raw line in _corrupt_record with doc_id NULL while their
+    parseable cells survive; good rows parse fully typed."""
+    from shared_etl_pipelines_spark.sources.csvq import (
+        ensure_demo_csv,
+        read_csv_quarantine,
+    )
+
+    df = read_csv_quarantine(spark, ensure_demo_csv(sf_dir)).cache()
+    bad = df.filter("_corrupt_record IS NOT NULL")
+    good = df.filter("_corrupt_record IS NULL")
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    n_bad = bad.count()
+    assert n_bad >= 1 and n_bad + good.count() == n_docs
+    r = bad.first()
+    assert r["doc_id"] is None and r["_corrupt_record"].startswith("id-")
+    assert r["source"].startswith("crawl-")  # partial parse survives
+    assert good.filter("doc_id IS NULL").count() == 0
+    df.unpersist()

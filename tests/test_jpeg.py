@@ -259,3 +259,33 @@ def test_progressive_long_eob_runs():
     base, _ = decode_jpeg(encode_jpeg(img2))
     prog, _ = decode_jpeg(_prog(img2, al=1))
     assert np.array_equal(base, prog)
+
+
+def test_scan_markers_reads_headers_without_decode():
+    """Marker walk recovers frame type, geometry, scan count, DRI and
+    COM from both entropy codings; non-JPEG raises; decode is
+    unaffected by a COM segment."""
+    import numpy as np
+    import pytest
+
+    from shared_etl_pipelines_spark.sources import jpeg
+
+    arr = (np.arange(16 * 24) % 256).astype(np.uint8).reshape(16, 24)
+    b = jpeg.encode_jpeg(arr, restart_interval=2, comment=b"cam-3")
+    m = jpeg.scan_markers(b)
+    assert (m["sof"], m["width"], m["height"]) == ("SOF0", 24, 16)
+    assert m["n_scans"] == 1 and m["restart_interval"] == 2
+    assert m["comment"] == "cam-3" and m["jfif_version"] == "1.01"
+
+    for al in (0, 1, 2):
+        p = jpeg.encode_jpeg_progressive(arr, al=al, comment=b"x")
+        mp = jpeg.scan_markers(p)
+        # grayscale script: DC first + 2 AC bands + al*(DC+AC refine)
+        assert (mp["sof"], mp["n_scans"]) == ("SOF2", 3 + 2 * al)
+
+    with pytest.raises(ValueError):
+        jpeg.scan_markers(b"not a jpeg at all")
+    # decode ignores the COM segment entirely
+    px, _ = jpeg.decode_jpeg(b)
+    px2, _ = jpeg.decode_jpeg(jpeg.encode_jpeg(arr, restart_interval=2))
+    assert (px == px2).all()
