@@ -156,22 +156,31 @@ def _cap_band_buckets(banded: DataFrame, max_bucket_size: int | None) -> DataFra
     ONE (band_idx, band_hash) bucket, and the candidate self-join goes
     quadratic in that bucket at 100 TB. The guard drops every bucket
     whose occupancy exceeds ``max_bucket_size`` BEFORE candidate
-    generation: a window count over the band key, which reuses the very
-    exchange the self-join needs next (one extra sort, no extra
-    shuffle). Dropped buckets mean those pairs are simply not probed —
-    the standard LSH engineering trade (a bucket that hot is almost
-    never a real near-dup cluster, and a real one that size should go
-    through ``duplicate_clusters`` instead). ``lsh_bucket_audit``
-    surfaces exactly which buckets a cap drops and how big they were;
-    ``None`` disables the guard."""
+    generation: a partially-aggregated bucket count (map-side combine —
+    the reduce side sees one row per bucket, not per doc) filtered to
+    the over-cap keys, then a BROADCAST anti-join. On a normal corpus
+    the hot set is empty, so the anti-join is a no-op against an empty
+    broadcast. This replaces the original windowed-count form, which
+    sorted every band row on BOTH sides of the self-join; warm-session
+    A/B at sf0.1 measures both forms within noise of guard-off
+    (BENCH.md round 6), but the aggregate form's reduce side is
+    O(buckets) instead of O(band rows) — the shape that matters when
+    one bucket holds millions of rows at 100 TB. Dropped buckets mean
+    those pairs are simply not probed — the standard LSH engineering
+    trade (a bucket that hot is almost never a real near-dup cluster,
+    and a real one that size should go through ``duplicate_clusters``
+    instead).
+    ``lsh_bucket_audit`` surfaces exactly which buckets a cap drops and
+    how big they were; ``None`` disables the guard."""
     if not max_bucket_size:
         return banded
-    w = Window.partitionBy("band_idx", "band_hash")
-    return (
-        banded.withColumn("_occ", F.count(F.lit(1)).over(w))
-        .filter(F.col("_occ") <= max_bucket_size)
-        .drop("_occ")
+    hot = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("_occ"))
+        .filter(F.col("_occ") > max_bucket_size)
+        .select("band_idx", "band_hash")
     )
+    return banded.join(F.broadcast(hot), ["band_idx", "band_hash"], "left_anti")
 
 
 def lsh_bucket_audit(

@@ -6076,3 +6076,88 @@ def q_csv_quarantine_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("score_x10").cast("long").alias("sum_score_x10"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composite ANN (operators/similarity.py ivfpq_topk) — the FAISS
+# IVFADC production shape, composing the two judged paths: the coarse
+# quantizer (first-8 centroids, nprobe=2 — similarity_topk_ivf's cells)
+# prunes the code scan to ~nprobe/n_centroids of the corpus, PQ ADC
+# (16-centroid 8-subspace codes — pq_assign_codes' codebook) ranks the
+# survivors against the broadcast query LUT, exact cosine reranks the
+# 20 best. The oracle replays the whole composite in SQL: the
+# _PQ_CODES_SQL code assignment + the _IVF_RANK cell walk + the
+# cell-restricted ADC join. 100 TB: floats cross the cluster only for
+# the rerank rows; everything else is codes and broadcast tables.
+# ---------------------------------------------------------------------------
+@defquery(
+    "similarity_topk_ivfpq",
+    _PQ_CODES_SQL
+    + f""",
+    c AS (SELECT vec_id AS cent_id, v AS cv FROM e ORDER BY vec_id LIMIT 8),
+    ass AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT e.vec_id, e.v, c.cent_id, {_IVF_RANK} AS crn
+        FROM e CROSS JOIN c)
+      WHERE crn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cent_id FROM (
+        SELECT e.vec_id, e.v, c.cent_id, {_IVF_RANK} AS crn
+        FROM e CROSS JOIN c WHERE e.vec_id < 5)
+      WHERE crn <= 2
+    ),
+    pool AS (
+      SELECT p.query_id, a.vec_id
+      FROM probes p JOIN ass a USING (cent_id)
+      WHERE a.vec_id <> p.query_id
+    ),
+    lut AS (
+      SELECT d2.vec_id AS query_id, d2.cid, d2.sub, d2.dist
+      FROM d2 WHERE d2.vec_id < 5
+    ),
+    adc AS (
+      SELECT pool.query_id, pool.vec_id, SUM(lut.dist) AS adist
+      FROM pool
+      JOIN codes ON codes.vec_id = pool.vec_id
+      JOIN lut ON lut.query_id = pool.query_id
+             AND codes.sub = lut.sub AND codes.code = lut.cid
+      GROUP BY pool.query_id, pool.vec_id
+    ),
+    cand AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER
+          (PARTITION BY query_id ORDER BY adist, vec_id) AS arn
+        FROM adc) WHERE arn <= 20
+    ),
+    rer AS (
+      SELECT cand.query_id, cand.vec_id,
+             list_cosine_similarity(qe.v, ce.v) AS c
+      FROM cand
+      JOIN e qe ON qe.vec_id = cand.query_id
+      JOIN e ce ON ce.vec_id = cand.vec_id
+    )
+    SELECT query_id, vec_id, ROUND(c, 4) AS cosine, rn FROM (
+      SELECT *, ROW_NUMBER() OVER
+        (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rn
+      FROM rer) WHERE rn <= 10
+    """,
+    doc="IVF-PQ composite top-10 (FAISS IVFADC shape): coarse cells "
+    "prune the PQ code scan to the probed ~quarter of the corpus, ADC "
+    "ranks against the broadcast LUT, exact cosine reranks 20 — the "
+    "full composite replayed in SQL",
+    tags=("llm", "similarity", "ivf", "pq", "ann"),
+)
+def q_similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.operators.similarity import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = ivfpq_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        k=10,
+        n_centroids=8,
+        nprobe=2,
+        n_cand=20,
+    )
+    return round_floats(out)
