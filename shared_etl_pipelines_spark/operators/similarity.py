@@ -1042,16 +1042,15 @@ def ivfpq_topk(
     )
     lut = qbase.mapInPandas(lut_batches, "query_id long, cid int, sub int, pd double")
 
+    pc = pool.join(codes, id_col)
     adc = (
-        pool.join(codes, id_col)
-        .join(
+        pc.join(
             F.broadcast(lut),
-            (F.col("sub") == lut["sub"])
-            & (F.col("code") == lut["cid"])
-            & (pool["query_id"] == lut["query_id"]),
+            (pc["sub"] == lut["sub"])
+            & (pc["code"] == lut["cid"])
+            & (pc["query_id"] == lut["query_id"]),
         )
-        .drop(lut["sub"])
-        .drop(lut["query_id"])
+        .select(pc["query_id"], pc[id_col], lut["pd"])
         .groupBy("query_id", id_col)
         .agg(F.sum("pd").alias("adist"))
     )

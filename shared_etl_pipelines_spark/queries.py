@@ -904,6 +904,9 @@ _CARRYOVER_FIRST = (
     # round-6 session-2: header-only JPEG triage (marker walk, no
     # entropy decode) and PERMISSIVE CSV quarantine ingestion
     "jpeg_marker_scan", "csv_quarantine_ingest",
+    # round-6 session-2: IVF-PQ composite ANN (FAISS IVFADC shape),
+    # full composite replayed in the SQL oracle
+    "similarity_topk_ivfpq",
 )
 
 
