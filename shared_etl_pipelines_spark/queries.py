@@ -907,6 +907,9 @@ _CARRYOVER_FIRST = (
     # round-6 session-2: IVF-PQ composite ANN (FAISS IVFADC shape),
     # full composite replayed in the SQL oracle
     "similarity_topk_ivfpq",
+    # round-6 session-2: Welch two-sample t-test from exact integer
+    # moments
+    "ab_welch_ttest",
 )
 
 

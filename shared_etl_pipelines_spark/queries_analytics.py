@@ -4357,3 +4357,108 @@ def q_gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("t") / 100.0, 4).alias("total_spend"),
     )
     return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# Welch two-sample t-test — the A/B significance readout (unequal
+# variances, Welch–Satterthwaite df) between urgent and low-priority
+# order values. Values round to whole dollars as BIGINTs first, so the
+# per-group moments (n, Σx, Σx²) are exact integers in both engines —
+# Σx² stays under int64 through sf1 (6e5² x 1.5e6 ≈ 5e17) — and the t
+# statistic is one double expression over six integers, bit-identical
+# whatever the partitioning. Same family as chi2_event_dow /
+# ks_drift_exact: decision statistics computed exactly, not sampled.
+# ---------------------------------------------------------------------------
+@defquery(
+    "ab_welch_ttest",
+    """
+    WITH g AS (
+      SELECT CASE WHEN o_orderpriority = '1-URGENT' THEN 'a' ELSE 'b' END
+               AS grp,
+             CAST(ROUND(o_totalprice) AS BIGINT) AS x
+      FROM orders
+      WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    m AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s1,
+             CAST(SUM(x * x) AS BIGINT) AS s2
+      FROM g GROUP BY grp
+    ),
+    w AS (
+      SELECT
+        (SELECT n FROM m WHERE grp = 'a') AS na,
+        (SELECT n FROM m WHERE grp = 'b') AS nb,
+        (SELECT s1 FROM m WHERE grp = 'a') AS sa,
+        (SELECT s1 FROM m WHERE grp = 'b') AS sb,
+        (SELECT s2 FROM m WHERE grp = 'a') AS qa,
+        (SELECT s2 FROM m WHERE grp = 'b') AS qb
+    ),
+    v AS (
+      SELECT na, nb,
+             CAST(sa AS DOUBLE) / na AS ma,
+             CAST(sb AS DOUBLE) / nb AS mb,
+             (CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / na) / (na - 1)
+               / na AS va,
+             (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / nb) / (nb - 1)
+               / nb AS vb
+      FROM w
+    )
+    SELECT na AS n_urgent, nb AS n_low,
+           ROUND(ma, 4) AS mean_urgent, ROUND(mb, 4) AS mean_low,
+           ROUND((ma - mb) / SQRT(va + vb), 4) AS t_stat,
+           ROUND((va + vb) * (va + vb)
+                 / (va * va / (na - 1) + vb * vb / (nb - 1)), 4) AS df_welch
+    FROM v
+    """,
+    doc="Welch two-sample t-test between urgent and low-priority order "
+    "values: exact integer moments per group (whole-dollar BIGINTs), "
+    "one double expression for t and the Welch-Satterthwaite df",
+    tags=("analytics", "ml-eval", "aggregate"),
+)
+def q_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    )
+    x = F.round(F.col("o_totalprice")).cast("long")
+    g = o.select(
+        F.when(F.col("o_orderpriority") == "1-URGENT", "a").otherwise("b").alias(
+            "grp"
+        ),
+        x.alias("x"),
+    )
+    m = g.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("s2"),
+    )
+    a = m.filter(F.col("grp") == "a").select(
+        F.col("n").alias("na"), F.col("s1").alias("sa"), F.col("s2").alias("qa")
+    )
+    b = m.filter(F.col("grp") == "b").select(
+        F.col("n").alias("nb"), F.col("s1").alias("sb"), F.col("s2").alias("qb")
+    )
+    w = a.crossJoin(b)  # two 1-row group frames
+    ma = F.col("sa").cast("double") / F.col("na")
+    mb = F.col("sb").cast("double") / F.col("nb")
+    va = (
+        (F.col("qa").cast("double") - F.col("sa").cast("double") * F.col("sa") / F.col("na"))
+        / (F.col("na") - 1) / F.col("na")
+    )
+    vb = (
+        (F.col("qb").cast("double") - F.col("sb").cast("double") * F.col("sb") / F.col("nb"))
+        / (F.col("nb") - 1) / F.col("nb")
+    )
+    out = w.select(
+        F.col("na").alias("n_urgent"),
+        F.col("nb").alias("n_low"),
+        F.round(ma, 4).alias("mean_urgent"),
+        F.round(mb, 4).alias("mean_low"),
+        F.round((ma - mb) / F.sqrt(va + vb), 4).alias("t_stat"),
+        F.round(
+            (va + vb) * (va + vb)
+            / (va * va / (F.col("na") - 1) + vb * vb / (F.col("nb") - 1)),
+            4,
+        ).alias("df_welch"),
+    )
+    return round_floats(out)
