@@ -179,7 +179,18 @@ def _cap_band_buckets(banded: DataFrame, max_bucket_size: int | None) -> DataFra
         .agg(F.count(F.lit(1)).alias("_occ"))
         .filter(F.col("_occ") > max_bucket_size)
         .select("band_idx", "band_hash")
+        .persist()
     )
+    # Materialize ONCE: the anti-joined frame feeds both sides of the
+    # candidate self-join, and an unpersisted hot set would recompute
+    # its aggregate per consumer. On a normal corpus it is EMPTY — the
+    # guard then costs exactly one counting job and the plan returns to
+    # the unguarded shape (round-6 bench: the always-on anti-join held
+    # the LSH family 1.6-2.9x over floor under the bench's cold-cache
+    # reps; the empty-set short-circuit returned them).
+    if hot.count() == 0:
+        hot.unpersist()
+        return banded
     return banded.join(F.broadcast(hot), ["band_idx", "band_hash"], "left_anti")
 
 
@@ -833,9 +844,21 @@ def incremental_minhash_lsh(
             .agg(F.count(F.lit(1)).alias("_occ"))
             .filter(F.col("_occ") > max_bucket_size)
             .select("band_idx", "band_hash")
+            .persist()
         )
-        band_c = band_c.join(F.broadcast(hot), ["band_idx", "band_hash"], "left_anti")
-        band_b = band_b.join(F.broadcast(hot), ["band_idx", "band_hash"], "left_anti")
+        # materialize once + empty-set short-circuit, exactly like
+        # _cap_band_buckets: the hot set feeds two anti-joins, and on a
+        # normal corpus it is empty — the guard then costs one counting
+        # job and the probe plan stays the unguarded shape
+        if hot.count() == 0:
+            hot.unpersist()
+        else:
+            band_c = band_c.join(
+                F.broadcast(hot), ["band_idx", "band_hash"], "left_anti"
+            )
+            band_b = band_b.join(
+                F.broadcast(hot), ["band_idx", "band_hash"], "left_anti"
+            )
 
     new_old = (
         F.broadcast(band_b.alias("b"))
