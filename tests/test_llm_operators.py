@@ -1456,3 +1456,32 @@ def test_incremental_lsh_cap_equals_capped_full_restriction(spark):
     # the real cross pair survived; the flooded bucket was capped out
     assert ("b_real", "c_real") in inc
     assert not any("flood" in a or "flood" in b for a, b in inc)
+
+
+def test_ivfpq_recall_and_plan(spark, sf_dir):
+    """The IVF-PQ composite must (a) return exact-cosine-ranked rows
+    whose scores match brute force for the ids it surfaces, (b) reach
+    useful recall@10 on the fixture corpus, and (c) never plan an
+    unbounded cartesian (the only nested-loop joins are the bounded
+    8-row centroid broadcasts)."""
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") < 5)
+    approx = ivfpq_topk(emb, qs, k=10, n_centroids=8, nprobe=2, n_cand=20)
+    exact = brute_force_topk(emb, qs, k=10)
+    a = {(r["query_id"], r["vec_id"]): round(r["cosine"], 6) for r in approx.collect()}
+    e = {(r["query_id"], r["vec_id"]): round(r["cosine"], 6) for r in exact.collect()}
+    # surfaced pairs carry the exact cosine (rerank is exact)
+    for key, c in a.items():
+        if key in e:
+            assert abs(c - e[key]) < 1e-9
+    recall = len(set(a) & set(e)) / len(e)
+    assert recall >= 0.2, f"recall@10 collapsed: {recall}"
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan

@@ -575,3 +575,33 @@ def test_orc_scan_pushes_filter_and_prunes_columns(spark, tmp_path):
     # projection pruned: the pad column never reaches the scan schema
     assert "padding" not in plan.split("ReadSchema")[1].split("\n")[0]
     assert q.count() == 7
+
+
+def test_mor_asof_filter_reaches_the_scan(spark, tmp_path):
+    """Time travel must prune at the scan, not post-fold: the
+    _seq <= as_of filter has to appear in the parquet scan's pushed
+    data filters so a snapshot read never shuffles rows newer than the
+    snapshot."""
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.sources.warehouse import (
+        mor_apply_changes,
+        mor_read,
+        mor_write_base,
+    )
+
+    base = spark.createDataFrame([(i, i) for i in range(10)], ["k", "v"])
+    path = str(tmp_path / "m")
+    mor_write_base(base, path)
+    mor_apply_changes(
+        spark, path, ["k"],
+        upserts=spark.createDataFrame([(1, 99)], ["k", "v"]),
+    )
+    plan = (
+        mor_read(spark, path, ["k"], as_of_seq=0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    scan_lines = [l for l in plan.split("\n") if "FileScan parquet" in l]
+    assert any("_seq" in l and "<= 0" in l for l in scan_lines), scan_lines
