@@ -306,12 +306,21 @@ def _tombstone_path(index_path: str) -> str:
     return os.path.join(index_path, "_tombstones")
 
 
-def _apply_tombstones(spark, index_path: str, idx: DataFrame, id_col: str) -> DataFrame:
+def _apply_tombstones(
+    spark,
+    index_path: str,
+    idx: DataFrame,
+    id_col: str,
+    as_of_seq: int | None = None,
+) -> DataFrame:
     """Liveness filter for an upserted index: a row survives iff no
     tombstone for its id carries a NEWER sequence number (each upsert
     batch tombstones the ids it re-ingests/deletes at its own seq).
     Pre-upsert indexes (no seq column / no tombstone dir) pass through
-    unchanged.
+    unchanged. ``as_of_seq`` time-travels exactly like
+    sources/warehouse.py mor_read: rows and tombstones with
+    seq > as_of are invisible (0 = the index as originally written, or
+    as of the last compaction, which resets history to seq 0).
 
     Existence is checked through the Hadoop FileSystem API so hdfs://
     and s3a:// index paths resolve their tombstones exactly like
@@ -326,16 +335,17 @@ def _apply_tombstones(spark, index_path: str, idx: DataFrame, id_col: str) -> Da
     version."""
     if "seq" not in idx.columns:
         idx = idx.withColumn("seq", F.lit(0).cast("long"))
+    if as_of_seq is not None:
+        idx = idx.filter(F.col("seq") <= int(as_of_seq))
     from shared_etl_pipelines_spark.engine import fs_exists
 
     tpath = _tombstone_path(index_path)
     if not fs_exists(spark, tpath):
         return idx
-    tomb = (
-        spark.read.parquet(tpath)
-        .groupBy(F.col(id_col))
-        .agg(F.max("seq").alias("_dead_seq"))
-    )
+    tomb = spark.read.parquet(tpath)
+    if as_of_seq is not None:
+        tomb = tomb.filter(F.col("seq") <= int(as_of_seq))
+    tomb = tomb.groupBy(F.col(id_col)).agg(F.max("seq").alias("_dead_seq"))
     live = (
         idx.join(F.broadcast(tomb), id_col, "left")
         .filter(F.col("_dead_seq").isNull() | (F.col("seq") >= F.col("_dead_seq")))
@@ -476,6 +486,7 @@ def lsh_topk_from_index(
     n_planes: int = 4,
     dim: int = 64,
     n_tables: int = 4,
+    as_of_seq: int | None = None,
 ) -> DataFrame:
     """Query the materialized index with PARTITION PRUNING: the query
     batch's bucket ids are computed driver-side (a query batch is small
@@ -483,7 +494,12 @@ def lsh_topk_from_index(
     literal (tbl, bucket) predicates, so the scan touches only the
     probed bucket directories — ~L*|queries| partitions of the corpus,
     never a full scan. Results are identical to ``lsh_bucket_topk`` for
-    the same plane family (verified in tests)."""
+    the same plane family (verified in tests). ``as_of_seq`` probes a
+    historical snapshot of the index (versions and tombstones with
+    seq > as_of invisible — the vector-store twin of mor_read time
+    travel; snapshot depth is bounded by the last compaction), at the
+    same cost as a current probe: the seq filter composes with the
+    bucket-pruned scan."""
     qs = _prep(queries, id_col, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col("v").alias("qv"),
@@ -510,7 +526,7 @@ def lsh_topk_from_index(
         pred = F.lit(False)
 
     idx = spark.read.parquet(index_path).filter(pred)
-    idx = _apply_tombstones(spark, index_path, idx, id_col)
+    idx = _apply_tombstones(spark, index_path, idx, id_col, as_of_seq=as_of_seq)
     pairs = (
         F.broadcast(qb)
         .join(idx, ["tbl", "bucket"])

@@ -910,6 +910,9 @@ _CARRYOVER_FIRST = (
     # round-6 session-2: Welch two-sample t-test from exact integer
     # moments
     "ab_welch_ttest",
+    # round-6 session-2: ANN index time travel (as_of_seq snapshot
+    # probe — the vector-store twin of mor_orders_time_travel)
+    "ann_index_asof_topk",
 )
 
 

@@ -6161,3 +6161,78 @@ def q_similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_cand=20,
     )
     return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# ANN index time travel (operators/similarity.py lsh_topk_from_index
+# as_of_seq — the vector-store twin of mor_orders_time_travel): probe
+# the SAME upserted index as ann_index_upsert_topk but at snapshot 0,
+# before the re-embed/delete batch. Versions and tombstones with
+# seq > 0 are invisible and the seq filter composes with the
+# bucket-pruned scan, so the historical probe costs what a current
+# probe costs. The oracle is the SRP-LSH top-k over the ORIGINAL
+# corpus — any leakage of the upserted vectors or tombstones into the
+# snapshot fails the hash.
+# ---------------------------------------------------------------------------
+@defquery(
+    "ann_index_asof_topk",
+    f"""
+    WITH base AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    e AS ({{union_sql}}),
+    q AS (SELECT vec_id AS query_id, tbl, bucket FROM e WHERE vec_id < 5),
+    pairs AS (
+      SELECT DISTINCT query_id, e.vec_id
+      FROM q JOIN e USING (tbl, bucket) WHERE e.vec_id <> query_id
+    ),
+    s AS (
+      SELECT p.query_id, p.vec_id, list_cosine_similarity(qb.v, eb.v) AS c
+      FROM pairs p
+      JOIN base qb ON qb.vec_id = p.query_id
+      JOIN base eb ON eb.vec_id = p.vec_id
+    ),
+    r AS (
+      SELECT query_id, vec_id, c,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rn
+      FROM s
+    )
+    SELECT query_id, vec_id, ROUND(c, 4) AS cosine, rn FROM r WHERE rn <= 10
+    """.replace("{union_sql}", _lsh_tables_union_sql(4, 64, 4)),
+    doc="snapshot probe of the upserted ANN index at seq 0: as_of_seq "
+    "hides the re-embed batch and its tombstones, so results equal the "
+    "LSH top-k over the ORIGINAL corpus — time travel for the vector "
+    "store at current-probe cost",
+    tags=("llm", "similarity", "lsh", "warehouse", "time-travel", "scale-path"),
+)
+def q_ann_index_asof_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from shared_etl_pipelines_spark.operators.similarity import (
+        ann_index_upsert,
+        lsh_topk_from_index,
+        write_ann_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_mtime_ns}_{st.st_size}"
+    except OSError:
+        fp = "nostat"
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}"
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_ann_upsert_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        write_ann_index(emb, path)
+        batch = emb.filter(F.col("vec_id") % 10 == 3).select(
+            "vec_id", F.reverse("embedding").alias("embedding")
+        )
+        deletes = emb.filter(F.col("vec_id") % 10 == 7).select("vec_id")
+        ann_index_upsert(spark, path, batch=batch, delete_ids=deletes)
+    # probe with the ORIGINAL query vectors: the snapshot predates the batch
+    out = lsh_topk_from_index(
+        spark, path, emb.filter(F.col("vec_id") < 5), k=10, as_of_seq=0
+    )
+    return round_floats(out)

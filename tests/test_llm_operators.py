@@ -1485,3 +1485,47 @@ def test_ivfpq_recall_and_plan(spark, sf_dir):
     assert recall >= 0.2, f"recall@10 collapsed: {recall}"
     plan = approx._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_ann_index_asof_probe_equals_pre_upsert_index(spark, sf_dir, tmp_path):
+    """as_of_seq=0 must reproduce the pre-upsert probe exactly — the
+    re-embedded vectors and tombstones stay invisible — while the
+    current probe reflects the batch."""
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.operators.similarity import (
+        ann_index_upsert,
+        lsh_topk_from_index,
+        write_ann_index,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < 200
+    )
+    p0 = str(tmp_path / "idx_frozen")
+    p1 = str(tmp_path / "idx_live")
+    write_ann_index(emb, p0)
+    write_ann_index(emb, p1)
+    qs = emb.filter(F.col("vec_id") < 3)
+    ann_index_upsert(
+        spark,
+        p1,
+        batch=emb.filter(F.col("vec_id") % 10 == 3).select(
+            "vec_id", F.reverse("embedding").alias("embedding")
+        ),
+        delete_ids=emb.filter(F.col("vec_id") % 10 == 7).select("vec_id"),
+    )
+
+    def rows(df):
+        return {
+            (r["query_id"], r["rn"]): (r["vec_id"], round(r["cosine"], 6))
+            for r in df.collect()
+        }
+
+    frozen = rows(lsh_topk_from_index(spark, p0, qs, k=10))
+    asof = rows(lsh_topk_from_index(spark, p1, qs, k=10, as_of_seq=0))
+    current = rows(lsh_topk_from_index(spark, p1, qs, k=10))
+    assert asof == frozen
+    assert current != frozen  # deletes/re-embeds visible at the head
+    cur_ids = {v[0] for v in current.values()}
+    assert not any(i % 10 == 7 for i in cur_ids)  # deleted ids gone now
