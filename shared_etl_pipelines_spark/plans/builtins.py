@@ -750,13 +750,20 @@ def ann_index_topk_plugin(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    as_of_seq: int | None = None,
     **kw: Any,
 ) -> dict[str, Any]:
     from shared_etl_pipelines_spark.operators.similarity import lsh_topk_from_index
 
     return {
         "df": lsh_topk_from_index(
-            ctx.spark, path, queries, id_col=id_col, vec_col=vec_col, k=int(k)
+            ctx.spark,
+            path,
+            queries,
+            id_col=id_col,
+            vec_col=vec_col,
+            k=int(k),
+            as_of_seq=as_of_seq,
         )
     }
 

@@ -605,3 +605,36 @@ def test_mor_asof_filter_reaches_the_scan(spark, tmp_path):
     )
     scan_lines = [l for l in plan.split("\n") if "FileScan parquet" in l]
     assert any("_seq" in l and "<= 0" in l for l in scan_lines), scan_lines
+
+
+def test_mor_point_lookup_prunes_at_scan(spark, tmp_path):
+    """A key predicate applied AFTER mor_read must reach the parquet
+    scan: the latest-per-key window partitions by the key, so Catalyst
+    pushes key filters through the fold — point lookups on a MoR table
+    read only the matching rows, never the table."""
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.sources.warehouse import (
+        mor_apply_changes,
+        mor_read,
+        mor_write_base,
+    )
+
+    base = spark.createDataFrame([(i, i) for i in range(100)], ["k", "v"])
+    path = str(tmp_path / "m")
+    mor_write_base(base, path)
+    mor_apply_changes(
+        spark, path, ["k"],
+        upserts=spark.createDataFrame([(1, 99)], ["k", "v"]),
+        delete_keys=spark.createDataFrame([(7,)], ["k"]),
+    )
+    df = mor_read(spark, path, ["k"]).filter(F.col("k") == 9)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scans = [
+        l for l in plan.split("\n")
+        if "FileScan parquet" in l and "_deletes" not in l
+    ]
+    assert any("(k" in l and "= 9)" in l for l in scans), scans
+    assert [r["v"] for r in df.collect()] == [9]
+    # a deleted key's lookup is empty, still scan-pruned
+    assert mor_read(spark, path, ["k"]).filter(F.col("k") == 7).count() == 0
