@@ -489,19 +489,15 @@ def mor_apply_changes_bucketed(
     return {"seq": seq, "rows_appended": int(n_new), "keys_tombstoned": int(n_dead)}
 
 
-def mor_read_bucketed(
+def _mor_state_bucketed(
     spark: SparkSession,
     table: str,
     key_cols: list[str],
     as_of_seq: int | None = None,
 ) -> DataFrame:
-    """Current state of a bucketed merge-on-read table with ZERO
-    exchanges: the latest-version window and the tombstone merge both
-    consume the bucket layout directly. Semantics identical to
-    ``mor_read`` (latest row per key unless a newer tombstone kills
-    it), including ``as_of_seq`` time travel — the seq filter prunes
-    before the (exchange-free) window, so a snapshot read costs the
-    same as a current read."""
+    """Latest surviving row per key of a bucketed MoR table (``_seq``
+    retained), as of ``as_of_seq`` — the zero-exchange fold behind
+    ``mor_read_bucketed`` and ``mor_changelog_bucketed``."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
@@ -525,7 +521,67 @@ def mor_read_bucketed(
             .filter(F.col("_dead_seq").isNull() | (F.col("_seq") >= F.col("_dead_seq")))
             .drop("_dead_seq")
         )
-    return latest.drop("_seq")
+    return latest
+
+
+def mor_read_bucketed(
+    spark: SparkSession,
+    table: str,
+    key_cols: list[str],
+    as_of_seq: int | None = None,
+) -> DataFrame:
+    """Current state of a bucketed merge-on-read table with ZERO
+    exchanges: the latest-version window and the tombstone merge both
+    consume the bucket layout directly. Semantics identical to
+    ``mor_read`` (latest row per key unless a newer tombstone kills
+    it), including ``as_of_seq`` time travel — the seq filter prunes
+    before the (exchange-free) window, so a snapshot read costs the
+    same as a current read."""
+    return _mor_state_bucketed(spark, table, key_cols, as_of_seq).drop("_seq")
+
+
+def mor_changelog_bucketed(
+    spark: SparkSession,
+    table: str,
+    key_cols: list[str],
+    from_seq: int,
+    to_seq: int,
+) -> DataFrame:
+    """CDC read of a bucketed MoR table — ``mor_changelog`` semantics
+    (insert/update/delete by row version, postimage on upsert, preimage
+    on delete, endpoint collapsing) with the bucketed layout's cost
+    profile: both as-of folds AND the full-outer key join consume the
+    bucket clustering, so the whole changelog plans with ZERO shuffle
+    exchanges (gated in tests) — at 100 TB a CDC read costs two sorted
+    bucket scans, never a shuffle of the table."""
+    from pyspark.sql import functions as F
+
+    old = _mor_state_bucketed(spark, table, key_cols, from_seq)
+    new = _mor_state_bucketed(spark, table, key_cols, to_seq)
+    val_cols = [c for c in new.columns if c not in key_cols and c != "_seq"]
+    o = old.select(
+        *key_cols,
+        F.col("_seq").alias("_from_seq"),
+        *[F.col(c).alias(f"_from_{c}") for c in val_cols],
+    )
+    n = new.select(*key_cols, F.col("_seq").alias("_to_seq"), *val_cols)
+    j = o.join(n, key_cols, "full_outer")
+    op = (
+        F.when(F.col("_to_seq").isNull(), F.lit("delete"))
+        .when(F.col("_from_seq").isNull(), F.lit("insert"))
+        .when(F.col("_to_seq") != F.col("_from_seq"), F.lit("update"))
+    )
+    picked = [
+        F.when(F.col("_to_seq").isNull(), F.col(f"_from_{c}"))
+        .otherwise(F.col(c))
+        .alias(c)
+        for c in val_cols
+    ]
+    return (
+        j.withColumn("_op", op)
+        .filter(F.col("_op").isNotNull())
+        .select(*key_cols, *picked, "_op")
+    )
 
 
 def mor_compact_bucketed(

@@ -638,3 +638,63 @@ def test_mor_point_lookup_prunes_at_scan(spark, tmp_path):
     assert [r["v"] for r in df.collect()] == [9]
     # a deleted key's lookup is empty, still scan-pruned
     assert mor_read(spark, path, ["k"]).filter(F.col("k") == 7).count() == 0
+
+
+def test_mor_changelog_bucketed_parity_and_zero_exchange(spark, tmp_path):
+    """The bucketed changelog must (a) emit exactly the path-based
+    changelog's rows for the same batches, and (b) plan with ZERO
+    shuffle exchanges — two bucket-clustered folds and a co-located
+    full-outer key join."""
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.sources.warehouse import (
+        mor_apply_changes,
+        mor_apply_changes_bucketed,
+        mor_changelog,
+        mor_changelog_bucketed,
+        mor_create_bucketed,
+        mor_write_base,
+    )
+
+    base = spark.createDataFrame([(i, f"v{i}") for i in range(30)], ["k", "val"])
+    ups = base.filter(F.col("k") % 3 == 0).select(
+        "k", F.concat(F.lit("u"), F.col("k")).alias("val")
+    )
+    dels = spark.createDataFrame([(2,), (4,)], ["k"])
+
+    path = str(tmp_path / "m")
+    mor_write_base(base, path)
+    mor_apply_changes(spark, path, ["k"], upserts=ups, delete_keys=dels)
+
+    tbl = "t_mor_cdc_bucketed"
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    for t in (tbl, f"{tbl}__tombstones"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        # a stale managed-table dir from a previous session (in-memory
+        # catalog forgets tables; the warehouse dir does not) blocks
+        # saveAsTable with LOCATION_ALREADY_EXISTS — clear it
+        from shared_etl_pipelines_spark.engine import hadoop_fs
+
+        fs, jp = hadoop_fs(spark, os.path.join(wh, t))
+        if fs.exists(jp):
+            fs.delete(jp, True)
+    mor_create_bucketed(base, tbl, ["k"], n_buckets=4)
+    mor_apply_changes_bucketed(
+        spark, tbl, ["k"], upserts=ups, delete_keys=dels, n_buckets=4
+    )
+
+    want = {
+        r["k"]: (r["_op"], r["val"])
+        for r in mor_changelog(spark, path, ["k"], 0, 1).collect()
+    }
+    bucketed = mor_changelog_bucketed(spark, tbl, ["k"], 0, 1)
+    got = {r["k"]: (r["_op"], r["val"]) for r in bucketed.collect()}
+    assert got == want and want  # layout never changes CDC semantics
+
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    # zero SHUFFLE exchanges: the folds and the full-outer key join all
+    # consume the bucket clustering; the only exchanges are broadcasts
+    # of the change-batch-sized tombstone aggregates
+    assert "Exchange hashpartitioning" not in plan, plan
+    for t in (tbl, f"{tbl}__tombstones"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
