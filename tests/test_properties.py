@@ -254,3 +254,91 @@ def test_warc_round_trip_property(recs, gz):
         (u, p, t) for (u, p, t) in recs
     ]
     assert all(r["content_length"] == len(p) for r, (_, p, _) in zip(out, recs))
+
+
+@given(
+    st.lists(  # a batch: (upsert key->val map, delete key set)
+        st.tuples(
+            st.dictionaries(st.integers(0, 11), st.integers(0, 99), max_size=6),
+            st.sets(st.integers(0, 11), max_size=4),
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+@settings(max_examples=8, deadline=None)
+def test_mor_state_machine_matches_dict_model(spark, tmp_path_factory, batches):
+    """Model-based check of the merge-on-read state machine: a random
+    sequence of upsert/delete batches applied through mor_apply_changes
+    must reproduce a plain dict fold — at EVERY snapshot (as_of_seq),
+    and the changelog between consecutive snapshots must equal the
+    model's diff (postimage on upsert, preimage on delete, silence on
+    unchanged). Same-batch delete+upsert resolves to the upsert, exactly
+    like the model applies deletes before upserts."""
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.sources.warehouse import (
+        mor_apply_changes,
+        mor_changelog,
+        mor_read,
+        mor_write_base,
+    )
+
+    base_keys = range(8)
+    path = str(tmp_path_factory.mktemp("morprop") / "t")
+    base = spark.createDataFrame([(k, -1) for k in base_keys], ["k", "v"])
+    mor_write_base(base, path)
+
+    model = {k: -1 for k in base_keys}
+    snapshots = [dict(model)]
+    applied = [
+        ({0: 0} if (not ups and not dels) else ups, dels)
+        for ups, dels in batches  # mor_apply_changes no-ops on empty
+    ]
+    for ups, dels in applied:
+        mor_apply_changes(
+            spark,
+            path,
+            ["k"],
+            upserts=spark.createDataFrame(
+                [(k, v) for k, v in sorted(ups.items())], ["k", "v"]
+            )
+            if ups
+            else None,
+            delete_keys=spark.createDataFrame(
+                [(k,) for k in sorted(dels)], ["k"]
+            )
+            if dels
+            else None,
+        )
+        for k in dels:
+            model.pop(k, None)
+        model.update(ups)  # same-batch delete+upsert: upsert wins
+        snapshots.append(dict(model))
+
+    for s, want in enumerate(snapshots):
+        got = {
+            r["k"]: r["v"]
+            for r in mor_read(spark, path, ["k"], as_of_seq=s).collect()
+        }
+        assert got == want, f"snapshot {s}: {got} != {want}"
+
+    for s in range(1, len(snapshots)):
+        prev, cur = snapshots[s - 1], snapshots[s]
+        want_ops = {}
+        for k in prev.keys() - cur.keys():
+            want_ops[k] = ("delete", prev[k])
+        for k in cur.keys() - prev.keys():
+            want_ops[k] = ("insert", cur[k])
+        for k in cur.keys() & prev.keys():
+            # version-identity CDC: a re-upserted key emits update even
+            # if the value happens to match; the model flags keys the
+            # batch touched
+            ups, _dels = applied[s - 1]
+            if k in ups:
+                want_ops[k] = ("update", cur[k])
+        got_ops = {
+            r["k"]: (r["_op"], r["v"])
+            for r in mor_changelog(spark, path, ["k"], s - 1, s).collect()
+        }
+        assert got_ops == want_ops, f"window {s-1}->{s}"
