@@ -913,6 +913,9 @@ _CARRYOVER_FIRST = (
     # round-6 session-2: ANN index time travel (as_of_seq snapshot
     # probe — the vector-store twin of mor_orders_time_travel)
     "ann_index_asof_topk",
+    # round-6 session-2: streaming vector-index maintenance (change
+    # feed -> foreachBatch -> ann_index_upsert; probe == final corpus)
+    "stream_ann_index_upsert",
 )
 
 

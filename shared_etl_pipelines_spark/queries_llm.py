@@ -6236,3 +6236,156 @@ def q_ann_index_asof_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, path, emb.filter(F.col("vec_id") < 5), k=10, as_of_seq=0
     )
     return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# Streaming vector-index maintenance — the continuous-ingest shape a
+# production vector store actually runs: a change feed (drop directory,
+# one micro-batch per file via maxFilesPerTrigger, oldest-first) drains
+# through foreachBatch into ann_index_upsert (O(|batch|) bucket-
+# partition appends + tombstones, never an index rebuild), and the
+# post-drain probe must equal the SRP-LSH top-k over the FINAL corpus
+# state — the same oracle contract as batch-mode ann_index_upsert_topk,
+# with max_seq = 2 pinning that the feed really arrived as two ordered
+# micro-batches. Composes the two judged pieces (streaming CDC drain +
+# incremental index maintenance) end to end.
+# ---------------------------------------------------------------------------
+@defquery(
+    "stream_ann_index_upsert",
+    f"""
+    WITH base AS (
+      SELECT vec_id,
+             CASE WHEN vec_id % 10 = 3
+                  THEN list_reverse(CAST(embedding AS DOUBLE[]))
+                  ELSE CAST(embedding AS DOUBLE[]) END AS v
+      FROM embeddings WHERE vec_id % 10 <> 7
+    ),
+    e AS ({{union_sql}}),
+    q AS (SELECT vec_id AS query_id, tbl, bucket FROM e WHERE vec_id < 5),
+    pairs AS (
+      SELECT DISTINCT query_id, e.vec_id
+      FROM q JOIN e USING (tbl, bucket) WHERE e.vec_id <> query_id
+    ),
+    s AS (
+      SELECT p.query_id, p.vec_id, list_cosine_similarity(qb.v, eb.v) AS c
+      FROM pairs p
+      JOIN base qb ON qb.vec_id = p.query_id
+      JOIN base eb ON eb.vec_id = p.vec_id
+    ),
+    r AS (
+      SELECT query_id, vec_id, c,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rn
+      FROM s
+    )
+    SELECT query_id, vec_id, ROUND(c, 4) AS cosine, rn,
+           CAST(2 AS BIGINT) AS max_seq
+    FROM r WHERE rn <= 10
+    """.replace("{union_sql}", _lsh_tables_union_sql(4, 64, 4)),
+    doc="streaming change feed (one micro-batch per file) maintaining "
+    "the materialized ANN index through foreachBatch upserts: the "
+    "post-drain probe equals the LSH top-k over the final corpus, and "
+    "max_seq = 2 proves two ordered micro-batches landed",
+    tags=("streaming", "similarity", "lsh", "warehouse", "scale-path"),
+)
+def q_stream_ann_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from shared_etl_pipelines_spark.operators.similarity import (
+        ann_index_upsert,
+        lsh_topk_from_index,
+        write_ann_index,
+    )
+    from shared_etl_pipelines_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="spark_graft_ann_stream_")
+    try:
+        index = os.path.join(root, "index")
+        drop = os.path.join(root, "drop")
+        os.makedirs(drop)
+        write_ann_index(emb, index)
+        feeds = [
+            emb.filter(F.col("vec_id") % 10 == 3).select(
+                "vec_id",
+                F.reverse("embedding").alias("embedding"),
+                F.lit("upsert").alias("op"),
+            ),
+            emb.filter(F.col("vec_id") % 10 == 7).select(
+                "vec_id", "embedding", F.lit("delete").alias("op")
+            ),
+        ]
+        now = time.time()
+        for i, b in enumerate(feeds):
+            stage = os.path.join(root, f"stage{i}")
+            b.coalesce(1).write.parquet(stage)
+            (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+            dst = os.path.join(drop, f"b{i:03d}.parquet")
+            shutil.move(part, dst)
+            shutil.rmtree(stage)
+            os.utime(dst, (now + 10 * i, now + 10 * i))
+
+        schema = spark.read.parquet(os.path.join(drop, "b000.parquet")).schema
+
+        def apply_batch(bdf: DataFrame, _bid: int) -> None:
+            bdf = bdf.withColumn("_src", F.input_file_name())
+            for (src,) in sorted(bdf.select("_src").distinct().collect()):
+                one = bdf.filter(F.col("_src") == src)
+                ups = one.filter(F.col("op") == "upsert").select(
+                    "vec_id", "embedding"
+                )
+                dels = one.filter(F.col("op") == "delete").select("vec_id")
+                ann_index_upsert(
+                    spark,
+                    index,
+                    batch=ups if ups.limit(1).count() else None,
+                    delete_ids=dels if dels.limit(1).count() else None,
+                )
+
+        feed = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(drop)
+        )
+        key = "spark.sql.shuffle.partitions"
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, "8")
+        try:
+            q = (
+                feed.writeStream.foreachBatch(apply_batch)
+                .option("checkpointLocation", os.path.join(root, "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            if not q.awaitTermination(300):
+                q.stop()
+                raise TimeoutError("stream_ann_index_upsert drain exceeded 300s")
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+
+        max_seq = (
+            spark.read.parquet(os.path.join(index, "_tombstones"))
+            .agg(F.max("seq"))
+            .collect()[0][0]
+        )
+        final_state = emb.filter(F.col("vec_id") % 10 != 7).select(
+            "vec_id",
+            F.when(F.col("vec_id") % 10 == 3, F.reverse("embedding"))
+            .otherwise(F.col("embedding"))
+            .alias("embedding"),
+        )
+        out = lsh_topk_from_index(
+            spark, index, final_state.filter(F.col("vec_id") < 5), k=10
+        ).withColumn("max_seq", F.lit(int(max_seq)).cast("long"))
+        out = round_floats(out)
+        rows = out.collect()  # 50 rows — lets the scratch index go
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
