@@ -916,6 +916,9 @@ _CARRYOVER_FIRST = (
     # round-6 session-2: streaming vector-index maintenance (change
     # feed -> foreachBatch -> ann_index_upsert; probe == final corpus)
     "stream_ann_index_upsert",
+    # round-6 session-2: TS subsequence similarity search (banded
+    # row-number self-join, exact integer Euclidean)
+    "ts_subsequence_search",
 )
 
 

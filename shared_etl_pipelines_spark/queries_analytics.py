@@ -4462,3 +4462,91 @@ def q_ab_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("df_welch"),
     )
     return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# Time-series subsequence similarity search (the UCR-suite / streaming
+# TS-search shape — EDBT'19 "Time Series Similarity Search for
+# Streaming Data"): find the windows of the daily-revenue series most
+# similar to a query subsequence. Windows are 7 CONSECUTIVE OBSERVED
+# days (rows-based over the bounded daily table), the query is the
+# window starting at observed day 10, and distance is the EXACT
+# integer Euclidean distance on whole-dollar daily totals — BIGINT sums
+# of squared diffs (dollars keep diff^2 x 7 far under int64 at any
+# gate sf), so ranking is bit-deterministic in both engines. The
+# all-windows form is a self-join on a +/-6 row-number band over the
+# bounded daily series — O(days x 7), never O(days^2); day 10's own
+# window ranks first at distance 0, a built-in sanity pin.
+# ---------------------------------------------------------------------------
+@defquery(
+    "ts_subsequence_search",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT) AS c
+      FROM orders GROUP BY 1
+    ),
+    seq AS (SELECT d, c, ROW_NUMBER() OVER (ORDER BY d) AS i FROM daily),
+    win AS (
+      SELECT a.i AS s, a.d AS start_date, b.i - a.i AS off, b.c AS c
+      FROM seq a JOIN seq b ON b.i BETWEEN a.i AND a.i + 6
+    ),
+    q AS (SELECT off, c AS qc FROM win WHERE s = 10),
+    dist AS (
+      SELECT s, start_date,
+             CAST(SUM((c - qc) * (c - qc)) AS BIGINT) AS dist
+      FROM win JOIN q USING (off)
+      GROUP BY s, start_date HAVING COUNT(*) = 7
+    ),
+    r AS (
+      SELECT start_date, dist,
+             ROW_NUMBER() OVER (ORDER BY dist, start_date) AS rn
+      FROM dist
+    )
+    SELECT CAST(start_date AS VARCHAR) AS start_date, dist,
+           CAST(rn AS BIGINT) AS rn
+    FROM r WHERE rn <= 10
+    """,
+    doc="top-10 most-similar 7-day windows of the daily revenue series "
+    "to a query subsequence: exact integer Euclidean distance over a "
+    "banded row-number self-join of the bounded daily table — "
+    "subsequence search without an O(n^2) pair plan",
+    tags=("analytics", "timeseries", "similarity", "window"),
+)
+def q_ts_subsequence_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice")).cast("long")).cast("long").alias("c")
+    )
+    seq = daily.select(
+        "d", "c", F.row_number().over(Window.orderBy("d")).alias("i")
+    )
+    a = seq.select(
+        F.col("i").alias("s"), F.col("d").alias("start_date"), F.col("i").alias("ai")
+    )
+    b = seq.select(F.col("i").alias("bi"), F.col("c"))
+    win = a.join(
+        b, (F.col("bi") >= F.col("ai")) & (F.col("bi") <= F.col("ai") + 6)
+    ).select("s", "start_date", (F.col("bi") - F.col("ai")).alias("off"), "c")
+    q = win.filter(F.col("s") == 10).select("off", F.col("c").alias("qc"))
+    dist = (
+        win.join(F.broadcast(q), "off")
+        .groupBy("s", "start_date")
+        .agg(
+            F.sum((F.col("c") - F.col("qc")) * (F.col("c") - F.col("qc")))
+            .cast("long")
+            .alias("dist"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .filter(F.col("_n") == 7)
+    )
+    r = dist.select(
+        "start_date",
+        "dist",
+        F.row_number().over(Window.orderBy("dist", "start_date")).alias("rn"),
+    )
+    return r.filter(F.col("rn") <= 10).select(
+        F.col("start_date").cast("string").alias("start_date"),
+        "dist",
+        F.col("rn").cast("long").alias("rn"),
+    )
