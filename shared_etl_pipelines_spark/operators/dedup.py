@@ -174,23 +174,28 @@ def _cap_band_buckets(banded: DataFrame, max_bucket_size: int | None) -> DataFra
     how big they were; ``None`` disables the guard."""
     if not max_bucket_size:
         return banded
-    hot = (
+    hot_df = (
         banded.groupBy("band_idx", "band_hash")
         .agg(F.count(F.lit(1)).alias("_occ"))
         .filter(F.col("_occ") > max_bucket_size)
         .select("band_idx", "band_hash")
-        .persist()
     )
-    # Materialize ONCE: the anti-joined frame feeds both sides of the
-    # candidate self-join, and an unpersisted hot set would recompute
-    # its aggregate per consumer. On a normal corpus it is EMPTY — the
-    # guard then costs exactly one counting job and the plan returns to
-    # the unguarded shape (round-6 bench: the always-on anti-join held
-    # the LSH family 1.6-2.9x over floor under the bench's cold-cache
-    # reps; the empty-set short-circuit returned them).
-    if hot.count() == 0:
-        hot.unpersist()
+    # Materialize ONCE by collecting to the driver (ADVICE r6 #4: the
+    # earlier persist() could never be released — the operator returns a
+    # lazy plan, so a non-empty hot set leaked executor storage for
+    # library callers). The hot set is bounded by |rows|/cap buckets and
+    # the anti-join broadcasts it to every executor anyway, so the
+    # collect is the same order as the broadcast it feeds. On a normal
+    # corpus it is EMPTY — the guard then costs exactly one counting job
+    # and the plan returns to the unguarded shape (round-6 bench: the
+    # always-on anti-join held the LSH family 1.6-2.9x over floor under
+    # the bench's cold-cache reps; the empty-set short-circuit returned
+    # them).
+    schema = hot_df.schema
+    hot_rows = hot_df.collect()
+    if not hot_rows:
         return banded
+    hot = banded.sparkSession.createDataFrame(hot_rows, schema)
     return banded.join(F.broadcast(hot), ["band_idx", "band_hash"], "left_anti")
 
 
@@ -837,22 +842,24 @@ def incremental_minhash_lsh(
         # the new_old probe below), so no corpus-wide census happens
         bkeys = band_b.select("band_idx", "band_hash").distinct()
         probed_c = band_c.join(F.broadcast(bkeys), ["band_idx", "band_hash"])
-        hot = (
+        hot_df = (
             probed_c.select("band_idx", "band_hash")
             .unionByName(band_b.select("band_idx", "band_hash"))
             .groupBy("band_idx", "band_hash")
             .agg(F.count(F.lit(1)).alias("_occ"))
             .filter(F.col("_occ") > max_bucket_size)
             .select("band_idx", "band_hash")
-            .persist()
         )
-        # materialize once + empty-set short-circuit, exactly like
-        # _cap_band_buckets: the hot set feeds two anti-joins, and on a
-        # normal corpus it is empty — the guard then costs one counting
-        # job and the probe plan stays the unguarded shape
-        if hot.count() == 0:
-            hot.unpersist()
-        else:
+        # materialize once by collecting to the driver + empty-set
+        # short-circuit, exactly like _cap_band_buckets (ADVICE r6 #4:
+        # the earlier persist leaked — this operator returns a lazy
+        # plan, so nothing could release it). The hot set feeds two
+        # anti-joins that broadcast it anyway; on a normal corpus it is
+        # empty and the probe plan stays the unguarded shape.
+        hot_schema = hot_df.schema
+        hot_rows = hot_df.collect()
+        if hot_rows:
+            hot = batch.sparkSession.createDataFrame(hot_rows, hot_schema)
             band_c = band_c.join(
                 F.broadcast(hot), ["band_idx", "band_hash"], "left_anti"
             )

@@ -457,22 +457,34 @@ def compact_ann_index(
     the dead fraction makes probe scans wasteful — the LSM-style
     compaction every tombstone design needs. (A cluster deployment
     writes the compacted copy to a new location and swaps the catalog
-    pointer; the directory rename here is the local-filesystem analog.)"""
+    pointer; the directory rename here is the local-filesystem analog.)
+
+    Compaction is a WRITER: it takes the same fail-loud ``_ann.lock``
+    as ``ann_index_upsert`` (ADVICE r6 #3) so it can never fold
+    tombstones away while an upsert batch appends. The swap is the
+    commit point; the lock leaves with the old directory."""
     import os
     import shutil
 
-    idx = spark.read.parquet(index_path)
-    live = _apply_tombstones(spark, index_path, idx, id_col).withColumn(
-        "seq", F.lit(0).cast("long")
-    )
-    tmp = index_path.rstrip("/") + ".compacting"
-    live.write.mode("overwrite").partitionBy("tbl", "bucket").parquet(tmp)
-    n = spark.read.parquet(tmp).count()
-    old = index_path.rstrip("/") + ".old"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(index_path, old)
-    os.rename(tmp, index_path)
-    shutil.rmtree(old, ignore_errors=True)
+    from shared_etl_pipelines_spark.engine import acquire_fs_lock, release_fs_lock
+
+    lock = os.path.join(index_path, "_ann.lock")
+    acquire_fs_lock(spark, lock, owner="compact_ann_index")
+    try:
+        idx = spark.read.parquet(index_path)
+        live = _apply_tombstones(spark, index_path, idx, id_col).withColumn(
+            "seq", F.lit(0).cast("long")
+        )
+        tmp = index_path.rstrip("/") + ".compacting"
+        live.write.mode("overwrite").partitionBy("tbl", "bucket").parquet(tmp)
+        n = spark.read.parquet(tmp).count()
+        old = index_path.rstrip("/") + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(index_path, old)
+        os.rename(tmp, index_path)
+        shutil.rmtree(old, ignore_errors=True)
+    finally:
+        release_fs_lock(spark, lock)
     return {"live_rows": int(n)}
 
 

@@ -831,95 +831,74 @@ _R5_GREEN = frozenset(
     }
 )
 
-_JUDGED_GREEN = _R1_GREEN | _R2_GREEN | _R3_GREEN | _R4_GREEN | _R5_GREEN
-
-# sql=None entries that deserve one gate slot this round. Round 6:
-# pagerank_copurchase is the single registry entry with NO driver verdict
-# of any kind (rows-only at best, but 0 verdicts so far). Fronting it
-# once completes cumulative driver coverage at 272/272 (VERDICT r5 #1);
-# it already has a hash-green integer twin (pagerank_one_step).
-_FORCE_FRONT: frozenset[str] = frozenset({"pagerank_copurchase"})
-
-# Round-6 judging window (~50 slots). Mandate (VERDICT r5 #1): finish the
-# driver-verdict backlog — the 42 oracle-bearing never-judged queries
-# (r3 session-3 analytics/geo block) plus rows-only pagerank_copurchase
-# via _FORCE_FRONT. They go FIRST so cumulative coverage closes even if
-# the window shrinks; new round-6 queries and judged-then-modified
-# re-fronts append after them as they land.
-_CARRYOVER_FIRST = (
-    # --- never-judged backlog: similarity/text tail ---
-    "label_centroid_similarity", "nb_train_langid", "hashed_features",
-    "churn_score_logistic", "embedding_quantile_normalize",
-    # --- never-judged backlog: analytics block (registry order) ---
-    "sax_window_vocab", "rolling_corr_14", "psi_drift_check",
-    "rolling_wau", "profile_drift", "conversion_latency",
-    "attribution_last_touch", "markov_event_transitions",
-    "cusum_changepoint", "longest_user_streak", "basket_lift_pairs",
-    "max_concurrent_open_orders", "acf_daily_revenue", "pareto_frontier",
-    "rle_compression_stats", "sequential_patterns", "target_encode_loo",
-    "interval_union_coverage", "benford_first_digit",
-    "incremental_join_refresh", "brand_rank_shift", "new_vs_returning",
-    "conversion_wilson_ci", "key_skew_report", "funnel_within_windows",
-    "join_fanout_audit", "largest_remainder_alloc", "roc_auc_exact",
-    "mutual_information_bins", "forget_cascade_audit",
-    # --- never-judged backlog: geo/raster ---
-    "geo_radius_join", "raster_focal_mean", "geo_nearest_supplier",
-    "shapefile_zone_metrics", "zonal_majority_class",
-    "growing_degree_days", "cell_overlap_weights",
-    # --- the one never-judged sql=None entry (rows-only, _FORCE_FRONT) ---
-    "pagerank_copurchase",
-    # --- new round-6 queries / re-fronts are pinned here as they land ---
-    # storage-maintenance hardening (ADVICE r5 #1/#2 + VERDICT r5 #5):
-    # crash ordering, writer locks, Hadoop-FS tombstone resolution,
-    # reader max-seq dedup; plus the new zero-exchange bucketed MoR twin
-    "mor_orders_state", "mor_orders_state_bucketed",
-    "ann_index_upsert_topk", "similarity_topk_lsh_indexed",
-    # banded-LSH hot-bucket guard (VERDICT r5 #6): shared candidate
-    # machinery gained the default occupancy cap (no-op on the normal
-    # corpus, locally re-verified identical) — re-fronted for fresh
-    # verdicts
-    "near_dup_minhash_lsh", "dedup_clusters", "near_dup_lsh_eval",
-    "near_dup_levenshtein", "incremental_near_dup",
-    # progressive-JPEG fixture rotation (VERDICT r5 next-round #3)
-    "multimodal_jpeg_decode", "image_ahash_neardup_jpeg",
-    # MJPEG AVI frames (VERDICT r5 next-round #4)
-    "video_keyframe_detect", "multimodal_avi_frames",
-    # round-6 session-2: MoR time travel (as_of_seq snapshot reads),
-    # CDC changelog (insert/update/delete with pre/postimages), per-seq
-    # history audit, and add-column schema evolution via merge-schema
-    # reads — the snapshot/CDC layer over the deletion-vector tables
-    "mor_orders_time_travel", "mor_orders_changelog",
-    "mor_history_audit", "mor_schema_evolution",
-    # round-6 session-2: real windowed-FFT spectral inversion through
-    # the WAV codec (two planted tones per doc, closed-form spectra)
-    "audio_spectral_tones",
-    # round-6 session-2: streaming CDC feed -> foreachBatch ->
-    # merge-on-read table; folded state == batch-mode oracle, max_seq
-    # pins the two ordered micro-batches
-    "stream_mor_cdc_apply",
-    # round-6 session-2: exact rank statistics over bounded distinct
-    # tables (two-sample KS drift, Gini/Lorenz inequality) and the ORC
-    # container round trip with plan-gated pushdown
-    "ks_drift_exact", "gini_customer_spend", "orc_roundtrip_pricing",
-    # round-6 session-2: header-only JPEG triage (marker walk, no
-    # entropy decode) and PERMISSIVE CSV quarantine ingestion
-    "jpeg_marker_scan", "csv_quarantine_ingest",
-    # round-6 session-2: IVF-PQ composite ANN (FAISS IVFADC shape),
-    # full composite replayed in the SQL oracle
-    "similarity_topk_ivfpq",
-    # round-6 session-2: Welch two-sample t-test from exact integer
-    # moments
-    "ab_welch_ttest",
-    # round-6 session-2: ANN index time travel (as_of_seq snapshot
-    # probe — the vector-store twin of mor_orders_time_travel)
-    "ann_index_asof_topk",
-    # round-6 session-2: streaming vector-index maintenance (change
-    # feed -> foreachBatch -> ann_index_upsert; probe == final corpus)
-    "stream_ann_index_upsert",
-    # round-6 session-2: TS subsequence similarity search (banded
-    # row-number self-join, exact integer Euclidean)
-    "ts_subsequence_search",
+# CORRECTNESS_r06.json greens: 49 of 50 judged entries passed
+# rows+schema+hash (the 50th, pagerank_copurchase, is sql=None and got
+# its rows-only verdict — cumulative driver coverage of the pre-r6
+# registry is complete). Entries re-fronted THIS round (ADVICE r6
+# fixes touched their builders/shared operators; results locally
+# re-verified identical) are NOT in this set per the re-fronting
+# convention: near_dup_minhash_lsh, dedup_clusters, near_dup_lsh_eval
+# (banded-LSH hot-bucket guard now collects the hot set instead of
+# persisting it), mor_orders_state (fixture .done-marker gating),
+# ann_index_upsert_topk (shared upsert fixture factored + .done gate).
+_R6_GREEN = frozenset(
+    {
+        "acf_daily_revenue", "attribution_last_touch", "basket_lift_pairs",
+        "benford_first_digit", "brand_rank_shift", "cell_overlap_weights",
+        "churn_score_logistic", "conversion_latency", "conversion_wilson_ci",
+        "cusum_changepoint", "embedding_quantile_normalize",
+        "forget_cascade_audit", "funnel_within_windows",
+        "geo_nearest_supplier", "geo_radius_join", "growing_degree_days",
+        "hashed_features", "incremental_join_refresh",
+        "interval_union_coverage", "join_fanout_audit", "key_skew_report",
+        "label_centroid_similarity", "largest_remainder_alloc",
+        "longest_user_streak", "markov_event_transitions",
+        "max_concurrent_open_orders", "mor_orders_state_bucketed",
+        "mutual_information_bins", "nb_train_langid", "new_vs_returning",
+        "pareto_frontier", "profile_drift", "psi_drift_check",
+        "raster_focal_mean", "rle_compression_stats", "roc_auc_exact",
+        "rolling_corr_14", "rolling_wau", "sax_window_vocab",
+        "sequential_patterns", "shapefile_zone_metrics",
+        "similarity_topk_lsh_indexed", "target_encode_loo",
+        "zonal_majority_class",
+    }
 )
+
+_JUDGED_GREEN = (
+    _R1_GREEN | _R2_GREEN | _R3_GREEN | _R4_GREEN | _R5_GREEN | _R6_GREEN
+)
+
+# Round 7: every registry entry now has a driver verdict of some kind
+# (pagerank_copurchase got its rows-only verdict in r6), so no sql=None
+# entry needs a forced slot.
+_FORCE_FRONT: frozenset[str] = frozenset()
+
+# Round-7 judging window (~50 slots). The r6 window judged the first 50
+# entries of the r6 rotation; the 22 entries behind the cut (r6
+# re-fronts whose code changed after their last verdict + the round-6
+# session-2 additions) carry over FIRST, then this round's 5 re-fronts
+# (ADVICE r6 fixes), then new round-7 queries append as they land.
+_CARRYOVER_FIRST = (
+    # --- r6 re-fronts that missed the r6 window (code/fixture changed
+    # after their last verdict: hot-bucket guard, progressive-JPEG and
+    # MJPEG fixture rotation) ---
+    "near_dup_levenshtein", "incremental_near_dup",
+    "multimodal_jpeg_decode", "image_ahash_neardup_jpeg",
+    "video_keyframe_detect", "multimodal_avi_frames",
+    # --- round-6 session-2 additions, never judged ---
+    "mor_orders_time_travel", "mor_orders_changelog", "mor_history_audit",
+    "mor_schema_evolution", "audio_spectral_tones", "stream_mor_cdc_apply",
+    "ks_drift_exact", "gini_customer_spend", "orc_roundtrip_pricing",
+    "jpeg_marker_scan", "csv_quarantine_ingest", "similarity_topk_ivfpq",
+    "ab_welch_ttest", "ann_index_asof_topk", "stream_ann_index_upsert",
+    "ts_subsequence_search",
+    # --- round-7 re-fronts (ADVICE r6: hot-set collect in the banded-
+    # LSH guard; .done-marker fixture gating — results locally
+    # re-verified identical at sf0.01) ---
+    "near_dup_minhash_lsh", "dedup_clusters", "near_dup_lsh_eval",
+    "mor_orders_state", "ann_index_upsert_topk",
+)
+
 
 
 def _rotate_registry() -> None:

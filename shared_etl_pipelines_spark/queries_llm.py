@@ -5759,6 +5759,49 @@ def q_video_keyframe_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_upsert_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per testdata fingerprint) the shared upserted ANN
+    index — full build, then one re-embed/delete batch — and return its
+    path. Shared by ``ann_index_upsert_topk`` (current-state probe) and
+    ``ann_index_asof_topk`` (seq-0 snapshot probe). Gated on a .done
+    marker written AFTER ann_index_upsert completes, not on _SUCCESS
+    (which write_ann_index creates at the initial build — ADVICE r6 #2:
+    a crash in the window would permanently cache a never-upserted
+    index and the probe queries would fail their oracles until tmp was
+    cleared). A partial build is torn down wholesale so appends,
+    tombstones, and a mid-upsert writer lock can never accumulate."""
+    import os
+    import shutil
+    import tempfile
+
+    from shared_etl_pipelines_spark.operators.similarity import (
+        ann_index_upsert,
+        write_ann_index,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_mtime_ns}_{st.st_size}"
+    except OSError:
+        fp = "nostat"
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}"
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_ann_upsert_{tag}")
+    done = path + ".done"
+    if not os.path.exists(done):
+        shutil.rmtree(path, ignore_errors=True)
+        write_ann_index(emb, path)
+        batch = emb.filter(F.col("vec_id") % 10 == 3).select(
+            "vec_id", F.reverse("embedding").alias("embedding")
+        )
+        deletes = emb.filter(F.col("vec_id") % 10 == 7).select("vec_id")
+        ann_index_upsert(spark, path, batch=batch, delete_ids=deletes)
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return path
+
+
 # ---------------------------------------------------------------------------
 # Incremental ANN index maintenance (the vector-store continuous-ingest
 # shape): a full index is built, then ONE upsert batch re-ingests every
@@ -5804,31 +5847,12 @@ def q_video_keyframe_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "similarity", "lsh", "warehouse", "scale-path"),
 )
 def q_ann_index_upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
-
     from shared_etl_pipelines_spark.operators.similarity import (
-        ann_index_upsert,
         lsh_topk_from_index,
-        write_ann_index,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = os.stat(src)
-        fp = f"{st.st_mtime_ns}_{st.st_size}"
-    except OSError:
-        fp = "nostat"
-    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}"
-    path = os.path.join(tempfile.gettempdir(), f"spark_graft_ann_upsert_{tag}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        write_ann_index(emb, path)
-        batch = emb.filter(F.col("vec_id") % 10 == 3).select(
-            "vec_id", F.reverse("embedding").alias("embedding")
-        )
-        deletes = emb.filter(F.col("vec_id") % 10 == 7).select("vec_id")
-        ann_index_upsert(spark, path, batch=batch, delete_ids=deletes)
+    path = _ann_upsert_fixture(spark, sf_dir)
     final_state = emb.filter(F.col("vec_id") % 10 != 7).select(
         "vec_id",
         F.when(F.col("vec_id") % 10 == 3, F.reverse("embedding"))
@@ -6206,31 +6230,12 @@ def q_similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "similarity", "lsh", "warehouse", "time-travel", "scale-path"),
 )
 def q_ann_index_asof_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-    import tempfile
-
     from shared_etl_pipelines_spark.operators.similarity import (
-        ann_index_upsert,
         lsh_topk_from_index,
-        write_ann_index,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = os.stat(src)
-        fp = f"{st.st_mtime_ns}_{st.st_size}"
-    except OSError:
-        fp = "nostat"
-    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}"
-    path = os.path.join(tempfile.gettempdir(), f"spark_graft_ann_upsert_{tag}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        write_ann_index(emb, path)
-        batch = emb.filter(F.col("vec_id") % 10 == 3).select(
-            "vec_id", F.reverse("embedding").alias("embedding")
-        )
-        deletes = emb.filter(F.col("vec_id") % 10 == 7).select("vec_id")
-        ann_index_upsert(spark, path, batch=batch, delete_ids=deletes)
+    path = _ann_upsert_fixture(spark, sf_dir)
     # probe with the ORIGINAL query vectors: the snapshot predates the batch
     out = lsh_topk_from_index(
         spark, path, emb.filter(F.col("vec_id") < 5), k=10, as_of_seq=0

@@ -2783,7 +2783,18 @@ def _mor_orders_fixture(spark: SparkSession, sf_dir: str) -> str:
         fp = "nostat"
     tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}"
     path = os.path.join(tempfile.gettempdir(), f"spark_graft_mor_{tag}")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+    # Gate the cache on a .done marker written AFTER the last change
+    # batch, not on _SUCCESS (which mor_write_base creates at the base
+    # write — BEFORE the batches apply; ADVICE r6 #1: a crash in the
+    # window would permanently cache a half-built fixture and every
+    # mor_* query would silently diverge from its oracle). A partial
+    # build (no marker) is torn down wholesale so appended versions,
+    # tombstones, and a mid-apply writer lock can never accumulate.
+    done = path + ".done"
+    if not os.path.exists(done):
+        import shutil
+
+        shutil.rmtree(path, ignore_errors=True)
         mor_write_base(orders, path)
         k = F.col("o_orderkey")
         mor_apply_changes(
@@ -2807,6 +2818,8 @@ def _mor_orders_fixture(spark: SparkSession, sf_dir: str) -> str:
                 F.lit(1234.5).alias("o_totalprice"),
             ),
         )
+        with open(done, "w") as fh:
+            fh.write("ok")
     return path
 
 

@@ -362,21 +362,41 @@ def mor_history(spark: SparkSession, path: str) -> DataFrame:
 def mor_compact(spark: SparkSession, path: str, key_cols: list[str]) -> dict:
     """Fold change debt to zero: materialize the current state as a new
     version-0 base, atomically swap, drop tombstones (the local-fs
-    analog of a catalog pointer swap)."""
+    analog of a catalog pointer swap).
+
+    Compaction is a WRITER: it folds appended versions + tombstones and
+    replaces the base, so it takes the same fail-loud ``_mor.lock`` as
+    ``mor_apply_changes`` (ADVICE r6 #3 — a compaction racing a change
+    batch would otherwise fold state while the batch appends and
+    silently lose it). The lock lives inside the pre-swap directory;
+    the swap itself is the commit point, after which a new writer may
+    acquire a fresh lock on the new base."""
     import os
     import shutil
 
     from pyspark.sql import functions as F
 
-    live = mor_read(spark, path, key_cols).withColumn("_seq", F.lit(0).cast("long"))
-    tmp = path.rstrip("/") + ".compacting"
-    live.write.mode("overwrite").parquet(tmp)
-    n = spark.read.parquet(tmp).count()
-    old = path.rstrip("/") + ".old"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old, ignore_errors=True)
+    from shared_etl_pipelines_spark.engine import acquire_fs_lock, release_fs_lock
+
+    lock = os.path.join(path, "_mor.lock")
+    acquire_fs_lock(spark, lock, owner="mor_compact")
+    try:
+        live = mor_read(spark, path, key_cols).withColumn(
+            "_seq", F.lit(0).cast("long")
+        )
+        tmp = path.rstrip("/") + ".compacting"
+        live.write.mode("overwrite").parquet(tmp)
+        n = spark.read.parquet(tmp).count()
+        old = path.rstrip("/") + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old, ignore_errors=True)
+    finally:
+        # post-swap the lock left with the old directory (already
+        # deleted); pre-swap failure releases it here — the swap never
+        # half-applies, so there is no torn state to protect.
+        release_fs_lock(spark, lock)
     return {"live_rows": int(n)}
 
 
@@ -592,21 +612,39 @@ def mor_compact_bucketed(
     goes through a staging table then replaces the target — on a
     catalog with atomic RENAME this is the pointer swap; here it is
     overwrite-in-place after materializing the state (staging keeps a
-    failed read from half-applying)."""
+    failed read from half-applying).
+
+    Compaction is a WRITER: it takes the same fail-loud ``_mor.lock``
+    as ``mor_apply_changes_bucketed`` (ADVICE r6 #3) so it can never
+    fold state while a change batch appends. The lock lives at the
+    pre-compaction table location; the staging-table RENAME is the
+    commit point."""
+    import os
+
     from pyspark.sql import functions as F
 
-    state = mor_read_bucketed(spark, table, key_cols).persist()
-    n = state.count()
-    (
-        state.withColumn("_seq", F.lit(0).cast("long"))
-        .write.mode("overwrite")
-        .bucketBy(n_buckets, *key_cols)
-        .sortBy(*key_cols)
-        .format("parquet")
-        .saveAsTable(f"{table}__compacting")
-    )
-    state.unpersist()
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
-    spark.sql(f"ALTER TABLE {table}__compacting RENAME TO {table}")
-    spark.sql(f"DROP TABLE IF EXISTS {_mor_tombstone_table(table)}")
+    from shared_etl_pipelines_spark.engine import acquire_fs_lock, release_fs_lock
+
+    lock = os.path.join(_table_location(spark, table), "_mor.lock")
+    acquire_fs_lock(spark, lock, owner="mor_compact_bucketed")
+    try:
+        state = mor_read_bucketed(spark, table, key_cols).persist()
+        n = state.count()
+        (
+            state.withColumn("_seq", F.lit(0).cast("long"))
+            .write.mode("overwrite")
+            .bucketBy(n_buckets, *key_cols)
+            .sortBy(*key_cols)
+            .format("parquet")
+            .saveAsTable(f"{table}__compacting")
+        )
+        state.unpersist()
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        spark.sql(f"ALTER TABLE {table}__compacting RENAME TO {table}")
+        spark.sql(f"DROP TABLE IF EXISTS {_mor_tombstone_table(table)}")
+    finally:
+        # the DROP TABLE removed the locked location on success; on a
+        # pre-commit failure this releases the lock (nothing half-applied
+        # — the staging table is the only thing written before the swap).
+        release_fs_lock(spark, lock)
     return {"live_rows": int(n)}
