@@ -897,6 +897,9 @@ _CARRYOVER_FIRST = (
     # re-verified identical at sf0.01) ---
     "near_dup_minhash_lsh", "dedup_clusters", "near_dup_lsh_eval",
     "mor_orders_state", "ann_index_upsert_topk",
+    # --- new round-7 queries, pinned as they land ---
+    # native-XML quarantine ingestion (the markup twin of jsonl/csvq)
+    "xml_nested_ingest",
 )
 
 

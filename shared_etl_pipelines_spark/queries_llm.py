@@ -6103,6 +6103,79 @@ def q_csv_quarantine_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# XML ingestion with malformed-record quarantine (sources/xmlq.py — the
+# markup twin of jsonl_nested_ingest / csv_quarantine_ingest, on the
+# XML source Spark 4 ships natively): explicit schema with attribute
+# (_id, _lang) and repeated-element (tag array) mappings, PERMISSIVE +
+# _corrupt_record. An untypeable leaf cell (doc_id % 41) quarantines
+# the record whole while keeping the top-level fields parsed before
+# the failure (_id, source) and nulling the rest (meta, tag) — the
+# partial-parse contract, pinned: sum_doc_id covers BOTH classes while
+# sum_chars/score/tags only the good rows. (Broken MARKUP, by
+# contrast, quarantines the rest of its file — XML can't resync past
+# an unbalanced tag; that failure domain is pinned in tests, not here,
+# because it depends on file sharding, not row content.)
+# ---------------------------------------------------------------------------
+@defquery(
+    "xml_nested_ingest",
+    """
+    WITH f AS (
+      SELECT doc_id AS d, length(text) AS lc,
+             CASE WHEN doc_id % 41 = 0 THEN 'cell' ELSE 'ok' END AS kind
+      FROM documents
+    )
+    SELECT 'crawl-' || CAST(d % 4 AS VARCHAR) AS source,
+           kind,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(d) AS BIGINT) AS sum_doc_id,
+           CAST(SUM(CASE WHEN kind = 'ok' THEN lc ELSE 0 END)
+                AS BIGINT) AS sum_chars,
+           CAST(SUM(CASE WHEN kind = 'ok' THEN d % 100 ELSE 0 END)
+                AS BIGINT) AS sum_score_x10,
+           CAST(SUM(CASE WHEN kind = 'ok' THEN d % 3 ELSE 0 END)
+                AS BIGINT) AS n_tags
+    FROM f GROUP BY 1, 2
+    """,
+    doc="PERMISSIVE XML read (native Spark 4 source, rowTag records, "
+    "attribute + repeated-element schema mappings) with _corrupt_record "
+    "quarantine: untypeable leaf cells quarantine whole while the "
+    "fields parsed before the failure survive — the split and every "
+    "aggregate pinned against the closed-form fixture",
+    tags=("llm", "sources", "xml", "quarantine"),
+)
+def q_xml_nested_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.xmlq import (
+        ensure_demo_xml,
+        read_xml_quarantine,
+    )
+
+    df = read_xml_quarantine(spark, ensure_demo_xml(sf_dir))
+    kind = F.when(F.col("_corrupt_record").isNull(), F.lit("ok")).otherwise(
+        F.lit("cell")
+    )
+    return (
+        df.select(
+            F.col("source"),
+            kind.alias("kind"),
+            F.coalesce(F.col("_id"), F.lit(0)).alias("did"),
+            F.coalesce(F.col("meta.n_chars"), F.lit(0)).alias("nc"),
+            F.coalesce(F.round(F.col("meta.score") * 10), F.lit(0))
+            .cast("long")
+            .alias("score_x10"),
+            F.coalesce(F.size("tag"), F.lit(0)).alias("nt"),
+        )
+        .groupBy("source", "kind")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("did").cast("long").alias("sum_doc_id"),
+            F.sum("nc").cast("long").alias("sum_chars"),
+            F.sum("score_x10").cast("long").alias("sum_score_x10"),
+            F.sum("nt").cast("long").alias("n_tags"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # IVF-PQ composite ANN (operators/similarity.py ivfpq_topk) — the FAISS
 # IVFADC production shape, composing the two judged paths: the coarse
 # quantizer (first-8 centroids, nprobe=2 — similarity_topk_ivf's cells)

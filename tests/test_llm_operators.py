@@ -1197,6 +1197,67 @@ def test_jsonl_read_quarantines_corrupt_lines(spark, sf_dir):
     df.unpersist()
 
 
+def test_xml_read_partial_parse_and_recovery(spark, sf_dir):
+    """Untypeable-cell records quarantine whole but keep the top-level
+    fields parsed BEFORE the failure (_id, source) and null the rest
+    (meta, tag); every other record parses fully and the scanner
+    recovers at the next record."""
+    from shared_etl_pipelines_spark.sources.xmlq import (
+        UNTYPEABLE_MOD,
+        ensure_demo_xml,
+        read_xml_quarantine,
+    )
+
+    df = read_xml_quarantine(spark, ensure_demo_xml(sf_dir)).cache()
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).collect()
+    assert bad and all(r["_id"] % UNTYPEABLE_MOD == 0 for r in bad)
+    for r in bad:
+        assert r["source"] == f"crawl-{r['_id'] % 4}"  # parsed before failure
+        assert r["meta"] is None and r["tag"] is None  # nulled after it
+    good = df.filter(F.col("_corrupt_record").isNull()).collect()
+    import os
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    want_len = dict(
+        zip(tbl.column("doc_id").to_pylist(), (len(t) for t in tbl.column("text").to_pylist()))
+    )
+    assert len(good) + len(bad) == len(want_len)
+    for r in good:
+        d = r["_id"]
+        assert r["meta"]["n_chars"] == want_len[d]
+        assert r["meta"]["_lang"] == f"l{d % 4}"
+        assert len(r["tag"] or []) == d % 3
+    df.unpersist()
+
+
+def test_xml_structural_break_quarantines_rest_of_file(spark, tmp_path):
+    """Broken markup is a whole-file failure domain: records before the
+    break parse normally; the break record and EVERYTHING after it in
+    that file land in ONE corrupt record (XML cannot resynchronize past
+    an unbalanced tag) — the reason XML dumps are sharded small."""
+    from shared_etl_pipelines_spark.sources.xmlq import (
+        read_xml_quarantine,
+        write_structural_break_xml,
+    )
+
+    p = str(tmp_path / "broken.xml")
+    write_structural_break_xml(p, n_docs=12, break_at=5)
+    df = read_xml_quarantine(spark, p).cache()
+    good = sorted(
+        r["_id"] for r in df.filter(F.col("_corrupt_record").isNull()).collect()
+    )
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).collect()
+    assert good == [1, 2, 3, 4]
+    assert len(bad) == 1 and bad[0]["_id"] is None
+    assert '<doc id="5">' in bad[0]["_corrupt_record"]
+    assert '<doc id="12">' in bad[0]["_corrupt_record"]
+    df.unpersist()
+
+
 def test_ann_index_upsert_equals_full_rebuild(spark, sf_dir, tmp_path):
     """Upserted index (re-ingested ids via tombstones + appended rows,
     deletes via tombstones) must answer probes identically to an index
