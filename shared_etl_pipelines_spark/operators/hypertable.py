@@ -195,3 +195,81 @@ def hypertable_rollup(
         )
         out = out.unionByName(finalize(level, res))
     return out
+
+
+def holt_linear_smooth(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Holt double exponential smoothing (level + trend) per series,
+    alpha = beta = 0.5 — the classic short-horizon forecaster for
+    telemetry/revenue series, one step up from ewma_daily_value's
+    single smoothing.
+
+        l_t = 0.5*y_t + 0.5*(l_{t-1} + b_{t-1})
+        b_t = 0.5*(l_t - l_{t-1}) + 0.5*b_{t-1}
+        init: l_1 = y_1, b_1 = 0;  fitted_t = l_{t-1} + b_{t-1}
+
+    The recursion is inherently sequential WITHIN a series, so each
+    series folds as a bounded in-memory array (collect_list -> one
+    ``F.aggregate`` pass, JVM-side higher-order function — no Python,
+    no window): correct whenever one series' points fit one executor,
+    which is the hypertable regime (a 100 TB table is millions of
+    SHORT series — the groupBy distributes across them; the raw rows
+    were already collapsed to per-bucket aggregates upstream). The
+    halved coefficients are exact in binary, so both the engine and a
+    sequential SQL replay (recursive CTE) walk identical IEEE doubles.
+
+    Emits one row per point from the second onward: the one-step-ahead
+    ``fitted`` forecast and the post-update ``level`` / ``trend``.
+    """
+    series = (
+        df.groupBy(*key_cols)
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col(order_col).alias("o"),
+                        F.col(value_col).cast("double").alias("v"),
+                    )
+                )
+            ).alias("series")
+        )
+        .filter(F.size("series") >= 2)
+    )
+    rows = F.expr(
+        """
+        aggregate(
+          slice(series, 2, size(series) - 1),
+          struct(
+            element_at(series, 1).v AS l,
+            CAST(0.0 AS DOUBLE) AS b,
+            CAST(array() AS array<struct<o:string, y:double, fitted:double,
+                                         level:double, trend:double>>) AS rows
+          ),
+          (acc, x) -> struct(
+            0.5D * x.v + 0.5D * (acc.l + acc.b) AS l,
+            0.5D * ((0.5D * x.v + 0.5D * (acc.l + acc.b)) - acc.l)
+              + 0.5D * acc.b AS b,
+            array_append(acc.rows, struct(
+              x.o AS o,
+              x.v AS y,
+              acc.l + acc.b AS fitted,
+              0.5D * x.v + 0.5D * (acc.l + acc.b) AS level,
+              0.5D * ((0.5D * x.v + 0.5D * (acc.l + acc.b)) - acc.l)
+                + 0.5D * acc.b AS trend)) AS rows
+          ),
+          acc -> acc.rows
+        )
+        """
+    )
+    return series.select(*key_cols, F.explode(rows).alias("r")).select(
+        *key_cols,
+        F.col("r.o").alias(order_col),
+        F.col("r.y").alias("y"),
+        F.col("r.fitted").alias("fitted"),
+        F.col("r.level").alias("level"),
+        F.col("r.trend").alias("trend"),
+    )

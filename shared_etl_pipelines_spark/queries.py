@@ -900,6 +900,12 @@ _CARRYOVER_FIRST = (
     # --- new round-7 queries, pinned as they land ---
     # native-XML quarantine ingestion (the markup twin of jsonl/csvq)
     "xml_nested_ingest",
+    # interpolated Kneser-Ney bigram LM (smoothed perplexity scorer)
+    "kn_bigram_lm_quality",
+    # Mann-Whitney U rank-sum A/B test (exact tie-corrected ranks)
+    "mann_whitney_u",
+    # Holt level+trend smoothing (JVM fold + recursive-CTE oracle)
+    "holt_linear_daily",
 )
 
 

@@ -2211,6 +2211,65 @@ def q_heavy_demand_parts_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Holt double exponential smoothing (operators/hypertable.py
+# holt_linear_smooth): level+trend forecasting per event-type daily
+# series — the short-horizon forecaster one step past ewma_daily_value.
+# The recursion is sequential within a series, so each bounded series
+# folds in ONE JVM-side F.aggregate pass (no Python, no per-row
+# window); the oracle replays the identical IEEE walk as a recursive
+# CTE. alpha=beta=0.5 are exact in binary, daily inputs are exact
+# integer cents, and both engines evaluate the same expression tree in
+# the same order, so the doubles agree bit-for-bit before rounding.
+# ---------------------------------------------------------------------------
+@defquery(
+    "holt_linear_daily",
+    """
+    WITH RECURSIVE daily AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) AS v,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY strftime(ts, '%Y-%m-%d')) AS i
+      FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+    ),
+    rec AS (
+      SELECT event_type, i, day, v, v AS l, CAST(0.0 AS DOUBLE) AS b,
+             CAST(NULL AS DOUBLE) AS f
+      FROM daily WHERE i = 1
+      UNION ALL
+      SELECT d.event_type, d.i, d.day, d.v,
+             0.5 * d.v + 0.5 * (r.l + r.b),
+             0.5 * ((0.5 * d.v + 0.5 * (r.l + r.b)) - r.l) + 0.5 * r.b,
+             r.l + r.b
+      FROM rec r JOIN daily d ON d.event_type = r.event_type AND d.i = r.i + 1
+    )
+    SELECT event_type, day, ROUND(v, 4) AS y, ROUND(f, 4) AS fitted,
+           ROUND(l, 4) AS level, ROUND(b, 4) AS trend
+    FROM rec WHERE i >= 2
+    """,
+    doc="Holt level+trend smoothing per event-type daily-cents series "
+    "(alpha=beta=0.5, l1=y1, b1=0): one-step-ahead fitted forecast and "
+    "post-update level/trend per day, folded in one JVM aggregate pass "
+    "and replayed by the oracle's recursive CTE",
+    tags=("timeseries", "forecast", "aggregate", "higher-order"),
+)
+def q_holt_linear_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.operators.hypertable import (
+        holt_linear_smooth,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("double")
+        .alias("v")
+    )
+    out = holt_linear_smooth(daily, ["event_type"], "day", "v")
+    return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
 # CUSUM changepoint detection per event type: cumulative sum of daily
 # deviations from the series mean; the |S| argmax is the classic
 # single-changepoint estimate. Daily values are integer cents (exact),
@@ -4357,6 +4416,100 @@ def q_gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("t") / 100.0, 4).alias("total_spend"),
     )
     return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# Mann–Whitney U — the nonparametric A/B readout (rank-sum, no
+# normality assumption) beside ab_welch_ttest's t. Exact tie-corrected
+# ranks over the BOUNDED distinct-cents table (the roc_auc_exact /
+# ks_drift_exact pattern): per-value counts, one cumulative window,
+# then 2·R1 = Σ n1_v·(2·cum_before + t_v + 1) stays an exact BIGINT
+# (average ranks are half-integers, so the ×2 form never touches a
+# double), U likewise via (2R1 − n1(n1+1))/2. The normal z uses the
+# standard tie-corrected variance Σ(t³−t); one double expression at
+# the end, identical in both engines. 100 TB: the raw rows collapse in
+# the grouped count; nothing global-sorts except the distinct table.
+# ---------------------------------------------------------------------------
+@defquery(
+    "mann_whitney_u",
+    """
+    WITH s AS (
+      SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v,
+             CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS g
+      FROM orders WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+    ),
+    d AS (
+      SELECT v, CAST(SUM(g) AS BIGINT) AS n1v, CAST(COUNT(*) AS BIGINT) AS tv
+      FROM s GROUP BY v
+    ),
+    c AS (
+      SELECT v, n1v, tv,
+             CAST(COALESCE(SUM(tv) OVER (
+               ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS cb
+      FROM d
+    ),
+    a AS (
+      SELECT CAST(SUM(n1v * (2 * cb + tv + 1)) AS BIGINT) AS r1x2,
+             CAST(SUM(tv * tv * tv - tv) AS BIGINT) AS ties,
+             CAST(SUM(n1v) AS BIGINT) AS n1,
+             CAST(SUM(tv - n1v) AS BIGINT) AS n2,
+             CAST(SUM(tv) AS BIGINT) AS n
+      FROM c
+    )
+    SELECT n1, n2,
+           ROUND(CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0, 4) AS u1,
+           ROUND((CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0
+                  - CAST(n1 AS DOUBLE) * n2 / 2.0)
+                 / sqrt((CAST(n1 AS DOUBLE) * n2 / 12.0)
+                        * ((n + 1) - CAST(ties AS DOUBLE)
+                                     / (CAST(n AS DOUBLE) * (n - 1)))), 4) AS z
+    FROM a
+    """,
+    doc="Mann-Whitney U rank-sum test between urgent and low-priority "
+    "order totals: exact tie-corrected average ranks via integer "
+    "arithmetic over the bounded distinct-value table, tie-corrected "
+    "normal z in one final double expression",
+    tags=("analytics", "ab-test", "rank", "window", "aggregate"),
+)
+def q_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    s = o.filter(F.col("o_orderpriority").isin("1-URGENT", "5-LOW")).select(
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("g"),
+    )
+    d = s.groupBy("v").agg(
+        F.sum("g").cast("long").alias("n1v"),
+        F.count(F.lit(1)).cast("long").alias("tv"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+    c = d.select(
+        "n1v", "tv", F.coalesce(F.sum("tv").over(w), F.lit(0)).cast("long").alias("cb")
+    )
+    a = c.agg(
+        F.sum(F.col("n1v") * (2 * F.col("cb") + F.col("tv") + 1))
+        .cast("long")
+        .alias("r1x2"),
+        F.sum(F.col("tv") * F.col("tv") * F.col("tv") - F.col("tv"))
+        .cast("long")
+        .alias("ties"),
+        F.sum("n1v").cast("long").alias("n1"),
+        F.sum(F.col("tv") - F.col("n1v")).cast("long").alias("n2"),
+        F.sum("tv").cast("long").alias("n"),
+    )
+    u1 = (F.col("r1x2") - F.col("n1") * (F.col("n1") + 1)).cast("double") / 2.0
+    mu = F.col("n1").cast("double") * F.col("n2") / 2.0
+    var = (F.col("n1").cast("double") * F.col("n2") / 12.0) * (
+        (F.col("n") + 1)
+        - F.col("ties").cast("double")
+        / (F.col("n").cast("double") * (F.col("n") - 1))
+    )
+    return a.select(
+        "n1",
+        "n2",
+        F.round(u1, 4).alias("u1"),
+        F.round((u1 - mu) / F.sqrt(var), 4).alias("z"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -2829,6 +2829,88 @@ def q_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Interpolated Kneser-Ney bigram LM — the smoothing that actually ships
+# in n-gram LM curation scorers (raw bigram MLE over-penalizes rare
+# continuations of common words; KN's continuation probability fixes
+# exactly that). Absolute discount D=0.75 (exact in binary, so both
+# engines agree bit-for-bit before the final rounding):
+#   P_KN(w2|w1) = (c(w1,w2) - D)/c(w1)
+#               + (D * N1+(w1.)/c(w1)) * (N1+(.w2)/N1+(..))
+# Every scored bigram is seen in training (train == score corpus), so
+# the max(.,0) clamp is vacuous and omitted IDENTICALLY in both
+# engines. Shapes at 100 TB: the count/type tables are the standard
+# inverted n-gram stores (map-side combinable groupBys), scoring is
+# equi-joins on w1/w2 keys — no windows, no driver state.
+# ---------------------------------------------------------------------------
+@defquery(
+    "kn_bigram_lm_quality",
+    f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    bg AS (
+      SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+      FROM (SELECT doc_id, unnest(range(1, len(toks))) AS i, toks FROM t)
+    ),
+    cnt AS (SELECT w1, w2, COUNT(*) AS c FROM bg GROUP BY w1, w2),
+    w1s AS (SELECT w1, SUM(c) AS c1, COUNT(*) AS n1fw FROM cnt GROUP BY w1),
+    cont AS (SELECT w2, COUNT(*) AS n1bw FROM cnt GROUP BY w2),
+    nbt AS (SELECT COUNT(*) AS nt FROM cnt),
+    p AS (
+      SELECT doc_id,
+             (CAST(c - 0.75 AS DOUBLE) / c1)
+             + (0.75 * CAST(n1fw AS DOUBLE) / c1)
+               * (CAST(n1bw AS DOUBLE) / nt) AS pkn
+      FROM bg JOIN cnt USING (w1, w2) JOIN w1s USING (w1)
+              JOIN cont USING (w2) CROSS JOIN nbt
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(-log2(pkn)), 4) AS kn_nll
+    FROM p GROUP BY doc_id
+    """,
+    doc="interpolated Kneser-Ney bigram LM quality score: per-doc mean "
+    "-log2 P_KN with absolute discount 0.75 and continuation-count "
+    "backoff — the smoothed perplexity proxy next to the raw-MLE "
+    "bigram_lm_quality",
+    tags=("llm", "text", "quality", "lm"),
+)
+def q_kn_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "w1")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        tok.withColumn("w2", F.lead("w1").over(w))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", "w1", "w2")
+    )
+    cnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    w1s = cnt.groupBy("w1").agg(
+        F.sum("c").alias("c1"), F.count(F.lit(1)).alias("n1fw")
+    )
+    cont = cnt.groupBy("w2").agg(F.count(F.lit(1)).alias("n1bw"))
+    nbt = cnt.agg(F.count(F.lit(1)).alias("nt"))
+    pkn = (
+        (F.col("c") - 0.75).cast("double") / F.col("c1")
+        + (F.lit(0.75) * F.col("n1fw").cast("double") / F.col("c1"))
+        * (F.col("n1bw").cast("double") / F.col("nt"))
+    )
+    scored = (
+        bg.join(cnt, ["w1", "w2"])
+        .join(w1s, ["w1"])
+        .join(cont, ["w2"])
+        .crossJoin(F.broadcast(nbt))
+        .select("doc_id", pkn.alias("pkn"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.avg(-F.log2(F.col("pkn"))), 4).alias("kn_nll"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic per-source document cap — the enforcement step after
 # url_domain_stats flags over-represented sources: keep at most K docs
 # per source, selected by a stable hash order so the subset is
