@@ -906,6 +906,8 @@ _CARRYOVER_FIRST = (
     "mann_whitney_u",
     # Holt level+trend smoothing (JVM fold + recursive-CTE oracle)
     "holt_linear_daily",
+    # Iceberg-rule partition-spec evolution (per-era pruning, plan-gated)
+    "partition_evolution_read",
 )
 
 

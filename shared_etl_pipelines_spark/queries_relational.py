@@ -3172,6 +3172,92 @@ def q_mor_history_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _evolved_orders_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Build (once per testdata fingerprint) the partition-evolved
+    orders table: era 0 = pre-1996 orders partitioned by o_year only,
+    era 1 = 1996+ orders partitioned by (o_year, o_orderpriority) —
+    the Iceberg spec-evolution shape where the new key applies to new
+    data only and history is never rewritten. Gated on a .done marker
+    written after the last era commit (the fixture convention since
+    ADVICE r6 #1/#2)."""
+    import os
+    import shutil
+    import tempfile
+
+    from shared_etl_pipelines_spark.sources.warehouse import write_partition_era
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_mtime_ns}_{st.st_size}"
+    except OSError:
+        fp = "nostat"
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}"
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_evolved_{tag}")
+    done = path + ".done"
+    if not os.path.exists(done):
+        shutil.rmtree(path, ignore_errors=True)
+        orders = _t(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_orderpriority",
+            "o_totalprice",
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        write_partition_era(
+            orders.filter(F.col("o_year") < 1996), path, ["o_year"]
+        )
+        write_partition_era(
+            orders.filter(F.col("o_year") >= 1996),
+            path,
+            ["o_year", "o_orderpriority"],
+        )
+        with open(done, "w") as fh:
+            fh.write("ok")
+    return path
+
+
+@defquery(
+    "partition_evolution_read",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0, 4)
+             AS total_price
+    FROM orders
+    WHERE year(o_orderdate) IN (1995, 1997)
+      AND o_orderpriority = '1-URGENT'
+    GROUP BY 1
+    """,
+    doc="partition-spec evolution read (Iceberg rule: a spec change "
+    "applies to new data only): pre-1996 files keep the o_year-only "
+    "layout, 1996+ files add o_orderpriority as a partition key; one "
+    "query prunes era-1 directories on BOTH keys while the same "
+    "priority predicate pushes into era-0's parquet scan as a row "
+    "filter — history is never rewritten (plan-gated in tests)",
+    tags=("warehouse", "partitioning", "scale-path"),
+)
+def q_partition_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.warehouse import read_evolved
+
+    path = _evolved_orders_fixture(spark, sf_dir)
+    df = read_evolved(spark, path)
+    out = (
+        df.filter(
+            F.col("o_year").isin(1995, 1997)
+            & (F.col("o_orderpriority") == "1-URGENT")
+        )
+        .groupBy("o_year")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0,
+                4,
+            ).alias("total_price"),
+        )
+    )
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Schema evolution on the merge-on-read table: a later change batch
 # carries a column the base never had (o_channel). Parquet appends are

@@ -648,3 +648,83 @@ def mor_compact_bucketed(
         # — the staging table is the only thing written before the swap).
         release_fs_lock(spark, lock)
     return {"live_rows": int(n)}
+
+
+# ---------------------------------------------------------------------------
+# Partition-spec evolution — the Iceberg rule (spec changes apply to NEW
+# data only; old files keep their old layout and are pruned by their own
+# spec) on plain parquet directories. Each spec change starts a new ERA
+# subdirectory with its own partitionBy layout, recorded in a JSON
+# manifest; the reader unions the eras by name, so a predicate on a
+# column that is a partition key in era N and a data column in era M
+# prunes directories in the first and pushes into the parquet scan in
+# the second — never a rewrite of historical data.
+# ---------------------------------------------------------------------------
+def _evolution_manifest(path: str) -> str:
+    import os
+
+    return os.path.join(path, "_partition_specs.json")
+
+
+def write_partition_era(df: DataFrame, path: str, spec: list[str]) -> int:
+    """Write ``df`` as the next era of an evolved table under its own
+    ``partitionBy(spec)`` layout and append the spec to the manifest.
+    Returns the era number. The manifest write is atomic (tmp+replace);
+    a crash before it leaves an unreferenced era directory the reader
+    never sees — the Iceberg invisible-until-committed rule."""
+    import json
+    import os
+
+    eras = []
+    mf = _evolution_manifest(path)
+    if os.path.exists(mf):
+        with open(mf) as fh:
+            eras = json.load(fh)
+    era = len(eras)
+    era_dir = os.path.join(path, f"era={era}")
+    w = df.write.mode("overwrite")
+    if spec:
+        w = w.partitionBy(*spec)
+    w.parquet(era_dir)
+    eras.append({"era": era, "dir": f"era={era}", "spec": list(spec)})
+    os.makedirs(path, exist_ok=True)
+    tmp = mf + f".{os.getpid()}.tmp"
+    with open(tmp, "w") as fh:
+        json.dump(eras, fh)
+    os.replace(tmp, mf)
+    return era
+
+
+def read_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Union every committed era by name. Partition columns of each era
+    surface from its own directory layout, so Catalyst prunes each
+    era's scan under ITS spec: a filter on a new partition key prunes
+    directories in new eras and pushes down as a row filter in old
+    ones (gated in tests/test_warehouse.py)."""
+    import json
+    import os
+
+    with open(_evolution_manifest(path)) as fh:
+        eras = json.load(fh)
+    if not eras:
+        raise ValueError(f"no committed eras under {path}")
+    out = None
+    types: dict[str, str] = {}
+    for e in eras:
+        df = spark.read.parquet(os.path.join(path, e["dir"]))
+        # Fail loud on type drift: a column that is data in one era and
+        # a partition key in another must round-trip to the SAME type
+        # (directory values are type-inferred — '1-URGENT' stays string,
+        # bare '1' would become int and silently cast the whole union,
+        # defeating both pushdown and pruning). Write such keys
+        # unambiguously or pre-cast before the era write.
+        for f_ in df.schema.fields:
+            seen = types.setdefault(f_.name, f_.dataType.simpleString())
+            if seen != f_.dataType.simpleString():
+                raise TypeError(
+                    f"partition-evolution type drift on {f_.name!r}: "
+                    f"{seen} in an earlier era vs "
+                    f"{f_.dataType.simpleString()} in {e['dir']}"
+                )
+        out = df if out is None else out.unionByName(df)
+    return out

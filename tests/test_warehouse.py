@@ -45,6 +45,62 @@ def test_partition_pruning_visible_in_plan(spark, tmp_path):
     assert scan.count() == 25
 
 
+def test_partition_evolution_prunes_each_era_by_its_own_spec(spark, tmp_path):
+    """Iceberg spec-evolution rule on plain parquet eras: a predicate on
+    the NEW partition key prunes directories in the new era and pushes
+    into the parquet scan as a row filter in the old era — two scans,
+    each pruned under its own spec, no rewrite of history."""
+    from shared_etl_pipelines_spark.sources.warehouse import (
+        read_evolved,
+        write_partition_era,
+    )
+
+    path = str(tmp_path / "evolved")
+    df = spark.range(200).select(
+        (F.col("id") % 4).alias("year"),
+        F.concat(F.lit("p"), (F.col("id") % 3)).alias("pri"),
+        F.col("id").alias("v"),
+    )
+    assert write_partition_era(df.filter(F.col("year") < 2), path, ["year"]) == 0
+    assert (
+        write_partition_era(df.filter(F.col("year") >= 2), path, ["year", "pri"])
+        == 1
+    )
+    scan = read_evolved(spark, path).filter(
+        (F.col("year") == 2) & (F.col("pri") == "p1")
+    )
+    plan = phys(scan)
+    # the plan's Location strings truncate under long tmp paths, so the
+    # two era scans are identified by their filter SHAPE instead: in the
+    # new era pri is a partition key (directory pruning), in the old era
+    # it is a data column (pushed row filter) — exactly one scan each.
+    scans = [s for s in plan.split("FileScan") if "PartitionFilters" in s]
+    assert len(scans) == 2
+    part_f = [s.split("PartitionFilters")[1].split("]")[0] for s in scans]
+    push_f = [s.split("PushedFilters")[1].split("]")[0] for s in scans]
+    pruned = [i for i in range(2) if "pri" in part_f[i]]
+    pushed = [i for i in range(2) if "EqualTo(pri,p1)" in push_f[i]]
+    assert len(pruned) == 1 and len(pushed) == 1 and pruned != pushed
+    # year is a partition key in BOTH eras -> pruned in both scans
+    assert all("year" in p for p in part_f)
+    # semantics: union equals the direct filter on the source frame
+    want = sorted(
+        r["v"]
+        for r in df.filter((F.col("year") == 2) & (F.col("pri") == "p1")).collect()
+    )
+    got = sorted(r["v"] for r in scan.collect())
+    assert got == want
+    # type drift (bare-numeric partition values re-inferred as int) fails loud
+    import pytest as _pytest
+
+    path2 = str(tmp_path / "drift")
+    df2 = df.withColumn("pri", (F.col("v") % 3).cast("string"))
+    write_partition_era(df2.filter(F.col("year") < 2), path2, ["year"])
+    write_partition_era(df2.filter(F.col("year") >= 2), path2, ["year", "pri"])
+    with _pytest.raises(TypeError, match="type drift"):
+        read_evolved(spark, path2)
+
+
 def test_bucketed_join_no_exchange(spark, tmp_path):
     big = spark.range(1000).select(
         F.col("id").alias("k"), (F.col("id") * 2).alias("v1")
