@@ -908,6 +908,10 @@ _CARRYOVER_FIRST = (
     "holt_linear_daily",
     # Iceberg-rule partition-spec evolution (per-era pruning, plan-gated)
     "partition_evolution_read",
+    # Fellegi-Sunter probabilistic record linkage (blocked + m/u weights)
+    "record_linkage_fs",
+    # G.711 mu-law WAV decode (telephony container, codepoint-exact oracle)
+    "multimodal_mulaw_decode",
 )
 
 

@@ -933,6 +933,41 @@ def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "multimodal_mulaw_decode",
+    """
+    WITH a AS (
+      SELECT doc_id, 80 + doc_id % 100 AS n,
+             (((doc_id % 16) * 8) + 132) * (1 << (doc_id % 8)) - 132 AS amp
+      FROM documents
+    )
+    SELECT doc_id, TRUE AS is_real_decode,
+           CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(n * amp AS BIGINT) AS amp_sum
+    FROM a
+    """,
+    doc="G.711 mu-law WAV decode (format tag 7, the telephony container "
+    "real speech corpora arrive in): compand->expand through the ITU "
+    "segment table inside mapInPandas; fixture amplitudes are exact "
+    "mu-law codepoints so the oracle computes decoded |sample| sums in "
+    "closed form — sources/wav.py, encoder pinned bit-exact against "
+    "the scalar G.711 reference over the full int16 domain in tests",
+    tags=("llm", "multimodal", "codec", "audio"),
+)
+def q_multimodal_mulaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.multimodal import (
+        decode_audio,
+        synthetic_mulaw_wav_assets,
+    )
+
+    assets = synthetic_mulaw_wav_assets(_t(spark, sf_dir, "documents"))
+    out = decode_audio(assets)
+    return out.select(
+        "doc_id", "is_real_decode", "sample_rate", "channels", "n_samples", "amp_sum"
+    )
+
+
+@defquery(
     "multimodal_frame_sample",
     """
     WITH a AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
@@ -3042,6 +3077,128 @@ def q_vocab_zipf_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.regr_slope(F.log2("c"), F.log2(F.col("r").cast("double"))), 4
         ).alias("zipf_slope"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fellegi–Sunter probabilistic record linkage — the SCORING layer of
+# entity resolution, on top of the blocking families (exact hash, LSH,
+# sorted-neighborhood). A deterministic "dirty" twin of customer is
+# derived in-flight (name truncated on k%5, nation rotated on k%11,
+# segment wiped on k%3, balance shifted $50 on k%7); candidates come
+# from a (nation, $1000-balance-bucket) blocking join — a rotated
+# nation therefore ESCAPES blocking, the honest recall loss every
+# blocked linker has, visible in the is_true_pair=TRUE/matched=FALSE
+# cell. Each field contributes log2(m/u) on agreement and
+# log2((1-m)/(1-u)) on disagreement, with the weights embedded as
+# IDENTICAL double literals in both engines so the sums agree
+# bit-for-bit. 100 TB: blocking is one equi-join (never all-pairs),
+# agreement arithmetic is codegen, the output is the bounded
+# confusion-cell table.
+# ---------------------------------------------------------------------------
+_FS_W = {
+    "name_a": 10.643856189774725,  # log2(0.80 / 0.0005)
+    "name_d": -2.321206566969903,  # log2(0.20 / 0.9995)
+    "seg_a": 1.807354922057604,  # log2(0.70 / 0.20)
+    "seg_d": -1.415037499278844,  # log2(0.30 / 0.80)
+    "bal_a": 8.7431513941125,  # log2(0.857 / 0.002)
+    "bal_d": -2.8030246685588716,  # log2(0.143 / 0.998)
+}
+
+
+@defquery(
+    "record_linkage_fs",
+    f"""
+    WITH c AS (
+      SELECT c_custkey AS k, c_name AS name, c_nationkey AS nation,
+             c_mktsegment AS seg,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal
+      FROM customer
+    ),
+    d AS (
+      SELECT k,
+             CASE WHEN k % 5 = 0 THEN substr(name, 1, length(name) - 2)
+                  ELSE name END AS name,
+             CASE WHEN k % 11 = 0 THEN CAST((nation + 7) % 25 AS INTEGER)
+                  ELSE nation END AS nation,
+             CASE WHEN k % 3 = 0 THEN 'UNKNOWN' ELSE seg END AS seg,
+             CASE WHEN k % 7 = 0 THEN bal + 5000 ELSE bal END AS bal
+      FROM c
+    ),
+    pairs AS (
+      SELECT c.k AS ck, d.k AS dk,
+             (CASE WHEN c.name = d.name THEN {_FS_W["name_a"]!r}
+                   ELSE {_FS_W["name_d"]!r} END
+              + CASE WHEN c.seg = d.seg THEN {_FS_W["seg_a"]!r}
+                     ELSE {_FS_W["seg_d"]!r} END
+              + CASE WHEN abs(c.bal - d.bal) <= 2000 THEN {_FS_W["bal_a"]!r}
+                     ELSE {_FS_W["bal_d"]!r} END) AS score
+      FROM c JOIN d
+        ON c.nation = d.nation
+       AND CAST(FLOOR(c.bal / 100000.0) AS BIGINT)
+           = CAST(FLOOR(d.bal / 100000.0) AS BIGINT)
+    )
+    SELECT (ck = dk) AS is_true_pair, (score > 6.0) AS matched,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(AVG(score), 4) AS avg_score,
+           ROUND(MIN(score), 4) AS min_score,
+           ROUND(MAX(score), 4) AS max_score
+    FROM pairs GROUP BY 1, 2
+    """,
+    doc="Fellegi-Sunter probabilistic record linkage: blocked candidate "
+    "join (nation x $1000 balance bucket) over a deterministic dirty "
+    "twin, per-field log2(m/u) agreement weights as identical double "
+    "literals in both engines, confusion cells incl. the blocking-"
+    "escape recall loss",
+    tags=("llm", "entity-resolution", "linkage", "scale-path"),
+)
+def q_record_linkage_fs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    c = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal"),
+    )
+    k = F.col("k")
+    d = c.select(
+        "k",
+        F.when(k % 5 == 0, F.expr("substr(name, 1, length(name) - 2)"))
+        .otherwise(F.col("name"))
+        .alias("name"),
+        F.when(k % 11 == 0, ((F.col("nation") + 7) % 25).cast("int"))
+        .otherwise(F.col("nation"))
+        .alias("nation"),
+        F.when(k % 3 == 0, F.lit("UNKNOWN")).otherwise(F.col("seg")).alias("seg"),
+        F.when(k % 7 == 0, F.col("bal") + 5000).otherwise(F.col("bal")).alias("bal"),
+    )
+    bucket = lambda col: F.floor(col / 100000.0).cast("long")  # noqa: E731
+    cl = c.alias("c")
+    dr = d.alias("d")
+    score = (
+        F.when(F.col("c.name") == F.col("d.name"), F.lit(_FS_W["name_a"]))
+        .otherwise(F.lit(_FS_W["name_d"]))
+        + F.when(F.col("c.seg") == F.col("d.seg"), F.lit(_FS_W["seg_a"])).otherwise(
+            F.lit(_FS_W["seg_d"])
+        )
+        + F.when(
+            F.abs(F.col("c.bal") - F.col("d.bal")) <= 2000, F.lit(_FS_W["bal_a"])
+        ).otherwise(F.lit(_FS_W["bal_d"]))
+    )
+    pairs = cl.join(
+        dr,
+        (F.col("c.nation") == F.col("d.nation"))
+        & (bucket(F.col("c.bal")) == bucket(F.col("d.bal"))),
+    ).select(
+        (F.col("c.k") == F.col("d.k")).alias("is_true_pair"),
+        score.alias("score"),
+    )
+    return pairs.groupBy("is_true_pair", (F.col("score") > 6.0).alias("matched")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.avg("score"), 4).alias("avg_score"),
+        F.round(F.min("score"), 4).alias("min_score"),
+        F.round(F.max("score"), 4).alias("max_score"),
     )
 
 

@@ -300,6 +300,41 @@ def synthetic_wav_assets(
     )
 
 
+def synthetic_mulaw_wav_assets(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic G.711 mu-law telephony fixtures (format tag 7,
+    8 kHz mono): doc d gets 80 + d%100 samples of the CONSTANT
+    amplitude (((d%16)*8 + 132) << (d%8)) - 132, sign-flipped on odd d.
+    Every amplitude is an exact mu-law codepoint magnitude, so
+    compand->expand is the identity and a SQL oracle computes the
+    decoded |sample| sum in closed form from doc_id alone."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from shared_etl_pipelines_spark.sources import wav
+
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                n = 80 + d % 100
+                amp = ((((d % 16) * 8) + 132) << (d % 8)) - 132
+                if d % 2 == 1:
+                    amp = -amp
+                s = np.full(n, amp, dtype=np.int16)
+                ids.append(doc_id)
+                blobs.append(wav.encode_wav_mulaw(s, 8000))
+            yield pd.DataFrame(
+                {"doc_id": ids, "media_type": "audio/basic", "blob": blobs}
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(
+        batches, "doc_id bigint, media_type string, blob binary"
+    )
+
+
 def decode_audio(assets: DataFrame) -> DataFrame:
     """Arrow-batched audio decode with a REAL WAV path (sources/wav.py);
     non-WAV blobs fall back to the byte-stat stub with

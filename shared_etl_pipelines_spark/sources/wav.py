@@ -1,11 +1,16 @@
-"""Pure-python WAV (RIFF/PCM) codec — real audio decode for the
-multimodal pipeline.
+"""Pure-python WAV (RIFF) codec — real audio decode for the multimodal
+pipeline.
 
-WAV PCM needs only struct unpacking, so like PNG (sources/png.py) it
-gets a REAL codec instead of the documented stub: RIFF container walk,
-'fmt ' validation, 16-bit PCM samples to numpy. Scope (asserted):
-format tag 1 (PCM), 16-bit, any channel count / sample rate. The
-encoder exists for fixtures and round-trip tests.
+WAV needs only struct unpacking, so like PNG (sources/png.py) it gets a
+REAL codec instead of the documented stub: RIFF container walk, 'fmt '
+validation, samples to numpy. Scope (asserted): format tag 1 (16-bit
+PCM) and format tag 7 (8-bit G.711 mu-law — the telephony/call-center
+encoding real speech corpora arrive in), any channel count / sample
+rate. Mu-law expands through the ITU G.711 segment formula
+  magnitude = (((mant << 3) + 0x84) << exp) - 0x84
+via a 256-entry table; the companding encoder exists for fixtures and
+round-trip tests (decode(encode(x)) == x exactly on the 255 mu-law
+codepoint magnitudes, quantized otherwise).
 
 Reference parity note: the reference moves no audio; this exists for
 the LLM multimodal mandate (audio assets as opaque binary + typed
@@ -19,13 +24,49 @@ import struct
 import numpy as np
 
 
+def _mulaw_decode_table() -> np.ndarray:
+    """256-entry int16 expansion table from the G.711 formula."""
+    codes = np.arange(256, dtype=np.int64)
+    u = ~codes & 0xFF
+    sign = (u & 0x80) != 0
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    mag = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -mag, mag).astype(np.int16)
+
+
+_MULAW_TABLE = _mulaw_decode_table()
+
+_MULAW_BIAS = 0x84
+_MULAW_CLIP = 32635
+
+
+def mulaw_compress(samples: np.ndarray) -> np.ndarray:
+    """Compand int16 samples to 8-bit mu-law codes (vectorized G.711)."""
+    x = np.asarray(samples, dtype=np.int64)
+    sign = np.where(x < 0, 0x80, 0)
+    mag = np.minimum(np.abs(x), _MULAW_CLIP) + _MULAW_BIAS
+    # exponent = floor(log2(mag)) - 7: mag < 2^16 is exactly
+    # representable in float64, so frexp's exponent is exact
+    exp = np.clip(np.frexp(mag.astype(np.float64))[1] - 8, 0, 7).astype(np.int64)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp << 4) | mant) & 0xFF).astype(np.uint8)
+
+
+def mulaw_expand(codes: np.ndarray) -> np.ndarray:
+    """Expand 8-bit mu-law codes to int16 samples."""
+    return _MULAW_TABLE[np.asarray(codes, dtype=np.uint8)]
+
+
 def is_wav(data: bytes) -> bool:
     return len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"WAVE"
 
 
 def decode_wav(data: bytes) -> tuple[np.ndarray, dict]:
-    """Decode a 16-bit PCM WAV into ((n_samples, channels) int16 array,
-    info{sample_rate, channels, bits, n_samples})."""
+    """Decode a PCM (tag 1, 16-bit) or mu-law (tag 7, 8-bit) WAV into
+    ((n_samples, channels) int16 array, info{sample_rate, channels,
+    bits, format_tag, n_samples}). Mu-law expands to int16 through the
+    G.711 table, so downstream stats see one sample domain."""
     if not is_wav(data):
         raise ValueError("not a WAV (bad RIFF/WAVE header)")
     off = 12
@@ -39,24 +80,34 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, dict]:
             tag, channels, rate, _byterate, _align, bits = struct.unpack_from(
                 "<HHIIHH", body, 0
             )
-            if tag != 1:
-                raise ValueError(f"unsupported WAV format tag {tag} (only PCM)")
-            if bits != 16:
-                raise ValueError(f"unsupported bit depth {bits} (only 16)")
-            fmt = (channels, rate, bits)
+            if tag == 1:
+                if bits != 16:
+                    raise ValueError(f"unsupported PCM bit depth {bits} (only 16)")
+            elif tag == 7:
+                if bits != 8:
+                    raise ValueError(f"mu-law requires 8-bit samples, got {bits}")
+            else:
+                raise ValueError(
+                    f"unsupported WAV format tag {tag} (PCM=1, mu-law=7)"
+                )
+            fmt = (tag, channels, rate, bits)
         elif cid == b"data":
             samples = body
         off += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or samples is None:
         raise ValueError("missing fmt/data chunk")
-    channels, rate, bits = fmt
-    arr = np.frombuffer(samples, dtype="<i2")
+    tag, channels, rate, bits = fmt
+    if tag == 7:
+        arr = mulaw_expand(np.frombuffer(samples, dtype=np.uint8))
+    else:
+        arr = np.frombuffer(samples, dtype="<i2")
     n = len(arr) // channels
     arr = arr[: n * channels].reshape(n, channels)
     return arr, {
         "sample_rate": rate,
         "channels": channels,
         "bits": bits,
+        "format_tag": tag,
         "n_samples": n,
     }
 
@@ -70,6 +121,24 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     body = a.tobytes()
     fmt = struct.pack(
         "<HHIIHH", 1, channels, sample_rate, sample_rate * channels * 2, channels * 2, 16
+    )
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def encode_wav_mulaw(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Encode int16 samples — (n,) mono or (n, channels) — as an 8-bit
+    G.711 mu-law WAV (format tag 7, the telephony container)."""
+    a = np.asarray(samples, dtype=np.int16)
+    if a.ndim == 1:
+        a = a[:, None]
+    n, channels = a.shape
+    body = mulaw_compress(a.reshape(-1)).tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 7, channels, sample_rate, sample_rate * channels, channels, 8
     )
     chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     chunks += b"data" + struct.pack("<I", len(body)) + body

@@ -17,7 +17,7 @@ def test_round_trip(channels, n):
     got, info = decode_wav(data)
     np.testing.assert_array_equal(got, s)
     assert info == {"sample_rate": 22050, "channels": channels, "bits": 16,
-                    "n_samples": n}
+                    "format_tag": 1, "n_samples": n}
 
 
 def test_mono_1d_input_and_odd_data_padding():
@@ -84,3 +84,68 @@ def test_audio_spectral_profile_recovers_planted_tones(spark):
     prof = {r["doc_id"]: r["is_real_decode"]
             for r in audio_spectral_profile(corrupt).collect()}
     assert prof[0] is False and prof[1] is True
+
+
+def test_mulaw_encoder_matches_scalar_g711_reference_full_domain():
+    """The vectorized compander must agree with the canonical scalar
+    G.711 algorithm on every int16 value."""
+    from shared_etl_pipelines_spark.sources.wav import mulaw_compress
+
+    def ref_encode(x: int) -> int:
+        bias, clip = 0x84, 32635
+        sign = 0x80 if x < 0 else 0
+        m = min(abs(x), clip) + bias
+        exp, mask = 7, 0x4000
+        while exp > 0 and not (m & mask):
+            exp -= 1
+            mask >>= 1
+        mant = (m >> (exp + 3)) & 0x0F
+        return ~(sign | (exp << 4) | mant) & 0xFF
+
+    xs = np.arange(-32768, 32768, dtype=np.int64)
+    got = mulaw_compress(xs)
+    want = np.array([ref_encode(int(v)) for v in xs], dtype=np.uint8)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_mulaw_codepoints_round_trip_exactly():
+    """decode(encode(x)) == x on all 255 mu-law codepoint magnitudes."""
+    from shared_etl_pipelines_spark.sources.wav import (
+        mulaw_compress,
+        mulaw_expand,
+    )
+
+    vals = []
+    for e in range(8):
+        for m in range(16):
+            mag = (((m << 3) + 0x84) << e) - 0x84
+            vals += [mag, -mag]
+    xs = np.array(vals, dtype=np.int16)
+    np.testing.assert_array_equal(mulaw_expand(mulaw_compress(xs)), xs)
+
+
+def test_mulaw_wav_container_round_trip():
+    from shared_etl_pipelines_spark.sources.wav import encode_wav_mulaw
+
+    s = np.array([8316, -8316, 0, 132 * 8 + 132 - 132], dtype=np.int16)
+    blob = encode_wav_mulaw(s, 8000)
+    assert is_wav(blob)
+    got, info = decode_wav(blob)
+    assert info["format_tag"] == 7 and info["bits"] == 8
+    assert info["sample_rate"] == 8000 and info["channels"] == 1
+    # 8316 is a codepoint -> exact; quantization is monotone near others
+    assert got[0, 0] == 8316 and got[1, 0] == -8316
+
+
+def test_mulaw_quantization_error_bounded_by_segment_width():
+    """|decode(encode(x)) - clip(x)| < one mu-law step of x's segment."""
+    from shared_etl_pipelines_spark.sources.wav import (
+        mulaw_compress,
+        mulaw_expand,
+    )
+
+    xs = RNG.integers(-32768, 32768, size=20000).astype(np.int16)
+    d = mulaw_expand(mulaw_compress(xs)).astype(np.int64)
+    x = np.clip(np.abs(xs.astype(np.int64)), 0, 32635) * np.sign(xs.astype(np.int64))
+    seg = np.maximum((np.abs(x) + 0x84) >> 4, 8)  # step = 2^(exp+3) <= (mag+bias)/16
+    assert (np.abs(d - x) <= seg).all()
