@@ -775,7 +775,10 @@ _R4_GREEN = frozenset(
         "forecast_revenue_change", "returned_item_customers",
         "promo_revenue_share", "embedding_jl_project",
         # "incremental_dedup" shares the guarded helper — re-fronted too.
-        "multimodal_png_decode", "multimodal_wav_decode",
+        # "multimodal_png_decode" was r4-green but its fixture corpus now
+        # rotates Adam7 INTERLACED streams in (odd doc_ids; same pixels,
+        # locally hash-green) — re-fronted for a verdict on the new mix.
+        "multimodal_wav_decode",
         # "multimodal_avi_frames" was r4-green but decode_avi gained the
         # MJPEG ('00dc') path this round — re-fronted.
         "multimodal_bmp_decode",
@@ -812,7 +815,9 @@ _R5_GREEN = frozenset(
         # (SOF2) streams in (odd doc_ids; same closed-form pixel values,
         # locally hash-green) — re-fronted for verdicts on the new
         # container mix.
-        "multimodal_resize_real", "near_dup_prefix_filter",
+        # "multimodal_resize_real" was r5-green but shares the PNG
+        # fixture corpus that now rotates Adam7 in — re-fronted.
+        "near_dup_prefix_filter",
         # "pagerank_one_step" stays: it does NOT call the pagerank
         # operator (self-contained integer one-step builder).
         "pagerank_one_step",
@@ -912,6 +917,9 @@ _CARRYOVER_FIRST = (
     "record_linkage_fs",
     # G.711 mu-law WAV decode (telephony container, codepoint-exact oracle)
     "multimodal_mulaw_decode",
+    # Adam7 fixture rotation (odd doc_ids interlaced; same pixels,
+    # locally hash-green) — re-fronted for verdicts on the new mix
+    "multimodal_png_decode", "multimodal_resize_real",
 )
 
 

@@ -84,9 +84,12 @@ def synthetic_png_assets(
     """Deterministic REAL-PNG fixtures from any (id, payload) table: for
     payload byte-length n, a (n//16 % 16 + 1) x (n % 16 + 1) grayscale
     image with pixel i = (id*31 + i) % 256, encoded with scanline filter
-    id % 5 — so a corpus sweeps all five PNG filter types. Pixel stats
-    are a closed-form function of (id, n), which lets a SQL oracle check
-    the full encode->decode round trip without any image library."""
+    id % 5 — so a corpus sweeps all five PNG filter types — and ODD ids
+    as Adam7 INTERLACED streams (the progressive layout web exporters
+    emit; same pixels, different scanline order, so every oracle is
+    unchanged). Pixel stats are a closed-form function of (id, n), which
+    lets a SQL oracle check the full encode->decode round trip without
+    any image library."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -102,7 +105,13 @@ def synthetic_png_assets(
                 i = np.arange(w * h, dtype=np.int64)
                 arr = ((int(doc_id) * 31 + i) % 256).astype(np.uint8).reshape(h, w)
                 ids.append(doc_id)
-                blobs.append(png.encode_png(arr, filter_type=int(doc_id) % 5))
+                blobs.append(
+                    png.encode_png(
+                        arr,
+                        filter_type=int(doc_id) % 5,
+                        interlace=int(doc_id) % 2 == 1,
+                    )
+                )
             yield pd.DataFrame(
                 {"doc_id": ids, "media_type": "image/png", "blob": blobs}
             )

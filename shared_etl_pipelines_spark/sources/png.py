@@ -8,10 +8,13 @@ on the PNG signature and falls back to its documented stub for formats
 without codecs.
 
 Scope (asserted, not silently wrong): bit depth 8, color types 0 (gray),
-2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), non-interlaced.
-Decoder: spec-complete for that profile — all five filters (None, Sub,
-Up, Average, Paeth), multi-IDAT streams. Encoder: fixtures/round-trip
-tests; any single filter type, always one IDAT.
+2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA), both interlace methods
+(0 = sequential, 1 = Adam7 — the progressive layout web exporters emit;
+each of the seven passes is an independently filtered sub-image whose
+pixels scatter back on the pass grid). Decoder: spec-complete for that
+profile — all five filters (None, Sub, Up, Average, Paeth), multi-IDAT
+streams. Encoder: fixtures/round-trip tests; any single filter type,
+always one IDAT, optional Adam7.
 
 Reference parity note: the reference pipelines move imagery as GeoTIFF /
 COG (pipelines/sentinel/download-sentinel2-l2a-michigan.yml:15-35);
@@ -28,6 +31,27 @@ import numpy as np
 SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _adam7_pass_dims(width: int, height: int):
+    """Yield (x0, y0, dx, dy, pass_width, pass_height) for the non-empty
+    Adam7 passes of a width x height image."""
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (width - x0 + dx - 1) // dx
+        ph = (height - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            yield x0, y0, dx, dy, pw, ph
 
 
 def is_png(data: bytes) -> bool:
@@ -104,6 +128,7 @@ def decode_png(data: bytes) -> tuple[np.ndarray, dict]:
         raise ValueError("not a PNG (bad signature)")
     width = height = None
     color_type = None
+    interlace = 0
     palette = None
     idat = bytearray()
     for ctype, body in _chunks(data):
@@ -117,8 +142,8 @@ def decode_png(data: bytes) -> tuple[np.ndarray, dict]:
                 raise ValueError(f"unsupported color type {color_type}")
             if comp != 0 or filt != 0:
                 raise ValueError("nonstandard compression/filter method")
-            if interlace != 0:
-                raise ValueError("interlaced PNG not supported")
+            if interlace not in (0, 1):
+                raise ValueError(f"unknown interlace method {interlace}")
         elif ctype == b"PLTE":
             palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
@@ -128,10 +153,28 @@ def decode_png(data: bytes) -> tuple[np.ndarray, dict]:
     ch = _CHANNELS[color_type]
     stride = width * ch
     raw = zlib.decompress(bytes(idat))
-    if len(raw) != height * (stride + 1):
-        raise ValueError("IDAT size mismatch")
-    flat = _unfilter(raw, height, stride, ch)
-    arr = np.frombuffer(bytes(flat), dtype=np.uint8).reshape(height, width, ch)
+    if interlace == 1:
+        # Adam7: seven independently filtered sub-images, scattered back
+        # onto the pass grid
+        arr = np.zeros((height, width, ch), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy, pw, ph in _adam7_pass_dims(width, height):
+            pstride = pw * ch
+            need = ph * (pstride + 1)
+            if len(raw) - pos < need:
+                raise ValueError("IDAT size mismatch")
+            sub = _unfilter(raw[pos : pos + need], ph, pstride, ch)
+            pos += need
+            arr[y0::dy, x0::dx] = np.frombuffer(bytes(sub), dtype=np.uint8).reshape(
+                ph, pw, ch
+            )
+        if pos != len(raw):
+            raise ValueError("IDAT size mismatch")
+    else:
+        if len(raw) != height * (stride + 1):
+            raise ValueError("IDAT size mismatch")
+        flat = _unfilter(raw, height, stride, ch)
+        arr = np.frombuffer(bytes(flat), dtype=np.uint8).reshape(height, width, ch)
     if color_type == 3:
         if palette is None:
             raise ValueError("palette image without PLTE")
@@ -144,6 +187,7 @@ def decode_png(data: bytes) -> tuple[np.ndarray, dict]:
         "height": height,
         "color_type": color_type,
         "channels": ch,
+        "interlace": interlace,
     }
 
 
@@ -181,11 +225,16 @@ def _filter_line(
 
 
 def encode_png(
-    arr: np.ndarray, color_type: int | None = None, filter_type: int = 0
+    arr: np.ndarray,
+    color_type: int | None = None,
+    filter_type: int = 0,
+    interlace: bool = False,
 ) -> bytes:
     """Encode a uint8 array as PNG. (h, w) -> grayscale; (h, w, 2/3/4) ->
     gray+alpha / RGB / RGBA. ``filter_type`` applies to every scanline
-    (the decoder handles mixed; a real encoder would pick per row)."""
+    (the decoder handles mixed; a real encoder would pick per row).
+    ``interlace`` emits the Adam7 layout: each of the seven passes is
+    extracted on its grid and filtered as an independent sub-image."""
     a = np.ascontiguousarray(arr, dtype=np.uint8)
     if a.ndim == 2:
         a = a[:, :, None]
@@ -195,13 +244,23 @@ def encode_png(
     if _CHANNELS[color_type] != ch:
         raise ValueError(f"color type {color_type} wants {_CHANNELS[color_type]} channels, got {ch}")
     raw = bytearray()
-    prior = bytes(w * ch)
-    for y in range(h):
-        line = a[y].tobytes()
-        raw.append(filter_type)
-        raw += _filter_line(filter_type, line, prior, ch)
-        prior = line
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    if interlace:
+        for x0, y0, dx, dy, pw, ph in _adam7_pass_dims(w, h):
+            sub = np.ascontiguousarray(a[y0::dy, x0::dx])
+            prior = bytes(pw * ch)
+            for y in range(ph):
+                line = sub[y].tobytes()
+                raw.append(filter_type)
+                raw += _filter_line(filter_type, line, prior, ch)
+                prior = line
+    else:
+        prior = bytes(w * ch)
+        for y in range(h):
+            line = a[y].tobytes()
+            raw.append(filter_type)
+            raw += _filter_line(filter_type, line, prior, ch)
+            prior = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, int(interlace))
     return (
         SIGNATURE
         + _chunk(b"IHDR", ihdr)

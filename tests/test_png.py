@@ -86,9 +86,13 @@ def test_rejects_bad_inputs():
         decode_png(b"JFIF not a png")
     arr = np.zeros((2, 2), dtype=np.uint8)
     data = bytearray(encode_png(arr))
-    # corrupt IHDR's interlace byte (last byte of the 13-byte IHDR body)
+    # unknown interlace method (last byte of the 13-byte IHDR body)
+    data[8 + 8 + 12] = 2
+    with pytest.raises(ValueError, match="interlace method"):
+        decode_png(bytes(data))
+    # claiming Adam7 over a sequential stream fails loud, not garbage
     data[8 + 8 + 12] = 1
-    with pytest.raises(ValueError, match="interlaced"):
+    with pytest.raises(ValueError, match="IDAT size mismatch"):
         decode_png(bytes(data))
 
 
@@ -180,3 +184,44 @@ def test_decode_images_gif_branch(spark, sf_dir):
     out = REGISTRY["multimodal_gif_decode"].fn(spark, sf_dir)
     rows = out.collect()
     assert rows and all(r["is_real_decode"] for r in rows)
+
+
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize(
+    "shape", [(1, 1), (7, 5), (8, 8), (9, 13, 3), (16, 16, 4), (3, 2, 2), (2, 9)]
+)
+def test_adam7_interlace_round_trip(filter_type, shape):
+    """Adam7 streams round-trip exactly across shapes that exercise
+    empty passes (dims < 8), all filters, and all color types."""
+    arr = RNG.integers(0, 256, size=shape, dtype=np.uint8)
+    data = encode_png(arr, filter_type=filter_type, interlace=True)
+    got, info = decode_png(data)
+    assert info["interlace"] == 1
+    np.testing.assert_array_equal(got, arr.squeeze())
+    # sequential encode of the same pixels decodes identically
+    got2, info2 = decode_png(encode_png(arr, filter_type=filter_type))
+    assert info2["interlace"] == 0
+    np.testing.assert_array_equal(got2, got)
+
+
+def test_adam7_pass_layout_matches_spec():
+    """The seven-pass schedule: an 8x8 image's pixels map to the classic
+    Adam7 pass-number grid."""
+    from shared_etl_pipelines_spark.sources.png import _adam7_pass_dims
+
+    grid = np.zeros((8, 8), dtype=int)
+    for p, (x0, y0, dx, dy, pw, ph) in enumerate(_adam7_pass_dims(8, 8), 1):
+        grid[y0::dy, x0::dx] = p
+    want = np.array(
+        [
+            [1, 6, 4, 6, 2, 6, 4, 6],
+            [7, 7, 7, 7, 7, 7, 7, 7],
+            [5, 6, 5, 6, 5, 6, 5, 6],
+            [7, 7, 7, 7, 7, 7, 7, 7],
+            [3, 6, 4, 6, 3, 6, 4, 6],
+            [7, 7, 7, 7, 7, 7, 7, 7],
+            [5, 6, 5, 6, 5, 6, 5, 6],
+            [7, 7, 7, 7, 7, 7, 7, 7],
+        ]
+    )
+    np.testing.assert_array_equal(grid, want)
