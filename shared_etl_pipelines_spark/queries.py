@@ -920,6 +920,8 @@ _CARRYOVER_FIRST = (
     # Adam7 fixture rotation (odd doc_ids interlaced; same pixels,
     # locally hash-green) — re-fronted for verdicts on the new mix
     "multimodal_png_decode", "multimodal_resize_real",
+    # arbitrary-state streaming (applyInPandasWithState, 2-batch feed)
+    "stream_custom_state_alarms",
 )
 
 

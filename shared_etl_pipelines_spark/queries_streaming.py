@@ -680,3 +680,93 @@ def q_stream_mor_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Arbitrary-state streaming (applyInPandasWithState — the custom-state
+# API that runs on the default state store, next to the RocksDB-gated
+# transformWithState welford_stats): per-user spend alarms where an
+# event fires when its amount exceeds twice the running mean of all
+# PRIOR events. The feed arrives as TWO time-ordered files (one
+# micro-batch each via maxFilesPerTrigger), so every user's state must
+# survive the batch boundary — a state reset would misnumber n_prior
+# for every second-file event, which the cumulative-window oracle would
+# catch row-by-row. The alarm rule is kept in cross-multiplied integer
+# form (cents * n_prior > 2 * sum_prior), so both engines compare exact
+# BIGINTs — no float anywhere.
+# ---------------------------------------------------------------------------
+@defquery(
+    "stream_custom_state_alarms",
+    """
+    WITH s AS (
+      SELECT user_id, event_id,
+             CAST(ROUND(value * 100) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER w - 1 AS n_prior,
+             COALESCE(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s_prior
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id, CAST(n_prior AS BIGINT) AS n_prior, cents
+    FROM s WHERE n_prior >= 3 AND cents * n_prior > 2 * s_prior
+    """,
+    doc="custom-state streaming (applyInPandasWithState): per-user "
+    "running-mean spend alarms over a two-micro-batch ordered feed; "
+    "exact integer state (n, sum_cents) carried across the batch "
+    "boundary, pinned row-by-row by the cumulative-window oracle",
+    tags=("streaming", "stateful", "scale-path"),
+)
+def q_stream_custom_state_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import shutil
+    import tempfile
+    import time
+
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.sources.tables import load_table
+    from shared_etl_pipelines_spark.streaming.windows import spend_alarms
+
+    events = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    split = events.agg(
+        F.min("ts") + F.expr("INTERVAL 15 DAYS")
+    ).collect()[0][0]
+    root = tempfile.mkdtemp(prefix="spark_graft_alarm_stream_")
+    try:
+        drop = os.path.join(root, "drop")
+        os.makedirs(drop)
+        halves = [
+            events.filter(F.col("ts") < F.lit(split)),
+            events.filter(F.col("ts") >= F.lit(split)),
+        ]
+        now = time.time()
+        for i, h in enumerate(halves):
+            stage = os.path.join(root, f"stage{i}")
+            h.coalesce(1).write.parquet(stage)
+            (part,) = glob.glob(os.path.join(stage, "part-*.parquet"))
+            dst = os.path.join(drop, f"b{i:03d}.parquet")
+            shutil.move(part, dst)
+            shutil.rmtree(stage)
+            os.utime(dst, (now + 10 * i, now + 10 * i))  # oldest-first order
+
+        schema = spark.read.parquet(os.path.join(drop, "b000.parquet")).schema
+        feed = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .load(drop)
+        )
+        feed = feed.select(
+            "user_id",
+            "event_id",
+            "ts",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        out = _run(spend_alarms(feed), "append")
+        rows = out.collect()  # bounded (alarm rows) — lets scratch go
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -336,3 +336,71 @@ def welford_stats(df: DataFrame, key: str = "user_id") -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+_ALARM_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("event_id", LongType()),
+        StructField("n_prior", LongType()),
+        StructField("cents", LongType()),
+    ]
+)
+
+
+def spend_alarms(df: DataFrame, key: str = "user_id") -> DataFrame:
+    """Per-key spend alarms with ARBITRARY user state — the
+    applyInPandasWithState path (works on the default HDFS state store,
+    unlike transformWithStateInPandas/welford_stats which needs RocksDB
+    + protobuf). State is one exact integer pair (n, sum_cents) per
+    key; an event raises an alarm when its amount exceeds twice the
+    running mean of everything before it:
+
+        n_prior >= 3  AND  cents * n_prior > 2 * sum_prior
+
+    kept in cross-multiplied integer form so there is no float anywhere
+    — a batch-mode SQL replay (cumulative window) matches bit-for-bit.
+    Within a micro-batch rows walk in (ts, event_id) order; across
+    micro-batches the state carries, so a multi-file ordered feed folds
+    exactly like the global sort — which is what the oracle pins: a
+    state reset between batches would misnumber every later n_prior.
+    Input must carry ``event_id``, ``ts`` and integer ``cents``
+    columns. O(1) state per key, alarms-only output (append mode)."""
+
+    def fn(key_tuple, pdfs: Iterator["pd.DataFrame"], state):
+        if state.exists:
+            n, s = state.get
+        else:
+            n, s = 0, 0
+        chunks = list(pdfs)
+        pdf = pd.concat(chunks) if len(chunks) > 1 else chunks[0]
+        pdf = pdf.sort_values(["ts", "event_id"])
+        out_eid, out_np, out_c = [], [], []
+        for eid, c in zip(
+            pdf["event_id"].astype("int64"), pdf["cents"].astype("int64")
+        ):
+            c = int(c)
+            if n >= 3 and c * n > 2 * s:
+                out_eid.append(int(eid))
+                out_np.append(n)
+                out_c.append(c)
+            n += 1
+            s += c
+        state.update((n, s))
+        if out_eid:
+            yield pd.DataFrame(
+                {
+                    "user_id": int(key_tuple[0]),
+                    "event_id": out_eid,
+                    "n_prior": out_np,
+                    "cents": out_c,
+                }
+            )
+
+    return df.groupBy(key).applyInPandasWithState(
+        fn,
+        outputStructType=_ALARM_OUT,
+        stateStructType="n long, s long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
