@@ -922,6 +922,8 @@ _CARRYOVER_FIRST = (
     "multimodal_png_decode", "multimodal_resize_real",
     # arbitrary-state streaming (applyInPandasWithState, 2-batch feed)
     "stream_custom_state_alarms",
+    # GIF89a animation decode (GCE, composition, disposal)
+    "gif_animated_frames",
 )
 
 

@@ -933,6 +933,42 @@ def q_multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "gif_animated_frames",
+    """
+    WITH a AS (
+      SELECT doc_id AS d, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+             2 + doc_id % 3 AS nf
+      FROM documents
+    ),
+    f AS (SELECT d, w, h, unnest(range(0, nf)) AS j FROM a)
+    SELECT d AS doc_id, CAST(j AS INT) AS frame_idx, TRUE AS is_real_decode,
+           CAST((d + j) % 50 + 1 AS INT) AS delay_cs,
+           CAST(CASE WHEN j = 0 THEN w * h * ((d * 31) % 256)
+                ELSE (w * h - (w // 2) * (h // 2)) * ((d * 31) % 256)
+                     + (w // 2) * (h // 2) * ((d * 31 + j * 53) % 256)
+                END AS BIGINT) AS px_sum
+    FROM f
+    """,
+    doc="GIF89a ANIMATION decode (sources/gif.py decode_gif_frames): "
+    "graphic-control extensions, sub-rectangle frames composed onto "
+    "the running canvas, per-frame delays — composed pixel sums and "
+    "delays pinned per frame against the closed-form fixture (the "
+    "frame-sampling primitive for crawled GIFs)",
+    tags=("llm", "multimodal", "codec", "video"),
+)
+def q_gif_animated_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.multimodal import (
+        gif_frame_stats,
+        synthetic_animated_gif_assets,
+    )
+
+    assets = synthetic_animated_gif_assets(_t(spark, sf_dir, "documents"))
+    return gif_frame_stats(assets).select(
+        "doc_id", "frame_idx", "is_real_decode", "delay_cs", "px_sum"
+    )
+
+
+@defquery(
     "multimodal_mulaw_decode",
     """
     WITH a AS (

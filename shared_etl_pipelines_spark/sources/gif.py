@@ -207,3 +207,139 @@ def decode_gif(data: bytes) -> np.ndarray:
         else:
             raise ValueError(f"unexpected GIF block 0x{block:02x}")
     raise ValueError("no image block in GIF")
+
+
+# ---------------------------------------------------------------------------
+# GIF89a animation: multiple image blocks, each preceded by a Graphic
+# Control Extension (delay, disposal, optional transparency), frames
+# placed as sub-rectangles and COMPOSED onto the running canvas — the
+# part of the format single-frame decoders skip and exactly what a
+# frame-sampling pipeline needs (GIFs are a large slice of crawled
+# "video"). Disposal 1 (leave) and 2 (restore background) implemented;
+# transparent pixels skip composition.
+# ---------------------------------------------------------------------------
+def encode_gif_animated(
+    frames: list,
+    delays_cs: list | None = None,
+    disposal: int = 1,
+    transparent_index: int | None = None,
+) -> bytes:
+    """Encode GIF89a animation. ``frames`` is a list of
+    (x, y, 2-D uint8 patch) tuples — frame 0 should cover the canvas;
+    later frames may be sub-rectangles. ``delays_cs`` per-frame delays
+    in centiseconds. Canvas size = frame 0's patch size."""
+    if not frames:
+        raise ValueError("no frames")
+    x0, y0, base = frames[0]
+    if x0 or y0:
+        raise ValueError("frame 0 must cover the canvas at (0, 0)")
+    h, w = base.shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    for i in range(256):
+        out += bytes((i, i, i))
+    # netscape loop extension (standard for animations; decoder skips)
+    out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    for fi, (fx, fy, patch) in enumerate(frames):
+        if patch.ndim != 2 or patch.dtype != np.uint8:
+            raise ValueError("frames must be 2-D uint8 patches")
+        ph, pw = patch.shape
+        delay = int(delays_cs[fi]) if delays_cs else 0
+        flags = (disposal & 0x07) << 2
+        tidx = 0
+        if transparent_index is not None and fi > 0:
+            flags |= 0x01
+            tidx = transparent_index
+        out += struct.pack("<BBBBHBB", 0x21, 0xF9, 4, flags, delay, tidx, 0)
+        out += struct.pack("<BHHHHB", 0x2C, fx, fy, pw, ph, 0)
+        out.append(8)
+        payload = _lzw_encode_gif(patch.tobytes())
+        for i in range(0, len(payload), 255):
+            chunk = payload[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0)
+    out.append(0x3B)
+    return bytes(out)
+
+
+def decode_gif_frames(data: bytes) -> list:
+    """Decode every frame of a GIF87a/89a, composing each onto the
+    running canvas per its disposal method. Returns a list of
+    (composed 2-D uint8 canvas, delay_cs) tuples. Disposal 1/0 leaves
+    the canvas; disposal 2 restores the background (index 0) after the
+    frame; transparent pixels do not overwrite."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", data, 6)
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        palette = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    canvas = np.zeros((h, w), dtype=np.uint8)
+    frames = []
+    delay = 0
+    disposal = 0
+    transparent = None
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x21 and pos + 1 < len(data) and data[pos + 1] == 0xF9:
+            size = data[pos + 2]
+            flags, delay, tidx = struct.unpack_from("<BHB", data, pos + 3)
+            disposal = (flags >> 2) & 0x07
+            transparent = tidx if flags & 0x01 else None
+            pos += 3 + size + 1  # intro + body + terminator
+        elif block == 0x21:  # other extension: skip sub-blocks
+            pos += 2
+            while data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:
+            fx, fy, iw, ih, ipacked = struct.unpack_from("<HHHHB", data, pos + 1)
+            pos += 10
+            pal = palette
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                pal = np.frombuffer(data[pos : pos + 3 * n], dtype=np.uint8).reshape(
+                    n, 3
+                )
+                pos += 3 * n
+            if ipacked & 0x40:
+                raise ValueError("interlaced GIF not supported")
+            mcs = data[pos]
+            pos += 1
+            payload = bytearray()
+            while True:
+                ln = data[pos]
+                pos += 1
+                if ln == 0:
+                    break
+                payload += data[pos : pos + ln]
+                pos += ln
+            idx = np.frombuffer(_lzw_decode_gif(bytes(payload), mcs), dtype=np.uint8)[
+                : iw * ih
+            ].reshape(ih, iw)
+            if pal is None:
+                raise ValueError("GIF without a color table")
+            region = canvas[fy : fy + ih, fx : fx + iw]
+            px = pal[idx, 0]
+            if transparent is not None:
+                mask = idx != transparent
+                region[mask] = px[mask]
+            else:
+                region[:] = px
+            frames.append((canvas.copy(), delay))
+            if disposal == 2:
+                canvas[fy : fy + ih, fx : fx + iw] = pal[0, 0]
+            disposal = 0
+            transparent = None
+            delay = 0
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+    if not frames:
+        raise ValueError("no image block in GIF")
+    return frames

@@ -309,6 +309,94 @@ def synthetic_wav_assets(
     )
 
 
+def synthetic_animated_gif_assets(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic GIF89a ANIMATION fixtures: doc d gets an
+    (8 + d%9) x (8 + d%7) canvas, 2 + d%3 frames — frame 0 full at
+    constant (d*31)%256, each later frame j overwriting the fixed
+    (1,1, w//2 x h//2) rectangle with (d*31 + j*53)%256, disposal 1
+    (leave), per-frame delay (d+j)%50 + 1 cs. Composed per-frame pixel
+    sums are closed-form in (d, j), so a SQL oracle pins the full
+    multi-frame decode + composition."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from shared_etl_pipelines_spark.sources import gif
+
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                w, h = 8 + d % 9, 8 + d % 7
+                v0 = (d * 31) % 256
+                frames = [(0, 0, np.full((h, w), v0, dtype=np.uint8))]
+                delays = [(d + 0) % 50 + 1]
+                for j in range(1, 2 + d % 3):
+                    vj = (d * 31 + j * 53) % 256
+                    frames.append(
+                        (1, 1, np.full((h // 2, w // 2), vj, dtype=np.uint8))
+                    )
+                    delays.append((d + j) % 50 + 1)
+                ids.append(doc_id)
+                blobs.append(gif.encode_gif_animated(frames, delays_cs=delays))
+            yield pd.DataFrame(
+                {"doc_id": ids, "media_type": "image/gif", "blob": blobs}
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(
+        batches, "doc_id bigint, media_type string, blob binary"
+    )
+
+
+def gif_frame_stats(assets: DataFrame) -> DataFrame:
+    """Arrow-batched multi-frame GIF decode: one output row per
+    COMPOSED frame (disposal applied, transparency respected) with its
+    delay and exact pixel sum — the frame-sampling primitive for the
+    large crawled-GIF slice of "video" data. Corrupt blobs quarantine
+    as a single is_real_decode=false row."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from shared_etl_pipelines_spark.sources import gif
+
+        for pdf in it:
+            rows: dict[str, list] = {
+                k: []
+                for k in (
+                    "doc_id", "frame_idx", "is_real_decode", "delay_cs", "px_sum"
+                )
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                blob = bytes(blob)
+                try:
+                    frames = gif.decode_gif_frames(blob) if gif.is_gif(blob) else None
+                except Exception:
+                    frames = None
+                if frames is None:
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(-1)
+                    rows["is_real_decode"].append(False)
+                    rows["delay_cs"].append(0)
+                    rows["px_sum"].append(0)
+                    continue
+                for j, (canvas, delay) in enumerate(frames):
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(j)
+                    rows["is_real_decode"].append(True)
+                    rows["delay_cs"].append(int(delay))
+                    rows["px_sum"].append(int(canvas.astype(np.int64).sum()))
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(
+        batches,
+        "doc_id bigint, frame_idx int, is_real_decode boolean, "
+        "delay_cs int, px_sum bigint",
+    )
+
+
 def synthetic_mulaw_wav_assets(
     df: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

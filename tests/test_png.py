@@ -225,3 +225,62 @@ def test_adam7_pass_layout_matches_spec():
         ]
     )
     np.testing.assert_array_equal(grid, want)
+
+
+def test_animated_gif_composition_disposal_transparency():
+    """GIF89a multi-frame: GCE delays, sub-rectangle composition,
+    disposal 2 background restore, transparency skip, and the
+    single-frame decoder still reading frame 0 of animated blobs."""
+    from shared_etl_pipelines_spark.sources.gif import (
+        decode_gif,
+        decode_gif_frames,
+        encode_gif_animated,
+    )
+
+    base = np.full((6, 8), 100, dtype=np.uint8)
+    p1 = np.full((3, 4), 20, dtype=np.uint8)
+    p2 = np.full((2, 2), 250, dtype=np.uint8)
+    blob = encode_gif_animated(
+        [(0, 0, base), (2, 1, p1), (5, 3, p2)], delays_cs=[10, 20, 30]
+    )
+    frames = decode_gif_frames(blob)
+    assert [d for _, d in frames] == [10, 20, 30]
+    np.testing.assert_array_equal(frames[0][0], base)
+    want1 = base.copy()
+    want1[1:4, 2:6] = 20
+    np.testing.assert_array_equal(frames[1][0], want1)
+    want2 = want1.copy()
+    want2[3:5, 5:7] = 250
+    np.testing.assert_array_equal(frames[2][0], want2)
+    # disposal 2: the frame's rect restores to background before the next
+    fr2 = decode_gif_frames(
+        encode_gif_animated([(0, 0, base), (2, 1, p1), (5, 3, p2)], disposal=2)
+    )
+    assert fr2[1][0][0, 0] == 0 and fr2[1][0][2, 3] == 20
+    # transparent index: matching pixels do not overwrite the canvas
+    p3 = np.full((3, 4), 20, dtype=np.uint8)
+    p3[0, 0] = 77
+    fr3 = decode_gif_frames(
+        encode_gif_animated([(0, 0, base), (2, 2, p3)], transparent_index=20)
+    )
+    c = fr3[1][0]
+    assert c[2, 2] == 77 and c[2, 3] == 100 and c[3, 3] == 100
+    # single-frame decoder: first frame of an animated stream
+    np.testing.assert_array_equal(decode_gif(blob), base)
+
+
+def test_gif_frame_stats_quarantines_corrupt(spark):
+    from shared_etl_pipelines_spark.sources.gif import encode_gif_animated
+    from shared_etl_pipelines_spark.sources.multimodal import gif_frame_stats
+
+    good = encode_gif_animated(
+        [(0, 0, np.full((4, 4), 9, dtype=np.uint8))], delays_cs=[5]
+    )
+    assets = spark.createDataFrame(
+        [(1, "image/gif", bytearray(good)), (2, "image/gif", bytearray(b"GIF89a trash"))],
+        "doc_id long, media_type string, blob binary",
+    )
+    rows = {r["doc_id"]: r for r in gif_frame_stats(assets).collect()}
+    assert rows[1]["is_real_decode"] and rows[1]["px_sum"] == 16 * 9
+    assert rows[1]["delay_cs"] == 5
+    assert not rows[2]["is_real_decode"] and rows[2]["frame_idx"] == -1
