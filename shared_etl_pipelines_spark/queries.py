@@ -924,6 +924,14 @@ _CARRYOVER_FIRST = (
     "stream_custom_state_alarms",
     # GIF89a animation decode (GCE, composition, disposal)
     "gif_animated_frames",
+    # Spearman rank correlation (2R integer ranks, bounded distinct tables)
+    "spearman_spend_orders",
+    # one-way ANOVA F + eta-squared (exact integer moments)
+    "anova_priority_f",
+    # LEFT-OUTER stream-stream interval join (watermark-proven NULL pads)
+    "stream_interval_join_outer",
+    # per-node clustering coefficient (oriented triangles credit corners)
+    "clustering_coefficient",
 )
 
 

@@ -1563,6 +1563,107 @@ def q_copurchase_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Per-node clustering coefficient — the local-density companion to the
+# global triangle count: cc(v) = 2*T(v) / (deg(v)*(deg(v)-1)). Same
+# oriented edge set and out-degree-bounded two-hop as
+# copurchase_triangles; each (a<b<c) triangle then credits all three
+# corners (one explode), degrees come from one grouped count over the
+# undirected incidence — everything exact integers until the final
+# division.
+# ---------------------------------------------------------------------------
+@defquery(
+    "clustering_coefficient",
+    """
+    WITH li AS (
+      SELECT l_orderkey, l_partkey FROM lineitem WHERE l_quantity >= 40
+    ),
+    e AS (
+      SELECT DISTINCT l1.l_partkey AS a, l2.l_partkey AS b
+      FROM li l1 JOIN li l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_partkey < l2.l_partkey
+    ),
+    tri AS (
+      SELECT e1.a AS a, e1.b AS b, e2.b AS c
+      FROM e e1
+      JOIN e e2 ON e2.a = e1.b
+      JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    tcnt AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS t FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY node
+    ),
+    deg AS (
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT a AS node FROM e UNION ALL SELECT b FROM e
+      ) GROUP BY node
+    )
+    SELECT deg.node AS part, deg.d AS degree,
+           COALESCE(tcnt.t, 0) AS triangles,
+           ROUND(2.0 * COALESCE(tcnt.t, 0) / (deg.d * (deg.d - 1)), 4) AS cc
+    FROM deg LEFT JOIN tcnt ON tcnt.node = deg.node
+    WHERE deg.d >= 2
+    """,
+    doc="per-node clustering coefficient on the co-purchase graph: "
+    "oriented triangles credit all three corners, degrees from the "
+    "undirected incidence, exact integers until the final ratio",
+    tags=("graph", "join", "analytics"),
+)
+def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 40)
+        .select("l_orderkey", "l_partkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_partkey").alias("p2")
+    )
+    e = (
+        li.join(l2, (li["l_orderkey"] == l2["k2"]) & (li["l_partkey"] < l2["p2"]))
+        .select(F.col("l_partkey").alias("a"), F.col("p2").alias("b"))
+        .distinct()
+    )
+    e1 = e
+    e2 = e.select(F.col("a").alias("b_"), F.col("b").alias("c"))
+    e3 = e.select(F.col("a").alias("a3"), F.col("b").alias("c3"))
+    tri = (
+        e1.join(e2, e1["b"] == e2["b_"])
+        .join(e3, (e1["a"] == e3["a3"]) & (e2["c"] == e3["c3"]))
+        .select("a", "b", "c")
+    )
+    tcnt = (
+        tri.select(F.col("a").alias("node"))
+        .unionByName(tri.select(F.col("b").alias("node")))
+        .unionByName(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    out = (
+        deg.join(tcnt, "node", "left")
+        .filter(F.col("d") >= 2)
+        .select(
+            F.col("node").alias("part"),
+            F.col("d").alias("degree"),
+            F.coalesce(F.col("t"), F.lit(0)).cast("long").alias("triangles"),
+            F.round(
+                2.0 * F.coalesce(F.col("t"), F.lit(0))
+                / (F.col("d") * (F.col("d") - 1)),
+                4,
+            ).alias("cc"),
+        )
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
 # PageRank on the (thinned) co-purchase graph — operators/graph.py.
 # pagerank_one_step pins the damped-propagation arithmetic with a full
 # SQL oracle (one step from uniform ranks IS ANSI-expressible);
@@ -4416,6 +4517,170 @@ def q_gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("t") / 100.0, 4).alias("total_spend"),
     )
     return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation — the nonparametric dependence measure
+# (Pearson on tie-averaged ranks) between per-customer spend and order
+# count. Ranks come from the bounded distinct-value tables in the 2R
+# integer form (average ranks are half-integers, so 2R stays BIGINT —
+# the mann_whitney_u discipline, once per variable); the rank-moment
+# sums are exact BIGINTs through sf1 (max ~4n^3 ≈ 1.4e16 at n=150k),
+# and only the final rho is computed in doubles, with the identical
+# expression in both engines. 100 TB: two grouped counts + two bounded
+# cumulative windows + equi-joins back — the raw table never sorts.
+# ---------------------------------------------------------------------------
+@defquery(
+    "spearman_spend_orders",
+    """
+    WITH per_c AS (
+      SELECT o_custkey AS k,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM orders GROUP BY o_custkey
+    ),
+    rx AS (SELECT x, CAST(COUNT(*) AS BIGINT) AS c FROM per_c GROUP BY x),
+    rx2 AS (
+      SELECT x, CAST(2 * COALESCE(SUM(c) OVER (
+               ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) + c + 1 AS BIGINT) AS r2x
+      FROM rx
+    ),
+    ry AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS c FROM per_c GROUP BY y),
+    ry2 AS (
+      SELECT y, CAST(2 * COALESCE(SUM(c) OVER (
+               ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) + c + 1 AS BIGINT) AS r2y
+      FROM ry
+    ),
+    j AS (SELECT r2x, r2y FROM per_c JOIN rx2 USING (x) JOIN ry2 USING (y)),
+    a AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(r2x * r2y) AS BIGINT) AS sxy,
+             CAST(SUM(r2x) AS BIGINT) AS sx, CAST(SUM(r2y) AS BIGINT) AS sy,
+             CAST(SUM(r2x * r2x) AS BIGINT) AS sxx,
+             CAST(SUM(r2y * r2y) AS BIGINT) AS syy
+      FROM j
+    )
+    SELECT n,
+           ROUND((CAST(sxy AS DOUBLE) * n - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((CAST(sxx AS DOUBLE) * n - CAST(sx AS DOUBLE) * sx)
+                        * (CAST(syy AS DOUBLE) * n - CAST(sy AS DOUBLE) * sy)),
+                 4) AS spearman_rho
+    FROM a
+    """,
+    doc="Spearman rank correlation between per-customer total spend and "
+    "order count: tie-averaged ranks in exact 2R BIGINT form over "
+    "bounded distinct tables, one double expression at the end",
+    tags=("analytics", "rank", "correlation", "window", "aggregate"),
+)
+def q_spearman_spend_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    per_c = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("x"),
+        F.count(F.lit(1)).cast("long").alias("y"),
+    )
+
+    def ranks2(col: str) -> DataFrame:
+        d = per_c.groupBy(col).agg(F.count(F.lit(1)).cast("long").alias("c"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return d.select(
+            col,
+            (
+                2 * F.coalesce(F.sum("c").over(w), F.lit(0))
+                + F.col("c")
+                + 1
+            ).cast("long").alias(f"r2{col}"),
+        )
+
+    j = per_c.join(ranks2("x"), ["x"]).join(ranks2("y"), ["y"])
+    a = j.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("r2x") * F.col("r2y")).cast("long").alias("sxy"),
+        F.sum("r2x").cast("long").alias("sx"),
+        F.sum("r2y").cast("long").alias("sy"),
+        F.sum(F.col("r2x") * F.col("r2x")).cast("long").alias("sxx"),
+        F.sum(F.col("r2y") * F.col("r2y")).cast("long").alias("syy"),
+    )
+    num = F.col("sxy").cast("double") * F.col("n") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy")
+    den = F.sqrt(
+        (F.col("sxx").cast("double") * F.col("n") - F.col("sx").cast("double") * F.col("sx"))
+        * (F.col("syy").cast("double") * F.col("n") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return a.select("n", F.round(num / den, 4).alias("spearman_rho"))
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA F — does order value differ across the five priority
+# classes? The k-group generalization of ab_welch_ttest, from the same
+# exact whole-dollar integer moments (n_g, S_g, Sxx_g are BIGINTs; the
+# squared group sums would pass 2^63 at sf1 so every product is done in
+# doubles with the identical expression order in both engines).
+# ---------------------------------------------------------------------------
+@defquery(
+    "anova_priority_f",
+    """
+    WITH g AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n_g,
+             CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT) AS s_g,
+             CAST(SUM(CAST(ROUND(o_totalprice) AS BIGINT)
+                      * CAST(ROUND(o_totalprice) AS BIGINT)) AS BIGINT) AS sxx_g
+      FROM orders GROUP BY o_orderpriority
+    ),
+    a AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(SUM(s_g) AS BIGINT) AS s,
+             CAST(SUM(sxx_g) AS BIGINT) AS sxx,
+             SUM(CAST(s_g AS DOUBLE) * s_g / n_g) AS sb
+      FROM g
+    )
+    SELECT k, n,
+           ROUND(((sb - CAST(s AS DOUBLE) * s / n) / (k - 1))
+                 / ((CAST(sxx AS DOUBLE) - sb) / (n - k)), 4) AS f_stat,
+           ROUND((sb - CAST(s AS DOUBLE) * s / n)
+                 / (CAST(sxx AS DOUBLE) - CAST(s AS DOUBLE) * s / n), 4)
+             AS eta_sq
+    FROM a
+    """,
+    doc="one-way ANOVA F across the five order priorities from exact "
+    "whole-dollar integer moments, plus eta-squared effect size — the "
+    "k-group member of the exact-moment test family (welch/chi2/ks)",
+    tags=("analytics", "ab-test", "aggregate"),
+)
+def q_anova_priority_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    xd = F.round(F.col("o_totalprice")).cast("long")
+    g = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum(xd).cast("long").alias("s_g"),
+        F.sum(xd * xd).cast("long").alias("sxx_g"),
+    )
+    a = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("long").alias("s"),
+        F.sum("sxx_g").cast("long").alias("sxx"),
+        F.sum(F.col("s_g").cast("double") * F.col("s_g") / F.col("n_g")).alias(
+            "sb"
+        ),
+    )
+    s_d = F.col("s").cast("double")
+    ssb = F.col("sb") - s_d * F.col("s") / F.col("n")
+    ssw = F.col("sxx").cast("double") - F.col("sb")
+    sst = F.col("sxx").cast("double") - s_d * F.col("s") / F.col("n")
+    return a.select(
+        "k",
+        "n",
+        F.round((ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))), 4)
+        .alias("f_stat"),
+        F.round(ssb / sst, 4).alias("eta_sq"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -407,6 +407,69 @@ def q_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("l_key", "l_event", "r_event")
 
 
+# ---------------------------------------------------------------------------
+# LEFT-OUTER stream-stream interval join: matches emit like the inner
+# form, and an unmatched click emits a NULL-padded row only once the
+# watermark PROVES no future purchase can pair with it (that proof is
+# what makes outer stream-stream joins legal at all). On the finite
+# availableNow drain: the data batch emits every match at watermark 0,
+# then the no-data batch advances the GLOBAL watermark to
+# min(ms-truncated max event time per side) - delay and flushes exactly
+# the unmatched clicks whose join window [ts, ts+1h] has fallen below
+# it. The oracle replays both pieces: the theta join UNION the
+# NOT-EXISTS clicks under the watermark cutoff.
+# ---------------------------------------------------------------------------
+@defquery(
+    "stream_interval_join_outer",
+    """
+    WITH c AS (SELECT user_id, event_id, ts FROM events
+               WHERE event_type = 'click'),
+    p AS (SELECT user_id, event_id, ts FROM events
+          WHERE event_type = 'purchase'),
+    wm AS (
+      SELECT LEAST(date_trunc('milliseconds', (SELECT MAX(ts) FROM c)),
+                   date_trunc('milliseconds', (SELECT MAX(ts) FROM p)))
+             - INTERVAL 2 DAY AS w
+    )
+    SELECT c.user_id AS l_key, CAST(c.event_id AS BIGINT) AS l_event,
+           CAST(p.event_id AS BIGINT) AS r_event
+    FROM c JOIN p ON c.user_id = p.user_id
+                 AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    UNION ALL
+    SELECT c.user_id, CAST(c.event_id AS BIGINT), CAST(NULL AS BIGINT)
+    FROM c CROSS JOIN wm
+    WHERE c.ts + INTERVAL 1 HOUR < wm.w
+      AND NOT EXISTS (
+        SELECT 1 FROM p WHERE p.user_id = c.user_id
+          AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+      )
+    """,
+    doc="LEFT-OUTER stream-stream interval join: every click-purchase "
+    "match plus NULL-padded rows for clicks whose 1-hour join window "
+    "fell below the final min-of-sides watermark — the delayed "
+    "unmatched-emission rule replayed exactly by the oracle",
+    tags=("streaming", "join", "outer"),
+)
+def q_stream_interval_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.streaming import interval_join_stream
+
+    ev = _events_stream(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    joined = interval_join_stream(
+        clicks,
+        purchases,
+        key="user_id",
+        within="1 hour",
+        delay="2 days",
+        how="left_outer",
+    )
+    out = _run(joined, "append")
+    return out.select("l_key", "l_event", "r_event")
+
+
 def _raster_daily_sql() -> str:
     # The demo corpus is CLOSED-FORM (sources/raster.py demo_raster_values:
     # (d*7919 + y*31 + x*17) % 1000 over a SIZE x SIZE grid, nodata
