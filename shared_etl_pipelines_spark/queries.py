@@ -932,6 +932,8 @@ _CARRYOVER_FIRST = (
     "stream_interval_join_outer",
     # per-node clustering coefficient (oriented triangles credit corners)
     "clustering_coefficient",
+    # IMA ADPCM decode (4-bit block speech, step-table closed form)
+    "multimodal_adpcm_decode",
 )
 
 

@@ -968,6 +968,56 @@ def q_gif_animated_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# IMA step table >> 3 (the delta a zero nibble adds), embedded in the
+# oracle as a literal — the public ITU/IMA table, same constants as
+# sources/wav.py _IMA_STEPS.
+_IMA_S3 = (
+    "[0, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 2, 3, 3, 3, 4, 4, 5, 5, 6, 6, 7, "
+    "8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 26, 28, 31, 34, 38, 42, "
+    "46, 51, 56, 61, 68, 74, 82, 90, 99, 109, 120, 132, 145, 160, 176, 194, "
+    "213, 234, 258, 284, 312, 343, 378, 415, 457, 503, 553, 608, 669, 736, "
+    "810, 891, 980, 1078, 1186, 1305, 1435, 1579, 1737, 1911, 2102, 2312, "
+    "2543, 2798, 3077, 3385, 3724, 4095]"
+)
+
+
+@defquery(
+    "multimodal_adpcm_decode",
+    f"""
+    WITH a AS (
+      SELECT doc_id AS d, 100 + (doc_id * 37) % 2000 AS amp,
+             doc_id % 41 AS s0, 2 * (8 + doc_id % 32) AS m
+      FROM documents
+    )
+    SELECT d AS doc_id, TRUE AS is_real_decode,
+           CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+           CAST(m + 1 AS BIGINT) AS n_samples,
+           CAST((m + 1) * amp + list_sum(list_transform(range(1, m + 1),
+                j -> (m + 1 - j)
+                     * list_extract({_IMA_S3}, greatest(s0 - (j - 1), 0) + 1)))
+                AS BIGINT) AS amp_sum
+    FROM a
+    """,
+    doc="IMA ADPCM decode (WAV format tag 0x11, 4-bit block-compressed "
+    "speech): planted header + all-zero nibbles make every decoded "
+    "sample a closed-form walk over the public step table, so the "
+    "oracle recomputes the amplitude sum exactly; nibble arithmetic "
+    "for all 16 values pinned against the scalar reference in tests",
+    tags=("llm", "multimodal", "codec", "audio"),
+)
+def q_multimodal_adpcm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.multimodal import (
+        decode_audio,
+        synthetic_adpcm_wav_assets,
+    )
+
+    assets = synthetic_adpcm_wav_assets(_t(spark, sf_dir, "documents"))
+    out = decode_audio(assets)
+    return out.select(
+        "doc_id", "is_real_decode", "sample_rate", "channels", "n_samples", "amp_sum"
+    )
+
+
 @defquery(
     "multimodal_mulaw_decode",
     """

@@ -397,6 +397,40 @@ def gif_frame_stats(assets: DataFrame) -> DataFrame:
     )
 
 
+def synthetic_adpcm_wav_assets(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic IMA ADPCM fixtures (format tag 0x11): doc d gets
+    ONE block with planted header (first sample 100 + (d*37)%2000,
+    step index d%41) and 2*(8 + d%32) ALL-ZERO nibbles. A zero nibble
+    adds exactly step[i]>>3 and walks the index down by one, so every
+    decoded sample — and therefore the amplitude sum — is a closed-form
+    function of (d) over the public step table, which the SQL oracle
+    embeds as a literal array. The nibble arithmetic for all 16 nibble
+    values is pinned against the scalar reference in tests."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shared_etl_pipelines_spark.sources import wav
+
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                amp = 100 + (d * 37) % 2000
+                s0 = d % 41
+                m = 2 * (8 + d % 32)
+                blob = wav.encode_wav_adpcm_blocks([(amp, s0, [0] * m)], 8000)
+                ids.append(doc_id)
+                blobs.append(blob)
+            yield pd.DataFrame(
+                {"doc_id": ids, "media_type": "audio/adpcm", "blob": blobs}
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(
+        batches, "doc_id bigint, media_type string, blob binary"
+    )
+
+
 def synthetic_mulaw_wav_assets(
     df: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

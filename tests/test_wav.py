@@ -149,3 +149,69 @@ def test_mulaw_quantization_error_bounded_by_segment_width():
     x = np.clip(np.abs(xs.astype(np.int64)), 0, 32635) * np.sign(xs.astype(np.int64))
     seg = np.maximum((np.abs(x) + 0x84) >> 4, 8)  # step = 2^(exp+3) <= (mag+bias)/16
     assert (np.abs(d - x) <= seg).all()
+
+
+def test_adpcm_nibble_arithmetic_matches_scalar_reference():
+    """All 16 nibble values against an independent scalar walk, across
+    every step index."""
+    from shared_etl_pipelines_spark.sources.wav import (
+        _IMA_INDEX_DELTA,
+        _IMA_STEPS,
+        _ima_decode_nibble,
+    )
+
+    for index in range(89):
+        for n in range(16):
+            step = int(_IMA_STEPS[index])
+            diff = (step >> 3)
+            if n & 1:
+                diff += step >> 2
+            if n & 2:
+                diff += step >> 1
+            if n & 4:
+                diff += step
+            if n & 8:
+                diff = -diff
+            want_p = max(-32768, min(32767, 1000 + diff))
+            want_i = max(0, min(88, index + int(_IMA_INDEX_DELTA[n & 7])))
+            assert _ima_decode_nibble(1000, index, n) == (want_p, want_i)
+
+
+def test_adpcm_encoder_decoder_track_signal():
+    """The compressing encoder's output decodes back close to the
+    input (bounded quantization error on a band-limited signal), with
+    exact block-header samples."""
+    from shared_etl_pipelines_spark.sources.wav import (
+        decode_wav,
+        encode_wav_adpcm,
+    )
+
+    t = np.arange(2000)
+    sig = (3000 * np.sin(t / 30.0) + 500 * np.sin(t / 7.0)).astype(np.int16)
+    arr, info = decode_wav(encode_wav_adpcm(sig, 8000, block_align=64))
+    assert info["format_tag"] == 0x11 and info["n_samples"] == 2000
+    d = arr[:, 0].astype(np.int64)
+    # block headers carry the sample verbatim
+    spb = (64 - 4) * 2 + 1
+    np.testing.assert_array_equal(d[::spb], sig[::spb].astype(np.int64))
+    assert np.abs(d - sig.astype(np.int64)).mean() < 200
+
+
+def test_adpcm_planted_blocks_decode_exactly():
+    from shared_etl_pipelines_spark.sources.wav import (
+        _ima_decode_nibble,
+        decode_wav,
+        encode_wav_adpcm_blocks,
+    )
+
+    blocks = [(1000, 20, [0] * 16), (-500, 5, [4, 8, 15, 0] * 4)]
+    arr, info = decode_wav(encode_wav_adpcm_blocks(blocks))
+    want = []
+    for pred, idx, nibs in blocks:
+        want.append(pred)
+        p, i = pred, idx
+        for n in nibs:
+            p, i = _ima_decode_nibble(p, i, n)
+            want.append(p)
+    assert list(arr[:, 0]) == want
+    assert info["bits"] == 4 and info["channels"] == 1
