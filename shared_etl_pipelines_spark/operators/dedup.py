@@ -1008,3 +1008,55 @@ def levenshtein_near_dup_pairs(
         .filter(F.col("rel_dist") <= rel_threshold)
     )
     return out.select("doc_a", "doc_b", "edit_dist", "rel_dist")
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_df: int = 256,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: shingle containment C(a->b) =
+    |S(a) & S(b)| / |S(a)| — the quote/subset detector Jaccard misses
+    (a short doc fully quoted inside a long one has high containment
+    but low Jaccard). Output is DIRECTED: one row per ordered pair with
+    C(a->b) >= threshold, so "a is contained in b" and the reverse are
+    separate findings.
+
+    Scale shape: per-doc DISTINCT shingle-hash rows -> global
+    document-frequency cap (shingles in more than ``max_df`` docs are
+    boilerplate and would drive the inverted join quadratic — the
+    benchmark_contamination guard, mirrored in the oracle) -> shared-
+    shingle equi-join + pair count + one size join. Never an all-pairs
+    comparison; intermediate is sum over shingles of df^2, bounded by
+    max_df * total shingle rows.
+    """
+    rows = shingle_hash_rows(df, id_col, text_col, n=n).select(
+        id_col, "h"
+    ).distinct()
+    freq = rows.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
+    hot = freq.filter(F.col("_df") > max_df).select("h")
+    fx = rows.join(F.broadcast(hot), "h", "left_anti")
+    sz = fx.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_a"))
+    a = fx.select(F.col(id_col).alias("doc_a"), "h")
+    b = fx.select(F.col(id_col).alias("doc_b"), "h")
+    inter = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    out = inter.join(sz.withColumnRenamed(id_col, "doc_a"), "doc_a").select(
+        "doc_a",
+        "doc_b",
+        F.col("n_shared").cast("long").alias("n_shared"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.round(F.col("n_shared").cast("double") / F.col("n_a"), 4).alias(
+            "containment"
+        ),
+    )
+    return out.filter(
+        F.col("n_shared").cast("double") / F.col("n_a") >= threshold
+    )

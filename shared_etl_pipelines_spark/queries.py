@@ -934,6 +934,8 @@ _CARRYOVER_FIRST = (
     "clustering_coefficient",
     # IMA ADPCM decode (4-bit block speech, step-table closed form)
     "multimodal_adpcm_decode",
+    # asymmetric shingle containment (directed quote/subset detection)
+    "near_dup_containment",
 )
 
 

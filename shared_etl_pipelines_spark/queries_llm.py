@@ -227,6 +227,55 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Shingle CONTAINMENT — the asymmetric member of the near-dup family:
+# C(a->b) = |S(a) & S(b)| / |S(a)| catches a short document quoted
+# whole inside a long one, which Jaccard dilutes below any usable
+# threshold. DIRECTED output (a-contained-in-b and the reverse are
+# different findings). Scale shape (operators/dedup.py
+# containment_pairs): per-doc distinct shingle hashes -> global
+# document-frequency cap at 256 (the benchmark_contamination
+# boilerplate guard, mirrored below) -> shared-shingle inverted join,
+# never all-pairs. The oracle replays the identical hashed-shingle
+# pipeline.
+# ---------------------------------------------------------------------------
+@defquery(
+    "near_dup_containment",
+    f"""
+    WITH t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    s AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM t),
+    hv AS (SELECT doc_id, list_distinct({HV_SQL}) AS hs
+           FROM s WHERE len(sh) > 0),
+    ex AS (SELECT doc_id, unnest(hs) AS h FROM hv),
+    freq AS (SELECT h, COUNT(*) AS c FROM ex GROUP BY h),
+    fx AS (SELECT ex.doc_id, ex.h FROM ex JOIN freq USING (h)
+           WHERE freq.c <= 256),
+    sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_a FROM fx GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM fx a JOIN fx b ON a.h = b.h AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_shared, n_a,
+           ROUND(CAST(n_shared AS DOUBLE) / n_a, 4) AS containment
+    FROM inter JOIN sz ON sz.doc_id = inter.doc_a
+    WHERE CAST(n_shared AS DOUBLE) / n_a >= 0.6
+    """,
+    doc="asymmetric shingle containment C(a->b) = |S(a)&S(b)|/|S(a)| — "
+    "the quote/subset detector Jaccard misses; directed pairs over the "
+    "df-capped shared-shingle inverted join (never all-pairs)",
+    tags=("llm", "dedup", "containment", "scale-path"),
+)
+def q_near_dup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.operators.dedup import containment_pairs
+
+    out = containment_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=3, threshold=0.6
+    )
+    return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
 # Edit-distance near-dup — the string-edit member of the near-dup family
 # (next to shingle-Jaccard, SimHash, embedding-cosine, perceptual-hash):
 # MinHash-banded candidates (the same 4x2 scheme as near_dup_minhash_lsh,
