@@ -776,3 +776,86 @@ def ann_index_compact_plugin(
 
     stats = compact_ann_index(ctx.spark, path, id_col=id_col)
     return {"path": path, **stats}
+
+
+@plugin("read_xml")
+def read_xml_plugin(
+    ctx: StepContext,
+    path: str,
+    schema_ddl: str,
+    row_tag: str = "doc",
+    **kw: Any,
+) -> dict[str, Any]:
+    """PERMISSIVE XML ingestion with _corrupt_record quarantine (the
+    native Spark 4 source — sources/xmlq.py posture: explicit schema,
+    never inference). Pruning caveat: quarantine is evaluated against
+    the PRUNED parse schema, so a downstream query must reference the
+    typed leaves it wants policed — a pruned-away column can no longer
+    fail a record into _corrupt_record (pinned in the example
+    pipeline)."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromDDL(schema_ddl)
+    df = (
+        ctx.spark.read.format("xml")
+        .schema(schema)
+        .option("rowTag", row_tag)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .load(path)
+    )
+    return {"df": df, "path": path}
+
+
+@plugin("write_partition_era")
+def write_partition_era_plugin(
+    ctx: StepContext, df: DataFrame, path: str, spec: list[str], **kw: Any
+) -> dict[str, Any]:
+    """Commit one era of a partition-evolved table (Iceberg rule: the
+    new spec applies to new data only)."""
+    from shared_etl_pipelines_spark.sources.warehouse import write_partition_era
+
+    era = write_partition_era(df, path, list(spec))
+    return {"path": path, "era": era}
+
+
+@plugin("read_evolved")
+def read_evolved_plugin(ctx: StepContext, path: str, **kw: Any) -> dict[str, Any]:
+    from shared_etl_pipelines_spark.sources.warehouse import read_evolved
+
+    return {"df": read_evolved(ctx.spark, path), "path": path}
+
+
+@plugin("holt_smooth")
+def holt_smooth_plugin(
+    ctx: StepContext,
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    **kw: Any,
+) -> dict[str, Any]:
+    from shared_etl_pipelines_spark.operators.hypertable import holt_linear_smooth
+
+    return {"df": holt_linear_smooth(df, list(key_cols), order_col, value_col)}
+
+
+@plugin("containment_pairs")
+def containment_pairs_plugin(
+    ctx: StepContext,
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.6,
+    max_df: int = 256,
+    **kw: Any,
+) -> dict[str, Any]:
+    from shared_etl_pipelines_spark.operators.dedup import containment_pairs
+
+    return {
+        "df": containment_pairs(
+            df, id_col, text_col, n=int(n), threshold=float(threshold),
+            max_df=int(max_df),
+        )
+    }

@@ -413,3 +413,85 @@ def test_storage_maintenance_pipeline(spark, sf_dir, tmp_path):
         for r in res.outputs["topk_after"]["df"].collect()
     }
     assert got_after == want_ann
+
+
+def test_evolved_analytics_pipeline(spark, sf_dir, tmp_path):
+    """The round-7 plugins (write_partition_era / read_evolved /
+    holt_smooth / read_xml / containment_pairs) driven through the
+    pipeline language equal the direct operator compositions."""
+    import os
+
+    from shared_etl_pipelines_spark.operators.dedup import containment_pairs
+    from shared_etl_pipelines_spark.operators.hypertable import (
+        holt_linear_smooth,
+    )
+    from shared_etl_pipelines_spark.sources.xmlq import ensure_demo_xml
+
+    runner = PipelineRunner(spark, env={"basedir": str(tmp_path)})
+    res = runner.run(
+        os.path.join(EXAMPLES, "evolved_analytics.yml"),
+        var_overrides={"sf_dir": sf_dir, "xml_dir": ensure_demo_xml(sf_dir)},
+    )
+    assert res.outputs["era0"]["era"] == 0 and res.outputs["era1"]["era"] == 1
+
+    # evolved read parity: direct SQL over the source table
+    orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    want_agg = {
+        (r["o_year"], r["n_orders"])
+        for r in orders.filter(
+            (F.year("o_orderdate").isin(1995, 1997))
+            & (F.col("o_orderpriority") == "1-URGENT")
+        )
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .collect()
+    }
+    got_agg = {
+        (r["o_year"], r["n_orders"])
+        for r in spark.read.parquet(str(tmp_path / "urgent_by_year")).collect()
+    }
+    assert got_agg == want_agg and len(got_agg) == 2
+
+    # holt parity: pipeline output == direct operator
+    events = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    daily = events.groupBy(
+        "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+        .cast("double")
+        .alias("v")
+    )
+    want_h = {
+        (r["event_type"], r["day"]): (r["fitted"], r["level"], r["trend"])
+        for r in holt_linear_smooth(daily, ["event_type"], "day", "v").collect()
+    }
+    got_h = {
+        (r["event_type"], r["day"]): (r["fitted"], r["level"], r["trend"])
+        for r in spark.read.parquet(str(tmp_path / "holt_daily")).collect()
+    }
+    assert got_h == want_h and len(got_h) > 50
+
+    # xml quarantine split parity with the fixture plant
+    import pyarrow.parquet as pq
+
+    n_docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).num_rows
+    got_split = {
+        r["ok"]: r["n"]
+        for r in spark.read.parquet(str(tmp_path / "xml_split")).collect()
+    }
+    assert got_split[True] + got_split[False] == n_docs
+    assert got_split[False] > 0
+
+    # containment parity
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    want_c = {
+        (r["doc_a"], r["doc_b"])
+        for r in containment_pairs(docs, "doc_id", "text", threshold=0.6).collect()
+    }
+    got_c = {
+        (r["doc_a"], r["doc_b"])
+        for r in spark.read.parquet(str(tmp_path / "containment_pairs")).collect()
+    }
+    assert got_c == want_c
