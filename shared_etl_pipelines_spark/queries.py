@@ -936,6 +936,10 @@ _CARRYOVER_FIRST = (
     "multimodal_adpcm_decode",
     # asymmetric shingle containment (directed quote/subset detection)
     "near_dup_containment",
+    # time-weighted average over irregular event gaps (exact integers)
+    "twap_event_value",
+    # train/test OOV token rate against the split vocabulary
+    "oov_rate_split",
 )
 
 

@@ -4520,6 +4520,78 @@ def q_gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Time-weighted average (TWAP) per event type — the hypertable metric
+# plain AVG gets wrong on irregular samples (a value that held for an
+# hour must weigh 60x one that held a minute). Step-function weighting:
+# value v_i holds over [t_i, t_{i+1}); TWAP = sum(v_i * gap_i) /
+# (t_last - t_first). Everything exact integers (cents x epoch-micros
+# gaps: bounded by max_cents * total_span ~ 5e16 through sf1) until
+# one final division; one lead() window per type, no driver state.
+# ---------------------------------------------------------------------------
+@defquery(
+    "twap_event_value",
+    """
+    WITH s AS (
+      SELECT event_type, CAST(ROUND(value * 100) AS BIGINT) AS v,
+             epoch_us(ts) AS t,
+             LEAD(epoch_us(ts)) OVER (PARTITION BY event_type
+                                      ORDER BY ts, event_id) AS t_next
+      FROM events
+    ),
+    a AS (
+      SELECT event_type,
+             CAST(SUM(CASE WHEN t_next IS NULL THEN 0
+                           ELSE v * (t_next - t) END) AS BIGINT) AS wsum,
+             CAST(MAX(t) - MIN(t) AS BIGINT) AS span,
+             CAST(COUNT(*) AS BIGINT) AS n_events,
+             CAST(SUM(v) AS BIGINT) AS vsum
+      FROM s GROUP BY event_type
+    )
+    SELECT event_type, n_events,
+           ROUND(CAST(wsum AS DOUBLE) / span / 100.0, 4) AS twap,
+           ROUND(CAST(vsum AS DOUBLE) / n_events / 100.0, 4) AS plain_avg
+    FROM a
+    """,
+    doc="time-weighted average value per event type (step-function "
+    "weighting over irregular event gaps, exact integer cents x "
+    "epoch-micros until the final division) beside the plain average "
+    "it corrects",
+    tags=("timeseries", "window", "aggregate", "hypertable"),
+)
+def q_twap_event_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+        F.unix_micros("ts").alias("t"),
+        F.lead(F.unix_micros("ts")).over(w).alias("t_next"),
+    )
+    a = s.groupBy("event_type").agg(
+        F.sum(
+            F.when(F.col("t_next").isNull(), F.lit(0)).otherwise(
+                F.col("v") * (F.col("t_next") - F.col("t"))
+            )
+        )
+        .cast("long")
+        .alias("wsum"),
+        (F.max("t") - F.min("t")).cast("long").alias("span"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("v").cast("long").alias("vsum"),
+    )
+    return a.select(
+        "event_type",
+        "n_events",
+        F.round(F.col("wsum").cast("double") / F.col("span") / 100.0, 4).alias(
+            "twap"
+        ),
+        F.round(
+            F.col("vsum").cast("double") / F.col("n_events") / 100.0, 4
+        ).alias("plain_avg"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Spearman rank correlation — the nonparametric dependence measure
 # (Pearson on tie-averaged ranks) between per-customer spend and order
 # count. Ranks come from the bounded distinct-value tables in the 2R

@@ -227,6 +227,61 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Train/test out-of-vocabulary rate — the eval-leakage-free sibling of
+# the contamination checks: split the corpus by stable doc_id hash
+# (test = doc_id % 5 == 0, the train_val_test_split rule), build the
+# train vocabulary once, and score every TEST document by the fraction
+# of its token OCCURRENCES unseen in training — the signal that tells
+# you a tokenizer/LM will hit unknown mass on the held-out slice.
+# Shapes: one distinct over train tokens, one left join (broadcastable
+# vocab side at gate scale, shuffle join at corpus scale), one grouped
+# count.
+# ---------------------------------------------------------------------------
+@defquery(
+    "oov_rate_split",
+    f"""
+    WITH t AS (
+      SELECT doc_id, unnest({TOKS_SQL}) AS tok FROM documents
+    ),
+    train_vocab AS (SELECT DISTINCT tok FROM t WHERE doc_id % 5 <> 0),
+    test_toks AS (SELECT doc_id, tok FROM t WHERE doc_id % 5 = 0)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN tv.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           ROUND(CAST(SUM(CASE WHEN tv.tok IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 4) AS oov_rate
+    FROM test_toks LEFT JOIN train_vocab tv USING (tok)
+    GROUP BY doc_id
+    """,
+    doc="per-test-document out-of-vocabulary token rate against the "
+    "train-split vocabulary (stable doc_id%5 split): token occurrences "
+    "unseen in training / total — the held-out unknown-mass signal",
+    tags=("llm", "text", "split", "vocabulary"),
+)
+def q_oov_rate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+    )
+    train_vocab = t.filter(F.col("doc_id") % 5 != 0).select("tok").distinct()
+    test_toks = t.filter(F.col("doc_id") % 5 == 0)
+    j = test_toks.join(
+        train_vocab.withColumn("_seen", F.lit(1)), "tok", "left"
+    )
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("_seen").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_oov"),
+        F.round(
+            F.sum(F.when(F.col("_seen").isNull(), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)),
+            4,
+        ).alias("oov_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Shingle CONTAINMENT — the asymmetric member of the near-dup family:
 # C(a->b) = |S(a) & S(b)| / |S(a)| catches a short document quoted
 # whole inside a long one, which Jaccard dilutes below any usable
