@@ -940,6 +940,10 @@ _CARRYOVER_FIRST = (
     "twap_event_value",
     # train/test OOV token rate against the split vocabulary
     "oov_rate_split",
+    # exact distributed CART decision stump (argmin weighted Gini)
+    "cart_stump_returnflag",
+    # daily-revenue DFT periodogram (relative powers, 10 harmonics)
+    "periodogram_daily_revenue",
 )
 
 

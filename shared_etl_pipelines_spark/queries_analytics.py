@@ -4520,6 +4520,193 @@ def q_gini_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Periodogram of the daily-revenue series — the frequency-domain
+# seasonality detector beside acf_daily_revenue's lag domain: a direct
+# DFT at the first 10 harmonics as one grouped aggregate over the
+# (bounded days) x (10 frequencies) frame. Angles use the identical
+# 2*pi literal and expression order in both engines; outputs are
+# RELATIVE powers, so the only float noise (1-ulp cos/sin differences
+# and summation order) enters at ~1e-12 relative — four orders of
+# magnitude below the 4-dp rounding. 100 TB: the raw table collapses
+# to per-day cents first; the DFT frame is O(days x harmonics).
+# ---------------------------------------------------------------------------
+@defquery(
+    "periodogram_daily_revenue",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM orders GROUP BY 1
+    ),
+    idx AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY day) - 1 AS j,
+             COUNT(*) OVER () AS n
+      FROM daily
+    ),
+    f AS (SELECT unnest(range(1, 11)) AS k),
+    terms AS (
+      SELECT k,
+             SUM(CAST(v AS DOUBLE)
+                 * cos(6.283185307179586 * k * j / n)) AS ck,
+             SUM(CAST(v AS DOUBLE)
+                 * sin(6.283185307179586 * k * j / n)) AS sk
+      FROM idx CROSS JOIN f GROUP BY k
+    ),
+    p AS (SELECT k, ck * ck + sk * sk AS pw FROM terms)
+    SELECT CAST(k AS INT) AS k, ROUND(pw / SUM(pw) OVER (), 4) AS rel_power
+    FROM p
+    """,
+    doc="daily-revenue periodogram: direct DFT at the first 10 harmonics "
+    "over the bounded per-day cents series, reported as relative powers "
+    "(float noise ~1e-12 relative, 4-dp rounded) — the frequency-domain "
+    "twin of acf_daily_revenue",
+    tags=("timeseries", "spectral", "aggregate"),
+)
+def q_periodogram_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    wj = Window.orderBy("day")
+    idx = daily.select(
+        "v",
+        (F.row_number().over(wj) - 1).alias("j"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    f = idx.sparkSession.range(1, 11).select(F.col("id").alias("k"))
+    ang = F.lit(6.283185307179586) * F.col("k") * F.col("j") / F.col("n")
+    terms = (
+        idx.crossJoin(F.broadcast(f))
+        .groupBy("k")
+        .agg(
+            F.sum(F.col("v").cast("double") * F.cos(ang)).alias("ck"),
+            F.sum(F.col("v").cast("double") * F.sin(ang)).alias("sk"),
+        )
+    )
+    p = terms.select(
+        "k", (F.col("ck") * F.col("ck") + F.col("sk") * F.col("sk")).alias("pw")
+    )
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return p.select(
+        F.col("k").cast("int").alias("k"),
+        F.round(F.col("pw") / F.sum("pw").over(wall), 4).alias("rel_power"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact CART decision-stump induction — the split-finding kernel of
+# tree ensembles, distributed: every candidate threshold is evaluated
+# from per-distinct-value label counts + one cumulative window (the
+# roc_auc_exact shape — the raw table collapses into the bounded
+# distinct-cents table, never a global sort of rows), and the argmin
+# of weighted Gini picks the split. All counts are exact BIGINTs below
+# 2^53, so the Gini doubles are computed from exactly-representable
+# integers with one IEEE-basic-ops expression (identical tree in both
+# engines -> bit-identical doubles -> the argmin can never disagree);
+# ties break on the smaller threshold.
+# ---------------------------------------------------------------------------
+@defquery(
+    "cart_stump_returnflag",
+    """
+    WITH s AS (
+      SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ),
+    d AS (
+      SELECT v, CAST(COUNT(*) AS BIGINT) AS c, CAST(SUM(y) AS BIGINT) AS p
+      FROM s GROUP BY v
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(p) AS BIGINT) AS pt
+            FROM d),
+    cum AS (
+      SELECT v, CAST(SUM(c) OVER w AS BIGINT) AS nl,
+             CAST(SUM(p) OVER w AS BIGINT) AS pl
+      FROM d WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING)
+    ),
+    sc AS (
+      SELECT v, nl, pl, n - nl AS nr, pt - pl AS pr, n, pt,
+             (CAST(nl AS DOUBLE)
+              - (CAST(pl AS DOUBLE) * pl
+                 + CAST(nl - pl AS DOUBLE) * (nl - pl)) / nl
+              + CAST(n - nl AS DOUBLE)
+              - (CAST(pt - pl AS DOUBLE) * (pt - pl)
+                 + CAST((n - nl) - (pt - pl) AS DOUBLE)
+                   * ((n - nl) - (pt - pl))) / (n - nl)) / n AS wg
+      FROM cum CROSS JOIN tot WHERE nl < n
+    )
+    SELECT ROUND(v / 100.0, 4) AS threshold,
+           nl AS n_left, CAST(nr AS BIGINT) AS n_right,
+           pl AS pos_left, CAST(pr AS BIGINT) AS pos_right,
+           ROUND(wg, 4) AS weighted_gini,
+           ROUND(1.0 - (CAST(pt AS DOUBLE) / n) * (CAST(pt AS DOUBLE) / n)
+                     - (CAST(n - pt AS DOUBLE) / n)
+                       * (CAST(n - pt AS DOUBLE) / n), 4) AS root_gini
+    FROM sc
+    QUALIFY ROW_NUMBER() OVER (ORDER BY wg, v) = 1
+    """,
+    doc="exact distributed CART decision stump (predict l_returnflag='R' "
+    "from price): per-distinct-value label counts + one cumulative "
+    "window evaluate every threshold; argmin of weighted Gini with "
+    "smaller-threshold tie-break, Gini doubles built only from exactly "
+    "representable integers so both engines agree bit-for-bit",
+    tags=("analytics", "ml", "tree", "window", "aggregate"),
+)
+def q_cart_stump_returnflag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    s = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("v"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    d = s.groupBy("v").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum("y").cast("long").alias("p"),
+    )
+    tot = d.agg(
+        F.sum("c").cast("long").alias("n"), F.sum("p").cast("long").alias("pt")
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = d.select(
+        "v",
+        F.sum("c").over(w).cast("long").alias("nl"),
+        F.sum("p").over(w).cast("long").alias("pl"),
+    )
+    sc = cum.crossJoin(F.broadcast(tot)).filter(F.col("nl") < F.col("n"))
+    nl, pl, n, pt = F.col("nl"), F.col("pl"), F.col("n"), F.col("pt")
+    nr, pr = n - nl, pt - pl
+    wg = (
+        nl.cast("double")
+        - (pl.cast("double") * pl + (nl - pl).cast("double") * (nl - pl)) / nl
+        + nr.cast("double")
+        - (pr.cast("double") * pr + (nr - pr).cast("double") * (nr - pr)) / nr
+    ) / n
+    sc = sc.select(
+        "v", "nl", "pl", nr.alias("nr"), pr.alias("pr"), "n", "pt",
+        wg.alias("wg"),
+    )
+    wr = Window.orderBy("wg", "v")
+    best = sc.withColumn("rn", F.row_number().over(wr)).filter(F.col("rn") == 1)
+    root_gini = (
+        F.lit(1.0)
+        - (pt.cast("double") / n) * (pt.cast("double") / n)
+        - ((n - pt).cast("double") / n) * ((n - pt).cast("double") / n)
+    )
+    return best.select(
+        F.round(F.col("v") / 100.0, 4).alias("threshold"),
+        F.col("nl").alias("n_left"),
+        F.col("nr").cast("long").alias("n_right"),
+        F.col("pl").alias("pos_left"),
+        F.col("pr").cast("long").alias("pos_right"),
+        F.round(F.col("wg"), 4).alias("weighted_gini"),
+        F.round(root_gini, 4).alias("root_gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Time-weighted average (TWAP) per event type — the hypertable metric
 # plain AVG gets wrong on irregular samples (a value that held for an
 # hour must weigh 60x one that held a minute). Step-function weighting:
