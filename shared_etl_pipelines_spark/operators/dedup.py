@@ -1038,7 +1038,14 @@ def containment_pairs(
     ).distinct()
     freq = rows.groupBy("h").agg(F.count(F.lit(1)).alias("_df"))
     hot = freq.filter(F.col("_df") > max_df).select("h")
-    fx = rows.join(F.broadcast(hot), "h", "left_anti")
+    # fx feeds FOUR consumers (both self-join sides, the size table, and
+    # through them the output) — persist it once or the tokenize ->
+    # window -> distinct pipeline re-runs per consumer (4 corpus scans
+    # at 100 TB). The result is a lazy plan, so release is the caller's:
+    # the session harness sweeps via engine.sweep_persistent_rdds;
+    # library callers wrap call + action in engine.StorageScope (the
+    # minhash_lsh_pairs sig-persist convention).
+    fx = rows.join(F.broadcast(hot), "h", "left_anti").persist()
     sz = fx.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_a"))
     a = fx.select(F.col(id_col).alias("doc_a"), "h")
     b = fx.select(F.col(id_col).alias("doc_b"), "h")

@@ -3111,7 +3111,13 @@ def q_kn_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("w2").isNotNull())
         .select("doc_id", "w1", "w2")
     )
-    cnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    # cnt feeds FOUR consumers (w1s, cont, nbt, and the scoring join) —
+    # persist the bigram-type table once or each consumer re-derives the
+    # full tokenize -> lead-window -> count pipeline (4 corpus scans at
+    # 100 TB; the table itself is vocabulary-sized, not corpus-sized).
+    # Release is the caller's: session harness sweeps via
+    # engine.sweep_persistent_rdds, library callers use StorageScope.
+    cnt = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c")).persist()
     w1s = cnt.groupBy("w1").agg(
         F.sum("c").alias("c1"), F.count(F.lit(1)).alias("n1fw")
     )
