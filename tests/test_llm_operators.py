@@ -1590,3 +1590,57 @@ def test_ann_index_asof_probe_equals_pre_upsert_index(spark, sf_dir, tmp_path):
     assert current != frozen  # deletes/re-embeds visible at the head
     cur_ids = {v[0] for v in current.values()}
     assert not any(i % 10 == 7 for i in cur_ids)  # deleted ids gone now
+
+
+def test_containment_df_cap_drops_boilerplate_keeps_quotes(spark):
+    """The shingle document-frequency cap: a boilerplate header shared
+    by 600 docs contributes NO candidate pairs (its shingles exceed
+    max_df), while a genuine quote — one doc fully contained in
+    another via rare shingles — survives with containment 1.0."""
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.operators.dedup import containment_pairs
+
+    flood = spark.range(600).select(
+        F.concat(F.lit("flood_"), F.col("id")).alias("doc_id"),
+        F.concat(
+            F.lit("common header words here always "),
+            F.lit("tail_"), F.col("id"), F.lit(" filler"),
+        ).alias("text"),
+    )
+    reals = spark.createDataFrame(
+        [
+            ("quoted", "alpha beta gamma delta epsilon zeta"),
+            (
+                "quoter",
+                "intro words alpha beta gamma delta epsilon zeta outro words",
+            ),
+        ],
+        ["doc_id", "text"],
+    )
+    out = containment_pairs(
+        flood.unionByName(reals), "doc_id", "text", n=3, threshold=0.9
+    ).collect()
+    pairs = {(r["doc_a"], r["doc_b"]): r["containment"] for r in out}
+    assert pairs[("quoted", "quoter")] == 1.0
+    # the reverse direction is below threshold (quoter has extra shingles)
+    assert ("quoter", "quoted") not in pairs
+    # no flood pair anywhere: their shared shingles are df-capped and
+    # their unique tails share nothing
+    assert not any(a.startswith("flood") for a, _ in pairs)
+
+
+def test_containment_plan_no_cartesian_one_shingle_pass(spark, sf_dir):
+    """Plan gate: the containment candidate join is an equi-join (no
+    cartesian), and the multi-consumer shingle-row table is served from
+    ONE persisted pass (InMemoryTableScan on every consumer) instead of
+    re-deriving the tokenize->window pipeline per consumer."""
+    import os
+
+    from shared_etl_pipelines_spark.operators.dedup import containment_pairs
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    df = containment_pairs(docs, "doc_id", "text")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan
+    assert plan.count("InMemoryTableScan") >= 3
