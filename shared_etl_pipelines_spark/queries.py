@@ -944,6 +944,8 @@ _CARRYOVER_FIRST = (
     "cart_stump_returnflag",
     # daily-revenue DFT periodogram (relative powers, 10 harmonics)
     "periodogram_daily_revenue",
+    # quality-aware keeper election per duplicate cluster
+    "dedup_cluster_best_keeper",
 )
 
 

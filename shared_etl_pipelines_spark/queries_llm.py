@@ -1948,6 +1948,119 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Quality-aware keeper election per duplicate cluster — the curation
+# action AFTER clustering: instead of dedup_clusters' min-id keeper,
+# keep the best copy (longest text; min doc_id on ties) from every
+# multi-member cluster. Same LSH pairs + connected components as
+# dedup_clusters (the oracle replays reachability with the identical
+# recursive CTE), then one length join + one argmax window per
+# component. 100 TB: the window partitions by component — clusters are
+# small by construction, so no hot partition.
+# ---------------------------------------------------------------------------
+@defquery(
+    "dedup_cluster_best_keeper",
+    f"""
+    WITH t AS (SELECT doc_id, {{TOKS}} AS toks FROM documents),
+    s AS (SELECT doc_id, {{SHINGLES}} AS sh FROM t),
+    h AS (SELECT doc_id, list_distinct({{HV}}) AS hv FROM s WHERE len(sh) > 0),
+    sig AS (
+      SELECT doc_id, hv, {', '.join(f"{_mh_sql(i)} AS mh{i}" for i in range(8))}
+      FROM h
+    ),
+    bands AS (
+      {' UNION ALL '.join(
+        f"SELECT doc_id, {b} AS band_idx, md5(mh{2*b} || '|' || mh{2*b+1}) AS band_hash FROM sig"
+        for b in range(4)
+      )}
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM bands l JOIN bands r
+        ON l.band_idx = r.band_idx AND l.band_hash = r.band_hash AND l.doc_id < r.doc_id
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM cand
+      JOIN sig a ON a.doc_id = doc_a
+      JOIN sig b ON b.doc_id = doc_b
+      WHERE CAST(len(list_intersect(a.hv, b.hv)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.hv, b.hv))) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+      WITH RECURSIVE walk(node, root) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        UNION
+        SELECT e.b, w.root FROM walk w JOIN edges e ON e.a = w.node
+      )
+      SELECT node, MIN(root) AS component FROM walk GROUP BY node
+    ),
+    members AS (
+      SELECT r.component, d.doc_id, length(d.text) AS n_chars
+      FROM reach r JOIN documents d ON d.doc_id = r.node
+    )
+    SELECT component, doc_id AS keeper,
+           CAST(n_chars AS BIGINT) AS kept_chars,
+           CAST(n_members AS BIGINT) AS n_members,
+           CAST(dropped_chars AS BIGINT) AS dropped_chars
+    FROM (
+      SELECT component, doc_id, n_chars,
+             COUNT(*) OVER (PARTITION BY component) AS n_members,
+             SUM(n_chars) OVER (PARTITION BY component) - n_chars
+               AS dropped_chars,
+             ROW_NUMBER() OVER (PARTITION BY component
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM members
+    )
+    WHERE rn = 1
+    """.replace("{TOKS}", TOKS_SQL).replace("{SHINGLES}", SHINGLES_SQL)
+    .replace("{HV}", HV_SQL),
+    doc="quality-aware keeper election per duplicate cluster: the "
+    "LONGEST member of every multi-member LSH/CC cluster wins (min id "
+    "on ties), with the character mass the drop would remove — the "
+    "curation action after dedup_clusters' min-id labeling",
+    tags=("llm", "dedup", "graph", "curation", "iterative"),
+)
+def q_dedup_cluster_best_keeper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from shared_etl_pipelines_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", n=3, k=8, bands=4, threshold=0.5
+    )
+    comp = connected_components(pairs, src="doc_a", dst="doc_b")
+    members = comp.withColumnRenamed("node", "doc_id").join(
+        docs.select("doc_id", F.length("text").alias("n_chars")), "doc_id"
+    )
+    wc = Window.partitionBy("component")
+    wr = Window.partitionBy("component").orderBy(
+        F.desc("n_chars"), F.col("doc_id")
+    )
+    ranked = members.select(
+        "component",
+        "doc_id",
+        "n_chars",
+        F.count(F.lit(1)).over(wc).alias("n_members"),
+        (F.sum("n_chars").over(wc) - F.col("n_chars")).alias("dropped_chars"),
+        F.row_number().over(wr).alias("rn"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "component",
+        F.col("doc_id").alias("keeper"),
+        F.col("n_chars").cast("long").alias("kept_chars"),
+        F.col("n_members").cast("long").alias("n_members"),
+        F.col("dropped_chars").cast("long").alias("dropped_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # TF-IDF — term weighting per document; top-3 terms per doc ranked by the
 # integer (tf, term) key so the ranking is engine-exact while the rounded
 # tf-idf score itself is informational.
