@@ -225,6 +225,12 @@ def holt_linear_smooth(
     Emits one row per point from the second onward: the one-step-ahead
     ``fitted`` forecast and the post-update ``level`` / ``trend``.
     """
+    # The F.expr accumulator below declares o:string, so a date/
+    # timestamp/int order_col would mismatch array_append's struct type
+    # (ADVICE r7 #2). Sort on the TYPED key (string sort would misorder
+    # ints), then stringify o inside the sorted array for the fold; the
+    # original type is restored on the way out.
+    order_type = df.schema[order_col].dataType.simpleString()
     series = (
         df.groupBy(*key_cols)
         .agg(
@@ -238,6 +244,13 @@ def holt_linear_smooth(
             ).alias("series")
         )
         .filter(F.size("series") >= 2)
+        .withColumn(
+            "series",
+            F.expr(
+                "transform(series, s -> struct(CAST(s.o AS STRING) AS o,"
+                " s.v AS v))"
+            ),
+        )
     )
     rows = F.expr(
         """
@@ -267,7 +280,7 @@ def holt_linear_smooth(
     )
     return series.select(*key_cols, F.explode(rows).alias("r")).select(
         *key_cols,
-        F.col("r.o").alias(order_col),
+        F.col("r.o").cast(order_type).alias(order_col),
         F.col("r.y").alias("y"),
         F.col("r.fitted").alias("fitted"),
         F.col("r.level").alias("level"),

@@ -388,8 +388,10 @@ def ann_index_upsert(
 
     SINGLE-WRITER contract, enforced: the next seq is read-then-append,
     so two concurrent upserts would mint the same sequence number and
-    mask each other's rows — a fail-loud lock file (``_ann.lock``,
-    atomic createNewFile via engine.acquire_fs_lock) turns that race
+    mask each other's rows — a fail-loud lock file (``<index>.ann.lock``,
+    a SIBLING of the index directory so it survives compaction's
+    directory swap — ADVICE r7 #1 — atomic createNewFile via
+    engine.acquire_fs_lock) turns that race
     into an explicit error. A crashed writer leaves the lock held;
     clear with ``engine.release_fs_lock`` once confirmed dead.
 
@@ -419,7 +421,7 @@ def ann_index_upsert(
         dead = d if dead is None else dead.unionByName(d)
     if dead is None:
         return {"seq": 0, "rows_appended": 0, "ids_tombstoned": 0}
-    lock = os.path.join(index_path, "_ann.lock")
+    lock = index_path.rstrip("/") + ".ann.lock"
     acquire_fs_lock(spark, lock, owner="ann_index_upsert")
     try:
         n_new = n_dead = 0
@@ -459,16 +461,21 @@ def compact_ann_index(
     writes the compacted copy to a new location and swaps the catalog
     pointer; the directory rename here is the local-filesystem analog.)
 
-    Compaction is a WRITER: it takes the same fail-loud ``_ann.lock``
-    as ``ann_index_upsert`` (ADVICE r6 #3) so it can never fold
-    tombstones away while an upsert batch appends. The swap is the
-    commit point; the lock leaves with the old directory."""
+    Compaction is a WRITER: it takes the same fail-loud
+    ``<index>.ann.lock`` as ``ann_index_upsert`` (ADVICE r6 #3) so it
+    can never fold tombstones away while an upsert batch appends. The
+    lock is a SIBLING of the index directory (ADVICE r7 #1): a lock
+    placed inside it would vanish with the os.rename(index, .old) swap,
+    opening a window where a concurrent upsert re-creates the live path
+    and the final rename fails ENOTEMPTY, stranding the index at .old.
+    The sibling path survives both renames and is released only after
+    the old directory is gone."""
     import os
     import shutil
 
     from shared_etl_pipelines_spark.engine import acquire_fs_lock, release_fs_lock
 
-    lock = os.path.join(index_path, "_ann.lock")
+    lock = index_path.rstrip("/") + ".ann.lock"
     acquire_fs_lock(spark, lock, owner="compact_ann_index")
     try:
         idx = spark.read.parquet(index_path)

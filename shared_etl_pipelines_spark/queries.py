@@ -654,7 +654,10 @@ _R1_GREEN = frozenset(
         # "near_dup_minhash_lsh" was r1-green but minhash_lsh_pairs
         # gained the hot-bucket guard this round — re-fronted.
         "ngram_jaccard_pairs", "simhash_fingerprint",
-        "near_dup_simhash", "text_metrics", "lang_id", "token_counts",
+        # "near_dup_simhash" was r1-green but its banded machinery was
+        # touched in r7 after its last verdict (VERDICT r7 item 7) —
+        # re-fronted for a fresh driver verdict.
+        "text_metrics", "lang_id", "token_counts",
         # "rolling_sums" was r1-green but modified by b7648b7 (sum_14
         # added) — needs a fresh verdict, so it is NOT in this set.
     }
@@ -695,7 +698,9 @@ _R2_GREEN = frozenset(
         # "embedding_covariance" and "similarity_topk_lsh_indexed" were
         # r2-green but modified this round (ragged-input guard; index
         # cache fingerprint) — re-fronted for fresh verdicts.
-        "embedding_near_dup_lsh", "rollup_pricing", "cube_order_counts",
+        # "embedding_near_dup_lsh" was r2-green but touched in r7 after
+        # its last verdict (VERDICT r7 item 7) — re-fronted.
+        "rollup_pricing", "cube_order_counts",
         "distinct_aggs", "intersect_except", "asof_purchase_view",
         "salted_hot_key_agg", "spi_doy_climatology",
         "pipeline_crop_weighted_yaml", "sessionize_events",
@@ -754,7 +759,9 @@ _R4_GREEN = frozenset(
         "stream_tumbling_daily", "stream_running_totals", "stream_sliding_3d",
         "stream_session_windows", "stream_dedup_hashes",
         "stream_static_enrichment", "stream_interval_join",
-        "stream_new_doc_dedup", "stream_raster_daily",
+        # "stream_new_doc_dedup" was r4-green but touched in r7 after
+        # its last verdict (VERDICT r7 item 7) — re-fronted.
+        "stream_raster_daily",
         "gopher_quality_rules", "rendezvous_shard_stats", "ann_recall_eval",
         "bpe_encode_apply", "bpe_learn_merges", "k_anonymity_audit",
         "url_canonicalize", "warc_ingest_stats", "warc_curation_funnel",
@@ -778,7 +785,9 @@ _R4_GREEN = frozenset(
         # "multimodal_png_decode" was r4-green but its fixture corpus now
         # rotates Adam7 INTERLACED streams in (odd doc_ids; same pixels,
         # locally hash-green) — re-fronted for a verdict on the new mix.
-        "multimodal_wav_decode",
+        # "multimodal_wav_decode" was r4-green but WAV gained the mu-law
+        # + ADPCM paths in r7 after its last verdict (VERDICT r7 item 7)
+        # — re-fronted.
         # "multimodal_avi_frames" was r4-green but decode_avi gained the
         # MJPEG ('00dc') path this round — re-fronted.
         "multimodal_bmp_decode",
@@ -801,13 +810,18 @@ _R5_GREEN = frozenset(
         "audio_fingerprint_neardup", "bigram_lm_quality",
         "bloom_prefilter_join", "bm25_search", "bpe_top_pairs",
         "code_detect_heuristic", "curation_funnel", "dup_span_profile",
-        "dup_spans", "embedding_dbscan", "embedding_kmeans_assign",
-        "heavy_demand_parts_sketch", "hilbert_layout_audit",
+        # "dup_spans" and "hilbert_layout_audit" were r5-green but
+        # touched in r7 after their last verdicts (VERDICT r7 item 7) —
+        # re-fronted.
+        "embedding_dbscan", "embedding_kmeans_assign",
+        "heavy_demand_parts_sketch",
         "image_ahash_neardup",
         # "incremental_near_dup", "near_dup_levenshtein" and
         # "near_dup_lsh_eval" were r5-green but their shared banded-LSH
         # machinery gained the hot-bucket guard — re-fronted.
-        "incremental_dedup", "jsonl_nested_ingest",
+        # "incremental_dedup" was r5-green but touched in r7 after its
+        # last verdict (VERDICT r7 item 7) — re-fronted.
+        "jsonl_nested_ingest",
         # "mor_orders_state" was r5-green but mor_apply_changes/mor_read
         # changed this round (same hardening as above) — re-fronted.
         # "multimodal_jpeg_decode" and "image_ahash_neardup_jpeg" were
@@ -817,7 +831,8 @@ _R5_GREEN = frozenset(
         # container mix.
         # "multimodal_resize_real" was r5-green but shares the PNG
         # fixture corpus that now rotates Adam7 in — re-fronted.
-        "near_dup_prefix_filter",
+        # "near_dup_prefix_filter" was r5-green but touched in r7 after
+        # its last verdict (VERDICT r7 item 7) — re-fronted.
         # "pagerank_one_step" stays: it does NOT call the pagerank
         # operator (self-contained integer one-step builder).
         "pagerank_one_step",
@@ -858,94 +873,93 @@ _R6_GREEN = frozenset(
         "interval_union_coverage", "join_fanout_audit", "key_skew_report",
         "label_centroid_similarity", "largest_remainder_alloc",
         "longest_user_streak", "markov_event_transitions",
-        "max_concurrent_open_orders", "mor_orders_state_bucketed",
+        "max_concurrent_open_orders",
+        # "mor_orders_state_bucketed" was r6-green but touched in r7
+        # after its last verdict AND the bucketed-MoR writer lock moved
+        # to a sibling path this round (ADVICE r7 #1) — re-fronted.
         "mutual_information_bins", "nb_train_langid", "new_vs_returning",
         "pareto_frontier", "profile_drift", "psi_drift_check",
         "raster_focal_mean", "rle_compression_stats", "roc_auc_exact",
         "rolling_corr_14", "rolling_wau", "sax_window_vocab",
         "sequential_patterns", "shapefile_zone_metrics",
-        "similarity_topk_lsh_indexed", "target_encode_loo",
+        # "similarity_topk_lsh_indexed" was r6-green but touched in r7
+        # after its last verdict (VERDICT r7 item 7) — re-fronted.
+        "target_encode_loo",
         "zonal_majority_class",
+    }
+)
+
+# CORRECTNESS_r07.json greens: all 50 judged entries passed
+# rows+schema+hash (the third perfect file in a row). Entries re-fronted
+# in round 8 are NOT in this set per the re-fronting convention:
+# ann_index_upsert_topk / ann_index_asof_topk / stream_ann_index_upsert
+# (the ANN maintenance lock moved to a swap-surviving sibling path,
+# ADVICE r7 #1), mor_orders_state / _time_travel / _changelog /
+# mor_history_audit / mor_schema_evolution / stream_mor_cdc_apply (same
+# for the MoR lock), holt_linear_daily (typed order-column fold, ADVICE
+# r7 #2), gif_animated_frames (background-index disposal restore,
+# ADVICE r7 #3), record_linkage_fs (re-blocked onto sub-quadratic
+# sorted-neighborhood candidates, VERDICT r7 item 2). zonal_stats
+# (re-judged r7) already sits in _R1_GREEN.
+_R7_GREEN = frozenset(
+    {
+        "near_dup_levenshtein", "incremental_near_dup",
+        "multimodal_jpeg_decode", "image_ahash_neardup_jpeg",
+        "video_keyframe_detect", "multimodal_avi_frames",
+        "audio_spectral_tones", "ks_drift_exact", "gini_customer_spend",
+        "orc_roundtrip_pricing", "jpeg_marker_scan",
+        "csv_quarantine_ingest", "similarity_topk_ivfpq",
+        "ab_welch_ttest", "ts_subsequence_search", "near_dup_minhash_lsh",
+        "dedup_clusters", "near_dup_lsh_eval", "xml_nested_ingest",
+        "kn_bigram_lm_quality", "mann_whitney_u",
+        "partition_evolution_read", "multimodal_mulaw_decode",
+        "multimodal_png_decode", "multimodal_resize_real",
+        "stream_custom_state_alarms", "spearman_spend_orders",
+        "anova_priority_f", "stream_interval_join_outer",
+        "clustering_coefficient", "multimodal_adpcm_decode",
+        "near_dup_containment", "twap_event_value", "oov_rate_split",
+        "cart_stump_returnflag", "periodogram_daily_revenue",
+        "dedup_cluster_best_keeper",
     }
 )
 
 _JUDGED_GREEN = (
     _R1_GREEN | _R2_GREEN | _R3_GREEN | _R4_GREEN | _R5_GREEN | _R6_GREEN
+    | _R7_GREEN
 )
 
-# Round 7: every registry entry now has a driver verdict of some kind
-# (pagerank_copurchase got its rows-only verdict in r6), so no sql=None
-# entry needs a forced slot.
+# Round 8: every registry entry has a driver verdict; no sql=None entry
+# needs a forced slot.
 _FORCE_FRONT: frozenset[str] = frozenset()
 
-# Round-7 judging window (~50 slots). The r6 window judged the first 50
-# entries of the r6 rotation; the 22 entries behind the cut (r6
-# re-fronts whose code changed after their last verdict + the round-6
-# session-2 additions) carry over FIRST, then this round's 5 re-fronts
-# (ADVICE r6 fixes), then new round-7 queries append as they land.
+# Round-8 judging window (~50 slots). First the ten queries VERDICT r7
+# item 7 flags (touched during round 7 after their last driver verdict,
+# so their green rows are stale — the judge's local re-check was 10/10
+# green, but driver verdicts are the hard currency). Then this round's
+# re-fronts (ADVICE r7 fixes touched their shared operators; results
+# locally re-verified identical at sf0.01). New round-8 queries append
+# as they land.
 _CARRYOVER_FIRST = (
-    # --- r6 re-fronts that missed the r6 window (code/fixture changed
-    # after their last verdict: hot-bucket guard, progressive-JPEG and
-    # MJPEG fixture rotation) ---
-    "near_dup_levenshtein", "incremental_near_dup",
-    "multimodal_jpeg_decode", "image_ahash_neardup_jpeg",
-    "video_keyframe_detect", "multimodal_avi_frames",
-    # --- round-6 session-2 additions, never judged ---
-    "mor_orders_time_travel", "mor_orders_changelog", "mor_history_audit",
-    "mor_schema_evolution", "audio_spectral_tones", "stream_mor_cdc_apply",
-    "ks_drift_exact", "gini_customer_spend", "orc_roundtrip_pricing",
-    "jpeg_marker_scan", "csv_quarantine_ingest", "similarity_topk_ivfpq",
-    "ab_welch_ttest", "ann_index_asof_topk", "stream_ann_index_upsert",
-    "ts_subsequence_search",
-    # --- round-7 re-fronts (ADVICE r6: hot-set collect in the banded-
-    # LSH guard; .done-marker fixture gating — results locally
-    # re-verified identical at sf0.01) ---
-    "near_dup_minhash_lsh", "dedup_clusters", "near_dup_lsh_eval",
-    "mor_orders_state", "ann_index_upsert_topk",
-    # --- new round-7 queries, pinned as they land ---
-    # native-XML quarantine ingestion (the markup twin of jsonl/csvq)
-    "xml_nested_ingest",
-    # interpolated Kneser-Ney bigram LM (smoothed perplexity scorer)
-    "kn_bigram_lm_quality",
-    # Mann-Whitney U rank-sum A/B test (exact tie-corrected ranks)
-    "mann_whitney_u",
-    # Holt level+trend smoothing (JVM fold + recursive-CTE oracle)
+    # --- r7-touched, last driver verdict predates the change ---
+    "multimodal_wav_decode", "mor_orders_state_bucketed",
+    "near_dup_prefix_filter", "similarity_topk_lsh_indexed",
+    "incremental_dedup", "dup_spans", "near_dup_simhash",
+    "embedding_near_dup_lsh", "hilbert_layout_audit",
+    "stream_new_doc_dedup",
+    # --- round-8 re-fronts: ANN/MoR maintenance lock moved to a swap-
+    # surviving sibling path (ADVICE r7 #1) ---
+    "ann_index_upsert_topk", "ann_index_asof_topk",
+    "stream_ann_index_upsert", "mor_orders_state",
+    "mor_orders_time_travel", "mor_orders_changelog",
+    "mor_history_audit", "mor_schema_evolution", "stream_mor_cdc_apply",
+    # holt fold accepts typed order columns now (ADVICE r7 #2)
     "holt_linear_daily",
-    # Iceberg-rule partition-spec evolution (per-era pruning, plan-gated)
-    "partition_evolution_read",
-    # Fellegi-Sunter probabilistic record linkage (blocked + m/u weights)
-    "record_linkage_fs",
-    # G.711 mu-law WAV decode (telephony container, codepoint-exact oracle)
-    "multimodal_mulaw_decode",
-    # Adam7 fixture rotation (odd doc_ids interlaced; same pixels,
-    # locally hash-green) — re-fronted for verdicts on the new mix
-    "multimodal_png_decode", "multimodal_resize_real",
-    # arbitrary-state streaming (applyInPandasWithState, 2-batch feed)
-    "stream_custom_state_alarms",
-    # GIF89a animation decode (GCE, composition, disposal)
+    # GIF disposal-2 restores the screen background index (ADVICE r7 #3)
     "gif_animated_frames",
-    # Spearman rank correlation (2R integer ranks, bounded distinct tables)
-    "spearman_spend_orders",
-    # one-way ANOVA F + eta-squared (exact integer moments)
-    "anova_priority_f",
-    # LEFT-OUTER stream-stream interval join (watermark-proven NULL pads)
-    "stream_interval_join_outer",
-    # per-node clustering coefficient (oriented triangles credit corners)
-    "clustering_coefficient",
-    # IMA ADPCM decode (4-bit block speech, step-table closed form)
-    "multimodal_adpcm_decode",
-    # asymmetric shingle containment (directed quote/subset detection)
-    "near_dup_containment",
-    # time-weighted average over irregular event gaps (exact integers)
-    "twap_event_value",
-    # train/test OOV token rate against the split vocabulary
-    "oov_rate_split",
-    # exact distributed CART decision stump (argmin weighted Gini)
-    "cart_stump_returnflag",
-    # daily-revenue DFT periodogram (relative powers, 10 harmonics)
-    "periodogram_daily_revenue",
-    # quality-aware keeper election per duplicate cluster
-    "dedup_cluster_best_keeper",
+    # Fellegi-Sunter re-blocked onto sorted-neighborhood candidates
+    # (VERDICT r7 item 2 — clears the quadratic-at-scale mark)
+    "record_linkage_fs",
+    # --- new round-8 queries, pinned as they land ---
 )
 
 

@@ -267,7 +267,8 @@ def decode_gif_frames(data: bytes) -> list:
     """Decode every frame of a GIF87a/89a, composing each onto the
     running canvas per its disposal method. Returns a list of
     (composed 2-D uint8 canvas, delay_cs) tuples. Disposal 1/0 leaves
-    the canvas; disposal 2 restores the background (index 0) after the
+    the canvas; disposal 2 restores the screen-descriptor background
+    color (global-palette index, 0 if no global table) after the
     frame; transparent pixels do not overwrite."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
@@ -332,7 +333,17 @@ def decode_gif_frames(data: bytes) -> list:
                 region[:] = px
             frames.append((canvas.copy(), delay))
             if disposal == 2:
-                canvas[fy : fy + ih, fx : fx + iw] = pal[0, 0]
+                # Restore-to-background uses the logical screen
+                # descriptor's background color index, resolved against
+                # the GLOBAL color table (ADVICE r7 #3 — it may be
+                # nonzero; a local palette does not redefine it). With
+                # no global table the index is meaningless per spec:
+                # fall back to 0.
+                if palette is not None and _bg < palette.shape[0]:
+                    bg_val = palette[_bg, 0]
+                else:
+                    bg_val = 0
+                canvas[fy : fy + ih, fx : fx + iw] = bg_val
             disposal = 0
             transparent = None
             delay = 0

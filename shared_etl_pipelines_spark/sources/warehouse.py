@@ -143,7 +143,9 @@ def mor_apply_changes(
 
     SINGLE-WRITER, enforced: seq is read-then-append, so concurrent
     batches would mint the same seq and mask each other's rows — a
-    fail-loud lock file (``_mor.lock``, atomic createNewFile) turns
+    fail-loud lock file (``<table>.mor.lock``, a sibling of the table
+    directory so it survives ``mor_compact``'s swap — ADVICE r7 #1 —
+    atomic createNewFile) turns
     that race into an error instead (engine.acquire_fs_lock; ADVICE r5
     multi-writer story). Crash safety: data rows append BEFORE
     tombstones (ADVICE r5 #2) — a crash between the writes leaves
@@ -169,7 +171,7 @@ def mor_apply_changes(
         dead = d if dead is None else dead.unionByName(d)
     if dead is None:
         return {"seq": 0, "rows_appended": 0, "keys_tombstoned": 0}
-    lock = os.path.join(path, "_mor.lock")
+    lock = path.rstrip("/") + ".mor.lock"
     acquire_fs_lock(spark, lock, owner="mor_apply_changes")
     try:
         dpath = _mor_deletes_path(path)
@@ -365,12 +367,15 @@ def mor_compact(spark: SparkSession, path: str, key_cols: list[str]) -> dict:
     analog of a catalog pointer swap).
 
     Compaction is a WRITER: it folds appended versions + tombstones and
-    replaces the base, so it takes the same fail-loud ``_mor.lock`` as
-    ``mor_apply_changes`` (ADVICE r6 #3 — a compaction racing a change
-    batch would otherwise fold state while the batch appends and
-    silently lose it). The lock lives inside the pre-swap directory;
-    the swap itself is the commit point, after which a new writer may
-    acquire a fresh lock on the new base."""
+    replaces the base, so it takes the same fail-loud
+    ``<table>.mor.lock`` as ``mor_apply_changes`` (ADVICE r6 #3 — a
+    compaction racing a change batch would otherwise fold state while
+    the batch appends and silently lose it). The lock is a SIBLING of
+    the table directory (ADVICE r7 #1): a lock inside it would be
+    renamed away with the old base, letting a concurrent writer
+    re-create the live path mid-swap (ENOTEMPTY on the final rename,
+    base stranded at .old). The sibling survives the swap and is
+    released only after the old directory is removed."""
     import os
     import shutil
 
@@ -378,7 +383,7 @@ def mor_compact(spark: SparkSession, path: str, key_cols: list[str]) -> dict:
 
     from shared_etl_pipelines_spark.engine import acquire_fs_lock, release_fs_lock
 
-    lock = os.path.join(path, "_mor.lock")
+    lock = path.rstrip("/") + ".mor.lock"
     acquire_fs_lock(spark, lock, owner="mor_compact")
     try:
         live = mor_read(spark, path, key_cols).withColumn(
@@ -393,9 +398,8 @@ def mor_compact(spark: SparkSession, path: str, key_cols: list[str]) -> dict:
         os.rename(tmp, path)
         shutil.rmtree(old, ignore_errors=True)
     finally:
-        # post-swap the lock left with the old directory (already
-        # deleted); pre-swap failure releases it here — the swap never
-        # half-applies, so there is no torn state to protect.
+        # sibling lock survives both renames; released only here, after
+        # the old directory is removed (or on pre-swap failure).
         release_fs_lock(spark, lock)
     return {"live_rows": int(n)}
 
@@ -475,7 +479,7 @@ def mor_apply_changes_bucketed(
     if dead is None:
         return {"seq": 0, "rows_appended": 0, "keys_tombstoned": 0}
     ttable = _mor_tombstone_table(table)
-    lock = os.path.join(_table_location(spark, table), "_mor.lock")
+    lock = _table_location(spark, table).rstrip("/") + ".mor.lock"
     acquire_fs_lock(spark, lock, owner="mor_apply_changes_bucketed")
     try:
         seq = 1
@@ -625,7 +629,7 @@ def mor_compact_bucketed(
 
     from shared_etl_pipelines_spark.engine import acquire_fs_lock, release_fs_lock
 
-    lock = os.path.join(_table_location(spark, table), "_mor.lock")
+    lock = _table_location(spark, table).rstrip("/") + ".mor.lock"
     acquire_fs_lock(spark, lock, owner="mor_compact_bucketed")
     try:
         state = mor_read_bucketed(spark, table, key_cols).persist()

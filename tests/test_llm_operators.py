@@ -1399,7 +1399,7 @@ def test_ann_upsert_lock_fails_loud(spark, sf_dir, tmp_path):
     emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     path = str(tmp_path / "idx_locked")
     write_ann_index(emb.filter(F.col("vec_id") < 100), path)
-    lock = os.path.join(path, "_ann.lock")
+    lock = path.rstrip("/") + ".ann.lock"
     acquire_fs_lock(spark, lock, owner="test-other-writer")
     with _pytest.raises(RuntimeError, match="single-writer lock"):
         ann_index_upsert(
@@ -1644,3 +1644,45 @@ def test_containment_plan_no_cartesian_one_shingle_pass(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan
     assert plan.count("InMemoryTableScan") >= 3
+
+
+def test_ann_compact_lock_is_swap_surviving_sibling(spark, sf_dir, tmp_path):
+    """ADVICE r7 #1 (ANN twin): compact_ann_index and ann_index_upsert
+    share a sibling lock that survives the directory swap; a held lock
+    blocks compaction fail-loud, and a clean compact leaves no lock and
+    no stranded .old/.compacting directory."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.engine import acquire_fs_lock, release_fs_lock
+    from shared_etl_pipelines_spark.operators.similarity import (
+        ann_index_upsert,
+        compact_ann_index,
+        write_ann_index,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    path = str(tmp_path / "idx_sibling")
+    write_ann_index(emb.filter(F.col("vec_id") < 100), path)
+    ann_index_upsert(
+        spark, path, delete_ids=emb.filter(F.col("vec_id") == 1).select("vec_id")
+    )
+
+    lock = path.rstrip("/") + ".ann.lock"
+    acquire_fs_lock(spark, lock, owner="test-other-writer")
+    with _pytest.raises(RuntimeError, match="single-writer lock"):
+        compact_ann_index(spark, path)
+    release_fs_lock(spark, lock)
+
+    s = compact_ann_index(spark, path)
+    assert s["live_rows"] > 0
+    assert not os.path.exists(lock)
+    assert not os.path.exists(path.rstrip("/") + ".old")
+    assert not os.path.exists(path.rstrip("/") + ".compacting")
+    # live path intact and writable post-swap
+    s2 = ann_index_upsert(
+        spark, path, delete_ids=emb.filter(F.col("vec_id") == 2).select("vec_id")
+    )
+    assert s2["seq"] == 1

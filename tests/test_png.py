@@ -269,6 +269,28 @@ def test_animated_gif_composition_disposal_transparency():
     np.testing.assert_array_equal(decode_gif(blob), base)
 
 
+def test_animated_gif_nonzero_background_restore():
+    """ADVICE r7 #3: disposal 2 must restore the screen descriptor's
+    background color INDEX (byte 11), not hardcoded palette index 0.
+    The encoder's palette is the gray identity, so index 200 -> 200."""
+    from shared_etl_pipelines_spark.sources.gif import (
+        decode_gif_frames,
+        encode_gif_animated,
+    )
+
+    base = np.full((6, 8), 100, dtype=np.uint8)
+    p1 = np.full((3, 4), 20, dtype=np.uint8)
+    blob = bytearray(
+        encode_gif_animated([(0, 0, base), (2, 1, p1)], disposal=2)
+    )
+    blob[11] = 200  # logical screen descriptor background color index
+    frames = decode_gif_frames(bytes(blob))
+    # frame 0's rect (whole canvas) restored to bg=200 before frame 1,
+    # then frame 1's sub-rect composed on top
+    c = frames[1][0]
+    assert c[0, 0] == 200 and c[2, 3] == 20
+
+
 def test_gif_frame_stats_quarantines_corrupt(spark):
     from shared_etl_pipelines_spark.sources.gif import encode_gif_animated
     from shared_etl_pipelines_spark.sources.multimodal import gif_frame_stats

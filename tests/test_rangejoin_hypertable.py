@@ -101,3 +101,49 @@ def test_gap_fill_locf_semantics(spark):
     assert rows[(1, "2024-01-05")] == (20, 0)
     assert rows[(1, "2024-01-06")] == (20, 1)
     assert rows[(2, "2024-01-06")] == (7, 1)
+
+
+def test_holt_smooth_typed_order_columns(spark):
+    """ADVICE r7 #2: holt_linear_smooth must accept non-string order
+    columns. Typed sort order must hold (int 10 after 2, not string
+    order), the fold must analyze (the accumulator used to hardcode
+    o:string), and the output order column keeps the input type."""
+    from shared_etl_pipelines_spark.operators.hypertable import holt_linear_smooth
+
+    vals = [1.0, 3.0, 2.0, 6.0, 4.0, 8.0, 5.0, 9.0, 7.0, 10.0, 11.0, 12.0]
+
+    def expected(ys):
+        lev, tr, out = ys[0], 0.0, []
+        for y in ys[1:]:
+            fit = lev + tr
+            lev2 = 0.5 * y + 0.5 * (lev + tr)
+            tr = 0.5 * (lev2 - lev) + 0.5 * tr
+            lev = lev2
+            out.append((y, fit, lev, tr))
+        return out
+
+    want = expected(vals)
+
+    # int order column spanning 1..12 (string sort would put 10 < 2)
+    df_int = spark.createDataFrame(
+        [(1, i + 1, v) for i, v in enumerate(vals)], "k long, t int, v double"
+    )
+    out_int = holt_linear_smooth(df_int, ["k"], "t", "v")
+    assert dict(out_int.dtypes)["t"] == "int"
+    rows = sorted(out_int.collect(), key=lambda r: r["t"])
+    assert [r["t"] for r in rows] == list(range(2, 13))
+    for r, (y, fit, lev, tr) in zip(rows, want):
+        assert r["y"] == pytest.approx(y)
+        assert r["fitted"] == pytest.approx(fit)
+        assert r["level"] == pytest.approx(lev)
+        assert r["trend"] == pytest.approx(tr)
+
+    # date order column: analyzes, keeps the date type, same numbers
+    df_date = spark.createDataFrame(
+        [(1, f"2024-01-{i + 1:02d}", v) for i, v in enumerate(vals)],
+        "k long, day string, v double",
+    ).select("k", F.col("day").cast("date").alias("day"), "v")
+    out_date = holt_linear_smooth(df_date, ["k"], "day", "v")
+    assert dict(out_date.dtypes)["day"] == "date"
+    rows_d = sorted(out_date.collect(), key=lambda r: r["day"])
+    assert [r["fitted"] for r in rows_d] == pytest.approx([w[1] for w in want])

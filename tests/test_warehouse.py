@@ -419,7 +419,7 @@ def test_mor_writer_lock_fails_loud(spark, tmp_path):
     path = str(tmp_path / "mor_locked")
     base = spark.range(10).select(F.col("id").alias("k"), F.lit("x").alias("val"))
     mor_write_base(base, path)
-    lock = os.path.join(path, "_mor.lock")
+    lock = path.rstrip("/") + ".mor.lock"
     acquire_fs_lock(spark, lock, owner="test-other-writer")
     up = spark.createDataFrame([(1, "y")], ["k", "val"])
     with _pytest.raises(RuntimeError, match="single-writer lock"):
@@ -754,3 +754,44 @@ def test_mor_changelog_bucketed_parity_and_zero_exchange(spark, tmp_path):
     assert "Exchange hashpartitioning" not in plan, plan
     for t in (tbl, f"{tbl}__tombstones"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_mor_compact_lock_is_swap_surviving_sibling(spark, tmp_path):
+    """ADVICE r7 #1: the maintenance lock must live OUTSIDE the table
+    directory. A lock inside it is renamed away with the old base
+    mid-swap, so a concurrent writer could re-create the live path and
+    strand the compacted base at .old. Here: compaction and
+    apply_changes share the sibling lock (mutual exclusion both ways),
+    and a successful compact leaves no lock, no .old, no .compacting."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.engine import acquire_fs_lock, release_fs_lock
+    from shared_etl_pipelines_spark.sources.warehouse import (
+        mor_apply_changes,
+        mor_compact,
+        mor_read,
+        mor_write_base,
+    )
+
+    path = str(tmp_path / "mor_sibling")
+    base = spark.range(10).select(F.col("id").alias("k"), F.lit("x").alias("val"))
+    mor_write_base(base, path)
+    up = spark.createDataFrame([(1, "y")], ["k", "val"])
+    mor_apply_changes(spark, path, ["k"], upserts=up)
+
+    lock = path.rstrip("/") + ".mor.lock"
+    acquire_fs_lock(spark, lock, owner="test-other-writer")
+    with _pytest.raises(RuntimeError, match="single-writer lock"):
+        mor_compact(spark, path, ["k"])
+    release_fs_lock(spark, lock)
+
+    s = mor_compact(spark, path, ["k"])
+    assert s["live_rows"] == 10
+    assert not os.path.exists(lock)
+    assert not os.path.exists(path.rstrip("/") + ".old")
+    assert not os.path.exists(path.rstrip("/") + ".compacting")
+    # post-compact the table is live at its original path and writable
+    assert mor_read(spark, path, ["k"]).count() == 10
+    s2 = mor_apply_changes(spark, path, ["k"], upserts=up)
+    assert s2["seq"] == 1
