@@ -960,6 +960,8 @@ _CARRYOVER_FIRST = (
     # (VERDICT r7 item 2 — clears the quadratic-at-scale mark)
     "record_linkage_fs",
     # --- new round-8 queries, pinned as they land ---
+    # fixed-block FS variant kept as the small-scale scoring twin
+    "record_linkage_fs_blocked",
 )
 
 

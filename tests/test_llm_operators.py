@@ -1686,3 +1686,29 @@ def test_ann_compact_lock_is_swap_surviving_sibling(spark, sf_dir, tmp_path):
         spark, path, delete_ids=emb.filter(F.col("vec_id") == 2).select("vec_id")
     )
     assert s2["seq"] == 1
+
+
+def test_record_linkage_snp_candidates_grow_linearly(spark):
+    """VERDICT r7 #1: the sorted-neighborhood FS linker's candidate
+    count must grow ~linearly with data (<= 2*passes*w*n bound), where
+    the fixed-block twin's grows with block occupancy squared. 10x
+    customers (sf0.001 -> sf0.01) => ~10x SNP pairs but ~50x blocked
+    pairs."""
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.queries import REGISTRY
+
+    def pairs(q, sf):
+        df = REGISTRY[q].fn(spark, f"/root/testdata/{sf}")
+        return df.agg(F.sum("n_pairs")).collect()[0][0]
+
+    snp_small = pairs("record_linkage_fs", "sf0.001")
+    snp_big = pairs("record_linkage_fs", "sf0.01")
+    blk_small = pairs("record_linkage_fs_blocked", "sf0.001")
+    blk_big = pairs("record_linkage_fs_blocked", "sf0.01")
+    # SNP: bounded by 2 passes * w=5 * 2n rows, and empirically ~11x
+    n_small, n_big = 150, 1500
+    assert snp_big <= 2 * 5 * 2 * n_big
+    assert snp_big / snp_small < 15
+    # fixed blocks saturate: super-linear growth (occupancy squared)
+    assert blk_big / blk_small > 25
