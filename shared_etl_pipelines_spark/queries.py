@@ -962,6 +962,9 @@ _CARRYOVER_FIRST = (
     # --- new round-8 queries, pinned as they land ---
     # fixed-block FS variant kept as the small-scale scoring twin
     "record_linkage_fs_blocked",
+    # integer-micro-unit PageRank fixpoint, now fully oracle-backed
+    # (chained-CTE replay; was rows-only — VERDICT r7 item 4)
+    "pagerank_copurchase",
 )
 
 

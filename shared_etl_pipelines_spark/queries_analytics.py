@@ -1665,11 +1665,12 @@ def q_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # PageRank on the (thinned) co-purchase graph — operators/graph.py.
-# pagerank_one_step pins the damped-propagation arithmetic with a full
-# SQL oracle (one step from uniform ranks IS ANSI-expressible);
-# pagerank_copurchase is the fixed-10-iteration fit (rows-only, exact
-# replay test in tests/test_analytics.py) — same oracle-twin pattern as
-# embedding_kmeans / embedding_kmeans_assign.
+# pagerank_one_step pins the damped-propagation arithmetic;
+# pagerank_copurchase runs the fixed-10-round fit in exact integer
+# micro-units (pagerank_exact), so the whole fixpoint is summation-
+# order-free and gets a FULL hash oracle: one chained CTE per round,
+# the label_prop_communities technique (VERDICT r7 item 4 — was
+# rows-only while it used double ranks).
 # ---------------------------------------------------------------------------
 _PR_EDGES_SQL = """
     li AS (
@@ -1731,20 +1732,43 @@ def q_pagerank_one_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PR_ITERS = 10
+
+_PR_CHAIN_SQL = ",\n    ".join(
+    ["pr0 AS (SELECT s AS node, CAST(1000000 AS BIGINT) AS r FROM deg)"]
+    + [
+        f"""pr{i} AS (
+      SELECT e.d AS node,
+             CAST(150000 + SUM((85 * p.r) // (100 * dg.outdeg)) AS BIGINT) AS r
+      FROM e JOIN pr{i - 1} p ON e.s = p.node JOIN deg dg ON dg.s = e.s
+      GROUP BY e.d
+    )"""
+        for i in range(1, _PR_ITERS + 1)
+    ]
+)
+
+
 @defquery(
     "pagerank_copurchase",
-    None,  # the fixpoint is iterative — rows-only; one step has the oracle
-    doc="PageRank (10 damped rounds) on the co-purchase graph: one "
-    "join + one aggregation per round, localCheckpoint lineage cuts, "
-    "zero driver traffic until materialization; exact replay test "
-    "pins the fit",
+    f"""
+    WITH {_PR_EDGES_SQL},
+    {_PR_CHAIN_SQL}
+    SELECT node, r AS rank_micro FROM pr{_PR_ITERS}
+    """,
+    doc="PageRank (10 damped rounds) on the co-purchase graph in exact "
+    "integer micro-units: one join + one aggregation per round, "
+    "localCheckpoint lineage cuts, zero driver traffic until "
+    "materialization; integer damping makes the fixpoint summation-"
+    "order-free, so the oracle replays all 10 rounds as chained CTEs "
+    "and the result is hash-checked (was rows-only)",
     tags=("graph", "iterative", "scale-path"),
 )
 def q_pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from shared_etl_pipelines_spark.operators.graph import pagerank
+    from shared_etl_pipelines_spark.operators.graph import pagerank_exact
 
-    out = pagerank(_pr_edges(spark, sf_dir), iterations=10, num_partitions=8)
-    return out.select("node", F.round("rank", 4).alias("rank"))
+    return pagerank_exact(
+        _pr_edges(spark, sf_dir), iterations=_PR_ITERS, num_partitions=8
+    )
 
 
 # ---------------------------------------------------------------------------
