@@ -905,7 +905,10 @@ _R7_GREEN = frozenset(
     {
         "near_dup_levenshtein", "incremental_near_dup",
         "multimodal_jpeg_decode", "image_ahash_neardup_jpeg",
-        "video_keyframe_detect", "multimodal_avi_frames",
+        "video_keyframe_detect",
+        # "multimodal_avi_frames" was r7-green but sample_video_frames
+        # gained the MP4 dispatch branch in r8 (AVI path byte-identical,
+        # locally re-verified) — re-fronted.
         "audio_spectral_tones", "ks_drift_exact", "gini_customer_spend",
         "orc_roundtrip_pricing", "jpeg_marker_scan",
         "csv_quarantine_ingest", "similarity_topk_ivfpq",
@@ -965,6 +968,12 @@ _CARRYOVER_FIRST = (
     # integer-micro-unit PageRank fixpoint, now fully oracle-backed
     # (chained-CTE replay; was rows-only — VERDICT r7 item 4)
     "pagerank_copurchase",
+    # MP4/ISO-BMFF container walk (VERDICT r7 missing #1): metadata
+    # scan of every track + MJPEG keyframe decode with loud avc1
+    # quarantine
+    "mp4_track_scan", "multimodal_mp4_frames",
+    # sample_video_frames gained the MP4 branch (AVI path unchanged)
+    "multimodal_avi_frames",
 )
 
 

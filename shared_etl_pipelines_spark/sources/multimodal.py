@@ -669,18 +669,22 @@ VIDEO_FRAME_SCHEMA = (
 
 
 def sample_video_frames(assets: DataFrame, stride: int = 2) -> DataFrame:
-    """Frame sampling with a REAL AVI path: every ``stride``-th frame of
-    an uncompressed AVI is decoded (sources/avi.py) and reduced to
-    per-frame pixel stats — the 1->N fan-out a video pipeline feeds to a
-    vision encoder. Non-AVI blobs keep the documented byte-window stub
-    (is_real_decode=false). One Arrow-batched mapInPandas pass, no
+    """Frame sampling with REAL container paths: every ``stride``-th
+    frame of an uncompressed/MJPEG AVI (sources/avi.py) or an
+    MJPEG-in-MP4 (sources/mp4.py, r8) is decoded and reduced to
+    per-frame pixel stats — the 1->N fan-out a video pipeline feeds to
+    a vision encoder. Blobs with no decodable path (non-container
+    bytes, corrupt containers, MP4 video codecs without an in-repo
+    decoder like avc1/H.264) keep the documented byte-window stub
+    (is_real_decode=false) — mp4_keyframe_stats is the loud-reason
+    variant of that quarantine. One Arrow-batched mapInPandas pass, no
     shuffle; at 100 TB this is a full-scan columnar batch job whose
     parallelism is the input partitioning."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        from shared_etl_pipelines_spark.sources import avi
+        from shared_etl_pipelines_spark.sources import avi, mp4
 
         for pdf in it:
             rows: dict[str, list] = {
@@ -696,7 +700,21 @@ def sample_video_frames(assets: DataFrame, stride: int = 2) -> DataFrame:
                 try:
                     if avi.is_avi(blob):
                         frames, info = avi.decode_avi(blob)
-                except Exception:  # corrupt container degrades to stub
+                    elif mp4.is_mp4(blob):
+                        dec, minfo = mp4.decode_mp4_frames(
+                            blob, keyframes_only=False
+                        )
+                        frames = [a for _, a in dec]
+                        vt = [
+                            t for t in minfo["tracks"]
+                            if t["handler"] == "vide"
+                        ][0]
+                        info = {
+                            "width": vt["width"],
+                            "height": vt["height"],
+                            "n_frames": len(frames),
+                        }
+                except Exception:  # corrupt/undecodable degrades to stub
                     frames = info = None
                 if info is not None:
                     for idx in range(0, info["n_frames"], stride):
@@ -1290,4 +1308,205 @@ def jpeg_metadata_profile(assets: DataFrame) -> DataFrame:
         batches,
         "doc_id bigint, is_jpeg boolean, sof string, width int, height int, "
         "n_scans int, restart_interval int, comment string",
+    )
+
+
+def synthetic_mp4_assets(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "text"
+) -> DataFrame:
+    """Deterministic REAL-MP4 fixtures (sources/mp4.py): for payload
+    byte-length n, nf = n%3+2 frames of (n//4%4+1) x (n%4+1) aligned
+    8x8 blocks, frame f block k CONSTANT at (id*31 + f*11 + k) % 256 —
+    the MJPEG-in-MP4 exactness contract (all-ones qtable). doc_id%3==0
+    blobs carry an 'avc1' video track instead (deterministic pseudo-NAL
+    payloads, 24 + id%8 + i bytes each): the container SCANS fine but
+    frame decode must quarantine loudly. ODD doc_ids add a stub 'mp4a'
+    audio track with n%2+1 samples. Keyframes every 2nd sample, chunks
+    of 3 samples (multi-entry stco + two-run stsc on 4-frame docs)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from shared_etl_pipelines_spark.sources import mp4
+
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                d = int(doc_id)
+                n = len(str(payload).encode("utf-8"))
+                nf = n % 3 + 2
+                bw, bh = n % 4 + 1, (n // 4) % 4 + 1
+                w, h = 8 * bw, 8 * bh
+                audio = (
+                    [b"a" * (10 + i) for i in range(n % 2 + 1)]
+                    if d % 2
+                    else None
+                )
+                if d % 3 == 0:
+                    samples = [
+                        bytes(
+                            (d + i * 7 + j) % 256
+                            for j in range(24 + d % 8 + i)
+                        )
+                        for i in range(nf)
+                    ]
+                    blob = mp4.encode_mp4(
+                        samples, w, h, fps=10, codec=b"avc1",
+                        keyframe_interval=2, samples_per_chunk=3,
+                        audio_samples=audio,
+                    )
+                else:
+                    k = np.arange(bw * bh, dtype=np.int64)
+                    frames = []
+                    for f in range(nf):
+                        blocks = (
+                            ((d * 31 + f * 11 + k) % 256)
+                            .astype(np.uint8)
+                            .reshape(bh, bw)
+                        )
+                        frames.append(np.repeat(np.repeat(blocks, 8, 0), 8, 1))
+                    blob = mp4.encode_mp4_mjpeg(
+                        np.stack(frames), fps=10, keyframe_interval=2,
+                        samples_per_chunk=3, audio_samples=audio,
+                    )
+                ids.append(d)
+                blobs.append(blob)
+            yield pd.DataFrame(
+                {"doc_id": ids, "media_type": "video/mp4", "blob": blobs}
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches, "doc_id bigint, media_type string, blob binary"
+    )
+
+
+def mp4_track_scan(assets: DataFrame) -> DataFrame:
+    """Arrow-batched ISO-BMFF container scan: one row per track with
+    handler, codec fourcc, dimensions, sample/keyframe counts and
+    duration — the metadata pass a crawl video pipeline runs over
+    EVERY mp4 before deciding what to decode. Works for codecs we
+    cannot decode (avc1/H.264 tracks scan fine); corrupt containers
+    quarantine as a single handler='corrupt' row."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shared_etl_pipelines_spark.sources import mp4
+
+        for pdf in it:
+            rows: dict[str, list] = {
+                k: []
+                for k in (
+                    "doc_id", "track_id", "handler", "codec", "width",
+                    "height", "n_samples", "n_keyframes", "duration_ms",
+                )
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                blob = bytes(blob)
+                try:
+                    info = mp4.parse_mp4(blob) if mp4.is_mp4(blob) else None
+                except Exception:
+                    info = None
+                if info is None:
+                    rows["doc_id"].append(doc_id)
+                    rows["track_id"].append(-1)
+                    rows["handler"].append("corrupt")
+                    rows["codec"].append("")
+                    rows["width"].append(0)
+                    rows["height"].append(0)
+                    rows["n_samples"].append(0)
+                    rows["n_keyframes"].append(0)
+                    rows["duration_ms"].append(0)
+                    continue
+                for t in info["tracks"]:
+                    rows["doc_id"].append(doc_id)
+                    rows["track_id"].append(int(t["track_id"]))
+                    rows["handler"].append(t["handler"])
+                    rows["codec"].append(t["codec"])
+                    rows["width"].append(int(t["width"] or 0))
+                    rows["height"].append(int(t["height"] or 0))
+                    rows["n_samples"].append(int(t["n_samples"]))
+                    rows["n_keyframes"].append(int(t["n_keyframes"]))
+                    rows["duration_ms"].append(int(t["duration_ms"]))
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(
+        batches,
+        "doc_id bigint, track_id int, handler string, codec string, "
+        "width int, height int, n_samples int, n_keyframes int, "
+        "duration_ms bigint",
+    )
+
+
+def mp4_keyframe_stats(assets: DataFrame) -> DataFrame:
+    """Keyframe sampling with a REAL MP4 path: every stss sync sample
+    of the first video track decodes (MJPEG-in-MP4 via sources/jpeg.py)
+    to per-frame pixel stats. Video codecs without an in-repo decoder
+    (avc1/H.264) quarantine LOUDLY as one is_real_decode=false row
+    carrying the codec fourcc in ``reason`` — never fabricated pixels.
+    One mapInPandas pass, no shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from shared_etl_pipelines_spark.sources import mp4
+
+        for pdf in it:
+            rows: dict[str, list] = {
+                k: []
+                for k in (
+                    "doc_id", "frame_idx", "is_real_decode", "width",
+                    "height", "px_sum", "reason",
+                )
+            }
+
+            def quarantine(doc_id, reason):
+                rows["doc_id"].append(doc_id)
+                rows["frame_idx"].append(-1)
+                rows["is_real_decode"].append(False)
+                rows["width"].append(0)
+                rows["height"].append(0)
+                rows["px_sum"].append(0)
+                rows["reason"].append(reason)
+
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                blob = bytes(blob)
+                if not mp4.is_mp4(blob):
+                    quarantine(doc_id, "not_mp4")
+                    continue
+                try:
+                    frames, info = mp4.decode_mp4_frames(
+                        blob, keyframes_only=True
+                    )
+                except ValueError as e:
+                    # loud codec quarantine: surface the fourcc, not pixels
+                    vids = []
+                    try:
+                        vids = [
+                            t for t in mp4.parse_mp4(blob)["tracks"]
+                            if t["handler"] == "vide"
+                        ]
+                    except Exception:
+                        pass
+                    reason = (
+                        f"codec:{vids[0]['codec']}" if vids else "corrupt"
+                    )
+                    del e
+                    quarantine(doc_id, reason)
+                    continue
+                except Exception:
+                    quarantine(doc_id, "corrupt")
+                    continue
+                for idx, arr in frames:
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_idx"].append(idx)
+                    rows["is_real_decode"].append(True)
+                    rows["width"].append(int(arr.shape[1]))
+                    rows["height"].append(int(arr.shape[0]))
+                    rows["px_sum"].append(int(arr.astype(np.int64).sum()))
+                    rows["reason"].append("ok")
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(
+        batches,
+        "doc_id bigint, frame_idx int, is_real_decode boolean, "
+        "width int, height int, px_sum bigint, reason string",
     )
