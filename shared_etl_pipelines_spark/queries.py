@@ -974,6 +974,9 @@ _CARRYOVER_FIRST = (
     "mp4_track_scan", "multimodal_mp4_frames",
     # sample_video_frames gained the MP4 branch (AVI path unchanged)
     "multimodal_avi_frames",
+    # PDF text extraction (VERDICT r7 missing #2): xref walk + Flate
+    # streams + Tj/TJ operators, malformed quarantine
+    "pdf_extract_text",
 )
 
 

@@ -1510,3 +1510,98 @@ def mp4_keyframe_stats(assets: DataFrame) -> DataFrame:
         "doc_id bigint, frame_idx int, is_real_decode boolean, "
         "width int, height int, px_sum bigint, reason string",
     )
+
+
+def synthetic_pdf_assets(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "text"
+) -> DataFrame:
+    """Deterministic REAL-PDF fixtures (sources/pdf.py): for payload
+    byte-length n, n%3+1 pages; page p carries (n+p)%3+1 text lines,
+    line j = 'doc-{d}-p{p}-l{j}-' + 'w' x ((n+j)%5), shown through a
+    mix of Tj / split-TJ / ' operators inside FlateDecode content
+    streams behind a classic xref table. doc_id%7==0 blobs are
+    TRUNCATED (startxref cut off) — the malformed-PDF quarantine
+    class."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shared_etl_pipelines_spark.sources import pdf
+
+        for pdf_batch in it:
+            ids, blobs = [], []
+            for doc_id, payload in zip(
+                pdf_batch[id_col], pdf_batch[payload_col]
+            ):
+                d = int(doc_id)
+                n = len(str(payload).encode("utf-8"))
+                pages = [
+                    [
+                        f"doc-{d}-p{p}-l{j}-" + "w" * ((n + j) % 5)
+                        for j in range((n + p) % 3 + 1)
+                    ]
+                    for p in range(n % 3 + 1)
+                ]
+                blob = pdf.encode_pdf(pages)
+                if d % 7 == 0:
+                    blob = blob[:-30]  # cuts startxref: malformed
+                ids.append(d)
+                blobs.append(blob)
+            yield pd.DataFrame(
+                {"doc_id": ids, "media_type": "application/pdf", "blob": blobs}
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches, "doc_id bigint, media_type string, blob binary"
+    )
+
+
+def pdf_text_rows(assets: DataFrame) -> DataFrame:
+    """Arrow-batched PDF text extraction: one row per page with the
+    extracted text (xref walk -> page tree -> Flate content streams ->
+    Tj/TJ/' operators — sources/pdf.py). Malformed/encrypted/
+    out-of-scope PDFs quarantine as a single is_extracted=false row;
+    the page text feeds the same curation funnel as WARC/HTML/XML
+    ingestion."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shared_etl_pipelines_spark.sources import pdf
+
+        for pdf_batch in it:
+            rows: dict[str, list] = {
+                k: []
+                for k in (
+                    "doc_id", "page_idx", "is_extracted", "text",
+                    "n_lines", "n_chars",
+                )
+            }
+            for doc_id, blob in zip(pdf_batch["doc_id"], pdf_batch["blob"]):
+                blob = bytes(blob)
+                try:
+                    texts = (
+                        pdf.parse_pdf_pages(blob)
+                        if pdf.is_pdf(blob)
+                        else None
+                    )
+                except Exception:
+                    texts = None
+                if texts is None:
+                    rows["doc_id"].append(doc_id)
+                    rows["page_idx"].append(-1)
+                    rows["is_extracted"].append(False)
+                    rows["text"].append("")
+                    rows["n_lines"].append(0)
+                    rows["n_chars"].append(0)
+                    continue
+                for p, t in enumerate(texts):
+                    rows["doc_id"].append(doc_id)
+                    rows["page_idx"].append(p)
+                    rows["is_extracted"].append(True)
+                    rows["text"].append(t)
+                    rows["n_lines"].append(t.count("\n") + 1 if t else 0)
+                    rows["n_chars"].append(len(t))
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(
+        batches,
+        "doc_id bigint, page_idx int, is_extracted boolean, text string, "
+        "n_lines int, n_chars bigint",
+    )
