@@ -977,6 +977,9 @@ _CARRYOVER_FIRST = (
     # PDF text extraction (VERDICT r7 missing #2): xref walk + Flate
     # streams + Tj/TJ operators, malformed quarantine
     "pdf_extract_text",
+    # FLAC decode (VERDICT r7 item 6): all four subframe families,
+    # Rice residuals, CRC/MD5 integrity quarantine
+    "multimodal_flac_decode",
 )
 
 

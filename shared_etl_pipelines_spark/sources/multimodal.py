@@ -1605,3 +1605,116 @@ def pdf_text_rows(assets: DataFrame) -> DataFrame:
         "doc_id bigint, page_idx int, is_extracted boolean, text string, "
         "n_lines int, n_chars bigint",
     )
+
+
+def synthetic_flac_assets(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "text"
+) -> DataFrame:
+    """Deterministic REAL-FLAC fixtures (sources/flac.py): mono 16-bit
+    8 kHz, 200 + (n%3)*100 samples in 128-sample frames. doc_id%4
+    sweeps the subframe family — CONSTANT (all samples A), VERBATIM,
+    FIXED order 2, LPC order 1 — over the closed-form signal
+    s(t) = A + B*t + ((d+t)%5 - 2) with A=(d*13)%1000, B=d%7-3.
+    doc_id%9==0 blobs get one bit flipped mid-stream: the CRC-16/MD5
+    integrity quarantine class."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from shared_etl_pipelines_spark.sources import flac
+
+        modes = {0: "CONSTANT", 1: "VERBATIM", 2: "FIXED2", 3: "LPC1"}
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                d = int(doc_id)
+                n = len(str(payload).encode("utf-8"))
+                n_s = 200 + (n % 3) * 100
+                a, b = (d * 13) % 1000, d % 7 - 3
+                t = np.arange(n_s, dtype=np.int64)
+                if d % 4 == 0:
+                    s = np.full(n_s, a, dtype=np.int64)
+                else:
+                    s = a + b * t + ((d + t) % 5 - 2)
+                blob = flac.encode_flac(
+                    s, sample_rate=8000, bps=16, block_size=128,
+                    mode=modes[d % 4],
+                )
+                if d % 9 == 0:
+                    ba = bytearray(blob)
+                    ba[len(ba) // 2] ^= 0x40
+                    blob = bytes(ba)
+                ids.append(d)
+                blobs.append(blob)
+            yield pd.DataFrame(
+                {"doc_id": ids, "media_type": "audio/flac", "blob": blobs}
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches, "doc_id bigint, media_type string, blob binary"
+    )
+
+
+def flac_audio_stats(assets: DataFrame) -> DataFrame:
+    """Arrow-batched FLAC decode to per-blob audio stats: stream
+    parameters, frame/subframe census and exact sample aggregates.
+    Integrity failures (CRC-8/CRC-16/MD5) and out-of-scope features
+    (stereo decorrelation) quarantine as is_real_decode=false rows —
+    never wrong samples."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from shared_etl_pipelines_spark.sources import flac
+
+        for pdf in it:
+            rows: dict[str, list] = {
+                k: []
+                for k in (
+                    "doc_id", "is_real_decode", "sample_rate", "channels",
+                    "bps", "n_samples", "n_frames", "subframe_types",
+                    "sum_samples", "min_sample", "max_sample",
+                )
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                blob = bytes(blob)
+                try:
+                    arr, info = (
+                        flac.decode_flac(blob)
+                        if flac.is_flac(blob)
+                        else (None, None)
+                    )
+                except Exception:
+                    arr = info = None
+                rows["doc_id"].append(doc_id)
+                if info is None:
+                    rows["is_real_decode"].append(False)
+                    rows["sample_rate"].append(0)
+                    rows["channels"].append(0)
+                    rows["bps"].append(0)
+                    rows["n_samples"].append(0)
+                    rows["n_frames"].append(0)
+                    rows["subframe_types"].append("")
+                    rows["sum_samples"].append(0)
+                    rows["min_sample"].append(0)
+                    rows["max_sample"].append(0)
+                    continue
+                rows["is_real_decode"].append(True)
+                rows["sample_rate"].append(info["sample_rate"])
+                rows["channels"].append(info["channels"])
+                rows["bps"].append(info["bps"])
+                rows["n_samples"].append(info["n_samples"])
+                rows["n_frames"].append(info["n_frames"])
+                rows["subframe_types"].append(info["subframe_types"])
+                rows["sum_samples"].append(int(arr.astype(np.int64).sum()))
+                rows["min_sample"].append(int(arr.min()))
+                rows["max_sample"].append(int(arr.max()))
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(
+        batches,
+        "doc_id bigint, is_real_decode boolean, sample_rate int, "
+        "channels int, bps int, n_samples int, n_frames int, "
+        "subframe_types string, sum_samples bigint, min_sample bigint, "
+        "max_sample bigint",
+    )

@@ -1,0 +1,119 @@
+"""FLAC codec (sources/flac.py): bit-exact round trips across every
+subframe family, Rice escape paths, UTF-8 frame numbering, the CRC-8/
+CRC-16/MD5 integrity chain, loud refusal of stereo decorrelation, and
+the Spark-side stats operator."""
+
+import numpy as np
+import pytest
+
+from shared_etl_pipelines_spark.sources.flac import (
+    decode_flac,
+    encode_flac,
+    is_flac,
+)
+
+RNG = np.random.default_rng(29)
+
+
+@pytest.mark.parametrize(
+    "mode", ["VERBATIM", "FIXED0", "FIXED1", "FIXED2", "FIXED3", "FIXED4", "LPC1"]
+)
+def test_round_trip_every_subframe_family(mode):
+    s = (RNG.integers(-3000, 3000, size=700) + np.arange(700) * 5).astype(
+        np.int64
+    )
+    blob = encode_flac(s, mode=mode)
+    assert is_flac(blob)
+    dec, info = decode_flac(blob)
+    np.testing.assert_array_equal(dec[:, 0], s)
+    assert info["n_samples"] == 700 and info["n_frames"] == 3
+    assert info["subframe_types"] == (
+        "LPC" if mode == "LPC1" else ("VERBATIM" if mode == "VERBATIM" else "FIXED")
+    )
+    assert (info["sample_rate"], info["channels"], info["bps"]) == (8000, 1, 16)
+
+
+def test_constant_and_stereo_round_trip():
+    s = np.full(300, -777, dtype=np.int64)
+    dec, info = decode_flac(encode_flac(s, mode="CONSTANT"))
+    np.testing.assert_array_equal(dec[:, 0], s)
+    assert info["subframe_types"] == "CONSTANT"
+    st = np.stack(
+        [np.arange(500) % 997 - 400, (np.arange(500) * 7) % 1003 - 500], axis=1
+    ).astype(np.int64)
+    dec, info = decode_flac(encode_flac(st, mode="FIXED2"))
+    np.testing.assert_array_equal(dec, st)
+    assert info["channels"] == 2
+
+
+def test_rice_escape_and_multibyte_frame_numbers():
+    # huge white noise forces large rice params / the escape path
+    s = RNG.integers(-30000, 30000, size=600).astype(np.int64)
+    dec, _ = decode_flac(encode_flac(s, mode="FIXED0"))
+    np.testing.assert_array_equal(dec[:, 0], s)
+    # 150 frames of 2 samples: frame indices cross the 1-byte UTF-8 limit
+    s2 = RNG.integers(-100, 100, size=300).astype(np.int64)
+    dec2, info2 = decode_flac(encode_flac(s2, block_size=2, mode="VERBATIM"))
+    np.testing.assert_array_equal(dec2[:, 0], s2)
+    assert info2["n_frames"] == 150
+
+
+def test_integrity_chain_catches_flips():
+    s = (np.arange(500) * 3 % 1999 - 900).astype(np.int64)
+    blob = encode_flac(s, mode="FIXED2")
+    # frame-body flip -> CRC-16 (or header CRC-8, either is loud)
+    ba = bytearray(blob)
+    ba[len(ba) // 2] ^= 0x40
+    with pytest.raises(ValueError, match="CRC|sync|truncated|Rice|rice"):
+        decode_flac(bytes(ba))
+    # STREAMINFO MD5 flip -> caught by the MD5 check (no CRC covers it)
+    ba2 = bytearray(blob)
+    ba2[30] ^= 0x01  # inside the 16-byte md5 field (bytes 26..42)
+    with pytest.raises(ValueError, match="MD5"):
+        decode_flac(bytes(ba2))
+    # truncation
+    with pytest.raises(ValueError):
+        decode_flac(blob[: len(blob) - 7])
+    with pytest.raises(ValueError, match="fLaC"):
+        decode_flac(b"RIFF not flac")
+
+
+def test_stereo_decorrelation_refused_loudly():
+    s = np.arange(200, dtype=np.int64)
+    blob = bytearray(encode_flac(s, mode="FIXED1"))
+    # first frame header starts at 4 (magic) + 4 + 34 (STREAMINFO) = 42;
+    # byte 45 holds channel-assignment(4) | sample-size(3) | reserved(1)
+    assert blob[42] == 0xFF
+    blob[45] = (8 << 4) | (blob[45] & 0x0F)  # ca=8: left/side
+    with pytest.raises(ValueError, match="decorrelation"):
+        decode_flac(bytes(blob))
+
+
+def test_spark_flac_stats_and_quarantine(spark):
+    from shared_etl_pipelines_spark.sources.multimodal import (
+        flac_audio_stats,
+        synthetic_flac_assets,
+    )
+
+    docs = spark.createDataFrame(
+        [(d, "z" * (5 + d)) for d in range(1, 20)], "doc_id long, text string"
+    )
+    rows = flac_audio_stats(synthetic_flac_assets(docs)).collect()
+    assert len(rows) == 19
+    quarantined = {r["doc_id"] for r in rows if not r["is_real_decode"]}
+    assert quarantined == {9, 18}
+    kinds = {
+        r["doc_id"] % 4: r["subframe_types"]
+        for r in rows
+        if r["is_real_decode"]
+    }
+    assert kinds == {0: "CONSTANT", 1: "VERBATIM", 2: "FIXED", 3: "LPC"}
+    # closed-form sum check for one doc
+    d = 2
+    n = 5 + d
+    n_s = 200 + (n % 3) * 100
+    a, b = (d * 13) % 1000, d % 7 - 3
+    want = sum(a + b * t + ((d + t) % 5 - 2) for t in range(n_s))
+    r = next(r for r in rows if r["doc_id"] == d)
+    assert r["sum_samples"] == want and r["n_samples"] == n_s
+    assert r["n_frames"] == (n_s + 127) // 128
