@@ -859,3 +859,74 @@ def containment_pairs_plugin(
             max_df=int(max_df),
         )
     }
+
+
+@plugin("synthetic_media_assets")
+def synthetic_media_assets_plugin(
+    ctx: StepContext,
+    df: DataFrame,
+    kind: str,
+    id_col: str = "doc_id",
+    payload_col: str = "text",
+    **kw: Any,
+) -> dict[str, Any]:
+    """Round-8 fixture factories as one plugin: ``kind`` picks the
+    deterministic real-container corpus (pdf | mp4 | flac)."""
+    from shared_etl_pipelines_spark.sources import multimodal as mm
+
+    factories = {
+        "pdf": mm.synthetic_pdf_assets,
+        "mp4": mm.synthetic_mp4_assets,
+        "flac": mm.synthetic_flac_assets,
+    }
+    if kind not in factories:
+        raise ValueError(f"unknown media fixture kind {kind!r}")
+    return {"df": factories[kind](df, id_col=id_col, payload_col=payload_col)}
+
+
+@plugin("pdf_text_extract")
+def pdf_text_extract_plugin(
+    ctx: StepContext, df: DataFrame, **kw: Any
+) -> dict[str, Any]:
+    from shared_etl_pipelines_spark.sources.multimodal import pdf_text_rows
+
+    return {"df": pdf_text_rows(df)}
+
+
+@plugin("mp4_track_scan")
+def mp4_track_scan_plugin(
+    ctx: StepContext, df: DataFrame, **kw: Any
+) -> dict[str, Any]:
+    from shared_etl_pipelines_spark.sources.multimodal import mp4_track_scan
+
+    return {"df": mp4_track_scan(df)}
+
+
+@plugin("mp4_keyframe_stats")
+def mp4_keyframe_stats_plugin(
+    ctx: StepContext, df: DataFrame, **kw: Any
+) -> dict[str, Any]:
+    from shared_etl_pipelines_spark.sources.multimodal import mp4_keyframe_stats
+
+    return {"df": mp4_keyframe_stats(df)}
+
+
+@plugin("flac_decode")
+def flac_decode_plugin(
+    ctx: StepContext, df: DataFrame, **kw: Any
+) -> dict[str, Any]:
+    from shared_etl_pipelines_spark.sources.multimodal import flac_audio_stats
+
+    return {"df": flac_audio_stats(df)}
+
+
+@plugin("curation_drop_audit")
+def curation_drop_audit_plugin(
+    ctx: StepContext, sf_dir: str, **kw: Any
+) -> dict[str, Any]:
+    """The unified dropped-record audit (queries_llm
+    q_curation_drop_audit) as a pipeline step: run it next to any
+    curation job so every quarantine/cap surface ships as one table."""
+    from shared_etl_pipelines_spark.queries import REGISTRY
+
+    return {"df": REGISTRY["curation_drop_audit"].fn(ctx.spark, sf_dir)}

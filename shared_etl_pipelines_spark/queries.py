@@ -980,6 +980,9 @@ _CARRYOVER_FIRST = (
     # FLAC decode (VERDICT r7 item 6): all four subframe families,
     # Rice residuals, CRC/MD5 integrity quarantine
     "multimodal_flac_decode",
+    # unified dropped-record audit (VERDICT r7 item 8): every
+    # quarantine/cap surface in one (stage, n_units, n_dropped) table
+    "curation_drop_audit",
 )
 
 

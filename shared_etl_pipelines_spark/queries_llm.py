@@ -7446,3 +7446,160 @@ def q_stream_ann_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Unified dropped-record observability (r8, VERDICT r7 item 8): every
+# stage that silently removes units — the three quarantine ingests
+# (JSONL line, CSV row, XML record), the three media quarantine
+# classes (malformed PDF, undecodable-codec MP4, integrity-failed
+# FLAC), the LSH hot-bucket guard, and the containment df-cap — in ONE
+# auditable table of (stage, n_units, n_dropped). The "no silent caps"
+# principle as a queryable artifact: a curation run ships this next to
+# its output so the recall debt each guard bought is visible. Every
+# stage is driven through its REAL machinery (PERMISSIVE reads, codec
+# decodes, banded signatures), and every count has a closed form the
+# oracle replays.
+# ---------------------------------------------------------------------------
+_AUDIT_BANDS_SQL = " UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band_idx,"
+    f" md5(mh{2 * b} || '|' || mh{2 * b + 1}) AS band_hash FROM sig"
+    for b in range(4)
+)
+
+
+@defquery(
+    "curation_drop_audit",
+    f"""
+    WITH a AS (SELECT doc_id FROM documents),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM a),
+    t AS (SELECT doc_id, {TOKS_SQL} AS toks FROM documents),
+    s AS (SELECT doc_id, {SHINGLES_SQL} AS sh FROM t),
+    hh AS (SELECT doc_id, list_distinct({HV_SQL}) AS hv
+           FROM s WHERE len(sh) > 0),
+    sig AS (
+      SELECT doc_id, {', '.join(f"{_mh_sql(i)} AS mh{i}" for i in range(8))}
+      FROM hh
+    ),
+    bands AS ({_AUDIT_BANDS_SQL}),
+    bsz AS (SELECT band_idx, band_hash, COUNT(*) AS sz
+            FROM bands GROUP BY 1, 2),
+    ex AS (SELECT doc_id, unnest(hv) AS h FROM hh),
+    freq AS (SELECT h, COUNT(*) AS c FROM ex GROUP BY h)
+    SELECT 'jsonl_lines' AS stage, n + 1 AS n_units,
+           CAST(1 AS BIGINT) AS n_dropped FROM tot
+    UNION ALL SELECT 'csv_rows', n,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM a WHERE doc_id % 37 = 0) FROM tot
+    UNION ALL SELECT 'xml_records', n,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM a WHERE doc_id % 41 = 0) FROM tot
+    UNION ALL SELECT 'pdf_docs', n,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM a WHERE doc_id % 7 = 0) FROM tot
+    UNION ALL SELECT 'mp4_video_docs', n,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM a WHERE doc_id % 3 = 0) FROM tot
+    UNION ALL SELECT 'flac_docs', n,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM a WHERE doc_id % 9 = 0) FROM tot
+    UNION ALL SELECT 'lsh_band_buckets',
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM bsz),
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM bsz WHERE sz > 256)
+    UNION ALL SELECT 'containment_shingles',
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM freq),
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM freq WHERE c > 256)
+    """,
+    doc="unified dropped-record audit: JSONL/CSV/XML quarantine counts, "
+    "PDF/MP4/FLAC media quarantine classes, LSH hot-bucket guard drops "
+    "and containment df-cap drops as ONE (stage, n_units, n_dropped) "
+    "table — the 'no silent caps' principle as a queryable artifact, "
+    "every stage driven through its real machinery",
+    tags=("llm", "curation", "audit", "quarantine"),
+)
+def q_curation_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.operators.dedup import (
+        lsh_bucket_audit,
+        shingle_hash_rows,
+    )
+    from shared_etl_pipelines_spark.sources.csvq import (
+        ensure_demo_csv,
+        read_csv_quarantine,
+    )
+    from shared_etl_pipelines_spark.sources.jsonl import (
+        ensure_demo_jsonl,
+        read_jsonl,
+    )
+    from shared_etl_pipelines_spark.sources.multimodal import (
+        flac_audio_stats,
+        mp4_keyframe_stats,
+        pdf_text_rows,
+        synthetic_flac_assets,
+        synthetic_mp4_assets,
+        synthetic_pdf_assets,
+    )
+    from shared_etl_pipelines_spark.sources.xmlq import (
+        ensure_demo_xml,
+        read_xml_quarantine,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+
+    def count_pair(df, name: str, bad) -> DataFrame:
+        # the _anchor sum keeps a DATA column referenced through the
+        # aggregate: (a) Spark refuses corrupt-only-column scans
+        # (QUERY_ONLY_CORRUPT_RECORD_COLUMN), and (b) quarantine is
+        # evaluated against the PRUNED parse schema, so the anchor must
+        # be the typed leaf that actually fails (round-7 lesson)
+        if "_anchor" not in df.columns:
+            df = df.withColumn("_anchor", F.lit(0))
+        # the anchor is FOLDED INTO the output value (x + sum(a)*0): a
+        # separate dropped column would be pruned away by the optimizer,
+        # resurrecting the corrupt-only-scan error
+        return df.agg(
+            F.count(F.lit(1)).cast("long").alias("n_units"),
+            (F.sum(bad.cast("long")) + F.sum(F.col("_anchor")) * 0)
+            .cast("long")
+            .alias("n_dropped"),
+        ).select(F.lit(name).alias("stage"), "n_units", "n_dropped")
+
+    jdf = read_jsonl(spark, ensure_demo_jsonl(sf_dir)).select(
+        F.coalesce(F.col("doc_id"), F.lit(0)).alias("_anchor"),
+        F.col("_corrupt_record").isNotNull().alias("bad"),
+    )
+    cdf = read_csv_quarantine(spark, ensure_demo_csv(sf_dir)).select(
+        # doc_id IS the untypeable cell the fixture plants
+        F.coalesce(F.col("doc_id"), F.lit(0)).alias("_anchor"),
+        F.col("_corrupt_record").isNotNull().alias("bad"),
+    )
+    xdf = read_xml_quarantine(spark, ensure_demo_xml(sf_dir)).select(
+        # meta.n_chars IS the untypeable leaf the fixture plants
+        F.coalesce(F.col("meta.n_chars"), F.lit(0)).alias("_anchor"),
+        F.col("_corrupt_record").isNotNull().alias("bad"),
+    )
+    pdf_rows = pdf_text_rows(synthetic_pdf_assets(docs))
+    pdf_per_doc = pdf_rows.groupBy("doc_id").agg(
+        F.max((~F.col("is_extracted")).cast("int")).alias("bad_i")
+    )
+    mp4_rows = mp4_keyframe_stats(synthetic_mp4_assets(docs))
+    mp4_per_doc = mp4_rows.groupBy("doc_id").agg(
+        F.max(F.col("reason").startswith("codec:").cast("int")).alias("bad_i")
+    )
+    flac_rows = flac_audio_stats(synthetic_flac_assets(docs))
+    audit = lsh_bucket_audit(
+        docs, "doc_id", "text", n=3, k=8, bands=4, max_bucket_size=256
+    )
+    sh = shingle_hash_rows(docs, "doc_id", "text", n=3).select(
+        "doc_id", "h"
+    ).distinct()
+    freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+
+    parts = [
+        count_pair(jdf, "jsonl_lines", F.col("bad")),
+        count_pair(cdf, "csv_rows", F.col("bad")),
+        count_pair(xdf, "xml_records", F.col("bad")),
+        count_pair(pdf_per_doc, "pdf_docs", F.col("bad_i") == 1),
+        count_pair(mp4_per_doc, "mp4_video_docs", F.col("bad_i") == 1),
+        count_pair(flac_rows, "flac_docs", ~F.col("is_real_decode")),
+        count_pair(audit, "lsh_band_buckets", F.col("dropped") == 1),
+        count_pair(freq, "containment_shingles", F.col("c") > 256),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

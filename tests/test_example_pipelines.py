@@ -495,3 +495,70 @@ def test_evolved_analytics_pipeline(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "containment_pairs")).collect()
     }
     assert got_c == want_c
+
+
+def test_media_curation_pipeline(spark, sf_dir, tmp_path):
+    """The round-8 plugins (synthetic_media_assets / pdf_text_extract /
+    mp4_track_scan / mp4_keyframe_stats / flac_decode /
+    curation_drop_audit) driven through the pipeline language equal the
+    direct operator compositions."""
+    import os
+
+    from shared_etl_pipelines_spark.queries import REGISTRY
+    from shared_etl_pipelines_spark.sources.multimodal import (
+        flac_audio_stats,
+        pdf_text_rows,
+        synthetic_flac_assets,
+        synthetic_pdf_assets,
+    )
+
+    runner = PipelineRunner(spark, env={"basedir": str(tmp_path)})
+    runner.run(
+        os.path.join(EXAMPLES, "media_curation.yml"),
+        var_overrides={"sf_dir": sf_dir},
+    )
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+    # pdf parity: pipeline output == direct operator
+    want_pdf = {
+        (r["doc_id"], r["page_idx"]): (r["is_extracted"], r["text"])
+        for r in pdf_text_rows(synthetic_pdf_assets(docs)).collect()
+    }
+    got_pdf = {
+        (r["doc_id"], r["page_idx"]): (r["is_extracted"], r["text"])
+        for r in spark.read.parquet(str(tmp_path / "pdf_text")).collect()
+    }
+    assert got_pdf == want_pdf and len(got_pdf) > 0
+
+    # mp4 scan: every doc has a video track; odd docs add audio
+    tracks = spark.read.parquet(str(tmp_path / "mp4_tracks")).collect()
+    vide = [r for r in tracks if r["handler"] == "vide"]
+    soun = [r for r in tracks if r["handler"] == "soun"]
+    assert len(vide) == docs.count()
+    assert len(soun) == docs.filter("doc_id % 2 = 1").count()
+    kf = spark.read.parquet(str(tmp_path / "mp4_keyframes")).collect()
+    assert {r["doc_id"] for r in kf if r["reason"] == "codec:avc1"} == {
+        r["doc_id"] for r in vide if r["codec"] == "avc1"
+    }
+
+    # flac parity
+    want_flac = {
+        r["doc_id"]: (r["is_real_decode"], r["sum_samples"])
+        for r in flac_audio_stats(synthetic_flac_assets(docs)).collect()
+    }
+    got_flac = {
+        r["doc_id"]: (r["is_real_decode"], r["sum_samples"])
+        for r in spark.read.parquet(str(tmp_path / "flac_stats")).collect()
+    }
+    assert got_flac == want_flac
+
+    # drop audit parity with the registry query
+    want_audit = {
+        r["stage"]: (r["n_units"], r["n_dropped"])
+        for r in REGISTRY["curation_drop_audit"].fn(spark, sf_dir).collect()
+    }
+    got_audit = {
+        r["stage"]: (r["n_units"], r["n_dropped"])
+        for r in spark.read.parquet(str(tmp_path / "drop_audit")).collect()
+    }
+    assert got_audit == want_audit and len(got_audit) == 8
