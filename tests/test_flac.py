@@ -117,3 +117,60 @@ def test_spark_flac_stats_and_quarantine(spark):
     r = next(r for r in rows if r["doc_id"] == d)
     assert r["sum_samples"] == want and r["n_samples"] == n_s
     assert r["n_frames"] == (n_s + 127) // 128
+
+
+# --------------------------------------------------------------------------
+# MP3 frame-header scan (sources/mp3.py) — the no-decode half of the
+# audio story.
+# --------------------------------------------------------------------------
+def test_mp3_scan_census_and_id3():
+    from shared_etl_pipelines_spark.sources.mp3 import (
+        encode_mp3_frames,
+        is_mp3,
+        scan_mp3,
+    )
+
+    blob = encode_mp3_frames(
+        6, bitrate_index=9, sample_rate_index=1, mono=True, id3_size=25
+    )
+    assert is_mp3(blob)
+    info = scan_mp3(blob)
+    assert info["version"] == "MPEG1" and info["sample_rate"] == 48000
+    assert info["channel_mode"] == "mono" and info["n_frames"] == 6
+    assert info["bitrate_kbps_min"] == info["bitrate_kbps_max"] == 128
+    assert info["duration_ms"] == 6 * 1152 * 1000 // 48000
+    assert info["id3_bytes"] == 35 and not info["truncated"]
+    # truncation flags but keeps the whole-frame census
+    t = scan_mp3(blob[:-10])
+    assert t["n_frames"] == 5 and t["truncated"]
+
+
+def test_mp3_scan_refusals():
+    from shared_etl_pipelines_spark.sources.mp3 import (
+        encode_mp3_frames,
+        scan_mp3,
+    )
+
+    with pytest.raises(ValueError, match="sync"):
+        scan_mp3(b"garbage that is long enough to scan")
+    blob = bytearray(encode_mp3_frames(2, bitrate_index=5))
+    blob[2] &= 0x0F  # bitrate index -> 0: free-format
+    with pytest.raises(ValueError, match="free-format"):
+        scan_mp3(bytes(blob))
+
+
+def test_spark_mp3_scan_classes(spark):
+    from shared_etl_pipelines_spark.sources.multimodal import (
+        mp3_stream_scan,
+        synthetic_mp3_assets,
+    )
+
+    docs = spark.createDataFrame(
+        [(d, "m" * (6 + d)) for d in range(1, 30)], "doc_id long, text string"
+    )
+    rows = mp3_stream_scan(synthetic_mp3_assets(docs)).collect()
+    assert {r["doc_id"] for r in rows if not r["is_scanned"]} == {13, 26}
+    trunc = {r["doc_id"] for r in rows if r["truncated"]}
+    assert trunc == {11, 22}
+    r = next(r for r in rows if r["doc_id"] == 5)
+    assert r["id3_bytes"] == 30 + 5 % 30 and r["channel_mode"] == "mono"
