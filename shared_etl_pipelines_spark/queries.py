@@ -985,6 +985,8 @@ _CARRYOVER_FIRST = (
     "curation_drop_audit",
     # MP3 frame-header scan (the "at minimum" half of item 6)
     "mp3_stream_scan",
+    # WebDataset tar-shard ingestion (multimodal corpus container)
+    "webdataset_ingest",
 )
 
 

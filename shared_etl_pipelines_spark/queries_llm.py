@@ -7667,3 +7667,73 @@ def q_mp3_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assets = synthetic_mp3_assets(_t(spark, sf_dir, "documents"))
     return mp3_stream_scan(assets)
+
+
+# ---------------------------------------------------------------------------
+# WebDataset tar-shard ingestion (r8): the de-facto container format
+# for large multimodal training corpora as a TABLE — binaryFile over
+# the shards, a stdlib-tarfile walk per shard (sources/webdataset.py),
+# one row per member, grouped back to one row per sample. Shards are
+# the parallelism unit (the format's own design), samples never span
+# shards, incomplete samples (a missing .cls member) surface instead
+# of crashing the loader.
+# ---------------------------------------------------------------------------
+@defquery(
+    "webdataset_ingest",
+    """
+    WITH a AS (
+      SELECT doc_id, octet_length(encode(text)) AS nb,
+             ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(rn // 64 AS INT) AS shard_idx,
+           CAST(CASE WHEN doc_id % 43 = 0 THEN 2 ELSE 3 END AS INT)
+             AS n_members,
+           CASE WHEN doc_id % 43 = 0 THEN 'json,txt'
+                ELSE 'cls,json,txt' END AS exts,
+           CAST(nb AS BIGINT) AS txt_bytes,
+           CASE WHEN doc_id % 43 = 0 THEN ''
+                ELSE CAST(doc_id % 5 AS VARCHAR) END AS cls_label
+    FROM a
+    """,
+    doc="WebDataset tar-shard ingest: distributed binaryFile scan over "
+    "POSIX tar shards, per-member explode (stdlib tarfile inside "
+    "mapInPandas), per-sample regroup with modality census, shard "
+    "assignment and decoded labels; incomplete samples (missing .cls) "
+    "surface as rows, corrupt shards quarantine; oracle reconstructs "
+    "every sample row in closed form",
+    tags=("llm", "source", "multimodal", "webdataset"),
+)
+def q_webdataset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.webdataset import (
+        ensure_demo_webdataset,
+        read_webdataset,
+    )
+
+    rows = read_webdataset(spark, ensure_demo_webdataset(sf_dir))
+    good = rows.filter(F.col("ext") != "_corrupt")
+    return (
+        good.groupBy("key")
+        .agg(
+            F.min("shard_idx").cast("int").alias("shard_idx"),
+            F.count(F.lit(1)).cast("int").alias("n_members"),
+            F.concat_ws(",", F.sort_array(F.collect_list("ext"))).alias(
+                "exts"
+            ),
+            F.max(F.when(F.col("ext") == "txt", F.col("n_bytes")))
+            .cast("long")
+            .alias("txt_bytes"),
+            F.max(
+                F.when(F.col("ext") == "cls", F.decode(F.col("blob"), "UTF-8"))
+            ).alias("cls_label"),
+        )
+        .select(
+            F.col("key").cast("long").alias("doc_id"),
+            "shard_idx",
+            "n_members",
+            "exts",
+            "txt_bytes",
+            F.coalesce(F.col("cls_label"), F.lit("")).alias("cls_label"),
+        )
+    )

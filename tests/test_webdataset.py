@@ -1,0 +1,80 @@
+"""WebDataset tar-shard ingestion (sources/webdataset.py): shard
+writer determinism, distributed member explode, per-sample regroup,
+incomplete samples, corrupt-shard quarantine."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from shared_etl_pipelines_spark.sources.webdataset import (
+    read_webdataset,
+    write_webdataset_shards,
+)
+
+
+def _samples(n):
+    return [
+        (
+            f"{i:09d}",
+            {"txt": b"text-" * (i + 1), "json": b'{"i":%d}' % i},
+        )
+        for i in range(n)
+    ]
+
+
+def test_shard_writer_is_deterministic(tmp_path):
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    assert write_webdataset_shards(_samples(10), a, shard_size=4) == 3
+    write_webdataset_shards(_samples(10), b, shard_size=4)
+    for f in sorted(os.listdir(a)):
+        with open(os.path.join(a, f), "rb") as fa, open(
+            os.path.join(b, f), "rb"
+        ) as fb:
+            assert fa.read() == fb.read(), f
+
+
+def test_read_explodes_members_and_assigns_shards(spark, tmp_path):
+    root = str(tmp_path / "wds")
+    write_webdataset_shards(_samples(10), root, shard_size=4)
+    rows = read_webdataset(spark, root).collect()
+    # 10 samples x 2 members
+    assert len(rows) == 20
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["key"], []).append(r)
+    for i in range(10):
+        k = f"{i:09d}"
+        got = by_key[k]
+        assert {r["ext"] for r in got} == {"txt", "json"}
+        assert all(r["shard_idx"] == i // 4 for r in got)
+        txt = next(r for r in got if r["ext"] == "txt")
+        assert bytes(txt["blob"]) == b"text-" * (i + 1)
+        assert txt["n_bytes"] == 5 * (i + 1)
+
+
+def test_corrupt_shard_quarantines_not_crashes(spark, tmp_path):
+    root = str(tmp_path / "wds")
+    write_webdataset_shards(_samples(4), root, shard_size=4)
+    with open(os.path.join(root, "shard-00001.tar"), "wb") as fh:
+        fh.write(b"this is not a tar archive at all" * 3)
+    rows = read_webdataset(spark, root)
+    bad = rows.filter(F.col("ext") == "_corrupt").collect()
+    assert len(bad) == 1 and bad[0]["shard"] == "shard-00001.tar"
+    assert rows.filter(F.col("ext") != "_corrupt").count() == 8
+
+
+def test_demo_corpus_missing_member_class(spark, sf_dir):
+    from shared_etl_pipelines_spark.sources.webdataset import (
+        ensure_demo_webdataset,
+    )
+
+    rows = read_webdataset(spark, ensure_demo_webdataset(sf_dir))
+    per_key = (
+        rows.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("doc_id", F.col("key").cast("long"))
+        .collect()
+    )
+    for r in per_key:
+        want = 2 if r["doc_id"] % 43 == 0 else 3
+        assert r["n"] == want, r
