@@ -329,3 +329,71 @@ def weighted_zonal_aggregate(
         (F.sum(v * w) / F.sum(w)).alias(out_col),
         F.sum(w).alias(f"{out_col}_weight"),
     )
+
+
+def exact_rank_values(
+    df: DataFrame, col: str, ranks: list[int], num_partitions: int = 64
+) -> dict[int, float]:
+    """Exact k-th smallest values (1-based ``ranks``) of a large
+    column WITHOUT a global sort or a single-task percentile buffer.
+
+    Spark's exact ``percentile`` aggregate merges every value into one
+    final task (9.7 s for 2.9M doubles, measured round 8); selection
+    only needs: (1) range-repartition by value — equal values land in
+    one partition, partition ids are value-ordered — (2) O(partitions)
+    per-partition counts to the driver, (3) collect + sort ONLY the
+    partitions holding the requested ranks (~n/partitions values).
+    Driver traffic is O(partitions + n/partitions); every heavy step
+    is a narrow distributed pass. The multiset's k-th smallest is
+    well-defined whatever the partition boundaries, so the (sampled)
+    range split affects cost, never the answer.
+    """
+    s = (
+        df.select(F.col(col).cast("double").alias("x"))
+        .repartitionByRange(num_partitions, "x")
+        .persist()
+    )
+    try:
+        pc = (
+            s.groupBy(F.spark_partition_id().alias("pid"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        )
+        parts = sorted((r["pid"], r["c"]) for r in pc)
+        out: dict[int, float] = {}
+        need = sorted(set(ranks))
+        cum = 0
+        for pid, c in parts:
+            local = [k for k in need if cum < k <= cum + c]
+            if local:
+                vals = sorted(
+                    r["x"]
+                    for r in s.withColumn("pid", F.spark_partition_id())
+                    .filter(F.col("pid") == pid)
+                    .select("x")
+                    .collect()
+                )
+                for k in local:
+                    out[k] = vals[k - cum - 1]
+            cum += c
+        missing = [k for k in need if k not in out]
+        if missing:
+            raise ValueError(f"ranks {missing} exceed row count {cum}")
+        return out
+    finally:
+        s.unpersist()
+
+
+def distributed_exact_median(df: DataFrame, col: str, n: int | None = None) -> float:
+    """Exact interpolated median via :func:`exact_rank_values`,
+    computed with the SQL ``quantile_cont`` association
+    ``lo + (hi - lo) * 0.5`` so the double matches an oracle replay
+    bit-for-bit."""
+    if n is None:
+        n = df.count()
+    if n == 0:
+        raise ValueError("median of an empty frame")
+    k1, k2 = (n + 1) // 2, n // 2 + 1
+    got = exact_rank_values(df, col, [k1, k2])
+    lo, hi = got[k1], got[k2]
+    return lo + (hi - lo) * 0.5

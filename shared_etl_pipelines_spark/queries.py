@@ -987,6 +987,8 @@ _CARRYOVER_FIRST = (
     "mp3_stream_scan",
     # WebDataset tar-shard ingestion (multimodal corpus container)
     "webdataset_ingest",
+    # Mann-Kendall trend + Sen's slope (nonparametric trend battery)
+    "mann_kendall_trend",
 )
 
 

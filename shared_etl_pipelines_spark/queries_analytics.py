@@ -5251,3 +5251,145 @@ def q_ts_subsequence_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dist",
         F.col("rn").cast("long").alias("rn"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall monotonic-trend test + Sen's slope over the daily
+# revenue series (r8): the standard nonparametric trend battery entry
+# next to theil_sen_trend/cusum/acf. S = sum of pairwise signs
+# (integer-exact), tie-corrected variance, continuity-corrected Z, and
+# the Sen slope = median pairwise cents/day. The pair domain is the
+# BOUNDED day table (a few thousand rows -> millions of codegen-cheap
+# pairs), never the raw orders; both engines walk the identical
+# integer-cents series, so S/ties are exact and the two float ops
+# (z, slope median) are bit-identical before 4-dp rounding.
+# ---------------------------------------------------------------------------
+@defquery(
+    "mann_kendall_trend",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS v
+      FROM orders GROUP BY 1
+    ),
+    idx AS (SELECT v, ROW_NUMBER() OVER (ORDER BY day) - 1 AS i FROM daily),
+    pairs AS (
+      SELECT a.v AS va, b.v AS vb, b.i - a.i AS di
+      FROM idx a JOIN idx b ON a.i < b.i
+    ),
+    sstat AS (
+      SELECT CAST(SUM(CASE WHEN vb > va THEN 1 WHEN vb < va THEN -1
+                           ELSE 0 END) AS BIGINT) AS s,
+             quantile_cont(CAST(vb - va AS DOUBLE) / di, 0.5) AS slope
+      FROM pairs
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+    ties AS (
+      SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+               AS tt
+      FROM (SELECT COUNT(*) AS t FROM daily GROUP BY v) WHERE t > 1
+    )
+    SELECT CAST(n AS INT) AS n_days, s AS s_stat,
+           ROUND((n * (n - 1) * (2 * n + 5) - tt) / 18.0, 4) AS var_s,
+           ROUND(CASE WHEN s > 0 THEN (s - 1)
+                        / sqrt((n * (n - 1) * (2 * n + 5) - tt) / 18.0)
+                      WHEN s < 0 THEN (s + 1)
+                        / sqrt((n * (n - 1) * (2 * n + 5) - tt) / 18.0)
+                      ELSE 0.0 END, 4) AS z,
+           ROUND(slope, 4) AS sen_slope_cents
+    FROM sstat, nn, ties
+    """,
+    doc="Mann-Kendall trend test + Sen's slope on daily revenue: "
+    "integer-exact pairwise sign sum over the bounded day table, "
+    "tie-corrected variance, continuity-corrected Z, median pairwise "
+    "slope in cents/day — the nonparametric trend twin of "
+    "theil_sen_trend",
+    tags=("timeseries", "trend", "statistics", "aggregate"),
+)
+def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("v")
+    )
+    idx = daily.select(
+        "v", (F.row_number().over(Window.orderBy("day")) - 1).alias("i")
+    )
+    # the global row_number window leaves ONE partition; the i<j
+    # inequality join is a broadcast nested loop whose parallelism is
+    # the STREAM side's partitioning — spread it so the O(n^2/2) pair
+    # evaluation runs on all cores instead of one task (11.8 s -> ~1 s
+    # at sf0.1)
+    a = idx.repartition(32).alias("a")
+    b = idx.alias("b")
+    pairs = a.join(b, F.col("a.i") < F.col("b.i")).select(
+        F.col("a.v").alias("va"),
+        F.col("b.v").alias("vb"),
+        (F.col("b.i") - F.col("a.i")).alias("di"),
+    )
+    pairs = pairs.persist()  # consumed twice: the S sum and the median
+    sstat = pairs.agg(
+        F.sum(
+            F.when(F.col("vb") > F.col("va"), 1)
+            .when(F.col("vb") < F.col("va"), -1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("s"),
+        F.count(F.lit(1)).cast("long").alias("np"),
+    )
+    # Sen slope = EXACT median of millions of pairwise slopes. Spark's
+    # exact percentile buffers every value into one final task (9.7 s
+    # measured); exact_rank_values selects the two middle ranks with
+    # narrow passes instead, using the quantile_cont association so
+    # the double replays bit-for-bit in the oracle.
+    from shared_etl_pipelines_spark.operators.aggregates import (
+        distributed_exact_median,
+    )
+
+    srow = sstat.collect()[0]
+    slope = distributed_exact_median(
+        pairs.select(
+            ((F.col("vb") - F.col("va")).cast("double") / F.col("di")).alias(
+                "sl"
+            )
+        ),
+        "sl",
+        n=int(srow["np"]),
+    )
+    pairs.unpersist()
+    sstat = spark.createDataFrame(
+        [(int(srow["s"]), float(slope))], "s long, slope double"
+    )
+    nn = daily.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ties = (
+        daily.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tt")
+        )
+    )
+    j = sstat.crossJoin(nn).crossJoin(ties)  # three 1-row frames
+    n, s, tt = F.col("n"), F.col("s"), F.col("tt")
+    var_expr = (n * (n - 1) * (2 * n + 5) - tt) / 18.0
+    return j.select(
+        n.cast("int").alias("n_days"),
+        s.alias("s_stat"),
+        F.round(var_expr, 4).alias("var_s"),
+        F.round(
+            F.when(s > 0, (s - 1) / F.sqrt(var_expr))
+            .when(s < 0, (s + 1) / F.sqrt(var_expr))
+            .otherwise(F.lit(0.0)),
+            4,
+        ).alias("z"),
+        F.round(F.col("slope"), 4).alias("sen_slope_cents"),
+    )

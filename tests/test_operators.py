@@ -328,3 +328,31 @@ def test_affine_regrid_rotated_mask_fraction_converges(spark):
         assert 0.0 <= frac00 <= 1.0
         errs.append(abs(frac00 - 0.5))
     assert max(errs) < 0.05
+
+
+def test_exact_rank_values_and_distributed_median(spark):
+    """Distributed exact selection: k-th smallest over a multiset with
+    duplicates matches a local sort for every requested rank; the
+    median uses the quantile_cont association; out-of-range ranks fail
+    loud."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.operators.aggregates import (
+        distributed_exact_median,
+        exact_rank_values,
+    )
+
+    vals = [(i * 37 % 101) * 0.5 for i in range(1000)]  # duplicates galore
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    want = sorted(vals)
+    ranks = [1, 2, 500, 501, 999, 1000]
+    got = exact_rank_values(df, "x", ranks, num_partitions=7)
+    assert got == {k: want[k - 1] for k in ranks}
+    lo, hi = want[499], want[500]
+    assert distributed_exact_median(df, "x") == lo + (hi - lo) * 0.5
+    # odd count
+    df3 = spark.createDataFrame([(v,) for v in vals[:999]], "x double")
+    assert distributed_exact_median(df3, "x") == sorted(vals[:999])[499]
+    with _pytest.raises(ValueError, match="exceed"):
+        exact_rank_values(df, "x", [1001])
