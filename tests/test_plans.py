@@ -609,3 +609,22 @@ def test_upserted_index_probe_scan_is_pruned_and_tombstone_broadcast(
     assert "PartitionFilters: [" in plan and "tbl" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_record_linkage_snp_plan_has_no_quadratic_join(spark, sf):
+    """The sorted-neighborhood FS linker must draw candidates from
+    window leads + hash equi-joins — a cartesian or theta-join shape
+    would reintroduce the quadratic blow-up the rework removed
+    (VERDICT r7 #1)."""
+    plan = phys(REGISTRY["record_linkage_fs"].fn(spark, sf))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Window") >= 2  # the two sorted-neighborhood passes
+
+
+def test_webdataset_scan_parallelism_is_shard_count(spark, sf):
+    """The tar-shard explode must stay a narrow binaryFile scan +
+    mapInPandas — the only exchange is the per-sample regroup."""
+    plan = phys(REGISTRY["webdataset_ingest"].fn(spark, sf))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
