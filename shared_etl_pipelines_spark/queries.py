@@ -989,6 +989,8 @@ _CARRYOVER_FIRST = (
     "webdataset_ingest",
     # Mann-Kendall trend + Sen's slope (nonparametric trend battery)
     "mann_kendall_trend",
+    # streaming WebDataset shard ingest (binaryFile streaming source)
+    "stream_webdataset_ingest",
 )
 
 

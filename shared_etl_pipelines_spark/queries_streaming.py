@@ -833,3 +833,76 @@ def q_stream_custom_state_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# Streaming WebDataset shard ingestion (r8): new tar shards dropped
+# into a corpus directory stream through the same member-explode as
+# the batch reader (binaryFile streaming source + mapInPandas — a
+# STATELESS 1->N flatMap, so append mode needs no watermark and the
+# oracle is the closed-form member census). This is the arrival-time
+# form every training-corpus ingest actually runs: each shard is one
+# unit of work, exactly-once by the file source's filename tracking.
+# ---------------------------------------------------------------------------
+@defquery(
+    "stream_webdataset_ingest",
+    """
+    WITH a AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents)
+    SELECT doc_id, 'txt' AS ext, CAST(nb AS BIGINT) AS n_bytes FROM a
+    UNION ALL
+    SELECT doc_id, 'json',
+           CAST(15 + length(CAST(doc_id AS VARCHAR))
+                   + length(CAST(nb AS VARCHAR)) AS BIGINT)
+    FROM a
+    UNION ALL
+    SELECT doc_id, 'cls', CAST(1 AS BIGINT) FROM a WHERE doc_id % 43 <> 0
+    """,
+    doc="streaming WebDataset ingest: tar shards arriving in a drop "
+    "directory explode to member rows via the binaryFile streaming "
+    "source + the stdlib-tarfile walk — stateless 1->N, exactly-once "
+    "per shard; oracle reconstructs the member census in closed form",
+    tags=("streaming", "llm", "source", "webdataset"),
+)
+def q_stream_webdataset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import io
+    import tarfile
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.sources.webdataset import (
+        ensure_demo_webdataset,
+    )
+
+    root = ensure_demo_webdataset(sf_dir)
+    schema = (
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema(schema)
+        .option("pathGlobFilter", "*.tar")
+        .load(root)
+        .select("path", "content")
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {"key": [], "ext": [], "n_bytes": []}
+            for content in pdf["content"]:
+                with tarfile.open(fileobj=io.BytesIO(bytes(content))) as t:
+                    for m in t.getmembers():
+                        if not m.isfile():
+                            continue
+                        key, _, ext = m.name.rpartition(".")
+                        rows["key"].append(key)
+                        rows["ext"].append(ext)
+                        rows["n_bytes"].append(int(m.size))
+            yield pd.DataFrame(rows)
+
+    members = raw.mapInPandas(batches, "key string, ext string, n_bytes long")
+    out = members.select(
+        F.col("key").cast("long").alias("doc_id"), "ext", "n_bytes"
+    )
+    return _run(out, "append")
