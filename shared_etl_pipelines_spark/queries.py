@@ -991,6 +991,8 @@ _CARRYOVER_FIRST = (
     "mann_kendall_trend",
     # streaming WebDataset shard ingest (binaryFile streaming source)
     "stream_webdataset_ingest",
+    # seeded-Laplace noisy counts (the DP release mechanism, audit form)
+    "dp_noisy_group_counts",
 )
 
 

@@ -7737,3 +7737,79 @@ def q_webdataset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("cls_label"), F.lit("")).alias("cls_label"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Seeded differential-privacy-style noisy counts (r8): the release
+# mechanism next to k_anonymity_audit — per-group counts + Laplace
+# noise drawn by INVERSE CDF from a SEEDED uniform (md5 of the group
+# key), so the "random" draw is reproducible, auditable, and replays
+# bit-for-bit in the oracle. A production release would use a real
+# CSPRNG (this is the testing/audit form — the mechanism arithmetic,
+# sensitivity accounting and post-processing are what the pipeline
+# exercises); the noise scale is sensitivity/epsilon = 1/0.5.
+# ---------------------------------------------------------------------------
+@defquery(
+    "dp_noisy_group_counts",
+    """
+    WITH g AS (
+      SELECT n.n_name AS nation, CAST(COUNT(*) AS BIGINT) AS true_count
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY 1
+    ),
+    u AS (
+      SELECT nation, true_count,
+             CAST(CAST('0x' || substr(md5('dp-seed-' || nation), 1, 13)
+                       AS BIGINT) AS DOUBLE) / 4503599627370496.0 - 0.5
+               AS uu
+      FROM g
+    )
+    SELECT nation, true_count,
+           ROUND(CASE WHEN uu >= 0
+                      THEN -2.0 * ln(1.0 - 2.0 * uu)
+                      ELSE 2.0 * ln(1.0 + 2.0 * uu) END, 4) AS noise,
+           ROUND(true_count + CASE WHEN uu >= 0
+                      THEN -2.0 * ln(1.0 - 2.0 * uu)
+                      ELSE 2.0 * ln(1.0 + 2.0 * uu) END, 4)
+             AS noisy_count
+    FROM u
+    """,
+    doc="seeded Laplace noisy counts (eps=0.5, sensitivity 1): per-"
+    "nation customer counts + inverse-CDF Laplace noise from an md5-"
+    "seeded uniform — the reproducible/audit form of the DP release "
+    "mechanism, replayed bit-for-bit by the oracle",
+    tags=("llm", "privacy", "aggregate"),
+)
+def q_dp_noisy_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    g = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count(F.lit(1)).cast("long").alias("true_count"))
+    )
+    uu = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("dp-seed-"), F.col("nation"))), 1, 13),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(4503599627370496.0)
+        - 0.5
+    )
+    withu = g.withColumn("uu", uu)
+    return withu.select(
+        "nation",
+        "true_count",
+        F.round(
+            F.when(F.col("uu") >= 0, -2.0 * F.log(1.0 - 2.0 * F.col("uu")))
+            .otherwise(2.0 * F.log(1.0 + 2.0 * F.col("uu"))),
+            4,
+        ).alias("noise"),
+        F.round(
+            F.col("true_count")
+            + F.when(F.col("uu") >= 0, -2.0 * F.log(1.0 - 2.0 * F.col("uu")))
+            .otherwise(2.0 * F.log(1.0 + 2.0 * F.col("uu"))),
+            4,
+        ).alias("noisy_count"),
+    )
