@@ -7453,7 +7453,8 @@ def q_stream_ann_index_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stage that silently removes units — the three quarantine ingests
 # (JSONL line, CSV row, XML record), the three media quarantine
 # classes (malformed PDF, undecodable-codec MP4, integrity-failed
-# FLAC), the LSH hot-bucket guard, and the containment df-cap — in ONE
+# FLAC, non-MPEG MP3), the LSH hot-bucket guard, and the containment
+# df-cap — in ONE
 # auditable table of (stage, n_units, n_dropped). The "no silent caps"
 # principle as a queryable artifact: a curation run ships this next to
 # its output so the recall debt each guard bought is visible. Every
@@ -7498,6 +7499,8 @@ _AUDIT_BANDS_SQL = " UNION ALL ".join(
       (SELECT CAST(COUNT(*) AS BIGINT) FROM a WHERE doc_id % 3 = 0) FROM tot
     UNION ALL SELECT 'flac_docs', n,
       (SELECT CAST(COUNT(*) AS BIGINT) FROM a WHERE doc_id % 9 = 0) FROM tot
+    UNION ALL SELECT 'mp3_docs', n,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM a WHERE doc_id % 13 = 0) FROM tot
     UNION ALL SELECT 'lsh_band_buckets',
       (SELECT CAST(COUNT(*) AS BIGINT) FROM bsz),
       (SELECT CAST(COUNT(*) AS BIGINT) FROM bsz WHERE sz > 256)
@@ -7527,9 +7530,11 @@ def q_curation_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from shared_etl_pipelines_spark.sources.multimodal import (
         flac_audio_stats,
+        mp3_stream_scan,
         mp4_keyframe_stats,
         pdf_text_rows,
         synthetic_flac_assets,
+        synthetic_mp3_assets,
         synthetic_mp4_assets,
         synthetic_pdf_assets,
     )
@@ -7581,6 +7586,7 @@ def q_curation_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("reason").startswith("codec:").cast("int")).alias("bad_i")
     )
     flac_rows = flac_audio_stats(synthetic_flac_assets(docs))
+    mp3_rows = mp3_stream_scan(synthetic_mp3_assets(docs))
     audit = lsh_bucket_audit(
         docs, "doc_id", "text", n=3, k=8, bands=4, max_bucket_size=256
     )
@@ -7596,6 +7602,7 @@ def q_curation_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         count_pair(pdf_per_doc, "pdf_docs", F.col("bad_i") == 1),
         count_pair(mp4_per_doc, "mp4_video_docs", F.col("bad_i") == 1),
         count_pair(flac_rows, "flac_docs", ~F.col("is_real_decode")),
+        count_pair(mp3_rows, "mp3_docs", ~F.col("is_scanned")),
         count_pair(audit, "lsh_band_buckets", F.col("dropped") == 1),
         count_pair(freq, "containment_shingles", F.col("c") > 256),
     ]

@@ -561,4 +561,4 @@ def test_media_curation_pipeline(spark, sf_dir, tmp_path):
         r["stage"]: (r["n_units"], r["n_dropped"])
         for r in spark.read.parquet(str(tmp_path / "drop_audit")).collect()
     }
-    assert got_audit == want_audit and len(got_audit) == 8
+    assert got_audit == want_audit and len(got_audit) == 9
