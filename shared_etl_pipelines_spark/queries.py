@@ -993,6 +993,8 @@ _CARRYOVER_FIRST = (
     "stream_webdataset_ingest",
     # seeded-Laplace noisy counts (the DP release mechanism, audit form)
     "dp_noisy_group_counts",
+    # k-group rank test, link prediction, corpus integrity manifest
+    "kruskal_wallis_h", "link_prediction_jaccard", "corpus_shard_manifest",
 )
 
 

@@ -5393,3 +5393,206 @@ def q_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("z"),
         F.round(F.col("slope"), 4).alias("sen_slope_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis H (r8): the k-group generalization of mann_whitney_u
+# completing the rank-test battery (MW = 2 groups, KW = k). Average
+# ranks come from the BOUNDED distinct-cents table (cum-less + half
+# the tie block — never a global row window), per-group rank sums are
+# exact multiples of 0.5 (order-free in double), and the final 5-term
+# H sum follows the anova_priority_f precedent (4-dp rounding absorbs
+# the one float reduction).
+# ---------------------------------------------------------------------------
+@defquery(
+    "kruskal_wallis_h",
+    """
+    WITH vals AS (
+      SELECT o_orderpriority AS g,
+             CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v
+      FROM orders
+    ),
+    vc AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM vals GROUP BY v),
+    vr AS (SELECT v, c, SUM(c) OVER (ORDER BY v) - c AS cum_less FROM vc),
+    gv AS (SELECT g, v, CAST(COUNT(*) AS BIGINT) AS n_gv
+           FROM vals GROUP BY g, v),
+    gr AS (
+      SELECT g,
+             SUM(n_gv * (vr.cum_less + (vr.c + 1) / 2.0)) AS rsum,
+             CAST(SUM(n_gv) AS BIGINT) AS n_g
+      FROM gv JOIN vr USING (v) GROUP BY g
+    ),
+    nn AS (SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+                  CAST(COUNT(*) AS INT) AS k FROM gr),
+    ties AS (
+      SELECT CAST(COALESCE(SUM(c * c * c - c), 0) AS BIGINT) AS tt
+      FROM vc WHERE c > 1
+    ),
+    h0 AS (
+      SELECT n, k,
+             12.0 / (n * (n + 1.0)) * SUM(rsum * rsum / n_g)
+               - 3.0 * (n + 1.0) AS h_raw
+      FROM gr, nn GROUP BY n, k
+    )
+    SELECT k AS n_groups, CAST(n AS BIGINT) AS n_rows,
+           ROUND(h_raw, 4) AS h_raw,
+           ROUND(h_raw / (1.0 - CAST(tt AS DOUBLE)
+                                / (CAST(n AS DOUBLE) * n * n - n)), 4)
+             AS h_tie_corrected
+    FROM h0, ties
+    """,
+    doc="Kruskal-Wallis H over order totals by priority: tie-averaged "
+    "ranks from the bounded distinct-cents table (cum-less + half the "
+    "tie block, no global row window), exact per-group rank sums, "
+    "tie-corrected H — the k-group member of the rank-test battery",
+    tags=("statistics", "rank", "aggregate"),
+)
+def q_kruskal_wallis_h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    vals = o.select(
+        F.col("o_orderpriority").alias("g"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    vc = vals.groupBy("v").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wv = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    vr = vc.select(
+        "v", "c", (F.sum("c").over(wv) - F.col("c")).alias("cum_less")
+    )
+    gv = vals.groupBy("g", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gv")
+    )
+    gr = (
+        gv.join(vr, "v")
+        .groupBy("g")
+        .agg(
+            F.sum(
+                F.col("n_gv")
+                * (F.col("cum_less") + (F.col("c") + 1) / F.lit(2.0))
+            ).alias("rsum"),
+            F.sum("n_gv").cast("long").alias("n_g"),
+        )
+    )
+    nn = gr.agg(
+        F.sum("n_g").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("int").alias("k"),
+    )
+    ties = vc.filter(F.col("c") > 1).agg(
+        F.coalesce(
+            F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c")), F.lit(0)
+        )
+        .cast("long")
+        .alias("tt")
+    )
+    h0 = (
+        gr.crossJoin(nn)  # nn is one row
+        .groupBy("n", "k")
+        .agg(
+            (
+                F.lit(12.0)
+                / (F.col("n") * (F.col("n") + F.lit(1.0)))
+                * F.sum(F.col("rsum") * F.col("rsum") / F.col("n_g"))
+                - F.lit(3.0) * (F.col("n") + F.lit(1.0))
+            ).alias("h_raw")
+        )
+    )
+    out = h0.crossJoin(ties)  # both single-row frames
+    return out.select(
+        F.col("k").alias("n_groups"),
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(F.col("h_raw"), 4).alias("h_raw"),
+        F.round(
+            F.col("h_raw")
+            / (
+                F.lit(1.0)
+                - F.col("tt").cast("double")
+                / (
+                    F.col("n").cast("double") * F.col("n") * F.col("n")
+                    - F.col("n")
+                )
+            ),
+            4,
+        ).alias("h_tie_corrected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jaccard link prediction on the co-purchase graph (r8): for node
+# pairs at distance 2 (sharing a neighbor, not yet connected), score
+# |N(a) & N(b)| / |N(a) | N(b)| and emit the top candidate edges — the
+# classic neighborhood link predictor, and the recommender primitive
+# over the same thinned graph pagerank/triangles/k-core already use.
+# Scale shape: the two-hop join is bounded by degree (the
+# copurchase_triangles story), the non-edge check is one anti-join on
+# the canonical edge list, never all-pairs.
+# ---------------------------------------------------------------------------
+@defquery(
+    "link_prediction_jaccard",
+    f"""
+    WITH {_PR_EDGES_SQL},
+    cand AS (
+      SELECT e1.s AS a, e2.s AS b, CAST(COUNT(*) AS BIGINT) AS cn
+      FROM e e1 JOIN e e2 ON e1.d = e2.d AND e1.s < e2.s
+      GROUP BY 1, 2
+    ),
+    nonedge AS (
+      SELECT cand.a, cand.b, cand.cn
+      FROM cand LEFT JOIN e0 ON cand.a = e0.a AND cand.b = e0.b
+      WHERE e0.a IS NULL
+    ),
+    j AS (
+      SELECT ne.a, ne.b, ne.cn,
+             CAST(ne.cn AS DOUBLE) / (da.outdeg + db.outdeg - ne.cn) AS jac
+      FROM nonedge ne
+      JOIN deg da ON da.s = ne.a JOIN deg db ON db.s = ne.b
+    )
+    SELECT a AS part_a, b AS part_b, cn AS common_neighbors,
+           ROUND(jac, 4) AS jaccard
+    FROM j ORDER BY jac DESC, a, b LIMIT 50
+    """,
+    doc="Jaccard link prediction: distance-2 co-purchase pairs scored "
+    "|N(a)&N(b)|/|N(a)|N(b)| with an anti-join non-edge check, top-50 "
+    "candidate edges — degree-bounded two-hop work, never all-pairs",
+    tags=("graph", "join", "recommendation", "topk"),
+)
+def q_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _pr_edges(spark, sf_dir)  # canonical src < dst, distinct
+    und = e.select(F.col("src").alias("s"), F.col("dst").alias("d")).unionByName(
+        e.select(F.col("dst").alias("s"), F.col("src").alias("d"))
+    )
+    deg = und.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("outdeg"))
+    u1 = und.alias("u1")
+    u2 = und.alias("u2")
+    cand = (
+        u1.join(
+            u2,
+            (F.col("u1.d") == F.col("u2.d")) & (F.col("u1.s") < F.col("u2.s")),
+        )
+        .groupBy(F.col("u1.s").alias("a"), F.col("u2.s").alias("b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cn"))
+    )
+    nonedge = cand.join(
+        e.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    da = deg.select(F.col("s").alias("a"), F.col("outdeg").alias("dega"))
+    db = deg.select(F.col("s").alias("b"), F.col("outdeg").alias("degb"))
+    j = (
+        nonedge.join(da, "a")
+        .join(db, "b")
+        .withColumn(
+            "jac",
+            F.col("cn").cast("double")
+            / (F.col("dega") + F.col("degb") - F.col("cn")),
+        )
+    )
+    return (
+        j.orderBy(F.col("jac").desc(), "a", "b")
+        .limit(50)
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            F.col("cn").alias("common_neighbors"),
+            F.round("jac", 4).alias("jaccard"),
+        )
+    )

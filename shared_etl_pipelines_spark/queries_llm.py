@@ -7820,3 +7820,77 @@ def q_dp_noisy_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("noisy_count"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus shard manifest (r8): the integrity artifact a WebDataset
+# corpus ships with — per-shard sample/member counts, payload bytes
+# and an order-canonical digest of the member names. A re-ingest (or
+# a mirror) recomputes this table and diffs it against the published
+# manifest: any dropped/renamed/truncated member flips its shard's
+# digest. One narrow scan + one per-shard aggregate; the digest is
+# md5 over the SORTED member-name list so it is layout-independent.
+# ---------------------------------------------------------------------------
+@defquery(
+    "corpus_shard_manifest",
+    """
+    WITH a AS (
+      SELECT doc_id, octet_length(encode(text)) AS nb,
+             ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn
+      FROM documents
+    ),
+    m AS (
+      SELECT CAST(rn // 64 AS INT) AS shard_idx, doc_id,
+             printf('%09d', doc_id) AS key, nb
+      FROM a
+    ),
+    members AS (
+      SELECT shard_idx, doc_id, key || '.txt' AS name,
+             CAST(nb AS BIGINT) AS sz FROM m
+      UNION ALL
+      SELECT shard_idx, doc_id, key || '.json',
+             CAST(15 + length(CAST(doc_id AS VARCHAR))
+                     + length(CAST(nb AS VARCHAR)) AS BIGINT) FROM m
+      UNION ALL
+      SELECT shard_idx, doc_id, key || '.cls', CAST(1 AS BIGINT)
+      FROM m WHERE doc_id % 43 <> 0
+    )
+    SELECT shard_idx,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_samples,
+           CAST(SUM(sz) AS BIGINT) AS payload_bytes,
+           md5(string_agg(name, ',' ORDER BY name)) AS member_digest
+    FROM members GROUP BY shard_idx
+    """,
+    doc="per-shard corpus manifest over the WebDataset demo corpus: "
+    "member/sample counts, payload bytes, md5 digest of the sorted "
+    "member-name list — the publish/diff integrity artifact next to "
+    "curation_drop_audit; oracle reconstructs every cell in closed "
+    "form",
+    tags=("llm", "source", "webdataset", "audit"),
+)
+def q_corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.webdataset import (
+        ensure_demo_webdataset,
+        read_webdataset,
+    )
+
+    rows = read_webdataset(spark, ensure_demo_webdataset(sf_dir)).filter(
+        F.col("ext") != "_corrupt"
+    )
+    return rows.groupBy("shard_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.countDistinct("key").cast("long").alias("n_samples"),
+        F.sum("n_bytes").cast("long").alias("payload_bytes"),
+        F.md5(
+            F.encode(
+                F.concat_ws(
+                    ",",
+                    F.sort_array(
+                        F.collect_list(F.concat_ws(".", "key", "ext"))
+                    ),
+                ),
+                "UTF-8",
+            )
+        ).alias("member_digest"),
+    )
