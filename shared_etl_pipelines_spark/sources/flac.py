@@ -528,6 +528,14 @@ def encode_flac(
     for start in range(0, n_total, block_size):
         blk = arr[start : start + block_size]
         n = blk.shape[0]
+        # a predictor of order k needs k warmup samples plus at least
+        # one residual: clamp the mode for short (tail) blocks — found
+        # by the round-8 property sweep (n=1 with FIXED2+)
+        blk_mode = mode
+        if mode.startswith("FIXED"):
+            blk_mode = f"FIXED{min(int(mode[-1]), max(n - 1, 0))}"
+        elif mode == "LPC1" and n < 2:
+            blk_mode = "FIXED0"
         bw = _BitWriter()
         bw.write(0x3FFE, 14)
         bw.write(0, 1)
@@ -546,7 +554,7 @@ def encode_flac(
             bw2.write(b, 8)
         bw2.write(_crc8(header), 8)
         for c in range(ch):
-            _encode_subframe(bw2, [int(v) for v in blk[:, c]], bps, mode)
+            _encode_subframe(bw2, [int(v) for v in blk[:, c]], bps, blk_mode)
         bw2.align()
         frame_body = bw2.getvalue()
         out += frame_body + struct.pack(">H", _crc16(frame_body))

@@ -396,7 +396,10 @@ def _extract_text_ops(content: bytes) -> str:
                 parts.append("\n")
         stack.clear()  # operands bind to the operator just consumed
     text = "".join(parts)
-    return "\n".join(line for line in text.split("\n") if line != "").strip()
+    # drop empty lines (operator-structure newlines) but PRESERVE
+    # whitespace inside kept lines — a trailing .strip() here erased
+    # whitespace-only show strings (round-8 property sweep)
+    return "\n".join(line for line in text.split("\n") if line != "")
 
 
 def parse_pdf_pages(data: bytes) -> list[str]:

@@ -342,3 +342,80 @@ def test_mor_state_machine_matches_dict_model(spark, tmp_path_factory, batches):
             for r in mor_changelog(spark, path, ["k"], s - 1, s).collect()
         }
         assert got_ops == want_ops, f"window {s-1}->{s}"
+
+
+@given(
+    st.integers(1, 900),
+    st.sampled_from(["VERBATIM", "FIXED0", "FIXED1", "FIXED2", "FIXED3",
+                     "FIXED4", "LPC1"]),
+    st.integers(2, 3),
+    st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=25, deadline=None)
+def test_flac_round_trip_property(n, mode, block_pow, seed):
+    """FLAC encode->decode is the identity for ANY int16 signal under
+    every subframe family and block size (Rice params and escapes are
+    chosen per block — the property sweeps them implicitly)."""
+    import numpy as np
+
+    from shared_etl_pipelines_spark.sources.flac import decode_flac, encode_flac
+
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-32768, 32767, size=n).astype(np.int64)
+    blob = encode_flac(s, block_size=64 * block_pow, mode=mode)
+    dec, info = decode_flac(blob)
+    np.testing.assert_array_equal(dec[:, 0], s)
+    assert info["n_samples"] == n
+
+
+@given(
+    st.lists(st.binary(min_size=1, max_size=200), min_size=1, max_size=12),
+    st.integers(1, 5),
+    st.integers(1, 4),
+)
+@settings(max_examples=40, deadline=None)
+def test_mp4_sample_table_property(payloads, spc, kint):
+    """ISO-BMFF sample resolution is the identity for ANY payload
+    sizes, chunk size and keyframe interval: every resolved (offset,
+    size) slices the original payload back out, and stss marks exactly
+    the every-kint-th samples."""
+    from shared_etl_pipelines_spark.sources.mp4 import encode_mp4, parse_mp4
+
+    blob = encode_mp4(
+        payloads, 16, 16, codec=b"avc1",
+        keyframe_interval=kint, samples_per_chunk=spc,
+    )
+    (t,) = parse_mp4(blob)["tracks"]
+    assert [blob[o : o + s] for o, s, _ in t["samples"]] == payloads
+    assert [sync for _, _, sync in t["samples"]] == [
+        i % kint == 0 for i in range(len(payloads))
+    ]
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.text(
+                alphabet=st.characters(
+                    min_codepoint=32, max_codepoint=126
+                ),
+                min_size=1,
+                max_size=40,
+            ),
+            min_size=1,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_pdf_text_round_trip_property(pages, compress):
+    """PDF encode->extract is the identity for ANY printable-ASCII page
+    lines (escaping of parens/backslashes, Tj/TJ/' operator mixing and
+    Flate compression are all swept by the property)."""
+    from shared_etl_pipelines_spark.sources.pdf import encode_pdf, parse_pdf_pages
+
+    got = parse_pdf_pages(encode_pdf(pages, compress=compress))
+    assert got == ["\n".join(p) for p in pages]
