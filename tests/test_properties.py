@@ -419,3 +419,78 @@ def test_pdf_text_round_trip_property(pages, compress):
 
     got = parse_pdf_pages(encode_pdf(pages, compress=compress))
     assert got == ["\n".join(p) for p in pages]
+
+
+@given(
+    st.integers(1, 20),
+    st.integers(1, 14),
+    st.integers(0, 2),
+    st.booleans(),
+    st.integers(0, 60),
+)
+@settings(max_examples=40, deadline=None)
+def test_mp3_scan_census_property(nf, bi, sri, mono, id3):
+    """The frame-header scan reproduces the encoder's parameters for
+    ANY frame count, bitrate index, sample-rate index, channel mode
+    and ID3 size — and duration follows the 1152-samples-per-frame
+    law exactly."""
+    from shared_etl_pipelines_spark.sources.mp3 import (
+        _BITRATES_V1_L3,
+        _RATES,
+        encode_mp3_frames,
+        scan_mp3,
+    )
+
+    blob = encode_mp3_frames(
+        nf, bitrate_index=bi, sample_rate_index=sri, mono=mono, id3_size=id3
+    )
+    info = scan_mp3(blob)
+    rate = _RATES[3][sri]
+    assert info["n_frames"] == nf
+    assert info["sample_rate"] == rate
+    assert info["bitrate_kbps_min"] == _BITRATES_V1_L3[bi]
+    assert info["channel_mode"] == ("mono" if mono else "stereo")
+    assert info["duration_ms"] == nf * 1152 * 1000 // rate
+    assert info["id3_bytes"] == (10 + id3 if id3 else 0)
+    assert not info["truncated"]
+
+
+@given(
+    st.lists(
+        st.dictionaries(
+            st.sampled_from(["txt", "cls", "json", "bin"]),
+            st.binary(min_size=0, max_size=300),
+            min_size=1,
+            max_size=4,
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    st.integers(1, 5),
+)
+@settings(max_examples=30, deadline=None)
+def test_webdataset_shard_round_trip_property(member_dicts, shard_size):
+    """Shard write -> tarfile walk is the identity for ANY member
+    layout (exts, payload sizes incl. empty, sample/shard split)."""
+    import os
+    import shutil
+    import tarfile
+    import tempfile
+
+    from shared_etl_pipelines_spark.sources.webdataset import (
+        write_webdataset_shards,
+    )
+
+    samples = [(f"{i:09d}", m) for i, m in enumerate(member_dicts)]
+    out = tempfile.mkdtemp(prefix="wds_prop_")
+    n_shards = write_webdataset_shards(samples, out, shard_size=shard_size)
+    assert n_shards == -(-len(samples) // shard_size)
+    got = {}
+    for f in sorted(os.listdir(out)):
+        with tarfile.open(os.path.join(out, f)) as t:
+            for m in t.getmembers():
+                if m.isfile():
+                    key, _, ext = m.name.rpartition(".")
+                    got.setdefault(key, {})[ext] = t.extractfile(m).read()
+    shutil.rmtree(out, ignore_errors=True)
+    assert got == {k: m for k, m in samples}
