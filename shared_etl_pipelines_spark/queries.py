@@ -995,6 +995,8 @@ _CARRYOVER_FIRST = (
     "dp_noisy_group_counts",
     # k-group rank test, link prediction, corpus integrity manifest
     "kruskal_wallis_h", "link_prediction_jaccard", "corpus_shard_manifest",
+    # ZIP-shard corpus ingest (central directory + per-member DEFLATE)
+    "zipdataset_ingest",
 )
 
 

@@ -7894,3 +7894,72 @@ def q_corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("member_digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ZIP-shard corpus ingestion (r8): the other shard container real
+# corpora ship, with the parts tar does not have — a central
+# directory and per-member DEFLATE compression (reads decompress, not
+# just walk). Same member-row contract as the tar reader; the fixture
+# plants an EXTRA-modality class (a .meta member on doc_id%37==0) —
+# the dual of the tar corpus' missing-member class.
+# ---------------------------------------------------------------------------
+@defquery(
+    "zipdataset_ingest",
+    """
+    WITH a AS (
+      SELECT doc_id, octet_length(encode(text)) AS nb,
+             ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS rn
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(rn // 64 AS INT) AS shard_idx,
+           CAST(CASE WHEN doc_id % 37 = 0 THEN 3 ELSE 2 END AS INT)
+             AS n_members,
+           CASE WHEN doc_id % 37 = 0 THEN 'json,meta,txt'
+                ELSE 'json,txt' END AS exts,
+           CAST(nb AS BIGINT) AS txt_bytes,
+           CASE WHEN doc_id % 37 = 0 THEN 'extra-' || CAST(doc_id % 9 AS VARCHAR)
+                ELSE '' END AS meta_payload
+    FROM a
+    """,
+    doc="ZIP-shard corpus ingest: central-directory walk + per-member "
+    "DEFLATE decompression inside mapInPandas, per-sample regroup with "
+    "the extra-modality (.meta) class surfaced; oracle reconstructs "
+    "every sample row in closed form",
+    tags=("llm", "source", "multimodal", "webdataset"),
+)
+def q_zipdataset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.webdataset import (
+        ensure_demo_zipdataset,
+        read_zipdataset,
+    )
+
+    rows = read_zipdataset(spark, ensure_demo_zipdataset(sf_dir))
+    good = rows.filter(F.col("ext") != "_corrupt")
+    return (
+        good.groupBy("key")
+        .agg(
+            F.min("shard_idx").cast("int").alias("shard_idx"),
+            F.count(F.lit(1)).cast("int").alias("n_members"),
+            F.concat_ws(",", F.sort_array(F.collect_list("ext"))).alias(
+                "exts"
+            ),
+            F.max(F.when(F.col("ext") == "txt", F.col("n_bytes")))
+            .cast("long")
+            .alias("txt_bytes"),
+            F.max(
+                F.when(
+                    F.col("ext") == "meta", F.decode(F.col("blob"), "UTF-8")
+                )
+            ).alias("meta_payload"),
+        )
+        .select(
+            F.col("key").cast("long").alias("doc_id"),
+            "shard_idx",
+            "n_members",
+            "exts",
+            "txt_bytes",
+            F.coalesce(F.col("meta_payload"), F.lit("")).alias("meta_payload"),
+        )
+    )

@@ -38,6 +38,9 @@ __all__ = [
     "write_webdataset_shards",
     "ensure_demo_webdataset",
     "read_webdataset",
+    "write_zipdataset_shards",
+    "ensure_demo_zipdataset",
+    "read_zipdataset",
 ]
 
 MEMBER_SCHEMA = (
@@ -165,6 +168,135 @@ def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
                     continue
                 for m, payload in members:
                     base = os.path.basename(m.name)
+                    key, _, ext = base.rpartition(".")
+                    rows["shard"].append(shard)
+                    rows["shard_idx"].append(idx)
+                    rows["key"].append(key)
+                    rows["ext"].append(ext)
+                    rows["n_bytes"].append(len(payload))
+                    rows["blob"].append(payload)
+            yield pd.DataFrame(rows)
+
+    return raw.mapInPandas(batches, MEMBER_SCHEMA)
+
+
+def write_zipdataset_shards(
+    samples: list[tuple[str, dict[str, bytes]]],
+    out_dir: str,
+    shard_size: int = 64,
+) -> int:
+    """ZIP twin of :func:`write_webdataset_shards` — the other shard
+    container real corpora ship. Members are DEFLATE-compressed (so
+    reads exercise decompression, not just the directory walk) with
+    zeroed timestamps for byte-determinism. Returns the shard count."""
+    import zipfile
+
+    os.makedirs(out_dir, exist_ok=True)
+    n_shards = 0
+    for start in range(0, len(samples), shard_size):
+        chunk = samples[start : start + shard_size]
+        path = os.path.join(out_dir, f"shard-{n_shards:05d}.zip")
+        tmp = path + f".{os.getpid()}.tmp"
+        with zipfile.ZipFile(tmp, "w", zipfile.ZIP_DEFLATED) as z:
+            for key, members in chunk:
+                for ext in sorted(members):
+                    info = zipfile.ZipInfo(
+                        f"{key}.{ext}", date_time=(1980, 1, 1, 0, 0, 0)
+                    )
+                    info.compress_type = zipfile.ZIP_DEFLATED
+                    z.writestr(info, members[ext])
+        os.replace(tmp, path)
+        n_shards += 1
+    return n_shards
+
+
+def ensure_demo_zipdataset(sf_dir: str, shard_size: int = 64) -> str:
+    """ZIP twin of :func:`ensure_demo_webdataset`: same keys, members
+    ``.txt`` + ``.json`` only; doc_id % 37 == 0 samples carry an extra
+    ``.meta`` member (the extra-modality class a loader must carry
+    through, the dual of the tar corpus' missing-member class)."""
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    docs = sorted(
+        zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())
+    )
+    digest = hashlib.md5(repr((len(docs), docs[:2])).encode()).hexdigest()[:12]
+    root = os.path.join(
+        tempfile.gettempdir(), "spark_graft_zipds_demo_v1", f"docs-{digest}"
+    )
+    done = root + ".done"
+    if os.path.exists(done):
+        return root
+    samples = []
+    for doc_id, text in docs:
+        d = int(doc_id)
+        members = {
+            "txt": str(text).encode("utf-8"),
+            "json": _json.dumps(
+                {"id": d, "n": len(str(text))}, sort_keys=True
+            ).encode(),
+        }
+        if d % 37 == 0:
+            members["meta"] = f"extra-{d % 9}".encode()
+        samples.append((f"{d:09d}", members))
+    write_zipdataset_shards(samples, root, shard_size=shard_size)
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return root
+
+
+def read_zipdataset(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed ZIP-shard explode — same row contract as
+    :func:`read_webdataset` (MEMBER_SCHEMA), stdlib ``zipfile`` over
+    in-memory bytes, DEFLATE decompression inside the executor.
+    Corrupt archives quarantine as one ext='_corrupt' row."""
+    import io
+    import zipfile
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.zip")
+        .load(path)
+        .select("path", "content")
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {
+                k: []
+                for k in ("shard", "shard_idx", "key", "ext", "n_bytes", "blob")
+            }
+            for p, content in zip(pdf["path"], pdf["content"]):
+                shard = os.path.basename(p)
+                try:
+                    idx = int(shard.split("-")[1].split(".")[0])
+                except (IndexError, ValueError):
+                    idx = -1
+                try:
+                    with zipfile.ZipFile(io.BytesIO(bytes(content))) as z:
+                        members = [
+                            (n, z.read(n))
+                            for n in z.namelist()
+                            if not n.endswith("/")
+                        ]
+                except Exception:
+                    rows["shard"].append(shard)
+                    rows["shard_idx"].append(idx)
+                    rows["key"].append("")
+                    rows["ext"].append("_corrupt")
+                    rows["n_bytes"].append(0)
+                    rows["blob"].append(b"")
+                    continue
+                for name, payload in members:
+                    base = os.path.basename(name)
                     key, _, ext = base.rpartition(".")
                     rows["shard"].append(shard)
                     rows["shard_idx"].append(idx)
