@@ -348,8 +348,12 @@ def exact_rank_values(
     well-defined whatever the partition boundaries, so the (sampled)
     range split affects cost, never the answer.
     """
+    # NULLs (e.g. minted by the cast) would silently shift every rank
+    # and crash the local sort — ranks are defined over the NON-NULL
+    # multiset (review r8 #10)
     s = (
         df.select(F.col(col).cast("double").alias("x"))
+        .filter(F.col("x").isNotNull())
         .repartitionByRange(num_partitions, "x")
         .persist()
     )
@@ -388,9 +392,11 @@ def distributed_exact_median(df: DataFrame, col: str, n: int | None = None) -> f
     """Exact interpolated median via :func:`exact_rank_values`,
     computed with the SQL ``quantile_cont`` association
     ``lo + (hi - lo) * 0.5`` so the double matches an oracle replay
-    bit-for-bit."""
+    bit-for-bit. ``n`` (if given) must be the NON-NULL count — the
+    default recomputes it with the same null filter the selection
+    applies."""
     if n is None:
-        n = df.count()
+        n = df.filter(F.col(col).isNotNull()).count()
     if n == 0:
         raise ValueError("median of an empty frame")
     k1, k2 = (n + 1) // 2, n // 2 + 1

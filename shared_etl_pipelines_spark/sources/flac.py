@@ -312,7 +312,11 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, dict]:
     kinds: set[str] = set()
     n_frames = 0
     total = 0
-    while pos < len(data) and total < streaminfo["n_samples"]:
+    # STREAMINFO total-samples 0 means UNKNOWN length (the spec-legal
+    # value streamed encoders write — review r8 #1): drain frames to
+    # EOF instead of silently returning zero samples.
+    promised = streaminfo["n_samples"]
+    while pos < len(data) and (promised == 0 or total < promised):
         frame_start = pos
         br = _BitReader(data, pos)
         sync = br.read(14)
@@ -377,11 +381,12 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, dict]:
         total += n
         n_frames += 1
         pos = br.byte_pos()
-    if total != streaminfo["n_samples"]:
+    if promised and total != promised:
         raise ValueError(
-            f"decoded {total} samples, STREAMINFO promises "
-            f"{streaminfo['n_samples']}"
+            f"decoded {total} samples, STREAMINFO promises {promised}"
         )
+    if total == 0:
+        raise ValueError("FLAC stream decoded zero samples — quarantine")
     out = np.zeros((total, ch), dtype=np.int32)
     row = 0
     for chans in frames:

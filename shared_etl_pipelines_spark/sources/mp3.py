@@ -45,7 +45,9 @@ _RATES = {
 
 
 def _id3v2_size(data: bytes) -> int:
-    """Bytes occupied by a leading ID3v2 tag (0 if none)."""
+    """Bytes occupied by a leading ID3v2 tag (0 if none). The footer
+    flag (0x10) adds the 10-byte ID3v2.4 footer the syncsafe size does
+    not cover (review r8 #3)."""
     if data[:3] != b"ID3" or len(data) < 10:
         return 0
     size = 0
@@ -53,7 +55,8 @@ def _id3v2_size(data: bytes) -> int:
         if b & 0x80:
             raise ValueError("ID3v2 size byte with high bit set")
         size = (size << 7) | b
-    return 10 + size
+    footer = 10 if data[5] & 0x10 else 0
+    return 10 + size + footer
 
 
 def is_mp3(data: bytes) -> bool:
@@ -90,6 +93,13 @@ def scan_mp3(data: bytes) -> dict:
     while pos + 4 <= len(data):
         b0, b1, b2, b3 = data[pos : pos + 4]
         if not (b0 == 0xFF and (b1 & 0xE0) == 0xE0):
+            # trailing metadata, not lost sync: the ubiquitous 128-byte
+            # ID3v1 'TAG' trailer and appended ID3v2 chunks end the
+            # frame walk cleanly (review r8 #3 — real crawled MP3s
+            # carry these; rejecting them quarantined valid files)
+            if data[pos : pos + 3] in (b"TAG", b"ID3"):
+                pos = len(data)
+                break
             raise ValueError(f"lost MPEG sync at byte {pos}")
         ver_bits = (b1 >> 3) & 0x03
         if ver_bits == 1:
@@ -125,6 +135,10 @@ def scan_mp3(data: bytes) -> dict:
         br_min = kbps if br_min is None else min(br_min, kbps)
         br_max = kbps if br_max is None else max(br_max, kbps)
         pos += flen
+    if 0 < len(data) - pos < 4:
+        # 1-3 leftover bytes: a frame header cut mid-way is the same
+        # physical truncation as a cut payload — flag it (review r8 #6)
+        truncated = True
     if n_frames == 0:
         raise ValueError("no complete MPEG frame — quarantine")
     return {

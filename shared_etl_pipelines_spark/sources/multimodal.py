@@ -1684,6 +1684,15 @@ def flac_audio_stats(assets: DataFrame) -> DataFrame:
                         if flac.is_flac(blob)
                         else (None, None)
                     )
+                    # compute the aggregates INSIDE the try so a
+                    # degenerate decode quarantines instead of killing
+                    # the task mid-row (review r8 #2)
+                    if info is not None:
+                        stats = (
+                            int(arr.astype(np.int64).sum()),
+                            int(arr.min()),
+                            int(arr.max()),
+                        )
                 except Exception:
                     arr = info = None
                 rows["doc_id"].append(doc_id)
@@ -1706,9 +1715,9 @@ def flac_audio_stats(assets: DataFrame) -> DataFrame:
                 rows["n_samples"].append(info["n_samples"])
                 rows["n_frames"].append(info["n_frames"])
                 rows["subframe_types"].append(info["subframe_types"])
-                rows["sum_samples"].append(int(arr.astype(np.int64).sum()))
-                rows["min_sample"].append(int(arr.min()))
-                rows["max_sample"].append(int(arr.max()))
+                rows["sum_samples"].append(stats[0])
+                rows["min_sample"].append(stats[1])
+                rows["max_sample"].append(stats[2])
             yield pd.DataFrame(rows)
 
     return assets.mapInPandas(

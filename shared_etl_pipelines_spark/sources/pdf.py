@@ -160,6 +160,11 @@ class _Lexer:
             if c == 0x5C:  # backslash
                 p += 1
                 e = d[p : p + 1]
+                if not e:
+                    # b'' is a substring of everything — without this
+                    # guard a trailing bare backslash raised KeyError
+                    # instead of the documented ValueError (review r8 #7)
+                    raise ValueError("literal string ends in a bare backslash")
                 if e in b"nrtbf":
                     out += {
                         b"n": b"\n", b"r": b"\r", b"t": b"\t",
@@ -248,8 +253,14 @@ class _Pdf:
                     ment = re.match(rb"(\d{10})\s+(\d{5})\s+([nf])", ent)
                     if not ment:
                         raise ValueError("malformed xref entry")
-                    if ment.group(3) == b"n":
-                        self.xref.setdefault(start + i, int(ment.group(1)))
+                    # FREE entries must also claim their object number:
+                    # an object freed by the NEWEST update would
+                    # otherwise be resurrected from an older section's
+                    # offset via the /Prev chain (review r8 #5)
+                    off_val = (
+                        int(ment.group(1)) if ment.group(3) == b"n" else -1
+                    )
+                    self.xref.setdefault(start + i, off_val)
                     lex.pos += ment.end()
                     lex._skip_ws()
             trailer = lex.read_object()
@@ -268,6 +279,8 @@ class _Pdf:
     def get_object(self, num: int):
         if num not in self.xref:
             raise ValueError(f"object {num} not in xref")
+        if self.xref[num] < 0:
+            raise ValueError(f"object {num} is freed by an incremental update")
         lex = _Lexer(self.data, self.xref[num])
         mo = re.match(rb"(\d+)\s+(\d+)\s+obj", self.data[lex.pos : lex.pos + 64])
         if not mo or int(mo.group(1)) != num:

@@ -96,9 +96,11 @@ def ensure_demo_webdataset(sf_dir: str, shard_size: int = 64) -> str:
     docs = sorted(
         zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())
     )
-    digest = hashlib.md5(repr((len(docs), docs[:2])).encode()).hexdigest()[:12]
+    digest = hashlib.md5(
+        repr((len(docs), docs[:2], shard_size)).encode()
+    ).hexdigest()[:12]
     root = os.path.join(
-        tempfile.gettempdir(), "spark_graft_wds_demo_v1", f"docs-{digest}"
+        tempfile.gettempdir(), "spark_graft_wds_demo_v2", f"docs-{digest}"
     )
     done = root + ".done"
     if os.path.exists(done):
@@ -109,7 +111,11 @@ def ensure_demo_webdataset(sf_dir: str, shard_size: int = 64) -> str:
         members = {
             "txt": str(text).encode("utf-8"),
             "json": _json.dumps(
-                {"id": d, "n": len(str(text))}, sort_keys=True
+                # BYTE length: the oracles model the member size as
+                # 15 + digits(octet_length) — a char count diverges on
+                # non-ASCII corpora (review r8 #9)
+                {"id": d, "n": len(str(text).encode("utf-8"))},
+                sort_keys=True,
             ).encode(),
         }
         if d % 43 != 0:
@@ -168,7 +174,10 @@ def read_webdataset(spark: SparkSession, path: str) -> DataFrame:
                     continue
                 for m, payload in members:
                     base = os.path.basename(m.name)
-                    key, _, ext = base.rpartition(".")
+                    # WebDataset convention: the key is everything up
+                    # to the FIRST dot; '42.gt.json' is sample '42',
+                    # modality 'gt.json' (review r8 #4)
+                    key, _, ext = base.partition(".")
                     rows["shard"].append(shard)
                     rows["shard_idx"].append(idx)
                     rows["key"].append(key)
@@ -225,9 +234,11 @@ def ensure_demo_zipdataset(sf_dir: str, shard_size: int = 64) -> str:
     docs = sorted(
         zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())
     )
-    digest = hashlib.md5(repr((len(docs), docs[:2])).encode()).hexdigest()[:12]
+    digest = hashlib.md5(
+        repr((len(docs), docs[:2], shard_size)).encode()
+    ).hexdigest()[:12]
     root = os.path.join(
-        tempfile.gettempdir(), "spark_graft_zipds_demo_v1", f"docs-{digest}"
+        tempfile.gettempdir(), "spark_graft_zipds_demo_v2", f"docs-{digest}"
     )
     done = root + ".done"
     if os.path.exists(done):
@@ -238,7 +249,8 @@ def ensure_demo_zipdataset(sf_dir: str, shard_size: int = 64) -> str:
         members = {
             "txt": str(text).encode("utf-8"),
             "json": _json.dumps(
-                {"id": d, "n": len(str(text))}, sort_keys=True
+                {"id": d, "n": len(str(text).encode("utf-8"))},
+                sort_keys=True,
             ).encode(),
         }
         if d % 37 == 0:
@@ -297,7 +309,8 @@ def read_zipdataset(spark: SparkSession, path: str) -> DataFrame:
                     continue
                 for name, payload in members:
                     base = os.path.basename(name)
-                    key, _, ext = base.rpartition(".")
+                    key, _, ext = base.partition(".")  # first dot — see tar reader
+
                     rows["shard"].append(shard)
                     rows["shard_idx"].append(idx)
                     rows["key"].append(key)

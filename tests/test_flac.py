@@ -174,3 +174,105 @@ def test_spark_mp3_scan_classes(spark):
     assert trunc == {11, 22}
     r = next(r for r in rows if r["doc_id"] == 5)
     assert r["id3_bytes"] == 30 + 5 % 30 and r["channel_mode"] == "mono"
+
+
+def test_flac_unknown_length_stream_decodes():
+    """Review r8 #1: STREAMINFO total-samples 0 is the spec-legal
+    'unknown' value streamed encoders write — frames must decode to
+    EOF, not silently return zero samples."""
+    import struct
+
+    from shared_etl_pipelines_spark.sources.flac import _BitWriter
+
+    s = (np.arange(300) * 7 % 1500 - 700).astype(np.int64)
+    blob = encode_flac(s, mode="FIXED1", block_size=128)
+    si = _BitWriter()
+    si.write(128, 16)
+    si.write(128, 16)
+    si.write(0, 24)
+    si.write(0, 24)
+    si.write(8000, 20)
+    si.write(0, 3)  # mono
+    si.write(15, 5)  # 16 bps
+    si.write(0, 36)  # UNKNOWN total samples
+    patched = (
+        blob[:8] + si.getvalue() + b"\x00" * 16 + blob[42:]
+    )  # zero MD5 too (unknown-length streams cannot precompute it)
+    assert len(patched) == len(blob)
+    dec, info = decode_flac(patched)
+    np.testing.assert_array_equal(dec[:, 0], s)
+    assert info["n_samples"] == 300
+    # a stream with NO frames at all still fails loud
+    with pytest.raises(ValueError, match="zero samples"):
+        decode_flac(blob[:8] + si.getvalue() + b"\x00" * 16)
+    del struct
+
+
+def test_flac_stats_quarantines_degenerate_streams(spark):
+    """Review r8 #2: a decode that dies (or yields nothing) must become
+    a quarantine ROW, never a mid-row executor crash."""
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.sources.flac import _BitWriter
+    from shared_etl_pipelines_spark.sources.multimodal import flac_audio_stats
+
+    si = _BitWriter()
+    for bits, val in ((16, 128), (16, 128), (24, 0), (24, 0), (20, 8000),
+                      (3, 0), (5, 15), (36, 0)):
+        si.write(val, bits)
+    frameless = b"fLaC" + b"\x80\x00\x00\x22" + si.getvalue() + b"\x00" * 16
+    assets = spark.createDataFrame(
+        [(1, bytearray(frameless)), (2, bytearray(b"not flac"))],
+        "doc_id long, blob binary",
+    ).withColumn("media_type", F.lit("audio/flac"))
+    rows = flac_audio_stats(assets).collect()
+    assert len(rows) == 2 and all(not r["is_real_decode"] for r in rows)
+
+
+def test_mp3_tolerates_trailing_tags_and_flags_partial_headers():
+    """Review r8 #3/#6: ID3v1 'TAG' trailers and appended ID3v2 chunks
+    end the walk cleanly (real crawled MP3s carry them); an ID3v2.4
+    footer is included in the leading skip; a cut mid-HEADER flags
+    truncated like a cut payload."""
+    from shared_etl_pipelines_spark.sources.mp3 import (
+        encode_mp3_frames,
+        scan_mp3,
+    )
+
+    base = encode_mp3_frames(4, bitrate_index=9)
+    # ID3v1 trailer
+    info = scan_mp3(base + b"TAG" + b"\x00" * 125)
+    assert info["n_frames"] == 4 and not info["truncated"]
+    # appended ID3v2 chunk
+    info2 = scan_mp3(base + b"ID3\x04\x00\x00\x00\x00\x00\x05hello")
+    assert info2["n_frames"] == 4 and not info2["truncated"]
+    # leading ID3v2 WITH the footer flag: 10 extra bytes to skip
+    lead = (
+        b"ID3\x04\x00\x10\x00\x00\x00\x05"
+        + b"\x00" * 5
+        + b"3DI\x04\x00\x10\x00\x00\x00\x05"  # the 10-byte footer
+    )
+    info3 = scan_mp3(lead + base)
+    assert info3["n_frames"] == 4 and info3["id3_bytes"] == len(lead)
+    # 2 bytes into the next frame header: truncated, census intact
+    info4 = scan_mp3(base + b"\xff\xfb")
+    assert info4["n_frames"] == 4 and info4["truncated"]
+
+
+def test_webdataset_first_dot_key_convention(spark, tmp_path):
+    """Review r8 #4: multi-extension members ('42.gt.json') belong to
+    sample '42' with modality 'gt.json' — the key is everything before
+    the FIRST dot."""
+    from shared_etl_pipelines_spark.sources.webdataset import (
+        read_webdataset,
+        write_webdataset_shards,
+    )
+
+    samples = [("000000042", {"jpg": b"img", "gt.json": b"{}"})]
+    root = str(tmp_path / "wds_multi")
+    write_webdataset_shards(samples, root)
+    rows = read_webdataset(spark, root).collect()
+    assert {(r["key"], r["ext"]) for r in rows} == {
+        ("000000042", "jpg"),
+        ("000000042", "gt.json"),
+    }

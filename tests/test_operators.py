@@ -356,3 +356,23 @@ def test_exact_rank_values_and_distributed_median(spark):
     assert distributed_exact_median(df3, "x") == sorted(vals[:999])[499]
     with _pytest.raises(ValueError, match="exceed"):
         exact_rank_values(df, "x", [1001])
+
+
+def test_exact_rank_values_ignores_nulls(spark):
+    """Review r8 #10: NULLs (e.g. minted by the double cast) must not
+    shift ranks or crash the local sort — ranks are over the non-null
+    multiset, and the median default count applies the same filter."""
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.operators.aggregates import (
+        distributed_exact_median,
+        exact_rank_values,
+    )
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in range(100)] + [(None,)] * 7, "x double"
+    ).select(F.col("x"))
+    del F
+    got = exact_rank_values(df, "x", [1, 50, 100], num_partitions=5)
+    assert got == {1: 0.0, 50: 49.0, 100: 99.0}
+    assert distributed_exact_median(df, "x") == 49.5

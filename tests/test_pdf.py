@@ -119,3 +119,33 @@ def test_spark_pdf_text_rows_and_quarantine(spark):
     for d, pages in by_doc.items():
         n = 3 + d
         assert pages == set(range(n % 3 + 1))
+
+
+def test_freed_objects_are_not_resurrected():
+    """Review r8 #5: an object FREED by the newest incremental update
+    must not resolve to an older section's offset via /Prev."""
+    import re
+
+    pages = [["kept page"], ["doomed page"]]
+    base = encode_pdf(pages)
+    m = list(re.finditer(rb"startxref\s+(\d+)", base))[-1]
+    old_xref = int(m.group(1))
+    # free object 5 (page 2's page object: 3 + 2*1) in an update
+    update = (
+        f"\nxref\n5 1\n0000000000 00001 f \n"
+        f"trailer\n<< /Size 8 /Root 1 0 R /Prev {old_xref} >>\n"
+        f"startxref\n{len(base) + 1}\n%%EOF"
+    ).encode()
+    blob = base + update
+    with pytest.raises(ValueError, match="freed"):
+        parse_pdf_pages(blob)
+
+
+def test_bare_trailing_backslash_raises_valueerror():
+    """Review r8 #7: b'' is a substring of everything — a literal
+    string ending in a bare backslash must raise the documented
+    ValueError (the quarantine signal), not KeyError."""
+    from shared_etl_pipelines_spark.sources.pdf import _Lexer
+
+    with pytest.raises(ValueError, match="backslash"):
+        _Lexer(b"(abc\\", 0)._read_literal_string()
