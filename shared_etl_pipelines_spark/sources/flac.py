@@ -17,9 +17,9 @@ the public format (RFC 9639 / the xiph spec):
   predictors), LPC any order (quantized coefficients + shift)
 - residuals: Rice method 0 (4-bit params) and 1 (5-bit), multi-
   partition layout, escape-coded raw partitions
-- channels: mono/stereo independent assignment; the stereo
-  decorrelation modes (left/side, right/side, mid/side) REFUSE loudly
-  by name — quarantine, not garbage
+- channels: mono/stereo independent assignment AND the three stereo
+  DECORRELATION modes (left/side, right/side, mid/side — what real
+  stereo encoders emit; the side subframe carries one extra bit)
 
 Integrity is enforced on decode: header CRC-8, frame CRC-16 and the
 STREAMINFO MD5 all verify, so a flipped byte anywhere quarantines the
@@ -276,8 +276,10 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, dict]:
     """Decode a FLAC stream to ((n_samples, channels) int32, info).
 
     info: sample_rate, channels, bps, n_samples, n_frames,
-    subframe_types (sorted unique kinds seen). CRC-8/CRC-16/MD5 all
-    verify — any mismatch raises (the quarantine signal)."""
+    subframe_types (sorted unique kinds seen). Stereo decorrelation
+    (channel assignments 8/9/10) reconstructs L/R exactly. CRC-8/
+    CRC-16/MD5 all verify — any mismatch raises (the quarantine
+    signal)."""
     if not is_flac(data):
         raise ValueError("not a FLAC stream (missing fLaC magic)")
     pos = 4
@@ -328,11 +330,12 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, dict]:
         bs_code = br.read(4)
         sr_code = br.read(4)
         ca = br.read(4)
-        if ca > 7:
-            raise ValueError(
-                "stereo decorrelation (left/right/mid-side) unsupported — quarantine"
-            )
-        nch = ca + 1
+        if ca > 10:
+            raise ValueError(f"reserved channel assignment {ca}")
+        # 8/9/10 are the stereo DECORRELATION modes real encoders emit
+        # (left/side, right/side, mid/side) — two channels, the side
+        # subframe carrying one extra bit
+        nch = ca + 1 if ca <= 7 else 2
         if nch != ch:
             raise ValueError("frame channel count disagrees with STREAMINFO")
         ss_code = br.read(3)
@@ -368,10 +371,29 @@ def decode_flac(data: bytes) -> tuple[np.ndarray, dict]:
         if _crc8(header_bytes) != crc8:
             raise ValueError("frame header CRC-8 mismatch — quarantine")
         chans = []
-        for _ in range(nch):
-            kind, samples = _read_subframe(br, n, fbps)
+        for ci in range(nch):
+            # the SIDE channel carries one extra sample bit: channel 1
+            # for left/side (8) and mid/side (10), channel 0 for
+            # right/side (9) — ISO/RFC 9639 frame semantics
+            extra = 0
+            if ca == 8 and ci == 1 or ca == 10 and ci == 1:
+                extra = 1
+            elif ca == 9 and ci == 0:
+                extra = 1
+            kind, samples = _read_subframe(br, n, fbps + extra)
             kinds.add(kind)
             chans.append(samples)
+        if ca == 8:  # left/side: R = L - side
+            chans = [chans[0], [l - s for l, s in zip(chans[0], chans[1])]]
+        elif ca == 9:  # right/side: L = R + side
+            chans = [[r + s for s, r in zip(chans[0], chans[1])], chans[1]]
+        elif ca == 10:  # mid/side: reconstruct from (mid, side)
+            left, right = [], []
+            for m, sdiff in zip(chans[0], chans[1]):
+                mm = (m << 1) | (sdiff & 1)
+                left.append((mm + sdiff) >> 1)
+                right.append((mm - sdiff) >> 1)
+            chans = [left, right]
         br.align()
         body_end = br.byte_pos()
         crc16 = br.read(16)
@@ -497,6 +519,7 @@ def encode_flac(
     bps: int = 16,
     block_size: int = 256,
     mode: str = "FIXED2",
+    stereo_mode: str | None = None,
 ) -> bytes:
     """(n,) or (n, channels) int array -> FLAC bytes. ``mode`` forces
     the subframe family per frame: CONSTANT (requires constant input),
@@ -508,6 +531,11 @@ def encode_flac(
     n_total, ch = arr.shape
     if ch > 2:
         raise ValueError("encoder supports mono/stereo only")
+    ca_codes = {None: ch - 1, "left_side": 8, "right_side": 9, "mid_side": 10}
+    if stereo_mode not in ca_codes:
+        raise ValueError(f"unknown stereo_mode {stereo_mode!r}")
+    if stereo_mode is not None and ch != 2:
+        raise ValueError("stereo decorrelation needs exactly 2 channels")
     lo, hi = -(1 << (bps - 1)), (1 << (bps - 1)) - 1
     if arr.min() < lo or arr.max() > hi:
         raise ValueError(f"samples out of {bps}-bit range")
@@ -547,7 +575,7 @@ def encode_flac(
         bw.write(0, 1)  # fixed blocksize strategy
         bw.write(7, 4)  # blocksize-1 in 16 bits at header end
         bw.write(0, 4)  # sample rate from STREAMINFO
-        bw.write(ch - 1, 4)  # independent channels
+        bw.write(ca_codes[stereo_mode], 4)
         bw.write({8: 1, 12: 2, 16: 4, 20: 5, 24: 6}[bps], 3)
         bw.write(0, 1)
         for b in _utf8_coded(frame_idx):
@@ -558,8 +586,23 @@ def encode_flac(
         for b in header:
             bw2.write(b, 8)
         bw2.write(_crc8(header), 8)
-        for c in range(ch):
-            _encode_subframe(bw2, [int(v) for v in blk[:, c]], bps, blk_mode)
+        if stereo_mode is None:
+            subchans = [
+                ([int(v) for v in blk[:, c]], bps) for c in range(ch)
+            ]
+        else:
+            left = [int(v) for v in blk[:, 0]]
+            right = [int(v) for v in blk[:, 1]]
+            side = [a - b for a, b in zip(left, right)]
+            if stereo_mode == "left_side":
+                subchans = [(left, bps), (side, bps + 1)]
+            elif stereo_mode == "right_side":
+                subchans = [(side, bps + 1), (right, bps)]
+            else:  # mid_side: mid drops the shared low bit side carries
+                mid = [(a + b) >> 1 for a, b in zip(left, right)]
+                subchans = [(mid, bps), (side, bps + 1)]
+        for chan, cbps in subchans:
+            _encode_subframe(bw2, chan, cbps, blk_mode)
         bw2.align()
         frame_body = bw2.getvalue()
         out += frame_body + struct.pack(">H", _crc16(frame_body))

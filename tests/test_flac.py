@@ -78,14 +78,32 @@ def test_integrity_chain_catches_flips():
         decode_flac(b"RIFF not flac")
 
 
-def test_stereo_decorrelation_refused_loudly():
+def test_stereo_decorrelation_round_trips():
+    """Channel assignments 8/9/10 (left/side, right/side, mid/side —
+    what real stereo encoders emit) reconstruct L/R bit-exactly; the
+    side subframe's extra bit is honored; a decorrelated frame on a
+    MONO stream still fails loud (STREAMINFO disagreement)."""
+    st = np.stack(
+        [(np.arange(500) * 13) % 3001 - 1500,
+         (np.arange(500) * 7) % 2003 - 1000],
+        axis=1,
+    ).astype(np.int64)
+    for sm in ("left_side", "right_side", "mid_side"):
+        dec, info = decode_flac(encode_flac(st, mode="FIXED2", stereo_mode=sm))
+        np.testing.assert_array_equal(dec, st)
+        assert info["channels"] == 2
+    # extreme side values exercise the +1-bit subframe width
+    ext = np.stack(
+        [np.full(300, 32767, dtype=np.int64), np.full(300, -32768, dtype=np.int64)],
+        axis=1,
+    )
+    dec, _ = decode_flac(encode_flac(ext, stereo_mode="mid_side"))
+    np.testing.assert_array_equal(dec, ext)
     s = np.arange(200, dtype=np.int64)
     blob = bytearray(encode_flac(s, mode="FIXED1"))
-    # first frame header starts at 4 (magic) + 4 + 34 (STREAMINFO) = 42;
-    # byte 45 holds channel-assignment(4) | sample-size(3) | reserved(1)
     assert blob[42] == 0xFF
-    blob[45] = (8 << 4) | (blob[45] & 0x0F)  # ca=8: left/side
-    with pytest.raises(ValueError, match="decorrelation"):
+    blob[45] = (8 << 4) | (blob[45] & 0x0F)  # ca=8 on a mono stream
+    with pytest.raises(ValueError, match="channel count disagrees"):
         decode_flac(bytes(blob))
 
 
