@@ -742,7 +742,10 @@ _R3_GREEN = frozenset(
         # this round (multiply-by-reciprocal to match the operator's
         # arithmetic exactly, ADVICE r3) — re-fronted for a fresh verdict.
         "kmv_distinct_intersection", "kaplan_meier_conversion",
-        "similarity_topk_blocked", "semantic_dedup", "multimodal_gif_decode",
+        "similarity_topk_blocked", "semantic_dedup",
+        # "multimodal_gif_decode" was r3-green but its fixture corpus
+        # now rotates 4-pass INTERLACED GIFs in (odd doc_ids; same
+        # pixels, locally hash-green) — re-fronted (r8).
         "topk_per_group_partial", "dsir_importance_weights",
         "langid_confusion", "theil_sen_trend", "seasonal_decompose_daily",
         "ts_pattern_match", "correlation_matrix", "chi2_event_dow",
@@ -997,6 +1000,9 @@ _CARRYOVER_FIRST = (
     "kruskal_wallis_h", "link_prediction_jaccard", "corpus_shard_manifest",
     # ZIP-shard corpus ingest (central directory + per-member DEFLATE)
     "zipdataset_ingest",
+    # GIF fixture corpus rotates 4-pass interlace in (decode was a
+    # refusal before r8)
+    "multimodal_gif_decode",
 )
 
 

@@ -131,9 +131,20 @@ def _lzw_decode_gif(data: bytes, min_code_size: int = 8) -> bytes:
     return bytes(out)
 
 
-def encode_gif(img: np.ndarray) -> bytes:
+def _interlace_order(h: int) -> list:
+    """GIF 4-pass interlace row order: rows 0::8, then 4::8, 2::4,
+    1::2 — the storage order of an interlaced image block."""
+    order = []
+    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+        order.extend(range(start, h, step))
+    return order
+
+
+def encode_gif(img: np.ndarray, interlaced: bool = False) -> bytes:
     """Encode a 2-D uint8 grayscale array as a GIF87a (global gray
-    palette, one image block)."""
+    palette, one image block; optionally 4-pass INTERLACED — rows
+    stored in the 0::8, 4::8, 2::4, 1::2 order real progressive GIFs
+    use)."""
     if img.ndim != 2 or img.dtype != np.uint8:
         raise ValueError("expected 2-D uint8 grayscale")
     h, w = img.shape
@@ -142,9 +153,11 @@ def encode_gif(img: np.ndarray) -> bytes:
     out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
     for i in range(256):  # grayscale global palette
         out += bytes((i, i, i))
-    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)  # image descriptor
+    iflag = 0x40 if interlaced else 0
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, iflag)
     out.append(8)  # LZW minimum code size
-    payload = _lzw_encode_gif(img.tobytes())
+    rows = img[_interlace_order(h), :] if interlaced else img
+    payload = _lzw_encode_gif(rows.tobytes())
     for i in range(0, len(payload), 255):
         chunk = payload[i : i + 255]
         out.append(len(chunk))
@@ -179,8 +192,6 @@ def decode_gif(data: bytes) -> np.ndarray:
                     data[pos : pos + 3 * n], dtype=np.uint8
                 ).reshape(n, 3)
                 pos += 3 * n
-            if ipacked & 0x40:
-                raise ValueError("interlaced GIF not supported")
             mcs = data[pos]
             pos += 1
             payload = bytearray()
@@ -196,7 +207,12 @@ def decode_gif(data: bytes) -> np.ndarray:
             )[: iw * ih]
             if palette is None:
                 raise ValueError("GIF without a color table")
-            return palette[idx, 0].reshape(ih, iw)
+            img = palette[idx, 0].reshape(ih, iw)
+            if ipacked & 0x40:  # 4-pass interlace: invert the row order
+                out_img = np.empty_like(img)
+                out_img[_interlace_order(ih), :] = img
+                img = out_img
+            return img
         elif block == 0x21:  # extension: skip sub-blocks
             pos += 2
             while data[pos] != 0:
@@ -307,8 +323,7 @@ def decode_gif_frames(data: bytes) -> list:
                     n, 3
                 )
                 pos += 3 * n
-            if ipacked & 0x40:
-                raise ValueError("interlaced GIF not supported")
+            interlaced = bool(ipacked & 0x40)
             mcs = data[pos]
             pos += 1
             payload = bytearray()
@@ -322,6 +337,10 @@ def decode_gif_frames(data: bytes) -> list:
             idx = np.frombuffer(_lzw_decode_gif(bytes(payload), mcs), dtype=np.uint8)[
                 : iw * ih
             ].reshape(ih, iw)
+            if interlaced:  # invert the 4-pass row order
+                deint = np.empty_like(idx)
+                deint[_interlace_order(ih), :] = idx
+                idx = deint
             if pal is None:
                 raise ValueError("GIF without a color table")
             region = canvas[fy : fy + ih, fx : fx + iw]

@@ -127,7 +127,9 @@ def synthetic_gif_assets(
     """Deterministic REAL-GIF fixtures: same (id, n)-derived dimensions
     and pixel formula as synthetic_png_assets, but encoded as GIF87a by
     sources/gif.py — so the PNG closed-form oracle applies verbatim to
-    the GIF container + LZW codec path."""
+    the GIF container + LZW codec path. ODD doc_ids encode 4-pass
+    INTERLACED (r8 — the progressive layout real crawled GIFs use;
+    same pixels, so the oracle is untouched)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
@@ -143,7 +145,9 @@ def synthetic_gif_assets(
                 i = np.arange(w * h, dtype=np.int64)
                 arr = ((int(doc_id) * 31 + i) % 256).astype(np.uint8).reshape(h, w)
                 ids.append(doc_id)
-                blobs.append(gif.encode_gif(arr))
+                blobs.append(
+                    gif.encode_gif(arr, interlaced=int(doc_id) % 2 == 1)
+                )
             yield pd.DataFrame(
                 {"doc_id": ids, "media_type": "image/gif", "blob": blobs}
             )

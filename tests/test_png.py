@@ -306,3 +306,29 @@ def test_gif_frame_stats_quarantines_corrupt(spark):
     assert rows[1]["is_real_decode"] and rows[1]["px_sum"] == 16 * 9
     assert rows[1]["delay_cs"] == 5
     assert not rows[2]["is_real_decode"] and rows[2]["frame_idx"] == -1
+
+
+def test_gif_interlaced_round_trip_and_animation():
+    """4-pass GIF interlace (rows stored 0::8, 4::8, 2::4, 1::2)
+    decodes back to the source image in both the single-frame and the
+    animation decoders — the progressive layout real crawled GIFs use
+    (was a refusal before round 8)."""
+    from shared_etl_pipelines_spark.sources.gif import (
+        _interlace_order,
+        decode_gif,
+        decode_gif_frames,
+        encode_gif,
+    )
+
+    rng = np.random.default_rng(41)
+    for h in (1, 2, 3, 4, 7, 8, 9, 16, 23):
+        img = rng.integers(0, 256, (h, 6), dtype=np.uint8)
+        np.testing.assert_array_equal(
+            decode_gif(encode_gif(img, interlaced=True)), img
+        )
+        # the animation decoder walks the same image block
+        frames = decode_gif_frames(encode_gif(img, interlaced=True))
+        np.testing.assert_array_equal(frames[0][0], img)
+    # the order itself is the published 4-pass schedule
+    assert _interlace_order(8) == [0, 4, 2, 6, 1, 3, 5, 7]
+    assert sorted(_interlace_order(23)) == list(range(23))
