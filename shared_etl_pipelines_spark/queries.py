@@ -1003,6 +1003,8 @@ _CARRYOVER_FIRST = (
     # GIF fixture corpus rotates 4-pass interlace in (decode was a
     # refusal before r8)
     "multimodal_gif_decode",
+    # G.711 A-law decode (the European telephony twin of mu-law)
+    "multimodal_alaw_decode",
 )
 
 

@@ -7963,3 +7963,46 @@ def q_zipdataset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("meta_payload"), F.lit("")).alias("meta_payload"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# G.711 A-law decode (r8): the European telephony companding next to
+# the mu-law path — format tag 6, 256-entry segment table, expand
+# through sources/wav.py inside the same decode_audio dispatch.
+# Fixture amplitudes are exact A-law codepoints (segments 1-7), so
+# compand->expand is the identity and the oracle is closed-form.
+# ---------------------------------------------------------------------------
+@defquery(
+    "multimodal_alaw_decode",
+    """
+    WITH a AS (
+      SELECT doc_id, 80 + doc_id % 100 AS n,
+             ((doc_id % 16) * 16 + 264) * (1 << (doc_id % 7)) AS amp
+      FROM documents
+    )
+    SELECT doc_id, TRUE AS is_real_decode,
+           CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(n * amp AS BIGINT) AS amp_sum
+    FROM a
+    """,
+    doc="G.711 A-law WAV decode (format tag 6, the European telephony "
+    "twin of mu-law): compand->expand through the segment table inside "
+    "mapInPandas; fixture amplitudes are exact A-law codepoints so the "
+    "oracle computes decoded |sample| sums in closed form — "
+    "sources/wav.py, all-256-codes expand->compress identity pinned in "
+    "tests",
+    tags=("llm", "multimodal", "codec", "audio"),
+)
+def q_multimodal_alaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.multimodal import (
+        decode_audio,
+        synthetic_alaw_wav_assets,
+    )
+
+    assets = synthetic_alaw_wav_assets(_t(spark, sf_dir, "documents"))
+    out = decode_audio(assets)
+    return out.select(
+        "doc_id", "is_real_decode", "sample_rate", "channels", "n_samples",
+        "amp_sum",
+    )

@@ -1832,3 +1832,39 @@ def mp3_stream_scan(assets: DataFrame) -> DataFrame:
         "bitrate_kbps_min int, bitrate_kbps_max int, duration_ms bigint, "
         "id3_bytes int, truncated boolean",
     )
+
+
+def synthetic_alaw_wav_assets(
+    df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic G.711 A-law telephony fixtures (format tag 6,
+    8 kHz mono — the European twin of the mu-law corpus): doc d gets
+    80 + d%100 samples of the CONSTANT amplitude
+    ((d%16)*16 + 264) << (d%7), sign-flipped on odd d. Every amplitude
+    is an exact A-law codepoint magnitude (segment 1-7), so
+    compand->expand is the identity and the oracle computes the
+    decoded |sample| sum in closed form."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from shared_etl_pipelines_spark.sources import wav
+
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id in pdf[id_col]:
+                d = int(doc_id)
+                n = 80 + d % 100
+                amp = ((d % 16) * 16 + 264) << (d % 7)
+                if d % 2 == 1:
+                    amp = -amp
+                s = np.full(n, amp, dtype=np.int16)
+                ids.append(doc_id)
+                blobs.append(wav.encode_wav_alaw(s, 8000))
+            yield pd.DataFrame(
+                {"doc_id": ids, "media_type": "audio/basic", "blob": blobs}
+            )
+
+    return df.select(F.col(id_col)).mapInPandas(
+        batches, "doc_id bigint, media_type string, blob binary"
+    )

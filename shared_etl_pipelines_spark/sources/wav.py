@@ -58,6 +58,45 @@ def mulaw_expand(codes: np.ndarray) -> np.ndarray:
     return _MULAW_TABLE[np.asarray(codes, dtype=np.uint8)]
 
 
+def _alaw_decode_table() -> np.ndarray:
+    """256-entry int16 expansion table from the G.711 A-law formula
+    (the European telephony twin of mu-law; format tag 6)."""
+    codes = np.arange(256, dtype=np.int64) ^ 0x55
+    seg = (codes & 0x70) >> 4
+    mant = codes & 0x0F
+    mag = np.where(
+        seg == 0,
+        (mant << 4) + 8,
+        ((mant << 4) + 0x108) << np.maximum(seg - 1, 0),
+    )
+    return np.where(codes & 0x80, mag, -mag).astype(np.int16)
+
+
+_ALAW_TABLE = _alaw_decode_table()
+_ALAW_SEG_END = np.array(
+    [0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF], dtype=np.int64
+)
+
+
+def alaw_compress(samples: np.ndarray) -> np.ndarray:
+    """Compand int16 samples to 8-bit A-law codes (vectorized G.711,
+    the public-domain g711.c algorithm)."""
+    x = np.asarray(samples, dtype=np.int64) >> 3  # 13-bit domain
+    mask = np.where(x >= 0, 0xD5, 0x55)
+    pcm = np.where(x >= 0, x, -x - 1)
+    seg = np.searchsorted(_ALAW_SEG_END, pcm, side="left")
+    shift = np.where(seg < 2, 1, np.maximum(seg, 1))
+    aval = np.where(
+        seg >= 8, 0x7F, (np.minimum(seg, 7) << 4) | ((pcm >> shift) & 0x0F)
+    )
+    return ((aval ^ mask) & 0xFF).astype(np.uint8)
+
+
+def alaw_expand(codes: np.ndarray) -> np.ndarray:
+    """Expand 8-bit A-law codes to int16 samples."""
+    return _ALAW_TABLE[np.asarray(codes, dtype=np.uint8)]
+
+
 def is_wav(data: bytes) -> bool:
     return len(data) >= 12 and data[:4] == b"RIFF" and data[8:12] == b"WAVE"
 
@@ -86,9 +125,11 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, dict]:
             if tag == 1:
                 if bits != 16:
                     raise ValueError(f"unsupported PCM bit depth {bits} (only 16)")
-            elif tag == 7:
+            elif tag in (6, 7):
                 if bits != 8:
-                    raise ValueError(f"mu-law requires 8-bit samples, got {bits}")
+                    raise ValueError(
+                        f"G.711 requires 8-bit samples, got {bits}"
+                    )
             elif tag == 0x11:
                 if bits != 4:
                     raise ValueError(f"IMA ADPCM requires 4-bit samples, got {bits}")
@@ -96,8 +137,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, dict]:
                     raise ValueError("IMA ADPCM decode supports mono only")
             else:
                 raise ValueError(
-                    f"unsupported WAV format tag {tag} (PCM=1, mu-law=7, "
-                    "IMA ADPCM=0x11)"
+                    f"unsupported WAV format tag {tag} (PCM=1, A-law=6, "
+                    "mu-law=7, IMA ADPCM=0x11)"
                 )
             fmt = (tag, channels, rate, bits)
         elif cid == b"fact":
@@ -110,6 +151,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, dict]:
     tag, channels, rate, bits = fmt
     if tag == 7:
         arr = mulaw_expand(np.frombuffer(samples, dtype=np.uint8))
+    elif tag == 6:
+        arr = alaw_expand(np.frombuffer(samples, dtype=np.uint8))
     elif tag == 0x11:
         spb = (block_align - 4) * 2 + 1
         n_total = (
@@ -140,6 +183,24 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
     body = a.tobytes()
     fmt = struct.pack(
         "<HHIIHH", 1, channels, sample_rate, sample_rate * channels * 2, channels * 2, 16
+    )
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        chunks += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def encode_wav_alaw(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
+    """Encode int16 samples — (n,) mono or (n, channels) — as an 8-bit
+    G.711 A-law WAV (format tag 6)."""
+    a = np.asarray(samples, dtype=np.int16)
+    if a.ndim == 1:
+        a = a[:, None]
+    n, channels = a.shape
+    body = alaw_compress(a.reshape(-1)).tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 6, channels, sample_rate, sample_rate * channels, channels, 8
     )
     chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     chunks += b"data" + struct.pack("<I", len(body)) + body

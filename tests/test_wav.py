@@ -215,3 +215,47 @@ def test_adpcm_planted_blocks_decode_exactly():
             want.append(p)
     assert list(arr[:, 0]) == want
     assert info["bits"] == 4 and info["channels"] == 1
+
+
+def test_alaw_all_codes_identity_and_reference():
+    """G.711 A-law: expand->compress is the identity over ALL 256
+    codes, the table matches the scalar public-domain g711.c reference
+    over the full int16 domain, and the WAV tag-6 container round
+    trips."""
+    import numpy as np
+
+    from shared_etl_pipelines_spark.sources.wav import (
+        alaw_compress,
+        alaw_expand,
+        decode_wav,
+        encode_wav_alaw,
+    )
+
+    codes = np.arange(256, dtype=np.uint8)
+    assert np.array_equal(alaw_compress(alaw_expand(codes)), codes)
+
+    seg_end = [0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF, 0xFFF]
+
+    def ref_compress(x):  # scalar g711.c linear2alaw
+        pcm = x >> 3
+        if pcm >= 0:
+            mask = 0xD5
+        else:
+            mask = 0x55
+            pcm = -pcm - 1
+        seg = next((i for i, e in enumerate(seg_end) if pcm <= e), 8)
+        if seg >= 8:
+            return 0x7F ^ mask
+        aval = seg << 4
+        aval |= (pcm >> (1 if seg < 2 else seg)) & 0x0F
+        return aval ^ mask
+
+    xs = np.arange(-32768, 32768, 7, dtype=np.int64)
+    want = np.array([ref_compress(int(v)) for v in xs], dtype=np.uint8)
+    assert np.array_equal(alaw_compress(xs), want)
+
+    # container round trip on exact codepoint amplitudes
+    s = np.full(50, ((5 % 16) * 16 + 264) << 3, dtype=np.int16)
+    dec, info = decode_wav(encode_wav_alaw(s))
+    assert info["format_tag"] == 6
+    assert np.array_equal(dec[:, 0], s)
