@@ -895,7 +895,11 @@ def q_stream_webdataset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     for m in t.getmembers():
                         if not m.isfile():
                             continue
-                        key, _, ext = m.name.rpartition(".")
+                        # first-dot split on the basename — the
+                        # WebDataset key convention, matching the batch
+                        # reader read_webdataset (advice r9 #2)
+                        base = os.path.basename(m.name)
+                        key, _, ext = base.partition(".")
                         rows["key"].append(key)
                         rows["ext"].append(ext)
                         rows["n_bytes"].append(int(m.size))

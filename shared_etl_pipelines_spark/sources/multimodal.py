@@ -1662,9 +1662,10 @@ def synthetic_flac_assets(
 def flac_audio_stats(assets: DataFrame) -> DataFrame:
     """Arrow-batched FLAC decode to per-blob audio stats: stream
     parameters, frame/subframe census and exact sample aggregates.
-    Integrity failures (CRC-8/CRC-16/MD5) and out-of-scope features
-    (stereo decorrelation) quarantine as is_real_decode=false rows —
-    never wrong samples."""
+    All channel assignments decode, including left/right/mid-side
+    stereo decorrelation; integrity failures (CRC-8/CRC-16/MD5
+    mismatch), reserved codes, and truncated streams quarantine as
+    is_real_decode=false rows — never wrong samples."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np

@@ -272,7 +272,17 @@ class _Pdf:
             return
 
     def resolve(self, obj):
+        # Cycle guard: an object whose body is a self- or mutually-
+        # referential indirect reference ("1 0 obj 1 0 R endobj") would
+        # otherwise spin this loop forever on a crafted/corrupt blob
+        # instead of quarantining (advice r8 #1).
+        seen: set[int] = set()
         while isinstance(obj, tuple) and obj and obj[0] == "ref":
+            if obj[1] in seen:
+                raise ValueError(
+                    "circular indirect reference — quarantine"
+                )
+            seen.add(obj[1])
             obj = self.get_object(obj[1])
         return obj
 
@@ -324,8 +334,18 @@ class _Pdf:
     def pages(self) -> list[dict]:
         root = self.resolve(self.trailer["Root"])
         out: list[dict] = []
+        # Object numbers already visited in this walk: a page tree whose
+        # /Kids reference an ancestor would otherwise recurse forever
+        # (advice r8 #1 — quarantine loudly instead).
+        visited: set[int] = set()
 
         def walk(node) -> None:
+            if isinstance(node, tuple) and node and node[0] == "ref":
+                if node[1] in visited:
+                    raise ValueError(
+                        "circular page-tree reference — quarantine"
+                    )
+                visited.add(node[1])
             node = self.resolve(node)
             t = node.get("Type")
             if t == "Pages" or (t is None and "Kids" in node):

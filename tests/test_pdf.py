@@ -149,3 +149,36 @@ def test_bare_trailing_backslash_raises_valueerror():
 
     with pytest.raises(ValueError, match="backslash"):
         _Lexer(b"(abc\\", 0)._read_literal_string()
+
+
+def _append_update(base: bytes, num: int, body: str) -> bytes:
+    """Incremental update redefining object ``num`` with ``body``."""
+    m = list(re.finditer(rb"startxref\s+(\d+)", base))[-1]
+    old_xref = int(m.group(1))
+    new_obj_off = len(base) + 1
+    update = f"\n{num} 0 obj\n{body}\nendobj\n".encode()
+    xref2_off = len(base) + len(update)
+    update += (
+        f"xref\n{num} 1\n{new_obj_off:010d} 00000 n \n"
+        f"trailer\n<< /Size 99 /Root 1 0 R /Prev {old_xref} >>\n"
+        f"startxref\n{xref2_off}\n%%EOF"
+    ).encode()
+    return base + update
+
+
+def test_circular_references_quarantine_not_hang():
+    base = encode_pdf([["hello"]])
+    # self-referential indirect object: resolve() must raise, not spin
+    self_ref = _append_update(base, 2, "2 0 R")
+    with pytest.raises(ValueError, match="circular indirect"):
+        parse_pdf_pages(self_ref)
+    # mutual cycle through two objects
+    mutual = _append_update(_append_update(base, 2, "7 0 R"), 7, "2 0 R")
+    with pytest.raises(ValueError, match="circular indirect"):
+        parse_pdf_pages(mutual)
+    # page-tree Kids cycle: Pages node listing itself as a kid
+    kids_cycle = _append_update(
+        base, 2, "<< /Type /Pages /Kids [2 0 R] /Count 1 >>"
+    )
+    with pytest.raises(ValueError, match="circular page-tree"):
+        parse_pdf_pages(kids_cycle)
