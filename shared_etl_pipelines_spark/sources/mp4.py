@@ -40,9 +40,15 @@ import numpy as np
 __all__ = [
     "is_mp4",
     "parse_mp4",
+    "parse_sps",
+    "parse_avcc",
+    "parse_audio_specific_config",
     "decode_mp4_frames",
     "encode_mp4",
     "encode_mp4_mjpeg",
+    "encode_sps",
+    "encode_avcc",
+    "encode_esds",
 ]
 
 
@@ -79,6 +85,280 @@ def _full(data: bytes, body: int) -> tuple[int, int, int]:
     return vf >> 24, vf & 0xFFFFFF, body + 4
 
 
+# ---------------------------------------------------------------------------
+# Codec stream parameters (r9, VERDICT r8 item 1): avc1/H.264 tracks
+# used to quarantine with only their fourcc — no resolution, profile or
+# level — leaving corpus audits over crawl video blind to stream
+# parameters. Full H.264 sample decode stays out of scope; the SPS
+# (ITU-T H.264 §7.3.2.1.1) and the AAC AudioSpecificConfig
+# (ISO/IEC 14496-3 §1.6.2.1) are small public-spec bitstream structures
+# carried in the stsd sample entry (avcC / esds), so the container walk
+# can surface them honestly.
+# ---------------------------------------------------------------------------
+
+_AAC_RATES = (
+    96000, 88200, 64000, 48000, 44100, 32000, 24000, 22050,
+    16000, 12000, 11025, 8000, 7350,
+)
+
+_HIGH_PROFILES = frozenset(
+    {100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135}
+)
+
+
+class _BitReader:
+    """MSB-first bit reader with unsigned/signed exp-Golomb."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def u(self, n: int) -> int:
+        out = 0
+        for _ in range(n):
+            byte = self.pos >> 3
+            if byte >= len(self.data):
+                raise ValueError("SPS bitstream truncated")
+            out = (out << 1) | ((self.data[byte] >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return out
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+            if zeros > 31:
+                raise ValueError("exp-Golomb run over 31 leading zeros")
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+    def se(self) -> int:
+        k = self.ue()
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+
+def _strip_emulation(nal: bytes) -> bytes:
+    """NAL -> RBSP: drop the 0x03 in every 0x000003 run (H.264 §7.4.1)."""
+    out = bytearray()
+    zeros = 0
+    for b in nal:
+        if zeros >= 2 and b == 3:
+            zeros = 0
+            continue
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def _skip_scaling_list(r: _BitReader, size: int) -> None:
+    last, nxt = 8, 8
+    for _ in range(size):
+        if nxt != 0:
+            nxt = (last + r.se() + 256) % 256
+        last = nxt if nxt != 0 else last
+
+
+def parse_sps(nal: bytes) -> dict:
+    """Decode a seq_parameter_set NAL to stream parameters. Returns
+    profile_idc/level_idc/chroma_format_idc/bit_depth and the DISPLAY
+    width/height (mb-aligned coded size minus the frame-cropping
+    rectangle, 4:2:0 crop units). Out-of-spec input raises ValueError
+    — callers quarantine, never guess."""
+    if not nal:
+        raise ValueError("empty SPS NAL")
+    r = _BitReader(_strip_emulation(nal))
+    if r.u(1) != 0:
+        raise ValueError("SPS forbidden_zero_bit set")
+    r.u(2)  # nal_ref_idc
+    if r.u(5) != 7:
+        raise ValueError("not a seq_parameter_set NAL")
+    profile_idc = r.u(8)
+    constraint_flags = r.u(8)
+    level_idc = r.u(8)
+    r.ue()  # seq_parameter_set_id
+    chroma_format_idc, bit_depth = 1, 8
+    if profile_idc in _HIGH_PROFILES:
+        chroma_format_idc = r.ue()
+        if chroma_format_idc > 3:
+            raise ValueError(f"chroma_format_idc {chroma_format_idc} > 3")
+        if chroma_format_idc == 3:
+            r.u(1)  # separate_colour_plane_flag
+        bit_depth = 8 + r.ue()  # bit_depth_luma_minus8
+        r.ue()  # bit_depth_chroma_minus8
+        r.u(1)  # qpprime_y_zero_transform_bypass_flag
+        if r.u(1):  # seq_scaling_matrix_present_flag
+            n_lists = 8 if chroma_format_idc != 3 else 12
+            for i in range(n_lists):
+                if r.u(1):
+                    _skip_scaling_list(r, 16 if i < 6 else 64)
+    r.ue()  # log2_max_frame_num_minus4
+    poc_type = r.ue()
+    if poc_type == 0:
+        r.ue()  # log2_max_pic_order_cnt_lsb_minus4
+    elif poc_type == 1:
+        r.u(1)  # delta_pic_order_always_zero_flag
+        r.se()  # offset_for_non_ref_pic
+        r.se()  # offset_for_top_to_bottom_field
+        for _ in range(r.ue()):
+            r.se()
+    r.ue()  # max_num_ref_frames
+    r.u(1)  # gaps_in_frame_num_value_allowed_flag
+    w_mbs = r.ue() + 1
+    h_units = r.ue() + 1
+    frame_mbs_only = r.u(1)
+    if not frame_mbs_only:
+        r.u(1)  # mb_adaptive_frame_field_flag
+    r.u(1)  # direct_8x8_inference_flag
+    crop_l = crop_r = crop_t = crop_b = 0
+    if r.u(1):  # frame_cropping_flag
+        crop_l, crop_r, crop_t, crop_b = r.ue(), r.ue(), r.ue(), r.ue()
+    # crop units per H.264 Table 6-1: 4:2:0 SubWidthC=SubHeightC=2;
+    # 4:2:2 SubWidthC=2 SubHeightC=1; 4:4:4 / monochrome both 1
+    sub_w = 2 if chroma_format_idc in (1, 2) else 1
+    sub_h = 2 if chroma_format_idc == 1 else 1
+    unit_y = sub_h * (2 - frame_mbs_only)
+    width = w_mbs * 16 - (crop_l + crop_r) * sub_w
+    height = (2 - frame_mbs_only) * h_units * 16 - (crop_t + crop_b) * unit_y
+    if width <= 0 or height <= 0:
+        raise ValueError("SPS crop rectangle exceeds the coded frame")
+    return {
+        "profile_idc": profile_idc,
+        "constraint_flags": constraint_flags,
+        "level_idc": level_idc,
+        "chroma_format_idc": chroma_format_idc,
+        "bit_depth": bit_depth,
+        "width": width,
+        "height": height,
+        "frame_mbs_only": frame_mbs_only,
+    }
+
+
+def parse_avcc(rec: bytes) -> dict:
+    """AVCDecoderConfigurationRecord (ISO 14496-15 §5.2.4.1) -> record
+    profile/level + the first SPS fully decoded via parse_sps."""
+    if len(rec) < 7:
+        raise ValueError("avcC record truncated")
+    if rec[0] != 1:
+        raise ValueError(f"avcC configurationVersion {rec[0]} != 1")
+    out = {
+        "rec_profile": rec[1],
+        "rec_level": rec[3],
+        "nal_length_size": (rec[4] & 3) + 1,
+    }
+    n_sps = rec[5] & 0x1F
+    if n_sps < 1:
+        raise ValueError("avcC carries no SPS")
+    p = 6
+    sps_list = []
+    for _ in range(n_sps):
+        if p + 2 > len(rec):
+            raise ValueError("avcC SPS length truncated")
+        (ln,) = struct.unpack_from(">H", rec, p)
+        p += 2
+        if p + ln > len(rec):
+            raise ValueError("avcC SPS payload truncated")
+        sps_list.append(rec[p : p + ln])
+        p += ln
+    out.update(parse_sps(sps_list[0]))
+    out["n_sps"] = n_sps
+    out["n_pps"] = rec[p] if p < len(rec) else 0
+    return out
+
+
+def _read_descriptor(data: bytes, p: int) -> tuple[int, int, int]:
+    """(tag, body_start, body_end) of an MPEG-4 BaseDescriptor with
+    the 7-bits-per-byte expandable size encoding (ISO 14496-1 §8.3.3)."""
+    if p >= len(data):
+        raise ValueError("esds descriptor truncated")
+    tag = data[p]
+    p += 1
+    size = 0
+    for _ in range(4):
+        if p >= len(data):
+            raise ValueError("esds descriptor size truncated")
+        b = data[p]
+        p += 1
+        size = (size << 7) | (b & 0x7F)
+        if not b & 0x80:
+            break
+    else:
+        raise ValueError("esds descriptor size over 4 bytes")
+    if p + size > len(data):
+        raise ValueError("esds descriptor body truncated")
+    return tag, p, p + size
+
+
+def parse_audio_specific_config(asc: bytes) -> dict:
+    """AudioSpecificConfig (ISO 14496-3 §1.6.2.1): audioObjectType,
+    sampling rate (index table or 24-bit explicit), channels."""
+    r = _BitReader(asc)
+    aot = r.u(5)
+    if aot == 31:
+        aot = 32 + r.u(6)
+    idx = r.u(4)
+    if idx == 15:
+        rate = r.u(24)
+    elif idx < len(_AAC_RATES):
+        rate = _AAC_RATES[idx]
+    else:
+        raise ValueError(f"reserved samplingFrequencyIndex {idx}")
+    channels = r.u(4)
+    return {"object_type": aot, "sample_rate": rate, "channels": channels}
+
+
+def _parse_esds(data: bytes, body: int, end: int) -> dict:
+    """esds FullBox -> ES_Descriptor -> DecoderConfigDescriptor ->
+    DecoderSpecificInfo (AudioSpecificConfig)."""
+    _, _, p = _full(data, body)
+    tag, b, e = _read_descriptor(data, p)
+    if tag != 0x03:
+        raise ValueError(f"esds top-level descriptor tag {tag:#x} != ES")
+    q = b + 2  # ES_ID
+    flags = data[q]
+    q += 1
+    if flags & 0x80:
+        q += 2  # dependsOn_ES_ID
+    if flags & 0x40:
+        q += 1 + data[q]  # URLstring
+    if flags & 0x20:
+        q += 2  # OCR_ES_ID
+    tag, b2, e2 = _read_descriptor(data, q)
+    if tag != 0x04:
+        raise ValueError(f"expected DecoderConfigDescriptor, got {tag:#x}")
+    oti = data[b2]
+    q = b2 + 13  # objectType, streamType, bufferSizeDB, max/avg bitrate
+    out = {"object_type_indication": oti}
+    if q < e2:
+        tag, b3, e3 = _read_descriptor(data, q)
+        if tag == 0x05:
+            out.update(parse_audio_specific_config(data[b3:e3]))
+    return out
+
+
+def _parse_entry_children(data: bytes, entry: int, t: dict) -> None:
+    """Walk the boxes nested inside an stsd sample entry: avcC under
+    avc1/avc3 visual entries, esds under mp4a audio entries. Parse
+    failures record a loud reason instead of raising — the container
+    scan stays useful for tracks whose extradata is corrupt."""
+    (entry_size,) = struct.unpack_from(">I", data, entry)
+    fourcc = data[entry + 4 : entry + 8]
+    if fourcc in (b"avc1", b"avc3"):
+        child_off = entry + 86  # 8 header + 78 VisualSampleEntry fields
+    elif fourcc == b"mp4a":
+        child_off = entry + 36  # 8 header + 28 AudioSampleEntry fields
+    else:
+        return
+    try:
+        for btype, b, e in _boxes(data, child_off, entry + entry_size):
+            if btype == b"avcC":
+                t["codec_params"] = parse_avcc(data[b:e])
+                return
+            if btype == b"esds":
+                t["codec_params"] = _parse_esds(data, b, e)
+                return
+    except ValueError as exc:
+        t["codec_params"] = {"error": str(exc)}
+
+
 def _parse_stbl(data: bytes, body: int, end: int) -> dict:
     t: dict = {"stss": None}
     for btype, b, e in _boxes(data, body, end):
@@ -94,6 +374,7 @@ def _parse_stbl(data: bytes, body: int, end: int) -> dict:
             t["sd_width"], t["sd_height"] = struct.unpack_from(
                 ">HH", data, entry + 32
             )
+            _parse_entry_children(data, entry, t)
         elif btype == b"stts":
             _, _, p = _full(data, b)
             (count,) = struct.unpack_from(">I", data, p)
@@ -252,6 +533,7 @@ def _parse_stbl_done(cur: dict) -> dict:
         "n_samples": len(samples),
         "n_keyframes": sum(1 for _, _, s in samples if s),
         "samples": samples,
+        "codec_params": cur.get("codec_params"),
     }
 
 
@@ -303,7 +585,9 @@ _IDENTITY_MATRIX = struct.pack(
 )
 
 
-def _video_sample_entry(fourcc: bytes, w: int, h: int) -> bytes:
+def _video_sample_entry(
+    fourcc: bytes, w: int, h: int, extra: bytes = b""
+) -> bytes:
     body = (
         b"\x00" * 6
         + struct.pack(">H", 1)  # data reference index
@@ -315,10 +599,10 @@ def _video_sample_entry(fourcc: bytes, w: int, h: int) -> bytes:
         + b"\x00" * 32  # compressor name
         + struct.pack(">Hh", 24, -1)  # depth, predefined
     )
-    return _box(fourcc, body)
+    return _box(fourcc, body + extra)
 
 
-def _audio_sample_entry(fourcc: bytes, rate: int) -> bytes:
+def _audio_sample_entry(fourcc: bytes, rate: int, extra: bytes = b"") -> bytes:
     body = (
         b"\x00" * 6
         + struct.pack(">H", 1)
@@ -326,7 +610,169 @@ def _audio_sample_entry(fourcc: bytes, rate: int) -> bytes:
         + struct.pack(">HHHH", 1, 16, 0, 0)  # mono, 16-bit
         + struct.pack(">I", rate << 16)
     )
-    return _box(fourcc, body)
+    return _box(fourcc, body + extra)
+
+
+class _BitWriter:
+    """MSB-first bit writer with unsigned/signed exp-Golomb."""
+
+    def __init__(self) -> None:
+        self.bits: list[int] = []
+
+    def u(self, n: int, v: int) -> None:
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+
+    def ue(self, v: int) -> None:
+        code = v + 1
+        n = code.bit_length()
+        self.u(2 * n - 1, code)
+
+    def se(self, v: int) -> None:
+        self.ue(2 * v - 1 if v > 0 else -2 * v)
+
+    def rbsp(self) -> bytes:
+        """Close with the rbsp_stop_one_bit and byte-align."""
+        bits = self.bits + [1]
+        while len(bits) % 8:
+            bits.append(0)
+        out = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for bit in bits[i : i + 8]:
+                b = (b << 1) | bit
+            out.append(b)
+        return bytes(out)
+
+
+def _insert_emulation(rbsp: bytes) -> bytes:
+    """RBSP -> NAL payload: 0x03 after every 0x0000 when the next byte
+    is <= 3 (H.264 §7.4.1 emulation prevention)."""
+    out = bytearray()
+    zeros = 0
+    for b in rbsp:
+        if zeros >= 2 and b <= 3:
+            out.append(3)
+            zeros = 0
+        out.append(b)
+        zeros = zeros + 1 if b == 0 else 0
+    return bytes(out)
+
+
+def encode_sps(
+    width: int,
+    height: int,
+    profile_idc: int = 66,
+    level_idc: int = 30,
+) -> bytes:
+    """Real seq_parameter_set NAL for a progressive 4:2:0 8-bit stream
+    of the given DISPLAY size: the coded frame is mb-aligned and a
+    frame-cropping rectangle trims it back, so a parser that merely
+    echoes container dims fails the fixture."""
+    w = _BitWriter()
+    w.u(1, 0)  # forbidden_zero_bit
+    w.u(2, 3)  # nal_ref_idc
+    w.u(5, 7)  # nal_unit_type: SPS
+    w.u(8, profile_idc)
+    w.u(8, 0)  # constraint flags + reserved
+    w.u(8, level_idc)
+    w.ue(0)  # seq_parameter_set_id
+    if profile_idc in _HIGH_PROFILES:
+        w.ue(1)  # chroma_format_idc 4:2:0
+        w.ue(0)  # bit_depth_luma_minus8
+        w.ue(0)  # bit_depth_chroma_minus8
+        w.u(1, 0)  # qpprime_y_zero_transform_bypass_flag
+        w.u(1, 0)  # seq_scaling_matrix_present_flag
+    w.ue(0)  # log2_max_frame_num_minus4
+    w.ue(0)  # pic_order_cnt_type
+    w.ue(0)  # log2_max_pic_order_cnt_lsb_minus4
+    w.ue(1)  # max_num_ref_frames
+    w.u(1, 0)  # gaps_in_frame_num_value_allowed_flag
+    w_mbs = (width + 15) // 16
+    h_units = (height + 15) // 16
+    w.ue(w_mbs - 1)
+    w.ue(h_units - 1)
+    w.u(1, 1)  # frame_mbs_only_flag
+    w.u(1, 1)  # direct_8x8_inference_flag
+    crop_r = (w_mbs * 16 - width) // 2  # CropUnitX = 2 (4:2:0)
+    crop_b = (h_units * 16 - height) // 2  # CropUnitY = 2 * 1
+    if crop_r or crop_b:
+        w.u(1, 1)
+        w.ue(0)
+        w.ue(crop_r)
+        w.ue(0)
+        w.ue(crop_b)
+    else:
+        w.u(1, 0)
+    w.u(1, 0)  # vui_parameters_present_flag
+    nal = w.rbsp()
+    return nal[:1] + _insert_emulation(nal[1:])
+
+
+def encode_avcc(sps_list: list[bytes], pps_list: list[bytes]) -> bytes:
+    """AVCDecoderConfigurationRecord from raw SPS/PPS NALs."""
+    sps0 = sps_list[0]
+    rec = bytearray(
+        [1, sps0[1], sps0[2], sps0[3], 0xFF, 0xE0 | len(sps_list)]
+    )
+    for s in sps_list:
+        rec += struct.pack(">H", len(s)) + s
+    rec.append(len(pps_list))
+    for p in pps_list:
+        rec += struct.pack(">H", len(p)) + p
+    return bytes(rec)
+
+
+def _descriptor(tag: int, body: bytes) -> bytes:
+    """BaseDescriptor with the canonical minimal expandable size."""
+    size = len(body)
+    out = bytearray([tag])
+    chunks = []
+    while True:
+        chunks.append(size & 0x7F)
+        size >>= 7
+        if not size:
+            break
+    for i, c in enumerate(reversed(chunks)):
+        out.append(c | (0x80 if i < len(chunks) - 1 else 0))
+    return bytes(out) + body
+
+
+def encode_esds(
+    rate: int, channels: int, object_type: int = 2
+) -> bytes:
+    """esds FullBox carrying ES -> DecoderConfig -> AudioSpecificConfig
+    (AAC-LC by default); rates outside the index table use the 24-bit
+    explicit escape."""
+    w = _BitWriter()
+    w.u(5, object_type)
+    if rate in _AAC_RATES:
+        w.u(4, _AAC_RATES.index(rate))
+    else:
+        w.u(4, 15)
+        w.u(24, rate)
+    w.u(4, channels)
+    w.u(3, 0)  # GASpecificConfig: frameLength/dependsOnCoreCoder/ext
+    bits = w.bits
+    asc = bytearray()
+    while len(bits) % 8:
+        bits.append(0)
+    for i in range(0, len(bits), 8):
+        b = 0
+        for bit in bits[i : i + 8]:
+            b = (b << 1) | bit
+        asc.append(b)
+    dsi = _descriptor(0x05, bytes(asc))
+    # objectTypeIndication 0x40 (MPEG-4 audio), streamType 5 (audio)
+    dcd = _descriptor(
+        0x04,
+        bytes([0x40, (5 << 2) | 1])
+        + (0).to_bytes(3, "big")
+        + struct.pack(">II", 0, 0)
+        + dsi,
+    )
+    es = _descriptor(0x03, struct.pack(">HB", 1, 0) + dcd)
+    return _fullbox(b"esds", 0, 0, es)
 
 
 def _stbl_boxes(
@@ -454,12 +900,18 @@ def encode_mp4(
     samples_per_chunk: int = 3,
     audio_samples: list[bytes] | None = None,
     audio_rate: int = 10,
+    avc_params: tuple[int, int] | None = None,
+    aac_params: tuple[int, int] | None = None,
 ) -> bytes:
     """Pre-encoded sample payloads -> minimal real MP4. Video samples
     land in ``samples_per_chunk``-sized chunks (multi-entry stco and a
     two-run stsc when the tail chunk is short), stss marks every
     ``keyframe_interval``-th sample as sync. ``audio_samples`` adds a
-    second trak (handler 'soun', fourcc mp4a, no stss => all sync)."""
+    second trak (handler 'soun', fourcc mp4a, no stss => all sync).
+    ``avc_params`` = (profile_idc, level_idc) attaches an ``avcC``
+    record carrying a REAL SPS NAL for the display size (mb-aligned +
+    crop); ``aac_params`` = (sample_rate, channels) attaches an
+    ``esds`` AudioSpecificConfig to the mp4a entry."""
     if not video_samples:
         raise ValueError("no video samples")
     ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
@@ -469,10 +921,15 @@ def encode_mp4(
     base = len(ftyp) + 8  # first payload byte inside mdat
     v_offsets, v_runs = _chunk_layout(vsizes, base, samples_per_chunk)
     keyframes = [i + 1 for i in range(len(vsizes)) if i % keyframe_interval == 0]
+    v_extra = b""
+    if avc_params is not None:
+        sps = encode_sps(width, height, avc_params[0], avc_params[1])
+        pps = b"\x68\xce\x38\x80"  # minimal pic_parameter_set
+        v_extra = _box(b"avcC", encode_avcc([sps], [pps]))
     traks = _trak(
         1,
         b"vide",
-        _video_sample_entry(codec, width, height),
+        _video_sample_entry(codec, width, height, v_extra),
         vsizes,
         v_offsets,
         v_runs,
@@ -486,10 +943,15 @@ def encode_mp4(
         a_offsets, a_runs = _chunk_layout(
             asizes, base + sum(vsizes), max(len(asizes), 1)
         )
+        a_extra = (
+            encode_esds(aac_params[0], aac_params[1])
+            if aac_params is not None
+            else b""
+        )
         traks += _trak(
             2,
             b"soun",
-            _audio_sample_entry(b"mp4a", audio_rate),
+            _audio_sample_entry(b"mp4a", audio_rate, a_extra),
             asizes,
             a_offsets,
             a_runs,
@@ -521,6 +983,7 @@ def encode_mp4_mjpeg(
     keyframe_interval: int = 2,
     samples_per_chunk: int = 3,
     audio_samples: list[bytes] | None = None,
+    aac_params: tuple[int, int] | None = None,
 ) -> bytes:
     """(n, h, w[, 3]) uint8 -> MJPEG-in-MP4 ('jpeg' fourcc), one
     baseline JPEG per sample (all-ones qtable: bit-exact on
@@ -538,4 +1001,5 @@ def encode_mp4_mjpeg(
         keyframe_interval=keyframe_interval,
         samples_per_chunk=samples_per_chunk,
         audio_samples=audio_samples,
+        aac_params=aac_params,
     )

@@ -163,3 +163,185 @@ def test_spark_mp4_scan_and_keyframe_stats(spark):
     ).withColumn("media_type", F.lit("video/mp4"))
     crow = mp4_track_scan(bad).collect()
     assert len(crow) == 1 and crow[0]["handler"] == "corrupt"
+
+
+# ---------------------------------------------------------------------------
+# Codec stream parameters (r9): SPS exp-Golomb decode, avcC record,
+# esds AudioSpecificConfig — public-spec bitstreams, round-tripped
+# against the in-repo encoders and hand-built bit patterns.
+# ---------------------------------------------------------------------------
+
+
+def test_sps_round_trip_profiles_and_crop():
+    from shared_etl_pipelines_spark.sources import mp4
+
+    cases = [
+        (8, 8, 66, 30),      # 16x16 coded + crop 4/4 (both axes)
+        (24, 16, 77, 31),    # crop width only
+        (16, 24, 66, 40),    # crop height only
+        (320, 240, 100, 41),  # mb-aligned, high profile (chroma branch)
+        (1920, 1080, 100, 51),  # 1088 coded, crop_bottom 4
+    ]
+    for w, h, prof, lvl in cases:
+        d = mp4.parse_sps(mp4.encode_sps(w, h, prof, lvl))
+        assert (d["width"], d["height"]) == (w, h)
+        assert (d["profile_idc"], d["level_idc"]) == (prof, lvl)
+        assert d["chroma_format_idc"] == 1 and d["bit_depth"] == 8
+        assert d["frame_mbs_only"] == 1
+
+
+def test_sps_scaling_matrix_skipped_not_misparsed():
+    # hand-build a high-profile SPS WITH seq_scaling_matrix_present=1
+    # and one present 4x4 list — parse must skip it and still land on
+    # the right dimensions
+    from shared_etl_pipelines_spark.sources.mp4 import (
+        _BitWriter,
+        _insert_emulation,
+        parse_sps,
+    )
+
+    w = _BitWriter()
+    w.u(1, 0); w.u(2, 3); w.u(5, 7)
+    w.u(8, 100); w.u(8, 0); w.u(8, 40)
+    w.ue(0)      # sps id
+    w.ue(1)      # chroma 4:2:0
+    w.ue(0); w.ue(0); w.u(1, 0)
+    w.u(1, 1)    # seq_scaling_matrix_present_flag
+    w.u(1, 1)    # list 0 present
+    for _ in range(16):
+        w.se(1)  # delta_scale run
+    for _ in range(7):
+        w.u(1, 0)  # lists 1..7 absent
+    w.ue(0)      # log2_max_frame_num_minus4
+    w.ue(2)      # poc type 2 (neither extra branch)
+    w.ue(1); w.u(1, 0)
+    w.ue(4); w.ue(2)   # 80 x 48 coded
+    w.u(1, 1); w.u(1, 1)
+    w.u(1, 0)    # no crop
+    w.u(1, 0)    # no vui
+    nal = w.rbsp()
+    d = parse_sps(nal[:1] + _insert_emulation(nal[1:]))
+    assert (d["width"], d["height"]) == (80, 48)
+    assert d["profile_idc"] == 100
+
+
+def test_sps_interlaced_height_doubles():
+    # frame_mbs_only=0: height = 2 * map_units * 16, CropUnitY = 4
+    from shared_etl_pipelines_spark.sources.mp4 import _BitWriter, parse_sps
+
+    w = _BitWriter()
+    w.u(1, 0); w.u(2, 3); w.u(5, 7)
+    w.u(8, 77); w.u(8, 0); w.u(8, 30)
+    w.ue(0); w.ue(0); w.ue(2)
+    w.ue(1); w.u(1, 0)
+    w.ue(44); w.ue(17)  # 720 x (18*16*2 = 576)
+    w.u(1, 0)           # frame_mbs_only = 0 (interlaced)
+    w.u(1, 0)           # mb_adaptive_frame_field_flag
+    w.u(1, 1)
+    w.u(1, 1); w.ue(0); w.ue(0); w.ue(0); w.ue(2)  # crop_bottom 2 -> -8
+    w.u(1, 0)
+    d = parse_sps(w.rbsp())
+    assert (d["width"], d["height"]) == (720, 568)
+    assert d["frame_mbs_only"] == 0
+
+
+def test_emulation_prevention_round_trip_property():
+    import random
+
+    from shared_etl_pipelines_spark.sources.mp4 import (
+        _insert_emulation,
+        _strip_emulation,
+    )
+
+    rng = random.Random(42)
+    for _ in range(500):
+        raw = bytes(
+            rng.choice([0, 0, 0, 1, 2, 3, 0xFF])
+            for _ in range(rng.randint(0, 64))
+        )
+        nal = _insert_emulation(raw)
+        for bad in (b"\x00\x00\x00", b"\x00\x00\x01", b"\x00\x00\x02"):
+            assert bad not in nal
+        assert _strip_emulation(nal) == raw
+
+
+def test_avcc_record_multi_sps_and_truncation():
+    from shared_etl_pipelines_spark.sources import mp4
+
+    sps_a = mp4.encode_sps(64, 32, 66, 30)
+    sps_b = mp4.encode_sps(128, 96, 66, 31)
+    rec = mp4.encode_avcc([sps_a, sps_b], [b"\x68\xce\x38\x80"])
+    d = mp4.parse_avcc(rec)
+    assert d["n_sps"] == 2 and d["n_pps"] == 1
+    assert (d["width"], d["height"]) == (64, 32)  # first SPS wins
+    assert d["rec_profile"] == 66 and d["rec_level"] == 30
+    assert d["nal_length_size"] == 4
+    with pytest.raises(ValueError, match="truncated"):
+        mp4.parse_avcc(rec[:10])
+    with pytest.raises(ValueError, match="configurationVersion"):
+        mp4.parse_avcc(b"\x02" + rec[1:])
+    with pytest.raises(ValueError, match="no SPS"):
+        mp4.parse_avcc(bytes([1, 66, 0, 30, 0xFF, 0xE0]) + b"\x00")
+
+
+def test_esds_asc_round_trip_and_rate_escape():
+    from shared_etl_pipelines_spark.sources import mp4
+
+    for rate, ch in [(96000, 1), (44100, 2), (8000, 2), (7350, 1)]:
+        box = mp4.encode_esds(rate, ch)
+        d = mp4._parse_esds(box, 8, len(box))
+        assert d["object_type_indication"] == 0x40
+        assert (d["sample_rate"], d["channels"]) == (rate, ch)
+        assert d["object_type"] == 2
+    # non-table rate -> 24-bit explicit escape
+    box = mp4.encode_esds(19999, 2)
+    d = mp4._parse_esds(box, 8, len(box))
+    assert d["sample_rate"] == 19999
+    # reserved frequency index refuses
+    asc = bytes([0b00010_110, 0b1_0010_000])  # aot 2, idx 13 (reserved)
+    with pytest.raises(ValueError, match="reserved samplingFrequency"):
+        mp4.parse_audio_specific_config(asc)
+
+
+def test_container_carries_codec_params_end_to_end():
+    from shared_etl_pipelines_spark.sources import mp4
+
+    samples = [bytes(range(30 + i)) for i in range(3)]
+    blob = mp4.encode_mp4(
+        samples, 24, 8, codec=b"avc1", avc_params=(100, 41),
+        audio_samples=[b"a" * 10, b"b" * 11], aac_params=(22050, 1),
+    )
+    tracks = mp4.parse_mp4(blob)["tracks"]
+    vid = next(t for t in tracks if t["handler"] == "vide")
+    aud = next(t for t in tracks if t["handler"] == "soun")
+    vp, ap = vid["codec_params"], aud["codec_params"]
+    assert (vp["profile_idc"], vp["level_idc"]) == (100, 41)
+    assert (vp["width"], vp["height"]) == (24, 8)  # via crop rectangle
+    assert (ap["sample_rate"], ap["channels"]) == (22050, 1)
+    # tracks WITHOUT extradata surface None, not garbage
+    plain = mp4.encode_mp4(samples, 24, 8, codec=b"jpeg")
+    assert mp4.parse_mp4(plain)["tracks"][0]["codec_params"] is None
+
+
+def test_spark_mp4_codec_params_quarantine(spark):
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.sources import mp4
+    from shared_etl_pipelines_spark.sources.multimodal import (
+        mp4_codec_params,
+    )
+
+    samples = [bytes(range(30))]
+    good = mp4.encode_mp4(samples, 32, 16, codec=b"avc1", avc_params=(77, 31))
+    # corrupt the avcC payload: version byte 9 -> loud per-track reason
+    bad = good.replace(b"avcC\x01", b"avcC\x09")
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(bad)), (3, bytearray(b"junk"))],
+        "doc_id long, blob binary",
+    ).withColumn("media_type", F.lit("video/mp4"))
+    rows = {r["doc_id"]: r for r in mp4_codec_params(df).collect()}
+    assert rows[1]["has_params"] and rows[1]["profile_idc"] == 77
+    assert rows[1]["sps_width"] == 32 and rows[1]["sps_height"] == 16
+    assert not rows[2]["has_params"]
+    assert "configurationVersion" in rows[2]["reason"]
+    assert rows[3]["handler"] == "corrupt" and not rows[3]["has_params"]
