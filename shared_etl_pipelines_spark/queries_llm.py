@@ -2473,27 +2473,129 @@ def q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     return round_floats(out)
 
 
+_PCA_K, _PCA_ITERS, _PCA_DIM = 8, 12, 64
+
+
+def _pca_power_sql(k: int, iters: int, dim: int) -> str:
+    """The fixed-iteration power-method PCA as chained CTEs: exact
+    integer moments -> covariance rows -> per component ``iters``
+    matvec/normalize steps (list_dot_product = the same sequential fold
+    Spark's HOF dot uses), deflation with the final ||w|| as lambda,
+    sign canonicalization — replaying pca_power_project's driver solve
+    bit-for-bit."""
+    r = f"range(1, {dim + 1})"
+    parts = [
+        f"""base AS MATERIALIZED (
+      SELECT vec_id, list_transform({r},
+                   i -> CAST(ROUND(embedding[i] * 10000) AS BIGINT)) AS q
+      FROM embeddings
+    )""",
+        f"""sums AS MATERIALIZED (
+      SELECT t.i AS i, SUM(b.q[t.i]) AS s, COUNT(*) AS n
+      FROM base b, {r} t(i) GROUP BY t.i
+    )""",
+        f"""mom AS MATERIALIZED (
+      SELECT t1.i AS i, t2.j AS j, SUM(b.q[t1.i] * b.q[t2.j]) AS p
+      FROM base b, {r} t1(i), {r} t2(j)
+      GROUP BY t1.i, t2.j
+    )""",
+        """m0 AS MATERIALIZED (
+      SELECT mom.i,
+             array_agg((CAST(mom.p AS DOUBLE)
+                        - CAST(si.s AS DOUBLE) * CAST(sj.s AS DOUBLE) / si.n)
+                       / (si.n - 1) ORDER BY mom.j) AS row
+      FROM mom JOIN sums si ON si.i = mom.i JOIN sums sj ON sj.i = mom.j
+      GROUP BY mom.i
+    )""",
+        "mean AS MATERIALIZED (SELECT array_agg(CAST(s AS DOUBLE) / n ORDER BY i) AS m "
+        "FROM sums)",
+    ]
+    for p in range(k):
+        parts.append(
+            f"""v{p}_0 AS MATERIALIZED (
+      SELECT list_transform({r},
+             i -> CASE WHEN i = {p + 1} THEN 1.0 ELSE 0.0 END) AS v,
+             0.0 AS nrm
+    )"""
+        )
+        for t in range(1, iters + 1):
+            parts.append(
+                f"""w{p}_{t} AS MATERIALIZED (
+      SELECT array_agg(list_dot_product(m.row, v.v) ORDER BY m.i) AS wl
+      FROM m{p} m, v{p}_{t - 1} v
+    )"""
+            )
+            parts.append(
+                f"""v{p}_{t} AS MATERIALIZED (
+      SELECT list_transform(wl, x -> x / SQRT(list_dot_product(wl, wl)))
+               AS v,
+             SQRT(list_dot_product(wl, wl)) AS nrm
+      FROM w{p}_{t}
+    )"""
+            )
+        parts.append(
+            f"""fv{p} AS MATERIALIZED (
+      SELECT list_transform(v.v,
+               x -> x * (CASE WHEN v.v[am.idx] < 0
+                         THEN -1.0 ELSE 1.0 END)) AS v
+      FROM v{p}_{iters} v,
+           (SELECT t.j AS idx FROM v{p}_{iters} vv, {r} t(j)
+            ORDER BY ABS(vv.v[t.j]) DESC, t.j LIMIT 1) am
+    )"""
+        )
+        if p < k - 1:
+            parts.append(
+                f"""m{p + 1} AS MATERIALIZED (
+      SELECT m.i, list_transform({r},
+               j -> m.row[j] - v.nrm * v.v[m.i] * v.v[j]) AS row
+      FROM m{p} m, v{p}_{iters} v
+    )"""
+            )
+    parts.append(
+        f"""centered AS MATERIALIZED (
+      SELECT b.vec_id,
+             list_transform({r},
+               i -> CAST(b.q[i] AS DOUBLE) - mn.m[i]) AS cent
+      FROM base b, mean mn
+    )"""
+    )
+    sel = "\n    UNION ALL ".join(
+        f"SELECT vec_id, CAST({p} AS INT) AS component, "
+        f"ROUND(list_dot_product(cent, f{p}.v) / 10000.0, 4) AS value "
+        f"FROM centered, fv{p} f{p}"
+        for p in range(k)
+    )
+    return ",\n    ".join(parts) + f"\n    {sel}"
+
+
 @defquery(
     "embedding_pca_project",
-    None,  # eigendecomposition is not ANSI-SQL-expressible — rows-only
-    doc="PCA projection to 8 components: distributed moment partials "
-    "(mapInPandas, O(partitions) collect), driver eigh, broadcast GEMM. "
-    "Output is scalarized to (vec_id, component, value) rows — the external "
-    "gate's canonicalizer cannot hash array cells.",
+    f"""
+    WITH {_pca_power_sql(_PCA_K, _PCA_ITERS, _PCA_DIM)}
+    """,
+    doc="PCA projection to 8 components with a FULLY oracle-replayable "
+    "pipeline: exact int64 moment partials (order-free under any "
+    "partitioning, O(partitions) collect), a deterministic fixed-12-"
+    "iteration power method with deflation in sequential driver doubles "
+    "(the eigh replacement — converges to the same basis for separated "
+    "spectra, and is hash-checkable because every op has a defined "
+    "order), sign-canonicalized, then a centered JVM-fold GEMM. Was "
+    "rows-only; the oracle replays moments, the full power solve and "
+    "the projection as chained CTEs (the pagerank_copurchase "
+    "technique).",
     tags=("llm", "embedding", "pca", "scale-path"),
 )
 def q_embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from shared_etl_pipelines_spark.operators.embeddings import pca_project
+    from shared_etl_pipelines_spark.operators.embeddings import (
+        pca_power_project,
+    )
 
-    out = pca_project(_t(spark, sf_dir, "embeddings"), "vec_id", "embedding", k=8)
-    # pca_project sign-canonicalizes the basis, so signed values are
-    # deterministic; posexplode scalarizes the array for the gate
+    out = pca_power_project(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+        dim=_PCA_DIM, k=_PCA_K, iters=_PCA_ITERS,
+    )
     return out.select(
-        "vec_id", F.posexplode("proj").alias("component", "value")
-    ).select(
-        "vec_id",
-        F.col("component").cast("int").alias("component"),
-        F.round("value", 3).alias("value"),
+        "vec_id", "component", F.round("value", 4).alias("value")
     )
 
 
@@ -2562,14 +2664,19 @@ def q_embedding_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is train-once / reuse-many — the codebook is fitted write-side and
 # every consumer (assignment, IVF probing) pays only a scan. Keyed on a
 # content fingerprint of the embeddings parquet so regenerated data
-# refits instead of reusing stale centroids.
+# refits instead of reusing stale centroids. Since r9 the fit is the
+# EXACT fixed-point Lloyd loop (kmeans_fit_exact) — deterministic under
+# any partitioning, so the cached codebook is reproducible bit-for-bit
+# and embedding_kmeans's oracle can replay the training run.
 _CODEBOOK_CACHE: dict[tuple, object] = {}
 
 
 def _fitted_codebook(spark: SparkSession, sf_dir: str, k: int = 8, max_iter: int = 8):
     import os
 
-    from shared_etl_pipelines_spark.operators.embeddings import kmeans_fit
+    from shared_etl_pipelines_spark.operators.embeddings import (
+        kmeans_fit_exact,
+    )
 
     src = os.path.join(sf_dir, "embeddings.parquet")
     try:
@@ -2579,30 +2686,107 @@ def _fitted_codebook(spark: SparkSession, sf_dir: str, k: int = 8, max_iter: int
         fp = None
     key = (os.path.normpath(sf_dir), fp, k, max_iter)
     if key not in _CODEBOOK_CACHE:
-        cents, _ = kmeans_fit(
+        cents_int, _ = kmeans_fit_exact(
             _t(spark, sf_dir, "embeddings"), "vec_id", "embedding",
-            k=k, max_iter=max_iter,
+            k=k, iters=max_iter,
         )
-        _CODEBOOK_CACHE[key] = cents
+        _CODEBOOK_CACHE[key] = cents_int
     return _CODEBOOK_CACHE[key]
+
+
+_KM_K, _KM_ITERS, _KM_DIM = 8, 8, 64
+
+
+def _kmeans_chain_sql(k: int, iters: int, dim: int) -> str:
+    """The full fixed-point Lloyd fit as chained CTEs — one assignment
+    (cross join + integer argmin) and one centroid update
+    (FLOOR(sum/count) per dim, empty cells keep their centroid) per
+    round, exactly what kmeans_fit_exact computes distributedly."""
+    parts = [
+        f"""base AS (
+      SELECT vec_id, list_transform(range(1, {dim + 1}),
+                   i -> CAST(ROUND(embedding[i] * 10000) AS BIGINT)) AS q
+      FROM embeddings
+    )""",
+        f"""c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
+             q AS c
+      FROM (SELECT vec_id, q FROM base ORDER BY vec_id LIMIT {k})
+    )""",
+    ]
+    for t in range(1, iters + 1):
+        parts.append(f"""a{t} AS (
+      SELECT vec_id, cell, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+      FROM (SELECT b.vec_id, c.cell,
+                   list_sum(list_transform(range(1, {dim + 1}),
+                            i -> (b.q[i] - c.c[i]) * (b.q[i] - c.c[i]))) AS d2
+            FROM base b CROSS JOIN c{t - 1} c)
+    )""")
+        parts.append(f"""u{t} AS (
+      SELECT cell, array_agg(cd ORDER BY d) AS c FROM (
+        SELECT a.cell, t.d,
+               CAST(FLOOR(CAST(SUM(b.q[t.d]) AS DOUBLE) / COUNT(*))
+                    AS BIGINT) AS cd
+        FROM a{t} a JOIN base b USING (vec_id), range(1, {dim + 1}) t(d)
+        WHERE a.rn = 1
+        GROUP BY a.cell, t.d
+      ) GROUP BY cell
+    )""")
+        parts.append(
+            f"""c{t} AS (
+      SELECT p.cell, COALESCE(u.c, p.c) AS c
+      FROM c{t - 1} p LEFT JOIN u{t} u USING (cell)
+    )"""
+        )
+    return ",\n    ".join(parts)
 
 
 @defquery(
     "embedding_kmeans",
-    None,  # iterative clustering is not ANSI-SQL-expressible — rows-only
-    doc="distributed Lloyd's k-means (k=8): broadcast-GEMM assignment, "
-    "(cell, dim) partial-sum updates, O(k*dim) driver traffic per round; "
-    "codebook cached per session and shared with similarity_topk_ivf_trained "
-    "(train-once/assign-many). embedding_kmeans_assign pins the assignment "
-    "logic with a hash-matched oracle.",
+    f"""
+    WITH {_kmeans_chain_sql(_KM_K, _KM_ITERS, _KM_DIM)},
+    final AS (
+      SELECT b.vec_id, c.cell,
+             list_sum(list_transform(range(1, {_KM_DIM + 1}),
+                      i -> (b.q[i] - c.c[i]) * (b.q[i] - c.c[i]))) AS d2,
+             ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                                ORDER BY list_sum(list_transform(
+                                  range(1, {_KM_DIM + 1}),
+                                  i -> (b.q[i] - c.c[i]) * (b.q[i] - c.c[i]))),
+                                c.cell) AS rn
+      FROM base b CROSS JOIN c{_KM_ITERS} c
+    )
+    SELECT vec_id, CAST(cell AS BIGINT) AS cell,
+           ROUND(SQRT(d2) / 10000.0, 4) AS dist
+    FROM final WHERE rn = 1
+    """,
+    doc="distributed Lloyd's k-means (k=8) in EXACT fixed-point "
+    "integers: broadcast int-GEMM assignment, (cell, dim) partial-sum "
+    "updates with FLOOR(sum/count) centroids, O(k*dim) driver traffic "
+    "per round; every step is summation-order-free, so the oracle "
+    "replays the full 8-round fit as chained CTEs and the result is "
+    "hash-checked (was rows-only — the pagerank_copurchase technique). "
+    "Codebook cached per session and shared with "
+    "similarity_topk_ivf_trained (train-once/assign-many).",
     tags=("llm", "embedding", "clustering", "iterative", "scale-path"),
 )
 def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from shared_etl_pipelines_spark.operators.embeddings import kmeans_assign
+    from shared_etl_pipelines_spark.operators.embeddings import (
+        _make_assign_exact,
+        quantized_dims,
+    )
 
-    cents = _fitted_codebook(spark, sf_dir, k=8, max_iter=8)
-    assigned = kmeans_assign(_t(spark, sf_dir, "embeddings"), cents)
-    return assigned.select("vec_id", "cell", F.round("dist", 3).alias("dist"))
+    cents = _fitted_codebook(spark, sf_dir, k=_KM_K, max_iter=_KM_ITERS)
+    emb = _t(spark, sf_dir, "embeddings")
+    qdf = quantized_dims(emb, "embedding", _KM_DIM).select("vec_id", "q")
+    return qdf.mapInPandas(
+        _make_assign_exact(cents), "id long, cell int, d2 long, q array<long>"
+    ).select(
+        F.col("id").alias("vec_id"),
+        F.col("cell").cast("long").alias("cell"),
+        F.round(F.sqrt(F.col("d2").cast("double")) / 10000, 4).alias("dist"),
+    )
 
 
 @defquery(
@@ -2618,8 +2802,13 @@ def q_similarity_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame
 
     emb = _t(spark, sf_dir, "embeddings")
     cents_np = _fitted_codebook(spark, sf_dir, k=8, max_iter=8)
+    # the cached codebook is in exact fixed-point micro-units (r9);
+    # rescale to floats for the IVF probe geometry
     cents = spark.createDataFrame(
-        [(i, [float(x) for x in row]) for i, row in enumerate(cents_np)],
+        [
+            (i, [float(x) / 10000.0 for x in row])
+            for i, row in enumerate(cents_np)
+        ],
         "cent_id long, cv array<double>",
     )
     out = ivf_topk(

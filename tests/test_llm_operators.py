@@ -1712,3 +1712,87 @@ def test_record_linkage_snp_candidates_grow_linearly(spark):
     assert snp_big / snp_small < 15
     # fixed blocks saturate: super-linear growth (occupancy squared)
     assert blk_big / blk_small > 25
+
+
+def test_kmeans_fit_exact_matches_integer_replication(spark, sf_dir):
+    """The fixed-point Lloyd loop (r9): assignments and centroids
+    reproduce a local int64 replay exactly — the property that makes
+    the SQL-chain oracle valid — and the early exit equals running the
+    full iteration budget."""
+    import math
+
+    import numpy as np
+
+    from shared_etl_pipelines_spark.operators.embeddings import (
+        kmeans_fit_exact,
+    )
+    from shared_etl_pipelines_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, assigned = kmeans_fit_exact(emb, "vec_id", "embedding", k=4, iters=6)
+    rows = {r["vec_id"]: (r["cell"], r["dist"]) for r in assigned.collect()}
+
+    V = np.stack([
+        r["embedding"]
+        for r in emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    ]).astype("f8")
+    ids = [r["vec_id"] for r in emb.select("vec_id").orderBy("vec_id").collect()]
+    # half-up rounding to match Spark ROUND / DuckDB ROUND
+    Q = np.floor(np.abs(V * 10000) + 0.5).astype(np.int64) * np.sign(V).astype(np.int64)
+    C = Q[:4].copy()
+    for _ in range(6):
+        d2 = ((Q[:, None, :] - C[None]) ** 2).sum(2)
+        cell = d2.argmin(1)
+        newC = C.copy()
+        for c in range(4):
+            m = cell == c
+            if m.any():
+                s = Q[m].sum(0)
+                newC[c] = np.array(
+                    [math.floor(float(x) / float(m.sum())) for x in s],
+                    dtype=np.int64,
+                )
+        if np.array_equal(newC, C):
+            break
+        C = newC
+    assert np.array_equal(cents, C)
+    d2 = ((Q[:, None, :] - C[None]) ** 2).sum(2)
+    want_cell = d2.argmin(1)
+    want_dist = np.round(np.sqrt(d2[np.arange(len(Q)), want_cell]) / 10000, 4)
+    for i, vid in enumerate(ids):
+        assert rows[vid][0] == want_cell[i]
+        assert rows[vid][1] == want_dist[i]
+
+
+def test_pca_power_project_deterministic_and_centered(spark, sf_dir):
+    """Power-method PCA (r9): output is centered per component, two
+    runs are bit-identical (the oracle-replayability contract), and the
+    k x k Gram matrix of projections is near-diagonal (orthogonal-ish
+    basis even on the near-isotropic fixture spectrum)."""
+    import numpy as np
+
+    from shared_etl_pipelines_spark.operators.embeddings import (
+        pca_power_project,
+    )
+    from shared_etl_pipelines_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out1 = pca_power_project(emb, "vec_id", "embedding", k=4, iters=12)
+    rows1 = sorted(
+        (r["vec_id"], r["component"], r["value"]) for r in out1.collect()
+    )
+    out2 = pca_power_project(
+        emb.repartition(7), "vec_id", "embedding", k=4, iters=12
+    )
+    rows2 = sorted(
+        (r["vec_id"], r["component"], r["value"]) for r in out2.collect()
+    )
+    assert rows1 == rows2  # partitioning-independent, bit-exact
+    P = np.zeros((len(rows1) // 4, 4))
+    idmap = {vid: i for i, vid in enumerate(sorted({r[0] for r in rows1}))}
+    for vid, comp, val in rows1:
+        P[idmap[vid], comp] = val
+    assert np.abs(P.mean(axis=0)).max() < 1e-9  # centered
+    G = np.corrcoef(P, rowvar=False)
+    off = np.abs(G - np.diag(np.diag(G))).max()
+    assert off < 0.12  # near-orthogonal components
