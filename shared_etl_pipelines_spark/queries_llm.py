@@ -3926,6 +3926,53 @@ _FS_W = {
     "bal_d": -2.8030246685588716,  # log2(0.143 / 0.998)
 }
 
+# Occupancy cap for the fixed-block linkage twin (VERDICT r8 item 3):
+# a block whose EITHER side holds more rows than this is dropped from
+# pair generation (and surfaced by linkage_block_audit), bounding the
+# twin's pair count at cap^2 per block. Fixture occupancy peaks at 12
+# (sf0.01) / 76 (sf0.1), so tested outputs are unchanged.
+_FS_BLOCK_CAP = 256
+
+
+def _fs_linkage_sides(cust: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The two linkage sides shared by record_linkage_fs_blocked and
+    linkage_block_audit: the clean customer projection and its
+    deterministically-perturbed twin."""
+    c = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_name").alias("name"),
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("seg"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal"),
+    )
+    k = F.col("k")
+    d = c.select(
+        "k",
+        F.when(k % 5 == 0, F.expr("substr(name, 1, length(name) - 2)"))
+        .otherwise(F.col("name"))
+        .alias("name"),
+        F.when(k % 11 == 0, ((F.col("nation") + 7) % 25).cast("int"))
+        .otherwise(F.col("nation"))
+        .alias("nation"),
+        F.when(k % 3 == 0, F.lit("UNKNOWN")).otherwise(F.col("seg")).alias("seg"),
+        F.when(k % 7 == 0, F.col("bal") + 5000).otherwise(F.col("bal")).alias("bal"),
+    )
+    return c, d
+
+
+def _fs_block_occupancy(c: DataFrame, d: DataFrame) -> DataFrame:
+    """Per-(nation, balance-bucket) occupancy of both sides: (nation,
+    bkt, nc, nd). Blocks present on only one side never produce pairs
+    (inner block join), so the audit/cap domain is the inner join."""
+    bucket = lambda col: F.floor(col / 100000.0).cast("long")  # noqa: E731
+    cb = c.groupBy("nation", bucket(F.col("bal")).alias("bkt")).agg(
+        F.count(F.lit(1)).alias("nc")
+    )
+    db = d.groupBy("nation", bucket(F.col("bal")).alias("bkt")).agg(
+        F.count(F.lit(1)).alias("nd")
+    )
+    return cb.join(db, ["nation", "bkt"])
+
 
 @defquery(
     "record_linkage_fs_blocked",
@@ -3946,6 +3993,19 @@ _FS_W = {
              CASE WHEN k % 7 = 0 THEN bal + 5000 ELSE bal END AS bal
       FROM c
     ),
+    allowed AS (
+      SELECT nation, bkt FROM (
+        SELECT nation, CAST(FLOOR(bal / 100000.0) AS BIGINT) AS bkt,
+               COUNT(*) AS nc
+        FROM c GROUP BY 1, 2
+      ) cb
+      JOIN (
+        SELECT nation, CAST(FLOOR(bal / 100000.0) AS BIGINT) AS bkt,
+               COUNT(*) AS nd
+        FROM d GROUP BY 1, 2
+      ) db USING (nation, bkt)
+      WHERE nc <= {_FS_BLOCK_CAP} AND nd <= {_FS_BLOCK_CAP}
+    ),
     pairs AS (
       SELECT c.k AS ck, d.k AS dk,
              (CASE WHEN c.name = d.name THEN {_FS_W["name_a"]!r}
@@ -3958,6 +4018,9 @@ _FS_W = {
         ON c.nation = d.nation
        AND CAST(FLOOR(c.bal / 100000.0) AS BIGINT)
            = CAST(FLOOR(d.bal / 100000.0) AS BIGINT)
+      JOIN allowed a
+        ON a.nation = c.nation
+       AND a.bkt = CAST(FLOOR(c.bal / 100000.0) AS BIGINT)
     )
     SELECT (ck = dk) AS is_true_pair, (score > 6.0) AS matched,
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
@@ -3970,32 +4033,40 @@ _FS_W = {
     "$1000 balance bucket): the small-scale oracle twin of "
     "record_linkage_fs — within-block pair count grows with occupancy "
     "SQUARED (VERDICT r7 #1), so the sorted-neighborhood variant is "
-    "the scale path; this one pins the scoring arithmetic",
+    "the scale path; this one pins the scoring arithmetic. Blocks "
+    "where EITHER side exceeds the occupancy cap (256) are dropped "
+    "before pair generation (VERDICT r8 item 3 — bounds pairs at "
+    "cap^2 per block so a fixture change can't turn the twin into a "
+    "bench time bomb); drops are surfaced loudly by "
+    "linkage_block_audit, never silent. No fixture block comes within "
+    "3x of the cap at any test SF, so tested outputs are unchanged.",
     tags=("llm", "entity-resolution", "linkage"),
 )
 def q_record_linkage_fs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = _t(spark, sf_dir, "customer")
-    c = cust.select(
-        F.col("c_custkey").alias("k"),
-        F.col("c_name").alias("name"),
-        F.col("c_nationkey").alias("nation"),
-        F.col("c_mktsegment").alias("seg"),
-        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal"),
-    )
-    k = F.col("k")
-    d = c.select(
-        "k",
-        F.when(k % 5 == 0, F.expr("substr(name, 1, length(name) - 2)"))
-        .otherwise(F.col("name"))
-        .alias("name"),
-        F.when(k % 11 == 0, ((F.col("nation") + 7) % 25).cast("int"))
-        .otherwise(F.col("nation"))
-        .alias("nation"),
-        F.when(k % 3 == 0, F.lit("UNKNOWN")).otherwise(F.col("seg")).alias("seg"),
-        F.when(k % 7 == 0, F.col("bal") + 5000).otherwise(F.col("bal")).alias("bal"),
+    c, d = _fs_linkage_sides(cust)
+    # occupancy cap (VERDICT r8 item 3): blocks too hot on either side
+    # are excluded before pair generation — the allowed list is tiny
+    # (nations x balance buckets), so it broadcasts
+    allowed = (
+        _fs_block_occupancy(c, d)
+        .filter(
+            (F.col("nc") <= _FS_BLOCK_CAP) & (F.col("nd") <= _FS_BLOCK_CAP)
+        )
+        .select(
+            F.col("nation").alias("a_nation"), F.col("bkt").alias("a_bkt")
+        )
     )
     bucket = lambda col: F.floor(col / 100000.0).cast("long")  # noqa: E731
-    cl = c.alias("c")
+    cl = (
+        c.join(
+            F.broadcast(allowed),
+            (F.col("nation") == F.col("a_nation"))
+            & (bucket(F.col("bal")) == F.col("a_bkt")),
+        )
+        .select("k", "name", "nation", "seg", "bal")
+        .alias("c")
+    )
     dr = d.alias("d")
     score = (
         F.when(F.col("c.name") == F.col("d.name"), F.lit(_FS_W["name_a"]))
@@ -4020,6 +4091,66 @@ def q_record_linkage_fs_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("score"), 4).alias("avg_score"),
         F.round(F.min("score"), 4).alias("min_score"),
         F.round(F.max("score"), 4).alias("max_score"),
+    )
+
+
+@defquery(
+    "linkage_block_audit",
+    f"""
+    WITH c AS (
+      SELECT c_custkey AS k, c_nationkey AS nation,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal
+      FROM customer
+    ),
+    d AS (
+      SELECT k,
+             CASE WHEN k % 11 = 0 THEN CAST((nation + 7) % 25 AS INTEGER)
+                  ELSE nation END AS nation,
+             CASE WHEN k % 7 = 0 THEN bal + 5000 ELSE bal END AS bal
+      FROM c
+    ),
+    occ AS (
+      SELECT nation, bkt, nc, nd,
+             nc <= {_FS_BLOCK_CAP} AND nd <= {_FS_BLOCK_CAP} AS ok
+      FROM (SELECT nation, CAST(FLOOR(bal / 100000.0) AS BIGINT) AS bkt,
+                   COUNT(*) AS nc FROM c GROUP BY 1, 2) cb
+      JOIN (SELECT nation, CAST(FLOOR(bal / 100000.0) AS BIGINT) AS bkt,
+                   COUNT(*) AS nd FROM d GROUP BY 1, 2) db
+      USING (nation, bkt)
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(COUNT(*) FILTER (WHERE NOT ok) AS BIGINT)
+             AS n_dropped_blocks,
+           CAST(MAX(nc) AS BIGINT) AS max_occ_c,
+           CAST(MAX(nd) AS BIGINT) AS max_occ_d,
+           CAST(SUM(CASE WHEN ok THEN nc * nd ELSE 0 END) AS BIGINT)
+             AS n_candidate_pairs
+    FROM occ
+    """,
+    doc="loud drop accounting for record_linkage_fs_blocked's occupancy "
+    "cap (the lsh_bucket_audit pattern, VERDICT r8 item 3): block "
+    "census, blocks dropped by the cap, per-side occupancy maxima and "
+    "the exact bounded candidate-pair count the capped twin generates "
+    "— a silent-cap becomes a queryable artifact",
+    tags=("llm", "entity-resolution", "linkage", "audit"),
+)
+def q_linkage_block_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    c, d = _fs_linkage_sides(cust)
+    occ = _fs_block_occupancy(c, d).withColumn(
+        "ok",
+        (F.col("nc") <= _FS_BLOCK_CAP) & (F.col("nd") <= _FS_BLOCK_CAP),
+    )
+    return occ.agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.count(F.when(~F.col("ok"), 1)).cast("long").alias(
+            "n_dropped_blocks"
+        ),
+        F.max("nc").cast("long").alias("max_occ_c"),
+        F.max("nd").cast("long").alias("max_occ_d"),
+        F.sum(F.when(F.col("ok"), F.col("nc") * F.col("nd")).otherwise(0))
+        .cast("long")
+        .alias("n_candidate_pairs"),
     )
 
 
