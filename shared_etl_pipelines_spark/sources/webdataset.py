@@ -193,11 +193,16 @@ def write_zipdataset_shards(
     samples: list[tuple[str, dict[str, bytes]]],
     out_dir: str,
     shard_size: int = 64,
+    force_zip64: bool = False,
 ) -> int:
     """ZIP twin of :func:`write_webdataset_shards` — the other shard
     container real corpora ship. Members are DEFLATE-compressed (so
     reads exercise decompression, not just the directory walk) with
-    zeroed timestamps for byte-determinism. Returns the shard count."""
+    zeroed timestamps for byte-determinism. ``force_zip64`` writes
+    every member through the ZIP64 local-header path (8-byte sizes in
+    the extra field) — the structure >4 GiB shards carry at corpus
+    scale, testable without 4 GiB fixtures (VERDICT r8 item 5).
+    Returns the shard count."""
     import zipfile
 
     os.makedirs(out_dir, exist_ok=True)
@@ -213,7 +218,11 @@ def write_zipdataset_shards(
                         f"{key}.{ext}", date_time=(1980, 1, 1, 0, 0, 0)
                     )
                     info.compress_type = zipfile.ZIP_DEFLATED
-                    z.writestr(info, members[ext])
+                    if force_zip64:
+                        with z.open(info, "w", force_zip64=True) as fh:
+                            fh.write(members[ext])
+                    else:
+                        z.writestr(info, members[ext])
         os.replace(tmp, path)
         n_shards += 1
     return n_shards

@@ -129,3 +129,63 @@ def test_zip_writer_is_deterministic(tmp_path):
             os.path.join(b, f), "rb"
         ) as fb:
             assert fa.read() == fb.read(), f
+
+
+def test_zip64_structures_read_and_truncation_quarantines(spark, tmp_path):
+    """ZIP64 coverage (r9, VERDICT r8 item 5): (a) shards written
+    through the ZIP64 local-header path (8-byte sizes in the extra
+    field) read identically to classic shards; (b) a shard whose
+    member count forces the ZIP64 end-of-central-directory record
+    reads completely; (c) truncating that central directory
+    quarantines as one _corrupt row instead of wrong rows."""
+    import os
+    import struct
+    import zipfile
+
+    from shared_etl_pipelines_spark.sources.webdataset import (
+        read_zipdataset,
+        write_zipdataset_shards,
+    )
+
+    # (a) forced ZIP64 local headers
+    root = str(tmp_path / "z64members")
+    samples = [
+        (f"{i:09d}", {"txt": b"payload-" * (i + 1), "json": b"{}"})
+        for i in range(5)
+    ]
+    write_zipdataset_shards(samples, root, shard_size=8, force_zip64=True)
+    with open(os.path.join(root, "shard-00000.zip"), "rb") as fh:
+        blob = fh.read()
+    assert struct.pack("<HH", 1, 16) in blob  # ZIP64 extra-field header
+    rows = read_zipdataset(spark, root).collect()
+    got = {r["key"]: r["blob"] for r in rows if r["ext"] == "txt"}
+    assert got == {f"{i:09d}": b"payload-" * (i + 1) for i in range(5)}
+
+    # (b) ZIP64 end-of-central-directory via member count > 0xFFFF
+    big = str(tmp_path / "z64eocd")
+    os.makedirs(big)
+    path = os.path.join(big, "shard-00000.zip")
+    with zipfile.ZipFile(path, "w", zipfile.ZIP_STORED) as z:
+        for i in range(0x10000 + 3):
+            info = zipfile.ZipInfo(
+                f"{i:09d}.txt", date_time=(1980, 1, 1, 0, 0, 0)
+            )
+            z.writestr(info, b"x")
+    with open(path, "rb") as fh:
+        tail = fh.read()[-200:]
+    assert b"PK\x06\x06" in tail  # zip64 end-of-central-directory record
+    out = read_zipdataset(spark, big)
+    assert out.count() == 0x10000 + 3
+    assert out.where("ext = '_corrupt'").count() == 0
+
+    # (c) truncation inside the zip64 central directory -> loud
+    # quarantine row, never partial/wrong members
+    with open(path, "rb") as fh:
+        whole = fh.read()
+    cd_off = whole.rindex(b"PK\x06\x06")
+    trunc = str(tmp_path / "z64trunc")
+    os.makedirs(trunc)
+    with open(os.path.join(trunc, "shard-00000.zip"), "wb") as fh:
+        fh.write(whole[: cd_off - 1000])
+    qrows = read_zipdataset(spark, trunc).collect()
+    assert len(qrows) == 1 and qrows[0]["ext"] == "_corrupt"
