@@ -910,3 +910,73 @@ def q_stream_webdataset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key").cast("long").alias("doc_id"), "ext", "n_bytes"
     )
     return _run(out, "append")
+
+
+@defquery(
+    "stream_zipdataset_ingest",
+    """
+    WITH a AS (SELECT doc_id, octet_length(encode(text)) AS nb FROM documents)
+    SELECT doc_id, 'txt' AS ext, CAST(nb AS BIGINT) AS n_bytes FROM a
+    UNION ALL
+    SELECT doc_id, 'json',
+           CAST(15 + length(CAST(doc_id AS VARCHAR))
+                   + length(CAST(nb AS VARCHAR)) AS BIGINT)
+    FROM a
+    UNION ALL
+    SELECT doc_id, 'meta', CAST(7 AS BIGINT) FROM a WHERE doc_id % 37 = 0
+    """,
+    doc="streaming ZIP-shard ingest (r9, VERDICT r8 item 6 — the tar "
+    "path had a streaming twin, the ZIP path didn't): zip shards "
+    "arriving in a drop directory explode to member rows via the "
+    "binaryFile streaming source + a central-directory walk with "
+    "per-member DEFLATE decompression — stateless 1->N, exactly-once "
+    "per shard; oracle reconstructs the member census (incl. the "
+    "extra-modality .meta class) in closed form",
+    tags=("streaming", "llm", "source", "webdataset"),
+)
+def q_stream_zipdataset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import io
+    import zipfile
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.sources.webdataset import (
+        ensure_demo_zipdataset,
+    )
+
+    root = ensure_demo_zipdataset(sf_dir)
+    schema = (
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema(schema)
+        .option("pathGlobFilter", "*.zip")
+        .load(root)
+        .select("path", "content")
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {"key": [], "ext": [], "n_bytes": []}
+            for content in pdf["content"]:
+                with zipfile.ZipFile(io.BytesIO(bytes(content))) as z:
+                    for name in z.namelist():
+                        if name.endswith("/"):
+                            continue
+                        base = os.path.basename(name)
+                        key, _, ext = base.partition(".")
+                        rows["key"].append(key)
+                        rows["ext"].append(ext)
+                        # decompressed size — read the member so the
+                        # stream exercises DEFLATE, not just the walk
+                        rows["n_bytes"].append(len(z.read(name)))
+            yield pd.DataFrame(rows)
+
+    members = raw.mapInPandas(batches, "key string, ext string, n_bytes long")
+    out = members.select(
+        F.col("key").cast("long").alias("doc_id"), "ext", "n_bytes"
+    )
+    return _run(out, "append")

@@ -744,3 +744,32 @@ def test_append_emission_boundary_is_inclusive(spark, tmp_path):
     out = spark.table(name).collect()
     starts = {str(r["w"]["start"])[:10] for r in out}
     assert starts == {"2024-01-03"}  # boundary window in, newer window held
+
+
+def test_stream_zipdataset_matches_batch_reader(spark, sf_dir):
+    """Streaming ZIP-shard ingest (r9) is row-equivalent to the batch
+    reader's member census on the same drop directory — the stateless
+    1->N exactly-once contract."""
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.queries_streaming import (
+        q_stream_zipdataset_ingest,
+    )
+    from shared_etl_pipelines_spark.sources.webdataset import (
+        ensure_demo_zipdataset,
+        read_zipdataset,
+    )
+
+    got = sorted(
+        (r["doc_id"], r["ext"], r["n_bytes"])
+        for r in q_stream_zipdataset_ingest(spark, sf_dir).collect()
+    )
+    batch = read_zipdataset(spark, ensure_demo_zipdataset(sf_dir)).select(
+        F.col("key").cast("long").alias("doc_id"),
+        "ext",
+        "n_bytes",
+    )
+    want = sorted(
+        (r["doc_id"], r["ext"], r["n_bytes"]) for r in batch.collect()
+    )
+    assert got == want and len(got) > 0
