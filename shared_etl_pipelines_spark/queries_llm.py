@@ -8079,6 +8079,75 @@ def q_mp3_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# OGG/Vorbis page walk (r9, VERDICT r8 item 7): the remaining common
+# crawl-audio container after MP3/FLAC/WAV. Real RFC 3533 framing —
+# per-page CRC (the OGG polynomial, not zlib), lacing-chain packet
+# reassembly incl. packets spanning pages (the d%5==0 fixture class),
+# Vorbis ident/comment headers, granule-position duration. Audio
+# packets are censused, never decoded (Vorbis MDCT out of scope — the
+# avc1 discipline). d%7==0 fixtures carry a flipped payload byte the
+# CRC must catch.
+# ---------------------------------------------------------------------------
+@defquery(
+    "ogg_page_scan",
+    """
+    WITH a AS (
+      SELECT doc_id AS d, octet_length(encode(text)) AS n FROM documents
+    ),
+    p AS (
+      SELECT d, n,
+             CAST(n % 5 + 2 AS INT) AS n_audio,
+             ([8000, 16000, 22050, 44100])[CAST((d // 2) % 4 AS INT) + 1]
+               AS rate,
+             d % 1000 + 1000 AS granule
+      FROM a
+    ),
+    ok AS (
+      SELECT d AS doc_id, TRUE AS is_valid,
+             CAST(2 + n_audio + CASE WHEN d % 5 = 0 THEN 1 ELSE 0 END
+                  AS INT) AS n_pages,
+             CAST(3 + n_audio AS INT) AS n_packets,
+             CAST(d % 2 + 1 AS INT) AS channels,
+             CAST(rate AS INT) AS sample_rate,
+             CAST(granule * 1000 // rate AS BIGINT) AS duration_ms,
+             'spark-graft-0.9' AS vendor,
+             CAST(d % 3 + 1 AS INT) AS n_comments,
+             CAST(list_sum(list_transform(range(0, n_audio),
+                  i -> CASE WHEN i = 0 AND d % 5 = 0 THEN 300 + d % 100
+                       ELSE 180 + (d + 13 * i) % 300 END)) AS BIGINT)
+               AS audio_bytes,
+             'ok' AS reason
+      FROM p WHERE d % 7 <> 0
+    ),
+    bad AS (
+      SELECT d AS doc_id, FALSE AS is_valid, CAST(0 AS INT) AS n_pages,
+             CAST(0 AS INT) AS n_packets, CAST(0 AS INT) AS channels,
+             CAST(0 AS INT) AS sample_rate, CAST(0 AS BIGINT) AS duration_ms,
+             '' AS vendor, CAST(0 AS INT) AS n_comments,
+             CAST(0 AS BIGINT) AS audio_bytes, 'crc_mismatch' AS reason
+      FROM p WHERE d % 7 = 0
+    )
+    SELECT * FROM ok UNION ALL SELECT * FROM bad
+    """,
+    doc="OGG/Vorbis container scan: RFC 3533 page walk with per-page "
+    "CRC validation (the OGG 0x04C11DB7 polynomial), lacing-chain "
+    "packet reassembly across page boundaries, Vorbis ident/comment "
+    "header decode, granule-position duration; corrupted pages "
+    "quarantine loudly via the CRC, audio packets are censused never "
+    "decoded; oracle regenerates the fixture census in closed form",
+    tags=("llm", "multimodal", "codec", "audio"),
+)
+def q_ogg_page_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.multimodal import (
+        ogg_page_scan,
+        synthetic_ogg_assets,
+    )
+
+    assets = synthetic_ogg_assets(_t(spark, sf_dir, "documents"))
+    return ogg_page_scan(assets)
+
+
+# ---------------------------------------------------------------------------
 # WebDataset tar-shard ingestion (r8): the de-facto container format
 # for large multimodal training corpora as a TABLE — binaryFile over
 # the shards, a stdlib-tarfile walk per shard (sources/webdataset.py),

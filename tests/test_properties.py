@@ -540,3 +540,42 @@ def test_zipdataset_shard_round_trip_property(member_dicts, shard_size, z64):
                 got.setdefault(key, {})[ext] = z.read(name)
     shutil.rmtree(out, ignore_errors=True)
     assert got == {k: m for k, m in samples}
+
+
+@given(
+    st.lists(st.integers(0, 600), min_size=1, max_size=6),
+    st.integers(1, 8),
+    st.sampled_from([8000, 16000, 22050, 44100, 48000]),
+    st.lists(st.text(max_size=20), max_size=4),
+    st.integers(0, 10_000_000),
+    st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_ogg_round_trip_property(lens, channels, rate, comments, granule, split):
+    """encode -> parse is the identity on the census for ANY packet
+    layout (zero-length packets, exact-255 multiples, spanning), any
+    channels/rate/comments/granule (r9 codec sweep)."""
+    from shared_etl_pipelines_spark.sources.ogg import (
+        encode_ogg_vorbis,
+        parse_ogg,
+    )
+
+    split = split and lens[0] > 255
+    pkts = [bytes((i * 31 + j) % 256 for j in range(ln)) for i, ln in enumerate(lens)]
+    blob = encode_ogg_vorbis(
+        channels=channels,
+        sample_rate=rate,
+        vendor="v",
+        comments=comments,
+        audio_packets=pkts,
+        total_granule=granule,
+        split_first_audio=split,
+    )
+    d = parse_ogg(blob)
+    assert d["n_audio_packets"] == len(pkts)
+    assert d["audio_bytes"] == sum(lens)
+    assert d["n_packets"] == 3 + len(pkts)
+    assert (d["channels"], d["sample_rate"]) == (channels, rate)
+    assert d["comments"] == comments
+    assert d["duration_ms"] == granule * 1000 // rate
+    assert d["n_pages"] == 2 + len(pkts) + (1 if split else 0)
