@@ -161,6 +161,58 @@ def global_row_number(
     ).drop("_pid")
 
 
+def global_prefix_sum(
+    df: DataFrame,
+    order_cols: list,
+    value_col: str,
+    out_col: str = "cum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed EXCLUSIVE prefix sum of ``value_col`` in
+    ``order_cols`` order — the global-window cumsum WITHOUT Spark's
+    single-partition exchange (r9; same two-phase shape as
+    global_row_number): range-repartition on the ordering, per-partition
+    value sums collected to the driver (#partitions rows, bounded),
+    exclusive offsets broadcast back as a CASE expression, and the
+    intra-partition running sum computed by a window partitioned by
+    spark_partition_id — fully parallel at any size.
+
+    Exclusive semantics (row's own value NOT included) because that is
+    what size-budgeted packing needs: bin = cum // budget puts the
+    boundary-straddling item in the earlier bin. ``order_cols`` must be
+    a total order."""
+    n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    ordered = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    sums = {
+        r["_pid"]: r["s"]
+        for r in ordered.groupBy("_pid")
+        .agg(F.sum(value_col).alias("s"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(sums):
+        offsets[pid] = acc
+        acc += int(sums[pid] or 0)
+    off_expr = F.lit(0)
+    for pid, off in offsets.items():
+        if off:
+            off_expr = F.when(F.col("_pid") == pid, F.lit(off)).otherwise(off_expr)
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum(value_col).over(w), F.lit(0))
+    return ordered.withColumn(
+        out_col, (cum + off_expr).cast("long")
+    ).drop("_pid")
+
+
 def global_ntile(
     df: DataFrame,
     order_cols: list,

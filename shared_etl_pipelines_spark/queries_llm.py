@@ -8368,6 +8368,77 @@ def q_corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Corpus reshard plan (r9, VERDICT r8 item 8 — the WRITE side of
+# WebDataset): training pipelines reshard constantly; this is the
+# deterministic size-budgeted repack plan. Samples in key order are
+# binned by their EXCLUSIVE running payload total (new_shard =
+# cum // budget) — ONE distributed two-phase prefix sum
+# (global_prefix_sum, no single-partition window), not greedy-reset
+# packing, because that is the shape that survives 100 TB. The budget
+# is a watermark: a boundary-straddling sample lands in the earlier
+# bin (overshoot <= one sample). reshard_webdataset executes the plan
+# executor-side (one tar per bin per task); the roundtrip test pins
+# write -> read -> identical sample census.
+# ---------------------------------------------------------------------------
+_RESHARD_BUDGET = 4096
+
+
+@defquery(
+    "corpus_reshard_plan",
+    f"""
+    WITH a AS (
+      SELECT doc_id, octet_length(encode(text)) AS nb FROM documents
+    ),
+    s AS (
+      SELECT printf('%09d', doc_id) AS key,
+             CAST(CASE WHEN doc_id % 43 <> 0 THEN 3 ELSE 2 END AS INT)
+               AS n_members,
+             CAST(nb + 15 + length(CAST(doc_id AS VARCHAR))
+                     + length(CAST(nb AS VARCHAR))
+                     + CASE WHEN doc_id % 43 <> 0 THEN 1 ELSE 0 END
+                  AS BIGINT) AS sample_bytes
+      FROM a
+    ),
+    c AS (
+      SELECT key, n_members, sample_bytes,
+             COALESCE(SUM(sample_bytes) OVER (
+               ORDER BY key
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      FROM s
+    )
+    SELECT CAST(cum // {_RESHARD_BUDGET} AS BIGINT) AS new_shard,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(n_members) AS BIGINT) AS n_members,
+           CAST(SUM(sample_bytes) AS BIGINT) AS payload_bytes
+    FROM c GROUP BY 1
+    """,
+    doc="size-budgeted corpus reshard plan over the WebDataset demo "
+    "corpus: per-sample payload totals, a distributed exclusive prefix "
+    "sum in key order (two-phase, never a single-partition window), "
+    "bin = cum // budget — the deterministic repack plan "
+    "reshard_webdataset executes executor-side; oracle replays the "
+    "cumsum and binning in closed form",
+    tags=("llm", "source", "webdataset", "scale-path"),
+)
+def q_corpus_reshard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.webdataset import (
+        ensure_demo_webdataset,
+        plan_reshard,
+        read_webdataset,
+    )
+
+    rows = read_webdataset(spark, ensure_demo_webdataset(sf_dir)).filter(
+        F.col("ext") != "_corrupt"
+    )
+    plan = plan_reshard(rows, _RESHARD_BUDGET)
+    return plan.groupBy("new_shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_samples"),
+        F.sum("n_members").cast("long").alias("n_members"),
+        F.sum("sample_bytes").cast("long").alias("payload_bytes"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # ZIP-shard corpus ingestion (r8): the other shard container real
 # corpora ship, with the parts tar does not have — a central
 # directory and per-member DEFLATE compression (reads decompress, not

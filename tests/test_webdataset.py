@@ -189,3 +189,62 @@ def test_zip64_structures_read_and_truncation_quarantines(spark, tmp_path):
         fh.write(whole[: cd_off - 1000])
     qrows = read_zipdataset(spark, trunc).collect()
     assert len(qrows) == 1 and qrows[0]["ext"] == "_corrupt"
+
+
+def test_reshard_roundtrip_identical_census_and_budget(spark, tmp_path, sf_dir):
+    """Reshard (r9, VERDICT r8 item 8): write -> read -> IDENTICAL
+    sample census (every key, ext and payload byte), per-shard payload
+    respects the watermark contract (overshoot <= one sample), and the
+    executor-written manifest matches the plan."""
+    import os
+
+    from shared_etl_pipelines_spark.sources.webdataset import (
+        ensure_demo_webdataset,
+        read_webdataset,
+        reshard_webdataset,
+    )
+
+    in_root = ensure_demo_webdataset(sf_dir)
+    out_root = str(tmp_path / "resharded")
+    budget = 4096
+    manifest = {
+        r["new_shard"]: r
+        for r in reshard_webdataset(spark, in_root, out_root, budget).collect()
+    }
+    assert len(manifest) > 1
+    # every new shard exists on disk with the planned name
+    for shard, r in manifest.items():
+        assert os.path.basename(r["path"]) == f"shard-{shard:05d}.tar"
+        assert os.path.exists(r["path"])
+
+    before = {
+        (r["key"], r["ext"]): bytes(r["blob"])
+        for r in read_webdataset(spark, in_root)
+        .where("ext <> '_corrupt'")
+        .collect()
+    }
+    after_rows = read_webdataset(spark, out_root).collect()
+    after = {(r["key"], r["ext"]): bytes(r["blob"]) for r in after_rows}
+    assert after == before  # identical sample census, byte for byte
+
+    # watermark contract: shard payload < budget + its largest sample
+    by_shard: dict[int, dict[str, int]] = {}
+    for r in after_rows:
+        by_shard.setdefault(r["shard_idx"], {}).setdefault(r["key"], 0)
+        by_shard[r["shard_idx"]][r["key"]] += r["n_bytes"]
+    for shard, samples in by_shard.items():
+        total = sum(samples.values())
+        assert total == manifest[shard]["payload_bytes"]
+        assert total < budget + max(samples.values())
+    # global-bin accounting: shard k holds exactly the samples whose
+    # exclusive cumsum lands in [k*budget, (k+1)*budget) — replay the
+    # cumsum over the key order and check every assignment
+    sizes_by_key: dict[str, int] = {}
+    shard_by_key: dict[str, int] = {}
+    for r in after_rows:
+        sizes_by_key[r["key"]] = sizes_by_key.get(r["key"], 0) + r["n_bytes"]
+        shard_by_key[r["key"]] = r["shard_idx"]
+    cum = 0
+    for key in sorted(sizes_by_key):
+        assert shard_by_key[key] == cum // budget
+        cum += sizes_by_key[key]
