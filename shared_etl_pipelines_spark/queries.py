@@ -929,84 +929,84 @@ _R7_GREEN = frozenset(
     }
 )
 
-_JUDGED_GREEN = (
-    _R1_GREEN | _R2_GREEN | _R3_GREEN | _R4_GREEN | _R5_GREEN | _R6_GREEN
-    | _R7_GREEN
+# CORRECTNESS_r08.json greens: all 50 judged entries passed
+# rows+schema+hash (the fourth perfect file in a row; the nine geo
+# re-judges already sit in their original sets). Entries touched in
+# round 9 are NOT in this set per the re-fronting convention:
+# mp4_track_scan / multimodal_mp4_frames / curation_drop_audit (the
+# MP4 fixtures now carry real avcC/esds extradata and parse_mp4 gained
+# the stsd-children walk — outputs locally re-verified identical),
+# pdf_extract_text (resolve()/pages() circular-reference guards,
+# ADVICE r8 #1), multimodal_flac_decode (flac_audio_stats docstring
+# corrected, ADVICE r8 #3 — code path unchanged),
+# stream_webdataset_ingest (basename+first-dot member keys, ADVICE r8
+# #2), record_linkage_fs_blocked (block-occupancy cap, VERDICT r8
+# item 3), webdataset_ingest / corpus_shard_manifest /
+# zipdataset_ingest (the shard writers were refactored through
+# _write_one_tar / gained the zip64 flag — bytes locally re-verified
+# identical).
+_R8_GREEN = frozenset(
+    {
+        "multimodal_wav_decode", "mor_orders_state_bucketed",
+        "near_dup_prefix_filter", "similarity_topk_lsh_indexed",
+        "incremental_dedup", "dup_spans", "near_dup_simhash",
+        "embedding_near_dup_lsh", "hilbert_layout_audit",
+        "stream_new_doc_dedup", "ann_index_upsert_topk",
+        "ann_index_asof_topk", "stream_ann_index_upsert",
+        "mor_orders_state", "mor_orders_time_travel",
+        "mor_orders_changelog", "mor_history_audit",
+        "mor_schema_evolution", "stream_mor_cdc_apply",
+        "holt_linear_daily", "gif_animated_frames", "record_linkage_fs",
+        "pagerank_copurchase", "multimodal_avi_frames", "mp3_stream_scan",
+        "mann_kendall_trend", "dp_noisy_group_counts", "kruskal_wallis_h",
+        "link_prediction_jaccard", "multimodal_gif_decode",
+        "multimodal_alaw_decode",
+    }
 )
 
-# Round 8: every registry entry has a driver verdict; no sql=None entry
+_JUDGED_GREEN = (
+    _R1_GREEN | _R2_GREEN | _R3_GREEN | _R4_GREEN | _R5_GREEN | _R6_GREEN
+    | _R7_GREEN | _R8_GREEN
+)
+
+# Round 9: every registry entry has a driver verdict; no sql=None entry
 # needs a forced slot.
 _FORCE_FRONT: frozenset[str] = frozenset()
 
-# Round-8 judging window (~50 slots). First the ten queries VERDICT r7
-# item 7 flags (touched during round 7 after their last driver verdict,
-# so their green rows are stale — the judge's local re-check was 10/10
-# green, but driver verdicts are the hard currency). Then this round's
-# re-fronts (ADVICE r7 fixes touched their shared operators; results
-# locally re-verified identical at sf0.01). New round-8 queries append
-# as they land.
+# Round-9 judging window (~50 slots): first this round's re-fronts
+# (builders or shared machinery touched after their r8 verdicts;
+# results locally re-verified identical where the change was meant to
+# be behavior-preserving), then the two rows-only -> oracle-backed
+# conversions, then the five new round-9 queries.
 _CARRYOVER_FIRST = (
-    # --- r7-touched, last driver verdict predates the change ---
-    "multimodal_wav_decode", "mor_orders_state_bucketed",
-    "near_dup_prefix_filter", "similarity_topk_lsh_indexed",
-    "incremental_dedup", "dup_spans", "near_dup_simhash",
-    "embedding_near_dup_lsh", "hilbert_layout_audit",
-    "stream_new_doc_dedup",
-    # --- round-8 re-fronts: ANN/MoR maintenance lock moved to a swap-
-    # surviving sibling path (ADVICE r7 #1) ---
-    "ann_index_upsert_topk", "ann_index_asof_topk",
-    "stream_ann_index_upsert", "mor_orders_state",
-    "mor_orders_time_travel", "mor_orders_changelog",
-    "mor_history_audit", "mor_schema_evolution", "stream_mor_cdc_apply",
-    # holt fold accepts typed order columns now (ADVICE r7 #2)
-    "holt_linear_daily",
-    # GIF disposal-2 restores the screen background index (ADVICE r7 #3)
-    "gif_animated_frames",
-    # Fellegi-Sunter re-blocked onto sorted-neighborhood candidates
-    # (VERDICT r7 item 2 — clears the quadratic-at-scale mark)
-    "record_linkage_fs",
-    # --- new round-8 queries, pinned as they land ---
-    # fixed-block FS variant kept as the small-scale scoring twin
-    "record_linkage_fs_blocked",
-    # integer-micro-unit PageRank fixpoint, now fully oracle-backed
-    # (chained-CTE replay; was rows-only — VERDICT r7 item 4)
-    "pagerank_copurchase",
-    # MP4/ISO-BMFF container walk (VERDICT r7 missing #1): metadata
-    # scan of every track + MJPEG keyframe decode with loud avc1
-    # quarantine
-    "mp4_track_scan", "multimodal_mp4_frames",
-    # sample_video_frames gained the MP4 branch (AVI path unchanged)
-    "multimodal_avi_frames",
-    # PDF text extraction (VERDICT r7 missing #2): xref walk + Flate
-    # streams + Tj/TJ operators, malformed quarantine
+    # --- r9 re-fronts: MP4 fixtures now carry real avcC/esds
+    # extradata; parse_mp4 walks stsd children (VERDICT r8 item 1) ---
+    "mp4_track_scan", "multimodal_mp4_frames", "curation_drop_audit",
+    # PDF circular-reference quarantine guards (ADVICE r8 #1)
     "pdf_extract_text",
-    # FLAC decode (VERDICT r7 item 6): all four subframe families,
-    # Rice residuals, CRC/MD5 integrity quarantine
+    # flac_audio_stats docstring corrected (ADVICE r8 #3; no code path)
     "multimodal_flac_decode",
-    # unified dropped-record audit (VERDICT r7 item 8): every
-    # quarantine/cap surface in one (stage, n_units, n_dropped) table
-    "curation_drop_audit",
-    # MP3 frame-header scan (the "at minimum" half of item 6)
-    "mp3_stream_scan",
-    # WebDataset tar-shard ingestion (multimodal corpus container)
-    "webdataset_ingest",
-    # Mann-Kendall trend + Sen's slope (nonparametric trend battery)
-    "mann_kendall_trend",
-    # streaming WebDataset shard ingest (binaryFile streaming source)
+    # streaming member keys now basename+first-dot (ADVICE r8 #2)
     "stream_webdataset_ingest",
-    # seeded-Laplace noisy counts (the DP release mechanism, audit form)
-    "dp_noisy_group_counts",
-    # k-group rank test, link prediction, corpus integrity manifest
-    "kruskal_wallis_h", "link_prediction_jaccard", "corpus_shard_manifest",
-    # ZIP-shard corpus ingest (central directory + per-member DEFLATE)
-    "zipdataset_ingest",
-    # GIF fixture corpus rotates 4-pass interlace in (decode was a
-    # refusal before r8)
-    "multimodal_gif_decode",
-    # G.711 A-law decode (the European telephony twin of mu-law)
-    "multimodal_alaw_decode",
+    # block-occupancy cap before pair generation (VERDICT r8 item 3)
+    "record_linkage_fs_blocked",
+    # shard writers refactored through _write_one_tar / zip64 flag
+    "webdataset_ingest", "corpus_shard_manifest", "zipdataset_ingest",
+    # --- rows-only -> hash-checked conversions (VERDICT r8 item 2):
+    # exact fixed-point Lloyd fit; fixed-iteration power-method PCA ---
+    "embedding_kmeans", "embedding_pca_project",
+    # --- new round-9 queries ---
+    # H.264 SPS + AAC ASC stream parameters from stsd extradata
+    "mp4_codec_params",
+    # loud drop accounting for the linkage occupancy cap
+    "linkage_block_audit",
+    # streaming ZIP-shard ingest twin (VERDICT r8 item 6)
+    "stream_zipdataset_ingest",
+    # OGG/Vorbis page walk: CRC, lacing, comments (VERDICT r8 item 7)
+    "ogg_page_scan",
+    # size-budgeted WebDataset reshard plan (VERDICT r8 item 8)
+    "corpus_reshard_plan",
 )
-
 
 
 def _rotate_registry() -> None:
