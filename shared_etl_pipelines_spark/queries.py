@@ -726,7 +726,11 @@ _R3_GREEN = frozenset(
         # round: lsh_topk_from_index gained the upsert tombstone
         # liveness join (no-tombstone reads bit-identical, locally
         # re-verified).
-        "rolling_sums", "embedding_covariance",
+        "rolling_sums",
+        # "embedding_covariance" was r3-green but its oracle SQL gained
+        # the CAST(embedding AS DOUBLE[]) quantization fix in r9 (the
+        # float32-multiply half-boundary bug found via
+        # embedding_pca_project at sf0.001) — re-fronted.
         "corpus_curation", "data_quality_profile",
         # "similarity_topk_lsh" was r3-green but flipped to the Arrow
         # bucket path this round (bit-identical buckets, 1.7x faster —
@@ -995,6 +999,10 @@ _CARRYOVER_FIRST = (
     # --- rows-only -> hash-checked conversions (VERDICT r8 item 2):
     # exact fixed-point Lloyd fit; fixed-iteration power-method PCA ---
     "embedding_kmeans", "embedding_pca_project",
+    # oracle quantization now casts FLOAT -> DOUBLE[] before the
+    # fixed-point ROUND (DuckDB multiplied in float32: a half-boundary
+    # value at sf0.001 rounded -429 vs Spark's -428) — re-fronted
+    "embedding_covariance",
     # --- new round-9 queries ---
     # H.264 SPS + AAC ASC stream parameters from stsd extradata
     "mp4_codec_params",

@@ -2450,8 +2450,8 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH q AS (
       SELECT list_transform(range(1, 9),
-                            k -> CAST(ROUND(embedding[k] * 10000) AS BIGINT)) AS q
-      FROM embeddings
+                            k -> CAST(ROUND(e[k] * 10000) AS BIGINT)) AS q
+      FROM (SELECT CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
     )
     SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
            ROUND((CAST(SUM(q[i] * q[j]) AS DOUBLE)
@@ -2487,8 +2487,8 @@ def _pca_power_sql(k: int, iters: int, dim: int) -> str:
     parts = [
         f"""base AS MATERIALIZED (
       SELECT vec_id, list_transform({r},
-                   i -> CAST(ROUND(embedding[i] * 10000) AS BIGINT)) AS q
-      FROM embeddings
+                   i -> CAST(ROUND(e[i] * 10000) AS BIGINT)) AS q
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
     )""",
         f"""sums AS MATERIALIZED (
       SELECT t.i AS i, SUM(b.q[t.i]) AS s, COUNT(*) AS n
@@ -2705,8 +2705,8 @@ def _kmeans_chain_sql(k: int, iters: int, dim: int) -> str:
     parts = [
         f"""base AS (
       SELECT vec_id, list_transform(range(1, {dim + 1}),
-                   i -> CAST(ROUND(embedding[i] * 10000) AS BIGINT)) AS q
-      FROM embeddings
+                   i -> CAST(ROUND(e[i] * 10000) AS BIGINT)) AS q
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
     )""",
         f"""c0 AS (
       SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell,
