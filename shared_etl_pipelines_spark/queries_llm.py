@@ -8097,42 +8097,54 @@ def q_mp3_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     p AS (
       SELECT d, n,
              CAST(n % 5 + 2 AS INT) AS n_audio,
+             d % 3 = 1 AS is_opus,
+             d % 5 = 0 AND d % 3 <> 1 AS split,
              ([8000, 16000, 22050, 44100])[CAST((d // 2) % 4 AS INT) + 1]
                AS rate,
-             d % 1000 + 1000 AS granule
+             d % 1000 + 1000 AS samples,
+             CASE WHEN d % 3 = 1 THEN 312 + d % 100 ELSE 0 END AS pre_skip
       FROM a
     ),
     ok AS (
       SELECT d AS doc_id, TRUE AS is_valid,
-             CAST(2 + n_audio + CASE WHEN d % 5 = 0 THEN 1 ELSE 0 END
+             CASE WHEN is_opus THEN 'opus' ELSE 'vorbis' END AS codec,
+             CAST(2 + n_audio + CASE WHEN split THEN 1 ELSE 0 END
                   AS INT) AS n_pages,
-             CAST(3 + n_audio AS INT) AS n_packets,
+             CAST(CASE WHEN is_opus THEN 2 ELSE 3 END + n_audio AS INT)
+               AS n_packets,
              CAST(d % 2 + 1 AS INT) AS channels,
              CAST(rate AS INT) AS sample_rate,
-             CAST(granule * 1000 // rate AS BIGINT) AS duration_ms,
+             CAST(CASE WHEN is_opus THEN samples * 1000 // 48000
+                  ELSE samples * 1000 // rate END AS BIGINT) AS duration_ms,
+             CAST(pre_skip AS INT) AS pre_skip,
              'spark-graft-0.9' AS vendor,
              CAST(d % 3 + 1 AS INT) AS n_comments,
              CAST(list_sum(list_transform(range(0, n_audio),
-                  i -> CASE WHEN i = 0 AND d % 5 = 0 THEN 300 + d % 100
+                  i -> CASE WHEN i = 0 AND d % 5 = 0 AND d % 3 <> 1
+                       THEN 300 + d % 100
                        ELSE 180 + (d + 13 * i) % 300 END)) AS BIGINT)
                AS audio_bytes,
              'ok' AS reason
       FROM p WHERE d % 7 <> 0
     ),
     bad AS (
-      SELECT d AS doc_id, FALSE AS is_valid, CAST(0 AS INT) AS n_pages,
+      SELECT d AS doc_id, FALSE AS is_valid, '' AS codec,
+             CAST(0 AS INT) AS n_pages,
              CAST(0 AS INT) AS n_packets, CAST(0 AS INT) AS channels,
              CAST(0 AS INT) AS sample_rate, CAST(0 AS BIGINT) AS duration_ms,
+             CAST(0 AS INT) AS pre_skip,
              '' AS vendor, CAST(0 AS INT) AS n_comments,
              CAST(0 AS BIGINT) AS audio_bytes, 'crc_mismatch' AS reason
       FROM p WHERE d % 7 = 0
     )
     SELECT * FROM ok UNION ALL SELECT * FROM bad
     """,
-    doc="OGG/Vorbis container scan: RFC 3533 page walk with per-page "
-    "CRC validation (the OGG 0x04C11DB7 polynomial), lacing-chain "
-    "packet reassembly across page boundaries, Vorbis ident/comment "
-    "header decode, granule-position duration; corrupted pages "
+    doc="OGG container scan, Vorbis AND Opus (RFC 3533 + RFC 7845): "
+    "page walk with per-page CRC validation (the OGG 0x04C11DB7 "
+    "polynomial), lacing-chain packet reassembly across page "
+    "boundaries, codec dispatch on the first packet's magic — Vorbis "
+    "ident/comment headers with granule-clock duration, OpusHead/"
+    "OpusTags with pre-skip-adjusted 48 kHz duration; corrupted pages "
     "quarantine loudly via the CRC, audio packets are censused never "
     "decoded; oracle regenerates the fixture census in closed form",
     tags=("llm", "multimodal", "codec", "audio"),

@@ -1967,14 +1967,17 @@ def synthetic_alaw_wav_assets(
 def synthetic_ogg_assets(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "text"
 ) -> DataFrame:
-    """Deterministic REAL-OGG/Vorbis fixtures (sources/ogg.py): for
-    payload byte-length n and doc_id d — channels d%2+1, sample rate
+    """Deterministic REAL-OGG fixtures (sources/ogg.py), Vorbis and
+    Opus mixed: for payload byte-length n and doc_id d — codec is OPUS
+    when d%3==1, Vorbis otherwise; channels d%2+1, informational rate
     [8000,16000,22050,44100][(d//2)%4], n%5+2 audio packets of length
-    180+(d+13i)%300 (first packet 300+d%100 and SPLIT across a page
-    boundary when d%5==0 — exercises the continued-flag path), total
-    granule d%1000+1000, d%3+1 comments 'k{j}=v{(d+j)%10}', vendor
-    'spark-graft-0.9'. d%7==0 blobs get their final payload byte
-    flipped: the page CRC must catch it and the row quarantines."""
+    180+(d+13i)%300 (Vorbis first packet 300+d%100 and SPLIT across a
+    page boundary when d%5==0 — exercises the continued-flag path),
+    d%3+1 comments 'k{j}=v{(d+j)%10}', vendor 'spark-graft-0.9'.
+    Vorbis granule = d%1000+1000 on the codec rate; Opus granule =
+    samples + pre-skip (312+d%100) on the 48 kHz clock with samples =
+    d%1000+1000. d%7==0 blobs get their final payload byte flipped:
+    the page CRC must catch it and the row quarantines."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from shared_etl_pipelines_spark.sources import ogg
@@ -1986,24 +1989,37 @@ def synthetic_ogg_assets(
                 d = int(doc_id)
                 n = len(str(payload).encode("utf-8"))
                 n_audio = n % 5 + 2
+                is_opus = d % 3 == 1
+                split = d % 5 == 0 and not is_opus
                 pkts = []
                 for i in range(n_audio):
-                    if i == 0 and d % 5 == 0:
+                    if i == 0 and split:
                         ln = 300 + d % 100
                     else:
                         ln = 180 + (d + 13 * i) % 300
                     pkts.append(bytes((d + i * 7 + j) % 256 for j in range(ln)))
-                blob = ogg.encode_ogg_vorbis(
-                    channels=d % 2 + 1,
-                    sample_rate=rates[(d // 2) % 4],
-                    vendor="spark-graft-0.9",
-                    comments=[
-                        f"k{j}=v{(d + j) % 10}" for j in range(d % 3 + 1)
-                    ],
-                    audio_packets=pkts,
-                    total_granule=d % 1000 + 1000,
-                    split_first_audio=(d % 5 == 0),
-                )
+                comments = [f"k{j}=v{(d + j) % 10}" for j in range(d % 3 + 1)]
+                if is_opus:
+                    pre_skip = 312 + d % 100
+                    blob = ogg.encode_ogg_opus(
+                        channels=d % 2 + 1,
+                        input_sample_rate=rates[(d // 2) % 4],
+                        pre_skip=pre_skip,
+                        vendor="spark-graft-0.9",
+                        comments=comments,
+                        audio_packets=pkts,
+                        total_granule=d % 1000 + 1000 + pre_skip,
+                    )
+                else:
+                    blob = ogg.encode_ogg_vorbis(
+                        channels=d % 2 + 1,
+                        sample_rate=rates[(d // 2) % 4],
+                        vendor="spark-graft-0.9",
+                        comments=comments,
+                        audio_packets=pkts,
+                        total_granule=d % 1000 + 1000,
+                        split_first_audio=split,
+                    )
                 if d % 7 == 0:
                     ba = bytearray(blob)
                     ba[-1] ^= 0xFF
@@ -2033,9 +2049,9 @@ def ogg_page_scan(assets: DataFrame) -> DataFrame:
         from shared_etl_pipelines_spark.sources import ogg
 
         cols = (
-            "doc_id", "is_valid", "n_pages", "n_packets", "channels",
-            "sample_rate", "duration_ms", "vendor", "n_comments",
-            "audio_bytes", "reason",
+            "doc_id", "is_valid", "codec", "n_pages", "n_packets",
+            "channels", "sample_rate", "duration_ms", "pre_skip",
+            "vendor", "n_comments", "audio_bytes", "reason",
         )
         for pdf in it:
             rows: dict[str, list] = {k: [] for k in cols}
@@ -2053,11 +2069,13 @@ def ogg_page_scan(assets: DataFrame) -> DataFrame:
                         reason = "malformed"
                     rows["doc_id"].append(doc_id)
                     rows["is_valid"].append(False)
+                    rows["codec"].append("")
                     rows["n_pages"].append(0)
                     rows["n_packets"].append(0)
                     rows["channels"].append(0)
                     rows["sample_rate"].append(0)
                     rows["duration_ms"].append(0)
+                    rows["pre_skip"].append(0)
                     rows["vendor"].append("")
                     rows["n_comments"].append(0)
                     rows["audio_bytes"].append(0)
@@ -2065,11 +2083,13 @@ def ogg_page_scan(assets: DataFrame) -> DataFrame:
                     continue
                 rows["doc_id"].append(doc_id)
                 rows["is_valid"].append(True)
+                rows["codec"].append(info["codec"])
                 rows["n_pages"].append(int(info["n_pages"]))
                 rows["n_packets"].append(int(info["n_packets"]))
                 rows["channels"].append(int(info["channels"]))
                 rows["sample_rate"].append(int(info["sample_rate"]))
                 rows["duration_ms"].append(int(info["duration_ms"]))
+                rows["pre_skip"].append(int(info["pre_skip"]))
                 rows["vendor"].append(info["vendor"])
                 rows["n_comments"].append(len(info["comments"]))
                 rows["audio_bytes"].append(int(info["audio_bytes"]))
@@ -2078,7 +2098,8 @@ def ogg_page_scan(assets: DataFrame) -> DataFrame:
 
     return assets.mapInPandas(
         batches,
-        "doc_id bigint, is_valid boolean, n_pages int, n_packets int, "
-        "channels int, sample_rate int, duration_ms bigint, vendor "
-        "string, n_comments int, audio_bytes bigint, reason string",
+        "doc_id bigint, is_valid boolean, codec string, n_pages int, "
+        "n_packets int, channels int, sample_rate int, duration_ms "
+        "bigint, pre_skip int, vendor string, n_comments int, "
+        "audio_bytes bigint, reason string",
     )

@@ -30,6 +30,7 @@ __all__ = [
     "is_ogg",
     "parse_ogg",
     "encode_ogg_vorbis",
+    "encode_ogg_opus",
     "ogg_crc",
 ]
 
@@ -170,14 +171,58 @@ def encode_ogg_vorbis(
     return b"".join(pages)
 
 
-def parse_ogg(data: bytes) -> dict:
-    """Strict page walk -> packet reassembly -> Vorbis header decode.
+def encode_ogg_opus(
+    channels: int,
+    input_sample_rate: int,
+    pre_skip: int,
+    vendor: str,
+    comments: list[str],
+    audio_packets: list[bytes],
+    total_granule: int,
+    serial: int = 0x504F,
+) -> bytes:
+    """A real multi-page OGG/Opus stream (RFC 7845): OpusHead alone on
+    the BOS page, OpusTags on page 1, one audio packet per page, EOS +
+    the 48 kHz total granule on the final page. The audio packets are
+    opaque (Opus SILK/CELT decode is out of scope — census only)."""
+    head = (
+        b"OpusHead"
+        + struct.pack("<BBHIhB", 1, channels, pre_skip, input_sample_rate, 0, 0)
+    )
+    tags = b"OpusTags" + struct.pack("<I", len(vendor)) + vendor.encode()
+    tags += struct.pack("<I", len(comments))
+    for c in comments:
+        cb = c.encode()
+        tags += struct.pack("<I", len(cb)) + cb
 
-    Returns {n_pages, n_packets, serial, channels, sample_rate,
-    duration_ms, vendor, comments, audio_bytes, n_audio_packets}.
-    Raises ValueError with a named reason on any malformation — CRC
-    mismatch, version, sequence gap, orphan continuation, truncated
-    page or packet, missing EOS, malformed Vorbis headers."""
+    pages = [_encode_page(serial, 0, 0, 0x02, _lace(head))]
+    pages.append(_encode_page(serial, 1, 0, 0, _lace(tags)))
+    seq = 2
+    granule_step = max(total_granule // max(len(audio_packets), 1), 1)
+    gran = 0
+    for i, pkt in enumerate(audio_packets):
+        last = i == len(audio_packets) - 1
+        gran = total_granule if last else gran + granule_step
+        pages.append(
+            _encode_page(serial, seq, gran, 0x04 if last else 0, _lace(pkt))
+        )
+        seq += 1
+    return b"".join(pages)
+
+
+def parse_ogg(data: bytes) -> dict:
+    """Strict page walk -> packet reassembly -> codec header decode
+    (Vorbis ident/comment headers, or OpusHead/OpusTags per RFC 7845 —
+    dispatched on the first packet's magic).
+
+    Returns {codec, n_pages, n_packets, serial, channels, sample_rate,
+    duration_ms, vendor, comments, audio_bytes, n_audio_packets,
+    pre_skip}. For Opus, sample_rate is the informational input rate
+    from OpusHead and duration is computed on the 48 kHz granule clock
+    minus pre-skip, per spec. Raises ValueError with a named reason on
+    any malformation — CRC mismatch, version, sequence gap, orphan
+    continuation, truncated page or packet, missing EOS, malformed
+    codec headers."""
     if not is_ogg(data):
         raise ValueError("not an OGG stream (no OggS capture pattern)")
     pos = 0
@@ -247,12 +292,19 @@ def parse_ogg(data: bytes) -> dict:
         raise ValueError("stream ends inside a packet")
     if not saw_eos:
         raise ValueError("no EOS page")
-    if len(packets) < 3:
-        raise ValueError("fewer than the three Vorbis header packets")
+    if len(packets) < 2:
+        raise ValueError("fewer packets than any codec's header count")
 
     ident = packets[0]
+    if ident[:8] == b"OpusHead":
+        return _finish_opus(packets, n_pages, serial0, last_granule)
     if ident[:7] != b"\x01vorbis" or len(ident) < 30:
-        raise ValueError("first packet is not a Vorbis identification header")
+        raise ValueError(
+            "first packet is neither a Vorbis identification header "
+            "nor an OpusHead"
+        )
+    if len(packets) < 3:
+        raise ValueError("fewer than the three Vorbis header packets")
     vversion, channels, rate = struct.unpack_from("<IBI", ident, 7)
     if vversion != 0:
         raise ValueError(f"unsupported Vorbis version {vversion}")
@@ -262,13 +314,43 @@ def parse_ogg(data: bytes) -> dict:
     comm = packets[1]
     if comm[:7] != b"\x03vorbis":
         raise ValueError("second packet is not a Vorbis comment header")
-    p = 7
+    vendor, comments = _parse_comment_block(comm, 7)
+    if packets[2][:7] != b"\x05vorbis":
+        raise ValueError("third packet is not a Vorbis setup header")
+
+    audio = packets[3:]
+    return {
+        "codec": "vorbis",
+        "n_pages": n_pages,
+        "n_packets": len(packets),
+        "serial": serial0,
+        "channels": channels,
+        "sample_rate": rate,
+        "duration_ms": last_granule * 1000 // rate,
+        "vendor": vendor,
+        "comments": comments,
+        "audio_bytes": sum(len(a) for a in audio),
+        "n_audio_packets": len(audio),
+        "pre_skip": 0,
+    }
+
+
+def _parse_comment_block(comm: bytes, off: int) -> tuple[str, list[str]]:
+    """The shared Vorbis-comment layout (also used verbatim by
+    OpusTags, RFC 7845 §5.2): u32-LE vendor length + vendor, u32-LE
+    comment count, then (u32-LE length + bytes) per comment. Overruns
+    raise — callers quarantine."""
+    p = off
+    if p + 4 > len(comm):
+        raise ValueError("comment vendor length overruns the packet")
     (vlen,) = struct.unpack_from("<I", comm, p)
     p += 4
     if p + vlen > len(comm):
         raise ValueError("comment vendor string overruns the packet")
     vendor = comm[p : p + vlen].decode("utf-8", "strict")
     p += vlen
+    if p + 4 > len(comm):
+        raise ValueError("comment count overruns the packet")
     (ncomm,) = struct.unpack_from("<I", comm, p)
     p += 4
     comments = []
@@ -281,19 +363,46 @@ def parse_ogg(data: bytes) -> dict:
             raise ValueError("comment string overruns the packet")
         comments.append(comm[p : p + clen].decode("utf-8", "strict"))
         p += clen
-    if packets[2][:7] != b"\x05vorbis":
-        raise ValueError("third packet is not a Vorbis setup header")
+    return vendor, comments
 
-    audio = packets[3:]
+
+def _finish_opus(
+    packets: list[bytes], n_pages: int, serial0: int, last_granule: int
+) -> dict:
+    """OpusHead/OpusTags decode (RFC 7845 §5): version 1, channel
+    count, pre-skip, informational input rate; duration runs on the
+    48 kHz granule clock minus pre-skip regardless of input rate."""
+    head = packets[0]
+    if len(head) < 19:
+        raise ValueError("OpusHead truncated")
+    version, channels, pre_skip, in_rate, _gain, mapping = struct.unpack_from(
+        "<BBHIhB", head, 8
+    )
+    if version != 1:
+        raise ValueError(f"unsupported OpusHead version {version}")
+    if channels < 1:
+        raise ValueError("OpusHead with zero channels")
+    if mapping != 0:
+        raise ValueError(
+            f"Opus channel mapping family {mapping} not supported"
+        )
+    tags = packets[1]
+    if tags[:8] != b"OpusTags":
+        raise ValueError("second packet is not OpusTags")
+    vendor, comments = _parse_comment_block(tags, 8)
+    audio = packets[2:]
+    samples = max(last_granule - pre_skip, 0)
     return {
+        "codec": "opus",
         "n_pages": n_pages,
         "n_packets": len(packets),
         "serial": serial0,
         "channels": channels,
-        "sample_rate": rate,
-        "duration_ms": last_granule * 1000 // rate,
+        "sample_rate": in_rate,
+        "duration_ms": samples * 1000 // 48000,
         "vendor": vendor,
         "comments": comments,
         "audio_bytes": sum(len(a) for a in audio),
         "n_audio_packets": len(audio),
+        "pre_skip": pre_skip,
     }

@@ -155,7 +155,8 @@ def test_spark_ogg_page_scan_rows_and_quarantine(spark):
             assert not r["is_valid"] and r["reason"] == "crc_mismatch"
         else:
             n = 3 + d
-            assert r["is_valid"] and r["n_packets"] == 3 + (n % 5 + 2)
+            n_headers = 2 if d % 3 == 1 else 3  # opus: OpusHead+OpusTags
+            assert r["is_valid"] and r["n_packets"] == n_headers + (n % 5 + 2)
             assert r["channels"] == d % 2 + 1
             assert r["n_comments"] == d % 3 + 1
     # non-OGG junk quarantines as not_ogg
@@ -164,3 +165,81 @@ def test_spark_ogg_page_scan_rows_and_quarantine(spark):
     ).withColumn("media_type", F.lit("audio/ogg"))
     q = ogg_page_scan(junk).collect()[0]
     assert not q["is_valid"] and q["reason"] == "not_ogg"
+
+
+def test_opus_round_trip_and_pre_skip_duration():
+    from shared_etl_pipelines_spark.sources.ogg import (
+        encode_ogg_opus,
+        parse_ogg,
+    )
+
+    aud = [bytes(range(40 + i)) for i in range(3)]
+    blob = encode_ogg_opus(
+        channels=2, input_sample_rate=16000, pre_skip=312,
+        vendor="spark-graft-0.9", comments=["artist=a", "title=t"],
+        audio_packets=aud, total_granule=48000 * 2 + 312,
+    )
+    d = parse_ogg(blob)
+    assert d["codec"] == "opus"
+    assert d["n_packets"] == 5 and d["n_pages"] == 5
+    assert d["channels"] == 2 and d["sample_rate"] == 16000
+    # duration runs on the 48 kHz granule clock minus pre-skip
+    assert d["duration_ms"] == 2000 and d["pre_skip"] == 312
+    assert d["comments"] == ["artist=a", "title=t"]
+    assert d["audio_bytes"] == sum(len(a) for a in aud)
+
+
+def test_opus_refusals():
+    from shared_etl_pipelines_spark.sources.ogg import (
+        encode_ogg_opus,
+        ogg_crc,
+        parse_ogg,
+    )
+
+    blob = encode_ogg_opus(1, 8000, 0, "v", [], [b"x" * 30], 4800)
+    # version != 1 (recompute page 0's CRC so only the version trips)
+    bad = bytearray(blob)
+    head_off = blob.index(b"OpusHead") + 8
+    bad[head_off] = 9
+    nsegs = bad[26]
+    body = sum(bad[27 : 27 + nsegs])
+    page = bytearray(bad[: 27 + nsegs + body])
+    page[22:26] = b"\x00\x00\x00\x00"
+    struct.pack_into("<I", bad, 22, ogg_crc(bytes(page)))
+    with pytest.raises(ValueError, match="OpusHead version"):
+        parse_ogg(bytes(bad))
+    # non-zero channel mapping family refused
+    blob2 = encode_ogg_opus(1, 8000, 0, "v", [], [b"x" * 30], 4800)
+    bad2 = bytearray(blob2)
+    fam_off = blob2.index(b"OpusHead") + 18
+    bad2[fam_off] = 1
+    page = bytearray(bad2[: 27 + nsegs + body])
+    page[22:26] = b"\x00\x00\x00\x00"
+    struct.pack_into("<I", bad2, 22, ogg_crc(bytes(page)))
+    with pytest.raises(ValueError, match="mapping family"):
+        parse_ogg(bytes(bad2))
+
+
+def test_spark_ogg_scan_mixes_vorbis_and_opus(spark):
+    from shared_etl_pipelines_spark.sources.multimodal import (
+        ogg_page_scan,
+        synthetic_ogg_assets,
+    )
+
+    docs = spark.createDataFrame(
+        [(d, "y" * (3 + d)) for d in range(1, 25)], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in ogg_page_scan(synthetic_ogg_assets(docs)).collect()
+    }
+    for d, r in rows.items():
+        if d % 7 == 0:
+            assert not r["is_valid"]
+            continue
+        if d % 3 == 1:
+            assert r["codec"] == "opus"
+            assert r["pre_skip"] == 312 + d % 100
+            assert r["duration_ms"] == (d % 1000 + 1000) * 1000 // 48000
+        else:
+            assert r["codec"] == "vorbis" and r["pre_skip"] == 0
