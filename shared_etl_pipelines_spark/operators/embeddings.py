@@ -472,6 +472,14 @@ def pca_power_project(
         for _ in range(iters):
             w = [_pydot(M[i], v) for i in range(dim)]
             nrm = math.sqrt(_pydot(w, w))
+            if nrm == 0.0:
+                # rank(C) < k (e.g. all vectors identical): refuse
+                # loudly rather than diverge from the oracle on 0/0
+                raise ValueError(
+                    f"covariance rank < {k}: power iteration collapsed "
+                    f"at component {p} — fewer informative dimensions "
+                    "than requested components"
+                )
             v = [x / nrm for x in w]
         lam = nrm
         M = [

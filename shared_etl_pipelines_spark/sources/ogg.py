@@ -124,6 +124,8 @@ def encode_ogg_vorbis(
     bytes) across a page boundary: its first 255 bytes end page 2 with
     a 255 lacing value (granule -1 — no packet ends there, RFC 3533
     §6), the rest opens page 3 with the continued flag."""
+    if not audio_packets:
+        raise ValueError("at least one audio packet required (EOS page)")
     ident = (
         b"\x01vorbis"
         + struct.pack("<IBI", 0, channels, sample_rate)
@@ -185,6 +187,8 @@ def encode_ogg_opus(
     the BOS page, OpusTags on page 1, one audio packet per page, EOS +
     the 48 kHz total granule on the final page. The audio packets are
     opaque (Opus SILK/CELT decode is out of scope — census only)."""
+    if not audio_packets:
+        raise ValueError("at least one audio packet required (EOS page)")
     head = (
         b"OpusHead"
         + struct.pack("<BBHIhB", 1, channels, pre_skip, input_sample_rate, 0, 0)

@@ -1842,3 +1842,20 @@ def test_linkage_block_cap_bounds_pairs_loudly(spark, sf_dir):
     # k%7 balance perturbation splits the hot set into 2 blocks; the
     # main one must exceed the cap and be marked not-ok
     assert any(not r["ok"] and r["nc"] > _FS_BLOCK_CAP for r in rows)
+
+
+def test_pca_power_project_rank_deficient_raises(spark):
+    """Degenerate input (all vectors identical -> zero covariance) must
+    refuse loudly, not diverge from the oracle on 0/0 (r9 self-review)."""
+    import pytest as _pytest
+
+    from shared_etl_pipelines_spark.operators.embeddings import (
+        pca_power_project,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [0.5] * 8) for i in range(20)],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="covariance rank"):
+        pca_power_project(df, "vec_id", "embedding", dim=8, k=2, iters=5)
