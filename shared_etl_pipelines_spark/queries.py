@@ -1014,6 +1014,8 @@ _CARRYOVER_FIRST = (
     "ogg_page_scan",
     # size-budgeted WebDataset reshard plan (VERDICT r8 item 8)
     "corpus_reshard_plan",
+    # ID3v2 text-frame census (beyond-agenda: MP3 metadata half)
+    "mp3_id3_tags",
 )
 
 

@@ -8079,6 +8079,61 @@ def q_mp3_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ID3v2 text-frame census (r9, beyond-agenda): the metadata half of
+# the MP3 story — mp3_stream_scan sees structure (duration/bitrate/
+# frames), this sees WHAT the file claims to be (title/artist/album),
+# which is what an audio-corpus audit groups and dedups on. Real
+# ID3v2.3 (plain sizes) and v2.4 (syncsafe sizes) tags, all four text
+# encodings; overrunning frame sizes quarantine loudly.
+# ---------------------------------------------------------------------------
+@defquery(
+    "mp3_id3_tags",
+    """
+    WITH a AS (SELECT doc_id AS d FROM documents),
+    ok AS (
+      SELECT d AS doc_id, TRUE AS is_tagged,
+             CAST(CASE WHEN d % 2 = 0 THEN 4 ELSE 3 END AS INT)
+               AS id3_version,
+             CAST(4 AS INT) AS n_frames,
+             'doc-' || CAST(d AS VARCHAR) AS title,
+             'artist-' || CAST(d % 50 AS VARCHAR) AS artist,
+             'album-' || CAST(d % 20 AS VARCHAR) AS album,
+             CAST(d % 12 + 1 AS VARCHAR) AS track,
+             'ok' AS reason
+      FROM a WHERE d % 11 <> 0 AND d % 7 <> 0
+    ),
+    untagged AS (
+      SELECT d AS doc_id, FALSE AS is_tagged, CAST(0 AS INT), CAST(0 AS INT),
+             '', '', '', '', 'untagged'
+      FROM a WHERE d % 7 = 0 AND d % 11 <> 0
+    ),
+    corrupt AS (
+      SELECT d AS doc_id, FALSE AS is_tagged, CAST(0 AS INT), CAST(0 AS INT),
+             '', '', '', '', 'tag_malformed'
+      FROM a WHERE d % 11 = 0
+    )
+    SELECT * FROM ok UNION ALL SELECT * FROM untagged
+    UNION ALL SELECT * FROM corrupt
+    """,
+    doc="ID3v2 text-frame census over tagged MP3s: v2.3 plain and "
+    "v2.4 syncsafe frame sizes, latin-1/utf-16/utf-16be/utf-8 text "
+    "encodings, title/artist/album/track extraction; untagged files "
+    "surface is_tagged=false, structurally damaged tags quarantine "
+    "as tag_malformed — the metadata census an audio-corpus audit "
+    "groups on; oracle regenerates every cell in closed form",
+    tags=("llm", "multimodal", "codec", "audio", "metadata"),
+)
+def q_mp3_id3_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.multimodal import (
+        mp3_id3_tags,
+        synthetic_mp3_tagged_assets,
+    )
+
+    assets = synthetic_mp3_tagged_assets(_t(spark, sf_dir, "documents"))
+    return mp3_id3_tags(assets)
+
+
+# ---------------------------------------------------------------------------
 # OGG/Vorbis page walk (r9, VERDICT r8 item 7): the remaining common
 # crawl-audio container after MP3/FLAC/WAV. Real RFC 3533 framing —
 # per-page CRC (the OGG polynomial, not zlib), lacing-chain packet

@@ -27,7 +27,7 @@ mid-frame reports ``truncated``; bytes that never sync report
 
 from __future__ import annotations
 
-__all__ = ["is_mp3", "scan_mp3"]
+__all__ = ["is_mp3", "scan_mp3", "parse_id3v2", "encode_id3v2"]
 
 # MPEG1 Layer III bitrates, kbps, index 1..14 (0 = free-format, 15 bad)
 _BITRATES_V1_L3 = [
@@ -57,6 +57,116 @@ def _id3v2_size(data: bytes) -> int:
         size = (size << 7) | b
     footer = 10 if data[5] & 0x10 else 0
     return 10 + size + footer
+
+
+# ID3v2 text-frame decode (r9): the metadata census half of the MP3
+# story — crawl-audio audits threshold on title/artist/album presence
+# and consistency, which the structural scan alone cannot see. Public
+# spec (id3.org ID3v2.3 / ID3v2.4): 10-byte tag header, then frames of
+# 4-char id + 4-byte size (PLAIN 32-bit in v2.3, 28-bit SYNCSAFE in
+# v2.4) + 2 flag bytes; text frames ('T...') carry an encoding byte
+# (0 latin-1, 1 utf-16 with BOM, 2 utf-16be, 3 utf-8) + the string.
+
+_ID3_ENCODINGS = {0: "latin-1", 1: "utf-16", 2: "utf-16-be", 3: "utf-8"}
+
+
+def parse_id3v2(data: bytes) -> dict:
+    """Decode a leading ID3v2.3/2.4 tag to its text frames.
+
+    Returns {version, n_frames, frames: {id: text}} (only 'T...' text
+    frames are decoded; others are counted and skipped). Raises
+    ValueError on structural damage — truncated headers, frame sizes
+    overrunning the tag, unsynchronisation (not produced by any
+    mainstream tagger for years and not worth a silent mis-parse),
+    reserved text encodings — so callers quarantine, never guess."""
+    if data[:3] != b"ID3" or len(data) < 10:
+        raise ValueError("no ID3v2 tag")
+    major = data[3]
+    if major not in (3, 4):
+        raise ValueError(f"ID3v2.{major} not supported — quarantine")
+    flags = data[5]
+    if flags & 0x80:
+        raise ValueError("ID3v2 unsynchronisation flag — quarantine")
+    size = 0
+    for b in data[6:10]:
+        if b & 0x80:
+            raise ValueError("ID3v2 size byte with high bit set")
+        size = (size << 7) | b
+    end = 10 + size
+    if end > len(data):
+        raise ValueError("ID3v2 tag size overruns the blob")
+    p = 10
+    if flags & 0x40:  # extended header: skip by its own size field
+        if p + 4 > end:
+            raise ValueError("ID3v2 extended header truncated")
+        if major == 4:
+            # v2.4: syncsafe size INCLUDING the size field itself
+            ehs = 0
+            for b in data[p : p + 4]:
+                if b & 0x80:
+                    raise ValueError("extended-header size byte high bit")
+                ehs = (ehs << 7) | b
+            p += ehs
+        else:
+            # v2.3: plain size EXCLUDING the 4 size bytes
+            p += 4 + int.from_bytes(data[p : p + 4], "big")
+        if p > end:
+            raise ValueError("ID3v2 extended header overruns the tag")
+    frames: dict[str, str] = {}
+    n_frames = 0
+    while p + 10 <= end:
+        fid = data[p : p + 4]
+        if fid == b"\x00\x00\x00\x00":
+            break  # padding
+        if not all(65 <= c <= 90 or 48 <= c <= 57 for c in fid):
+            raise ValueError(f"malformed ID3v2 frame id {fid!r}")
+        if major == 4:
+            fsz = 0
+            for b in data[p + 4 : p + 8]:
+                if b & 0x80:
+                    raise ValueError("v2.4 frame size byte with high bit set")
+                fsz = (fsz << 7) | b
+        else:
+            fsz = int.from_bytes(data[p + 4 : p + 8], "big")
+        body = p + 10
+        if body + fsz > end:
+            raise ValueError(
+                f"frame {fid.decode('latin-1')} size overruns the tag"
+            )
+        n_frames += 1
+        if fid[:1] == b"T" and fsz >= 1:
+            enc = data[body]
+            if enc not in _ID3_ENCODINGS:
+                raise ValueError(f"reserved ID3v2 text encoding {enc}")
+            raw = data[body + 1 : body + fsz]
+            text = raw.decode(_ID3_ENCODINGS[enc], "strict")
+            frames[fid.decode("latin-1")] = text.rstrip("\x00")
+        p = body + fsz
+    return {"version": major, "n_frames": n_frames, "frames": frames}
+
+
+def encode_id3v2(frames: dict[str, str], major: int = 4, encoding: int = 3) -> bytes:
+    """A real ID3v2.3/2.4 tag from text frames, for fixtures: frame
+    sizes syncsafe in v2.4 and plain 32-bit in v2.3, the two layouts a
+    parser must distinguish."""
+    body = b""
+    for fid, text in sorted(frames.items()):
+        enc_name = _ID3_ENCODINGS[encoding]
+        raw = bytes([encoding]) + text.encode(enc_name)
+        if major == 4:
+            sz = bytes(
+                [(len(raw) >> 21) & 0x7F, (len(raw) >> 14) & 0x7F,
+                 (len(raw) >> 7) & 0x7F, len(raw) & 0x7F]
+            )
+        else:
+            sz = len(raw).to_bytes(4, "big")
+        body += fid.encode("latin-1") + sz + b"\x00\x00" + raw
+    total = len(body)
+    head = b"ID3" + bytes([major, 0, 0]) + bytes(
+        [(total >> 21) & 0x7F, (total >> 14) & 0x7F,
+         (total >> 7) & 0x7F, total & 0x7F]
+    )
+    return head + body
 
 
 def is_mp3(data: bytes) -> bool:

@@ -2103,3 +2103,113 @@ def ogg_page_scan(assets: DataFrame) -> DataFrame:
         "bigint, pre_skip int, vendor string, n_comments int, "
         "audio_bytes bigint, reason string",
     )
+
+
+def synthetic_mp3_tagged_assets(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "text"
+) -> DataFrame:
+    """Deterministic ID3v2-tagged MP3 fixtures (r9): real MPEG1 Layer
+    III frame streams prefixed with a REAL ID3v2 tag — v2.4 syncsafe
+    frame sizes on even doc_ids, v2.3 plain 32-bit sizes on odd ones,
+    text encoding rotating latin-1/utf-16/utf-16be/utf-8 by d%4, frames
+    TIT2='doc-{d}', TPE1='artist-{d%50}', TALB='album-{d%20}',
+    TRCK=str(d%12+1). d%11==0 blobs carry a frame whose declared size
+    overruns the tag (must quarantine); d%7==0 blobs are untagged
+    (bare frame stream)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shared_etl_pipelines_spark.sources import mp3
+
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                d = int(doc_id)
+                n = len(str(payload).encode("utf-8"))
+                audio = mp3.encode_mp3_frames(
+                    n % 3 + 2,
+                    bitrate_index=d % 14 + 1,
+                    sample_rate_index=d % 3,
+                    mono=d % 2 == 1,
+                )
+                if d % 11 == 0:
+                    tag = bytearray(
+                        mp3.encode_id3v2({"TIT2": f"doc-{d}"}, 4, 3)
+                    )
+                    tag[14] = 0x7F  # frame size now overruns the tag
+                    blob = bytes(tag) + audio
+                elif d % 7 == 0:
+                    blob = audio  # untagged class
+                else:
+                    tag = mp3.encode_id3v2(
+                        {
+                            "TIT2": f"doc-{d}",
+                            "TPE1": f"artist-{d % 50}",
+                            "TALB": f"album-{d % 20}",
+                            "TRCK": str(d % 12 + 1),
+                        },
+                        major=4 if d % 2 == 0 else 3,
+                        encoding=d % 4,
+                    )
+                    blob = tag + audio
+                ids.append(d)
+                blobs.append(blob)
+            yield pd.DataFrame(
+                {"doc_id": ids, "media_type": "audio/mpeg", "blob": blobs}
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches, "doc_id bigint, media_type string, blob binary"
+    )
+
+
+def mp3_id3_tags(assets: DataFrame) -> DataFrame:
+    """ID3v2 text-frame census (r9): title/artist/album/track from the
+    tag prefix of crawled MP3s — the metadata half the structural scan
+    (mp3_stream_scan) cannot see, and what an audio-corpus audit
+    groups/filters on. Untagged files surface is_tagged=false;
+    structurally damaged tags quarantine with reason 'tag_malformed'
+    (never a guessed string). One mapInPandas pass, no shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shared_etl_pipelines_spark.sources import mp3
+
+        cols = (
+            "doc_id", "is_tagged", "id3_version", "n_frames", "title",
+            "artist", "album", "track", "reason",
+        )
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+
+            def emit(doc_id, tagged, ver, nf, fr, reason):
+                rows["doc_id"].append(doc_id)
+                rows["is_tagged"].append(tagged)
+                rows["id3_version"].append(ver)
+                rows["n_frames"].append(nf)
+                rows["title"].append(fr.get("TIT2", ""))
+                rows["artist"].append(fr.get("TPE1", ""))
+                rows["album"].append(fr.get("TALB", ""))
+                rows["track"].append(fr.get("TRCK", ""))
+                rows["reason"].append(reason)
+
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                blob = bytes(blob)
+                try:
+                    info = mp3.parse_id3v2(blob)
+                except ValueError as e:
+                    if "no ID3v2 tag" in str(e):
+                        emit(doc_id, False, 0, 0, {}, "untagged")
+                    else:
+                        emit(doc_id, False, 0, 0, {}, "tag_malformed")
+                    continue
+                emit(
+                    doc_id, True, int(info["version"]),
+                    int(info["n_frames"]), info["frames"], "ok",
+                )
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(
+        batches,
+        "doc_id bigint, is_tagged boolean, id3_version int, n_frames "
+        "int, title string, artist string, album string, track string, "
+        "reason string",
+    )

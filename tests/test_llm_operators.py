@@ -1859,3 +1859,77 @@ def test_pca_power_project_rank_deficient_raises(spark):
     )
     with _pytest.raises(ValueError, match="covariance rank"):
         pca_power_project(df, "vec_id", "embedding", dim=8, k=2, iters=5)
+
+
+def test_id3v2_round_trip_versions_and_encodings():
+    """ID3v2 codec (r9): v2.3 plain vs v2.4 syncsafe frame sizes, all
+    four text encodings, padding tolerance, and loud refusal of
+    overruns / unsync / reserved encodings / bad frame ids."""
+    import pytest as _pytest
+
+    from shared_etl_pipelines_spark.sources.mp3 import (
+        encode_id3v2,
+        parse_id3v2,
+    )
+
+    frames = {"TIT2": "Tïtle — ünïcode", "TPE1": "a" * 300, "TRCK": "7"}
+    for major in (3, 4):
+        for enc in (0, 1, 2, 3):
+            if enc == 0 and major:  # latin-1 can't carry the em dash
+                use = {k: v.replace("—", "-") for k, v in frames.items()}
+            else:
+                use = frames
+            tag = encode_id3v2(use, major, enc)
+            d = parse_id3v2(tag + b"\xffrest-of-mp3")
+            assert d["version"] == major and d["n_frames"] == 3
+            assert d["frames"] == use
+    # padding after the last frame ends the walk cleanly
+    tag = encode_id3v2({"TIT2": "x"}, 4, 3)
+    padded = tag[:6] + bytes([0, 0, 0, tag[9] + 8]) + tag[10:] + b"\x00" * 8
+    assert parse_id3v2(padded)["frames"] == {"TIT2": "x"}
+    # refusals
+    with _pytest.raises(ValueError, match="no ID3v2"):
+        parse_id3v2(b"\xff\xfb\x90\x00")
+    unsync = bytearray(encode_id3v2({"TIT2": "x"}))
+    unsync[5] |= 0x80
+    with _pytest.raises(ValueError, match="unsynchronisation"):
+        parse_id3v2(bytes(unsync))
+    bad = bytearray(encode_id3v2({"TIT2": "x"}))
+    bad[14] = 0x7F
+    with _pytest.raises(ValueError, match="overruns"):
+        parse_id3v2(bytes(bad))
+    with _pytest.raises(ValueError, match="not supported"):
+        parse_id3v2(b"ID3\x02\x00\x00\x00\x00\x00\x00")
+    lower = bytearray(encode_id3v2({"TIT2": "x"}))
+    lower[10] = ord("t")
+    with _pytest.raises(ValueError, match="frame id"):
+        parse_id3v2(bytes(lower))
+    renc = bytearray(encode_id3v2({"TIT2": "x"}, 4, 3))
+    renc[20] = 9  # encoding byte -> reserved
+    with _pytest.raises(ValueError, match="reserved ID3v2 text encoding"):
+        parse_id3v2(bytes(renc))
+
+
+def test_spark_mp3_id3_census(spark):
+    from shared_etl_pipelines_spark.sources.multimodal import (
+        mp3_id3_tags,
+        synthetic_mp3_tagged_assets,
+    )
+
+    docs = spark.createDataFrame(
+        [(d, "y" * (3 + d)) for d in range(1, 30)], "doc_id long, text string"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in mp3_id3_tags(synthetic_mp3_tagged_assets(docs)).collect()
+    }
+    for d, r in rows.items():
+        if d % 11 == 0:
+            assert r["reason"] == "tag_malformed" and not r["is_tagged"]
+        elif d % 7 == 0:
+            assert r["reason"] == "untagged" and not r["is_tagged"]
+        else:
+            assert r["is_tagged"] and r["title"] == f"doc-{d}"
+            assert r["artist"] == f"artist-{d % 50}"
+            assert r["id3_version"] == (4 if d % 2 == 0 else 3)
+            assert r["track"] == str(d % 12 + 1)
