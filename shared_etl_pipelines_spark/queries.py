@@ -1016,6 +1016,8 @@ _CARRYOVER_FIRST = (
     "corpus_reshard_plan",
     # ID3v2 text-frame census (beyond-agenda: MP3 metadata half)
     "mp3_id3_tags",
+    # EXIF/GPS PII audit over JPEGs (beyond-agenda)
+    "jpeg_exif_gps_audit",
 )
 
 

@@ -8079,6 +8079,80 @@ def q_mp3_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# EXIF/GPS census (r9, beyond-agenda): embedded GPS rationals in
+# crawled JPEGs geolocate the photographer — first-order PII a
+# curation pass must SEE to strip. Real APP1/TIFF-IFD walk (both byte
+# orders), GPS components kept as raw integers so the audit replays
+# exactly; damaged EXIF quarantines, never guesses.
+# ---------------------------------------------------------------------------
+@defquery(
+    "jpeg_exif_gps_audit",
+    """
+    WITH a AS (SELECT doc_id AS d FROM documents),
+    ok AS (
+      SELECT d AS doc_id, TRUE AS has_exif,
+             CAST(d % 8 + 1 AS INT) AS orientation,
+             'maker-' || CAST(d % 7 AS VARCHAR) AS make,
+             'model-' || CAST(d % 13 AS VARCHAR) AS model,
+             '2023:01:0' || CAST(d % 9 + 1 AS VARCHAR) || ' 12:00:00'
+               AS datetime,
+             d % 3 <> 0 AS has_gps,
+             CAST(CASE WHEN d % 3 <> 0 THEN d % 90 ELSE 0 END AS INT)
+               AS lat_deg,
+             CAST(CASE WHEN d % 3 <> 0 THEN d % 60 ELSE 0 END AS INT)
+               AS lat_min,
+             CAST(CASE WHEN d % 3 <> 0 THEN (d * 37) % 6000 ELSE 0 END
+                  AS INT) AS lat_sec_centi,
+             CASE WHEN d % 3 = 0 THEN ''
+                  WHEN d % 4 < 2 THEN 'N' ELSE 'S' END AS lat_ref,
+             CAST(CASE WHEN d % 3 <> 0 THEN d % 180 ELSE 0 END AS INT)
+               AS lon_deg,
+             CAST(CASE WHEN d % 3 <> 0 THEN (d // 2) % 60 ELSE 0 END
+                  AS INT) AS lon_min,
+             CAST(CASE WHEN d % 3 <> 0 THEN (d * 53) % 6000 ELSE 0 END
+                  AS INT) AS lon_sec_centi,
+             CASE WHEN d % 3 = 0 THEN ''
+                  WHEN d % 8 < 4 THEN 'E' ELSE 'W' END AS lon_ref,
+             'ok' AS reason
+      FROM a WHERE d % 5 <> 0 AND d % 17 <> 0
+    ),
+    untagged AS (
+      SELECT d AS doc_id, FALSE, CAST(0 AS INT), '', '', '', FALSE,
+             CAST(0 AS INT), CAST(0 AS INT), CAST(0 AS INT), '',
+             CAST(0 AS INT), CAST(0 AS INT), CAST(0 AS INT), '',
+             'no_exif'
+      FROM a WHERE d % 5 = 0
+    ),
+    corrupt AS (
+      SELECT d AS doc_id, FALSE, CAST(0 AS INT), '', '', '', FALSE,
+             CAST(0 AS INT), CAST(0 AS INT), CAST(0 AS INT), '',
+             CAST(0 AS INT), CAST(0 AS INT), CAST(0 AS INT), '',
+             'exif_malformed'
+      FROM a WHERE d % 17 = 0 AND d % 5 <> 0
+    )
+    SELECT * FROM ok UNION ALL SELECT * FROM untagged
+    UNION ALL SELECT * FROM corrupt
+    """,
+    doc="EXIF/GPS PII audit over crawled JPEGs: APP1 TIFF-IFD walk in "
+    "both byte orders, IFD0 identity tags (orientation/make/model/"
+    "datetime) and GPS latitude/longitude rationals surfaced as raw "
+    "integer components — the geolocation PII a curation pass strips; "
+    "images without EXIF report has_exif=false, damaged EXIF "
+    "quarantines as exif_malformed; oracle regenerates every cell in "
+    "closed form",
+    tags=("llm", "multimodal", "codec", "pii", "audit"),
+)
+def q_jpeg_exif_gps_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.multimodal import (
+        jpeg_exif_scan,
+        synthetic_exif_jpeg_assets,
+    )
+
+    assets = synthetic_exif_jpeg_assets(_t(spark, sf_dir, "documents"))
+    return jpeg_exif_scan(assets)
+
+
+# ---------------------------------------------------------------------------
 # ID3v2 text-frame census (r9, beyond-agenda): the metadata half of
 # the MP3 story — mp3_stream_scan sees structure (duration/bitrate/
 # frames), this sees WHAT the file claims to be (title/artist/album),

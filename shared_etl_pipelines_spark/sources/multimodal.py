@@ -2213,3 +2213,153 @@ def mp3_id3_tags(assets: DataFrame) -> DataFrame:
         "int, title string, artist string, album string, track string, "
         "reason string",
     )
+
+
+def synthetic_exif_jpeg_assets(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "text"
+) -> DataFrame:
+    """Deterministic EXIF-tagged JPEG fixtures (r9): real baseline
+    JPEGs with an APP1 EXIF segment spliced after SOI — byte order II
+    on even doc_ids, MM on odd; orientation d%8+1, make 'maker-{d%7}',
+    model 'model-{d%13}', datetime '2023:01:0{d%9+1} 12:00:00'. GPS
+    rationals present when d%3!=0: lat (d%90, d%60, (d*37)%6000,
+    N/S by d%4<2), lon (d%180, (d//2)%60, (d*53)%6000, E/W by d%8<4).
+    d%5==0 carries no EXIF at all; d%17==0 has an IFD entry count that
+    overruns the segment (must quarantine). The GPS class is the PII
+    surface a curation pass must see to strip."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import numpy as np
+
+        from shared_etl_pipelines_spark.sources import exif, jpeg
+
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                d = int(doc_id)
+                frame = np.full(
+                    (8, 8), (d * 31) % 256, dtype=np.uint8
+                )
+                base = jpeg.encode_jpeg(frame)
+                if d % 5 == 0:
+                    blobs.append(base)
+                    ids.append(d)
+                    continue
+                gps = None
+                if d % 3 != 0:
+                    gps = (
+                        d % 90, d % 60, (d * 37) % 6000,
+                        "N" if d % 4 < 2 else "S",
+                        d % 180, (d // 2) % 60, (d * 53) % 6000,
+                        "E" if d % 8 < 4 else "W",
+                    )
+                app1 = exif.encode_exif_app1(
+                    make=f"maker-{d % 7}",
+                    model=f"model-{d % 13}",
+                    orientation=d % 8 + 1,
+                    datetime=f"2023:01:0{d % 9 + 1} 12:00:00",
+                    gps=gps,
+                    big_endian=d % 2 == 1,
+                )
+                if d % 17 == 0:
+                    ba = bytearray(app1)
+                    # IFD0 entry count lives right after the 8-byte
+                    # TIFF header (offset 6 + 8)
+                    _struct.pack_into(
+                        ">H" if d % 2 == 1 else "<H", ba, 14, 9999
+                    )
+                    app1 = bytes(ba)
+                seg = b"\xff\xe1" + _struct.pack(">H", len(app1) + 2) + app1
+                blobs.append(base[:2] + seg + base[2:])
+                ids.append(d)
+            yield pd.DataFrame(
+                {"doc_id": ids, "media_type": "image/jpeg", "blob": blobs}
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches, "doc_id bigint, media_type string, blob binary"
+    )
+
+
+def jpeg_exif_scan(assets: DataFrame) -> DataFrame:
+    """EXIF/GPS census over crawled JPEGs (r9): the camera-metadata and
+    PII-audit pass — embedded GPS rationals geolocate the photographer,
+    so curation must SEE them to strip or quarantine. Walks the JPEG
+    marker stream for the APP1 EXIF segment, parses IFD0 identity tags
+    and the GPS IFD in raw integer components (exactly replayable, no
+    float). Untagged images surface has_exif=false; structurally
+    damaged EXIF quarantines as exif_malformed. One mapInPandas pass,
+    no shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        from shared_etl_pipelines_spark.sources import exif
+
+        cols = (
+            "doc_id", "has_exif", "orientation", "make", "model",
+            "datetime", "has_gps", "lat_deg", "lat_min", "lat_sec_centi",
+            "lat_ref", "lon_deg", "lon_min", "lon_sec_centi", "lon_ref",
+            "reason",
+        )
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+
+            def emit(doc_id, has_exif, info, reason):
+                rows["doc_id"].append(doc_id)
+                rows["has_exif"].append(has_exif)
+                rows["orientation"].append(int(info.get("orientation", 0)))
+                rows["make"].append(info.get("make", ""))
+                rows["model"].append(info.get("model", ""))
+                rows["datetime"].append(info.get("datetime", ""))
+                rows["has_gps"].append(bool(info.get("has_gps", False)))
+                for k in (
+                    "lat_deg", "lat_min", "lat_sec_centi", "lon_deg",
+                    "lon_min", "lon_sec_centi",
+                ):
+                    rows[k].append(int(info.get(k, 0)))
+                rows["lat_ref"].append(info.get("lat_ref", ""))
+                rows["lon_ref"].append(info.get("lon_ref", ""))
+                rows["reason"].append(reason)
+
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                blob = bytes(blob)
+                # marker walk for APP1/Exif (0xFFE1)
+                app1 = None
+                pos = 2 if blob[:2] == b"\xff\xd8" else None
+                while pos is not None and pos + 4 <= len(blob):
+                    if blob[pos] != 0xFF:
+                        break
+                    marker = blob[pos + 1]
+                    if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+                        pos += 2
+                        continue
+                    (seglen,) = _struct.unpack_from(">H", blob, pos + 2)
+                    if marker == 0xE1 and blob[
+                        pos + 4 : pos + 10
+                    ] == b"Exif\x00\x00":
+                        app1 = blob[pos + 4 : pos + 2 + seglen]
+                        break
+                    if marker == 0xDA:
+                        break  # entropy data: no APP1 before scan start
+                    pos += 2 + seglen
+                if app1 is None:
+                    emit(doc_id, False, {}, "no_exif")
+                    continue
+                try:
+                    info = exif.parse_exif_app1(app1)
+                except ValueError:
+                    emit(doc_id, False, {}, "exif_malformed")
+                    continue
+                emit(doc_id, True, info, "ok")
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(
+        batches,
+        "doc_id bigint, has_exif boolean, orientation int, make string, "
+        "model string, datetime string, has_gps boolean, lat_deg int, "
+        "lat_min int, lat_sec_centi int, lat_ref string, lon_deg int, "
+        "lon_min int, lon_sec_centi int, lon_ref string, reason string",
+    )
