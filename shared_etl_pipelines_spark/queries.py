@@ -1018,6 +1018,8 @@ _CARRYOVER_FIRST = (
     "mp3_id3_tags",
     # EXIF/GPS PII audit over JPEGs (beyond-agenda)
     "jpeg_exif_gps_audit",
+    # WebVTT/SRT caption extraction (beyond-agenda)
+    "caption_cue_extract",
 )
 
 

@@ -8079,6 +8079,76 @@ def q_mp3_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Caption extraction (r9, beyond-agenda): WebVTT/SRT sidecars are how
+# crawl video actually ships transcripts — for a training-data
+# pipeline these ARE the documents, and a silently mis-parsed
+# timestamp shears every alignment downstream. Output text joins
+# multi-line cues with ' | ' (the gate's row alignment is line-based;
+# the true char count keeps the newline).
+# ---------------------------------------------------------------------------
+@defquery(
+    "caption_cue_extract",
+    """
+    WITH a AS (
+      SELECT doc_id AS d, octet_length(encode(text)) AS n FROM documents
+    ),
+    p AS (SELECT d, CAST(n % 4 + 2 AS INT) AS n_cues FROM a),
+    cues AS (
+      SELECT d, CAST(unnest(range(0, n_cues)) AS INT) AS i
+      FROM p WHERE d % 9 <> 0
+    ),
+    ok AS (
+      SELECT d AS doc_id,
+             CASE WHEN d % 2 = 0 THEN 'vtt' ELSE 'srt' END AS fmt,
+             i AS cue_idx,
+             CAST(d % 1000 + 2000 * i AS BIGINT) AS start_ms,
+             CAST(d % 1000 + 2000 * i + 1200 + (d % 5) * 100 AS BIGINT)
+               AS end_ms,
+             CASE WHEN i % 2 = 1
+                  THEN 'line-' || d || '-' || i || ' | cont-' || i
+                  ELSE 'line-' || d || '-' || i END AS text,
+             CAST(CASE WHEN i % 2 = 1
+                  THEN length('line-' || d || '-' || i) + 1
+                       + length('cont-' || i)
+                  ELSE length('line-' || d || '-' || i) END AS INT)
+               AS n_chars,
+             'ok' AS reason
+      FROM cues
+    ),
+    bad AS (
+      SELECT d AS doc_id,
+             CASE WHEN d % 2 = 0 THEN 'vtt' ELSE 'srt' END AS fmt,
+             CAST(-1 AS INT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             '', CAST(0 AS INT), 'malformed'
+      FROM p WHERE d % 9 = 0
+    )
+    SELECT * FROM ok UNION ALL SELECT * FROM bad
+    """,
+    doc="caption-sidecar extraction: WebVTT (signature, NOTE blocks, "
+    "optional cue ids, cue settings) and SRT (contiguous indices, "
+    "comma timestamps) parsed to exact per-cue millisecond rows with "
+    "joined text; malformed timings/reversed ranges/renumbered "
+    "indices quarantine as one cue_idx=-1 row — transcript documents "
+    "for a crawl-video corpus; oracle regenerates every cue in closed "
+    "form",
+    tags=("llm", "multimodal", "text", "captions"),
+)
+def q_caption_cue_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.multimodal import (
+        caption_cue_rows,
+        synthetic_caption_assets,
+    )
+
+    assets = synthetic_caption_assets(_t(spark, sf_dir, "documents"))
+    out = caption_cue_rows(assets)
+    return out.select(
+        "doc_id", "fmt", "cue_idx", "start_ms", "end_ms",
+        F.regexp_replace("text", "\n", " | ").alias("text"),
+        "n_chars", "reason",
+    )
+
+
+# ---------------------------------------------------------------------------
 # EXIF/GPS census (r9, beyond-agenda): embedded GPS rationals in
 # crawled JPEGs geolocate the photographer — first-order PII a
 # curation pass must SEE to strip. Real APP1/TIFF-IFD walk (both byte

@@ -2363,3 +2363,100 @@ def jpeg_exif_scan(assets: DataFrame) -> DataFrame:
         "lat_min int, lat_sec_centi int, lat_ref string, lon_deg int, "
         "lon_min int, lon_sec_centi int, lon_ref string, reason string",
     )
+
+
+def synthetic_caption_assets(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "text"
+) -> DataFrame:
+    """Deterministic caption-sidecar fixtures (r9): WebVTT on even
+    doc_ids (with a NOTE block the parser must skip), SRT on odd ones;
+    n%4+2 cues, cue i spanning [d%1000 + 2000i, +1200 + (d%5)*100] ms,
+    text 'line-{d}-{i}' with a second line 'cont-{i}' on odd cues.
+    d%9==0 sidecars carry a '-->'-less timing line (must quarantine)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shared_etl_pipelines_spark.sources import captions
+
+        for pdf in it:
+            ids, fmts, payloads = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                d = int(doc_id)
+                n = len(str(payload).encode("utf-8"))
+                cues = []
+                for i in range(n % 4 + 2):
+                    start = d % 1000 + 2000 * i
+                    end = start + 1200 + (d % 5) * 100
+                    text = f"line-{d}-{i}" + (f"\ncont-{i}" if i % 2 else "")
+                    cues.append((start, end, text))
+                fmt = "vtt" if d % 2 == 0 else "srt"
+                body = (
+                    captions.encode_webvtt(cues)
+                    if fmt == "vtt"
+                    else captions.encode_srt(cues)
+                )
+                if d % 9 == 0:
+                    body = body.replace("-->", "->", 1)
+                ids.append(d)
+                fmts.append(fmt)
+                payloads.append(body)
+            yield pd.DataFrame(
+                {"doc_id": ids, "fmt": fmts, "payload": payloads}
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches, "doc_id bigint, fmt string, payload string"
+    )
+
+
+def caption_cue_rows(assets: DataFrame) -> DataFrame:
+    """Caption extraction (r9): WebVTT/SRT sidecars -> one row per cue
+    with exact millisecond timings and the joined text — the transcript
+    documents a crawl-video corpus actually ships. Malformed sidecars
+    (broken timings, reversed ranges, renumbered SRT indices)
+    quarantine as one cue_idx=-1 row; a sheared alignment is worse
+    than a dropped file. One mapInPandas pass, no shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shared_etl_pipelines_spark.sources import captions
+
+        cols = (
+            "doc_id", "fmt", "cue_idx", "start_ms", "end_ms", "text",
+            "n_chars", "reason",
+        )
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for doc_id, fmt, payload in zip(
+                pdf["doc_id"], pdf["fmt"], pdf["payload"]
+            ):
+                try:
+                    cues = (
+                        captions.parse_webvtt(payload)
+                        if fmt == "vtt"
+                        else captions.parse_srt(payload)
+                    )
+                except ValueError:
+                    rows["doc_id"].append(doc_id)
+                    rows["fmt"].append(fmt)
+                    rows["cue_idx"].append(-1)
+                    rows["start_ms"].append(0)
+                    rows["end_ms"].append(0)
+                    rows["text"].append("")
+                    rows["n_chars"].append(0)
+                    rows["reason"].append("malformed")
+                    continue
+                for idx, start, end, text in cues:
+                    rows["doc_id"].append(doc_id)
+                    rows["fmt"].append(fmt)
+                    rows["cue_idx"].append(idx)
+                    rows["start_ms"].append(start)
+                    rows["end_ms"].append(end)
+                    rows["text"].append(text)
+                    rows["n_chars"].append(len(text))
+                    rows["reason"].append("ok")
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(
+        batches,
+        "doc_id bigint, fmt string, cue_idx int, start_ms bigint, "
+        "end_ms bigint, text string, n_chars int, reason string",
+    )
