@@ -628,3 +628,35 @@ def test_webdataset_scan_parallelism_is_shard_count(spark, sf):
     plan = phys(REGISTRY["webdataset_ingest"].fn(spark, sf))
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_reshard_plan_no_single_partition_window(spark, sf):
+    """The size-budgeted reshard plan's global cumsum must never plan
+    Spark's all-rows-to-one-partition global window: range partitioning
+    + per-partition-id windows + broadcast offsets only (r9)."""
+    p = phys(REGISTRY["corpus_reshard_plan"].fn(spark, sf))
+    assert "SinglePartition" not in p
+    assert "rangepartitioning" in p
+
+
+def test_linkage_blocked_cap_is_broadcast_gated(spark, sf):
+    """The occupancy cap must gate pair generation through a BROADCAST
+    join on the tiny allowed-block list, and the pair join itself must
+    be an equi-join — never a nested loop (r9)."""
+    p = phys(REGISTRY["record_linkage_fs_blocked"].fn(spark, sf))
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_media_scans_are_shuffle_free(spark, sf):
+    """The r9 media walks are one mapInPandas pass over binary blobs —
+    per-file parallelism, no data shuffle (the shape that makes them
+    scan-bound at 100 TB). The only allowed exchange is the fixture
+    generator's round-robin spread of the single-file test scan; any
+    hash/range/single-partition exchange means a grouping snuck in."""
+    for name in ("mp4_codec_params", "ogg_page_scan", "mp3_id3_tags",
+                 "jpeg_exif_gps_audit"):
+        p = phys(REGISTRY[name].fn(spark, sf))
+        assert "hashpartitioning" not in p, name
+        assert "rangepartitioning" not in p, name
+        assert "SinglePartition" not in p, name
