@@ -1020,6 +1020,8 @@ _CARRYOVER_FIRST = (
     "jpeg_exif_gps_audit",
     # WebVTT/SRT caption extraction (beyond-agenda)
     "caption_cue_extract",
+    # ftfy-style mojibake repair (beyond-agenda)
+    "mojibake_repair",
 )
 
 

@@ -8079,6 +8079,85 @@ def q_mp3_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Mojibake repair (r9, beyond-agenda): UTF-8 text mis-decoded as
+# latin-1 somewhere in a crawl pipeline ("cafÃ©") is among the most
+# common text defects an LLM corpus carries. The ftfy-style repair is
+# the reverse round trip — latin-1-encode, utf-8-decode — accepted
+# only when it both SUCCEEDS and CHANGES the string (pure-ASCII and
+# genuine latin-1 text fail one of the two). Fixtures append a
+# deterministic non-ASCII suffix (the synthetic corpus is pure ASCII)
+# and double-decode the d%3==0 class; the oracle reconstructs both the
+# corrupted char counts and the repaired text in closed form.
+# ---------------------------------------------------------------------------
+@defquery(
+    "mojibake_repair",
+    """
+    WITH a AS (
+      SELECT doc_id AS d, text, length(text) AS lc FROM documents
+    )
+    SELECT d AS doc_id,
+           d % 3 = 0 AS was_mojibake,
+           -- latin-1 view of the UTF-8 suffix bytes: 2 chars for the
+           -- 2-byte e-acute, 3 for the 3-byte numero sign
+           CAST(lc + CASE WHEN d % 3 = 0 THEN 10 ELSE 7 END AS INT)
+             AS n_chars_in,
+           CAST(lc + 7 AS INT) AS n_chars_out,
+           text || ' café№' || CAST(d % 10 AS VARCHAR) AS repaired
+    FROM a
+    """,
+    doc="ftfy-style mojibake repair: detect UTF-8-mis-decoded-as-"
+    "latin-1 text by the reverse round trip (latin-1 encode -> utf-8 "
+    "decode, accepted only when it succeeds AND changes the string) "
+    "and emit the repaired text — one of the most common crawl-text "
+    "defects; pure-ASCII and genuine latin-1 text are left untouched; "
+    "oracle reconstructs corrupted char counts and repaired text in "
+    "closed form",
+    tags=("llm", "text", "curation", "quality"),
+)
+def q_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def corrupt_then_repair(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rows: dict[str, list]
+        for pdf in it:
+            rows = {
+                "doc_id": [], "was_mojibake": [], "n_chars_in": [],
+                "n_chars_out": [], "repaired": [],
+            }
+            for d, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                # fixture side: give the ASCII corpus a non-ASCII tail,
+                # then double-decode the d%3==0 class
+                doc = f"{text} café№{d % 10}"
+                if d % 3 == 0:
+                    doc = doc.encode("utf-8").decode("latin-1")
+                # repair side (the operator under test): reverse round
+                # trip, accepted only if it succeeds AND changes
+                repaired, was = doc, False
+                try:
+                    cand = doc.encode("latin-1").decode("utf-8")
+                    if cand != doc:
+                        repaired, was = cand, True
+                except (UnicodeEncodeError, UnicodeDecodeError):
+                    pass
+                rows["doc_id"].append(d)
+                rows["was_mojibake"].append(was)
+                rows["n_chars_in"].append(len(doc))
+                rows["n_chars_out"].append(len(repaired))
+                rows["repaired"].append(repaired)
+            yield pd.DataFrame(rows)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        corrupt_then_repair,
+        "doc_id bigint, was_mojibake boolean, n_chars_in int, "
+        "n_chars_out int, repaired string",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Caption extraction (r9, beyond-agenda): WebVTT/SRT sidecars are how
 # crawl video actually ships transcripts — for a training-data
 # pipeline these ARE the documents, and a silently mis-parsed

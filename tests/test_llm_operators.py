@@ -1933,3 +1933,29 @@ def test_spark_mp3_id3_census(spark):
             assert r["artist"] == f"artist-{d % 50}"
             assert r["id3_version"] == (4 if d % 2 == 0 else 3)
             assert r["track"] == str(d % 12 + 1)
+
+
+def test_mojibake_repair_semantics(spark, sf_dir):
+    """The reverse-round-trip heuristic: repairs true mojibake, leaves
+    pure ASCII and genuine latin-1/unicode text untouched, and the
+    fixture query restores every corrupted doc to its clean form."""
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.queries_llm import q_mojibake_repair
+
+    out = q_mojibake_repair(spark, sf_dir)
+    rows = out.collect()
+    assert all((r["doc_id"] % 3 == 0) == r["was_mojibake"] for r in rows)
+    for r in rows:
+        assert r["repaired"].endswith(f" café№{r['doc_id'] % 10}")
+        assert r["n_chars_out"] == len(r["repaired"])
+        if r["was_mojibake"]:
+            assert r["n_chars_in"] == r["n_chars_out"] + 3
+    # pure-python heuristic guards (no Spark): clean inputs untouched
+    for clean in ("plain ascii", "déjà vu — genuine unicode", "café№"):
+        try:
+            cand = clean.encode("latin-1").decode("utf-8")
+            changed = cand != clean
+        except (UnicodeEncodeError, UnicodeDecodeError):
+            changed = False
+        assert not changed, clean
