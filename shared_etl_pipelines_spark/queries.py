@@ -1022,6 +1022,8 @@ _CARRYOVER_FIRST = (
     "caption_cue_extract",
     # ftfy-style mojibake repair (beyond-agenda)
     "mojibake_repair",
+    # RFC 9309 robots.txt allowance audit (beyond-agenda)
+    "robots_crawl_audit",
 )
 
 

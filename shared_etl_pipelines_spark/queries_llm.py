@@ -8079,6 +8079,106 @@ def q_mp3_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# robots.txt allowance audit (r9, beyond-agenda): re-verifying crawl
+# allowance against the robots snapshot is a standard curation pass —
+# a corpus that ignored exclusion is a liability. Real RFC 9309
+# semantics: exact product-token group beats the '*' group (the
+# fixture's '*' group disallows EVERYTHING, so group selection is
+# load-bearing), longest-matched-pattern precedence with '*'/'$'
+# wildcards, equal lengths resolve to allow.
+# ---------------------------------------------------------------------------
+@defquery(
+    "robots_crawl_audit",
+    """
+    WITH a AS (
+      SELECT doc_id AS d,
+             CAST(doc_id % 20 AS INT) AS domain,
+             CAST(doc_id % 7 AS INT) AS x,
+             CAST(doc_id % 11 AS INT) AS y,
+             CAST((doc_id % 20) % 7 AS INT) AS ra,
+             CAST((doc_id % 20) % 11 AS INT) AS rb
+      FROM documents
+    )
+    SELECT d AS doc_id, domain,
+           '/p' || x || '/q' || y AS path,
+           CASE WHEN domain % 5 = 4 THEN TRUE
+                WHEN x = ra AND y = rb THEN TRUE
+                WHEN y = 10 THEN FALSE
+                WHEN x = ra THEN FALSE
+                ELSE TRUE END AS allowed,
+           CASE WHEN domain % 5 = 4 THEN ''
+                WHEN x = ra AND y = rb
+                  THEN '/p' || ra || '/q' || rb || '$'
+                WHEN y = 10 THEN '/p*/q10$'
+                WHEN x = ra THEN '/p' || ra
+                ELSE '' END AS rule
+    FROM a
+    """,
+    doc="RFC 9309 robots.txt allowance audit: per-domain robots "
+    "snapshots parsed to agent groups, the exact product token "
+    "selected over a disallow-everything '*' group, Allow/Disallow "
+    "patterns matched with '*'/'$' wildcards under longest-match "
+    "precedence (ties -> allow); domains without robots allow all; "
+    "oracle replays every decision in closed form",
+    tags=("llm", "curation", "crawl", "audit"),
+)
+def q_robots_crawl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def evaluate(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shared_etl_pipelines_spark.sources.robots import (
+            parse_robots,
+            robots_allowed,
+        )
+
+        cache: dict[int, object] = {}
+        for pdf in it:
+            rows: dict[str, list] = {
+                "doc_id": [], "domain": [], "path": [], "allowed": [],
+                "rule": [],
+            }
+            for d in pdf["doc_id"]:
+                d = int(d)
+                g = d % 20
+                path = f"/p{d % 7}/q{d % 11}"
+                if g not in cache:
+                    if g % 5 == 4:
+                        cache[g] = None  # domain serves no robots.txt
+                    else:
+                        a, b = g % 7, g % 11
+                        cache[g] = parse_robots(
+                            "# fixture robots snapshot\n"
+                            "User-agent: *\n"
+                            "Disallow: /\n"
+                            "\n"
+                            "User-agent: sparkbot\n"
+                            f"Disallow: /p{a}\n"
+                            f"Allow: /p{a}/q{b}$\n"
+                            "Disallow: /p*/q10$\n"
+                            "Sitemap: https://example.test/sitemap.xml\n"
+                        )
+                if cache[g] is None:
+                    allowed, rule = True, ""
+                else:
+                    allowed, rule = robots_allowed(cache[g], "sparkbot", path)
+                rows["doc_id"].append(d)
+                rows["domain"].append(g)
+                rows["path"].append(path)
+                rows["allowed"].append(allowed)
+                rows["rule"].append(rule)
+            yield pd.DataFrame(rows)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        evaluate,
+        "doc_id bigint, domain int, path string, allowed boolean, "
+        "rule string",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Mojibake repair (r9, beyond-agenda): UTF-8 text mis-decoded as
 # latin-1 somewhere in a crawl pipeline ("cafÃ©") is among the most
 # common text defects an LLM corpus carries. The ftfy-style repair is
