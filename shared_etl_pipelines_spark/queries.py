@@ -1024,6 +1024,8 @@ _CARRYOVER_FIRST = (
     "mojibake_repair",
     # RFC 9309 robots.txt allowance audit (beyond-agenda)
     "robots_crawl_audit",
+    # RFC 3986 URL canonicalization for crawl dedup (beyond-agenda)
+    "url_canonical_dedup",
 )
 
 

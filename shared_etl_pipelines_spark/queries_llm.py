@@ -8079,6 +8079,93 @@ def q_mp3_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# URL canonicalization (r9, beyond-agenda): URL-keyed dedup treats one
+# resource as many unless fetch-time URL variants (case, default
+# ports, percent-escapes, dot-segments, fragments) collapse to one
+# canonical key first — RFC 3986 §6 syntax-based normalization. The
+# fixture spins five deterministic messiness variants that must all
+# canonicalize to the same key; broken escapes quarantine.
+# ---------------------------------------------------------------------------
+@defquery(
+    "url_canonical_dedup",
+    """
+    WITH a AS (
+      SELECT doc_id AS d,
+             CAST(doc_id % 15 AS INT) AS g,
+             CAST(doc_id % 6 AS INT) AS pa,
+             CAST(doc_id % 9 AS INT) AS pb
+      FROM documents
+    )
+    SELECT d AS doc_id,
+           d % 23 <> 0 AS is_valid,
+           CASE WHEN d % 23 = 0 THEN ''
+                ELSE 'http://site' || g || '.test/dir' || pa
+                     || '/page' || pb END AS canonical,
+           CASE WHEN d % 23 = 0 THEN 'malformed_escape' ELSE 'ok' END
+             AS reason
+    FROM a
+    """,
+    doc="RFC 3986 syntax-based URL canonicalization: scheme/host "
+    "lowercasing, default-port dropping, unreserved percent-escapes "
+    "decoded and others uppercased, dot-segment removal, fragment "
+    "dropping — five fetch-time messiness variants collapse to one "
+    "dedup key; malformed escapes quarantine (a guessed dedup key is "
+    "a silent merge of distinct documents); oracle reconstructs every "
+    "canonical key in closed form",
+    tags=("llm", "curation", "crawl", "dedup"),
+)
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def canon(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shared_etl_pipelines_spark.functions.urls import (
+            canonicalize_url,
+        )
+
+        for pdf in it:
+            rows: dict[str, list] = {
+                "doc_id": [], "is_valid": [], "canonical": [], "reason": [],
+            }
+            for d in pdf["doc_id"]:
+                d = int(d)
+                g, pa, pb = d % 15, d % 6, d % 9
+                variant = d % 5
+                if d % 23 == 0:
+                    url = f"http://site{g}.test/%zz"
+                elif variant == 0:
+                    url = f"http://site{g}.test:80/dir{pa}/page{pb}"
+                elif variant == 1:
+                    url = f"HTTP://SITE{g}.TEST/dir{pa}/page{pb}"
+                elif variant == 2:
+                    url = (
+                        f"http://site{g}.test/dir{pa}/../dir{pa}"
+                        f"/./page{pb}"
+                    )
+                elif variant == 3:
+                    url = f"http://site{g}.test/dir{pa}/pag%65{pb}"
+                else:
+                    url = f"http://site{g}.test/dir{pa}/page{pb}#sec{d % 3}"
+                try:
+                    canonical = canonicalize_url(url)
+                    ok, reason = True, "ok"
+                except ValueError:
+                    canonical, ok, reason = "", False, "malformed_escape"
+                rows["doc_id"].append(d)
+                rows["is_valid"].append(ok)
+                rows["canonical"].append(canonical)
+                rows["reason"].append(reason)
+            yield pd.DataFrame(rows)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        canon,
+        "doc_id bigint, is_valid boolean, canonical string, reason string",
+    )
+
+
+# ---------------------------------------------------------------------------
 # robots.txt allowance audit (r9, beyond-agenda): re-verifying crawl
 # allowance against the robots snapshot is a standard curation pass —
 # a corpus that ignored exclusion is a liability. Real RFC 9309
