@@ -1026,6 +1026,8 @@ _CARRYOVER_FIRST = (
     "robots_crawl_audit",
     # RFC 3986 URL canonicalization for crawl dedup (beyond-agenda)
     "url_canonical_dedup",
+    # NFC/NFKC normalization audit (beyond-agenda)
+    "unicode_normalization_audit",
 )
 
 

@@ -8079,6 +8079,80 @@ def q_mp3_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Unicode normalization audit (r9, beyond-agenda): the same visible
+# text arrives from different sources in different code-point
+# sequences — decomposed accents (NFD), fullwidth compatibility forms,
+# ligatures — and exact dedup, tokenization and PII matching all key
+# on code points. The audit normalizes to NFC (canonical) and NFKC
+# (compatibility) and reports both the flags and the normalized text.
+# Fixtures inject one class per doc: combining-accent NFD, fullwidth
+# letters, the fi ligature, or clean ASCII; the oracle reconstructs
+# the normalized strings as closed-form literals.
+# ---------------------------------------------------------------------------
+@defquery(
+    "unicode_normalization_audit",
+    """
+    WITH a AS (
+      SELECT doc_id AS d, text, CAST(doc_id % 4 AS INT) AS cls
+      FROM documents
+    )
+    SELECT d AS doc_id, cls,
+           cls <> 1 AS is_nfc,
+           cls = 0 AS is_nfkc,
+           text || CASE cls WHEN 0 THEN ' ok' WHEN 1 THEN ' café'
+                   WHEN 2 THEN ' ＡＢ' ELSE ' ﬁle' END AS nfc_text,
+           text || CASE cls WHEN 0 THEN ' ok' WHEN 1 THEN ' café'
+                   WHEN 2 THEN ' AB' ELSE ' file' END AS nfkc_text
+    FROM a
+    """,
+    doc="Unicode normalization audit: NFC/NFKC flags and normalized "
+    "text over a corpus mixing decomposed accents (NFD combining "
+    "marks), fullwidth compatibility letters and ligatures with clean "
+    "ASCII — the code-point canonicalization exact dedup and "
+    "tokenization key on; oracle reconstructs the normalized strings "
+    "in closed form",
+    tags=("llm", "text", "curation", "unicode"),
+)
+def q_unicode_normalization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def audit(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import unicodedata
+
+        # cls 1 injects the DECOMPOSED form: 'e' + U+0301 combining
+        # acute — visually 'cafe-acute' but not NFC
+        suffixes = (" ok", " cafe\u0301", " \uFF21\uFF22", " \uFB01le")
+        for pdf in it:
+            rows: dict[str, list] = {
+                "doc_id": [], "cls": [], "is_nfc": [], "is_nfkc": [],
+                "nfc_text": [], "nfkc_text": [],
+            }
+            for d, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                doc = str(text) + suffixes[d % 4]
+                rows["doc_id"].append(d)
+                rows["cls"].append(d % 4)
+                rows["is_nfc"].append(
+                    unicodedata.is_normalized("NFC", doc)
+                )
+                rows["is_nfkc"].append(
+                    unicodedata.is_normalized("NFKC", doc)
+                )
+                rows["nfc_text"].append(unicodedata.normalize("NFC", doc))
+                rows["nfkc_text"].append(unicodedata.normalize("NFKC", doc))
+            yield pd.DataFrame(rows)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        audit,
+        "doc_id bigint, cls int, is_nfc boolean, is_nfkc boolean, "
+        "nfc_text string, nfkc_text string",
+    )
+
+
+# ---------------------------------------------------------------------------
 # URL canonicalization (r9, beyond-agenda): URL-keyed dedup treats one
 # resource as many unless fetch-time URL variants (case, default
 # ports, percent-escapes, dot-segments, fragments) collapse to one

@@ -1959,3 +1959,28 @@ def test_mojibake_repair_semantics(spark, sf_dir):
         except (UnicodeEncodeError, UnicodeDecodeError):
             changed = False
         assert not changed, clean
+
+
+def test_unicode_normalization_audit_classes(spark, sf_dir):
+    """NFC/NFKC audit (r9): the decomposed class is the only non-NFC
+    one, only clean ASCII is NFKC-stable, and the normalized text
+    restores the canonical forms."""
+    from shared_etl_pipelines_spark.queries_llm import (
+        q_unicode_normalization_audit,
+    )
+
+    rows = q_unicode_normalization_audit(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        cls = r["doc_id"] % 4
+        assert r["cls"] == cls
+        assert r["is_nfc"] == (cls != 1)
+        assert r["is_nfkc"] == (cls == 0)
+        if cls == 1:
+            assert r["nfc_text"].endswith(" café")   # precomposed
+            assert "́" not in r["nfc_text"]
+        if cls == 2:
+            assert r["nfkc_text"].endswith(" AB")
+            assert r["nfc_text"].endswith(" ＡＢ")  # unchanged
+        if cls == 3:
+            assert r["nfkc_text"].endswith(" file")
