@@ -22,6 +22,10 @@ no network, no scheme-specific guessing beyond default ports):
 - query strings keep their order (reordering changes semantics on many
   servers — deliberately NOT done).
 
+Out of scope (quarantines loudly rather than mis-keying): IPv6 host
+literals (``[::1]`` — the ':' inside brackets fails the authority
+grammar here), IDN/punycode host folding, and scheme-relative URLs.
+
 Pure string algorithm in plain python — used inside Arrow-batched
 mapInPandas; the oracle replays fixtures in closed form.
 """
