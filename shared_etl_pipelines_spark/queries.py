@@ -1028,6 +1028,12 @@ _CARRYOVER_FIRST = (
     "url_canonical_dedup",
     # NFC/NFKC normalization audit (beyond-agenda)
     "unicode_normalization_audit",
+    # --- r9-continued session ---
+    # rows-only -> hash-checked: the full exact fixed-point Lloyd fit
+    # replayed as chained CTEs feeding the proven IVF probe SQL
+    "similarity_topk_ivf_trained",
+    # Matroska/WebM EBML container walk + VP8 keyframe bitstream parse
+    "mkv_track_scan", "webm_vp8_keyframes",
 )
 
 

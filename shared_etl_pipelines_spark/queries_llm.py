@@ -2791,10 +2791,44 @@ def q_embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @defquery(
     "similarity_topk_ivf_trained",
-    None,  # k-means training is iterative — rows-only
+    f"""
+    WITH {_kmeans_chain_sql(_KM_K, _KM_ITERS, _KM_DIM)},
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c AS (SELECT CAST(cell AS BIGINT) AS cent_id,
+                 list_transform(c, x -> x / 10000.0) AS cv
+          FROM c{_KM_ITERS}),
+    ass AS (
+      SELECT vec_id, v, cent_id FROM (
+        SELECT e.vec_id, e.v, c.cent_id, {_IVF_RANK} AS crn
+        FROM e CROSS JOIN c)
+      WHERE crn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, v AS qv, cent_id FROM (
+        SELECT e.vec_id, e.v, c.cent_id, {_IVF_RANK} AS crn
+        FROM e CROSS JOIN c WHERE e.vec_id < 5)
+      WHERE crn <= 2
+    ),
+    s AS (
+      SELECT query_id, a.vec_id, list_cosine_similarity(qv, a.v) AS cs
+      FROM probes p JOIN ass a USING (cent_id)
+      WHERE a.vec_id <> query_id
+    ),
+    r AS (
+      SELECT query_id, vec_id, cs,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cs DESC, vec_id) AS rn
+      FROM s
+    )
+    SELECT query_id, vec_id, ROUND(cs, 4) AS cosine, rn FROM r WHERE rn <= 10
+    """,
     doc="IVF top-k probing a TRAINED k-means codebook (shared with "
     "embedding_kmeans via the session codebook cache — the write-side "
-    "train-once pattern)",
+    "train-once pattern). The oracle replays the full exact fixed-point "
+    "Lloyd fit as chained CTEs (the embedding_kmeans chain), rescales "
+    "the integer codebook to the same double micro-unit geometry the "
+    "probe uses, then runs the proven similarity_topk_ivf probe SQL — "
+    "was rows-only; closes VERDICT r8 residual #2's last similarity "
+    "entry.",
     tags=("llm", "similarity", "ivf", "clustering", "scale-path"),
 )
 def q_similarity_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3490,6 +3524,114 @@ def q_mp4_codec_params(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assets = synthetic_mp4_assets(_t(spark, sf_dir, "documents"))
     return mp4_codec_params(assets)
+
+
+# ---------------------------------------------------------------------------
+# Matroska / WebM container walk (r9-continued): the other dominant
+# crawl-video container next to ISO-BMFF. sources/mkv.py implements
+# RFC 8794 EBML + the Matroska element registry (Info/Tracks/Clusters,
+# SimpleBlock flag-bit keyframes, BlockGroup keyframe = no
+# ReferenceBlock, unknown-size Segment/Cluster streaming forms) plus a
+# VP8 keyframe-header bitstream parse (RFC 6386 §9.1). Fixtures are
+# real containers built in closed form from doc_id/payload length, so
+# the oracle regenerates every cell.
+# ---------------------------------------------------------------------------
+@defquery(
+    "mkv_track_scan",
+    """
+    WITH a AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    dims AS (
+      SELECT doc_id, n,
+             CAST(n % 3 + 2 AS INT) AS nf,
+             CAST((n % 4 + 1) * 16 AS INT) AS w,
+             CAST(((n // 4) % 4 + 1) * 16 AS INT) AS h,
+             CASE WHEN doc_id % 5 = 0 THEN 'matroska' ELSE 'webm' END AS dt
+      FROM a
+    ),
+    video AS (
+      SELECT doc_id, dt AS doc_type, CAST(1 AS INT) AS track_id,
+             'video' AS track_type,
+             CASE WHEN doc_id % 3 = 0 THEN 'V_VP9' ELSE 'V_VP8' END AS codec_id,
+             w AS width, h AS height, CAST(0 AS INT) AS sample_hz,
+             CAST(0 AS INT) AS channels, nf AS n_blocks,
+             CAST((nf + 1) // 2 AS INT) AS n_keyframes,
+             CAST(nf * 40 AS BIGINT) AS duration_ms
+      FROM dims
+    ),
+    audio AS (
+      SELECT doc_id, dt AS doc_type, CAST(2 AS INT) AS track_id,
+             'audio' AS track_type,
+             CASE WHEN doc_id % 4 = 1 THEN 'A_OPUS' ELSE 'A_VORBIS' END AS codec_id,
+             CAST(0 AS INT) AS width, CAST(0 AS INT) AS height,
+             CAST(CASE WHEN doc_id % 4 = 1 THEN 48000 ELSE 44100 END AS INT)
+               AS sample_hz,
+             CAST(n % 2 + 1 AS INT) AS channels,
+             CAST(n % 2 + 1 AS INT) AS n_blocks,
+             CAST(n % 2 + 1 AS INT) AS n_keyframes,
+             CAST(nf * 40 AS BIGINT) AS duration_ms
+      FROM dims WHERE doc_id % 2 = 1
+    )
+    SELECT * FROM video UNION ALL SELECT * FROM audio
+    """,
+    doc="Matroska/WebM container scan: per-track type/codec/dims/audio "
+    "params, block + keyframe census and duration from a real EBML walk "
+    "(RFC 8794 varints, SimpleBlock flag keyframes, BlockGroup keyframe "
+    "= no ReferenceBlock, unknown-size Segment/Cluster streaming forms) "
+    "— works for codecs we cannot decode (V_VP9 tracks scan fine); "
+    "oracle regenerates the fixture metadata in closed form",
+    tags=("llm", "multimodal", "codec", "video"),
+)
+def q_mkv_track_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.multimodal import (
+        mkv_track_scan,
+        synthetic_mkv_assets,
+    )
+
+    assets = synthetic_mkv_assets(_t(spark, sf_dir, "documents"))
+    return mkv_track_scan(assets)
+
+
+@defquery(
+    "webm_vp8_keyframes",
+    """
+    WITH a AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    dims AS (
+      SELECT doc_id,
+             CAST(n % 3 + 2 AS INT) AS nf,
+             CAST((n % 4 + 1) * 16 AS INT) AS w,
+             CAST(((n // 4) % 4 + 1) * 16 AS INT) AS h
+      FROM a
+    ),
+    keyed AS (
+      SELECT doc_id, CAST(f AS INT) AS frame_idx, TRUE AS is_real_parse,
+             w AS width, h AS height, CAST(10 + f AS INT) AS part_size,
+             'ok' AS reason
+      FROM dims, unnest(range(0, nf)) AS t(f)
+      WHERE doc_id % 3 <> 0 AND f % 2 = 0
+    ),
+    quarantined AS (
+      SELECT doc_id, CAST(-1 AS INT) AS frame_idx, FALSE AS is_real_parse,
+             CAST(0 AS INT) AS width, CAST(0 AS INT) AS height,
+             CAST(0 AS INT) AS part_size, 'codec:V_VP9' AS reason
+      FROM dims WHERE doc_id % 3 = 0
+    )
+    SELECT * FROM keyed UNION ALL SELECT * FROM quarantined
+    """,
+    doc="VP8 keyframe-header bitstream parse (RFC 6386 §9.1) over every "
+    "V_VP8 video block: coded width/height + partition size from the "
+    "codec payload, not the container — the container-vs-bitstream "
+    "dims cross-check a crawl-video audit needs; V_VP9 tracks "
+    "quarantine loudly with their codec id",
+    tags=("llm", "multimodal", "codec", "video"),
+)
+def q_webm_vp8_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.multimodal import (
+        synthetic_mkv_assets,
+        webm_vp8_keyframes,
+    )
+
+    assets = synthetic_mkv_assets(_t(spark, sf_dir, "documents"))
+    return webm_vp8_keyframes(assets)
 
 
 # ---------------------------------------------------------------------------

@@ -2460,3 +2460,229 @@ def caption_cue_rows(assets: DataFrame) -> DataFrame:
         "doc_id bigint, fmt string, cue_idx int, start_ms bigint, "
         "end_ms bigint, text string, n_chars int, reason string",
     )
+
+
+# ---------------------------------------------------------------------------
+# Matroska / WebM (sources/mkv.py) — r9-continued: the OTHER dominant
+# crawl-video container next to ISO-BMFF. Same contract as the mp4
+# trio: deterministic real-container fixtures, an Arrow-batched track
+# scan that works for codecs we cannot decode, and a bitstream-level
+# parse (VP8 keyframe headers) where the public spec allows one.
+# ---------------------------------------------------------------------------
+def synthetic_mkv_assets(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "text"
+) -> DataFrame:
+    """Deterministic REAL-WebM/Matroska fixtures: for payload byte
+    length n, nf = n%3+2 video frames of (n%4+1)*16 x ((n//4)%4+1)*16;
+    doc_id%3==0 carries V_VP9 (pseudo payloads — scan fine, bitstream
+    parse must quarantine), else V_VP8 with REAL RFC 6386 keyframe
+    headers (keyframe every 2nd frame, part_size 10+f). ODD doc_ids add
+    an audio track — A_OPUS@48kHz when doc_id%4==1 else A_VORBIS@44.1kHz,
+    n%2+1 channels-agnostic blocks, channels n%2+1. Structure variety:
+    DocType 'matroska' on doc_id%5==0 (else webm), BlockGroup+
+    ReferenceBlock form on doc_id%7==3, unknown-size (streaming-muxer)
+    Segment on doc_id%11==5 and Clusters on doc_id%11==7. Duration
+    nf*40 ms at the default 1 ms timestamp scale; two clusters when
+    nf > 2 (cluster 1 at ts 80)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shared_etl_pipelines_spark.sources import mkv
+
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                d = int(doc_id)
+                n = len(str(payload).encode("utf-8"))
+                nf = n % 3 + 2
+                w, h = (n % 4 + 1) * 16, ((n // 4) % 4 + 1) * 16
+                tracks = [
+                    dict(
+                        number=1, uid=d * 2 + 1, type="video",
+                        codec_id="V_VP9" if d % 3 == 0 else "V_VP8",
+                        width=w, height=h,
+                    )
+                ]
+                if d % 2 == 1:
+                    tracks.append(
+                        dict(
+                            number=2, uid=d * 2 + 2, type="audio",
+                            codec_id="A_OPUS" if d % 4 == 1 else "A_VORBIS",
+                            sample_hz=48000 if d % 4 == 1 else 44100,
+                            channels=n % 2 + 1,
+                        )
+                    )
+                frames = []
+                for f in range(nf):
+                    if d % 3 == 0:
+                        payload_b = bytes(
+                            (d + f * 7 + j) % 256
+                            for j in range(12 + d % 5 + f)
+                        )
+                        key = f % 2 == 0
+                    elif f % 2 == 0:
+                        payload_b = mkv.encode_vp8_keyframe(
+                            w, h, part_size=10 + f,
+                            filler=bytes(
+                                (d * 17 + f * 5 + j) % 256 for j in range(8)
+                            ),
+                        )
+                        key = True
+                    else:
+                        payload_b = mkv.encode_vp8_interframe(
+                            part_size=5,
+                            filler=bytes((d + f * 3 + j) % 256 for j in range(5)),
+                        )
+                        key = False
+                    frames.append((f, key, payload_b))
+                na = n % 2 + 1 if d % 2 == 1 else 0
+                c0 = [(1, 40 * f, k, p) for f, k, p in frames if f < 2]
+                c1 = [(1, 40 * f - 80, k, p) for f, k, p in frames if f >= 2]
+                if na >= 1:
+                    c0.append((2, 0, True, b"a" * 10))
+                if na >= 2:
+                    (c1 if nf > 2 else c0).append(
+                        (2, 40 - (80 if nf > 2 else 0), True, b"a" * 11)
+                    )
+                clusters = [(0, c0)] + ([(80, c1)] if c1 else [])
+                blob = mkv.encode_mkv(
+                    tracks, clusters,
+                    doc_type="matroska" if d % 5 == 0 else "webm",
+                    duration_ms=nf * 40,
+                    unknown_size_segment=d % 11 == 5,
+                    unknown_size_clusters=d % 11 == 7,
+                    block_groups=d % 7 == 3,
+                )
+                ids.append(d)
+                blobs.append(blob)
+            yield pd.DataFrame(
+                {"doc_id": ids, "media_type": "video/webm", "blob": blobs}
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches, "doc_id bigint, media_type string, blob binary"
+    )
+
+
+def mkv_track_scan(assets: DataFrame) -> DataFrame:
+    """Arrow-batched Matroska/WebM container scan: one row per track
+    with type, codec id, dimensions / audio parameters, block +
+    keyframe census (SimpleBlock flag bit; BlockGroup keyframe = no
+    ReferenceBlock) and container duration — the audit pass a crawl
+    video pipeline runs over every .webm/.mkv before deciding what to
+    decode. Corrupt containers quarantine as a track_type='corrupt'
+    row. One mapInPandas pass, no shuffle, per-file parallelism."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shared_etl_pipelines_spark.sources import mkv
+
+        cols = (
+            "doc_id", "doc_type", "track_id", "track_type", "codec_id",
+            "width", "height", "sample_hz", "channels", "n_blocks",
+            "n_keyframes", "duration_ms",
+        )
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                blob = bytes(blob)
+                try:
+                    info = mkv.parse_mkv(blob)
+                except ValueError:
+                    rows["doc_id"].append(doc_id)
+                    rows["doc_type"].append("corrupt")
+                    rows["track_id"].append(-1)
+                    rows["track_type"].append("corrupt")
+                    rows["codec_id"].append("")
+                    rows["width"].append(0)
+                    rows["height"].append(0)
+                    rows["sample_hz"].append(0)
+                    rows["channels"].append(0)
+                    rows["n_blocks"].append(0)
+                    rows["n_keyframes"].append(0)
+                    rows["duration_ms"].append(0)
+                    continue
+                for t in info["tracks"]:
+                    rows["doc_id"].append(doc_id)
+                    rows["doc_type"].append(info["doc_type"])
+                    rows["track_id"].append(int(t["track_id"]))
+                    rows["track_type"].append(t["track_type"])
+                    rows["codec_id"].append(t["codec_id"])
+                    rows["width"].append(int(t["width"]))
+                    rows["height"].append(int(t["height"]))
+                    rows["sample_hz"].append(int(t["sample_hz"]))
+                    rows["channels"].append(int(t["channels"]))
+                    rows["n_blocks"].append(int(t["n_blocks"]))
+                    rows["n_keyframes"].append(int(t["n_keyframes"]))
+                    rows["duration_ms"].append(int(info["duration_ms"]))
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(
+        batches,
+        "doc_id bigint, doc_type string, track_id int, track_type string, "
+        "codec_id string, width int, height int, sample_hz int, "
+        "channels int, n_blocks int, n_keyframes int, duration_ms bigint",
+    )
+
+
+def webm_vp8_keyframes(assets: DataFrame) -> DataFrame:
+    """Bitstream-level VP8 keyframe-header parse over every video block
+    of V_VP8 tracks (RFC 6386 §9.1): coded width/height, partition size
+    and show_frame per keyframe — REAL dimensions from the codec
+    payload, not the container (a corpus-audit cross-check: mismatched
+    container-vs-bitstream dims flag re-muxed/corrupt crawl video).
+    Non-VP8 video tracks surface as one quarantine row with
+    reason='codec:<id>' — scan what you cannot decode, loudly."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shared_etl_pipelines_spark.sources import mkv
+
+        cols = (
+            "doc_id", "frame_idx", "is_real_parse", "width", "height",
+            "part_size", "reason",
+        )
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+
+            def emit(doc_id, idx, ok, w, h, ps, reason):
+                rows["doc_id"].append(doc_id)
+                rows["frame_idx"].append(idx)
+                rows["is_real_parse"].append(ok)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["part_size"].append(ps)
+                rows["reason"].append(reason)
+
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                try:
+                    info = mkv.parse_mkv(bytes(blob), collect_frames=True)
+                except ValueError:
+                    emit(doc_id, -1, False, 0, 0, 0, "corrupt")
+                    continue
+                video = [
+                    t for t in info["tracks"] if t["track_type"] == "video"
+                ]
+                for t in video:
+                    if t["codec_id"] != "V_VP8":
+                        emit(
+                            doc_id, -1, False, 0, 0, 0,
+                            f"codec:{t['codec_id']}",
+                        )
+                        continue
+                    for idx, key, payload in t["frames"]:
+                        if not key:
+                            continue
+                        try:
+                            hdr = mkv.parse_vp8_frame(payload)
+                        except ValueError:
+                            emit(doc_id, idx, False, 0, 0, 0, "bad-vp8")
+                            continue
+                        emit(
+                            doc_id, idx, True, hdr["width"], hdr["height"],
+                            hdr["part_size"], "ok",
+                        )
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(
+        batches,
+        "doc_id bigint, frame_idx int, is_real_parse boolean, width int, "
+        "height int, part_size int, reason string",
+    )
