@@ -1067,3 +1067,90 @@ def containment_pairs(
     return out.filter(
         F.col("n_shared").cast("double") / F.col("n_a") >= threshold
     )
+
+
+def paragraph_dedup_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 10,
+    min_count: int = 2,
+) -> DataFrame:
+    """CCNet-style paragraph-level exact dedup profile.
+
+    CCNet (Wenzek et al., "CCNet: Extracting High Quality Monolingual
+    Datasets from Web Crawl Data") hashes every paragraph and drops all
+    but one occurrence corpus-wide — the single highest-yield cleanup
+    on web crawl, where boilerplate paragraphs repeat across millions
+    of pages. The test corpus carries no newlines, so the paragraph
+    unit here is a fixed non-overlapping ``chunk_tokens`` token window
+    (the unit is a parameter; on real crawl pass paragraphs by
+    splitting on blank lines upstream). Keeper = first occurrence in
+    (id, chunk_idx) order; a chunk is dropped when its md5 occurs
+    >= ``min_count`` times corpus-wide and it is not the keeper.
+
+    Returns one profile row per document: total/duplicate chunk counts,
+    token counts and the retained-token ratio a curation funnel gates
+    on.
+
+    Scale: two shuffles — (1) the window over the md5 key (uniform key
+    space, map-side partials, no self-join, no corpus-sized broadcast),
+    (2) the per-doc aggregate. Same shape as duplicated_spans; nothing
+    quadratic, no driver traffic.
+    """
+    base = (
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("toks"))
+        .withColumn("n_toks", F.size("toks"))
+        .filter(F.col("n_toks") >= 1)
+        .withColumn(
+            "nch",
+            F.ceil(F.col("n_toks") / F.lit(chunk_tokens)).cast("int"),
+        )
+    )
+    ch = base.select(
+        F.col(id_col),
+        F.col("n_toks"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("nch") - 1),
+                lambda i: F.slice(
+                    F.col("toks"), i * chunk_tokens + 1, chunk_tokens
+                ),
+            )
+        ).alias("pos", "chunk"),
+    ).select(
+        id_col,
+        "n_toks",
+        "pos",
+        F.size("chunk").alias("chunk_len"),
+        F.md5(F.array_join("chunk", " ").cast("binary")).alias("h"),
+    )
+    wh = Window.partitionBy("h")
+    who = wh.orderBy(id_col, "pos")
+    marked = ch.withColumn("c", F.count(F.lit(1)).over(wh)).withColumn(
+        "rn", F.row_number().over(who)
+    ).withColumn(
+        "dropped", (F.col("c") >= min_count) & (F.col("rn") > 1)
+    )
+    return (
+        marked.groupBy(id_col, "n_toks")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.sum(F.col("dropped").cast("long")).alias("n_dup_chunks"),
+            F.sum(
+                F.when(F.col("dropped"), F.col("chunk_len")).otherwise(0)
+            ).cast("long").alias("tokens_dropped"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_toks").cast("long").alias("tokens_total"),
+            "n_chunks",
+            "n_dup_chunks",
+            "tokens_dropped",
+            F.round(
+                (F.col("n_toks") - F.col("tokens_dropped"))
+                / F.col("n_toks").cast("double"),
+                4,
+            ).alias("retained_ratio"),
+        )
+    )

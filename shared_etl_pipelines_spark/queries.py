@@ -1034,6 +1034,8 @@ _CARRYOVER_FIRST = (
     "similarity_topk_ivf_trained",
     # Matroska/WebM EBML container walk + VP8 keyframe bitstream parse
     "mkv_track_scan", "webm_vp8_keyframes",
+    # CCNet-style paragraph/chunk-level exact dedup profile
+    "paragraph_dedup_profile",
 )
 
 

@@ -2969,6 +2969,64 @@ def q_dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@defquery(
+    "paragraph_dedup_profile",
+    f"""
+    WITH t AS (
+      SELECT doc_id, toks FROM
+        (SELECT doc_id, {TOKS_SQL} AS toks FROM documents)
+      WHERE len(toks) >= 1
+    ),
+    c AS (
+      SELECT doc_id, len(toks) AS n_toks, toks,
+             unnest(range(0, CAST(ceil(len(toks) / 10.0) AS INT))) AS pos
+      FROM t
+    ),
+    ch AS (
+      SELECT doc_id, n_toks, pos,
+             len(list_slice(toks, pos * 10 + 1, pos * 10 + 10)) AS chunk_len,
+             md5(array_to_string(
+               list_slice(toks, pos * 10 + 1, pos * 10 + 10), ' ')) AS h
+      FROM c
+    ),
+    m AS (
+      SELECT doc_id, n_toks, chunk_len,
+             COUNT(*) OVER (PARTITION BY h) AS cnt,
+             ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn
+      FROM ch
+    ),
+    a AS (
+      SELECT doc_id, n_toks, COUNT(*) AS n_chunks,
+             SUM(CASE WHEN cnt >= 2 AND rn > 1 THEN 1 ELSE 0 END) AS n_dup,
+             SUM(CASE WHEN cnt >= 2 AND rn > 1 THEN chunk_len ELSE 0 END) AS t_drop
+      FROM m GROUP BY doc_id, n_toks
+    )
+    SELECT doc_id, CAST(n_toks AS BIGINT) AS tokens_total,
+           CAST(n_chunks AS BIGINT) AS n_chunks,
+           CAST(n_dup AS BIGINT) AS n_dup_chunks,
+           CAST(t_drop AS BIGINT) AS tokens_dropped,
+           ROUND((n_toks - t_drop) / CAST(n_toks AS DOUBLE), 4) AS retained_ratio
+    FROM a
+    """,
+    doc="CCNet-style paragraph-level exact dedup profile (Wenzek et "
+    "al.): every 10-token chunk md5-hashed, all but the first "
+    "corpus-wide occurrence dropped, per-doc retained-token ratio for "
+    "the curation funnel — the single highest-yield cleanup on web "
+    "crawl. Two shuffles (hash window + doc aggregate), no self-join, "
+    "no corpus-sized broadcast",
+    tags=("llm", "dedup", "text", "scale-path"),
+)
+def q_paragraph_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.operators.dedup import (
+        paragraph_dedup_profile,
+    )
+
+    return paragraph_dedup_profile(
+        _t(spark, sf_dir, "documents"), "doc_id", "text",
+        chunk_tokens=10, min_count=2,
+    )
+
+
 # ---------------------------------------------------------------------------
 # PII scan + scrub over log lines (LLM-pipeline mandate: the detect side
 # of the redaction primitive). The fixture corpus carries no organic

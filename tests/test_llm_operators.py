@@ -1984,3 +1984,51 @@ def test_unicode_normalization_audit_classes(spark, sf_dir):
             assert r["nfc_text"].endswith(" ＡＢ")  # unchanged
         if cls == 3:
             assert r["nfkc_text"].endswith(" file")
+
+
+def test_paragraph_dedup_profile_keeper_election(spark):
+    """CCNet-style chunk dedup (r9-continued): the FIRST corpus-wide
+    occurrence in (id, chunk_idx) order is kept, later occurrences
+    drop, ragged tail chunks count their true token length."""
+    from shared_etl_pipelines_spark.operators.dedup import (
+        paragraph_dedup_profile,
+    )
+
+    rep = " ".join(f"w{i}" for i in range(10))       # one full chunk
+    uniq_a = " ".join(f"a{i}" for i in range(10))
+    uniq_b = " ".join(f"b{i}" for i in range(5))      # ragged tail
+    df = spark.createDataFrame(
+        [
+            (1, f"{rep} {uniq_a}"),           # chunk0=rep (keeper), chunk1=uniq_a
+            (2, f"{rep} {uniq_b}"),           # chunk0=rep (dropped), chunk1=5-tok tail
+            (3, f"{uniq_b} {uniq_b}"),        # within-doc dup: 10-tok chunk + dup? no:
+                                              # 10 tokens = one chunk b0..b4 b0..b4 (unique)
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in paragraph_dedup_profile(df).collect()}
+    assert out[1]["n_dup_chunks"] == 0 and out[1]["tokens_dropped"] == 0
+    assert out[1]["retained_ratio"] == 1.0
+    assert out[2]["n_chunks"] == 2
+    assert out[2]["n_dup_chunks"] == 1          # rep kept in doc 1, dropped here
+    assert out[2]["tokens_dropped"] == 10
+    assert out[2]["tokens_total"] == 15
+    assert out[2]["retained_ratio"] == round(5 / 15, 4)
+    assert out[3]["n_dup_chunks"] == 0          # b0..b4 b0..b4 is ONE 10-token chunk
+
+
+def test_paragraph_dedup_profile_within_doc_dup(spark):
+    """A chunk repeated inside one document drops its second copy too
+    (within-doc boilerplate is still boilerplate)."""
+    from shared_etl_pipelines_spark.operators.dedup import (
+        paragraph_dedup_profile,
+    )
+
+    rep = " ".join(f"x{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(7, f"{rep} {rep}")], "doc_id long, text string"
+    )
+    r = paragraph_dedup_profile(df).collect()[0]
+    assert r["n_chunks"] == 2 and r["n_dup_chunks"] == 1
+    assert r["tokens_dropped"] == 10
+    assert r["retained_ratio"] == 0.5
