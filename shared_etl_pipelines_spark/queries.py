@@ -1036,6 +1036,8 @@ _CARRYOVER_FIRST = (
     "mkv_track_scan", "webm_vp8_keyframes",
     # CCNet-style paragraph/chunk-level exact dedup profile
     "paragraph_dedup_profile",
+    # sitemaps.org protocol audit (discovery-side twin of robots)
+    "sitemap_url_audit",
 )
 
 

@@ -8540,6 +8540,201 @@ def q_robots_crawl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Sitemap protocol audit (r9-continued): the discovery-side complement
+# of robots_crawl_audit — sources/sitemaps.py parses urlset/
+# sitemapindex documents (entity-unescaped loc, W3C lastmod, the
+# changefreq enum, the 0..1 priority range with its 0.5 default, the
+# 50k entry cap) and surfaces per-entry validity instead of silently
+# dropping spec violations. Fixtures build real XML per doc (namespace
+# present on even ids only — liberal handling is part of the spec's
+# reality), truncated on doc_id%9==8; the oracle regenerates every
+# field in closed form.
+# ---------------------------------------------------------------------------
+_SITEMAP_CF_SQL = (
+    "list_extract(['always','hourly','daily','weekly','monthly',"
+    "'yearly','never'], m % 7 + 1)"
+)
+
+
+@defquery(
+    "sitemap_url_audit",
+    f"""
+    WITH a AS (
+      SELECT doc_id AS d, octet_length(encode(text)) AS n FROM documents
+    ),
+    corrupt AS (
+      SELECT d AS doc_id, 'corrupt' AS kind, CAST(-1 AS INT) AS entry_idx,
+             '' AS loc, '' AS lastmod, '' AS changefreq,
+             CAST(0.0 AS DOUBLE) AS priority_eff, FALSE AS is_valid,
+             'corrupt' AS reason
+      FROM a WHERE d % 9 = 8
+    ),
+    index_rows AS (
+      SELECT d AS doc_id, 'sitemapindex' AS kind, CAST(i AS INT) AS entry_idx,
+             'https://ex' || (d % 20) || '.test/sitemap-' || i || '.xml' AS loc,
+             CASE WHEN (d + i) % 2 = 0
+                  THEN '2026-0' || ((d + i) % 9 + 1) || '-01' ELSE '' END
+               AS lastmod,
+             '' AS changefreq, CAST(0.0 AS DOUBLE) AS priority_eff,
+             TRUE AS is_valid, 'ok' AS reason
+      FROM a, unnest(range(0, 2)) AS t(i)
+      WHERE d % 9 <> 8 AND d % 6 = 0
+    ),
+    url_base AS (
+      SELECT d, i, d + i AS m, (d * 3 + i) % 11 AS qb
+      FROM a, unnest(range(0, n % 3 + 1)) AS t(i)
+      WHERE d % 9 <> 8 AND d % 6 <> 0
+    ),
+    url_rows AS (
+      SELECT d AS doc_id, 'urlset' AS kind, CAST(i AS INT) AS entry_idx,
+             CASE WHEN m % 19 = 18 THEN ''
+                  ELSE 'https://ex' || (d % 20) || '.test/p' || (m % 7)
+                       || '/q' || qb || '?x=1&y=' || (m % 5) END AS loc,
+             CASE WHEN m % 2 = 0
+                  THEN '2026-0' || (m % 9 + 1) || '-15' ELSE '' END AS lastmod,
+             CASE WHEN m % 17 = 16 THEN 'sometimes'
+                  ELSE {_SITEMAP_CF_SQL} END AS changefreq,
+             CASE WHEN m % 19 = 18 OR m % 13 = 12 OR m % 17 = 16
+                    THEN CAST(0.0 AS DOUBLE)
+                  WHEN m % 3 = 0 THEN CAST(0.5 AS DOUBLE)
+                  ELSE ROUND(CAST(m % 11 AS DOUBLE) / 10, 4) END AS priority_eff,
+             m % 19 <> 18 AND m % 13 <> 12 AND m % 17 <> 16 AS is_valid,
+             CASE WHEN m % 19 = 18 THEN 'missing-loc'
+                  WHEN m % 13 = 12 THEN 'bad-priority'
+                  WHEN m % 17 = 16 THEN 'bad-changefreq'
+                  ELSE 'ok' END AS reason
+      FROM url_base
+    )
+    SELECT * FROM corrupt
+    UNION ALL SELECT * FROM index_rows
+    UNION ALL SELECT * FROM url_rows
+    """,
+    doc="sitemaps.org protocol audit: urlset + sitemapindex documents "
+    "parsed (entity-unescaped loc, namespace-liberal tag matching), "
+    "every entry validated against the spec's loc/priority/changefreq "
+    "rules with a visible (is_valid, reason) instead of a silent drop; "
+    "malformed XML quarantines whole-blob; effective priority applies "
+    "the spec's 0.5 default; oracle regenerates every field in closed "
+    "form",
+    tags=("llm", "curation", "crawl", "audit"),
+)
+def q_sitemap_url_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def evaluate(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shared_etl_pipelines_spark.sources.sitemaps import (
+            CHANGEFREQS,
+            parse_sitemap,
+            validate_entry,
+        )
+
+        def build_xml(d: int, n: int) -> str:
+            ns = (
+                ' xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+                if d % 2 == 0
+                else ""
+            )
+            if d % 6 == 0:
+                items = []
+                for i in range(2):
+                    lm = (
+                        f"<lastmod>2026-0{(d + i) % 9 + 1}-01</lastmod>"
+                        if (d + i) % 2 == 0
+                        else ""
+                    )
+                    items.append(
+                        f"<sitemap><loc>https://ex{d % 20}.test/"
+                        f"sitemap-{i}.xml</loc>{lm}</sitemap>"
+                    )
+                body = "".join(items)
+                xml = (
+                    '<?xml version="1.0" encoding="UTF-8"?>'
+                    f"<sitemapindex{ns}>{body}</sitemapindex>"
+                )
+            else:
+                items = []
+                for i in range(n % 3 + 1):
+                    m = d + i
+                    parts = []
+                    if m % 19 != 18:
+                        # raw loc contains '&' — entity-escaped in XML
+                        parts.append(
+                            f"<loc>https://ex{d % 20}.test/p{m % 7}"
+                            f"/q{(d * 3 + i) % 11}?x=1&amp;y={m % 5}</loc>"
+                        )
+                    if m % 2 == 0:
+                        parts.append(f"<lastmod>2026-0{m % 9 + 1}-15</lastmod>")
+                    cf = "sometimes" if m % 17 == 16 else CHANGEFREQS[m % 7]
+                    parts.append(f"<changefreq>{cf}</changefreq>")
+                    if m % 13 == 12:
+                        parts.append("<priority>1.5</priority>")
+                    elif m % 3 != 0:
+                        parts.append(f"<priority>{(m % 11) / 10:.1f}</priority>")
+                    items.append(f"<url>{''.join(parts)}</url>")
+                xml = (
+                    '<?xml version="1.0" encoding="UTF-8"?>'
+                    f"<urlset{ns}>{''.join(items)}</urlset>"
+                )
+            if d % 9 == 8:
+                xml = xml[:-10]  # structural break -> whole-blob quarantine
+            return xml
+
+        cols = (
+            "doc_id", "kind", "entry_idx", "loc", "lastmod", "changefreq",
+            "priority_eff", "is_valid", "reason",
+        )
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+
+            def emit(d, kind, idx, loc, lm, cf, pr, ok, reason):
+                rows["doc_id"].append(d)
+                rows["kind"].append(kind)
+                rows["entry_idx"].append(idx)
+                rows["loc"].append(loc)
+                rows["lastmod"].append(lm)
+                rows["changefreq"].append(cf)
+                rows["priority_eff"].append(pr)
+                rows["is_valid"].append(ok)
+                rows["reason"].append(reason)
+
+            for doc_id, payload in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                n = len(str(payload).encode("utf-8"))
+                try:
+                    parsed = parse_sitemap(build_xml(d, n))
+                except ValueError:
+                    emit(d, "corrupt", -1, "", "", "", 0.0, False, "corrupt")
+                    continue
+                kind = parsed["kind"]
+                for i, entry in enumerate(parsed["entries"]):
+                    ok, reason = validate_entry(entry, kind)
+                    if kind == "urlset" and ok:
+                        pr = (
+                            round(float(entry["priority"]), 4)
+                            if entry["priority"] is not None
+                            else 0.5
+                        )
+                    else:
+                        pr = 0.0
+                    emit(
+                        d, kind, i, entry["loc"] or "",
+                        entry["lastmod"] or "",
+                        entry["changefreq"] or "", pr, ok, reason,
+                    )
+            yield pd.DataFrame(rows)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        evaluate,
+        "doc_id bigint, kind string, entry_idx int, loc string, "
+        "lastmod string, changefreq string, priority_eff double, "
+        "is_valid boolean, reason string",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Mojibake repair (r9, beyond-agenda): UTF-8 text mis-decoded as
 # latin-1 somewhere in a crawl pipeline ("cafÃ©") is among the most
 # common text defects an LLM corpus carries. The ftfy-style repair is

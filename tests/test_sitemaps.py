@@ -1,0 +1,90 @@
+"""Sitemap protocol parsing + validation (sources/sitemaps.py)."""
+import pytest
+
+from shared_etl_pipelines_spark.sources.sitemaps import (
+    CHANGEFREQS,
+    MAX_ENTRIES,
+    parse_sitemap,
+    validate_entry,
+)
+
+_NS = ' xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+
+
+def test_urlset_roundtrip_with_and_without_namespace():
+    for ns in ("", _NS):
+        xml = (
+            f"<urlset{ns}>"
+            "<url><loc>https://a.test/p?x=1&amp;y=2</loc>"
+            "<lastmod>2026-01-15</lastmod>"
+            "<changefreq>daily</changefreq>"
+            "<priority>0.7</priority></url>"
+            "<url><loc>https://a.test/q</loc></url>"
+            "</urlset>"
+        )
+        out = parse_sitemap(xml)
+        assert out["kind"] == "urlset"
+        e0, e1 = out["entries"]
+        assert e0["loc"] == "https://a.test/p?x=1&y=2"  # entity-unescaped
+        assert e0["lastmod"] == "2026-01-15"
+        assert e0["changefreq"] == "daily"
+        assert e0["priority"] == "0.7"
+        assert e1 == {"loc": "https://a.test/q", "lastmod": None,
+                      "changefreq": None, "priority": None}
+        assert validate_entry(e0) == (True, "ok")
+        assert validate_entry(e1) == (True, "ok")
+
+
+def test_sitemapindex():
+    xml = (
+        f"<sitemapindex{_NS}><sitemap><loc>https://a.test/s1.xml</loc>"
+        "<lastmod>2026-02-01</lastmod></sitemap></sitemapindex>"
+    )
+    out = parse_sitemap(xml)
+    assert out["kind"] == "sitemapindex"
+    assert out["entries"][0]["loc"] == "https://a.test/s1.xml"
+    assert validate_entry(out["entries"][0], "sitemapindex") == (True, "ok")
+
+
+def test_validation_precedence_and_reasons():
+    assert validate_entry({"loc": None}) == (False, "missing-loc")
+    assert validate_entry({"loc": ""}) == (False, "missing-loc")
+    long = {"loc": "https://a.test/" + "x" * 2048}
+    assert validate_entry(long) == (False, "loc-too-long")
+    bad_pr = {"loc": "https://a.test/", "priority": "1.5"}
+    assert validate_entry(bad_pr) == (False, "bad-priority")
+    assert validate_entry({"loc": "https://a.test/", "priority": "abc"}) == (
+        False, "bad-priority",
+    )
+    bad_cf = {"loc": "https://a.test/", "changefreq": "sometimes"}
+    assert validate_entry(bad_cf) == (False, "bad-changefreq")
+    # priority outranks changefreq when both are bad
+    both = {"loc": "https://a.test/", "priority": "-1", "changefreq": "zz"}
+    assert validate_entry(both) == (False, "bad-priority")
+    # index entries skip urlset-only checks
+    assert validate_entry(bad_pr, "sitemapindex") == (True, "ok")
+    for cf in CHANGEFREQS:
+        assert validate_entry({"loc": "https://a.test/", "changefreq": cf}) \
+            == (True, "ok")
+
+
+def test_structural_refusals():
+    with pytest.raises(ValueError):
+        parse_sitemap("<urlset><url></urlset")  # malformed
+    with pytest.raises(ValueError):
+        parse_sitemap("<rss><channel/></rss>")  # unknown root
+    many = "<urlset>" + "<url><loc>u</loc></url>" * (MAX_ENTRIES + 1) \
+        + "</urlset>"
+    with pytest.raises(ValueError):
+        parse_sitemap(many)
+
+
+def test_foreign_elements_skipped():
+    xml = (
+        "<urlset><x:extension xmlns:x=\"urn:x\"/>"
+        "<url><loc>https://a.test/</loc>"
+        "<mobile>yes</mobile></url></urlset>"
+    )
+    out = parse_sitemap(xml)
+    assert len(out["entries"]) == 1
+    assert out["entries"][0]["loc"] == "https://a.test/"
