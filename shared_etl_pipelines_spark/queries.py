@@ -1038,6 +1038,8 @@ _CARRYOVER_FIRST = (
     "paragraph_dedup_profile",
     # sitemaps.org protocol audit (discovery-side twin of robots)
     "sitemap_url_audit",
+    # H.265/HEVC hvcC + SPS stream parameters (extends the r9 H.264 work)
+    "hevc_codec_params",
 )
 
 

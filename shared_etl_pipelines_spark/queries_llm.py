@@ -3584,6 +3584,65 @@ def q_mp4_codec_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mp4_codec_params(assets)
 
 
+@defquery(
+    "hevc_codec_params",
+    """
+    WITH a AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    dims AS (
+      SELECT doc_id, n,
+             CAST((n % 4 + 1) * 16 + 2 * (doc_id % 3) AS INT) AS w,
+             CAST(((n // 4) % 4 + 1) * 16 + 2 * ((doc_id // 3) % 3) AS INT) AS h
+      FROM a
+    ),
+    ok_rows AS (
+      SELECT doc_id, CAST(1 AS INT) AS track_id, 'vide' AS handler,
+             'hev1' AS codec, TRUE AS has_params,
+             CAST(doc_id % 3 + 1 AS INT) AS profile_idc,
+             CAST(list_extract([90, 93, 120, 123], doc_id % 4 + 1) AS INT)
+               AS level_idc,
+             CAST(1 AS INT) AS chroma_format,
+             CAST(CASE WHEN doc_id % 3 + 1 = 2 THEN 10 ELSE 8 END AS INT)
+               AS bit_depth,
+             w AS sps_width, h AS sps_height,
+             CAST(0 AS INT) AS aac_object_type,
+             CAST(0 AS INT) AS aac_sample_rate,
+             CAST(0 AS INT) AS aac_channels,
+             'ok' AS reason
+      FROM dims WHERE doc_id % 9 <> 8
+    ),
+    corrupt AS (
+      SELECT doc_id, CAST(-1 AS INT) AS track_id, 'corrupt' AS handler,
+             '' AS codec, FALSE AS has_params,
+             CAST(0 AS INT) AS profile_idc, CAST(0 AS INT) AS level_idc,
+             CAST(0 AS INT) AS chroma_format, CAST(0 AS INT) AS bit_depth,
+             CAST(0 AS INT) AS sps_width, CAST(0 AS INT) AS sps_height,
+             CAST(0 AS INT) AS aac_object_type,
+             CAST(0 AS INT) AS aac_sample_rate,
+             CAST(0 AS INT) AS aac_channels,
+             'corrupt' AS reason
+      FROM dims WHERE doc_id % 9 = 8
+    )
+    SELECT * FROM ok_rows UNION ALL SELECT * FROM corrupt
+    """,
+    doc="H.265/HEVC stream parameters from hvcC stsd extradata "
+    "(ISO/IEC 14496-15 + ITU-T H.265 §7.3.2.2.1): profile_tier_level "
+    "decode, record-vs-SPS cross-check (a mismatch refuses loudly as a "
+    "re-mux defect), chroma/bit-depth, and the DISPLAY size through "
+    "the conformance window — the fixtures code off the 8-pel grid so "
+    "the parse can't echo container dims; extends the r9 H.264 "
+    "coverage to the second most common crawl-video codec",
+    tags=("llm", "multimodal", "codec", "video"),
+)
+def q_hevc_codec_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.multimodal import (
+        mp4_codec_params,
+        synthetic_hevc_assets,
+    )
+
+    assets = synthetic_hevc_assets(_t(spark, sf_dir, "documents"))
+    return mp4_codec_params(assets)
+
+
 # ---------------------------------------------------------------------------
 # Matroska / WebM container walk (r9-continued): the other dominant
 # crawl-video container next to ISO-BMFF. sources/mkv.py implements

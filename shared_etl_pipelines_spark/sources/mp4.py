@@ -49,6 +49,10 @@ __all__ = [
     "encode_sps",
     "encode_avcc",
     "encode_esds",
+    "parse_hevc_sps",
+    "parse_hvcc",
+    "encode_hevc_sps",
+    "encode_hvcc",
 ]
 
 
@@ -232,6 +236,207 @@ def parse_sps(nal: bytes) -> dict:
     }
 
 
+def parse_hevc_sps(nal: bytes) -> dict:
+    """Decode an H.265 seq_parameter_set NAL (ITU-T H.265 §7.3.2.2.1)
+    through the conformance window: profile/tier/level from the
+    profile_tier_level() syntax, chroma format, bit depth, and the
+    DISPLAY width/height (pic_*_in_luma_samples minus the conformance
+    window in SubWidthC/SubHeightC units). Out-of-spec input raises
+    ValueError — callers quarantine, never guess."""
+    if len(nal) < 2:
+        raise ValueError("HEVC SPS NAL truncated")
+    r = _BitReader(_strip_emulation(nal))
+    if r.u(1) != 0:
+        raise ValueError("HEVC SPS forbidden_zero_bit set")
+    if r.u(6) != 33:
+        raise ValueError("not an HEVC seq_parameter_set NAL")
+    r.u(6)  # nuh_layer_id
+    r.u(3)  # nuh_temporal_id_plus1
+    r.u(4)  # sps_video_parameter_set_id
+    max_sub_layers_minus1 = r.u(3)
+    r.u(1)  # sps_temporal_id_nesting_flag
+    # profile_tier_level(1, max_sub_layers_minus1)
+    r.u(2)  # general_profile_space
+    tier_flag = r.u(1)
+    profile_idc = r.u(5)
+    r.u(32)  # general_profile_compatibility_flag[32]
+    r.u(4)   # progressive/interlaced/non_packed/frame_only flags
+    r.u(43)  # general_reserved_zero_43bits
+    r.u(1)   # general_reserved_zero_bit / inbld
+    level_idc = r.u(8)
+    present = [(r.u(1), r.u(1)) for _ in range(max_sub_layers_minus1)]
+    if max_sub_layers_minus1 > 0:
+        for _ in range(max_sub_layers_minus1, 8):
+            r.u(2)  # reserved_zero_2bits
+    for prof, lev in present:
+        if prof:
+            r.u(88)
+        if lev:
+            r.u(8)
+    r.ue()  # sps_seq_parameter_set_id
+    chroma_format_idc = r.ue()
+    if chroma_format_idc > 3:
+        raise ValueError(f"chroma_format_idc {chroma_format_idc} > 3")
+    if chroma_format_idc == 3:
+        r.u(1)  # separate_colour_plane_flag
+    pic_w = r.ue()
+    pic_h = r.ue()
+    crop_l = crop_r = crop_t = crop_b = 0
+    if r.u(1):  # conformance_window_flag
+        crop_l, crop_r, crop_t, crop_b = r.ue(), r.ue(), r.ue(), r.ue()
+    bit_depth = 8 + r.ue()  # bit_depth_luma_minus8
+    r.ue()  # bit_depth_chroma_minus8
+    # H.265 Table 6-1 — same sub-sampling table as H.264
+    sub_w = 2 if chroma_format_idc in (1, 2) else 1
+    sub_h = 2 if chroma_format_idc == 1 else 1
+    width = pic_w - (crop_l + crop_r) * sub_w
+    height = pic_h - (crop_t + crop_b) * sub_h
+    if width <= 0 or height <= 0:
+        raise ValueError("HEVC conformance window exceeds the coded frame")
+    return {
+        "profile_idc": profile_idc,
+        "tier_flag": tier_flag,
+        "level_idc": level_idc,
+        "chroma_format_idc": chroma_format_idc,
+        "bit_depth": bit_depth,
+        "width": width,
+        "height": height,
+    }
+
+
+def encode_hevc_sps(
+    width: int,
+    height: int,
+    profile_idc: int = 1,
+    level_idc: int = 93,
+    tier_flag: int = 0,
+    chroma_format_idc: int = 1,
+    bit_depth: int = 8,
+) -> bytes:
+    """Real HEVC seq_parameter_set NAL for the given DISPLAY size: the
+    coded frame is aligned up to the 8-pel MinCbSizeY grid and a
+    conformance window trims it back, so a parser that echoes container
+    dims fails the fixture (the encode_sps contract)."""
+    sub_w = 2 if chroma_format_idc in (1, 2) else 1
+    sub_h = 2 if chroma_format_idc == 1 else 1
+    if width % sub_w or height % sub_h:
+        raise ValueError("display size must align to the chroma grid")
+    w = _BitWriter()
+    w.u(1, 0)   # forbidden_zero_bit
+    w.u(6, 33)  # nal_unit_type: SPS_NUT
+    w.u(6, 0)   # nuh_layer_id
+    w.u(3, 1)   # nuh_temporal_id_plus1
+    w.u(4, 0)   # sps_video_parameter_set_id
+    w.u(3, 0)   # sps_max_sub_layers_minus1
+    w.u(1, 1)   # sps_temporal_id_nesting_flag
+    w.u(2, 0)   # general_profile_space
+    w.u(1, tier_flag)
+    w.u(5, profile_idc)
+    w.u(32, 1 << (31 - profile_idc))  # compatibility flags
+    w.u(1, 1)   # general_progressive_source_flag
+    w.u(1, 0)   # general_interlaced_source_flag
+    w.u(1, 0)   # general_non_packed_constraint_flag
+    w.u(1, 1)   # general_frame_only_constraint_flag
+    w.u(43, 0)  # reserved
+    w.u(1, 0)   # reserved / inbld
+    w.u(8, level_idc)
+    w.ue(0)     # sps_seq_parameter_set_id
+    w.ue(chroma_format_idc)
+    if chroma_format_idc == 3:
+        w.u(1, 0)  # separate_colour_plane_flag
+    coded_w = (width + 7) // 8 * 8
+    coded_h = (height + 7) // 8 * 8
+    w.ue(coded_w)
+    w.ue(coded_h)
+    off_r = (coded_w - width) // sub_w
+    off_b = (coded_h - height) // sub_h
+    if off_r or off_b:
+        w.u(1, 1)
+        w.ue(0)
+        w.ue(off_r)
+        w.ue(0)
+        w.ue(off_b)
+    else:
+        w.u(1, 0)
+    w.ue(bit_depth - 8)  # bit_depth_luma_minus8
+    w.ue(bit_depth - 8)  # bit_depth_chroma_minus8
+    # remaining SPS fields are beyond what the parser consumes; close
+    # the RBSP here — parse stops at bit depth by design
+    nal = w.rbsp()
+    return nal[:2] + _insert_emulation(nal[2:])
+
+
+def encode_hvcc(
+    sps: bytes,
+    profile_idc: int = 1,
+    level_idc: int = 93,
+    tier_flag: int = 0,
+    chroma_format_idc: int = 1,
+    bit_depth: int = 8,
+) -> bytes:
+    """HEVCDecoderConfigurationRecord (ISO/IEC 14496-15 §8.3.3.1)
+    carrying one SPS NAL array."""
+    rec = bytearray([1])  # configurationVersion
+    rec.append((tier_flag << 5) | profile_idc)  # space(2)=0|tier|idc
+    rec += struct.pack(">I", 1 << (31 - profile_idc))  # compatibility
+    rec += bytes([0x90, 0, 0, 0, 0, 0])  # progressive+frame_only, 48 bits
+    rec.append(level_idc)
+    rec += b"\xf0\x00"          # reserved(4)=1111 + min_spatial_seg(12)
+    rec.append(0xFC)            # reserved(6) + parallelismType(2)
+    rec.append(0xFC | chroma_format_idc)
+    rec.append(0xF8 | (bit_depth - 8))  # bitDepthLumaMinus8
+    rec.append(0xF8 | (bit_depth - 8))  # bitDepthChromaMinus8
+    rec += b"\x00\x00"          # avgFrameRate
+    rec.append((1 << 3) | (1 << 2) | 3)  # 1 layer, nested, length-1=3
+    rec.append(1)               # numOfArrays
+    rec.append(0x80 | 33)       # array_completeness + SPS_NUT
+    rec += struct.pack(">H", 1) + struct.pack(">H", len(sps)) + sps
+    return bytes(rec)
+
+
+def parse_hvcc(rec: bytes) -> dict:
+    """hvcC record -> HEVC stream parameters: record-level profile/
+    tier/level cross-checked against the embedded SPS (a mismatch is a
+    re-mux defect worth refusing loudly), SPS-level chroma/bit-depth/
+    display dims."""
+    if len(rec) < 23:
+        raise ValueError("hvcC record truncated")
+    if rec[0] != 1:
+        raise ValueError(f"hvcC configurationVersion {rec[0]} != 1")
+    rec_tier = (rec[1] >> 5) & 1
+    rec_profile = rec[1] & 0x1F
+    rec_level = rec[12]
+    n_arrays = rec[22]
+    pos = 23
+    sps_nal = None
+    for _ in range(n_arrays):
+        if pos + 3 > len(rec):
+            raise ValueError("hvcC NAL array truncated")
+        nal_type = rec[pos] & 0x3F
+        (n_nalus,) = struct.unpack_from(">H", rec, pos + 1)
+        pos += 3
+        for _ in range(n_nalus):
+            if pos + 2 > len(rec):
+                raise ValueError("hvcC NAL length truncated")
+            (ln,) = struct.unpack_from(">H", rec, pos)
+            pos += 2
+            if pos + ln > len(rec):
+                raise ValueError("hvcC NAL payload truncated")
+            if nal_type == 33 and sps_nal is None:
+                sps_nal = rec[pos : pos + ln]
+            pos += ln
+    if sps_nal is None:
+        raise ValueError("hvcC carries no SPS")
+    out = parse_hevc_sps(sps_nal)
+    if (
+        out["profile_idc"] != rec_profile
+        or out["level_idc"] != rec_level
+        or out["tier_flag"] != rec_tier
+    ):
+        raise ValueError("hvcC/SPS profile-tier-level mismatch")
+    return out
+
+
 def parse_avcc(rec: bytes) -> dict:
     """AVCDecoderConfigurationRecord (ISO 14496-15 §5.2.4.1) -> record
     profile/level + the first SPS fully decoded via parse_sps."""
@@ -341,7 +546,7 @@ def _parse_entry_children(data: bytes, entry: int, t: dict) -> None:
     scan stays useful for tracks whose extradata is corrupt."""
     (entry_size,) = struct.unpack_from(">I", data, entry)
     fourcc = data[entry + 4 : entry + 8]
-    if fourcc in (b"avc1", b"avc3"):
+    if fourcc in (b"avc1", b"avc3", b"hev1", b"hvc1"):
         child_off = entry + 86  # 8 header + 78 VisualSampleEntry fields
     elif fourcc == b"mp4a":
         child_off = entry + 36  # 8 header + 28 AudioSampleEntry fields
@@ -351,6 +556,9 @@ def _parse_entry_children(data: bytes, entry: int, t: dict) -> None:
         for btype, b, e in _boxes(data, child_off, entry + entry_size):
             if btype == b"avcC":
                 t["codec_params"] = parse_avcc(data[b:e])
+                return
+            if btype == b"hvcC":
+                t["codec_params"] = parse_hvcc(data[b:e])
                 return
             if btype == b"esds":
                 t["codec_params"] = _parse_esds(data, b, e)
@@ -902,6 +1110,7 @@ def encode_mp4(
     audio_rate: int = 10,
     avc_params: tuple[int, int] | None = None,
     aac_params: tuple[int, int] | None = None,
+    hevc_params: tuple[int, int, int] | None = None,
 ) -> bytes:
     """Pre-encoded sample payloads -> minimal real MP4. Video samples
     land in ``samples_per_chunk``-sized chunks (multi-entry stco and a
@@ -926,6 +1135,18 @@ def encode_mp4(
         sps = encode_sps(width, height, avc_params[0], avc_params[1])
         pps = b"\x68\xce\x38\x80"  # minimal pic_parameter_set
         v_extra = _box(b"avcC", encode_avcc([sps], [pps]))
+    elif hevc_params is not None:
+        # (profile_idc, level_idc, tier_flag); chroma/bit-depth derive
+        # from the profile the way real encoders pick them (Main10 -> 10)
+        hp, hl, ht = hevc_params
+        bd = 10 if hp == 2 else 8
+        hsps = encode_hevc_sps(
+            width, height, hp, hl, ht, chroma_format_idc=1, bit_depth=bd
+        )
+        v_extra = _box(
+            b"hvcC",
+            encode_hvcc(hsps, hp, hl, ht, chroma_format_idc=1, bit_depth=bd),
+        )
     traks = _trak(
         1,
         b"vide",

@@ -2686,3 +2686,53 @@ def webm_vp8_keyframes(assets: DataFrame) -> DataFrame:
         "doc_id bigint, frame_idx int, is_real_parse boolean, width int, "
         "height int, part_size int, reason string",
     )
+
+
+def synthetic_hevc_assets(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "text"
+) -> DataFrame:
+    """Deterministic hev1-track MP4 fixtures (r9-continued: the H.265
+    half of the codec-params story). Display size is deliberately OFF
+    the 8-pel coding grid — (n%4+1)*16 + 2*(d%3) wide, ((n//4)%4+1)*16
+    + 2*((d//3)%3) tall — so the conformance window is real and a
+    parser echoing container dims fails. Profile cycles Main/Main10/
+    MainSP by d%3 (Main10 implies 10-bit), level cycles
+    90/93/120/123 by d%4, tier alternates by (d//2)%2. doc_id%9==8
+    blobs truncate and must quarantine. Pseudo-NAL payloads: the scan
+    and extradata parse are the subject, frame decode is not."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shared_etl_pipelines_spark.sources import mp4
+
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                d = int(doc_id)
+                n = len(str(payload).encode("utf-8"))
+                w = (n % 4 + 1) * 16 + 2 * (d % 3)
+                h = ((n // 4) % 4 + 1) * 16 + 2 * ((d // 3) % 3)
+                nf = n % 3 + 2
+                samples = [
+                    bytes((d + i * 5 + j) % 256 for j in range(20 + i))
+                    for i in range(nf)
+                ]
+                blob = mp4.encode_mp4(
+                    samples, w, h, fps=10, codec=b"hev1",
+                    keyframe_interval=2, samples_per_chunk=3,
+                    hevc_params=(
+                        d % 3 + 1,
+                        (90, 93, 120, 123)[d % 4],
+                        (d // 2) % 2,
+                    ),
+                )
+                if d % 9 == 8:
+                    blob = blob[:40]  # structural break -> quarantine
+                ids.append(d)
+                blobs.append(blob)
+            yield pd.DataFrame(
+                {"doc_id": ids, "media_type": "video/mp4", "blob": blobs}
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches, "doc_id bigint, media_type string, blob binary"
+    )

@@ -345,3 +345,79 @@ def test_spark_mp4_codec_params_quarantine(spark):
     assert not rows[2]["has_params"]
     assert "configurationVersion" in rows[2]["reason"]
     assert rows[3]["handler"] == "corrupt" and not rows[3]["has_params"]
+
+
+# ---------------------------------------------------------------------------
+# HEVC (r9-continued): hvcC + H.265 SPS stream parameters
+# ---------------------------------------------------------------------------
+def test_hevc_sps_roundtrip_profiles_chroma_bitdepth():
+    from shared_etl_pipelines_spark.sources import mp4
+
+    for (w, h, p, lv, t, c, bd) in [
+        (100, 58, 1, 93, 0, 1, 8),    # 4:2:0, conformance crop both axes
+        (64, 48, 2, 120, 1, 1, 10),   # Main10, no crop
+        (66, 50, 3, 90, 0, 2, 8),     # 4:2:2
+        (65, 49, 4, 123, 0, 3, 8),    # 4:4:4 allows odd display dims
+    ]:
+        out = mp4.parse_hevc_sps(mp4.encode_hevc_sps(w, h, p, lv, t, c, bd))
+        assert (out["width"], out["height"]) == (w, h)
+        assert (out["profile_idc"], out["level_idc"], out["tier_flag"]) \
+            == (p, lv, t)
+        assert (out["chroma_format_idc"], out["bit_depth"]) == (c, bd)
+
+
+def test_hevc_sps_refusals():
+    import pytest
+
+    from shared_etl_pipelines_spark.sources import mp4
+
+    nal = mp4.encode_hevc_sps(100, 58)
+    with pytest.raises(ValueError):
+        mp4.parse_hevc_sps(nal[:8])          # truncated bitstream
+    with pytest.raises(ValueError):
+        mp4.parse_hevc_sps(b"\x80" + nal[1:])  # forbidden bit set
+    with pytest.raises(ValueError):
+        mp4.parse_hevc_sps(bytes([0x40]) + nal[1:])  # wrong NAL type
+    with pytest.raises(ValueError):
+        mp4.encode_hevc_sps(101, 58)         # off the 4:2:0 chroma grid
+
+
+def test_hvcc_roundtrip_and_crosscheck():
+    import pytest
+
+    from shared_etl_pipelines_spark.sources import mp4
+
+    sps = mp4.encode_hevc_sps(100, 58, 1, 93, 0)
+    rec = mp4.encode_hvcc(sps, 1, 93, 0)
+    out = mp4.parse_hvcc(rec)
+    assert (out["width"], out["height"]) == (100, 58)
+    assert (out["profile_idc"], out["level_idc"]) == (1, 93)
+    # record-vs-SPS mismatch refuses loudly (re-mux defect)
+    with pytest.raises(ValueError):
+        mp4.parse_hvcc(mp4.encode_hvcc(sps, 2, 93, 0))
+    with pytest.raises(ValueError):
+        mp4.parse_hvcc(rec[:15])
+    with pytest.raises(ValueError):
+        mp4.parse_hvcc(bytes([2]) + rec[1:])  # bad version
+    # a record whose only array is PPS-type carries no SPS
+    no_sps = bytearray(rec[:23])
+    no_sps[22] = 1
+    no_sps += bytes([0x80 | 34]) + (1).to_bytes(2, "big") \
+        + (2).to_bytes(2, "big") + b"\x44\x01"
+    with pytest.raises(ValueError):
+        mp4.parse_hvcc(bytes(no_sps))
+
+
+def test_hev1_container_scan_yields_params():
+    from shared_etl_pipelines_spark.sources import mp4
+
+    blob = mp4.encode_mp4(
+        [b"x" * 30, b"y" * 31], 100, 58, codec=b"hev1",
+        hevc_params=(2, 120, 1),
+    )
+    t0 = mp4.parse_mp4(blob)["tracks"][0]
+    assert t0["codec"] == "hev1"
+    p = t0["codec_params"]
+    assert (p["width"], p["height"]) == (100, 58)
+    assert (p["profile_idc"], p["level_idc"], p["tier_flag"]) == (2, 120, 1)
+    assert p["bit_depth"] == 10  # Main10 implies 10-bit in the fixture
