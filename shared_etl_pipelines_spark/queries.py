@@ -1040,6 +1040,8 @@ _CARRYOVER_FIRST = (
     "sitemap_url_audit",
     # H.265/HEVC hvcC + SPS stream parameters (extends the r9 H.264 work)
     "hevc_codec_params",
+    # embedded Matroska subtitle cue extraction (S_TEXT/UTF8 + BlockDuration)
+    "mkv_subtitle_cues",
 )
 
 

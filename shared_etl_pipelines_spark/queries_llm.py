@@ -3687,8 +3687,19 @@ def q_hevc_codec_params(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(n % 2 + 1 AS INT) AS n_keyframes,
              CAST(nf * 40 AS BIGINT) AS duration_ms
       FROM dims WHERE doc_id % 2 = 1
+    ),
+    subs AS (
+      SELECT doc_id, dt AS doc_type, CAST(3 AS INT) AS track_id,
+             'subtitle' AS track_type, 'S_TEXT/UTF8' AS codec_id,
+             CAST(0 AS INT) AS width, CAST(0 AS INT) AS height,
+             CAST(0 AS INT) AS sample_hz, CAST(0 AS INT) AS channels,
+             CAST(n % 2 + 2 AS INT) AS n_blocks,
+             CAST(n % 2 + 2 AS INT) AS n_keyframes,
+             CAST(nf * 40 AS BIGINT) AS duration_ms
+      FROM dims WHERE doc_id % 4 = 2
     )
     SELECT * FROM video UNION ALL SELECT * FROM audio
+    UNION ALL SELECT * FROM subs
     """,
     doc="Matroska/WebM container scan: per-track type/codec/dims/audio "
     "params, block + keyframe census and duration from a real EBML walk "
@@ -3706,6 +3717,44 @@ def q_mkv_track_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assets = synthetic_mkv_assets(_t(spark, sf_dir, "documents"))
     return mkv_track_scan(assets)
+
+
+@defquery(
+    "mkv_subtitle_cues",
+    """
+    WITH a AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    cues AS (
+      SELECT doc_id, CAST(i AS INT) AS i
+      FROM a, unnest(range(0, n % 2 + 2)) AS t(i)
+      WHERE doc_id % 4 = 2
+    )
+    SELECT doc_id, CAST(3 AS INT) AS track_id, i AS cue_idx,
+           CAST(500 * i AS BIGINT) AS start_ms,
+           CAST(500 * i + 300 + 10 * i AS BIGINT) AS end_ms,
+           'cue ' || doc_id || '-' || i
+             || CASE WHEN doc_id % 8 = 2 THEN ' ß' ELSE '' END AS text,
+           CAST(length('cue ' || doc_id || '-' || i
+             || CASE WHEN doc_id % 8 = 2 THEN ' ß' ELSE '' END) AS INT)
+             AS n_chars,
+           'ok' AS reason
+    FROM cues
+    """,
+    doc="timed-text extraction from Matroska S_TEXT/UTF8 subtitle "
+    "tracks: absolute cue start/end from cluster timestamp + block "
+    "relative + BlockDuration, strict UTF-8 decode — embedded "
+    "subtitles are the transcript documents a crawl-video corpus ships "
+    "INSIDE the container, complementing standalone WebVTT/SRT "
+    "(caption_cue_extract)",
+    tags=("llm", "multimodal", "codec", "video", "text"),
+)
+def q_mkv_subtitle_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.multimodal import (
+        mkv_subtitle_cues,
+        synthetic_mkv_assets,
+    )
+
+    assets = synthetic_mkv_assets(_t(spark, sf_dir, "documents"))
+    return mkv_subtitle_cues(assets)
 
 
 @defquery(

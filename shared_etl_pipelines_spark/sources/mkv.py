@@ -51,6 +51,7 @@ _SIMPLE_BLOCK = 0xA3
 _BLOCK_GROUP = 0xA0
 _BLOCK = 0xA1
 _REF_BLOCK = 0xFB
+_BLOCK_DURATION = 0x9B
 _SEEK_HEAD = 0x114D9B74
 _CUES = 0x1C53BB6B
 _CHAPTERS = 0x1043A770
@@ -263,6 +264,7 @@ def parse_mkv(blob: bytes, collect_frames: bool = False) -> dict:
                 "width": 0, "height": 0, "sample_hz": 0, "channels": 0,
                 "codec_private": b"", "n_blocks": 0, "n_keyframes": 0,
                 "frames": [] if collect_frames else None,
+                "cues": [] if collect_frames else None,
             }
             for fid, fs, fe in _children(blob, cs, ce):
                 p = blob[fs:fe]
@@ -293,38 +295,59 @@ def parse_mkv(blob: bytes, collect_frames: bool = False) -> dict:
                 raise ValueError("duplicate TrackNumber — quarantine")
             tracks[t["track_id"]] = t
 
-    def record(tn: int, key: bool, payload: bytes) -> None:
+    def record(
+        tn: int,
+        key: bool,
+        payload: bytes,
+        abs_ts: int | None = None,
+        duration: int | None = None,
+    ) -> None:
         t = tracks.get(tn)
         if t is None:
             raise ValueError(f"block references unknown track {tn} — quarantine")
         if collect_frames:
             t["frames"].append((t["n_blocks"], key, payload))
+            if duration is not None:
+                t["cues"].append((abs_ts, duration, payload))
         t["n_blocks"] += 1
         t["n_keyframes"] += 1 if key else 0
 
+    def handle_group(s: int, e: int, cluster_ts: int) -> None:
+        tn = None
+        rel = 0
+        has_ref = False
+        duration = None
+        payload = b""
+        for gid, gs, ge in _children(blob, s, e):
+            if gid == _BLOCK:
+                tn, rel, _flags, ps = _parse_block(blob, gs, ge)
+                payload = blob[ps:ge]
+            elif gid == _REF_BLOCK:
+                has_ref = True
+            elif gid == _BLOCK_DURATION:
+                duration = _parse_uint(blob[gs:ge])
+        if tn is None:
+            raise ValueError("BlockGroup without Block — quarantine")
+        # per Matroska spec: keyframe iff no ReferenceBlock
+        record(tn, not has_ref, payload, cluster_ts + rel, duration)
+
     def walk_cluster_children(s: int, e: int) -> None:
+        cluster_ts = 0
         for cid, cs, ce in _children(blob, s, e):
-            if cid == _SIMPLE_BLOCK:
-                tn, _rel, flags, ps = _parse_block(blob, cs, ce)
-                record(tn, bool(flags & 0x80), blob[ps:ce])
+            if cid == _CLUSTER_TS:
+                cluster_ts = _parse_uint(blob[cs:ce])
+            elif cid == _SIMPLE_BLOCK:
+                tn, rel, flags, ps = _parse_block(blob, cs, ce)
+                record(
+                    tn, bool(flags & 0x80), blob[ps:ce], cluster_ts + rel
+                )
             elif cid == _BLOCK_GROUP:
-                tn = None
-                has_ref = False
-                payload = b""
-                for gid, gs, ge in _children(blob, cs, ce):
-                    if gid == _BLOCK:
-                        tn, _rel, _flags, ps = _parse_block(blob, gs, ge)
-                        payload = blob[ps:ge]
-                    elif gid == _REF_BLOCK:
-                        has_ref = True
-                if tn is None:
-                    raise ValueError("BlockGroup without Block — quarantine")
-                # per Matroska spec: keyframe iff no ReferenceBlock
-                record(tn, not has_ref, payload)
+                handle_group(cs, ce, cluster_ts)
 
     def walk_unknown_cluster(s: int, hard_end: int) -> int:
         """Unknown-size Cluster: children until a segment-level id."""
         pos = s
+        cluster_ts = 0
         while pos < hard_end:
             eid, n = _read_id(blob, pos)
             if eid in _SEGMENT_LEVEL:
@@ -339,11 +362,16 @@ def parse_mkv(blob: bytes, collect_frames: bool = False) -> dict:
             body = pos + n + m
             if body + size > hard_end:
                 raise ValueError("Cluster child overruns Segment")
-            if eid == _SIMPLE_BLOCK:
-                tn, _rel, flags, ps = _parse_block(blob, body, body + size)
-                record(tn, bool(flags & 0x80), blob[ps : body + size])
+            if eid == _CLUSTER_TS:
+                cluster_ts = _parse_uint(blob[body : body + size])
+            elif eid == _SIMPLE_BLOCK:
+                tn, rel, flags, ps = _parse_block(blob, body, body + size)
+                record(
+                    tn, bool(flags & 0x80), blob[ps : body + size],
+                    cluster_ts + rel,
+                )
             elif eid == _BLOCK_GROUP:
-                walk_cluster_children(pos, body + size)  # reuse group path
+                handle_group(body, body + size, cluster_ts)
             pos = body + size
         return hard_end
 
@@ -487,10 +515,13 @@ def encode_mkv(
 
     entries = b""
     for t in tracks:
+        ttype = {"video": 1, "audio": 2, "subtitle": 17}.get(t["type"])
+        if ttype is None:
+            raise ValueError(f"encode_mkv: unknown track type {t['type']!r}")
         e = (
             _el(_TRACK_NUMBER, _uint(t["number"]))
             + _el(_TRACK_UID, _uint(t["uid"]))
-            + _el(_TRACK_TYPE, _uint(1 if t["type"] == "video" else 2))
+            + _el(_TRACK_TYPE, _uint(ttype))
             + _el(_CODEC_ID, t["codec_id"].encode())
         )
         if t.get("codec_private"):
@@ -501,7 +532,7 @@ def encode_mkv(
                 _el(_PIXEL_W, _uint(t["width"]))
                 + _el(_PIXEL_H, _uint(t["height"])),
             )
-        else:
+        elif t["type"] == "audio":
             e += _el(
                 _AUDIO,
                 _el(_SAMPLE_HZ, struct.pack(">d", float(t["sample_hz"])))
@@ -514,9 +545,19 @@ def encode_mkv(
         if not blocks:
             raise ValueError("encode_mkv: empty cluster")
         body = _el(_CLUSTER_TS, _uint(cts))
-        for tn, rel, key, payload in blocks:
+        for blk_tuple in blocks:
+            tn, rel, key, payload = blk_tuple[:4]
+            duration = blk_tuple[4] if len(blk_tuple) == 5 else None
             hdr = _vint(tn) + struct.pack(">h", rel)
-            if block_groups and not key:
+            if duration is not None:
+                # timed cue: BlockGroup with BlockDuration (the
+                # subtitle form — keyframe iff no ReferenceBlock)
+                blk = _el(_BLOCK, hdr + b"\x00" + payload)
+                grp = blk + _el(_BLOCK_DURATION, _uint(duration))
+                if not key:
+                    grp += _el(_REF_BLOCK, struct.pack(">h", -1))
+                body += _el(_BLOCK_GROUP, grp)
+            elif block_groups and not key:
                 blk = _el(_BLOCK, hdr + b"\x00" + payload)
                 body += _el(
                     _BLOCK_GROUP, blk + _el(_REF_BLOCK, struct.pack(">h", -1))

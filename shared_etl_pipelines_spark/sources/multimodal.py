@@ -2481,9 +2481,12 @@ def synthetic_mkv_assets(
     n%2+1 channels-agnostic blocks, channels n%2+1. Structure variety:
     DocType 'matroska' on doc_id%5==0 (else webm), BlockGroup+
     ReferenceBlock form on doc_id%7==3, unknown-size (streaming-muxer)
-    Segment on doc_id%11==5 and Clusters on doc_id%11==7. Duration
-    nf*40 ms at the default 1 ms timestamp scale; two clusters when
-    nf > 2 (cluster 1 at ts 80)."""
+    Segment on doc_id%11==5 and Clusters on doc_id%11==7. doc_id%4==2
+    adds an S_TEXT/UTF8 subtitle track (n%2+2 timed cues as BlockGroup
+    + BlockDuration at 500 ms spacing, 300+10*i ms long, UTF-8
+    non-ASCII text on doc_id%8==2). Duration nf*40 ms at the default
+    1 ms timestamp scale; two clusters when nf > 2 (cluster 1 at
+    ts 80)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from shared_etl_pipelines_spark.sources import mkv
@@ -2509,6 +2512,14 @@ def synthetic_mkv_assets(
                             codec_id="A_OPUS" if d % 4 == 1 else "A_VORBIS",
                             sample_hz=48000 if d % 4 == 1 else 44100,
                             channels=n % 2 + 1,
+                        )
+                    )
+                nc = n % 2 + 2 if d % 4 == 2 else 0
+                if nc:
+                    tracks.append(
+                        dict(
+                            number=3, uid=d * 2 + 3, type="subtitle",
+                            codec_id="S_TEXT/UTF8",
                         )
                     )
                 frames = []
@@ -2542,6 +2553,11 @@ def synthetic_mkv_assets(
                 if na >= 2:
                     (c1 if nf > 2 else c0).append(
                         (2, 40 - (80 if nf > 2 else 0), True, b"a" * 11)
+                    )
+                for i in range(nc):
+                    cue = f"cue {d}-{i}" + (" ß" if d % 8 == 2 else "")
+                    c0.append(
+                        (3, 500 * i, True, cue.encode("utf-8"), 300 + 10 * i)
                     )
                 clusters = [(0, c0)] + ([(80, c1)] if c1 else [])
                 blob = mkv.encode_mkv(
@@ -2735,4 +2751,70 @@ def synthetic_hevc_assets(
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         batches, "doc_id bigint, media_type string, blob binary"
+    )
+
+
+def mkv_subtitle_cues(assets: DataFrame) -> DataFrame:
+    """Timed-text extraction from Matroska S_TEXT/UTF8 subtitle tracks:
+    one row per cue with absolute start/end (cluster timestamp + block
+    relative + BlockDuration, all on the ms timestamp scale) and the
+    UTF-8 cue text — embedded subtitles are transcript documents a
+    crawl-video corpus ships INSIDE the container, the third caption
+    source next to standalone WebVTT/SRT (caption_cue_rows). Corrupt
+    containers quarantine as a cue_idx=-1 row."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shared_etl_pipelines_spark.sources import mkv
+
+        cols = (
+            "doc_id", "track_id", "cue_idx", "start_ms", "end_ms",
+            "text", "n_chars", "reason",
+        )
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+
+            def emit(d, tid, idx, s, e, txt, reason):
+                rows["doc_id"].append(d)
+                rows["track_id"].append(tid)
+                rows["cue_idx"].append(idx)
+                rows["start_ms"].append(s)
+                rows["end_ms"].append(e)
+                rows["text"].append(txt)
+                rows["n_chars"].append(len(txt))
+                rows["reason"].append(reason)
+
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                try:
+                    info = mkv.parse_mkv(bytes(blob), collect_frames=True)
+                except ValueError:
+                    emit(doc_id, -1, -1, 0, 0, "", "corrupt")
+                    continue
+                for t in info["tracks"]:
+                    if t["track_type"] != "subtitle":
+                        continue
+                    if t["codec_id"] != "S_TEXT/UTF8":
+                        emit(
+                            doc_id, int(t["track_id"]), -1, 0, 0, "",
+                            f"codec:{t['codec_id']}",
+                        )
+                        continue
+                    for idx, (ts, dur, payload) in enumerate(t["cues"]):
+                        try:
+                            txt = payload.decode("utf-8", "strict")
+                        except UnicodeDecodeError:
+                            emit(
+                                doc_id, int(t["track_id"]), idx, 0, 0,
+                                "", "bad-utf8",
+                            )
+                            continue
+                        emit(
+                            doc_id, int(t["track_id"]), idx,
+                            int(ts), int(ts + dur), txt, "ok",
+                        )
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(
+        batches,
+        "doc_id bigint, track_id int, cue_idx int, start_ms bigint, "
+        "end_ms bigint, text string, n_chars int, reason string",
     )

@@ -119,3 +119,33 @@ def test_default_centroid_free_duration_and_scale():
         _tracks(), _clusters(), timestamp_scale=500_000, duration_ms=120
     )
     assert mkv.parse_mkv(blob)["duration_ms"] == 120
+
+
+def test_subtitle_cues_roundtrip():
+    tracks = [
+        dict(number=1, uid=1, type="video", codec_id="V_VP8",
+             width=64, height=48),
+        dict(number=3, uid=3, type="subtitle", codec_id="S_TEXT/UTF8"),
+    ]
+    f0 = mkv.encode_vp8_keyframe(64, 48, part_size=3)
+    clusters = [
+        (0, [(1, 0, True, f0), (3, 500, True, "hello cue".encode(), 300)]),
+        (2000, [(3, -500, True, "söndag".encode(), 410)]),  # abs ts 1500
+    ]
+    for unk in (False, True):
+        blob = mkv.encode_mkv(tracks, clusters, duration_ms=3000,
+                              unknown_size_clusters=unk)
+        info = mkv.parse_mkv(blob, collect_frames=True)
+        sub = [t for t in info["tracks"] if t["track_type"] == "subtitle"][0]
+        assert sub["codec_id"] == "S_TEXT/UTF8"
+        assert (sub["n_blocks"], sub["n_keyframes"]) == (2, 2)
+        cues = [(ts, d, p.decode()) for ts, d, p in sub["cues"]]
+        assert cues == [(500, 300, "hello cue"), (1500, 410, "söndag")]
+
+
+def test_unknown_track_type_refused_by_encoder():
+    with pytest.raises(ValueError):
+        mkv.encode_mkv(
+            [dict(number=1, uid=1, type="logo", codec_id="X")],
+            [(0, [(1, 0, True, b"z")])],
+        )
