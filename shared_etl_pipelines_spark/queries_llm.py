@@ -8942,7 +8942,8 @@ def q_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ok AS (
       SELECT d AS doc_id,
-             CASE WHEN d % 2 = 0 THEN 'vtt' ELSE 'srt' END AS fmt,
+             CASE WHEN d % 4 = 0 THEN 'vtt'
+                  WHEN d % 4 = 2 THEN 'ttml' ELSE 'srt' END AS fmt,
              i AS cue_idx,
              CAST(d % 1000 + 2000 * i AS BIGINT) AS start_ms,
              CAST(d % 1000 + 2000 * i + 1200 + (d % 5) * 100 AS BIGINT)
@@ -8960,7 +8961,8 @@ def q_mojibake_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     bad AS (
       SELECT d AS doc_id,
-             CASE WHEN d % 2 = 0 THEN 'vtt' ELSE 'srt' END AS fmt,
+             CASE WHEN d % 4 = 0 THEN 'vtt'
+                  WHEN d % 4 = 2 THEN 'ttml' ELSE 'srt' END AS fmt,
              CAST(-1 AS INT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
              '', CAST(0 AS INT), 'malformed'
       FROM p WHERE d % 9 = 0

@@ -26,7 +26,10 @@ from __future__ import annotations
 
 import re
 
-__all__ = ["parse_webvtt", "parse_srt", "encode_webvtt", "encode_srt"]
+__all__ = [
+    "parse_webvtt", "parse_srt", "parse_ttml",
+    "encode_webvtt", "encode_srt", "encode_ttml",
+]
 
 _VTT_TS = re.compile(r"^(?:(\d{2,}):)?([0-5]\d):([0-5]\d)\.(\d{3})$")
 _SRT_TS = re.compile(r"^(\d{2,}):([0-5]\d):([0-5]\d),(\d{3})$")
@@ -145,3 +148,99 @@ def encode_srt(cues: list[tuple[int, int, str]]) -> str:
         out.append(text)
         out.append("")
     return "\n".join(out)
+
+
+# ---------------------------------------------------------------------------
+# TTML (W3C Timed Text Markup Language) — the broadcast/streaming
+# caption format next to WebVTT/SRT (r9-continued).
+# ---------------------------------------------------------------------------
+_TTML_CLOCK = re.compile(r"^(\d{2,}):([0-5]\d):([0-5]\d)(?:\.(\d{1,3}))?$")
+_TTML_OFFSET = re.compile(r"^(\d+(?:\.\d+)?)(h|ms|m|s)$")
+_TTML_SCALE = {"h": 3_600_000, "m": 60_000, "s": 1_000, "ms": 1}
+
+
+def _ttml_ms(tok: str) -> int:
+    """TTML time expression -> ms: clock-time HH:MM:SS(.fff) or
+    offset-time <n>(h|m|s|ms). Frame-based expressions (HH:MM:SS:FF or
+    the 'f'/'t' metrics) need ttp:frameRate/tickRate context we refuse
+    to guess — ValueError, callers quarantine."""
+    tok = tok.strip()
+    m = _TTML_CLOCK.match(tok)
+    if m:
+        frac = (m.group(4) or "0").ljust(3, "0")
+        return (
+            (int(m.group(1)) * 60 + int(m.group(2))) * 60 + int(m.group(3))
+        ) * 1000 + int(frac)
+    m = _TTML_OFFSET.match(tok)
+    if m:
+        return int(round(float(m.group(1)) * _TTML_SCALE[m.group(2)]))
+    raise ValueError(f"unsupported TTML time expression {tok!r}")
+
+
+def _ttml_text(el) -> str:
+    """Flatten a <p>'s content: nested spans inline, <br/> -> newline."""
+    parts: list[str] = []
+    if el.text:
+        parts.append(el.text)
+    for child in el:
+        if child.tag.rpartition("}")[2] == "br":
+            parts.append("\n")
+        else:
+            parts.append(_ttml_text(child))
+        if child.tail:
+            parts.append(child.tail)
+    return "".join(parts)
+
+
+def parse_ttml(text: str) -> list[tuple[int, int, int, str]]:
+    """TTML -> [(cue_index, start_ms, end_ms, text)] over every <p> in
+    document order. ``begin`` is required; ``end`` or ``dur`` closes
+    the cue. Malformed XML, a non-<tt> root, missing/unsupported
+    timings and non-positive durations raise ValueError."""
+    import xml.etree.ElementTree as ET
+
+    try:
+        root = ET.fromstring(text)
+    except ET.ParseError as e:
+        raise ValueError(f"malformed TTML XML: {e}") from e
+    if root.tag.rpartition("}")[2] != "tt":
+        raise ValueError(f"TTML root is <{root.tag}>, not <tt>")
+    cues: list[tuple[int, int, int, str]] = []
+    idx = 0
+    for p in root.iter():
+        if p.tag.rpartition("}")[2] != "p":
+            continue
+        begin = p.get("begin")
+        if begin is None:
+            raise ValueError("TTML <p> without begin")
+        start = _ttml_ms(begin)
+        if p.get("end") is not None:
+            end = _ttml_ms(p.get("end"))
+        elif p.get("dur") is not None:
+            end = start + _ttml_ms(p.get("dur"))
+        else:
+            raise ValueError("TTML <p> without end or dur")
+        if end <= start:
+            raise ValueError("TTML cue with non-positive duration")
+        cues.append((idx, start, end, _ttml_text(p).strip()))
+        idx += 1
+    return cues
+
+
+def encode_ttml(cues: list[tuple[int, int, str]]) -> str:
+    """Canonical TTML document for fixtures/roundtrips: clock-time
+    timings, <br/> for embedded newlines, XML-escaped text."""
+    from xml.sax.saxutils import escape
+
+    ps = []
+    for start, end, text in cues:
+        body = "<br/>".join(escape(line) for line in text.split("\n"))
+        ps.append(
+            f'<p begin="{_fmt_ms(start, ".")}" end="{_fmt_ms(end, ".")}">'
+            f"{body}</p>"
+        )
+    return (
+        '<tt xmlns="http://www.w3.org/ns/ttml"><body><div>'
+        + "".join(ps)
+        + "</div></body></tt>"
+    )

@@ -2368,11 +2368,13 @@ def jpeg_exif_scan(assets: DataFrame) -> DataFrame:
 def synthetic_caption_assets(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "text"
 ) -> DataFrame:
-    """Deterministic caption-sidecar fixtures (r9): WebVTT on even
-    doc_ids (with a NOTE block the parser must skip), SRT on odd ones;
-    n%4+2 cues, cue i spanning [d%1000 + 2000i, +1200 + (d%5)*100] ms,
-    text 'line-{d}-{i}' with a second line 'cont-{i}' on odd cues.
-    d%9==0 sidecars carry a '-->'-less timing line (must quarantine)."""
+    """Deterministic caption-sidecar fixtures (r9; +TTML r9-continued):
+    WebVTT on doc_id%4==0 (with a NOTE block the parser must skip),
+    TTML on doc_id%4==2 (W3C timed text, <br/> line breaks), SRT on odd
+    ids; n%4+2 cues, cue i spanning [d%1000 + 2000i, +1200 + (d%5)*100]
+    ms, text 'line-{d}-{i}' with a second line 'cont-{i}' on odd cues.
+    d%9==0 sidecars malform (a '-->'-less timing line; truncated XML
+    for TTML) and must quarantine."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from shared_etl_pipelines_spark.sources import captions
@@ -2388,14 +2390,21 @@ def synthetic_caption_assets(
                     end = start + 1200 + (d % 5) * 100
                     text = f"line-{d}-{i}" + (f"\ncont-{i}" if i % 2 else "")
                     cues.append((start, end, text))
-                fmt = "vtt" if d % 2 == 0 else "srt"
-                body = (
-                    captions.encode_webvtt(cues)
-                    if fmt == "vtt"
-                    else captions.encode_srt(cues)
+                fmt = (
+                    "vtt" if d % 4 == 0
+                    else "ttml" if d % 4 == 2
+                    else "srt"
                 )
+                body = {
+                    "vtt": captions.encode_webvtt,
+                    "srt": captions.encode_srt,
+                    "ttml": captions.encode_ttml,
+                }[fmt](cues)
                 if d % 9 == 0:
-                    body = body.replace("-->", "->", 1)
+                    body = (
+                        body[:-10] if fmt == "ttml"
+                        else body.replace("-->", "->", 1)
+                    )
                 ids.append(d)
                 fmts.append(fmt)
                 payloads.append(body)
@@ -2429,11 +2438,11 @@ def caption_cue_rows(assets: DataFrame) -> DataFrame:
                 pdf["doc_id"], pdf["fmt"], pdf["payload"]
             ):
                 try:
-                    cues = (
-                        captions.parse_webvtt(payload)
-                        if fmt == "vtt"
-                        else captions.parse_srt(payload)
-                    )
+                    cues = {
+                        "vtt": captions.parse_webvtt,
+                        "srt": captions.parse_srt,
+                        "ttml": captions.parse_ttml,
+                    }[fmt](payload)
                 except ValueError:
                     rows["doc_id"].append(doc_id)
                     rows["fmt"].append(fmt)

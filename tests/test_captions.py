@@ -80,8 +80,61 @@ def test_spark_caption_cues_and_quarantine(spark):
         assert len(rs) == n % 4 + 2
         for r in sorted(rs, key=lambda r: r["cue_idx"]):
             i = r["cue_idx"]
-            assert r["fmt"] == ("vtt" if d % 2 == 0 else "srt")
+            assert r["fmt"] == (
+                "vtt" if d % 4 == 0 else "ttml" if d % 4 == 2 else "srt"
+            )
             assert r["start_ms"] == d % 1000 + 2000 * i
             assert r["end_ms"] - r["start_ms"] == 1200 + (d % 5) * 100
             want = f"line-{d}-{i}" + (f"\ncont-{i}" if i % 2 else "")
             assert r["text"] == want and r["n_chars"] == len(want)
+
+
+# ---------------------------------------------------------------------------
+# TTML (r9-continued)
+# ---------------------------------------------------------------------------
+def test_ttml_roundtrip_and_time_expressions():
+    from shared_etl_pipelines_spark.sources import captions as c
+
+    cues = [(123, 2500, "hello"), (4000, 6100, "two\nlines & <esc>")]
+    out = c.parse_ttml(c.encode_ttml(cues))
+    assert out == [
+        (0, 123, 2500, "hello"),
+        (1, 4000, 6100, "two\nlines & <esc>"),
+    ]
+    assert c._ttml_ms("1.5s") == 1500
+    assert c._ttml_ms("500ms") == 500
+    assert c._ttml_ms("2m") == 120_000
+    assert c._ttml_ms("1h") == 3_600_000
+    assert c._ttml_ms("01:02:03") == 3_723_000
+    assert c._ttml_ms("01:02:03.45") == 3_723_450  # frac pads to ms
+
+
+def test_ttml_dur_and_nested_spans():
+    from shared_etl_pipelines_spark.sources import captions as c
+
+    xml = (
+        '<tt xmlns="http://www.w3.org/ns/ttml"><body><div>'
+        '<p begin="1s" dur="2s">a <span>styled</span> word</p>'
+        "</div></body></tt>"
+    )
+    assert c.parse_ttml(xml) == [(0, 1000, 3000, "a styled word")]
+
+
+def test_ttml_refusals():
+    import pytest
+
+    from shared_etl_pipelines_spark.sources import captions as c
+
+    for bad in ("00:00:01:15", "15f", "3t", "abc"):  # frame/tick metrics
+        with pytest.raises(ValueError):
+            c._ttml_ms(bad)
+    with pytest.raises(ValueError):
+        c.parse_ttml("<xhtml><p begin='1s' end='2s'>x</p></xhtml>")
+    with pytest.raises(ValueError):
+        c.parse_ttml("<tt><body><p end='2s'>no-begin</p></body></tt>")
+    with pytest.raises(ValueError):
+        c.parse_ttml("<tt><body><p begin='1s'>no-end</p></body></tt>")
+    with pytest.raises(ValueError):
+        c.parse_ttml("<tt><body><p begin='2s' end='2s'>zero</p></body></tt>")
+    with pytest.raises(ValueError):
+        c.parse_ttml("<tt><body><p begin='1s' end='2s'>x</p></body>")
