@@ -1042,6 +1042,10 @@ _CARRYOVER_FIRST = (
     "hevc_codec_params",
     # embedded Matroska subtitle cue extraction (S_TEXT/UTF8 + BlockDuration)
     "mkv_subtitle_cues",
+    # TTML added to the caption sidecar pass (fixture/oracle reshaped)
+    # -> caption_cue_extract already re-fronted above (r9 list)
+    # AV1 sequence-header OBU + av1C stream parameters
+    "av1_codec_params",
 )
 
 

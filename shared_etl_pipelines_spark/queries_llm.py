@@ -3643,6 +3643,66 @@ def q_hevc_codec_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mp4_codec_params(assets)
 
 
+@defquery(
+    "av1_codec_params",
+    """
+    WITH a AS (SELECT doc_id AS d, octet_length(encode(text)) AS n FROM documents),
+    base AS (
+      SELECT d, n,
+             CAST((n % 4 + 1) * 100 + d % 7 AS INT) AS w,
+             CAST(((n // 4) % 4 + 1) * 90 + (d // 7) % 5 AS INT) AS h,
+             CAST(d % 3 AS INT) AS p,
+             CAST(list_extract([0, 4, 8, 12], d % 4 + 1) AS INT) AS lvl,
+             d % 11 = 6 AS reduced,
+             d % 3 <> 1 AND d % 10 = 4 AS mono
+      FROM a
+    ),
+    ok_rows AS (
+      SELECT d AS doc_id, CAST(1 AS INT) AS track_id, 'vide' AS handler,
+             'av01' AS codec, TRUE AS has_params,
+             p AS profile_idc, lvl AS level_idc,
+             CAST(CASE WHEN mono THEN 0
+                       ELSE list_extract([1, 3, 2], p + 1) END AS INT)
+               AS chroma_format,
+             CAST(CASE WHEN p = 2 THEN (CASE WHEN d % 2 = 1 THEN 12 ELSE 10 END)
+                       ELSE (CASE WHEN d % 2 = 1 THEN 10 ELSE 8 END) END AS INT)
+               AS bit_depth,
+             w AS sps_width, h AS sps_height,
+             CAST(0 AS INT) AS aac_object_type,
+             CAST(0 AS INT) AS aac_sample_rate,
+             CAST(0 AS INT) AS aac_channels,
+             'ok' AS reason
+      FROM base WHERE d % 9 <> 8
+    ),
+    corrupt AS (
+      SELECT d AS doc_id, CAST(-1 AS INT), 'corrupt', '', FALSE,
+             CAST(0 AS INT), CAST(0 AS INT), CAST(0 AS INT), CAST(0 AS INT),
+             CAST(0 AS INT), CAST(0 AS INT), CAST(0 AS INT), CAST(0 AS INT),
+             CAST(0 AS INT), 'corrupt'
+      FROM base WHERE d % 9 = 8
+    )
+    SELECT * FROM ok_rows UNION ALL SELECT * FROM corrupt
+    """,
+    doc="AV1 stream parameters from av1C stsd extradata (AOM AV1 spec "
+    "§5.5 + ISO-BMFF binding §2.3): sequence-header OBU parse through "
+    "the full color_config — profile/level/tier, variable-bit-width "
+    "max frame dims, high_bitdepth/twelve_bit -> bit depth, "
+    "monochrome, subsampling mode; record-vs-OBU summary cross-check "
+    "refuses re-mux defects; both header forms (full + "
+    "reduced_still_picture) and explicit timing_info exercised — "
+    "completes the H.264/H.265/AV1 codec-metadata triple",
+    tags=("llm", "multimodal", "codec", "video"),
+)
+def q_av1_codec_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.multimodal import (
+        mp4_codec_params,
+        synthetic_av1_assets,
+    )
+
+    assets = synthetic_av1_assets(_t(spark, sf_dir, "documents"))
+    return mp4_codec_params(assets)
+
+
 # ---------------------------------------------------------------------------
 # Matroska / WebM container walk (r9-continued): the other dominant
 # crawl-video container next to ISO-BMFF. sources/mkv.py implements

@@ -546,7 +546,7 @@ def _parse_entry_children(data: bytes, entry: int, t: dict) -> None:
     scan stays useful for tracks whose extradata is corrupt."""
     (entry_size,) = struct.unpack_from(">I", data, entry)
     fourcc = data[entry + 4 : entry + 8]
-    if fourcc in (b"avc1", b"avc3", b"hev1", b"hvc1"):
+    if fourcc in (b"avc1", b"avc3", b"hev1", b"hvc1", b"av01"):
         child_off = entry + 86  # 8 header + 78 VisualSampleEntry fields
     elif fourcc == b"mp4a":
         child_off = entry + 36  # 8 header + 28 AudioSampleEntry fields
@@ -559,6 +559,12 @@ def _parse_entry_children(data: bytes, entry: int, t: dict) -> None:
                 return
             if btype == b"hvcC":
                 t["codec_params"] = parse_hvcc(data[b:e])
+                return
+            if btype == b"av1C":
+                # lazy import: av1.py borrows this module's bit I/O
+                from shared_etl_pipelines_spark.sources.av1 import parse_av1c
+
+                t["codec_params"] = parse_av1c(data[b:e])
                 return
             if btype == b"esds":
                 t["codec_params"] = _parse_esds(data, b, e)
@@ -1111,6 +1117,7 @@ def encode_mp4(
     avc_params: tuple[int, int] | None = None,
     aac_params: tuple[int, int] | None = None,
     hevc_params: tuple[int, int, int] | None = None,
+    av1_params: dict | None = None,
 ) -> bytes:
     """Pre-encoded sample payloads -> minimal real MP4. Video samples
     land in ``samples_per_chunk``-sized chunks (multi-entry stco and a
@@ -1146,6 +1153,13 @@ def encode_mp4(
         v_extra = _box(
             b"hvcC",
             encode_hvcc(hsps, hp, hl, ht, chroma_format_idc=1, bit_depth=bd),
+        )
+    elif av1_params is not None:
+        from shared_etl_pipelines_spark.sources import av1 as _av1
+
+        obu = _av1.encode_av1_seq_header(width, height, **av1_params)
+        v_extra = _box(
+            b"av1C", _av1.encode_av1c(obu, _av1.parse_av1_seq_header(obu))
         )
     traks = _trak(
         1,

@@ -2827,3 +2827,66 @@ def mkv_subtitle_cues(assets: DataFrame) -> DataFrame:
         "doc_id bigint, track_id int, cue_idx int, start_ms bigint, "
         "end_ms bigint, text string, n_chars int, reason string",
     )
+
+
+def synthetic_av1_assets(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "text"
+) -> DataFrame:
+    """Deterministic av01-track MP4 fixtures (r9-continued: the AV1
+    third of the codec-params story). Dims are arbitrary values —
+    (n%4+1)*100 + d%7 wide, ((n//4)%4+1)*90 + (d//7)%5 tall — coded in
+    the spec's variable-bit-width fields so a parser guessing widths
+    desyncs. Profile cycles 0/1/2 by d%3 (professional implies
+    10/12-bit, 4:4:4 on profile 1, 4:2:2 on profile 2); level cycles
+    0/4/8/12 by d%4 with tier on d%8>=4 when the level carries one;
+    monochrome on d%10==4 (profiles 0/2 only); the reduced
+    still-picture header form on d%11==6; explicit timing_info on
+    d%7==5 (non-reduced). doc_id%9==8 blobs truncate and must
+    quarantine."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shared_etl_pipelines_spark.sources import mp4
+
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                d = int(doc_id)
+                n = len(str(payload).encode("utf-8"))
+                w = (n % 4 + 1) * 100 + d % 7
+                h = ((n // 4) % 4 + 1) * 90 + (d // 7) % 5
+                profile = d % 3
+                level = (0, 4, 8, 12)[d % 4]
+                reduced = d % 11 == 6
+                tier = 1 if level > 7 and d % 8 >= 4 and not reduced else 0
+                bd = (
+                    (12 if d % 2 else 10) if profile == 2
+                    else (10 if d % 2 else 8)
+                )
+                params = dict(
+                    profile=profile, level=level, tier=tier, bit_depth=bd,
+                    mono=profile != 1 and d % 10 == 4,
+                    reduced_still_picture=reduced,
+                )
+                if d % 7 == 5 and not reduced:
+                    params["timing_info"] = (1000 + d % 5, 90000, d % 3)
+                nf = n % 3 + 2
+                samples = [
+                    bytes((d + i * 3 + j) % 256 for j in range(18 + i))
+                    for i in range(nf)
+                ]
+                blob = mp4.encode_mp4(
+                    samples, w, h, fps=10, codec=b"av01",
+                    keyframe_interval=2, samples_per_chunk=3,
+                    av1_params=params,
+                )
+                if d % 9 == 8:
+                    blob = blob[:40]
+                ids.append(d)
+                blobs.append(blob)
+            yield pd.DataFrame(
+                {"doc_id": ids, "media_type": "video/mp4", "blob": blobs}
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches, "doc_id bigint, media_type string, blob binary"
+    )
