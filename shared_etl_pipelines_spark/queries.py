@@ -1046,6 +1046,8 @@ _CARRYOVER_FIRST = (
     # -> caption_cue_extract already re-fronted above (r9 list)
     # AV1 sequence-header OBU + av1C stream parameters
     "av1_codec_params",
+    # gzip/zlib/zstd/xz/bzip2 container audit with integrity verify
+    "compression_codec_audit",
 )
 
 

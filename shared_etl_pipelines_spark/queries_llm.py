@@ -3644,6 +3644,190 @@ def q_hevc_codec_params(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "compression_codec_audit",
+    """
+    WITH a AS (SELECT doc_id AS d, octet_length(encode(text)) AS n FROM documents),
+    base AS (SELECT d, n, CAST(d % 5 AS INT) AS c FROM a),
+    ok_rows AS (
+      SELECT d AS doc_id,
+             list_extract(['gzip','zlib','zstd','xz','bzip2'], c + 1) AS codec,
+             CAST(CASE WHEN c = 0 AND d % 4 = 0 THEN 2
+                       WHEN c = 2 AND d % 3 = 0 THEN 2
+                       ELSE 1 END AS INT) AS n_frames,
+             CAST(CASE WHEN c = 0 AND d % 4 = 0 THEN 2 * n ELSE n END AS BIGINT)
+               AS content_size,
+             CAST(CASE WHEN c = 1 THEN 15
+                       WHEN c = 2 AND d % 2 = 0 THEN 10 + d % 10
+                       ELSE 0 END AS INT) AS window_log,
+             CASE WHEN c = 0 THEN 'crc32'
+                  WHEN c = 1 THEN 'adler32'
+                  WHEN c = 2 THEN (CASE WHEN d % 4 = 2 THEN 'xxh64' ELSE 'none' END)
+                  WHEN c = 3 THEN (CASE WHEN d % 2 = 1 THEN 'crc32' ELSE 'crc64' END)
+                  ELSE 'crc32' END AS check_type,
+             CAST(CASE WHEN c = 0 THEN d * 3600 ELSE 0 END AS BIGINT) AS mtime,
+             CASE WHEN c = 0 AND d % 2 = 0 THEN 'doc-' || d || '.txt'
+                  ELSE '' END AS fname,
+             CAST(CASE WHEN c = 4 THEN d % 9 + 1 ELSE 0 END AS INT) AS bz_level,
+             c <> 2 AS is_full_decode,
+             CASE WHEN c = 2 THEN 'header-only' ELSE 'ok' END AS reason
+      FROM base WHERE d % 9 <> 8
+    ),
+    corrupt AS (
+      SELECT d AS doc_id,
+             list_extract(['gzip','zlib','zstd','xz','bzip2'], c + 1) AS codec,
+             CAST(0 AS INT), CAST(0 AS BIGINT), CAST(0 AS INT), '',
+             CAST(0 AS BIGINT), '', CAST(0 AS INT), FALSE, 'corrupt'
+      FROM base WHERE d % 9 = 8
+    )
+    SELECT * FROM ok_rows UNION ALL SELECT * FROM corrupt
+    """,
+    doc="compression-container storage audit (RFC 1952/1950/8878, xz, "
+    "bzip2): magic sniff, per-member gzip walk with CRC32+ISIZE verify "
+    "and FNAME/mtime metadata surfacing (filename/build-time leakage a "
+    "curation pass must see), zlib/xz/bzip2 full decode with check-type "
+    "extraction, zstd frame+skippable-frame HEADER walk that says "
+    "is_full_decode=false loudly (no zstd codec in the interpreter) "
+    "instead of pretending; reserved bits and integrity mismatches "
+    "quarantine whole-blob",
+    tags=("llm", "multimodal", "storage", "audit"),
+)
+def q_compression_codec_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def evaluate(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import bz2
+        import lzma
+        import zlib as _zlib
+
+        from shared_etl_pipelines_spark.sources import compression as C
+
+        def build(d: int, payload: bytes) -> bytes:
+            c = d % 5
+            if c == 0:
+                blob = C.encode_gzip_member(
+                    payload, mtime=d * 3600, os_byte=d % 13,
+                    fname=f"doc-{d}.txt" if d % 2 == 0 else "",
+                    fcomment="c" if d % 3 == 0 else "",
+                    hcrc=d % 7 == 2,
+                    extra=b"XX\x02\x00ab" if d % 11 == 9 else None,
+                )
+                if d % 4 == 0:
+                    blob += C.encode_gzip_member(payload, mtime=d * 3600)
+            elif c == 1:
+                blob = _zlib.compress(payload, 6)
+            elif c == 2:
+                frame = C.encode_zstd_frame(
+                    len(payload),
+                    window_log=None if d % 2 == 1 else 10 + d % 10,
+                    dict_id=d * 7 % 70000 + 1 if d % 6 == 3 else 0,
+                    checksum=d % 4 == 2,
+                    payload=bytes((d + j) % 256 for j in range(9)),
+                )
+                blob = (
+                    C.encode_zstd_skippable(
+                        bytes((d + j) % 256 for j in range(d % 7 + 1)),
+                        nibble=d % 16,
+                    )
+                    + frame
+                    if d % 3 == 0
+                    else frame
+                )
+            elif c == 3:
+                blob = lzma.compress(
+                    payload,
+                    check=lzma.CHECK_CRC32 if d % 2 == 1 else lzma.CHECK_CRC64,
+                )
+            else:
+                blob = bz2.compress(payload, d % 9 + 1)
+            if d % 9 == 8:
+                blob = blob[:6]  # structural break -> quarantine
+            return blob
+
+        cols = (
+            "doc_id", "codec", "n_frames", "content_size", "window_log",
+            "check_type", "mtime", "fname", "bz_level", "is_full_decode",
+            "reason",
+        )
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+
+            def emit(d, codec, nf, cs, wl, ct, mt, fn, lvl, full, reason):
+                rows["doc_id"].append(d)
+                rows["codec"].append(codec)
+                rows["n_frames"].append(nf)
+                rows["content_size"].append(cs)
+                rows["window_log"].append(wl)
+                rows["check_type"].append(ct)
+                rows["mtime"].append(mt)
+                rows["fname"].append(fn)
+                rows["bz_level"].append(lvl)
+                rows["is_full_decode"].append(full)
+                rows["reason"].append(reason)
+
+            for doc_id, payload in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                data = str(payload).encode("utf-8")
+                blob = build(d, data)
+                codec = C.sniff_codec(blob)
+                try:
+                    if codec == "gzip":
+                        ms = C.parse_gzip_members(blob)
+                        emit(
+                            d, codec, len(ms),
+                            sum(m["n_uncompressed"] for m in ms), 0,
+                            "crc32", ms[0]["mtime"], ms[0]["fname"], 0,
+                            True, "ok",
+                        )
+                    elif codec == "zlib":
+                        o = C.parse_zlib(blob)
+                        emit(
+                            d, codec, 1, o["n_uncompressed"],
+                            o["window_log"], "adler32", 0, "", 0, True, "ok",
+                        )
+                    elif codec == "zstd":
+                        fr = C.parse_zstd_frames(blob)
+                        z = [f for f in fr if f["kind"] == "zstd"][0]
+                        emit(
+                            d, codec, len(fr), z["content_size"],
+                            z["window_log"],
+                            "xxh64" if z["has_checksum"] else "none",
+                            0, "", 0, False, "header-only",
+                        )
+                    elif codec == "xz":
+                        o = C.parse_xz(blob)
+                        emit(
+                            d, codec, 1, o["n_uncompressed"], 0,
+                            o["check_type"], 0, "", 0, True, "ok",
+                        )
+                    elif codec == "bzip2":
+                        o = C.parse_bzip2(blob)
+                        emit(
+                            d, codec, 1, o["n_uncompressed"], 0, "crc32",
+                            0, "", o["level"], True, "ok",
+                        )
+                    else:
+                        raise ValueError("unknown codec")
+                except ValueError:
+                    # sniff may still name the codec; keep it visible
+                    emit(
+                        d,
+                        ("gzip", "zlib", "zstd", "xz", "bzip2")[d % 5],
+                        0, 0, 0, "", 0, "", 0, False, "corrupt",
+                    )
+            yield pd.DataFrame(rows)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        evaluate,
+        "doc_id bigint, codec string, n_frames int, content_size bigint, "
+        "window_log int, check_type string, mtime bigint, fname string, "
+        "bz_level int, is_full_decode boolean, reason string",
+    )
+
+
+@defquery(
     "av1_codec_params",
     """
     WITH a AS (SELECT doc_id AS d, octet_length(encode(text)) AS n FROM documents),
