@@ -1048,6 +1048,8 @@ _CARRYOVER_FIRST = (
     "av1_codec_params",
     # gzip/zlib/zstd/xz/bzip2 container audit with integrity verify
     "compression_codec_audit",
+    # sitemap-discovery x robots-allowance compliance composite
+    "crawl_coverage_audit",
 )
 
 

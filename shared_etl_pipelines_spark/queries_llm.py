@@ -8841,10 +8841,7 @@ def q_robots_crawl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     def evaluate(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from shared_etl_pipelines_spark.sources.robots import (
-            parse_robots,
-            robots_allowed,
-        )
+        from shared_etl_pipelines_spark.sources.robots import robots_allowed
 
         cache: dict[int, object] = {}
         for pdf in it:
@@ -8857,21 +8854,7 @@ def q_robots_crawl_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 g = d % 20
                 path = f"/p{d % 7}/q{d % 11}"
                 if g not in cache:
-                    if g % 5 == 4:
-                        cache[g] = None  # domain serves no robots.txt
-                    else:
-                        a, b = g % 7, g % 11
-                        cache[g] = parse_robots(
-                            "# fixture robots snapshot\n"
-                            "User-agent: *\n"
-                            "Disallow: /\n"
-                            "\n"
-                            "User-agent: sparkbot\n"
-                            f"Disallow: /p{a}\n"
-                            f"Allow: /p{a}/q{b}$\n"
-                            "Disallow: /p*/q10$\n"
-                            "Sitemap: https://example.test/sitemap.xml\n"
-                        )
+                    cache[g] = _robots_fixture(g)
                 if cache[g] is None:
                     allowed, rule = True, ""
                 else:
@@ -8906,6 +8889,84 @@ _SITEMAP_CF_SQL = (
     "list_extract(['always','hourly','daily','weekly','monthly',"
     "'yearly','never'], m % 7 + 1)"
 )
+
+
+def _sitemap_fixture_xml(d: int, n: int) -> str:
+    """Shared sitemap fixture (sitemap_url_audit + crawl_coverage_audit
+    use the same corpus — the composite audits the same discovered
+    URLs the protocol audit validates)."""
+    from shared_etl_pipelines_spark.sources.sitemaps import CHANGEFREQS
+
+    ns = (
+        ' xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
+        if d % 2 == 0
+        else ""
+    )
+    if d % 6 == 0:
+        items = []
+        for i in range(2):
+            lm = (
+                f"<lastmod>2026-0{(d + i) % 9 + 1}-01</lastmod>"
+                if (d + i) % 2 == 0
+                else ""
+            )
+            items.append(
+                f"<sitemap><loc>https://ex{d % 20}.test/"
+                f"sitemap-{i}.xml</loc>{lm}</sitemap>"
+            )
+        body = "".join(items)
+        xml = (
+            '<?xml version="1.0" encoding="UTF-8"?>'
+            f"<sitemapindex{ns}>{body}</sitemapindex>"
+        )
+    else:
+        items = []
+        for i in range(n % 3 + 1):
+            m = d + i
+            parts = []
+            if m % 19 != 18:
+                # raw loc contains '&' — entity-escaped in XML
+                parts.append(
+                    f"<loc>https://ex{d % 20}.test/p{m % 7}"
+                    f"/q{(d * 3 + i) % 11}?x=1&amp;y={m % 5}</loc>"
+                )
+            if m % 2 == 0:
+                parts.append(f"<lastmod>2026-0{m % 9 + 1}-15</lastmod>")
+            cf = "sometimes" if m % 17 == 16 else CHANGEFREQS[m % 7]
+            parts.append(f"<changefreq>{cf}</changefreq>")
+            if m % 13 == 12:
+                parts.append("<priority>1.5</priority>")
+            elif m % 3 != 0:
+                parts.append(f"<priority>{(m % 11) / 10:.1f}</priority>")
+            items.append(f"<url>{''.join(parts)}</url>")
+        xml = (
+            '<?xml version="1.0" encoding="UTF-8"?>'
+            f"<urlset{ns}>{''.join(items)}</urlset>"
+        )
+    if d % 9 == 8:
+        xml = xml[:-10]  # structural break -> whole-blob quarantine
+    return xml
+
+
+def _robots_fixture(g: int):
+    """Shared per-domain robots snapshot (robots_crawl_audit +
+    crawl_coverage_audit): domains g%5==4 serve no robots.txt."""
+    from shared_etl_pipelines_spark.sources.robots import parse_robots
+
+    if g % 5 == 4:
+        return None
+    a, b = g % 7, g % 11
+    return parse_robots(
+        "# fixture robots snapshot\n"
+        "User-agent: *\n"
+        "Disallow: /\n"
+        "\n"
+        "User-agent: sparkbot\n"
+        f"Disallow: /p{a}\n"
+        f"Allow: /p{a}/q{b}$\n"
+        "Disallow: /p*/q10$\n"
+        "Sitemap: https://example.test/sitemap.xml\n"
+    )
 
 
 @defquery(
@@ -8977,62 +9038,11 @@ def q_sitemap_url_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def evaluate(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from shared_etl_pipelines_spark.sources.sitemaps import (
-            CHANGEFREQS,
             parse_sitemap,
             validate_entry,
         )
 
-        def build_xml(d: int, n: int) -> str:
-            ns = (
-                ' xmlns="http://www.sitemaps.org/schemas/sitemap/0.9"'
-                if d % 2 == 0
-                else ""
-            )
-            if d % 6 == 0:
-                items = []
-                for i in range(2):
-                    lm = (
-                        f"<lastmod>2026-0{(d + i) % 9 + 1}-01</lastmod>"
-                        if (d + i) % 2 == 0
-                        else ""
-                    )
-                    items.append(
-                        f"<sitemap><loc>https://ex{d % 20}.test/"
-                        f"sitemap-{i}.xml</loc>{lm}</sitemap>"
-                    )
-                body = "".join(items)
-                xml = (
-                    '<?xml version="1.0" encoding="UTF-8"?>'
-                    f"<sitemapindex{ns}>{body}</sitemapindex>"
-                )
-            else:
-                items = []
-                for i in range(n % 3 + 1):
-                    m = d + i
-                    parts = []
-                    if m % 19 != 18:
-                        # raw loc contains '&' — entity-escaped in XML
-                        parts.append(
-                            f"<loc>https://ex{d % 20}.test/p{m % 7}"
-                            f"/q{(d * 3 + i) % 11}?x=1&amp;y={m % 5}</loc>"
-                        )
-                    if m % 2 == 0:
-                        parts.append(f"<lastmod>2026-0{m % 9 + 1}-15</lastmod>")
-                    cf = "sometimes" if m % 17 == 16 else CHANGEFREQS[m % 7]
-                    parts.append(f"<changefreq>{cf}</changefreq>")
-                    if m % 13 == 12:
-                        parts.append("<priority>1.5</priority>")
-                    elif m % 3 != 0:
-                        parts.append(f"<priority>{(m % 11) / 10:.1f}</priority>")
-                    items.append(f"<url>{''.join(parts)}</url>")
-                xml = (
-                    '<?xml version="1.0" encoding="UTF-8"?>'
-                    f"<urlset{ns}>{''.join(items)}</urlset>"
-                )
-            if d % 9 == 8:
-                xml = xml[:-10]  # structural break -> whole-blob quarantine
-            return xml
-
+        build_xml = _sitemap_fixture_xml
         cols = (
             "doc_id", "kind", "entry_idx", "loc", "lastmod", "changefreq",
             "priority_eff", "is_valid", "reason",
@@ -9083,6 +9093,93 @@ def q_sitemap_url_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, kind string, entry_idx int, loc string, "
         "lastmod string, changefreq string, priority_eff double, "
         "is_valid boolean, reason string",
+    )
+
+
+@defquery(
+    "crawl_coverage_audit",
+    """
+    WITH a AS (
+      SELECT doc_id AS d, octet_length(encode(text)) AS n FROM documents
+    ),
+    url_base AS (
+      SELECT d, i, d + i AS m, (d * 3 + i) % 11 AS y, d % 20 AS g
+      FROM a, unnest(range(0, n % 3 + 1)) AS t(i)
+      WHERE d % 9 <> 8 AND d % 6 <> 0
+    )
+    SELECT d AS doc_id, CAST(i AS INT) AS entry_idx,
+           CAST(g AS INT) AS domain,
+           '/p' || (m % 7) || '/q' || y AS path,
+           CASE WHEN g % 5 = 4 THEN TRUE
+                WHEN m % 7 = g % 7 AND y = g % 11 THEN TRUE
+                WHEN y = 10 THEN FALSE
+                WHEN m % 7 = g % 7 THEN FALSE
+                ELSE TRUE END AS allowed,
+           CASE WHEN g % 5 = 4 THEN ''
+                WHEN m % 7 = g % 7 AND y = g % 11
+                  THEN '/p' || (g % 7) || '/q' || (g % 11) || '$'
+                WHEN y = 10 THEN '/p*/q10$'
+                WHEN m % 7 = g % 7 THEN '/p' || (g % 7)
+                ELSE '' END AS rule
+    FROM url_base WHERE m % 19 <> 18
+    """,
+    doc="crawl coverage composite: every URL the domain's sitemap "
+    "DISCOVERS (sitemaps.org parse, shared fixture corpus) evaluated "
+    "against the domain's robots.txt ALLOWANCE (RFC 9309 longest-match "
+    "with wildcards, shared per-domain snapshots) — the re-verification "
+    "join a crawl-corpus audit actually runs: disallowed-but-listed "
+    "URLs are the compliance findings. The allowance is matched on the "
+    "path component; both protocol modules share one fixture scheme so "
+    "the oracle replays every decision in closed form",
+    tags=("llm", "curation", "crawl", "audit", "composite"),
+)
+def q_crawl_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def evaluate(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from urllib.parse import urlparse
+
+        from shared_etl_pipelines_spark.sources.robots import robots_allowed
+        from shared_etl_pipelines_spark.sources.sitemaps import parse_sitemap
+
+        cache: dict[int, object] = {}
+        cols = ("doc_id", "entry_idx", "domain", "path", "allowed", "rule")
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                n = len(str(payload).encode("utf-8"))
+                if d % 9 == 8 or d % 6 == 0:
+                    continue  # corrupt/index docs carry no crawlable URLs
+                parsed = parse_sitemap(_sitemap_fixture_xml(d, n))
+                g = d % 20
+                if g not in cache:
+                    cache[g] = _robots_fixture(g)
+                for i, entry in enumerate(parsed["entries"]):
+                    if not entry["loc"]:
+                        continue
+                    path = urlparse(entry["loc"]).path
+                    if cache[g] is None:
+                        allowed, rule = True, ""
+                    else:
+                        allowed, rule = robots_allowed(
+                            cache[g], "sparkbot", path
+                        )
+                    rows["doc_id"].append(d)
+                    rows["entry_idx"].append(i)
+                    rows["domain"].append(g)
+                    rows["path"].append(path)
+                    rows["allowed"].append(allowed)
+                    rows["rule"].append(rule)
+            yield pd.DataFrame(rows)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        evaluate,
+        "doc_id bigint, entry_idx int, domain int, path string, "
+        "allowed boolean, rule string",
     )
 
 
