@@ -1050,6 +1050,8 @@ _CARRYOVER_FIRST = (
     "compression_codec_audit",
     # sitemap-discovery x robots-allowance compliance composite
     "crawl_coverage_audit",
+    # V_AV1 CodecPrivate (av1C) stream params in WebM
+    "webm_codec_params",
 )
 
 

@@ -3912,7 +3912,7 @@ def q_av1_codec_params(spark: SparkSession, sf_dir: str) -> DataFrame:
     video AS (
       SELECT doc_id, dt AS doc_type, CAST(1 AS INT) AS track_id,
              'video' AS track_type,
-             CASE WHEN doc_id % 3 = 0 THEN 'V_VP9' ELSE 'V_VP8' END AS codec_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'V_AV1' ELSE 'V_VP8' END AS codec_id,
              w AS width, h AS height, CAST(0 AS INT) AS sample_hz,
              CAST(0 AS INT) AS channels, nf AS n_blocks,
              CAST((nf + 1) // 2 AS INT) AS n_keyframes,
@@ -3961,6 +3961,56 @@ def q_mkv_track_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assets = synthetic_mkv_assets(_t(spark, sf_dir, "documents"))
     return mkv_track_scan(assets)
+
+
+@defquery(
+    "webm_codec_params",
+    """
+    WITH a AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    dims AS (
+      SELECT doc_id,
+             CAST((n % 4 + 1) * 16 AS INT) AS w,
+             CAST(((n // 4) % 4 + 1) * 16 AS INT) AS h
+      FROM a
+    ),
+    av1_rows AS (
+      SELECT doc_id, CAST(1 AS INT) AS track_id, 'V_AV1' AS codec_id,
+             TRUE AS has_params, CAST(0 AS INT) AS profile_idc,
+             CAST(list_extract([0, 4, 8, 12], doc_id % 4 + 1) AS INT)
+               AS level_idc,
+             CAST(CASE WHEN list_extract([0, 4, 8, 12], doc_id % 4 + 1) > 7
+                        AND doc_id % 8 >= 4 THEN 1 ELSE 0 END AS INT)
+               AS tier_flag,
+             CAST(1 AS INT) AS chroma_format,
+             CAST(CASE WHEN doc_id % 2 = 1 THEN 10 ELSE 8 END AS INT)
+               AS bit_depth,
+             w AS cp_width, h AS cp_height, 'ok' AS reason
+      FROM dims WHERE doc_id % 3 = 0
+    ),
+    vp8_rows AS (
+      SELECT doc_id, CAST(1 AS INT), 'V_VP8', FALSE, CAST(0 AS INT),
+             CAST(0 AS INT), CAST(0 AS INT), CAST(0 AS INT), CAST(0 AS INT),
+             CAST(0 AS INT), CAST(0 AS INT), 'no_codec_private'
+      FROM dims WHERE doc_id % 3 <> 0
+    )
+    SELECT * FROM av1_rows UNION ALL SELECT * FROM vp8_rows
+    """,
+    doc="stream parameters from Matroska CodecPrivate: V_AV1 tracks "
+    "carry an av1C record verbatim (the Matroska codec mapping), "
+    "parsed with the record-vs-OBU cross-check; V_VP8 has no "
+    "CodecPrivate by design and says so (its dims come from keyframe "
+    "headers — webm_vp8_keyframes) — the WebM half of the "
+    "H.264/H.265/AV1 codec-metadata story",
+    tags=("llm", "multimodal", "codec", "video"),
+)
+def q_webm_codec_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.multimodal import (
+        synthetic_mkv_assets,
+        webm_codec_params,
+    )
+
+    assets = synthetic_mkv_assets(_t(spark, sf_dir, "documents"))
+    return webm_codec_params(assets)
 
 
 @defquery(
@@ -4022,7 +4072,7 @@ def q_mkv_subtitle_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
     quarantined AS (
       SELECT doc_id, CAST(-1 AS INT) AS frame_idx, FALSE AS is_real_parse,
              CAST(0 AS INT) AS width, CAST(0 AS INT) AS height,
-             CAST(0 AS INT) AS part_size, 'codec:V_VP9' AS reason
+             CAST(0 AS INT) AS part_size, 'codec:V_AV1' AS reason
       FROM dims WHERE doc_id % 3 = 0
     )
     SELECT * FROM keyed UNION ALL SELECT * FROM quarantined
@@ -4030,8 +4080,9 @@ def q_mkv_subtitle_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="VP8 keyframe-header bitstream parse (RFC 6386 §9.1) over every "
     "V_VP8 video block: coded width/height + partition size from the "
     "codec payload, not the container — the container-vs-bitstream "
-    "dims cross-check a crawl-video audit needs; V_VP9 tracks "
-    "quarantine loudly with their codec id",
+    "dims cross-check a crawl-video audit needs; V_AV1 tracks "
+    "quarantine loudly with their codec id (their params come from "
+    "CodecPrivate — webm_codec_params)",
     tags=("llm", "multimodal", "codec", "video"),
 )
 def q_webm_vp8_keyframes(spark: SparkSession, sf_dir: str) -> DataFrame:

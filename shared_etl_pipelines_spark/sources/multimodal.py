@@ -2483,9 +2483,11 @@ def synthetic_mkv_assets(
 ) -> DataFrame:
     """Deterministic REAL-WebM/Matroska fixtures: for payload byte
     length n, nf = n%3+2 video frames of (n%4+1)*16 x ((n//4)%4+1)*16;
-    doc_id%3==0 carries V_VP9 (pseudo payloads — scan fine, bitstream
-    parse must quarantine), else V_VP8 with REAL RFC 6386 keyframe
-    headers (keyframe every 2nd frame, part_size 10+f). ODD doc_ids add
+    doc_id%3==0 carries V_AV1 with a REAL av1C CodecPrivate (profile 0,
+    level cycling 0/4/8/12, 10-bit on odd ids; pseudo block payloads —
+    the scan and CodecPrivate parse are real, frame decode must
+    quarantine), else V_VP8 with REAL RFC 6386 keyframe headers
+    (keyframe every 2nd frame, part_size 10+f). ODD doc_ids add
     an audio track — A_OPUS@48kHz when doc_id%4==1 else A_VORBIS@44.1kHz,
     n%2+1 channels-agnostic blocks, channels n%2+1. Structure variety:
     DocType 'matroska' on doc_id%5==0 (else webm), BlockGroup+
@@ -2507,13 +2509,27 @@ def synthetic_mkv_assets(
                 n = len(str(payload).encode("utf-8"))
                 nf = n % 3 + 2
                 w, h = (n % 4 + 1) * 16, ((n // 4) % 4 + 1) * 16
-                tracks = [
-                    dict(
-                        number=1, uid=d * 2 + 1, type="video",
-                        codec_id="V_VP9" if d % 3 == 0 else "V_VP8",
-                        width=w, height=h,
+                vtrack = dict(
+                    number=1, uid=d * 2 + 1, type="video",
+                    codec_id="V_AV1" if d % 3 == 0 else "V_VP8",
+                    width=w, height=h,
+                )
+                if d % 3 == 0:
+                    # V_AV1 CodecPrivate IS an av1C record (Matroska
+                    # codec mapping) — real stream params in WebM too
+                    from shared_etl_pipelines_spark.sources import av1
+
+                    obu = av1.encode_av1_seq_header(
+                        w, h, profile=0,
+                        level=(0, 4, 8, 12)[d % 4],
+                        tier=1 if (0, 4, 8, 12)[d % 4] > 7 and d % 8 >= 4
+                        else 0,
+                        bit_depth=10 if d % 2 else 8,
                     )
-                ]
+                    vtrack["codec_private"] = av1.encode_av1c(
+                        obu, av1.parse_av1_seq_header(obu)
+                    )
+                tracks = [vtrack]
                 if d % 2 == 1:
                     tracks.append(
                         dict(
@@ -2889,4 +2905,78 @@ def synthetic_av1_assets(
 
     return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
         batches, "doc_id bigint, media_type string, blob binary"
+    )
+
+
+def webm_codec_params(assets: DataFrame) -> DataFrame:
+    """Stream parameters from Matroska CodecPrivate: V_AV1 tracks carry
+    an av1C record verbatim (the Matroska codec mapping), parsed with
+    the same record-vs-OBU cross-check as the MP4 path. V_VP8 carries
+    no CodecPrivate by design (its params live in keyframe headers —
+    webm_vp8_keyframes) and surfaces has_params=false; corrupt
+    containers quarantine."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shared_etl_pipelines_spark.sources import av1, mkv
+
+        cols = (
+            "doc_id", "track_id", "codec_id", "has_params", "profile_idc",
+            "level_idc", "tier_flag", "chroma_format", "bit_depth",
+            "cp_width", "cp_height", "reason",
+        )
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+
+            def emit(d, tid, cid, ok, p, lvl, t, cf, bd, w, h, reason):
+                rows["doc_id"].append(d)
+                rows["track_id"].append(tid)
+                rows["codec_id"].append(cid)
+                rows["has_params"].append(ok)
+                rows["profile_idc"].append(p)
+                rows["level_idc"].append(lvl)
+                rows["tier_flag"].append(t)
+                rows["chroma_format"].append(cf)
+                rows["bit_depth"].append(bd)
+                rows["cp_width"].append(w)
+                rows["cp_height"].append(h)
+                rows["reason"].append(reason)
+
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                try:
+                    info = mkv.parse_mkv(bytes(blob))
+                except ValueError:
+                    emit(doc_id, -1, "", False, 0, 0, 0, 0, 0, 0, 0,
+                         "corrupt")
+                    continue
+                for t in info["tracks"]:
+                    if t["track_type"] != "video":
+                        continue
+                    if t["codec_id"] == "V_AV1" and t["codec_private"]:
+                        try:
+                            p = av1.parse_av1c(t["codec_private"])
+                        except ValueError as exc:
+                            emit(
+                                doc_id, int(t["track_id"]), t["codec_id"],
+                                False, 0, 0, 0, 0, 0, 0, 0, str(exc),
+                            )
+                            continue
+                        emit(
+                            doc_id, int(t["track_id"]), t["codec_id"], True,
+                            int(p["profile_idc"]), int(p["level_idc"]),
+                            int(p["tier_flag"]), int(p["chroma_format_idc"]),
+                            int(p["bit_depth"]), int(p["width"]),
+                            int(p["height"]), "ok",
+                        )
+                    else:
+                        emit(
+                            doc_id, int(t["track_id"]), t["codec_id"],
+                            False, 0, 0, 0, 0, 0, 0, 0, "no_codec_private",
+                        )
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(
+        batches,
+        "doc_id bigint, track_id int, codec_id string, has_params boolean, "
+        "profile_idc int, level_idc int, tier_flag int, chroma_format int, "
+        "bit_depth int, cp_width int, cp_height int, reason string",
     )
