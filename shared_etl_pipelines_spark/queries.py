@@ -1052,6 +1052,8 @@ _CARRYOVER_FIRST = (
     "crawl_coverage_audit",
     # V_AV1 CodecPrivate (av1C) stream params in WebM
     "webm_codec_params",
+    # parquet footer/row-group layout audit
+    "parquet_layout_audit",
 )
 
 

@@ -3644,6 +3644,100 @@ def q_hevc_codec_params(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "parquet_layout_audit",
+    """
+    WITH t AS (
+      SELECT doc_id, octet_length(encode(text)) AS n,
+             ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS r
+      FROM documents
+    ),
+    g AS (
+      SELECT CAST(r // 128 AS INT) AS rg, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             MIN(doc_id) AS id_min, MAX(doc_id) AS id_max,
+             CAST(MIN(n) AS BIGINT) AS n_min, CAST(MAX(n) AS BIGINT) AS n_max
+      FROM t GROUP BY 1
+    )
+    SELECT rg, 'doc_id' AS col, n_rows, 'SNAPPY' AS codec,
+           id_min AS stat_min, id_max AS stat_max FROM g
+    UNION ALL
+    SELECT rg, 'n_bytes' AS col, n_rows, 'GZIP' AS codec,
+           n_min, n_max FROM g
+    """,
+    doc="parquet storage-layout audit: a deterministic 128-row-group "
+    "file (pyarrow writer, per-column codecs) read back through its "
+    "REAL footer — row-group row counts, per-column compression codec "
+    "and min/max statistics. Row-group sizing and stats presence are "
+    "THE parquet scale levers (partition pruning + predicate pushdown "
+    "read the same footer fields this audit checks); the oracle "
+    "recomputes every footer cell from the source table, so a writer "
+    "that drops stats or mis-sizes groups hash-fails",
+    tags=("llm", "storage", "audit", "scale-path"),
+)
+def q_parquet_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_mtime_ns}_{st.st_size}"
+    except OSError:
+        fp = "nostat"
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}"
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_pq_layout_{tag}.parquet"
+    )
+    if not os.path.exists(path):
+        # deterministic layout: one sorted table, fixed row-group size,
+        # per-column codecs — the controlled fixture the audit reads
+        tbl = pq.read_table(src, columns=["doc_id", "text"])
+        order = pa.compute.sort_indices(tbl["doc_id"])
+        tbl = tbl.take(order)
+        out = pa.table(
+            {
+                "doc_id": tbl["doc_id"],
+                "n_bytes": pa.compute.binary_length(
+                    pa.compute.cast(tbl["text"], pa.binary())
+                ),
+            }
+        )
+        pq.write_table(
+            out, path, row_group_size=128,
+            compression={"doc_id": "SNAPPY", "n_bytes": "GZIP"},
+            write_statistics=True,
+        )
+    md = pq.ParquetFile(path).metadata
+    rows = []
+    for rg_idx in range(md.num_row_groups):
+        rg = md.row_group(rg_idx)
+        for ci in range(rg.num_columns):
+            col = rg.column(ci)
+            stats = col.statistics
+            if stats is None or not stats.has_min_max:
+                raise ValueError(
+                    f"parquet footer missing stats for {col.path_in_schema}"
+                )
+            rows.append(
+                (
+                    rg_idx,
+                    col.path_in_schema,
+                    rg.num_rows,
+                    col.compression,
+                    int(stats.min),
+                    int(stats.max),
+                )
+            )
+    return spark.createDataFrame(
+        rows,
+        "rg int, col string, n_rows long, codec string, "
+        "stat_min long, stat_max long",
+    )
+
+
+@defquery(
     "compression_codec_audit",
     """
     WITH a AS (SELECT doc_id AS d, octet_length(encode(text)) AS n FROM documents),
