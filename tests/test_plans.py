@@ -660,3 +660,29 @@ def test_media_scans_are_shuffle_free(spark, sf):
         assert "hashpartitioning" not in p, name
         assert "rangepartitioning" not in p, name
         assert "SinglePartition" not in p, name
+
+
+def test_r9c_media_and_protocol_scans_are_shuffle_free(spark, sf):
+    """The r9-continued walks (Matroska trio, HEVC/AV1 codec params,
+    compression audit, sitemap/crawl-coverage protocol evaluations) are
+    one mapInPandas pass over per-doc fixtures — per-file parallelism,
+    zero data exchanges, the scan-bound 100 TB shape."""
+    for name in (
+        "mkv_track_scan", "webm_vp8_keyframes", "webm_codec_params",
+        "mkv_subtitle_cues", "hevc_codec_params", "av1_codec_params",
+        "compression_codec_audit", "sitemap_url_audit",
+        "crawl_coverage_audit",
+    ):
+        p = phys(REGISTRY[name].fn(spark, sf))
+        assert "hashpartitioning" not in p, name
+        assert "rangepartitioning" not in p, name
+        assert "SinglePartition" not in p, name
+
+
+def test_paragraph_dedup_two_exchanges_no_join(spark, sf):
+    """CCNet-style chunk dedup (r9-continued): exactly two exchanges —
+    the md5-key window and the per-doc aggregate — and no self-join
+    (the corpus-sized-broadcast anti-pattern it replaces)."""
+    p = phys(REGISTRY["paragraph_dedup_profile"].fn(spark, sf))
+    assert p.count("Exchange hashpartitioning") == 2
+    assert "Join" not in p
