@@ -1054,6 +1054,8 @@ _CARRYOVER_FIRST = (
     "webm_codec_params",
     # parquet footer/row-group layout audit
     "parquet_layout_audit",
+    # JSON-LD (schema.org) entity extraction from HTML
+    "jsonld_entity_extract",
 )
 
 

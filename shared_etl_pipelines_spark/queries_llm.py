@@ -9242,6 +9242,165 @@ def q_sitemap_url_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "jsonld_entity_extract",
+    """
+    WITH a AS (
+      SELECT doc_id AS d, octet_length(encode(text)) AS n FROM documents
+    ),
+    scripts AS (
+      SELECT d, CAST(j AS INT) AS j, (d + j) % 4 AS cls
+      FROM a, unnest(range(0, n % 2 + 1)) AS t(j)
+    ),
+    bad AS (
+      SELECT d AS doc_id, j AS script_idx, CAST(-1 AS INT) AS entity_idx,
+             '' AS etype, '' AS name, CAST(0 AS INT) AS n_keys,
+             'bad-json' AS reason
+      FROM scripts WHERE d % 9 = 8 AND j = 0
+    ),
+    good AS (SELECT * FROM scripts WHERE NOT (d % 9 = 8 AND j = 0)),
+    singles AS (
+      SELECT d AS doc_id, j AS script_idx, CAST(0 AS INT) AS entity_idx,
+             CASE WHEN cls = 0 THEN 'Article' ELSE 'Product' END AS etype,
+             CASE WHEN cls = 0 THEN 'Doc ' || d || '-' || j
+                  ELSE 'Item ' || d || '-' || j END AS name,
+             CAST(CASE WHEN cls = 0 THEN 4 ELSE 3 END AS INT) AS n_keys,
+             'ok' AS reason
+      FROM good WHERE cls <= 1
+    ),
+    arrays AS (
+      SELECT d AS doc_id, j AS script_idx, CAST(e AS INT) AS entity_idx,
+             CASE WHEN e = 0 THEN 'Person' ELSE 'Organization' END AS etype,
+             CASE WHEN e = 0 THEN 'P ' || d || '-' || j
+                  ELSE 'O ' || d || '-' || j END AS name,
+             CAST(CASE WHEN e = 0 THEN 2 ELSE 3 END AS INT) AS n_keys,
+             'ok' AS reason
+      FROM good, unnest(range(0, 2)) AS t(e) WHERE cls = 2
+    ),
+    graphs AS (
+      SELECT d AS doc_id, j AS script_idx, CAST(e AS INT) AS entity_idx,
+             CASE WHEN e = 0 THEN 'WebSite' ELSE 'BreadcrumbList' END AS etype,
+             CASE WHEN e = 0 THEN 'W ' || d || '-' || j ELSE '' END AS name,
+             CAST(2 AS INT) AS n_keys, 'ok' AS reason
+      FROM good, unnest(range(0, 2)) AS t(e) WHERE cls = 3
+    )
+    SELECT * FROM bad UNION ALL SELECT * FROM singles
+    UNION ALL SELECT * FROM arrays UNION ALL SELECT * FROM graphs
+    """,
+    doc="JSON-LD (schema.org) entity extraction from HTML script "
+    "blocks: case/quote/attribute-order-liberal block location, strict "
+    "JSON parse, single-entity / top-level-array / @graph container "
+    "flattening in document order — the high-precision metadata mine a "
+    "crawl pipeline runs next to plain text extraction; malformed "
+    "blocks quarantine per-block without killing the document",
+    tags=("llm", "text", "extraction", "curation", "crawl"),
+)
+def q_jsonld_entity_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def evaluate(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import json
+
+        from shared_etl_pipelines_spark.sources.structured_data import (
+            extract_json_ld,
+        )
+
+        def block(d: int, j: int) -> str:
+            cls = (d + j) % 4
+            if cls == 0:
+                obj = {
+                    "@context": "https://schema.org",
+                    "@type": "Article",
+                    "headline": f"Doc {d}-{j}",
+                    "wordCount": d % 97,
+                }
+            elif cls == 1:
+                obj = {
+                    "@type": "Product",
+                    "name": f"Item {d}-{j}",
+                    "offers": {"@type": "Offer", "price": d % 50},
+                }
+            elif cls == 2:
+                obj = [
+                    {"@type": "Person", "name": f"P {d}-{j}"},
+                    {
+                        "@type": "Organization",
+                        "name": f"O {d}-{j}",
+                        "url": f"https://ex{d % 20}.test/",
+                    },
+                ]
+            else:
+                obj = {
+                    "@context": "https://schema.org",
+                    "@graph": [
+                        {"@type": "WebSite", "name": f"W {d}-{j}"},
+                        {
+                            "@type": "BreadcrumbList",
+                            "itemListElement": [d % 5],
+                        },
+                    ],
+                }
+            body = json.dumps(obj)
+            if d % 9 == 8 and j == 0:
+                body = body[:-2]  # malformed JSON -> per-block quarantine
+            # tag-form variety: case, quote style, attribute order
+            if d % 2 == 0:
+                return (
+                    '<script type="application/ld+json">'
+                    + body
+                    + "</script>"
+                )
+            return (
+                "<SCRIPT async type='application/ld+json'>"
+                + body
+                + "</SCRIPT >"
+            )
+
+        cols = (
+            "doc_id", "script_idx", "entity_idx", "etype", "name",
+            "n_keys", "reason",
+        )
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                n = len(str(payload).encode("utf-8"))
+                html = (
+                    f"<html><head><title>Doc {d}</title>"
+                    + "".join(block(d, j) for j in range(n % 2 + 1))
+                    + f"</head><body><p>{payload}</p></body></html>"
+                )
+                ents, errs = extract_json_ld(html)
+                for si, reason in errs:
+                    rows["doc_id"].append(d)
+                    rows["script_idx"].append(si)
+                    rows["entity_idx"].append(-1)
+                    rows["etype"].append("")
+                    rows["name"].append("")
+                    rows["n_keys"].append(0)
+                    rows["reason"].append(reason)
+                for si, ei, ent in ents:
+                    rows["doc_id"].append(d)
+                    rows["script_idx"].append(si)
+                    rows["entity_idx"].append(ei)
+                    rows["etype"].append(str(ent.get("@type", "")))
+                    rows["name"].append(
+                        str(ent.get("name", ent.get("headline", "")))
+                    )
+                    rows["n_keys"].append(len(ent))
+                    rows["reason"].append("ok")
+            yield pd.DataFrame(rows)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        evaluate,
+        "doc_id bigint, script_idx int, entity_idx int, etype string, "
+        "name string, n_keys int, reason string",
+    )
+
+
+@defquery(
     "crawl_coverage_audit",
     """
     WITH a AS (

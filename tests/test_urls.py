@@ -55,3 +55,50 @@ def test_spark_variants_collapse_to_one_key(spark):
         c = r["canonical"]
         assert c == c.lower() and ":80" not in c and "#" not in c
         assert c.startswith("http://site") and "/dir" in c
+
+
+# ---------------------------------------------------------------------------
+# JSON-LD extraction (sources/structured_data.py, r9-continued)
+# ---------------------------------------------------------------------------
+def test_jsonld_block_forms_and_flattening():
+    from shared_etl_pipelines_spark.sources.structured_data import (
+        extract_json_ld,
+    )
+
+    html = (
+        '<script type="application/ld+json">{"@type":"Article",'
+        '"headline":"H"}</script>'
+        "<SCRIPT async type='application/ld+json'>[{\"@type\":\"Person\","
+        "\"name\":\"P\"},{\"@type\":\"Organization\",\"name\":\"O\"}]"
+        "</SCRIPT >"
+        '<script type="application/ld+json">{"@graph":[{"@type":'
+        '"WebSite","name":"W"}]}</script>'
+        '<script type="text/javascript">var notLd = 1;</script>'
+    )
+    ents, errs = extract_json_ld(html)
+    assert errs == []
+    assert [(si, ei, e["@type"]) for si, ei, e in ents] == [
+        (0, 0, "Article"), (1, 0, "Person"), (1, 1, "Organization"),
+        (2, 0, "WebSite"),
+    ]
+
+
+def test_jsonld_per_block_quarantine():
+    from shared_etl_pipelines_spark.sources.structured_data import (
+        extract_json_ld,
+    )
+
+    html = (
+        '<script type="application/ld+json">{"broken": </script>'
+        '<script type="application/ld+json">"just a string"</script>'
+        '<script type="application/ld+json">[{"@type":"A"}, 42]</script>'
+        '<script type="application/ld+json">{"@graph": "not-a-list"}'
+        "</script>"
+        '<script type="application/ld+json">{"@type":"Ok"}</script>'
+    )
+    ents, errs = extract_json_ld(html)
+    assert errs == [
+        (0, "bad-json"), (1, "non-object"), (2, "non-object"),
+        (3, "bad-graph"),
+    ]
+    assert len(ents) == 1 and ents[0][2]["@type"] == "Ok"
