@@ -1056,6 +1056,8 @@ _CARRYOVER_FIRST = (
     "parquet_layout_audit",
     # JSON-LD (schema.org) entity extraction from HTML
     "jsonld_entity_extract",
+    # Markdown structure census for code/doc corpus mixing
+    "markdown_structure_audit",
 )
 
 

@@ -9242,6 +9242,93 @@ def q_sitemap_url_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "markdown_structure_audit",
+    f"""
+    WITH a AS (
+      SELECT doc_id AS d, len({TOKS_SQL}) AS nt,
+             octet_length(encode(text)) AS n
+      FROM documents
+    )
+    SELECT d AS doc_id,
+           CAST(CASE WHEN d % 2 = 0 THEN 2 ELSE 1 END AS INT) AS n_headings,
+           CAST(CASE WHEN d % 2 = 0 THEN 2 ELSE 1 END AS INT) AS max_depth,
+           CAST(1 AS INT) AS n_code_blocks,
+           list_extract(['python','js','sql',''], d % 4 + 1) AS code_lang,
+           CAST(n % 3 + 1 AS INT) AS n_code_lines,
+           CAST(d % 3 AS INT) AS n_links,
+           CAST(nt + d % 3 AS INT) AS prose_tokens,
+           d % 9 = 8 AS unterminated
+    FROM a
+    """,
+    doc="Markdown structure census (CommonMark subset): ATX heading "
+    "count/depth, fenced code blocks with info-string language and "
+    "line counts (unterminated fences run to EOF per CommonMark and "
+    "FLAG — in a crawl they usually mean truncation), inline link "
+    "density, out-of-code prose tokens — the structural signals a "
+    "code/documentation corpus mixes and filters on",
+    tags=("llm", "text", "extraction", "curation"),
+)
+def q_markdown_structure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def evaluate(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shared_etl_pipelines_spark.sources.markdown import (
+            parse_markdown_structure,
+        )
+
+        def build_md(d: int, text: str, n: int) -> str:
+            lang = ("python", "js", "sql", "")[d % 4]
+            lines = [f"# Title {d}", text]
+            if d % 3 > 0:
+                lines.append(
+                    " ".join(
+                        f"[link{k}](https://ex{d % 20}.test/p{k})"
+                        for k in range(d % 3)
+                    )
+                )
+            if d % 2 == 0:
+                lines.append(f"## Section {d % 5}")
+            lines.append(f"```{lang}")
+            lines.extend(f"code line {k} of {d}" for k in range(n % 3 + 1))
+            if d % 9 != 8:
+                lines.append("```")  # d%9==8 leaves the fence open
+            return "\n".join(lines)
+
+        cols = (
+            "doc_id", "n_headings", "max_depth", "n_code_blocks",
+            "code_lang", "n_code_lines", "n_links", "prose_tokens",
+            "unterminated",
+        )
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                text = str(payload)
+                n = len(text.encode("utf-8"))
+                s = parse_markdown_structure(build_md(d, text, n))
+                rows["doc_id"].append(d)
+                rows["n_headings"].append(s["n_headings"])
+                rows["max_depth"].append(s["max_depth"])
+                rows["n_code_blocks"].append(s["n_code_blocks"])
+                rows["code_lang"].append(s["code_langs"])
+                rows["n_code_lines"].append(s["n_code_lines"])
+                rows["n_links"].append(s["n_links"])
+                rows["prose_tokens"].append(s["prose_tokens"])
+                rows["unterminated"].append(s["unterminated"])
+            yield pd.DataFrame(rows)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        evaluate,
+        "doc_id bigint, n_headings int, max_depth int, n_code_blocks int, "
+        "code_lang string, n_code_lines int, n_links int, "
+        "prose_tokens int, unterminated boolean",
+    )
+
+
+@defquery(
     "jsonld_entity_extract",
     """
     WITH a AS (

@@ -2032,3 +2032,40 @@ def test_paragraph_dedup_profile_within_doc_dup(spark):
     assert r["n_chunks"] == 2 and r["n_dup_chunks"] == 1
     assert r["tokens_dropped"] == 10
     assert r["retained_ratio"] == 0.5
+
+
+def test_markdown_structure_parser():
+    """CommonMark-subset census (r9-continued): headings, fences with
+    info strings, links, prose tokens, unterminated-fence flag."""
+    from shared_etl_pipelines_spark.sources.markdown import (
+        parse_markdown_structure,
+    )
+
+    md = "\n".join([
+        "# Top",
+        "plain prose line here",
+        "[a](u) and [b](v)",
+        "## Deeper",
+        "```python",
+        "# not a heading — inside code",
+        "x = 1",
+        "```",
+        "```",
+        "bare fence block",
+        "```",
+        "tail words",
+    ])
+    s = parse_markdown_structure(md)
+    assert s["n_headings"] == 2 and s["max_depth"] == 2
+    assert s["n_code_blocks"] == 2 and s["code_langs"] == "python,"
+    assert s["n_code_lines"] == 3
+    assert s["n_links"] == 2
+    # prose: "plain prose line here"(4) + links line(3) + "tail words"(2)
+    assert s["prose_tokens"] == 9
+    assert s["unterminated"] is False
+    s2 = parse_markdown_structure("# H\n```js\ncode to eof")
+    assert s2["unterminated"] is True and s2["n_code_lines"] == 1
+    assert parse_markdown_structure("")["n_headings"] == 0
+    # 7 hashes or no space is NOT a heading
+    s3 = parse_markdown_structure("####### nope\n#nospace")
+    assert s3["n_headings"] == 0 and s3["prose_tokens"] == 3
