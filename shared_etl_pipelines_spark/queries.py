@@ -1058,6 +1058,8 @@ _CARRYOVER_FIRST = (
     "jsonld_entity_extract",
     # Markdown structure census for code/doc corpus mixing
     "markdown_structure_audit",
+    # WebP RIFF walk + VP8/VP8L/VP8X header dims
+    "webp_image_audit",
 )
 
 

@@ -9242,6 +9242,114 @@ def q_sitemap_url_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "webp_image_audit",
+    """
+    WITH a AS (
+      SELECT doc_id AS d, octet_length(encode(text)) AS n FROM documents
+    ),
+    dims AS (
+      SELECT d, n,
+             CAST((n % 4 + 1) * 16 AS INT) AS w,
+             CAST(((n // 4) % 4 + 1) * 16 AS INT) AS h
+      FROM a
+    ),
+    ok_rows AS (
+      SELECT d AS doc_id,
+             list_extract(['vp8', 'vp8l', 'vp8x'], d % 3 + 1) AS kind,
+             CASE WHEN d % 3 = 1 THEN CAST(w + 985 AS INT) ELSE w END AS width,
+             CASE WHEN d % 3 = 1 THEN CAST(h - 9 AS INT) ELSE h END AS height,
+             CASE WHEN d % 3 = 1 THEN d % 2 = 0
+                  WHEN d % 3 = 2 THEN d % 2 = 1
+                  ELSE FALSE END AS has_alpha,
+             d % 3 = 2 AND d % 2 = 0 AS has_animation,
+             CAST(CASE WHEN d % 3 = 2 AND d % 2 = 0 THEN n % 3 + 1
+                       ELSE 1 END AS INT) AS n_frames,
+             'ok' AS reason
+      FROM dims WHERE d % 9 <> 8
+    ),
+    corrupt AS (
+      SELECT d AS doc_id, '' AS kind, CAST(0 AS INT), CAST(0 AS INT),
+             FALSE, FALSE, CAST(0 AS INT), 'corrupt'
+      FROM dims WHERE d % 9 = 8
+    )
+    SELECT * FROM ok_rows UNION ALL SELECT * FROM corrupt
+    """,
+    doc="WebP image audit (RIFF walk + codec headers): simple-lossy "
+    "dims decoded from the REAL VP8 keyframe header (RFC 6386, shared "
+    "with the WebM path), lossless dims from the VP8L signature "
+    "header, extended (VP8X) canvas/alpha/animation flags with an ANMF "
+    "frame census — the modern crawl-image format next to the existing "
+    "JPEG/PNG/GIF/BMP decoders; reserved bits and truncation "
+    "quarantine",
+    tags=("llm", "multimodal", "codec", "image"),
+)
+def q_webp_image_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def evaluate(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shared_etl_pipelines_spark.sources import webp
+
+        cols = (
+            "doc_id", "kind", "width", "height", "has_alpha",
+            "has_animation", "n_frames", "reason",
+        )
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                n = len(str(payload).encode("utf-8"))
+                w = (n % 4 + 1) * 16
+                h = ((n // 4) % 4 + 1) * 16
+                if d % 3 == 0:
+                    blob = webp.encode_webp_vp8(
+                        w, h, bytes((d + j) % 256 for j in range(6))
+                    )
+                elif d % 3 == 1:
+                    blob = webp.encode_webp_vp8l(
+                        w + 985, h - 9, alpha=d % 2 == 0
+                    )
+                elif d % 2 == 0:
+                    blob = webp.encode_webp_vp8x(
+                        w, h, n_anim_frames=n % 3 + 1
+                    )
+                else:
+                    blob = webp.encode_webp_vp8x(w, h, alpha=True)
+                if d % 9 == 8:
+                    blob = blob[:14]  # truncation -> quarantine
+                try:
+                    o = webp.parse_webp(blob)
+                except ValueError:
+                    rows["doc_id"].append(d)
+                    rows["kind"].append("")
+                    rows["width"].append(0)
+                    rows["height"].append(0)
+                    rows["has_alpha"].append(False)
+                    rows["has_animation"].append(False)
+                    rows["n_frames"].append(0)
+                    rows["reason"].append("corrupt")
+                    continue
+                rows["doc_id"].append(d)
+                rows["kind"].append(o["kind"])
+                rows["width"].append(o["width"])
+                rows["height"].append(o["height"])
+                rows["has_alpha"].append(o["has_alpha"])
+                rows["has_animation"].append(o["has_animation"])
+                rows["n_frames"].append(o["n_frames"])
+                rows["reason"].append("ok")
+            yield pd.DataFrame(rows)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        evaluate,
+        "doc_id bigint, kind string, width int, height int, "
+        "has_alpha boolean, has_animation boolean, n_frames int, "
+        "reason string",
+    )
+
+
+@defquery(
     "markdown_structure_audit",
     f"""
     WITH a AS (
