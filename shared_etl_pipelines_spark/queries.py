@@ -1060,6 +1060,8 @@ _CARRYOVER_FIRST = (
     "markdown_structure_audit",
     # WebP RIFF walk + VP8/VP8L/VP8X header dims
     "webp_image_audit",
+    # Avro OCF container + binary decode (the engine's only Avro path)
+    "avro_ingest_stats",
 )
 
 

@@ -9242,6 +9242,150 @@ def q_sitemap_url_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "avro_ingest_stats",
+    """
+    WITH a AS (
+      SELECT doc_id AS d, octet_length(encode(text)) AS n FROM documents
+    ),
+    recs AS (
+      SELECT d, n, CAST(i AS INT) AS i, d + i AS m
+      FROM a, unnest(range(0, n % 4 + 2)) AS t(i)
+      WHERE d % 9 <> 8
+    ),
+    ok_rows AS (
+      SELECT d AS doc_id, i AS rec_idx,
+             CASE WHEN d % 2 = 1 THEN 'deflate' ELSE 'null' END AS codec,
+             CAST(CASE WHEN n % 4 + 2 > 3 THEN 2 ELSE 1 END AS INT)
+               AS n_blocks,
+             CAST(d * 100 + i AS BIGINT) AS rid,
+             'rec-' || d || '-' || i AS name,
+             ROUND(CAST(d % 97 AS DOUBLE) / 8 + i, 4) AS score,
+             m % 2 = 0 AS ok,
+             CAST(i % 3 AS INT) AS n_tags,
+             CASE WHEN m % 3 = 0 THEN '' ELSE 'n' || i END AS note,
+             list_extract(['A', 'B', 'C'], m % 3 + 1) AS kind,
+             'ok' AS reason
+      FROM recs
+    ),
+    corrupt AS (
+      SELECT d AS doc_id, CAST(-1 AS INT), '', CAST(0 AS INT),
+             CAST(0 AS BIGINT), '', CAST(0.0 AS DOUBLE), FALSE,
+             CAST(0 AS INT), '', '', 'corrupt'
+      FROM a WHERE d % 9 = 8
+    )
+    SELECT * FROM ok_rows UNION ALL SELECT * FROM corrupt
+    """,
+    doc="Avro OCF ingestion (pure-Python reader, Apache Avro 1.11 "
+    "spec; this container ships no spark-avro jar, so this IS the "
+    "engine's Avro path): container magic + metadata map, null and "
+    "deflate codecs, zigzag-varint binary decode of records with "
+    "arrays, nullable [null,T] unions and enums, 16-byte sync marker "
+    "re-verified after every block (torn files refuse); fixtures span "
+    "both codecs and multi-block layouts, oracle regenerates every "
+    "cell in closed form",
+    tags=("llm", "multimodal", "storage", "audit"),
+)
+def q_avro_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    _SCHEMA = {
+        "type": "record",
+        "name": "Rec",
+        "fields": [
+            {"name": "id", "type": "long"},
+            {"name": "name", "type": "string"},
+            {"name": "score", "type": "double"},
+            {"name": "ok", "type": "boolean"},
+            {"name": "tags", "type": {"type": "array", "items": "string"}},
+            {"name": "note", "type": ["null", "string"]},
+            {
+                "name": "kind",
+                "type": {
+                    "type": "enum", "name": "K", "symbols": ["A", "B", "C"],
+                },
+            },
+        ],
+    }
+
+    def evaluate(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shared_etl_pipelines_spark.sources.avro import (
+            read_avro_ocf,
+            write_avro_ocf,
+        )
+
+        cols = (
+            "doc_id", "rec_idx", "codec", "n_blocks", "rid", "name",
+            "score", "ok", "n_tags", "note", "kind", "reason",
+        )
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                n = len(str(payload).encode("utf-8"))
+                k = n % 4 + 2
+                recs = [
+                    {
+                        "id": d * 100 + i,
+                        "name": f"rec-{d}-{i}",
+                        "score": (d % 97) / 8 + i,
+                        "ok": (d + i) % 2 == 0,
+                        "tags": [f"t{j}" for j in range(i % 3)],
+                        "note": None if (d + i) % 3 == 0 else f"n{i}",
+                        "kind": "ABC"[(d + i) % 3],
+                    }
+                    for i in range(k)
+                ]
+                blob = write_avro_ocf(
+                    recs, _SCHEMA,
+                    codec="deflate" if d % 2 else "null",
+                    sync=bytes((d + j) % 256 for j in range(16)),
+                    block_size=3,
+                )
+                if d % 9 == 8:
+                    blob = blob[:-9]  # torn trailer -> quarantine
+                try:
+                    out = read_avro_ocf(blob)
+                except ValueError:
+                    rows["doc_id"].append(d)
+                    rows["rec_idx"].append(-1)
+                    rows["codec"].append("")
+                    rows["n_blocks"].append(0)
+                    rows["rid"].append(0)
+                    rows["name"].append("")
+                    rows["score"].append(0.0)
+                    rows["ok"].append(False)
+                    rows["n_tags"].append(0)
+                    rows["note"].append("")
+                    rows["kind"].append("")
+                    rows["reason"].append("corrupt")
+                    continue
+                for i, rec in enumerate(out["records"]):
+                    rows["doc_id"].append(d)
+                    rows["rec_idx"].append(i)
+                    rows["codec"].append(out["codec"])
+                    rows["n_blocks"].append(out["n_blocks"])
+                    rows["rid"].append(rec["id"])
+                    rows["name"].append(rec["name"])
+                    rows["score"].append(round(rec["score"], 4))
+                    rows["ok"].append(rec["ok"])
+                    rows["n_tags"].append(len(rec["tags"]))
+                    rows["note"].append(rec["note"] or "")
+                    rows["kind"].append(rec["kind"])
+                    rows["reason"].append("ok")
+            yield pd.DataFrame(rows)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        evaluate,
+        "doc_id bigint, rec_idx int, codec string, n_blocks int, "
+        "rid bigint, name string, score double, ok boolean, n_tags int, "
+        "note string, kind string, reason string",
+    )
+
+
+@defquery(
     "webp_image_audit",
     """
     WITH a AS (

@@ -1,0 +1,81 @@
+"""Avro OCF reader/writer (sources/avro.py)."""
+import pytest
+
+from shared_etl_pipelines_spark.sources import avro
+
+SCHEMA = {
+    "type": "record", "name": "Rec", "fields": [
+        {"name": "id", "type": "long"},
+        {"name": "name", "type": "string"},
+        {"name": "score", "type": "double"},
+        {"name": "ok", "type": "boolean"},
+        {"name": "tags", "type": {"type": "array", "items": "string"}},
+        {"name": "note", "type": ["null", "string"]},
+        {"name": "kind", "type": {"type": "enum", "name": "K",
+                                  "symbols": ["A", "B", "C"]}},
+        {"name": "attrs", "type": {"type": "map", "values": "long"}},
+        {"name": "raw", "type": "bytes"},
+    ],
+}
+RECS = [
+    {"id": -5, "name": "héllo", "score": 1.625, "ok": True,
+     "tags": ["a", "b"], "note": None, "kind": "B",
+     "attrs": {"x": 1, "y": -2}, "raw": b"\x00\xff"},
+    {"id": 2 ** 40, "name": "", "score": -0.5, "ok": False, "tags": [],
+     "note": "n", "kind": "C", "attrs": {}, "raw": b""},
+    {"id": 7, "name": "r3", "score": 3.0, "ok": True, "tags": ["z"],
+     "note": "q", "kind": "A", "attrs": {"k": 9}, "raw": b"1"},
+]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+@pytest.mark.parametrize("block_size", [None, 2])
+def test_roundtrip(codec, block_size):
+    blob = avro.write_avro_ocf(
+        RECS, SCHEMA, codec=codec, sync=bytes(range(16)),
+        block_size=block_size,
+    )
+    out = avro.read_avro_ocf(blob)
+    assert out["records"] == RECS
+    assert out["codec"] == codec
+    assert out["n_blocks"] == (1 if block_size is None else 2)
+    assert out["schema"]["name"] == "Rec"
+
+
+def test_zigzag_extremes():
+    schema = {"type": "record", "name": "R",
+              "fields": [{"name": "v", "type": "long"}]}
+    vals = [0, -1, 1, 2 ** 62, -(2 ** 62), 63, -64]
+    blob = avro.write_avro_ocf(
+        [{"v": v} for v in vals], schema, sync=b"s" * 16
+    )
+    assert [r["v"] for r in avro.read_avro_ocf(blob)["records"]] == vals
+
+
+def test_container_refusals():
+    blob = avro.write_avro_ocf(RECS, SCHEMA, sync=bytes(range(16)))
+    with pytest.raises(ValueError):
+        avro.read_avro_ocf(b"Obj\x02" + blob[4:])  # bad magic
+    with pytest.raises(ValueError):
+        avro.read_avro_ocf(blob[:-8])  # truncated trailer
+    with pytest.raises(ValueError):
+        avro.read_avro_ocf(blob[:-17] + b"\xff" * 17)  # torn sync
+    # unsupported codec refuses by name
+    bad = blob.replace(b"null", b"zstd", 1)
+    with pytest.raises(ValueError):
+        avro.read_avro_ocf(bad)
+
+
+def test_schema_refusals():
+    with pytest.raises(ValueError):
+        avro.write_avro_ocf([], {"type": "fixed", "name": "f", "size": 4})
+    with pytest.raises(ValueError):
+        avro.write_avro_ocf([], ["string", "long"])  # non-null union
+    with pytest.raises(ValueError):
+        avro.write_avro_ocf([], {"type": "enum", "name": "e", "symbols": []})
+    with pytest.raises(ValueError):
+        avro.write_avro_ocf([], "uuid")
+    with pytest.raises(ValueError):
+        avro.write_avro_ocf([], SCHEMA, codec="snappy")
+    with pytest.raises(ValueError):
+        avro.write_avro_ocf([], SCHEMA, sync=b"short")
