@@ -1062,6 +1062,8 @@ _CARRYOVER_FIRST = (
     "webp_image_audit",
     # Avro OCF container + binary decode (the engine's only Avro path)
     "avro_ingest_stats",
+    # TFRecord framing (masked CRC32C) + tf.train.Example decode
+    "tfrecord_example_stats",
 )
 
 

@@ -9242,6 +9242,109 @@ def q_sitemap_url_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "tfrecord_example_stats",
+    """
+    WITH a AS (
+      SELECT doc_id AS d, octet_length(encode(text)) AS n FROM documents
+    ),
+    ok_rows AS (
+      SELECT d AS doc_id, CAST(i AS INT) AS rec_idx,
+             CAST(d * 10 + i AS BIGINT) AS rid,
+             CAST(n AS INT) AS text_len,
+             ROUND(CAST(d % 50 AS DOUBLE) / 4 + i, 4) AS score,
+             CAST(i % 3 AS INT) AS n_tags,
+             CAST(0 AS INT) AS n_unknown,
+             'ok' AS reason
+      FROM a, unnest(range(0, n % 3 + 1)) AS t(i)
+      WHERE d % 9 <> 8
+    ),
+    corrupt AS (
+      SELECT d AS doc_id, CAST(-1 AS INT), CAST(0 AS BIGINT),
+             CAST(0 AS INT), CAST(0.0 AS DOUBLE), CAST(0 AS INT),
+             CAST(0 AS INT), 'corrupt'
+      FROM a WHERE d % 9 = 8
+    )
+    SELECT * FROM ok_rows UNION ALL SELECT * FROM corrupt
+    """,
+    doc="TFRecord + tf.train.Example ingestion (pure Python, public "
+    "specs): frame walk verifying BOTH masked CRC32C checksums "
+    "(Castagnoli, software table validated against public vectors) so "
+    "torn shards refuse instead of truncating silently, then a real "
+    "protobuf wire-format decode of Example features (BytesList / "
+    "packed FloatList / packed Int64List; unknown fields skipped per "
+    "proto rules but COUNTED so schema drift is visible) — the "
+    "de-facto training-example container an LLM data engine must speak",
+    tags=("llm", "multimodal", "storage", "audit"),
+)
+def q_tfrecord_example_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def evaluate(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shared_etl_pipelines_spark.sources import tfrecord as T
+
+        cols = (
+            "doc_id", "rec_idx", "rid", "text_len", "score", "n_tags",
+            "n_unknown", "reason",
+        )
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                data = str(payload).encode("utf-8")
+                n = len(data)
+                exs = [
+                    T.encode_example(
+                        {
+                            "id": ("int64", [d * 10 + i]),
+                            "text": ("bytes", [data]),
+                            "score": ("float", [(d % 50) / 4 + i]),
+                            "tags": (
+                                "int64", [(d + j) % 100 for j in range(i % 3)]
+                            ),
+                        }
+                    )
+                    for i in range(n % 3 + 1)
+                ]
+                blob = T.write_tfrecords(exs)
+                if d % 9 == 8:
+                    flip = bytearray(blob)
+                    flip[14] ^= 0xFF  # payload byte -> CRC mismatch
+                    blob = bytes(flip)
+                try:
+                    payloads = T.read_tfrecords(blob)
+                    recs = [T.parse_example(p) for p in payloads]
+                except ValueError:
+                    rows["doc_id"].append(d)
+                    rows["rec_idx"].append(-1)
+                    rows["rid"].append(0)
+                    rows["text_len"].append(0)
+                    rows["score"].append(0.0)
+                    rows["n_tags"].append(0)
+                    rows["n_unknown"].append(0)
+                    rows["reason"].append("corrupt")
+                    continue
+                for i, (feats, unknown) in enumerate(recs):
+                    rows["doc_id"].append(d)
+                    rows["rec_idx"].append(i)
+                    rows["rid"].append(feats["id"][1][0])
+                    rows["text_len"].append(len(feats["text"][1][0]))
+                    rows["score"].append(round(feats["score"][1][0], 4))
+                    rows["n_tags"].append(len(feats["tags"][1]))
+                    rows["n_unknown"].append(unknown)
+                    rows["reason"].append("ok")
+            yield pd.DataFrame(rows)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        evaluate,
+        "doc_id bigint, rec_idx int, rid bigint, text_len int, "
+        "score double, n_tags int, n_unknown int, reason string",
+    )
+
+
+@defquery(
     "avro_ingest_stats",
     """
     WITH a AS (
