@@ -1064,6 +1064,8 @@ _CARRYOVER_FIRST = (
     "avro_ingest_stats",
     # TFRecord framing (masked CRC32C) + tf.train.Example decode
     "tfrecord_example_stats",
+    # HEIF/HEIC meta-box item walk with hvcC-backed HEVC params
+    "heif_item_audit",
 )
 
 

@@ -9242,6 +9242,152 @@ def q_sitemap_url_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "heif_item_audit",
+    """
+    WITH a AS (
+      SELECT doc_id AS d, octet_length(encode(text)) AS n FROM documents
+    ),
+    dims AS (
+      SELECT d, n,
+             CAST((n % 4 + 1) * 16 + 2 * (d % 3) AS INT) AS w,
+             CAST(((n // 4) % 4 + 1) * 16 + 2 * ((d // 3) % 3) AS INT) AS h
+      FROM a
+    ),
+    ok AS (SELECT * FROM dims WHERE d % 9 <> 8),
+    primary_item AS (
+      SELECT d AS doc_id, CAST(1 AS INT) AS item_id, 'hvc1' AS item_type,
+             TRUE AS is_primary, w AS width, h AS height,
+             CAST(20 + d % 7 AS INT) AS n_bytes,
+             CAST(d % 3 + 1 AS INT) AS hevc_profile,
+             CAST(list_extract([90, 93, 120, 123], d % 4 + 1) AS INT)
+               AS hevc_level,
+             'ok' AS reason
+      FROM ok
+    ),
+    thumb AS (
+      SELECT d AS doc_id, CAST(2 AS INT), 'hvc1', FALSE, CAST(48 AS INT),
+             CAST(32 AS INT), CAST(8 AS INT), CAST(1 AS INT),
+             CAST(60 AS INT), 'ok'
+      FROM ok
+    ),
+    exif AS (
+      SELECT d AS doc_id, CAST(3 AS INT), 'Exif', FALSE, CAST(0 AS INT),
+             CAST(0 AS INT), CAST(10 + d % 5 AS INT), CAST(0 AS INT),
+             CAST(0 AS INT), 'ok'
+      FROM ok WHERE d % 2 = 1
+    ),
+    grid AS (
+      SELECT d AS doc_id, CAST(4 AS INT), 'grid', FALSE,
+             CAST(w * 2 AS INT), CAST(h * 2 AS INT), CAST(8 AS INT),
+             CAST(0 AS INT), CAST(0 AS INT), 'ok'
+      FROM ok WHERE d % 5 = 0
+    ),
+    corrupt AS (
+      SELECT d AS doc_id, CAST(-1 AS INT), 'corrupt', FALSE,
+             CAST(0 AS INT), CAST(0 AS INT), CAST(0 AS INT),
+             CAST(0 AS INT), CAST(0 AS INT), 'corrupt'
+      FROM dims WHERE d % 9 = 8
+    )
+    SELECT * FROM primary_item UNION ALL SELECT * FROM thumb
+    UNION ALL SELECT * FROM exif UNION ALL SELECT * FROM grid
+    UNION ALL SELECT * FROM corrupt
+    """,
+    doc="HEIF/HEIC item audit (ISO/IEC 23008-12): meta-box walk — "
+    "iinf/infe item census, pitm primary flag, iloc extents validated "
+    "against the file, ipco+ipma property resolution (ispe dimensions "
+    "and the SAME hvcC record the MP4 path parses, so HEIC primaries "
+    "yield real HEVC profile/level), grid derived-item canvas decode — "
+    "the modern phone-photo container a crawl meets wherever people "
+    "upload images; torn files and bad property indices quarantine",
+    tags=("llm", "multimodal", "codec", "image"),
+)
+def q_heif_item_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def evaluate(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shared_etl_pipelines_spark.sources import heif
+
+        cols = (
+            "doc_id", "item_id", "item_type", "is_primary", "width",
+            "height", "n_bytes", "hevc_profile", "hevc_level", "reason",
+        )
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                n = len(str(payload).encode("utf-8"))
+                w = (n % 4 + 1) * 16 + 2 * (d % 3)
+                h = ((n // 4) % 4 + 1) * 16 + 2 * ((d // 3) % 3)
+                items = [
+                    dict(
+                        item_id=1, item_type="hvc1",
+                        payload=bytes((d + j) % 256 for j in range(20 + d % 7)),
+                        ispe=(w, h),
+                        hvcc=(d % 3 + 1, (90, 93, 120, 123)[d % 4], (d // 2) % 2),
+                    ),
+                    dict(
+                        item_id=2, item_type="hvc1", payload=b"\x04" * 8,
+                        ispe=(48, 32), hvcc=(1, 60, 0),
+                    ),
+                ]
+                if d % 2 == 1:
+                    items.append(
+                        dict(
+                            item_id=3, item_type="Exif",
+                            payload=b"E" * (10 + d % 5),
+                        )
+                    )
+                if d % 5 == 0:
+                    items.append(
+                        dict(
+                            item_id=4, item_type="grid",
+                            payload=bytes([0, 0, (d // 5) % 3, d % 3])
+                            + (w * 2).to_bytes(2, "big")
+                            + (h * 2).to_bytes(2, "big"),
+                        )
+                    )
+                blob = heif.encode_heif(items, primary_id=1)
+                if d % 9 == 8:
+                    blob = blob[:40]  # torn meta -> quarantine
+                try:
+                    out = heif.parse_heif(blob)
+                except ValueError:
+                    rows["doc_id"].append(d)
+                    rows["item_id"].append(-1)
+                    rows["item_type"].append("corrupt")
+                    rows["is_primary"].append(False)
+                    rows["width"].append(0)
+                    rows["height"].append(0)
+                    rows["n_bytes"].append(0)
+                    rows["hevc_profile"].append(0)
+                    rows["hevc_level"].append(0)
+                    rows["reason"].append("corrupt")
+                    continue
+                for item in out["items"]:
+                    rows["doc_id"].append(d)
+                    rows["item_id"].append(item["item_id"])
+                    rows["item_type"].append(item["item_type"])
+                    rows["is_primary"].append(item["is_primary"])
+                    rows["width"].append(item["width"])
+                    rows["height"].append(item["height"])
+                    rows["n_bytes"].append(item["n_bytes"])
+                    rows["hevc_profile"].append(item["hevc_profile"])
+                    rows["hevc_level"].append(item["hevc_level"])
+                    rows["reason"].append("ok")
+            yield pd.DataFrame(rows)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        evaluate,
+        "doc_id bigint, item_id int, item_type string, is_primary boolean, "
+        "width int, height int, n_bytes int, hevc_profile int, "
+        "hevc_level int, reason string",
+    )
+
+
+@defquery(
     "tfrecord_example_stats",
     """
     WITH a AS (
