@@ -1066,6 +1066,8 @@ _CARRYOVER_FIRST = (
     "tfrecord_example_stats",
     # HEIF/HEIC meta-box item walk with hvcC-backed HEVC params
     "heif_item_audit",
+    # streaming TFRecord shard ingest twin (stateless 1->N)
+    "stream_tfrecord_ingest",
 )
 
 

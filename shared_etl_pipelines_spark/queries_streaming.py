@@ -980,3 +980,69 @@ def q_stream_zipdataset_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("key").cast("long").alias("doc_id"), "ext", "n_bytes"
     )
     return _run(out, "append")
+
+
+@defquery(
+    "stream_tfrecord_ingest",
+    """
+    WITH a AS (SELECT doc_id AS d, octet_length(encode(text)) AS n FROM documents)
+    SELECT d AS doc_id,
+           CAST(CASE WHEN d % 43 = 0 THEN 5 ELSE 4 END AS INT) AS n_features,
+           CAST(n AS INT) AS text_len,
+           CAST(d % 3 AS INT) AS n_tags,
+           ROUND(CAST(d % 50 AS DOUBLE) / 4, 4) AS score
+    FROM a
+    """,
+    doc="streaming TFRecord ingest (r9-continued): training shards "
+    "arriving in a drop directory explode to Example rows via the "
+    "binaryFile streaming source + the CRC32C-verified frame walk and "
+    "protobuf Example decode — stateless 1->N, exactly-once per shard; "
+    "doc_id%43==0 examples carry an extra feature (the schema-drift "
+    "class the n_features census surfaces); oracle reconstructs every "
+    "row in closed form",
+    tags=("streaming", "llm", "source", "multimodal"),
+)
+def q_stream_tfrecord_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.sources.tfrecord import (
+        ensure_demo_tfrecords,
+    )
+
+    root = ensure_demo_tfrecords(sf_dir)
+    schema = (
+        "path string, modificationTime timestamp, length long, content binary"
+    )
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema(schema)
+        .option("pathGlobFilter", "*.tfrecord")
+        .load(root)
+        .select("content")
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shared_etl_pipelines_spark.sources import tfrecord as T
+
+        cols = ("doc_id", "n_features", "text_len", "n_tags", "score")
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for content in pdf["content"]:
+                for payload in T.read_tfrecords(bytes(content)):
+                    feats, _ = T.parse_example(payload)
+                    rows["doc_id"].append(feats["id"][1][0])
+                    rows["n_features"].append(len(feats))
+                    rows["text_len"].append(len(feats["text"][1][0]))
+                    rows["n_tags"].append(len(feats["tags"][1]))
+                    rows["score"].append(round(feats["score"][1][0], 4))
+            yield pd.DataFrame(rows)
+
+    out = raw.mapInPandas(
+        batches,
+        "doc_id long, n_features int, text_len int, n_tags int, "
+        "score double",
+    )
+    return _run(out, "append")

@@ -267,3 +267,55 @@ def encode_example(features: dict[str, tuple[str, list]]) -> bytes:
             1, _tagged(1, key.encode("utf-8")) + _tagged(2, feat)
         )
     return _tagged(1, entries)
+
+
+def ensure_demo_tfrecords(sf_dir: str, shard_size: int = 64) -> str:
+    """Write (idempotently) the TFRecord twin of ``documents``: one
+    Example per doc with ``id`` (int64), ``text`` (bytes), ``score``
+    (float, (d%50)/4 exact in f32) and ``tags`` (int64 x d%3);
+    doc_id % 43 == 0 examples carry an EXTRA ``note`` feature — the
+    schema-drift class an audit must surface. Shards of ``shard_size``
+    docs; returns the shard directory."""
+    import hashlib
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    docs = sorted(
+        zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())
+    )
+    digest = hashlib.md5(
+        repr((len(docs), docs[:2], shard_size)).encode()
+    ).hexdigest()[:12]
+    root = os.path.join(
+        tempfile.gettempdir(), "spark_graft_tfr_demo_v1", f"docs-{digest}"
+    )
+    done = root + ".done"
+    if os.path.exists(done):
+        return root
+    os.makedirs(root, exist_ok=True)
+    for s in range(0, len(docs), shard_size):
+        payloads = []
+        for d, text in docs[s : s + shard_size]:
+            data = str(text).encode("utf-8")
+            feats = {
+                "id": ("int64", [d]),
+                "text": ("bytes", [data]),
+                "score": ("float", [(d % 50) / 4]),
+                "tags": ("int64", [(d + j) % 100 for j in range(d % 3)]),
+            }
+            if d % 43 == 0:
+                feats["note"] = ("bytes", [b"drifted"])
+            payloads.append(encode_example(feats))
+        shard = os.path.join(root, f"part-{s // shard_size:05d}.tfrecord")
+        tmp = shard + ".tmp"
+        with open(tmp, "wb") as fh:
+            fh.write(write_tfrecords(payloads))
+        os.replace(tmp, shard)
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return root

@@ -773,3 +773,37 @@ def test_stream_zipdataset_matches_batch_reader(spark, sf_dir):
         (r["doc_id"], r["ext"], r["n_bytes"]) for r in batch.collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_tfrecord_matches_direct_decode(spark, sf_dir):
+    """Streaming TFRecord ingest (r9-continued) is row-equivalent to a
+    direct read of the same shards — stateless 1->N exactly-once, with
+    the schema-drift (extra-feature) class surfaced in n_features."""
+    import os
+
+    from shared_etl_pipelines_spark.queries_streaming import (
+        q_stream_tfrecord_ingest,
+    )
+    from shared_etl_pipelines_spark.sources import tfrecord as T
+
+    got = sorted(
+        (r["doc_id"], r["n_features"], r["text_len"], r["n_tags"])
+        for r in q_stream_tfrecord_ingest(spark, sf_dir).collect()
+    )
+    want = []
+    root = T.ensure_demo_tfrecords(sf_dir)
+    for name in sorted(os.listdir(root)):
+        if not name.endswith(".tfrecord"):
+            continue
+        with open(os.path.join(root, name), "rb") as fh:
+            for payload in T.read_tfrecords(fh.read()):
+                feats, unknown = T.parse_example(payload)
+                assert unknown == 0
+                want.append(
+                    (
+                        feats["id"][1][0], len(feats),
+                        len(feats["text"][1][0]), len(feats["tags"][1]),
+                    )
+                )
+    assert got == sorted(want) and len(got) > 0
+    assert any(n == 5 for _, n, _, _ in got)  # drift class present
