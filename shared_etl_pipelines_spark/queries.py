@@ -1068,6 +1068,8 @@ _CARRYOVER_FIRST = (
     "heif_item_audit",
     # streaming TFRecord shard ingest twin (stateless 1->N)
     "stream_tfrecord_ingest",
+    # GPS PII audit over HEIC Exif items (HEIF x EXIF composite)
+    "heic_exif_gps_audit",
 )
 
 

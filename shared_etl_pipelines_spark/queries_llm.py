@@ -9388,6 +9388,150 @@ def q_heif_item_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "heic_exif_gps_audit",
+    """
+    WITH a AS (SELECT doc_id AS d FROM documents),
+    ok AS (
+      SELECT d AS doc_id, TRUE AS has_exif,
+             CAST(d % 8 + 1 AS INT) AS orientation,
+             'maker-' || CAST(d % 7 AS VARCHAR) AS make,
+             d % 3 <> 0 AS has_gps,
+             CAST(CASE WHEN d % 3 <> 0 THEN d % 90 ELSE 0 END AS INT)
+               AS lat_deg,
+             CAST(CASE WHEN d % 3 <> 0 THEN d % 60 ELSE 0 END AS INT)
+               AS lat_min,
+             CAST(CASE WHEN d % 3 <> 0 THEN (d * 37) % 6000 ELSE 0 END
+                  AS INT) AS lat_sec_centi,
+             CASE WHEN d % 3 = 0 THEN ''
+                  WHEN d % 4 < 2 THEN 'N' ELSE 'S' END AS lat_ref,
+             CAST(CASE WHEN d % 3 <> 0 THEN d % 180 ELSE 0 END AS INT)
+               AS lon_deg,
+             CAST(CASE WHEN d % 3 <> 0 THEN (d // 2) % 60 ELSE 0 END
+                  AS INT) AS lon_min,
+             CAST(CASE WHEN d % 3 <> 0 THEN (d * 53) % 6000 ELSE 0 END
+                  AS INT) AS lon_sec_centi,
+             CASE WHEN d % 3 = 0 THEN ''
+                  WHEN d % 8 < 4 THEN 'E' ELSE 'W' END AS lon_ref,
+             'ok' AS reason
+      FROM a WHERE d % 9 <> 8
+    ),
+    corrupt AS (
+      SELECT d AS doc_id, FALSE, CAST(0 AS INT), '', FALSE,
+             CAST(0 AS INT), CAST(0 AS INT), CAST(0 AS INT), '',
+             CAST(0 AS INT), CAST(0 AS INT), CAST(0 AS INT), '',
+             'corrupt'
+      FROM a WHERE d % 9 = 8
+    )
+    SELECT * FROM ok UNION ALL SELECT * FROM corrupt
+    """,
+    doc="GPS PII audit over HEIC phone photos — the composite the "
+    "format pair exists for: the HEIF meta-box walk locates the Exif "
+    "item (iloc extents), the ExifDataBlock offset field is applied, "
+    "and the SAME TIFF-IFD parser as the JPEG path decodes identity + "
+    "GPS rationals in both byte orders as exactly-replayable raw "
+    "integer components — phone photos are where crawl geolocation "
+    "PII actually lives",
+    tags=("llm", "multimodal", "pii", "audit", "composite"),
+)
+def q_heic_exif_gps_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import struct
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def evaluate(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shared_etl_pipelines_spark.sources import heif
+        from shared_etl_pipelines_spark.sources.exif import (
+            encode_exif_app1,
+            parse_exif_app1,
+        )
+
+        cols = (
+            "doc_id", "has_exif", "orientation", "make", "has_gps",
+            "lat_deg", "lat_min", "lat_sec_centi", "lat_ref",
+            "lon_deg", "lon_min", "lon_sec_centi", "lon_ref", "reason",
+        )
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                gps = (
+                    (
+                        d % 90, d % 60, (d * 37) % 6000,
+                        "N" if d % 4 < 2 else "S",
+                        d % 180, (d // 2) % 60, (d * 53) % 6000,
+                        "E" if d % 8 < 4 else "W",
+                    )
+                    if d % 3 != 0
+                    else None
+                )
+                app1 = encode_exif_app1(
+                    f"maker-{d % 7}", f"model-{d % 13}", d % 8 + 1,
+                    f"2023:01:0{d % 9 + 1} 12:00:00", gps,
+                    big_endian=d % 2 == 1,
+                )
+                # ExifDataBlock: u32 tiff-header offset, then the Exif
+                # payload ('Exif\\0\\0' + TIFF -> offset 6)
+                exif_item = struct.pack(">I", 6) + app1
+                items = [
+                    dict(
+                        item_id=1, item_type="hvc1", payload=b"\x01" * 12,
+                        ispe=(64, 48), hvcc=(1, 90, 0),
+                    ),
+                    dict(item_id=2, item_type="Exif", payload=exif_item),
+                ]
+                blob = heif.encode_heif(items, primary_id=1)
+                if d % 9 == 8:
+                    blob = blob[:48]
+
+                def emit(ok, o, mk, e, reason):
+                    rows["doc_id"].append(d)
+                    rows["has_exif"].append(ok)
+                    rows["orientation"].append(o)
+                    rows["make"].append(mk)
+                    rows["has_gps"].append(e.get("has_gps", False))
+                    for f in (
+                        "lat_deg", "lat_min", "lat_sec_centi",
+                        "lon_deg", "lon_min", "lon_sec_centi",
+                    ):
+                        rows[f].append(int(e.get(f, 0)))
+                    rows["lat_ref"].append(e.get("lat_ref", ""))
+                    rows["lon_ref"].append(e.get("lon_ref", ""))
+                    rows["reason"].append(reason)
+
+                try:
+                    out = heif.parse_heif(blob)
+                    exif_items = [
+                        i for i in out["items"] if i["item_type"] == "Exif"
+                    ]
+                    if not exif_items:
+                        raise ValueError("no Exif item")
+                    # the payload comes from the PARSED iloc extents —
+                    # the composite exercises the real item plumbing
+                    data = exif_items[0]["payload"]
+                    if len(data) < 4:
+                        raise ValueError("ExifDataBlock truncated")
+                    (off,) = struct.unpack(">I", data[:4])
+                    if off < 6 or 4 + off - 6 >= len(data):
+                        raise ValueError("ExifDataBlock offset out of range")
+                    e = parse_exif_app1(data[4 + off - 6 :])
+                except ValueError:
+                    emit(False, 0, "", {}, "corrupt")
+                    continue
+                emit(True, e["orientation"], e["make"], e, "ok")
+            yield pd.DataFrame(rows)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        evaluate,
+        "doc_id bigint, has_exif boolean, orientation int, make string, "
+        "has_gps boolean, lat_deg int, lat_min int, lat_sec_centi int, "
+        "lat_ref string, lon_deg int, lon_min int, lon_sec_centi int, "
+        "lon_ref string, reason string",
+    )
+
+
+@defquery(
     "tfrecord_example_stats",
     """
     WITH a AS (

@@ -148,6 +148,7 @@ def parse_heif(blob: bytes) -> dict:
         it = {
             "item_id": item_id,
             "item_type": fourcc,
+            "payload": payload,
             "is_primary": item_id == primary,
             "width": 0,
             "height": 0,
