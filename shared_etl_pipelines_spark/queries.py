@@ -1070,6 +1070,8 @@ _CARRYOVER_FIRST = (
     "stream_tfrecord_ingest",
     # GPS PII audit over HEIC Exif items (HEIF x EXIF composite)
     "heic_exif_gps_audit",
+    # PDF trailer /Info provenance audit
+    "pdf_info_audit",
 )
 
 

@@ -9388,6 +9388,105 @@ def q_heif_item_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "pdf_info_audit",
+    """
+    WITH a AS (
+      SELECT doc_id AS d, octet_length(encode(text)) AS n FROM documents
+    ),
+    ok AS (
+      SELECT d AS doc_id,
+             d % 7 <> 3 AS has_info,
+             CAST(1 + n % 2 AS INT) AS n_pages,
+             CASE WHEN d % 7 <> 3 THEN 'Doc ' || d ELSE '' END AS title,
+             CASE WHEN d % 7 <> 3 THEN 'author-' || (d % 11) ELSE '' END
+               AS author,
+             CASE WHEN d % 7 <> 3 THEN 'spark-graft-pdf' ELSE '' END
+               AS producer,
+             CASE WHEN d % 7 <> 3
+                  THEN 'D:2026010' || (d % 9 + 1) || '120000Z' ELSE '' END
+               AS creation_date,
+             'ok' AS reason
+      FROM a WHERE d % 9 <> 8
+    ),
+    corrupt AS (
+      SELECT d AS doc_id, FALSE, CAST(0 AS INT), '', '', '', '', 'corrupt'
+      FROM a WHERE d % 9 = 8
+    )
+    SELECT * FROM ok UNION ALL SELECT * FROM corrupt
+    """,
+    doc="PDF document-information audit: the trailer /Info dictionary "
+    "resolved through the real xref walk — Title/Author/Producer/"
+    "CreationDate are the provenance (and PII-adjacent) metadata a "
+    "document-corpus curation pass reads before the text; absent /Info "
+    "is a visible has_info=false, malformed files quarantine",
+    tags=("llm", "multimodal", "pii", "audit"),
+)
+def q_pdf_info_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def evaluate(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shared_etl_pipelines_spark.sources.pdf import (
+            encode_pdf,
+            pdf_document_info,
+        )
+
+        cols = (
+            "doc_id", "has_info", "n_pages", "title", "author",
+            "producer", "creation_date", "reason",
+        )
+        for pdf_ in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for doc_id, payload in zip(pdf_["doc_id"], pdf_["text"]):
+                d = int(doc_id)
+                n = len(str(payload).encode("utf-8"))
+                pages = [[f"line {d} {p}"] for p in range(1 + n % 2)]
+                info = (
+                    {
+                        "Title": f"Doc {d}",
+                        "Author": f"author-{d % 11}",
+                        "Producer": "spark-graft-pdf",
+                        "CreationDate": f"D:2026010{d % 9 + 1}120000Z",
+                    }
+                    if d % 7 != 3
+                    else None
+                )
+                blob = encode_pdf(pages, compress=d % 2 == 0, info=info)
+                if d % 9 == 8:
+                    blob = blob[:-30]  # torn trailer -> quarantine
+                try:
+                    o = pdf_document_info(blob)
+                except ValueError:
+                    rows["doc_id"].append(d)
+                    rows["has_info"].append(False)
+                    rows["n_pages"].append(0)
+                    rows["title"].append("")
+                    rows["author"].append("")
+                    rows["producer"].append("")
+                    rows["creation_date"].append("")
+                    rows["reason"].append("corrupt")
+                    continue
+                rows["doc_id"].append(d)
+                rows["has_info"].append(o["has_info"])
+                rows["n_pages"].append(o["n_pages"])
+                rows["title"].append(o["title"])
+                rows["author"].append(o["author"])
+                rows["producer"].append(o["producer"])
+                rows["creation_date"].append(o["creation_date"])
+                rows["reason"].append("ok")
+            yield pd.DataFrame(rows)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        evaluate,
+        "doc_id bigint, has_info boolean, n_pages int, title string, "
+        "author string, producer string, creation_date string, "
+        "reason string",
+    )
+
+
+@defquery(
     "heic_exif_gps_audit",
     """
     WITH a AS (SELECT doc_id AS d FROM documents),

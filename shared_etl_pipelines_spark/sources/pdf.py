@@ -460,11 +460,19 @@ def _pdf_escape(s: str) -> bytes:
     )
 
 
-def encode_pdf(pages: list[list[str]], compress: bool = True) -> bytes:
+def encode_pdf(
+    pages: list[list[str]],
+    compress: bool = True,
+    info: dict | None = None,
+) -> bytes:
     """``pages`` is a list of pages, each a list of text LINES. Every
     page becomes one content stream: first line shown with ``Tj``,
     later lines alternate ``TJ`` arrays (split mid-line with a kern
-    number, exercising array reassembly) and ``'`` next-line shows."""
+    number, exercising array reassembly) and ``'`` next-line shows.
+    ``info`` adds a document-information dictionary (/Info in the
+    trailer) with string values — Title/Author/Producer/CreationDate
+    etc.; ``None`` leaves the file byte-identical to before this
+    parameter existed."""
     objs: dict[int, bytes] = {}
     n_pages = len(pages)
     font_num = 3 + 2 * n_pages
@@ -506,6 +514,13 @@ def encode_pdf(pages: list[list[str]], compress: bool = True) -> bytes:
     objs[font_num] = (
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
     )
+    info_num = None
+    if info is not None:
+        info_num = font_num + 1
+        body = b"<<"
+        for k, v in info.items():
+            body += f" /{k} (".encode() + _pdf_escape(str(v)) + b")"
+        objs[info_num] = body + b" >>"
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets = {}
     for num in sorted(objs):
@@ -517,8 +532,46 @@ def encode_pdf(pages: list[list[str]], compress: bool = True) -> bytes:
     out += b"0000000000 65535 f \n"
     for num in range(1, n):
         out += f"{offsets[num]:010d} 00000 n \n".encode()
+    info_part = f" /Info {info_num} 0 R" if info_num is not None else ""
     out += (
-        f"trailer\n<< /Size {n} /Root 1 0 R >>\n"
+        f"trailer\n<< /Size {n} /Root 1 0 R{info_part} >>\n"
         f"startxref\n{xref_off}\n%%EOF"
     ).encode()
     return bytes(out)
+
+
+def pdf_document_info(data: bytes) -> dict:
+    """Document-information dictionary (/Info in the trailer): the
+    provenance metadata a corpus audit reads — Title/Author/Producer/
+    Creator/CreationDate/ModDate. Author and creation timestamps are
+    PII-adjacent provenance a curation pass must SEE. Returns
+    ``{"has_info": bool, "n_pages": int, fields...}`` with absent
+    fields as ''; malformed PDFs raise (the extract_pdf_text
+    quarantine contract)."""
+    pdf = _Pdf(data)
+    out = {
+        "has_info": False, "n_pages": len(pdf.pages()),
+        "title": "", "author": "", "producer": "", "creator": "",
+        "creation_date": "", "mod_date": "",
+    }
+    ref = pdf.trailer.get("Info")
+    if ref is None:
+        return out
+    info = pdf.resolve(ref)
+    if not isinstance(info, dict):
+        raise ValueError("PDF /Info is not a dictionary — quarantine")
+    out["has_info"] = True
+    keymap = {
+        "Title": "title", "Author": "author", "Producer": "producer",
+        "Creator": "creator", "CreationDate": "creation_date",
+        "ModDate": "mod_date",
+    }
+    for k, field in keymap.items():
+        v = info.get(k)
+        if v is None:
+            continue
+        v = pdf.resolve(v)
+        if not isinstance(v, bytes):
+            raise ValueError(f"PDF /Info /{k} is not a string — quarantine")
+        out[field] = v.decode("latin-1")
+    return out

@@ -182,3 +182,28 @@ def test_circular_references_quarantine_not_hang():
     )
     with pytest.raises(ValueError, match="circular page-tree"):
         parse_pdf_pages(kids_cycle)
+
+
+def test_document_info_roundtrip_and_refusals():
+    """Trailer /Info dictionary (r9-continued): provenance metadata
+    through the real xref walk; absent /Info is a visible false."""
+    import pytest
+
+    from shared_etl_pipelines_spark.sources import pdf
+
+    blob = pdf.encode_pdf(
+        [["hello world"], ["page two"]],
+        info={"Title": "T1", "Author": "A (x)", "Producer": "p",
+              "CreationDate": "D:20260101120000Z"},
+    )
+    o = pdf.pdf_document_info(blob)
+    assert o["has_info"] and o["n_pages"] == 2
+    assert o["title"] == "T1" and o["author"] == "A (x)"  # escapes survive
+    assert o["creation_date"] == "D:20260101120000Z"
+    assert o["mod_date"] == ""
+    # the info object does not perturb text extraction
+    assert "hello world" in pdf.extract_pdf_text(blob)
+    plain = pdf.pdf_document_info(pdf.encode_pdf([["x"]]))
+    assert not plain["has_info"] and plain["n_pages"] == 1
+    with pytest.raises(ValueError):
+        pdf.pdf_document_info(blob[:-20])
