@@ -1072,6 +1072,8 @@ _CARRYOVER_FIRST = (
     "heic_exif_gps_audit",
     # PDF trailer /Info provenance audit
     "pdf_info_audit",
+    # safetensors + npy/npz tensor-artifact manifests
+    "tensor_manifest_audit",
 )
 
 

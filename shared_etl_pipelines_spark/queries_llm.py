@@ -9388,6 +9388,159 @@ def q_heif_item_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "tensor_manifest_audit",
+    """
+    WITH a AS (
+      SELECT doc_id AS d, octet_length(encode(text)) AS n FROM documents
+    ),
+    dims AS (
+      SELECT d, n, CAST(n % 5 + 1 AS INT) AS r, CAST(n % 3 + 1 AS INT) AS k,
+             CASE WHEN d % 2 = 0 THEN 'safetensors' ELSE 'npz' END AS c
+      FROM a WHERE d % 9 <> 8
+    ),
+    emb AS (
+      SELECT d AS doc_id, c AS container, 'emb' AS name,
+             'float32' AS dtype, CAST(2 AS INT) AS n_dims,
+             CAST(r * 4 AS BIGINT) AS n_elems,
+             CAST(r * 16 AS BIGINT) AS n_bytes,
+             CAST(0 AS BIGINT) AS int_checksum, 'ok' AS reason
+      FROM dims
+    ),
+    ids AS (
+      SELECT d AS doc_id, c AS container, 'ids' AS name,
+             'int64' AS dtype, CAST(1 AS INT) AS n_dims,
+             CAST(k AS BIGINT) AS n_elems, CAST(k * 8 AS BIGINT) AS n_bytes,
+             CAST(10 * d * k + k * (k - 1) // 2 AS BIGINT) AS int_checksum,
+             'ok' AS reason
+      FROM dims
+    ),
+    corrupt AS (
+      SELECT d AS doc_id,
+             CASE WHEN d % 2 = 0 THEN 'safetensors' ELSE 'npz' END,
+             '', '', CAST(0 AS INT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT), 'corrupt'
+      FROM a WHERE d % 9 = 8
+    )
+    SELECT * FROM emb UNION ALL SELECT * FROM ids
+    UNION ALL SELECT * FROM corrupt
+    """,
+    doc="tensor-artifact manifest audit: safetensors headers with the "
+    "format's FULL offset-validation contract actually enforced "
+    "(monotone, gap-free, buffer-exact — the malicious/corrupt class "
+    "the format exists to reject refuses loudly) and NumPy .npy/.npz "
+    "manifests (literal-eval headers, never eval; numpy interop "
+    "round-trip pinned in tests) — embedding dumps and model shards "
+    "audited without loading weights; integer payloads carry an exact "
+    "checksum so the decode is hash-verified end-to-end",
+    tags=("llm", "multimodal", "storage", "audit", "embedding"),
+)
+def q_tensor_manifest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def evaluate(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from shared_etl_pipelines_spark.sources import tensors as TS
+
+        cols = (
+            "doc_id", "container", "name", "dtype", "n_dims", "n_elems",
+            "n_bytes", "int_checksum", "reason",
+        )
+        dtype_norm = {"F32": "float32", "I64": "int64",
+                      "<f4": "float32", "<i8": "int64"}
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                n = len(str(payload).encode("utf-8"))
+                r, k = n % 5 + 1, n % 3 + 1
+                emb = (
+                    np.arange(r * 4, dtype="<f4") / 8 + (d % 97)
+                ).tobytes()
+                ids = (np.arange(k, dtype="<i8") + 10 * d).tobytes()
+                if d % 2 == 0:
+                    blob = TS.encode_safetensors(
+                        [("emb", "F32", [r, 4], emb),
+                         ("ids", "I64", [k], ids)],
+                        metadata={"fmt": "fixture"},
+                    )
+                else:
+                    blob = TS.encode_npz(
+                        {"emb": ("<f4", [r, 4], emb),
+                         "ids": ("<i8", [k], ids)}
+                    )
+                container = "safetensors" if d % 2 == 0 else "npz"
+                if d % 9 == 8:
+                    blob = blob[: len(blob) // 2]
+
+                def emit(name, dt, nd, ne, nb, ck, reason):
+                    rows["doc_id"].append(d)
+                    rows["container"].append(container)
+                    rows["name"].append(name)
+                    rows["dtype"].append(dt)
+                    rows["n_dims"].append(nd)
+                    rows["n_elems"].append(ne)
+                    rows["n_bytes"].append(nb)
+                    rows["int_checksum"].append(ck)
+                    rows["reason"].append(reason)
+
+                try:
+                    if container == "safetensors":
+                        out = TS.parse_safetensors(blob)
+                        buf_base = 8 + len(blob) - 8 - sum(
+                            t["n_bytes"] for t in out["tensors"]
+                        )
+                        for t in sorted(
+                            out["tensors"], key=lambda x: x["name"]
+                        ):
+                            ne = 1
+                            for s in t["shape"]:
+                                ne *= s
+                            raw = blob[
+                                buf_base + t["offset"] :
+                                buf_base + t["offset"] + t["n_bytes"]
+                            ]
+                            ck = (
+                                int(np.frombuffer(raw, "<i8").sum())
+                                if t["dtype"] == "I64"
+                                else 0
+                            )
+                            emit(
+                                t["name"], dtype_norm[t["dtype"]],
+                                len(t["shape"]), ne, t["n_bytes"], ck, "ok",
+                            )
+                    else:
+                        out = TS.parse_npz(blob)
+                        for name in sorted(out):
+                            t = out[name]
+                            ne = 1
+                            for s in t["shape"]:
+                                ne *= s
+                            ck = (
+                                int(np.frombuffer(t["data"], "<i8").sum())
+                                if t["descr"] == "<i8"
+                                else 0
+                            )
+                            emit(
+                                name, dtype_norm[t["descr"]],
+                                len(t["shape"]), ne, t["n_bytes"], ck, "ok",
+                            )
+                except ValueError:
+                    emit("", "", 0, 0, 0, 0, "corrupt")
+            yield pd.DataFrame(rows)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        evaluate,
+        "doc_id bigint, container string, name string, dtype string, "
+        "n_dims int, n_elems bigint, n_bytes bigint, int_checksum bigint, "
+        "reason string",
+    )
+
+
+@defquery(
     "pdf_info_audit",
     """
     WITH a AS (
