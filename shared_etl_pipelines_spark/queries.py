@@ -1074,6 +1074,8 @@ _CARRYOVER_FIRST = (
     "pdf_info_audit",
     # safetensors + npy/npz tensor-artifact manifests
     "tensor_manifest_audit",
+    # SVG dims/census + active-content sanitization flags
+    "svg_image_audit",
 )
 
 

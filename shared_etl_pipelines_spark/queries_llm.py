@@ -9388,6 +9388,146 @@ def q_heif_item_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "svg_image_audit",
+    """
+    WITH a AS (
+      SELECT doc_id AS d, octet_length(encode(text)) AS n FROM documents
+    ),
+    ok AS (
+      SELECT d AS doc_id,
+             ROUND(CAST((n % 4 + 1) * 100 AS DOUBLE), 4) AS width,
+             ROUND(CAST(((n // 4) % 4 + 1) * 50 AS DOUBLE), 4) AS height,
+             d % 2 = 0 AS from_viewbox,
+             CAST(n % 5 + 1 AS INT) AS n_shapes,
+             CAST(CASE WHEN d % 3 = 0 THEN 1 ELSE 0 END AS INT) AS n_text,
+             CAST(CASE WHEN d % 3 = 0
+                  THEN length('label ' || d) ELSE 0 END AS INT) AS text_chars,
+             d % 11 = 9 AS has_script,
+             d % 7 = 6 AS has_event_handlers,
+             d % 13 = 7 AS has_external_ref,
+             d % 13 = 11 AS has_embedded_image,
+             'ok' AS reason
+      FROM a WHERE d % 9 <> 8
+    ),
+    corrupt AS (
+      SELECT d AS doc_id, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+             FALSE, CAST(0 AS INT), CAST(0 AS INT), CAST(0 AS INT),
+             FALSE, FALSE, FALSE, FALSE, 'corrupt'
+      FROM a WHERE d % 9 = 8
+    )
+    SELECT * FROM ok UNION ALL SELECT * FROM corrupt
+    """,
+    doc="SVG image audit: rendered dimensions from width/height "
+    "attributes or the viewBox, shape/text census, and the "
+    "ACTIVE-CONTENT flags a sanitizing crawl pipeline decides on — "
+    "script elements, on* event-handler attributes, external image "
+    "references vs embedded data: URIs; SVG is the one image format "
+    "that is also a program surface, and these flags are the "
+    "sanitize-vs-quarantine signal",
+    tags=("llm", "multimodal", "image", "audit", "curation"),
+)
+def q_svg_image_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def evaluate(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shared_etl_pipelines_spark.sources.svg import parse_svg
+
+        def build(d: int, n: int) -> str:
+            w, h = (n % 4 + 1) * 100, ((n // 4) % 4 + 1) * 50
+            dims = (
+                f'viewBox="0 0 {w} {h}"'
+                if d % 2 == 0
+                else f'width="{w}px" height="{h}"'
+            )
+            body = []
+            for s in range(n % 5 + 1):
+                kind = ("path", "rect", "circle")[s % 3]
+                attrs = {
+                    "path": f'd="M0 0 L{s + 1} {s + 2}"',
+                    "rect": f'x="{s}" y="0" width="4" height="4"',
+                    "circle": f'cx="{s}" cy="1" r="2"',
+                }[kind]
+                handler = (
+                    ' onclick="steal()"'
+                    if d % 7 == 6 and s == 0
+                    else ""
+                )
+                body.append(f"<{kind} {attrs}{handler}/>")
+            if d % 3 == 0:
+                body.append(f'<text x="1" y="2">label {d}</text>')
+            if d % 11 == 9:
+                body.append("<script>fetch('http://x.test')</script>")
+            if d % 13 == 7:
+                body.append(
+                    '<image xlink:href="http://cdn.test/i.png" width="4" '
+                    'height="4"/>'
+                )
+            if d % 13 == 11:
+                body.append(
+                    '<image href="data:image/png;base64,AAAA" width="4" '
+                    'height="4"/>'
+                )
+            xml = (
+                f'<svg xmlns="http://www.w3.org/2000/svg" '
+                f'xmlns:xlink="http://www.w3.org/1999/xlink" {dims}>'
+                + "".join(body)
+                + "</svg>"
+            )
+            return xml[:-8] if d % 9 == 8 else xml
+
+        cols = (
+            "doc_id", "width", "height", "from_viewbox", "n_shapes",
+            "n_text", "text_chars", "has_script", "has_event_handlers",
+            "has_external_ref", "has_embedded_image", "reason",
+        )
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                n = len(str(payload).encode("utf-8"))
+                try:
+                    o = parse_svg(build(d, n))
+                except ValueError:
+                    rows["doc_id"].append(d)
+                    rows["width"].append(0.0)
+                    rows["height"].append(0.0)
+                    rows["from_viewbox"].append(False)
+                    rows["n_shapes"].append(0)
+                    rows["n_text"].append(0)
+                    rows["text_chars"].append(0)
+                    rows["has_script"].append(False)
+                    rows["has_event_handlers"].append(False)
+                    rows["has_external_ref"].append(False)
+                    rows["has_embedded_image"].append(False)
+                    rows["reason"].append("corrupt")
+                    continue
+                rows["doc_id"].append(d)
+                rows["width"].append(round(o["width"], 4))
+                rows["height"].append(round(o["height"], 4))
+                rows["from_viewbox"].append(d % 2 == 0)
+                rows["n_shapes"].append(o["n_shapes"])
+                rows["n_text"].append(o["n_text"])
+                rows["text_chars"].append(o["text_chars"])
+                rows["has_script"].append(o["has_script"])
+                rows["has_event_handlers"].append(o["has_event_handlers"])
+                rows["has_external_ref"].append(o["has_external_ref"])
+                rows["has_embedded_image"].append(o["has_embedded_image"])
+                rows["reason"].append("ok")
+            yield pd.DataFrame(rows)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        evaluate,
+        "doc_id bigint, width double, height double, from_viewbox boolean, "
+        "n_shapes int, n_text int, text_chars int, has_script boolean, "
+        "has_event_handlers boolean, has_external_ref boolean, "
+        "has_embedded_image boolean, reason string",
+    )
+
+
+@defquery(
     "tensor_manifest_audit",
     """
     WITH a AS (

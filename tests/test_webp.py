@@ -59,3 +59,50 @@ def test_refusals():
     bad = webp._riff(webp._chunk(b"VP8 ", encode_vp8_interframe(3)))
     with pytest.raises(ValueError):
         webp.parse_webp(bad)
+
+
+# ---------------------------------------------------------------------------
+# SVG audit (sources/svg.py, r9-continued) — shares the image-audit suite
+# ---------------------------------------------------------------------------
+def test_svg_dims_census_and_flags():
+    from shared_etl_pipelines_spark.sources.svg import parse_svg
+
+    xml = (
+        '<svg xmlns="http://www.w3.org/2000/svg" '
+        'xmlns:xlink="http://www.w3.org/1999/xlink" width="200px" '
+        'height="100">'
+        '<rect x="0" y="0" width="4" height="4" onload="x()"/>'
+        '<circle cx="1" cy="1" r="2"/>'
+        '<text x="1" y="2">hi <tspan>there</tspan></text>'
+        "<script>fetch('http://x')</script>"
+        '<image xlink:href="http://cdn.test/i.png"/>'
+        '<image href="data:image/png;base64,AAAA"/>'
+        "</svg>"
+    )
+    o = parse_svg(xml)
+    assert (o["width"], o["height"]) == (200.0, 100.0)
+    assert o["n_shapes"] == 2 and o["n_text"] == 1
+    assert o["text_chars"] == len("hi ") + len("there")
+    assert o["has_script"] and o["has_event_handlers"]
+    assert o["has_external_ref"] and o["has_embedded_image"]
+
+
+def test_svg_viewbox_fallback_and_refusals():
+    import pytest
+
+    from shared_etl_pipelines_spark.sources.svg import parse_svg
+
+    o = parse_svg('<svg viewBox="0 0 320 180"><path d="M0 0"/></svg>')
+    assert (o["width"], o["height"]) == (320.0, 180.0)
+    # width wins over viewBox when both present
+    o = parse_svg('<svg width="10" viewBox="0 0 320 180"/>')
+    assert (o["width"], o["height"]) == (10.0, 180.0)
+    # contextual units are refused into 0, not guessed
+    o = parse_svg('<svg width="50%" height="2em"/>')
+    assert (o["width"], o["height"]) == (0.0, 0.0)
+    with pytest.raises(ValueError):
+        parse_svg("<svg><unclosed></svg")
+    with pytest.raises(ValueError):
+        parse_svg("<html><svg/></html>")
+    with pytest.raises(ValueError):
+        parse_svg('<svg viewBox="0 0 1"/>')
