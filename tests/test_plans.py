@@ -671,7 +671,11 @@ def test_r9c_media_and_protocol_scans_are_shuffle_free(spark, sf):
         "mkv_track_scan", "webm_vp8_keyframes", "webm_codec_params",
         "mkv_subtitle_cues", "hevc_codec_params", "av1_codec_params",
         "compression_codec_audit", "sitemap_url_audit",
-        "crawl_coverage_audit",
+        "crawl_coverage_audit", "avro_ingest_stats",
+        "tfrecord_example_stats", "heif_item_audit", "heic_exif_gps_audit",
+        "pdf_info_audit", "tensor_manifest_audit", "svg_image_audit",
+        "webp_image_audit", "jsonld_entity_extract",
+        "markdown_structure_audit",
     ):
         p = phys(REGISTRY[name].fn(spark, sf))
         assert "hashpartitioning" not in p, name

@@ -579,3 +579,223 @@ def test_ogg_round_trip_property(lens, channels, rate, comments, granule, split)
     assert d["comments"] == comments
     assert d["duration_ms"] == granule * 1000 // rate
     assert d["n_pages"] == 2 + len(pkts) + (1 if split else 0)
+
+
+# ---------------------------------------------------------------------------
+# r9-continued codecs: EBML/Matroska, Avro OCF, TFRecord/Example,
+# safetensors/npy, HEVC SPS — random-input round-trip laws
+# ---------------------------------------------------------------------------
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 3),            # frame slot -> keyframe on %2
+            st.binary(min_size=1, max_size=40),
+        ),
+        min_size=1,
+        max_size=8,
+    ),
+    st.booleans(),  # unknown-size segment
+    st.booleans(),  # unknown-size clusters
+    st.booleans(),  # BlockGroup form
+    st.integers(1, 4),  # cluster split point
+)
+@settings(max_examples=40, deadline=None)
+def test_mkv_block_census_property(blocks, unk_seg, unk_clu, bg, split):
+    from shared_etl_pipelines_spark.sources import mkv
+
+    tracks = [
+        dict(number=1, uid=1, type="video", codec_id="V_VP8",
+             width=64, height=48)
+    ]
+    tagged = [
+        (1, 10 * i, i % 2 == 0, payload)
+        for i, (_, payload) in enumerate(blocks)
+    ]
+    c0 = tagged[:split]
+    c1 = tagged[split:]
+    clusters = [(0, c0)] if c0 else []
+    if c1:
+        clusters.append((1000, [(t, r, k, p) for t, r, k, p in c1]))
+    if not clusters:
+        return
+    blob = mkv.encode_mkv(
+        tracks, clusters, duration_ms=len(blocks) * 10,
+        unknown_size_segment=unk_seg, unknown_size_clusters=unk_clu,
+        block_groups=bg,
+    )
+    info = mkv.parse_mkv(blob, collect_frames=True)
+    v = info["tracks"][0]
+    assert v["n_blocks"] == len(tagged)
+    assert v["n_keyframes"] == sum(1 for _, _, k, _ in tagged if k)
+    assert [p for _, _, p in v["frames"]] == [p for _, _, _, p in tagged]
+    # with a KNOWN segment size, tail truncation must refuse, never
+    # mis-count (an unknown-size segment may legally end at any element
+    # boundary — that is the streaming form's nature, not a bug)
+    if not unk_seg:
+        with pytest.raises(ValueError):
+            mkv.parse_mkv(blob[: len(blob) - 1 - (len(blob) % 7)])
+
+
+_AVRO_SCHEMA = {
+    "type": "record", "name": "R", "fields": [
+        {"name": "i", "type": "long"},
+        {"name": "s", "type": "string"},
+        {"name": "d", "type": "double"},
+        {"name": "b", "type": "boolean"},
+        {"name": "t", "type": {"type": "array", "items": "long"}},
+        {"name": "n", "type": ["null", "string"]},
+    ],
+}
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(-(2 ** 62), 2 ** 62),
+            st.text(max_size=20),
+            st.floats(allow_nan=False, allow_infinity=False, width=64),
+            st.booleans(),
+            st.lists(st.integers(-100, 100), max_size=5),
+            st.one_of(st.none(), st.text(max_size=8)),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    st.sampled_from(["null", "deflate"]),
+    st.integers(1, 4),
+)
+@settings(max_examples=40, deadline=None)
+def test_avro_ocf_round_trip_property(rows, codec, block_size):
+    from shared_etl_pipelines_spark.sources import avro
+
+    recs = [
+        {"i": i, "s": s, "d": d, "b": b, "t": t, "n": n}
+        for i, s, d, b, t, n in rows
+    ]
+    blob = avro.write_avro_ocf(
+        recs, _AVRO_SCHEMA, codec=codec, sync=b"\x5a" * 16,
+        block_size=block_size,
+    )
+    out = avro.read_avro_ocf(blob)
+    assert out["records"] == recs
+    assert out["n_blocks"] == (len(recs) + block_size - 1) // block_size
+    with pytest.raises(ValueError):
+        avro.read_avro_ocf(blob[:-1])
+
+
+@given(
+    st.dictionaries(
+        st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True),
+        st.one_of(
+            st.tuples(
+                st.just("int64"),
+                st.lists(st.integers(-(2 ** 62), 2 ** 62), max_size=6),
+            ),
+            st.tuples(st.just("bytes"), st.lists(st.binary(max_size=20),
+                                                 max_size=4)),
+            st.tuples(
+                st.just("float"),
+                st.lists(
+                    st.floats(allow_nan=False, allow_infinity=False,
+                              width=32),
+                    max_size=5,
+                ),
+            ),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_tfrecord_example_round_trip_property(feats):
+    import struct as _struct
+
+    from shared_etl_pipelines_spark.sources import tfrecord as T
+
+    ex = T.encode_example(feats)
+    blob = T.write_tfrecords([ex, ex])
+    out, unknown = T.parse_example(T.read_tfrecords(blob)[1])
+    assert unknown == 0
+    for k, (kind, vals) in feats.items():
+        okind, ovals = out[k]
+        assert okind == kind
+        if kind == "float":
+            # values survive the f32 wire width exactly
+            want = [
+                _struct.unpack("<f", _struct.pack("<f", v))[0] for v in vals
+            ]
+            assert ovals == want
+        else:
+            assert ovals == list(vals)
+    # any corrupted byte inside the payload region must fail a CRC
+    if len(blob) > 30:
+        bad = bytearray(blob)
+        bad[16] ^= 0x55
+        with pytest.raises(ValueError):
+            T.read_tfrecords(bytes(bad))
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.from_regex(r"[a-z][a-z0-9_.]{0,10}", fullmatch=True),
+            st.sampled_from(["F32", "I64", "U8"]),
+            st.lists(st.integers(1, 4), max_size=3),
+        ),
+        min_size=1,
+        max_size=5,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_safetensors_round_trip_property(specs):
+    from shared_etl_pipelines_spark.sources import tensors as TS
+
+    itemsize = {"F32": 4, "I64": 8, "U8": 1}
+    tensors = []
+    for name, dtype, shape in specs:
+        n = 1
+        for s in shape:
+            n *= s
+        tensors.append(
+            (name, dtype, shape, bytes((i * 7) % 256 for i in range(n * itemsize[dtype])))
+        )
+    blob = TS.encode_safetensors(tensors)
+    out = TS.parse_safetensors(blob)
+    assert [(t["name"], t["dtype"], t["shape"]) for t in out["tensors"]] \
+        == [(n, d, list(s)) for n, d, s in specs]
+    total = sum(t["n_bytes"] for t in out["tensors"])
+    with pytest.raises(ValueError):
+        TS.parse_safetensors(blob + b"\x00")
+    if total:
+        with pytest.raises(ValueError):
+            TS.parse_safetensors(blob[:-1])
+
+
+@given(
+    st.integers(1, 2000),  # width
+    st.integers(1, 2000),  # height
+    st.sampled_from([1, 2, 3, 4]),  # profile
+    st.integers(0, 31),  # level
+    st.integers(0, 1),  # tier
+    st.sampled_from([(1, 8), (1, 10), (2, 8), (3, 12)]),  # chroma,bitdepth
+)
+@settings(max_examples=60, deadline=None)
+def test_hevc_sps_round_trip_property(w, h, profile, level, tier, cbd):
+    from shared_etl_pipelines_spark.sources import mp4
+
+    chroma, bd = cbd
+    if bd == 12 and chroma != 3:
+        bd = 8
+    sub_w = 2 if chroma in (1, 2) else 1
+    sub_h = 2 if chroma == 1 else 1
+    w -= w % sub_w or 0
+    h -= h % sub_h or 0
+    w, h = max(w, sub_w), max(h, sub_h)
+    out = mp4.parse_hevc_sps(
+        mp4.encode_hevc_sps(w, h, profile, level, tier, chroma, bd)
+    )
+    assert (out["width"], out["height"]) == (w, h)
+    assert (out["profile_idc"], out["level_idc"], out["tier_flag"]) \
+        == (profile, level, tier)
+    assert (out["chroma_format_idc"], out["bit_depth"]) == (chroma, bd)
