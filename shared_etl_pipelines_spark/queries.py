@@ -1076,6 +1076,8 @@ _CARRYOVER_FIRST = (
     "tensor_manifest_audit",
     # SVG dims/census + active-content sanitization flags
     "svg_image_audit",
+    # RSS 2.0 / Atom crawl-discovery feed audit
+    "feed_entry_audit",
 )
 
 

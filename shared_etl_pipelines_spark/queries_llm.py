@@ -9388,6 +9388,153 @@ def q_heif_item_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "feed_entry_audit",
+    """
+    WITH a AS (
+      SELECT doc_id AS d, octet_length(encode(text)) AS n FROM documents
+    ),
+    entries AS (
+      SELECT d, CAST(i AS INT) AS i, d + i AS m,
+             CASE WHEN d % 2 = 0 THEN 'rss' ELSE 'atom' END AS kind
+      FROM a, unnest(range(0, n % 3 + 1)) AS t(i)
+      WHERE d % 9 <> 8
+    ),
+    ok AS (
+      SELECT d AS doc_id, kind, i AS entry_idx,
+             'post ' || d || '-' || i AS title,
+             CASE WHEN m % 17 = 16 THEN ''
+                  ELSE 'https://ex' || (d % 20) || '.test/post/' || (m % 97)
+             END AS link,
+             CASE WHEN m % 13 = 12 THEN ''
+                  ELSE 'id-' || d || '-' || i END AS entry_id,
+             '2026-08-0' || (m % 9 + 1) AS published,
+             m % 5 <> 4 AS has_content,
+             m % 17 <> 16 AND m % 13 <> 12 AS is_valid,
+             CASE WHEN m % 17 = 16 THEN 'missing-link'
+                  WHEN m % 13 = 12 THEN 'missing-id'
+                  ELSE 'ok' END AS reason
+      FROM entries
+    ),
+    corrupt AS (
+      SELECT d AS doc_id,
+             CASE WHEN d % 2 = 0 THEN 'rss' ELSE 'atom' END,
+             CAST(-1 AS INT), '', '', '', '', FALSE, FALSE, 'corrupt'
+      FROM a WHERE d % 9 = 8
+    )
+    SELECT * FROM ok UNION ALL SELECT * FROM corrupt
+    """,
+    doc="RSS 2.0 / Atom feed audit — the crawl-discovery format next "
+    "to sitemaps: channel/item and feed/entry walks with the RFC 4287 "
+    "rel-alternate link selection, per-entry validity (missing link, "
+    "then missing stable id — the dedup key) kept visible instead of "
+    "silently dropped; malformed XML quarantines whole-blob",
+    tags=("llm", "curation", "crawl", "audit"),
+)
+def q_feed_entry_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def evaluate(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shared_etl_pipelines_spark.sources.feeds import (
+            parse_feed,
+            validate_entry,
+        )
+
+        def build(d: int, n: int) -> str:
+            k = n % 3 + 1
+            if d % 2 == 0:
+                items = []
+                for i in range(k):
+                    m = d + i
+                    parts = [f"<title>post {d}-{i}</title>"]
+                    if m % 17 != 16:
+                        parts.append(
+                            f"<link>https://ex{d % 20}.test/post/"
+                            f"{m % 97}</link>"
+                        )
+                    if m % 13 != 12:
+                        parts.append(f"<guid>id-{d}-{i}</guid>")
+                    parts.append(f"<pubDate>2026-08-0{m % 9 + 1}</pubDate>")
+                    if m % 5 != 4:
+                        parts.append(f"<description>body {i}</description>")
+                    items.append(f"<item>{''.join(parts)}</item>")
+                xml = (
+                    '<rss version="2.0"><channel>'
+                    f"<title>feed {d}</title>{''.join(items)}"
+                    "</channel></rss>"
+                )
+            else:
+                items = []
+                for i in range(k):
+                    m = d + i
+                    parts = [f"<title>post {d}-{i}</title>"]
+                    if m % 17 != 16:
+                        # a rel='self' decoy first — selection must skip it
+                        parts.append(
+                            '<link rel="self" href="https://x.test/feed"/>'
+                            f'<link href="https://ex{d % 20}.test/post/'
+                            f'{m % 97}"/>'
+                        )
+                    if m % 13 != 12:
+                        parts.append(f"<id>id-{d}-{i}</id>")
+                    parts.append(f"<updated>2026-08-0{m % 9 + 1}</updated>")
+                    if m % 5 != 4:
+                        parts.append(f"<content>body {i}</content>")
+                    items.append(f"<entry>{''.join(parts)}</entry>")
+                xml = (
+                    '<feed xmlns="http://www.w3.org/2005/Atom">'
+                    f"<title>feed {d}</title>{''.join(items)}</feed>"
+                )
+            return xml[:-9] if d % 9 == 8 else xml
+
+        cols = (
+            "doc_id", "kind", "entry_idx", "title", "link", "entry_id",
+            "published", "has_content", "is_valid", "reason",
+        )
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                n = len(str(payload).encode("utf-8"))
+                try:
+                    feed = parse_feed(build(d, n))
+                except ValueError:
+                    rows["doc_id"].append(d)
+                    rows["kind"].append("rss" if d % 2 == 0 else "atom")
+                    rows["entry_idx"].append(-1)
+                    rows["title"].append("")
+                    rows["link"].append("")
+                    rows["entry_id"].append("")
+                    rows["published"].append("")
+                    rows["has_content"].append(False)
+                    rows["is_valid"].append(False)
+                    rows["reason"].append("corrupt")
+                    continue
+                for i, e in enumerate(feed["entries"]):
+                    ok, reason = validate_entry(e)
+                    rows["doc_id"].append(d)
+                    rows["kind"].append(feed["kind"])
+                    rows["entry_idx"].append(i)
+                    rows["title"].append(e["title"])
+                    rows["link"].append(e["link"] or "")
+                    rows["entry_id"].append(e["entry_id"] or "")
+                    rows["published"].append(e["published"])
+                    rows["has_content"].append(e["has_content"])
+                    rows["is_valid"].append(ok)
+                    rows["reason"].append(reason)
+            yield pd.DataFrame(rows)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        evaluate,
+        "doc_id bigint, kind string, entry_idx int, title string, "
+        "link string, entry_id string, published string, "
+        "has_content boolean, is_valid boolean, reason string",
+    )
+
+
+@defquery(
     "svg_image_audit",
     """
     WITH a AS (

@@ -88,3 +88,54 @@ def test_foreign_elements_skipped():
     out = parse_sitemap(xml)
     assert len(out["entries"]) == 1
     assert out["entries"][0]["loc"] == "https://a.test/"
+
+
+# ---------------------------------------------------------------------------
+# RSS/Atom feeds (sources/feeds.py, r9-continued) — discovery suite
+# ---------------------------------------------------------------------------
+def test_rss_and_atom_parse():
+    from shared_etl_pipelines_spark.sources.feeds import (
+        parse_feed,
+        validate_entry,
+    )
+
+    rss = (
+        '<rss version="2.0"><channel><title>T</title>'
+        "<item><title>a</title><link>https://x/1</link>"
+        "<guid>g1</guid><pubDate>d1</pubDate>"
+        "<description>body</description></item>"
+        "<item><title>b</title><guid>g2</guid></item>"
+        "</channel></rss>"
+    )
+    out = parse_feed(rss)
+    assert out["kind"] == "rss" and out["title"] == "T"
+    assert out["entries"][0]["link"] == "https://x/1"
+    assert out["entries"][0]["has_content"]
+    assert validate_entry(out["entries"][0]) == (True, "ok")
+    assert validate_entry(out["entries"][1]) == (False, "missing-link")
+
+    atom = (
+        '<feed xmlns="http://www.w3.org/2005/Atom"><title>A</title>'
+        "<entry><title>p</title>"
+        '<link rel="self" href="https://x/feed"/>'
+        '<link href="https://x/post"/>'
+        "<id>i1</id><updated>u1</updated><content>c</content></entry>"
+        "<entry><title>q</title><link href='https://x/q'/></entry>"
+        "</feed>"
+    )
+    out = parse_feed(atom)
+    assert out["kind"] == "atom"
+    # rel="self" decoy skipped per RFC 4287 §4.2.7.2
+    assert out["entries"][0]["link"] == "https://x/post"
+    assert validate_entry(out["entries"][1]) == (False, "missing-id")
+
+
+def test_feed_refusals():
+    from shared_etl_pipelines_spark.sources.feeds import parse_feed
+
+    with pytest.raises(ValueError):
+        parse_feed("<rss><channel><item></rss")
+    with pytest.raises(ValueError):
+        parse_feed("<opml/>")
+    with pytest.raises(ValueError):
+        parse_feed("<rss version='2.0'><nochannel/></rss>")
