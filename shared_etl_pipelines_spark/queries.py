@@ -1078,6 +1078,8 @@ _CARRYOVER_FIRST = (
     "svg_image_audit",
     # RSS 2.0 / Atom crawl-discovery feed audit
     "feed_entry_audit",
+    # email MIME multipart/attachment/PII-surface audit
+    "email_mime_audit",
 )
 
 

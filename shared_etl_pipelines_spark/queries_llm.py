@@ -9388,6 +9388,121 @@ def q_heif_item_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "email_mime_audit",
+    """
+    WITH a AS (
+      SELECT doc_id AS d, octet_length(encode(text)) AS n FROM documents
+    )
+    SELECT d AS doc_id,
+           'msg ' || d AS subject,
+           'ex' || (d % 20) || '.test' AS from_domain,
+           CAST(CASE WHEN d % 3 = 0 THEN 1
+                     ELSE 2 + CASE WHEN d % 5 = 0 THEN 1 ELSE 0 END
+                END AS INT) AS n_parts,
+           d % 3 <> 0 AS has_html,
+           CAST(CASE WHEN d % 3 <> 0 AND d % 5 = 0 THEN 1 ELSE 0 END AS INT)
+             AS n_attachments,
+           CAST(CASE WHEN d % 3 <> 0 AND d % 5 = 0
+                     THEN 10 + d % 7 ELSE 0 END AS BIGINT)
+             AS attachment_bytes,
+           CAST(n + 1 AS BIGINT) AS body_chars,
+           d % 7 <> 2 AS has_date,
+           'ok' AS reason
+    FROM a
+    """,
+    doc="email MIME (.eml) audit via the stdlib email package — mail "
+    "archives are real LLM training corpora and first-order PII "
+    "surfaces: From-domain extraction (the address itself stays out of "
+    "the audit output by design), multipart walk with plain/HTML "
+    "alternative detection, attachment census with decoded sizes "
+    "(base64 transfer encoding exercised), missing-Date visibility; "
+    "body text measured after transfer-decode",
+    tags=("llm", "text", "pii", "audit", "curation"),
+)
+def q_email_mime_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def evaluate(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from email import policy
+        from email.message import EmailMessage
+        from email.parser import BytesParser
+
+        def build(d: int, text: str) -> bytes:
+            msg = EmailMessage()
+            msg["From"] = f"user{d % 23}@ex{d % 20}.test"
+            msg["To"] = f"list{d % 7}@ex{(d + 3) % 20}.test"
+            msg["Subject"] = f"msg {d}"
+            if d % 7 != 2:
+                msg["Date"] = "Sat, 15 Aug 2026 12:00:00 +0000"
+            msg.set_content(text)  # adds a trailing newline per RFC
+            if d % 3 != 0:
+                msg.add_alternative(
+                    f"<p>{text}</p>", subtype="html"
+                )
+                if d % 5 == 0:
+                    msg.add_attachment(
+                        bytes((d + j) % 256 for j in range(10 + d % 7)),
+                        maintype="application",
+                        subtype="octet-stream",
+                        filename=f"blob-{d}.bin",
+                    )
+            return msg.as_bytes()
+
+        cols = (
+            "doc_id", "subject", "from_domain", "n_parts", "has_html",
+            "n_attachments", "attachment_bytes", "body_chars", "has_date",
+            "reason",
+        )
+        parser = BytesParser(policy=policy.default)
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                text = str(payload)
+                msg = parser.parsebytes(build(d, text))
+                n_parts = 0
+                has_html = False
+                n_att = 0
+                att_bytes = 0
+                body_chars = 0
+                for part in msg.walk():
+                    if part.is_multipart():
+                        continue
+                    n_parts += 1
+                    dispo = part.get_content_disposition()
+                    ctype = part.get_content_type()
+                    if dispo == "attachment":
+                        n_att += 1
+                        att_bytes += len(part.get_content())
+                    elif ctype == "text/html":
+                        has_html = True
+                    elif ctype == "text/plain":
+                        body_chars += len(part.get_content())
+                addr = msg["From"].addresses[0]
+                rows["doc_id"].append(d)
+                rows["subject"].append(str(msg["Subject"]))
+                rows["from_domain"].append(addr.domain)
+                rows["n_parts"].append(n_parts)
+                rows["has_html"].append(has_html)
+                rows["n_attachments"].append(n_att)
+                rows["attachment_bytes"].append(att_bytes)
+                rows["body_chars"].append(body_chars)
+                rows["has_date"].append(msg["Date"] is not None)
+                rows["reason"].append("ok")
+            yield pd.DataFrame(rows)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        evaluate,
+        "doc_id bigint, subject string, from_domain string, n_parts int, "
+        "has_html boolean, n_attachments int, attachment_bytes bigint, "
+        "body_chars bigint, has_date boolean, reason string",
+    )
+
+
+@defquery(
     "feed_entry_audit",
     """
     WITH a AS (
