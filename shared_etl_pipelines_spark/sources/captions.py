@@ -199,6 +199,10 @@ def parse_ttml(text: str) -> list[tuple[int, int, int, str]]:
     timings and non-positive durations raise ValueError."""
     import xml.etree.ElementTree as ET
 
+    if "<!DOCTYPE" in text or "<!ENTITY" in text:
+        # caption sidecars are untrusted crawl input: DTD entity
+        # expansion (billion laughs) is refused, never expanded
+        raise ValueError("TTML: DTD/entities not allowed — quarantine")
     try:
         root = ET.fromstring(text)
     except ET.ParseError as e:

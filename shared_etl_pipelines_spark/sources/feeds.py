@@ -36,6 +36,10 @@ def parse_feed(text: str) -> dict:
     """-> {kind: 'rss'|'atom', title, entries: [{title, link, entry_id,
     published, has_content}]}. Raises ValueError on malformed XML or an
     unknown root element."""
+    if "<!DOCTYPE" in text or "<!ENTITY" in text:
+        # untrusted crawl input: DTD entity expansion (billion laughs)
+        # is refused, never expanded
+        raise ValueError("feed: DTD/entities not allowed — quarantine")
     try:
         root = ET.fromstring(text)
     except ET.ParseError as e:

@@ -60,6 +60,8 @@ def _parse_iloc(data: bytes, b: int, e: int) -> dict[int, tuple[int, int]]:
     def read_n(pos: int, n: int) -> tuple[int, int]:
         if n == 0:
             return 0, pos
+        if pos + n > len(data):
+            raise ValueError("heif: iloc field truncated — quarantine")
         return int.from_bytes(data[pos : pos + n], "big"), pos + n
 
     for _ in range(count):
@@ -86,7 +88,16 @@ def parse_heif(blob: bytes) -> dict:
     """Returns {brand, primary_id, items: [...]}. Each item:
     ``item_id, item_type, is_primary, width, height, n_bytes`` plus
     HEVC profile/level/tier for hvc1 items carrying hvcC, and
-    ``grid_rows/grid_cols`` for grid items."""
+    ``grid_rows/grid_cols`` for grid items. Every malformation —
+    including fixed-width field truncation — surfaces as ValueError,
+    never a bare struct.error, so wrappers quarantine uniformly."""
+    try:
+        return _parse_heif(blob)
+    except struct.error as e:
+        raise ValueError(f"heif: truncated fixed field — quarantine ({e})") from e
+
+
+def _parse_heif(blob: bytes) -> dict:
     if not is_heif(blob):
         raise ValueError("not a HEIF (bad ftyp brand) — quarantine")
     brand = blob[8:12].decode("latin-1")

@@ -51,6 +51,10 @@ def parse_sitemap(text: str) -> dict:
     a separate, visible step). Raises ``ValueError`` on malformed XML,
     an unknown root element, or more than ``MAX_ENTRIES`` entries.
     """
+    if "<!DOCTYPE" in text or "<!ENTITY" in text:
+        # crawl input is untrusted: DTD entity expansion is the
+        # billion-laughs surface — refuse, never expand
+        raise ValueError("sitemap: DTD/entities not allowed — quarantine")
     try:
         root = ET.fromstring(text)
     except ET.ParseError as e:

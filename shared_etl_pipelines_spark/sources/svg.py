@@ -36,6 +36,10 @@ def _length(v: str | None) -> float:
 
 
 def parse_svg(text: str) -> dict:
+    if "<!DOCTYPE" in text or "<!ENTITY" in text:
+        # SVG is untrusted by definition here: DTD entity expansion
+        # (billion laughs) is refused, never expanded
+        raise ValueError("svg: DTD/entities not allowed — quarantine")
     try:
         root = ET.fromstring(text)
     except ET.ParseError as e:

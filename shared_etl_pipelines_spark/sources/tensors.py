@@ -67,6 +67,10 @@ def parse_safetensors(blob: bytes) -> dict:
         offs = spec.get("data_offsets")
         if dtype not in _ST_ITEMSIZE:
             raise ValueError(f"safetensors: dtype {dtype!r} unsupported")
+        if not isinstance(shape, list) or not all(
+            isinstance(s, int) and s >= 0 for s in shape
+        ):
+            raise ValueError(f"safetensors: {name!r} shape malformed")
         if (
             not isinstance(offs, list) or len(offs) != 2
             or not all(isinstance(o, int) for o in offs)
@@ -157,6 +161,10 @@ def parse_npy(blob: bytes) -> dict:
         "descr", "fortran_order", "shape",
     } <= set(hdr):
         raise ValueError("npy: header missing required keys — quarantine")
+    if not isinstance(hdr["shape"], tuple) or not all(
+        isinstance(s, int) and s >= 0 for s in hdr["shape"]
+    ):
+        raise ValueError("npy: shape is not a tuple of ints — quarantine")
     data = blob[start + hlen :]
     return {
         "descr": hdr["descr"],

@@ -61,3 +61,14 @@ def test_32bit_grid_fields():
     it = heif.parse_heif(blob)["items"][0]
     assert (it["width"], it["height"]) == (70000, 50000)
     assert (it["grid_rows"], it["grid_cols"]) == (1, 1)
+
+
+def test_struct_errors_surface_as_valueerror():
+    """Self-review (r9-continued): fixed-width field truncation inside
+    meta must quarantine as ValueError, never leak struct.error."""
+    blob = heif.encode_heif(_items(), primary_id=1)
+    for cut in range(30, len(blob), 17):
+        try:
+            heif.parse_heif(blob[:cut])
+        except ValueError:
+            pass  # the only acceptable failure

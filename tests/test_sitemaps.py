@@ -139,3 +139,24 @@ def test_feed_refusals():
         parse_feed("<opml/>")
     with pytest.raises(ValueError):
         parse_feed("<rss version='2.0'><nochannel/></rss>")
+
+
+def test_xml_parsers_refuse_dtd_entities():
+    """Self-review (r9-continued): DTD entity expansion (billion
+    laughs) refused across every ET-based parser for crawl input."""
+    from shared_etl_pipelines_spark.sources.captions import parse_ttml
+    from shared_etl_pipelines_spark.sources.feeds import parse_feed
+    from shared_etl_pipelines_spark.sources.svg import parse_svg
+
+    bomb = (
+        '<!DOCTYPE b [<!ENTITY a "xx"><!ENTITY b "&a;&a;&a;&a;">]>'
+        "<urlset><url><loc>&b;</loc></url></urlset>"
+    )
+    with pytest.raises(ValueError):
+        parse_sitemap(bomb)
+    with pytest.raises(ValueError):
+        parse_feed(bomb.replace("urlset", "rss"))
+    with pytest.raises(ValueError):
+        parse_svg(bomb.replace("urlset", "svg"))
+    with pytest.raises(ValueError):
+        parse_ttml(bomb.replace("urlset", "tt"))

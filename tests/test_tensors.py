@@ -90,3 +90,21 @@ def test_npz_both_directions_and_refusals():
         z.writestr("readme.txt", "hi")
     with pytest.raises(ValueError):
         TS.parse_npz(bio.getvalue())
+
+
+def test_malformed_shapes_refuse_not_crash():
+    """Self-review (r9-continued): header-supplied shapes are attacker
+    data — non-int or negative entries must refuse as ValueError."""
+    hdr = {"a": {"dtype": "F32", "shape": "8", "data_offsets": [0, 8]}}
+    hj = json.dumps(hdr).encode()
+    with pytest.raises(ValueError):
+        TS.parse_safetensors(struct.pack("<Q", len(hj)) + hj + b"\x00" * 8)
+    hdr = {"a": {"dtype": "F32", "shape": [-2], "data_offsets": [0, 8]}}
+    hj = json.dumps(hdr).encode()
+    with pytest.raises(ValueError):
+        TS.parse_safetensors(struct.pack("<Q", len(hj)) + hj + b"\x00" * 8)
+    bad_npy = TS.encode_npy("<i4", [2], b"\x00" * 8).replace(
+        b"'shape': (2,)", b"'shape': ('x')"
+    )
+    with pytest.raises(ValueError):
+        TS.parse_npy(bad_npy)
