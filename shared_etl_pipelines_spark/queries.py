@@ -1080,6 +1080,8 @@ _CARRYOVER_FIRST = (
     "feed_entry_audit",
     # email MIME multipart/attachment/PII-surface audit
     "email_mime_audit",
+    # MessagePack fluentd-framing log-stream audit
+    "msgpack_log_audit",
 )
 
 

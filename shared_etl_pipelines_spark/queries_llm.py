@@ -9388,6 +9388,110 @@ def q_heif_item_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "msgpack_log_audit",
+    """
+    WITH a AS (
+      SELECT doc_id AS d, octet_length(encode(text)) AS n FROM documents
+    ),
+    ev AS (
+      SELECT d, CAST(i AS INT) AS i, d + i AS m
+      FROM a, unnest(range(0, n % 4 + 2)) AS t(i)
+      WHERE d % 9 <> 8
+    ),
+    ok AS (
+      SELECT d AS doc_id, i AS event_idx,
+             'app' || (d % 5) || '.' ||
+               list_extract(['log', 'err', 'acc'], m % 3 + 1) AS tag,
+             CAST(1755302400 + d * 60 + i AS BIGINT) AS ts,
+             list_extract(['info', 'warn', 'error'], m % 3 + 1) AS level,
+             CAST((d * 7 + i) % 500 AS INT) AS ms,
+             'h' || (m % 9) AS host,
+             CAST(3 AS INT) AS n_fields,
+             'ok' AS reason
+      FROM ev
+    ),
+    corrupt AS (
+      SELECT d AS doc_id, CAST(-1 AS INT), '', CAST(0 AS BIGINT), '',
+             CAST(0 AS INT), '', CAST(0 AS INT), 'corrupt'
+      FROM a WHERE d % 9 = 8
+    )
+    SELECT * FROM ok UNION ALL SELECT * FROM corrupt
+    """,
+    doc="MessagePack log-stream audit (the fluentd/fluent-bit forward "
+    "framing: back-to-back [tag, time, record] arrays): pure-Python "
+    "decode of the full scalar/str/bin/array/map surface with strict "
+    "UTF-8 and loud refusals on ext types, reserved bytes, non-string "
+    "map keys and truncation — machine logs are the ingest stream an "
+    "ETL engine meets before anything JSON",
+    tags=("llm", "multimodal", "storage", "audit"),
+)
+def q_msgpack_log_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def evaluate(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shared_etl_pipelines_spark.sources import msgpack as M
+
+        cols = (
+            "doc_id", "event_idx", "tag", "ts", "level", "ms", "host",
+            "n_fields", "reason",
+        )
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                n = len(str(payload).encode("utf-8"))
+                events = [
+                    [
+                        f"app{d % 5}." + ("log", "err", "acc")[(d + i) % 3],
+                        1755302400 + d * 60 + i,
+                        {
+                            "level": ("info", "warn", "error")[(d + i) % 3],
+                            "ms": (d * 7 + i) % 500,
+                            "host": f"h{(d + i) % 9}",
+                        },
+                    ]
+                    for i in range(n % 4 + 2)
+                ]
+                blob = b"".join(M.encode_msgpack(e) for e in events)
+                if d % 9 == 8:
+                    blob = blob[:-3]  # truncation -> quarantine
+                try:
+                    decoded = M.decode_stream(blob)
+                except ValueError:
+                    rows["doc_id"].append(d)
+                    rows["event_idx"].append(-1)
+                    rows["tag"].append("")
+                    rows["ts"].append(0)
+                    rows["level"].append("")
+                    rows["ms"].append(0)
+                    rows["host"].append("")
+                    rows["n_fields"].append(0)
+                    rows["reason"].append("corrupt")
+                    continue
+                for i, e in enumerate(decoded):
+                    tag, ts, rec = e
+                    rows["doc_id"].append(d)
+                    rows["event_idx"].append(i)
+                    rows["tag"].append(tag)
+                    rows["ts"].append(ts)
+                    rows["level"].append(rec["level"])
+                    rows["ms"].append(rec["ms"])
+                    rows["host"].append(rec["host"])
+                    rows["n_fields"].append(len(rec))
+                    rows["reason"].append("ok")
+            yield pd.DataFrame(rows)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        evaluate,
+        "doc_id bigint, event_idx int, tag string, ts bigint, "
+        "level string, ms int, host string, n_fields int, reason string",
+    )
+
+
+@defquery(
     "email_mime_audit",
     """
     WITH a AS (
