@@ -1082,6 +1082,8 @@ _CARRYOVER_FIRST = (
     "email_mime_audit",
     # MessagePack fluentd-framing log-stream audit
     "msgpack_log_audit",
+    # schema-less protobuf wire census for opaque .pb blobs
+    "protobuf_wire_audit",
 )
 
 

@@ -9388,6 +9388,132 @@ def q_heif_item_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "protobuf_wire_audit",
+    """
+    WITH a AS (
+      SELECT doc_id AS d, octet_length(encode(text)) AS n FROM documents
+    ),
+    ok AS (SELECT d, n, CAST(n % 3 + 1 AS INT) AS k FROM a WHERE d % 9 <> 8),
+    f1 AS (
+      SELECT d AS doc_id, CAST(1 AS INT) AS field_no, CAST(0 AS INT)
+               AS wire_type, k AS n_occurrences, CAST(0 AS BIGINT)
+               AS total_len,
+             CAST(k * (n % 100) + k * (k - 1) // 2 AS BIGINT) AS value_sum,
+             'ok' AS reason
+      FROM ok
+    ),
+    f2 AS (
+      SELECT d AS doc_id, CAST(2 AS INT), CAST(2 AS INT), CAST(1 AS INT),
+             CAST(n AS BIGINT), CAST(0 AS BIGINT), 'ok'
+      FROM ok
+    ),
+    f3 AS (
+      SELECT d AS doc_id, CAST(3 AS INT), CAST(2 AS INT), CAST(1 AS INT),
+             CAST(2 AS BIGINT), CAST(0 AS BIGINT), 'ok'
+      FROM ok
+    ),
+    f4 AS (
+      -- fixed-width fields report value sums, not byte totals
+      SELECT d AS doc_id, CAST(4 AS INT), CAST(1 AS INT), CAST(1 AS INT),
+             CAST(0 AS BIGINT), CAST(d * 3 AS BIGINT), 'ok'
+      FROM ok
+    ),
+    f5 AS (
+      SELECT d AS doc_id, CAST(5 AS INT), CAST(5 AS INT), CAST(1 AS INT),
+             CAST(0 AS BIGINT), CAST(d % 1000 AS BIGINT), 'ok'
+      FROM ok WHERE d % 2 = 1
+    ),
+    corrupt AS (
+      SELECT d AS doc_id, CAST(-1 AS INT), CAST(-1 AS INT), CAST(0 AS INT),
+             CAST(0 AS BIGINT), CAST(0 AS BIGINT), 'corrupt'
+      FROM a WHERE d % 9 = 8
+    )
+    SELECT * FROM f1 UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3
+    UNION ALL SELECT * FROM f4 UNION ALL SELECT * FROM f5
+    UNION ALL SELECT * FROM corrupt
+    """,
+    doc="schema-less protobuf wire-format census over opaque .pb "
+    "blobs: per-field occurrence counts, wire types, length-delimited "
+    "byte totals and scalar value sums — the drift/shape audit a "
+    "pipeline runs when the .proto is lost or unavailable (only "
+    "objective wire facts are reported; no nested-message guessing); "
+    "truncation and reserved wire types quarantine",
+    tags=("llm", "multimodal", "storage", "audit"),
+)
+def q_protobuf_wire_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def evaluate(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        from shared_etl_pipelines_spark.sources.tfrecord import (
+            _fields,
+            _varint,
+        )
+
+        def tag(fno: int, wt: int) -> bytes:
+            return _varint((fno << 3) | wt)
+
+        cols = (
+            "doc_id", "field_no", "wire_type", "n_occurrences",
+            "total_len", "value_sum", "reason",
+        )
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                data = str(payload).encode("utf-8")
+                n = len(data)
+                msg = b""
+                for i in range(n % 3 + 1):
+                    msg += tag(1, 0) + _varint(n % 100 + i)
+                msg += tag(2, 2) + _varint(n) + data
+                nested = tag(1, 0) + _varint(d % 7)
+                msg += tag(3, 2) + _varint(len(nested)) + nested
+                msg += tag(4, 1) + struct.pack("<Q", d * 3)
+                if d % 2 == 1:
+                    msg += tag(5, 5) + struct.pack("<I", d % 1000)
+                if d % 9 == 8:
+                    msg = msg[:-3]  # truncation -> quarantine
+                stats: dict[tuple[int, int], list] = {}
+                try:
+                    for fno, wt, v in _fields(msg):
+                        s = stats.setdefault((fno, wt), [0, 0, 0])
+                        s[0] += 1
+                        if wt == 2:
+                            s[1] += len(v)
+                        else:
+                            s[2] += int(v)
+                except ValueError:
+                    rows["doc_id"].append(d)
+                    rows["field_no"].append(-1)
+                    rows["wire_type"].append(-1)
+                    rows["n_occurrences"].append(0)
+                    rows["total_len"].append(0)
+                    rows["value_sum"].append(0)
+                    rows["reason"].append("corrupt")
+                    continue
+                for (fno, wt), (occ, tl, vs) in sorted(stats.items()):
+                    rows["doc_id"].append(d)
+                    rows["field_no"].append(fno)
+                    rows["wire_type"].append(wt)
+                    rows["n_occurrences"].append(occ)
+                    rows["total_len"].append(tl)
+                    rows["value_sum"].append(vs)
+                    rows["reason"].append("ok")
+            yield pd.DataFrame(rows)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        evaluate,
+        "doc_id bigint, field_no int, wire_type int, n_occurrences int, "
+        "total_len bigint, value_sum bigint, reason string",
+    )
+
+
+@defquery(
     "msgpack_log_audit",
     """
     WITH a AS (
