@@ -1084,6 +1084,8 @@ _CARRYOVER_FIRST = (
     "msgpack_log_audit",
     # schema-less protobuf wire census for opaque .pb blobs
     "protobuf_wire_audit",
+    # Arrow IPC stream record-batch census
+    "arrow_ipc_audit",
 )
 
 

@@ -9388,6 +9388,110 @@ def q_heif_item_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "arrow_ipc_audit",
+    """
+    WITH a AS (
+      SELECT doc_id AS d, octet_length(encode(text)) AS n FROM documents
+    ),
+    ok AS (SELECT d, n, CAST(n % 3 + 1 AS INT) AS nb FROM a WHERE d % 9 <> 8),
+    batches AS (
+      SELECT d AS doc_id, CAST(b AS INT) AS batch_idx,
+             CAST(GREATEST(0, LEAST(16, (d % 40 + 8) - 16 * b)) AS BIGINT)
+               AS n_rows,
+             CAST(3 AS INT) AS n_columns,
+             'ok' AS reason
+      FROM ok, unnest(range(0, nb)) AS t(b)
+    ),
+    corrupt AS (
+      SELECT d AS doc_id, CAST(-1 AS INT), CAST(0 AS BIGINT),
+             CAST(0 AS INT), 'corrupt'
+      FROM a WHERE d % 9 = 8
+    )
+    SELECT * FROM batches UNION ALL SELECT * FROM corrupt
+    """,
+    doc="Arrow IPC stream audit (pyarrow, the same dependency the "
+    "parquet layout audit uses): record-batch census — per-batch row "
+    "counts and column counts from the streaming reader — the "
+    "between-stages interchange format a pipeline ships features in; "
+    "torn streams quarantine",
+    tags=("llm", "storage", "audit"),
+)
+def q_arrow_ipc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def evaluate(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        import pyarrow as pa
+        import pyarrow.ipc as ipc
+
+        cols = ("doc_id", "batch_idx", "n_rows", "n_columns", "reason")
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                n = len(str(payload).encode("utf-8"))
+                nb = n % 3 + 1
+                total = d % 40 + 8
+                schema = pa.schema(
+                    [("id", pa.int64()), ("v", pa.float64()),
+                     ("s", pa.string())]
+                )
+                sink = io.BytesIO()
+                with ipc.new_stream(sink, schema) as w:
+                    emitted = 0
+                    for b in range(nb):
+                        cnt = max(0, min(16, total - 16 * b))
+                        batch = pa.record_batch(
+                            [
+                                pa.array(
+                                    [d * 100 + emitted + j for j in range(cnt)],
+                                    pa.int64(),
+                                ),
+                                pa.array(
+                                    [(emitted + j) / 4 for j in range(cnt)],
+                                    pa.float64(),
+                                ),
+                                pa.array(
+                                    [f"r{j}" for j in range(cnt)], pa.string()
+                                ),
+                            ],
+                            schema=schema,
+                        )
+                        w.write_batch(batch)
+                        emitted += cnt
+                blob = sink.getvalue()
+                if d % 9 == 8:
+                    blob = blob[: len(blob) - 11]
+                try:
+                    reader = ipc.open_stream(io.BytesIO(blob))
+                    batches = list(reader)
+                except (pa.ArrowInvalid, OSError):
+                    rows["doc_id"].append(d)
+                    rows["batch_idx"].append(-1)
+                    rows["n_rows"].append(0)
+                    rows["n_columns"].append(0)
+                    rows["reason"].append("corrupt")
+                    continue
+                for i, b in enumerate(batches):
+                    rows["doc_id"].append(d)
+                    rows["batch_idx"].append(i)
+                    rows["n_rows"].append(b.num_rows)
+                    rows["n_columns"].append(b.num_columns)
+                    rows["reason"].append("ok")
+            yield pd.DataFrame(rows)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        evaluate,
+        "doc_id bigint, batch_idx int, n_rows bigint, n_columns int, "
+        "reason string",
+    )
+
+
+@defquery(
     "protobuf_wire_audit",
     """
     WITH a AS (
