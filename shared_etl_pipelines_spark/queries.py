@@ -1086,6 +1086,8 @@ _CARRYOVER_FIRST = (
     "protobuf_wire_audit",
     # Arrow IPC stream record-batch census
     "arrow_ipc_audit",
+    # iCalendar event audit with real unfolding/escaping
+    "ical_event_audit",
 )
 
 

@@ -9388,6 +9388,127 @@ def q_heif_item_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "ical_event_audit",
+    """
+    WITH a AS (
+      SELECT doc_id AS d, octet_length(encode(text)) AS n FROM documents
+    ),
+    ev AS (
+      SELECT d, n, CAST(i AS INT) AS i, d + i AS m
+      FROM a, unnest(range(0, n % 3 + 1)) AS t(i)
+      WHERE d % 9 <> 8
+    ),
+    ok AS (
+      SELECT d AS doc_id, i AS event_idx,
+             'ev-' || d || '-' || i || '@ex' || (d % 20) || '.test' AS uid,
+             'sync ' || d || '-' || i || ', '
+               || repeat('agenda item ', n % 6) AS summary,
+             '2026081' || (m % 9) || 'T0' || (d % 9) || '0000Z' AS dtstart,
+             CASE WHEN i % 2 = 0
+                  THEN '2026081' || (m % 9) || 'T1' || (d % 9) || '0000Z'
+                  ELSE '' END AS dtend,
+             CASE WHEN d % 4 = 0 THEN 'room ' || (d % 7) ELSE '' END
+               AS location,
+             m % 5 = 0 AS has_rrule,
+             CASE WHEN i = 0 THEN 'ex' || ((d * 3) % 20) || '.test'
+                  ELSE '' END AS organizer_domain,
+             'ok' AS reason
+      FROM ev
+    ),
+    corrupt AS (
+      SELECT d AS doc_id, CAST(-1 AS INT), '', '', '', '', '', FALSE, '',
+             'corrupt'
+      FROM a WHERE d % 9 = 8
+    )
+    SELECT * FROM ok UNION ALL SELECT * FROM corrupt
+    """,
+    doc="iCalendar (RFC 5545) event audit: REAL line unfolding (75-"
+    "octet folds that may split UTF-8 or escapes mid-way), quoted "
+    "parameter values, TEXT escape decoding, balanced BEGIN/END "
+    "structure — calendar corpora and meeting data; the organizer "
+    "surfaces as a mailto DOMAIN only (the email_mime_audit PII "
+    "discipline); structural damage quarantines",
+    tags=("llm", "text", "audit", "curation"),
+)
+def q_ical_event_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def evaluate(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shared_etl_pipelines_spark.sources import ical
+
+        cols = (
+            "doc_id", "event_idx", "uid", "summary", "dtstart", "dtend",
+            "location", "has_rrule", "organizer_domain", "reason",
+        )
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                n = len(str(payload).encode("utf-8"))
+                events = []
+                for i in range(n % 3 + 1):
+                    m = d + i
+                    events.append(
+                        dict(
+                            uid=f"ev-{d}-{i}@ex{d % 20}.test",
+                            summary=f"sync {d}-{i}, "
+                            + "agenda item " * (n % 6),
+                            dtstart=f"2026081{m % 9}T0{d % 9}0000Z",
+                            dtend=(
+                                f"2026081{m % 9}T1{d % 9}0000Z"
+                                if i % 2 == 0
+                                else ""
+                            ),
+                            location=f"room {d % 7}" if d % 4 == 0 else "",
+                            rrule=(
+                                "FREQ=WEEKLY;COUNT=4" if m % 5 == 0 else ""
+                            ),
+                            organizer=(
+                                f"user{d % 23}@ex{(d * 3) % 20}.test"
+                                if i == 0
+                                else ""
+                            ),
+                        )
+                    )
+                text = ical.encode_ics(events)
+                if d % 9 == 8:
+                    text = text.replace("END:VCALENDAR\r\n", "")
+                try:
+                    out = ical.parse_ics(text)
+                except ValueError:
+                    rows["doc_id"].append(d)
+                    rows["event_idx"].append(-1)
+                    for f in ("uid", "summary", "dtstart", "dtend",
+                              "location", "organizer_domain"):
+                        rows[f].append("")
+                    rows["has_rrule"].append(False)
+                    rows["reason"].append("corrupt")
+                    continue
+                for i, e in enumerate(out["events"]):
+                    rows["doc_id"].append(d)
+                    rows["event_idx"].append(i)
+                    rows["uid"].append(e["uid"])
+                    rows["summary"].append(e["summary"])
+                    rows["dtstart"].append(e["dtstart"])
+                    rows["dtend"].append(e["dtend"])
+                    rows["location"].append(e["location"])
+                    rows["has_rrule"].append(e["has_rrule"])
+                    rows["organizer_domain"].append(e["organizer_domain"])
+                    rows["reason"].append("ok")
+            yield pd.DataFrame(rows)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        evaluate,
+        "doc_id bigint, event_idx int, uid string, summary string, "
+        "dtstart string, dtend string, location string, "
+        "has_rrule boolean, organizer_domain string, reason string",
+    )
+
+
+@defquery(
     "arrow_ipc_audit",
     """
     WITH a AS (
