@@ -1088,6 +1088,8 @@ _CARRYOVER_FIRST = (
     "arrow_ipc_audit",
     # iCalendar event audit with real unfolding/escaping
     "ical_event_audit",
+    # vCard PII census (counts/domains only — drop, don't mine)
+    "vcard_pii_census",
 )
 
 

@@ -9388,6 +9388,124 @@ def q_heif_item_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "vcard_pii_census",
+    """
+    WITH a AS (
+      SELECT doc_id AS d, octet_length(encode(text)) AS n FROM documents
+    ),
+    cards AS (
+      SELECT d, CAST(j AS INT) AS j, CAST((d + j) % 3 AS INT) AS ne,
+             CAST((d + j) % 2 AS INT) AS np
+      FROM a, unnest(range(0, n % 2 + 1)) AS t(j)
+      WHERE d % 9 <> 8
+    ),
+    ok AS (
+      SELECT d AS doc_id, j AS card_idx, '4.0' AS version, TRUE AS has_fn,
+             ne AS n_emails, np AS n_phones,
+             ne AS n_email_domains,
+             COALESCE(array_to_string(list_sort(list_transform(range(0, ne),
+               e -> 'ex' || ((d * 5 + e) % 20) || '.test')), ','), '')
+               AS email_domains,
+             d % 6 = 1 AS has_photo,
+             d % 4 = 2 AS has_address,
+             CAST(2 + ne + np + CASE WHEN d % 6 = 1 THEN 1 ELSE 0 END
+                  + CASE WHEN d % 4 = 2 THEN 1 ELSE 0 END AS INT) AS n_props,
+             'ok' AS reason
+      FROM cards
+    ),
+    corrupt AS (
+      SELECT d AS doc_id, CAST(-1 AS INT), '', FALSE, CAST(0 AS INT),
+             CAST(0 AS INT), CAST(0 AS INT), '', FALSE, FALSE,
+             CAST(0 AS INT), 'corrupt'
+      FROM a WHERE d % 9 = 8
+    )
+    SELECT * FROM ok UNION ALL SELECT * FROM corrupt
+    """,
+    doc="vCard (RFC 6350) PII census — contact cards are the "
+    "PII-densest objects a crawl carries, and the census exists so a "
+    "curation pass can DROP them, not mine them: email/phone counts "
+    "and domains only; names, numbers and addresses never leave the "
+    "parser. Shares the iCalendar unfolding/content-line machinery; "
+    "unbalanced cards quarantine",
+    tags=("llm", "text", "pii", "audit", "curation"),
+)
+def q_vcard_pii_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def evaluate(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shared_etl_pipelines_spark.sources import ical
+
+        cols = (
+            "doc_id", "card_idx", "version", "has_fn", "n_emails",
+            "n_phones", "n_email_domains", "email_domains", "has_photo",
+            "has_address", "n_props", "reason",
+        )
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                n = len(str(payload).encode("utf-8"))
+                text = "".join(
+                    ical.encode_vcard(
+                        f"Person {d}-{j}",
+                        [
+                            f"user{d}@ex{(d * 5 + e) % 20}.test"
+                            for e in range((d + j) % 3)
+                        ],
+                        phones=(d + j) % 2,
+                        photo=d % 6 == 1,
+                        address=d % 4 == 2,
+                    )
+                    for j in range(n % 2 + 1)
+                )
+                if d % 9 == 8:
+                    text = text.rsplit("END:VCARD", 1)[0]
+                try:
+                    cards = ical.parse_vcards(text)
+                except ValueError:
+                    rows["doc_id"].append(d)
+                    rows["card_idx"].append(-1)
+                    rows["version"].append("")
+                    rows["has_fn"].append(False)
+                    rows["n_emails"].append(0)
+                    rows["n_phones"].append(0)
+                    rows["n_email_domains"].append(0)
+                    rows["email_domains"].append("")
+                    rows["has_photo"].append(False)
+                    rows["has_address"].append(False)
+                    rows["n_props"].append(0)
+                    rows["reason"].append("corrupt")
+                    continue
+                for j, c in enumerate(cards):
+                    rows["doc_id"].append(d)
+                    rows["card_idx"].append(j)
+                    rows["version"].append(c["version"])
+                    rows["has_fn"].append(c["has_fn"])
+                    rows["n_emails"].append(c["n_emails"])
+                    rows["n_phones"].append(c["n_phones"])
+                    rows["n_email_domains"].append(len(c["email_domains"]))
+                    rows["email_domains"].append(
+                        ",".join(c["email_domains"])
+                    )
+                    rows["has_photo"].append(c["has_photo"])
+                    rows["has_address"].append(c["has_address"])
+                    rows["n_props"].append(c["n_props"])
+                    rows["reason"].append("ok")
+            yield pd.DataFrame(rows)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        evaluate,
+        "doc_id bigint, card_idx int, version string, has_fn boolean, "
+        "n_emails int, n_phones int, n_email_domains int, "
+        "email_domains string, has_photo boolean, has_address boolean, "
+        "n_props int, reason string",
+    )
+
+
+@defquery(
     "ical_event_audit",
     """
     WITH a AS (

@@ -20,7 +20,7 @@ output (the email_mime_audit discipline).
 """
 from __future__ import annotations
 
-__all__ = ["parse_ics", "encode_ics"]
+__all__ = ["parse_ics", "encode_ics", "parse_vcards", "encode_vcard"]
 
 
 def _unfold(text: str) -> list[str]:
@@ -195,4 +195,78 @@ def encode_ics(events: list[dict], prodid: str = "-//spark-graft//EN") -> str:
             )
         lines.append("END:VEVENT")
     lines.append("END:VCALENDAR")
+    return "\r\n".join(lines) + "\r\n"
+
+
+# ----------------------------------------------------------------------
+# vCard (RFC 6350) — shares the content-line machinery above; contact
+# cards are the PII-densest objects a crawl carries
+# ----------------------------------------------------------------------
+def parse_vcards(text: str) -> list[dict]:
+    """-> one dict per card: {version, has_fn, n_emails, n_phones,
+    email_domains (sorted unique), has_photo, has_address, n_props}.
+    Addresses/names/numbers themselves never leave the parser — the
+    census exists so a curation pass can DROP cards, not mine them.
+    Unbalanced BEGIN/END or junk outside cards refuses."""
+    cards: list[dict] = []
+    cur: dict | None = None
+    for line in _unfold(text):
+        name, params, value = _split_content_line(line)
+        if name == "BEGIN":
+            if value.upper() != "VCARD" or cur is not None:
+                raise ValueError("vcard: unbalanced BEGIN — quarantine")
+            cur = {
+                "version": "", "has_fn": False, "n_emails": 0,
+                "n_phones": 0, "email_domains": set(), "has_photo": False,
+                "has_address": False, "n_props": 0,
+            }
+            continue
+        if name == "END":
+            if value.upper() != "VCARD" or cur is None:
+                raise ValueError("vcard: unbalanced END — quarantine")
+            cur["email_domains"] = sorted(cur["email_domains"])
+            cards.append(cur)
+            cur = None
+            continue
+        if cur is None:
+            raise ValueError("vcard: content outside a card — quarantine")
+        cur["n_props"] += 1
+        if name == "VERSION":
+            cur["version"] = value
+        elif name == "FN":
+            cur["has_fn"] = True
+        elif name == "EMAIL":
+            cur["n_emails"] += 1
+            cur["email_domains"].add(value.rpartition("@")[2].lower())
+        elif name == "TEL":
+            cur["n_phones"] += 1
+        elif name == "PHOTO":
+            cur["has_photo"] = True
+        elif name == "ADR":
+            cur["has_address"] = True
+    if cur is not None:
+        raise ValueError("vcard: unclosed card — quarantine")
+    if not cards:
+        raise ValueError("vcard: no cards — quarantine")
+    return cards
+
+
+def encode_vcard(
+    fn: str,
+    emails: list[str],
+    phones: int = 0,
+    photo: bool = False,
+    address: bool = False,
+    version: str = "4.0",
+) -> str:
+    lines = ["BEGIN:VCARD", f"VERSION:{version}", _fold(f"FN:{_escape(fn)}")]
+    for e in emails:
+        lines.append(f"EMAIL;TYPE=work:{e}")
+    for p in range(phones):
+        lines.append(f"TEL;TYPE=cell:+1555000{p:04d}")
+    if photo:
+        lines.append(_fold("PHOTO:data:image/jpeg;base64," + "A" * 120))
+    if address:
+        lines.append("ADR:;;1 Main St;Town;;12345;US")
+    lines.append("END:VCARD")
     return "\r\n".join(lines) + "\r\n"

@@ -66,3 +66,38 @@ def test_refusals():
         ical.parse_ics(
             "BEGIN:VCALENDAR\r\nNOCOLONLINE\r\nEND:VCALENDAR\r\n"
         )
+
+
+# ---------------------------------------------------------------------------
+# vCard (RFC 6350) — shares the content-line machinery
+# ---------------------------------------------------------------------------
+def test_vcard_census_and_pii_discipline():
+    text = (
+        ical.encode_vcard(
+            "Ada L", ["a@ex1.test", "b@EX1.test", "c@ex2.test"],
+            phones=2, photo=True, address=True,
+        )
+        + ical.encode_vcard("Bob", [], version="3.0")
+    )
+    cards = ical.parse_vcards(text)
+    assert len(cards) == 2
+    c0, c1 = cards
+    assert c0["has_fn"] and c0["n_emails"] == 3 and c0["n_phones"] == 2
+    assert c0["email_domains"] == ["ex1.test", "ex2.test"]  # dedup + fold
+    assert c0["has_photo"] and c0["has_address"]
+    assert c1["version"] == "3.0" and c1["n_props"] == 2
+    # the census never exposes addresses/numbers/names
+    for c in cards:
+        assert "Ada" not in str(sorted(c.items()))
+
+
+def test_vcard_refusals():
+    text = ical.encode_vcard("X", ["x@d.test"])
+    with pytest.raises(ValueError):
+        ical.parse_vcards(text.replace("END:VCARD\r\n", ""))
+    with pytest.raises(ValueError):
+        ical.parse_vcards("FN:x\r\n" + text)  # content outside a card
+    with pytest.raises(ValueError):
+        ical.parse_vcards("BEGIN:VCARD\r\n")
+    with pytest.raises(ValueError):
+        ical.parse_vcards("")
