@@ -1090,6 +1090,8 @@ _CARRYOVER_FIRST = (
     "ical_event_audit",
     # vCard PII census (counts/domains only — drop, don't mine)
     "vcard_pii_census",
+    # BitTorrent metainfo audit with bencode canonicality enforcement
+    "torrent_metainfo_audit",
 )
 
 

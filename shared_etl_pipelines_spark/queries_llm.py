@@ -9388,6 +9388,118 @@ def q_heif_item_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "torrent_metainfo_audit",
+    """
+    WITH a AS (
+      SELECT doc_id AS d, octet_length(encode(text)) AS n FROM documents
+    ),
+    ok AS (
+      SELECT d AS doc_id,
+             'http://tr' || (d % 11) || '.test/announce' AS announce,
+             'corpus-' || d AS name,
+             CAST(16384 * (n % 3 + 1) AS BIGINT) AS piece_length,
+             CAST(n % 50 + 1 AS INT) AS n_pieces,
+             CAST(CASE WHEN d % 2 = 0 THEN (d % 97 + 1) * 1000
+                  ELSE 500 * (d % 4 + 1) END AS BIGINT) AS total_length,
+             CAST(CASE WHEN d % 2 = 0 THEN 1 ELSE d % 4 + 1 END AS INT)
+               AS n_files,
+             CAST(d % 3 = 0 AS INT) AS private,
+             'ok' AS reason
+      FROM a WHERE d % 9 <> 8
+    ),
+    corrupt AS (
+      SELECT d AS doc_id, '', '', CAST(0 AS BIGINT), CAST(0 AS INT),
+             CAST(0 AS BIGINT), CAST(0 AS INT), CAST(0 AS INT), 'corrupt'
+      FROM a WHERE d % 9 = 8
+    )
+    SELECT * FROM ok UNION ALL SELECT * FROM corrupt
+    """,
+    doc="BitTorrent metainfo audit (bencode): web-scale corpora ship "
+    "over BitTorrent, and the intake audit reads .torrent files "
+    "without touching the swarm — announce/name/piece geometry/total "
+    "payload across single- and multi-file forms. The decoder enforces "
+    "bencode's canonicality rules (sorted dict keys, no leading-zero "
+    "ints): a non-canonical metainfo re-encodes to a different "
+    "infohash identity and quarantines",
+    tags=("llm", "storage", "audit", "crawl"),
+)
+def q_torrent_metainfo_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def evaluate(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shared_etl_pipelines_spark.sources import bencode as B
+
+        cols = (
+            "doc_id", "announce", "name", "piece_length", "n_pieces",
+            "total_length", "n_files", "private", "reason",
+        )
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                n = len(str(payload).encode("utf-8"))
+                pieces = bytes((d + j) % 256 for j in range(20 * (n % 50 + 1)))
+                info: dict = {
+                    b"name": f"corpus-{d}".encode(),
+                    b"piece length": 16384 * (n % 3 + 1),
+                    b"pieces": pieces,
+                }
+                if d % 2 == 0:
+                    info[b"length"] = (d % 97 + 1) * 1000
+                else:
+                    info[b"files"] = [
+                        {b"length": 500, b"path": [f"f{j}".encode()]}
+                        for j in range(d % 4 + 1)
+                    ]
+                if d % 3 == 0:
+                    info[b"private"] = 1
+                # bencode requires sorted keys — build in sorted order
+                info = dict(sorted(info.items()))
+                blob = B.bencode(
+                    {
+                        b"announce":
+                            f"http://tr{d % 11}.test/announce".encode(),
+                        b"info": info,
+                    }
+                )
+                if d % 9 == 8:
+                    blob = blob[:-7]
+                try:
+                    o = B.parse_torrent(blob)
+                except ValueError:
+                    rows["doc_id"].append(d)
+                    rows["announce"].append("")
+                    rows["name"].append("")
+                    rows["piece_length"].append(0)
+                    rows["n_pieces"].append(0)
+                    rows["total_length"].append(0)
+                    rows["n_files"].append(0)
+                    rows["private"].append(0)
+                    rows["reason"].append("corrupt")
+                    continue
+                rows["doc_id"].append(d)
+                rows["announce"].append(o["announce"])
+                rows["name"].append(o["name"])
+                rows["piece_length"].append(o["piece_length"])
+                rows["n_pieces"].append(o["n_pieces"])
+                rows["total_length"].append(o["total_length"])
+                rows["n_files"].append(o["n_files"])
+                rows["private"].append(o["private"])
+                rows["reason"].append("ok")
+            yield pd.DataFrame(rows)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        evaluate,
+        "doc_id bigint, announce string, name string, piece_length bigint, "
+        "n_pieces int, total_length bigint, n_files int, private int, "
+        "reason string",
+    )
+
+
+@defquery(
     "vcard_pii_census",
     """
     WITH a AS (
