@@ -675,7 +675,9 @@ def test_r9c_media_and_protocol_scans_are_shuffle_free(spark, sf):
         "tfrecord_example_stats", "heif_item_audit", "heic_exif_gps_audit",
         "pdf_info_audit", "tensor_manifest_audit", "svg_image_audit",
         "webp_image_audit", "jsonld_entity_extract",
-        "markdown_structure_audit",
+        "markdown_structure_audit", "feed_entry_audit", "email_mime_audit",
+        "msgpack_log_audit", "protobuf_wire_audit", "arrow_ipc_audit",
+        "ical_event_audit", "vcard_pii_census", "torrent_metainfo_audit",
     ):
         p = phys(REGISTRY[name].fn(spark, sf))
         assert "hashpartitioning" not in p, name
