@@ -1092,6 +1092,8 @@ _CARRYOVER_FIRST = (
     "vcard_pii_census",
     # BitTorrent metainfo audit with bencode canonicality enforcement
     "torrent_metainfo_audit",
+    # JVM-regex secret scanning + license detection (codegen-path)
+    "secret_scan_audit", "license_detect_audit",
 )
 
 
