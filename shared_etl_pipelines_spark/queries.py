@@ -1094,6 +1094,8 @@ _CARRYOVER_FIRST = (
     "torrent_metainfo_audit",
     # JVM-regex secret scanning + license detection (codegen-path)
     "secret_scan_audit", "license_detect_audit",
+    # GeoJSON feature audit with winding-order validation
+    "geojson_feature_audit",
 )
 
 

@@ -9387,6 +9387,174 @@ def q_heif_item_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@defquery(
+    "geojson_feature_audit",
+    """
+    WITH a AS (
+      SELECT doc_id AS d, octet_length(encode(text)) AS n FROM documents
+    ),
+    dims AS (
+      SELECT d, n, CAST(n % 7 + 2 AS INT) AS w, CAST(d % 5 + 2 AS INT) AS h
+      FROM a WHERE d % 9 <> 8
+    ),
+    poly AS (
+      SELECT d AS doc_id, CAST(0 AS INT) AS feat_idx, 'Polygon' AS geom_type,
+             CAST(CASE WHEN d % 3 = 0 THEN 10 ELSE 5 END AS INT) AS n_points,
+             CAST(CASE WHEN d % 3 = 0 THEN 2 ELSE 1 END AS INT) AS n_rings,
+             TRUE AS winding_ok,
+             ROUND(CAST(2 * w * h AS DOUBLE), 4) AS area2,
+             ROUND(CAST(0 AS DOUBLE), 4) AS minx,
+             ROUND(CAST(0 AS DOUBLE), 4) AS miny,
+             ROUND(CAST(w AS DOUBLE), 4) AS maxx,
+             ROUND(CAST(h AS DOUBLE), 4) AS maxy,
+             CAST(1 AS INT) AS n_props, 'ok' AS reason
+      FROM dims
+    ),
+    badpoly AS (
+      SELECT d AS doc_id, CAST(1 AS INT), 'Polygon', CAST(5 AS INT),
+             CAST(1 AS INT), FALSE,
+             ROUND(CAST(-2 * (d % 3 + 2) * 2 AS DOUBLE), 4),
+             ROUND(CAST(0 AS DOUBLE), 4), ROUND(CAST(0 AS DOUBLE), 4),
+             ROUND(CAST(d % 3 + 2 AS DOUBLE), 4), ROUND(CAST(2 AS DOUBLE), 4),
+             CAST(0 AS INT), 'ok'
+      FROM dims WHERE d % 4 = 1
+    ),
+    pt AS (
+      SELECT d AS doc_id,
+             CAST(1 + CASE WHEN d % 4 = 1 THEN 1 ELSE 0 END AS INT),
+             'Point', CAST(1 AS INT), CAST(0 AS INT), TRUE,
+             ROUND(CAST(0 AS DOUBLE), 4),
+             ROUND(CAST(d % 100 AS DOUBLE), 4),
+             ROUND(CAST(n % 50 AS DOUBLE), 4),
+             ROUND(CAST(d % 100 AS DOUBLE), 4),
+             ROUND(CAST(n % 50 AS DOUBLE), 4),
+             CAST(2 AS INT), 'ok'
+      FROM dims
+    ),
+    mls AS (
+      SELECT d AS doc_id,
+             CAST(2 + CASE WHEN d % 4 = 1 THEN 1 ELSE 0 END AS INT),
+             'MultiLineString', CAST(4 AS INT), CAST(0 AS INT), TRUE,
+             ROUND(CAST(0 AS DOUBLE), 4),
+             ROUND(CAST(0 AS DOUBLE), 4), ROUND(CAST(0 AS DOUBLE), 4),
+             ROUND(CAST(GREATEST(d % 9, 2) AS DOUBLE), 4),
+             ROUND(CAST(GREATEST(n % 9, 2) AS DOUBLE), 4),
+             CAST(0 AS INT), 'ok'
+      FROM dims WHERE d % 5 = 2
+    ),
+    corrupt AS (
+      SELECT d AS doc_id, CAST(-1 AS INT), '', CAST(0 AS INT),
+             CAST(0 AS INT), FALSE, ROUND(CAST(0 AS DOUBLE), 4),
+             ROUND(CAST(0 AS DOUBLE), 4), ROUND(CAST(0 AS DOUBLE), 4),
+             ROUND(CAST(0 AS DOUBLE), 4), ROUND(CAST(0 AS DOUBLE), 4),
+             CAST(0 AS INT), 'corrupt'
+      FROM a WHERE d % 9 = 8
+    )
+    SELECT * FROM poly UNION ALL SELECT * FROM badpoly
+    UNION ALL SELECT * FROM pt UNION ALL SELECT * FROM mls
+    UNION ALL SELECT * FROM corrupt
+    """,
+    doc="GeoJSON (RFC 7946) feature audit: geometry-type census, ring "
+    "closure and minimum-size enforcement, WINDING-ORDER validation "
+    "(§3.1.6 exterior CCW / holes CW — violations surface per feature, "
+    "never silently rewound), exterior shoelace area and a bbox "
+    "computed from coordinates rather than trusted — the web "
+    "vector-geometry sibling of the Shapefile reader; malformed "
+    "documents quarantine",
+    tags=("llm", "geo", "audit", "curation"),
+)
+def q_geojson_feature_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import json
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def evaluate(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shared_etl_pipelines_spark.sources.geojson import parse_geojson
+
+        def build(d: int, n: int) -> str:
+            w, h = n % 7 + 2, d % 5 + 2
+            rings = [[[0, 0], [w, 0], [w, h], [0, h], [0, 0]]]
+            if d % 3 == 0:
+                rings.append([[1, 1], [1, 2], [2, 2], [2, 1], [1, 1]])
+            feats = [
+                {"type": "Feature", "properties": {"zone": d % 7},
+                 "geometry": {"type": "Polygon", "coordinates": rings}},
+            ]
+            if d % 4 == 1:
+                w2 = d % 3 + 2
+                feats.append(
+                    {"type": "Feature", "properties": {},
+                     "geometry": {"type": "Polygon", "coordinates":
+                        [[[0, 0], [0, 2], [w2, 2], [w2, 0], [0, 0]]]}}
+                )
+            feats.append(
+                {"type": "Feature",
+                 "properties": {"id": d, "kind": "poi"},
+                 "geometry": {"type": "Point",
+                              "coordinates": [d % 100, n % 50]}}
+            )
+            if d % 5 == 2:
+                feats.append(
+                    {"type": "Feature", "properties": {},
+                     "geometry": {"type": "MultiLineString", "coordinates":
+                        [[[0, 0], [d % 9, n % 9]], [[1, 1], [2, 2]]]}}
+                )
+            doc = {"type": "FeatureCollection", "features": feats}
+            out = json.dumps(doc)
+            return out[:-9] if d % 9 == 8 else out
+
+        cols = (
+            "doc_id", "feat_idx", "geom_type", "n_points", "n_rings",
+            "winding_ok", "area2", "minx", "miny", "maxx", "maxy",
+            "n_props", "reason",
+        )
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                n = len(str(payload).encode("utf-8"))
+                try:
+                    feats = parse_geojson(build(d, n))
+                except ValueError:
+                    rows["doc_id"].append(d)
+                    rows["feat_idx"].append(-1)
+                    rows["geom_type"].append("")
+                    rows["n_points"].append(0)
+                    rows["n_rings"].append(0)
+                    rows["winding_ok"].append(False)
+                    for f in ("area2", "minx", "miny", "maxx", "maxy"):
+                        rows[f].append(0.0)
+                    rows["n_props"].append(0)
+                    rows["reason"].append("corrupt")
+                    continue
+                for i, ft in enumerate(feats):
+                    rows["doc_id"].append(d)
+                    rows["feat_idx"].append(i)
+                    rows["geom_type"].append(ft["geom_type"])
+                    rows["n_points"].append(ft["n_points"])
+                    rows["n_rings"].append(ft["n_rings"])
+                    rows["winding_ok"].append(ft["winding_ok"])
+                    rows["area2"].append(round(ft["area2"], 4))
+                    bb = ft["bbox"]
+                    rows["minx"].append(round(float(bb[0]), 4))
+                    rows["miny"].append(round(float(bb[1]), 4))
+                    rows["maxx"].append(round(float(bb[2]), 4))
+                    rows["maxy"].append(round(float(bb[3]), 4))
+                    rows["n_props"].append(ft["n_props"])
+                    rows["reason"].append("ok")
+            yield pd.DataFrame(rows)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        evaluate,
+        "doc_id bigint, feat_idx int, geom_type string, n_points int, "
+        "n_rings int, winding_ok boolean, area2 double, minx double, "
+        "miny double, maxx double, maxy double, n_props int, "
+        "reason string",
+    )
+
+
 _SECRET_PLANT_SQL = """
       text
       || CASE WHEN d % 5 = 0 THEN ' key=AKIA'

@@ -185,3 +185,53 @@ def test_dbf_deleted_record_keeps_alignment(tmp_path):
     polys = read_shapefile(base + ".shp", id_field="NAME")
     # record 0's attrs are gone (placeholder), records 1/2 keep their own
     assert [p.zone_id for p in polys] == ["0", "second", "third"]
+
+
+# ---------------------------------------------------------------------------
+# GeoJSON (sources/geojson.py, r9-continued) — web sibling of shapefiles
+# ---------------------------------------------------------------------------
+def test_geojson_winding_rings_and_bbox():
+    import json
+
+    from shared_etl_pipelines_spark.sources.geojson import parse_geojson
+
+    fc = {
+        "type": "FeatureCollection",
+        "features": [
+            {"type": "Feature", "properties": {"a": 1},
+             "geometry": {"type": "Polygon", "coordinates":
+                [[[0, 0], [4, 0], [4, 3], [0, 3], [0, 0]],
+                 [[1, 1], [1, 2], [2, 2], [2, 1], [1, 1]]]}},
+            {"type": "Feature", "properties": {},
+             "geometry": {"type": "Polygon", "coordinates":
+                [[[0, 0], [0, 3], [4, 3], [4, 0], [0, 0]]]}},
+            {"type": "Feature", "properties": {},
+             "geometry": {"type": "Point", "coordinates": [7, -2]}},
+            {"type": "Feature", "properties": {}, "geometry": None},
+        ],
+    }
+    out = parse_geojson(json.dumps(fc))
+    assert out[0]["n_rings"] == 2 and out[0]["winding_ok"]
+    assert out[0]["area2"] == 24.0 and out[0]["bbox"] == (0, 0, 4, 3)
+    assert not out[1]["winding_ok"] and out[1]["area2"] == -24.0
+    assert out[2]["bbox"] == (7, -2, 7, -2)
+    assert out[3]["geom_type"] == "null"
+
+
+def test_geojson_refusals():
+    import pytest
+
+    from shared_etl_pipelines_spark.sources.geojson import parse_geojson
+
+    bads = [
+        '{"type":"Polygon","coordinates":[[[0,0],[1,0],[0,0]]]}',  # <4
+        '{"type":"Polygon","coordinates":[[[0,0],[1,0],[1,1],[2,2]]]}',
+        '{"type":"Blob"}',
+        "not json",
+        "[1,2]",
+        '{"type":"Point"}',  # no coordinates
+        '{"type":"FeatureCollection","features":[{"type":"Blob"}]}',
+    ]
+    for bad in bads:
+        with pytest.raises(ValueError):
+            parse_geojson(bad)
