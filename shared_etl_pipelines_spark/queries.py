@@ -1096,6 +1096,8 @@ _CARRYOVER_FIRST = (
     "secret_scan_audit", "license_detect_audit",
     # GeoJSON feature audit with winding-order validation
     "geojson_feature_audit",
+    # CBOR manifest audit (RFC 8949, appendix-A-pinned decoder)
+    "cbor_manifest_audit",
 )
 
 

@@ -9388,6 +9388,104 @@ def q_heif_item_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "cbor_manifest_audit",
+    """
+    WITH a AS (
+      SELECT doc_id AS d, octet_length(encode(text)) AS n FROM documents
+    ),
+    ok AS (
+      SELECT d AS doc_id,
+             'urn:c2pa:' || d AS claim,
+             CAST(n % 4 + 1 AS INT) AS n_assertions,
+             CAST(1755302400 + d AS BIGINT) AS ts,
+             CAST(8 AS INT) AS digest_len,
+             ROUND(CAST(d % 16 AS DOUBLE) / 8, 4) AS score,
+             CAST(6 AS INT) AS n_keys,
+             'ok' AS reason
+      FROM a WHERE d % 9 <> 8
+    ),
+    corrupt AS (
+      SELECT d AS doc_id, '', CAST(0 AS INT), CAST(0 AS BIGINT),
+             CAST(0 AS INT), CAST(0.0 AS DOUBLE), CAST(0 AS INT),
+             'corrupt'
+      FROM a WHERE d % 9 = 8
+    )
+    SELECT * FROM ok UNION ALL SELECT * FROM corrupt
+    """,
+    doc="CBOR manifest audit (RFC 8949) — the binary JSON inside C2PA "
+    "content-credentials and COSE/WebAuthn structures: full core data "
+    "model including hand-decoded half-precision floats, "
+    "indefinite-length items, bignum tags and epoch tags; refusals on "
+    "reserved info values, stray break codes, mixed string chunks, "
+    "duplicate or non-string map keys (decoder pinned against the "
+    "RFC's own appendix-A vectors in tests); provenance metadata is "
+    "how a curation pass will verify image authenticity claims",
+    tags=("llm", "multimodal", "storage", "audit"),
+)
+def q_cbor_manifest_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def evaluate(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shared_etl_pipelines_spark.sources import cbor as C
+
+        cols = (
+            "doc_id", "claim", "n_assertions", "ts", "digest_len",
+            "score", "n_keys", "reason",
+        )
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                n = len(str(payload).encode("utf-8"))
+                manifest = {
+                    "claim": f"urn:c2pa:{d}",
+                    "gen": "spark-graft",
+                    "ts": ("tag", 1, 1755302400 + d),
+                    "assertions": [
+                        {"label": f"a{i}", "n": (d + i) % 50,
+                         "ok": (d + i) % 2 == 0}
+                        for i in range(n % 4 + 1)
+                    ],
+                    "digest": bytes((d + j) % 256 for j in range(8)),
+                    "score": (d % 16) / 8,
+                }
+                blob = C.encode_cbor(manifest)
+                if d % 9 == 8:
+                    blob = blob[:-5]
+                try:
+                    m = C.decode_cbor(blob)
+                except ValueError:
+                    rows["doc_id"].append(d)
+                    rows["claim"].append("")
+                    rows["n_assertions"].append(0)
+                    rows["ts"].append(0)
+                    rows["digest_len"].append(0)
+                    rows["score"].append(0.0)
+                    rows["n_keys"].append(0)
+                    rows["reason"].append("corrupt")
+                    continue
+                tag, tagno, ts = m["ts"]
+                rows["doc_id"].append(d)
+                rows["claim"].append(m["claim"])
+                rows["n_assertions"].append(len(m["assertions"]))
+                rows["ts"].append(int(ts) if tagno == 1 else 0)
+                rows["digest_len"].append(len(m["digest"]))
+                rows["score"].append(round(float(m["score"]), 4))
+                rows["n_keys"].append(len(m))
+                rows["reason"].append("ok")
+            yield pd.DataFrame(rows)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        evaluate,
+        "doc_id bigint, claim string, n_assertions int, ts bigint, "
+        "digest_len int, score double, n_keys int, reason string",
+    )
+
+
+@defquery(
     "geojson_feature_audit",
     """
     WITH a AS (
