@@ -1098,6 +1098,8 @@ _CARRYOVER_FIRST = (
     "geojson_feature_audit",
     # CBOR manifest audit (RFC 8949, appendix-A-pinned decoder)
     "cbor_manifest_audit",
+    # JWT structure audit with the alg=none verification-bypass flag
+    "jwt_token_audit",
 )
 
 

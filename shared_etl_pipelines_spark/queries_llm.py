@@ -9388,6 +9388,118 @@ def q_heif_item_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "jwt_token_audit",
+    """
+    WITH a AS (SELECT doc_id AS d FROM documents)
+    SELECT d AS doc_id,
+           d % 6 <> 5 AS has_jwt,
+           CASE WHEN d % 6 = 5 THEN ''
+                WHEN d % 9 = 8 THEN ''
+                ELSE list_extract(['HS256', 'RS256', 'none', 'ES256'],
+                                  d % 4 + 1) END AS alg,
+           d % 6 <> 5 AND d % 9 <> 8 AND d % 4 = 2 AS is_none_alg,
+           d % 6 <> 5 AND d % 9 <> 8 AS has_sub,
+           CAST(CASE WHEN d % 6 <> 5 AND d % 9 <> 8
+                     THEN 1755302400 + d ELSE 0 END AS BIGINT) AS exp,
+           CASE WHEN d % 6 = 5 THEN 'no-jwt'
+                WHEN d % 9 = 8 THEN 'bad-encoding'
+                ELSE 'ok' END AS reason
+    FROM a
+    """,
+    doc="JWT structure audit — leaked bearer tokens are credentials "
+    "AND often embed PII claims: tokens located in text, base64url "
+    "header/payload decoded with strict JSON, the algorithm surfaced "
+    "with an explicit alg=none flag (the classic verification-bypass "
+    "class a security audit must see), claim PRESENCE reported without "
+    "exposing claim values beyond expiry; undecodable tokens "
+    "quarantine as bad-encoding",
+    tags=("llm", "text", "pii", "audit", "curation"),
+)
+def q_jwt_token_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def evaluate(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import base64
+        import json
+        import re
+
+        rx = re.compile(
+            r"eyJ[A-Za-z0-9_-]+\.[A-Za-z0-9_-]+\.[A-Za-z0-9_-]*"
+        )
+
+        def b64url(obj) -> str:
+            raw = json.dumps(obj, separators=(",", ":")).encode()
+            return base64.urlsafe_b64encode(raw).rstrip(b"=").decode()
+
+        def b64url_dec(part: str) -> dict:
+            pad = "=" * (-len(part) % 4)
+            out = json.loads(base64.urlsafe_b64decode(part + pad))
+            if not isinstance(out, dict):
+                raise ValueError("jwt: segment is not an object")
+            return out
+
+        cols = (
+            "doc_id", "has_jwt", "alg", "is_none_alg", "has_sub", "exp",
+            "reason",
+        )
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                line = str(payload)
+                if d % 6 != 5:
+                    header = b64url(
+                        {"alg": ("HS256", "RS256", "none", "ES256")[d % 4],
+                         "typ": "JWT"}
+                    )
+                    claims = b64url(
+                        {"sub": f"u{d}", "exp": 1755302400 + d}
+                    )
+                    sig = b64url({"s": d % 97})[:20]
+                    tok = f"{header}.{claims}.{sig}"
+                    if d % 9 == 8:
+                        # base64url-charset but not JSON -> bad-encoding
+                        tok = f"{header}.AAAA.{sig}"
+                    line = f"{line} bearer={tok}"
+
+                def emit(hj, alg, none_, sub, exp, reason):
+                    rows["doc_id"].append(d)
+                    rows["has_jwt"].append(hj)
+                    rows["alg"].append(alg)
+                    rows["is_none_alg"].append(none_)
+                    rows["has_sub"].append(sub)
+                    rows["exp"].append(exp)
+                    rows["reason"].append(reason)
+
+                m = rx.search(line)
+                if m is None:
+                    emit(False, "", False, False, 0, "no-jwt")
+                    continue
+                h_part, p_part, _sig = m.group(0).split(".")
+                try:
+                    header = b64url_dec(h_part)
+                    claims = b64url_dec(p_part)
+                except (ValueError, json.JSONDecodeError):
+                    emit(True, "", False, False, 0, "bad-encoding")
+                    continue
+                alg = str(header.get("alg", ""))
+                emit(
+                    True, alg, alg.lower() == "none",
+                    "sub" in claims, int(claims.get("exp", 0)), "ok",
+                )
+            yield pd.DataFrame(rows)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        evaluate,
+        "doc_id bigint, has_jwt boolean, alg string, is_none_alg boolean, "
+        "has_sub boolean, exp bigint, reason string",
+    )
+
+
+@defquery(
     "cbor_manifest_audit",
     """
     WITH a AS (

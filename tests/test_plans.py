@@ -679,7 +679,7 @@ def test_r9c_media_and_protocol_scans_are_shuffle_free(spark, sf):
         "msgpack_log_audit", "protobuf_wire_audit", "arrow_ipc_audit",
         "ical_event_audit", "vcard_pii_census", "torrent_metainfo_audit",
         "secret_scan_audit", "license_detect_audit",
-        "geojson_feature_audit", "cbor_manifest_audit",
+        "geojson_feature_audit", "cbor_manifest_audit", "jwt_token_audit",
     ):
         p = phys(REGISTRY[name].fn(spark, sf))
         assert "hashpartitioning" not in p, name
