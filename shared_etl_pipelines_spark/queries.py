@@ -1100,6 +1100,8 @@ _CARRYOVER_FIRST = (
     "cbor_manifest_audit",
     # JWT structure audit with the alg=none verification-bypass flag
     "jwt_token_audit",
+    # Prometheus scrape audit with the histogram le-bucket contract
+    "prom_scrape_audit",
 )
 
 

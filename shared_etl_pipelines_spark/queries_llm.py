@@ -9388,6 +9388,110 @@ def q_heif_item_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "prom_scrape_audit",
+    """
+    WITH a AS (
+      SELECT doc_id AS d, octet_length(encode(text)) AS n FROM documents
+    ),
+    ok AS (SELECT d, n, CAST(n % 4 + 1 AS INT) AS k FROM a WHERE d % 9 <> 8),
+    gauge AS (
+      SELECT d AS doc_id, 'app_temp' AS family, 'gauge' AS mtype,
+             k AS n_samples, TRUE AS buckets_ok, 'ok' AS reason
+      FROM ok
+    ),
+    counter AS (
+      SELECT d AS doc_id, 'req_total', 'counter', CAST(1 AS INT), TRUE, 'ok'
+      FROM ok
+    ),
+    hist AS (
+      SELECT d AS doc_id, 'lat', 'histogram',
+             CAST(CASE WHEN d % 7 = 4 THEN 4 ELSE 5 END AS INT),
+             d % 7 <> 4, 'ok'
+      FROM ok
+    ),
+    corrupt AS (
+      SELECT d AS doc_id, '', '', CAST(0 AS INT), FALSE, 'corrupt'
+      FROM a WHERE d % 9 = 8
+    )
+    SELECT * FROM gauge UNION ALL SELECT * FROM counter
+    UNION ALL SELECT * FROM hist UNION ALL SELECT * FROM corrupt
+    """,
+    doc="Prometheus text-exposition scrape audit — metrics lakes land "
+    "observability scrapes in object storage, and ingesting them needs "
+    "the format's semantics, not a line splitter: HELP/TYPE metadata, "
+    "label-value escape rules, and the HISTOGRAM contract actually "
+    "validated (le-buckets monotone in both le and cumulative count, "
+    "+Inf bucket present and equal to _count — violations produce "
+    "silently-wrong quantiles downstream and surface as "
+    "buckets_ok=false); malformed lines quarantine whole-scrape",
+    tags=("llm", "storage", "audit", "curation"),
+)
+def q_prom_scrape_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def evaluate(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shared_etl_pipelines_spark.sources.promtext import (
+            parse_prom_text,
+        )
+
+        def build(d: int, n: int) -> str:
+            k = n % 4 + 1
+            lines = ["# HELP app_temp Current temperature.",
+                     "# TYPE app_temp gauge"]
+            for i in range(k):
+                lines.append(
+                    f'app_temp{{host="h{i}",dc="dc\\"{d % 3}"}} '
+                    f"{(d % 40) - 10 + i}"
+                )
+            lines += ["# TYPE req_total counter",
+                      f"req_total {d * 3 + 1} 1755302400000",
+                      "# TYPE lat histogram",
+                      f'lat_bucket{{le="0.5"}} {d % 5}',
+                      f'lat_bucket{{le="1"}} {d % 5 + 2}']
+            if d % 7 != 4:  # the broken class drops its +Inf bucket
+                lines.append(f'lat_bucket{{le="+Inf"}} {d % 5 + 4}')
+            lines += [f"lat_count {d % 5 + 4}", f"lat_sum {d % 5 + 4}.5"]
+            out = "\n".join(lines)
+            return out + "\n}{ broken" if d % 9 == 8 else out
+
+        cols = ("doc_id", "family", "mtype", "n_samples", "buckets_ok",
+                "reason")
+        for pdf in it:
+            rows: dict[str, list] = {c: [] for c in cols}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                n = len(str(payload).encode("utf-8"))
+                try:
+                    o = parse_prom_text(build(d, n))
+                except ValueError:
+                    rows["doc_id"].append(d)
+                    rows["family"].append("")
+                    rows["mtype"].append("")
+                    rows["n_samples"].append(0)
+                    rows["buckets_ok"].append(False)
+                    rows["reason"].append("corrupt")
+                    continue
+                for fam in sorted(o["metrics"]):
+                    meta = o["metrics"][fam]
+                    rows["doc_id"].append(d)
+                    rows["family"].append(fam)
+                    rows["mtype"].append(meta["type"])
+                    rows["n_samples"].append(meta["n_samples"])
+                    rows["buckets_ok"].append(meta["buckets_ok"])
+                    rows["reason"].append("ok")
+            yield pd.DataFrame(rows)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        evaluate,
+        "doc_id bigint, family string, mtype string, n_samples int, "
+        "buckets_ok boolean, reason string",
+    )
+
+
+@defquery(
     "jwt_token_audit",
     """
     WITH a AS (SELECT doc_id AS d FROM documents)

@@ -680,6 +680,7 @@ def test_r9c_media_and_protocol_scans_are_shuffle_free(spark, sf):
         "ical_event_audit", "vcard_pii_census", "torrent_metainfo_audit",
         "secret_scan_audit", "license_detect_audit",
         "geojson_feature_audit", "cbor_manifest_audit", "jwt_token_audit",
+        "prom_scrape_audit",
     ):
         p = phys(REGISTRY[name].fn(spark, sf))
         assert "hashpartitioning" not in p, name
