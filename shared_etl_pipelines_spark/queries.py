@@ -968,140 +968,61 @@ _R8_GREEN = frozenset(
     }
 )
 
-_JUDGED_GREEN = (
-    _R1_GREEN | _R2_GREEN | _R3_GREEN | _R4_GREEN | _R5_GREEN | _R6_GREEN
-    | _R7_GREEN | _R8_GREEN
+# CORRECTNESS_r09.json: 50 judged, 50 green (ninth consecutive
+# zero-regression round; fourth perfect sample).
+_R9_GREEN = frozenset(
+    {
+        "av1_codec_params", "avro_ingest_stats", "caption_cue_extract",
+        "compression_codec_audit", "corpus_reshard_plan",
+        "corpus_shard_manifest", "crawl_coverage_audit",
+        "curation_drop_audit", "email_mime_audit", "embedding_covariance",
+        "embedding_kmeans", "embedding_pca_project", "feed_entry_audit",
+        "heic_exif_gps_audit", "heif_item_audit", "hevc_codec_params",
+        "jpeg_exif_gps_audit", "jsonld_entity_extract",
+        "linkage_block_audit", "markdown_structure_audit",
+        "mkv_subtitle_cues", "mkv_track_scan", "mojibake_repair",
+        "mp3_id3_tags", "mp4_codec_params", "mp4_track_scan",
+        "multimodal_flac_decode", "multimodal_mp4_frames", "ogg_page_scan",
+        "paragraph_dedup_profile", "parquet_layout_audit",
+        "pdf_extract_text", "pdf_info_audit", "record_linkage_fs_blocked",
+        "robots_crawl_audit", "similarity_topk_ivf_trained",
+        "sitemap_url_audit", "stream_tfrecord_ingest",
+        "stream_webdataset_ingest", "stream_zipdataset_ingest",
+        "svg_image_audit", "tensor_manifest_audit",
+        "tfrecord_example_stats", "unicode_normalization_audit",
+        "url_canonical_dedup", "webdataset_ingest", "webm_codec_params",
+        "webm_vp8_keyframes", "webp_image_audit", "zipdataset_ingest",
+    }
 )
 
-# Round 9: every registry entry has a driver verdict; no sql=None entry
-# needs a forced slot.
+_JUDGED_GREEN = (
+    _R1_GREEN | _R2_GREEN | _R3_GREEN | _R4_GREEN | _R5_GREEN | _R6_GREEN
+    | _R7_GREEN | _R8_GREEN | _R9_GREEN
+)
+
+# Round 10: every sql=None entry is approx-by-design with an exact twin;
+# no forced slot needed.
 _FORCE_FRONT: frozenset[str] = frozenset()
 
-# Round-9 judging window (~50 slots): first this round's re-fronts
-# (builders or shared machinery touched after their r8 verdicts;
-# results locally re-verified identical where the change was meant to
-# be behavior-preserving), then the two rows-only -> oracle-backed
-# conversions, then the five new round-9 queries.
+# Round-10 judging window: FIRST the 12 registry queries that have never
+# received a driver verdict (added after the r9 sample was drawn; the r9
+# judge re-verified all 12 green at sf0.01 but VERDICT r9 task #1 requires
+# a *driver* verdict — they are byte-unchanged since their r9 audit), then
+# this round's new queries in the order they were added.
 _CARRYOVER_FIRST = (
-    # --- r9 re-fronts: MP4 fixtures now carry real avcC/esds
-    # extradata; parse_mp4 walks stsd children (VERDICT r8 item 1) ---
-    "mp4_track_scan", "multimodal_mp4_frames", "curation_drop_audit",
-    # PDF circular-reference quarantine guards (ADVICE r8 #1)
-    "pdf_extract_text",
-    # flac_audio_stats docstring corrected (ADVICE r8 #3; no code path)
-    "multimodal_flac_decode",
-    # streaming member keys now basename+first-dot (ADVICE r8 #2)
-    "stream_webdataset_ingest",
-    # block-occupancy cap before pair generation (VERDICT r8 item 3)
-    "record_linkage_fs_blocked",
-    # shard writers refactored through _write_one_tar / zip64 flag
-    "webdataset_ingest", "corpus_shard_manifest", "zipdataset_ingest",
-    # --- rows-only -> hash-checked conversions (VERDICT r8 item 2):
-    # exact fixed-point Lloyd fit; fixed-iteration power-method PCA ---
-    "embedding_kmeans", "embedding_pca_project",
-    # oracle quantization now casts FLOAT -> DOUBLE[] before the
-    # fixed-point ROUND (DuckDB multiplied in float32: a half-boundary
-    # value at sf0.001 rounded -429 vs Spark's -428) — re-fronted
-    "embedding_covariance",
-    # --- new round-9 queries ---
-    # H.264 SPS + AAC ASC stream parameters from stsd extradata
-    "mp4_codec_params",
-    # loud drop accounting for the linkage occupancy cap
-    "linkage_block_audit",
-    # streaming ZIP-shard ingest twin (VERDICT r8 item 6)
-    "stream_zipdataset_ingest",
-    # OGG/Vorbis page walk: CRC, lacing, comments (VERDICT r8 item 7)
-    "ogg_page_scan",
-    # size-budgeted WebDataset reshard plan (VERDICT r8 item 8)
-    "corpus_reshard_plan",
-    # ID3v2 text-frame census (beyond-agenda: MP3 metadata half)
-    "mp3_id3_tags",
-    # EXIF/GPS PII audit over JPEGs (beyond-agenda)
-    "jpeg_exif_gps_audit",
-    # WebVTT/SRT caption extraction (beyond-agenda)
-    "caption_cue_extract",
-    # ftfy-style mojibake repair (beyond-agenda)
-    "mojibake_repair",
-    # RFC 9309 robots.txt allowance audit (beyond-agenda)
-    "robots_crawl_audit",
-    # RFC 3986 URL canonicalization for crawl dedup (beyond-agenda)
-    "url_canonical_dedup",
-    # NFC/NFKC normalization audit (beyond-agenda)
-    "unicode_normalization_audit",
-    # --- r9-continued session ---
-    # rows-only -> hash-checked: the full exact fixed-point Lloyd fit
-    # replayed as chained CTEs feeding the proven IVF probe SQL
-    "similarity_topk_ivf_trained",
-    # Matroska/WebM EBML container walk + VP8 keyframe bitstream parse
-    "mkv_track_scan", "webm_vp8_keyframes",
-    # CCNet-style paragraph/chunk-level exact dedup profile
-    "paragraph_dedup_profile",
-    # sitemaps.org protocol audit (discovery-side twin of robots)
-    "sitemap_url_audit",
-    # H.265/HEVC hvcC + SPS stream parameters (extends the r9 H.264 work)
-    "hevc_codec_params",
-    # embedded Matroska subtitle cue extraction (S_TEXT/UTF8 + BlockDuration)
-    "mkv_subtitle_cues",
-    # TTML added to the caption sidecar pass (fixture/oracle reshaped)
-    # -> caption_cue_extract already re-fronted above (r9 list)
-    # AV1 sequence-header OBU + av1C stream parameters
-    "av1_codec_params",
-    # gzip/zlib/zstd/xz/bzip2 container audit with integrity verify
-    "compression_codec_audit",
-    # sitemap-discovery x robots-allowance compliance composite
-    "crawl_coverage_audit",
-    # V_AV1 CodecPrivate (av1C) stream params in WebM
-    "webm_codec_params",
-    # parquet footer/row-group layout audit
-    "parquet_layout_audit",
-    # JSON-LD (schema.org) entity extraction from HTML
-    "jsonld_entity_extract",
-    # Markdown structure census for code/doc corpus mixing
-    "markdown_structure_audit",
-    # WebP RIFF walk + VP8/VP8L/VP8X header dims
-    "webp_image_audit",
-    # Avro OCF container + binary decode (the engine's only Avro path)
-    "avro_ingest_stats",
-    # TFRecord framing (masked CRC32C) + tf.train.Example decode
-    "tfrecord_example_stats",
-    # HEIF/HEIC meta-box item walk with hvcC-backed HEVC params
-    "heif_item_audit",
-    # streaming TFRecord shard ingest twin (stateless 1->N)
-    "stream_tfrecord_ingest",
-    # GPS PII audit over HEIC Exif items (HEIF x EXIF composite)
-    "heic_exif_gps_audit",
-    # PDF trailer /Info provenance audit
-    "pdf_info_audit",
-    # safetensors + npy/npz tensor-artifact manifests
-    "tensor_manifest_audit",
-    # SVG dims/census + active-content sanitization flags
-    "svg_image_audit",
-    # RSS 2.0 / Atom crawl-discovery feed audit
-    "feed_entry_audit",
-    # email MIME multipart/attachment/PII-surface audit
-    "email_mime_audit",
-    # MessagePack fluentd-framing log-stream audit
-    "msgpack_log_audit",
-    # schema-less protobuf wire census for opaque .pb blobs
-    "protobuf_wire_audit",
-    # Arrow IPC stream record-batch census
+    # --- never driver-judged (late r9-continued additions; UNEDITED) ---
     "arrow_ipc_audit",
-    # iCalendar event audit with real unfolding/escaping
-    "ical_event_audit",
-    # vCard PII census (counts/domains only — drop, don't mine)
-    "vcard_pii_census",
-    # BitTorrent metainfo audit with bencode canonicality enforcement
-    "torrent_metainfo_audit",
-    # JVM-regex secret scanning + license detection (codegen-path)
-    "secret_scan_audit", "license_detect_audit",
-    # GeoJSON feature audit with winding-order validation
-    "geojson_feature_audit",
-    # CBOR manifest audit (RFC 8949, appendix-A-pinned decoder)
     "cbor_manifest_audit",
-    # JWT structure audit with the alg=none verification-bypass flag
+    "geojson_feature_audit",
+    "ical_event_audit",
     "jwt_token_audit",
-    # Prometheus scrape audit with the histogram le-bucket contract
+    "license_detect_audit",
+    "msgpack_log_audit",
     "prom_scrape_audit",
+    "protobuf_wire_audit",
+    "secret_scan_audit",
+    "torrent_metainfo_audit",
+    "vcard_pii_census",
 )
 
 

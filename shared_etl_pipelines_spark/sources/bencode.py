@@ -20,7 +20,12 @@ from __future__ import annotations
 __all__ = ["bdecode", "bencode", "parse_torrent"]
 
 
-def _decode(b: bytes, pos: int):
+def _decode(b: bytes, pos: int, depth: int = 0):
+    # Depth cap matches cbor.py: a 3000-deep "l...e" blob would otherwise
+    # raise RecursionError, which escapes the except-ValueError quarantine
+    # wrapper and kills the task instead of producing a quarantine row.
+    if depth > 64:
+        raise ValueError("bencode: nesting depth > 64 — quarantine")
     if pos >= len(b):
         raise ValueError("bencode: truncated — quarantine")
     c = b[pos : pos + 1]
@@ -44,7 +49,7 @@ def _decode(b: bytes, pos: int):
                 raise ValueError("bencode: unterminated list — quarantine")
             if b[pos : pos + 1] == b"e":
                 return out, pos + 1
-            v, pos = _decode(b, pos)
+            v, pos = _decode(b, pos, depth + 1)
             out.append(v)
     if c == b"d":
         pos += 1
@@ -55,7 +60,7 @@ def _decode(b: bytes, pos: int):
                 raise ValueError("bencode: unterminated dict — quarantine")
             if b[pos : pos + 1] == b"e":
                 return out, pos + 1
-            k, pos = _decode(b, pos)
+            k, pos = _decode(b, pos, depth + 1)
             if not isinstance(k, bytes):
                 raise ValueError("bencode: non-string dict key — quarantine")
             if prev is not None and k <= prev:
@@ -64,7 +69,7 @@ def _decode(b: bytes, pos: int):
                     "infohash-unstable, quarantine"
                 )
             prev = k
-            v, pos = _decode(b, pos)
+            v, pos = _decode(b, pos, depth + 1)
             out[k] = v
     if c.isdigit():
         colon = b.find(b":", pos)

@@ -35,6 +35,41 @@ __all__ = [
 _ZSTD_MAGIC = 0xFD2FB528
 _ZSTD_SKIP_LO = 0x184D2A50  # ..5F
 
+# Decompression-bomb guard (ADVICE r9): a ~1 KiB gzip/bzip2 member can
+# expand to GiBs and OOM the executor, which contradicts the module's
+# refuse-loudly contract. Every full decode below feeds a decompressobj
+# with max_length and refuses past this output budget. 256 MiB is far
+# above any fixture/corpus cell while still bounding one task's memory.
+MAX_OUTPUT_BYTES = 1 << 28
+
+
+def _capped(decomp, data: bytes, cap: int, codec: str) -> bytes:
+    """Drain one stream through ``decomp`` with a hard output budget.
+
+    Handles both decompressor flavors: zlib's (leftover input surfaces
+    in ``unconsumed_tail``) and lzma/bz2's (leftover input is buffered
+    internally; ``needs_input`` False means call again with b"").
+    Truncated input returns what decoded so far — the caller checks
+    ``decomp.eof`` exactly as before.
+    """
+    out = bytearray()
+    while True:
+        out += decomp.decompress(data, cap + 1 - len(out))
+        if len(out) > cap:
+            raise ValueError(
+                f"{codec}: output cap exceeded ({cap} bytes) — quarantine"
+            )
+        if decomp.eof:
+            return bytes(out)
+        tail = getattr(decomp, "unconsumed_tail", b"")
+        if tail:
+            data = tail
+            continue
+        if not getattr(decomp, "needs_input", True):
+            data = b""
+            continue
+        return bytes(out)  # input exhausted mid-stream (truncated)
+
 
 def sniff_codec(blob: bytes) -> str:
     """Magic-byte dispatch. 'unknown' is a visible answer, not a guess."""
@@ -71,7 +106,9 @@ def _cstr(blob: bytes, pos: int) -> tuple[str, int]:
     return blob[pos:end].decode("latin-1"), end + 1
 
 
-def parse_gzip_members(blob: bytes) -> list[dict]:
+def parse_gzip_members(
+    blob: bytes, max_output: int = MAX_OUTPUT_BYTES
+) -> list[dict]:
     """Walk every member of a (possibly multi-member) gzip file,
     decoding each DEFLATE stream and verifying CRC32 + ISIZE against
     the decoded bytes. Reserved FLG bits, bad magic/CM, header-CRC
@@ -109,7 +146,7 @@ def parse_gzip_members(blob: bytes) -> list[dict]:
             p += 2
         d = zlib.decompressobj(-15)
         try:
-            raw = d.decompress(blob[p:])
+            raw = _capped(d, blob[p:], max_output, "gzip")
         except zlib.error as e:
             raise ValueError(f"gzip: deflate error — quarantine ({e})") from e
         if not d.eof:
@@ -178,7 +215,7 @@ def encode_gzip_member(
 # ----------------------------------------------------------------------
 # zlib (RFC 1950)
 # ----------------------------------------------------------------------
-def parse_zlib(blob: bytes) -> dict:
+def parse_zlib(blob: bytes, max_output: int = MAX_OUTPUT_BYTES) -> dict:
     if len(blob) < 2:
         raise ValueError("zlib: truncated header — quarantine")
     cmf, flg = blob[0], blob[1]
@@ -191,10 +228,15 @@ def parse_zlib(blob: bytes) -> dict:
         raise ValueError("zlib: FCHECK failure — quarantine")
     if flg & 0x20:
         raise ValueError("zlib: preset dictionary unsupported — quarantine")
+    d = zlib.decompressobj()
     try:
-        raw = zlib.decompress(blob)  # verifies adler32 internally
+        raw = _capped(d, blob, max_output, "zlib")
     except zlib.error as e:
         raise ValueError(f"zlib: decode error — quarantine ({e})") from e
+    if not d.eof:  # adler32 verified by the obj at stream end
+        raise ValueError("zlib: truncated stream — quarantine")
+    if d.unused_data:
+        raise ValueError("zlib: trailing bytes — quarantine")
     return {
         "window_log": cinfo + 8,
         "level_hint": flg >> 6,
@@ -315,7 +357,7 @@ def encode_zstd_skippable(payload: bytes, nibble: int = 0) -> bytes:
 _XZ_CHECKS = {0x00: "none", 0x01: "crc32", 0x04: "crc64", 0x0A: "sha256"}
 
 
-def parse_xz(blob: bytes) -> dict:
+def parse_xz(blob: bytes, max_output: int = MAX_OUTPUT_BYTES) -> dict:
     import lzma
 
     if len(blob) < 12 or blob[:6] != b"\xfd7zXZ\x00":
@@ -328,10 +370,22 @@ def parse_xz(blob: bytes) -> dict:
     (crc,) = struct.unpack_from("<I", blob, 8)
     if crc != (zlib.crc32(blob[6:8]) & 0xFFFFFFFF):
         raise ValueError("xz: stream-flag CRC mismatch — quarantine")
+    # multi-stream walk (what lzma.decompress does), but through a
+    # decompressobj so the output budget is enforceable
+    raw = bytearray()
+    data = blob
     try:
-        raw = lzma.decompress(blob, format=lzma.FORMAT_XZ)
+        while True:
+            dec = lzma.LZMADecompressor(format=lzma.FORMAT_XZ)
+            raw += _capped(dec, data, max_output - len(raw), "xz")
+            if not dec.eof:
+                raise ValueError("xz: truncated stream — quarantine")
+            data = dec.unused_data.lstrip(b"\x00")  # stream padding
+            if not data:
+                break
     except lzma.LZMAError as e:
         raise ValueError(f"xz: decode error — quarantine ({e})") from e
+    raw = bytes(raw)
     return {
         "check_type": _XZ_CHECKS[check],
         "n_uncompressed": len(raw),
@@ -339,7 +393,7 @@ def parse_xz(blob: bytes) -> dict:
     }
 
 
-def parse_bzip2(blob: bytes) -> dict:
+def parse_bzip2(blob: bytes, max_output: int = MAX_OUTPUT_BYTES) -> dict:
     import bz2
 
     if len(blob) < 4 or blob[:3] != b"BZh" or not blob[3:4].isdigit():
@@ -347,8 +401,18 @@ def parse_bzip2(blob: bytes) -> dict:
     level = int(blob[3:4])
     if not 1 <= level <= 9:
         raise ValueError(f"bzip2: level {level} out of range")
+    raw = bytearray()
+    data = blob
     try:
-        raw = bz2.decompress(blob)
+        while True:
+            dec = bz2.BZ2Decompressor()
+            raw += _capped(dec, data, max_output - len(raw), "bzip2")
+            if not dec.eof:
+                raise ValueError("bzip2: truncated stream — quarantine")
+            data = dec.unused_data
+            if not data:
+                break
     except OSError as e:
         raise ValueError(f"bzip2: decode error — quarantine ({e})") from e
+    raw = bytes(raw)
     return {"level": level, "n_uncompressed": len(raw), "data": raw}

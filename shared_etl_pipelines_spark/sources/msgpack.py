@@ -22,7 +22,12 @@ import struct
 __all__ = ["decode_msgpack", "decode_stream", "encode_msgpack"]
 
 
-def _decode(b: bytes, pos: int):
+def _decode(b: bytes, pos: int, depth: int = 0):
+    # Depth cap matches cbor.py/bencode.py: 3000 nested fixarray headers
+    # (0x91...) would otherwise raise RecursionError, which escapes the
+    # except-ValueError quarantine wrapper and kills the executor task.
+    if depth > 64:
+        raise ValueError("msgpack: nesting depth > 64 — quarantine")
     if pos >= len(b):
         raise ValueError("msgpack: truncated — quarantine")
     t = b[pos]
@@ -32,9 +37,9 @@ def _decode(b: bytes, pos: int):
     if t >= 0xE0:  # negative fixint
         return t - 256, pos
     if 0x80 <= t <= 0x8F:
-        return _map(b, pos, t & 0x0F)
+        return _map(b, pos, t & 0x0F, depth)
     if 0x90 <= t <= 0x9F:
-        return _array(b, pos, t & 0x0F)
+        return _array(b, pos, t & 0x0F, depth)
     if 0xA0 <= t <= 0xBF:
         return _str(b, pos, t & 0x1F)
     if t == 0xC0:
@@ -69,10 +74,10 @@ def _decode(b: bytes, pos: int):
         return _str_n(b, pos, n)
     if t in (0xDC, 0xDD):  # array 16/32
         n, pos = _len(b, pos, (2, 4)[t - 0xDC])
-        return _array(b, pos, n)
+        return _array(b, pos, n, depth)
     if t in (0xDE, 0xDF):  # map 16/32
         n, pos = _len(b, pos, (2, 4)[t - 0xDE])
-        return _map(b, pos, n)
+        return _map(b, pos, n, depth)
     raise ValueError(f"msgpack: unknown type byte {t:#x} — quarantine")
 
 
@@ -99,21 +104,21 @@ def _str_n(b: bytes, pos: int, n: int):
         raise ValueError(f"msgpack: invalid UTF-8 str — quarantine ({e})") from e
 
 
-def _array(b: bytes, pos: int, n: int):
+def _array(b: bytes, pos: int, n: int, depth: int = 0):
     out = []
     for _ in range(n):
-        v, pos = _decode(b, pos)
+        v, pos = _decode(b, pos, depth + 1)
         out.append(v)
     return out, pos
 
 
-def _map(b: bytes, pos: int, n: int):
+def _map(b: bytes, pos: int, n: int, depth: int = 0):
     out = {}
     for _ in range(n):
-        k, pos = _decode(b, pos)
+        k, pos = _decode(b, pos, depth + 1)
         if not isinstance(k, str):
             raise ValueError("msgpack: non-string map key — quarantine")
-        v, pos = _decode(b, pos)
+        v, pos = _decode(b, pos, depth + 1)
         out[k] = v
     return out, pos
 

@@ -69,3 +69,19 @@ def test_torrent_refusals():
     )
     with pytest.raises(ValueError):
         B.parse_torrent(no_len)
+
+
+def test_depth_bomb_quarantines_not_recursionerror():
+    # ADVICE r9: 3000 nested lists must raise ValueError (the quarantine
+    # path), never RecursionError (which escapes except-ValueError
+    # wrappers and kills the executor task).
+    with pytest.raises(ValueError, match="depth"):
+        B.bdecode(b"l" * 3000 + b"e" * 3000)
+    with pytest.raises(ValueError, match="depth"):
+        B.bdecode(b"d1:a" * 3000 + b"i0e" + b"e" * 3000)
+    # 64 levels of nesting still decode fine
+    ok = b"l" * 60 + b"i7e" + b"e" * 60
+    v = B.bdecode(ok)
+    for _ in range(60):
+        v = v[0]
+    assert v == 7

@@ -131,3 +131,22 @@ def test_bzip2_level_and_refusals():
         C.parse_bzip2(b"BZx1234")
     with pytest.raises(ValueError):
         C.parse_bzip2(bz2.compress(DATA)[:10])
+
+
+def test_decompression_bomb_output_cap():
+    # ADVICE r9: a tiny member expanding past the output budget must
+    # refuse with ValueError ("quarantine"), not OOM the executor.
+    bomb = b"\x00" * (1 << 20)
+    cases = [
+        (C.parse_gzip_members, C.encode_gzip_member(bomb)),
+        (C.parse_zlib, zlib.compress(bomb)),
+        (C.parse_xz, lzma.compress(bomb)),
+        (C.parse_bzip2, bz2.compress(bomb)),
+    ]
+    for fn, blob in cases:
+        with pytest.raises(ValueError, match="output cap"):
+            fn(blob, max_output=4096)
+        # and the same blob decodes fine under the default budget
+        out = fn(blob)
+        got = out[0]["data"] if isinstance(out, list) else out["data"]
+        assert got == bomb

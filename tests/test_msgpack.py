@@ -50,3 +50,17 @@ def test_refusals():
         M.encode_msgpack({1: "x"})  # non-string key
     with pytest.raises(ValueError):
         M.encode_msgpack(object())
+
+
+def test_depth_bomb_quarantines_not_recursionerror():
+    # ADVICE r9: 3000 nested fixarray headers must raise ValueError,
+    # never RecursionError.
+    with pytest.raises(ValueError, match="depth"):
+        M.decode_msgpack(b"\x91" * 3000 + b"\xc0")
+    with pytest.raises(ValueError, match="depth"):
+        M.decode_msgpack(b"\x81\xa1a" * 3000 + b"\xc0")
+    ok = b"\x91" * 60 + b"\x07"
+    v = M.decode_msgpack(ok)
+    for _ in range(60):
+        v = v[0]
+    assert v == 7
