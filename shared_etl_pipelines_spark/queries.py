@@ -1023,6 +1023,10 @@ _CARRYOVER_FIRST = (
     "secret_scan_audit",
     "torrent_metainfo_audit",
     "vcard_pii_census",
+    # --- new round-10 queries ---
+    # MJPEG-in-AVI pixel decode via the full baseline JPEG decoder
+    # (VERDICT r9 task #3)
+    "multimodal_mjpeg_frames",
 )
 
 

@@ -666,6 +666,53 @@ def synthetic_avi_assets(
     )
 
 
+def synthetic_mjpeg_avi_assets(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "text"
+) -> DataFrame:
+    """Deterministic MJPEG-only AVI fixtures (VERDICT r9 task #3): the
+    dominant real-world AVI flavor, one baseline JPEG per '00dc' chunk
+    (sources/jpeg.py bridged through sources/avi.py). n%4+2 FLAT frames
+    of RGB (n%6+2) x ((n//6)%5+2); frame f's every pixel byte is
+    (id*37) % 200 + f*7 (max 199 + 4*7 = 227 < 256 — never wraps).
+    Flat frames are one constant <=8x8 block per MCU, so the lossy
+    JPEG path (all-ones quantization tables) is BIT-EXACT and a SQL
+    oracle replays px_sum = w*h*3 * value in closed form. doc_id%3==0
+    additionally strips DHT — the format's notorious default-table
+    convention (decoder falls back to the Annex K tables)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from shared_etl_pipelines_spark.sources import avi
+
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                d = int(doc_id)
+                n = len(str(payload).encode("utf-8"))
+                nf, w, h = n % 4 + 2, n % 6 + 2, (n // 6) % 5 + 2
+                v = np.array(
+                    [(d * 37) % 200 + f * 7 for f in range(nf)],
+                    dtype=np.uint8,
+                )
+                px = np.repeat(v[:, None], w * h * 3, axis=1).reshape(
+                    nf, h, w, 3
+                )
+                ids.append(doc_id)
+                blobs.append(
+                    avi.encode_avi(
+                        px, fps=10, codec="MJPG", omit_dht=(d % 3 == 0)
+                    )
+                )
+            yield pd.DataFrame(
+                {"doc_id": ids, "media_type": "video/avi", "blob": blobs}
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches, "doc_id bigint, media_type string, blob binary"
+    )
+
+
 VIDEO_FRAME_SCHEMA = (
     "doc_id bigint, frame_idx int, is_real_decode boolean, "
     "width int, height int, px_sum bigint"

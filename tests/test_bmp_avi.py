@@ -302,3 +302,44 @@ def test_scene_corpus_mixes_dib_and_mjpeg(spark, sf_dir):
     assert any(v == "DIB" for v in kinds.values())
     for d, k in kinds.items():
         assert k == ("MJPG" if d % 2 else "DIB"), (d, k)
+
+
+def test_mjpeg_frames_sampling_decodes_compressed_pixels(spark, sf_dir):
+    """VERDICT r9 task #3: sample_video_frames over an MJPG-only corpus
+    yields REAL decoded pixels (is_real_decode=true, closed-form px_sum),
+    including the DHT-less doc_id%3==0 payloads."""
+    from shared_etl_pipelines_spark.sources import avi
+    from shared_etl_pipelines_spark.sources.multimodal import (
+        sample_video_frames,
+        synthetic_mjpeg_avi_assets,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .limit(9)
+    )
+    assets = synthetic_mjpeg_avi_assets(docs)
+    # every blob is a real MJPG container; %3==0 ones are DHT-less
+    for r in assets.collect():
+        blob = bytes(r["blob"])
+        _, info = avi.decode_avi(blob)
+        assert info["codec"] == "MJPG"
+        has_dht = b"\xff\xc4" in blob
+        assert has_dht == (int(r["doc_id"]) % 3 != 0), r["doc_id"]
+    out = {
+        (r["doc_id"], r["frame_idx"]): r
+        for r in sample_video_frames(assets, stride=2).collect()
+    }
+    meta = {int(r["doc_id"]): len(str(r["text"]).encode()) for r in docs.collect()}
+    for (d, f), r in out.items():
+        n = meta[int(d)]
+        nf, w, h = n % 4 + 2, n % 6 + 2, (n // 6) % 5 + 2
+        assert r["is_real_decode"] is True
+        assert f % 2 == 0 and f < nf
+        assert (r["width"], r["height"]) == (w, h)
+        assert r["px_sum"] == w * h * 3 * ((int(d) * 37) % 200 + f * 7)
+    # every sampled (doc, frame) pair is present
+    for d, n in meta.items():
+        for f in range(0, n % 4 + 2, 2):
+            assert (d, f) in out
