@@ -1000,8 +1000,8 @@ _JUDGED_GREEN = (
     | _R7_GREEN | _R8_GREEN | _R9_GREEN
 )
 
-# Round 10: every sql=None entry is approx-by-design with an exact twin;
-# no forced slot needed.
+# Round 10: zero sql=None entries remain — the last two approx sketches
+# were converted to oracle-backed error bands (VERDICT r9 task #2).
 _FORCE_FRONT: frozenset[str] = frozenset()
 
 # Round-10 judging window: FIRST the 12 registry queries that have never
@@ -1027,6 +1027,10 @@ _CARRYOVER_FIRST = (
     # MJPEG-in-AVI pixel decode via the full baseline JPEG decoder
     # (VERDICT r9 task #3)
     "multimodal_mjpeg_frames",
+    # rows-only -> oracle-backed error-band conversions (VERDICT r9
+    # task #2): the sketch value stays engine-side; the hash-checked
+    # surface is the error/rank band boolean the oracle pins to TRUE
+    "distinct_users_approx", "zonal_stats_approx",
 )
 
 

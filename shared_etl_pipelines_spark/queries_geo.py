@@ -115,26 +115,59 @@ def q_geo_zonal_polygons(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @defquery(
     "zonal_stats_approx",
-    None,  # approx_percentile sketches are engine-specific — rows-only check
+    """
+    SELECT o_orderpriority AS zone,
+           ROUND(MIN(l_extendedprice), 4) AS price_min,
+           ROUND(AVG(l_extendedprice), 4) AS price_avg,
+           ROUND(MAX(l_extendedprice), 4) AS price_max,
+           COUNT(*) AS n_cells,
+           TRUE AS p5_in_band, TRUE AS q1_in_band, TRUE AS med_in_band,
+           TRUE AS q3_in_band, TRUE AS p95_in_band
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
     doc="G4 zonal statistics, 100 TB path: approx_percentile sketches "
-    "(mergeable, bounded-memory) instead of exact sort-based percentiles",
+    "(mergeable, bounded-memory) instead of exact sort-based "
+    "percentiles. Sketch values are engine-specific, so the "
+    "hash-checked surface is the RANK-ERROR BAND (VERDICT r9 task #2): "
+    "each approx quantile must land between the exact quantiles at "
+    "p +/- 0.01 — 100x looser than the 1/accuracy = 1e-4 guarantee, so "
+    "only a broken sketch flips a band boolean and fails the hash. The "
+    "exact-percentile probes exist only to judge the sketch; the "
+    "cluster-scale plan runs the sketch alone (zonal_aggregate "
+    "approx=True).",
     tags=("G4", "aggregate", "percentile", "approx", "scale-path"),
 )
 def q_zonal_stats_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from shared_etl_pipelines_spark.operators.aggregates import zonal_aggregate
     from shared_etl_pipelines_spark.queries import round_floats
+    from shared_etl_pipelines_spark.sources.tables import spread
 
-    li = load_table(spark, sf_dir, "lineitem")
+    names = ("p5", "q1", "med", "q3", "p95")
+    ps = (0.05, 0.25, 0.50, 0.75, 0.95)
+    # spread: the exact-percentile probes buffer per-group values —
+    # build the buffers on all cores (no-op on real multi-file data)
+    li = spread(load_table(spark, sf_dir, "lineitem"))
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
     cells = li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
-    out = zonal_aggregate(
-        cells.withColumn("zone", F.col("o_orderpriority")),
-        ["zone"],
-        "l_extendedprice",
-        "min,p5,q1,med,avg,q3,p95,max",
-        value_prefix="price",
-        extra_aggs={"n_cells": F.count(F.lit(1))},
-        approx=True,
+    v = F.col("l_extendedprice")
+    # array forms: ONE sketch agg + ONE exact sort shared by all probes
+    probes = [q for p in ps for q in (p - 0.01, p + 0.01)]
+    agg = cells.groupBy(F.col("o_orderpriority").alias("zone")).agg(
+        F.min(v).alias("price_min"),
+        F.avg(v).alias("price_avg"),
+        F.max(v).alias("price_max"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.percentile_approx(v, list(ps), 10000).alias("_apx"),
+        F.percentile(v, F.lit(probes)).alias("_ex"),
+    )
+    bands = [
+        F.col("_apx")[i].cast("double")
+        .between(F.col("_ex")[2 * i], F.col("_ex")[2 * i + 1])
+        .alias(f"{name}_in_band")
+        for i, name in enumerate(names)
+    ]
+    out = agg.select(
+        "zone", "price_min", "price_avg", "price_max", "n_cells", *bands
     )
     return round_floats(out)
 
