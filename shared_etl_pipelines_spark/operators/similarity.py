@@ -638,6 +638,34 @@ def ivf_topk(
     )
 
 
+def _cap_srp_buckets(b: DataFrame, max_bucket_size: int | None) -> DataFrame:
+    """Hot-bucket guard for the SRP candidate self-join (VERDICT r9
+    task #6) — same design as dedup._cap_band_buckets: a degenerate
+    (tbl, bucket) population (one dominant embedding direction — a
+    boilerplate template embedded millions of times) makes the
+    candidate self-join quadratic in that bucket at 100 TB. Drop
+    over-cap buckets BEFORE pair generation: map-side-combined bucket
+    counts, driver-collected hot set (bounded by |rows|/cap), broadcast
+    anti-join; an empty hot set short-circuits to the unguarded plan.
+    Dropped buckets are not probed — the standard LSH trade (a bucket
+    that hot is a template cluster, not a near-dup pair source; route
+    it through duplicate_clusters)."""
+    if not max_bucket_size:
+        return b
+    hot_df = (
+        b.groupBy("tbl", "bucket")
+        .agg(F.count(F.lit(1)).alias("_occ"))
+        .filter(F.col("_occ") > max_bucket_size)
+        .select("tbl", "bucket")
+    )
+    schema = hot_df.schema
+    hot_rows = hot_df.collect()  # bounded: <= |rows| / max_bucket_size
+    if not hot_rows:
+        return b
+    hot = b.sparkSession.createDataFrame(hot_rows, schema)
+    return b.join(F.broadcast(hot), ["tbl", "bucket"], "left_anti")
+
+
 def embedding_near_dup_lsh(
     embeddings: DataFrame,
     id_col: str = "vec_id",
@@ -647,13 +675,17 @@ def embedding_near_dup_lsh(
     dim: int = 64,
     n_tables: int = 4,
     arrow_buckets: bool = False,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs, LSH-bucketed — the scale path twin of the
     exact all-pairs baseline below: candidates = same (table, bucket)
     collisions (equi-join, never a cross product), verified with the
     exact cosine >= tau. Recall < 1 by construction — a pair is missed
     iff it collides in NO table; raise n_tables to trade compute for
-    recall (the all-pairs form is the recall oracle)."""
+    recall (the all-pairs form is the recall oracle). ``max_bucket_size``
+    opts into the hot-bucket occupancy guard (_cap_srp_buckets) for
+    corpora with a degenerate dominant direction; None preserves the
+    exact legacy output."""
     corpus = _prep(embeddings, id_col, vec_col)
     if arrow_buckets:
         bucket_all = srp_buckets_udf(n_planes, dim, n_tables)
@@ -674,7 +706,7 @@ def embedding_near_dup_lsh(
                 )
             ).alias("tbl", "bucket"),
         )
-    keys = b.select(id_col, "tbl", "bucket")
+    keys = _cap_srp_buckets(b.select(id_col, "tbl", "bucket"), max_bucket_size)
     l, r = keys.alias("l"), keys.alias("r")
     cand = (
         l.join(
