@@ -31,6 +31,7 @@ import json
 import os
 import shutil
 import tarfile
+import urllib.error
 import urllib.request
 import zipfile
 from concurrent.futures import ThreadPoolExecutor
@@ -92,6 +93,41 @@ def _fetch(url: str, dest: str, timeout: float) -> None:
     os.replace(tmp, dest)  # atomic publish: partial downloads never visible
 
 
+def _http_conditional_get(
+    url: str, dest: str, timeout: float, prior: dict[str, str] | None
+) -> dict[str, str] | None:
+    """True HTTP conditional GET (the reference's conditional_get in its
+    wire form): send ``If-None-Match`` / ``If-Modified-Since`` from the
+    prior validators; a 304 returns None (dest untouched), a 200 writes
+    atomically and returns the fresh validators from the response
+    headers — one round trip, no separate HEAD."""
+    headers: dict[str, str] = {}
+    if prior:
+        if prior.get("etag"):
+            headers["If-None-Match"] = prior["etag"]
+        if prior.get("last_modified"):
+            headers["If-Modified-Since"] = prior["last_modified"]
+    req = urllib.request.Request(url, headers=headers)
+    try:
+        resp = urllib.request.urlopen(req, timeout=timeout)  # noqa: S310
+    except urllib.error.HTTPError as e:
+        if e.code == 304:
+            return None
+        raise
+    with resp:
+        os.makedirs(os.path.dirname(dest) or ".", exist_ok=True)
+        tmp = dest + ".part"
+        with open(tmp, "wb") as f:
+            shutil.copyfileobj(resp, f)
+        os.replace(tmp, dest)
+        h = resp.headers
+        return {
+            "etag": h.get("ETag", ""),
+            "last_modified": h.get("Last-Modified", ""),
+            "size": h.get("Content-Length", ""),
+        }
+
+
 def web_download_list(
     urls: list[str] | str | None = None,
     urls_file: str | None = None,
@@ -116,10 +152,24 @@ def web_download_list(
 
     def one(url: str) -> None:
         dest = os.path.join(out, os.path.basename(urlparse(url).path))
-        if os.path.exists(dest) and not overwrite:
-            if not conditional_get:
+        exists = os.path.exists(dest)
+        if exists and not overwrite and not conditional_get:
+            skipped.append(dest)
+            return
+        remote = _src_path(url) is None
+        if conditional_get and remote:
+            # wire-form conditional GET: one round trip, 304 = skip.
+            # Validators only accompany the request when the local copy
+            # exists — a deleted dest must refetch unconditionally.
+            prior = manifest.get(url) if (exists and not overwrite) else None
+            vals = _http_conditional_get(url, dest, timeout_seconds, prior)
+            if vals is None:
                 skipped.append(dest)
-                return
+            else:
+                manifest[url] = vals
+                downloaded.append(dest)
+            return
+        if exists and not overwrite:  # local fixture conditional mode
             vals = _validators(url, timeout_seconds)
             if manifest.get(url) == vals:
                 skipped.append(dest)
@@ -312,6 +362,39 @@ def _bbox_intersects(a: list[float], b: list[float]) -> bool:
     return not (a[2] < b[0] or b[2] < a[0] or a[3] < b[1] or b[3] < a[1])
 
 
+def _stac_pages(api_url: str, body: dict[str, Any], timeout: float):
+    """Walk a STAC ItemSearch across pages: POST /search, then follow
+    ``links`` entries with rel=next per the STAC API spec — a next link
+    may switch method, replace the body, or (``merge: true``) merge its
+    body into the previous one. Yields each page's features list."""
+    url = api_url.rstrip("/") + "/search"
+    method = "POST"
+    n_pages = 0
+    while True:
+        data = json.dumps(body).encode() if method == "POST" else None
+        req = urllib.request.Request(
+            url, data=data,
+            headers={"Content-Type": "application/json"} if data else {},
+            method=method,
+        )
+        with urllib.request.urlopen(req, timeout=timeout) as resp:  # noqa: S310
+            page = json.load(resp)
+        yield page.get("features", [])
+        n_pages += 1
+        if n_pages >= 1000:  # defensive: a catalog must not loop us forever
+            raise ValueError("stac: pagination exceeded 1000 pages — refusing")
+        nxt = next(
+            (l for l in page.get("links", []) if l.get("rel") == "next"), None
+        )
+        if not nxt or not nxt.get("href"):
+            return
+        url = nxt["href"]
+        method = (nxt.get("method") or "GET").upper()
+        if method == "POST":
+            nb = nxt.get("body") or {}
+            body = {**body, **nb} if nxt.get("merge") else (nb or body)
+
+
 def stac_asset_download(
     api_url: str,
     collection: str,
@@ -342,7 +425,7 @@ def stac_asset_download(
     if src is not None:
         with open(src) as f:
             doc = json.load(f)
-        features = doc.get("features", doc if isinstance(doc, list) else [])
+        pages = [doc.get("features", doc if isinstance(doc, list) else [])]
     else:
         body = {
             "collections": [collection],
@@ -351,29 +434,30 @@ def stac_asset_download(
             **({"bbox": bbox} if bbox else {}),
             **({"query": query} if query else {}),
         }
-        req = urllib.request.Request(
-            api_url.rstrip("/") + "/search",
-            data=json.dumps(body).encode(),
-            headers={"Content-Type": "application/json"},
-        )
-        with urllib.request.urlopen(req, timeout=timeout_seconds) as resp:  # noqa: S310
-            features = json.load(resp).get("features", [])
+        # rel=next pagination (r10): the single-page fetch undercounted
+        # any search wider than page_size on a live catalog
+        pages = _stac_pages(api_url, body, timeout_seconds)
 
-    for feat in features:
-        props = feat.get("properties", {})
-        if collection and feat.get("collection") not in (None, collection):
-            continue
-        if query and not _match_query(props, query):
-            continue
-        if bbox and feat.get("bbox") and not _bbox_intersects(feat["bbox"], bbox):
-            continue
-        if datetime and props.get("datetime"):
-            lo, _, hi = datetime.partition("/")
-            d = props["datetime"]
-            if (lo and d < lo) or (hi and hi != ".." and d > hi):
+    done = False
+    for features in pages:
+        for feat in features:
+            props = feat.get("properties", {})
+            if collection and feat.get("collection") not in (None, collection):
                 continue
-        items.append(feat)
-        if max_items and len(items) >= max_items:
+            if query and not _match_query(props, query):
+                continue
+            if bbox and feat.get("bbox") and not _bbox_intersects(feat["bbox"], bbox):
+                continue
+            if datetime and props.get("datetime"):
+                lo, _, hi = datetime.partition("/")
+                d = props["datetime"]
+                if (lo and d < lo) or (hi and hi != ".." and d > hi):
+                    continue
+            items.append(feat)
+            if max_items and len(items) >= max_items:
+                done = True
+                break
+        if done:
             break
 
     os.makedirs(out, exist_ok=True)
