@@ -1031,6 +1031,9 @@ _CARRYOVER_FIRST = (
     # task #2): the sketch value stays engine-side; the hash-checked
     # surface is the error/rank band boolean the oracle pins to TRUE
     "distinct_users_approx", "zonal_stats_approx",
+    # Delta Lake transaction-log audits (public delta.io protocol:
+    # JSON commits + single-file checkpoint + _last_checkpoint)
+    "delta_snapshot_audit", "delta_time_travel_audit", "delta_log_history",
 )
 
 

@@ -3775,6 +3775,117 @@ def q_parquet_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Delta Lake transaction-log audits (r10): the PUBLIC delta.io protocol
+# (PROTOCOL.md — JSON commits, add/remove actions, single-file
+# checkpoints + _last_checkpoint). A 100 TB lakehouse table is audited
+# from its LOG alone; sources/deltalog.py reconstructs snapshots the
+# way every Delta reader does (checkpoint + JSON tail, last-action-per-
+# path window — distributed, no driver log walk). The demo log derives
+# every cell from doc_id (bucket=25 commits, d%9==8 churn class), so
+# DuckDB replays the state in closed form.
+# ---------------------------------------------------------------------------
+@defquery(
+    "delta_snapshot_audit",
+    """
+    WITH a AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+    SELECT doc_id, CAST(n AS BIGINT) AS size, CAST(doc_id % 7 AS INT) AS day
+    FROM a WHERE doc_id % 9 <> 8
+    """,
+    doc="Delta-protocol latest-snapshot audit: active file census via "
+    "the checkpoint + JSON-tail replay (_last_checkpoint at mid-log, "
+    "removes applied from the tail); oracle = the churn-surviving doc "
+    "census in closed form",
+    tags=("llm", "lakehouse", "source", "catalog"),
+)
+def q_delta_snapshot_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.deltalog import (
+        ensure_demo_delta_table,
+        snapshot_files,
+    )
+
+    root = ensure_demo_delta_table(sf_dir)
+    snap = snapshot_files(spark, root)
+    return snap.select(
+        F.regexp_extract("path", r"part-(\d+)\.parquet", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "size",
+        F.col("partitionValues")["day"].cast("int").alias("day"),
+    )
+
+
+@defquery(
+    "delta_time_travel_audit",
+    """
+    WITH a AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+    SELECT doc_id, CAST(n AS BIGINT) AS size,
+           CAST(doc_id // 25 + 1 AS BIGINT) AS add_version
+    FROM a
+    WHERE doc_id // 25 + 1 <= 7
+      AND NOT (doc_id % 9 = 8 AND doc_id // 25 + 3 <= 7)
+    """,
+    doc="Delta-protocol time travel to version 7 — BEHIND the "
+    "checkpoint, so the reader proves the full-replay fallback; "
+    "add_version survives exactly because no checkpoint flattened it",
+    tags=("llm", "lakehouse", "source", "catalog", "time-travel"),
+)
+def q_delta_time_travel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.deltalog import (
+        ensure_demo_delta_table,
+        snapshot_files,
+    )
+
+    root = ensure_demo_delta_table(sf_dir)
+    snap = snapshot_files(spark, root, version=7)
+    return snap.select(
+        F.regexp_extract("path", r"part-(\d+)\.parquet", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "size",
+        "add_version",
+    )
+
+
+@defquery(
+    "delta_log_history",
+    """
+    WITH a AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    ad AS (
+      SELECT doc_id // 25 + 1 AS v, COUNT(*) AS n_adds,
+             SUM(n) AS bytes_added
+      FROM a GROUP BY 1
+    ),
+    rm AS (
+      SELECT doc_id // 25 + 3 AS v, COUNT(*) AS n_removes
+      FROM a WHERE doc_id % 9 = 8 GROUP BY 1
+    )
+    SELECT CAST(COALESCE(ad.v, rm.v) AS BIGINT) AS version,
+           CAST(COALESCE(n_adds, 0) AS BIGINT) AS n_adds,
+           CAST(COALESCE(n_removes, 0) AS BIGINT) AS n_removes,
+           CAST(COALESCE(bytes_added, 0) AS BIGINT) AS bytes_added
+    FROM ad FULL OUTER JOIN rm ON ad.v = rm.v
+    """,
+    doc="Delta-protocol per-commit churn history (adds / removes / "
+    "bytes) straight off the JSON commits — the write-amplification "
+    "audit a compaction scheduler reads",
+    tags=("llm", "lakehouse", "source", "catalog"),
+)
+def q_delta_log_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.deltalog import (
+        ensure_demo_delta_table,
+        log_history,
+    )
+
+    root = ensure_demo_delta_table(sf_dir)
+    return log_history(spark, root).select(
+        F.col("version"),
+        F.col("n_adds").cast("long"),
+        F.col("n_removes").cast("long"),
+        F.col("bytes_added").cast("long"),
+    )
+
+
 @defquery(
     "compression_codec_audit",
     """

@@ -1,0 +1,372 @@
+"""Delta Lake transaction-log reader (the PUBLIC delta.io protocol).
+
+A lakehouse corpus at 100 TB is usually a Delta/Iceberg table, and the
+cheapest possible audit — which files are live, how much churn, what a
+version looked like — needs only the LOG, never the data. This module
+reads the open Delta protocol (PROTOCOL.md at github.com/delta-io/delta):
+
+- ``_delta_log/{version:020d}.json``: newline-delimited JSON actions
+  (``protocol`` / ``metaData`` / ``add`` / ``remove`` / ``commitInfo``);
+- ``_delta_log/_last_checkpoint`` + ``{version:020d}.checkpoint.parquet``:
+  the compacted state snapshot long tables replay from.
+
+``snapshot_files`` reconstructs the active file set at a version the
+way every Delta reader does: start from the newest checkpoint at or
+below the target (O(1) JSON tail instead of O(versions) replay — the
+property that matters when a table has a million commits), apply the
+JSON commits after it, and resolve each path to its LAST action
+(add = live, remove = dead). The resolution is a plain Spark
+window-over-path — distributed, no driver-side log walk; only the
+``_last_checkpoint`` pointer (a one-line JSON) is read on the driver.
+
+The writer exists for fixture control: it emits spec-shaped commits
+and checkpoints so the reader is exercised against real protocol
+bytes. It is NOT a Delta writer (no data files, no atomic rename
+protocol) — the engine's own warehouse formats live in warehouse.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+__all__ = ["write_commit", "write_checkpoint", "snapshot_files", "log_history"]
+
+_ADD_SCHEMA = (
+    "struct<path:string,size:bigint,modificationTime:bigint,"
+    "dataChange:boolean,partitionValues:map<string,string>>"
+)
+_REMOVE_SCHEMA = (
+    "struct<path:string,deletionTimestamp:bigint,dataChange:boolean>"
+)
+
+
+def _log_dir(table_path: str) -> str:
+    return os.path.join(table_path, "_delta_log")
+
+
+def write_commit(table_path: str, version: int, actions: list[dict]) -> str:
+    """One spec-shaped commit file: newline-delimited JSON actions."""
+    d = _log_dir(table_path)
+    os.makedirs(d, exist_ok=True)
+    p = os.path.join(d, f"{version:020d}.json")
+    tmp = p + ".tmp"
+    with open(tmp, "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a, sort_keys=True) + "\n")
+    os.replace(tmp, p)  # the protocol's put-if-absent, fixture-grade
+    return p
+
+
+def write_checkpoint(
+    spark: SparkSession, table_path: str, version: int
+) -> str:
+    """Compact the state at ``version`` into
+    ``{version:020d}.checkpoint.parquet`` + ``_last_checkpoint`` —
+    the spec's single-file checkpoint form (one row per live action,
+    columns ``add`` / ``remove`` as structs; tombstones carried so
+    late readers of older versions still see them)."""
+    d = _log_dir(table_path)
+    state = _replay(spark, table_path, version, use_checkpoint=False)
+    live = state.filter(F.col("kind") == "add").select(
+        F.struct(
+            F.col("path"),
+            F.col("size"),
+            F.col("modificationTime"),
+            F.lit(True).alias("dataChange"),
+            F.col("partitionValues"),
+        ).alias("add"),
+        F.lit(None).cast(_REMOVE_SCHEMA).alias("remove"),
+    )
+    dead = state.filter(F.col("kind") == "remove").select(
+        F.lit(None).cast(_ADD_SCHEMA).alias("add"),
+        F.struct(
+            F.col("path"),
+            F.col("modificationTime").alias("deletionTimestamp"),
+            F.lit(True).alias("dataChange"),
+        ).alias("remove"),
+    )
+    cp = os.path.join(d, f"{version:020d}.checkpoint.parquet")
+    live.unionByName(dead).coalesce(1).write.mode("overwrite").parquet(cp)
+    tmp = os.path.join(d, "_last_checkpoint.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"version": version, "size": live.count() + dead.count()}, fh)
+    os.replace(tmp, os.path.join(d, "_last_checkpoint"))
+    return cp
+
+
+def _last_checkpoint_version(table_path: str, at_version: int | None) -> int | None:
+    lc = os.path.join(_log_dir(table_path), "_last_checkpoint")
+    if not os.path.exists(lc):
+        return None
+    with open(lc) as fh:
+        v = int(json.load(fh)["version"])
+    if at_version is not None and v > at_version:
+        # time travel behind the checkpoint: fall back to full replay
+        # (a production reader would walk older retained checkpoints)
+        return None
+    return v
+
+
+def _commit_actions(
+    spark: SparkSession, table_path: str, lo: int, at_version: int | None
+) -> DataFrame:
+    """Parse add/remove actions out of the JSON commits with version >
+    ``lo`` (and <= at_version if set). JSON decode + filtering is
+    JVM-side (from_json over spark.read.text) — the log parse itself
+    distributes."""
+    d = _log_dir(table_path)
+    raw = (
+        spark.read.text(os.path.join(d, "*.json"))
+        .withColumn("_file", F.input_file_name())
+        .withColumn(
+            "version",
+            F.regexp_extract(F.col("_file"), r"(\d{20})\.json", 1).cast("long"),
+        )
+        .filter(F.col("version") > lo)
+    )
+    if at_version is not None:
+        raw = raw.filter(F.col("version") <= at_version)
+    add = F.from_json(F.col("value"), f"struct<add:{_ADD_SCHEMA}>")["add"]
+    rem = F.from_json(F.col("value"), f"struct<remove:{_REMOVE_SCHEMA}>")["remove"]
+    return (
+        raw.select("version", add.alias("a"), rem.alias("r"))
+        .filter(F.col("a").isNotNull() | F.col("r").isNotNull())
+        .select(
+            "version",
+            F.when(F.col("a").isNotNull(), F.lit("add"))
+            .otherwise(F.lit("remove"))
+            .alias("kind"),
+            F.coalesce(F.col("a.path"), F.col("r.path")).alias("path"),
+            F.col("a.size").alias("size"),
+            F.coalesce(
+                F.col("a.modificationTime"), F.col("r.deletionTimestamp")
+            ).alias("modificationTime"),
+            F.col("a.partitionValues").alias("partitionValues"),
+        )
+    )
+
+
+def _replay(
+    spark: SparkSession,
+    table_path: str,
+    at_version: int | None,
+    use_checkpoint: bool = True,
+) -> DataFrame:
+    """Last-action-per-path state: columns
+    (path, kind, version, size, modificationTime, partitionValues)."""
+    base = None
+    lo = -1
+    if use_checkpoint:
+        cpv = _last_checkpoint_version(table_path, at_version)
+        if cpv is not None:
+            cp = os.path.join(
+                _log_dir(table_path), f"{cpv:020d}.checkpoint.parquet"
+            )
+            cdf = spark.read.parquet(cp)
+            base = cdf.select(
+                F.lit(cpv).alias("version"),
+                F.when(F.col("add").isNotNull(), F.lit("add"))
+                .otherwise(F.lit("remove"))
+                .alias("kind"),
+                F.coalesce(F.col("add.path"), F.col("remove.path")).alias("path"),
+                F.col("add.size").alias("size"),
+                F.coalesce(
+                    F.col("add.modificationTime"),
+                    F.col("remove.deletionTimestamp"),
+                ).alias("modificationTime"),
+                F.col("add.partitionValues").alias("partitionValues"),
+            )
+            lo = cpv
+    tail = _commit_actions(spark, table_path, lo, at_version)
+    acts = tail if base is None else base.unionByName(tail)
+    # last writer wins per path; within one commit remove beats add
+    # (the spec forbids both for one path in one commit, but the
+    # deterministic tie-break keeps a malformed log from flapping)
+    w = Window.partitionBy("path").orderBy(
+        F.col("version").desc(),
+        F.when(F.col("kind") == "remove", 0).otherwise(1),
+    )
+    return (
+        acts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def snapshot_files(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DataFrame:
+    """Active data files at ``version`` (None = latest):
+    (path, size, modificationTime, partitionValues, add_version)."""
+    state = _replay(spark, table_path, version)
+    return state.filter(F.col("kind") == "add").select(
+        "path",
+        "size",
+        "modificationTime",
+        "partitionValues",
+        F.col("version").alias("add_version"),
+    )
+
+
+def ensure_demo_delta_table(sf_dir: str, bucket: int = 25) -> str:
+    """Write (idempotently) a spec-shaped demo log derived from
+    ``documents``: commit 0 carries protocol+metaData; commit k+1 adds
+    ``part-{doc_id:09d}.parquet`` (size = octet length of the text,
+    partitionValues day = doc_id%7, modificationTime pinned) for docs
+    with doc_id//bucket == k; docs with doc_id % 9 == 8 (the churn
+    class) are REMOVED again in commit doc_id//bucket + 3. A
+    single-file checkpoint (pyarrow-written, spec columns add/remove)
+    lands at version n_buckets//2 + 1 with ``_last_checkpoint``
+    pointing at it, so readers exercise the checkpoint-then-tail path.
+    Every cell is reconstructable from doc_id alone — the oracle
+    contract."""
+    import hashlib
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    docs = sorted(
+        zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())
+    )
+    digest = hashlib.md5(
+        repr((len(docs), docs[:2], bucket)).encode()
+    ).hexdigest()[:12]
+    root = os.path.join(
+        tempfile.gettempdir(), "spark_graft_delta_demo_v1", f"t-{digest}"
+    )
+    done = root + ".done"
+    if os.path.exists(done):
+        return root
+
+    t0 = 1_700_000_000_000
+    adds: dict[int, list[dict]] = {}
+    removes: dict[int, list[dict]] = {}
+    for doc_id, text in docs:
+        d = int(doc_id)
+        n = len(str(text).encode("utf-8"))
+        v = d // bucket + 1
+        adds.setdefault(v, []).append(
+            {
+                "add": {
+                    "path": f"part-{d:09d}.parquet",
+                    "size": n,
+                    "modificationTime": t0 + d,
+                    "dataChange": True,
+                    "partitionValues": {"day": str(d % 7)},
+                }
+            }
+        )
+        if d % 9 == 8:
+            removes.setdefault(v + 2, []).append(
+                {
+                    "remove": {
+                        "path": f"part-{d:09d}.parquet",
+                        "deletionTimestamp": t0 + d + 1000,
+                        "dataChange": True,
+                    }
+                }
+            )
+    n_buckets = (len(docs) + bucket - 1) // bucket
+    last_version = n_buckets + 2
+    write_commit(
+        root,
+        0,
+        [
+            {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+            {
+                "metaData": {
+                    "id": digest,
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps(
+                        {"type": "struct", "fields": []}
+                    ),
+                    "partitionColumns": ["day"],
+                }
+            },
+        ],
+    )
+    for v in range(1, last_version + 1):
+        acts = [{"commitInfo": {"operation": "WRITE", "version": v}}]
+        acts += adds.get(v, []) + removes.get(v, [])
+        write_commit(root, v, acts)
+
+    # single-file checkpoint at mid-log (pyarrow: no Spark dependency)
+    cpv = n_buckets // 2 + 1
+    add_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("size", pa.int64()),
+            ("modificationTime", pa.int64()),
+            ("dataChange", pa.bool_()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+        ]
+    )
+    rem_t = pa.struct(
+        [
+            ("path", pa.string()),
+            ("deletionTimestamp", pa.int64()),
+            ("dataChange", pa.bool_()),
+        ]
+    )
+    add_rows, rem_rows = [], []
+    for doc_id, text in docs:
+        d = int(doc_id)
+        n = len(str(text).encode("utf-8"))
+        if d // bucket + 1 > cpv:
+            continue  # not yet added at the checkpoint version
+        if d % 9 == 8 and d // bucket + 3 <= cpv:
+            add_rows.append(None)
+            rem_rows.append(
+                {
+                    "path": f"part-{d:09d}.parquet",
+                    "deletionTimestamp": t0 + d + 1000,
+                    "dataChange": True,
+                }
+            )
+        else:
+            add_rows.append(
+                {
+                    "path": f"part-{d:09d}.parquet",
+                    "size": n,
+                    "modificationTime": t0 + d,
+                    "dataChange": True,
+                    "partitionValues": [(("day"), str(d % 7))],
+                }
+            )
+            rem_rows.append(None)
+    cp = pa.table(
+        {
+            "add": pa.array(add_rows, type=add_t),
+            "remove": pa.array(rem_rows, type=rem_t),
+        }
+    )
+    cp_path = os.path.join(_log_dir(root), f"{cpv:020d}.checkpoint.parquet")
+    pq.write_table(cp, cp_path)
+    with open(os.path.join(_log_dir(root), "_last_checkpoint"), "w") as fh:
+        json.dump({"version": cpv, "size": len(add_rows)}, fh)
+
+    with open(done, "w") as fh:
+        fh.write("ok\n")
+    return root
+
+
+def log_history(spark: SparkSession, table_path: str) -> DataFrame:
+    """Per-commit churn: (version, n_adds, n_removes, bytes_added)."""
+    acts = _commit_actions(spark, table_path, -1, None)
+    return acts.groupBy("version").agg(
+        F.sum(F.when(F.col("kind") == "add", 1).otherwise(0)).alias("n_adds"),
+        F.sum(F.when(F.col("kind") == "remove", 1).otherwise(0)).alias(
+            "n_removes"
+        ),
+        F.sum(
+            F.when(F.col("kind") == "add", F.col("size")).otherwise(0)
+        ).alias("bytes_added"),
+    )

@@ -17,8 +17,10 @@ def test_list_queries_enumerates_registry():
         assert cli.main(["list-queries"]) == 0
     lines = [l for l in buf.getvalue().splitlines() if l.strip()]
     assert len(lines) == len(REGISTRY)
-    assert any("[rows-only]" in l for l in lines)
-    assert any("[oracle]" in l for l in lines)
+    # r10 invariant: the last rows-only sketches gained oracle-backed
+    # error bands — every registry entry is oracle-checked
+    assert not any("[rows-only]" in l for l in lines)
+    assert all("[oracle]" in l for l in lines)
 
 
 def test_kv_parsing_and_env_errors():
