@@ -1034,6 +1034,9 @@ _CARRYOVER_FIRST = (
     # Delta Lake transaction-log audits (public delta.io protocol:
     # JSON commits + single-file checkpoint + _last_checkpoint)
     "delta_snapshot_audit", "delta_time_travel_audit", "delta_log_history",
+    # ORC tail audit (public orc.apache.org spec via the repo's own
+    # protobuf wire walk; NONE + ZLIB chunk-framed footers)
+    "orc_layout_audit",
 )
 
 

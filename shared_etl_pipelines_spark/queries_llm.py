@@ -3886,6 +3886,95 @@ def q_delta_log_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# ORC file-layout audit (r10): the PUBLIC orc.apache.org spec —
+# PostScript/Footer protobuf tail via the repo's own wire walk
+# (sources/orc.py over tfrecord.py varint primitives), NONE + ZLIB
+# chunk-framed footers, stripe/row/schema/IntegerStatistics lift,
+# structural refusals quarantined loudly. The parquet_layout_audit
+# sibling for the other lakehouse column format.
+# ---------------------------------------------------------------------------
+@defquery(
+    "orc_layout_audit",
+    """
+    WITH a AS (SELECT doc_id AS d, octet_length(encode(text)) AS n FROM documents)
+    SELECT d AS doc_id,
+           CASE WHEN d % 9 = 8 THEN FALSE ELSE TRUE END AS ok,
+           CASE WHEN d % 9 = 8 THEN 'corrupt'
+                WHEN d % 2 = 1 THEN 'ZLIB' ELSE 'NONE' END AS compression,
+           CAST(CASE WHEN d % 9 = 8 THEN 0 ELSE d % 3 + 1 END AS INT) AS n_stripes,
+           CAST(CASE WHEN d % 9 = 8 THEN 0 ELSE n END AS BIGINT) AS n_rows,
+           CAST(CASE WHEN d % 9 = 8 THEN 0
+                     WHEN d % 5 = 0 THEN 3 ELSE 2 END AS INT) AS n_cols,
+           CAST(CASE WHEN d % 9 = 8 THEN 0 ELSE d * 1000 END AS BIGINT) AS id_min,
+           CAST(CASE WHEN d % 9 = 8 THEN 0 ELSE d * 1000 + n - 1 END AS BIGINT)
+             AS id_max
+    FROM a
+    """,
+    doc="ORC tail audit: PostScript + (NONE/ZLIB chunk-framed) Footer "
+    "protobuf walk to stripes/rows/schema/int-stats; d%9==8 blobs get "
+    "a flipped header magic and must surface as quarantine rows, "
+    "d%5==0 files carry the schema-drift extra column",
+    tags=("llm", "lakehouse", "source", "codec"),
+)
+def q_orc_layout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def evaluate(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shared_etl_pipelines_spark.sources import orc as O
+
+        cols = (
+            "doc_id", "ok", "compression", "n_stripes", "n_rows",
+            "n_cols", "id_min", "id_max",
+        )
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                n = len(str(text).encode("utf-8"))
+                k = d % 3 + 1
+                stripe_rows = [n // k] * (k - 1) + [n - (n // k) * (k - 1)]
+                columns = [("id", "long"), ("text", "string")]
+                if d % 5 == 0:
+                    columns.append(("score", "double"))
+                blob = O.encode_orc(
+                    columns,
+                    stripe_rows,
+                    id_min=d * 1000,
+                    compression="ZLIB" if d % 2 else "NONE",
+                )
+                if d % 9 == 8:
+                    blob = b"XXX" + blob[3:]  # planted corrupt magic
+                rows["doc_id"].append(d)
+                try:
+                    o = O.parse_orc_layout(blob)
+                    rows["ok"].append(True)
+                    rows["compression"].append(o["compression"])
+                    rows["n_stripes"].append(o["n_stripes"])
+                    rows["n_rows"].append(o["n_rows"])
+                    rows["n_cols"].append(len(o["column_kinds"]) - 1)
+                    rows["id_min"].append(o["stats"][1]["int_min"])
+                    rows["id_max"].append(o["stats"][1]["int_max"])
+                except ValueError:
+                    rows["ok"].append(False)
+                    rows["compression"].append("corrupt")
+                    rows["n_stripes"].append(0)
+                    rows["n_rows"].append(0)
+                    rows["n_cols"].append(0)
+                    rows["id_min"].append(0)
+                    rows["id_max"].append(0)
+            yield pd.DataFrame(rows)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        evaluate,
+        "doc_id long, ok boolean, compression string, n_stripes int, "
+        "n_rows long, n_cols int, id_min long, id_max long",
+    )
+
+
 @defquery(
     "compression_codec_audit",
     """
