@@ -1037,6 +1037,10 @@ _CARRYOVER_FIRST = (
     # ORC tail audit (public orc.apache.org spec via the repo's own
     # protobuf wire walk; NONE + ZLIB chunk-framed footers)
     "orc_layout_audit",
+    # Apache Iceberg snapshot audits (public spec: metadata JSON ->
+    # Avro manifest list -> executor-side Avro manifest decode)
+    "iceberg_snapshot_audit", "iceberg_time_travel_audit",
+    "iceberg_manifest_churn",
 )
 
 

@@ -3887,6 +3887,110 @@ def q_delta_log_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Apache Iceberg snapshot audits (r10): the PUBLIC iceberg.apache.org
+# spec — metadata JSON -> manifest list (Avro, driver-side O(#manifests))
+# -> manifests (Avro, EXECUTOR-side mapInPandas decode — the O(#files)
+# payload never rides the driver). sources/iceberg.py; Avro decode is
+# the repo's own sources/avro.py. Demo table mirrors the Delta demo's
+# closed forms (bucket=25, d%9==8 churn flips to DELETED at snapshot
+# 200), so DuckDB replays every cell.
+# ---------------------------------------------------------------------------
+@defquery(
+    "iceberg_snapshot_audit",
+    """
+    WITH a AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+    SELECT doc_id, 'PARQUET' AS file_format,
+           CAST(n AS BIGINT) AS record_count,
+           CAST(n * 8 AS BIGINT) AS file_size_in_bytes,
+           CAST(doc_id % 7 AS INT) AS day
+    FROM a WHERE doc_id % 9 <> 8
+    """,
+    doc="Iceberg current-snapshot live-file census: manifest-list walk "
+    "+ executor-side manifest decode, DELETED tombstones dropped",
+    tags=("llm", "lakehouse", "source", "catalog"),
+)
+def q_iceberg_snapshot_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.iceberg import (
+        ensure_demo_iceberg_table,
+        snapshot_files,
+    )
+
+    root = ensure_demo_iceberg_table(sf_dir)
+    snap = snapshot_files(spark, root)
+    return snap.select(
+        F.regexp_extract("file_path", r"part-(\d+)\.parquet", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "file_format",
+        "record_count",
+        "file_size_in_bytes",
+        F.get_json_object("partition_json", "$.day").cast("int").alias("day"),
+    )
+
+
+@defquery(
+    "iceberg_time_travel_audit",
+    """
+    WITH a AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+    SELECT doc_id, CAST(n AS BIGINT) AS record_count
+    FROM a
+    """,
+    doc="Iceberg time travel to the pre-churn snapshot (id 100): every "
+    "file still live — the DELETED entries belong to snapshot 200 only",
+    tags=("llm", "lakehouse", "source", "catalog", "time-travel"),
+)
+def q_iceberg_time_travel_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.iceberg import (
+        ensure_demo_iceberg_table,
+        snapshot_files,
+    )
+
+    root = ensure_demo_iceberg_table(sf_dir)
+    snap = snapshot_files(spark, root, snapshot_id=100)
+    return snap.select(
+        F.regexp_extract("file_path", r"part-(\d+)\.parquet", 1)
+        .cast("long")
+        .alias("doc_id"),
+        "record_count",
+    )
+
+
+@defquery(
+    "iceberg_manifest_churn",
+    """
+    WITH a AS (SELECT doc_id AS d, octet_length(encode(text)) AS n FROM documents)
+    SELECT CAST(d // 25 AS BIGINT) AS bucket,
+           CAST(COUNT(CASE WHEN d % 9 <> 8 THEN 1 END) AS INT) AS n_added,
+           CAST(COUNT(CASE WHEN d % 9 = 8 THEN 1 END) AS INT) AS n_deleted,
+           CAST(SUM(CASE WHEN d % 9 <> 8 THEN n ELSE 0 END) AS BIGINT)
+             AS rows_added,
+           CAST(COALESCE(SUM(CASE WHEN d % 9 = 8 THEN n END), 0) AS BIGINT)
+             AS rows_deleted
+    FROM a GROUP BY 1
+    """,
+    doc="Iceberg per-manifest churn accounting straight off the "
+    "manifest list (no manifest opens) — the compaction planner's view",
+    tags=("llm", "lakehouse", "source", "catalog"),
+)
+def q_iceberg_manifest_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.iceberg import (
+        ensure_demo_iceberg_table,
+        manifest_churn,
+    )
+
+    root = ensure_demo_iceberg_table(sf_dir)
+    return manifest_churn(spark, root).select(
+        F.regexp_extract("manifest_path", r"m-200-(\d+)\.avro", 1)
+        .cast("long")
+        .alias("bucket"),
+        "n_added",
+        "n_deleted",
+        "rows_added",
+        "rows_deleted",
+    )
+
+
+# ---------------------------------------------------------------------------
 # ORC file-layout audit (r10): the PUBLIC orc.apache.org spec —
 # PostScript/Footer protobuf tail via the repo's own wire walk
 # (sources/orc.py over tfrecord.py varint primitives), NONE + ZLIB
