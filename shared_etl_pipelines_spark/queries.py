@@ -1041,6 +1041,8 @@ _CARRYOVER_FIRST = (
     # Avro manifest list -> executor-side Avro manifest decode)
     "iceberg_snapshot_audit", "iceberg_time_travel_audit",
     "iceberg_manifest_churn",
+    # streaming CDC tail of the Delta commit log (stateless 1->N twin)
+    "stream_delta_log_cdc",
 )
 
 

@@ -1046,3 +1046,81 @@ def q_stream_tfrecord_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "score double",
     )
     return _run(out, "append")
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC off the Delta transaction log (r10): the commit files
+# ARE a change stream — new ``_delta_log/*.json`` files arriving in the
+# drop directory explode to add/remove action events via the text file
+# source + JVM-side from_json (stateless 1->N, the shard-ingest twin
+# pattern). This is how a downstream index/compaction service tails a
+# lakehouse table without a vendor connector; exactly-once per commit
+# file by the file source's filename tracking. Oracle reconstructs the
+# full action census from the demo log's closed forms
+# (sources/deltalog.py ensure_demo_delta_table).
+# ---------------------------------------------------------------------------
+@defquery(
+    "stream_delta_log_cdc",
+    """
+    WITH a AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+    SELECT doc_id, 'add' AS kind,
+           CAST(doc_id // 25 + 1 AS BIGINT) AS version,
+           CAST(n AS BIGINT) AS size
+    FROM a
+    UNION ALL
+    SELECT doc_id, 'remove', CAST(doc_id // 25 + 3 AS BIGINT),
+           CAST(NULL AS BIGINT)
+    FROM a WHERE doc_id % 9 = 8
+    """,
+    doc="streaming Delta-log CDC tail: commit JSONs arriving in "
+    "_delta_log stream through the text source + from_json into "
+    "add/remove action events — stateless 1->N, exactly-once per "
+    "commit file; oracle replays the demo log's closed-form churn",
+    tags=("streaming", "llm", "lakehouse", "source"),
+)
+def q_stream_delta_log_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.sources.deltalog import (
+        ensure_demo_delta_table,
+    )
+
+    root = ensure_demo_delta_table(sf_dir)
+    raw = (
+        spark.readStream.format("text")
+        .schema("value string")
+        .option("pathGlobFilter", "*.json")
+        .load(os.path.join(root, "_delta_log"))
+    )
+    add_schema = (
+        "struct<add:struct<path:string,size:bigint,modificationTime:bigint>>"
+    )
+    rem_schema = "struct<remove:struct<path:string,deletionTimestamp:bigint>>"
+    # version comes from the commit FILE name (input_file_name), the
+    # same derivation the batch reader uses
+    acts = (
+        raw.withColumn("_file", F.input_file_name())
+        .select(
+            F.from_json(F.col("value"), add_schema)["add"].alias("a"),
+            F.from_json(F.col("value"), rem_schema)["remove"].alias("r"),
+            F.regexp_extract(F.col("_file"), r"(\d{20})\.json", 1)
+            .cast("long")
+            .alias("version"),
+        )
+        .filter(F.col("a").isNotNull() | F.col("r").isNotNull())
+        .select(
+            F.regexp_extract(
+                F.coalesce(F.col("a.path"), F.col("r.path")),
+                r"part-(\d+)\.parquet",
+                1,
+            )
+            .cast("long")
+            .alias("doc_id"),
+            F.when(F.col("a").isNotNull(), F.lit("add"))
+            .otherwise(F.lit("remove"))
+            .alias("kind"),
+            "version",
+            F.col("a.size").alias("size"),
+        )
+    )
+    return _run(acts, "append")
