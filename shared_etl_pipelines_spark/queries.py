@@ -1043,6 +1043,9 @@ _CARRYOVER_FIRST = (
     "iceberg_manifest_churn",
     # streaming CDC tail of the Delta commit log (stateless 1->N twin)
     "stream_delta_log_cdc",
+    # Apache Hudi timeline (public spec: .hoodie instants, COW latest
+    # slice per file group, completed-state filtering)
+    "hudi_snapshot_slices", "hudi_timeline_audit",
 )
 
 

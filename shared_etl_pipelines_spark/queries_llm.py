@@ -3991,6 +3991,84 @@ def q_iceberg_manifest_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Apache Hudi timeline audits (r10): the third open lakehouse format
+# (hudi.apache.org spec) — ``.hoodie`` instant files, completed-state
+# filtering (requested/inflight markers skipped), commit JSON bodies
+# read DISTRIBUTED via spark.read.json with an explicit schema, and
+# copy-on-write snapshot = latest completed slice per fileId (window).
+# sources/hudi.py; demo timeline mirrors the Delta/Iceberg closed
+# forms (d%9==8 docs get a replacing update slice; planted clean /
+# requested / inflight instants prove the filters).
+# ---------------------------------------------------------------------------
+@defquery(
+    "hudi_snapshot_slices",
+    """
+    WITH a AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS num_writes,
+           CAST(CASE WHEN doc_id % 9 = 8 THEN n * 9 ELSE n * 8 END AS BIGINT)
+             AS total_write_bytes,
+           CAST(CASE WHEN doc_id % 9 = 8 THEN 2 ELSE 1 END AS BIGINT)
+             AS n_slices,
+           'day=' || CAST(doc_id % 7 AS VARCHAR) AS part
+    FROM a
+    """,
+    doc="Hudi copy-on-write snapshot: latest completed write slice per "
+    "file group across the timeline (churn docs carry a replacing "
+    "update slice — bytes n*9 vs the base n*8 — and 2 slices total); "
+    "in-flight and clean instants must not contribute",
+    tags=("llm", "lakehouse", "source", "catalog"),
+)
+def q_hudi_snapshot_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.hudi import (
+        ensure_demo_hudi_table,
+        snapshot_file_slices,
+    )
+
+    root = ensure_demo_hudi_table(sf_dir)
+    s = snapshot_file_slices(spark, root)
+    return s.select(
+        F.regexp_extract("file_id", r"f-(\d+)", 1).cast("long").alias("doc_id"),
+        "num_writes",
+        "total_write_bytes",
+        F.col("n_slices").cast("long"),
+        F.col("partition").alias("part"),
+    )
+
+
+@defquery(
+    "hudi_timeline_audit",
+    """
+    WITH nb AS (
+      SELECT CAST(CEIL(COUNT(*) / 25.0) AS BIGINT) AS k FROM documents
+    )
+    SELECT 'commit' AS action, 'completed' AS state, 2 * k AS n FROM nb
+    UNION ALL SELECT 'clean', 'completed', CAST(1 AS BIGINT) FROM nb
+    UNION ALL SELECT 'commit', 'requested', CAST(1 AS BIGINT) FROM nb
+    UNION ALL SELECT 'commit', 'inflight', CAST(1 AS BIGINT) FROM nb
+    """,
+    doc="Hudi timeline census per (action, state): every bucket yields "
+    "a base commit AND an update commit (each 25-doc bucket contains "
+    "churn docs), plus the planted clean/requested/inflight instants",
+    tags=("llm", "lakehouse", "source", "catalog"),
+)
+def q_hudi_timeline_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.hudi import (
+        ensure_demo_hudi_table,
+        timeline_instants,
+    )
+
+    root = ensure_demo_hudi_table(sf_dir)
+    rows = [
+        (i["action"], i["state"]) for i in timeline_instants(root)
+    ]  # driver-side LISTING only — O(#instants) strings, never file bodies
+    df = spark.createDataFrame(rows, "action string, state string")
+    return df.groupBy("action", "state").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# ---------------------------------------------------------------------------
 # ORC file-layout audit (r10): the PUBLIC orc.apache.org spec —
 # PostScript/Footer protobuf tail via the repo's own wire walk
 # (sources/orc.py over tfrecord.py varint primitives), NONE + ZLIB
