@@ -1046,6 +1046,9 @@ _CARRYOVER_FIRST = (
     # Apache Hudi timeline (public spec: .hoodie instants, COW latest
     # slice per file group, completed-state filtering)
     "hudi_snapshot_slices", "hudi_timeline_audit",
+    # code-corpus ingestion passes: nbformat-4 output stripping +
+    # Git LFS spec/v1 pointer classification
+    "notebook_conversion_audit", "lfs_pointer_census",
 )
 
 

@@ -4069,6 +4069,218 @@ def q_hudi_timeline_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Code-corpus ingestion passes (r10): Jupyter notebooks and Git LFS
+# pointers — the two file classes every cloned-repo corpus (the
+# Hugging Face hub above all) must handle before training. nbformat-4
+# census + output stripping (sources/notebooks.py, the published
+# Stack/StarCoder conversion); strict spec/v1 LFS pointer
+# classification (sources/lfs.py — an almost-pointer is malformed,
+# never guessed into either class).
+# ---------------------------------------------------------------------------
+@defquery(
+    "notebook_conversion_audit",
+    """
+    WITH a AS (SELECT doc_id AS d, octet_length(encode(text)) AS n FROM documents),
+    b AS (
+      SELECT d, n, CAST(d % 4 + 1 AS INT) AS nc,
+             CASE d % 4 + 1 WHEN 1 THEN 6 WHEN 2 THEN 18
+                            WHEN 3 THEN 36 ELSE 42 END AS cchars
+      FROM a
+    )
+    SELECT d AS doc_id,
+           CASE WHEN d % 9 = 8 THEN FALSE ELSE TRUE END AS ok,
+           CASE WHEN d % 9 = 8 THEN '' ELSE 'python' END AS language,
+           CAST(CASE WHEN d % 9 = 8 THEN 0 ELSE nc END AS INT) AS n_code,
+           CAST(CASE WHEN d % 9 = 8 THEN 0 ELSE d % 3 END AS INT) AS n_md,
+           CAST(CASE WHEN d % 9 = 8 THEN 0
+                     WHEN d % 7 = 0 THEN 1 ELSE 0 END AS INT) AS n_raw,
+           CAST(CASE WHEN d % 9 = 8 THEN 0 ELSE cchars END AS BIGINT)
+             AS code_chars,
+           CAST(CASE WHEN d % 9 = 8 THEN 0
+                     ELSE (nc + 1) // 2 + (CASE WHEN d % 5 = 0 THEN 1 ELSE 0 END)
+                END AS INT) AS outputs_stripped,
+           CAST(CASE WHEN d % 9 = 8 THEN 0
+                     ELSE ((nc + 1) // 2) * (n % 40 + 1)
+                          + (CASE WHEN d % 5 = 0 THEN n % 64 + 16 ELSE 0 END)
+                END AS BIGINT) AS output_bytes_stripped,
+           CAST(CASE WHEN d % 9 = 8 THEN 0
+                     WHEN d % 5 = 0 THEN 1 ELSE 0 END AS INT) AS image_outputs
+    FROM b
+    """,
+    doc="nbformat-4 conversion audit: per-notebook cell census, output "
+    "stripping accounting (stream text + mime bundles, image class "
+    "surfaced), kernel language; d%9==8 notebooks are nbformat 3 and "
+    "quarantine — the published code-corpus notebook pass",
+    tags=("llm", "code", "multimodal", "source"),
+)
+def q_notebook_conversion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def evaluate(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shared_etl_pipelines_spark.sources import notebooks as NB
+
+        cols = (
+            "doc_id", "ok", "language", "n_code", "n_md", "n_raw",
+            "code_chars", "outputs_stripped", "output_bytes_stripped",
+            "image_outputs",
+        )
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                n = len(str(text).encode("utf-8"))
+                nc = d % 4 + 1
+                cells = []
+                for i in range(nc):
+                    outs = []
+                    if i % 2 == 0:
+                        outs.append(
+                            {"output_type": "stream", "name": "stdout",
+                             "text": "o" * (n % 40 + 1)}
+                        )
+                    if d % 5 == 0 and i == 0:
+                        outs.append(
+                            {"output_type": "display_data",
+                             "data": {"image/png": "A" * (n % 64 + 16)}}
+                        )
+                    cells.append(
+                        {"cell_type": "code",
+                         "source": ["x = 1\n"] * (i % 3 + 1),
+                         "execution_count": i + 1, "outputs": outs}
+                    )
+                for _ in range(d % 3):
+                    cells.append({"cell_type": "markdown", "source": "# title"})
+                if d % 7 == 0:
+                    cells.append({"cell_type": "raw", "source": "raw"})
+                blob = NB.build_notebook(cells)
+                if d % 9 == 8:  # planted pre-v4 notebook
+                    blob = blob.replace(b'"nbformat": 4', b'"nbformat": 3')
+                rows["doc_id"].append(d)
+                try:
+                    o = NB.parse_notebook(blob)
+                    cs = o["cells"]
+                    rows["ok"].append(True)
+                    rows["language"].append(o["language"])
+                    rows["n_code"].append(
+                        sum(1 for c in cs if c["cell_type"] == "code")
+                    )
+                    rows["n_md"].append(
+                        sum(1 for c in cs if c["cell_type"] == "markdown")
+                    )
+                    rows["n_raw"].append(
+                        sum(1 for c in cs if c["cell_type"] == "raw")
+                    )
+                    rows["code_chars"].append(
+                        sum(c["n_chars"] for c in cs if c["cell_type"] == "code")
+                    )
+                    rows["outputs_stripped"].append(
+                        sum(c["n_outputs"] for c in cs)
+                    )
+                    rows["output_bytes_stripped"].append(
+                        sum(c["output_bytes"] for c in cs)
+                    )
+                    rows["image_outputs"].append(
+                        sum(c["image_outputs"] for c in cs)
+                    )
+                    # the conversion itself must run and be output-free
+                    script = NB.notebook_to_script(blob)
+                    assert "image/png" not in script
+                except ValueError:
+                    rows["ok"].append(False)
+                    rows["language"].append("")
+                    for k in cols[3:]:
+                        rows[k].append(0)
+            yield pd.DataFrame(rows)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        evaluate,
+        "doc_id long, ok boolean, language string, n_code int, n_md int, "
+        "n_raw int, code_chars long, outputs_stripped int, "
+        "output_bytes_stripped long, image_outputs int",
+    )
+
+
+@defquery(
+    "lfs_pointer_census",
+    """
+    WITH a AS (SELECT doc_id AS d, octet_length(encode(text)) AS n FROM documents)
+    SELECT d AS doc_id,
+           CASE d % 4 WHEN 0 THEN 'pointer' WHEN 1 THEN 'pointer'
+                      WHEN 2 THEN 'source' ELSE 'malformed' END AS kind,
+           CASE WHEN d % 4 IN (0, 1) THEN sha256(CAST(d AS VARCHAR))
+                ELSE '' END AS oid,
+           CAST(CASE WHEN d % 4 IN (0, 1) THEN n * 1000 ELSE 0 END AS BIGINT)
+             AS size,
+           CAST(CASE WHEN d % 4 = 1 THEN 1 ELSE 0 END AS INT) AS n_extra
+    FROM a
+    """,
+    doc="Git LFS spec/v1 pointer census for cloned-repo corpora: "
+    "strict-parse pointers (oid+size surfaced for the fetch layer), "
+    "ordinary source files, and almost-pointers flagged malformed "
+    "(d%4==3 plants a bad oid) — never guessed into either class",
+    tags=("llm", "code", "source"),
+)
+def q_lfs_pointer_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def evaluate(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        from shared_etl_pipelines_spark.sources import lfs as L
+
+        cols = ("doc_id", "kind", "oid", "size", "n_extra")
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                n = len(str(text).encode("utf-8"))
+                oid = hashlib.sha256(str(d).encode()).hexdigest()
+                c = d % 4
+                if c == 0:
+                    blob = L.build_lfs_pointer(oid, n * 1000)
+                elif c == 1:
+                    blob = L.build_lfs_pointer(
+                        oid, n * 1000, extra={"x-meta": "demo"}
+                    )
+                elif c == 2:
+                    blob = f"def f():\n    return {d}\n".encode()
+                else:  # almost-pointer: oid too short
+                    blob = L.build_lfs_pointer(oid, n * 1000).replace(
+                        oid.encode(), oid[:60].encode()
+                    )
+                rows["doc_id"].append(d)
+                if not L.is_probably_pointer(blob):
+                    rows["kind"].append("source")
+                    rows["oid"].append("")
+                    rows["size"].append(0)
+                    rows["n_extra"].append(0)
+                    continue
+                try:
+                    p = L.parse_lfs_pointer(blob)
+                    rows["kind"].append("pointer")
+                    rows["oid"].append(p["oid"])
+                    rows["size"].append(p["size"])
+                    rows["n_extra"].append(len(p["extra_keys"]))
+                except ValueError:
+                    rows["kind"].append("malformed")
+                    rows["oid"].append("")
+                    rows["size"].append(0)
+                    rows["n_extra"].append(0)
+            yield pd.DataFrame(rows)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        evaluate,
+        "doc_id long, kind string, oid string, size long, n_extra int",
+    )
+
+
+# ---------------------------------------------------------------------------
 # ORC file-layout audit (r10): the PUBLIC orc.apache.org spec —
 # PostScript/Footer protobuf tail via the repo's own wire walk
 # (sources/orc.py over tfrecord.py varint primitives), NONE + ZLIB
