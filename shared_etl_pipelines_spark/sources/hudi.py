@@ -122,14 +122,15 @@ def snapshot_file_slices(spark: SparkSession, table_path: str) -> DataFrame:
             F.regexp_extract(F.col("_file"), r"(\d{17})\.", 1),
         )
     )
-    stats = raw.select(
-        "instant", F.explode("partitionToWriteStats").alias("partition", "files")
-    ).select("instant", "partition", F.explode("files").alias("f"))
-    w = Window.partitionBy("f.fileId").orderBy(F.col("instant").desc())
-    return (
-        stats.withColumn("_rn", F.row_number().over(w))
-        .withColumn("n_slices", F.count(F.lit(1)).over(Window.partitionBy("f.fileId")))
-        .filter(F.col("_rn") == 1)
+    stats = (
+        raw.select(
+            "instant",
+            F.explode("partitionToWriteStats").alias("partition", "files"),
+        )
+        .select("instant", "partition", F.explode("files").alias("f"))
+        # flatten BEFORE windowing: both window functions must key on
+        # the same attribute, not two private aliases of f.fileId, or
+        # the planner pays a second exchange (plan-gated to one)
         .select(
             F.col("f.fileId").alias("file_id"),
             F.col("f.path").alias("path"),
@@ -137,8 +138,15 @@ def snapshot_file_slices(spark: SparkSession, table_path: str) -> DataFrame:
             "instant",
             F.col("f.numWrites").alias("num_writes"),
             F.col("f.totalWriteBytes").alias("total_write_bytes"),
-            "n_slices",
         )
+    )
+    w = Window.partitionBy("file_id").orderBy(F.col("instant").desc())
+    w_all = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        stats.withColumn("_rn", F.row_number().over(w))
+        .withColumn("n_slices", F.count(F.lit(1)).over(w_all))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
     )
 
 

@@ -765,3 +765,38 @@ def test_connected_components_star_graph_converges_immediately(spark):
         CDF.collect = orig
     assert (got["n"], got["mx"]) == (51, 0)
     assert collects[0] <= 4, f"star graph took {collects[0]} collects"
+
+
+def test_r10_scan_queries_are_shuffle_free(spark, sf):
+    """The r10 per-doc scans (ORC tail, notebook conversion, LFS
+    census) are one mapInPandas pass — per-file parallelism, zero
+    data exchanges, the scan-bound 100 TB shape."""
+    for name in (
+        "orc_layout_audit", "notebook_conversion_audit",
+        "lfs_pointer_census",
+    ):
+        p = phys(REGISTRY[name].fn(spark, sf))
+        assert "hashpartitioning" not in p, name
+        assert "rangepartitioning" not in p, name
+        assert "SinglePartition" not in p, name
+
+
+def test_r10_lakehouse_snapshots_shuffle_once_no_join(spark, sf):
+    """Snapshot resolution for all three lakehouse logs is a single
+    last-action-per-path window — exactly one hash exchange on the
+    file key, no join, nothing single-partition. At 100 TB the log/
+    manifest payload distributes; only that one exchange scales with
+    the file count."""
+    for name, key_exchanges in (
+        ("delta_snapshot_audit", 1),
+        ("hudi_snapshot_slices", 1),
+    ):
+        p = phys(REGISTRY[name].fn(spark, sf))
+        assert p.count("Exchange hashpartitioning") == key_exchanges, name
+        assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p, name
+        assert "SinglePartition" not in p, name
+    # Iceberg live-file census: manifests decode in mapInPandas and the
+    # status filter is a plain project — no exchange at all
+    p = phys(REGISTRY["iceberg_snapshot_audit"].fn(spark, sf))
+    assert "Exchange hashpartitioning" not in p
+    assert "Join" not in p
