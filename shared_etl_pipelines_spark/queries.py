@@ -1049,6 +1049,8 @@ _CARRYOVER_FIRST = (
     # code-corpus ingestion passes: nbformat-4 output stripping +
     # Git LFS spec/v1 pointer classification
     "notebook_conversion_audit", "lfs_pointer_census",
+    # JSON Schema draft-2020-12 subset contract gate for JSONL intake
+    "jsonschema_contract_audit",
 )
 
 

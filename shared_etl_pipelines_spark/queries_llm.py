@@ -4204,6 +4204,100 @@ def q_notebook_conversion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "jsonschema_contract_audit",
+    """
+    WITH a AS (SELECT doc_id AS d, octet_length(encode(text)) AS n FROM documents)
+    SELECT d AS doc_id,
+           CASE WHEN d % 9 = 8 THEN 'parse'
+                WHEN d % 6 = 0 THEN 'ok'
+                WHEN d % 6 = 1 THEN 'required'
+                WHEN d % 6 = 2 THEN 'type'
+                WHEN d % 6 = 3 THEN 'maximum'
+                WHEN d % 6 = 4 THEN 'enum'
+                ELSE 'maxLength' END AS verdict,
+           CAST(CASE WHEN d % 9 = 8 OR d % 6 = 0 THEN 0 ELSE 1 END AS INT)
+             AS n_violations,
+           CASE WHEN d % 9 = 8 OR d % 6 = 0 THEN ''
+                WHEN d % 6 = 1 THEN '/id'
+                WHEN d % 6 = 2 THEN '/id'
+                WHEN d % 6 = 3 THEN '/score'
+                WHEN d % 6 = 4 THEN '/tag'
+                ELSE '/name' END AS first_path
+    FROM a
+    """,
+    doc="JSON Schema (draft 2020-12 subset) data-contract gate over "
+    "JSONL records: each violation quarantines under its keyword with "
+    "a json-pointer path; d%6 plants one violation class per record "
+    "(missing required, wrong type, range, enum, length), d%9==8 is "
+    "unparseable — the declarative twin of expectations_check",
+    tags=("llm", "quality", "expectations", "source"),
+)
+def q_jsonschema_contract_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def evaluate(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import json as _json
+
+        from shared_etl_pipelines_spark.sources.jsonschema import (
+            validate_record,
+        )
+
+        schema = {
+            "type": "object",
+            "required": ["id", "name", "score", "tag"],
+            "additionalProperties": False,
+            "properties": {
+                "id": {"type": "integer"},
+                "name": {"type": "string", "maxLength": 40},
+                "score": {"type": "number", "minimum": 0, "maximum": 100},
+                "tag": {"enum": ["a", "b", "c"]},
+                "flags": {"type": "array", "items": {"type": "boolean"}},
+            },
+        }
+        cols = ("doc_id", "verdict", "n_violations", "first_path")
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                n = len(str(text).encode("utf-8"))
+                rec = {
+                    "id": d,
+                    "name": "n" * (n % 30),
+                    "score": d % 100,
+                    "tag": ["a", "b", "c"][d % 3],
+                    "flags": [True],
+                }
+                c = d % 6
+                if c == 1:
+                    del rec["id"]
+                elif c == 2:
+                    rec["id"] = "not-an-int"
+                elif c == 3:
+                    rec["score"] = 150
+                elif c == 4:
+                    rec["tag"] = "z"
+                elif c == 5:
+                    rec["name"] = "n" * 50
+                blob = _json.dumps(rec, sort_keys=True).encode()
+                if d % 9 == 8:
+                    blob = blob[: max(len(blob) - 3, 1)]  # torn record
+                v = validate_record(blob, schema)
+                rows["doc_id"].append(d)
+                rows["verdict"].append(v["verdict"])
+                rows["n_violations"].append(v["n_violations"])
+                rows["first_path"].append(v["first_path"])
+            yield pd.DataFrame(rows)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        evaluate,
+        "doc_id long, verdict string, n_violations int, first_path string",
+    )
+
+
+@defquery(
     "lfs_pointer_census",
     """
     WITH a AS (SELECT doc_id AS d, octet_length(encode(text)) AS n FROM documents)
