@@ -1051,6 +1051,9 @@ _CARRYOVER_FIRST = (
     "notebook_conversion_audit", "lfs_pointer_census",
     # JSON Schema draft-2020-12 subset contract gate for JSONL intake
     "jsonschema_contract_audit",
+    # Unigram-LM (SentencePiece) tokenizer training + apply
+    # (tokenizer parity beyond BPE; Kudo 2018)
+    "unigram_lm_train", "unigram_segment_stats",
 )
 
 

@@ -4203,6 +4203,118 @@ def q_notebook_conversion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer training (r10): SentencePiece's second
+# algorithm (Kudo 2018) — tokenizer parity beyond BPE. The fixture
+# corpus is built from a PREFIX-CLOSED piece set whose concatenations
+# have a unique max-prob parse (pair pieces ab/cd/ef/gh/ij never form
+# cross-boundary vocab pairs, and single-char fallbacks always lose
+# the Viterbi argmax), so the fixed-2-iteration EM is a closed form
+# DuckDB replays exactly: counts from the (d*7+j)%5 construction,
+# probs = Laplace (count+1)/(total+|V|).
+# ---------------------------------------------------------------------------
+_UNIGRAM_PAIRS = ["ab", "cd", "ef", "gh", "ij"]
+_UNIGRAM_VOCAB = _UNIGRAM_PAIRS + list("abcdefghij")
+
+
+def _synthetic_unigram_words(docs: DataFrame) -> DataFrame:
+    """(w, cnt, doc_id): word d = concat of (n%6+4) pieces, piece j =
+    PAIRS[(d*7+j) % 5], count d%3+1 — every cell replayable from
+    doc_id alone."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows: dict[str, list] = {"w": [], "cnt": [], "doc_id": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                n = len(str(text).encode("utf-8"))
+                m = n % 6 + 4
+                rows["w"].append(
+                    "".join(_UNIGRAM_PAIRS[(d * 7 + j) % 5] for j in range(m))
+                )
+                rows["cnt"].append(d % 3 + 1)
+                rows["doc_id"].append(d)
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id", "text").mapInPandas(
+        build, "w string, cnt long, doc_id long"
+    )
+
+
+@defquery(
+    "unigram_lm_train",
+    """
+    WITH a AS (SELECT doc_id AS d, octet_length(encode(text)) AS n FROM documents),
+    j AS (SELECT d, CAST(d % 3 + 1 AS BIGINT) AS cnt,
+                 unnest(range(0, n % 6 + 4)) AS jj
+          FROM a),
+    cnts AS (SELECT CAST((d * 7 + jj) % 5 AS INT) AS k, SUM(cnt) AS c
+             FROM j GROUP BY 1),
+    tot AS (SELECT SUM(c) AS t FROM cnts),
+    pieces AS (
+      SELECT list_extract(['ab','cd','ef','gh','ij'], k + 1) AS piece,
+             CAST(c AS BIGINT) AS n_count
+      FROM cnts
+      UNION ALL
+      SELECT chr(CAST(97 + s AS INTEGER)), CAST(0 AS BIGINT)
+      FROM (SELECT unnest(range(0, 10)) AS s)
+    )
+    SELECT piece, n_count,
+           ROUND(CAST(n_count + 1 AS DOUBLE) / (t + 15), 4) AS prob
+    FROM pieces, tot
+    """,
+    doc="Unigram-LM (SentencePiece) trainer: fixed-2-iteration EM over "
+    "the distributed word table — Arrow-batched exact-Fraction Viterbi "
+    "E-step, O(|vocab|) driver M-step, Laplace-smoothed probs; "
+    "zero-count fallback pieces surface instead of dropping",
+    tags=("llm", "tokenize", "iterative"),
+)
+def q_unigram_lm_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.operators.unigram import unigram_train
+
+    words = _synthetic_unigram_words(
+        _t(spark, sf_dir, "documents")
+    ).select("w", "cnt")
+    out, probs = unigram_train(words, _UNIGRAM_VOCAB, iters=2)
+    pr = {p: float(v) for p, v in probs.items()}
+    mapping = F.create_map(
+        *[F.lit(x) for kv in sorted(pr.items()) for x in kv]
+    )
+    return out.select(
+        "piece",
+        "n_count",
+        F.round(mapping[F.col("piece")], 4).alias("prob"),
+    )
+
+
+@defquery(
+    "unigram_segment_stats",
+    """
+    WITH a AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+    SELECT doc_id AS id,
+           CAST(n % 6 + 4 AS INT) AS n_pieces,
+           CAST((n % 6 + 4) * 2 AS INT) AS n_chars
+    FROM a
+    """,
+    doc="Unigram-LM apply side: Viterbi segmentation under the trained "
+    "prob table recovers exactly the pair-piece parse (the fallback "
+    "single-char lattice paths must always lose the argmax)",
+    tags=("llm", "tokenize"),
+)
+def q_unigram_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.operators.unigram import (
+        unigram_segment_table,
+        unigram_train,
+    )
+
+    synth = _synthetic_unigram_words(_t(spark, sf_dir, "documents"))
+    _, probs = unigram_train(synth.select("w", "cnt"), _UNIGRAM_VOCAB, iters=2)
+    return unigram_segment_table(synth, "w", probs, id_col="doc_id")
+
+
 @defquery(
     "jsonschema_contract_audit",
     """
