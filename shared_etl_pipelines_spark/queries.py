@@ -1054,6 +1054,9 @@ _CARRYOVER_FIRST = (
     # Unigram-LM (SentencePiece) tokenizer training + apply
     # (tokenizer parity beyond BPE; Kudo 2018)
     "unigram_lm_train", "unigram_segment_stats",
+    # footer-stats row-group pruning plan (the predicate-pushdown
+    # mechanism, audited end to end)
+    "parquet_rowgroup_prune_plan",
 )
 
 

@@ -4316,6 +4316,97 @@ def q_unigram_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @defquery(
+    "parquet_rowgroup_prune_plan",
+    """
+    WITH t AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS r
+      FROM documents
+    ),
+    g AS (
+      SELECT CAST(r // 128 AS INT) AS rg, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             MIN(doc_id) AS id_min, MAX(doc_id) AS id_max
+      FROM t GROUP BY 1
+    )
+    SELECT rg, n_rows, id_min, id_max,
+           CAST(id_min <= 299 AND id_max >= 100 AS BOOLEAN) AS selected
+    FROM g
+    """,
+    doc="parquet row-group pruning plan: which row groups a "
+    "doc_id BETWEEN 100 AND 299 predicate must read, decided from "
+    "footer min/max statistics alone — THE mechanism behind predicate "
+    "pushdown at 100 TB (a scan that can't prove an overlap skips the "
+    "group without touching data pages). Footer-only planning: "
+    "O(#row-groups) metadata, zero data-page IO; the oracle recomputes "
+    "every group's stat range and the overlap verdict from the source "
+    "table, so a planner that reads too little OR too much hash-fails",
+    tags=("llm", "storage", "scale-path", "plan"),
+)
+def q_parquet_rowgroup_prune_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # same deterministic fixture file as parquet_layout_audit (that
+    # builder is fingerprint-frozen, so the build is mirrored here;
+    # both write the identical path idempotently)
+    src = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(src)
+        fp = f"{st.st_mtime_ns}_{st.st_size}"
+    except OSError:
+        fp = "nostat"
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}"
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_pq_layout_{tag}.parquet"
+    )
+    if not os.path.exists(path):
+        tbl = pq.read_table(src, columns=["doc_id", "text"])
+        order = pa.compute.sort_indices(tbl["doc_id"])
+        tbl = tbl.take(order)
+        out = pa.table(
+            {
+                "doc_id": tbl["doc_id"],
+                "n_bytes": pa.compute.binary_length(
+                    pa.compute.cast(tbl["text"], pa.binary())
+                ),
+            }
+        )
+        pq.write_table(
+            out, path, row_group_size=128,
+            compression={"doc_id": "SNAPPY", "n_bytes": "GZIP"},
+            write_statistics=True,
+        )
+    lo, hi = 100, 299
+    md = pq.ParquetFile(path).metadata
+    rows = []
+    for rg_idx in range(md.num_row_groups):
+        rg = md.row_group(rg_idx)
+        col = next(
+            rg.column(i)
+            for i in range(rg.num_columns)
+            if rg.column(i).path_in_schema == "doc_id"
+        )
+        stats = col.statistics
+        if stats is None or not stats.has_min_max:
+            raise ValueError("parquet: doc_id stats missing — cannot prune")
+        rows.append(
+            (
+                rg_idx,
+                rg.num_rows,
+                int(stats.min),
+                int(stats.max),
+                int(stats.min) <= hi and int(stats.max) >= lo,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "rg int, n_rows long, id_min long, id_max long, selected boolean",
+    )
+
+
+@defquery(
     "jsonschema_contract_audit",
     """
     WITH a AS (SELECT doc_id AS d, octet_length(encode(text)) AS n FROM documents)
