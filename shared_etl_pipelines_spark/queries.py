@@ -1057,6 +1057,9 @@ _CARRYOVER_FIRST = (
     # footer-stats row-group pruning plan (the predicate-pushdown
     # mechanism, audited end to end)
     "parquet_rowgroup_prune_plan",
+    # lakehouse lifecycle planners: Delta VACUUM + Iceberg
+    # expire-snapshots delete worklists
+    "delta_vacuum_plan", "iceberg_expire_plan",
 )
 
 

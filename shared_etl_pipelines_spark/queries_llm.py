@@ -3990,6 +3990,66 @@ def q_iceberg_manifest_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@defquery(
+    "delta_vacuum_plan",
+    """
+    WITH m AS (SELECT MAX(doc_id) AS maxd FROM documents)
+    SELECT 'part-' || lpad(CAST(doc_id AS VARCHAR), 9, '0') || '.parquet'
+             AS path,
+           CAST(1700000000000 + doc_id + 1000 AS BIGINT) AS deletion_ms
+    FROM documents, m
+    WHERE doc_id % 9 = 8 AND doc_id <= maxd // 2
+    """,
+    doc="Delta VACUUM planning: tombstoned files whose "
+    "deletionTimestamp is at or before the retention horizon — the "
+    "delete WORKLIST, not a side effect; live files and young "
+    "tombstones (still reachable by time-travel readers) survive. "
+    "Horizon pinned mid-churn so both kept and vacuumed tombstones "
+    "exist in the answer set",
+    tags=("llm", "lakehouse", "catalog", "plan"),
+)
+def q_delta_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.deltalog import (
+        ensure_demo_delta_table,
+        vacuum_plan,
+    )
+
+    root = ensure_demo_delta_table(sf_dir)
+    # bounded driver scalar: the demo horizon sits mid-churn
+    maxd = _t(spark, sf_dir, "documents").agg(
+        F.max("doc_id").alias("m")
+    ).collect()[0]["m"]
+    before_ms = 1_700_000_000_000 + 1000 + int(maxd) // 2
+    return vacuum_plan(spark, root, before_ms)
+
+
+@defquery(
+    "iceberg_expire_plan",
+    """
+    WITH a AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+    SELECT 'data/part-' || lpad(CAST(doc_id AS VARCHAR), 9, '0')
+             || '.parquet' AS file_path,
+           CAST(n AS BIGINT) AS record_count,
+           CAST(n * 8 AS BIGINT) AS file_size_in_bytes
+    FROM a WHERE doc_id % 9 = 8
+    """,
+    doc="Iceberg expire-snapshots planning: data files that become "
+    "orphans when every non-current snapshot expires — referenced by "
+    "the pre-churn snapshot, absent from the kept one (left-anti on "
+    "the file key over the executor-decoded manifest walks); the "
+    "maintenance delete worklist",
+    tags=("llm", "lakehouse", "catalog", "plan"),
+)
+def q_iceberg_expire_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.iceberg import (
+        ensure_demo_iceberg_table,
+        expire_snapshots_plan,
+    )
+
+    root = ensure_demo_iceberg_table(sf_dir)
+    return expire_snapshots_plan(spark, root)
+
+
 # ---------------------------------------------------------------------------
 # Apache Hudi timeline audits (r10): the third open lakehouse format
 # (hudi.apache.org spec) — ``.hoodie`` instant files, completed-state

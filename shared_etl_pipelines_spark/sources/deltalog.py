@@ -33,7 +33,10 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-__all__ = ["write_commit", "write_checkpoint", "snapshot_files", "log_history"]
+__all__ = [
+    "write_commit", "write_checkpoint", "snapshot_files",
+    "vacuum_plan", "log_history",
+]
 
 _ADD_SCHEMA = (
     "struct<path:string,size:bigint,modificationTime:bigint,"
@@ -356,6 +359,26 @@ def ensure_demo_delta_table(sf_dir: str, bucket: int = 25) -> str:
     with open(done, "w") as fh:
         fh.write("ok\n")
     return root
+
+
+def vacuum_plan(
+    spark: SparkSession, table_path: str, before_ms: int
+) -> DataFrame:
+    """Files SAFE to physically delete: their last action is a REMOVE
+    tombstone whose deletionTimestamp is at or before ``before_ms``
+    (the retention horizon). Live files and young tombstones survive —
+    deleting a file a concurrent time-travel reader may still resolve
+    is the corruption VACUUM retention exists to prevent. Planning is
+    the same distributed last-action window as snapshot_files; output
+    is the delete WORKLIST (path, deletion_ms), not a side effect."""
+    state = _replay(spark, table_path, None)
+    return (
+        state.filter(
+            (F.col("kind") == "remove")
+            & (F.col("modificationTime") <= F.lit(int(before_ms)))
+        )
+        .select("path", F.col("modificationTime").alias("deletion_ms"))
+    )
 
 
 def log_history(spark: SparkSession, table_path: str) -> DataFrame:

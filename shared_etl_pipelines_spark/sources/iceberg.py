@@ -42,6 +42,7 @@ __all__ = [
     "read_table_metadata",
     "snapshot_files",
     "manifest_churn",
+    "expire_snapshots_plan",
     "ensure_demo_iceberg_table",
 ]
 
@@ -178,6 +179,38 @@ def manifest_churn(spark: SparkSession, table_path: str) -> DataFrame:
         ],
         "manifest_path string, n_added int, n_deleted int, "
         "rows_added long, rows_deleted long",
+    )
+
+
+def expire_snapshots_plan(
+    spark: SparkSession, table_path: str, keep_snapshot_id: int | None = None
+) -> DataFrame:
+    """Expire-snapshots planning: which data files become ORPHANS when
+    every snapshot except the kept one (default: current) is expired —
+    files referenced by an expired snapshot's manifests and NOT live in
+    the kept snapshot. This is the file-level reachability diff every
+    Iceberg maintenance job computes before deleting anything; output
+    is the delete worklist, not a side effect. Both sides are the
+    executor-decoded manifest walks of snapshot_files; the diff is a
+    left-anti join on file_path (one shuffle on the file key)."""
+    meta = read_table_metadata(table_path)
+    keep = keep_snapshot_id if keep_snapshot_id is not None else meta[
+        "current-snapshot-id"
+    ]
+    kept_live = snapshot_files(spark, table_path, keep).select("file_path")
+    orphans = None
+    for s in meta.get("snapshots", []):
+        if s["snapshot-id"] == keep:
+            continue
+        old = snapshot_files(spark, table_path, s["snapshot-id"]).select(
+            "file_path", "record_count", "file_size_in_bytes"
+        )
+        orphans = old if orphans is None else orphans.unionByName(old)
+    if orphans is None:
+        raise ValueError("iceberg: nothing to expire — only one snapshot")
+    return (
+        orphans.join(kept_live, "file_path", "left_anti")
+        .dropDuplicates(["file_path"])
     )
 
 

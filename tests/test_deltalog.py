@@ -125,3 +125,19 @@ def test_demo_log_checkpoint_is_actually_used(spark, sf_dir):
         )
     )
     assert with_cp == without and len(with_cp) > 0
+
+
+def test_vacuum_plan_respects_retention(spark, tmp_path):
+    root = _mk_table(tmp_path)  # a removed at ts 4 (commit 2)
+    D.write_commit(
+        root, 4,
+        [{"remove": {"path": "c.parquet", "deletionTimestamp": 100,
+                     "dataChange": True}}],
+    )
+    # horizon below the young tombstone: only the old one is deletable
+    got = {r["path"]: r["deletion_ms"]
+           for r in D.vacuum_plan(spark, root, before_ms=50).collect()}
+    assert got == {"a.parquet": 4}
+    # horizon past both: both tombstones deletable, live files never
+    got2 = {r["path"] for r in D.vacuum_plan(spark, root, 10_000).collect()}
+    assert got2 == {"a.parquet", "c.parquet"}

@@ -57,3 +57,18 @@ def test_newest_metadata_version_wins(tmp_path, spark, sf_dir):
         json.dump(meta, fh)
     got = I.read_table_metadata(t)
     assert got["current-snapshot-id"] == 100
+
+
+def test_expire_plan_is_the_reachability_diff(spark, sf_dir):
+    root = I.ensure_demo_iceberg_table(sf_dir)
+    got = {
+        r["file_path"]
+        for r in I.expire_snapshots_plan(spark, root).collect()
+    }
+    ids = {int(p.split("part-")[1].split(".")[0]) for p in got}
+    assert ids and all(d % 9 == 8 for d in ids)  # exactly the churn class
+    # keeping the OLD snapshot instead: nothing orphans (100 is a superset)
+    assert (
+        I.expire_snapshots_plan(spark, root, keep_snapshot_id=100).count()
+        == 0
+    )
