@@ -799,3 +799,155 @@ def test_hevc_sps_round_trip_property(w, h, profile, level, tier, cbd):
     assert (out["profile_idc"], out["level_idc"], out["tier_flag"]) \
         == (profile, level, tier)
     assert (out["chroma_format_idc"], out["bit_depth"]) == (chroma, bd)
+
+
+# ---------------------------------------------------------------------
+# r10 codecs: ORC tail, LFS pointers, jsonschema, deltalog commits,
+# unigram Viterbi — random-input laws, same sweep discipline as the
+# binary codecs above.
+# ---------------------------------------------------------------------
+@given(
+    st.lists(st.integers(0, 500), min_size=1, max_size=6),
+    st.integers(-10**6, 10**6),
+    st.sampled_from(["NONE", "ZLIB"]),
+    st.lists(
+        st.tuples(
+            st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True),
+            st.sampled_from(["long", "string", "double", "int", "boolean"]),
+        ),
+        min_size=1,
+        max_size=5,
+        unique_by=lambda c: c[0],
+    ),
+)
+@settings(max_examples=40, deadline=None)
+def test_orc_tail_round_trip_property(stripe_rows, id_min, comp, columns):
+    from shared_etl_pipelines_spark.sources import orc as O
+
+    blob = O.encode_orc(columns, stripe_rows, id_min, compression=comp)
+    o = O.parse_orc_layout(blob)
+    assert o["compression"] == comp
+    assert o["n_stripes"] == len(stripe_rows)
+    assert o["n_rows"] == sum(stripe_rows)
+    assert o["column_kinds"] == ["struct"] + [k for _, k in columns]
+    assert o["field_names"] == [n for n, _ in columns]
+    assert o["stats"][1]["int_min"] == id_min
+    assert o["stats"][1]["int_max"] == id_min + sum(stripe_rows) - 1
+    # truncating anywhere inside the stripe region refuses, never lies
+    if sum(stripe_rows) > 0:
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            O.parse_orc_layout(blob[:4] + blob[6:])
+
+
+@given(
+    st.from_regex(r"[0-9a-f]{64}", fullmatch=True),
+    st.integers(0, 10**15),
+    st.dictionaries(
+        st.from_regex(r"x-[a-z]{1,8}", fullmatch=True),
+        st.from_regex(r"[A-Za-z0-9._-]{1,12}", fullmatch=True),
+        max_size=3,
+    ),
+)
+@settings(max_examples=60, deadline=None)
+def test_lfs_pointer_round_trip_property(oid, size, extra):
+    from shared_etl_pipelines_spark.sources import lfs as L
+
+    blob = L.build_lfs_pointer(oid, size, extra=extra)
+    assert L.is_probably_pointer(blob)
+    p = L.parse_lfs_pointer(blob)
+    assert p["oid"] == oid and p["size"] == size
+    assert p["extra_keys"] == sorted(extra)
+    # flipping any single line's key order breaks strictness, never parses
+    # wrong: corrupting the oid length always refuses
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        L.parse_lfs_pointer(blob.replace(oid.encode(), oid[:63].encode()))
+
+
+@given(
+    st.recursive(
+        st.one_of(
+            st.none(),
+            st.booleans(),
+            st.integers(-10**9, 10**9),
+            st.floats(allow_nan=False, allow_infinity=False, width=32),
+            st.text(max_size=12),
+        ),
+        lambda leaf: st.one_of(
+            st.lists(leaf, max_size=4),
+            st.dictionaries(st.text(max_size=6), leaf, max_size=4),
+        ),
+        max_leaves=12,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_jsonschema_empty_schema_accepts_everything(value):
+    from shared_etl_pipelines_spark.sources.jsonschema import validate
+
+    assert validate(value, {}) == []
+    assert validate(value, True) == []
+    assert validate(value, False) == [("/", "false-schema")]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.from_regex(r"[a-z]{1,8}\.parquet", fullmatch=True),
+            st.integers(0, 10**9),
+            st.integers(0, 10**12),
+        ),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    )
+)
+@settings(max_examples=30, deadline=None)
+def test_deltalog_single_commit_snapshot_property(files):
+    import shutil
+    import tempfile
+
+    from shared_etl_pipelines_spark.sources import deltalog as D
+
+    root = tempfile.mkdtemp(prefix="dl_prop_")
+    D.write_commit(
+        root,
+        0,
+        [
+            {"add": {"path": p, "size": s, "modificationTime": m,
+                     "dataChange": True, "partitionValues": {}}}
+            for p, s, m in files
+        ],
+    )
+    # pure-python read of what the Spark reader would resolve: every
+    # path appears exactly once in the commit JSON we wrote
+    import json as _json
+
+    lines = open(f"{root}/_delta_log/{0:020d}.json").read().splitlines()
+    adds = [_json.loads(l)["add"] for l in lines if "add" in _json.loads(l)]
+    assert sorted(a["path"] for a in adds) == sorted(p for p, _, _ in files)
+    assert all(
+        a["size"] == s and a["modificationTime"] == m
+        for a, (_, s, m) in zip(
+            sorted(adds, key=lambda a: a["path"]),
+            sorted(files),
+        )
+    )
+    shutil.rmtree(root, ignore_errors=True)
+
+
+@given(
+    st.lists(st.sampled_from(["ab", "cd", "ef", "gh", "ij"]),
+             min_size=1, max_size=12)
+)
+@settings(max_examples=60, deadline=None)
+def test_unigram_viterbi_recovers_pair_parse_property(pieces):
+    from fractions import Fraction
+
+    from shared_etl_pipelines_spark.operators.unigram import viterbi_segment
+
+    vocab = ["ab", "cd", "ef", "gh", "ij"] + list("abcdefghij")
+    probs = {p: Fraction(1, len(vocab)) for p in vocab}
+    assert viterbi_segment("".join(pieces), probs, 2) == pieces
