@@ -995,72 +995,47 @@ _R9_GREEN = frozenset(
     }
 )
 
+# CORRECTNESS_r10.json: 50 judged, 50 green (tenth consecutive
+# zero-regression round; fifth perfect sample — with this set, every
+# registry query has a cumulative green driver verdict).
+_R10_GREEN = frozenset(
+    {
+        "arrow_ipc_audit", "cbor_manifest_audit", "clip_semi_join",
+        "crop_weighted_pipeline", "date_from_filename",
+        "delta_log_history", "delta_snapshot_audit",
+        "delta_time_travel_audit", "delta_vacuum_plan",
+        "distinct_users_approx", "event_funnel", "geojson_feature_audit",
+        "hudi_snapshot_slices", "hudi_timeline_audit", "ical_event_audit",
+        "iceberg_expire_plan", "iceberg_manifest_churn",
+        "iceberg_snapshot_audit", "iceberg_time_travel_audit",
+        "jsonschema_contract_audit", "jwt_token_audit",
+        "lfs_pointer_census", "license_detect_audit", "mode_event_type",
+        "msgpack_log_audit", "multimodal_mjpeg_frames", "multiply_join",
+        "notebook_conversion_audit", "orc_layout_audit", "outlier_mad",
+        "parquet_rowgroup_prune_plan", "pricing_summary",
+        "prom_scrape_audit", "protobuf_wire_audit",
+        "qty_price_regression", "regrid_fraction", "rolling_sums",
+        "secret_scan_audit", "spi_zscore", "stream_delta_log_cdc",
+        "topk_per_group", "torrent_metainfo_audit", "unigram_lm_train",
+        "unigram_segment_stats", "union_combine", "value_mask",
+        "vcard_pii_census", "weighted_zonal", "zonal_stats",
+        "zonal_stats_approx",
+    }
+)
+
 _JUDGED_GREEN = (
     _R1_GREEN | _R2_GREEN | _R3_GREEN | _R4_GREEN | _R5_GREEN | _R6_GREEN
-    | _R7_GREEN | _R8_GREEN | _R9_GREEN
+    | _R7_GREEN | _R8_GREEN | _R9_GREEN | _R10_GREEN
 )
 
 # Round 10: zero sql=None entries remain — the last two approx sketches
 # were converted to oracle-backed error bands (VERDICT r9 task #2).
 _FORCE_FRONT: frozenset[str] = frozenset()
 
-# Round-10 judging window: FIRST the 12 registry queries that have never
-# received a driver verdict (added after the r9 sample was drawn; the r9
-# judge re-verified all 12 green at sf0.01 but VERDICT r9 task #1 requires
-# a *driver* verdict — they are byte-unchanged since their r9 audit), then
-# this round's new queries in the order they were added.
-_CARRYOVER_FIRST = (
-    # --- never driver-judged (late r9-continued additions; UNEDITED) ---
-    "arrow_ipc_audit",
-    "cbor_manifest_audit",
-    "geojson_feature_audit",
-    "ical_event_audit",
-    "jwt_token_audit",
-    "license_detect_audit",
-    "msgpack_log_audit",
-    "prom_scrape_audit",
-    "protobuf_wire_audit",
-    "secret_scan_audit",
-    "torrent_metainfo_audit",
-    "vcard_pii_census",
-    # --- new round-10 queries ---
-    # MJPEG-in-AVI pixel decode via the full baseline JPEG decoder
-    # (VERDICT r9 task #3)
-    "multimodal_mjpeg_frames",
-    # rows-only -> oracle-backed error-band conversions (VERDICT r9
-    # task #2): the sketch value stays engine-side; the hash-checked
-    # surface is the error/rank band boolean the oracle pins to TRUE
-    "distinct_users_approx", "zonal_stats_approx",
-    # Delta Lake transaction-log audits (public delta.io protocol:
-    # JSON commits + single-file checkpoint + _last_checkpoint)
-    "delta_snapshot_audit", "delta_time_travel_audit", "delta_log_history",
-    # ORC tail audit (public orc.apache.org spec via the repo's own
-    # protobuf wire walk; NONE + ZLIB chunk-framed footers)
-    "orc_layout_audit",
-    # Apache Iceberg snapshot audits (public spec: metadata JSON ->
-    # Avro manifest list -> executor-side Avro manifest decode)
-    "iceberg_snapshot_audit", "iceberg_time_travel_audit",
-    "iceberg_manifest_churn",
-    # streaming CDC tail of the Delta commit log (stateless 1->N twin)
-    "stream_delta_log_cdc",
-    # Apache Hudi timeline (public spec: .hoodie instants, COW latest
-    # slice per file group, completed-state filtering)
-    "hudi_snapshot_slices", "hudi_timeline_audit",
-    # code-corpus ingestion passes: nbformat-4 output stripping +
-    # Git LFS spec/v1 pointer classification
-    "notebook_conversion_audit", "lfs_pointer_census",
-    # JSON Schema draft-2020-12 subset contract gate for JSONL intake
-    "jsonschema_contract_audit",
-    # Unigram-LM (SentencePiece) tokenizer training + apply
-    # (tokenizer parity beyond BPE; Kudo 2018)
-    "unigram_lm_train", "unigram_segment_stats",
-    # footer-stats row-group pruning plan (the predicate-pushdown
-    # mechanism, audited end to end)
-    "parquet_rowgroup_prune_plan",
-    # lakehouse lifecycle planners: Delta VACUUM + Iceberg
-    # expire-snapshots delete worklists
-    "delta_vacuum_plan", "iceberg_expire_plan",
-)
+# Round-11 judging window: every pre-r11 registry query now has a green
+# driver verdict (CORRECTNESS_r01-r10 cumulative), so the window holds
+# only this round's new queries in the order they are added.
+_CARRYOVER_FIRST: tuple[str, ...] = ()
 
 
 def _rotate_registry() -> None:
