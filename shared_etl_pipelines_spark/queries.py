@@ -1035,7 +1035,10 @@ _FORCE_FRONT: frozenset[str] = frozenset()
 # Round-11 judging window: every pre-r11 registry query now has a green
 # driver verdict (CORRECTNESS_r01-r10 cumulative), so the window holds
 # only this round's new queries in the order they are added.
-_CARRYOVER_FIRST: tuple[str, ...] = ()
+_CARRYOVER_FIRST: tuple[str, ...] = (
+    # Iceberg v2 row-level deletes merged on read (VERDICT r10 task #2)
+    "iceberg_v2_delete_read",
+)
 
 
 def _rotate_registry() -> None:

