@@ -1038,6 +1038,8 @@ _FORCE_FRONT: frozenset[str] = frozenset()
 _CARRYOVER_FIRST: tuple[str, ...] = (
     # Iceberg v2 row-level deletes merged on read (VERDICT r10 task #2)
     "iceberg_v2_delete_read",
+    # Delta deletion vectors decoded + applied on read (VERDICT r10 task #3)
+    "delta_dv_read",
 )
 
 

@@ -14069,3 +14069,41 @@ def q_iceberg_v2_delete_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = ensure_demo_iceberg_v2_table(sf_dir)
     return snapshot_rows(spark, root).select("doc_id", "size", "day", "data_seq")
+
+
+# ---------------------------------------------------------------------------
+# Delta deletion vectors (r11): the protocol's soft-delete descriptor
+# (add.deletionVector) decoded from real RoaringBitmapArray bytes
+# (sources/roaring.py + sources/deletion_vectors.py — portable roaring
+# spec, z85, DV file framing with CRC) and APPLIED on read via a
+# (path, _metadata.row_index) anti-join. All three storage types ("p"
+# shared file / "u" uuid-addressed / "i" inline z85) rotate by bucket
+# and land in the hash through dv_storage.
+# ---------------------------------------------------------------------------
+@defquery(
+    "delta_dv_read",
+    """
+    WITH a AS (SELECT doc_id, octet_length(encode(text)) AS n,
+                      doc_id // 25 AS k FROM documents),
+    ch AS (SELECT k, COUNT(CASE WHEN doc_id % 9 = 8 THEN 1 END) > 0 AS has
+           FROM a GROUP BY k)
+    SELECT doc_id, CAST(n AS BIGINT) AS size, CAST(doc_id % 7 AS INT) AS day,
+           CASE WHEN has THEN (CASE CAST(a.k % 3 AS INT)
+                WHEN 0 THEN 'p' WHEN 1 THEN 'u' ELSE 'i' END) END AS dv_storage
+    FROM a JOIN ch ON a.k = ch.k
+    WHERE doc_id % 9 <> 8
+    """,
+    doc="Delta deletion-vector read: snapshot data rows minus the "
+    "roaring-bitmap positions each live file's DV descriptor names "
+    "(executor-side decode, CRC-checked); a DV-unaware reader "
+    "over-counts every churn doc",
+    tags=("llm", "lakehouse", "source", "catalog"),
+)
+def q_delta_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.deltalog import (
+        ensure_demo_delta_dv_table,
+        snapshot_rows,
+    )
+
+    root = ensure_demo_delta_dv_table(sf_dir)
+    return snapshot_rows(spark, root).select("doc_id", "size", "day", "dv_storage")

@@ -35,12 +35,21 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "write_commit", "write_checkpoint", "snapshot_files",
-    "vacuum_plan", "log_history",
+    "snapshot_rows", "vacuum_plan", "log_history",
+    "ensure_demo_delta_dv_table",
 ]
 
+# deletionVector: the v2-reader descriptor (PROTOCOL.md "Deletion
+# Vectors") — absent/null on DV-free logs, so legacy tables parse
+# identically; decode/apply live in sources/deletion_vectors.py
+_DV_SCHEMA = (
+    "struct<storageType:string,pathOrInlineDv:string,offset:int,"
+    "sizeInBytes:int,cardinality:bigint>"
+)
 _ADD_SCHEMA = (
     "struct<path:string,size:bigint,modificationTime:bigint,"
-    "dataChange:boolean,partitionValues:map<string,string>>"
+    "dataChange:boolean,partitionValues:map<string,string>,"
+    f"deletionVector:{_DV_SCHEMA}>"
 )
 _REMOVE_SCHEMA = (
     "struct<path:string,deletionTimestamp:bigint,dataChange:boolean>"
@@ -81,6 +90,7 @@ def write_checkpoint(
             F.col("modificationTime"),
             F.lit(True).alias("dataChange"),
             F.col("partitionValues"),
+            F.col("deletionVector"),
         ).alias("add"),
         F.lit(None).cast(_REMOVE_SCHEMA).alias("remove"),
     )
@@ -149,6 +159,7 @@ def _commit_actions(
                 F.col("a.modificationTime"), F.col("r.deletionTimestamp")
             ).alias("modificationTime"),
             F.col("a.partitionValues").alias("partitionValues"),
+            F.col("a.deletionVector").alias("deletionVector"),
         )
     )
 
@@ -170,6 +181,15 @@ def _replay(
                 _log_dir(table_path), f"{cpv:020d}.checkpoint.parquet"
             )
             cdf = spark.read.parquet(cp)
+            # pre-DV checkpoints lack the field; read them as null DVs
+            add_fields = {
+                f.name for f in cdf.schema["add"].dataType.fields
+            }
+            dv_col = (
+                F.col("add.deletionVector")
+                if "deletionVector" in add_fields
+                else F.lit(None).cast(_DV_SCHEMA)
+            )
             base = cdf.select(
                 F.lit(cpv).alias("version"),
                 F.when(F.col("add").isNotNull(), F.lit("add"))
@@ -182,6 +202,7 @@ def _replay(
                     F.col("remove.deletionTimestamp"),
                 ).alias("modificationTime"),
                 F.col("add.partitionValues").alias("partitionValues"),
+                dv_col.alias("deletionVector"),
             )
             lo = cpv
     tail = _commit_actions(spark, table_path, lo, at_version)
@@ -212,6 +233,7 @@ def snapshot_files(
         "modificationTime",
         "partitionValues",
         F.col("version").alias("add_version"),
+        "deletionVector",
     )
 
 
@@ -393,3 +415,247 @@ def log_history(spark: SparkSession, table_path: str) -> DataFrame:
             F.when(F.col("kind") == "add", F.col("size")).otherwise(0)
         ).alias("bytes_added"),
     )
+
+
+def snapshot_rows(
+    spark: SparkSession, table_path: str, version: int | None = None
+) -> DataFrame:
+    """Actual DATA ROWS of a snapshot with deletion vectors applied —
+    what snapshot_files cannot answer on a DV table (its record counts
+    include soft-deleted rows). Returns the data columns plus
+    ``dv_storage`` (the descriptor's storageType, null when the file
+    carries no DV).
+
+    Scale shape: the live-file list is the driver-side scan plan (what
+    every Delta reader computes); the parquet scan is distributed; DV
+    descriptors decode EXECUTOR-side inside mapInPandas (one bitmap per
+    file, exploded to (path, pos) rows bounded by the file's row
+    count); deleted rows drop via a left-anti join on
+    (path, _metadata.row_index).
+    """
+    import re as _re
+    from collections.abc import Iterator
+
+    snap = snapshot_files(spark, table_path, version)
+    files = snap.select("path", "deletionVector").collect()
+    if not files:
+        raise ValueError("delta: snapshot has no live files — quarantine")
+    prefix = os.path.abspath(table_path)
+    data = (
+        spark.read.parquet(*sorted(os.path.join(prefix, r["path"]) for r in files))
+        .withColumn(
+            "_relpath",
+            F.regexp_replace(
+                F.col("_metadata.file_path"),
+                "^file:/*" + _re.escape(prefix.lstrip("/")) + "/",
+                "",
+            ),
+        )
+        .withColumn("_pos", F.col("_metadata.row_index"))
+    )
+
+    dv_rows = [
+        (
+            r["path"],
+            r["deletionVector"]["storageType"],
+            r["deletionVector"]["pathOrInlineDv"],
+            r["deletionVector"]["offset"],
+            r["deletionVector"]["sizeInBytes"],
+            r["deletionVector"]["cardinality"],
+        )
+        for r in files
+        if r["deletionVector"] is not None
+    ]
+    storage = spark.createDataFrame(
+        [(r["path"], r["deletionVector"]["storageType"] if r["deletionVector"] else None)
+         for r in files],
+        "path string, dv_storage string",
+    )
+    out = data.join(
+        F.broadcast(storage), data["_relpath"] == storage["path"], "inner"
+    ).drop("path")
+    if dv_rows:
+        import pandas as pd
+
+        desc_df = spark.createDataFrame(
+            dv_rows,
+            "path string, storageType string, pathOrInlineDv string, "
+            "offset int, sizeInBytes int, cardinality long",
+        ).repartition(min(len(dv_rows), 32))
+
+        def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from shared_etl_pipelines_spark.sources.deletion_vectors import (
+                read_dv_descriptor,
+            )
+
+            for pdf in it:
+                paths: list[str] = []
+                poss: list[int] = []
+                for rec in pdf.itertuples(index=False):
+                    desc = {
+                        "storageType": rec.storageType,
+                        "pathOrInlineDv": rec.pathOrInlineDv,
+                        "offset": rec.offset,
+                        "sizeInBytes": rec.sizeInBytes,
+                        "cardinality": rec.cardinality,
+                    }
+                    for pos in read_dv_descriptor(prefix, desc):
+                        paths.append(rec.path)
+                        poss.append(pos)
+                yield pd.DataFrame({"path": paths, "pos": poss})
+
+        dv_pos = desc_df.mapInPandas(decode, "path string, pos long")
+        out = out.join(
+            dv_pos,
+            (out["_relpath"] == dv_pos["path"]) & (out["_pos"] == dv_pos["pos"]),
+            "left_anti",
+        )
+    return out.drop("_relpath", "_pos")
+
+
+def ensure_demo_delta_dv_table(sf_dir: str, bucket: int = 25) -> str:
+    """DV demo table with REAL parquet data files, derived from
+    ``documents`` in closed form: commit 1 adds one file per 25-doc
+    bucket (rows (doc_id, size=octet length, day=doc_id%7) sorted by
+    doc_id); commit 2 re-adds every bucket that contains churn docs
+    (doc_id%9==8) with a deletion vector over their in-file positions —
+    storage rotating by bucket: k%3==0 a shared "p" DV file, k%3==1 a
+    "u" uuid-addressed file, k%3==2 inline "i" z85. The oracle replays
+    all of it from doc_id."""
+    import hashlib
+    import tempfile
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from shared_etl_pipelines_spark.sources.deletion_vectors import (
+        serialize_dv,
+        write_dv_file,
+        z85_encode,
+    )
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    docs = sorted(
+        zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())
+    )
+    digest = hashlib.md5(
+        repr(("dv", len(docs), docs[:2], bucket)).encode()
+    ).hexdigest()[:12]
+    root = os.path.join(
+        tempfile.gettempdir(), "spark_graft_delta_dv_demo_v1", f"t-{digest}"
+    )
+    done = root + ".done"
+    if os.path.exists(done):
+        return root
+    os.makedirs(root, exist_ok=True)
+
+    buckets: dict[int, list[tuple[int, int]]] = {}
+    for doc_id, text in docs:
+        d = int(doc_id)
+        n = len(str(text).encode("utf-8"))
+        buckets.setdefault(d // bucket, []).append((d, n))
+
+    t0 = 1_700_000_000_000
+    adds_v1, adds_v2 = [], []
+    churn_positions: dict[int, list[int]] = {}
+    for k, members in sorted(buckets.items()):
+        rel = f"part-b{k:05d}.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([d for d, _ in members], pa.int64()),
+                    "size": pa.array([n for _, n in members], pa.int64()),
+                    "day": pa.array([d % 7 for d, _ in members], pa.int32()),
+                }
+            ),
+            os.path.join(root, rel),
+        )
+        add = {
+            "path": rel,
+            "size": sum(n for _, n in members),
+            "modificationTime": t0 + k,
+            "dataChange": True,
+            "partitionValues": {},
+        }
+        adds_v1.append({"add": add})
+        pos = [i for i, (d, _n) in enumerate(members) if d % 9 == 8]
+        if pos:
+            churn_positions[k] = pos
+
+    # shared "p" file first: k%3==0 buckets in bucket order
+    p_buckets = sorted(k for k in churn_positions if k % 3 == 0)
+    p_file = os.path.join(root, "dv-shared.bin")
+    p_spans = write_dv_file(p_file, [churn_positions[k] for k in p_buckets])
+    descs: dict[int, dict] = {}
+    for k, (off, size) in zip(p_buckets, p_spans):
+        descs[k] = {
+            "storageType": "p",
+            "pathOrInlineDv": p_file,
+            "offset": off,
+            "sizeInBytes": size,
+            "cardinality": len(churn_positions[k]),
+        }
+    for k in sorted(churn_positions):
+        if k % 3 == 1:
+            u = _uuid.UUID(int=k)  # deterministic per bucket
+            spans = write_dv_file(
+                os.path.join(root, f"deletion_vector_{u}.bin"),
+                [churn_positions[k]],
+            )
+            descs[k] = {
+                "storageType": "u",
+                "pathOrInlineDv": z85_encode(u.bytes),
+                "offset": spans[0][0],
+                "sizeInBytes": spans[0][1],
+                "cardinality": len(churn_positions[k]),
+            }
+        elif k % 3 == 2:
+            payload = serialize_dv(churn_positions[k])
+            padded = payload + b"\x00" * ((-len(payload)) % 4)
+            descs[k] = {
+                "storageType": "i",
+                "pathOrInlineDv": z85_encode(padded),
+                "offset": 0,
+                "sizeInBytes": len(payload),
+                "cardinality": len(churn_positions[k]),
+            }
+    for k in sorted(descs):
+        add = dict(adds_v1[k]["add"])
+        add["modificationTime"] = t0 + 10_000 + k
+        add["deletionVector"] = descs[k]
+        adds_v2.append({"add": add})
+
+    write_commit(
+        root,
+        0,
+        [
+            {
+                "protocol": {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    "readerFeatures": ["deletionVectors"],
+                    "writerFeatures": ["deletionVectors"],
+                }
+            },
+            {
+                "metaData": {
+                    "id": digest,
+                    "format": {"provider": "parquet", "options": {}},
+                    "schemaString": json.dumps({"type": "struct", "fields": []}),
+                    "partitionColumns": [],
+                }
+            },
+        ],
+    )
+    write_commit(
+        root, 1, [{"commitInfo": {"operation": "WRITE"}}] + adds_v1
+    )
+    write_commit(
+        root, 2, [{"commitInfo": {"operation": "DELETE"}}] + adds_v2
+    )
+    with open(done, "w") as fh:
+        fh.write("ok\n")
+    return root
