@@ -1040,6 +1040,8 @@ _CARRYOVER_FIRST: tuple[str, ...] = (
     "iceberg_v2_delete_read",
     # Delta deletion vectors decoded + applied on read (VERDICT r10 task #3)
     "delta_dv_read",
+    # Hudi merge-on-read log-block merge (VERDICT r10 task #4)
+    "hudi_mor_read",
 )
 
 

@@ -14107,3 +14107,40 @@ def q_delta_dv_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = ensure_demo_delta_dv_table(sf_dir)
     return snapshot_rows(spark, root).select("doc_id", "size", "day", "dv_storage")
+
+
+# ---------------------------------------------------------------------------
+# Hudi MERGE_ON_READ (r11): real .log block chains (sources/hudilog.py
+# — #HUDI# magic, BE-framed header maps, AVRO_DATA + DELETE blocks)
+# merged with base parquet per record key: base commit writes every
+# doc, deltacommit ts2 triples churn docs' size via an update block,
+# deltacommit ts3 deletes doc_id%13==5 via a delete block, and an
+# in-flight deltacommit marker is planted to prove state filtering.
+# A COW-only reader misses every log record — VERDICT r10 task #4.
+# ---------------------------------------------------------------------------
+@defquery(
+    "hudi_mor_read",
+    """
+    WITH a AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 9 = 8 THEN 3*n ELSE n END AS BIGINT) AS size,
+           CAST(doc_id % 7 AS INT) AS day,
+           doc_id % 9 = 8 AS from_log
+    FROM a WHERE doc_id % 13 <> 5
+    """,
+    doc="Hudi merge-on-read snapshot: latest record version per key "
+    "across base parquet + executor-decoded log blocks (window over "
+    "the record key; delete-block keys drop; same-instant ties "
+    "resolve to the delete)",
+    tags=("llm", "lakehouse", "source", "catalog"),
+)
+def q_hudi_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.hudi import (
+        ensure_demo_hudi_mor_table,
+        snapshot_mor_rows,
+    )
+
+    root = ensure_demo_hudi_mor_table(sf_dir)
+    return snapshot_mor_rows(spark, root).select(
+        "doc_id", "size", "day", "from_log"
+    )

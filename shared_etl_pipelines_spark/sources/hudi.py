@@ -34,8 +34,10 @@ from pyspark.sql import functions as F
 __all__ = [
     "timeline_instants",
     "snapshot_file_slices",
+    "snapshot_mor_rows",
     "write_commit_instant",
     "ensure_demo_hudi_table",
+    "ensure_demo_hudi_mor_table",
 ]
 
 _WRITE_STATS_SCHEMA = (
@@ -223,6 +225,238 @@ def ensure_demo_hudi_table(sf_dir: str, bucket: int = 25) -> str:
     write_commit_instant(root, ts(902), {}, state="inflight")
     with open(os.path.join(_timeline_dir(root), "hoodie.properties"), "w") as fh:
         fh.write("hoodie.table.name=demo\nhoodie.table.type=COPY_ON_WRITE\n")
+    with open(done, "w") as fh:
+        fh.write("ok\n")
+    return root
+
+
+# ---------------------------------------------------------------------------
+# MERGE_ON_READ (tech-spec "Log File Format" + "Reader Expectations"):
+# a file group is its base parquet file plus an ordered chain of .log
+# files written by deltacommits; the snapshot is the LATEST record
+# version per record key across base + logs, with DELETE-block keys
+# dropped. sources/hudilog.py parses the block format; this reader
+# keeps the same scale split as the COW path — timeline listing and
+# file lists on the driver (every Hudi reader plans file slices there),
+# base rows as a distributed parquet scan, log-block decode
+# executor-side inside mapInPandas, and the merge as a window over the
+# record key.
+# ---------------------------------------------------------------------------
+
+MOR_RECORD_SCHEMA = {
+    "type": "record",
+    "name": "mor_record",
+    "fields": [
+        {"name": "doc_id", "type": "long"},
+        {"name": "size", "type": "long"},
+        {"name": "day", "type": "int"},
+    ],
+}
+
+
+def snapshot_mor_rows(spark: SparkSession, table_path: str) -> DataFrame:
+    """Merge-on-read snapshot rows: (doc_id, size, day, from_log).
+    ``from_log`` is True when the winning record version came from a
+    log block rather than the base file."""
+    from collections.abc import Iterator
+
+    completed = [
+        i
+        for i in timeline_instants(table_path)
+        if i["state"] == "completed"
+        and i["action"] in ("commit", "deltacommit")
+    ]
+    base_paths: list[str] = []
+    log_paths: list[str] = []
+    for inst in completed:
+        with open(inst["path"]) as fh:
+            body = json.load(fh)
+        for stats in body.get("partitionToWriteStats", {}).values():
+            for s in stats:
+                rel = s["path"]
+                if ".log." in os.path.basename(rel):
+                    log_paths.append(os.path.join(table_path, rel))
+                else:
+                    base_paths.append(os.path.join(table_path, rel))
+    if not base_paths:
+        raise ValueError("hudi: MOR table has no base files — quarantine")
+
+    base = spark.read.parquet(*sorted(set(base_paths))).select(
+        "doc_id", "size", "day",
+        F.lit("00000000000000000").alias("instant"),  # base sorts first
+        F.lit("U").alias("op"),
+    )
+
+    merged = base
+    if log_paths:
+        import pandas as pd
+
+        def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from shared_etl_pipelines_spark.sources.hudilog import (
+                BLOCK_AVRO,
+                BLOCK_DELETE,
+                read_log_blocks,
+            )
+
+            cols = ("doc_id", "size", "day", "instant", "op")
+            for pdf in it:
+                rows: dict[str, list] = {k: [] for k in cols}
+                for path in pdf["log_path"]:
+                    with open(path, "rb") as fh:
+                        blocks = read_log_blocks(fh.read())
+                    for b in blocks:
+                        if b["type"] == BLOCK_AVRO:
+                            for r in b["records"]:
+                                rows["doc_id"].append(r["doc_id"])
+                                rows["size"].append(r["size"])
+                                rows["day"].append(r["day"])
+                                rows["instant"].append(b["instant"])
+                                rows["op"].append("U")
+                        elif b["type"] == BLOCK_DELETE:
+                            for k in b["keys"]:
+                                rows["doc_id"].append(int(k))
+                                rows["size"].append(0)
+                                rows["day"].append(0)
+                                rows["instant"].append(b["instant"])
+                                rows["op"].append("D")
+                yield pd.DataFrame(rows)
+
+        paths_df = spark.createDataFrame(
+            [(p,) for p in sorted(set(log_paths))], "log_path string"
+        ).repartition(min(len(set(log_paths)), 32))
+        log_rows = paths_df.mapInPandas(
+            decode, "doc_id long, size long, day int, instant string, op string"
+        )
+        merged = base.unionByName(log_rows)
+
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("instant").desc(),
+        # same-instant tie: the delete wins (a deltacommit that both
+        # updates and deletes a key resolves to the delete, per spec)
+        F.when(F.col("op") == "D", 0).otherwise(1),
+    )
+    return (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col("op") == "U"))
+        .select(
+            "doc_id", "size", "day",
+            (F.col("instant") != "00000000000000000").alias("from_log"),
+        )
+    )
+
+
+def ensure_demo_hudi_mor_table(sf_dir: str, bucket: int = 25) -> str:
+    """MERGE_ON_READ demo table with REAL base parquet + .log chains,
+    derived from ``documents`` in closed form: base commit ts(1) writes
+    every doc (size = octet length of text); deltacommit ts(2) logs an
+    AVRO_DATA update for churn docs (doc_id%9==8 -> size TRIPLED);
+    deltacommit ts(3) logs a DELETE block for doc_id%13==5. A
+    requested-state deltacommit marker is planted so in-flight logs are
+    proven excluded."""
+    import hashlib
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from shared_etl_pipelines_spark.sources.hudilog import write_log_file
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    docs = sorted(
+        zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())
+    )
+    digest = hashlib.md5(
+        repr(("mor", len(docs), docs[:2], bucket)).encode()
+    ).hexdigest()[:12]
+    root = os.path.join(
+        tempfile.gettempdir(), "spark_graft_hudi_mor_demo_v1", f"t-{digest}"
+    )
+    done = root + ".done"
+    if os.path.exists(done):
+        return root
+    os.makedirs(root, exist_ok=True)
+
+    def ts(v: int) -> str:
+        return f"{20250101000000000 + v:017d}"
+
+    buckets: dict[int, list[tuple[int, int]]] = {}
+    for doc_id, text in docs:
+        d = int(doc_id)
+        n = len(str(text).encode("utf-8"))
+        buckets.setdefault(d // bucket, []).append((d, n))
+
+    base_stats: dict[str, list[dict]] = {"flat": []}
+    upd_stats: dict[str, list[dict]] = {"flat": []}
+    del_stats: dict[str, list[dict]] = {"flat": []}
+    for k, members in sorted(buckets.items()):
+        rel = f"f-{k:05d}_base.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([d for d, _ in members], pa.int64()),
+                    "size": pa.array([n for _, n in members], pa.int64()),
+                    "day": pa.array([d % 7 for d, _ in members], pa.int32()),
+                }
+            ),
+            os.path.join(root, rel),
+        )
+        base_stats["flat"].append(
+            {
+                "fileId": f"f-{k:05d}",
+                "path": rel,
+                "numWrites": len(members),
+                "numUpdateWrites": 0,
+                "totalWriteBytes": sum(n for _, n in members),
+            }
+        )
+        churn = [(d, n) for d, n in members if d % 9 == 8]
+        if churn:
+            rel_log = f".f-{k:05d}_{ts(1)}.log.1"
+            write_log_file(
+                os.path.join(root, rel_log),
+                ts(2),
+                avro_schema=MOR_RECORD_SCHEMA,
+                records=[
+                    {"doc_id": d, "size": 3 * n, "day": d % 7}
+                    for d, n in churn
+                ],
+            )
+            upd_stats["flat"].append(
+                {
+                    "fileId": f"f-{k:05d}",
+                    "path": rel_log,
+                    "numWrites": 0,
+                    "numUpdateWrites": len(churn),
+                    "totalWriteBytes": sum(3 * n for _, n in churn),
+                }
+            )
+        doomed = [d for d, _ in members if d % 13 == 5]
+        if doomed:
+            rel_log = f".f-{k:05d}_{ts(1)}.log.2"
+            write_log_file(
+                os.path.join(root, rel_log),
+                ts(3),
+                delete_keys=[str(d) for d in doomed],
+            )
+            del_stats["flat"].append(
+                {
+                    "fileId": f"f-{k:05d}",
+                    "path": rel_log,
+                    "numWrites": 0,
+                    "numUpdateWrites": 0,
+                    "totalWriteBytes": 0,
+                }
+            )
+
+    write_commit_instant(root, ts(1), base_stats, action="commit")
+    write_commit_instant(root, ts(2), upd_stats, action="deltacommit")
+    write_commit_instant(root, ts(3), del_stats, action="deltacommit")
+    # planted in-flight deltacommit: must not contribute rows
+    write_commit_instant(root, ts(4), {}, action="deltacommit", state="requested")
+    with open(os.path.join(_timeline_dir(root), "hoodie.properties"), "w") as fh:
+        fh.write("hoodie.table.name=demo_mor\nhoodie.table.type=MERGE_ON_READ\n")
     with open(done, "w") as fh:
         fh.write("ok\n")
     return root
