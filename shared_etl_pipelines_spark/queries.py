@@ -1019,7 +1019,8 @@ _R10_GREEN = frozenset(
         "topk_per_group", "torrent_metainfo_audit", "unigram_lm_train",
         "unigram_segment_stats", "union_combine", "value_mask",
         "vcard_pii_census", "weighted_zonal", "zonal_stats",
-        "zonal_stats_approx",
+        # zonal_stats_approx: builder edited in r11 (small-zone band
+        # guard, ADVICE r10) — removed pending a fresh driver verdict
     }
 )
 
@@ -1042,6 +1043,8 @@ _CARRYOVER_FIRST: tuple[str, ...] = (
     "delta_dv_read",
     # Hudi merge-on-read log-block merge (VERDICT r10 task #4)
     "hudi_mor_read",
+    # small-zone band guard added to the sketch judge (ADVICE r10)
+    "zonal_stats_approx",
 )
 
 

@@ -300,6 +300,15 @@ def ensure_demo_delta_table(sf_dir: str, bucket: int = 25) -> str:
                 }
             )
     n_buckets = (len(docs) + bucket - 1) // bucket
+    # delta_time_travel_audit's oracle needs version 7 to sit BEHIND the
+    # checkpoint (n_buckets//2+1) — otherwise _replay flattens
+    # add_version to the checkpoint version and the hash fails opaquely.
+    # A future smaller documents fixture must fail HERE instead.
+    if n_buckets // 2 + 1 <= 7:
+        raise ValueError(
+            f"delta demo: {len(docs)} docs puts the checkpoint at version "
+            f"{n_buckets // 2 + 1} <= time-travel pin 7 — fixture too small"
+        )
     last_version = n_buckets + 2
     write_commit(
         root,

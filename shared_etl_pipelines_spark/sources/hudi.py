@@ -208,6 +208,17 @@ def ensure_demo_hudi_table(sf_dir: str, bucket: int = 25) -> str:
                 stat(d, n, k + 3)
             )
     n_buckets = (len(docs) + bucket - 1) // bucket
+    # hudi_timeline_audit's oracle counts 2*n_buckets completed commits
+    # (one base + one update per bucket) — true only while EVERY bucket
+    # contains a churn doc (d%9==8). A sparse/partial future fixture
+    # must fail here, not via an opaque hash mismatch.
+    if set(base) != set(range(1, n_buckets + 1)) or any(
+        k + 3 not in upd for k in range(n_buckets)
+    ):
+        raise ValueError(
+            "hudi demo: a bucket lacks its base or churn commit — the "
+            "timeline census oracle's 2*n_buckets closed form would lie"
+        )
     for v in range(1, n_buckets + 3):
         stats = base.get(v, {})
         ustats = upd.get(v)

@@ -179,10 +179,15 @@ def web_download_list(
             manifest[url] = _validators(url, timeout_seconds)
         downloaded.append(dest)
 
-    with ThreadPoolExecutor(max_workers=max_workers) as ex:
-        list(ex.map(one, url_list))
-    if conditional_get:
-        _save_manifest(out, manifest)
+    try:
+        with ThreadPoolExecutor(max_workers=max_workers) as ex:
+            list(ex.map(one, url_list))
+    finally:
+        # one failing URL propagates out of ex.map and aborts the batch;
+        # validators already earned by completed downloads must survive
+        # or the next run refetches everything it had finished
+        if conditional_get:
+            _save_manifest(out, manifest)
     return {"downloaded": sorted(downloaded), "skipped": sorted(skipped), "out": out}
 
 

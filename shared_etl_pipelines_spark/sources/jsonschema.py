@@ -71,9 +71,20 @@ def validate(value, schema: dict, path: str = "") -> list[tuple[str, str]]:
             out.append((path or "/", "type"))
             return out  # further keyword checks presume the type
 
-    if "enum" in schema and value not in schema["enum"]:
+    # Python equality says True == 1 / False == 0; JSON Schema does not
+    # (bool is its own type). Literal comparison must be type-aware or
+    # {"enum": [1]} would accept true — the same bool-is-not-number rule
+    # the type/minimum checks already apply.
+    def _same_literal(a, b):
+        if isinstance(a, bool) != isinstance(b, bool):
+            return False
+        return a == b
+
+    if "enum" in schema and not any(
+        _same_literal(value, c) for c in schema["enum"]
+    ):
         out.append((path or "/", "enum"))
-    if "const" in schema and value != schema["const"]:
+    if "const" in schema and not _same_literal(value, schema["const"]):
         out.append((path or "/", "const"))
 
     if isinstance(value, (int, float)) and not isinstance(value, bool):

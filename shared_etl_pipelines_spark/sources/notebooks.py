@@ -26,11 +26,29 @@ import json
 
 __all__ = ["parse_notebook", "notebook_to_script", "build_notebook"]
 
-_MIME_CLASSES = (
-    ("image/", "image"),
-    ("application/javascript", "active"),
-    ("text/html", "html"),
-)
+
+def _validated_nb(blob: bytes) -> dict:
+    """Shared intake gate: UTF-8 JSON, nbformat pinned to 4, every cell
+    an object with a known cell_type. Both entry points run it, so a
+    v3 notebook (code cells keyed 'input') can never convert silently
+    to empty '# %%' stubs."""
+    try:
+        nb = json.loads(blob.decode("utf-8"))
+    except (UnicodeDecodeError, json.JSONDecodeError) as e:
+        raise ValueError(f"ipynb: not UTF-8 JSON — quarantine ({e})") from e
+    if not isinstance(nb, dict) or nb.get("nbformat") != 4:
+        raise ValueError(
+            f"ipynb: nbformat {nb.get('nbformat') if isinstance(nb, dict) else '?'}"
+            " unsupported (spec pin: 4) — quarantine"
+        )
+    for cell in nb.get("cells", []):
+        if not isinstance(cell, dict):
+            raise ValueError("ipynb: cells entry is not an object — quarantine")
+        if cell.get("cell_type") not in ("code", "markdown", "raw"):
+            raise ValueError(
+                f"ipynb: unknown cell_type {cell.get('cell_type')!r} — quarantine"
+            )
+    return nb
 
 
 def _source_text(cell: dict) -> str:
@@ -45,22 +63,10 @@ def _source_text(cell: dict) -> str:
 
 
 def parse_notebook(blob: bytes) -> dict:
-    try:
-        nb = json.loads(blob.decode("utf-8"))
-    except (UnicodeDecodeError, json.JSONDecodeError) as e:
-        raise ValueError(f"ipynb: not UTF-8 JSON — quarantine ({e})") from e
-    if not isinstance(nb, dict) or nb.get("nbformat") != 4:
-        raise ValueError(
-            f"ipynb: nbformat {nb.get('nbformat') if isinstance(nb, dict) else '?'}"
-            " unsupported (spec pin: 4) — quarantine"
-        )
+    nb = _validated_nb(blob)
     cells_out = []
     for cell in nb.get("cells", []):
-        if not isinstance(cell, dict):
-            raise ValueError("ipynb: cells entry is not an object — quarantine")
         ctype = cell.get("cell_type")
-        if ctype not in ("code", "markdown", "raw"):
-            raise ValueError(f"ipynb: unknown cell_type {ctype!r} — quarantine")
         text = _source_text(cell)
         n_out = 0
         out_bytes = 0
@@ -98,7 +104,7 @@ def notebook_to_script(blob: bytes) -> str:
     """Outputs-stripped percent-format script — what lands in a
     training corpus. Raw cells drop entirely (spec: passthrough for
     exporters, not source)."""
-    nb = json.loads(blob.decode("utf-8"))
+    nb = _validated_nb(blob)
     parts = []
     for cell in nb.get("cells", []):
         text = _source_text(cell)

@@ -84,3 +84,28 @@ def test_lfs_roundtrip_and_strictness():
             L.parse_lfs_pointer(bad)
     assert not L.is_probably_pointer(b"print('hello')\n")
     assert not L.is_probably_pointer(b"v" * 2000)
+
+
+def test_notebook_to_script_refuses_v3(tmp_path):
+    """A v3 notebook (code cells keyed 'input') must quarantine in
+    notebook_to_script too, not convert to empty '# %%' stubs
+    (ADVICE r10)."""
+    import json
+
+    import pytest
+
+    v3 = json.dumps(
+        {
+            "nbformat": 3,
+            "worksheets": [
+                {"cells": [{"cell_type": "code", "input": "print(1)"}]}
+            ],
+        }
+    ).encode()
+    with pytest.raises(ValueError, match="nbformat 3"):
+        NB.notebook_to_script(v3)
+    bad_cell = json.dumps(
+        {"nbformat": 4, "cells": [{"cell_type": "widget", "source": "x"}]}
+    ).encode()
+    with pytest.raises(ValueError, match="unknown cell_type"):
+        NB.notebook_to_script(bad_cell)

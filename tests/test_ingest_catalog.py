@@ -328,3 +328,29 @@ def test_csv_quarantine_split(spark, sf_dir):
     assert r["source"].startswith("crawl-")  # partial parse survives
     assert good.filter("doc_id IS NULL").count() == 0
     df.unpersist()
+
+
+def test_manifest_survives_partial_batch_failure(tree, tmp_path):
+    """A URL that 404s mid-batch aborts web_download_list, but the
+    validators already earned by completed conditional downloads must
+    land on disk (finally-save, ADVICE r10) so the rerun 304-skips."""
+    import json
+    import os
+
+    import pytest
+
+    out = tmp_path / "dl"
+    good = [
+        f"file://{tree}/2020/prism_ppt_us_30s_20200101.tif",
+        f"file://{tree}/2020/prism_ppt_us_30s_20200102.tif",
+    ]
+    bad = f"file://{tree}/2020/definitely-missing-404.tif"
+    with pytest.raises(Exception):
+        I.web_download_list(
+            urls=good + [bad], out=str(out), conditional_get=True,
+            max_workers=1,
+        )
+    mf = os.path.join(str(out), ".ingest_manifest.json")
+    assert os.path.exists(mf)
+    saved = json.load(open(mf))
+    assert any(u in saved for u in good)

@@ -69,3 +69,17 @@ def test_validate_record_verdicts():
     assert (v["verdict"], v["first_path"]) == ("type", "/id")
     assert validate_record(b'{"id": 1', schema)["verdict"] == "parse"
     assert validate_record(b"\xff\xfe", schema)["verdict"] == "parse"
+
+
+def test_enum_const_bool_is_not_number():
+    """JSON Schema types bool and number are disjoint for literals too:
+    True==1 in Python must not leak into enum/const (ADVICE r10)."""
+    from shared_etl_pipelines_spark.sources.jsonschema import validate
+
+    assert validate(True, {"enum": [1]}) == [("/", "enum")]
+    assert validate(False, {"const": 0}) == [("/", "const")]
+    assert validate(1, {"enum": [True]}) == [("/", "enum")]
+    assert validate(0, {"const": False}) == [("/", "const")]
+    # the honest matches still pass
+    assert validate(True, {"enum": [True]}) == []
+    assert validate(1, {"const": 1}) == []
