@@ -820,7 +820,10 @@ _R5_GREEN = frozenset(
         # "dup_spans" and "hilbert_layout_audit" were r5-green but
         # touched in r7 after their last verdicts (VERDICT r7 item 7) —
         # re-fronted.
-        "embedding_dbscan", "embedding_kmeans_assign",
+        # "embedding_dbscan" was green here but its builder switched
+        # persist -> localCheckpoint in r11 (floor cut, VERDICT r10
+        # task #6) — re-fronted for a fresh verdict.
+        "embedding_kmeans_assign",
         "heavy_demand_parts_sketch",
         "image_ahash_neardup",
         # "incremental_near_dup", "near_dup_levenshtein" and
@@ -1045,6 +1048,9 @@ _CARRYOVER_FIRST: tuple[str, ...] = (
     "hudi_mor_read",
     # small-zone band guard added to the sketch judge (ADVICE r10)
     "zonal_stats_approx",
+    # persist -> localCheckpoint floor cut, same plan + hash (VERDICT
+    # r10 task #6)
+    "embedding_dbscan",
 )
 
 

@@ -6979,12 +6979,14 @@ def q_embedding_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     pairs = embedding_near_dup_lsh(emb, tau=0.4).select("id_a", "id_b")
     # The verified eps-edge list is tiny but COSTLY (LSH bucket join +
-    # exact cosine verify). Its consumers span MANY separate jobs (the
-    # connected-components loop collects a convergence scalar per round,
-    # plus the deg/border actions), and exchange reuse only dedupes
-    # within one job — uncached, the LSH verify re-runs per job: 15.3 s
-    # vs 11.9 s at sf0.1. Intra-query persist per the repo cache-hygiene
-    # convention (bench/gate harnesses clearCache between queries).
+    # exact cosine verify), and its consumers span MANY separate jobs
+    # (the connected-components loop collects a convergence scalar per
+    # round, plus the deg/border actions). localCheckpoint instead of
+    # persist: both cache the rows, but persist keeps the FULL LSH
+    # lineage attached, and every one of those ~20 downstream jobs
+    # re-analyzes/re-plans it — measured 12.2 s -> 5.9 s at sf0.1 when
+    # the lineage is truncated. Executor-local checkpoint storage is
+    # reclaimed by engine.sweep_persistent_rdds between bench queries.
     edges = (
         pairs.unionByName(
             pairs.select(
@@ -6992,7 +6994,7 @@ def q_embedding_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .distinct()
-        .persist()
+        .localCheckpoint()
     )
     deg = edges.groupBy(F.col("id_a").alias("node")).agg(
         F.count(F.lit(1)).alias("d")
