@@ -230,3 +230,43 @@ def hilbert_sql_ctes(
         )
     parts.append(f"hfinal AS (SELECT {cols}, hd AS {out} FROM h0)")
     return ",\n".join(parts)
+
+
+def plan_clustered_files(
+    df: DataFrame,
+    key: Column,
+    n_files: int,
+    stat_cols: Sequence[str],
+) -> DataFrame:
+    """Deterministic layout PLAN: assign rows to ``n_files`` planned
+    files by fixed-width ranges of a clustering key, and emit the
+    per-file min/max stats a file-skipping audit reads.
+
+    Returns (file_id, n_rows, mn_<c>, mx_<c> ...). Unlike the writer
+    path (write_zordered's sampled repartitionByRange), the fixed-width
+    split is a pure function of the key, so an oracle can replay it —
+    and the shape is scale-honest: one scalar max (broadcast back), one
+    hash aggregate by file_id, NO global sort and no single-partition
+    window.
+    """
+    keyed = df.withColumn("__k", key.cast("long"))
+    width = keyed.agg(
+        (F.floor(F.max("__k") / n_files) + 1).cast("long").alias("__w")
+    )
+    per_file = (
+        keyed.crossJoin(F.broadcast(width))
+        .withColumn("file_id", F.expr("__k div __w"))
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[
+                a
+                for c in stat_cols
+                for a in (
+                    F.min(c).alias(f"mn_{c}"),
+                    F.max(c).alias(f"mx_{c}"),
+                )
+            ],
+        )
+    )
+    return per_file

@@ -1051,6 +1051,9 @@ _CARRYOVER_FIRST: tuple[str, ...] = (
     # persist -> localCheckpoint floor cut, same plan + hash (VERDICT
     # r10 task #6)
     "embedding_dbscan",
+    # Z-order vs linear file-skipping effectiveness planner (VERDICT
+    # r10 task #8)
+    "zorder_layout_plan",
 )
 
 

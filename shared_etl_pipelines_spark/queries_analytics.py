@@ -5618,3 +5618,86 @@ def q_link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("jac", 4).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order file-skipping effectiveness audit (r11, VERDICT r10 task #8):
+# the layout PLANNER's view. Rows map to planned files by fixed-width
+# key ranges (a pure function of the key — oracle-replayable, and no
+# global sort: one broadcast scalar + one hash agg), once under the
+# Morton key over (p_partkey, p_size) and once under a linear
+# p_partkey layout. The audit predicate p_size BETWEEN 10 AND 14
+# touches only the SECOND dimension: the linear layout can skip
+# nothing (every file spans the full p_size range) while the Z-order
+# layout's per-file p_size windows stay tight — the property that makes
+# multi-dimensional clustering pay at 100 TB scan time.
+# ---------------------------------------------------------------------------
+def _zorder_plan_oracle() -> str:
+    from shared_etl_pipelines_spark.operators.layout import zorder_sql
+
+    zk = zorder_sql(["p_partkey", "p_size"], bits=11)
+    return f"""
+    WITH z AS (
+      SELECT p_partkey, p_size, ({zk}) AS k FROM part
+    ),
+    lin AS (SELECT p_partkey, p_size, CAST(p_partkey AS BIGINT) AS k FROM part),
+    zf AS (
+      SELECT 'zorder' AS layout, k // (SELECT MAX(k) // 16 + 1 FROM z)
+               AS file_id, p_partkey, p_size
+      FROM z
+    ),
+    lf AS (
+      SELECT 'linear', k // (SELECT MAX(k) // 16 + 1 FROM lin),
+             p_partkey, p_size
+      FROM lin
+    ),
+    both_f AS (SELECT * FROM zf UNION ALL SELECT * FROM lf)
+    SELECT layout, CAST(file_id AS BIGINT) AS file_id,
+           COUNT(*) AS n_rows,
+           MIN(p_partkey) AS mn_p_partkey, MAX(p_partkey) AS mx_p_partkey,
+           CAST(MIN(p_size) AS INT) AS mn_p_size,
+           CAST(MAX(p_size) AS INT) AS mx_p_size,
+           (MAX(p_size) < 10 OR MIN(p_size) > 14) AS skippable
+    FROM both_f GROUP BY 1, 2
+    """
+
+
+@defquery(
+    "zorder_layout_plan",
+    _zorder_plan_oracle(),
+    doc="file-skipping effectiveness audit: per planned file (16 "
+    "fixed-width key ranges), min/max stats and whether the probe "
+    "p_size BETWEEN 10 AND 14 can skip it — Z-order layout vs linear "
+    "p_partkey layout; only the Morton key yields skippable files "
+    "under a second-dimension predicate",
+    tags=("layout", "zorder", "scale-path", "plan"),
+)
+def q_zorder_layout_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.operators.layout import (
+        plan_clustered_files,
+        zorder_key,
+    )
+
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_size")
+    plans = []
+    for layout, key in (
+        ("zorder", zorder_key(["p_partkey", "p_size"], bits=11)),
+        ("linear", F.col("p_partkey").cast("long")),
+    ):
+        plans.append(
+            plan_clustered_files(p, key, 16, ["p_partkey", "p_size"])
+            .withColumn("layout", F.lit(layout))
+        )
+    out = plans[0].unionByName(plans[1])
+    return out.select(
+        "layout",
+        "file_id",
+        "n_rows",
+        "mn_p_partkey",
+        "mx_p_partkey",
+        F.col("mn_p_size").cast("int").alias("mn_p_size"),
+        F.col("mx_p_size").cast("int").alias("mx_p_size"),
+        (
+            (F.col("mx_p_size") < 10) | (F.col("mn_p_size") > 14)
+        ).alias("skippable"),
+    )

@@ -656,3 +656,22 @@ def test_hilbert_ranges_are_perfect_squares_at_power_boundaries(spark):
         ys = [p[1] for p in pts]
         assert len(pts) == 64
         assert (max(xs) - min(xs) + 1) * (max(ys) - min(ys) + 1) == 64
+
+
+def test_zorder_plan_skips_only_under_morton_layout(spark, sf_dir):
+    """The effectiveness claim itself: under the p_size-only probe the
+    linear layout skips NOTHING while the Z-order layout skips files."""
+    from shared_etl_pipelines_spark.queries import REGISTRY
+
+    rows = REGISTRY["zorder_layout_plan"].fn(spark, sf_dir).collect()
+    by_layout = {}
+    for r in rows:
+        by_layout.setdefault(r["layout"], []).append(r)
+    lin_skips = sum(r["skippable"] for r in by_layout["linear"])
+    z_skips = sum(r["skippable"] for r in by_layout["zorder"])
+    assert lin_skips == 0
+    assert z_skips >= 4  # most 16ths of Morton space miss p_size 10..14
+    # every planned file is non-empty and stats are honest windows
+    assert all(
+        r["n_rows"] > 0 and r["mn_p_size"] <= r["mx_p_size"] for r in rows
+    )

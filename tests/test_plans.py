@@ -800,3 +800,12 @@ def test_r10_lakehouse_snapshots_shuffle_once_no_join(spark, sf):
     p = phys(REGISTRY["iceberg_snapshot_audit"].fn(spark, sf))
     assert "Exchange hashpartitioning" not in p
     assert "Join" not in p
+
+
+def test_zorder_layout_plan_has_no_global_sort(spark, sf):
+    """The planner must stay scale-shaped: fixed-width ranges need one
+    broadcast scalar + one hash agg per layout — never a global Sort or
+    a single-partition Window."""
+    p = phys(REGISTRY["zorder_layout_plan"].fn(spark, sf))
+    assert "Window" not in p
+    assert "rangepartitioning" not in p.lower()
