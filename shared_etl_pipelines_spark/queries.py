@@ -1056,6 +1056,12 @@ _CARRYOVER_FIRST: tuple[str, ...] = (
     "zorder_layout_plan",
     # VP8 keyframe pixel decode in WebM (VERDICT r10 task #5)
     "multimodal_vp8_frames",
+    # row-level-delete lifecycle planners (r11)
+    "hudi_compaction_plan", "delta_dv_purge_plan", "iceberg_rewrite_plan",
+    # SQLite file-format b-tree reader (r11)
+    "sqlite_table_scan",
+    # Zarr v2 chunk store: distributed decode + chunk-grid pruning (r11)
+    "zarr_zonal_rollup", "zarr_chunk_prune_plan",
 )
 
 

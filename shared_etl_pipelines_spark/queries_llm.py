@@ -14188,3 +14188,242 @@ def q_multimodal_vp8_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assets = synthetic_vp8_webm_assets(_t(spark, sf_dir, "documents"))
     return sample_video_frames(assets, stride=2)
+
+
+# ---------------------------------------------------------------------------
+# Lakehouse row-level-delete LIFECYCLE planners (r11): the maintenance
+# worklists that pair with the new merge-on-read surface — a table that
+# accumulates deletes forever eventually makes every read pay the merge
+# tax, and each format's planner decides what to rewrite from METADATA
+# alone (timeline stats / snapshot state / delete files), never the
+# data files.
+# ---------------------------------------------------------------------------
+@defquery(
+    "hudi_compaction_plan",
+    """
+    WITH a AS (SELECT doc_id, doc_id // 25 AS k FROM documents),
+    g AS (SELECT k,
+                 COUNT(CASE WHEN doc_id % 9 = 8 THEN 1 END) AS n_churn,
+                 COUNT(CASE WHEN doc_id % 13 = 5 THEN 1 END) AS n_del
+          FROM a GROUP BY k)
+    SELECT CAST(k AS BIGINT) AS bucket,
+           CAST(2 AS BIGINT) AS n_log_files,
+           '20250101000000003' AS latest_log_instant,
+           CAST(n_churn AS BIGINT) AS n_update_records
+    FROM g WHERE n_churn > 0 AND n_del > 0
+    """,
+    doc="Hudi MOR compaction schedule: file groups whose log chain "
+    "reached min_log_files=2 (an update log AND a delete log), read "
+    "from deltacommit write stats only — the merge worklist a "
+    "compactor executes",
+    tags=("llm", "lakehouse", "catalog", "plan"),
+)
+def q_hudi_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.hudi import (
+        compaction_plan,
+        ensure_demo_hudi_mor_table,
+    )
+
+    root = ensure_demo_hudi_mor_table(sf_dir)
+    plan = compaction_plan(spark, root, min_log_files=2)
+    return plan.select(
+        F.regexp_extract("file_id", r"f-(\d+)", 1).cast("long").alias("bucket"),
+        "n_log_files",
+        "latest_log_instant",
+        "n_update_records",
+    )
+
+
+@defquery(
+    "delta_dv_purge_plan",
+    """
+    WITH a AS (SELECT doc_id, octet_length(encode(text)) AS n,
+                      doc_id // 25 AS k FROM documents),
+    g AS (SELECT k, SUM(n) AS bytes,
+                 COUNT(CASE WHEN doc_id % 9 = 8 THEN 1 END) AS churn
+          FROM a GROUP BY k)
+    SELECT 'part-b' || lpad(CAST(k AS VARCHAR), 5, '0') || '.parquet' AS path,
+           CASE CAST(k % 3 AS INT)
+                WHEN 0 THEN 'p' WHEN 1 THEN 'u' ELSE 'i' END AS dv_storage,
+           CAST(churn AS BIGINT) AS dv_cardinality,
+           CAST(bytes AS BIGINT) AS size
+    FROM g WHERE churn > 0
+    """,
+    doc="Delta REORG-PURGE planning: live files carrying a deletion "
+    "vector, with the DV's cardinality and storage type — the rewrite "
+    "worklist that clears the table's DV reader requirement",
+    tags=("llm", "lakehouse", "catalog", "plan"),
+)
+def q_delta_dv_purge_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.deltalog import (
+        dv_purge_plan,
+        ensure_demo_delta_dv_table,
+    )
+
+    root = ensure_demo_delta_dv_table(sf_dir)
+    return dv_purge_plan(spark, root)
+
+
+@defquery(
+    "iceberg_rewrite_plan",
+    """
+    WITH a AS (SELECT doc_id, doc_id // 25 AS k FROM documents),
+    g AS (SELECT k, COUNT(*) AS nrec,
+                 COUNT(CASE WHEN doc_id % 9 = 8 THEN 1 END) AS npos
+          FROM a GROUP BY k)
+    SELECT 'b1-' || lpad(CAST(k AS VARCHAR), 5, '0') || '.parquet'
+             AS file_name,
+           CAST(nrec AS BIGINT) AS record_count,
+           CAST(npos AS BIGINT) AS n_pos_deletes,
+           TRUE AS eq_delete_applies
+    FROM g
+    """,
+    doc="Iceberg rewrite-data-files planning: live v2 data files "
+    "touched by position deletes or in-scope equality deletes "
+    "(strictly-smaller sequence rule); the seq-2 re-add file is "
+    "correctly OUT of the plan",
+    tags=("llm", "lakehouse", "catalog", "plan"),
+)
+def q_iceberg_rewrite_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.iceberg import (
+        ensure_demo_iceberg_v2_table,
+        rewrite_data_plan,
+    )
+
+    root = ensure_demo_iceberg_v2_table(sf_dir)
+    plan = rewrite_data_plan(spark, root)
+    return plan.select(
+        F.element_at(F.split("file_path", "/"), -1).alias("file_name"),
+        "record_count",
+        "n_pos_deletes",
+        "eq_delete_applies",
+    )
+
+
+# ---------------------------------------------------------------------------
+# SQLite database files (r11): the PUBLIC sqlite.org/fileformat2 spec
+# read from raw bytes (sources/sqlitefile.py — header, table b-trees,
+# varints, record serial types, overflow chains, INTEGER PRIMARY KEY
+# rowid aliasing). Fixtures are written by the STDLIB sqlite3 engine,
+# so the decode is a cross-check against an independent
+# implementation, not a self-roundtrip; 512-byte pages force real
+# interior pages and one 600+ byte row forces an overflow chain.
+# ---------------------------------------------------------------------------
+@defquery(
+    "sqlite_table_scan",
+    """
+    WITH a AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    d AS (SELECT doc_id, n % 7 + 2 AS nr FROM a),
+    r AS (SELECT doc_id, nr, CAST(unnest(range(0, nr)) AS BIGINT) AS rr
+          FROM d),
+    agg AS (
+      SELECT doc_id, MAX(nr) AS nr,
+             SUM((doc_id + rr) % 13 + 1) AS body0,
+             SUM(((doc_id + rr) % 8) / 4.0) AS score0
+      FROM r GROUP BY doc_id
+    )
+    SELECT doc_id, TRUE AS ok,
+           CAST(nr + 1 AS BIGINT) AS n_rows,
+           CAST(body0 + 600 + doc_id % 50 AS BIGINT) AS body_bytes,
+           ROUND(score0 + 0.25, 4) AS score_sum,
+           CAST(nr // 2 AS BIGINT) AS n_flag1
+    FROM agg
+    """,
+    doc="SQLite file census from raw bytes: per-file row count, body "
+    "byte total, quarter-step REAL score sum, and flag census of the "
+    "docs table — b-tree walk with overflow chase, stdlib-written "
+    "fixtures",
+    tags=("llm", "source", "codec", "catalog"),
+)
+def q_sqlite_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.queries import round_floats
+    from shared_etl_pipelines_spark.sources.sqlitefile import (
+        scan_sqlite_assets,
+        synthetic_sqlite_assets,
+    )
+
+    assets = synthetic_sqlite_assets(_t(spark, sf_dir, "documents"))
+    out = scan_sqlite_assets(assets)
+    return round_floats(
+        out.select("doc_id", "ok", "n_rows", "body_bytes", "score_sum", "n_flag1")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zarr v2 chunk store (r11): the cloud-native gridded-raster format
+# (public zarr v2 spec) — one .zarray JSON + one file per chunk, which
+# is exactly the shape a distributed engine wants: chunk-grid pruning
+# happens from metadata alone (the raster analog of partition pruning)
+# and each chunk decodes independently executor-side. The demo raster
+# has a MISSING chunk so the spec's fill_value read path is in the
+# hash, not just in tests. sources/zarrstore.py.
+# ---------------------------------------------------------------------------
+@defquery(
+    "zarr_zonal_rollup",
+    """
+    WITH n AS (SELECT 16 + COUNT(*) // 10 AS nrows FROM documents),
+    r AS (SELECT CAST(unnest(range(0, nrows)) AS BIGINT) AS row FROM n),
+    c AS (SELECT CAST(unnest(range(0, 70)) AS BIGINT) AS col),
+    g AS (SELECT row, col,
+            CASE WHEN row BETWEEN 16 AND 31 AND col BETWEEN 32 AND 63
+                 THEN 0.0 ELSE (row*7 + col*3) % 11 + 0.25 END AS value
+          FROM r CROSS JOIN c)
+    SELECT CAST(row % 5 AS BIGINT) AS zone, COUNT(*) AS n_cells,
+           ROUND(SUM(value), 4) AS val_sum
+    FROM g GROUP BY 1
+    """,
+    doc="Zarr v2 zonal rollup: distributed chunk decode (zlib, C "
+    "order) -> per-zone cell census and value sum; the missing chunk "
+    "reads as fill_value per spec and lands in the hash",
+    tags=("llm", "source", "geo", "raster", "catalog"),
+)
+def q_zarr_zonal_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.queries import round_floats
+    from shared_etl_pipelines_spark.sources.zarrstore import (
+        ensure_demo_zarr,
+        scan_zarr,
+    )
+
+    root = ensure_demo_zarr(sf_dir)
+    cells = scan_zarr(spark, root)
+    out = (
+        cells.groupBy((F.col("row") % 5).cast("long").alias("zone"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("value").alias("val_sum"),
+        )
+    )
+    return round_floats(out)
+
+
+@defquery(
+    "zarr_chunk_prune_plan",
+    """
+    WITH ks AS (
+      SELECT CAST(ci AS VARCHAR) || '.' || CAST(cj AS VARCHAR) AS chunk_key
+      FROM (SELECT unnest(range(0, 3)) AS ci),
+           (SELECT unnest(range(0, 3)) AS cj)
+    )
+    SELECT chunk_key, chunk_key <> '1.1' AS present
+    FROM ks
+    """,
+    doc="Zarr chunk-grid pruning plan: the chunk files a bbox "
+    "[5:40, 30:66] needs, computed from .zarray metadata alone (no "
+    "chunk IO) — the raster analog of partition pruning; the missing "
+    "chunk is planned-but-absent (a fill_value read, not an error)",
+    tags=("llm", "source", "geo", "raster", "plan"),
+)
+def q_zarr_chunk_prune_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from shared_etl_pipelines_spark.sources.zarrstore import (
+        chunks_for_bbox,
+        ensure_demo_zarr,
+        read_zarray,
+    )
+
+    root = ensure_demo_zarr(sf_dir)
+    meta = read_zarray(root)
+    keys = chunks_for_bbox(meta, [5, 30], [40, 66])
+    rows = [(k, _os.path.exists(_os.path.join(root, k))) for k in keys]
+    return spark.createDataFrame(rows, "chunk_key string, present boolean")

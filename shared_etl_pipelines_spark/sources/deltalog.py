@@ -668,3 +668,22 @@ def ensure_demo_delta_dv_table(sf_dir: str, bucket: int = 25) -> str:
     with open(done, "w") as fh:
         fh.write("ok\n")
     return root
+
+
+def dv_purge_plan(spark: SparkSession, table_path: str) -> DataFrame:
+    """REORG-PURGE planning (the protocol's documented maintenance op
+    for DV tables): every live file that carries a deletion vector must
+    be rewritten without its soft-deleted rows before the DV reader
+    requirement can be dropped. Output is the rewrite WORKLIST —
+    (path, dv_storage, dv_cardinality, size) — straight off the
+    distributed snapshot state; no data files are opened to plan."""
+    snap = snapshot_files(spark, table_path)
+    return (
+        snap.filter(F.col("deletionVector").isNotNull())
+        .select(
+            "path",
+            F.col("deletionVector.storageType").alias("dv_storage"),
+            F.col("deletionVector.cardinality").alias("dv_cardinality"),
+            "size",
+        )
+    )

@@ -471,3 +471,52 @@ def ensure_demo_hudi_mor_table(sf_dir: str, bucket: int = 25) -> str:
     with open(done, "w") as fh:
         fh.write("ok\n")
     return root
+
+
+def compaction_plan(
+    spark: SparkSession, table_path: str, min_log_files: int = 2
+) -> DataFrame:
+    """MOR compaction planning: file groups whose log chain has grown
+    past ``min_log_files`` become merge candidates — the schedule a
+    Hudi compactor writes before doing any IO on data. Reads ONLY the
+    timeline's deltacommit write stats (never the log bytes): per
+    fileId, the log-file count, the latest log instant, and the
+    update-record total. Output is the compaction WORKLIST, not a side
+    effect; same distributed JSON-stats scan as snapshot_file_slices."""
+    completed = [
+        i
+        for i in timeline_instants(table_path)
+        if i["state"] == "completed" and i["action"] == "deltacommit"
+    ]
+    if not completed:
+        raise ValueError("hudi: no completed deltacommits — nothing to plan")
+    raw = (
+        spark.read.schema(_WRITE_STATS_SCHEMA)
+        .option("multiLine", "true")
+        .json([i["path"] for i in completed])
+        .withColumn("_file", F.input_file_name())
+        .withColumn(
+            "instant", F.regexp_extract(F.col("_file"), r"(\d{17})\.", 1)
+        )
+    )
+    logs = (
+        raw.select(
+            "instant",
+            F.explode("partitionToWriteStats").alias("partition", "files"),
+        )
+        .select("instant", F.explode("files").alias("f"))
+        .select(
+            F.col("f.fileId").alias("file_id"),
+            "instant",
+            F.col("f.numUpdateWrites").alias("n_updates"),
+        )
+    )
+    return (
+        logs.groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_log_files"),
+            F.max("instant").alias("latest_log_instant"),
+            F.sum("n_updates").alias("n_update_records"),
+        )
+        .filter(F.col("n_log_files") >= min_log_files)
+    )

@@ -747,3 +747,67 @@ def ensure_demo_iceberg_v2_table(sf_dir: str, bucket: int = 25) -> str:
     with open(done, "w") as fh:
         fh.write("ok\n")
     return root
+
+
+def rewrite_data_plan(
+    spark: SparkSession, table_path: str, snapshot_id: int | None = None
+) -> DataFrame:
+    """rewrite-data-files planning for a v2 snapshot: which live data
+    files are AFFECTED by row-level deletes and must be rewritten to
+    drop them — position-delete rows naming the file, plus equality
+    deletes at a strictly higher sequence number (the same rule
+    snapshot_rows enforces on read). Output is the rewrite WORKLIST
+    (file_path, record_count, n_pos_deletes, eq_delete_applies); only
+    the delete FILES are opened (they are the small side), never the
+    data files."""
+    meta = read_table_metadata(table_path)
+    snap = _pick_snapshot(meta, snapshot_id)
+    mlist = _manifest_list(snap)
+    data_manifests = [
+        m["manifest_path"] for m in mlist if m.get("content", 0) == 0
+    ]
+    del_manifests = [
+        m["manifest_path"] for m in mlist if m.get("content", 0) == 1
+    ]
+    if not data_manifests:
+        raise ValueError("iceberg: v2 snapshot has no data manifests — quarantine")
+    data = (
+        _decode_entries_v2(spark, data_manifests)
+        .filter((F.col("status") != 2) & (F.col("content") == 0))
+        .select(
+            "file_path",
+            F.col("sequence_number").alias("data_seq"),
+            "record_count",
+        )
+    )
+    deletes = (
+        _decode_entries_v2(spark, del_manifests).filter(F.col("status") != 2)
+        .collect()
+        if del_manifests
+        else []
+    )
+    pos_paths = sorted({r["file_path"] for r in deletes if r["content"] == 1})
+    eq_seqs = [r["sequence_number"] for r in deletes if r["content"] == 2]
+    max_eq_seq = max(eq_seqs) if eq_seqs else None
+
+    if pos_paths:
+        pos_counts = (
+            spark.read.parquet(*pos_paths)
+            .groupBy("file_path")
+            .agg(F.count(F.lit(1)).alias("n_pos_deletes"))
+        )
+        data = data.join(pos_counts, "file_path", "left").fillna(
+            0, subset=["n_pos_deletes"]
+        )
+    else:
+        data = data.withColumn("n_pos_deletes", F.lit(0).cast("long"))
+    eq_applies = (
+        (F.col("data_seq") < F.lit(max_eq_seq))
+        if max_eq_seq is not None
+        else F.lit(False)
+    )
+    return (
+        data.withColumn("eq_delete_applies", eq_applies)
+        .filter((F.col("n_pos_deletes") > 0) | F.col("eq_delete_applies"))
+        .select("file_path", "record_count", "n_pos_deletes", "eq_delete_applies")
+    )

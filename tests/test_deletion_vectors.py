@@ -132,3 +132,18 @@ def test_uuid_storage_with_slash_in_z85(tmp_path):
         "offset": spans[0][0], "sizeInBytes": spans[0][1], "cardinality": 2,
     }
     assert read_dv_descriptor(str(tmp_path), desc) == [3, 4]
+
+
+def test_dv_purge_plan_lists_exactly_the_dv_carriers(spark, sf_dir):
+    root = D.ensure_demo_delta_dv_table(sf_dir)
+    plan = D.dv_purge_plan(spark, root).collect()
+    assert plan and all(r["dv_cardinality"] > 0 for r in plan)
+    assert {r["dv_storage"] for r in plan} == {"p", "u", "i"}
+    # purging then... a DV-free table plans nothing: the original COW
+    # demo log never carries DVs
+    from shared_etl_pipelines_spark.sources.deltalog import (
+        ensure_demo_delta_table,
+    )
+
+    cow = ensure_demo_delta_table(sf_dir)
+    assert D.dv_purge_plan(spark, cow).count() == 0

@@ -111,3 +111,15 @@ def test_mor_inflight_deltacommit_excluded(spark, sf_dir):
     # ...and contributes nothing: every row traces to ts1/ts2/ts3 forms
     rows = H.snapshot_mor_rows(spark, root).collect()
     assert all(r["size"] > 0 for r in rows)
+
+
+def test_compaction_plan_reads_stats_not_log_bytes(spark, sf_dir):
+    root = H.ensure_demo_hudi_mor_table(sf_dir)
+    plan = H.compaction_plan(spark, root, min_log_files=2).collect()
+    assert plan
+    # every planned group has exactly the update log + the delete log
+    assert all(r["n_log_files"] == 2 for r in plan)
+    assert all(r["latest_log_instant"].endswith("3") for r in plan)
+    assert all(r["n_update_records"] > 0 for r in plan)
+    # raising the bar empties the plan (no group has 3 logs)
+    assert H.compaction_plan(spark, root, min_log_files=3).count() == 0

@@ -137,3 +137,15 @@ def test_v2_no_data_manifests_refuses(tmp_path, spark, sf_dir):
         json.dump(meta, fh)
     with pytest.raises(ValueError, match="no data manifests"):
         I.snapshot_rows(spark, t)
+
+
+def test_rewrite_plan_targets_only_delete_affected_files(spark, sf_dir):
+    root = I.ensure_demo_iceberg_v2_table(sf_dir)
+    plan = I.rewrite_data_plan(spark, root).collect()
+    names = {r["file_path"].rsplit("/", 1)[-1] for r in plan}
+    # every seq-1 base file is in scope (equality delete at seq 2)...
+    assert names and all(n.startswith("b1-") for n in names)
+    # ...and the seq-2 re-add file is correctly OUT of the plan
+    assert "b2-readd.parquet" not in names
+    assert all(r["eq_delete_applies"] for r in plan)
+    assert any(r["n_pos_deletes"] > 0 for r in plan)
