@@ -1062,6 +1062,8 @@ _CARRYOVER_FIRST: tuple[str, ...] = (
     "sqlite_table_scan",
     # Zarr v2 chunk store: distributed decode + chunk-grid pruning (r11)
     "zarr_zonal_rollup", "zarr_chunk_prune_plan",
+    # GGUF model container census + real dequantization (r11)
+    "gguf_model_audit",
 )
 
 

@@ -14427,3 +14427,54 @@ def q_zarr_chunk_prune_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys = chunks_for_bbox(meta, [5, 30], [40, 66])
     rows = [(k, _os.path.exists(_os.path.join(root, k))) for k in keys]
     return spark.createDataFrame(rows, "chunk_key string, present boolean")
+
+
+# ---------------------------------------------------------------------------
+# GGUF model files (r11): the PUBLIC ggml/llama.cpp container behind
+# every quantized LLM checkpoint zoo (sources/gguf.py — typed metadata
+# kv store, tensor info table, alignment rule, and REAL dequantization
+# of F32/F16/Q8_0/Q4_0 blocks; unknown quant layouts census but refuse
+# to dequantize). Fixture scales are f16-exact quarters/halves so every
+# dequantized value sum replays in closed form.
+# ---------------------------------------------------------------------------
+@defquery(
+    "gguf_model_audit",
+    """
+    WITH a AS (SELECT doc_id AS d FROM documents),
+    dims AS (SELECT d, d % 5 + 2 AS k, d % 2 + 1 AS m FROM a),
+    r48 AS (SELECT CAST(unnest(range(0, 48)) AS BIGINT) AS i),
+    r64 AS (SELECT CAST(unnest(range(0, 64)) AS BIGINT) AS j),
+    embd AS (SELECT d, ROUND(SUM(((i*3 + d) % 7) * 0.25), 4) AS embd_sum
+             FROM dims, r48 WHERE i < 8*k GROUP BY d),
+    attn AS (SELECT d, ROUND(SUM(((i + d) % 5) * 0.5), 4) AS attn_sum
+             FROM dims, r48 WHERE i < 16 GROUP BY d),
+    ffn AS (SELECT d, ROUND(SUM(((j + d) % 17 - 8) * 0.25), 4) AS ffn_sum
+            FROM dims, r64 WHERE j < 32*m GROUP BY d)
+    SELECT d AS doc_id, TRUE AS ok, CAST(4 AS INT) AS n_tensors,
+           CAST(8*k + 16 + 32*m + 32 AS BIGINT) AS total_params,
+           CAST(512 + d % 7 AS BIGINT) AS context_length,
+           CAST(d % 3 + 1 AS INT) AS n_tokens_meta,
+           embd_sum, attn_sum, ffn_sum, ROUND(-8.0, 4) AS gate_sum
+    FROM dims JOIN embd USING (d) JOIN attn USING (d) JOIN ffn USING (d)
+    """,
+    doc="GGUF model census + dequant spot sums: tensor/param counts, "
+    "metadata echo (context length, tokenizer array size), and the "
+    "value sum of each tensor through the real F32/F16/Q8_0/Q4_0 "
+    "dequantization path",
+    tags=("llm", "source", "codec", "catalog"),
+)
+def q_gguf_model_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.queries import round_floats
+    from shared_etl_pipelines_spark.sources.gguf import (
+        audit_gguf_assets,
+        synthetic_gguf_assets,
+    )
+
+    assets = synthetic_gguf_assets(_t(spark, sf_dir, "documents"))
+    out = audit_gguf_assets(assets)
+    return round_floats(
+        out.select(
+            "doc_id", "ok", "n_tensors", "total_params", "context_length",
+            "n_tokens_meta", "embd_sum", "attn_sum", "ffn_sum", "gate_sum",
+        )
+    )
