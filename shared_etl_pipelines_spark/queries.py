@@ -1064,6 +1064,8 @@ _CARRYOVER_FIRST: tuple[str, ...] = (
     "zarr_zonal_rollup", "zarr_chunk_prune_plan",
     # GGUF model container census + real dequantization (r11)
     "gguf_model_audit",
+    # streaming CDC tail of the Hudi timeline (r11)
+    "stream_hudi_timeline_cdc",
 )
 
 

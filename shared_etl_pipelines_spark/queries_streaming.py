@@ -1124,3 +1124,91 @@ def q_stream_delta_log_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run(acts, "append")
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC off the Hudi timeline (r11): completed commit /
+# deltacommit instants arriving under ``.hoodie/`` ARE the table's
+# change stream — each JSON body explodes to per-file write-stat events
+# (base slices and log-file appends) via the text source + JVM-side
+# from_json, the same stateless 1->N shape as stream_delta_log_cdc.
+# The ``*.*commit`` glob admits only completed instants (requested/
+# inflight markers carry a state suffix and never match), so the
+# reader's state filtering happens at the listing, exactly-once per
+# instant file. Oracle replays the MOR demo timeline's closed forms.
+# ---------------------------------------------------------------------------
+@defquery(
+    "stream_hudi_timeline_cdc",
+    """
+    WITH a AS (SELECT doc_id, octet_length(encode(text)) AS n,
+                      doc_id // 25 AS k FROM documents),
+    g AS (SELECT k, COUNT(*) AS nb, SUM(n) AS bytes,
+                 COUNT(CASE WHEN doc_id % 9 = 8 THEN 1 END) AS churn,
+                 SUM(CASE WHEN doc_id % 9 = 8 THEN n END) AS churn_bytes,
+                 COUNT(CASE WHEN doc_id % 13 = 5 THEN 1 END) AS ndel
+          FROM a GROUP BY k)
+    SELECT CAST(k AS BIGINT) AS bucket, CAST(1 AS BIGINT) AS v,
+           FALSE AS is_log, CAST(nb AS BIGINT) AS num_writes,
+           CAST(0 AS BIGINT) AS num_update_writes,
+           CAST(bytes AS BIGINT) AS total_write_bytes
+    FROM g
+    UNION ALL
+    SELECT CAST(k AS BIGINT), CAST(2 AS BIGINT), TRUE, CAST(0 AS BIGINT),
+           CAST(churn AS BIGINT), CAST(3 * churn_bytes AS BIGINT)
+    FROM g WHERE churn > 0
+    UNION ALL
+    SELECT CAST(k AS BIGINT), CAST(3 AS BIGINT), TRUE, CAST(0 AS BIGINT),
+           CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+    FROM g WHERE ndel > 0
+    """,
+    doc="streaming Hudi timeline CDC: completed instants stream "
+    "through the text source + from_json into per-file write events "
+    "(base vs log slices); in-flight markers are excluded by the "
+    "completed-only glob; oracle replays the MOR demo's closed forms",
+    tags=("streaming", "llm", "lakehouse", "source"),
+)
+def q_stream_hudi_timeline_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.sources.hudi import (
+        ensure_demo_hudi_mor_table,
+    )
+
+    root = ensure_demo_hudi_mor_table(sf_dir)
+    raw = (
+        spark.readStream.format("text")
+        .schema("value string")
+        .option("pathGlobFilter", "*.*commit")
+        .load(os.path.join(root, ".hoodie"))
+    )
+    stats_schema = (
+        "struct<partitionToWriteStats:map<string,array<struct<"
+        "fileId:string,path:string,numWrites:bigint,"
+        "numUpdateWrites:bigint,totalWriteBytes:bigint>>>>"
+    )
+    acts = (
+        raw.withColumn("_file", F.input_file_name())
+        .select(
+            F.from_json(F.col("value"), stats_schema)[
+                "partitionToWriteStats"
+            ].alias("stats"),
+            (
+                F.regexp_extract(F.col("_file"), r"(\d{17})\.", 1).cast("long")
+                - F.lit(20250101000000000)
+            ).alias("v"),
+        )
+        .filter(F.col("stats").isNotNull())
+        .select("v", F.explode("stats").alias("partition", "files"))
+        .select("v", F.explode("files").alias("f"))
+        .select(
+            F.regexp_extract(F.col("f.fileId"), r"f-(\d+)", 1)
+            .cast("long")
+            .alias("bucket"),
+            "v",
+            F.col("f.path").contains(".log.").alias("is_log"),
+            F.col("f.numWrites").alias("num_writes"),
+            F.col("f.numUpdateWrites").alias("num_update_writes"),
+            F.col("f.totalWriteBytes").alias("total_write_bytes"),
+        )
+    )
+    return _run(acts, "append")
