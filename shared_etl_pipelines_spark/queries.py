@@ -1066,6 +1066,8 @@ _CARRYOVER_FIRST: tuple[str, ...] = (
     "gguf_model_audit",
     # streaming CDC tail of the Hudi timeline (r11)
     "stream_hudi_timeline_cdc",
+    # Avro reader-vs-writer schema resolution (r11)
+    "avro_schema_evolution_audit",
 )
 
 

@@ -14478,3 +14478,114 @@ def q_gguf_model_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens_meta", "embd_sum", "attn_sum", "ffn_sum", "gate_sum",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Avro schema resolution (r11): three writer generations of the same
+# record stream resolved through ONE reader schema (spec "Schema
+# Resolution" — sources/avro.py resolve_value): int->long and
+# float->double promotions, reader defaults for fields a generation
+# lacks, and writer-only fields dropped. This is the mechanism that
+# keeps evolving manifests/Kafka dumps readable; executor-side decode.
+# ---------------------------------------------------------------------------
+@defquery(
+    "avro_schema_evolution_audit",
+    """
+    SELECT doc_id, CAST(doc_id % 3 + 1 AS INT) AS writer_version,
+           ROUND(CASE WHEN doc_id % 3 = 2 THEN 0.5
+                      ELSE (doc_id % 8) / 4.0 END, 4) AS quality,
+           CASE CAST(doc_id % 3 AS INT)
+                WHEN 0 THEN 'und' WHEN 1 THEN 'en' ELSE 'fr' END AS lang,
+           CAST(CASE WHEN doc_id % 3 = 2 THEN doc_id % 5 ELSE 0 END AS INT)
+             AS n_tags
+    FROM documents
+    """,
+    doc="Avro reader-vs-writer schema resolution: v1 (int doc_id, f32 "
+    "quality, legacy field), v2 (long/double + lang), v3 (tags array, "
+    "no quality) all resolve through one reader schema — promotions, "
+    "defaults, and dropped fields each land in the hash",
+    tags=("llm", "source", "codec", "catalog"),
+)
+def q_avro_schema_evolution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    READER = {
+        "type": "record",
+        "name": "doc",
+        "fields": [
+            {"name": "doc_id", "type": "long"},
+            {"name": "quality", "type": "double", "default": 0.5},
+            {"name": "lang", "type": "string", "default": "und"},
+            {
+                "name": "tags",
+                "type": {"type": "array", "items": "string"},
+                "default": [],
+            },
+        ],
+    }
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shared_etl_pipelines_spark.sources.avro import (
+            read_avro_ocf_resolved,
+            write_avro_ocf,
+        )
+
+        v1 = {
+            "type": "record", "name": "doc",
+            "fields": [
+                {"name": "doc_id", "type": "int"},
+                {"name": "quality", "type": "float"},
+                {"name": "legacy", "type": "string"},
+            ],
+        }
+        v2 = {
+            "type": "record", "name": "doc",
+            "fields": [
+                {"name": "doc_id", "type": "long"},
+                {"name": "quality", "type": "double"},
+                {"name": "lang", "type": "string"},
+            ],
+        }
+        v3 = {
+            "type": "record", "name": "doc",
+            "fields": [
+                {"name": "doc_id", "type": "int"},
+                {"name": "lang", "type": "string"},
+                {"name": "tags", "type": {"type": "array", "items": "string"}},
+            ],
+        }
+        cols = ("doc_id", "writer_version", "quality", "lang", "n_tags")
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                q = (d % 8) / 4.0
+                if d % 3 == 0:
+                    blob = write_avro_ocf(
+                        [{"doc_id": d, "quality": q, "legacy": "x"}], v1
+                    )
+                elif d % 3 == 1:
+                    blob = write_avro_ocf(
+                        [{"doc_id": d, "quality": q, "lang": "en"}], v2
+                    )
+                else:
+                    blob = write_avro_ocf(
+                        [{"doc_id": d, "lang": "fr", "tags": ["t"] * (d % 5)}],
+                        v3,
+                    )
+                (rec,) = read_avro_ocf_resolved(blob, READER)["records"]
+                rows["doc_id"].append(rec["doc_id"])
+                rows["writer_version"].append(d % 3 + 1)
+                rows["quality"].append(round(rec["quality"], 4))
+                rows["lang"].append(rec["lang"])
+                rows["n_tags"].append(len(rec["tags"]))
+            yield pd.DataFrame(rows)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        batches,
+        "doc_id long, writer_version int, quality double, lang string, "
+        "n_tags int",
+    )

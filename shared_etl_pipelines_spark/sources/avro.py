@@ -324,3 +324,108 @@ def write_avro_ocf(
             body = co.compress(body) + co.flush()
         out += _zigzag(len(chunk)) + _enc_bytes(body) + sync
     return bytes(out)
+
+
+# ----------------------------------------------------------------------
+# schema resolution (spec "Schema Resolution"): adapt values decoded
+# with the WRITER schema (from the OCF header) to a READER schema —
+# how every evolving Avro surface (Iceberg manifests, Kafka topics,
+# warehouse unloads) stays readable across versions.
+# ----------------------------------------------------------------------
+
+_PROMOTIONS = {
+    "int": {"long", "float", "double"},
+    "long": {"float", "double"},
+    "float": {"double"},
+    "string": {"bytes"},
+    "bytes": {"string"},
+}
+
+
+def _type_name(schema) -> str:
+    if isinstance(schema, str):
+        return schema
+    if isinstance(schema, list):
+        return "union"
+    return schema["type"]
+
+
+def resolve_value(v, writer, reader):
+    """One decoded value from writer-schema shape to reader-schema
+    shape, per the spec's resolution rules: name-matched record fields,
+    reader defaults for missing fields, writer-only fields dropped,
+    numeric/string promotions, unions resolved to the first matching
+    branch. Unresolvable shapes raise ValueError."""
+    # unwrap writer union: the decoded value already picked its branch
+    if isinstance(writer, list):
+        writer = "null" if v is None else (
+            writer[0] if writer[1] == "null" else writer[1]
+        )
+    if isinstance(reader, list):
+        # spec: first reader branch that resolves wins
+        for branch in reader:
+            try:
+                return resolve_value(v, writer, branch)
+            except ValueError:
+                continue
+        raise ValueError(
+            f"avro: no reader union branch accepts writer {_type_name(writer)}"
+        )
+    wt, rt = _type_name(writer), _type_name(reader)
+    if wt in ("null", "boolean", "int", "long", "float", "double", "bytes",
+              "string"):
+        if rt == wt:
+            return v
+        if rt in _PROMOTIONS.get(wt, ()):
+            if wt == "string" and rt == "bytes":
+                return v.encode("utf-8")
+            if wt == "bytes" and rt == "string":
+                return v.decode("utf-8")
+            return float(v) if rt in ("float", "double") else int(v)
+        raise ValueError(f"avro: cannot promote {wt} -> {rt}")
+    if wt != rt:
+        raise ValueError(f"avro: writer {wt} vs reader {rt} — unresolvable")
+    if wt == "record":
+        wfields = {f["name"]: f for f in writer["fields"]}
+        out = {}
+        for rf in reader["fields"]:
+            name = rf["name"]
+            if name in wfields:
+                out[name] = resolve_value(
+                    v[name], wfields[name]["type"], rf["type"]
+                )
+            elif "default" in rf:
+                out[name] = rf["default"]
+            else:
+                raise ValueError(
+                    f"avro: reader field {name!r} missing from writer and "
+                    "has no default — unresolvable"
+                )
+        return out  # writer-only fields drop here
+    if wt == "array":
+        return [resolve_value(x, writer["items"], reader["items"]) for x in v]
+    if wt == "map":
+        return {
+            k: resolve_value(x, writer["values"], reader["values"])
+            for k, x in v.items()
+        }
+    if wt == "enum":
+        if v in reader["symbols"]:
+            return v
+        if "default" in reader:
+            return reader["default"]
+        raise ValueError(f"avro: enum symbol {v!r} not in reader schema")
+    raise ValueError(f"avro: resolution for {wt} unsupported")
+
+
+def read_avro_ocf_resolved(blob: bytes, reader_schema: dict) -> dict:
+    """OCF read with schema resolution: records decode with the file's
+    WRITER schema, then adapt to ``reader_schema``."""
+    _validate_schema(reader_schema)
+    out = read_avro_ocf(blob)
+    writer = out["schema"]
+    out["records"] = [
+        resolve_value(r, writer, reader_schema) for r in out["records"]
+    ]
+    out["reader_schema"] = reader_schema
+    return out

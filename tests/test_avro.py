@@ -79,3 +79,76 @@ def test_schema_refusals():
         avro.write_avro_ocf([], SCHEMA, codec="snappy")
     with pytest.raises(ValueError):
         avro.write_avro_ocf([], SCHEMA, sync=b"short")
+
+
+# ---------------------------------------------------------------------------
+# schema resolution (spec "Schema Resolution")
+# ---------------------------------------------------------------------------
+
+
+def test_resolution_promotions_defaults_and_drops():
+    from shared_etl_pipelines_spark.sources.avro import (
+        read_avro_ocf_resolved,
+        write_avro_ocf,
+    )
+
+    writer = {
+        "type": "record", "name": "r",
+        "fields": [
+            {"name": "doc_id", "type": "int"},
+            {"name": "quality", "type": "float"},
+            {"name": "legacy", "type": "string"},
+        ],
+    }
+    reader = {
+        "type": "record", "name": "r",
+        "fields": [
+            {"name": "doc_id", "type": "long"},
+            {"name": "quality", "type": "double"},
+            {"name": "lang", "type": "string", "default": "und"},
+            {"name": "tags", "type": {"type": "array", "items": "string"},
+             "default": []},
+        ],
+    }
+    blob = write_avro_ocf([{"doc_id": 7, "quality": 0.25, "legacy": "x"}], writer)
+    out = read_avro_ocf_resolved(blob, reader)
+    assert out["records"] == [
+        {"doc_id": 7, "quality": 0.25, "lang": "und", "tags": []}
+    ]
+
+
+def test_resolution_union_and_string_bytes():
+    from shared_etl_pipelines_spark.sources.avro import (
+        read_avro_ocf_resolved,
+        write_avro_ocf,
+    )
+
+    w = {"type": "record", "name": "r",
+         "fields": [{"name": "x", "type": ["null", "string"]}]}
+    r = {"type": "record", "name": "r",
+         "fields": [{"name": "x", "type": ["null", "bytes"]}]}
+    blob = write_avro_ocf([{"x": "hey"}, {"x": None}], w)
+    assert read_avro_ocf_resolved(blob, r)["records"] == [
+        {"x": b"hey"}, {"x": None}
+    ]
+
+
+def test_resolution_refusals():
+    import pytest as _pt
+
+    from shared_etl_pipelines_spark.sources.avro import (
+        read_avro_ocf_resolved,
+        write_avro_ocf,
+    )
+
+    w = {"type": "record", "name": "r",
+         "fields": [{"name": "x", "type": "long"}]}
+    blob = write_avro_ocf([{"x": 1}], w)
+    narrow = {"type": "record", "name": "r",
+              "fields": [{"name": "x", "type": "int"}]}
+    with _pt.raises(ValueError, match="promote"):
+        read_avro_ocf_resolved(blob, narrow)
+    missing = {"type": "record", "name": "r",
+               "fields": [{"name": "y", "type": "int"}]}
+    with _pt.raises(ValueError, match="no default"):
+        read_avro_ocf_resolved(blob, missing)
