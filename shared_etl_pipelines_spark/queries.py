@@ -1068,6 +1068,8 @@ _CARRYOVER_FIRST: tuple[str, ...] = (
     "stream_hudi_timeline_cdc",
     # Avro reader-vs-writer schema resolution (r11)
     "avro_schema_evolution_audit",
+    # GeoParquet + WKB geometry decode (r11)
+    "geoparquet_feature_audit",
 )
 
 

@@ -1131,3 +1131,52 @@ def q_affine_regrid_rotated(spark: SparkSession, sf_dir: str) -> DataFrame:
         supersample=2,
     )
     return out.select("dy", "dx", "n_pts", F.round("avg_value", 4).alias("avg_value"))
+
+
+# ---------------------------------------------------------------------------
+# GeoParquet (r11): the OGC cloud-native vector format — plain parquet
+# plus 'geo' footer metadata and a WKB geometry column
+# (sources/geoparquet.py, WKB codec in sources/vector.py). The footer
+# is a driver-side metadata read; the geometry decode is a vectorized
+# pass inside the distributed parquet scan. Both WKB byte orders and
+# polygon holes land in the hash.
+# ---------------------------------------------------------------------------
+@defquery(
+    "geoparquet_feature_audit",
+    """
+    WITH f AS (SELECT doc_id AS fid FROM documents)
+    SELECT fid AS feat_id, TRUE AS ok,
+           CASE CAST(fid % 3 AS INT) WHEN 0 THEN 'Point'
+                WHEN 1 THEN 'LineString' ELSE 'Polygon' END AS gtype,
+           CAST(CASE CAST(fid % 3 AS INT)
+                WHEN 0 THEN 1
+                WHEN 1 THEN fid % 4 + 2
+                ELSE CASE WHEN fid % 2 = 0 THEN 10 ELSE 5 END END AS INT)
+             AS n_points,
+           ROUND(CASE WHEN fid % 3 = 2
+                 THEN (fid % 4 + 1) * (fid % 4 + 1)
+                      - CASE WHEN fid % 2 = 0 THEN 0.25 ELSE 0 END
+                 ELSE 0 END, 4) AS area,
+           ROUND(CASE CAST(fid % 3 AS INT)
+                 WHEN 0 THEN 0
+                 WHEN 1 THEN fid % 4 + 1
+                 ELSE fid % 4 + 1 END, 4) AS bbox_w
+    FROM f
+    """,
+    doc="GeoParquet feature audit: per-geometry type / point count / "
+    "shoelace area (holes subtract) / bbox width through the WKB "
+    "decode, with big-endian points on the f%15==0 class",
+    tags=("geo", "source", "codec", "vector"),
+)
+def q_geoparquet_feature_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.queries import round_floats
+    from shared_etl_pipelines_spark.sources.geoparquet import (
+        ensure_demo_geoparquet,
+        scan_geoparquet,
+    )
+
+    path = ensure_demo_geoparquet(sf_dir)
+    out = scan_geoparquet(spark, path)
+    return round_floats(
+        out.select("feat_id", "ok", "gtype", "n_points", "area", "bbox_w")
+    )

@@ -259,3 +259,125 @@ def write_shapefile(
                 else:
                     s = str(v).ljust(flen)
                 f.write(s[:flen].encode("latin-1"))
+
+
+# ----------------------------------------------------------------------
+# WKB (Well-Known Binary, OGC SFA part 1 §8) — the geometry encoding
+# GeoParquet mandates. 2-D subset: Point / LineString / Polygon /
+# MultiPoint / MultiLineString / MultiPolygon, BOTH byte orders (the
+# leading flag byte: 0 = big-endian, 1 = little-endian, honored per
+# nested geometry header as the spec requires). Z/M flags and
+# GeometryCollection refuse loudly.
+# ----------------------------------------------------------------------
+
+_WKB_NAMES = {
+    1: "Point", 2: "LineString", 3: "Polygon",
+    4: "MultiPoint", 5: "MultiLineString", 6: "MultiPolygon",
+}
+
+
+def parse_wkb(blob: bytes) -> dict:
+    """Parse one WKB geometry. Returns ``{type, n_points, area,
+    bbox}`` — area is the shoelace total over polygon exterior rings
+    minus holes (0 for non-areal types)."""
+    import struct as _struct
+
+    def rd_geom(p: int) -> tuple[dict, int]:
+        if p >= len(blob):
+            raise ValueError("wkb: truncated — quarantine")
+        order = blob[p]
+        if order not in (0, 1):
+            raise ValueError(f"wkb: bad byte-order flag {order}")
+        e = "<" if order == 1 else ">"
+        (gtype,) = _struct.unpack_from(e + "I", blob, p + 1)
+        p += 5
+        if gtype & 0xFFFFF000:
+            raise ValueError(
+                f"wkb: Z/M or SRID-flagged type 0x{gtype:08x} unsupported"
+            )
+        if gtype not in _WKB_NAMES:
+            raise ValueError(f"wkb: geometry type {gtype} unsupported")
+
+        def rd_points(n: int, q: int) -> tuple[list, int]:
+            if q + 16 * n > len(blob):
+                raise ValueError("wkb: coordinates overrun — quarantine")
+            pts = [
+                _struct.unpack_from(e + "2d", blob, q + 16 * i)
+                for i in range(n)
+            ]
+            return pts, q + 16 * n
+
+        pts: list = []
+        area = 0.0
+        if gtype == 1:
+            pt, p = rd_points(1, p)
+            pts += pt
+        elif gtype == 2:
+            (n,) = _struct.unpack_from(e + "I", blob, p)
+            got, p = rd_points(n, p + 4)
+            pts += got
+        elif gtype == 3:
+            (nr,) = _struct.unpack_from(e + "I", blob, p)
+            p += 4
+            for r in range(nr):
+                (n,) = _struct.unpack_from(e + "I", blob, p)
+                ring, p = rd_points(n, p + 4)
+                pts += ring
+                a2 = sum(
+                    ring[i][0] * ring[(i + 1) % n][1]
+                    - ring[(i + 1) % n][0] * ring[i][1]
+                    for i in range(n)
+                )
+                # exterior ring contributes |area|; holes subtract
+                area += abs(a2) / 2.0 if r == 0 else -abs(a2) / 2.0
+        else:  # multi-types: each member is a full WKB geometry
+            (n,) = _struct.unpack_from(e + "I", blob, p)
+            p += 4
+            for _ in range(n):
+                sub, p = rd_geom(p)
+                pts += sub["_pts"]
+                area += sub["area"]
+        return {
+            "type": _WKB_NAMES[gtype],
+            "n_points": len(pts),
+            "area": area,
+            "_pts": pts,
+        }, p
+
+    out, end = rd_geom(0)
+    if end != len(blob):
+        raise ValueError("wkb: trailing bytes — quarantine")
+    xs = [pt[0] for pt in out["_pts"]]
+    ys = [pt[1] for pt in out["_pts"]]
+    out["bbox"] = (min(xs), min(ys), max(xs), max(ys)) if xs else None
+    del out["_pts"]
+    return out
+
+
+def encode_wkb_point(x: float, y: float, little: bool = True) -> bytes:
+    import struct as _struct
+
+    e = "<" if little else ">"
+    return bytes([1 if little else 0]) + _struct.pack(e + "I2d", 1, x, y)
+
+
+def encode_wkb_linestring(pts: list, little: bool = True) -> bytes:
+    import struct as _struct
+
+    e = "<" if little else ">"
+    out = bytes([1 if little else 0]) + _struct.pack(e + "II", 2, len(pts))
+    for x, y in pts:
+        out += _struct.pack(e + "2d", x, y)
+    return out
+
+
+def encode_wkb_polygon(rings: list, little: bool = True) -> bytes:
+    import struct as _struct
+
+    e = "<" if little else ">"
+    out = bytes([1 if little else 0]) + _struct.pack(e + "II", 3, len(rings))
+    for ring in rings:
+        out += _struct.pack(e + "I", len(ring))
+        for x, y in ring:
+            out += _struct.pack(e + "2d", x, y)
+    return out

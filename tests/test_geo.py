@@ -91,3 +91,65 @@ def test_bucket_clip_matches_broadcast_clip(spark, sf_dir):
     ca = Counter(tuple(r) for r in a.select(cols).collect())
     cb = Counter(tuple(r) for r in b.select(cols).collect())
     assert ca == cb and sum(ca.values()) > 0
+
+
+# ---------------------------------------------------------------------------
+# WKB + GeoParquet (r11)
+# ---------------------------------------------------------------------------
+
+
+def test_wkb_roundtrip_both_orders_and_holes():
+    from shared_etl_pipelines_spark.sources.vector import (
+        encode_wkb_linestring,
+        encode_wkb_point,
+        encode_wkb_polygon,
+        parse_wkb,
+    )
+
+    p = parse_wkb(encode_wkb_point(3.5, 2.0))
+    assert (p["type"], p["n_points"], p["area"]) == ("Point", 1, 0.0)
+    b = parse_wkb(encode_wkb_point(3.5, 2.0, little=False))
+    assert b == p  # byte order is a transport detail
+    sq = [(0, 0), (2, 0), (2, 2), (0, 2), (0, 0)]
+    hole = [(0.5, 0.5), (1, 0.5), (1, 1), (0.5, 1), (0.5, 0.5)]
+    g = parse_wkb(encode_wkb_polygon([sq, hole]))
+    assert g["area"] == 4 - 0.25 and g["n_points"] == 10
+    ln = parse_wkb(encode_wkb_linestring([(0, 0), (3, 4)], little=False))
+    assert ln["bbox"] == (0.0, 0.0, 3.0, 4.0)
+
+
+def test_wkb_refusals():
+    import struct
+
+    import pytest as _pt
+
+    from shared_etl_pipelines_spark.sources.vector import parse_wkb
+
+    with _pt.raises(ValueError, match="byte-order"):
+        parse_wkb(b"\x02" + b"\x00" * 20)
+    with _pt.raises(ValueError, match="unsupported"):
+        parse_wkb(bytes([1]) + struct.pack("<I", 0x80000001) + b"\x00" * 16)
+    with _pt.raises(ValueError, match="trailing"):
+        parse_wkb(
+            bytes([1]) + struct.pack("<I2d", 1, 0, 0) + b"\x00"
+        )
+
+
+def test_geoparquet_metadata_gate(tmp_path, spark, sf_dir):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pt
+
+    from shared_etl_pipelines_spark.sources.geoparquet import (
+        ensure_demo_geoparquet,
+        read_geo_metadata,
+    )
+
+    path = ensure_demo_geoparquet(sf_dir)
+    geo = read_geo_metadata(path)
+    assert geo["primary_column"] == "geometry"
+    # a parquet without the 'geo' key refuses
+    plain = str(tmp_path / "plain.parquet")
+    pq.write_table(pa.table({"x": [1]}), plain)
+    with _pt.raises(ValueError, match="geo"):
+        read_geo_metadata(plain)
