@@ -1070,6 +1070,8 @@ _CARRYOVER_FIRST: tuple[str, ...] = (
     "avro_schema_evolution_audit",
     # GeoParquet + WKB geometry decode (r11)
     "geoparquet_feature_audit",
+    # Zarr native DataSource with planning-time chunk pruning (r11)
+    "zarr_datasource_bbox",
 )
 
 

@@ -14589,3 +14589,58 @@ def q_avro_schema_evolution_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         "doc_id long, writer_version int, quality double, lang string, "
         "n_tags int",
     )
+
+
+# ---------------------------------------------------------------------------
+# Zarr native DataSource (r11): spark.read.format("zarr") — the chunk
+# grid IS the partition plan (one InputPartition per surviving chunk),
+# so the bbox option prunes files at PLANNING time; pruned chunks never
+# become tasks. Exact cell filtering happens inside the reader
+# (chunk prune = coarse pass, residual filter = exact — the parquet
+# row-group contract). sources/zarr_datasource.py.
+# ---------------------------------------------------------------------------
+@defquery(
+    "zarr_datasource_bbox",
+    """
+    WITH n AS (SELECT 16 + COUNT(*) // 10 AS nrows FROM documents),
+    r AS (SELECT CAST(unnest(range(16, 48)) AS BIGINT) AS row FROM n
+          WHERE nrows >= 48),
+    c AS (SELECT CAST(unnest(range(16, 48)) AS BIGINT) AS col),
+    g AS (SELECT row, col,
+            CASE WHEN row BETWEEN 16 AND 31 AND col BETWEEN 32 AND 63
+                 THEN 0.0 ELSE (row*7 + col*3) % 11 + 0.25 END AS value
+          FROM r CROSS JOIN c)
+    SELECT CAST(row % 5 AS BIGINT) AS zone, COUNT(*) AS n_cells,
+           ROUND(SUM(value), 4) AS val_sum
+    FROM g GROUP BY 1
+    """,
+    doc="Zarr native DataSource with planning-time chunk pruning: the "
+    "bbox [16:48, 16:48) plans only 4 of 12+ chunks (one of them the "
+    "missing fill_value chunk) and the reader filters cells exactly; "
+    "same zonal rollup shape as the mapInPandas scan for comparison",
+    tags=("llm", "source", "geo", "raster", "scale-path"),
+)
+def q_zarr_datasource_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.zarr_datasource import (
+        ZarrDataSource,
+    )
+    from shared_etl_pipelines_spark.sources.zarrstore import ensure_demo_zarr
+
+    root = ensure_demo_zarr(sf_dir)
+    spark.dataSource.register(ZarrDataSource)
+    cells = (
+        spark.read.format("zarr")
+        .option("path", root)
+        .option("bbox", "16,16,48,48")
+        .load()
+    )
+    out = (
+        cells.groupBy((F.col("row") % 5).cast("long").alias("zone"))
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.sum("value").alias("val_sum"),
+        )
+    )
+    from shared_etl_pipelines_spark.queries import round_floats
+
+    return round_floats(out)

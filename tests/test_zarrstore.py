@@ -99,3 +99,32 @@ def test_distributed_scan_with_and_without_bbox(spark, tmp_path):
     # stats contract): one chunk -> full 16x32 cell window
     boxed = Z.scan_zarr(spark, d, bbox=([0, 0], [1, 1])).collect()
     assert len(boxed) == 16 * 32
+
+
+def test_datasource_plans_only_surviving_chunks(spark, tmp_path):
+    """The native DataSource's partition plan IS the pruned chunk list:
+    a bbox covering 4 chunks yields exactly 4 input partitions."""
+    from shared_etl_pipelines_spark.sources.zarr_datasource import (
+        ZarrDataSource,
+        ZarrReader,
+    )
+
+    d = _arr(tmp_path)
+    reader = ZarrReader({"path": d, "bbox": "16,16,48,48"})
+    parts = reader.partitions()
+    assert sorted(p.key for p in parts) == ["1.0", "1.1", "2.0", "2.1"]
+    # and the full read through Spark matches the exact cell filter
+    spark.dataSource.register(ZarrDataSource)
+    got = (
+        spark.read.format("zarr").option("path", d)
+        .option("bbox", "16,16,48,48").load().collect()
+    )
+    exp = sum(
+        (r * 7 + c * 3) % 11 + 0.25
+        for r in range(16, 48) for c in range(16, 48)
+        if not (16 <= r < 32 and 32 <= c < 64)
+    )
+    assert len(got) == 32 * 32
+    assert abs(sum(r["value"] for r in got) - exp) < 1e-9
+    # missing chunk cells (fill_value) are present as zeros
+    assert any(r["value"] == 0.0 for r in got)
