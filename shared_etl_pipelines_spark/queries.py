@@ -1072,6 +1072,8 @@ _CARRYOVER_FIRST: tuple[str, ...] = (
     "geoparquet_feature_audit",
     # Zarr native DataSource with planning-time chunk pruning (r11)
     "zarr_datasource_bbox",
+    # snappy + LZ4 pure-Python codecs, cross-impl gated (r11)
+    "block_codec_roundtrip_audit",
 )
 
 

@@ -14644,3 +14644,98 @@ def q_zarr_datasource_bbox(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shared_etl_pipelines_spark.queries import round_floats
 
     return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# Snappy + LZ4 codecs (r11): pure-Python decoders/encoders for the two
+# workhorse page codecs (sources/snappy.py, sources/lz4.py — block AND
+# frame with XXH32 checksums and linked-block history), hash-gated by a
+# SIX-way cross-implementation roundtrip against pyarrow's bundled
+# reference C++ codecs: our decoder over reference bytes and the
+# reference decoder over our bytes, per document, per codec. Any
+# disagreement flips an oracle-pinned TRUE.
+# ---------------------------------------------------------------------------
+@defquery(
+    "block_codec_roundtrip_audit",
+    """
+    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           TRUE AS snappy_dec_ok, TRUE AS snappy_enc_ok,
+           TRUE AS lz4f_dec_ok, TRUE AS lz4f_enc_ok,
+           TRUE AS lz4b_dec_ok, TRUE AS lz4b_enc_ok
+    FROM documents
+    """,
+    doc="snappy + LZ4 frame/block cross-implementation gate: decode "
+    "reference-compressed text and reference-decode our compression, "
+    "six oracle-pinned booleans per document",
+    tags=("llm", "codec", "compression"),
+)
+def q_block_codec_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow as pa
+
+        from shared_etl_pipelines_spark.sources.lz4 import (
+            lz4_block_compress,
+            lz4_block_decompress,
+            lz4_frame_compress,
+            lz4_frame_decompress,
+        )
+        from shared_etl_pipelines_spark.sources.snappy import (
+            snappy_compress,
+            snappy_decompress,
+        )
+
+        cols = (
+            "doc_id", "n_bytes", "snappy_dec_ok", "snappy_enc_ok",
+            "lz4f_dec_ok", "lz4f_enc_ok", "lz4b_dec_ok", "lz4b_enc_ok",
+        )
+
+        def ref_dec(blob: bytes, n: int, codec: str) -> bytes:
+            return pa.decompress(
+                blob, decompressed_size=n, codec=codec, asbytes=True
+            )
+
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                data = str(text).encode("utf-8")
+                n = len(data)
+                rows["doc_id"].append(doc_id)
+                rows["n_bytes"].append(n)
+                rows["snappy_dec_ok"].append(
+                    snappy_decompress(
+                        pa.compress(data, codec="snappy", asbytes=True)
+                    ) == data
+                )
+                rows["snappy_enc_ok"].append(
+                    ref_dec(snappy_compress(data), n, "snappy") == data
+                )
+                rows["lz4f_dec_ok"].append(
+                    lz4_frame_decompress(
+                        pa.compress(data, codec="lz4", asbytes=True)
+                    ) == data
+                )
+                rows["lz4f_enc_ok"].append(
+                    ref_dec(lz4_frame_compress(data), n, "lz4") == data
+                )
+                rows["lz4b_dec_ok"].append(
+                    lz4_block_decompress(
+                        pa.compress(data, codec="lz4_raw", asbytes=True),
+                        expected=n,
+                    ) == data
+                )
+                rows["lz4b_enc_ok"].append(
+                    ref_dec(lz4_block_compress(data), n, "lz4_raw") == data
+                )
+            yield pd.DataFrame(rows)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        batches,
+        "doc_id bigint, n_bytes bigint, snappy_dec_ok boolean, "
+        "snappy_enc_ok boolean, lz4f_dec_ok boolean, lz4f_enc_ok boolean, "
+        "lz4b_dec_ok boolean, lz4b_enc_ok boolean",
+    )
