@@ -1074,6 +1074,8 @@ _CARRYOVER_FIRST: tuple[str, ...] = (
     "zarr_datasource_bbox",
     # snappy + LZ4 pure-Python codecs, cross-impl gated (r11)
     "block_codec_roundtrip_audit",
+    # snappy/LZ4 wired into ORC chunk framing + Avro snappy blocks (r11)
+    "columnar_codec_matrix",
 )
 
 

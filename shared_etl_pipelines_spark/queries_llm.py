@@ -14739,3 +14739,92 @@ def q_block_codec_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         "snappy_enc_ok boolean, lz4f_dec_ok boolean, lz4f_enc_ok boolean, "
         "lz4b_dec_ok boolean, lz4b_enc_ok boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# Columnar codec matrix (r11): the new snappy/LZ4 codecs wired into the
+# FORMATS that mandate them — ORC footer chunks (3-byte-header framing,
+# codec rotating ZLIB/SNAPPY/LZ4 by doc) and the Avro spec's snappy
+# block codec (compressed block + big-endian CRC32 of the uncompressed
+# data, verified on read). Every cell replays from doc_id.
+# ---------------------------------------------------------------------------
+@defquery(
+    "columnar_codec_matrix",
+    """
+    WITH a AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'ZLIB'
+                WHEN 1 THEN 'SNAPPY' ELSE 'LZ4' END AS orc_codec,
+           CAST(n % 90 + 10 AS BIGINT) AS orc_rows,
+           CAST(2 AS INT) AS orc_stripes,
+           'snappy' AS avro_codec,
+           CAST(doc_id % 5 + 1 AS INT) AS avro_records,
+           CAST((doc_id % 5 + 1) * doc_id AS BIGINT) AS avro_x_sum
+    FROM a
+    """,
+    doc="ORC footers compressed with ZLIB/SNAPPY/LZ4 (rotating by doc) "
+    "parse to identical layouts, and snappy-codec Avro blocks round "
+    "trip with the spec's CRC32-of-uncompressed verified on read",
+    tags=("llm", "codec", "compression", "source"),
+)
+def q_columnar_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shared_etl_pipelines_spark.sources.avro import (
+            read_avro_ocf,
+            write_avro_ocf,
+        )
+        from shared_etl_pipelines_spark.sources.orc import (
+            encode_orc,
+            parse_orc_layout,
+        )
+
+        sch = {
+            "type": "record", "name": "r",
+            "fields": [{"name": "x", "type": "long"}],
+        }
+        cols = (
+            "doc_id", "orc_codec", "orc_rows", "orc_stripes",
+            "avro_codec", "avro_records", "avro_x_sum",
+        )
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                n = len(str(text).encode("utf-8"))
+                codec = ("ZLIB", "SNAPPY", "LZ4")[d % 3]
+                total = n % 90 + 10
+                half = total // 2
+                blob = encode_orc(
+                    [("doc_id", "long"), ("n", "long")],
+                    [half, total - half],
+                    d,
+                    compression=codec,
+                )
+                lay = parse_orc_layout(blob)
+                k = d % 5 + 1
+                ocf = write_avro_ocf(
+                    [{"x": d} for _ in range(k)],
+                    sch,
+                    codec="snappy",
+                    sync=bytes([(d * 13 + i) % 256 for i in range(16)]),
+                )
+                out = read_avro_ocf(ocf)
+                rows["doc_id"].append(doc_id)
+                rows["orc_codec"].append(lay["compression"])
+                rows["orc_rows"].append(lay["n_rows"])
+                rows["orc_stripes"].append(lay["n_stripes"])
+                rows["avro_codec"].append(out["codec"])
+                rows["avro_records"].append(len(out["records"]))
+                rows["avro_x_sum"].append(sum(r["x"] for r in out["records"]))
+            yield pd.DataFrame(rows)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        batches,
+        "doc_id bigint, orc_codec string, orc_rows bigint, orc_stripes int, "
+        "avro_codec string, avro_records int, avro_x_sum bigint",
+    )

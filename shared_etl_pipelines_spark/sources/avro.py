@@ -256,7 +256,7 @@ def read_avro_ocf(blob: bytes) -> dict:
         raise ValueError(f"avro: schema is not JSON — quarantine ({e})") from e
     _validate_schema(schema)
     codec = meta.get("avro.codec", b"null").decode("latin-1")
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise ValueError(f"avro: unsupported codec {codec!r} — quarantine")
     sync = r.read(16)
     records = []
@@ -273,6 +273,19 @@ def read_avro_ocf(blob: bytes) -> dict:
                 raise ValueError(
                     f"avro: deflate error — quarantine ({e})"
                 ) from e
+        elif codec == "snappy":
+            # spec: snappy-compressed block + 4-byte BIG-endian CRC32
+            # of the UNCOMPRESSED data
+            from shared_etl_pipelines_spark.sources.snappy import (
+                snappy_decompress,
+            )
+
+            if len(payload) < 4:
+                raise ValueError("avro: snappy block too short — quarantine")
+            data, crc = payload[:-4], payload[-4:]
+            payload = snappy_decompress(data)
+            if (zlib.crc32(payload) & 0xFFFFFFFF) != int.from_bytes(crc, "big"):
+                raise ValueError("avro: snappy CRC mismatch — quarantine")
         br = _Reader(payload)
         for _ in range(count):
             records.append(_decode(br, schema))
@@ -299,7 +312,7 @@ def write_avro_ocf(
     """Serialize records to OCF (fixtures/roundtrips; deterministic —
     caller provides the sync marker)."""
     _validate_schema(schema)
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise ValueError(f"avro: unsupported codec {codec!r}")
     if len(sync) != 16:
         raise ValueError("avro: sync marker must be 16 bytes")
@@ -322,6 +335,13 @@ def write_avro_ocf(
         if codec == "deflate":
             co = zlib.compressobj(6, zlib.DEFLATED, -15)
             body = co.compress(body) + co.flush()
+        elif codec == "snappy":
+            from shared_etl_pipelines_spark.sources.snappy import (
+                snappy_compress,
+            )
+
+            crc = (zlib.crc32(body) & 0xFFFFFFFF).to_bytes(4, "big")
+            body = snappy_compress(body) + crc
         out += _zigzag(len(chunk)) + _enc_bytes(body) + sync
     return bytes(out)
 

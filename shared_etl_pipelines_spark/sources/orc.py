@@ -85,6 +85,27 @@ def _int_stats(n: int, lo: int, hi: int, total: int) -> bytes:
     return _kv(1, n) + _kd(2, ints)
 
 
+def _codec_chunks(body: bytes, kind: str, block: int = 262144) -> bytes:
+    """Snappy/LZ4 chunk framing: same 3-byte header as ZLIB (the spec's
+    generic compressed-stream chunking), codec applied per chunk; the
+    original-flag path is taken when compression would not shrink."""
+    if kind == "SNAPPY":
+        from shared_etl_pipelines_spark.sources.snappy import snappy_compress as _c
+    else:
+        from shared_etl_pipelines_spark.sources.lz4 import lz4_block_compress as _c
+    out = bytearray()
+    for pos in range(0, max(len(body), 1), block):
+        chunk = body[pos : pos + block]
+        if not chunk:
+            break
+        comp = _c(chunk)
+        if len(comp) < len(chunk):
+            out += (len(comp) << 1).to_bytes(3, "little") + comp
+        else:
+            out += ((len(chunk) << 1) | 1).to_bytes(3, "little") + chunk
+    return bytes(out)
+
+
 def _zlib_chunks(body: bytes, block: int = 262144) -> bytes:
     """Spec framing: 3-byte little-endian header (len << 1) | isOriginal
     per chunk; payload raw DEFLATE."""
@@ -142,6 +163,10 @@ def encode_orc(
     comp_no = {v: k for k, v in COMPRESSION.items()}[compression]
     if compression == "ZLIB":
         footer_bytes = _zlib_chunks(footer)
+    elif compression == "SNAPPY":
+        footer_bytes = _codec_chunks(footer, "SNAPPY")
+    elif compression == "LZ4":
+        footer_bytes = _codec_chunks(footer, "LZ4")
     elif compression == "NONE":
         footer_bytes = footer
     else:
@@ -165,7 +190,7 @@ def encode_orc(
 def _decompress_tail(blob: bytes, comp: int, codec_name: str) -> bytes:
     if comp == 0:
         return blob
-    if comp != 1:
+    if comp not in (1, 2, 4):
         raise ValueError(
             f"orc: no in-repo codec for {codec_name} tail — quarantine"
         )
@@ -183,11 +208,23 @@ def _decompress_tail(blob: bytes, comp: int, codec_name: str) -> bytes:
         pos += n
         if orig:
             out += chunk
-        else:
+        elif comp == 1:
             try:
                 out += zlib.decompress(chunk, -15)
             except zlib.error as e:
                 raise ValueError(f"orc: DEFLATE error — quarantine ({e})") from e
+        elif comp == 2:
+            from shared_etl_pipelines_spark.sources.snappy import (
+                snappy_decompress,
+            )
+
+            out += snappy_decompress(chunk)
+        else:  # comp == 4
+            from shared_etl_pipelines_spark.sources.lz4 import (
+                lz4_block_decompress,
+            )
+
+            out += lz4_block_decompress(chunk)
     return bytes(out)
 
 

@@ -76,7 +76,8 @@ def test_schema_refusals():
     with pytest.raises(ValueError):
         avro.write_avro_ocf([], "uuid")
     with pytest.raises(ValueError):
-        avro.write_avro_ocf([], SCHEMA, codec="snappy")
+        # snappy gained support in r11; zstandard stays refused by name
+        avro.write_avro_ocf([], SCHEMA, codec="zstandard")
     with pytest.raises(ValueError):
         avro.write_avro_ocf([], SCHEMA, sync=b"short")
 
@@ -152,3 +153,22 @@ def test_resolution_refusals():
                "fields": [{"name": "y", "type": "int"}]}
     with _pt.raises(ValueError, match="no default"):
         read_avro_ocf_resolved(blob, missing)
+
+
+def test_snappy_codec_roundtrip_and_crc_guard():
+    import zlib as _zlib  # noqa: F401
+
+    sch = {"type": "record", "name": "r",
+           "fields": [{"name": "x", "type": "long"}]}
+    blob = avro.write_avro_ocf(
+        [{"x": i} for i in range(100)], sch, codec="snappy"
+    )
+    out = avro.read_avro_ocf(blob)
+    assert out["codec"] == "snappy"
+    assert [r["x"] for r in out["records"]] == list(range(100))
+    # corrupt a payload byte: either the snappy decode or the spec's
+    # CRC32-of-uncompressed must catch it
+    bad = bytearray(blob)
+    bad[-18] ^= 0xFF
+    with pytest.raises(ValueError, match="snappy|CRC|sync"):
+        avro.read_avro_ocf(bytes(bad))

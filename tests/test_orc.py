@@ -61,15 +61,24 @@ def test_structural_refusals():
 
 
 def test_unsupported_codec_refuses_by_name():
+    # SNAPPY/LZ4 gained in-repo codecs in r11; LZO (3) remains the
+    # refuse-by-name boundary
     b = bytearray(O.encode_orc([("id", "long")], [5], 0))
-    # postscript compression field: find the _kv(2, 0) in the ps and
-    # set it to SNAPPY (2); simpler: encode ps again is overkill —
-    # locate via parse offsets
     ps_len = b[-1]
     ps = bytes(b[len(b) - 1 - ps_len : len(b) - 1])
     # field 2 varint: tag byte 0x10 followed by value
     idx = ps.index(b"\x10\x00")
-    patched = ps[:idx] + b"\x10\x02" + ps[idx + 2 :]
+    patched = ps[:idx] + b"\x10\x03" + ps[idx + 2 :]
     blob = bytes(b[: len(b) - 1 - ps_len]) + patched + bytes([ps_len])
-    with pytest.raises(ValueError, match="SNAPPY"):
+    with pytest.raises(ValueError, match="LZO"):
         O.parse_orc_layout(blob)
+
+
+def test_snappy_lz4_footers_roundtrip():
+    for codec in ("SNAPPY", "LZ4"):
+        lay = O.parse_orc_layout(
+            O.encode_orc([("id", "long"), ("n", "long")], [100, 50], 7,
+                         compression=codec)
+        )
+        assert lay["compression"] == codec
+        assert lay["n_rows"] == 150 and lay["n_stripes"] == 2
