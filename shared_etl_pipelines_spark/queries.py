@@ -1076,6 +1076,8 @@ _CARRYOVER_FIRST: tuple[str, ...] = (
     "block_codec_roundtrip_audit",
     # snappy/LZ4 wired into ORC chunk framing + Avro snappy blocks (r11)
     "columnar_codec_matrix",
+    # parquet footer via the repo's own Thrift compact walker (r11)
+    "parquet_footer_thrift_audit",
 )
 
 

@@ -14828,3 +14828,89 @@ def q_columnar_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, orc_codec string, orc_rows bigint, orc_stripes int, "
         "avro_codec string, avro_records int, avro_x_sum bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Parquet footer via the repo's OWN Thrift compact-protocol walker
+# (r11): PAR1 framing + FileMetaData/SchemaElement/RowGroup/
+# ColumnChunk/Statistics decoded from raw bytes
+# (sources/thrift_compact.py + sources/parquet_footer.py) — the
+# independent path next to pyarrow, so pyarrow-WRITTEN files are a
+# true cross-implementation check. Per doc the fixture writes a real
+# parquet (codec rotating SNAPPY/GZIP/ZSTD, 8-row row groups) and the
+# walker's row counts, codec ids, and column statistics land in the
+# hash.
+# ---------------------------------------------------------------------------
+@defquery(
+    "parquet_footer_thrift_audit",
+    """
+    WITH a AS (SELECT doc_id AS d FROM documents)
+    SELECT d AS doc_id,
+           CAST(d % 40 + 10 AS BIGINT) AS num_rows,
+           CAST((d % 40 + 10 + 7) // 8 AS INT) AS n_row_groups,
+           CASE CAST(d % 3 AS INT) WHEN 0 THEN 'SNAPPY'
+                WHEN 1 THEN 'GZIP' ELSE 'ZSTD' END AS codec,
+           d AS val_min, d + (d % 40 + 10) - 1 AS val_max
+    FROM a
+    """,
+    doc="parquet footer decoded with the repo's own Thrift compact "
+    "walker over pyarrow-written files: num_rows, row-group count, "
+    "per-chunk codec id, and INT64 min/max statistics all replay in "
+    "closed form",
+    tags=("llm", "source", "codec", "catalog", "plan"),
+)
+def q_parquet_footer_thrift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from shared_etl_pipelines_spark.sources.parquet_footer import (
+            parse_parquet_footer,
+        )
+
+        cols = (
+            "doc_id", "num_rows", "n_row_groups", "codec", "val_min",
+            "val_max",
+        )
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = d % 40 + 10
+                tbl = pa.table({"v": pa.array([d + i for i in range(n)],
+                                              pa.int64())})
+                buf = io.BytesIO()
+                pq.write_table(
+                    tbl, buf,
+                    compression=("snappy", "gzip", "zstd")[d % 3],
+                    row_group_size=8,
+                )
+                foot = parse_parquet_footer(buf.getvalue())
+                rgs = foot["row_groups"]
+                codecs = {c["codec"] for rg in rgs for c in rg["columns"]}
+                if len(codecs) != 1:
+                    raise ValueError(f"footer: mixed codecs {codecs}")
+                rows["doc_id"].append(doc_id)
+                rows["num_rows"].append(foot["num_rows"])
+                rows["n_row_groups"].append(len(rgs))
+                rows["codec"].append(next(iter(codecs)))
+                rows["val_min"].append(
+                    min(c["stats"]["min"] for rg in rgs for c in rg["columns"])
+                )
+                rows["val_max"].append(
+                    max(c["stats"]["max"] for rg in rgs for c in rg["columns"])
+                )
+            yield pd.DataFrame(rows)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        batches,
+        "doc_id bigint, num_rows bigint, n_row_groups int, codec string, "
+        "val_min bigint, val_max bigint",
+    )

@@ -1,0 +1,83 @@
+"""Thrift compact protocol + parquet footer walker: cross-checked
+against pyarrow's writer AND metadata API (independent implementation),
+plus refusal paths."""
+
+import io
+import random
+import struct
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from shared_etl_pipelines_spark.sources.parquet_footer import (
+    parse_parquet_footer,
+)
+from shared_etl_pipelines_spark.sources.thrift_compact import decode_struct
+
+
+def test_footer_cross_check_against_pyarrow_metadata():
+    rng = random.Random(3)
+    for _ in range(5):
+        n = rng.randrange(10, 400)
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "val": pa.array([rng.random() for _ in range(n)], pa.float64()),
+                "name": pa.array([f"d{i}" for i in range(n)], pa.string()),
+            }
+        )
+        buf = io.BytesIO()
+        codec = rng.choice(["snappy", "zstd", "none", "gzip", "lz4"])
+        pq.write_table(tbl, buf, compression=codec, row_group_size=max(10, n // 3))
+        blob = buf.getvalue()
+        ours = parse_parquet_footer(blob)
+        ref = pq.read_metadata(io.BytesIO(blob))
+        assert ours["num_rows"] == ref.num_rows
+        assert len(ours["row_groups"]) == ref.num_row_groups
+        for gi in range(ref.num_row_groups):
+            rg_ref, rg = ref.row_group(gi), ours["row_groups"][gi]
+            assert rg["num_rows"] == rg_ref.num_rows
+            for ci in range(rg_ref.num_columns):
+                c_ref, c = rg_ref.column(ci), rg["columns"][ci]
+                assert c["path"] == c_ref.path_in_schema
+                # pyarrow's API reports the LZ4_RAW id (7) as "LZ4"
+                want = {"LZ4": {"LZ4", "LZ4_RAW"}}.get(
+                    c_ref.compression, {c_ref.compression}
+                )
+                assert c["codec"] in want
+                assert c["num_values"] == c_ref.num_values
+                st = c_ref.statistics
+                if st is not None and st.has_min_max and c["path"] != "val":
+                    assert c["stats"]["min"] == st.min
+                    assert c["stats"]["max"] == st.max
+
+
+def test_thrift_struct_decoding_units():
+    # hand-built compact struct: field 1 i32 = -3, field 2 bool true,
+    # field 4 binary "ab" (delta 2), nested struct in field 5
+    inner = bytes([0x15, 0x08, 0x00])  # field 1 i32 zigzag(4)=8, STOP
+    buf = bytes(
+        [0x15, 0x05]  # field 1, i32, zigzag(-3)=5
+        + [0x11]  # field 2, bool true folded
+        + [0x28, 0x02] + list(b"ab")  # field 4 (delta 2), binary len 2
+        + [0x1C]  # field 5 (delta 1), struct
+    ) + inner + bytes([0x00])
+    fields, p = decode_struct(buf)
+    assert fields[1] == -3 and fields[2] is True and fields[4] == b"ab"
+    assert fields[5] == {1: 4} and p == len(buf)
+
+
+def test_refusals():
+    with pytest.raises(ValueError, match="magic"):
+        parse_parquet_footer(b"PAR1" + b"\x00" * 10 + b"XXXX")
+    tbl = pa.table({"v": pa.array([1, 2], pa.int64())})
+    buf = io.BytesIO()
+    pq.write_table(tbl, buf)
+    blob = bytearray(buf.getvalue())
+    # footer-length lie: points past the file head
+    struct.pack_into("<I", blob, len(blob) - 8, len(blob))
+    with pytest.raises(ValueError, match="overruns"):
+        parse_parquet_footer(bytes(blob))
+    with pytest.raises(ValueError, match="truncated|STOP"):
+        decode_struct(bytes([0x15]))
