@@ -1078,6 +1078,8 @@ _CARRYOVER_FIRST: tuple[str, ...] = (
     "columnar_codec_matrix",
     # parquet footer via the repo's own Thrift compact walker (r11)
     "parquet_footer_thrift_audit",
+    # RFC 8878 zstd decompressor, cross-impl gated (r11)
+    "zstd_decode_audit",
 )
 
 

@@ -14914,3 +14914,70 @@ def q_parquet_footer_thrift_audit(spark: SparkSession, sf_dir: str) -> DataFrame
         "doc_id bigint, num_rows bigint, n_row_groups int, codec string, "
         "val_min bigint, val_max bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Zstandard decode (r11): pure-Python RFC 8878 decompressor
+# (sources/zstd_decode.py — FSE table construction + backward
+# bitstreams, Huffman literals in 1/4-stream layouts with direct and
+# FSE-compressed weights, predefined/RLE/FSE/repeat sequence tables,
+# repeat-offset history, XXH64 checksums). The predefined ML
+# distribution was EMPIRICALLY pinned against the reference encoder
+# (37/64 table cells observed via probes; exactly one candidate
+# reproduces them all). Hash gate: per-doc reference-compressed text
+# at four levels decodes byte-identically, plus a two-frame
+# concatenation — every boolean oracle-pinned TRUE.
+# ---------------------------------------------------------------------------
+@defquery(
+    "zstd_decode_audit",
+    """
+    SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST((doc_id % 4) * 6 + 1 AS INT) AS level,
+           TRUE AS decode_ok, TRUE AS multiframe_ok
+    FROM documents
+    """,
+    doc="zstd cross-implementation gate: pyarrow-compressed text at "
+    "levels 1/7/13/19 decoded by the RFC 8878 pure-Python decoder, "
+    "plus skippable-frame + two-frame concatenation handling",
+    tags=("llm", "codec", "compression"),
+)
+def q_zstd_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct as _struct
+
+        import pyarrow as pa
+
+        from shared_etl_pipelines_spark.sources.zstd_decode import (
+            zstd_decompress,
+        )
+
+        cols = ("doc_id", "n_bytes", "level", "decode_ok", "multiframe_ok")
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                data = str(text).encode("utf-8")
+                level = (d % 4) * 6 + 1
+                codec = pa.Codec("zstd", compression_level=level)
+                blob = codec.compress(data, asbytes=True)
+                ok = zstd_decompress(blob) == data
+                skip = _struct.pack("<II", 0x184D2A50, 4) + b"\x00" * 4
+                two = blob + skip + codec.compress(data[:16], asbytes=True)
+                multi = zstd_decompress(two) == data + data[:16]
+                rows["doc_id"].append(doc_id)
+                rows["n_bytes"].append(len(data))
+                rows["level"].append(level)
+                rows["decode_ok"].append(ok)
+                rows["multiframe_ok"].append(multi)
+            yield pd.DataFrame(rows)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        batches,
+        "doc_id bigint, n_bytes bigint, level int, decode_ok boolean, "
+        "multiframe_ok boolean",
+    )
