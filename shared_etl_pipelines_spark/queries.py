@@ -1080,6 +1080,8 @@ _CARRYOVER_FIRST: tuple[str, ...] = (
     "parquet_footer_thrift_audit",
     # RFC 8878 zstd decompressor, cross-impl gated (r11)
     "zstd_decode_audit",
+    # full independent parquet column read path (r11)
+    "parquet_page_read_audit",
 )
 
 

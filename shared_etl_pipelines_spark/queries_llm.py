@@ -14981,3 +14981,106 @@ def q_zstd_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, n_bytes bigint, level int, decode_ok boolean, "
         "multiframe_ok boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# Parquet data pages decoded from raw bytes (r11): the full independent
+# read path — Thrift-compact page headers, page decompression through
+# the repo's OWN codecs (snappy/gzip/zstd/LZ4_RAW), definition-level
+# RLE/bit-packed hybrid, PLAIN values, dictionary pages with
+# RLE_DICTIONARY indices, data page v1 AND v2
+# (sources/parquet_pages.py). Fixture rotates codec by doc_id%5,
+# dictionary on/off by %2, page version by %3 — pyarrow writes, the
+# repo reads, the closed forms check the VALUES.
+# ---------------------------------------------------------------------------
+@defquery(
+    "parquet_page_read_audit",
+    """
+    WITH a AS (SELECT doc_id AS d FROM documents),
+    dims AS (SELECT d, d % 30 + 5 AS nr FROM a),
+    r AS (SELECT d, nr, CAST(unnest(range(0, nr)) AS BIGINT) AS i FROM dims),
+    agg AS (
+      SELECT d, MAX(nr) AS nr,
+             SUM(CASE WHEN (d + i) % 7 <> 0 THEN d + i END) AS int_sum,
+             COUNT(CASE WHEN (d + i) % 7 = 0 THEN 1 END) AS int_nulls,
+             SUM(CASE WHEN (d + i) % 11 <> 3 THEN (d + i) % 5 + 1 END)
+               AS str_bytes,
+             COUNT(CASE WHEN (d + i) % 3 = 0 THEN 1 END) AS n_true
+      FROM r GROUP BY d
+    )
+    SELECT d AS doc_id, CAST(nr AS BIGINT) AS num_rows,
+           CAST(COALESCE(int_sum, 0) AS BIGINT) AS int_sum,
+           CAST(int_nulls AS BIGINT) AS int_nulls,
+           CAST(COALESCE(str_bytes, 0) AS BIGINT) AS str_bytes,
+           CAST(n_true AS BIGINT) AS n_true
+    FROM agg
+    """,
+    doc="independent parquet column read: values decoded from raw "
+    "pages (own thrift walker + own page codecs + RLE hybrid + "
+    "dictionary indices) aggregate to the closed forms across 5 "
+    "codecs, both page versions, and dict/plain encodings",
+    tags=("llm", "source", "codec", "catalog"),
+)
+def q_parquet_page_read_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from shared_etl_pipelines_spark.sources.parquet_pages import (
+            read_all_columns,
+        )
+
+        cols = ("doc_id", "num_rows", "int_sum", "int_nulls", "str_bytes",
+                "n_true")
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                nr = d % 30 + 5
+                ints = [None if (d + i) % 7 == 0 else d + i for i in range(nr)]
+                strs = [
+                    None if (d + i) % 11 == 3 else "x" * ((d + i) % 5 + 1)
+                    for i in range(nr)
+                ]
+                bools = [(d + i) % 3 == 0 for i in range(nr)]
+                tbl = pa.table(
+                    {
+                        "iv": pa.array(ints, pa.int64()),
+                        "sv": pa.array(strs, pa.string()),
+                        "bv": pa.array(bools, pa.bool_()),
+                    }
+                )
+                buf = io.BytesIO()
+                pq.write_table(
+                    tbl, buf,
+                    compression=("snappy", "gzip", "zstd", "lz4", "none")[d % 5],
+                    use_dictionary=bool(d % 2),
+                    data_page_version=("1.0", "2.0")[d % 3 == 0],
+                    row_group_size=8,
+                )
+                blob = buf.getvalue()
+                iv = read_all_columns(blob, "iv")
+                sv = read_all_columns(blob, "sv")
+                bv = read_all_columns(blob, "bv")
+                rows["doc_id"].append(doc_id)
+                rows["num_rows"].append(len(iv))
+                rows["int_sum"].append(sum(v for v in iv if v is not None))
+                rows["int_nulls"].append(sum(1 for v in iv if v is None))
+                rows["str_bytes"].append(
+                    sum(len(v) for v in sv if v is not None)
+                )
+                rows["n_true"].append(sum(1 for v in bv if v))
+            yield pd.DataFrame(rows)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        batches,
+        "doc_id bigint, num_rows bigint, int_sum bigint, int_nulls bigint, "
+        "str_bytes bigint, n_true bigint",
+    )

@@ -20,7 +20,7 @@ Field-id mapping is parquet.thrift verbatim (subset):
     ColumnMetaData: 1 type, 2 encodings, 3 path_in_schema, 4 codec,
                     5 num_values, 6 total_uncompressed_size,
                     7 total_compressed_size, 9 data_page_offset,
-                    12 statistics
+                    11 dictionary_page_offset, 12 statistics
     Statistics:     3 null_count, 5 max_value, 6 min_value
 
 Truncated framing, a bad magic, or a footer that overruns the file
@@ -110,6 +110,7 @@ def parse_parquet_footer(blob: bytes) -> dict:
                     "total_compressed_size": md.get(7),
                     "total_uncompressed_size": md.get(6),
                     "data_page_offset": md.get(9),
+                    "dictionary_page_offset": md.get(11),
                     "stats": _decode_stats(md.get(12, {}), ptype),
                 }
             )

@@ -81,3 +81,70 @@ def test_refusals():
         parse_parquet_footer(bytes(blob))
     with pytest.raises(ValueError, match="truncated|STOP"):
         decode_struct(bytes([0x15]))
+
+
+# ---------------------------------------------------------------------------
+# data pages (sources/parquet_pages.py)
+# ---------------------------------------------------------------------------
+
+
+def test_page_read_cross_check_matrix():
+    """Full column read vs pyarrow's reader: 5 codecs x dict/plain x
+    page v1/v2 x 6 physical types with nulls."""
+    from shared_etl_pipelines_spark.sources.parquet_pages import (
+        read_all_columns,
+    )
+
+    rng = random.Random(17)
+    for trial in range(12):
+        n = rng.randrange(1, 500)
+        ints = [rng.randrange(-10**6, 10**6) if rng.random() > 0.2 else None
+                for _ in range(n)]
+        strs = [rng.choice(["aa", "bb", "ccc"]) if rng.random() > 0.15
+                else None for _ in range(n)]
+        bools = [rng.random() > 0.5 if rng.random() > 0.1 else None
+                 for _ in range(n)]
+        tbl = pa.table(
+            {
+                "i": pa.array(ints, pa.int64()),
+                "s": pa.array(strs, pa.string()),
+                "b": pa.array(bools, pa.bool_()),
+                "d": pa.array(
+                    [None if x is None else x / 8 for x in ints], pa.float64()
+                ),
+            }
+        )
+        buf = io.BytesIO()
+        pq.write_table(
+            tbl, buf,
+            compression=rng.choice(["snappy", "zstd", "none", "gzip", "lz4"]),
+            use_dictionary=rng.random() > 0.5,
+            data_page_version=rng.choice(["1.0", "2.0"]),
+            row_group_size=max(8, n // 3),
+        )
+        blob = buf.getvalue()
+        ref = pq.read_table(io.BytesIO(blob))
+        for c in ("i", "s", "b", "d"):
+            got = read_all_columns(blob, c)
+            if c == "s":
+                got = [g.decode() if g is not None else None for g in got]
+            assert got == ref.column(c).to_pylist(), (trial, c)
+
+
+def test_page_read_refusals():
+    from shared_etl_pipelines_spark.sources.parquet_pages import (
+        read_all_columns,
+    )
+
+    tbl = pa.table({"v": pa.array([1, 2, 3], pa.int64())})
+    buf = io.BytesIO()
+    pq.write_table(tbl, buf)
+    blob = buf.getvalue()
+    with pytest.raises(ValueError, match="no column"):
+        read_all_columns(blob, "missing")
+    # repeated (list) fields refuse
+    lt = pa.table({"l": pa.array([[1, 2], [3]], pa.list_(pa.int64()))})
+    b2 = io.BytesIO()
+    pq.write_table(lt, b2)
+    with pytest.raises(ValueError):
+        read_all_columns(b2.getvalue(), "l.list.element")
