@@ -14989,9 +14989,11 @@ def q_zstd_decode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the repo's OWN codecs (snappy/gzip/zstd/LZ4_RAW), definition-level
 # RLE/bit-packed hybrid, PLAIN values, dictionary pages with
 # RLE_DICTIONARY indices, data page v1 AND v2
-# (sources/parquet_pages.py). Fixture rotates codec by doc_id%5,
-# dictionary on/off by %2, page version by %3 — pyarrow writes, the
-# repo reads, the closed forms check the VALUES.
+# (sources/parquet_pages.py), plus the DELTA_BINARY_PACKED /
+# DELTA_(LENGTH_)BYTE_ARRAY / BYTE_STREAM_SPLIT encodings. Fixture
+# rotates codec by doc_id%5, dictionary on/off by %2, page version by
+# %3, and a DELTA-encoding lane on %4==1 — pyarrow writes, the repo
+# reads, the closed forms check the VALUES.
 # ---------------------------------------------------------------------------
 @defquery(
     "parquet_page_read_audit",
@@ -15057,13 +15059,20 @@ def q_parquet_page_read_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     }
                 )
                 buf = io.BytesIO()
-                pq.write_table(
-                    tbl, buf,
-                    compression=("snappy", "gzip", "zstd", "lz4", "none")[d % 5],
-                    use_dictionary=bool(d % 2),
-                    data_page_version=("1.0", "2.0")[d % 3 == 0],
-                    row_group_size=8,
-                )
+                kw = {
+                    "compression": ("snappy", "gzip", "zstd", "lz4", "none")[d % 5],
+                    "use_dictionary": bool(d % 2),
+                    "data_page_version": ("1.0", "2.0")[d % 3 == 0],
+                    "row_group_size": 8,
+                }
+                if d % 4 == 1:  # DELTA family lane (plain-incompatible
+                    # with dictionary, so it replaces it)
+                    kw["use_dictionary"] = False
+                    kw["column_encoding"] = {
+                        "iv": "DELTA_BINARY_PACKED",
+                        "sv": ("DELTA_BYTE_ARRAY", "DELTA_LENGTH_BYTE_ARRAY")[d % 8 == 1],
+                    }
+                pq.write_table(tbl, buf, **kw)
                 blob = buf.getvalue()
                 iv = read_all_columns(blob, "iv")
                 sv = read_all_columns(blob, "sv")

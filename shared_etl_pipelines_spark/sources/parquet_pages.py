@@ -14,8 +14,10 @@ written files are therefore a true cross-implementation check of the
 whole chain.
 
 Scope: flat (non-nested) columns, data page v1 and v2, max_def <= 1
-(top-level required/optional). Repeated fields, DELTA encodings, and
-encrypted/CRC-enforced pages refuse loudly.
+(top-level required/optional), encodings PLAIN / RLE(boolean) /
+dictionary / DELTA_BINARY_PACKED / DELTA_LENGTH_BYTE_ARRAY /
+DELTA_BYTE_ARRAY / BYTE_STREAM_SPLIT. Repeated fields and
+encrypted pages refuse loudly.
 """
 
 from __future__ import annotations
@@ -187,6 +189,102 @@ def _read_pages(
     return out[:n_total]
 
 
+def _uleb(buf: bytes, p: int) -> tuple[int, int]:
+    v = shift = 0
+    while True:
+        if p >= len(buf):
+            raise ValueError("parquet: truncated varint")
+        b = buf[p]
+        v |= (b & 0x7F) << shift
+        p += 1
+        if not b & 0x80:
+            return v, p
+        shift += 7
+
+
+def _zigzag_leb(buf: bytes, p: int) -> tuple[int, int]:
+    u, p = _uleb(buf, p)
+    return (u >> 1) ^ -(u & 1), p
+
+
+def _delta_binary_packed(buf: bytes, p: int) -> tuple[list[int], int]:
+    """DELTA_BINARY_PACKED (Encodings.md §Delta encoding): ULEB header
+    (block size, miniblocks/block, total count, zigzag first value),
+    then per block a zigzag min-delta, one bit width per miniblock, and
+    LSB-first bit-packed delta payloads."""
+    block_size, p = _uleb(buf, p)
+    n_mini, p = _uleb(buf, p)
+    total, p = _uleb(buf, p)
+    if n_mini == 0 or block_size % n_mini:
+        raise ValueError("parquet: bad delta header — quarantine")
+    per_mini = block_size // n_mini
+    first, p = _zigzag_leb(buf, p)
+    out = [first]
+    while len(out) < total:
+        min_delta, p = _zigzag_leb(buf, p)
+        if p + n_mini > len(buf):
+            raise ValueError("parquet: truncated delta bit widths")
+        widths = list(buf[p : p + n_mini])
+        p += n_mini
+        for w in widths:
+            if len(out) >= total and w == 0:
+                continue  # padding miniblocks after the last value
+            n_bytes = (per_mini * w + 7) // 8
+            if p + n_bytes > len(buf):
+                raise ValueError("parquet: truncated delta miniblock")
+            bits = int.from_bytes(buf[p : p + n_bytes], "little")
+            p += n_bytes
+            for i in range(per_mini):
+                if len(out) >= total:
+                    break
+                d = (bits >> (i * w)) & ((1 << w) - 1) if w else 0
+                out.append(out[-1] + min_delta + d)
+    return out[:total], p
+
+
+def _delta_length_byte_array(buf: bytes, p: int) -> tuple[list[bytes], int]:
+    lengths, p = _delta_binary_packed(buf, p)
+    out = []
+    for ln in lengths:
+        if ln < 0 or p + ln > len(buf):
+            raise ValueError("parquet: delta-length payload overruns")
+        out.append(buf[p : p + ln])
+        p += ln
+    return out, p
+
+
+def _delta_byte_array(buf: bytes, p: int) -> tuple[list[bytes], int]:
+    prefixes, p = _delta_binary_packed(buf, p)
+    suffixes, p = _delta_length_byte_array(buf, p)
+    if len(prefixes) != len(suffixes):
+        raise ValueError("parquet: delta-byte-array count mismatch")
+    out: list[bytes] = []
+    prev = b""
+    for pre, suf in zip(prefixes, suffixes):
+        if pre < 0 or pre > len(prev):
+            raise ValueError("parquet: delta prefix overruns previous value")
+        prev = prev[:pre] + suf
+        out.append(prev)
+    return out, p
+
+
+_BSS_WIDTH = {"FLOAT": ("<f", 4), "DOUBLE": ("<d", 8),
+              "INT32": ("<i", 4), "INT64": ("<q", 8)}
+
+
+def _byte_stream_split(buf: bytes, ptype: str, n: int) -> list:
+    if ptype not in _BSS_WIDTH:
+        raise ValueError(f"parquet: BYTE_STREAM_SPLIT for {ptype} unsupported")
+    fmt, k = _BSS_WIDTH[ptype]
+    if len(buf) < n * k:
+        raise ValueError("parquet: byte-stream-split payload truncated")
+    out = []
+    for i in range(n):
+        raw = bytes(buf[j * n + i] for j in range(k))
+        out.append(struct.unpack(fmt, raw)[0])
+    return out
+
+
 def _decode_values(
     raw: bytes, r: int, enc: int, ptype: str, defs: list[int],
     dictionary: list | None,
@@ -211,6 +309,22 @@ def _decode_values(
             vals = [dictionary[i] for i in idx]
         except IndexError:
             raise ValueError("parquet: dictionary index out of range") from None
+    elif enc == 5:  # DELTA_BINARY_PACKED
+        if ptype not in ("INT32", "INT64"):
+            raise ValueError("parquet: delta encoding only for ints")
+        vals, _ = _delta_binary_packed(raw, r)
+        if len(vals) != n_present:
+            raise ValueError("parquet: delta count mismatch — quarantine")
+    elif enc == 6:  # DELTA_LENGTH_BYTE_ARRAY
+        vals, _ = _delta_length_byte_array(raw, r)
+        if len(vals) != n_present:
+            raise ValueError("parquet: delta-length count mismatch")
+    elif enc == 7:  # DELTA_BYTE_ARRAY
+        vals, _ = _delta_byte_array(raw, r)
+        if len(vals) != n_present:
+            raise ValueError("parquet: delta-byte-array count mismatch")
+    elif enc == 9:  # BYTE_STREAM_SPLIT
+        vals = _byte_stream_split(raw[r:], ptype, n_present)
     else:
         raise ValueError(f"parquet: encoding {enc} unsupported — quarantine")
     it = iter(vals)

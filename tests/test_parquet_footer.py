@@ -148,3 +148,46 @@ def test_page_read_refusals():
     pq.write_table(lt, b2)
     with pytest.raises(ValueError):
         read_all_columns(b2.getvalue(), "l.list.element")
+
+
+def test_delta_and_byte_stream_split_encodings():
+    from shared_etl_pipelines_spark.sources.parquet_pages import (
+        read_all_columns,
+    )
+
+    rng = random.Random(23)
+    for trial in range(6):
+        n = rng.randrange(1, 700)
+        ints = [rng.randrange(-10**9, 10**9) if rng.random() > 0.2 else None
+                for _ in range(n)]
+        f64 = [rng.random() if rng.random() > 0.1 else None for _ in range(n)]
+        strs = ["pre" + str(rng.randrange(40)) if rng.random() > 0.15
+                else None for _ in range(n)]
+        tbl = pa.table(
+            {
+                "i": pa.array(ints, pa.int64()),
+                "f": pa.array(f64, pa.float64()),
+                "s": pa.array(strs, pa.string()),
+            }
+        )
+        buf = io.BytesIO()
+        pq.write_table(
+            tbl, buf, use_dictionary=False,
+            compression=rng.choice(["snappy", "zstd", "none"]),
+            data_page_version=rng.choice(["1.0", "2.0"]),
+            row_group_size=max(8, n // 2),
+            column_encoding={
+                "i": "DELTA_BINARY_PACKED",
+                "f": "BYTE_STREAM_SPLIT",
+                "s": rng.choice(
+                    ["DELTA_LENGTH_BYTE_ARRAY", "DELTA_BYTE_ARRAY"]
+                ),
+            },
+        )
+        blob = buf.getvalue()
+        ref = pq.read_table(io.BytesIO(blob))
+        for c in ("i", "f", "s"):
+            got = read_all_columns(blob, c)
+            if c == "s":
+                got = [g.decode() if g is not None else None for g in got]
+            assert got == ref.column(c).to_pylist(), (trial, c)
