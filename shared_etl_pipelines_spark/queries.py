@@ -1082,6 +1082,8 @@ _CARRYOVER_FIRST: tuple[str, ...] = (
     "zstd_decode_audit",
     # full independent parquet column read path (r11)
     "parquet_page_read_audit",
+    # independent ORC stripe data read (RLEv2 etc., r11)
+    "orc_column_read_audit",
 )
 
 

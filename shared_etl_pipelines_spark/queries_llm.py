@@ -15093,3 +15093,106 @@ def q_parquet_page_read_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, num_rows bigint, int_sum bigint, int_nulls bigint, "
         "str_bytes bigint, n_true bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# ORC stripe data decoded from raw bytes (r11): the ORC twin of the
+# parquet page reader — stripe footers, PRESENT bit streams over
+# byte-RLE, integer RLEv2 (SHORT_REPEAT / DIRECT / PATCHED_BASE /
+# DELTA, MSB-first packing, the 5-bit closed width table,
+# sign-magnitude patched bases), DIRECT_V2 + DICTIONARY_V2 strings,
+# raw IEEE754 doubles, and all five compression kinds through the
+# repo's OWN codecs (sources/orc_data.py). pyarrow's bundled reference
+# ORC writer produces the fixtures, so the decode is a true
+# cross-implementation check; the closed forms check the VALUES.
+# ---------------------------------------------------------------------------
+@defquery(
+    "orc_column_read_audit",
+    """
+    WITH a AS (SELECT doc_id AS d FROM documents),
+    dims AS (SELECT d, d % 40 + 5 AS nr FROM a),
+    r AS (SELECT d, nr, CAST(unnest(range(0, nr)) AS BIGINT) AS i FROM dims),
+    agg AS (
+      SELECT d, MAX(nr) AS nr,
+             SUM(CASE WHEN (d + i) % 7 <> 0 THEN d + i END) AS int_sum,
+             COUNT(CASE WHEN (d + i) % 7 = 0 THEN 1 END) AS int_nulls,
+             SUM(CASE WHEN (d + i) % 11 <> 3 THEN (d + i) % 6 + 1 END)
+               AS str_bytes,
+             ROUND(SUM(((d + i) % 8) / 4.0), 4) AS dbl_sum
+      FROM r GROUP BY d
+    )
+    SELECT d AS doc_id, CAST(nr AS BIGINT) AS num_rows,
+           CAST(COALESCE(int_sum, 0) AS BIGINT) AS int_sum,
+           CAST(int_nulls AS BIGINT) AS int_nulls,
+           CAST(COALESCE(str_bytes, 0) AS BIGINT) AS str_bytes,
+           dbl_sum
+    FROM agg
+    """,
+    doc="independent ORC column read: RLEv2 ints with nulls, "
+    "dictionary/direct strings, quarter-step doubles decoded from raw "
+    "stripes across all five compression kinds aggregate to the "
+    "closed forms",
+    tags=("llm", "source", "codec", "catalog"),
+)
+def q_orc_column_read_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        import pyarrow as pa
+        from pyarrow import orc as pa_orc
+
+        from shared_etl_pipelines_spark.sources.orc_data import (
+            read_orc_column,
+        )
+
+        cols = ("doc_id", "num_rows", "int_sum", "int_nulls", "str_bytes",
+                "dbl_sum")
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                nr = d % 40 + 5
+                ints = [None if (d + i) % 7 == 0 else d + i for i in range(nr)]
+                strs = [
+                    None if (d + i) % 11 == 3 else "y" * ((d + i) % 6 + 1)
+                    for i in range(nr)
+                ]
+                dbls = [((d + i) % 8) / 4.0 for i in range(nr)]
+                tbl = pa.table(
+                    {
+                        "iv": pa.array(ints, pa.int64()),
+                        "sv": pa.array(strs, pa.string()),
+                        "dv": pa.array(dbls, pa.float64()),
+                    }
+                )
+                buf = io.BytesIO()
+                pa_orc.write_table(
+                    tbl, buf,
+                    compression=(
+                        "uncompressed", "zlib", "snappy", "lz4", "zstd"
+                    )[d % 5],
+                )
+                blob = buf.getvalue()
+                iv = read_orc_column(blob, "iv")
+                sv = read_orc_column(blob, "sv")
+                dv = read_orc_column(blob, "dv")
+                rows["doc_id"].append(doc_id)
+                rows["num_rows"].append(len(iv))
+                rows["int_sum"].append(sum(v for v in iv if v is not None))
+                rows["int_nulls"].append(sum(1 for v in iv if v is None))
+                rows["str_bytes"].append(
+                    sum(len(v) for v in sv if v is not None)
+                )
+                rows["dbl_sum"].append(round(sum(dv), 4))
+            yield pd.DataFrame(rows)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        batches,
+        "doc_id bigint, num_rows bigint, int_sum bigint, int_nulls bigint, "
+        "str_bytes bigint, dbl_sum double",
+    )

@@ -157,7 +157,9 @@ def encode_orc(
     for _ in columns[1:]:
         stats += _kd(7, _kv(1, n_rows))
     footer = (
-        _kv(1, 3) + _kv(2, off) + stripes + types + _kv(6, n_rows)
+        # contentLength EXCLUDES the 3-byte magic (real-writer parity:
+        # pyarrow's ORC files pin this interpretation)
+        _kv(1, 3) + _kv(2, off - 3) + stripes + types + _kv(6, n_rows)
         + stats + _kv(8, 10000)
     )
     comp_no = {v: k for k, v in COMPRESSION.items()}[compression]
@@ -190,7 +192,7 @@ def encode_orc(
 def _decompress_tail(blob: bytes, comp: int, codec_name: str) -> bytes:
     if comp == 0:
         return blob
-    if comp not in (1, 2, 4):
+    if comp not in (1, 2, 4, 5):
         raise ValueError(
             f"orc: no in-repo codec for {codec_name} tail — quarantine"
         )
@@ -219,12 +221,18 @@ def _decompress_tail(blob: bytes, comp: int, codec_name: str) -> bytes:
             )
 
             out += snappy_decompress(chunk)
-        else:  # comp == 4
+        elif comp == 4:
             from shared_etl_pipelines_spark.sources.lz4 import (
                 lz4_block_decompress,
             )
 
             out += lz4_block_decompress(chunk)
+        else:  # comp == 5: ZSTD frames inside the chunk framing
+            from shared_etl_pipelines_spark.sources.zstd_decode import (
+                zstd_decompress,
+            )
+
+            out += zstd_decompress(chunk)
     return bytes(out)
 
 
@@ -250,7 +258,20 @@ def parse_orc_layout(blob: bytes) -> dict:
         elif fno == 3:
             block = v
         elif fno == 4:
-            versions.append(v)
+            if isinstance(v, bytes):  # packed repeated varints
+                q = 0
+                while q < len(v):
+                    u = shift = 0
+                    while True:
+                        b = v[q]
+                        u |= (b & 0x7F) << shift
+                        q += 1
+                        if not b & 0x80:
+                            break
+                        shift += 7
+                    versions.append(u)
+            else:
+                versions.append(v)
         elif fno == 5:
             meta_len = v
         elif fno == 6:
@@ -309,7 +330,7 @@ def parse_orc_layout(blob: bytes) -> dict:
                             st["int_max"] = _unzigzag(iv)
             stats.append(st)
 
-    if content_len > tail_end - footer_len - meta_len:
+    if content_len + 3 > tail_end - footer_len - meta_len:
         raise ValueError("orc: content region truncated — quarantine")
     total = sum(s["rows"] for s in stripes)
     if total != n_rows:
@@ -317,7 +338,11 @@ def parse_orc_layout(blob: bytes) -> dict:
             f"orc: stripe rows {total} != numberOfRows {n_rows} — quarantine"
         )
     for s in stripes:
-        if s["offset"] < 3 or s["offset"] + s["index"] + s["data"] + s["foot"] > content_len:
+        if (
+            s["offset"] < 3
+            or s["offset"] + s["index"] + s["data"] + s["foot"]
+            > content_len + 3
+        ):
             raise ValueError("orc: stripe extent outside content — quarantine")
     return {
         "compression": codec,
