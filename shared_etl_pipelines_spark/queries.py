@@ -1084,6 +1084,8 @@ _CARRYOVER_FIRST: tuple[str, ...] = (
     "parquet_page_read_audit",
     # independent ORC stripe data read (RLEv2 etc., r11)
     "orc_column_read_audit",
+    # independent Arrow IPC read via own flatbuffers walk (r11)
+    "arrow_ipc_read_audit",
 )
 
 

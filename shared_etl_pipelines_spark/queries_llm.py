@@ -15196,3 +15196,103 @@ def q_orc_column_read_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, num_rows bigint, int_sum bigint, int_nulls bigint, "
         "str_bytes bigint, dbl_sum double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Arrow IPC decoded from raw bytes (r11): completes the independent
+# columnar-reader trilogy (parquet pages, ORC stripes, now Arrow) —
+# a minimal flatbuffers table walk (vtables/soffsets/unions/struct
+# vectors, public binary spec) decodes Message/Schema/RecordBatch and
+# the File footer framing; validity bitmaps and value buffers then
+# reconstruct columns with zero pyarrow involvement
+# (sources/arrow_ipc.py). Fixture alternates FILE and STREAM framings
+# by doc parity; closed forms check the values.
+# ---------------------------------------------------------------------------
+@defquery(
+    "arrow_ipc_read_audit",
+    """
+    WITH a AS (SELECT doc_id AS d FROM documents),
+    dims AS (SELECT d, d % 50 + 4 AS nr FROM a),
+    r AS (SELECT d, nr, CAST(unnest(range(0, nr)) AS BIGINT) AS i FROM dims),
+    agg AS (
+      SELECT d, MAX(nr) AS nr,
+             SUM(CASE WHEN (d + i) % 7 <> 0 THEN d + i END) AS int_sum,
+             COUNT(CASE WHEN (d + i) % 7 = 0 THEN 1 END) AS int_nulls,
+             SUM(CASE WHEN (d + i) % 11 <> 3 THEN (d + i) % 9 + 1 END)
+               AS str_bytes,
+             COUNT(CASE WHEN (d + i) % 3 = 0 THEN 1 END) AS n_true
+      FROM r GROUP BY d
+    )
+    SELECT d AS doc_id,
+           CASE WHEN d % 2 = 0 THEN 'file' ELSE 'stream' END AS framing,
+           CAST(nr AS BIGINT) AS num_rows,
+           CAST(COALESCE(int_sum, 0) AS BIGINT) AS int_sum,
+           CAST(int_nulls AS BIGINT) AS int_nulls,
+           CAST(COALESCE(str_bytes, 0) AS BIGINT) AS str_bytes,
+           CAST(n_true AS BIGINT) AS n_true
+    FROM agg
+    """,
+    doc="independent Arrow IPC read: flatbuffers-decoded schema + "
+    "record batches (multi-batch, both framings), validity bitmaps "
+    "and value buffers aggregating to the closed forms",
+    tags=("llm", "source", "codec", "catalog"),
+)
+def q_arrow_ipc_read_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        import pyarrow as pa
+        import pyarrow.ipc as ipc
+
+        from shared_etl_pipelines_spark.sources.arrow_ipc import read_ipc
+
+        cols = ("doc_id", "framing", "num_rows", "int_sum", "int_nulls",
+                "str_bytes", "n_true")
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                nr = d % 50 + 4
+                ints = [None if (d + i) % 7 == 0 else d + i for i in range(nr)]
+                strs = [
+                    None if (d + i) % 11 == 3 else "z" * ((d + i) % 9 + 1)
+                    for i in range(nr)
+                ]
+                bools = [(d + i) % 3 == 0 for i in range(nr)]
+                tbl = pa.table(
+                    {
+                        "iv": pa.array(ints, pa.int64()),
+                        "sv": pa.array(strs, pa.string()),
+                        "bv": pa.array(bools, pa.bool_()),
+                    }
+                )
+                buf = io.BytesIO()
+                maker = ipc.new_file if d % 2 == 0 else ipc.new_stream
+                with maker(buf, tbl.schema) as w:
+                    for b in tbl.to_batches(max_chunksize=16):
+                        w.write_batch(b)
+                got = read_ipc(buf.getvalue())
+                iv = got["columns"]["iv"]
+                sv = got["columns"]["sv"]
+                bv = got["columns"]["bv"]
+                rows["doc_id"].append(doc_id)
+                rows["framing"].append("file" if d % 2 == 0 else "stream")
+                rows["num_rows"].append(len(iv))
+                rows["int_sum"].append(sum(v for v in iv if v is not None))
+                rows["int_nulls"].append(sum(1 for v in iv if v is None))
+                rows["str_bytes"].append(
+                    sum(len(v) for v in sv if v is not None)
+                )
+                rows["n_true"].append(sum(1 for v in bv if v))
+            yield pd.DataFrame(rows)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        batches,
+        "doc_id bigint, framing string, num_rows bigint, int_sum bigint, "
+        "int_nulls bigint, str_bytes bigint, n_true bigint",
+    )
