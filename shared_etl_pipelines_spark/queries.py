@@ -1086,6 +1086,8 @@ _CARRYOVER_FIRST: tuple[str, ...] = (
     "orc_column_read_audit",
     # independent Arrow IPC read via own flatbuffers walk (r11)
     "arrow_ipc_read_audit",
+    # the independent parquet reader as a row-group-parallel scan (r11)
+    "parquet_selfread_scan",
 )
 
 

@@ -15296,3 +15296,102 @@ def q_arrow_ipc_read_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, framing string, num_rows bigint, int_sum bigint, "
         "int_nulls bigint, str_bytes bigint, n_true bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Self-read parquet scan (r11): the independent page reader RUNNING AS
+# the distributed scan engine. The driver plans with the repo's own
+# Thrift footer walk (row-group list = the task list — exactly how a
+# real scan shards), each executor task decodes ITS row group's pages
+# with the repo's own codecs and encodings, and the aggregate is
+# hash-checked against DuckDB reading the same rows. Fixture is a
+# deterministic multi-row-group snappy rewrite of lineitem.
+# ---------------------------------------------------------------------------
+@defquery(
+    "parquet_selfread_scan",
+    """
+    SELECT l_returnflag, COUNT(*) AS n_rows,
+           ROUND(SUM(l_quantity), 4) AS qty_sum,
+           SUM(l_orderkey) AS key_sum
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="row-group-parallel scan through the repo's OWN parquet reader "
+    "(footer walk plans the tasks, page decode runs in them) — "
+    "aggregates match DuckDB reading the same table",
+    tags=("llm", "source", "codec", "scale-path"),
+)
+def q_parquet_selfread_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+    import tempfile as _tf
+
+    import pyarrow.parquet as _pq
+
+    from shared_etl_pipelines_spark.queries import round_floats
+    from shared_etl_pipelines_spark.sources.parquet_footer import (
+        parse_parquet_footer,
+    )
+
+    src = _os.path.join(sf_dir, "lineitem.parquet")
+    st = _os.stat(src)
+    path = _os.path.join(
+        _tf.gettempdir(),
+        f"spark_graft_selfread_{st.st_mtime_ns}_{st.st_size}.parquet",
+    )
+    if not _os.path.exists(path):
+        tbl = _pq.read_table(
+            src, columns=["l_orderkey", "l_quantity", "l_returnflag"]
+        )
+        _pq.write_table(
+            tbl, path, compression="snappy", row_group_size=65536,
+            use_dictionary=True,
+        )
+    with open(path, "rb") as fh:
+        blob = fh.read()
+    n_rgs = len(parse_parquet_footer(blob)["row_groups"])
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def scan(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shared_etl_pipelines_spark.sources.parquet_pages import (
+            read_column,
+        )
+
+        with open(path, "rb") as fh:
+            data = fh.read()
+        for pdf in it:
+            out = {"l_returnflag": [], "n_rows": [], "qty_sum": [],
+                   "key_sum": []}
+            for rg in pdf["rg"]:
+                rg = int(rg)
+                keys = read_column(data, rg, "l_orderkey")
+                qtys = read_column(data, rg, "l_quantity")
+                flags = read_column(data, rg, "l_returnflag")
+                # partial (map-side) aggregate per row group
+                acc: dict[bytes, list] = {}
+                for k, q, f in zip(keys, qtys, flags):
+                    a = acc.setdefault(f, [0, 0.0, 0])
+                    a[0] += 1
+                    a[1] += q
+                    a[2] += k
+                for f, (n, qs, ks) in acc.items():
+                    out["l_returnflag"].append(f.decode("utf-8"))
+                    out["n_rows"].append(n)
+                    out["qty_sum"].append(qs)
+                    out["key_sum"].append(ks)
+            yield pd.DataFrame(out)
+
+    rgs = spark.createDataFrame(
+        [(i,) for i in range(n_rgs)], "rg int"
+    ).repartition(min(n_rgs, 32))
+    partial = rgs.mapInPandas(
+        scan,
+        "l_returnflag string, n_rows long, qty_sum double, key_sum long",
+    )
+    out = partial.groupBy("l_returnflag").agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("qty_sum").alias("qty_sum"),
+        F.sum("key_sum").alias("key_sum"),
+    )
+    return round_floats(out)
