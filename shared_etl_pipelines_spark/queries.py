@@ -1088,6 +1088,8 @@ _CARRYOVER_FIRST: tuple[str, ...] = (
     "arrow_ipc_read_audit",
     # the independent parquet reader as a row-group-parallel scan (r11)
     "parquet_selfread_scan",
+    # own-bytes parquet WRITER gated by reference readers (r11)
+    "parquet_write_roundtrip_audit",
 )
 
 

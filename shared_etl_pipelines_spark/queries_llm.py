@@ -15395,3 +15395,119 @@ def q_parquet_selfread_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("key_sum").alias("key_sum"),
     )
     return round_floats(out)
+
+
+# ---------------------------------------------------------------------------
+# Parquet writer from raw bytes (r11): the inverse cross-check — files
+# built by the repo's own Thrift compact ENCODER + v1 page writer
+# (sources/parquet_write.py, snappy'd by the repo's own codec) must
+# read back value-identically through pyarrow, the reference reader.
+# DuckDB reads the same files in tests, so BOTH independent readers
+# gate the writer.
+# ---------------------------------------------------------------------------
+@defquery(
+    "parquet_write_roundtrip_audit",
+    """
+    WITH a AS (SELECT doc_id AS d FROM documents),
+    dims AS (SELECT d, d % 25 + 4 AS nr FROM a),
+    r AS (SELECT d, nr, CAST(unnest(range(0, nr)) AS BIGINT) AS i FROM dims),
+    agg AS (
+      SELECT d, MAX(nr) AS nr,
+             SUM(CASE WHEN (d + i) % 5 <> 0 THEN (d + i) * 3 END) AS int_sum,
+             COUNT(CASE WHEN (d + i) % 5 = 0 THEN 1 END) AS int_nulls,
+             SUM((d + i) % 9 + 1) AS str_bytes
+      FROM r GROUP BY d
+    )
+    SELECT d AS doc_id,
+           CASE WHEN d % 2 = 0 THEN 'SNAPPY' ELSE 'UNCOMPRESSED' END AS codec,
+           CAST(nr AS BIGINT) AS num_rows,
+           CAST(COALESCE(int_sum, 0) AS BIGINT) AS int_sum,
+           CAST(int_nulls AS BIGINT) AS int_nulls,
+           CAST(str_bytes AS BIGINT) AS str_bytes,
+           TRUE AS stats_ok
+    FROM agg
+    """,
+    doc="own-bytes parquet writer gated by the reference reader: "
+    "pyarrow re-reads our thrift-encoded footers and snappy'd PLAIN "
+    "pages to the closed forms, and the footer statistics match the "
+    "data",
+    tags=("llm", "source", "codec", "catalog"),
+)
+def q_parquet_write_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        import pyarrow.parquet as pq
+
+        from shared_etl_pipelines_spark.sources.parquet_write import (
+            write_parquet,
+        )
+
+        cols = ("doc_id", "codec", "num_rows", "int_sum", "int_nulls",
+                "str_bytes", "stats_ok")
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                nr = d % 25 + 4
+                ints = [
+                    None if (d + i) % 5 == 0 else (d + i) * 3
+                    for i in range(nr)
+                ]
+                strs = ["w" * ((d + i) % 9 + 1) for i in range(nr)]
+                codec = "SNAPPY" if d % 2 == 0 else "UNCOMPRESSED"
+                blob = write_parquet(
+                    [("iv", "int64", ints), ("sv", "utf8", strs)],
+                    compression=codec,
+                    row_group_size=8,
+                )
+                ref = pq.read_table(io.BytesIO(blob))
+                iv = ref.column("iv").to_pylist()
+                sv = ref.column("sv").to_pylist()
+                # stats gate via DuckDB: pyarrow ignores min/max from
+                # writers it does not recognize (the PARQUET-251 trust
+                # list), DuckDB reads the fields as written
+                import os as _os
+                import tempfile as _tf
+
+                import duckdb as _dd
+
+                tfp = _os.path.join(
+                    _tf.gettempdir(), f"wrt_{d}_{_os.getpid()}.parquet"
+                )
+                with open(tfp, "wb") as fh:
+                    fh.write(blob)
+                try:
+                    smin, smax, snull = _dd.sql(
+                        "SELECT stats_min_value, stats_max_value, "
+                        "stats_null_count FROM parquet_metadata('"
+                        + tfp + "') WHERE path_in_schema='iv' AND "
+                        "row_group_id=0"
+                    ).fetchone()
+                finally:
+                    _os.unlink(tfp)
+                present0 = [v for v in ints[:8] if v is not None]
+                stats_ok = (
+                    snull == sum(1 for v in ints[:8] if v is None)
+                    and (not present0 or (int(smin) == min(present0)
+                                          and int(smax) == max(present0)))
+                )
+                rows["doc_id"].append(doc_id)
+                rows["codec"].append(codec)
+                rows["num_rows"].append(len(iv))
+                rows["int_sum"].append(sum(v for v in iv if v is not None))
+                rows["int_nulls"].append(sum(1 for v in iv if v is None))
+                rows["str_bytes"].append(sum(len(v) for v in sv))
+                rows["stats_ok"].append(bool(stats_ok))
+            yield pd.DataFrame(rows)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        batches,
+        "doc_id bigint, codec string, num_rows bigint, int_sum bigint, "
+        "int_nulls bigint, str_bytes bigint, stats_ok boolean",
+    )

@@ -1,0 +1,294 @@
+"""Parquet WRITER from raw bytes — the symmetric half of
+sources/parquet_pages.py: a Thrift compact-protocol ENCODER plus v1
+data pages, making the repo's parquet path independent in both
+directions. The cross-check inverts: files written here must read back
+value-identically through pyarrow AND DuckDB (two independent
+reference readers).
+
+Scope: flat schemas of int64 / double / utf8 / boolean, optional
+fields (definition levels via the RLE hybrid), PLAIN encoding,
+configurable row-group size, UNCOMPRESSED and SNAPPY codecs (the repo
+keeps zstd decode-only by design), UTF8 converted-type annotation so
+strings read back as strings, and min/max/null-count statistics.
+"""
+
+from __future__ import annotations
+
+import struct
+
+__all__ = ["write_parquet"]
+
+# ----------------------------------------------------------------------
+# thrift compact ENCODER (structs, i32/i64 zigzag, binary, lists, bool)
+# ----------------------------------------------------------------------
+
+
+def _uvar(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zz(v: int) -> bytes:
+    return _uvar((v << 1) ^ (v >> 63))
+
+
+class _TStruct:
+    """Builds one compact-protocol struct; fields must be added in
+    ascending field-id order (delta encoding)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.last = 0
+
+    def _hdr(self, fid: int, wtype: int) -> None:
+        delta = fid - self.last
+        if 0 < delta < 16:
+            self.out.append((delta << 4) | wtype)
+        else:
+            self.out.append(wtype)
+            self.out += _zz(fid)
+        self.last = fid
+
+    def i32(self, fid: int, v: int) -> "_TStruct":
+        self._hdr(fid, 5)
+        self.out += _zz(v)
+        return self
+
+    def i64(self, fid: int, v: int) -> "_TStruct":
+        self._hdr(fid, 6)
+        self.out += _zz(v)
+        return self
+
+    def binary(self, fid: int, v: bytes) -> "_TStruct":
+        self._hdr(fid, 8)
+        self.out += _uvar(len(v)) + v
+        return self
+
+    def boolean(self, fid: int, v: bool) -> "_TStruct":
+        self._hdr(fid, 1 if v else 2)
+        return self
+
+    def list_i32(self, fid: int, vals: list[int]) -> "_TStruct":
+        self._hdr(fid, 9)
+        n = len(vals)
+        if n < 15:
+            self.out.append((n << 4) | 5)
+        else:
+            self.out.append(0xF0 | 5)
+            self.out += _uvar(n)
+        for v in vals:
+            self.out += _zz(v)
+        return self
+
+    def list_binary(self, fid: int, vals: list[bytes]) -> "_TStruct":
+        self._hdr(fid, 9)
+        n = len(vals)
+        if n < 15:
+            self.out.append((n << 4) | 8)
+        else:
+            self.out.append(0xF0 | 8)
+            self.out += _uvar(n)
+        for v in vals:
+            self.out += _uvar(len(v)) + v
+        return self
+
+    def list_struct(self, fid: int, vals: list[bytes]) -> "_TStruct":
+        self._hdr(fid, 9)
+        n = len(vals)
+        if n < 15:
+            self.out.append((n << 4) | 12)
+        else:
+            self.out.append(0xF0 | 12)
+            self.out += _uvar(n)
+        for v in vals:
+            self.out += v
+        return self
+
+    def struct(self, fid: int, v: bytes) -> "_TStruct":
+        self._hdr(fid, 12)
+        self.out += v
+        return self
+
+    def done(self) -> bytes:
+        return bytes(self.out) + b"\x00"
+
+
+# ----------------------------------------------------------------------
+# value + level encoding
+# ----------------------------------------------------------------------
+_TYPES = {"int64": 2, "double": 5, "utf8": 6, "boolean": 0}
+
+
+def _rle_def_levels(defs: list[int]) -> bytes:
+    """Definition levels as one RLE run per value change (bit width 1,
+    4-byte length prefix per v1 pages)."""
+    body = bytearray()
+    i = 0
+    while i < len(defs):
+        j = i
+        while j < len(defs) and defs[j] == defs[i]:
+            j += 1
+        body += _uvar((j - i) << 1)
+        body.append(defs[i])
+        i = j
+    return struct.pack("<I", len(body)) + bytes(body)
+
+
+def _plain(vals: list, kind: str) -> bytes:
+    if kind == "int64":
+        return struct.pack(f"<{len(vals)}q", *vals)
+    if kind == "double":
+        return struct.pack(f"<{len(vals)}d", *vals)
+    if kind == "boolean":
+        out = bytearray((len(vals) + 7) // 8)
+        for i, v in enumerate(vals):
+            if v:
+                out[i >> 3] |= 1 << (i & 7)
+        return bytes(out)
+    out = bytearray()
+    for v in vals:
+        b = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+        out += struct.pack("<I", len(b)) + b
+    return bytes(out)
+
+
+def _stat_bytes(v, kind: str) -> bytes:
+    if kind == "int64":
+        return struct.pack("<q", v)
+    if kind == "double":
+        return struct.pack("<d", v)
+    if kind == "boolean":
+        return bytes([1 if v else 0])
+    return v.encode("utf-8") if isinstance(v, str) else bytes(v)
+
+
+def write_parquet(
+    columns: list[tuple[str, str, list]],
+    compression: str = "SNAPPY",
+    row_group_size: int = 1 << 20,
+) -> bytes:
+    """``columns``: (name, kind in int64/double/utf8/boolean, values
+    with None for nulls). Returns the complete file bytes."""
+    if compression not in ("UNCOMPRESSED", "SNAPPY"):
+        raise ValueError(f"parquet writer: codec {compression} unsupported")
+    codec_id = {"UNCOMPRESSED": 0, "SNAPPY": 1}[compression]
+    n_rows_total = len(columns[0][2]) if columns else 0
+    for _n, _k, vals in columns:
+        if len(vals) != n_rows_total:
+            raise ValueError("parquet writer: ragged columns")
+
+    out = bytearray(b"PAR1")
+    rg_metas: list[bytes] = []
+    for rg_start in range(0, max(n_rows_total, 1), row_group_size):
+        if rg_start >= n_rows_total and n_rows_total:
+            break
+        rg_vals = [
+            (name, kind, vals[rg_start : rg_start + row_group_size])
+            for name, kind, vals in columns
+        ]
+        n_rows = len(rg_vals[0][2]) if rg_vals else 0
+        col_metas: list[bytes] = []
+        rg_bytes = 0
+        for name, kind, vals in rg_vals:
+            present = [v for v in vals if v is not None]
+            defs = [0 if v is None else 1 for v in vals]
+            body = _rle_def_levels(defs) + _plain(present, kind)
+            if compression == "SNAPPY":
+                from shared_etl_pipelines_spark.sources.snappy import (
+                    snappy_compress,
+                )
+
+                comp = snappy_compress(body)
+            else:
+                comp = body
+            stats = _TStruct()
+            stats.i64(3, len(vals) - len(present))
+            if present:
+                stats.binary(5, _stat_bytes(max(present), kind))
+                stats.binary(6, _stat_bytes(min(present), kind))
+            dph = (
+                _TStruct()
+                .i32(1, len(vals))
+                .i32(2, 0)  # PLAIN
+                .i32(3, 3)  # def levels: RLE
+                .i32(4, 3)  # rep levels: RLE (absent)
+                .done()
+            )
+            page_hdr = (
+                _TStruct()
+                .i32(1, 0)  # DATA_PAGE
+                .i32(2, len(body))
+                .i32(3, len(comp))
+                .struct(5, dph)
+                .done()
+            )
+            page_off = len(out)
+            out += page_hdr
+            out += comp
+            cmd = (
+                _TStruct()
+                .i32(1, _TYPES[kind])
+                .list_i32(2, [0, 3])  # encodings: PLAIN, RLE
+                .list_binary(3, [name.encode()])
+                .i32(4, codec_id)
+                .i64(5, len(vals))
+                .i64(6, len(page_hdr) + len(body))
+                .i64(7, len(page_hdr) + len(comp))
+                .i64(9, page_off)
+                .struct(12, stats.done())
+                .done()
+            )
+            col_metas.append(
+                _TStruct()
+                .i64(2, page_off)
+                .struct(3, cmd)
+                .done()
+            )
+            rg_bytes += len(page_hdr) + len(comp)
+        rg_metas.append(
+            _TStruct()
+            .list_struct(1, col_metas)
+            .i64(2, rg_bytes)
+            .i64(3, n_rows)
+            .done()
+        )
+        if n_rows_total == 0:
+            break
+
+    schema_elems = [
+        _TStruct()
+        .binary(4, b"schema")
+        .i32(5, len(columns))
+        .done()
+    ]
+    for name, kind, _vals in columns:
+        el = (
+            _TStruct()
+            .i32(1, _TYPES[kind])
+            .i32(3, 1)  # OPTIONAL
+            .binary(4, name.encode())
+        )
+        if kind == "utf8":
+            el.i32(6, 0)  # ConvertedType UTF8: read back as string
+        schema_elems.append(el.done())
+    fmd = (
+        _TStruct()
+        .i32(1, 2)  # version
+        .list_struct(2, schema_elems)
+        .i64(3, n_rows_total)
+        .list_struct(4, rg_metas)
+        .binary(6, b"shared-etl-pipelines-spark parquet writer")
+        .done()
+    )
+    flen = len(fmd)
+    out += fmd
+    out += struct.pack("<I", flen)
+    out += b"PAR1"
+    return bytes(out)
