@@ -1090,6 +1090,8 @@ _CARRYOVER_FIRST: tuple[str, ...] = (
     "parquet_selfread_scan",
     # own-bytes parquet WRITER gated by reference readers (r11)
     "parquet_write_roundtrip_audit",
+    # own-bytes ORC data WRITER gated by the reference reader (r11)
+    "orc_write_roundtrip_audit",
 )
 
 

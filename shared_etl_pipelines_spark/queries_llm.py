@@ -15511,3 +15511,93 @@ def q_parquet_write_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFra
         "doc_id bigint, codec string, num_rows bigint, int_sum bigint, "
         "int_nulls bigint, str_bytes bigint, stats_ok boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# ORC writer from raw bytes (r11): the write-side symmetry for ORC —
+# PRESENT byte-RLE streams, RLEv2 DIRECT integer runs (closed width
+# table, MSB-first, zigzag), DIRECT_V2 strings, and chunk-framed
+# NONE/ZLIB/SNAPPY compression (sources/orc_write.py). Gate inverts:
+# pyarrow's bundled reference ORC reader re-reads our bytes to the
+# closed forms.
+# ---------------------------------------------------------------------------
+@defquery(
+    "orc_write_roundtrip_audit",
+    """
+    WITH a AS (SELECT doc_id AS d FROM documents),
+    dims AS (SELECT d, d % 30 + 3 AS nr FROM a),
+    r AS (SELECT d, nr, CAST(unnest(range(0, nr)) AS BIGINT) AS i FROM dims),
+    agg AS (
+      SELECT d, MAX(nr) AS nr,
+             SUM(CASE WHEN (d + i) % 6 <> 0 THEN (d + i) * 7 END) AS int_sum,
+             COUNT(CASE WHEN (d + i) % 6 = 0 THEN 1 END) AS int_nulls,
+             SUM((d + i) % 8 + 1) AS str_bytes,
+             ROUND(SUM(((d + i) % 16) / 8.0), 4) AS dbl_sum
+      FROM r GROUP BY d
+    )
+    SELECT d AS doc_id,
+           CASE CAST(d % 3 AS INT) WHEN 0 THEN 'NONE'
+                WHEN 1 THEN 'ZLIB' ELSE 'SNAPPY' END AS codec,
+           CAST(nr AS BIGINT) AS num_rows,
+           CAST(COALESCE(int_sum, 0) AS BIGINT) AS int_sum,
+           CAST(int_nulls AS BIGINT) AS int_nulls,
+           CAST(str_bytes AS BIGINT) AS str_bytes, dbl_sum
+    FROM agg
+    """,
+    doc="own-bytes ORC writer gated by the reference reader: pyarrow "
+    "re-reads our RLEv2/present/DIRECT_V2 streams to the closed forms "
+    "across NONE/ZLIB/SNAPPY",
+    tags=("llm", "source", "codec", "catalog"),
+)
+def q_orc_write_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        from pyarrow import orc as pa_orc
+
+        from shared_etl_pipelines_spark.sources.orc_write import (
+            write_orc_data,
+        )
+
+        cols = ("doc_id", "codec", "num_rows", "int_sum", "int_nulls",
+                "str_bytes", "dbl_sum")
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                nr = d % 30 + 3
+                ints = [
+                    None if (d + i) % 6 == 0 else (d + i) * 7
+                    for i in range(nr)
+                ]
+                strs = ["q" * ((d + i) % 8 + 1) for i in range(nr)]
+                dbls = [((d + i) % 16) / 8.0 for i in range(nr)]
+                codec = ("NONE", "ZLIB", "SNAPPY")[d % 3]
+                blob = write_orc_data(
+                    [("iv", "long", ints), ("sv", "utf8", strs),
+                     ("dv", "double", dbls)],
+                    compression=codec,
+                )
+                ref = pa_orc.read_table(io.BytesIO(blob))
+                iv = ref.column("iv").to_pylist()
+                sv = ref.column("sv").to_pylist()
+                dv = ref.column("dv").to_pylist()
+                rows["doc_id"].append(doc_id)
+                rows["codec"].append(codec)
+                rows["num_rows"].append(len(iv))
+                rows["int_sum"].append(sum(v for v in iv if v is not None))
+                rows["int_nulls"].append(sum(1 for v in iv if v is None))
+                rows["str_bytes"].append(sum(len(v) for v in sv))
+                rows["dbl_sum"].append(round(sum(dv), 4))
+            yield pd.DataFrame(rows)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        batches,
+        "doc_id bigint, codec string, num_rows bigint, int_sum bigint, "
+        "int_nulls bigint, str_bytes bigint, dbl_sum double",
+    )
