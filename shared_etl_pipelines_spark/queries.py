@@ -1092,6 +1092,8 @@ _CARRYOVER_FIRST: tuple[str, ...] = (
     "parquet_write_roundtrip_audit",
     # own-bytes ORC data WRITER gated by the reference reader (r11)
     "orc_write_roundtrip_audit",
+    # own-bytes Arrow IPC stream WRITER (hand-built flatbuffers, r11)
+    "arrow_ipc_write_roundtrip_audit",
 )
 
 

@@ -15601,3 +15601,91 @@ def q_orc_write_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, codec string, num_rows bigint, int_sum bigint, "
         "int_nulls bigint, str_bytes bigint, dbl_sum double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Arrow IPC writer from raw bytes (r11): completes the read/write
+# independence table for all three columnar formats — a minimal
+# FLATBUFFERS BUILDER (back-to-front construction, vtables with
+# verifier-honest table sizes, end-anchored alignment squared with the
+# start-anchored verifier by padding the total to 8) emits real
+# Schema/RecordBatch stream messages that pyarrow's reference reader
+# (whose flatbuffers VERIFIER rejects malformed buffers outright)
+# re-reads to the closed forms. sources/arrow_ipc_write.py.
+# ---------------------------------------------------------------------------
+@defquery(
+    "arrow_ipc_write_roundtrip_audit",
+    """
+    WITH a AS (SELECT doc_id AS d FROM documents),
+    dims AS (SELECT d, d % 35 + 3 AS nr FROM a),
+    r AS (SELECT d, nr, CAST(unnest(range(0, nr)) AS BIGINT) AS i FROM dims),
+    agg AS (
+      SELECT d, MAX(nr) AS nr,
+             SUM(CASE WHEN (d + i) % 4 <> 0 THEN (d + i) * 11 END) AS int_sum,
+             COUNT(CASE WHEN (d + i) % 4 = 0 THEN 1 END) AS int_nulls,
+             SUM((d + i) % 7 + 1) AS str_bytes,
+             COUNT(CASE WHEN (d + i) % 3 = 0 THEN 1 END) AS n_true
+      FROM r GROUP BY d
+    )
+    SELECT d AS doc_id, CAST(nr AS BIGINT) AS num_rows,
+           CAST(COALESCE(int_sum, 0) AS BIGINT) AS int_sum,
+           CAST(int_nulls AS BIGINT) AS int_nulls,
+           CAST(str_bytes AS BIGINT) AS str_bytes,
+           CAST(n_true AS BIGINT) AS n_true
+    FROM agg
+    """,
+    doc="own-bytes Arrow IPC stream writer gated by the reference "
+    "reader: hand-built flatbuffers survive pyarrow's verifier and the "
+    "multi-batch values aggregate to the closed forms",
+    tags=("llm", "source", "codec", "catalog"),
+)
+def q_arrow_ipc_write_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        import pyarrow.ipc as ipc
+
+        from shared_etl_pipelines_spark.sources.arrow_ipc_write import (
+            write_ipc_stream,
+        )
+
+        cols = ("doc_id", "num_rows", "int_sum", "int_nulls", "str_bytes",
+                "n_true")
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                nr = d % 35 + 3
+                ints = [
+                    None if (d + i) % 4 == 0 else (d + i) * 11
+                    for i in range(nr)
+                ]
+                strs = ["t" * ((d + i) % 7 + 1) for i in range(nr)]
+                bools = [(d + i) % 3 == 0 for i in range(nr)]
+                blob = write_ipc_stream(
+                    [("iv", "int64", ints), ("sv", "utf8", strs),
+                     ("bv", "bool", bools)],
+                    batch_size=8,
+                )
+                ref = ipc.open_stream(io.BytesIO(blob)).read_all()
+                iv = ref.column("iv").to_pylist()
+                sv = ref.column("sv").to_pylist()
+                bv = ref.column("bv").to_pylist()
+                rows["doc_id"].append(doc_id)
+                rows["num_rows"].append(len(iv))
+                rows["int_sum"].append(sum(v for v in iv if v is not None))
+                rows["int_nulls"].append(sum(1 for v in iv if v is None))
+                rows["str_bytes"].append(sum(len(v) for v in sv))
+                rows["n_true"].append(sum(1 for v in bv if v))
+            yield pd.DataFrame(rows)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(
+        batches,
+        "doc_id bigint, num_rows bigint, int_sum bigint, int_nulls bigint, "
+        "str_bytes bigint, n_true bigint",
+    )
