@@ -1094,6 +1094,8 @@ _CARRYOVER_FIRST: tuple[str, ...] = (
     "orc_write_roundtrip_audit",
     # own-bytes Arrow IPC stream WRITER (hand-built flatbuffers, r11)
     "arrow_ipc_write_roundtrip_audit",
+    # roaring bitmap corpus-slicing index (r11)
+    "bitmap_index_slice",
 )
 
 

@@ -15689,3 +15689,58 @@ def q_arrow_ipc_write_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataF
         "doc_id bigint, num_rows bigint, int_sum bigint, int_nulls bigint, "
         "str_bytes bigint, n_true bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Roaring bitmap corpus slicing (r11): the tag->bitmap index a 100 TB
+# curation pipeline keeps per license/language/source — built in one
+# document pass (per-partition partial bitmaps, OR-merged per key; the
+# documents never shuffle, only serialized bitmaps do), then slice
+# predicates evaluate as bitmap AND/OR/ANDNOT over the metadata-scale
+# index (sources/roaring.py build_bitmap_index/bitmap_slice).
+# ---------------------------------------------------------------------------
+@defquery(
+    "bitmap_index_slice",
+    """
+    WITH a AS (SELECT doc_id AS d FROM documents)
+    SELECT 'm1_and_t2or4' AS slice, d AS doc_id FROM a
+    WHERE d % 3 = 1 AND (d % 5 = 2 OR d % 5 = 4)
+    UNION ALL
+    SELECT 't0_not_m2', d FROM a
+    WHERE d % 5 = 0 AND d % 3 <> 2
+    """,
+    doc="roaring corpus slices: tag bitmaps built in one pass over the "
+    "documents, predicates ((m1 AND (t2 OR t4)); (t0 ANDNOT m2)) "
+    "evaluated bitmap-side — no document shuffle, the index is one row "
+    "per tag",
+    tags=("llm", "dedup", "catalog", "scale-path"),
+)
+def q_bitmap_index_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.roaring import (
+        bitmap_slice,
+        build_bitmap_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    tags = docs.select(
+        F.col("doc_id"),
+        F.concat(F.lit("m"), (F.col("doc_id") % 3).cast("string")).alias("tag"),
+    ).unionByName(
+        docs.select(
+            F.col("doc_id"),
+            F.concat(F.lit("t"), (F.col("doc_id") % 5).cast("string")).alias(
+                "tag"
+            ),
+        )
+    )
+    index = build_bitmap_index(tags, "tag", "doc_id")
+    # the index is metadata-scale (one row per tag): collect is bounded
+    rows = [(r["key"], bytes(r["bitmap"])) for r in index.collect()]
+    slices = {
+        "m1_and_t2or4": ["and", "m1", ["or", "t2", "t4"]],
+        "t0_not_m2": ["andnot", "t0", "m2"],
+    }
+    out = []
+    for name, expr in slices.items():
+        out.extend((name, i) for i in bitmap_slice(rows, expr))
+    return spark.createDataFrame(out, "slice string, doc_id long")

@@ -119,3 +119,80 @@ def deserialize_roaring(blob: bytes) -> list[int]:
                 raise ValueError("roaring: bitmap cardinality mismatch")
             out.extend(got)
     return out
+
+
+# ----------------------------------------------------------------------
+# bitmap index over a key column: the corpus-slicing structure a 100 TB
+# curation pipeline keeps per tag/license/language — predicates
+# evaluate as bitmap AND/OR/ANDNOT without ever shuffling documents.
+# ----------------------------------------------------------------------
+
+
+def build_bitmap_index(df, key_col: str, id_col: str):
+    """Per-key serialized roaring bitmaps of the uint32 ids carrying
+    that key. Scale shape: per-partition partial bitmaps (mapInPandas,
+    one pass), then an OR-merge per key in a hash aggregate — the
+    bitmap union is associative, so the merge is a normal combiner
+    tree; document rows never shuffle, only the (tiny) bitmaps do.
+    Returns a DataFrame (key, bitmap binary, cardinality long)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            acc: dict[str, set] = {}
+            for k, i in zip(pdf[key_col], pdf[id_col]):
+                acc.setdefault(str(k), set()).add(int(i))
+            yield pd.DataFrame(
+                {
+                    "key": list(acc),
+                    "bitmap": [serialize_roaring(v) for v in acc.values()],
+                }
+            )
+
+    def merge(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            acc: dict[str, set] = {}
+            for k, b in zip(pdf["key"], pdf["bitmap"]):
+                acc.setdefault(k, set()).update(deserialize_roaring(bytes(b)))
+            yield pd.DataFrame(
+                {
+                    "key": list(acc),
+                    "bitmap": [serialize_roaring(v) for v in acc.values()],
+                    "cardinality": [len(v) for v in acc.values()],
+                }
+            )
+
+    part = df.select(
+        F.col(key_col).alias(key_col), F.col(id_col).alias(id_col)
+    ).mapInPandas(partials, "key string, bitmap binary")
+    return (
+        part.repartition("key")
+        .mapInPandas(merge, "key string, bitmap binary, cardinality long")
+    )
+
+
+def bitmap_slice(index_rows: list[tuple[str, bytes]], expr: list) -> list[int]:
+    """Evaluate a slice predicate against collected index rows (the
+    index is metadata-scale: one row per tag). ``expr`` is a prefix
+    list: ["and"|"or"|"andnot", a, b] with leaves as key strings."""
+    bitmaps = {k: set(deserialize_roaring(bytes(b))) for k, b in index_rows}
+
+    def ev(e):
+        if isinstance(e, str):
+            if e not in bitmaps:
+                raise ValueError(f"bitmap index: unknown key {e!r}")
+            return bitmaps[e]
+        op, a, b = e
+        va, vb = ev(a), ev(b)
+        if op == "and":
+            return va & vb
+        if op == "or":
+            return va | vb
+        if op == "andnot":
+            return va - vb
+        raise ValueError(f"bitmap index: unknown op {op!r}")
+
+    return sorted(ev(expr))

@@ -147,3 +147,37 @@ def test_dv_purge_plan_lists_exactly_the_dv_carriers(spark, sf_dir):
 
     cow = ensure_demo_delta_table(sf_dir)
     assert D.dv_purge_plan(spark, cow).count() == 0
+
+
+def test_bitmap_index_build_and_slice(spark, sf_dir):
+    """One-pass tag->bitmap index + AND/OR/ANDNOT slicing (the corpus
+    slicer): bitmaps carry exactly the key's ids, slices match set
+    algebra, unknown keys refuse."""
+    from pyspark.sql import functions as F
+
+    from shared_etl_pipelines_spark.sources.roaring import (
+        bitmap_slice,
+        build_bitmap_index,
+        deserialize_roaring,
+    )
+    from shared_etl_pipelines_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id").limit(200)
+    tags = docs.select(
+        "doc_id",
+        F.concat(F.lit("k"), (F.col("doc_id") % 4).cast("string")).alias("tag"),
+    )
+    idx = build_bitmap_index(tags, "tag", "doc_id").collect()
+    assert {r["key"] for r in idx} == {"k0", "k1", "k2", "k3"}
+    for r in idx:
+        ids = deserialize_roaring(bytes(r["bitmap"]))
+        assert len(ids) == r["cardinality"]
+        assert all(i % 4 == int(r["key"][1]) for i in ids)
+    rows = [(r["key"], bytes(r["bitmap"])) for r in idx]
+    got = bitmap_slice(rows, ["or", "k1", "k3"])
+    assert got and all(i % 2 == 1 for i in got)
+    assert bitmap_slice(rows, ["and", "k1", "k3"]) == []
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unknown key"):
+        bitmap_slice(rows, ["and", "k1", "nope"])
