@@ -1027,75 +1027,52 @@ _R10_GREEN = frozenset(
     }
 )
 
+# CORRECTNESS_r11.json: 50 judged, 49 green, 1 hash fail
+# (parquet_selfread_scan — the non-hermetic /tmp fixture cache; fixed
+# and re-fronted in r12, held OUT of this set until re-judged).
+_R11_GREEN = frozenset(
+    {
+        "arrow_ipc_read_audit", "arrow_ipc_write_roundtrip_audit",
+        "avro_schema_evolution_audit", "bitmap_index_slice",
+        "block_codec_roundtrip_audit", "clip_semi_join",
+        "columnar_codec_matrix", "crop_weighted_pipeline",
+        "date_from_filename", "dedup_keep_latest", "delta_dv_purge_plan",
+        "delta_dv_read", "embedding_dbscan", "embedding_quantize_int8",
+        "event_funnel", "geoparquet_feature_audit", "gguf_model_audit",
+        "hudi_compaction_plan", "hudi_mor_read", "iceberg_rewrite_plan",
+        "iceberg_v2_delete_read", "mode_event_type",
+        "multimodal_vp8_frames", "multiply_join", "orc_column_read_audit",
+        "orc_write_roundtrip_audit", "outlier_mad",
+        "parquet_footer_thrift_audit", "parquet_page_read_audit",
+        "parquet_write_roundtrip_audit", "pricing_summary",
+        "qty_price_regression", "recursive_ancestor_depths",
+        "regrid_fraction", "rolling_sums", "spi_zscore",
+        "sqlite_table_scan", "stream_hudi_timeline_cdc", "topk_per_group",
+        "union_combine", "value_mask", "weighted_zonal",
+        "zarr_chunk_prune_plan", "zarr_datasource_bbox",
+        "zarr_zonal_rollup", "zonal_stats", "zonal_stats_approx",
+        "zorder_layout_plan", "zstd_decode_audit",
+    }
+)
+
 _JUDGED_GREEN = (
     _R1_GREEN | _R2_GREEN | _R3_GREEN | _R4_GREEN | _R5_GREEN | _R6_GREEN
-    | _R7_GREEN | _R8_GREEN | _R9_GREEN | _R10_GREEN
+    | _R7_GREEN | _R8_GREEN | _R9_GREEN | _R10_GREEN | _R11_GREEN
 )
 
 # Round 10: zero sql=None entries remain — the last two approx sketches
 # were converted to oracle-backed error bands (VERDICT r9 task #2).
 _FORCE_FRONT: frozenset[str] = frozenset()
 
-# Round-11 judging window: every pre-r11 registry query now has a green
-# driver verdict (CORRECTNESS_r01-r10 cumulative), so the window holds
-# only this round's new queries in the order they are added.
+# Round-12 judging window: the only re-front is the one r11 red row,
+# parquet_selfread_scan, whose /tmp fixture cache is now hermetic
+# (atomic content-keyed write + ranged row-group reads). New r12
+# queries are appended below in the order they are added.
 _CARRYOVER_FIRST: tuple[str, ...] = (
-    # Iceberg v2 row-level deletes merged on read (VERDICT r10 task #2)
-    "iceberg_v2_delete_read",
-    # Delta deletion vectors decoded + applied on read (VERDICT r10 task #3)
-    "delta_dv_read",
-    # Hudi merge-on-read log-block merge (VERDICT r10 task #4)
-    "hudi_mor_read",
-    # small-zone band guard added to the sketch judge (ADVICE r10)
-    "zonal_stats_approx",
-    # persist -> localCheckpoint floor cut, same plan + hash (VERDICT
-    # r10 task #6)
-    "embedding_dbscan",
-    # Z-order vs linear file-skipping effectiveness planner (VERDICT
-    # r10 task #8)
-    "zorder_layout_plan",
-    # VP8 keyframe pixel decode in WebM (VERDICT r10 task #5)
-    "multimodal_vp8_frames",
-    # row-level-delete lifecycle planners (r11)
-    "hudi_compaction_plan", "delta_dv_purge_plan", "iceberg_rewrite_plan",
-    # SQLite file-format b-tree reader (r11)
-    "sqlite_table_scan",
-    # Zarr v2 chunk store: distributed decode + chunk-grid pruning (r11)
-    "zarr_zonal_rollup", "zarr_chunk_prune_plan",
-    # GGUF model container census + real dequantization (r11)
-    "gguf_model_audit",
-    # streaming CDC tail of the Hudi timeline (r11)
-    "stream_hudi_timeline_cdc",
-    # Avro reader-vs-writer schema resolution (r11)
-    "avro_schema_evolution_audit",
-    # GeoParquet + WKB geometry decode (r11)
-    "geoparquet_feature_audit",
-    # Zarr native DataSource with planning-time chunk pruning (r11)
-    "zarr_datasource_bbox",
-    # snappy + LZ4 pure-Python codecs, cross-impl gated (r11)
-    "block_codec_roundtrip_audit",
-    # snappy/LZ4 wired into ORC chunk framing + Avro snappy blocks (r11)
-    "columnar_codec_matrix",
-    # parquet footer via the repo's own Thrift compact walker (r11)
-    "parquet_footer_thrift_audit",
-    # RFC 8878 zstd decompressor, cross-impl gated (r11)
-    "zstd_decode_audit",
-    # full independent parquet column read path (r11)
-    "parquet_page_read_audit",
-    # independent ORC stripe data read (RLEv2 etc., r11)
-    "orc_column_read_audit",
-    # independent Arrow IPC read via own flatbuffers walk (r11)
-    "arrow_ipc_read_audit",
-    # the independent parquet reader as a row-group-parallel scan (r11)
+    # r11's one red driver row: non-hermetic fixture cache fixed
+    # (VERDICT r11 task #1) — atomic os.replace, content-hash key,
+    # per-row-group ranged reads
     "parquet_selfread_scan",
-    # own-bytes parquet WRITER gated by reference readers (r11)
-    "parquet_write_roundtrip_audit",
-    # own-bytes ORC data WRITER gated by the reference reader (r11)
-    "orc_write_roundtrip_audit",
-    # own-bytes Arrow IPC stream WRITER (hand-built flatbuffers, r11)
-    "arrow_ipc_write_roundtrip_audit",
-    # roaring bitmap corpus-slicing index (r11)
-    "bitmap_index_slice",
 )
 
 

@@ -15321,6 +15321,7 @@ def q_arrow_ipc_read_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "source", "codec", "scale-path"),
 )
 def q_parquet_selfread_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib as _hl
     import os as _os
     import tempfile as _tf
 
@@ -15328,46 +15329,58 @@ def q_parquet_selfread_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from shared_etl_pipelines_spark.queries import round_floats
     from shared_etl_pipelines_spark.sources.parquet_footer import (
-        parse_parquet_footer,
+        read_footer_ranged,
     )
 
     src = _os.path.join(sf_dir, "lineitem.parquet")
-    st = _os.stat(src)
+    # Hermetic fixture cache (VERDICT r11 task #1): the key is the
+    # CONTENT of the source plus the rewrite parameters, so a stale or
+    # foreign file can never alias it, and the write lands via a unique
+    # temp name + os.replace so an interrupted or concurrent first run
+    # can never leave a half-written file at the final path.
+    h = _hl.sha256()
+    h.update(b"selfread-v2|snappy|rg65536|dict|")
+    with open(src, "rb") as fh:
+        for piece in iter(lambda: fh.read(1 << 20), b""):
+            h.update(piece)
     path = _os.path.join(
-        _tf.gettempdir(),
-        f"spark_graft_selfread_{st.st_mtime_ns}_{st.st_size}.parquet",
+        _tf.gettempdir(), f"spark_graft_selfread_{h.hexdigest()[:16]}.parquet"
     )
     if not _os.path.exists(path):
         tbl = _pq.read_table(
             src, columns=["l_orderkey", "l_quantity", "l_returnflag"]
         )
+        tmp = f"{path}.tmp.{_os.getpid()}"
         _pq.write_table(
-            tbl, path, compression="snappy", row_group_size=65536,
+            tbl, tmp, compression="snappy", row_group_size=65536,
             use_dictionary=True,
         )
-    with open(path, "rb") as fh:
-        blob = fh.read()
-    n_rgs = len(parse_parquet_footer(blob)["row_groups"])
+        _os.replace(tmp, path)
+    n_rgs = len(read_footer_ranged(path)["row_groups"])
 
     from collections.abc import Iterator
 
     import pandas as pd
 
     def scan(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shared_etl_pipelines_spark.sources.parquet_footer import (
+            read_footer_ranged as _rfr,
+        )
         from shared_etl_pipelines_spark.sources.parquet_pages import (
-            read_column,
+            read_column_ranged,
         )
 
-        with open(path, "rb") as fh:
-            data = fh.read()
+        # each task holds the footer (metadata) and seeks to exactly
+        # its row groups' column-chunk byte spans — never the whole file
+        foot = _rfr(path)
         for pdf in it:
             out = {"l_returnflag": [], "n_rows": [], "qty_sum": [],
                    "key_sum": []}
             for rg in pdf["rg"]:
                 rg = int(rg)
-                keys = read_column(data, rg, "l_orderkey")
-                qtys = read_column(data, rg, "l_quantity")
-                flags = read_column(data, rg, "l_returnflag")
+                keys = read_column_ranged(path, foot, rg, "l_orderkey")
+                qtys = read_column_ranged(path, foot, rg, "l_quantity")
+                flags = read_column_ranged(path, foot, rg, "l_returnflag")
                 # partial (map-side) aggregate per row group
                 acc: dict[bytes, list] = {}
                 for k, q, f in zip(keys, qtys, flags):

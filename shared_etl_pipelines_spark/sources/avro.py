@@ -376,8 +376,16 @@ def resolve_value(v, writer, reader):
     reader defaults for missing fields, writer-only fields dropped,
     numeric/string promotions, unions resolved to the first matching
     branch. Unresolvable shapes raise ValueError."""
-    # unwrap writer union: the decoded value already picked its branch
+    # unwrap writer union: the decoded value already picked its branch.
+    # The unwrap below is only sound for the 2-branch nullable shape
+    # (the only shape the binary decoder admits) — anything else would
+    # silently resolve under the WRONG writer branch, so refuse loudly.
     if isinstance(writer, list):
+        if len(writer) != 2 or "null" not in writer:
+            raise ValueError(
+                "avro: writer union is not the [null, T] shape — the "
+                "decoded value's branch is unknown; quarantine"
+            )
         writer = "null" if v is None else (
             writer[0] if writer[1] == "null" else writer[1]
         )

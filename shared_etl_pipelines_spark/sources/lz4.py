@@ -251,6 +251,8 @@ def lz4_frame_decompress(buf: bytes) -> bytes:
         block = buf[p : p + bsize]
         p += bsize
         if b_checksum:
+            if p + 4 > len(buf):
+                raise ValueError("lz4: truncated block checksum")
             (bh,) = struct.unpack_from("<I", buf, p)
             p += 4
             if xxh32(block) != bh:

@@ -128,3 +128,26 @@ def parse_parquet_footer(blob: bytes) -> dict:
         "schema": schema,
         "row_groups": row_groups,
     }
+
+
+def read_footer_ranged(path: str) -> dict:
+    """Parse the footer with two ranged reads (8-byte tail, then the
+    footer span) — never the data pages.  What a scan planner holds is
+    the metadata, not the file."""
+    import os
+
+    size = os.path.getsize(path)
+    if size < 12:
+        raise ValueError("parquet: file too small — quarantine")
+    with open(path, "rb") as fh:
+        fh.seek(size - 8)
+        tail = fh.read(8)
+        if tail[4:] != b"PAR1":
+            raise ValueError("parquet: bad magic framing — quarantine")
+        (flen,) = struct.unpack_from("<I", tail, 0)
+        if flen + 12 > size:
+            raise ValueError("parquet: footer overruns file — quarantine")
+        fh.seek(size - 8 - flen)
+        footer = fh.read(flen)
+    # reconstruct the minimal framing parse_parquet_footer expects
+    return parse_parquet_footer(b"PAR1" + footer + tail)

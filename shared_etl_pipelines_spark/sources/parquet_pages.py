@@ -120,7 +120,7 @@ def _plain_values(buf: bytes, p: int, ptype: str, n: int) -> list:
 
 
 def _read_pages(
-    blob: bytes, col: dict, optional: bool
+    blob: bytes, col: dict, optional: bool, base: int = 0
 ) -> list:
     codec = col["codec"]
     ptype = col["type"]
@@ -129,7 +129,9 @@ def _read_pages(
     start = col["data_page_offset"]
     if col.get("dictionary_page_offset"):
         start = min(start, col["dictionary_page_offset"])
-    p = start
+    # `base` rebases the footer's absolute file offsets onto a blob that
+    # holds only this column chunk's byte span (ranged scan tasks)
+    p = start - base
     dictionary: list | None = None
     out: list = []
     while len(out) < n_total:
@@ -354,6 +356,44 @@ def read_column(blob: bytes, rg_idx: int, col_path: str) -> list:
         raise ValueError("parquet: repeated fields unsupported — quarantine")
     optional = sch.get("repetition") != 0
     return _read_pages(blob, col, optional)
+
+
+def read_column_ranged(
+    path: str, foot: dict, rg_idx: int, col_path: str
+) -> list:
+    """Ranged variant of read_column: seeks to the one column chunk's
+    byte span (``total_compressed_size`` bytes from the chunk's first
+    page) and decodes only those bytes.  This is the access pattern a
+    distributed scan task must have — it holds one chunk, never the
+    whole file."""
+    rg = foot["row_groups"][rg_idx]
+    col = next((c for c in rg["columns"] if c["path"] == col_path), None)
+    if col is None:
+        raise ValueError(f"parquet: no column {col_path!r} — quarantine")
+    if "." in col_path:
+        raise ValueError("parquet: nested columns unsupported — quarantine")
+    sch = next(
+        (s for s in foot["schema"]
+         if s["name"] == col_path and not s.get("num_children")),
+        None,
+    )
+    if sch is None:
+        raise ValueError(f"parquet: no flat schema leaf {col_path!r}")
+    if sch.get("repetition") == 2:
+        raise ValueError("parquet: repeated fields unsupported — quarantine")
+    optional = sch.get("repetition") != 0
+    start = col["data_page_offset"]
+    if col.get("dictionary_page_offset"):
+        start = min(start, col["dictionary_page_offset"])
+    length = col["total_compressed_size"]
+    if length is None or start is None:
+        raise ValueError("parquet: chunk span missing from footer")
+    with open(path, "rb") as fh:
+        fh.seek(start)
+        chunk = fh.read(length)
+    if len(chunk) < length:
+        raise ValueError("parquet: chunk overruns file — quarantine")
+    return _read_pages(chunk, col, optional, base=start)
 
 
 def read_all_columns(blob: bytes, col_path: str) -> list:

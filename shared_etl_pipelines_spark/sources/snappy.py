@@ -50,6 +50,12 @@ def snappy_decompress(buf: bytes) -> bytes:
         raise ValueError("snappy: declared output too large — quarantine")
     out = bytearray()
     while p < len(buf):
+        # a valid stream can never exceed its declared size, and copies
+        # expand up to ~32x the input — fail BEFORE allocating the blow-up
+        if len(out) > n:
+            raise ValueError(
+                f"snappy: output exceeds declared {n} — quarantine"
+            )
         tag = buf[p]
         p += 1
         kind = tag & 3

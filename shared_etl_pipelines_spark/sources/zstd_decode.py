@@ -605,7 +605,11 @@ def zstd_decompress(buf: bytes) -> bytes:
         (magic,) = struct.unpack_from("<I", buf, p)
         p += 4
         if (magic & 0xFFFFFFF0) == _SKIP_MAGIC_LO:
+            if p + 4 > len(buf):
+                raise ValueError("zstd: truncated skippable frame size")
             (n,) = struct.unpack_from("<I", buf, p)
+            if p + 4 + n > len(buf):
+                raise ValueError("zstd: skippable frame overruns input")
             p += 4 + n
             continue
         if magic != _FRAME_MAGIC:
@@ -624,6 +628,8 @@ def zstd_decompress(buf: bytes) -> bytes:
             p += 1  # window descriptor (output budget enforced globally)
         did_size = (0, 1, 2, 4)[did_flag]
         if did_size:
+            if p + did_size > len(buf):
+                raise ValueError("zstd: truncated dictionary id")
             did = int.from_bytes(buf[p : p + did_size], "little")
             p += did_size
             if did:
@@ -631,6 +637,8 @@ def zstd_decompress(buf: bytes) -> bytes:
         fcs_size = (1 if single_segment else 0, 2, 4, 8)[fcs_flag]
         declared = None
         if fcs_size:
+            if p + fcs_size > len(buf):
+                raise ValueError("zstd: truncated frame content size")
             declared = int.from_bytes(buf[p : p + fcs_size], "little")
             if fcs_size == 2:
                 declared += 256

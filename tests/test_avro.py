@@ -172,3 +172,17 @@ def test_snappy_codec_roundtrip_and_crc_guard():
     bad[-18] ^= 0xFF
     with pytest.raises(ValueError, match="snappy|CRC|sync"):
         avro.read_avro_ocf(bytes(bad))
+
+
+def test_resolution_refuses_non_nullable_writer_union():
+    # a 2-non-null-branch writer union loses the decoded value's branch
+    # in this resolver — it must refuse, not guess the wrong type
+    from shared_etl_pipelines_spark.sources.avro import resolve_value
+
+    with pytest.raises(ValueError, match="writer union"):
+        resolve_value(7, ["int", "string"], "long")
+    with pytest.raises(ValueError, match="writer union"):
+        resolve_value(7, ["null", "int", "string"], "long")
+    # the nullable 2-branch shape (the only one the decoder emits) works
+    assert resolve_value(7, ["null", "int"], "long") == 7
+    assert resolve_value(None, ["null", "int"], ["null", "long"]) is None

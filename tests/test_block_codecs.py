@@ -103,3 +103,28 @@ def test_refusals():
         hdr = bytearray(good)
         hdr[6] ^= 0xFF
         lz4_frame_decompress(bytes(hdr))
+
+
+def test_snappy_expansion_stops_at_declared_size():
+    # declared 1 byte, but a 2-byte literal lands first: the decoder
+    # must fail as soon as output exceeds the declaration, not after
+    # materializing an attacker-controlled blow-up
+    stream = bytes([1, (2 - 1) << 2]) + b"ab" + bytes([(1 - 1) << 2]) + b"c"
+    with pytest.raises(ValueError, match="exceeds declared"):
+        snappy_decompress(stream)
+
+
+def test_lz4_truncated_block_checksum_quarantines():
+    # hand-built frame with the block-checksum flag, cut at the checksum
+    flg, bd = 0x70, 0x40  # v1 | indep | block-checksum; 64 KiB blocks
+    hc = (xxh32(bytes([flg, bd])) >> 8) & 0xFF
+    block = b"hi"
+    frame = (
+        struct.pack("<I", 0x184D2204)
+        + bytes([flg, bd, hc])
+        + struct.pack("<I", 0x80000000 | len(block))
+        + block
+        # 4-byte block checksum belongs here — truncated
+    )
+    with pytest.raises(ValueError, match="truncated block checksum"):
+        lz4_frame_decompress(frame)

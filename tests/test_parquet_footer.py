@@ -191,3 +191,54 @@ def test_delta_and_byte_stream_split_encodings():
             if c == "s":
                 got = [g.decode() if g is not None else None for g in got]
             assert got == ref.column(c).to_pylist(), (trial, c)
+
+
+def test_ranged_reads_match_full_file_reads(tmp_path):
+    # the scan path a distributed task uses: footer via two tail reads,
+    # each column chunk via one seek to its byte span — values must be
+    # identical to the whole-blob reader
+    from shared_etl_pipelines_spark.sources.parquet_footer import (
+        read_footer_ranged,
+    )
+    from shared_etl_pipelines_spark.sources.parquet_pages import (
+        read_column,
+        read_column_ranged,
+    )
+
+    rng = random.Random(7)
+    n = 500
+    tbl = pa.table(
+        {
+            "k": pa.array(range(n), pa.int64()),
+            "v": pa.array(
+                [rng.random() if i % 9 else None for i in range(n)],
+                pa.float64(),
+            ),
+            "s": pa.array([f"row{i}" for i in range(n)], pa.string()),
+        }
+    )
+    path = str(tmp_path / "t.parquet")
+    pq.write_table(tbl, path, compression="snappy", row_group_size=128)
+    blob = open(path, "rb").read()
+    foot = read_footer_ranged(path)
+    assert foot["num_rows"] == n
+    assert foot == parse_parquet_footer(blob)
+    for rg in range(len(foot["row_groups"])):
+        for col in ("k", "v", "s"):
+            assert read_column_ranged(path, foot, rg, col) == read_column(
+                blob, rg, col
+            )
+
+
+def test_ranged_footer_refusals(tmp_path):
+    from shared_etl_pipelines_spark.sources.parquet_footer import (
+        read_footer_ranged,
+    )
+
+    p = tmp_path / "bad.parquet"
+    p.write_bytes(b"PAR1tiny")
+    with pytest.raises(ValueError, match="quarantine"):
+        read_footer_ranged(str(p))
+    p.write_bytes(b"PAR1" + b"\x00" * 20 + struct.pack("<I", 999) + b"PAR1")
+    with pytest.raises(ValueError, match="overruns"):
+        read_footer_ranged(str(p))

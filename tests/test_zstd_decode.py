@@ -81,3 +81,16 @@ def test_refusals():
     bad[5] ^= 0x01
     with pytest.raises(ValueError):
         zstd_decompress(bytes(bad))
+
+
+def test_truncated_skippable_frame_quarantines():
+    with pytest.raises(ValueError, match="truncated skippable"):
+        zstd_decompress(struct.pack("<I", 0x184D2A50))
+    with pytest.raises(ValueError, match="skippable frame overruns"):
+        zstd_decompress(struct.pack("<II", 0x184D2A50, 100) + b"short")
+
+
+def test_truncated_header_fields_quarantine():
+    # single-segment + 1-byte FCS, cut right before the FCS byte
+    with pytest.raises(ValueError, match="truncated frame content size"):
+        zstd_decompress(struct.pack("<I", 0xFD2FB528) + bytes([0x20]))
