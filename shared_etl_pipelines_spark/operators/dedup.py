@@ -704,15 +704,20 @@ def prefix_filter_jaccard_pairs(
         )
         .distinct()
     )
-    freq = srows.groupBy("s").agg(F.count(F.lit(1)).alias("s_freq"))
     w = Window.partitionBy("doc").orderBy("s_freq", "s")
+    # corpus frequency as a window count over the shingle — one exchange
+    # on s, versus the former groupBy(s) + self-join which paid the
+    # aggregate AND re-exchanged srows into the join (r12 floor cut:
+    # 6.6 -> 4.8 s warm at sf0.1, identical output).
     # persisted: prefix, the probe side, and the verify arrays all read
     # this frame; without the persist each consumer re-runs the
-    # srows-join-freq + ranking-window subtree (their exchange subtrees
+    # freq-window + ranking-window subtree (their exchange subtrees
     # differ, so ReusedExchange cannot dedupe them). Storage is released
     # by the session harness (engine.sweep_persistent_rdds).
     ranked = (
-        srows.join(freq, "s")
+        srows.withColumn(
+            "s_freq", F.count(F.lit(1)).over(Window.partitionBy("s"))
+        )
         .withColumn("rn", F.row_number().over(w))
         .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("doc")))
         .persist()

@@ -955,7 +955,10 @@ _R7_GREEN = frozenset(
 _R8_GREEN = frozenset(
     {
         "multimodal_wav_decode", "mor_orders_state_bucketed",
-        "near_dup_prefix_filter", "similarity_topk_lsh_indexed",
+        # near_dup_prefix_filter: r8-green, but its operator was edited
+        # in r12 (freq groupBy+join -> window count, the 5.1 -> 4.5 s
+        # floor cut) — removed pending a fresh driver verdict
+        "similarity_topk_lsh_indexed",
         "incremental_dedup", "dup_spans", "near_dup_simhash",
         "embedding_near_dup_lsh", "hilbert_layout_audit",
         "stream_new_doc_dedup", "ann_index_upsert_topk",
@@ -1073,6 +1076,11 @@ _CARRYOVER_FIRST: tuple[str, ...] = (
     # (VERDICT r11 task #1) — atomic os.replace, content-hash key,
     # per-row-group ranged reads
     "parquet_selfread_scan",
+    # operator floor cut (VERDICT r11 task #3): shingle frequency via a
+    # window count instead of groupBy+self-join — same output
+    "near_dup_prefix_filter",
+    # 64-bit + run-container roaring index (VERDICT r11 task #6)
+    "bitmap_index_slice_wide",
 )
 
 

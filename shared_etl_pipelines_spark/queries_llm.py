@@ -15757,3 +15757,60 @@ def q_bitmap_index_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name, expr in slices.items():
         out.extend((name, i) for i in bitmap_slice(rows, expr))
     return spark.createDataFrame(out, "slice string, doc_id long")
+
+
+# ---------------------------------------------------------------------------
+# 64-bit + run-container roaring (r12, VERDICT r11 task #6): same slice
+# semantics with document ids pushed past 2^32 (a 100 TB corpus exceeds
+# the 32-bit ceiling), indexed through the portable 64-bit framing —
+# and an "all" tag whose dense consecutive ids serialize as RUN
+# containers (~10 bytes per 64 Ki ids instead of 8 KiB bitmaps).
+# ---------------------------------------------------------------------------
+@defquery(
+    "bitmap_index_slice_wide",
+    """
+    WITH a AS (SELECT doc_id + 8589934592 AS d FROM documents)
+    SELECT 'm1_and_t2or4' AS slice, d AS doc_id FROM a
+    WHERE d % 3 = 1 AND (d % 5 = 2 OR d % 5 = 4)
+    UNION ALL
+    SELECT 'all_not_m0', d FROM a
+    WHERE d % 3 <> 0
+    """,
+    doc="64-bit roaring corpus slices: ids offset past 2^32 exercise the "
+    "bucketed uint64 framing, and the dense 'all' tag serializes as run "
+    "containers — slice output identical to the predicate pushdown",
+    tags=("llm", "dedup", "catalog", "scale-path"),
+)
+def q_bitmap_index_slice_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.roaring import (
+        bitmap_slice,
+        build_bitmap_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") + F.lit(8589934592)).alias("wid")
+    )
+    tags = docs.select(
+        F.col("wid"),
+        F.concat(F.lit("m"), (F.col("wid") % 3).cast("string")).alias("tag"),
+    ).unionByName(
+        docs.select(
+            F.col("wid"),
+            F.concat(F.lit("t"), (F.col("wid") % 5).cast("string")).alias(
+                "tag"
+            ),
+        )
+    ).unionByName(
+        docs.select(F.col("wid"), F.lit("all").alias("tag"))
+    )
+    index = build_bitmap_index(tags, "tag", "wid", wide=True)
+    # the index is metadata-scale (one row per tag): collect is bounded
+    rows = [(r["key"], bytes(r["bitmap"])) for r in index.collect()]
+    slices = {
+        "m1_and_t2or4": ["and", "m1", ["or", "t2", "t4"]],
+        "all_not_m0": ["andnot", "all", "m0"],
+    }
+    out = []
+    for name, expr in slices.items():
+        out.extend((name, i) for i in bitmap_slice(rows, expr, wide=True))
+    return spark.createDataFrame(out, "slice string, doc_id long")
