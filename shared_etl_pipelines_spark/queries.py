@@ -1081,6 +1081,8 @@ _CARRYOVER_FIRST: tuple[str, ...] = (
     "near_dup_prefix_filter",
     # 64-bit + run-container roaring index (VERDICT r11 task #6)
     "bitmap_index_slice_wide",
+    # streaming CDC for deletion vectors (VERDICT r11 task #5)
+    "stream_delta_dv_cdc",
 )
 
 

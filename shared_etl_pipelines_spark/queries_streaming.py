@@ -1212,3 +1212,139 @@ def q_stream_hudi_timeline_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return _run(acts, "append")
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC for deletion vectors (r12, VERDICT r11 task #5): a
+# commit that ADDS a DV to an existing file writes no new data file, so
+# a file-arrival stream sees nothing — but incremental corpus curation
+# must consume exactly those deletes (takedowns, opt-outs) without
+# replaying snapshots. The commit JSONs stream through the text source;
+# add-actions carrying a deletionVector descriptor group by file into
+# applyInPandasWithState, whose per-file state is the roaring-serialized
+# set of already-emitted positions (DV descriptors are cumulative per
+# the protocol, so newly-deleted = decoded minus state); the fresh
+# positions join the static bucket-ranked documents to surface the
+# deleted doc_ids. Oracle: the fixture's commit 2 DVs cover exactly the
+# doc_id%9==8 rows, deleted at their in-file positions.
+# ---------------------------------------------------------------------------
+@defquery(
+    "stream_delta_dv_cdc",
+    """
+    SELECT doc_id, CAST(doc_id // 25 AS BIGINT) AS bucket,
+           CAST(2 AS BIGINT) AS version
+    FROM documents WHERE doc_id % 9 = 8
+    """,
+    doc="streaming DV CDC: commits that attach deletion vectors to "
+    "existing files emit the newly-deleted rows as delete events — "
+    "per-file roaring-serialized state diffs cumulative DV descriptors "
+    "across micro-batches; no snapshot replay",
+    tags=("streaming", "llm", "lakehouse", "dedup"),
+)
+def q_stream_delta_dv_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from shared_etl_pipelines_spark.sources.deltalog import (
+        _ADD_SCHEMA,
+        ensure_demo_delta_dv_table,
+    )
+
+    root = ensure_demo_delta_dv_table(sf_dir)
+    raw = (
+        spark.readStream.format("text")
+        .schema("value string")
+        .option("pathGlobFilter", "*.json")
+        .load(os.path.join(root, "_delta_log"))
+    )
+    adds = (
+        raw.withColumn("_file", F.input_file_name())
+        .select(
+            F.from_json(F.col("value"), f"struct<add:{_ADD_SCHEMA}>")[
+                "add"
+            ].alias("a"),
+            F.regexp_extract(F.col("_file"), r"(\d{20})\.json", 1)
+            .cast("long")
+            .alias("version"),
+        )
+        .filter(F.col("a.deletionVector").isNotNull())
+        .select(
+            F.col("a.path").alias("path"),
+            "version",
+            F.col("a.deletionVector.storageType").alias("storageType"),
+            F.col("a.deletionVector.pathOrInlineDv").alias("pathOrInlineDv"),
+            F.col("a.deletionVector.offset").alias("offset"),
+            F.col("a.deletionVector.sizeInBytes").alias("sizeInBytes"),
+            F.col("a.deletionVector.cardinality").alias("cardinality"),
+        )
+    )
+
+    def emit_new_deletes(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        from shared_etl_pipelines_spark.sources.deletion_vectors import (
+            read_dv_descriptor,
+        )
+        from shared_etl_pipelines_spark.sources.roaring import (
+            deserialize_roaring64,
+            serialize_roaring64,
+        )
+
+        seen: set[int] = (
+            set(deserialize_roaring64(bytes(state.get[0])))
+            if state.exists
+            else set()
+        )
+        out_v: list[int] = []
+        out_p: list[int] = []
+        rows = [r for pdf in pdfs for r in pdf.itertuples(index=False)]
+        for rec in sorted(rows, key=lambda r: r.version):
+            desc = {
+                "storageType": rec.storageType,
+                "pathOrInlineDv": rec.pathOrInlineDv,
+                "offset": rec.offset,
+                "sizeInBytes": rec.sizeInBytes,
+                "cardinality": rec.cardinality,
+            }
+            for pos in read_dv_descriptor(root, desc):
+                if pos not in seen:
+                    seen.add(pos)
+                    out_v.append(int(rec.version))
+                    out_p.append(int(pos))
+        state.update((serialize_roaring64(seen),))
+        yield pd.DataFrame(
+            {"path": [key[0]] * len(out_p), "version": out_v, "pos": out_p}
+        )
+
+    deletes = adds.groupBy("path").applyInPandasWithState(
+        emit_new_deletes,
+        outputStructType="path string, version long, pos long",
+        stateStructType="seen binary",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    # static side: in-file position -> doc_id (files are written sorted
+    # by doc_id per 25-doc bucket, the fixture's closed form)
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    ranked = docs.withColumn(
+        "bucket", (F.col("doc_id") / 25).cast("long")
+    ).withColumn("pos", F.row_number().over(w) - 1)
+    out = (
+        deletes.withColumn(
+            "bucket",
+            F.regexp_extract(F.col("path"), r"part-b(\d+)\.parquet", 1).cast(
+                "long"
+            ),
+        )
+        .join(ranked, ["bucket", "pos"])
+        .select("doc_id", "bucket", "version")
+    )
+    return _run(out, "append")

@@ -992,3 +992,140 @@ def test_shard_ingest_restart_idempotence(spark, sf_dir, tmp_path, twin):
     )
     assert q3.awaitTermination(300)
     assert sink3.read_committed(spark).count() == want.count()
+
+
+def test_dv_cdc_emits_only_newly_deleted_positions(spark, tmp_path):
+    """A later commit that EXTENDS a file's deletion vector must emit
+    only the fresh positions — the per-file roaring state diffs the
+    cumulative descriptors (the stream_delta_dv_cdc core)."""
+    import uuid as _uuid
+    from collections.abc import Iterator
+
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from shared_etl_pipelines_spark.sources.deletion_vectors import (
+        serialize_dv,
+        z85_encode,
+    )
+    from shared_etl_pipelines_spark.sources.deltalog import (
+        _ADD_SCHEMA,
+        write_commit,
+    )
+
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    pq.write_table(
+        pa.table({"doc_id": pa.array(range(10), pa.int64())}),
+        os.path.join(root, "part-b00000.parquet"),
+    )
+    add = {
+        "path": "part-b00000.parquet",
+        "size": 100,
+        "modificationTime": 1,
+        "dataChange": True,
+        "partitionValues": {},
+    }
+
+    def inline_dv(positions):
+        payload = serialize_dv(positions)
+        padded = payload + b"\x00" * ((-len(payload)) % 4)
+        return {
+            "storageType": "i",
+            "pathOrInlineDv": z85_encode(padded),
+            "offset": 0,
+            "sizeInBytes": len(payload),
+            "cardinality": len(positions),
+        }
+
+    write_commit(root, 1, [{"add": add}])
+    write_commit(root, 2, [{"add": {**add, "deletionVector": inline_dv([1, 2])}}])
+    write_commit(
+        root, 3, [{"add": {**add, "deletionVector": inline_dv([1, 2, 5])}}]
+    )
+
+    raw = (
+        spark.readStream.format("text")
+        .schema("value string")
+        .option("pathGlobFilter", "*.json")
+        .load(os.path.join(root, "_delta_log"))
+    )
+    adds = (
+        raw.withColumn("_file", F.input_file_name())
+        .select(
+            F.from_json(F.col("value"), f"struct<add:{_ADD_SCHEMA}>")["add"].alias("a"),
+            F.regexp_extract(F.col("_file"), r"(\d{20})\.json", 1)
+            .cast("long")
+            .alias("version"),
+        )
+        .filter(F.col("a.deletionVector").isNotNull())
+        .select(
+            F.col("a.path").alias("path"),
+            "version",
+            F.col("a.deletionVector.storageType").alias("storageType"),
+            F.col("a.deletionVector.pathOrInlineDv").alias("pathOrInlineDv"),
+            F.col("a.deletionVector.offset").alias("offset"),
+            F.col("a.deletionVector.sizeInBytes").alias("sizeInBytes"),
+            F.col("a.deletionVector.cardinality").alias("cardinality"),
+        )
+    )
+
+    def emit_new_deletes(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        from shared_etl_pipelines_spark.sources.deletion_vectors import (
+            read_dv_descriptor,
+        )
+        from shared_etl_pipelines_spark.sources.roaring import (
+            deserialize_roaring64,
+            serialize_roaring64,
+        )
+
+        seen = (
+            set(deserialize_roaring64(bytes(state.get[0])))
+            if state.exists
+            else set()
+        )
+        out_v, out_p = [], []
+        rows = [r for pdf in pdfs for r in pdf.itertuples(index=False)]
+        for rec in sorted(rows, key=lambda r: r.version):
+            desc = {
+                "storageType": rec.storageType,
+                "pathOrInlineDv": rec.pathOrInlineDv,
+                "offset": rec.offset,
+                "sizeInBytes": rec.sizeInBytes,
+                "cardinality": rec.cardinality,
+            }
+            for pos in read_dv_descriptor(root, desc):
+                if pos not in seen:
+                    seen.add(pos)
+                    out_v.append(int(rec.version))
+                    out_p.append(int(pos))
+        state.update((serialize_roaring64(seen),))
+        yield pd.DataFrame(
+            {"path": [key[0]] * len(out_p), "version": out_v, "pos": out_p}
+        )
+
+    deletes = adds.groupBy("path").applyInPandasWithState(
+        emit_new_deletes,
+        outputStructType="path string, version long, pos long",
+        stateStructType="seen binary",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"dvcdc_{_uuid.uuid4().hex[:8]}"
+    q = (
+        deletes.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = {
+        (r["version"], r["pos"]) for r in spark.table(name).collect()
+    }
+    # versions 2 and 3 both carry pos 1,2 — emitted ONCE, at version 2;
+    # pos 5 is new at version 3
+    assert got == {(2, 1), (2, 2), (3, 5)}
