@@ -1083,6 +1083,8 @@ _CARRYOVER_FIRST: tuple[str, ...] = (
     "bitmap_index_slice_wide",
     # streaming CDC for deletion vectors (VERDICT r11 task #5)
     "stream_delta_dv_cdc",
+    # SQLite WITHOUT ROWID + index b-trees (VERDICT r11 task #7)
+    "sqlite_without_rowid_scan",
 )
 
 

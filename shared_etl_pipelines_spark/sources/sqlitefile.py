@@ -13,10 +13,15 @@ The fixtures are written by Python's STDLIB ``sqlite3`` (a completely
 independent implementation), so every test is a true cross-check of
 this reader against SQLite's own writer — not a self-roundtrip.
 
+Index b-trees (interior 0x02 / leaf 0x0A pages) are walked too (r12):
+in-order traversal yielding interior-cell records as well as leaf
+records, which covers both real indexes (``scan_index``) and WITHOUT
+ROWID tables — whose rows are stored as index records with the PRIMARY
+KEY columns first, undone here back to declared column order from the
+DDL (``scan_table`` handles both storages transparently).
+
 Scope and refusals (loud ValueError, never a guess):
 - text encoding must be UTF-8 (header offset 56 == 1);
-- WITHOUT ROWID tables (index-btree storage) and index b-trees are out
-  of scope — ``scan_table`` refuses on 0x02/0x0A pages;
 - a non-zero ``freelist`` is fine (freelist pages are simply never
   referenced by a table walk), but corrupt page types, cell offsets
   outside the page, or truncated overflow chains refuse.
@@ -30,7 +35,14 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["parse_header", "read_schema", "scan_table", "table_rows"]
+__all__ = [
+    "parse_header",
+    "read_schema",
+    "scan_table",
+    "scan_index",
+    "table_rows",
+    "index_rows",
+]
 
 _MAGIC = b"SQLite format 3\x00"
 
@@ -191,13 +203,118 @@ def table_rows(blob: bytes, hdr: dict, rootpage: int):
                 yield rowid, _decode_record(payload)
         elif ptype in (0x02, 0x0A):
             raise ValueError(
-                "sqlite: index b-tree page in a table walk (WITHOUT ROWID "
-                "tables are out of scope) — quarantine"
+                "sqlite: index b-tree page in a table walk — quarantine "
+                "(WITHOUT ROWID storage goes through index_rows)"
             )
         else:
             raise ValueError(f"sqlite: unknown page type 0x{ptype:02x}")
 
     yield from walk(rootpage)
+
+
+def index_rows(blob: bytes, hdr: dict, rootpage: int):
+    """Yield the decoded record of every entry in an index b-tree
+    (interior 0x02 / leaf 0x0A pages), in key order. Index b-trees keep
+    real entries on INTERIOR pages too, so the walk is a true in-order
+    traversal: child[i], key[i], ..., rightmost child. Index payloads
+    use the spec's X = ((usable-12)*64/255)-23 local maximum (table
+    leaves use usable-35)."""
+    usable = hdr["usable"]
+    max_local = ((usable - 12) * 64) // 255 - 23
+    min_local = ((usable - 12) * 32) // 255 - 23
+
+    def walk(pgno: int):
+        page = _page(blob, hdr, pgno)
+        off = 100 if pgno == 1 else 0
+        ptype = page[off]
+        if ptype == 0x02:  # interior index page
+            (n_cells,) = struct.unpack_from(">H", page, off + 3)
+            (right,) = struct.unpack_from(">I", page, off + 8)
+            for i in range(n_cells):
+                (cp,) = struct.unpack_from(">H", page, off + 12 + 2 * i)
+                if cp + 4 >= len(page):
+                    raise ValueError("sqlite: cell pointer outside page")
+                (child,) = struct.unpack_from(">I", page, cp)
+                total, p = _varint(page, cp + 4)
+                payload = _read_payload(
+                    blob, hdr, page, p, total, max_local, min_local
+                )
+                yield from walk(child)
+                yield _decode_record(payload)
+            yield from walk(right)
+        elif ptype == 0x0A:  # leaf index page
+            (n_cells,) = struct.unpack_from(">H", page, off + 3)
+            for i in range(n_cells):
+                (cp,) = struct.unpack_from(">H", page, off + 8 + 2 * i)
+                if cp >= len(page):
+                    raise ValueError("sqlite: cell pointer outside page")
+                total, p = _varint(page, cp)
+                payload = _read_payload(
+                    blob, hdr, page, p, total, max_local, min_local
+                )
+                yield _decode_record(payload)
+        elif ptype in (0x05, 0x0D):
+            raise ValueError(
+                "sqlite: table b-tree page in an index walk — quarantine"
+            )
+        else:
+            raise ValueError(f"sqlite: unknown page type 0x{ptype:02x}")
+
+    yield from walk(rootpage)
+
+
+def _parse_create_table(sql: str) -> tuple[list[str], list[str]]:
+    """(declared column names, primary-key column names) out of a
+    CREATE TABLE statement — just enough DDL to undo WITHOUT ROWID
+    column reordering; anything structurally surprising refuses."""
+    lp = sql.index("(")
+    depth = 0
+    rp = -1
+    for i in range(lp, len(sql)):
+        if sql[i] == "(":
+            depth += 1
+        elif sql[i] == ")":
+            depth -= 1
+            if depth == 0:
+                rp = i
+                break
+    if rp < 0:
+        raise ValueError("sqlite: unbalanced CREATE TABLE parens")
+    body = sql[lp + 1 : rp]
+    parts: list[str] = []
+    depth = 0
+    cur = []
+    for ch in body:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur).strip())
+    constraint_kw = {"PRIMARY", "UNIQUE", "CHECK", "FOREIGN", "CONSTRAINT"}
+    cols: list[str] = []
+    pk: list[str] = []
+    for part in parts:
+        first = part.split()[0]
+        bare = first.strip('"`[]')
+        if bare.upper() in constraint_kw and first == first.upper():
+            if bare.upper() == "PRIMARY":
+                inner = part[part.index("(") + 1 : part.rindex(")")]
+                pk = [
+                    c.strip().strip('"`[]').split()[0]
+                    for c in inner.split(",")
+                ]
+            continue
+        cols.append(bare)
+        if "PRIMARY KEY" in part.upper():
+            pk = [bare]
+    if not pk:
+        raise ValueError("sqlite: WITHOUT ROWID table lacks a PRIMARY KEY")
+    return cols, pk
 
 
 def read_schema(blob: bytes) -> list[dict]:
@@ -220,10 +337,15 @@ def read_schema(blob: bytes) -> list[dict]:
     return out
 
 
-def scan_table(blob: bytes, table: str) -> list[tuple[int, list]]:
+def scan_table(blob: bytes, table: str) -> list[tuple[int | None, list]]:
     """All rows of ``table``. INTEGER PRIMARY KEY columns are stored as
     NULL in the record with the value carried by the rowid — resolved
-    here the way the spec requires (alias column := rowid)."""
+    here the way the spec requires (alias column := rowid).
+
+    WITHOUT ROWID tables store rows as index-b-tree records with the
+    PRIMARY KEY columns first (in PK order) followed by the remaining
+    columns in declared order; this scan undoes that reordering from
+    the DDL and returns rowid=None for them (they have no rowid)."""
     hdr = parse_header(blob)
     schema = read_schema(blob)
     matches = [
@@ -232,7 +354,21 @@ def scan_table(blob: bytes, table: str) -> list[tuple[int, list]]:
     if not matches:
         raise ValueError(f"sqlite: no such table {table!r} — quarantine")
     root = matches[0]["rootpage"]
-    sql = (matches[0]["sql"] or "").upper()
+    raw_sql = matches[0]["sql"] or ""
+    sql = raw_sql.upper()
+    if "WITHOUT ROWID" in sql:
+        cols, pk = _parse_create_table(raw_sql)
+        others = [c for c in cols if c not in pk]
+        stored_order = pk + others
+        perm = [stored_order.index(c) for c in cols]
+        rows = []
+        for vals in index_rows(blob, hdr, root):
+            if len(vals) != len(cols):
+                raise ValueError(
+                    "sqlite: WITHOUT ROWID record arity mismatch — quarantine"
+                )
+            rows.append((None, [vals[i] for i in perm]))
+        return rows
     has_ipk_alias = "INTEGER PRIMARY KEY" in sql
     rows = []
     for rowid, vals in table_rows(blob, hdr, root):
@@ -240,6 +376,19 @@ def scan_table(blob: bytes, table: str) -> list[tuple[int, list]]:
             vals = [rowid] + vals[1:]
         rows.append((rowid, vals))
     return rows
+
+
+def scan_index(blob: bytes, index: str) -> list[list]:
+    """All entries of a real index b-tree, in key order — each record
+    is (indexed columns..., rowid), the spec's index record shape."""
+    hdr = parse_header(blob)
+    schema = read_schema(blob)
+    matches = [
+        s for s in schema if s["type"] == "index" and s["name"] == index
+    ]
+    if not matches:
+        raise ValueError(f"sqlite: no such index {index!r} — quarantine")
+    return list(index_rows(blob, hdr, matches[0]["rootpage"]))
 
 
 # ----------------------------------------------------------------------

@@ -85,14 +85,53 @@ def test_refusals():
         S.scan_table(blob[: len(blob) // 2], "docs")
 
 
-def test_without_rowid_refuses():
+def test_without_rowid_scan_undoes_pk_reordering():
+    """WITHOUT ROWID rows come back in DECLARED column order even when
+    the composite PK reorders the stored record, across multi-level
+    interior index pages and overflow chains."""
     con = sqlite3.connect(":memory:")
-    con.execute("CREATE TABLE w (k TEXT PRIMARY KEY, v INT) WITHOUT ROWID")
-    con.execute("INSERT INTO w VALUES ('a', 1)")
+    con.execute("PRAGMA page_size=512")
+    con.execute(
+        "CREATE TABLE w (b TEXT, a INTEGER, c BLOB, PRIMARY KEY (a, b))"
+        " WITHOUT ROWID"
+    )
+    rows = [
+        (f"s{i % 7}" * (i % 40 + 1), i, bytes([i % 256]) * (i % 900))
+        for i in range(1500)
+    ]
+    con.executemany("INSERT INTO w VALUES (?,?,?)", rows)
     con.commit()
     blob = con.serialize()
-    with pytest.raises(ValueError, match="WITHOUT ROWID|index b-tree"):
-        S.scan_table(blob, "w")
+    got = S.scan_table(blob, "w")
+    assert all(rid is None for rid, _ in got)
+    assert sorted(tuple(v) for _, v in got) == sorted(rows)
+    # in-order traversal => PK (a, b) order
+    keys = [(v[1], v[0]) for _, v in got]
+    assert keys == sorted(keys)
+
+
+def test_real_index_scan_matches_sqlite_order():
+    con = sqlite3.connect(":memory:")
+    con.execute("PRAGMA page_size=512")
+    con.execute("CREATE TABLE t (k INTEGER PRIMARY KEY, v TEXT)")
+    con.executemany(
+        "INSERT INTO t VALUES (?,?)",
+        [(i, f"v{(i * 37) % 100:03d}" * (i % 9 + 1)) for i in range(800)],
+    )
+    con.execute("CREATE INDEX idx_v ON t(v)")
+    con.commit()
+    blob = con.serialize()
+    ref = list(con.execute("SELECT v, rowid FROM t ORDER BY v, rowid"))
+    assert [(e[0], e[1]) for e in S.scan_index(blob, "idx_v")] == ref
+    with pytest.raises(ValueError, match="no such index"):
+        S.scan_index(blob, "nope")
+    # a table walk over an index root still refuses loudly
+    hdr = S.parse_header(blob)
+    idx_root = next(
+        s["rootpage"] for s in S.read_schema(blob) if s["type"] == "index"
+    )
+    with pytest.raises(ValueError, match="index b-tree page"):
+        list(S.table_rows(blob, hdr, idx_root))
 
 
 def test_spark_scan_and_quarantine(spark, sf_dir):
