@@ -1085,6 +1085,9 @@ _CARRYOVER_FIRST: tuple[str, ...] = (
     "stream_delta_dv_cdc",
     # SQLite WITHOUT ROWID + index b-trees (VERDICT r11 task #7)
     "sqlite_without_rowid_scan",
+    # VP8 inter-frame (P-frame) motion-compensated decode (VERDICT r11
+    # task #4)
+    "multimodal_vp8_pframes",
 )
 
 

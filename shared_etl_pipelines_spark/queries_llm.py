@@ -15920,3 +15920,98 @@ def q_sqlite_without_rowid_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, pk_ordered boolean, n_rows bigint, b_bytes bigint, "
         "a_sum bigint, c_sum bigint, idx_entries bigint, idx_c_sum bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# VP8 inter-frame decode (r12, VERDICT r11 task #4): P-frames carrying
+# real entropy-coded motion vectors (mv_ref tree, NEWMV component
+# coding with the implied bit 3, near/nearest prediction) decode
+# against last/golden/altref reference buffers maintained per the
+# refresh semantics — mid-shot frames, not just shot boundaries. The
+# fixture rotates the reference frame AND the global motion per frame;
+# every decoded MV and pixel replays in closed form (sources/vp8.py
+# §16-§18 structure; fractional-pel/SPLITMV/intra-in-P quarantine).
+# ---------------------------------------------------------------------------
+@defquery(
+    "multimodal_vp8_pframes",
+    """
+    WITH a AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    dims AS (SELECT doc_id, n % 3 + 3 AS nf,
+                    16*(doc_id % 3 + 2) AS w, 16*(doc_id % 2 + 2) AS h
+             FROM a),
+    f AS (SELECT doc_id, w, h, (w//16)*(h//16) AS n_mb,
+                 CAST(unnest(range(0, nf)) AS BIGINT) AS fi
+          FROM dims),
+    mv AS (SELECT doc_id, w, h, n_mb, fi,
+                  CASE WHEN fi = 0 THEN 0
+                       ELSE 2*((doc_id + fi) % 5 - 2) END AS dx,
+                  CASE WHEN fi = 0 THEN 0
+                       ELSE 2*((doc_id + fi) % 3 - 1) END AS dy
+           FROM f)
+    SELECT doc_id, CAST(fi AS INT) AS frame_idx, fi = 0 AS is_key,
+           CAST(n_mb AS BIGINT) AS n_mb,
+           CAST(n_mb * dx AS BIGINT) AS mv_dx_sum,
+           CAST(n_mb * dy AS BIGINT) AS mv_dy_sum,
+           CAST(CASE WHEN fi = 0 OR (dx = 0 AND dy = 0) THEN 0 ELSE 1 END
+                AS BIGINT) AS n_newmv,
+           CAST(w*h*(CASE CAST(doc_id % 4 AS INT)
+                     WHEN 0 THEN 128 WHEN 1 THEN 127 ELSE 129 END)
+                + (w//2)*(h//2)*2*128 AS BIGINT) AS px_sum
+    FROM mv
+    """,
+    doc="VP8 P-frame pixel+MV decode: per-frame macroblock count, "
+    "decoded motion-vector sums, NEWMV census, and Y+U+V pixel sums "
+    "across a key+inter sequence with rotating reference frames — all "
+    "in closed form",
+    tags=("llm", "multimodal", "codec", "video"),
+)
+def q_multimodal_vp8_pframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from shared_etl_pipelines_spark.sources.multimodal import (
+        synthetic_vp8_pframe_webm_assets,
+    )
+
+    assets = synthetic_vp8_pframe_webm_assets(_t(spark, sf_dir, "documents"))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shared_etl_pipelines_spark.sources import mkv, vp8
+
+        cols = ("doc_id", "frame_idx", "is_key", "n_mb", "mv_dx_sum",
+                "mv_dy_sum", "n_newmv", "px_sum")
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                parsed = mkv.parse_mkv(bytes(blob), collect_frames=True)
+                vt = [
+                    t for t in parsed["tracks"]
+                    if t.get("codec_id") == "V_VP8"
+                ][0]
+                decoded = vp8.decode_sequence(
+                    [p for _bi, _key, p in vt["frames"]]
+                )
+                for fi, out in enumerate(decoded):
+                    mvs = out.get("mvs", [])
+                    rows["doc_id"].append(int(doc_id))
+                    rows["frame_idx"].append(fi)
+                    rows["is_key"].append(fi == 0)
+                    rows["n_mb"].append(
+                        (out["width"] // 16) * (out["height"] // 16)
+                    )
+                    rows["mv_dx_sum"].append(sum(m[2] // 4 for m in mvs))
+                    rows["mv_dy_sum"].append(sum(m[3] // 4 for m in mvs))
+                    rows["n_newmv"].append(
+                        sum(1 for m in mvs if m[1] == "NEW")
+                    )
+                    rows["px_sum"].append(
+                        sum(out["y"]) + sum(out["u"]) + sum(out["v"])
+                    )
+            yield pd.DataFrame(rows)
+
+    return assets.mapInPandas(
+        batches,
+        "doc_id bigint, frame_idx int, is_key boolean, n_mb bigint, "
+        "mv_dx_sum bigint, mv_dy_sum bigint, n_newmv bigint, px_sum bigint",
+    )

@@ -759,6 +759,60 @@ def synthetic_vp8_webm_assets(
     )
 
 
+def synthetic_vp8_pframe_webm_assets(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "text"
+) -> DataFrame:
+    """VP8 sequences WITH inter frames (r12, VERDICT r11 task #4): one
+    skip-MB keyframe (uniform plane 128/127/129/129 by d%4 mode
+    rotation) followed by n%3+2 motion-compensated P-frames — frame f
+    references ['last','golden','altref'][(d+f)%3] with global even-pel
+    motion (2*((d+f)%5-2), 2*((d+f)%3-1)), all MBs skipped, so every
+    pixel and every decoded MV replays in closed form."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shared_etl_pipelines_spark.sources import mkv, vp8
+
+        modes = (vp8.DC_PRED, vp8.V_PRED, vp8.H_PRED, vp8.TM_PRED)
+        refs = ("last", "golden", "altref")
+        for pdf in it:
+            ids, blobs = [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                d = int(doc_id)
+                n = len(str(payload).encode("utf-8"))
+                w, h = 16 * (d % 3 + 2), 16 * (d % 2 + 2)
+                n_mb = (w // 16) * (h // 16)
+                frames = [
+                    (1, 0, True,
+                     vp8.encode_keyframe_skip(w, h, y_mode=modes[d % 4]))
+                ]
+                for f in range(1, n % 3 + 3):
+                    dx = 2 * ((d + f) % 5 - 2)
+                    dy = 2 * ((d + f) % 3 - 1)
+                    frames.append(
+                        (1, f * 33, False,
+                         vp8.encode_interframe(
+                             w, h, [(refs[(d + f) % 3], dx, dy)] * n_mb
+                         ))
+                    )
+                blob = mkv.encode_mkv(
+                    tracks=[{
+                        "number": 1, "uid": d + 1, "type": "video",
+                        "codec_id": "V_VP8", "width": w, "height": h,
+                    }],
+                    clusters=[(0, frames)],
+                    doc_type="webm",
+                )
+                ids.append(doc_id)
+                blobs.append(blob)
+            yield pd.DataFrame(
+                {"doc_id": ids, "media_type": "video/webm", "blob": blobs}
+            )
+
+    return df.select(F.col(id_col), F.col(payload_col)).mapInPandas(
+        batches, "doc_id bigint, media_type string, blob binary"
+    )
+
+
 VIDEO_FRAME_SCHEMA = (
     "doc_id bigint, frame_idx int, is_real_decode boolean, "
     "width int, height int, px_sum bigint"
@@ -821,15 +875,19 @@ def sample_video_frames(assets: DataFrame, stride: int = 2) -> DataFrame:
                             if t.get("codec_id") == "V_VP8"
                             and t["track_type"] == "video"
                         ][0]
-                        frames = []
-                        for _bi, _key, payload in vt["frames"]:
-                            out = vp8.decode_keyframe(payload)
-                            frames.append(
-                                np.frombuffer(
-                                    out["y"] + out["u"] + out["v"],
-                                    dtype=np.uint8,
-                                )
+                        # full sequence decode (r12): keyframes AND
+                        # motion-compensated inter frames, reference
+                        # buffers maintained per the refresh semantics
+                        decoded = vp8.decode_sequence(
+                            [p for _bi, _key, p in vt["frames"]]
+                        )
+                        frames = [
+                            np.frombuffer(
+                                out["y"] + out["u"] + out["v"],
+                                dtype=np.uint8,
                             )
+                            for out in decoded
+                        ]
                         info = {
                             "width": vt["width"],
                             "height": vt["height"],

@@ -139,3 +139,77 @@ def test_webm_bridge_and_quarantine(spark, sf_dir):
     )
     out = sample_video_frames(one).collect()
     assert len(out) == 1 and not out[0]["is_real_decode"]
+
+
+def test_interframe_roundtrip_modes_and_refs():
+    from shared_etl_pipelines_spark.sources import vp8
+
+    w, h = 48, 32
+    key = vp8.encode_keyframe_skip(w, h, y_mode=vp8.V_PRED)
+    p1 = vp8.encode_interframe(w, h, [("last", 2, -4)] * 6)
+    p2 = vp8.encode_interframe(w, h, [("golden", 0, 0)] * 6)
+    p3 = vp8.encode_interframe(w, h, [("altref", -6, 2)] * 6)
+    f0, f1, f2, f3 = vp8.decode_sequence([key, p1, p2, p3])
+    # uniform keyframe => every MC result is the same uniform plane
+    assert f1["y"] == f0["y"] and f2["y"] == f0["y"] and f3["y"] == f0["y"]
+    # first MB has no neighbors -> NEWMV; the rest predict -> NEARESTMV
+    assert [m[1] for m in f1["mvs"]] == ["NEW"] + ["NEAREST"] * 5
+    assert all(m[1] == "ZERO" for m in f2["mvs"])
+    assert {m[0] for m in f3["mvs"]} == {"altref"}
+    assert all((m[2], m[3]) == (8, -16) for m in f1["mvs"])  # 2px,-4px * 4
+
+
+def test_interframe_mc_exact_on_gradient_reference():
+    from shared_etl_pipelines_spark.sources import vp8
+
+    w, h = 48, 32
+    grad = [[(r * 5 + c) % 256 for c in range(w)] for r in range(h)]
+    ref = {
+        "width": w, "height": h, "_y2d": grad,
+        "_u2d": [[(r + c) % 256 for c in range(24)] for r in range(16)],
+        "_v2d": [[(r * 2 + c) % 256 for c in range(24)] for r in range(16)],
+    }
+    refs = {"last": ref, "golden": ref, "altref": ref}
+    f = vp8.decode_interframe(
+        vp8.encode_interframe(w, h, [("last", 4, 2)] * 6), refs
+    )
+    exp = bytes(
+        grad[min(max(r + 2, 0), h - 1)][min(max(c + 4, 0), w - 1)]
+        for r in range(h) for c in range(w)
+    )
+    assert f["y"] == exp  # border replication included
+    eu = bytes(
+        ref["_u2d"][min(max(r + 1, 0), 15)][min(max(c + 2, 0), 23)]
+        for r in range(16) for c in range(24)
+    )
+    assert f["u"] == eu  # chroma at half the luma offset
+
+
+def test_mvcomponent_full_range_roundtrip():
+    from shared_etl_pipelines_spark.sources import vp8
+
+    for v in list(range(-72, 73, 8)) + [-1016, 1016, -520, 520]:
+        e = vp8.BoolEncoder()
+        vp8._encode_mvcomponent(e, vp8.MVC_STUB_PROBS, v)
+        vp8._encode_mvcomponent(e, vp8.MVC_STUB_PROBS, -v)
+        d = vp8.BoolDecoder(e.flush())
+        assert vp8._decode_mvcomponent(d, vp8.MVC_STUB_PROBS) == v
+        assert vp8._decode_mvcomponent(d, vp8.MVC_STUB_PROBS) == -v
+
+
+def test_interframe_refusals():
+    import pytest
+
+    from shared_etl_pipelines_spark.sources import vp8
+
+    w, h = 32, 32
+    key = vp8.decode_keyframe(vp8.encode_keyframe_skip(w, h))
+    refs = {"last": key, "golden": key, "altref": key}
+    with pytest.raises(ValueError, match="even ints"):
+        vp8.encode_interframe(w, h, [("last", 3, 0)] * 4)
+    with pytest.raises(ValueError, match="mbs length"):
+        vp8.encode_interframe(w, h, [("last", 0, 0)] * 3)
+    with pytest.raises(ValueError, match="keyframe"):
+        vp8.decode_interframe(vp8.encode_keyframe_skip(w, h), refs)
+    with pytest.raises(ValueError, match="interframe decoder|not a keyframe"):
+        vp8.decode_keyframe(vp8.encode_interframe(w, h, [("last", 0, 0)] * 4))
