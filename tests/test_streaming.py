@@ -1129,3 +1129,77 @@ def test_dv_cdc_emits_only_newly_deleted_positions(spark, tmp_path):
     # versions 2 and 3 both carry pos 1,2 — emitted ONCE, at version 2;
     # pos 5 is new at version 3
     assert got == {(2, 1), (2, 2), (3, 5)}
+
+
+def test_txn_sink_own_writer_roundtrip(spark, tmp_path):
+    """writer='own' (VERDICT r11 task #8): the sink's shards come from
+    the repo's own parquet writer and must re-read value-identically
+    through Spark, pyarrow AND DuckDB — on real query-output shapes:
+    nulls, dictionary-heavy repeated strings, and an empty partition."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from shared_etl_pipelines_spark.streaming.sinks import TxnBatchSink
+
+    src = str(tmp_path / "drop")
+    rows = [
+        (
+            i,
+            None if i % 7 == 0 else float(i) / 4.0,
+            f"tag{i % 3}",  # dictionary-heavy
+            i % 2 == 0,
+        )
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "k long, score double, tag string, f boolean")
+    df.write.parquet(src)
+
+    sroot = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    sink = TxnBatchSink(sroot, writer="own")
+    stream = (
+        spark.readStream.schema("k long, score double, tag string, f boolean")
+        .parquet(src)
+        # an empty partition must produce a valid empty shard
+        .repartition(8)
+    )
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    assert sink.committed_batches() == [0]
+
+    got = sink.read_committed(spark)
+    assert got.count() == 500
+    assert got.exceptAll(df).count() == 0 and df.exceptAll(got).count() == 0
+
+    shard_glob = os.path.join(sroot, "batch=0", "*.parquet")
+    # pyarrow re-read (reference reader #1)
+    import glob as _glob
+
+    parts = sorted(_glob.glob(shard_glob))
+    assert len(parts) == 8
+    pa_rows = []
+    for p in parts:
+        t = pq.read_table(p)
+        pa_rows.extend(zip(*(t.column(c).to_pylist() for c in ("k", "score", "tag", "f"))))
+    assert sorted(pa_rows) == sorted(
+        (k, s, t_, f_) for k, s, t_, f_ in rows
+    )
+    # DuckDB re-read (reference reader #2)
+    n, ssum, nulls = duckdb.sql(
+        f"SELECT COUNT(*), ROUND(SUM(score), 4), "
+        f"COUNT(*) FILTER (score IS NULL) FROM '{shard_glob}'"
+    ).fetchone()
+    assert n == 500
+    assert nulls == sum(1 for r in rows if r[1] is None)
+    assert ssum == round(sum(r[1] for r in rows if r[1] is not None), 4)
+
+    # unsupported column types refuse loudly
+    bad = spark.createDataFrame([([1, 2],)], "arr array<bigint>")
+    sink2 = TxnBatchSink(str(tmp_path / "s2"), writer="own")
+    with pytest.raises(Exception, match="no own-writer mapping"):
+        sink2(bad, 0)
