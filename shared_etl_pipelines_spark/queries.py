@@ -1088,6 +1088,8 @@ _CARRYOVER_FIRST: tuple[str, ...] = (
     # VP8 inter-frame (P-frame) motion-compensated decode (VERDICT r11
     # task #4)
     "multimodal_vp8_pframes",
+    # zstd store-mode frame writer, two independent decoders (r12)
+    "zstd_encode_audit",
 )
 
 

@@ -176,9 +176,9 @@ def write_parquet(
 ) -> bytes:
     """``columns``: (name, kind in int64/double/utf8/boolean, values
     with None for nulls). Returns the complete file bytes."""
-    if compression not in ("UNCOMPRESSED", "SNAPPY"):
+    if compression not in ("UNCOMPRESSED", "SNAPPY", "ZSTD"):
         raise ValueError(f"parquet writer: codec {compression} unsupported")
-    codec_id = {"UNCOMPRESSED": 0, "SNAPPY": 1}[compression]
+    codec_id = {"UNCOMPRESSED": 0, "SNAPPY": 1, "ZSTD": 6}[compression]
     n_rows_total = len(columns[0][2]) if columns else 0
     for _n, _k, vals in columns:
         if len(vals) != n_rows_total:
@@ -206,6 +206,12 @@ def write_parquet(
                 )
 
                 comp = snappy_compress(body)
+            elif compression == "ZSTD":
+                from shared_etl_pipelines_spark.sources.zstd_encode import (
+                    zstd_compress,
+                )
+
+                comp = zstd_compress(body)
             else:
                 comp = body
             stats = _TStruct()

@@ -1,0 +1,71 @@
+"""zstd frame WRITER (store mode): every frame must decode identically
+through pyarrow's bundled reference zstd AND the repo's own RFC 8878
+decoder — two independent decoders over the same bytes."""
+
+import io
+import random
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from shared_etl_pipelines_spark.sources.zstd_decode import zstd_decompress
+from shared_etl_pipelines_spark.sources.zstd_encode import zstd_compress
+
+
+def test_cross_decoder_matrix():
+    rng = random.Random(5)
+    c = pa.Codec("zstd")
+    cases = [
+        b"",
+        b"a",
+        b"x" * 100_000,  # one giant run -> RLE blocks
+        bytes(rng.randrange(256) for _ in range(300_000)),  # incompressible
+        b"head" + b"\x00" * 5000 + b"tail" * 1000 + b"Q" * 70,  # mixed
+        bytes(rng.randrange(4) for _ in range(200)) * 2000,
+        b"\x00" * (128 * 1024 * 3 + 17),  # runs past the block cap
+    ]
+    for i, data in enumerate(cases):
+        frame = zstd_compress(data)
+        assert c.decompress(frame, len(data)).to_pybytes() == data, i
+        assert zstd_decompress(frame) == data, i
+
+
+def test_checksum_and_fcs_guard_corruption():
+    data = b"corpus shard " * 500
+    frame = bytearray(zstd_compress(data))
+    frame[-6] ^= 0xFF  # flip a payload byte near the tail
+    with pytest.raises(ValueError, match="checksum|lies"):
+        zstd_decompress(bytes(frame))
+
+
+def test_rle_runs_shrink_frames():
+    dense = b"\x00" * 500_000
+    assert len(zstd_compress(dense)) < 64
+
+
+def test_own_parquet_writer_zstd_codec(tmp_path):
+    import duckdb
+
+    from shared_etl_pipelines_spark.sources.parquet_write import write_parquet
+
+    cols = [
+        ("k", "int64", list(range(1000))),
+        ("v", "double", [None if i % 9 == 0 else i / 8 for i in range(1000)]),
+        ("s", "utf8", [f"doc{i % 5}" for i in range(1000)]),
+    ]
+    blob = write_parquet(cols, compression="ZSTD", row_group_size=256)
+    t = pq.read_table(io.BytesIO(blob))
+    for name, _kind, vals in cols:
+        assert t.column(name).to_pylist() == vals
+    p = tmp_path / "z.parquet"
+    p.write_bytes(blob)
+    n, nulls = duckdb.sql(
+        f"SELECT COUNT(*), COUNT(*) FILTER (v IS NULL) FROM '{p}'"
+    ).fetchone()
+    assert (n, nulls) == (1000, sum(1 for x in cols[1][2] if x is None))
+    # the repo's own reader closes the loop
+    from shared_etl_pipelines_spark.sources.parquet_pages import read_all_columns
+
+    assert read_all_columns(blob, "k") == cols[0][2]
+    assert read_all_columns(blob, "v") == cols[1][2]
