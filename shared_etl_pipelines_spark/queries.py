@@ -1090,6 +1090,8 @@ _CARRYOVER_FIRST: tuple[str, ...] = (
     "multimodal_vp8_pframes",
     # zstd store-mode frame writer, two independent decoders (r12)
     "zstd_encode_audit",
+    # dictionary pages in the own parquet writer, three readers (r12)
+    "parquet_write_dict_audit",
 )
 
 

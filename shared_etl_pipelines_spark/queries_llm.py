@@ -16086,3 +16086,123 @@ def q_zstd_encode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, n_in bigint, frame_len bigint, ok_ref boolean, "
         "ok_own boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# Dictionary-encoded pages from the own writer (r12): repeated-string
+# corpora are THE parquet shape at 100 TB, and PLAIN-only emission
+# forfeits the format's main size lever. write_parquet(use_dictionary)
+# emits a PLAIN dictionary page + RLE/bit-packed index data page per
+# eligible chunk; this query gates, per doc and per codec (rotating
+# UNCOMPRESSED/SNAPPY/ZSTD), that pyarrow re-reads the values exactly,
+# that the own reader agrees, that the dictionary actually engaged on
+# the repeated column, and that the all-distinct column fell back to
+# PLAIN.
+# ---------------------------------------------------------------------------
+@defquery(
+    "parquet_write_dict_audit",
+    """
+    WITH a AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    d AS (SELECT doc_id, n % 25 + 8 AS nr FROM a),
+    r AS (SELECT doc_id, nr, CAST(unnest(range(0, nr)) AS BIGINT) AS i FROM d),
+    agg AS (
+      SELECT doc_id, MAX(nr) AS nr,
+             SUM(CASE WHEN (doc_id + i) % 7 <> 0 THEN (doc_id + i) * 3 END)
+               AS val_sum,
+             COUNT(CASE WHEN (doc_id + i) % 7 = 0 THEN 1 END) AS val_nulls
+      FROM r GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'UNCOMPRESSED'
+                WHEN 1 THEN 'SNAPPY' ELSE 'ZSTD' END AS codec,
+           CAST(nr AS BIGINT) AS num_rows,
+           CAST(5 AS BIGINT) AS n_tags,
+           CAST(COALESCE(val_sum, 0) AS BIGINT) AS val_sum,
+           CAST(val_nulls AS BIGINT) AS val_nulls,
+           TRUE AS dict_engaged, TRUE AS plain_fallback,
+           TRUE AS ok_ref, TRUE AS ok_own
+    FROM agg
+    """,
+    doc="own-writer dictionary pages gated by three readers: repeated "
+    "tags dictionary-encode (pyarrow metadata proves it), all-distinct "
+    "ints fall back to PLAIN, and pyarrow + the own page reader both "
+    "re-read every value across all three codecs",
+    tags=("llm", "source", "codec", "catalog"),
+)
+def q_parquet_write_dict_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io as _io
+
+        import pyarrow.parquet as _pq
+
+        from shared_etl_pipelines_spark.sources.parquet_pages import (
+            read_all_columns,
+        )
+        from shared_etl_pipelines_spark.sources.parquet_write import (
+            write_parquet,
+        )
+
+        codecs = ("UNCOMPRESSED", "SNAPPY", "ZSTD")
+        cols_out = ("doc_id", "codec", "num_rows", "n_tags", "val_sum",
+                    "val_nulls", "dict_engaged", "plain_fallback",
+                    "ok_ref", "ok_own")
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols_out}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                n = len(str(text).encode("utf-8"))
+                nr = n % 25 + 8
+                tags = [f"t{(d + i) % 5}" for i in range(nr)]
+                vals = [
+                    None if (d + i) % 7 == 0 else (d + i) * 3
+                    for i in range(nr)
+                ]
+                codec = codecs[d % 3]
+                blob = write_parquet(
+                    [("tag", "utf8", tags), ("val", "int64", vals)],
+                    compression=codec,
+                    use_dictionary=True,
+                )
+                t = _pq.read_table(_io.BytesIO(blob))
+                ok_ref = (
+                    t.column("tag").to_pylist() == tags
+                    and t.column("val").to_pylist() == vals
+                )
+                own_tags = [
+                    x.decode("utf-8") if x is not None else None
+                    for x in read_all_columns(blob, "tag")
+                ]
+                ok_own = (
+                    own_tags == tags
+                    and read_all_columns(blob, "val") == vals
+                )
+                md = _pq.read_metadata(_io.BytesIO(blob))
+                enc_tag = md.row_group(0).column(0).encodings
+                enc_val = md.row_group(0).column(1).encodings
+                rows["doc_id"].append(d)
+                rows["codec"].append(codec)
+                rows["num_rows"].append(nr)
+                rows["n_tags"].append(len(set(tags)))
+                rows["val_sum"].append(
+                    sum(v for v in vals if v is not None)
+                )
+                rows["val_nulls"].append(sum(1 for v in vals if v is None))
+                rows["dict_engaged"].append(
+                    "PLAIN_DICTIONARY" in enc_tag
+                    or "RLE_DICTIONARY" in enc_tag
+                )
+                rows["plain_fallback"].append("PLAIN" in enc_val)
+                rows["ok_ref"].append(bool(ok_ref))
+                rows["ok_own"].append(bool(ok_own))
+            yield pd.DataFrame(rows)
+
+    return _t(spark, sf_dir, "documents").select("doc_id", "text").mapInPandas(
+        batches,
+        "doc_id bigint, codec string, num_rows bigint, n_tags bigint, "
+        "val_sum bigint, val_nulls bigint, dict_engaged boolean, "
+        "plain_fallback boolean, ok_ref boolean, ok_own boolean",
+    )

@@ -6,10 +6,12 @@ value-identically through pyarrow AND DuckDB (two independent
 reference readers).
 
 Scope: flat schemas of int64 / double / utf8 / boolean, optional
-fields (definition levels via the RLE hybrid), PLAIN encoding,
-configurable row-group size, UNCOMPRESSED and SNAPPY codecs (the repo
-keeps zstd decode-only by design), UTF8 converted-type annotation so
-strings read back as strings, and min/max/null-count statistics.
+fields (definition levels via the RLE hybrid), PLAIN and dictionary
+encodings (r12: PLAIN dictionary pages + RLE/bit-packed indices),
+configurable row-group size, UNCOMPRESSED / SNAPPY / ZSTD codecs (all
+three through the repo's own compressors), UTF8 converted-type
+annotation so strings read back as strings, and min/max/null-count
+statistics.
 """
 
 from __future__ import annotations
@@ -141,6 +143,56 @@ def _rle_def_levels(defs: list[int]) -> bytes:
     return struct.pack("<I", len(body)) + bytes(body)
 
 
+def _rle_hybrid(vals: list[int], width: int) -> bytes:
+    """RLE / bit-packed hybrid for dictionary indices: runs >= 8 become
+    RLE runs, everything else bit-packs in groups of 8 values (a
+    partial final group pads with zero indices, which the reader never
+    consumes past num_values; a partial group NOT at the end is spilled
+    as single-value RLE runs instead, since its padding would shift
+    real values)."""
+    nbytes = (width + 7) // 8
+    body = bytearray()
+    i, n = 0, len(vals)
+    while i < n:
+        j = i
+        while j < n and vals[j] == vals[i]:
+            j += 1
+        if j - i >= 8:
+            body += _uvar((j - i) << 1)
+            body += vals[i].to_bytes(nbytes, "little")
+            i = j
+            continue
+        # collect a bit-pack segment up to the next >=8 run
+        k = i
+        while k < n:
+            j2 = k
+            while j2 < n and vals[j2] == vals[k]:
+                j2 += 1
+            if j2 - k >= 8:
+                break
+            k = j2
+        seg = vals[i:k]
+        at_end = k >= n
+        full = len(seg) if at_end else (len(seg) // 8) * 8
+        if full:
+            groups = (full + 7) // 8
+            body += _uvar((groups << 1) | 1)
+            acc = bits = 0
+            padded = seg[:full] + [0] * (groups * 8 - full)
+            for v in padded:
+                acc |= v << bits
+                bits += width
+                while bits >= 8:
+                    body.append(acc & 0xFF)
+                    acc >>= 8
+                    bits -= 8
+        for v in seg[full:]:  # mid-stream remainder: 1-value RLE runs
+            body += _uvar(1 << 1)
+            body += v.to_bytes(nbytes, "little")
+        i = k
+    return bytes(body)
+
+
 def _plain(vals: list, kind: str) -> bytes:
     if kind == "int64":
         return struct.pack(f"<{len(vals)}q", *vals)
@@ -173,9 +225,17 @@ def write_parquet(
     columns: list[tuple[str, str, list]],
     compression: str = "SNAPPY",
     row_group_size: int = 1 << 20,
+    use_dictionary: bool = False,
 ) -> bytes:
     """``columns``: (name, kind in int64/double/utf8/boolean, values
-    with None for nulls). Returns the complete file bytes."""
+    with None for nulls). Returns the complete file bytes.
+
+    ``use_dictionary=True`` (r12) dictionary-encodes any non-boolean
+    chunk whose distinct-value count is below both 65536 and the
+    present-value count: a PLAIN dictionary page followed by a v1 data
+    page of RLE/bit-packed PLAIN_DICTIONARY indices — the layout that
+    makes repeated-string corpora shrink, and the one the repo's own
+    reader, pyarrow and DuckDB all decode."""
     if compression not in ("UNCOMPRESSED", "SNAPPY", "ZSTD"):
         raise ValueError(f"parquet writer: codec {compression} unsupported")
     codec_id = {"UNCOMPRESSED": 0, "SNAPPY": 1, "ZSTD": 6}[compression]
@@ -199,30 +259,75 @@ def write_parquet(
         for name, kind, vals in rg_vals:
             present = [v for v in vals if v is not None]
             defs = [0 if v is None else 1 for v in vals]
-            body = _rle_def_levels(defs) + _plain(present, kind)
-            if compression == "SNAPPY":
-                from shared_etl_pipelines_spark.sources.snappy import (
-                    snappy_compress,
-                )
 
-                comp = snappy_compress(body)
-            elif compression == "ZSTD":
-                from shared_etl_pipelines_spark.sources.zstd_encode import (
-                    zstd_compress,
-                )
+            def _compress(body: bytes) -> bytes:
+                if compression == "SNAPPY":
+                    from shared_etl_pipelines_spark.sources.snappy import (
+                        snappy_compress,
+                    )
 
-                comp = zstd_compress(body)
-            else:
-                comp = body
+                    return snappy_compress(body)
+                if compression == "ZSTD":
+                    from shared_etl_pipelines_spark.sources.zstd_encode import (
+                        zstd_compress,
+                    )
+
+                    return zstd_compress(body)
+                return body
+
+            dct: list | None = None
+            if use_dictionary and kind != "boolean" and present:
+                seen: dict = {}
+                for v in present:
+                    if v not in seen:
+                        seen[v] = len(seen)
+                if len(seen) < len(present) and len(seen) <= 65536:
+                    dct = list(seen)
+                    indices = [seen[v] for v in present]
+
             stats = _TStruct()
             stats.i64(3, len(vals) - len(present))
             if present:
                 stats.binary(5, _stat_bytes(max(present), kind))
                 stats.binary(6, _stat_bytes(min(present), kind))
+
+            chunk_off = len(out)
+            dict_off = None
+            usize_total = csize_total = 0
+            if dct is not None:
+                dbody = _plain(dct, kind)
+                dcomp = _compress(dbody)
+                dict_hdr = (
+                    _TStruct()
+                    .i32(1, 2)  # DICTIONARY_PAGE
+                    .i32(2, len(dbody))
+                    .i32(3, len(dcomp))
+                    .struct(
+                        7,
+                        _TStruct().i32(1, len(dct)).i32(2, 2).done(),
+                    )
+                    .done()
+                )
+                dict_off = len(out)
+                out += dict_hdr
+                out += dcomp
+                usize_total += len(dict_hdr) + len(dbody)
+                csize_total += len(dict_hdr) + len(dcomp)
+                width = max(1, (len(dct) - 1).bit_length())
+                body = (
+                    _rle_def_levels(defs)
+                    + bytes([width])
+                    + _rle_hybrid(indices, width)
+                )
+                enc = 2  # PLAIN_DICTIONARY (v1 convention)
+            else:
+                body = _rle_def_levels(defs) + _plain(present, kind)
+                enc = 0  # PLAIN
+            comp = _compress(body)
             dph = (
                 _TStruct()
                 .i32(1, len(vals))
-                .i32(2, 0)  # PLAIN
+                .i32(2, enc)
                 .i32(3, 3)  # def levels: RLE
                 .i32(4, 3)  # rep levels: RLE (absent)
                 .done()
@@ -238,26 +343,29 @@ def write_parquet(
             page_off = len(out)
             out += page_hdr
             out += comp
+            usize_total += len(page_hdr) + len(body)
+            csize_total += len(page_hdr) + len(comp)
             cmd = (
                 _TStruct()
                 .i32(1, _TYPES[kind])
-                .list_i32(2, [0, 3])  # encodings: PLAIN, RLE
+                .list_i32(2, [enc, 3] if dct is None else [enc, 0, 3])
                 .list_binary(3, [name.encode()])
                 .i32(4, codec_id)
                 .i64(5, len(vals))
-                .i64(6, len(page_hdr) + len(body))
-                .i64(7, len(page_hdr) + len(comp))
+                .i64(6, usize_total)
+                .i64(7, csize_total)
                 .i64(9, page_off)
-                .struct(12, stats.done())
-                .done()
             )
+            if dict_off is not None:
+                cmd.i64(11, dict_off)
+            cmd = cmd.struct(12, stats.done()).done()
             col_metas.append(
                 _TStruct()
-                .i64(2, page_off)
+                .i64(2, chunk_off)
                 .struct(3, cmd)
                 .done()
             )
-            rg_bytes += len(page_hdr) + len(comp)
+            rg_bytes += csize_total
         rg_metas.append(
             _TStruct()
             .list_struct(1, col_metas)

@@ -60,6 +60,57 @@ def test_statistics_written_correctly():
 
 def test_refusals():
     with pytest.raises(ValueError, match="codec"):
-        write_parquet([("x", "int64", [1])], compression="ZSTD")
+        write_parquet([("x", "int64", [1])], compression="LZO")
     with pytest.raises(ValueError, match="ragged"):
         write_parquet([("x", "int64", [1]), ("y", "int64", [1, 2])])
+
+
+def test_dictionary_pages_cross_read(tmp_path):
+    """use_dictionary=True: PLAIN dictionary page + RLE/bit-packed
+    PLAIN_DICTIONARY data page, read back by pyarrow, DuckDB AND the
+    repo's own page reader — including nulls, long runs (RLE runs),
+    scattered values (bit-packed groups) and the all-distinct fallback
+    to PLAIN."""
+    import duckdb
+
+    from shared_etl_pipelines_spark.sources.parquet_pages import (
+        read_all_columns,
+    )
+    from shared_etl_pipelines_spark.sources.parquet_write import write_parquet
+
+    rng = random.Random(9)
+    n = 5000
+    cols = [
+        ("k", "int64", [rng.randrange(50) for _ in range(n)]),
+        ("tag", "utf8",
+         [None if i % 11 == 0 else f"tag{i % 7}" for i in range(n)]),
+        ("runs", "utf8",
+         ["A"] * 2000 + ["B"] * 2000 + [f"x{i % 3}" for i in range(1000)]),
+        ("v", "double", [rng.random() for _ in range(n)]),  # all distinct
+    ]
+    for codec in ("UNCOMPRESSED", "SNAPPY", "ZSTD"):
+        blob = write_parquet(
+            cols, compression=codec, row_group_size=1024, use_dictionary=True
+        )
+        t = pq.read_table(io.BytesIO(blob))
+        for name, _k, vals in cols:
+            assert t.column(name).to_pylist() == vals, (codec, name)
+        p = tmp_path / f"d_{codec}.parquet"
+        p.write_bytes(blob)
+        cnt, tags = duckdb.sql(
+            f"SELECT COUNT(*), COUNT(DISTINCT tag) FROM '{p}'"
+        ).fetchone()
+        assert (cnt, tags) == (n, 7)
+        for name, kind, vals in cols:
+            got = read_all_columns(blob, name)
+            if kind == "utf8":
+                got = [x.decode("utf-8") if x is not None else None for x in got]
+            assert got == vals, (codec, name)
+        md = pq.read_metadata(io.BytesIO(blob))
+        encs = md.row_group(0).column(1).encodings
+        assert "PLAIN_DICTIONARY" in encs or "RLE_DICTIONARY" in encs
+        # the all-distinct double column fell back to PLAIN
+        assert "PLAIN" in md.row_group(0).column(3).encodings
+    plain = write_parquet(cols, compression="UNCOMPRESSED")
+    dictd = write_parquet(cols, compression="UNCOMPRESSED", use_dictionary=True)
+    assert len(dictd) < len(plain) * 0.7  # the size win is real
