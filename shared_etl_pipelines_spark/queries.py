@@ -1092,6 +1092,8 @@ _CARRYOVER_FIRST: tuple[str, ...] = (
     "zstd_encode_audit",
     # dictionary pages in the own parquet writer, three readers (r12)
     "parquet_write_dict_audit",
+    # ColumnIndex/OffsetIndex page-pruned ranged scan (r12)
+    "parquet_pageindex_scan",
 )
 
 

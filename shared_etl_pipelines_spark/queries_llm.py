@@ -16206,3 +16206,122 @@ def q_parquet_write_dict_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "val_sum bigint, val_nulls bigint, dict_engaged boolean, "
         "plain_fallback boolean, ok_ref boolean, ok_own boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# Page-index-pruned scan (r12): the page-level half of predicate
+# pushdown. Row-group pruning skips whole groups; the ColumnIndex /
+# OffsetIndex (written here by pyarrow — an independent reference
+# implementation — and parsed by the repo's own thrift walker) lets a
+# scan skip PAGES inside groups it must read: each task seeks to its
+# group's index spans, selects only pages whose [min,max] intersect the
+# key range, and fetches exactly those byte spans
+# (sources/parquet_pageindex.py). The fixture cache follows the
+# hermetic discipline (content-hash key + atomic os.replace).
+# ---------------------------------------------------------------------------
+@defquery(
+    "parquet_pageindex_scan",
+    """
+    SELECT COUNT(*) AS n_rows,
+           CAST(SUM(l_quantity) AS BIGINT) AS qty_sum,
+           SUM(l_orderkey) AS key_sum,
+           TRUE AS pruned
+    FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000
+    """,
+    doc="page-index-pruned ranged scan: per-row-group tasks read the "
+    "ColumnIndex/OffsetIndex spans, fetch only the pages intersecting "
+    "the key range, decode, and re-filter exactly — `pruned` gates "
+    "that pages were actually skipped",
+    tags=("llm", "source", "codec", "scale-path", "plan"),
+)
+def q_parquet_pageindex_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib as _hl
+    import os as _os
+    import tempfile as _tf
+
+    import pyarrow.parquet as _pq
+
+    from shared_etl_pipelines_spark.sources.parquet_footer import (
+        read_footer_ranged,
+    )
+
+    LO, HI = 1000, 3000
+    src = _os.path.join(sf_dir, "lineitem.parquet")
+    h = _hl.sha256()
+    h.update(b"pageindex-v1|sorted|rg16384|page4096|")
+    with open(src, "rb") as fh:
+        for piece in iter(lambda: fh.read(1 << 20), b""):
+            h.update(piece)
+    path = _os.path.join(
+        _tf.gettempdir(), f"spark_graft_pageindex_{h.hexdigest()[:16]}.parquet"
+    )
+    if not _os.path.exists(path):
+        tbl = _pq.read_table(src, columns=["l_orderkey", "l_quantity"])
+        tbl = tbl.sort_by("l_orderkey")  # cluster keys so pages separate
+        tmp = f"{path}.tmp.{_os.getpid()}"
+        _pq.write_table(
+            tbl, tmp, compression="snappy", row_group_size=16384,
+            data_page_size=4096, write_page_index=True,
+        )
+        _os.replace(tmp, path)
+    n_rgs = len(read_footer_ranged(path)["row_groups"])
+
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def scan(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shared_etl_pipelines_spark.sources.parquet_footer import (
+            read_footer_ranged as _rfr,
+        )
+        from shared_etl_pipelines_spark.sources.parquet_pageindex import (
+            read_column_pruned,
+            read_column_rows,
+        )
+
+        foot = _rfr(path)
+        for pdf in it:
+            out = {"n_rows": [], "qty_sum": [], "key_sum": [],
+                   "pages_total": [], "pages_read": []}
+            for rg in pdf["rg"]:
+                rg = int(rg)
+                keys, n_t, n_r = read_column_pruned(
+                    path, foot, rg, "l_orderkey", LO, HI
+                )
+                hit_rows = {r for r, k in keys if LO <= k <= HI}
+                n = qs = ks = 0
+                if hit_rows:
+                    # companion column: fetch only the quantity pages
+                    # covering the hit row span (OffsetIndex first_row)
+                    qtys, _qt, _qr = read_column_rows(
+                        path, foot, rg, "l_quantity",
+                        min(hit_rows), max(hit_rows),
+                    )
+                    qmap = dict(qtys)
+                    for r, k in keys:
+                        if r in hit_rows:
+                            n += 1
+                            ks += k
+                            qs += qmap[r]
+                out["n_rows"].append(n)
+                out["qty_sum"].append(qs)
+                out["key_sum"].append(ks)
+                out["pages_total"].append(n_t)
+                out["pages_read"].append(n_r)
+            yield pd.DataFrame(out)
+
+    rgs = spark.createDataFrame(
+        [(i,) for i in range(n_rgs)], "rg int"
+    ).repartition(min(n_rgs, 32))
+    partial = rgs.mapInPandas(
+        scan,
+        "n_rows long, qty_sum double, key_sum long, pages_total long, "
+        "pages_read long",
+    )
+    out = partial.agg(
+        F.sum("n_rows").alias("n_rows"),
+        F.sum("qty_sum").cast("long").alias("qty_sum"),
+        F.sum("key_sum").alias("key_sum"),
+        (F.sum("pages_read") < F.sum("pages_total")).alias("pruned"),
+    )
+    return out

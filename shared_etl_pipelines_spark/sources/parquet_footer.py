@@ -112,6 +112,12 @@ def parse_parquet_footer(blob: bytes) -> dict:
                     "data_page_offset": md.get(9),
                     "dictionary_page_offset": md.get(11),
                     "stats": _decode_stats(md.get(12, {}), ptype),
+                    # page-index spans (ColumnChunk fields 4-7) — None
+                    # when the writer emitted no page indexes
+                    "offset_index_offset": cc.get(4),
+                    "offset_index_length": cc.get(5),
+                    "column_index_offset": cc.get(6),
+                    "column_index_length": cc.get(7),
                 }
             )
         row_groups.append(

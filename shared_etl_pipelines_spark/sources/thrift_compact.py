@@ -53,9 +53,16 @@ def _zigzag(buf: bytes, p: int) -> tuple[int, int]:
 
 def _value(buf: bytes, p: int, wtype: int):
     if wtype in (_T_TRUE, _T_FALSE):
-        # only reachable inside LISTS; struct-field bools fold into the
-        # header and are handled by the caller
-        return wtype == _T_TRUE, p
+        # only reachable inside LISTS, where each bool element occupies
+        # one byte (0x01 true / 0x02 false per the compact spec) —
+        # struct-field bools fold into the header and are handled by
+        # the caller
+        if p >= len(buf):
+            raise ValueError("thrift: truncated bool element")
+        b = buf[p]
+        if b not in (1, 2):
+            raise ValueError("thrift: malformed bool element — quarantine")
+        return b == 1, p + 1
     if wtype == _T_I8:
         if p >= len(buf):
             raise ValueError("thrift: truncated i8")
