@@ -1094,6 +1094,8 @@ _CARRYOVER_FIRST: tuple[str, ...] = (
     "parquet_write_dict_audit",
     # ColumnIndex/OffsetIndex page-pruned ranged scan (r12)
     "parquet_pageindex_scan",
+    # own-writer page indexes with closed-form prune counts (r12)
+    "parquet_own_pageindex_scan",
 )
 
 

@@ -16325,3 +16325,95 @@ def q_parquet_pageindex_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("pages_read") < F.sum("pages_total")).alias("pruned"),
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Own-writer page indexes (r12): write_parquet(page_rows,
+# write_page_index) emits multi-page chunks WITH ColumnIndex /
+# OffsetIndex sections, and because this writer's page geometry is
+# exact (32 rows per page), the pruned-scan page counts themselves are
+# closed-form: a [d+10, d+50] probe over rows d..d+nr-1 always touches
+# exactly pages 0 and 1 of ceil(nr/32). pyarrow re-reads every file;
+# the own page-pruned reader does the selective scan.
+# ---------------------------------------------------------------------------
+@defquery(
+    "parquet_own_pageindex_scan",
+    """
+    WITH a AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    d AS (SELECT doc_id, n % 400 + 100 AS nr FROM a)
+    SELECT doc_id,
+           CAST((nr + 31) // 32 AS BIGINT) AS pages_total,
+           CAST(2 AS BIGINT) AS pages_read,
+           CAST(41 AS BIGINT) AS n_hits,
+           CAST(41 * doc_id + 1230 AS BIGINT) AS key_sum,
+           TRUE AS ok_ref
+    FROM d
+    """,
+    doc="own-writer page indexes: exact page geometry makes even the "
+    "prune counts closed-form — probe [d+10, d+50] reads exactly pages "
+    "0-1 of ceil(nr/32); pyarrow re-reads the same files",
+    tags=("llm", "source", "codec", "scale-path", "plan"),
+)
+def q_parquet_own_pageindex_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io as _io
+        import os as _os
+        import tempfile as _tf
+
+        import pyarrow.parquet as _pq
+
+        from shared_etl_pipelines_spark.sources.parquet_pageindex import (
+            read_all_pruned,
+        )
+        from shared_etl_pipelines_spark.sources.parquet_write import (
+            write_parquet,
+        )
+
+        cols_out = ("doc_id", "pages_total", "pages_read", "n_hits",
+                    "key_sum", "ok_ref")
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols_out}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                n = len(str(text).encode("utf-8"))
+                nr = n % 400 + 100
+                keys = [d + i for i in range(nr)]
+                blob = write_parquet(
+                    [("k", "int64", keys)],
+                    compression="SNAPPY",
+                    page_rows=32,
+                    write_page_index=True,
+                )
+                ok_ref = (
+                    _pq.read_table(_io.BytesIO(blob)).column("k").to_pylist()
+                    == keys
+                )
+                # the pruned reader is path-based: one tiny temp file per
+                # doc, unlinked immediately (executor-local scratch)
+                fd, path = _tf.mkstemp(suffix=".parquet")
+                try:
+                    with _os.fdopen(fd, "wb") as fh:
+                        fh.write(blob)
+                    vals, tot, rd = read_all_pruned(
+                        path, "k", d + 10, d + 50
+                    )
+                finally:
+                    _os.unlink(path)
+                hits = [v for _, v in vals if d + 10 <= v <= d + 50]
+                rows["doc_id"].append(d)
+                rows["pages_total"].append(tot)
+                rows["pages_read"].append(rd)
+                rows["n_hits"].append(len(hits))
+                rows["key_sum"].append(sum(hits))
+                rows["ok_ref"].append(bool(ok_ref))
+            yield pd.DataFrame(rows)
+
+    return _t(spark, sf_dir, "documents").select("doc_id", "text").mapInPandas(
+        batches,
+        "doc_id bigint, pages_total bigint, pages_read bigint, "
+        "n_hits bigint, key_sum bigint, ok_ref boolean",
+    )

@@ -89,6 +89,31 @@ class _TStruct:
             self.out += _zz(v)
         return self
 
+    def list_i64(self, fid: int, vals: list[int]) -> "_TStruct":
+        self._hdr(fid, 9)
+        n = len(vals)
+        if n < 15:
+            self.out.append((n << 4) | 6)
+        else:
+            self.out.append(0xF0 | 6)
+            self.out += _uvar(n)
+        for v in vals:
+            self.out += _zz(v)
+        return self
+
+    def list_bool(self, fid: int, vals: list[bool]) -> "_TStruct":
+        # compact spec: bool list elements are one byte each, 1/2
+        self._hdr(fid, 9)
+        n = len(vals)
+        if n < 15:
+            self.out.append((n << 4) | 1)
+        else:
+            self.out.append(0xF0 | 1)
+            self.out += _uvar(n)
+        for v in vals:
+            self.out.append(1 if v else 2)
+        return self
+
     def list_binary(self, fid: int, vals: list[bytes]) -> "_TStruct":
         self._hdr(fid, 9)
         n = len(vals)
@@ -226,16 +251,25 @@ def write_parquet(
     compression: str = "SNAPPY",
     row_group_size: int = 1 << 20,
     use_dictionary: bool = False,
+    page_rows: int | None = None,
+    write_page_index: bool = False,
 ) -> bytes:
     """``columns``: (name, kind in int64/double/utf8/boolean, values
     with None for nulls). Returns the complete file bytes.
 
     ``use_dictionary=True`` (r12) dictionary-encodes any non-boolean
     chunk whose distinct-value count is below both 65536 and the
-    present-value count: a PLAIN dictionary page followed by a v1 data
-    page of RLE/bit-packed PLAIN_DICTIONARY indices — the layout that
+    present-value count: a PLAIN dictionary page followed by v1 data
+    pages of RLE/bit-packed PLAIN_DICTIONARY indices — the layout that
     makes repeated-string corpora shrink, and the one the repo's own
-    reader, pyarrow and DuckDB all decode."""
+    reader, pyarrow and DuckDB all decode.
+
+    ``page_rows`` (r12) splits each column chunk into multiple data
+    pages of that many rows; ``write_page_index=True`` then emits the
+    spec's ColumnIndex/OffsetIndex sections (per-page null flags,
+    min/max, null counts, byte spans, first row indexes) between the
+    data and the footer, so page-pruned scans
+    (sources/parquet_pageindex.py) work on files this writer emits."""
     if compression not in ("UNCOMPRESSED", "SNAPPY", "ZSTD"):
         raise ValueError(f"parquet writer: codec {compression} unsupported")
     codec_id = {"UNCOMPRESSED": 0, "SNAPPY": 1, "ZSTD": 6}[compression]
@@ -244,8 +278,25 @@ def write_parquet(
         if len(vals) != n_rows_total:
             raise ValueError("parquet writer: ragged columns")
 
+    def _compress(body: bytes) -> bytes:
+        if compression == "SNAPPY":
+            from shared_etl_pipelines_spark.sources.snappy import (
+                snappy_compress,
+            )
+
+            return snappy_compress(body)
+        if compression == "ZSTD":
+            from shared_etl_pipelines_spark.sources.zstd_encode import (
+                zstd_compress,
+            )
+
+            return zstd_compress(body)
+        return body
+
     out = bytearray(b"PAR1")
-    rg_metas: list[bytes] = []
+    # chunk records: everything the footer + page indexes need, built
+    # while the data section is written
+    rg_records: list[tuple[int, list[dict]]] = []  # (n_rows, chunks)
     for rg_start in range(0, max(n_rows_total, 1), row_group_size):
         if rg_start >= n_rows_total and n_rows_total:
             break
@@ -254,36 +305,18 @@ def write_parquet(
             for name, kind, vals in columns
         ]
         n_rows = len(rg_vals[0][2]) if rg_vals else 0
-        col_metas: list[bytes] = []
-        rg_bytes = 0
+        chunks: list[dict] = []
         for name, kind, vals in rg_vals:
             present = [v for v in vals if v is not None]
-            defs = [0 if v is None else 1 for v in vals]
-
-            def _compress(body: bytes) -> bytes:
-                if compression == "SNAPPY":
-                    from shared_etl_pipelines_spark.sources.snappy import (
-                        snappy_compress,
-                    )
-
-                    return snappy_compress(body)
-                if compression == "ZSTD":
-                    from shared_etl_pipelines_spark.sources.zstd_encode import (
-                        zstd_compress,
-                    )
-
-                    return zstd_compress(body)
-                return body
 
             dct: list | None = None
+            seen: dict = {}
             if use_dictionary and kind != "boolean" and present:
-                seen: dict = {}
                 for v in present:
                     if v not in seen:
                         seen[v] = len(seen)
                 if len(seen) < len(present) and len(seen) <= 65536:
                     dct = list(seen)
-                    indices = [seen[v] for v in present]
 
             stats = _TStruct()
             stats.i64(3, len(vals) - len(present))
@@ -314,58 +347,158 @@ def write_parquet(
                 usize_total += len(dict_hdr) + len(dbody)
                 csize_total += len(dict_hdr) + len(dcomp)
                 width = max(1, (len(dct) - 1).bit_length())
-                body = (
-                    _rle_def_levels(defs)
-                    + bytes([width])
-                    + _rle_hybrid(indices, width)
-                )
                 enc = 2  # PLAIN_DICTIONARY (v1 convention)
             else:
-                body = _rle_def_levels(defs) + _plain(present, kind)
                 enc = 0  # PLAIN
-            comp = _compress(body)
-            dph = (
-                _TStruct()
-                .i32(1, len(vals))
-                .i32(2, enc)
-                .i32(3, 3)  # def levels: RLE
-                .i32(4, 3)  # rep levels: RLE (absent)
-                .done()
+
+            pages: list[dict] = []
+            step = page_rows if page_rows else max(len(vals), 1)
+            first = 0
+            while True:
+                pv = vals[first : first + step]
+                if not pv and (first or n_rows):
+                    break
+                defs = [0 if v is None else 1 for v in pv]
+                ppresent = [v for v in pv if v is not None]
+                if dct is not None:
+                    body = (
+                        _rle_def_levels(defs)
+                        + bytes([width])
+                        + _rle_hybrid([seen[v] for v in ppresent], width)
+                    )
+                else:
+                    body = _rle_def_levels(defs) + _plain(ppresent, kind)
+                comp = _compress(body)
+                dph = (
+                    _TStruct()
+                    .i32(1, len(pv))
+                    .i32(2, enc)
+                    .i32(3, 3)  # def levels: RLE
+                    .i32(4, 3)  # rep levels: RLE (absent)
+                    .done()
+                )
+                page_hdr = (
+                    _TStruct()
+                    .i32(1, 0)  # DATA_PAGE
+                    .i32(2, len(body))
+                    .i32(3, len(comp))
+                    .struct(5, dph)
+                    .done()
+                )
+                page_off = len(out)
+                out += page_hdr
+                out += comp
+                usize_total += len(page_hdr) + len(body)
+                csize_total += len(page_hdr) + len(comp)
+                pages.append(
+                    {
+                        "offset": page_off,
+                        "size": len(page_hdr) + len(comp),
+                        "first_row": first,
+                        "null_page": not ppresent,
+                        "null_count": len(pv) - len(ppresent),
+                        "min": _stat_bytes(min(ppresent), kind)
+                        if ppresent else b"",
+                        "max": _stat_bytes(max(ppresent), kind)
+                        if ppresent else b"",
+                    }
+                )
+                first += len(pv)
+                if first >= len(vals):
+                    break
+            chunks.append(
+                {
+                    "name": name,
+                    "kind": kind,
+                    "enc": enc,
+                    "dct": dct is not None,
+                    "n_vals": len(vals),
+                    "usize": usize_total,
+                    "csize": csize_total,
+                    "chunk_off": chunk_off,
+                    "data_off": pages[0]["offset"],
+                    "dict_off": dict_off,
+                    "stats": stats.done(),
+                    "pages": pages,
+                }
             )
-            page_hdr = (
-                _TStruct()
-                .i32(1, 0)  # DATA_PAGE
-                .i32(2, len(body))
-                .i32(3, len(comp))
-                .struct(5, dph)
-                .done()
-            )
-            page_off = len(out)
-            out += page_hdr
-            out += comp
-            usize_total += len(page_hdr) + len(body)
-            csize_total += len(page_hdr) + len(comp)
+        rg_records.append((n_rows, chunks))
+        if n_rows_total == 0:
+            break
+
+    if write_page_index:
+        # spec layout: all ColumnIndex blocks, then all OffsetIndex
+        # blocks, between the last data byte and the footer
+        for _n_rows, chunks in rg_records:
+            for ch in chunks:
+                pages = ch["pages"]
+                vals_present = [p for p in pages]
+                mins = [p["min"] for p in pages]
+                maxs = [p["max"] for p in pages]
+                nonnull = [
+                    (p["min"], p["max"]) for p in pages if not p["null_page"]
+                ]
+                if nonnull == sorted(nonnull):
+                    order = 1  # ASCENDING
+                elif nonnull == sorted(nonnull, reverse=True):
+                    order = 2  # DESCENDING
+                else:
+                    order = 0
+                ci = (
+                    _TStruct()
+                    .list_bool(1, [p["null_page"] for p in pages])
+                    .list_binary(2, mins)
+                    .list_binary(3, maxs)
+                    .i32(4, order)
+                    .list_i64(5, [p["null_count"] for p in pages])
+                    .done()
+                )
+                ch["column_index_offset"] = len(out)
+                ch["column_index_length"] = len(ci)
+                out += ci
+        for _n_rows, chunks in rg_records:
+            for ch in chunks:
+                locs = [
+                    _TStruct()
+                    .i64(1, p["offset"])
+                    .i32(2, p["size"])
+                    .i64(3, p["first_row"])
+                    .done()
+                    for p in ch["pages"]
+                ]
+                oi = _TStruct().list_struct(1, locs).done()
+                ch["offset_index_offset"] = len(out)
+                ch["offset_index_length"] = len(oi)
+                out += oi
+
+    rg_metas: list[bytes] = []
+    for n_rows, chunks in rg_records:
+        col_metas: list[bytes] = []
+        rg_bytes = 0
+        for ch in chunks:
             cmd = (
                 _TStruct()
-                .i32(1, _TYPES[kind])
-                .list_i32(2, [enc, 3] if dct is None else [enc, 0, 3])
-                .list_binary(3, [name.encode()])
+                .i32(1, _TYPES[ch["kind"]])
+                .list_i32(2, [ch["enc"], 3] if not ch["dct"]
+                          else [ch["enc"], 0, 3])
+                .list_binary(3, [ch["name"].encode()])
                 .i32(4, codec_id)
-                .i64(5, len(vals))
-                .i64(6, usize_total)
-                .i64(7, csize_total)
-                .i64(9, page_off)
+                .i64(5, ch["n_vals"])
+                .i64(6, ch["usize"])
+                .i64(7, ch["csize"])
+                .i64(9, ch["data_off"])
             )
-            if dict_off is not None:
-                cmd.i64(11, dict_off)
-            cmd = cmd.struct(12, stats.done()).done()
-            col_metas.append(
-                _TStruct()
-                .i64(2, chunk_off)
-                .struct(3, cmd)
-                .done()
-            )
-            rg_bytes += csize_total
+            if ch["dict_off"] is not None:
+                cmd.i64(11, ch["dict_off"])
+            cmd = cmd.struct(12, ch["stats"]).done()
+            cm = _TStruct().i64(2, ch["chunk_off"]).struct(3, cmd)
+            if "offset_index_offset" in ch:
+                cm.i64(4, ch["offset_index_offset"])
+                cm.i32(5, ch["offset_index_length"])
+                cm.i64(6, ch["column_index_offset"])
+                cm.i32(7, ch["column_index_length"])
+            col_metas.append(cm.done())
+            rg_bytes += ch["csize"]
         rg_metas.append(
             _TStruct()
             .list_struct(1, col_metas)
@@ -373,8 +506,6 @@ def write_parquet(
             .i64(3, n_rows)
             .done()
         )
-        if n_rows_total == 0:
-            break
 
     schema_elems = [
         _TStruct()

@@ -114,3 +114,50 @@ def test_dictionary_pages_cross_read(tmp_path):
     plain = write_parquet(cols, compression="UNCOMPRESSED")
     dictd = write_parquet(cols, compression="UNCOMPRESSED", use_dictionary=True)
     assert len(dictd) < len(plain) * 0.7  # the size win is real
+
+
+def test_own_page_indexes_roundtrip(tmp_path):
+    """page_rows + write_page_index: multi-page chunks with
+    ColumnIndex/OffsetIndex sections that the repo's own page-pruned
+    reader consumes, while pyarrow and DuckDB still read the data."""
+    import duckdb
+
+    from shared_etl_pipelines_spark.sources.parquet_pageindex import (
+        read_all_pruned,
+        read_page_indexes,
+    )
+    from shared_etl_pipelines_spark.sources.parquet_footer import (
+        parse_parquet_footer,
+    )
+    from shared_etl_pipelines_spark.sources.parquet_write import write_parquet
+
+    n = 20000
+    cols = [
+        ("k", "int64", list(range(n))),
+        ("tag", "utf8",
+         [None if i % 13 == 0 else f"t{i // 500}" for i in range(n)]),
+    ]
+    for codec in ("SNAPPY", "ZSTD", "UNCOMPRESSED"):
+        blob = write_parquet(
+            cols, compression=codec, row_group_size=8192,
+            use_dictionary=True, page_rows=512, write_page_index=True,
+        )
+        t = pq.read_table(io.BytesIO(blob))
+        assert t.column("k").to_pylist() == cols[0][2]
+        assert t.column("tag").to_pylist() == cols[1][2]
+        p = tmp_path / f"own_pi_{codec}.parquet"
+        p.write_bytes(blob)
+        (cnt,) = duckdb.sql(f"SELECT COUNT(*) FROM '{p}'").fetchone()
+        assert cnt == n
+        vals, tot, rd = read_all_pruned(str(p), "k", 3000, 3300)
+        assert rd < tot  # pruning engaged on our own index
+        assert sorted(v for _, v in vals if 3000 <= v <= 3300) == list(
+            range(3000, 3301)
+        )
+        foot = parse_parquet_footer(blob)
+        idx = read_page_indexes(str(p), foot, 0, "k")
+        assert idx["boundary_order"] == 1  # sorted ints -> ASCENDING
+        assert len(idx["pages"]) == 16  # 8192 rows / 512 per page
+        # null pages tracked on the nullable column
+        tidx = read_page_indexes(str(p), foot, 0, "tag")
+        assert all(pg["null_count"] > 0 for pg in tidx["pages"])
