@@ -1096,6 +1096,8 @@ _CARRYOVER_FIRST: tuple[str, ...] = (
     "parquet_pageindex_scan",
     # own-writer page indexes with closed-form prune counts (r12)
     "parquet_own_pageindex_scan",
+    # BM25 lexical retrieval top-k (r12)
+    "bm25_topk",
 )
 
 

@@ -16417,3 +16417,101 @@ def q_parquet_own_pageindex_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, pages_total bigint, pages_read bigint, "
         "n_hits bigint, key_sum bigint, ok_ref boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 top-k retrieval (r12): the lexical-retrieval primitive a
+# curation pipeline runs to pull topic slices out of a corpus (and the
+# sparse half of hybrid search next to the ANN family). Everything is
+# one scan + map-side-combinable aggregates: per-doc term frequencies
+# and lengths, per-term document frequencies, then the Robertson/
+# Sparck-Jones idf and the k1/b length-normalized tf — no UDFs, no
+# all-pairs anything; the global (N, avgdl) scalars ride a broadcast
+# one-row cross join.
+# ---------------------------------------------------------------------------
+@defquery(
+    "bm25_topk",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({TOKS_SQL}) AS t FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    g AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    q AS (SELECT unnest(['spark', 'vector', 'window']) AS t),
+    tf AS (
+      SELECT doc_id, t, COUNT(*) AS tf FROM toks
+      WHERE t IN (SELECT t FROM q) GROUP BY doc_id, t
+    ),
+    df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+    scored AS (
+      SELECT tf.doc_id,
+             SUM(
+               ln(1 + (g.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / g.avgdl))
+             ) AS score
+      FROM tf JOIN df USING (t) JOIN dl USING (doc_id) CROSS JOIN g
+      GROUP BY tf.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, ROUND(score, 4) AS score,
+             ROW_NUMBER() OVER (ORDER BY ROUND(score, 4) DESC, doc_id)
+               AS rnk
+      FROM scored
+    )
+    SELECT doc_id, score, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 10
+    """,
+    doc="BM25 top-10 for the query {spark, vector, window}: k1=1.2 "
+    "b=0.75, RSJ idf — per-doc tf/length and per-term df aggregates, "
+    "scalars broadcast, rank tie-broken on rounded score + doc_id",
+    tags=("llm", "text", "retrieval", "scale-path"),
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.functions.text import tokens
+
+    K1, B = 1.2, 0.75
+    terms = ["spark", "vector", "window"]
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("t")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    g = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("t").isin(terms))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "t")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(g))
+        .withColumn(
+            "part",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+            * F.col("tf") * (K1 + 1)
+            / (
+                F.col("tf")
+                + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("part").alias("score"))
+        .withColumn("score", F.round("score", 4))
+    )
+    # distributed top-k: orderBy+limit compiles to TakeOrderedAndProject
+    # (O(k) per partition, no global sort); the rank window then runs on
+    # the 10 surviving rows only
+    top = scored.orderBy(F.col("score").desc(), F.col("doc_id")).limit(10)
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    out = top.withColumn("rnk", F.row_number().over(w)).select(
+        "doc_id", "score", F.col("rnk").cast("long").alias("rnk")
+    )
+    return out
