@@ -1098,6 +1098,8 @@ _CARRYOVER_FIRST: tuple[str, ...] = (
     "parquet_own_pageindex_scan",
     # BM25 lexical retrieval top-k (r12)
     "bm25_topk",
+    # compressed Arrow IPC bodies via own codecs (r12)
+    "arrow_ipc_compressed_audit",
 )
 
 

@@ -16515,3 +16515,98 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "score", F.col("rnk").cast("long").alias("rnk")
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Compressed Arrow IPC bodies (r12): Arrow Flight / IPC shards on the
+# wire are usually BodyCompression'd, and until now the independent
+# reader refused them. Each constituent buffer (int64 uncompressed-
+# length prefix + frame) now decodes through the repo's OWN lz4-frame
+# and zstd decompressors; fixtures are written by pyarrow with the
+# codec rotating per doc, so the cross-implementation check covers
+# both codecs and the stored(-1) path pyarrow takes for tiny buffers.
+# ---------------------------------------------------------------------------
+@defquery(
+    "arrow_ipc_compressed_audit",
+    """
+    WITH a AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    d AS (SELECT doc_id, n % 30 + 5 AS nr FROM a),
+    r AS (SELECT doc_id, nr, CAST(unnest(range(0, nr)) AS BIGINT) AS i FROM d),
+    agg AS (
+      SELECT doc_id, MAX(nr) AS nr,
+             SUM(CASE WHEN (doc_id + i) % 6 <> 0 THEN (doc_id + i) * 5 END)
+               AS int_sum,
+             COUNT(CASE WHEN (doc_id + i) % 6 = 0 THEN 1 END) AS int_nulls,
+             SUM((doc_id + i) % 7 + 1) AS str_bytes
+      FROM r GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'zstd' ELSE 'lz4' END AS codec,
+           CAST(nr AS BIGINT) AS num_rows,
+           CAST(COALESCE(int_sum, 0) AS BIGINT) AS int_sum,
+           CAST(int_nulls AS BIGINT) AS int_nulls,
+           CAST(str_bytes AS BIGINT) AS str_bytes
+    FROM agg
+    """,
+    doc="compressed Arrow IPC read: pyarrow-written BodyCompression "
+    "streams (zstd/lz4 rotating per doc) decoded by the own flatbuffers "
+    "walk + own codecs, per-doc sums in closed form",
+    tags=("llm", "source", "codec", "catalog"),
+)
+def q_arrow_ipc_compressed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io as _io
+
+        import pyarrow as _pa
+        import pyarrow.ipc as _ipc
+
+        from shared_etl_pipelines_spark.sources.arrow_ipc import read_ipc
+
+        cols_out = ("doc_id", "codec", "num_rows", "int_sum", "int_nulls",
+                    "str_bytes")
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols_out}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                n = len(str(text).encode("utf-8"))
+                nr = n % 30 + 5
+                ints = [
+                    None if (d + i) % 6 == 0 else (d + i) * 5
+                    for i in range(nr)
+                ]
+                strs = ["t" * ((d + i) % 7 + 1) for i in range(nr)]
+                codec = "zstd" if d % 2 == 0 else "lz4"
+                t = _pa.table(
+                    {
+                        "iv": _pa.array(ints, _pa.int64()),
+                        "sv": _pa.array(strs, _pa.string()),
+                    }
+                )
+                sink = _io.BytesIO()
+                with _ipc.new_stream(
+                    sink, t.schema,
+                    options=_ipc.IpcWriteOptions(compression=codec),
+                ) as w:
+                    w.write_table(t, max_chunksize=8)
+                got = read_ipc(sink.getvalue())
+                iv = got["columns"]["iv"]
+                sv = got["columns"]["sv"]
+                rows["doc_id"].append(d)
+                rows["codec"].append(codec)
+                rows["num_rows"].append(len(iv))
+                rows["int_sum"].append(
+                    sum(v for v in iv if v is not None)
+                )
+                rows["int_nulls"].append(sum(1 for v in iv if v is None))
+                rows["str_bytes"].append(sum(len(v) for v in sv))
+            yield pd.DataFrame(rows)
+
+    return _t(spark, sf_dir, "documents").select("doc_id", "text").mapInPandas(
+        batches,
+        "doc_id bigint, codec string, num_rows bigint, int_sum bigint, "
+        "int_nulls bigint, str_bytes bigint",
+    )

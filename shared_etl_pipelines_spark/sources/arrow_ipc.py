@@ -12,9 +12,11 @@ format with its flatbuffer Footer and the bare stream format) are a
 true cross-implementation check.
 
 Scope: flat columns of Int(8-64, signed/unsigned)/FloatingPoint
-(single/double)/Bool/Utf8/Binary with nulls, little-endian,
-uncompressed bodies. Dictionary batches, nested types, and compressed
-bodies refuse loudly.
+(single/double)/Bool/Utf8/Binary with nulls, little-endian. Compressed
+bodies (BodyCompression, BUFFER method) decode through the repo's OWN
+lz4-frame and zstd decompressors (r12) — each constituent buffer is an
+int64 uncompressed-length prefix + compressed bytes, -1 marking a
+stored buffer. Dictionary batches and nested types refuse loudly.
 """
 
 from __future__ import annotations
@@ -145,48 +147,89 @@ def _messages(buf: bytes, p: int, end: int):
         p = body_start + body_len
 
 
+def _body_buffers(header: _FB, body: bytes) -> list[bytes]:
+    """Materialize the batch's constituent buffers, decompressing each
+    through the repo's own codecs when a BodyCompression is declared
+    (BUFFER method: per-buffer int64 uncompressed-length prefix, -1 =
+    stored)."""
+    comp = header.table(3)
+    codec = None
+    if comp is not None:
+        cid = comp.scalar(0, "<b", 0)
+        if cid == 0:
+            codec = "lz4"
+        elif cid == 1:
+            codec = "zstd"
+        else:
+            raise ValueError(f"arrow: compression codec {cid} unsupported")
+        method = comp.scalar(1, "<b", 0)
+        if method != 0:
+            raise ValueError("arrow: only BUFFER-method compression")
+    n_bufs, bpos = header.vector(2)
+    out: list[bytes] = []
+    for i in range(n_bufs):
+        off, ln = struct.unpack_from("<2q", header.buf, bpos + 16 * i)
+        raw = body[off : off + ln]
+        if codec is None or not raw:
+            out.append(raw)
+            continue
+        if len(raw) < 8:
+            raise ValueError("arrow: compressed buffer lacks its prefix")
+        (usize,) = struct.unpack_from("<q", raw, 0)
+        if usize == -1:  # stored as-is
+            out.append(raw[8:])
+            continue
+        if codec == "lz4":
+            from shared_etl_pipelines_spark.sources.lz4 import (
+                lz4_frame_decompress,
+            )
+
+            dec = lz4_frame_decompress(raw[8:])
+        else:
+            from shared_etl_pipelines_spark.sources.zstd_decode import (
+                zstd_decompress,
+            )
+
+            dec = zstd_decompress(raw[8:])
+        if len(dec) != usize:
+            raise ValueError(
+                "arrow: buffer prefix lies about its size — quarantine"
+            )
+        out.append(dec)
+    return out
+
+
 def _decode_batch(header: _FB, body: bytes, fields: list[dict]) -> dict:
-    if header.table(3) is not None:
-        raise ValueError("arrow: compressed IPC bodies unsupported")
     n_rows = header.scalar(0, "<q", 0)
     n_nodes, npos = header.vector(1)
     nodes = [
         struct.unpack_from("<2q", header.buf, npos + 16 * i)
         for i in range(n_nodes)
     ]
-    n_bufs, bpos = header.vector(2)
-    buffers = [
-        struct.unpack_from("<2q", header.buf, bpos + 16 * i)
-        for i in range(n_bufs)
-    ]
+    bufs = _body_buffers(header, body)
     if n_nodes != len(fields):
         raise ValueError("arrow: node count != field count — quarantine")
     cols: dict[str, list] = {}
     bi = 0
     for f, (f_len, f_nulls) in zip(fields, nodes):
-        val_off, val_len = buffers[bi]
+        validity = bufs[bi]
         bi += 1
-        validity = body[val_off : val_off + val_len]
         if f["type"] in ("utf8", "binary"):
-            off_off, _off_len = buffers[bi]
-            dat_off, _dat_len = buffers[bi + 1]
+            obuf = bufs[bi]
+            data = bufs[bi + 1]
             bi += 2
-            offs = struct.unpack_from(f"<{f_len + 1}i", body, off_off)
-            vals = [
-                body[dat_off + offs[i] : dat_off + offs[i + 1]]
-                for i in range(f_len)
-            ]
+            offs = struct.unpack_from(f"<{f_len + 1}i", obuf, 0)
+            vals = [data[offs[i] : offs[i + 1]] for i in range(f_len)]
             if f["type"] == "utf8":
                 vals = [v.decode("utf-8") for v in vals]
         elif f["type"] == "bool":
-            dat_off, _ = buffers[bi]
+            data = bufs[bi]
             bi += 1
             vals = [
-                bool(body[dat_off + (i >> 3)] >> (i & 7) & 1)
-                for i in range(f_len)
+                bool(data[i >> 3] >> (i & 7) & 1) for i in range(f_len)
             ]
         elif f["type"] == "int":
-            dat_off, _ = buffers[bi]
+            data = bufs[bi]
             bi += 1
             bits = f["bits"]
             code = {8: "b", 16: "h", 32: "i", 64: "q"}.get(bits)
@@ -194,12 +237,12 @@ def _decode_batch(header: _FB, body: bytes, fields: list[dict]) -> dict:
                 raise ValueError(f"arrow: int{bits} unsupported")
             if not f["signed"]:
                 code = code.upper()
-            vals = list(struct.unpack_from(f"<{f_len}{code}", body, dat_off))
+            vals = list(struct.unpack_from(f"<{f_len}{code}", data, 0))
         else:  # float
-            dat_off, _ = buffers[bi]
+            data = bufs[bi]
             bi += 1
             code = "f" if f["bits"] == 32 else "d"
-            vals = list(struct.unpack_from(f"<{f_len}{code}", body, dat_off))
+            vals = list(struct.unpack_from(f"<{f_len}{code}", data, 0))
         if f_nulls and validity:
             vals = [
                 vals[i]
