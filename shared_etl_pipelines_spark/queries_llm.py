@@ -16545,12 +16545,14 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(nr AS BIGINT) AS num_rows,
            CAST(COALESCE(int_sum, 0) AS BIGINT) AS int_sum,
            CAST(int_nulls AS BIGINT) AS int_nulls,
-           CAST(str_bytes AS BIGINT) AS str_bytes
+           CAST(str_bytes AS BIGINT) AS str_bytes,
+           TRUE AS ok_own_emit
     FROM agg
     """,
-    doc="compressed Arrow IPC read: pyarrow-written BodyCompression "
-    "streams (zstd/lz4 rotating per doc) decoded by the own flatbuffers "
-    "walk + own codecs, per-doc sums in closed form",
+    doc="compressed Arrow IPC both directions: pyarrow-written "
+    "BodyCompression streams (zstd/lz4 rotating per doc) decoded by "
+    "the own flatbuffers walk + own codecs, and own-written compressed "
+    "streams (own compressors) read back by pyarrow",
     tags=("llm", "source", "codec", "catalog"),
 )
 def q_arrow_ipc_compressed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -16567,7 +16569,7 @@ def q_arrow_ipc_compressed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         from shared_etl_pipelines_spark.sources.arrow_ipc import read_ipc
 
         cols_out = ("doc_id", "codec", "num_rows", "int_sum", "int_nulls",
-                    "str_bytes")
+                    "str_bytes", "ok_own_emit")
         for pdf in it:
             rows: dict[str, list] = {k: [] for k in cols_out}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
@@ -16595,6 +16597,22 @@ def q_arrow_ipc_compressed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 got = read_ipc(sink.getvalue())
                 iv = got["columns"]["iv"]
                 sv = got["columns"]["sv"]
+                # reverse direction: the OWN writer emits the same data
+                # compressed by the OWN codec; pyarrow must read it back
+                from shared_etl_pipelines_spark.sources.arrow_ipc_write import (
+                    write_ipc_stream,
+                )
+
+                own = write_ipc_stream(
+                    [("iv", "int64", ints), ("sv", "utf8", strs)],
+                    batch_size=8, compression=codec,
+                )
+                ref = _ipc.open_stream(_io.BytesIO(own)).read_all()
+                ok_own_emit = (
+                    ref.column("iv").to_pylist() == ints
+                    and ref.column("sv").to_pylist() == strs
+                )
+                rows["ok_own_emit"].append(bool(ok_own_emit))
                 rows["doc_id"].append(d)
                 rows["codec"].append(codec)
                 rows["num_rows"].append(len(iv))
@@ -16608,5 +16626,5 @@ def q_arrow_ipc_compressed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "documents").select("doc_id", "text").mapInPandas(
         batches,
         "doc_id bigint, codec string, num_rows bigint, int_sum bigint, "
-        "int_nulls bigint, str_bytes bigint",
+        "int_nulls bigint, str_bytes bigint, ok_own_emit boolean",
     )

@@ -11,7 +11,10 @@ Arrow: arrow_ipc/this module).
 
 Scope: the stream framing (schema message, record-batch messages,
 end-of-stream marker), flat columns of int64 / double / utf8 / bool
-with validity bitmaps. 8-byte aligned bodies per spec.
+with validity bitmaps, 8-byte aligned bodies per spec — and (r12)
+BodyCompression emission: each non-empty buffer becomes an int64
+uncompressed-length prefix + a frame from the repo's OWN lz4 or zstd
+compressor, which pyarrow's reference reader then decodes.
 """
 
 from __future__ import annotations
@@ -201,13 +204,29 @@ def _validity(vals: list) -> tuple[bytes, int]:
     return bytes(bits), nulls
 
 
-def _batch_message(columns: list[tuple[str, str, list]]) -> bytes:
+def _batch_message(
+    columns: list[tuple[str, str, list]], compression: str | None = None
+) -> bytes:
     n_rows = len(columns[0][2]) if columns else 0
     body = bytearray()
     nodes: list[bytes] = []
     buffers: list[bytes] = []
 
     def add_buffer(data: bytes) -> None:
+        if compression and data:
+            if compression == "zstd":
+                from shared_etl_pipelines_spark.sources.zstd_encode import (
+                    zstd_compress,
+                )
+
+                comp = zstd_compress(data)
+            else:
+                from shared_etl_pipelines_spark.sources.lz4 import (
+                    lz4_frame_compress,
+                )
+
+                comp = lz4_frame_compress(data)
+            data = struct.pack("<q", len(data)) + comp
         buffers.append(struct.pack("<2q", len(body), len(data)))
         body.extend(_pad8(data))
 
@@ -247,9 +266,15 @@ def _batch_message(columns: list[tuple[str, str, list]]) -> bytes:
     b = _FbBuilder()
     nvec = b.vector_of_structs(16, nodes)
     bvec = b.vector_of_structs(16, buffers)
-    rb = b.table(
-        [(0, "i64", n_rows), (1, "offset", nvec), (2, "offset", bvec)]
-    )
+    rb_fields = [(0, "i64", n_rows), (1, "offset", nvec), (2, "offset", bvec)]
+    if compression:
+        # BodyCompression table: codec i8 (0=LZ4_FRAME default, 1=ZSTD),
+        # method BUFFER (0, default, omitted)
+        bc = b.table(
+            [(0, "u8", 1)] if compression == "zstd" else []
+        )
+        rb_fields.append((3, "offset", bc))
+    rb = b.table(rb_fields)
     msg = b.table(
         [
             (0, "i16", 4),
@@ -262,10 +287,17 @@ def _batch_message(columns: list[tuple[str, str, list]]) -> bytes:
 
 
 def write_ipc_stream(
-    columns: list[tuple[str, str, list]], batch_size: int = 1 << 20
+    columns: list[tuple[str, str, list]],
+    batch_size: int = 1 << 20,
+    compression: str | None = None,
 ) -> bytes:
     """``columns``: (name, kind in int64/double/utf8/bool, values with
-    None for nulls). Returns Arrow IPC STREAM bytes."""
+    None for nulls). Returns Arrow IPC STREAM bytes.
+    ``compression``: None, 'lz4' or 'zstd' — buffers then carry the
+    spec's uncompressed-length prefix + a frame from the repo's own
+    compressor."""
+    if compression not in (None, "lz4", "zstd"):
+        raise ValueError(f"arrow writer: compression {compression!r}")
     n_rows = len(columns[0][2]) if columns else 0
     for _n, _k, vals in columns:
         if len(vals) != n_rows:
@@ -277,7 +309,7 @@ def write_ipc_stream(
         chunk = [
             (n, k, v[start : start + batch_size]) for n, k, v in columns
         ]
-        out += _batch_message(chunk)
+        out += _batch_message(chunk, compression)
         if n_rows == 0:
             break
     out += struct.pack("<Ii", 0xFFFFFFFF, 0)  # end-of-stream

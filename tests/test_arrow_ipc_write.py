@@ -52,3 +52,28 @@ def test_refusals():
         write_ipc_stream([("x", "int64", [1]), ("y", "int64", [1, 2])])
     with pytest.raises(ValueError, match="unsupported"):
         write_ipc_stream([("x", "date", [1])])
+
+
+def test_compressed_emission_read_by_pyarrow_and_own():
+    """compression='lz4'/'zstd': buffers carry the spec prefix + frames
+    from the repo's OWN compressors; pyarrow's reference reader and the
+    own reader both decode them."""
+    import pyarrow.ipc as ipc
+
+    from shared_etl_pipelines_spark.sources.arrow_ipc import read_ipc
+
+    cols = [
+        ("k", "int64", [None if i % 9 == 0 else i * 3 for i in range(4000)]),
+        ("s", "utf8", [f"row{i % 40}" for i in range(4000)]),
+        ("f", "double", [i / 7 for i in range(4000)]),
+        ("b", "bool", [i % 3 == 0 for i in range(4000)]),
+    ]
+    for comp in ("zstd", "lz4"):
+        blob = write_ipc_stream(cols, batch_size=900, compression=comp)
+        t = ipc.open_stream(io.BytesIO(blob)).read_all()
+        got = read_ipc(blob)
+        for name, _k, vals in cols:
+            assert t.column(name).to_pylist() == vals, (comp, name)
+            assert got["columns"][name] == vals, (comp, name)
+    with pytest.raises(ValueError, match="compression"):
+        write_ipc_stream(cols, compression="brotli")
