@@ -1100,6 +1100,8 @@ _CARRYOVER_FIRST: tuple[str, ...] = (
     "bm25_topk",
     # compressed Arrow IPC bodies via own codecs (r12)
     "arrow_ipc_compressed_audit",
+    # own-zstd ORC emission, two readers (r12)
+    "orc_zstd_roundtrip_audit",
 )
 
 

@@ -16628,3 +16628,98 @@ def q_arrow_ipc_compressed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, codec string, num_rows bigint, int_sum bigint, "
         "int_nulls bigint, str_bytes bigint, ok_own_emit boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# ORC + own zstd emission (r12): the ORC chunk framing (3-byte header,
+# isOriginal escape) around the repo's own store-mode zstd frames —
+# pyarrow's bundled ORC C++ reader is the reference gate, the own
+# RLEv2 reader closes the loop. Completes the codec matrix's EMIT row:
+# every codec the repo reads (zlib/snappy/lz4/zstd) it can now also
+# write into ORC.
+# ---------------------------------------------------------------------------
+@defquery(
+    "orc_zstd_roundtrip_audit",
+    """
+    WITH a AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    d AS (SELECT doc_id, n % 20 + 5 AS nr FROM a),
+    r AS (SELECT doc_id, nr, CAST(unnest(range(0, nr)) AS BIGINT) AS i FROM d),
+    agg AS (
+      SELECT doc_id, MAX(nr) AS nr,
+             SUM(CASE WHEN (doc_id + i) % 8 <> 0 THEN (doc_id + i) * 7 END)
+               AS long_sum,
+             COUNT(CASE WHEN (doc_id + i) % 8 = 0 THEN 1 END) AS long_nulls,
+             SUM((doc_id + i) % 5 + 1) AS str_bytes
+      FROM r GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(nr AS BIGINT) AS num_rows,
+           CAST(COALESCE(long_sum, 0) AS BIGINT) AS long_sum,
+           CAST(long_nulls AS BIGINT) AS long_nulls,
+           CAST(str_bytes AS BIGINT) AS str_bytes,
+           TRUE AS ok_ref, TRUE AS ok_own
+    FROM agg
+    """,
+    doc="own-zstd ORC emission: per-doc files compressed by the repo's "
+    "own store-mode zstd inside ORC chunk framing, re-read by pyarrow's "
+    "ORC C++ reader AND the own RLEv2 reader, sums in closed form",
+    tags=("llm", "source", "codec", "catalog"),
+)
+def q_orc_zstd_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io as _io
+
+        import pyarrow.orc as _po
+
+        from shared_etl_pipelines_spark.sources.orc_data import (
+            read_orc_column,
+        )
+        from shared_etl_pipelines_spark.sources.orc_write import (
+            write_orc_data,
+        )
+
+        cols_out = ("doc_id", "num_rows", "long_sum", "long_nulls",
+                    "str_bytes", "ok_ref", "ok_own")
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols_out}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                n = len(str(text).encode("utf-8"))
+                nr = n % 20 + 5
+                longs = [
+                    None if (d + i) % 8 == 0 else (d + i) * 7
+                    for i in range(nr)
+                ]
+                strs = ["s" * ((d + i) % 5 + 1) for i in range(nr)]
+                blob = write_orc_data(
+                    [("lv", "long", longs), ("sv", "utf8", strs)],
+                    compression="ZSTD",
+                )
+                t = _po.read_table(_io.BytesIO(blob))
+                ok_ref = (
+                    t.column("lv").to_pylist() == longs
+                    and t.column("sv").to_pylist() == strs
+                )
+                ok_own = read_orc_column(blob, "lv") == longs
+                rows["doc_id"].append(d)
+                rows["num_rows"].append(nr)
+                rows["long_sum"].append(
+                    sum(v for v in longs if v is not None)
+                )
+                rows["long_nulls"].append(
+                    sum(1 for v in longs if v is None)
+                )
+                rows["str_bytes"].append(sum(len(s) for s in strs))
+                rows["ok_ref"].append(bool(ok_ref))
+                rows["ok_own"].append(bool(ok_own))
+            yield pd.DataFrame(rows)
+
+    return _t(spark, sf_dir, "documents").select("doc_id", "text").mapInPandas(
+        batches,
+        "doc_id bigint, num_rows bigint, long_sum bigint, "
+        "long_nulls bigint, str_bytes bigint, ok_ref boolean, "
+        "ok_own boolean",
+    )

@@ -91,6 +91,8 @@ def _codec_chunks(body: bytes, kind: str, block: int = 262144) -> bytes:
     original-flag path is taken when compression would not shrink."""
     if kind == "SNAPPY":
         from shared_etl_pipelines_spark.sources.snappy import snappy_compress as _c
+    elif kind == "ZSTD":
+        from shared_etl_pipelines_spark.sources.zstd_encode import zstd_compress as _c
     else:
         from shared_etl_pipelines_spark.sources.lz4 import lz4_block_compress as _c
     out = bytearray()
@@ -169,6 +171,8 @@ def encode_orc(
         footer_bytes = _codec_chunks(footer, "SNAPPY")
     elif compression == "LZ4":
         footer_bytes = _codec_chunks(footer, "LZ4")
+    elif compression == "ZSTD":
+        footer_bytes = _codec_chunks(footer, "ZSTD")
     elif compression == "NONE":
         footer_bytes = footer
     else:

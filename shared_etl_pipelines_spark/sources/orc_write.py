@@ -8,7 +8,8 @@ cross-implementation gate.
 Scope: flat columns of long / double / utf8 / boolean with nulls
 (PRESENT streams over byte-RLE), integer RLEv2 DIRECT runs (closed
 width table, MSB-first packing, zigzag), DIRECT_V2 strings, NONE /
-ZLIB / SNAPPY compression, row-index-free stripes (rowIndexStride 0).
+ZLIB / SNAPPY / ZSTD compression (zstd via the repo's own store-mode
+frame writer, r12), row-index-free stripes (rowIndexStride 0).
 """
 
 from __future__ import annotations
@@ -33,7 +34,7 @@ def _compress(body: bytes, compression: str) -> bytes:
         return body
     if compression == "ZLIB":
         return _zlib_chunks(body)
-    if compression in ("SNAPPY", "LZ4"):
+    if compression in ("SNAPPY", "LZ4", "ZSTD"):
         return _codec_chunks(body, compression)
     raise ValueError(f"orc writer: codec {compression} unsupported")
 

@@ -39,8 +39,30 @@ def test_reference_reader_cross_check():
 
 def test_refusals():
     with pytest.raises(ValueError, match="codec"):
-        write_orc_data([("x", "long", [1])], compression="ZSTD")
+        write_orc_data([("x", "long", [1])], compression="BROTLI")
     with pytest.raises(ValueError, match="ragged"):
         write_orc_data([("x", "long", [1]), ("y", "long", [1, 2])])
     with pytest.raises(ValueError, match="unsupported"):
         write_orc_data([("x", "decimal", [1])])
+
+
+def test_zstd_compression_cross_readers():
+    """ZSTD ORC chunks framed around the repo's own store-mode zstd
+    frames: pyarrow's bundled ORC C++ reader and the own reader both
+    decode them."""
+    import io
+
+    import pyarrow.orc as po
+
+    from shared_etl_pipelines_spark.sources.orc_data import read_orc_column
+    from shared_etl_pipelines_spark.sources.orc_write import write_orc_data
+
+    cols = [
+        ("k", "long", [None if i % 9 == 0 else i * 3 for i in range(5000)]),
+        ("s", "utf8", [f"row{i % 40}" for i in range(5000)]),
+    ]
+    blob = write_orc_data(cols, compression="ZSTD")
+    t = po.read_table(io.BytesIO(blob))
+    assert t.column("k").to_pylist() == cols[0][2]
+    assert t.column("s").to_pylist() == cols[1][2]
+    assert read_orc_column(blob, "k") == cols[0][2]
