@@ -1102,6 +1102,8 @@ _CARRYOVER_FIRST: tuple[str, ...] = (
     "arrow_ipc_compressed_audit",
     # own-zstd ORC emission, two readers (r12)
     "orc_zstd_roundtrip_audit",
+    # hybrid BM25 + cosine reciprocal-rank fusion (r12)
+    "hybrid_rrf_topk",
 )
 
 

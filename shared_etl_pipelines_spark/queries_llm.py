@@ -16723,3 +16723,152 @@ def q_orc_zstd_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "long_nulls bigint, str_bytes bigint, ok_ref boolean, "
         "ok_own boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval (r12): reciprocal-rank fusion of the lexical BM25
+# leg and the dense cosine leg — the standard first-stage retriever a
+# curation pipeline runs when neither sparse nor dense alone is
+# trusted. Each leg produces its top-50 (both distributed: BM25 as in
+# bm25_topk, cosine as brute-force top-k against one query vector);
+# fusion is a full outer join on the doc key with
+# rrf = sum(1 / (60 + rank)) over the legs that ranked the doc.
+# ---------------------------------------------------------------------------
+@defquery(
+    "hybrid_rrf_topk",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({TOKS_SQL}) AS t FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    g AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    q AS (SELECT unnest(['spark', 'vector', 'window']) AS t),
+    tf AS (
+      SELECT doc_id, t, COUNT(*) AS tf FROM toks
+      WHERE t IN (SELECT t FROM q) GROUP BY doc_id, t
+    ),
+    df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+    lex AS (
+      SELECT tf.doc_id,
+             SUM(
+               ln(1 + (g.n_docs - df.df + 0.5) / (df.df + 0.5))
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / g.avgdl))
+             ) AS score
+      FROM tf JOIN df USING (t) JOIN dl USING (doc_id) CROSS JOIN g
+      GROUP BY tf.doc_id
+    ),
+    lexr AS (
+      SELECT doc_id, ROW_NUMBER() OVER
+        (ORDER BY ROUND(score, 4) DESC, doc_id) AS r
+      FROM lex
+    ),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    qv AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    den AS (
+      SELECT vec_id, list_cosine_similarity(qv, v) AS c
+      FROM e CROSS JOIN qv WHERE vec_id <> 0
+    ),
+    denr AS (
+      -- unrounded order: the similarity_topk convention (exact doubles
+      -- agree across engines; brute_force_topk ranks the same way)
+      SELECT vec_id AS doc_id, ROW_NUMBER() OVER
+        (ORDER BY c DESC, vec_id) AS r
+      FROM den
+    ),
+    fused AS (
+      SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+             ROUND(COALESCE(1.0 / (60 + a.r), 0)
+                   + COALESCE(1.0 / (60 + b.r), 0), 4) AS rrf
+      FROM (SELECT * FROM lexr WHERE r <= 50) a
+      FULL OUTER JOIN (SELECT * FROM denr WHERE r <= 50) b
+      USING (doc_id)
+    ),
+    out AS (
+      SELECT doc_id, rrf,
+             ROW_NUMBER() OVER (ORDER BY rrf DESC, doc_id) AS rnk
+      FROM fused
+    )
+    SELECT doc_id, rrf, CAST(rnk AS BIGINT) AS rnk FROM out WHERE rnk <= 10
+    """,
+    doc="hybrid retrieval: BM25 top-50 + brute cosine top-50 fused by "
+    "reciprocal rank (k=60), top-10 by fused score — rank ties broken "
+    "on rounded scores + doc key in both engines",
+    tags=("llm", "text", "retrieval", "similarity", "scale-path"),
+)
+def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.functions.text import tokens
+    from shared_etl_pipelines_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    K1, B = 1.2, 0.75
+    terms = ["spark", "vector", "window"]
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("t")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    g = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.filter(F.col("t").isin(terms))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    lex = (
+        tf.join(F.broadcast(df_), "t")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(g))
+        .withColumn(
+            "part",
+            F.log(
+                F.lit(1.0)
+                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            )
+            * F.col("tf") * (K1 + 1)
+            / (
+                F.col("tf")
+                + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("part"), 4).alias("score"))
+    )
+    lexr = (
+        lex.orderBy(F.col("score").desc(), "doc_id").limit(50)
+        .withColumn(
+            "r",
+            F.row_number().over(
+                Window.orderBy(F.col("score").desc(), "doc_id")
+            ),
+        )
+        .select("doc_id", "r")
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    den = brute_force_topk(emb, emb.filter(F.col("vec_id") == 0), k=50)
+    denr = den.select(
+        F.col("vec_id").alias("doc_id"), F.col("rn").alias("r")
+    )
+    fused = (
+        lexr.withColumnRenamed("r", "r_lex")
+        .join(
+            denr.withColumnRenamed("r", "r_den"), "doc_id", "full_outer"
+        )
+        .withColumn(
+            "rrf",
+            F.round(
+                F.coalesce(1.0 / (60 + F.col("r_lex")), F.lit(0.0))
+                + F.coalesce(1.0 / (60 + F.col("r_den")), F.lit(0.0)),
+                4,
+            ),
+        )
+    )
+    top = fused.orderBy(F.col("rrf").desc(), "doc_id").limit(10)
+    out = top.withColumn(
+        "rnk",
+        F.row_number().over(Window.orderBy(F.col("rrf").desc(), "doc_id")),
+    ).select("doc_id", "rrf", F.col("rnk").cast("long").alias("rnk"))
+    return out
