@@ -13,10 +13,12 @@ test cross-checks this decoder against reference-compressed bytes
 across levels and data shapes — the tables and bitstream rules below
 are empirically pinned, not just transcribed.
 
-Scope: decompression only (the engine never needs to EMIT zstd), no
-dictionaries (dictionary_id != 0 refuses), window/output budgets
-enforced. Malformed anything raises ValueError — quarantine, never
-garbage bytes.
+Scope: decompression (sources/zstd_encode.py is the store-mode EMIT
+half), raw-content dictionaries (r12: the dictionary bytes seed the
+match window; a frame whose dictionary_id has no supplied dictionary
+refuses, and FORMATTED dictionaries with entropy tables refuse
+loudly), window/output budgets enforced. Malformed anything raises
+ValueError — quarantine, never garbage bytes.
 """
 
 from __future__ import annotations
@@ -595,8 +597,20 @@ _FRAME_MAGIC = 0xFD2FB528
 _SKIP_MAGIC_LO = 0x184D2A50
 
 
-def zstd_decompress(buf: bytes) -> bytes:
-    """All frames in ``buf`` (skippable frames skipped), concatenated."""
+def zstd_decompress(buf: bytes, dict_content: bytes | None = None) -> bytes:
+    """All frames in ``buf`` (skippable frames skipped), concatenated.
+
+    ``dict_content`` (r12): a RAW-CONTENT dictionary — its bytes become
+    virtual history preceding each frame, so match offsets may reach
+    into it (RFC 8878 §5's simpler dictionary kind; zstd auto-detects
+    raw content by the absent magic). FORMATTED dictionaries (magic
+    0xEC30A437, carrying entropy tables) refuse loudly rather than be
+    misread as raw bytes."""
+    if dict_content is not None and dict_content[:4] == b"\x37\xa4\x30\xec":
+        raise ValueError(
+            "zstd: formatted dictionaries (entropy tables) unsupported "
+            "— quarantine"
+        )
     out = bytearray()
     p = 0
     while p < len(buf):
@@ -632,8 +646,11 @@ def zstd_decompress(buf: bytes) -> bytes:
                 raise ValueError("zstd: truncated dictionary id")
             did = int.from_bytes(buf[p : p + did_size], "little")
             p += did_size
-            if did:
-                raise ValueError("zstd: dictionaries unsupported — quarantine")
+            if did and dict_content is None:
+                raise ValueError(
+                    "zstd: frame requires a dictionary and none was "
+                    "given — quarantine"
+                )
         fcs_size = (1 if single_segment else 0, 2, 4, 8)[fcs_flag]
         declared = None
         if fcs_size:
@@ -645,6 +662,9 @@ def zstd_decompress(buf: bytes) -> bytes:
             p += fcs_size
         fr = _Frame()
         frame_out = bytearray()
+        # history = dictionary prefix + this frame's output (the window
+        # matches copy from); the dictionary bytes are never emitted
+        history = bytearray(dict_content or b"")
         while True:
             if p + 3 > len(buf):
                 raise ValueError("zstd: truncated block header")
@@ -657,18 +677,20 @@ def zstd_decompress(buf: bytes) -> bytes:
                 if p + bsize > len(buf):
                     raise ValueError("zstd: raw block overruns input")
                 frame_out += buf[p : p + bsize]
+                history += buf[p : p + bsize]
                 p += bsize
             elif btype == 1:  # RLE
                 if p >= len(buf):
                     raise ValueError("zstd: RLE block byte missing")
                 frame_out += bytes([buf[p]]) * bsize
+                history += bytes([buf[p]]) * bsize
                 p += 1
             elif btype == 2:
                 if p + bsize > len(buf):
                     raise ValueError("zstd: compressed block overruns input")
-                frame_out += _decode_block(
-                    buf[p : p + bsize], fr, frame_out
-                )
+                chunk = _decode_block(buf[p : p + bsize], fr, history)
+                frame_out += chunk
+                history += chunk
                 p += bsize
             else:
                 raise ValueError("zstd: reserved block type — quarantine")

@@ -94,3 +94,45 @@ def test_truncated_header_fields_quarantine():
     # single-segment + 1-byte FCS, cut right before the FCS byte
     with pytest.raises(ValueError, match="truncated frame content size"):
         zstd_decompress(struct.pack("<I", 0xFD2FB528) + bytes([0x20]))
+
+
+def test_raw_content_dictionary_decode():
+    """A hand-built frame (RLE sequence tables) whose one sequence
+    reaches 17 bytes into the supplied raw-content dictionary."""
+    from shared_etl_pipelines_spark.sources.zstd_decode import (
+        zstd_decompress,
+    )
+
+    dict_content = b"ABCDEFGHIJKLMNOPQRST"
+    lits = b"wxyz"
+    block = bytes([len(lits) << 3]) + lits  # raw literals, 1-byte header
+    block += bytes([1])                     # n_seq = 1
+    block += bytes([0x54])                  # ll/of/ml all RLE tables
+    block += bytes([4, 4, 3])               # ll=4, of_code=4, ml code 3
+    block += bytes([(1 << 4) | 8])          # back-bits: of extra = 8
+    frame = struct.pack("<I", 0xFD2FB528)
+    frame += bytes([0x21, 7, len(lits) + 6])  # FHD, dict id, FCS
+    bh = 1 | (2 << 1) | (len(block) << 3)
+    frame += bh.to_bytes(3, "little") + block
+    # offset = (1<<4)+8-3 = 21: the match starts at dict byte 3
+    assert zstd_decompress(frame, dict_content=dict_content) == (
+        lits + dict_content[3:9]
+    )
+    with pytest.raises(ValueError, match="requires a dictionary"):
+        zstd_decompress(frame)
+    with pytest.raises(ValueError, match="formatted"):
+        zstd_decompress(
+            frame, dict_content=b"\x37\xa4\x30\xec" + b"x" * 40
+        )
+
+
+def test_dictless_frames_ignore_supplied_dictionary():
+    # a normal reference-compressed frame must decode identically with
+    # an (unused) raw dictionary supplied
+    from shared_etl_pipelines_spark.sources.zstd_decode import (
+        zstd_decompress,
+    )
+
+    data = b"corpus shard " * 400
+    frame = pa.Codec("zstd").compress(data, asbytes=True)
+    assert zstd_decompress(frame, dict_content=b"HISTORY" * 10) == data
