@@ -153,9 +153,9 @@ class _TStruct:
 _TYPES = {"int64": 2, "double": 5, "utf8": 6, "boolean": 0}
 
 
-def _rle_def_levels(defs: list[int]) -> bytes:
-    """Definition levels as one RLE run per value change (bit width 1,
-    4-byte length prefix per v1 pages)."""
+def _rle_levels_raw(defs: list[int]) -> bytes:
+    """Definition levels as one RLE run per value change (bit width 1),
+    WITHOUT the v1 length prefix — the v2 page form."""
     body = bytearray()
     i = 0
     while i < len(defs):
@@ -165,7 +165,13 @@ def _rle_def_levels(defs: list[int]) -> bytes:
         body += _uvar((j - i) << 1)
         body.append(defs[i])
         i = j
-    return struct.pack("<I", len(body)) + bytes(body)
+    return bytes(body)
+
+
+def _rle_def_levels(defs: list[int]) -> bytes:
+    """v1 form: 4-byte length prefix + the RLE runs."""
+    body = _rle_levels_raw(defs)
+    return struct.pack("<I", len(body)) + body
 
 
 def _rle_hybrid(vals: list[int], width: int) -> bytes:
@@ -253,6 +259,7 @@ def write_parquet(
     use_dictionary: bool = False,
     page_rows: int | None = None,
     write_page_index: bool = False,
+    page_version: int = 1,
 ) -> bytes:
     """``columns``: (name, kind in int64/double/utf8/boolean, values
     with None for nulls). Returns the complete file bytes.
@@ -269,7 +276,14 @@ def write_parquet(
     spec's ColumnIndex/OffsetIndex sections (per-page null flags,
     min/max, null counts, byte spans, first row indexes) between the
     data and the footer, so page-pruned scans
-    (sources/parquet_pageindex.py) work on files this writer emits."""
+    (sources/parquet_pageindex.py) work on files this writer emits.
+
+    ``page_version=2`` (r12) emits DataPageHeaderV2 pages: definition
+    levels stored uncompressed ahead of the (separately compressed)
+    values, their byte length carried in the header instead of the v1
+    inline prefix."""
+    if page_version not in (1, 2):
+        raise ValueError("parquet writer: page_version must be 1 or 2")
     if compression not in ("UNCOMPRESSED", "SNAPPY", "ZSTD"):
         raise ValueError(f"parquet writer: codec {compression} unsupported")
     codec_id = {"UNCOMPRESSED": 0, "SNAPPY": 1, "ZSTD": 6}[compression]
@@ -361,34 +375,61 @@ def write_parquet(
                 defs = [0 if v is None else 1 for v in pv]
                 ppresent = [v for v in pv if v is not None]
                 if dct is not None:
-                    body = (
-                        _rle_def_levels(defs)
-                        + bytes([width])
-                        + _rle_hybrid([seen[v] for v in ppresent], width)
+                    vals_part = bytes([width]) + _rle_hybrid(
+                        [seen[v] for v in ppresent], width
                     )
                 else:
-                    body = _rle_def_levels(defs) + _plain(ppresent, kind)
-                comp = _compress(body)
-                dph = (
-                    _TStruct()
-                    .i32(1, len(pv))
-                    .i32(2, enc)
-                    .i32(3, 3)  # def levels: RLE
-                    .i32(4, 3)  # rep levels: RLE (absent)
-                    .done()
-                )
-                page_hdr = (
-                    _TStruct()
-                    .i32(1, 0)  # DATA_PAGE
-                    .i32(2, len(body))
-                    .i32(3, len(comp))
-                    .struct(5, dph)
-                    .done()
-                )
+                    vals_part = _plain(ppresent, kind)
+                if page_version == 2:
+                    levels = _rle_levels_raw(defs)
+                    vcomp = _compress(vals_part)
+                    body = levels + vcomp
+                    usize_body = len(levels) + len(vals_part)
+                    dph2 = (
+                        _TStruct()
+                        .i32(1, len(pv))
+                        .i32(2, len(pv) - len(ppresent))
+                        .i32(3, len(pv))
+                        .i32(4, enc)
+                        .i32(5, len(levels))
+                        .i32(6, 0)  # no repetition levels
+                        .boolean(7, compression != "UNCOMPRESSED")
+                        .done()
+                    )
+                    page_hdr = (
+                        _TStruct()
+                        .i32(1, 3)  # DATA_PAGE_V2
+                        .i32(2, usize_body)
+                        .i32(3, len(body))
+                        .struct(8, dph2)
+                        .done()
+                    )
+                    comp = body
+                    body_len_for_meta = usize_body
+                else:
+                    body = _rle_def_levels(defs) + vals_part
+                    comp = _compress(body)
+                    body_len_for_meta = len(body)
+                    dph = (
+                        _TStruct()
+                        .i32(1, len(pv))
+                        .i32(2, enc)
+                        .i32(3, 3)  # def levels: RLE
+                        .i32(4, 3)  # rep levels: RLE (absent)
+                        .done()
+                    )
+                    page_hdr = (
+                        _TStruct()
+                        .i32(1, 0)  # DATA_PAGE
+                        .i32(2, len(body))
+                        .i32(3, len(comp))
+                        .struct(5, dph)
+                        .done()
+                    )
                 page_off = len(out)
                 out += page_hdr
                 out += comp
-                usize_total += len(page_hdr) + len(body)
+                usize_total += len(page_hdr) + body_len_for_meta
                 csize_total += len(page_hdr) + len(comp)
                 pages.append(
                     {

@@ -161,3 +161,47 @@ def test_own_page_indexes_roundtrip(tmp_path):
         # null pages tracked on the nullable column
         tidx = read_page_indexes(str(p), foot, 0, "tag")
         assert all(pg["null_count"] > 0 for pg in tidx["pages"])
+
+
+def test_data_page_v2_cross_readers(tmp_path):
+    """page_version=2: DataPageHeaderV2 pages (uncompressed definition
+    levels ahead of separately-compressed values) read back by pyarrow,
+    DuckDB and the own page reader across codecs and dictionary
+    settings, including the page-pruned path."""
+    import duckdb
+
+    from shared_etl_pipelines_spark.sources.parquet_pageindex import (
+        read_all_pruned,
+    )
+    from shared_etl_pipelines_spark.sources.parquet_pages import (
+        read_all_columns,
+    )
+    from shared_etl_pipelines_spark.sources.parquet_write import write_parquet
+
+    cols = [
+        ("k", "int64", [None if i % 11 == 0 else i for i in range(3000)]),
+        ("s", "utf8", [f"t{i % 9}" for i in range(3000)]),
+    ]
+    for codec in ("UNCOMPRESSED", "SNAPPY", "ZSTD"):
+        for dic in (False, True):
+            blob = write_parquet(
+                cols, compression=codec, page_rows=256, use_dictionary=dic,
+                page_version=2, write_page_index=True,
+            )
+            t = pq.read_table(io.BytesIO(blob))
+            assert t.column("k").to_pylist() == cols[0][2], (codec, dic)
+            assert t.column("s").to_pylist() == cols[1][2], (codec, dic)
+            assert read_all_columns(blob, "k") == cols[0][2]
+            p = tmp_path / f"v2_{codec}_{dic}.parquet"
+            p.write_bytes(blob)
+            (n,) = duckdb.sql(f"SELECT COUNT(*) FROM '{p}'").fetchone()
+            assert n == 3000
+            vals, tot, rd = read_all_pruned(str(p), "k", 700, 800)
+            assert rd < tot
+            got = sorted(
+                v for _, v in vals
+                if v is not None and 700 <= v <= 800
+            )
+            assert got == [v for v in range(700, 801) if v % 11 != 0]
+    with pytest.raises(ValueError, match="page_version"):
+        write_parquet(cols, page_version=3)
