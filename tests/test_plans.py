@@ -809,3 +809,55 @@ def test_zorder_layout_plan_has_no_global_sort(spark, sf):
     p = phys(REGISTRY["zorder_layout_plan"].fn(spark, sf))
     assert "Window" not in p
     assert "rangepartitioning" not in p.lower()
+
+
+def test_bm25_topk_is_take_ordered_not_global_window(spark, sf):
+    """BM25's top-10 must compile to TakeOrderedAndProject (O(k) per
+    partition) — never an all-rows-to-one-partition rank window; the
+    dimension (per-term df) and scalar (N/avgdl) sides broadcast."""
+    plan = phys(REGISTRY["bm25_topk"].fn(spark, sf))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the rank window runs on the 10 surviving rows only (post-limit)
+    assert plan.index("TakeOrderedAndProject") > plan.index("Window")
+
+
+def test_hybrid_rrf_legs_are_take_ordered(spark, sf):
+    plan = phys(REGISTRY["hybrid_rrf_topk"].fn(spark, sf))
+    # both legs and the fused cut use the distributed top-k operator
+    assert plan.count("TakeOrderedAndProject") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_bitmap_index_wide_never_shuffles_documents(spark, sf):
+    """The 64-bit bitmap index shuffles serialized BITMAPS (post
+    mapInPandas partials), never document rows: every exchange in the
+    plan sits above the partials schema (key, bitmap)."""
+    from shared_etl_pipelines_spark.sources.roaring import (
+        build_bitmap_index,
+    )
+    from shared_etl_pipelines_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf, "documents").select(
+        (F.col("doc_id") + F.lit(8589934592)).alias("wid")
+    )
+    tags = docs.select(
+        "wid", F.concat(F.lit("m"), (F.col("wid") % 3).cast("string")).alias("tag")
+    )
+    plan = phys(build_bitmap_index(tags, "tag", "wid", wide=True))
+    partials = plan.find("MapInPandas partials")
+    assert partials != -1
+    # the only exchange is the per-key bitmap repartition ABOVE the
+    # partials (plan prints top-down: merge mapInPandas, then the
+    # exchange, then the partials mapInPandas feeding it)
+    assert plan.count("Exchange") == 1
+    assert plan.find("Exchange") < partials
+
+
+def test_pageindex_scan_single_aggregation_exchange(spark, sf):
+    """The page-pruned scan is row-group-parallel mapInPandas partials
+    + one final aggregate — no join, no extra shuffle."""
+    plan = phys(REGISTRY["parquet_pageindex_scan"].fn(spark, sf))
+    assert "Join" not in plan
+    assert "MapInPandas" in plan
