@@ -1104,6 +1104,8 @@ _CARRYOVER_FIRST: tuple[str, ...] = (
     "orc_zstd_roundtrip_audit",
     # hybrid BM25 + cosine reciprocal-rank fusion (r12)
     "hybrid_rrf_topk",
+    # bigram-LM perplexity quality scoring (r12)
+    "bigram_nll_score",
 )
 
 

@@ -16872,3 +16872,82 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(Window.orderBy(F.col("rrf").desc(), "doc_id")),
     ).select("doc_id", "rrf", F.col("rnk").cast("long").alias("rnk"))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM perplexity scoring (r12): the KenLM-style quality filter —
+# score every document by the average negative log-probability of its
+# bigrams under a Laplace-smoothed bigram model trained on the corpus
+# itself (outlier docs = high NLL). Everything is two aggregates and
+# two joins: bigram/unigram counts are map-side-combinable groupBys,
+# scoring joins each doc's bigrams against the (broadcastable at any
+# realistic vocab) count tables — no UDFs, no per-doc loops.
+# ---------------------------------------------------------------------------
+@defquery(
+    "bigram_nll_score",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, t, row_number() OVER
+        (PARTITION BY doc_id ORDER BY pos) AS pos
+      FROM (
+        SELECT doc_id, unnest({TOKS_SQL}) AS t,
+               generate_subscripts({TOKS_SQL}, 1) AS pos
+        FROM documents
+      )
+    ),
+    bg AS (
+      SELECT doc_id, t AS t1,
+             lead(t) OVER (PARTITION BY doc_id ORDER BY pos) AS t2
+      FROM toks
+    ),
+    bgn AS (SELECT doc_id, t1, t2 FROM bg WHERE t2 IS NOT NULL),
+    c2 AS (SELECT t1, t2, COUNT(*) AS n2 FROM bgn GROUP BY t1, t2),
+    c1 AS (SELECT t1, COUNT(*) AS n1 FROM bgn GROUP BY t1),
+    v AS (SELECT COUNT(DISTINCT t) AS vocab FROM toks),
+    scored AS (
+      SELECT bgn.doc_id,
+             -ln((c2.n2 + 1.0) / (c1.n1 + v.vocab)) AS nll
+      FROM bgn JOIN c2 USING (t1, t2) JOIN c1 USING (t1) CROSS JOIN v
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(AVG(nll), 4) AS avg_nll
+    FROM scored GROUP BY doc_id
+    """,
+    doc="bigram-LM quality score: Laplace-smoothed corpus bigram model, "
+    "per-doc average negative log-prob — count aggregates + joins, the "
+    "KenLM-filter shape with an exact oracle",
+    tags=("llm", "text", "curation", "scale-path"),
+)
+def q_bigram_nll_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(tokens(F.col("text"))).alias("pos", "t"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.withColumn("t2", F.lead("t").over(w))
+        .filter(F.col("t2").isNotNull())
+        .select("doc_id", F.col("t").alias("t1"), "t2")
+    )
+    c2 = bg.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = bg.groupBy("t1").agg(F.count(F.lit(1)).alias("n1"))
+    vocab = toks.agg(
+        F.countDistinct("t").alias("vocab")
+    )
+    scored = (
+        bg.join(c2, ["t1", "t2"])
+        .join(F.broadcast(c1), "t1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "nll",
+            -F.log((F.col("n2") + 1.0) / (F.col("n1") + F.col("vocab"))),
+        )
+    )
+    out = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("nll"), 4).alias("avg_nll"),
+    )
+    return out
