@@ -152,8 +152,11 @@ class TxnBatchSink:
                             cols[i].append(bool(v))
                         else:
                             cols[i].append(str(v))
+            # dictionary pages engage per chunk when they shrink it —
+            # repeated-string query output is the common sink shape
             blob = write_parquet(
-                [(n, k, c) for n, k, c in zip(names, kinds, cols)]
+                [(n, k, c) for n, k, c in zip(names, kinds, cols)],
+                use_dictionary=True,
             )
             path = os.path.join(bdir, f"part-{pid:05d}.parquet")
             tmp = f"{path}.tmp.{os.getpid()}"
