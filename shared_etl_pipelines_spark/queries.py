@@ -1106,6 +1106,8 @@ _CARRYOVER_FIRST: tuple[str, ...] = (
     "hybrid_rrf_topk",
     # bigram-LM perplexity quality scoring (r12)
     "bigram_nll_score",
+    # corpus index persisted as a Puffin sidecar container (r12)
+    "puffin_bitmap_sidecar_slice",
 )
 
 

@@ -16951,3 +16951,80 @@ def q_bigram_nll_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("nll"), 4).alias("avg_nll"),
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Puffin sidecar persistence for the corpus index (r12): the roaring64
+# tag bitmaps built distributed (documents never shuffle) persist into
+# ONE spec-framed Puffin file — the Iceberg sidecar container a
+# snapshot references — and slices evaluate after a full container
+# round-trip (footer walk, blob spans, per-tag properties). The index
+# is metadata-scale, so the single file is driver-side by design.
+# ---------------------------------------------------------------------------
+@defquery(
+    "puffin_bitmap_sidecar_slice",
+    """
+    WITH a AS (SELECT doc_id + 8589934592 AS d FROM documents)
+    SELECT 't1_or_t3' AS slice, d AS doc_id FROM a
+    WHERE d % 5 IN (1, 3)
+    UNION ALL
+    SELECT 'm0_not_t2', d FROM a
+    WHERE d % 3 = 0 AND d % 5 <> 2
+    """,
+    doc="corpus index persisted as an Iceberg-style Puffin sidecar: "
+    "distributed roaring64 tag bitmaps -> one spec-framed container -> "
+    "container walk -> bitmap slices; output identical to the "
+    "predicate pushdown",
+    tags=("llm", "dedup", "catalog", "lakehouse", "scale-path"),
+)
+def q_puffin_bitmap_sidecar_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.sources.puffin import (
+        read_puffin,
+        read_puffin_blob,
+        write_puffin,
+    )
+    from shared_etl_pipelines_spark.sources.roaring import (
+        bitmap_slice,
+        build_bitmap_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select(
+        (F.col("doc_id") + F.lit(8589934592)).alias("wid")
+    )
+    tags = docs.select(
+        F.col("wid"),
+        F.concat(F.lit("m"), (F.col("wid") % 3).cast("string")).alias("tag"),
+    ).unionByName(
+        docs.select(
+            F.col("wid"),
+            F.concat(F.lit("t"), (F.col("wid") % 5).cast("string")).alias(
+                "tag"
+            ),
+        )
+    )
+    index = build_bitmap_index(tags, "tag", "wid", wide=True)
+    # metadata-scale collect: one (tag, bitmap) row per tag
+    blobs = [
+        {
+            "type": "roaring64-portable-v1",
+            "payload": bytes(r["bitmap"]),
+            "properties": {"tag": r["key"],
+                           "cardinality": str(r["cardinality"])},
+        }
+        for r in index.collect()
+    ]
+    sidecar = write_puffin(blobs, file_properties={"created-by": "sparketl"})
+    # full container round-trip before slicing
+    meta = read_puffin(sidecar)
+    rows = [
+        (e["properties"]["tag"], read_puffin_blob(sidecar, e))
+        for e in meta["blobs"]
+    ]
+    slices = {
+        "t1_or_t3": ["or", "t1", "t3"],
+        "m0_not_t2": ["andnot", "m0", "t2"],
+    }
+    out = []
+    for name, expr in slices.items():
+        out.extend((name, i) for i in bitmap_slice(rows, expr, wide=True))
+    return spark.createDataFrame(out, "slice string, doc_id long")
