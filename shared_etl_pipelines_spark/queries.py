@@ -1058,56 +1058,61 @@ _R11_GREEN = frozenset(
     }
 )
 
+# CORRECTNESS_r12.json: 50 judged, 48 green, 2 hash fails
+# (parquet_selfread_scan + parquet_pageindex_scan — both hash their
+# values through bytes written at query time by the AMBIENT pyarrow
+# and decoded by the repo's own reader; VERDICT r12 mandates rebuilding
+# those fixtures through the repo's own writer. Both held OUT of this
+# set and re-fronted in r13 until re-judged.)
+_R12_GREEN = frozenset(
+    {
+        "arrow_ipc_compressed_audit", "bigram_nll_score",
+        "bitmap_index_slice_wide", "bm25_topk", "clip_semi_join",
+        "cohort_retention", "crop_weighted_pipeline",
+        "customer_order_distribution", "customer_order_trajectory",
+        "data_quality_profile", "date_from_filename",
+        "dedup_keep_latest", "distinct_users_approx", "event_funnel",
+        "expectations_check", "embedding_quantize_int8",
+        "gap_fill_interpolated", "heavy_hitters_topk",
+        "hilbert_layout_audit", "hybrid_rrf_topk", "mode_event_type",
+        "multimodal_vp8_pframes", "multiply_join",
+        "near_dup_prefix_filter", "orc_zstd_roundtrip_audit",
+        "outlier_mad", "parquet_own_pageindex_scan",
+        "parquet_write_dict_audit", "pricing_summary",
+        "props_variant_stats", "puffin_bitmap_sidecar_slice",
+        "qty_price_regression", "recursive_ancestor_depths",
+        "regrid_fraction", "revenue_share_of_region", "rolling_sums",
+        "spi_zscore", "sqlite_without_rowid_scan",
+        "stream_delta_dv_cdc", "time_range_rolling", "topk_per_group",
+        "union_combine", "value_mask", "weighted_median",
+        "weighted_zonal", "zonal_stats", "zorder_clustering_key",
+        "zstd_encode_audit",
+    }
+)
+
 _JUDGED_GREEN = (
     _R1_GREEN | _R2_GREEN | _R3_GREEN | _R4_GREEN | _R5_GREEN | _R6_GREEN
     | _R7_GREEN | _R8_GREEN | _R9_GREEN | _R10_GREEN | _R11_GREEN
+    | _R12_GREEN
 )
 
 # Round 10: zero sql=None entries remain — the last two approx sketches
 # were converted to oracle-backed error bands (VERDICT r9 task #2).
 _FORCE_FRONT: frozenset[str] = frozenset()
 
-# Round-12 judging window: the only re-front is the one r11 red row,
-# parquet_selfread_scan, whose /tmp fixture cache is now hermetic
-# (atomic content-keyed write + ranged row-group reads). New r12
-# queries are appended below in the order they are added.
+# Round-13 judging window: the two r12 red rows lead, reworked per
+# VERDICT r12 task #1 — fixtures now built through the repo's OWN
+# parquet writer (deterministic bytes in every environment), the
+# `pruned` plan assertion moved out of the hashed row into a pytest
+# plan gate, and an in-query own-vs-pyarrow decode cross-check that
+# raises (diagnosable `err`) instead of hashing divergent values.
+# New r13 queries are appended below in the order they are added.
 _CARRYOVER_FIRST: tuple[str, ...] = (
-    # r11's one red driver row: non-hermetic fixture cache fixed
-    # (VERDICT r11 task #1) — atomic os.replace, content-hash key,
-    # per-row-group ranged reads
+    # r11+r12 red: fixture bytes were ambient-pyarrow-written; now
+    # own-writer-built (VERDICT r12 task #1)
     "parquet_selfread_scan",
-    # operator floor cut (VERDICT r11 task #3): shingle frequency via a
-    # window count instead of groupBy+self-join — same output
-    "near_dup_prefix_filter",
-    # 64-bit + run-container roaring index (VERDICT r11 task #6)
-    "bitmap_index_slice_wide",
-    # streaming CDC for deletion vectors (VERDICT r11 task #5)
-    "stream_delta_dv_cdc",
-    # SQLite WITHOUT ROWID + index b-trees (VERDICT r11 task #7)
-    "sqlite_without_rowid_scan",
-    # VP8 inter-frame (P-frame) motion-compensated decode (VERDICT r11
-    # task #4)
-    "multimodal_vp8_pframes",
-    # zstd store-mode frame writer, two independent decoders (r12)
-    "zstd_encode_audit",
-    # dictionary pages in the own parquet writer, three readers (r12)
-    "parquet_write_dict_audit",
-    # ColumnIndex/OffsetIndex page-pruned ranged scan (r12)
+    # r12 red, same root cause + hashed plan assertion; both fixed
     "parquet_pageindex_scan",
-    # own-writer page indexes with closed-form prune counts (r12)
-    "parquet_own_pageindex_scan",
-    # BM25 lexical retrieval top-k (r12)
-    "bm25_topk",
-    # compressed Arrow IPC bodies via own codecs (r12)
-    "arrow_ipc_compressed_audit",
-    # own-zstd ORC emission, two readers (r12)
-    "orc_zstd_roundtrip_audit",
-    # hybrid BM25 + cosine reciprocal-rank fusion (r12)
-    "hybrid_rrf_topk",
-    # bigram-LM perplexity quality scoring (r12)
-    "bigram_nll_score",
-    # corpus index persisted as a Puffin sidecar container (r12)
-    "puffin_bitmap_sidecar_slice",
 )
 
 
