@@ -15298,14 +15298,113 @@ def q_arrow_ipc_read_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _own_writer_fixture(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    tag: str,
+    cols: tuple[tuple[str, str], ...],
+    n_shards: int,
+    **writer_kwargs,
+) -> list[str]:
+    """Deterministic parquet fixture built through the repo's OWN
+    writer (VERDICT r12 task #1): every byte of the fixture is produced
+    by sources/parquet_write.py from sorted source values, so it is
+    identical in every environment — no dependence on the ambient
+    pyarrow's page geometry or encoding choices (the r11/r12 driver-red
+    root cause). The build itself is distributed: rows range-shard on
+    the first column (contiguous key ranges, so sorted fixtures cluster
+    for page pruning), each executor task sorts its shard and writes
+    one file via tmp-name + os.replace (atomic, concurrency-safe), and
+    a _SUCCESS marker keyed by source content + parameters makes the
+    cache hermetic. Returns the shard file paths in shard order."""
+    import hashlib as _hl
+    import json as _json
+    import os as _os
+    import tempfile as _tf
+
+    src = _os.path.join(sf_dir, f"{table}.parquet")
+    h = _hl.sha256()
+    h.update(tag.encode() + b"|" + repr(sorted(writer_kwargs.items())).encode())
+    with open(src, "rb") as fh:
+        for piece in iter(lambda: fh.read(1 << 20), b""):
+            h.update(piece)
+    fix_dir = _os.path.join(
+        _tf.gettempdir(), f"spark_graft_ownfix_{h.hexdigest()[:16]}"
+    )
+    marker = _os.path.join(fix_dir, "_SUCCESS")
+    if _os.path.exists(marker):
+        with open(marker) as fh:
+            names = _json.load(fh)
+        return [_os.path.join(fix_dir, n) for n in names]
+
+    _os.makedirs(fix_dir, exist_ok=True)
+    key_col = cols[0][0]
+    df = spark.read.parquet(src).select(*[c for c, _ in cols])
+    mx = df.agg(F.max(key_col)).collect()[0][0]
+    shard = F.floor(
+        F.col(key_col).cast("long") * n_shards / (int(mx) + 1)
+    ).cast("int")
+
+    import pandas as pd
+
+    col_spec = tuple(cols)
+    sort_names = [c for c, _ in col_spec]
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        import os as _o
+        import uuid as _uuid
+
+        from shared_etl_pipelines_spark.sources.parquet_write import (
+            write_parquet,
+        )
+
+        pdf = pdf.sort_values(sort_names, kind="mergesort")
+        sid = int(pdf["__shard"].iloc[0])
+        data = []
+        for name, kind in col_spec:
+            v = pdf[name].tolist()
+            if kind == "int64":
+                v = [int(x) for x in v]
+            elif kind == "double":
+                v = [float(x) for x in v]
+            else:
+                v = [str(x) for x in v]
+            data.append((name, kind, v))
+        blob = write_parquet(data, **writer_kwargs)
+        final = _o.path.join(fix_dir, f"shard_{sid:05d}.parquet")
+        tmp = f"{final}.tmp.{_uuid.uuid4().hex}"
+        with open(tmp, "wb") as fh:
+            fh.write(blob)
+        _o.replace(tmp, final)
+        return pd.DataFrame({"shard": [sid], "n": [len(pdf)]})
+
+    written = (
+        df.withColumn("__shard", shard)
+        .groupBy("__shard")
+        .applyInPandas(build, "shard int, n long")
+        .collect()
+    )
+    names = sorted(f"shard_{int(r['shard']):05d}.parquet" for r in written)
+    tmp = f"{marker}.tmp.{_os.getpid()}"
+    with open(tmp, "w") as fh:
+        _json.dump(names, fh)
+    _os.replace(tmp, marker)
+    return [_os.path.join(fix_dir, n) for n in names]
+
+
 # ---------------------------------------------------------------------------
-# Self-read parquet scan (r11): the independent page reader RUNNING AS
-# the distributed scan engine. The driver plans with the repo's own
-# Thrift footer walk (row-group list = the task list — exactly how a
-# real scan shards), each executor task decodes ITS row group's pages
-# with the repo's own codecs and encodings, and the aggregate is
-# hash-checked against DuckDB reading the same rows. Fixture is a
-# deterministic multi-row-group snappy rewrite of lineitem.
+# Self-read parquet scan (r11, rebuilt r13): the independent page
+# reader RUNNING AS the distributed scan engine. The fixture is now
+# written by the repo's OWN parquet writer (distributed, one shard per
+# task — see _own_writer_fixture) instead of the ambient pyarrow, so
+# the bytes the own reader decodes are identical in every environment
+# (VERDICT r12 task #1: both driver-red rounds traced to
+# pyarrow-version-dependent fixture bytes). Each scan task decodes ITS
+# shard's row groups with the repo's own Thrift walk + codecs +
+# encodings, and CROSS-CHECKS its partial aggregate against pyarrow
+# re-reading the same shard — a divergence raises a diagnosable error
+# instead of hashing silently-wrong values.
 # ---------------------------------------------------------------------------
 @defquery(
     "parquet_selfread_scan",
@@ -15315,54 +15414,30 @@ def q_arrow_ipc_read_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
            SUM(l_orderkey) AS key_sum
     FROM lineitem GROUP BY l_returnflag
     """,
-    doc="row-group-parallel scan through the repo's OWN parquet reader "
-    "(footer walk plans the tasks, page decode runs in them) — "
-    "aggregates match DuckDB reading the same table",
+    doc="shard-parallel scan through the repo's OWN parquet reader over "
+    "OWN-writer fixture bytes (deterministic in every environment); "
+    "each task cross-checks its partial aggregate against pyarrow and "
+    "raises on divergence — aggregates match DuckDB reading the source",
     tags=("llm", "source", "codec", "scale-path"),
 )
 def q_parquet_selfread_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib as _hl
-    import os as _os
-    import tempfile as _tf
-
-    import pyarrow.parquet as _pq
-
     from shared_etl_pipelines_spark.queries import round_floats
-    from shared_etl_pipelines_spark.sources.parquet_footer import (
-        read_footer_ranged,
-    )
 
-    src = _os.path.join(sf_dir, "lineitem.parquet")
-    # Hermetic fixture cache (VERDICT r11 task #1): the key is the
-    # CONTENT of the source plus the rewrite parameters, so a stale or
-    # foreign file can never alias it, and the write lands via a unique
-    # temp name + os.replace so an interrupted or concurrent first run
-    # can never leave a half-written file at the final path.
-    h = _hl.sha256()
-    h.update(b"selfread-v2|snappy|rg65536|dict|")
-    with open(src, "rb") as fh:
-        for piece in iter(lambda: fh.read(1 << 20), b""):
-            h.update(piece)
-    path = _os.path.join(
-        _tf.gettempdir(), f"spark_graft_selfread_{h.hexdigest()[:16]}.parquet"
+    paths = _own_writer_fixture(
+        spark, sf_dir, "lineitem", "selfread-v3",
+        (("l_orderkey", "int64"), ("l_quantity", "double"),
+         ("l_returnflag", "utf8")),
+        n_shards=32,
+        compression="SNAPPY", row_group_size=65536, use_dictionary=True,
     )
-    if not _os.path.exists(path):
-        tbl = _pq.read_table(
-            src, columns=["l_orderkey", "l_quantity", "l_returnflag"]
-        )
-        tmp = f"{path}.tmp.{_os.getpid()}"
-        _pq.write_table(
-            tbl, tmp, compression="snappy", row_group_size=65536,
-            use_dictionary=True,
-        )
-        _os.replace(tmp, path)
-    n_rgs = len(read_footer_ranged(path)["row_groups"])
 
     from collections.abc import Iterator
 
     import pandas as pd
 
     def scan(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as _pq
+
         from shared_etl_pipelines_spark.sources.parquet_footer import (
             read_footer_ranged as _rfr,
         )
@@ -15370,35 +15445,64 @@ def q_parquet_selfread_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             read_column_ranged,
         )
 
-        # each task holds the footer (metadata) and seeks to exactly
-        # its row groups' column-chunk byte spans — never the whole file
-        foot = _rfr(path)
         for pdf in it:
             out = {"l_returnflag": [], "n_rows": [], "qty_sum": [],
                    "key_sum": []}
-            for rg in pdf["rg"]:
-                rg = int(rg)
-                keys = read_column_ranged(path, foot, rg, "l_orderkey")
-                qtys = read_column_ranged(path, foot, rg, "l_quantity")
-                flags = read_column_ranged(path, foot, rg, "l_returnflag")
-                # partial (map-side) aggregate per row group
-                acc: dict[bytes, list] = {}
-                for k, q, f in zip(keys, qtys, flags):
-                    a = acc.setdefault(f, [0, 0.0, 0])
+            for path in pdf["path"]:
+                path = str(path)
+                # own decode: footer walk plans the row groups, each
+                # decoded by ranged reads of its column-chunk byte spans
+                foot = _rfr(path)
+                acc: dict[str, list] = {}
+                for rg in range(len(foot["row_groups"])):
+                    keys = read_column_ranged(path, foot, rg, "l_orderkey")
+                    qtys = read_column_ranged(path, foot, rg, "l_quantity")
+                    flags = read_column_ranged(
+                        path, foot, rg, "l_returnflag"
+                    )
+                    for k, q, f in zip(keys, qtys, flags):
+                        a = acc.setdefault(f.decode("utf-8"), [0, 0.0, 0])
+                        a[0] += 1
+                        a[1] += q
+                        a[2] += k
+                # loud cross-check (VERDICT r12 task #1c): pyarrow — an
+                # independent reference reader — re-reads the same shard;
+                # any divergence is an immediate diagnosable error, never
+                # a silent wrong hash
+                ref = _pq.read_table(path).to_pydict()
+                racc: dict[str, list] = {}
+                for k, q, f in zip(
+                    ref["l_orderkey"], ref["l_quantity"],
+                    ref["l_returnflag"],
+                ):
+                    a = racc.setdefault(f, [0, 0.0, 0])
                     a[0] += 1
                     a[1] += q
                     a[2] += k
                 for f, (n, qs, ks) in acc.items():
-                    out["l_returnflag"].append(f.decode("utf-8"))
+                    rn, rqs, rks = racc.get(f, (0, 0.0, 0))
+                    if n != rn or ks != rks or round(qs - rqs, 6) != 0:
+                        raise ValueError(
+                            "parquet selfread: own decode disagrees with "
+                            f"pyarrow on {path} flag={f!r}: "
+                            f"own=({n},{qs},{ks}) ref=({rn},{rqs},{rks})"
+                        )
+                if set(acc) != set(racc):
+                    raise ValueError(
+                        "parquet selfread: flag sets diverge on "
+                        f"{path}: own={sorted(acc)} ref={sorted(racc)}"
+                    )
+                for f, (n, qs, ks) in acc.items():
+                    out["l_returnflag"].append(f)
                     out["n_rows"].append(n)
                     out["qty_sum"].append(qs)
                     out["key_sum"].append(ks)
             yield pd.DataFrame(out)
 
-    rgs = spark.createDataFrame(
-        [(i,) for i in range(n_rgs)], "rg int"
-    ).repartition(min(n_rgs, 32))
-    partial = rgs.mapInPandas(
+    shards = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    ).repartition(min(len(paths), 32))
+    partial = shards.mapInPandas(
         scan,
         "l_returnflag string, n_rows long, qty_sum double, key_sum long",
     )
@@ -16209,68 +16313,51 @@ def q_parquet_write_dict_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Page-index-pruned scan (r12): the page-level half of predicate
-# pushdown. Row-group pruning skips whole groups; the ColumnIndex /
-# OffsetIndex (written here by pyarrow — an independent reference
-# implementation — and parsed by the repo's own thrift walker) lets a
-# scan skip PAGES inside groups it must read: each task seeks to its
-# group's index spans, selects only pages whose [min,max] intersect the
-# key range, and fetches exactly those byte spans
-# (sources/parquet_pageindex.py). The fixture cache follows the
-# hermetic discipline (content-hash key + atomic os.replace).
+# Page-index-pruned scan (r12, rebuilt r13): the page-level half of
+# predicate pushdown. Row-group pruning skips whole groups; the
+# ColumnIndex / OffsetIndex — now WRITTEN by the repo's own writer
+# (sources/parquet_write.py, deterministic bytes; VERDICT r12 task #1)
+# and parsed by the repo's own thrift walker — lets a scan skip PAGES
+# inside groups it must read: each task seeks to its shard's index
+# spans, selects only pages whose [min,max] intersect the key range,
+# and fetches exactly those byte spans (sources/parquet_pageindex.py).
+# The `pruned` assertion lives in a pytest plan gate
+# (tests/test_plans.py::test_pageindex_scan_actually_prunes), NOT in
+# the hashed row; an in-task pyarrow cross-check raises loudly on any
+# decode divergence.
 # ---------------------------------------------------------------------------
 @defquery(
     "parquet_pageindex_scan",
     """
     SELECT COUNT(*) AS n_rows,
            CAST(SUM(l_quantity) AS BIGINT) AS qty_sum,
-           SUM(l_orderkey) AS key_sum,
-           TRUE AS pruned
+           SUM(l_orderkey) AS key_sum
     FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000
     """,
-    doc="page-index-pruned ranged scan: per-row-group tasks read the "
-    "ColumnIndex/OffsetIndex spans, fetch only the pages intersecting "
-    "the key range, decode, and re-filter exactly — `pruned` gates "
-    "that pages were actually skipped",
+    doc="page-index-pruned ranged scan over own-writer fixture bytes: "
+    "per-shard tasks read the ColumnIndex/OffsetIndex spans, fetch "
+    "only the pages intersecting the key range, decode, re-filter "
+    "exactly, and cross-check against pyarrow (raising on divergence); "
+    "the pages-skipped assertion is a pytest plan gate",
     tags=("llm", "source", "codec", "scale-path", "plan"),
 )
 def q_parquet_pageindex_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib as _hl
-    import os as _os
-    import tempfile as _tf
-
-    import pyarrow.parquet as _pq
-
-    from shared_etl_pipelines_spark.sources.parquet_footer import (
-        read_footer_ranged,
-    )
-
     LO, HI = 1000, 3000
-    src = _os.path.join(sf_dir, "lineitem.parquet")
-    h = _hl.sha256()
-    h.update(b"pageindex-v1|sorted|rg16384|page4096|")
-    with open(src, "rb") as fh:
-        for piece in iter(lambda: fh.read(1 << 20), b""):
-            h.update(piece)
-    path = _os.path.join(
-        _tf.gettempdir(), f"spark_graft_pageindex_{h.hexdigest()[:16]}.parquet"
+    paths = _own_writer_fixture(
+        spark, sf_dir, "lineitem", "pageindex-v2",
+        (("l_orderkey", "int64"), ("l_quantity", "double")),
+        n_shards=8,
+        compression="SNAPPY", row_group_size=16384, use_dictionary=True,
+        page_rows=512, write_page_index=True,
     )
-    if not _os.path.exists(path):
-        tbl = _pq.read_table(src, columns=["l_orderkey", "l_quantity"])
-        tbl = tbl.sort_by("l_orderkey")  # cluster keys so pages separate
-        tmp = f"{path}.tmp.{_os.getpid()}"
-        _pq.write_table(
-            tbl, tmp, compression="snappy", row_group_size=16384,
-            data_page_size=4096, write_page_index=True,
-        )
-        _os.replace(tmp, path)
-    n_rgs = len(read_footer_ranged(path)["row_groups"])
 
     from collections.abc import Iterator
 
     import pandas as pd
 
     def scan(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as _pq
+
         from shared_etl_pipelines_spark.sources.parquet_footer import (
             read_footer_ranged as _rfr,
         )
@@ -16279,18 +16366,20 @@ def q_parquet_pageindex_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             read_column_rows,
         )
 
-        foot = _rfr(path)
         for pdf in it:
-            out = {"n_rows": [], "qty_sum": [], "key_sum": [],
-                   "pages_total": [], "pages_read": []}
-            for rg in pdf["rg"]:
-                rg = int(rg)
-                keys, n_t, n_r = read_column_pruned(
-                    path, foot, rg, "l_orderkey", LO, HI
-                )
-                hit_rows = {r for r, k in keys if LO <= k <= HI}
-                n = qs = ks = 0
-                if hit_rows:
+            out = {"n_rows": [], "qty_sum": [], "key_sum": []}
+            for path in pdf["path"]:
+                path = str(path)
+                foot = _rfr(path)
+                n = ks = 0
+                qs = 0.0
+                for rg in range(len(foot["row_groups"])):
+                    keys, _n_t, _n_r = read_column_pruned(
+                        path, foot, rg, "l_orderkey", LO, HI
+                    )
+                    hit_rows = {r for r, k in keys if LO <= k <= HI}
+                    if not hit_rows:
+                        continue
                     # companion column: fetch only the quantity pages
                     # covering the hit row span (OffsetIndex first_row)
                     qtys, _qt, _qr = read_column_rows(
@@ -16303,28 +16392,40 @@ def q_parquet_pageindex_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                             n += 1
                             ks += k
                             qs += qmap[r]
+                # loud cross-check (VERDICT r12 task #1c): pyarrow
+                # re-reads the shard and applies the same predicate; a
+                # divergence raises a diagnosable error, never a silent
+                # wrong hash
+                ref = _pq.read_table(path).to_pydict()
+                rn = rks = 0
+                rqs = 0.0
+                for k, q in zip(ref["l_orderkey"], ref["l_quantity"]):
+                    if LO <= k <= HI:
+                        rn += 1
+                        rks += k
+                        rqs += q
+                if n != rn or ks != rks or round(qs - rqs, 6) != 0:
+                    raise ValueError(
+                        "parquet pageindex: own pruned decode disagrees "
+                        f"with pyarrow on {path}: own=({n},{qs},{ks}) "
+                        f"ref=({rn},{rqs},{rks})"
+                    )
                 out["n_rows"].append(n)
                 out["qty_sum"].append(qs)
                 out["key_sum"].append(ks)
-                out["pages_total"].append(n_t)
-                out["pages_read"].append(n_r)
             yield pd.DataFrame(out)
 
-    rgs = spark.createDataFrame(
-        [(i,) for i in range(n_rgs)], "rg int"
-    ).repartition(min(n_rgs, 32))
-    partial = rgs.mapInPandas(
-        scan,
-        "n_rows long, qty_sum double, key_sum long, pages_total long, "
-        "pages_read long",
+    shards = spark.createDataFrame(
+        [(p,) for p in paths], "path string"
+    ).repartition(min(len(paths), 32))
+    partial = shards.mapInPandas(
+        scan, "n_rows long, qty_sum double, key_sum long"
     )
-    out = partial.agg(
+    return partial.agg(
         F.sum("n_rows").alias("n_rows"),
         F.sum("qty_sum").cast("long").alias("qty_sum"),
         F.sum("key_sum").alias("key_sum"),
-        (F.sum("pages_read") < F.sum("pages_total")).alias("pruned"),
     )
-    return out
 
 
 # ---------------------------------------------------------------------------
