@@ -325,12 +325,25 @@ def write_parquet(
 
             dct: list | None = None
             seen: dict = {}
+            # doubles key on the raw bit pattern: Python equality folds
+            # -0.0 into 0.0 (and splits NaN from itself), so keying on
+            # the value would break the value-identical readback
+            # contract for columns holding both zero signs
+            if kind == "double":
+                def _dkey(v: float) -> bytes:
+                    return struct.pack("<d", v)
+            else:
+                def _dkey(v):
+                    return v
             if use_dictionary and kind != "boolean" and present:
+                uniq: list = []
                 for v in present:
-                    if v not in seen:
-                        seen[v] = len(seen)
+                    k = _dkey(v)
+                    if k not in seen:
+                        seen[k] = len(seen)
+                        uniq.append(v)
                 if len(seen) < len(present) and len(seen) <= 65536:
-                    dct = list(seen)
+                    dct = uniq
 
             stats = _TStruct()
             stats.i64(3, len(vals) - len(present))
@@ -351,7 +364,13 @@ def write_parquet(
                     .i32(3, len(dcomp))
                     .struct(
                         7,
-                        _TStruct().i32(1, len(dct)).i32(2, 2).done(),
+                        _TStruct()
+                        .i32(1, len(dct))
+                        # v1 keeps the PLAIN_DICTIONARY convention; v2
+                        # files advertise PLAIN for the dict page per the
+                        # spec's deprecation note
+                        .i32(2, 2 if page_version == 1 else 0)
+                        .done(),
                     )
                     .done()
                 )
@@ -361,7 +380,10 @@ def write_parquet(
                 usize_total += len(dict_hdr) + len(dbody)
                 csize_total += len(dict_hdr) + len(dcomp)
                 width = max(1, (len(dct) - 1).bit_length())
-                enc = 2  # PLAIN_DICTIONARY (v1 convention)
+                # the spec deprecates PLAIN_DICTIONARY for new files;
+                # V2 pages carry RLE_DICTIONARY (8), V1 keeps the
+                # legacy code every reader accepts
+                enc = 2 if page_version == 1 else 8
             else:
                 enc = 0  # PLAIN
 
@@ -376,7 +398,7 @@ def write_parquet(
                 ppresent = [v for v in pv if v is not None]
                 if dct is not None:
                     vals_part = bytes([width]) + _rle_hybrid(
-                        [seen[v] for v in ppresent], width
+                        [seen[_dkey(v)] for v in ppresent], width
                     )
                 else:
                     vals_part = _plain(ppresent, kind)

@@ -314,7 +314,20 @@ def _parse_create_table(sql: str) -> tuple[list[str], list[str]]:
             pk = [bare]
     if not pk:
         raise ValueError("sqlite: WITHOUT ROWID table lacks a PRIMARY KEY")
-    return cols, pk
+    # SQLite identifiers are case-insensitive: resolve each PK name to
+    # its declared column (quoting already stripped above) so a DDL
+    # like `(a INTEGER, PRIMARY KEY (A))` reorders correctly, and
+    # refuse unknown names instead of dying later on record arity
+    by_fold = {c.casefold(): c for c in cols}
+    resolved = []
+    for p in pk:
+        c = by_fold.get(p.casefold())
+        if c is None:
+            raise ValueError(
+                f"sqlite: PRIMARY KEY column {p!r} not declared — quarantine"
+            )
+        resolved.append(c)
+    return cols, resolved
 
 
 def read_schema(blob: bytes) -> list[dict]:

@@ -110,8 +110,6 @@ class TxnBatchSink:
         import shutil
         from collections.abc import Iterator
 
-        import pandas as pd
-
         names = [f.name for f in batch_df.schema.fields]
         kinds = []
         for f in batch_df.schema.fields:
@@ -126,7 +124,14 @@ class TxnBatchSink:
             shutil.rmtree(bdir)
         os.makedirs(bdir, exist_ok=True)
 
-        def write_shards(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def write_shards(it: "Iterator") -> "Iterator":
+            # mapInArrow, not mapInPandas (ADVICE r12): the pandas
+            # conversion coerces a NULLABLE bigint to float64, which
+            # silently rounds magnitudes above 2^53; Arrow batches keep
+            # int64 + validity exact
+            import math
+
+            import pyarrow as _pa
             from pyspark import TaskContext
 
             from shared_etl_pipelines_spark.sources.parquet_write import (
@@ -135,23 +140,20 @@ class TxnBatchSink:
 
             pid = TaskContext.get().partitionId()
             cols: list[list] = [[] for _ in names]
-            for pdf in it:
+            for rb in it:
                 for i, name in enumerate(names):
-                    # Arrow->pandas surfaces SQL NULL as NaN/NA: isna is
-                    # the nullity source of truth (a true NaN DOUBLE is
-                    # indistinguishable here and lands as null — the
-                    # same collapse pandas itself makes)
-                    for v, isna in zip(pdf[name], pdf[name].isna()):
-                        if isna:
-                            cols[i].append(None)
-                        elif kinds[i] == "int64":
-                            cols[i].append(int(v))
-                        elif kinds[i] == "double":
-                            cols[i].append(float(v))
-                        elif kinds[i] == "boolean":
-                            cols[i].append(bool(v))
-                        else:
-                            cols[i].append(str(v))
+                    vals = rb.column(
+                        rb.schema.get_field_index(name)
+                    ).to_pylist()
+                    if kinds[i] == "double":
+                        # a true NaN DOUBLE lands as null — the collapse
+                        # the sink has always documented (SQL NULL and
+                        # NaN unify at the sink boundary)
+                        vals = [
+                            None if v is None or math.isnan(v) else float(v)
+                            for v in vals
+                        ]
+                    cols[i].extend(vals)
             # dictionary pages engage per chunk when they shrink it —
             # repeated-string query output is the common sink shape
             blob = write_parquet(
@@ -163,10 +165,12 @@ class TxnBatchSink:
             with open(tmp, "wb") as fh:
                 fh.write(blob)
             os.replace(tmp, path)
-            yield pd.DataFrame({"path": [path], "n_rows": [len(cols[0])]})
+            yield _pa.RecordBatch.from_pydict(
+                {"path": [path], "n_rows": [len(cols[0])]}
+            )
 
         # one tiny row per partition: bounded driver traffic
-        batch_df.mapInPandas(write_shards, "path string, n_rows long").collect()
+        batch_df.mapInArrow(write_shards, "path string, n_rows long").collect()
 
     def committed_batches(self) -> list[int]:
         if not os.path.isdir(self.manifest_dir):

@@ -205,3 +205,43 @@ def test_data_page_v2_cross_readers(tmp_path):
             assert got == [v for v in range(700, 801) if v % 11 != 0]
     with pytest.raises(ValueError, match="page_version"):
         write_parquet(cols, page_version=3)
+
+
+def test_double_dictionary_preserves_zero_sign_and_nan():
+    """ADVICE r12 (medium): the dictionary must key doubles on the raw
+    bit pattern — Python equality folds -0.0 into 0.0, which broke the
+    value-identical readback contract for columns holding both signs."""
+    import math
+
+    vals = [0.0, -0.0, 1.5, -0.0, 0.0, float("nan")] * 8
+    blob = write_parquet(
+        [("x", "double", vals)], compression="UNCOMPRESSED",
+        use_dictionary=True,
+    )
+    for got in (
+        pq.read_table(io.BytesIO(blob)).column("x").to_pylist(),
+        read_all_columns(blob, "x"),
+    ):
+        assert len(got) == len(vals)
+        for g, v in zip(got, vals):
+            if math.isnan(v):
+                assert math.isnan(g)
+            else:
+                assert g == v and math.copysign(1, g) == math.copysign(1, v)
+
+
+def test_v2_pages_advertise_rle_dictionary():
+    """ADVICE r12 (low): page_version=2 files must carry RLE_DICTIONARY
+    (8) for data pages and PLAIN for the dictionary page — the spec
+    deprecates PLAIN_DICTIONARY for new files."""
+    vals = ["a", "b", "a", "c"] * 400
+    blob = write_parquet(
+        [("s", "utf8", vals)], compression="SNAPPY",
+        use_dictionary=True, page_version=2, page_rows=256,
+    )
+    md = pq.ParquetFile(io.BytesIO(blob)).metadata.row_group(0).column(0)
+    assert "RLE_DICTIONARY" in md.encodings
+    assert "PLAIN_DICTIONARY" not in md.encodings
+    assert pq.read_table(io.BytesIO(blob)).column("s").to_pylist() == vals
+    # the own page reader surfaces BYTE_ARRAY as raw bytes
+    assert read_all_columns(blob, "s") == [v.encode() for v in vals]

@@ -153,3 +153,22 @@ def test_spark_scan_and_quarantine(spark, sf_dir):
     )
     q = scan_sqlite_assets(garbage).collect()
     assert len(q) == 1 and not q[0]["ok"] and "magic" in q[0]["reason"]
+
+
+def test_without_rowid_pk_case_insensitive():
+    """SQLite identifiers are case-insensitive: a PK list naming the
+    column in a different case must still reorder (ADVICE r12), and an
+    unknown PK name must refuse with the quarantine ValueError, never
+    an IndexError."""
+    cols, pk = S._parse_create_table(
+        'CREATE TABLE kv (a INTEGER, b TEXT, PRIMARY KEY ("A"))'
+    )
+    assert cols == ["a", "b"] and pk == ["a"]
+    try:
+        S._parse_create_table(
+            "CREATE TABLE kv (a INTEGER, PRIMARY KEY (zz))"
+        )
+    except ValueError as e:
+        assert "quarantine" in str(e)
+    else:
+        raise AssertionError("unknown PK name must refuse")

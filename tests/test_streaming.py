@@ -1203,3 +1203,36 @@ def test_txn_sink_own_writer_roundtrip(spark, tmp_path):
     sink2 = TxnBatchSink(str(tmp_path / "s2"), writer="own")
     with pytest.raises(Exception, match="no own-writer mapping"):
         sink2(bad, 0)
+
+
+def test_txn_sink_own_writer_keeps_big_ints_past_2_53(spark, tmp_path):
+    """ADVICE r12 (low): a NULLABLE bigint column arrives from
+    Arrow->pandas as float64, and int(float) silently rounds above
+    2^53 — the sink must route through the nullable Int64 dtype so
+    full-precision values survive."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    from shared_etl_pipelines_spark.streaming.sinks import TxnBatchSink
+
+    big = (1 << 60) + 1  # not representable as float64
+    rows = [(0, big), (1, None), (2, big + 2)]
+    src = str(tmp_path / "drop")
+    spark.createDataFrame(rows, "k long, v long").coalesce(1).write.parquet(src)
+
+    sink = TxnBatchSink(str(tmp_path / "sink"), writer="own")
+    q = (
+        spark.readStream.schema("k long, v long")
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = []
+    for p in _glob.glob(os.path.join(str(tmp_path / "sink"), "batch=0", "*.parquet")):
+        t = pq.read_table(p)
+        got.extend(zip(t.column("k").to_pylist(), t.column("v").to_pylist()))
+    assert sorted(got) == rows
