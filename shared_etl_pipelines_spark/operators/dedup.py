@@ -660,24 +660,39 @@ def prefix_filter_jaccard_pairs(
     with |S| distinct shingles the PREFIX is its first
     |S| - ceil(t*|S|) + 1 shingles in that order.
 
-    Completeness: J(A,B) >= t implies |A∩B| >= t*|A∪B| >= t*|A|, hence
-    (integer) |A∩B| >= ceil(t*|A|). If A's prefix held no common
-    shingle, all of A∩B would sit in A's last ceil(t*|A|) - 1
-    positions — capping |A∩B| at ceil(t*|A|) - 1, a contradiction. So
-    A's prefix contains some common shingle w, and w ∈ B by definition:
-    joining PREFIX rows against ALL shingle rows on the shingle finds
-    every qualifying pair (the asymmetric probe is what makes this
-    complete — prefix-vs-prefix alone is not). Candidates are then
-    exactly verified on their full shingle arrays, so the output equals
-    the O(n^2) baseline's bit-for-bit.
+    Completeness (prefix-filtering lemma, Chaudhuri et al. 2006 /
+    PPJoin, Xiao et al. 2008 — both sides prefix): J(A,B) >= t implies
+    |A∩B| >= ceil(t/(1+t) * (|A|+|B|)) =: alpha, and alpha >=
+    ceil(t*|A|) because |B| >= |A∩B| >= t*|A|. If the
+    (|A|-alpha+1)-prefix of A and the (|B|-alpha+1)-prefix of B were
+    disjoint, every common shingle would sit in the last alpha-1
+    positions of one side or the other in the shared canonical order —
+    capping |A∩B| at alpha-1, a contradiction. Our per-side prefix
+    length |S|-ceil(t*|S|)+1 >= |S|-alpha+1, so joining PREFIX rows
+    against PREFIX rows on the shingle finds every qualifying pair
+    (r13: the former prefix-vs-ALL-rows probe was complete but
+    overcautious — one-sided reasoning; the two-sided lemma halves the
+    probe side AND drops the corpus-frequent shingles from it, which
+    is what de-skews the join key). Candidates are then exactly
+    verified on their full shingle arrays, so the output equals the
+    O(n^2) baseline's bit-for-bit.
 
-    Scale: cost concentrates in the prefix ⨝ rows equi-join, which is
-    linear in candidate count; rarest-first ordering keeps common
-    shingles out of prefixes unless a doc consists almost entirely of
-    common shingles, and the size-ratio filter (|B| >= t*|A|, a Jaccard
-    necessity) drops incompatible pairs before the pair-distinct. For
-    adversarially skewed shingle distributions compose with
-    operators/skew.py salting on the join key.
+    Positional filter (the PPJoin refinement, r13): a match row knows
+    its rank on both sides, so 1 + min(|A|-rn_A, |B|-rn_B) upper-bounds
+    |A∩B| for the FIRST common shingle (all other common shingles rank
+    after it on both sides). Rows whose bound cannot reach alpha are
+    dropped before the pair-distinct; the first-match row of every true
+    pair survives (its bound >= the true overlap >= alpha), so
+    completeness holds. The ceil runs on an epsilon-slacked operand so
+    a last-ulp float error can only weaken the filter, never overprune.
+
+    Scale: cost concentrates in the prefix ⨝ prefix equi-join, linear
+    in candidate count; rarest-first ordering keeps common shingles out
+    of BOTH join sides, and the size-ratio filter (|B| >= t*|A|, a
+    Jaccard necessity) plus the positional bound drop incompatible
+    pairs before the pair-distinct. For adversarially skewed shingle
+    distributions compose with operators/skew.py salting on the join
+    key.
 
     Everything stays in whole-stage codegen: shingle ROWS come from
     explode(sequence) + slice + concat_ws (native expressions — the
@@ -722,30 +737,50 @@ def prefix_filter_jaccard_pairs(
         .withColumn("sz", F.count(F.lit(1)).over(Window.partitionBy("doc")))
         .persist()
     )
-    prefix = ranked.filter(
+    prefix_rows = ranked.filter(
         F.col("rn")
         <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
-    ).select(F.col("doc").alias("pd"), F.col("sz").alias("p_sz"), "s")
-    # ranked already carries each doc's shingle count (sz) on every row:
-    # deriving the probe side and the verify arrays from it — instead of
-    # fresh groupBys over srows — collapses three corpus-sized doc-key
-    # shuffles into the one the ranking window already pays (the three
-    # exchange subtrees differ, so ReusedExchange cannot dedupe them;
-    # sharing the frame can).
-    orows = ranked.select(F.col("doc").alias("od"), F.col("sz").alias("o_sz"), "s")
+    )
+    prefix = prefix_rows.select(
+        F.col("doc").alias("pd"), F.col("sz").alias("p_sz"),
+        F.col("rn").alias("p_rn"), "s",
+    )
+    # the probe side is ALSO a prefix (two-sided lemma, r13) — same
+    # rows, so one shuffle of the persisted frame feeds both aliases
+    orows = prefix_rows.select(
+        F.col("doc").alias("od"), F.col("sz").alias("o_sz"),
+        F.col("rn").alias("o_rn"), "s",
+    )
+    # alpha = min overlap a qualifying pair must reach; the tiny slack
+    # makes the float ceil err toward keeping a candidate
+    alpha = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("p_sz") + F.col("o_sz"))
+        - F.lit(1e-9)
+    )
     cand = (
         prefix.join(orows, "s")
+        # pd < od directly: both sides carry prefixes, so every true
+        # pair surfaces from one ordered match row — no least/greatest
         .filter(
-            (F.col("pd") != F.col("od"))
+            (F.col("pd") < F.col("od"))
             # Jaccard >= t forces t <= |B|/|A| <= 1/t — prune size-
             # incompatible pairs before the expensive pair-distinct.
             & (F.col("o_sz") >= F.ceil(F.lit(threshold) * F.col("p_sz")))
             & (F.col("p_sz") >= F.ceil(F.lit(threshold) * F.col("o_sz")))
+            # PPJoin positional bound: what overlap could this match
+            # still produce, counting it plus everything ranked after
+            # it on both sides?
+            & (
+                F.lit(1)
+                + F.least(
+                    F.col("p_sz") - F.col("p_rn"),
+                    F.col("o_sz") - F.col("o_rn"),
+                )
+                >= alpha
+            )
         )
-        .select(
-            F.least("pd", "od").alias("doc_a"),
-            F.greatest("pd", "od").alias("doc_b"),
-        )
+        .select(F.col("pd").alias("doc_a"), F.col("od").alias("doc_b"))
         .distinct()
     )
     # ranked's window output keeps hashpartitioning(doc), so this

@@ -1076,7 +1076,10 @@ _R12_GREEN = frozenset(
         "gap_fill_interpolated", "heavy_hitters_topk",
         "hilbert_layout_audit", "hybrid_rrf_topk", "mode_event_type",
         "multimodal_vp8_pframes", "multiply_join",
-        "near_dup_prefix_filter", "orc_zstd_roundtrip_audit",
+        # near_dup_prefix_filter: r12-green, but its operator was
+        # rewritten in r13 (two-sided PPJoin prefix probe + positional
+        # filter) — removed pending a fresh driver verdict
+        "orc_zstd_roundtrip_audit",
         "outlier_mad", "parquet_own_pageindex_scan",
         "parquet_write_dict_audit", "pricing_summary",
         "props_variant_stats", "puffin_bitmap_sidecar_slice",
@@ -1113,6 +1116,10 @@ _CARRYOVER_FIRST: tuple[str, ...] = (
     "parquet_selfread_scan",
     # r12 red, same root cause + hashed plan assertion; both fixed
     "parquet_pageindex_scan",
+    # operator floor cut (VERDICT r12 task #3): two-sided PPJoin prefix
+    # probe + positional overlap bound — same verified output, clean
+    # A/B 6.97 -> 3.1-4.5 s at sf0.1
+    "near_dup_prefix_filter",
 )
 
 
