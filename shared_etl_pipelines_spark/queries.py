@@ -751,7 +751,10 @@ _R3_GREEN = frozenset(
         # now rotates 4-pass INTERLACED GIFs in (odd doc_ids; same
         # pixels, locally hash-green) — re-fronted (r8).
         "topk_per_group_partial", "dsir_importance_weights",
-        "langid_confusion", "theil_sen_trend", "seasonal_decompose_daily",
+        # langid_confusion: r3-green, builder restructured in r13
+        # (broadcast bigram model + per-doc pre-aggregation) —
+        # re-fronted pending a fresh driver verdict
+        "theil_sen_trend", "seasonal_decompose_daily",
         "ts_pattern_match", "correlation_matrix", "chi2_event_dow",
         "incremental_rollup_refresh", "copurchase_triangles",
     }
@@ -1120,6 +1123,11 @@ _CARRYOVER_FIRST: tuple[str, ...] = (
     # probe + positional overlap bound — same verified output, clean
     # A/B 6.97 -> 3.1-4.5 s at sf0.1
     "near_dup_prefix_filter",
+    # riser audit (VERDICT r12 task #4): explode pre-aggregated to
+    # per-doc bigram counts, ll decomposed so the per-language model
+    # BROADCASTS instead of shuffling the corpus on (cand, bigram) —
+    # interleaved same-session A/B 8.99 -> 4.7 s best-of-4
+    "langid_confusion",
 )
 
 
