@@ -1128,6 +1128,9 @@ _CARRYOVER_FIRST: tuple[str, ...] = (
     # BROADCASTS instead of shuffling the corpus on (cand, bigram) —
     # interleaved same-session A/B 8.99 -> 4.7 s best-of-4
     "langid_confusion",
+    # streaming twin for Iceberg v2 delete commits (VERDICT r12 task
+    # #7): appended position/equality delete files emit retractions
+    "stream_iceberg_delete_cdc",
 )
 
 

@@ -1348,3 +1348,203 @@ def q_stream_delta_dv_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "bucket", "version")
     )
     return _run(out, "append")
+
+
+# ---------------------------------------------------------------------------
+# Streaming CDC for Iceberg v2 delete files (r13, VERDICT r12 task #7):
+# the Iceberg twin of stream_delta_dv_cdc. A delete commit appends only
+# a position/equality delete FILE — no new data file — so a data-file
+# arrival stream sees nothing; the signal is the new manifest list each
+# commit writes. Those snap-*.avro files stream through the binaryFile
+# source; a stateless mapInPandas decodes each list with the repo's own
+# Avro reader and resolves its delete files to candidate
+# (data_path, pos, seq, kind) claims (position deletes name positions
+# directly; equality deletes scan the data files with SMALLER data
+# sequence numbers for matching rows — a real engine prunes that scan
+# with manifest column stats; this fixture-scale resolver reads them
+# all and says so). applyInPandasWithState keyed by DATA FILE holds the
+# roaring-serialized set of already-deleted positions, which both
+# de-duplicates the cumulative manifest lists AND suppresses
+# re-deletion of a row an earlier sequence already removed (equality-
+# over-position). Fresh positions join the static bucket-ranked
+# documents to surface doc_ids.
+# ---------------------------------------------------------------------------
+@defquery(
+    "stream_iceberg_delete_cdc",
+    """
+    SELECT doc_id, CAST(2 AS BIGINT) AS version, 'position' AS kind
+    FROM documents WHERE doc_id % 9 = 8
+    UNION ALL
+    SELECT doc_id, CAST(3 AS BIGINT) AS version, 'equality' AS kind
+    FROM documents WHERE doc_id % 11 = 3 AND doc_id % 9 <> 8
+    """,
+    doc="streaming Iceberg v2 delete CDC: appended position/equality "
+    "delete files emit the newly-deleted rows as delete events — "
+    "per-data-file roaring state diffs the cumulative manifest lists "
+    "and enforces the already-deleted suppression rule; no snapshot "
+    "replay",
+    tags=("streaming", "llm", "lakehouse", "dedup"),
+)
+def q_stream_iceberg_delete_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from shared_etl_pipelines_spark.sources.iceberg import (
+        ensure_demo_iceberg_stream_table,
+    )
+
+    root = ensure_demo_iceberg_stream_table(sf_dir)
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", "snap-*.avro")
+        .load(os.path.join(root, "metadata"))
+        .select("content")
+    )
+
+    def resolve_deletes(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as _pq
+
+        from shared_etl_pipelines_spark.sources.avro import read_avro_ocf
+
+        for pdf in it:
+            out = {"data_path": [], "pos": [], "seq": [], "kind": []}
+            for blob in pdf["content"]:
+                recs = read_avro_ocf(bytes(blob))["records"]
+                data_entries: list[tuple[str, int]] = []  # (path, seq)
+                del_entries: list[dict] = []
+                for m in recs:
+                    with open(m["manifest_path"], "rb") as fh:
+                        entries = read_avro_ocf(fh.read())["records"]
+                    for e in entries:
+                        f = e["data_file"]
+                        if f["content"] == 0:
+                            data_entries.append(
+                                (f["file_path"], e["sequence_number"])
+                            )
+                        else:
+                            del_entries.append(
+                                {
+                                    "path": f["file_path"],
+                                    "content": f["content"],
+                                    "seq": e["sequence_number"],
+                                    "eq_ids": f["equality_ids"],
+                                }
+                            )
+                for de in del_entries:
+                    if de["content"] == 1:
+                        t = _pq.read_table(de["path"])
+                        for p, pos in zip(
+                            t.column("file_path").to_pylist(),
+                            t.column("pos").to_pylist(),
+                        ):
+                            out["data_path"].append(p)
+                            out["pos"].append(int(pos))
+                            out["seq"].append(int(de["seq"]))
+                            out["kind"].append("position")
+                    else:
+                        if de["eq_ids"] != [1]:
+                            raise ValueError(
+                                "iceberg cdc: equality delete on fields "
+                                f"{de['eq_ids']} unsupported — quarantine"
+                            )
+                        vals = set(
+                            _pq.read_table(de["path"])
+                            .column("doc_id")
+                            .to_pylist()
+                        )
+                        # strictly-smaller rule: only data files written
+                        # BEFORE the delete's sequence are scanned (a
+                        # 100 TB consumer prunes by manifest stats first)
+                        for dp, dseq in data_entries:
+                            if dseq >= de["seq"]:
+                                continue
+                            col = _pq.read_table(
+                                dp, columns=["doc_id"]
+                            ).column("doc_id").to_pylist()
+                            for pos, v in enumerate(col):
+                                if v in vals:
+                                    out["data_path"].append(dp)
+                                    out["pos"].append(pos)
+                                    out["seq"].append(int(de["seq"]))
+                                    out["kind"].append("equality")
+            yield pd.DataFrame(out)
+
+    claims = raw.mapInPandas(
+        resolve_deletes,
+        "data_path string, pos long, seq long, kind string",
+    )
+
+    def emit_new_deletes(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        from shared_etl_pipelines_spark.sources.roaring import (
+            deserialize_roaring64,
+            serialize_roaring64,
+        )
+
+        seen: set[int] = (
+            set(deserialize_roaring64(bytes(state.get[0])))
+            if state.exists
+            else set()
+        )
+        out_pos: list[int] = []
+        out_seq: list[int] = []
+        out_kind: list[str] = []
+        rows = [r for pdf in pdfs for r in pdf.itertuples(index=False)]
+        # earliest sequence wins a position: a row position-deleted at
+        # seq 2 is ALREADY dead when an equality delete matches it at
+        # seq 3, so it must not re-emit
+        for rec in sorted(rows, key=lambda r: (r.seq, r.pos)):
+            if rec.pos not in seen:
+                seen.add(rec.pos)
+                out_pos.append(int(rec.pos))
+                out_seq.append(int(rec.seq))
+                out_kind.append(rec.kind)
+        state.update((serialize_roaring64(seen),))
+        yield pd.DataFrame(
+            {
+                "data_path": [key[0]] * len(out_pos),
+                "pos": out_pos,
+                "version": out_seq,
+                "kind": out_kind,
+            }
+        )
+
+    deletes = claims.groupBy("data_path").applyInPandasWithState(
+        emit_new_deletes,
+        outputStructType=(
+            "data_path string, pos long, version long, kind string"
+        ),
+        stateStructType="seen binary",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    # static side: in-file position -> doc_id (data files are written
+    # sorted by doc_id per 25-doc bucket, the fixture's closed form)
+    docs = spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).select("doc_id")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    ranked = docs.withColumn(
+        "bucket", (F.col("doc_id") / 25).cast("long")
+    ).withColumn("pos", F.row_number().over(w) - 1)
+    out = (
+        deletes.withColumn(
+            "bucket",
+            F.regexp_extract(
+                F.col("data_path"), r"b1-(\d+)\.parquet", 1
+            ).cast("long"),
+        )
+        .join(ranked, ["bucket", "pos"])
+        .select("doc_id", "version", "kind")
+    )
+    return _run(out, "append")

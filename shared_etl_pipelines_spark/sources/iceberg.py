@@ -46,6 +46,7 @@ __all__ = [
     "ensure_demo_iceberg_table",
     "snapshot_rows",
     "ensure_demo_iceberg_v2_table",
+    "ensure_demo_iceberg_stream_table",
 ]
 
 MANIFEST_ENTRY_SCHEMA = {
@@ -741,6 +742,204 @@ def ensure_demo_iceberg_v2_table(sf_dir: str, bucket: int = 25) -> str:
                 "summary": {"operation": "overwrite"},
             }
         ],
+    }
+    with open(os.path.join(mdir, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh, indent=1, sort_keys=True)
+    with open(done, "w") as fh:
+        fh.write("ok\n")
+    return root
+
+
+def ensure_demo_iceberg_stream_table(sf_dir: str, bucket: int = 25) -> str:
+    """Streaming-CDC demo table: three COMMITS, each with its own
+    manifest list, so a manifest-list file-arrival stream sees delete
+    files land over time (the consumer Iceberg v2 lacked while Delta
+    and Hudi had CDC tails — VERDICT r12 task #7):
+
+    - snapshot 100 / seq 1: one data file per 25-doc bucket, rows
+      (doc_id, size, day) sorted by doc_id — no deletes;
+    - snapshot 200 / seq 2: APPENDS a position-delete file covering the
+      in-file position of every churn doc (doc_id%9==8);
+    - snapshot 300 / seq 3: APPENDS an equality-delete file on field
+      id 1 (doc_id) listing every doc_id%11==3 value.
+
+    Manifest lists are cumulative (each snapshot's list carries every
+    live manifest), exactly like real Iceberg — so a correct CDC
+    consumer must diff, not replay."""
+    import hashlib
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    docs = sorted(
+        zip(tbl.column("doc_id").to_pylist(), tbl.column("text").to_pylist())
+    )
+    digest = hashlib.md5(
+        repr(("stream", len(docs), docs[:2], bucket)).encode()
+    ).hexdigest()[:12]
+    root = os.path.join(
+        tempfile.gettempdir(), "spark_graft_iceberg_stream_demo_v1",
+        f"t-{digest}",
+    )
+    done = root + ".done"
+    if os.path.exists(done):
+        return root
+    mdir = os.path.join(root, "metadata")
+    fdir = os.path.join(root, "manifests")
+    ddir = os.path.join(root, "data")
+    for p in (mdir, fdir, ddir):
+        os.makedirs(p, exist_ok=True)
+
+    buckets: dict[int, list[tuple[int, int]]] = {}
+    for doc_id, text in docs:
+        d = int(doc_id)
+        n = len(str(text).encode("utf-8"))
+        buckets.setdefault(d // bucket, []).append((d, n))
+
+    def entry(path: str, content: int, seq: int, nrec: int,
+              eq_ids: list[int]) -> dict:
+        return {
+            "status": 1,
+            "snapshot_id": 100 * seq,
+            "sequence_number": seq,
+            "data_file": {
+                "content": content,
+                "file_path": path,
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": nrec,
+                "file_size_in_bytes": os.path.getsize(path),
+                "equality_ids": eq_ids,
+            },
+        }
+
+    def manifest_rec(path: str, entries: list[dict], content: int) -> dict:
+        return {
+            "manifest_path": path,
+            "manifest_length": os.path.getsize(path),
+            "partition_spec_id": 0,
+            "added_snapshot_id": entries[0]["snapshot_id"],
+            "added_files_count": len(entries),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": sum(
+                e["data_file"]["record_count"] for e in entries
+            ),
+            "deleted_rows_count": 0,
+            "content": content,
+        }
+
+    def write_manifest(name: str, entries: list[dict], content: int,
+                       k: int) -> dict:
+        path = os.path.join(fdir, name)
+        with open(path, "wb") as fh:
+            fh.write(
+                write_avro_ocf(
+                    entries,
+                    MANIFEST_ENTRY_V2_SCHEMA,
+                    codec="deflate" if k % 2 else "null",
+                    sync=bytes([(k * 13 + i) % 256 for i in range(16)]),
+                )
+            )
+        return manifest_rec(path, entries, content)
+
+    # --- seq 1: data files ------------------------------------------------
+    data_recs = []
+    pos_rows: list[tuple[str, int]] = []
+    for k, members in sorted(buckets.items()):
+        path = os.path.join(ddir, f"b1-{k:05d}.parquet")
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([d for d, _ in members], pa.int64()),
+                    "size": pa.array([n for _, n in members], pa.int64()),
+                    "day": pa.array([d % 7 for d, _ in members], pa.int32()),
+                }
+            ),
+            path,
+        )
+        data_recs.append(
+            write_manifest(
+                f"m-data-{k:05d}.avro",
+                [entry(path, 0, 1, len(members), [])], 0, k,
+            )
+        )
+        for pos, (d, _n) in enumerate(members):
+            if d % 9 == 8:
+                pos_rows.append((path, pos))
+
+    # --- seq 2: position-delete commit ------------------------------------
+    pd_path = os.path.join(ddir, "pd-0001.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": pa.array([p for p, _ in pos_rows], pa.string()),
+                "pos": pa.array([p for _, p in pos_rows], pa.int64()),
+            }
+        ),
+        pd_path,
+    )
+    pos_rec = write_manifest(
+        "m-posdel.avro", [entry(pd_path, 1, 2, len(pos_rows), [])], 1, 1
+    )
+
+    # --- seq 3: equality-delete commit ------------------------------------
+    eq_vals = [int(d) for d, _ in docs if int(d) % 11 == 3]
+    ed_path = os.path.join(ddir, "ed-0001.parquet")
+    pq.write_table(
+        pa.table({"doc_id": pa.array(eq_vals, pa.int64())}), ed_path
+    )
+    eq_rec = write_manifest(
+        "m-eqdel.avro", [entry(ed_path, 2, 3, len(eq_vals), [1])], 1, 2
+    )
+
+    snaps = []
+    for sid, seq, recs in (
+        (100, 1, data_recs),
+        (200, 2, data_recs + [pos_rec]),
+        (300, 3, data_recs + [pos_rec, eq_rec]),
+    ):
+        lp = os.path.join(mdir, f"snap-{sid}.avro")
+        with open(lp, "wb") as fh:
+            fh.write(
+                write_avro_ocf(
+                    recs, MANIFEST_FILE_V2_SCHEMA, sync=bytes([seq]) * 16
+                )
+            )
+        snaps.append(
+            {
+                "snapshot-id": sid,
+                "sequence-number": seq,
+                "timestamp-ms": 1_700_000_000_000 + seq * 60_000,
+                "manifest-list": lp,
+                "summary": {
+                    "operation": "append" if seq == 1 else "delete"
+                },
+            }
+        )
+
+    meta = {
+        "format-version": 2,
+        "table-uuid": digest,
+        "location": root,
+        "current-snapshot-id": 300,
+        "current-schema-id": 0,
+        "schemas": [
+            {
+                "schema-id": 0,
+                "type": "struct",
+                "fields": [
+                    {"id": 1, "name": "doc_id", "type": "long", "required": True},
+                    {"id": 2, "name": "size", "type": "long", "required": True},
+                    {"id": 3, "name": "day", "type": "int", "required": True},
+                ],
+            }
+        ],
+        "snapshots": snaps,
     }
     with open(os.path.join(mdir, "v1.metadata.json"), "w") as fh:
         json.dump(meta, fh, indent=1, sort_keys=True)
