@@ -1131,6 +1131,9 @@ _CARRYOVER_FIRST: tuple[str, ...] = (
     # streaming twin for Iceberg v2 delete commits (VERDICT r12 task
     # #7): appended position/equality delete files emit retractions
     "stream_iceberg_delete_cdc",
+    # own-writer 3-level LIST encoding for embedding-shaped columns
+    # (VERDICT r12 task #8), wired into TxnBatchSink(writer='own')
+    "parquet_write_list_audit",
 )
 
 

@@ -17160,3 +17160,117 @@ def q_puffin_bitmap_sidecar_slice(spark: SparkSession, sf_dir: str) -> DataFrame
     for name, expr in slices.items():
         out.extend((name, i) for i in bitmap_slice(rows, expr, wide=True))
     return spark.createDataFrame(out, "slice string, doc_id long")
+
+
+# ---------------------------------------------------------------------------
+# Own-writer LIST columns (r13, VERDICT r12 task #8): the 3-level
+# parquet list encoding (optional LIST > repeated list > required
+# element) emitted by sources/parquet_write.py for embedding-shaped
+# data — int64 tag arrays and double embedding vectors, null lists and
+# empty lists included, across all three codecs and both page versions,
+# gated in-query by pyarrow (the reference reader) re-reading every
+# file value-identically. DuckDB re-reads the same shapes in
+# tests/test_parquet_write.py::test_list_columns_three_reader_matrix.
+# ---------------------------------------------------------------------------
+@defquery(
+    "parquet_write_list_audit",
+    """
+    WITH a AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    d AS (SELECT doc_id, n % 20 + 5 AS nr FROM a),
+    r AS (SELECT doc_id, nr, CAST(unnest(range(0, nr)) AS BIGINT) AS i FROM d),
+    agg AS (
+      SELECT doc_id, MAX(nr) AS nr,
+             SUM(CASE WHEN (doc_id + i) % 7 IN (0, 1) THEN 0
+                      ELSE (doc_id + i) * 4 END) AS elem_sum,
+             COUNT(CASE WHEN (doc_id + i) % 7 = 0 THEN 1 END) AS null_lists,
+             COUNT(CASE WHEN (doc_id + i) % 7 = 1 THEN 1 END) AS empty_lists,
+             SUM(0.25 * i * (i % 3 + 1)) AS emb_sum
+      FROM r GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'UNCOMPRESSED'
+                WHEN 1 THEN 'SNAPPY' ELSE 'ZSTD' END AS codec,
+           CAST(1 + doc_id % 2 AS BIGINT) AS page_version,
+           CAST(nr AS BIGINT) AS num_rows,
+           CAST(elem_sum AS BIGINT) AS elem_sum,
+           CAST(null_lists AS BIGINT) AS null_lists,
+           CAST(empty_lists AS BIGINT) AS empty_lists,
+           ROUND(emb_sum, 4) AS emb_sum,
+           TRUE AS ok_ref
+    FROM agg
+    """,
+    doc="own-writer 3-level LIST encoding: int64 tag arrays + double "
+    "embedding vectors with null/empty lists, all codecs, both page "
+    "versions — pyarrow re-reads every file value-identically in-query",
+    tags=("llm", "source", "codec", "catalog"),
+)
+def q_parquet_write_list_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io as _io
+
+        import pyarrow.parquet as _pq
+
+        from shared_etl_pipelines_spark.sources.parquet_write import (
+            write_parquet,
+        )
+
+        cols_out = ("doc_id", "codec", "page_version", "num_rows",
+                    "elem_sum", "null_lists", "empty_lists", "emb_sum",
+                    "ok_ref")
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols_out}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                n = len(str(text).encode("utf-8"))
+                nr = n % 20 + 5
+                arrs: list = []
+                embs: list = []
+                for i in range(nr):
+                    m = (d + i) % 7
+                    arrs.append(
+                        None if m == 0 else ([] if m == 1 else
+                                             [d + i, 3 * (d + i)])
+                    )
+                    embs.append([0.25 * i] * (i % 3 + 1))
+                codec = ("UNCOMPRESSED", "SNAPPY", "ZSTD")[d % 3]
+                pv = 1 + d % 2
+                blob = write_parquet(
+                    [("arr", "list<int64>", arrs),
+                     ("emb", "list<double>", embs)],
+                    compression=codec, page_version=pv, page_rows=7,
+                    row_group_size=16,
+                )
+                t = _pq.read_table(_io.BytesIO(blob))
+                ok_ref = (
+                    t.column("arr").to_pylist() == arrs
+                    and t.column("emb").to_pylist() == embs
+                )
+                rows["doc_id"].append(d)
+                rows["codec"].append(codec)
+                rows["page_version"].append(pv)
+                rows["num_rows"].append(nr)
+                rows["elem_sum"].append(
+                    sum(sum(a) for a in arrs if a)
+                )
+                rows["null_lists"].append(
+                    sum(1 for a in arrs if a is None)
+                )
+                rows["empty_lists"].append(
+                    sum(1 for a in arrs if a == [])
+                )
+                rows["emb_sum"].append(
+                    round(sum(sum(e) for e in embs), 4)
+                )
+                rows["ok_ref"].append(bool(ok_ref))
+            yield pd.DataFrame(rows)
+
+    return _t(spark, sf_dir, "documents").select("doc_id", "text").mapInPandas(
+        batches,
+        "doc_id bigint, codec string, page_version bigint, "
+        "num_rows bigint, elem_sum bigint, null_lists bigint, "
+        "empty_lists bigint, emb_sum double, ok_ref boolean",
+    )

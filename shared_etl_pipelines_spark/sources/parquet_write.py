@@ -281,9 +281,21 @@ def write_parquet(
     ``page_version=2`` (r12) emits DataPageHeaderV2 pages: definition
     levels stored uncompressed ahead of the (separately compressed)
     values, their byte length carried in the header instead of the v1
-    inline prefix."""
+    inline prefix.
+
+    ``list<int64>`` / ``list<double>`` kinds (r13) emit the spec's
+    3-level LIST encoding (optional group LIST > repeated group list >
+    required element): values are Python lists (None for a null list,
+    [] for an empty one; null ELEMENTS refuse loudly), levels are
+    max_rep 1 / max_def 2, pages split on record boundaries. Page
+    indexes are not defined for this writer's list chunks and refuse."""
     if page_version not in (1, 2):
         raise ValueError("parquet writer: page_version must be 1 or 2")
+    if write_page_index and any(k.startswith("list<") for _n, k, _v in columns):
+        raise ValueError(
+            "parquet writer: page indexes for list columns unsupported — "
+            "quarantine"
+        )
     if compression not in ("UNCOMPRESSED", "SNAPPY", "ZSTD"):
         raise ValueError(f"parquet writer: codec {compression} unsupported")
     codec_id = {"UNCOMPRESSED": 0, "SNAPPY": 1, "ZSTD": 6}[compression]
@@ -321,7 +333,22 @@ def write_parquet(
         n_rows = len(rg_vals[0][2]) if rg_vals else 0
         chunks: list[dict] = []
         for name, kind, vals in rg_vals:
+            is_list = kind.startswith("list<")
+            ekind = kind[5:-1] if is_list else kind
+            if is_list and ekind not in ("int64", "double"):
+                raise ValueError(
+                    f"parquet writer: list element kind {ekind} "
+                    "unsupported — quarantine"
+                )
             present = [v for v in vals if v is not None]
+            if is_list and any(
+                e is None for v in present for e in v
+            ):
+                raise ValueError(
+                    "parquet writer: null LIST ELEMENTS unsupported "
+                    "(3-level encoding here is required-element) — "
+                    "quarantine"
+                )
 
             dct: list | None = None
             seen: dict = {}
@@ -329,13 +356,13 @@ def write_parquet(
             # -0.0 into 0.0 (and splits NaN from itself), so keying on
             # the value would break the value-identical readback
             # contract for columns holding both zero signs
-            if kind == "double":
+            if ekind == "double":
                 def _dkey(v: float) -> bytes:
                     return struct.pack("<d", v)
             else:
                 def _dkey(v):
                     return v
-            if use_dictionary and kind != "boolean" and present:
+            if use_dictionary and kind != "boolean" and not is_list and present:
                 uniq: list = []
                 for v in present:
                     k = _dkey(v)
@@ -347,7 +374,7 @@ def write_parquet(
 
             stats = _TStruct()
             stats.i64(3, len(vals) - len(present))
-            if present:
+            if present and not is_list:
                 stats.binary(5, _stat_bytes(max(present), kind))
                 stats.binary(6, _stat_bytes(min(present), kind))
 
@@ -390,31 +417,56 @@ def write_parquet(
             pages: list[dict] = []
             step = page_rows if page_rows else max(len(vals), 1)
             first = 0
+            total_levels = 0
             while True:
                 pv = vals[first : first + step]
                 if not pv and (first or n_rows):
                     break
-                defs = [0 if v is None else 1 for v in pv]
-                ppresent = [v for v in pv if v is not None]
+                if is_list:
+                    # 3-level LIST levels per record: null list -> def 0,
+                    # empty -> def 1, elements -> def 2; rep 0 opens a
+                    # record, rep 1 continues its list
+                    defs: list[int] = []
+                    reps: list[int] = []
+                    ppresent = []
+                    for rec in pv:
+                        if rec is None:
+                            defs.append(0)
+                            reps.append(0)
+                        elif not len(rec):
+                            defs.append(1)
+                            reps.append(0)
+                        else:
+                            for j, e in enumerate(rec):
+                                defs.append(2)
+                                reps.append(1 if j else 0)
+                                ppresent.append(e)
+                else:
+                    defs = [0 if v is None else 1 for v in pv]
+                    reps = []
+                    ppresent = [v for v in pv if v is not None]
+                total_levels += len(defs)
                 if dct is not None:
                     vals_part = bytes([width]) + _rle_hybrid(
                         [seen[_dkey(v)] for v in ppresent], width
                     )
                 else:
-                    vals_part = _plain(ppresent, kind)
+                    vals_part = _plain(ppresent, ekind)
+                max_def = 2 if is_list else 1
                 if page_version == 2:
+                    rep_raw = _rle_levels_raw(reps) if is_list else b""
                     levels = _rle_levels_raw(defs)
                     vcomp = _compress(vals_part)
-                    body = levels + vcomp
-                    usize_body = len(levels) + len(vals_part)
+                    body = rep_raw + levels + vcomp
+                    usize_body = len(rep_raw) + len(levels) + len(vals_part)
                     dph2 = (
                         _TStruct()
-                        .i32(1, len(pv))
-                        .i32(2, len(pv) - len(ppresent))
+                        .i32(1, len(defs))
+                        .i32(2, sum(1 for d in defs if d < max_def))
                         .i32(3, len(pv))
                         .i32(4, enc)
                         .i32(5, len(levels))
-                        .i32(6, 0)  # no repetition levels
+                        .i32(6, len(rep_raw))
                         .boolean(7, compression != "UNCOMPRESSED")
                         .done()
                     )
@@ -429,15 +481,19 @@ def write_parquet(
                     comp = body
                     body_len_for_meta = usize_body
                 else:
-                    body = _rle_def_levels(defs) + vals_part
+                    body = (
+                        (_rle_def_levels(reps) if is_list else b"")
+                        + _rle_def_levels(defs)
+                        + vals_part
+                    )
                     comp = _compress(body)
                     body_len_for_meta = len(body)
                     dph = (
                         _TStruct()
-                        .i32(1, len(pv))
+                        .i32(1, len(defs))
                         .i32(2, enc)
                         .i32(3, 3)  # def levels: RLE
-                        .i32(4, 3)  # rep levels: RLE (absent)
+                        .i32(4, 3)  # rep levels: RLE
                         .done()
                     )
                     page_hdr = (
@@ -459,11 +515,11 @@ def write_parquet(
                         "size": len(page_hdr) + len(comp),
                         "first_row": first,
                         "null_page": not ppresent,
-                        "null_count": len(pv) - len(ppresent),
-                        "min": _stat_bytes(min(ppresent), kind)
-                        if ppresent else b"",
-                        "max": _stat_bytes(max(ppresent), kind)
-                        if ppresent else b"",
+                        "null_count": sum(1 for d in defs if d < max_def),
+                        "min": _stat_bytes(min(ppresent), ekind)
+                        if ppresent and not is_list else b"",
+                        "max": _stat_bytes(max(ppresent), ekind)
+                        if ppresent and not is_list else b"",
                     }
                 )
                 first += len(pv)
@@ -472,10 +528,13 @@ def write_parquet(
             chunks.append(
                 {
                     "name": name,
-                    "kind": kind,
+                    "kind": ekind,
+                    "path": (
+                        [name, "list", "element"] if is_list else [name]
+                    ),
                     "enc": enc,
                     "dct": dct is not None,
-                    "n_vals": len(vals),
+                    "n_vals": total_levels if is_list else len(vals),
                     "usize": usize_total,
                     "csize": csize_total,
                     "chunk_off": chunk_off,
@@ -544,7 +603,7 @@ def write_parquet(
                 .i32(1, _TYPES[ch["kind"]])
                 .list_i32(2, [ch["enc"], 3] if not ch["dct"]
                           else [ch["enc"], 0, 3])
-                .list_binary(3, [ch["name"].encode()])
+                .list_binary(3, [p.encode() for p in ch["path"]])
                 .i32(4, codec_id)
                 .i64(5, ch["n_vals"])
                 .i64(6, ch["usize"])
@@ -577,6 +636,32 @@ def write_parquet(
         .done()
     ]
     for name, kind, _vals in columns:
+        if kind.startswith("list<"):
+            # 3-level group: optional LIST > repeated "list" >
+            # required "element"
+            schema_elems.append(
+                _TStruct()
+                .i32(3, 1)  # OPTIONAL
+                .binary(4, name.encode())
+                .i32(5, 1)
+                .i32(6, 3)  # ConvertedType LIST
+                .done()
+            )
+            schema_elems.append(
+                _TStruct()
+                .i32(3, 2)  # REPEATED
+                .binary(4, b"list")
+                .i32(5, 1)
+                .done()
+            )
+            schema_elems.append(
+                _TStruct()
+                .i32(1, _TYPES[kind[5:-1]])
+                .i32(3, 0)  # REQUIRED
+                .binary(4, b"element")
+                .done()
+            )
+            continue
         el = (
             _TStruct()
             .i32(1, _TYPES[kind])

@@ -60,6 +60,9 @@ class TxnBatchSink:
         "bigint": "int64", "int": "int64", "smallint": "int64",
         "tinyint": "int64", "double": "double", "float": "double",
         "string": "utf8", "boolean": "boolean",
+        # r13: embedding-shaped columns via the writer's 3-level LIST
+        # encoding (null lists ok; null ELEMENTS refuse in the writer)
+        "array<bigint>": "list<int64>", "array<double>": "list<double>",
     }
 
     def __init__(

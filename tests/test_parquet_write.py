@@ -245,3 +245,55 @@ def test_v2_pages_advertise_rle_dictionary():
     assert pq.read_table(io.BytesIO(blob)).column("s").to_pylist() == vals
     # the own page reader surfaces BYTE_ARRAY as raw bytes
     assert read_all_columns(blob, "s") == [v.encode() for v in vals]
+
+
+def test_list_columns_three_reader_matrix():
+    """r13 (VERDICT r12 task #8): the 3-level LIST encoding across
+    codecs, page versions, and page splits — pyarrow and DuckDB must
+    both read back value-identical lists, null lists and empty lists
+    included."""
+    import duckdb as _dd
+
+    rows = [[1, 2, 3], None, [], [9], None, [5, 6], list(range(40))] * 20
+    dbl = [
+        [0.5 * i for i in range(len(r))] if r is not None else None
+        for r in rows
+    ]
+    for codec in ("UNCOMPRESSED", "SNAPPY", "ZSTD"):
+        for pv in (1, 2):
+            blob = write_parquet(
+                [
+                    ("k", "int64", list(range(len(rows)))),
+                    ("arr", "list<int64>", rows),
+                    ("emb", "list<double>", dbl),
+                ],
+                compression=codec, page_version=pv, page_rows=16,
+                row_group_size=64,
+            )
+            t = pq.read_table(io.BytesIO(blob))
+            assert t.column("arr").to_pylist() == rows, (codec, pv)
+            assert t.column("emb").to_pylist() == dbl, (codec, pv)
+            fd, p = tempfile.mkstemp(suffix=".parquet")
+            with os.fdopen(fd, "wb") as fh:
+                fh.write(blob)
+            try:
+                n_elems, n_null = _dd.sql(
+                    f"SELECT SUM(len(arr)), COUNT(*) FILTER (arr IS NULL)"
+                    f" FROM read_parquet('{p}')"
+                ).fetchone()
+            finally:
+                os.unlink(p)
+            assert n_elems == sum(len(r) for r in rows if r is not None)
+            assert n_null == sum(1 for r in rows if r is None)
+
+
+def test_list_columns_refusals():
+    with pytest.raises(ValueError, match="quarantine"):
+        write_parquet([("a", "list<int64>", [[1, None]])])
+    with pytest.raises(ValueError, match="quarantine"):
+        write_parquet([("a", "list<utf8>", [["x"]])])
+    with pytest.raises(ValueError, match="quarantine"):
+        write_parquet(
+            [("a", "list<int64>", [[1]])],
+            write_page_index=True, page_rows=4,
+        )

@@ -1198,8 +1198,9 @@ def test_txn_sink_own_writer_roundtrip(spark, tmp_path):
     assert nulls == sum(1 for r in rows if r[1] is None)
     assert ssum == round(sum(r[1] for r in rows if r[1] is not None), 4)
 
-    # unsupported column types refuse loudly
-    bad = spark.createDataFrame([([1, 2],)], "arr array<bigint>")
+    # unsupported column types refuse loudly (arrays of int64/double
+    # are supported as of r13 — string arrays still are not)
+    bad = spark.createDataFrame([(["a", "b"],)], "arr array<string>")
     sink2 = TxnBatchSink(str(tmp_path / "s2"), writer="own")
     with pytest.raises(Exception, match="no own-writer mapping"):
         sink2(bad, 0)
@@ -1236,3 +1237,64 @@ def test_txn_sink_own_writer_keeps_big_ints_past_2_53(spark, tmp_path):
         t = pq.read_table(p)
         got.extend(zip(t.column("k").to_pylist(), t.column("v").to_pylist()))
     assert sorted(got) == rows
+
+
+def test_txn_sink_own_writer_array_double_roundtrip(spark, tmp_path):
+    """VERDICT r12 task #8: embedding-shaped columns through the
+    own-writer sink — array<double> (and array<bigint>) shards must
+    re-read value-identically through Spark, pyarrow AND DuckDB,
+    null lists and empty lists included."""
+    import glob as _glob
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from shared_etl_pipelines_spark.streaming.sinks import TxnBatchSink
+
+    rows = [
+        (i,
+         None if i % 7 == 0 else [0.25 * i, -1.5, float(i)],
+         [] if i % 5 == 0 else [i, i * i])
+        for i in range(200)
+    ]
+    src = str(tmp_path / "drop")
+    df = spark.createDataFrame(
+        rows, "k long, emb array<double>, tags array<bigint>"
+    )
+    df.coalesce(2).write.parquet(src)
+
+    sroot = str(tmp_path / "sink")
+    sink = TxnBatchSink(sroot, writer="own")
+    q = (
+        spark.readStream.schema("k long, emb array<double>, tags array<bigint>")
+        .parquet(src)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    got = sink.read_committed(spark)
+    assert got.count() == 200
+    assert got.exceptAll(df).count() == 0 and df.exceptAll(got).count() == 0
+
+    parts = sorted(_glob.glob(os.path.join(sroot, "batch=0", "*.parquet")))
+    pa_rows = []
+    for p in parts:
+        t = pq.read_table(p)
+        pa_rows.extend(
+            zip(t.column("k").to_pylist(), t.column("emb").to_pylist(),
+                t.column("tags").to_pylist())
+        )
+    assert sorted(pa_rows, key=lambda r: r[0]) == [
+        (k, e, t_) for k, e, t_ in rows
+    ]
+    glob_sql = os.path.join(sroot, "batch=0", "*.parquet")
+    n, s, nn = duckdb.sql(
+        f"SELECT COUNT(*), ROUND(SUM(list_sum(emb)), 4), "
+        f"COUNT(*) FILTER (emb IS NULL) FROM '{glob_sql}'"
+    ).fetchone()
+    assert n == 200
+    assert nn == sum(1 for r in rows if r[1] is None)
+    assert s == round(sum(sum(r[1]) for r in rows if r[1] is not None), 4)
