@@ -1134,6 +1134,9 @@ _CARRYOVER_FIRST: tuple[str, ...] = (
     # own-writer 3-level LIST encoding for embedding-shaped columns
     # (VERDICT r12 task #8), wired into TxnBatchSink(writer='own')
     "parquet_write_list_audit",
+    # zstd compressed-block emit: predefined-FSE sequences + raw/RLE
+    # literals, store fallback (VERDICT r12 task #6)
+    "zstd_match_encode_audit",
 )
 
 

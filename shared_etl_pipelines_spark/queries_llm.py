@@ -17274,3 +17274,99 @@ def q_parquet_write_list_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "num_rows bigint, elem_sum bigint, null_lists bigint, "
         "empty_lists bigint, emb_sum double, ok_ref boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# zstd compressed-block EMIT (r13, VERDICT r12 task #6): the encoder's
+# ratio half — RFC 8878 compressed blocks with raw/RLE literals and
+# LZ77 sequences entropy-coded under the spec's PREDEFINED FSE
+# distributions (sources/zstd_encode.py, matches=True). Each doc builds
+# two deterministic payloads: a repetitive one (must SHRINK through the
+# sequence path) and a sha256-chain one (incompressible — the encoder
+# must fall back to store blocks, never inflate). Every frame round-
+# trips through BOTH the repo's own RFC 8878 decoder and pyarrow's
+# bundled reference zstd in-query.
+# ---------------------------------------------------------------------------
+@defquery(
+    "zstd_match_encode_audit",
+    """
+    WITH a AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents)
+    SELECT doc_id,
+           CAST(8 * (n % 50 + 20) AS BIGINT) AS rep_len,
+           CAST(32 * (n % 30 + 8) AS BIGINT) AS rnd_len,
+           TRUE AS rep_shrank,
+           TRUE AS rnd_not_inflated,
+           TRUE AS ok_own,
+           TRUE AS ok_ref
+    FROM a
+    """,
+    doc="zstd predefined-FSE compressed-block emit: repetitive payloads "
+    "shrink through the sequence path, incompressible ones fall back "
+    "to store blocks; own decoder + pyarrow both verify every frame",
+    tags=("llm", "source", "codec", "catalog"),
+)
+def q_zstd_match_encode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib as _hl
+
+        import pyarrow as _pa
+
+        from shared_etl_pipelines_spark.sources.zstd_decode import (
+            zstd_decompress,
+        )
+        from shared_etl_pipelines_spark.sources.zstd_encode import (
+            zstd_compress,
+        )
+
+        codec = _pa.Codec("zstd")
+        cols_out = ("doc_id", "rep_len", "rnd_len", "rep_shrank",
+                    "rnd_not_inflated", "ok_own", "ok_ref")
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols_out}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                n = len(str(text).encode("utf-8"))
+                # repetitive: an 8-byte unit repeated -> sequences
+                unit = _hl.sha256(str(d).encode()).digest()[:7] + b"|"
+                rep = unit * (n % 50 + 20)
+                # incompressible: a sha256 chain (no 4-byte repeats in
+                # practice; deterministic per doc)
+                parts = []
+                h = _hl.sha256(b"seed" + str(d).encode()).digest()
+                for _ in range(n % 30 + 8):
+                    parts.append(h)
+                    h = _hl.sha256(h).digest()
+                rnd = b"".join(parts)
+                ok_own = ok_ref = True
+                for payload in (rep, rnd):
+                    frame = zstd_compress(payload, matches=True)
+                    if zstd_decompress(frame) != payload:
+                        ok_own = False
+                    if (
+                        codec.decompress(frame, len(payload)).to_pybytes()
+                        != payload
+                    ):
+                        ok_ref = False
+                rep_frame = zstd_compress(rep, matches=True)
+                rnd_frame = zstd_compress(rnd, matches=True)
+                rows["doc_id"].append(d)
+                rows["rep_len"].append(len(rep))
+                rows["rnd_len"].append(len(rnd))
+                rows["rep_shrank"].append(len(rep_frame) < len(rep) // 4)
+                rows["rnd_not_inflated"].append(
+                    len(rnd_frame) <= len(zstd_compress(rnd))
+                )
+                rows["ok_own"].append(ok_own)
+                rows["ok_ref"].append(ok_ref)
+            yield pd.DataFrame(rows)
+
+    return _t(spark, sf_dir, "documents").select("doc_id", "text").mapInPandas(
+        batches,
+        "doc_id bigint, rep_len bigint, rnd_len bigint, "
+        "rep_shrank boolean, rnd_not_inflated boolean, "
+        "ok_own boolean, ok_ref boolean",
+    )

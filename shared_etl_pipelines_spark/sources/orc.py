@@ -85,14 +85,22 @@ def _int_stats(n: int, lo: int, hi: int, total: int) -> bytes:
     return _kv(1, n) + _kd(2, ints)
 
 
-def _codec_chunks(body: bytes, kind: str, block: int = 262144) -> bytes:
+def _codec_chunks(
+    body: bytes, kind: str, block: int = 262144,
+    zstd_matches: bool = False,
+) -> bytes:
     """Snappy/LZ4 chunk framing: same 3-byte header as ZLIB (the spec's
     generic compressed-stream chunking), codec applied per chunk; the
-    original-flag path is taken when compression would not shrink."""
+    original-flag path is taken when compression would not shrink.
+    ``zstd_matches=True`` (r13) opts the ZSTD codec into the own
+    encoder's predefined-FSE compressed blocks for real ratio."""
     if kind == "SNAPPY":
         from shared_etl_pipelines_spark.sources.snappy import snappy_compress as _c
     elif kind == "ZSTD":
-        from shared_etl_pipelines_spark.sources.zstd_encode import zstd_compress as _c
+        from shared_etl_pipelines_spark.sources.zstd_encode import zstd_compress
+
+        def _c(b: bytes) -> bytes:
+            return zstd_compress(b, matches=zstd_matches)
     else:
         from shared_etl_pipelines_spark.sources.lz4 import lz4_block_compress as _c
     out = bytearray()

@@ -29,13 +29,13 @@ from shared_etl_pipelines_spark.sources.orc_data import _WIDTHS
 __all__ = ["write_orc_data"]
 
 
-def _compress(body: bytes, compression: str) -> bytes:
+def _compress(body: bytes, compression: str, zstd_matches: bool = False) -> bytes:
     if compression == "NONE":
         return body
     if compression == "ZLIB":
         return _zlib_chunks(body)
     if compression in ("SNAPPY", "LZ4", "ZSTD"):
-        return _codec_chunks(body, compression)
+        return _codec_chunks(body, compression, zstd_matches=zstd_matches)
     raise ValueError(f"orc writer: codec {compression} unsupported")
 
 
@@ -115,9 +115,12 @@ def _bool_to_bytes(bits: list[bool]) -> bytes:
 def write_orc_data(
     columns: list[tuple[str, str, list]],
     compression: str = "ZLIB",
+    zstd_matches: bool = False,
 ) -> bytes:
     """``columns``: (name, kind in long/double/utf8/boolean, values
-    with None for nulls); one stripe. Returns complete file bytes."""
+    with None for nulls); one stripe. Returns complete file bytes.
+    ``zstd_matches=True`` (r13) opts ZSTD chunks into the own
+    encoder's predefined-FSE compressed blocks."""
     n_rows = len(columns[0][2]) if columns else 0
     for _n, _k, vals in columns:
         if len(vals) != n_rows:
@@ -128,7 +131,7 @@ def write_orc_data(
     streams_meta: list[tuple[int, int, int]] = []  # (kind, column, length)
 
     def emit(kind: int, col: int, body: bytes) -> None:
-        comp = _compress(body, compression)
+        comp = _compress(body, compression, zstd_matches)
         streams_meta.append((kind, col, len(comp)))
         out.extend(comp)
 
@@ -162,7 +165,7 @@ def write_orc_data(
     for _name, kind, _vals in columns:
         enc = 2 if kind in ("long", "utf8") else 0  # DIRECT_V2 vs DIRECT
         sf += _kd(2, _kv(1, enc))
-    sf_comp = _compress(sf, compression)
+    sf_comp = _compress(sf, compression, zstd_matches)
     out += sf_comp
 
     stripe_info = _kd(
@@ -187,7 +190,7 @@ def write_orc_data(
         _kv(1, 3) + _kv(2, content_end - 3) + stripe_info + types
         + _kv(6, n_rows) + _kv(8, 0)  # rowIndexStride 0: no row index
     )
-    footer_bytes = _compress(footer, compression)
+    footer_bytes = _compress(footer, compression, zstd_matches)
     out += footer_bytes
     comp_no = {v: k for k, v in COMPRESSION.items()}[compression]
     ps = (

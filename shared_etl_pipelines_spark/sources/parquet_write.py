@@ -260,6 +260,7 @@ def write_parquet(
     page_rows: int | None = None,
     write_page_index: bool = False,
     page_version: int = 1,
+    zstd_matches: bool = False,
 ) -> bytes:
     """``columns``: (name, kind in int64/double/utf8/boolean, values
     with None for nulls). Returns the complete file bytes.
@@ -316,7 +317,9 @@ def write_parquet(
                 zstd_compress,
             )
 
-            return zstd_compress(body)
+            # zstd_matches (r13): predefined-FSE compressed blocks for
+            # real ratio; default stays store mode
+            return zstd_compress(body, matches=zstd_matches)
         return body
 
     out = bytearray(b"PAR1")

@@ -1,18 +1,21 @@
-"""zstd frame WRITER — RFC 8878, store mode (raw + RLE blocks).
+"""zstd frame WRITER — RFC 8878: store mode (raw + RLE blocks) plus,
+as of r13, COMPRESSED blocks in their minimal ratio-bearing form
+(VERDICT r12 task #6): raw/RLE literals sections and LZ77 sequences
+entropy-coded with the spec's PREDEFINED FSE distributions
+(§3.1.1.3.2.1.1 — the default LL/ML/OF tables are published in the
+RFC text, transcribed in sources/zstd_decode.py and re-used here for
+the encode direction). A greedy hash-chain matcher finds repeats;
+every block falls back to store form when the compressed rendering is
+not strictly smaller, so output never regresses. Frames carry the
+frame-content size and the XXH64 content checksum, so truncation and
+corruption stay detectable downstream.
 
-The repo's zstd side was decode-only (sources/zstd_decode.py); this
-module closes the EMIT half for the shapes a corpus pipeline actually
-needs to ship: spec-valid frames that ANY zstd decoder accepts. Store
-mode trades ratio for simplicity — raw blocks carry literals verbatim
-and runs collapse to RLE blocks — which is exactly what the format's
-own `--no-compress` / ZSTD_btultra-with-no-matches paths emit. Frames
-carry the frame-content size and the XXH64 content checksum, so
-truncation and corruption stay detectable downstream.
-
-DOCUMENTED BOUNDARY: no FSE/Huffman-compressed blocks are produced
-(the repo decodes them; producing them buys ratio, not correctness,
-and pyarrow's bundled zstd remains the emitter of choice when ratio
-matters). Dictionary frames are not produced.
+DOCUMENTED BOUNDARY: no Huffman-compressed LITERALS and no
+FSE_Compressed custom distributions are produced (the repo decodes
+both; the predefined-sequence form already captures the repetitive
+shard shapes the sink writes). Dictionary frames are not produced.
+``matches=True`` opts into sequence production; the default stays
+store mode so existing floors are untouched.
 
 Cross-checks: pyarrow's bundled reference zstd decodes every frame
 this module writes (tests/test_zstd_encode.py), and so does the
@@ -24,7 +27,19 @@ from __future__ import annotations
 
 import struct
 
-from shared_etl_pipelines_spark.sources.zstd_decode import xxh64
+from shared_etl_pipelines_spark.sources.zstd_decode import (
+    _LL_ACC_DEF,
+    _LL_BASE,
+    _LL_BITS,
+    _LL_DEFAULT,
+    _ML_ACC_DEF,
+    _ML_BASE,
+    _ML_BITS,
+    _ML_DEFAULT,
+    _OF_ACC_DEF,
+    _OF_DEFAULT,
+    xxh64,
+)
 
 __all__ = ["zstd_compress"]
 
@@ -90,15 +105,260 @@ def _blocks(data: bytes) -> list[tuple[int, int, bytes]]:
     return out
 
 
-def zstd_compress(data: bytes) -> bytes:
+# ----------------------------------------------------------------------
+# FSE ENCODING with the predefined distributions (r13). The compression
+# table mirrors the reference construction: the symbol spread is
+# byte-identical to the decode side's (_fse_build), encode states live
+# in [size, 2*size), and per-symbol (deltaNbBits, deltaFindState) drive
+# the state machine exactly as FSE_encodeSymbol does.
+# ----------------------------------------------------------------------
+
+
+def _fse_ctable(counts: list[int], acc: int) -> tuple[list[int], list[tuple[int, int]]]:
+    size = 1 << acc
+    table_sym = [0] * size
+    high = size - 1
+    for s, c in enumerate(counts):
+        if c == -1:
+            table_sym[high] = s
+            high -= 1
+    step = (size >> 1) + (size >> 3) + 3
+    mask = size - 1
+    pos = 0
+    for s, c in enumerate(counts):
+        if c <= 0:
+            continue
+        for _ in range(c):
+            table_sym[pos] = s
+            pos = (pos + step) & mask
+            while pos > high:
+                pos = (pos + step) & mask
+    # cumulative starts per symbol (less-than-one counts occupy 1 cell)
+    cumul = [0] * (len(counts) + 1)
+    for s, c in enumerate(counts):
+        cumul[s + 1] = cumul[s] + (1 if c == -1 else max(c, 0))
+    fill = list(cumul[:-1])
+    state_table = [0] * size
+    for u in range(size):
+        s = table_sym[u]
+        state_table[fill[s]] = size + u
+        fill[s] += 1
+    symbol_tt: list[tuple[int, int]] = []
+    for s, c in enumerate(counts):
+        if c == 0:
+            symbol_tt.append((((acc + 1) << 16) - (1 << acc), 0))
+        elif c in (-1, 1):
+            symbol_tt.append(
+                ((acc << 16) - (1 << acc), cumul[s] - 1)
+            )
+        else:
+            # highbit(c-1) = floor(log2(c-1)) = bit_length - 1
+            max_bits_out = acc - ((c - 1).bit_length() - 1)
+            min_state_plus = c << max_bits_out
+            symbol_tt.append(
+                ((max_bits_out << 16) - min_state_plus, cumul[s] - c)
+            )
+    return state_table, symbol_tt
+
+
+class _FwdBits:
+    """Forward bit accumulator matching _BackBits' read order: the
+    first field WRITTEN lands lowest, the decoder (reading from the
+    top) therefore consumes fields in reverse write order."""
+
+    def __init__(self) -> None:
+        self.value = 0
+        self.nbits = 0
+
+    def add(self, v: int, n: int) -> None:
+        self.value |= (v & ((1 << n) - 1)) << self.nbits
+        self.nbits += n
+
+    def done(self) -> bytes:
+        total = self.value | (1 << self.nbits)  # sentinel bit on top
+        return total.to_bytes((self.nbits + 8) // 8, "little")
+
+
+class _CState:
+    def __init__(self, state_table: list[int], symbol_tt: list) -> None:
+        self.st = state_table
+        self.tt = symbol_tt
+        self.state = 0
+
+    def init(self, sym: int) -> None:
+        d_nb, d_fs = self.tt[sym]
+        nb = (d_nb + (1 << 15)) >> 16
+        self.state = self.st[(((nb << 16) - d_nb) >> nb) + d_fs]
+
+    def encode(self, bits: _FwdBits, sym: int) -> None:
+        d_nb, d_fs = self.tt[sym]
+        nb = (self.state + d_nb) >> 16
+        bits.add(self.state, nb)
+        self.state = self.st[(self.state >> nb) + d_fs]
+
+    def flush(self, bits: _FwdBits, acc: int) -> None:
+        bits.add(self.state, acc)
+
+
+_LL_CT = _fse_ctable(_LL_DEFAULT, _LL_ACC_DEF)
+_OF_CT = _fse_ctable(_OF_DEFAULT, _OF_ACC_DEF)
+_ML_CT = _fse_ctable(_ML_DEFAULT, _ML_ACC_DEF)
+
+
+def _code_of(base: list[int], extra: list[int], v: int) -> int:
+    import bisect
+
+    c = bisect.bisect_right(base, v) - 1
+    if v - base[c] >= (1 << extra[c]):
+        raise ValueError("zstd encode: value outside code coverage")
+    return c
+
+
+def _find_matches(data: bytes) -> list[tuple[int, int, int]]:
+    """Greedy hash-4 matcher: (lit_len, offset, match_len) sequences
+    over ``data``; remaining bytes past the last match are the block's
+    literal tail. Single-pass, last-occurrence table — the cheap end of
+    LZ77, which is all the repetitive shard shapes need."""
+    n = len(data)
+    seqs: list[tuple[int, int, int]] = []
+    tab: dict[bytes, int] = {}
+    i = 0
+    anchor = 0
+    while i + 4 <= n:
+        key = data[i : i + 4]
+        j = tab.get(key)
+        tab[key] = i
+        if j is not None and data[j : j + 4] == key:
+            ml = 4
+            while i + ml < n and data[j + ml] == data[i + ml]:
+                ml += 1
+            if ml >= 3 and ml <= 131071:
+                seqs.append((i - anchor, i - j, ml))
+                # index a few positions inside the match so the next
+                # match can start there
+                for k in range(i + 1, min(i + ml, n - 4), 7):
+                    tab[data[k : k + 4]] = k
+                i += ml
+                anchor = i
+                continue
+        i += 1
+    return seqs
+
+
+def _literals_section(lits: bytes) -> bytes:
+    """Raw or RLE literals section with the smallest size format."""
+    n = len(lits)
+    rle = n > 0 and lits.count(lits[0]) == n
+    ltype = 1 if rle else 0
+    body = lits[:1] if rle else lits
+    if n <= 31:
+        hdr = bytes([ltype | (0 << 2) | (n << 3)])
+    elif n <= 4095:
+        v = ltype | (1 << 2) | (n << 4)
+        hdr = v.to_bytes(2, "little")
+    else:
+        v = ltype | (3 << 2) | (n << 4)
+        hdr = v.to_bytes(3, "little")
+    return hdr + body
+
+
+def _compress_block(data: bytes) -> bytes | None:
+    """One compressed-block body (literals + predefined-FSE sequences),
+    or None when no sequence is found or the rendering is not strictly
+    smaller than the raw form."""
+    seqs = _find_matches(data)
+    if not seqs:
+        return None
+    codes = []
+    lit_parts = []
+    pos = 0
+    for ll, offset, ml in seqs:
+        lit_parts.append(data[pos : pos + ll])
+        pos += ll + ml
+        of_value = offset + 3
+        of_code = of_value.bit_length() - 1
+        if of_code > 28:
+            return None  # beyond the predefined OF table's coverage
+        codes.append(
+            (
+                _code_of(_LL_BASE, _LL_BITS, ll), ll,
+                of_code, of_value - (1 << of_code),
+                _code_of(_ML_BASE, _ML_BITS, ml), ml,
+            )
+        )
+    lit_parts.append(data[pos:])
+    lits = b"".join(lit_parts)
+
+    bits = _FwdBits()
+    ll_s = _CState(*_LL_CT)
+    of_s = _CState(*_OF_CT)
+    ml_s = _CState(*_ML_CT)
+    last = codes[-1]
+    ml_s.init(last[4])
+    of_s.init(last[2])
+    ll_s.init(last[0])
+    bits.add(last[1] - _LL_BASE[last[0]], _LL_BITS[last[0]])
+    bits.add(last[5] - _ML_BASE[last[4]], _ML_BITS[last[4]])
+    bits.add(last[3], last[2])
+    for c in reversed(codes[:-1]):
+        of_s.encode(bits, c[2])
+        ml_s.encode(bits, c[4])
+        ll_s.encode(bits, c[0])
+        bits.add(c[1] - _LL_BASE[c[0]], _LL_BITS[c[0]])
+        bits.add(c[5] - _ML_BASE[c[4]], _ML_BITS[c[4]])
+        bits.add(c[3], c[2])
+    ml_s.flush(bits, _ML_ACC_DEF)
+    of_s.flush(bits, _OF_ACC_DEF)
+    ll_s.flush(bits, _LL_ACC_DEF)
+
+    n_seq = len(codes)
+    if n_seq < 128:
+        cnt = bytes([n_seq])
+    elif n_seq < 0x7F00:
+        cnt = bytes([128 + (n_seq >> 8), n_seq & 0xFF])
+    else:
+        cnt = bytes([255]) + struct.pack("<H", n_seq - 0x7F00)
+    body = _literals_section(lits) + cnt + b"\x00" + bits.done()
+    if len(body) >= len(data):
+        return None
+    return body
+
+
+def zstd_compress(data: bytes, matches: bool = False) -> bytes:
     """One spec-valid zstd frame: single-segment header with the frame
-    content size, raw/RLE blocks, XXH64 content checksum."""
+    content size, XXH64 content checksum. ``matches=False`` (default)
+    emits store-mode raw/RLE blocks; ``matches=True`` additionally
+    tries a compressed block (predefined-FSE sequences) per <=128 KiB
+    slice, falling back to the store form whenever that is not
+    strictly smaller."""
     parts = [struct.pack("<I", _FRAME_MAGIC), _frame_header(len(data))]
-    blocks = _blocks(data)
-    for k, (btype, size, payload) in enumerate(blocks):
-        last = 1 if k == len(blocks) - 1 else 0
-        header = last | (btype << 1) | (size << 3)
-        parts.append(header.to_bytes(3, "little"))
-        parts.append(payload)
+    if matches and data:
+        chunks = [
+            data[i : i + _BLOCK_MAX] for i in range(0, len(data), _BLOCK_MAX)
+        ]
+        for k, chunk in enumerate(chunks):
+            last = 1 if k == len(chunks) - 1 else 0
+            body = _compress_block(chunk)
+            store = _blocks(chunk)
+            store_size = sum(3 + len(p) for _t, _s, p in store)
+            # pick whichever rendering is smaller — a pure run's RLE
+            # store block beats any sequence encoding of it
+            if body is not None and 3 + len(body) < store_size:
+                header = last | (2 << 1) | (len(body) << 3)
+                parts.append(header.to_bytes(3, "little"))
+                parts.append(body)
+                continue
+            for kk, (btype, size, payload) in enumerate(store):
+                lastb = last if kk == len(store) - 1 else 0
+                header = lastb | (btype << 1) | (size << 3)
+                parts.append(header.to_bytes(3, "little"))
+                parts.append(payload)
+    else:
+        blocks = _blocks(data)
+        for k, (btype, size, payload) in enumerate(blocks):
+            last = 1 if k == len(blocks) - 1 else 0
+            header = last | (btype << 1) | (size << 3)
+            parts.append(header.to_bytes(3, "little"))
+            parts.append(payload)
     parts.append(struct.pack("<I", xxh64(data) & 0xFFFFFFFF))
     return b"".join(parts)

@@ -69,3 +69,64 @@ def test_own_parquet_writer_zstd_codec(tmp_path):
 
     assert read_all_columns(blob, "k") == cols[0][2]
     assert read_all_columns(blob, "v") == cols[1][2]
+
+
+def test_matched_frames_cross_decoder_matrix():
+    """matches=True (VERDICT r12 task #6): predefined-FSE compressed
+    blocks — every frame decodes identically through pyarrow's bundled
+    reference zstd AND the repo's own decoder, and compressible shapes
+    actually shrink."""
+    rng = random.Random(11)
+    c = pa.Codec("zstd")
+    cases = [
+        b"",
+        b"abcabcabcabcabcabcX" * 50,
+        b"the quick brown fox jumps " * 3000,
+        bytes(rng.randrange(4) for _ in range(100)) * 500,
+        bytes(rng.randrange(256) for _ in range(40000)),  # incompressible
+        b"\x00" * 300000,  # runs -> still store/RLE path inside
+        bytes(rng.randrange(3) for _ in range(400000)),  # multi-block
+        b"json:{\"key\": 1, \"key\": 2}" * 8000,
+    ]
+    for i, data in enumerate(cases):
+        frame = zstd_compress(data, matches=True)
+        assert c.decompress(frame, len(data)).to_pybytes() == data, i
+        assert zstd_decompress(frame) == data, i
+        # never worse than the store rendering
+        assert len(frame) <= len(zstd_compress(data)), i
+    # ratio is real on the repetitive shapes
+    rep = b"the quick brown fox jumps " * 3000
+    assert len(zstd_compress(rep, matches=True)) < len(rep) // 100
+
+
+def test_matched_fuzz_small():
+    rng = random.Random(23)
+    c = pa.Codec("zstd")
+    for _ in range(300):
+        n = rng.randrange(0, 2000)
+        data = bytes(rng.randrange(rng.choice((2, 4, 17, 256))) for _ in range(n))
+        frame = zstd_compress(data, matches=True)
+        assert zstd_decompress(frame) == data
+        assert c.decompress(frame, len(data)).to_pybytes() == data
+
+
+def test_zstd_matches_wired_into_parquet_and_orc():
+    """The option rides write_parquet(zstd_matches=True) and
+    write_orc_data(zstd_matches=True): pyarrow re-reads both, and the
+    parquet file gets smaller on repetitive data."""
+    from shared_etl_pipelines_spark.sources.orc_write import write_orc_data
+    from shared_etl_pipelines_spark.sources.parquet_write import write_parquet
+    import pyarrow.orc as _orc
+
+    vals = [f"tag-{i % 3}-payload-payload" for i in range(5000)]
+    pq_store = write_parquet([("s", "utf8", vals)], compression="ZSTD")
+    pq_match = write_parquet(
+        [("s", "utf8", vals)], compression="ZSTD", zstd_matches=True
+    )
+    assert pq.read_table(io.BytesIO(pq_match)).column("s").to_pylist() == vals
+    assert len(pq_match) < len(pq_store)
+    orc_match = write_orc_data(
+        [("s", "utf8", vals)], compression="ZSTD", zstd_matches=True
+    )
+    t = _orc.ORCFile(io.BytesIO(orc_match)).read()
+    assert t.column("s").to_pylist() == vals
