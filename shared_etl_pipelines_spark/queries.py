@@ -1137,6 +1137,9 @@ _CARRYOVER_FIRST: tuple[str, ...] = (
     # zstd compressed-block emit: predefined-FSE sequences + raw/RLE
     # literals, store fallback (VERDICT r12 task #6)
     "zstd_match_encode_audit",
+    # VP8 residual coefficients: RFC 6386 token tree + IDCT/IWHT,
+    # texture-accurate keyframes (VERDICT r12 task #5)
+    "multimodal_vp8_residuals",
 )
 
 

@@ -17370,3 +17370,195 @@ def q_zstd_match_encode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rep_shrank boolean, rnd_not_inflated boolean, "
         "ok_own boolean, ok_ref boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# VP8 residual coefficients (r13, VERDICT r12 task #5): keyframe pixel
+# output becomes TEXTURE-accurate — the coefficient token tree, the
+# category extra-bit probabilities, the band map, the zigzag order and
+# the exact integer IDCT/IWHT are transcribed from RFC 6386; each doc
+# encodes a 32x32 keyframe whose four macroblocks carry DC residuals
+# (luma through the Y2/WHT path, chroma direct), and the decoded planes
+# are FLAT per MB with closed-form values the oracle replays:
+# delta_y(L) = ((8L+3)>>3 + 4)>>3 = (L+4)//8 at quantizer index 0,
+# delta_c(M) = (4M+4)//8, DC prediction chaining on reconstructed
+# neighbors. A second in-query frame exercises the general AC path
+# (cat1..cat6 tokens, negatives, zero runs, V/TM modes, a skipped MB
+# among coefficient MBs) and gates determinism + texture divergence.
+# ---------------------------------------------------------------------------
+@defquery(
+    "multimodal_vp8_residuals",
+    """
+    WITH a AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    l AS (
+      SELECT doc_id, n,
+             (n + doc_id) % 13 AS l0, (n + doc_id + 7) % 13 AS l1,
+             (n + doc_id + 14) % 13 AS l2, (n + doc_id + 21) % 13 AS l3,
+             (n + doc_id) % 9 AS mu0, (n + doc_id + 3) % 9 AS mu1,
+             (n + doc_id + 6) % 9 AS mu2, (n + doc_id + 9) % 9 AS mu3,
+             (n + 2 * doc_id) % 7 AS mv0, (n + 2 * doc_id + 5) % 7 AS mv1,
+             (n + 2 * doc_id + 10) % 7 AS mv2, (n + 2 * doc_id + 15) % 7 AS mv3
+      FROM a
+    ),
+    y AS (
+      SELECT doc_id, l0, l1, l2, l3, mu0, mu1, mu2, mu3,
+             mv0, mv1, mv2, mv3,
+             128 + (l0 + 4) // 8 AS v00
+      FROM l
+    ),
+    y2 AS (
+      SELECT *, v00 + (l1 + 4) // 8 AS v01, v00 + (l2 + 4) // 8 AS v10
+      FROM y
+    ),
+    y3 AS (
+      SELECT *, (v01 + v10 + 1) // 2 + (l3 + 4) // 8 AS v11 FROM y2
+    ),
+    u1 AS (
+      SELECT *, 128 + (4 * mu0 + 4) // 8 AS u00, 128 + (4 * mv0 + 4) // 8 AS w00
+      FROM y3
+    ),
+    u2 AS (
+      SELECT *, u00 + (4 * mu1 + 4) // 8 AS u01, u00 + (4 * mu2 + 4) // 8 AS u10,
+             w00 + (4 * mv1 + 4) // 8 AS w01, w00 + (4 * mv2 + 4) // 8 AS w10
+      FROM u1
+    ),
+    u3 AS (
+      SELECT *, (u01 + u10 + 1) // 2 + (4 * mu3 + 4) // 8 AS u11,
+             (w01 + w10 + 1) // 2 + (4 * mv3 + 4) // 8 AS w11
+      FROM u2
+    )
+    SELECT doc_id,
+           CAST(256 * (v00 + v01 + v10 + v11) AS BIGINT) AS y_sum,
+           CAST(64 * (u00 + u01 + u10 + u11) AS BIGINT) AS u_sum,
+           CAST(64 * (w00 + w01 + w10 + w11) AS BIGINT) AS v_sum,
+           CAST((CASE WHEN l0 = 0 AND mu0 = 0 AND mv0 = 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN l1 = 0 AND mu1 = 0 AND mv1 = 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN l2 = 0 AND mu2 = 0 AND mv2 = 0 THEN 1 ELSE 0 END)
+              + (CASE WHEN l3 = 0 AND mu3 = 0 AND mv3 = 0 THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_skip,
+           TRUE AS flat_ok,
+           TRUE AS ok_ac
+    FROM u3
+    """,
+    doc="VP8 keyframe RESIDUAL decode (RFC 6386 token tree + IDCT/"
+    "IWHT): per-MB DC residuals reconstruct to closed-form flat "
+    "planes through the Y2/WHT and chroma paths; an in-query AC frame "
+    "gates the cat-token/sign/context machinery",
+    tags=("llm", "multimodal", "codec"),
+)
+def q_multimodal_vp8_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from shared_etl_pipelines_spark.sources.vp8 import (
+            DC_PRED,
+            TM_PRED,
+            V_PRED,
+            decode_keyframe,
+            encode_keyframe_coeffs,
+            encode_keyframe_skip,
+        )
+
+        cols_out = ("doc_id", "y_sum", "u_sum", "v_sum", "n_skip",
+                    "flat_ok", "ok_ac")
+        skip_ref = None
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols_out}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                n = len(str(text).encode("utf-8"))
+                ls = [(n + d + 7 * k) % 13 for k in range(4)]
+                mus = [(n + d + 3 * k) % 9 for k in range(4)]
+                mvs = [(n + 2 * d + 5 * k) % 7 for k in range(4)]
+                mbs = []
+                for k in range(4):
+                    y2 = [0] * 16
+                    y2[0] = ls[k]
+                    u = [[0] * 16 for _ in range(4)]
+                    v = [[0] * 16 for _ in range(4)]
+                    for b in range(4):
+                        u[b][0] = mus[k]
+                        v[b][0] = mvs[k]
+                    mbs.append({"ymode": DC_PRED, "uvmode": DC_PRED,
+                                "y2": y2, "u": u, "v": v})
+                dec = decode_keyframe(encode_keyframe_coeffs(32, 32, mbs))
+
+                def mb_flat(plane, width, r, c, size):
+                    vals = {
+                        plane[(r * size + i) * width + (c * size + j)]
+                        for i in range(size) for j in range(size)
+                    }
+                    return vals.pop() if len(vals) == 1 else None
+
+                flat_ok = True
+                yv = [[0, 0], [0, 0]]
+                uv = [[0, 0], [0, 0]]
+                wv = [[0, 0], [0, 0]]
+                for r in range(2):
+                    for c in range(2):
+                        fy = mb_flat(dec["y"], 32, r, c, 16)
+                        fu = mb_flat(dec["u"], 16, r, c, 8)
+                        fw = mb_flat(dec["v"], 16, r, c, 8)
+                        if fy is None or fu is None or fw is None:
+                            flat_ok = False
+                        else:
+                            yv[r][c], uv[r][c], wv[r][c] = fy, fu, fw
+                n_skip = sum(
+                    1 for k in range(4)
+                    if ls[k] == 0 and mus[k] == 0 and mvs[k] == 0
+                )
+                # AC-path gate: cat tokens, negatives, zero runs, a
+                # skipped MB between coefficient MBs, V/TM modes
+                ac_mbs = []
+                for k in range(4):
+                    if k == 2:
+                        ac_mbs.append({"ymode": DC_PRED,
+                                       "uvmode": DC_PRED})
+                        continue
+                    y2 = [0] * 16
+                    y2[0] = (d + k) % 21 - 10
+                    y2[3] = 2
+                    yb = []
+                    for sb in range(16):
+                        b = [0] * 16
+                        b[1] = [0, 1, -1, 5, 37, -70, 120][
+                            (d + sb + k) % 7
+                        ]
+                        b[15] = 2 if (d + sb) % 3 == 0 else 0
+                        yb.append(b)
+                    u = [[0] * 16 for _ in range(4)]
+                    u[0][2] = -4
+                    u[3][0] = 68
+                    ac_mbs.append(
+                        {"ymode": [DC_PRED, V_PRED, None, TM_PRED][k],
+                         "uvmode": DC_PRED, "y2": y2, "y": yb, "u": u}
+                    )
+                ac_frame = encode_keyframe_coeffs(32, 32, ac_mbs)
+                ac1 = decode_keyframe(ac_frame)
+                ac2 = decode_keyframe(ac_frame)
+                if skip_ref is None:
+                    skip_ref = decode_keyframe(
+                        encode_keyframe_skip(32, 32)
+                    )["y"]
+                ok_ac = (
+                    ac1["y"] == ac2["y"]
+                    and ac1["u"] == ac2["u"]
+                    and ac1["y"] != skip_ref
+                    and encode_keyframe_coeffs(32, 32, ac_mbs) == ac_frame
+                )
+                rows["doc_id"].append(d)
+                rows["y_sum"].append(256 * sum(sum(r_) for r_ in yv))
+                rows["u_sum"].append(64 * sum(sum(r_) for r_ in uv))
+                rows["v_sum"].append(64 * sum(sum(r_) for r_ in wv))
+                rows["n_skip"].append(n_skip)
+                rows["flat_ok"].append(flat_ok)
+                rows["ok_ac"].append(bool(ok_ac))
+            yield pd.DataFrame(rows)
+
+    return _t(spark, sf_dir, "documents").select("doc_id", "text").mapInPandas(
+        batches,
+        "doc_id bigint, y_sum bigint, u_sum bigint, v_sum bigint, "
+        "n_skip bigint, flat_ok boolean, ok_ac boolean",
+    )
