@@ -224,6 +224,106 @@ def _rle_hybrid(vals: list[int], width: int) -> bytes:
     return bytes(body)
 
 
+# ----------------------------------------------------------------------
+# alternative value encodings (r13): the WRITE half of the decoders in
+# sources/parquet_pages.py — DELTA_BINARY_PACKED (block 128, 4
+# miniblocks), DELTA_LENGTH_BYTE_ARRAY, DELTA_BYTE_ARRAY (shared-prefix
+# suffixes), BYTE_STREAM_SPLIT
+# ----------------------------------------------------------------------
+def _uleb_w(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zz_leb_w(v: int) -> bytes:
+    return _uleb_w((v << 1) ^ (v >> 63))
+
+
+def _delta_bp_write(vals: list[int]) -> bytes:
+    """DELTA_BINARY_PACKED: ULEB header (block 128, 4 miniblocks of 32,
+    count, zigzag first), per block a zigzag min-delta + 4 bit widths +
+    LSB-first packed adjusted deltas; trailing miniblocks pad width 0."""
+    out = bytearray(_uleb_w(128) + _uleb_w(4) + _uleb_w(len(vals)))
+    out += _zz_leb_w(vals[0] if vals else 0)
+    deltas = [vals[i] - vals[i - 1] for i in range(1, len(vals))]
+    for bs in range(0, len(deltas), 128):
+        block = deltas[bs : bs + 128]
+        min_d = min(block)
+        adj = [d - min_d for d in block] + [0] * (128 - len(block))
+        out += _zz_leb_w(min_d)
+        widths = []
+        for m in range(4):
+            mini = adj[32 * m : 32 * (m + 1)]
+            n_vals_here = max(0, min(32, len(block) - 32 * m))
+            widths.append(
+                max((x.bit_length() for x in mini[:n_vals_here]),
+                    default=0) if n_vals_here else 0
+            )
+        out += bytes(widths)
+        for m, w in enumerate(widths):
+            # width-0 miniblocks (padding or all-equal deltas) carry no
+            # payload bytes
+            if w:
+                bits = 0
+                for i, x in enumerate(adj[32 * m : 32 * (m + 1)]):
+                    bits |= x << (i * w)
+                out += bits.to_bytes((32 * w + 7) // 8, "little")
+    return bytes(out)
+
+
+def _delta_length_write(vals: list[bytes]) -> bytes:
+    return _delta_bp_write([len(v) for v in vals]) + b"".join(vals)
+
+
+def _delta_byte_array_write(vals: list[bytes]) -> bytes:
+    prefixes: list[int] = []
+    suffixes: list[bytes] = []
+    prev = b""
+    for v in vals:
+        n = 0
+        m = min(len(prev), len(v))
+        while n < m and prev[n] == v[n]:
+            n += 1
+        prefixes.append(n)
+        suffixes.append(v[n:])
+        prev = v
+    return _delta_bp_write(prefixes) + _delta_length_write(suffixes)
+
+
+def _byte_stream_split_write(vals: list, kind: str) -> bytes:
+    fmt, k = ("<q", 8) if kind == "int64" else ("<d", 8)
+    raws = [struct.pack(fmt, v) for v in vals]
+    return bytes(r[j] for j in range(k) for r in raws)
+
+
+# column-override encodings: name -> (parquet id, allowed kinds)
+_ALT_ENCODINGS = {
+    "DELTA_BINARY_PACKED": (5, ("int64",)),
+    "DELTA_LENGTH_BYTE_ARRAY": (6, ("utf8",)),
+    "DELTA_BYTE_ARRAY": (7, ("utf8",)),
+    # the spec extends BSS to ints, but DuckDB's reader accepts only
+    # FLOAT/DOUBLE — keep the three-reader contract
+    "BYTE_STREAM_SPLIT": (9, ("double",)),
+}
+
+
+def _alt_encode(vals: list, kind: str, name: str) -> bytes:
+    if name == "DELTA_BINARY_PACKED":
+        return _delta_bp_write(vals)
+    if name == "DELTA_LENGTH_BYTE_ARRAY":
+        return _delta_length_write([v.encode("utf-8") for v in vals])
+    if name == "DELTA_BYTE_ARRAY":
+        return _delta_byte_array_write([v.encode("utf-8") for v in vals])
+    return _byte_stream_split_write(vals, kind)
+
+
 def _plain(vals: list, kind: str) -> bytes:
     if kind == "int64":
         return struct.pack(f"<{len(vals)}q", *vals)
@@ -261,6 +361,7 @@ def write_parquet(
     write_page_index: bool = False,
     page_version: int = 1,
     zstd_matches: bool = False,
+    column_encodings: dict[str, str] | None = None,
 ) -> bytes:
     """``columns``: (name, kind in int64/double/utf8/boolean, values
     with None for nulls). Returns the complete file bytes.
@@ -297,6 +398,24 @@ def write_parquet(
             "parquet writer: page indexes for list columns unsupported — "
             "quarantine"
         )
+    # column_encodings (r13): per-column alternative value encodings —
+    # DELTA_BINARY_PACKED / DELTA_LENGTH_BYTE_ARRAY / DELTA_BYTE_ARRAY /
+    # BYTE_STREAM_SPLIT; validated against the column kind up front
+    kind_by_name = {n: k for n, k, _v in columns}
+    for cname, ename in (column_encodings or {}).items():
+        if cname not in kind_by_name:
+            raise ValueError(
+                f"parquet writer: encoding for unknown column {cname!r}"
+            )
+        if ename not in _ALT_ENCODINGS:
+            raise ValueError(
+                f"parquet writer: encoding {ename} unsupported — quarantine"
+            )
+        if kind_by_name[cname] not in _ALT_ENCODINGS[ename][1]:
+            raise ValueError(
+                f"parquet writer: encoding {ename} invalid for kind "
+                f"{kind_by_name[cname]} — quarantine"
+            )
     if compression not in ("UNCOMPRESSED", "SNAPPY", "ZSTD"):
         raise ValueError(f"parquet writer: codec {compression} unsupported")
     codec_id = {"UNCOMPRESSED": 0, "SNAPPY": 1, "ZSTD": 6}[compression]
@@ -353,6 +472,8 @@ def write_parquet(
                     "quarantine"
                 )
 
+            alt_enc = (column_encodings or {}).get(name)
+
             dct: list | None = None
             seen: dict = {}
             # doubles key on the raw bit pattern: Python equality folds
@@ -365,7 +486,8 @@ def write_parquet(
             else:
                 def _dkey(v):
                     return v
-            if use_dictionary and kind != "boolean" and not is_list and present:
+            if (use_dictionary and kind != "boolean" and not is_list
+                    and alt_enc is None and present):
                 uniq: list = []
                 for v in present:
                     k = _dkey(v)
@@ -453,6 +575,9 @@ def write_parquet(
                     vals_part = bytes([width]) + _rle_hybrid(
                         [seen[_dkey(v)] for v in ppresent], width
                     )
+                elif alt_enc is not None:
+                    vals_part = _alt_encode(ppresent, ekind, alt_enc)
+                    enc = _ALT_ENCODINGS[alt_enc][0]
                 else:
                     vals_part = _plain(ppresent, ekind)
                 max_def = 2 if is_list else 1

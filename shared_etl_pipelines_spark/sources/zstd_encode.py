@@ -245,9 +245,85 @@ def _find_matches(data: bytes) -> list[tuple[int, int, int]]:
     return seqs
 
 
-def _literals_section(lits: bytes) -> bytes:
-    """Raw or RLE literals section with the smallest size format."""
+def _huf_literals(lits: bytes) -> bytes | None:
+    """Huffman-COMPRESSED literals section (r13): single-stream,
+    direct 4-bit weights — the canonical-code construction mirrors the
+    decoder's (_huf_build: ascending weight, symbol order within, the
+    last present symbol's weight implied by power-of-two completion).
+    Returns None when out of the 1-stream size format's range, when
+    the optimal code exceeds the 11-bit cap, or when no bytes are
+    saved — the caller falls back to raw/RLE."""
+    import heapq
+
     n = len(lits)
+    if not (32 <= n <= 1023):
+        return None
+    freq: dict[int, int] = {}
+    for b in lits:
+        freq[b] = freq.get(b, 0) + 1
+    if len(freq) < 2:
+        return None
+    # standard Huffman lengths
+    heap = [(c, i, (s,)) for i, (s, c) in enumerate(sorted(freq.items()))]
+    heapq.heapify(heap)
+    tick = len(heap)
+    length = {s: 0 for s in freq}
+    while len(heap) > 1:
+        c1, _i1, s1 = heapq.heappop(heap)
+        c2, _i2, s2 = heapq.heappop(heap)
+        for s in s1 + s2:
+            length[s] += 1
+        heapq.heappush(heap, (c1 + c2, tick, s1 + s2))
+        tick += 1
+    max_len = max(length.values())
+    if max_len > 11:
+        return None  # honest scope: no length-limiting pass
+    weights = {s: max_len + 1 - ln for s, ln in length.items()}
+    max_sym = max(freq)
+    if max_sym > 128:
+        # the direct 4-bit header lists at most 128 weights; the
+        # FSE-compressed weights form is not emitted (honest scope)
+        return None
+    # canonical table walk identical to the decoder's
+    max_bits = max_len
+    pos = 0
+    codes: dict[int, tuple[int, int]] = {}
+    for w in range(1, max_bits + 1):
+        for s in range(max_sym + 1):
+            if weights.get(s) != w:
+                continue
+            nb = max_bits + 1 - w
+            span = 1 << (max_bits - nb)
+            codes[s] = (pos >> (max_bits - nb), nb)
+            pos += span
+    if pos != 1 << max_bits:
+        return None
+    # weights header: direct 4-bit, symbols 0..max_sym-1 listed, the
+    # last present symbol implied
+    ws = [weights.get(s, 0) for s in range(max_sym)]
+    hdr = bytearray([127 + len(ws)])
+    for i in range(0, len(ws), 2):
+        hi = ws[i] << 4
+        lo = ws[i + 1] if i + 1 < len(ws) else 0
+        hdr.append(hi | lo)
+    bits = _FwdBits()
+    for b in reversed(lits):  # decoder reads the stream forward
+        code, nb = codes[b]
+        bits.add(code, nb)
+    body = bytes(hdr) + bits.done()
+    csize = len(body)
+    if csize > 1023 or csize + 3 >= n:  # 1-stream format cap / no win
+        return None
+    v = 2 | (0 << 2) | (n << 4) | (csize << 14)
+    return v.to_bytes(3, "little") + body
+
+
+def _literals_section(lits: bytes) -> bytes:
+    """Smallest of Huffman-compressed, RLE, and raw literal forms."""
+    n = len(lits)
+    huf = _huf_literals(lits)
+    if huf is not None:
+        return huf
     rle = n > 0 and lits.count(lits[0]) == n
     ltype = 1 if rle else 0
     body = lits[:1] if rle else lits
@@ -268,7 +344,13 @@ def _compress_block(data: bytes) -> bytes | None:
     smaller than the raw form."""
     seqs = _find_matches(data)
     if not seqs:
-        return None
+        # no matches: a literals-only compressed block still wins when
+        # the Huffman section beats the raw bytes (skewed histograms)
+        huf = _huf_literals(data)
+        if huf is None:
+            return None
+        body = huf + b"\x00"  # zero sequences
+        return body if len(body) < len(data) else None
     codes = []
     lit_parts = []
     pos = 0

@@ -297,3 +297,75 @@ def test_list_columns_refusals():
             [("a", "list<int64>", [[1]])],
             write_page_index=True, page_rows=4,
         )
+
+
+def test_alt_encodings_three_reader_matrix():
+    """r13: DELTA_BINARY_PACKED / DELTA_LENGTH_BYTE_ARRAY /
+    DELTA_BYTE_ARRAY / BYTE_STREAM_SPLIT write paths — pyarrow, DuckDB
+    and the own page reader all read back value-identically across
+    codecs, page versions, multi-page and multi-row-group splits; the
+    delta encoding genuinely shrinks sorted keys."""
+    import duckdb as _dd
+
+    rng = random.Random(5)
+    n = 4000
+    ts = sorted(rng.randrange(10**12, 10**12 + 10**9) for _ in range(n))
+    ints = [rng.randrange(-10**9, 10**9) if rng.random() > 0.1 else None
+            for _ in range(n)]
+    urls = [None if i % 17 == 0 else f"https://example.org/p/{i//10}/d-{i}"
+            for i in range(n)]
+    dbls = [rng.random() * 1000 for _ in range(n)]
+    cols = [("ts", "int64", ts), ("v", "int64", ints),
+            ("url", "utf8", urls), ("x", "double", dbls)]
+    maps = [
+        {"ts": "DELTA_BINARY_PACKED", "v": "DELTA_BINARY_PACKED",
+         "url": "DELTA_LENGTH_BYTE_ARRAY", "x": "BYTE_STREAM_SPLIT"},
+        {"url": "DELTA_BYTE_ARRAY"},
+    ]
+    for codec in ("UNCOMPRESSED", "SNAPPY", "ZSTD"):
+        for pv in (1, 2):
+            for em in maps:
+                blob = write_parquet(
+                    cols, compression=codec, page_version=pv,
+                    page_rows=700, row_group_size=2048,
+                    column_encodings=em,
+                )
+                t = pq.read_table(io.BytesIO(blob))
+                for nm, _k, vals in cols:
+                    assert t.column(nm).to_pylist() == vals, (codec, pv, nm)
+                fd, p = tempfile.mkstemp(suffix=".parquet")
+                with os.fdopen(fd, "wb") as fh:
+                    fh.write(blob)
+                try:
+                    cnt, smin = _dd.sql(
+                        f"SELECT COUNT(*), MIN(ts) FROM read_parquet('{p}')"
+                    ).fetchone()
+                finally:
+                    os.unlink(p)
+                assert (cnt, smin) == (n, ts[0])
+                for nm, k, vals in cols:
+                    got = read_all_columns(blob, nm)
+                    if k == "utf8":
+                        got = [x.decode() if x is not None else None
+                               for x in got]
+                    assert got == vals, ("own", codec, pv, nm)
+    plain = write_parquet([("ts", "int64", ts)], compression="UNCOMPRESSED")
+    delta = write_parquet(
+        [("ts", "int64", ts)], compression="UNCOMPRESSED",
+        column_encodings={"ts": "DELTA_BINARY_PACKED"},
+    )
+    assert len(delta) < len(plain) // 3
+
+
+def test_alt_encodings_refusals():
+    cols = [("v", "int64", [1, 2]), ("s", "utf8", ["a", "b"]),
+            ("x", "double", [0.5, 1.5])]
+    for bad in (
+        {"x": "DELTA_BINARY_PACKED"},   # kind mismatch
+        {"nope": "BYTE_STREAM_SPLIT"},  # unknown column
+        {"s": "BYTE_STREAM_SPLIT"},     # kind mismatch
+        {"v": "BYTE_STREAM_SPLIT"},     # ints: DuckDB-compat refusal
+        {"v": "RLE_FANCY"},             # unknown encoding
+    ):
+        with pytest.raises(ValueError):
+            write_parquet(cols, column_encodings=bad)

@@ -130,3 +130,23 @@ def test_zstd_matches_wired_into_parquet_and_orc():
     )
     t = _orc.ORCFile(io.BytesIO(orc_match)).read()
     assert t.column("s").to_pylist() == vals
+
+
+def test_huffman_literals_engage_and_cross_decode():
+    """r13: Huffman-compressed literals (single-stream, direct 4-bit
+    weights, canonical construction mirroring the decoder) engage on
+    skewed histograms — including the literals-only compressed block
+    with zero sequences — and every frame still decodes through both
+    pyarrow and the own decoder."""
+    rng = random.Random(9)
+    c = pa.Codec("zstd")
+    skew = bytes(rng.choice(b"etaoinshrdlucmf") for _ in range(900))
+    frame = zstd_compress(skew, matches=True)
+    assert len(frame) < len(skew) * 2 // 3  # entropy win without matches
+    assert zstd_decompress(frame) == skew
+    assert c.decompress(frame, len(skew)).to_pybytes() == skew
+    # >128 distinct byte values: direct weights out of range -> raw
+    wide = bytes(rng.randrange(256) for _ in range(800))
+    fw = zstd_compress(wide, matches=True)
+    assert zstd_decompress(fw) == wide
+    assert c.decompress(fw, len(wide)).to_pybytes() == wide
