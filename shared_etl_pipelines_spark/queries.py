@@ -1140,6 +1140,10 @@ _CARRYOVER_FIRST: tuple[str, ...] = (
     # VP8 residual coefficients: RFC 6386 token tree + IDCT/IWHT,
     # texture-accurate keyframes (VERDICT r12 task #5)
     "multimodal_vp8_residuals",
+    # delta/BSS parquet write encodings, three readers (r13)
+    "parquet_write_delta_audit",
+    # Dirichlet query-likelihood retrieval next to BM25 (r13)
+    "ql_dirichlet_topk",
 )
 
 

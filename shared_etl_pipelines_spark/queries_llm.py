@@ -17562,3 +17562,211 @@ def q_multimodal_vp8_residuals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id bigint, y_sum bigint, u_sum bigint, v_sum bigint, "
         "n_skip bigint, flat_ok boolean, ok_ac boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# Alternative parquet value encodings (r13): the WRITE half of the
+# reader's DELTA_BINARY_PACKED / DELTA_LENGTH_BYTE_ARRAY /
+# DELTA_BYTE_ARRAY / BYTE_STREAM_SPLIT support
+# (sources/parquet_write.py column_encodings). Per doc a file with a
+# sorted delta-packed key column, a delta-length URL column, and a
+# byte-stream-split double column round-trips through pyarrow AND the
+# own page reader in-query; the delta key chunk must be smaller than
+# its PLAIN rendering (the encoding's reason to exist).
+# ---------------------------------------------------------------------------
+@defquery(
+    "parquet_write_delta_audit",
+    """
+    WITH a AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+    d AS (SELECT doc_id, n % 60 + 20 AS nr FROM a),
+    r AS (SELECT doc_id, nr, CAST(unnest(range(0, nr)) AS BIGINT) AS i FROM d),
+    agg AS (
+      SELECT doc_id, MAX(nr) AS nr,
+             SUM(doc_id * 1000 + i * i) AS key_sum,
+             SUM(19 + length(CAST(doc_id AS VARCHAR))
+                    + length(CAST(i // 7 AS VARCHAR))
+                    + length(CAST(i AS VARCHAR))) AS url_bytes,
+             ROUND(SUM(0.5 * i + doc_id % 10), 4) AS x_sum
+      FROM r GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(nr AS BIGINT) AS num_rows,
+           CAST(key_sum AS BIGINT) AS key_sum,
+           CAST(url_bytes AS BIGINT) AS url_bytes,
+           x_sum,
+           TRUE AS delta_shrank, TRUE AS ok_ref, TRUE AS ok_own
+    FROM agg
+    """,
+    doc="own-writer delta/BSS encodings: DELTA_BINARY_PACKED keys, "
+    "DELTA_LENGTH_BYTE_ARRAY urls, BYTE_STREAM_SPLIT doubles — pyarrow "
+    "and the own reader re-read every value; the delta rendering beats "
+    "PLAIN on sorted keys",
+    tags=("llm", "source", "codec", "catalog"),
+)
+def q_parquet_write_delta_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io as _io
+
+        import pyarrow.parquet as _pq
+
+        from shared_etl_pipelines_spark.sources.parquet_pages import (
+            read_all_columns,
+        )
+        from shared_etl_pipelines_spark.sources.parquet_write import (
+            write_parquet,
+        )
+
+        cols_out = ("doc_id", "num_rows", "key_sum", "url_bytes", "x_sum",
+                    "delta_shrank", "ok_ref", "ok_own")
+        for pdf in it:
+            rows: dict[str, list] = {k: [] for k in cols_out}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                n = len(str(text).encode("utf-8"))
+                nr = n % 60 + 20
+                keys = [d * 1000 + i * i for i in range(nr)]  # sorted
+                urls = [f"https://ex.org/{d}/{i // 7}/d-{i}"
+                        for i in range(nr)]
+                xs = [0.5 * i + d % 10 for i in range(nr)]
+                cols = [("k", "int64", keys), ("url", "utf8", urls),
+                        ("x", "double", xs)]
+                enc = {
+                    "k": "DELTA_BINARY_PACKED",
+                    "url": ("DELTA_LENGTH_BYTE_ARRAY" if d % 2 == 0
+                            else "DELTA_BYTE_ARRAY"),
+                    "x": "BYTE_STREAM_SPLIT",
+                }
+                blob = write_parquet(
+                    cols, compression="UNCOMPRESSED",
+                    column_encodings=enc,
+                )
+                plain = write_parquet(cols, compression="UNCOMPRESSED")
+                t = _pq.read_table(_io.BytesIO(blob))
+                ok_ref = (
+                    t.column("k").to_pylist() == keys
+                    and t.column("url").to_pylist() == urls
+                    and t.column("x").to_pylist() == xs
+                )
+                own_k = read_all_columns(blob, "k")
+                own_u = [
+                    b.decode() for b in read_all_columns(blob, "url")
+                ]
+                own_x = read_all_columns(blob, "x")
+                ok_own = own_k == keys and own_u == urls and own_x == xs
+                rows["doc_id"].append(d)
+                rows["num_rows"].append(nr)
+                rows["key_sum"].append(sum(keys))
+                rows["url_bytes"].append(sum(len(u) for u in urls))
+                rows["x_sum"].append(round(sum(xs), 4))
+                rows["delta_shrank"].append(len(blob) < len(plain))
+                rows["ok_ref"].append(bool(ok_ref))
+                rows["ok_own"].append(bool(ok_own))
+            yield pd.DataFrame(rows)
+
+    return _t(spark, sf_dir, "documents").select("doc_id", "text").mapInPandas(
+        batches,
+        "doc_id bigint, num_rows bigint, key_sum bigint, "
+        "url_bytes bigint, x_sum double, delta_shrank boolean, "
+        "ok_ref boolean, ok_own boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Query-likelihood retrieval with Dirichlet smoothing (r13): the
+# language-modeling scorer next to BM25 in the retrieval family —
+# score(d) = sum_q ln((tf_qd + mu * cf_q / C) / (dl_d + mu)), mu=2000.
+# Every doc scores (absent terms fall back to the smoothed background
+# probability), so the plan is one token scan -> per-doc lengths +
+# per-(doc,term) tfs, with the collection stats (cf_q, C) riding
+# broadcasts, and the top-10 compiling to TakeOrderedAndProject — the
+# same no-global-sort shape the BM25 plan gate pins.
+# ---------------------------------------------------------------------------
+@defquery(
+    "ql_dirichlet_topk",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({TOKS_SQL}) AS t FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    c AS (SELECT CAST(COUNT(*) AS DOUBLE) AS coll FROM toks),
+    q AS (SELECT unnest(['spark', 'vector', 'window']) AS t),
+    cf AS (
+      SELECT q.t, CAST(COUNT(toks.doc_id) AS DOUBLE) AS cf
+      FROM q LEFT JOIN toks ON toks.t = q.t GROUP BY q.t
+    ),
+    tf AS (
+      SELECT doc_id, t, CAST(COUNT(*) AS DOUBLE) AS tf FROM toks
+      WHERE t IN (SELECT t FROM q) GROUP BY doc_id, t
+    ),
+    scored AS (
+      SELECT dl.doc_id,
+             SUM(ln((COALESCE(tf.tf, 0) + 2000.0 * cf.cf / c.coll)
+                    / (dl.dl + 2000.0))) AS score
+      FROM dl CROSS JOIN cf CROSS JOIN c
+      LEFT JOIN tf ON tf.doc_id = dl.doc_id AND tf.t = cf.t
+      GROUP BY dl.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, ROUND(score, 4) AS score,
+             ROW_NUMBER() OVER (ORDER BY ROUND(score, 4) DESC, doc_id)
+               AS rnk
+      FROM scored
+    )
+    SELECT doc_id, score, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= 10
+    """,
+    doc="Dirichlet query-likelihood top-10 for {spark, vector, window}: "
+    "mu=2000, smoothed background for absent terms, collection stats "
+    "broadcast, distributed top-k (no global sort)",
+    tags=("llm", "text", "retrieval", "scale-path"),
+)
+def q_ql_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from shared_etl_pipelines_spark.functions.text import tokens
+
+    MU = 2000.0
+    terms = ["spark", "vector", "window"]
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("t")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    coll = toks.agg(F.count(F.lit(1)).cast("double").alias("coll"))
+    qdf = spark.createDataFrame([(t,) for t in terms], "t string")
+    cf = (
+        qdf.join(toks, "t", "left")
+        .groupBy("t")
+        .agg(F.count("doc_id").cast("double").alias("cf"))
+    )
+    tf = (
+        toks.filter(F.col("t").isin(terms))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    scored = (
+        dl.crossJoin(F.broadcast(cf))
+        .crossJoin(F.broadcast(coll))
+        .join(tf, ["doc_id", "t"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.log(
+                    (F.coalesce(F.col("tf"), F.lit(0.0))
+                     + F.lit(MU) * F.col("cf") / F.col("coll"))
+                    / (F.col("dl") + F.lit(MU))
+                )
+            ).alias("score")
+        )
+    )
+    top = (
+        scored.select("doc_id", F.round("score", 4).alias("score"))
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+    )
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return top.withColumn(
+        "rnk", F.row_number().over(w).cast("long")
+    )

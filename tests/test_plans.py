@@ -909,3 +909,12 @@ def test_pageindex_scan_actually_prunes(spark, sf):
         assert shard_hits == ref_hits, path
     assert read_ < total, f"no pages pruned: read {read_} of {total}"
     assert hits > 0, "probe range matched no rows — gate is vacuous"
+
+
+def test_ql_dirichlet_is_take_ordered_not_global_window(spark, sf):
+    """The QL scorer's top-10 must compile to TakeOrderedAndProject
+    with broadcast collection stats — same shape the BM25 gate pins."""
+    plan = phys(REGISTRY["ql_dirichlet_topk"].fn(spark, sf))
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.index("TakeOrderedAndProject") > plan.index("Window")
