@@ -205,6 +205,102 @@ _OF_CT = _fse_ctable(_OF_DEFAULT, _OF_ACC_DEF)
 _ML_CT = _fse_ctable(_ML_DEFAULT, _ML_ACC_DEF)
 
 
+# ----------------------------------------------------------------------
+# custom FSE distributions (r13): normalize the block's actual symbol
+# histogram and ship it in the spec's table description — the encoder
+# side of _fse_read_distribution, bit-for-bit mirrored
+# ----------------------------------------------------------------------
+class _FwdPack:
+    """Forward LSB-first bit packer (the table-description layout —
+    unlike the backward sequence bitstream)."""
+
+    def __init__(self) -> None:
+        self.value = 0
+        self.nbits = 0
+
+    def add(self, v: int, n: int) -> None:
+        self.value |= (v & ((1 << n) - 1)) << self.nbits
+        self.nbits += n
+
+    def done(self) -> bytes:
+        return self.value.to_bytes((self.nbits + 7) // 8, "little")
+
+
+def _normalize_counts(freq: dict[int, int], acc: int) -> list[int]:
+    """Normalized counts summing to exactly 1 << acc, every present
+    symbol >= 1, indexed 0..max_present."""
+    size = 1 << acc
+    if size < len(freq):
+        raise ValueError(
+            "zstd encode: accuracy log too small for the alphabet"
+        )
+    total = sum(freq.values())
+    max_sym = max(freq)
+    counts = [0] * (max_sym + 1)
+    for s, f in freq.items():
+        counts[s] = max(1, f * size // total)
+    drift = size - sum(counts)
+    # settle the drift on the most frequent symbol (keeps every other
+    # count valid); if subtracting would zero it, spread the cut
+    order = sorted(freq, key=lambda s: -freq[s])
+    i = 0
+    while drift != 0:
+        s = order[i % len(order)]
+        if drift > 0:
+            counts[s] += drift
+            drift = 0
+        elif counts[s] > 1:
+            take = min(counts[s] - 1, -drift)
+            counts[s] -= take
+            drift += take
+            i += 1
+        else:
+            i += 1
+            if i > 4 * len(order):
+                raise ValueError("zstd encode: normalization stuck")
+    return counts
+
+
+def _fse_write_distribution(counts: list[int], acc: int) -> bytes:
+    """The spec's FSE table description: 4-bit accuracy-log-minus-5,
+    shrinking-threshold count coding, 2-bit zero-repeat runs — the
+    exact mirror of the decoder's _fse_read_distribution."""
+    out = _FwdPack()
+    out.add(acc - 5, 4)
+    remaining = (1 << acc) + 1
+    threshold = 1 << acc
+    nb_bits = acc + 1
+    i = 0
+    while remaining > 1 and i < len(counts):
+        c = counts[i]
+        stored = c + 1  # -1 (less-than-one) stores as 0
+        maxv = (2 * threshold - 1) - remaining
+        if stored < maxv:
+            out.add(stored, nb_bits - 1)
+        else:
+            out.add(stored if stored < threshold else stored + maxv,
+                    nb_bits)
+        remaining -= -c if c < 0 else c
+        i += 1
+        while remaining < threshold:
+            nb_bits -= 1
+            threshold >>= 1
+        if c == 0:
+            run = 0
+            while i + run < len(counts) and counts[i + run] == 0:
+                run += 1
+            while True:
+                rep = min(run, 3)
+                out.add(rep, 2)
+                i += rep
+                run -= rep
+                if rep != 3:
+                    break
+    if remaining != 1:
+        raise ValueError("zstd encode: counts do not close the table")
+    return out.done()
+
+
 def _code_of(base: list[int], extra: list[int], v: int) -> int:
     import bisect
 
@@ -371,27 +467,63 @@ def _compress_block(data: bytes) -> bytes | None:
     lit_parts.append(data[pos:])
     lits = b"".join(lit_parts)
 
+    # per-stream table mode (r13): RLE for a constant code stream,
+    # custom FSE normalized from the block's own histogram when there
+    # are enough sequences to amortize the description, predefined
+    # otherwise. modes byte bits: LL<<6 | OF<<4 | ML<<2.
+    def pick(syms: list[int], default_ct, acc_def: int, max_acc: int):
+        distinct = set(syms)
+        if len(distinct) == 1:
+            return 1, bytes([syms[0]]), None, 0
+        if len(syms) >= 24:
+            freq: dict[int, int] = {}
+            for s in syms:
+                freq[s] = freq.get(s, 0) + 1
+            # the table must hold every distinct symbol
+            acc = max(acc_def, (len(freq) - 1).bit_length())
+            if acc <= max_acc:
+                counts = _normalize_counts(freq, acc)
+                desc = _fse_write_distribution(counts, acc)
+                return 2, desc, _CState(*_fse_ctable(counts, acc)), acc
+        return 0, b"", _CState(*default_ct), acc_def
+
+    ll_mode, ll_desc, ll_s, ll_acc = pick(
+        [c[0] for c in codes], _LL_CT, _LL_ACC_DEF, 9
+    )
+    of_mode, of_desc, of_s, of_acc = pick(
+        [c[2] for c in codes], _OF_CT, _OF_ACC_DEF, 8
+    )
+    ml_mode, ml_desc, ml_s, ml_acc = pick(
+        [c[4] for c in codes], _ML_CT, _ML_ACC_DEF, 9
+    )
+
     bits = _FwdBits()
-    ll_s = _CState(*_LL_CT)
-    of_s = _CState(*_OF_CT)
-    ml_s = _CState(*_ML_CT)
     last = codes[-1]
-    ml_s.init(last[4])
-    of_s.init(last[2])
-    ll_s.init(last[0])
+    if ml_s is not None:
+        ml_s.init(last[4])
+    if of_s is not None:
+        of_s.init(last[2])
+    if ll_s is not None:
+        ll_s.init(last[0])
     bits.add(last[1] - _LL_BASE[last[0]], _LL_BITS[last[0]])
     bits.add(last[5] - _ML_BASE[last[4]], _ML_BITS[last[4]])
     bits.add(last[3], last[2])
     for c in reversed(codes[:-1]):
-        of_s.encode(bits, c[2])
-        ml_s.encode(bits, c[4])
-        ll_s.encode(bits, c[0])
+        if of_s is not None:
+            of_s.encode(bits, c[2])
+        if ml_s is not None:
+            ml_s.encode(bits, c[4])
+        if ll_s is not None:
+            ll_s.encode(bits, c[0])
         bits.add(c[1] - _LL_BASE[c[0]], _LL_BITS[c[0]])
         bits.add(c[5] - _ML_BASE[c[4]], _ML_BITS[c[4]])
         bits.add(c[3], c[2])
-    ml_s.flush(bits, _ML_ACC_DEF)
-    of_s.flush(bits, _OF_ACC_DEF)
-    ll_s.flush(bits, _LL_ACC_DEF)
+    if ml_s is not None:
+        ml_s.flush(bits, ml_acc)
+    if of_s is not None:
+        of_s.flush(bits, of_acc)
+    if ll_s is not None:
+        ll_s.flush(bits, ll_acc)
 
     n_seq = len(codes)
     if n_seq < 128:
@@ -400,7 +532,11 @@ def _compress_block(data: bytes) -> bytes | None:
         cnt = bytes([128 + (n_seq >> 8), n_seq & 0xFF])
     else:
         cnt = bytes([255]) + struct.pack("<H", n_seq - 0x7F00)
-    body = _literals_section(lits) + cnt + b"\x00" + bits.done()
+    modes = (ll_mode << 6) | (of_mode << 4) | (ml_mode << 2)
+    body = (
+        _literals_section(lits) + cnt + bytes([modes])
+        + ll_desc + of_desc + ml_desc + bits.done()
+    )
     if len(body) >= len(data):
         return None
     return body

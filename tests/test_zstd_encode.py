@@ -150,3 +150,40 @@ def test_huffman_literals_engage_and_cross_decode():
     fw = zstd_compress(wide, matches=True)
     assert zstd_decompress(fw) == wide
     assert c.decompress(fw, len(wide)).to_pybytes() == wide
+
+
+def test_custom_fse_distributions_and_rle_tables():
+    """r13: sequence streams pick their table mode per block — RLE for
+    constant code streams, custom FSE distributions (normalized block
+    histogram shipped in the spec's table description) when sequences
+    amortize it, predefined otherwise. The distribution writer is a
+    bit-for-bit mirror of the reader, and both decoders accept every
+    frame."""
+    from shared_etl_pipelines_spark.sources.zstd_decode import (
+        _fse_read_distribution,
+    )
+    from shared_etl_pipelines_spark.sources.zstd_encode import (
+        _fse_write_distribution,
+        _normalize_counts,
+    )
+
+    rng = random.Random(2)
+    for _ in range(100):
+        nsym = rng.randrange(2, 30)
+        freq = {s: rng.randrange(1, 500)
+                for s in rng.sample(range(30), nsym)}
+        acc = max(6, (nsym - 1).bit_length())
+        counts = _normalize_counts(freq, acc)
+        blob = _fse_write_distribution(counts, acc)
+        got, gacc, _p = _fse_read_distribution(blob, 0, 52)
+        assert gacc == acc and got == counts[: len(got)]
+        assert sum(counts[len(got):]) == 0
+
+    c = pa.Codec("zstd")
+    # constant-offset repetitions -> RLE offset table; varied lengths
+    # -> custom LL/ML tables
+    d = (b"A" * 17 + b"B" * 9 + b"kkkk") * 900
+    frame = zstd_compress(d, matches=True)
+    assert zstd_decompress(frame) == d
+    assert c.decompress(frame, len(d)).to_pybytes() == d
+    assert len(frame) < 100
