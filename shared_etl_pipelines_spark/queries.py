@@ -1144,6 +1144,9 @@ _CARRYOVER_FIRST: tuple[str, ...] = (
     "parquet_write_delta_audit",
     # Dirichlet query-likelihood retrieval next to BM25 (r13)
     "ql_dirichlet_topk",
+    # the own reader as a Spark Python DataSource with stats-pruned
+    # pushFilters row-group scheduling (r13)
+    "ownparquet_datasource_scan",
 )
 
 

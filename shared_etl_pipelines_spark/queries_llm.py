@@ -17770,3 +17770,66 @@ def q_ql_dirichlet_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn(
         "rnk", F.row_number().over(w).cast("long")
     )
+
+
+# ---------------------------------------------------------------------------
+# Own-reader Spark DataSource (r13): the independent parquet reader
+# exposed through Spark's Python DataSource API — schema inferred from
+# the own Thrift footer walk, partitions = row groups (driver touches
+# only footers), int64 comparison filters CONSUMED by pushFilters
+# (footer min/max stats skip whole row groups before scheduling; the
+# residual rows re-filter exactly executor-side), column chunks decoded
+# by ranged reads through the own page/codec stack. Fixture = the same
+# own-writer shard set parquet_pageindex_scan builds (shared cache).
+# ---------------------------------------------------------------------------
+@defquery(
+    "ownparquet_datasource_scan",
+    """
+    SELECT CAST(l_orderkey % 4 AS BIGINT) AS bucket,
+           COUNT(*) AS n_rows,
+           CAST(SUM(l_quantity) AS BIGINT) AS qty_sum,
+           SUM(l_orderkey) AS key_sum
+    FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000
+    GROUP BY 1
+    """,
+    doc="spark.read.format('ownparquet'): the own reader as a Python "
+    "DataSource — row-group partitions, pushed int64 filters skip row "
+    "groups by footer stats, executor-side ranged decode; aggregates "
+    "match DuckDB over the source table",
+    tags=("llm", "source", "codec", "scale-path", "plan"),
+)
+def q_ownparquet_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from shared_etl_pipelines_spark.sources.ownparquet_datasource import (
+        OwnParquetDataSource,
+    )
+
+    paths = _own_writer_fixture(
+        spark, sf_dir, "lineitem", "pageindex-v2",
+        (("l_orderkey", "int64"), ("l_quantity", "double")),
+        n_shards=8,
+        compression="SNAPPY", row_group_size=16384, use_dictionary=True,
+        page_rows=512, write_page_index=True,
+    )
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(OwnParquetDataSource)
+    df = (
+        spark.read.format("ownparquet")
+        .option(
+            "path",
+            _os.path.join(_os.path.dirname(paths[0]), "shard_*.parquet"),
+        )
+        .load()
+    )
+    return (
+        df.filter(
+            (F.col("l_orderkey") >= 1000) & (F.col("l_orderkey") <= 3000)
+        )
+        .groupBy((F.col("l_orderkey") % 4).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("l_quantity").cast("long").alias("qty_sum"),
+            F.sum("l_orderkey").alias("key_sum"),
+        )
+    )
