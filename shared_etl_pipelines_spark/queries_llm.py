@@ -17294,15 +17294,19 @@ def q_parquet_write_list_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id,
            CAST(8 * (n % 50 + 20) AS BIGINT) AS rep_len,
            CAST(32 * (n % 30 + 8) AS BIGINT) AS rnd_len,
+           CAST(25 * (n % 20 + 10) AS BIGINT) AS skew_len,
            TRUE AS rep_shrank,
            TRUE AS rnd_not_inflated,
+           TRUE AS skew_shrank,
            TRUE AS ok_own,
            TRUE AS ok_ref
     FROM a
     """,
-    doc="zstd predefined-FSE compressed-block emit: repetitive payloads "
-    "shrink through the sequence path, incompressible ones fall back "
-    "to store blocks; own decoder + pyarrow both verify every frame",
+    doc="zstd compressed-block emit: repetitive payloads shrink through "
+    "the sequence path (custom-FSE/RLE/predefined tables per stream), "
+    "skewed-histogram payloads through Huffman literals, incompressible "
+    "ones fall back to store blocks; own decoder + pyarrow both verify "
+    "every frame",
     tags=("llm", "source", "codec", "catalog"),
 )
 def q_zstd_match_encode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -17323,8 +17327,9 @@ def q_zstd_match_encode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         codec = _pa.Codec("zstd")
-        cols_out = ("doc_id", "rep_len", "rnd_len", "rep_shrank",
-                    "rnd_not_inflated", "ok_own", "ok_ref")
+        cols_out = ("doc_id", "rep_len", "rnd_len", "skew_len",
+                    "rep_shrank", "rnd_not_inflated", "skew_shrank",
+                    "ok_own", "ok_ref")
         for pdf in it:
             rows: dict[str, list] = {k: [] for k in cols_out}
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
@@ -17341,8 +17346,17 @@ def q_zstd_match_encode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     parts.append(h)
                     h = _hl.sha256(h).digest()
                 rnd = b"".join(parts)
+                # skewed letter histogram with few repeats: the Huffman
+                # LITERALS path is what has to win here (r13)
+                sk_alpha = b"etaoinshrdlu"
+                h2 = _hl.sha256(b"skew" + str(d).encode()).digest()
+                sk = bytearray()
+                for _ in range(25 * (n % 20 + 10) // 32 + 1):
+                    sk += bytes(sk_alpha[b % 12] for b in h2)
+                    h2 = _hl.sha256(h2).digest()
+                skew = bytes(sk[: 25 * (n % 20 + 10)])
                 ok_own = ok_ref = True
-                for payload in (rep, rnd):
+                for payload in (rep, rnd, skew):
                     frame = zstd_compress(payload, matches=True)
                     if zstd_decompress(frame) != payload:
                         ok_own = False
@@ -17353,12 +17367,22 @@ def q_zstd_match_encode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                         ok_ref = False
                 rep_frame = zstd_compress(rep, matches=True)
                 rnd_frame = zstd_compress(rnd, matches=True)
+                skew_frame = zstd_compress(skew, matches=True)
                 rows["doc_id"].append(d)
                 rows["rep_len"].append(len(rep))
                 rows["rnd_len"].append(len(rnd))
+                rows["skew_len"].append(len(skew))
                 rows["rep_shrank"].append(len(rep_frame) < len(rep) // 4)
                 rows["rnd_not_inflated"].append(
                     len(rnd_frame) <= len(zstd_compress(rnd))
+                )
+                # the direct 4-bit weights header lists every symbol
+                # below the alphabet's max — ~60 bytes for ASCII
+                # letters — so small payloads keep real-but-modest
+                # margins (FSE-compressed weights are the unemitted
+                # refinement)
+                rows["skew_shrank"].append(
+                    len(skew_frame) < len(skew) * 9 // 10
                 )
                 rows["ok_own"].append(ok_own)
                 rows["ok_ref"].append(ok_ref)
@@ -17367,7 +17391,8 @@ def q_zstd_match_encode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _t(spark, sf_dir, "documents").select("doc_id", "text").mapInPandas(
         batches,
         "doc_id bigint, rep_len bigint, rnd_len bigint, "
-        "rep_shrank boolean, rnd_not_inflated boolean, "
+        "skew_len bigint, rep_shrank boolean, "
+        "rnd_not_inflated boolean, skew_shrank boolean, "
         "ok_own boolean, ok_ref boolean",
     )
 
