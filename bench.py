@@ -86,7 +86,13 @@ def main() -> None:
         # 23.5s -> 12.0s once swept); shared rationale and guard live in
         # engine.sweep_persistent_rdds
         n_run += 1
-        sweep_persistent_rdds(spark)
+        try:
+            sweep_persistent_rdds(spark)
+        except RuntimeError as e:
+            # Guard tripped by listener-bus lag even after its quiesce
+            # wait: skipping one sweep only delays storage reclamation;
+            # sinking the whole walk over it would lose the measurement.
+            print(f"# sweep skipped before next query: {e}", file=sys.stderr)
         if n_run % 40 == 0:
             spark.sparkContext._jvm.System.gc()
         best = None

@@ -1,0 +1,47 @@
+"""Capture .explain('formatted') for named queries into plans/r13/.
+
+Usage: python tools/explain_queries.py <suffix> <query> [query ...]
+
+Writes plans/r13/<query>_<suffix>.txt for each query (suffix = before/after).
+Explain only — no execution; sf dir from $SPARK_GRAFT_SF_DIR (default sf0.1
+so plan shapes match the bench, e.g. broadcast-threshold decisions).
+"""
+
+from __future__ import annotations
+
+import io
+import os
+import sys
+from contextlib import redirect_stdout
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def main() -> None:
+    suffix = sys.argv[1]
+    names = sys.argv[2:]
+    from shared_etl_pipelines_spark.engine import get_spark
+    from shared_etl_pipelines_spark.queries import REGISTRY
+
+    spark = get_spark("explain", extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    outdir = os.path.join(REPO, "plans", "r13")
+    os.makedirs(outdir, exist_ok=True)
+    for name in names:
+        df = REGISTRY[name].fn(spark, SF_DIR)
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        path = os.path.join(outdir, f"{name}_{suffix}.txt")
+        with open(path, "w") as fh:
+            fh.write(f"# {name} — explain('formatted') @ {SF_DIR} [{suffix}]\n")
+            fh.write(buf.getvalue())
+        print(f"wrote {path}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
