@@ -89,11 +89,21 @@ def count_min_heavy_hitters(
         )
     cond = None
     for r in range(depth):
+        if len(hot[r]) == width:
+            # Every cell of this sketch row is over the threshold, so the
+            # row's membership probe is TRUE for all keys — evaluating it
+            # (an xxhash64 + width-entry INSET per input row) prunes
+            # nothing. Happens whenever rows/width >> threshold (e.g. a
+            # low threshold at bench scale, or an under-sized width at
+            # 100 TB); the exact recount below applies the threshold, so
+            # skipping a no-op probe cannot change the output.
+            continue
         c = cms_cell(F.col("k"), r, width).isin(hot[r])
         cond = c if cond is None else (cond & c)
+    if cond is not None:
+        keys = keys.filter(cond)
     return (
-        keys.filter(cond)
-        .groupBy(F.col("k").alias(key_col))
+        keys.groupBy(F.col("k").alias(key_col))
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= threshold)
     )

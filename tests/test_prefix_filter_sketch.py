@@ -90,6 +90,20 @@ def test_cms_narrow_width_collisions_still_exact(spark):
     assert got == {(7, 40)}
 
 
+def test_cms_saturated_rows_skip_the_probe(spark):
+    # r13 optimization: a sketch row whose hot set covers EVERY cell
+    # cannot prune (its INSET probe is TRUE for all keys), so the probe
+    # must be dropped from the plan — output already proven identical by
+    # test_cms_narrow_width_collisions_still_exact. width=1 saturates
+    # every row; the plan must carry no xxhash64 cell probes.
+    rows = [(k,) for k in [7] * 40 + list(range(8, 28))]
+    df = spark.createDataFrame(rows, ["k"])
+    out = count_min_heavy_hitters(df, "k", threshold=20, width=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "xxhash64" not in plan
+    assert {(r["k"], r["n"]) for r in out.collect()} == {(7, 40)}
+
+
 def test_kmv_estimates_within_tolerance(spark):
     """KMV with k=128 over planted segments: 4000 distinct in A, 3000 in
     B, 1000 shared. Estimates must land within ~4/sqrt(k) (~35%) of
