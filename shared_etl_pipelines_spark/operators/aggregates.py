@@ -205,6 +205,17 @@ def ranked_quantiles(
     ranged = base.repartitionByRange(p, *group_cols, value_col).withColumn(
         "_pid", F.spark_partition_id()
     )
+    # spark_partition_id() is non-deterministic to Catalyst, so the range-
+    # shuffle subtree under the offsets/totals broadcasts and under the
+    # main ranked pass NEVER canonicalizes equal — measured: zero
+    # ReusedExchange, FOUR source scans in the executed plan. Persist +
+    # eager-materialize so the sampling pass + range shuffle run exactly
+    # once (racing broadcast builds would otherwise each compute the
+    # unmaterialized cache). Lazy-operator persist discipline as in
+    # minhash_lsh_pairs: callers reclaim via StorageScope / the session
+    # sweep.
+    ranged = ranged.persist()
+    ranged.count()
 
     # counts pass — also carries the mergeable simple-agg partials
     slice_stats = ranged.groupBy("_pid", *group_cols).agg(
