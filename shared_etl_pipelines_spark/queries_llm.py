@@ -7682,14 +7682,23 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         - 2 * dot(F.col("v"), F.col("c"))
         + dot(F.col("c"), F.col("c"))
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("d2"), "cell")
+    # argmin cell per vector as min_by over struct(d2, cell) — identical
+    # tie order to the previous row_number(ORDER BY d2, cell) = 1 window
+    # (cell is unique per vector, so the struct order is total), but the
+    # aggregate combines map-side: the exchange carries one row per
+    # vector instead of one per (vector, centroid), and the per-vector
+    # sort disappears (guide §2.3 "aggregate before you shuffle").
     assign = (
         pairs.select("vec_id", "cell", d2.alias("d2"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cell")
+        .groupBy("vec_id")
+        .agg(F.min_by("cell", F.struct(F.col("d2"), F.col("cell"))).alias("cell"))
     )
-    av = assign.join(emb, "vec_id")
+    # av feeds BOTH sides of the within-cell self-join and the final
+    # projection; unreused it recomputed the centroid cross-join three
+    # times (8 source scans in the executed plan). Persist once.
+    av = assign.join(emb, "vec_id").persist()
+    av.count()
+    assign = av.select("vec_id", "cell")
     hi = av.select(
         F.col("vec_id").alias("hi_id"), F.col("cell"), F.col("v").alias("hv")
     )
