@@ -687,6 +687,12 @@ def embedding_near_dup_lsh(
     corpora with a degenerate dominant direction; None preserves the
     exact legacy output."""
     corpus = _prep(embeddings, id_col, vec_col)
+    # corpus feeds three unreusable subtrees (the bucket build and both
+    # exact-verify vector sides); persist so the scan + norm prep runs
+    # once (executed plan before: 4 source scans, 0 ReusedExchange).
+    # Callers reclaim via StorageScope / the session sweep.
+    corpus = corpus.persist()
+    corpus.count()
     if arrow_buckets:
         bucket_all = srp_buckets_udf(n_planes, dim, n_tables)
         b = corpus.withColumn("_bks", bucket_all(F.col("v"))).select(
