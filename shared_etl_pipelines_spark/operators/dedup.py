@@ -281,7 +281,10 @@ def minhash_lsh_pairs(
         for i, (a, b) in ((i, minhash_params(i)) for i in range(k))
     ]
     sig = hrows.groupBy(id_col).agg(*mins, F.collect_set("h").alias("hv")).persist()
-    sig.count()
+    if not max_bucket_size:
+        # the hot-bucket guard below otherwise materializes the persist
+        # through its counting collect — don't pay a separate count job
+        sig.count()
     hvdf = sig.select(F.col(id_col), F.col("hv"))
     band_cols = [
         F.md5(F.concat_ws("|", *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]))
@@ -607,33 +610,25 @@ def connected_components(
     )
     prev_sum = labels.agg(label_sum).collect()[0]["s"]
     for _ in range(max_iter):
-        # candidate label per node: min over self and neighbors' labels
-        nbr = (
-            und.join(labels.withColumnRenamed("node", "b"), "b")
-            .select(F.col("a").alias("node"), "component")
-        )
-        # path halving (pointer jumping): also adopt the label OF the
-        # current label — component ids are node ids, so looking the
-        # label up in the same frame is one self-join. This squares the
-        # propagation distance per round: convergence drops from
-        # O(diameter) rounds to O(log diameter), which is the difference
-        # between 8 and 25+ rounds on chain-shaped eps-graphs
-        # (embedding_dbscan) and the reason a 100x-diameter graph costs
-        # +7 rounds, not +100.
-        hop = (
-            labels.alias("l1")
-            .join(
-                labels.select(
-                    F.col("node").alias("component"),
-                    F.col("component").alias("c2"),
-                ),
-                "component",
-            )
-            .select("node", F.col("c2").alias("component"))
+        # One join per round computes BOTH propagation terms. Treating
+        # the label table itself as extra edges (node -> component) and
+        # joining the combined edge list against labels on the
+        # destination yields, per node: label(b) for every neighbor b
+        # (the und rows) AND label(label(node)) (the label-edge row) —
+        # the path-halving / pointer-jumping term that squares the
+        # propagation distance per round, so convergence stays
+        # O(log diameter). The old labels themselves need not be
+        # unioned into the min: labels only ever decrease, so
+        # label(label(n)) <= label(n) and dropping the identity term
+        # cannot change the per-node minimum — the labels produced each
+        # round are IDENTICAL to the previous two-join formulation,
+        # with one broadcast join and one groupBy row-set fewer.
+        aug = und.unionByName(
+            labels.select(F.col("node").alias("a"), F.col("component").alias("b"))
         )
         new_labels = (
-            labels.unionByName(nbr)
-            .unionByName(hop)
+            aug.join(labels.withColumnRenamed("node", "b"), "b")
+            .select(F.col("a").alias("node"), "component")
             .groupBy("node")
             .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=False)
