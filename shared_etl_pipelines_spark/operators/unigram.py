@@ -89,10 +89,20 @@ def _estep_counts(
     from collections.abc import Iterator
 
     def seg(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # viterbi_segment is a pure function of (word, probs) and probs
+        # is fixed for the whole task — memoize per distinct word, so a
+        # word table with repeated surface forms (the common case before
+        # any upstream frequency collapse) pays one DP per distinct word
+        # per task instead of one per row.
+        memo: dict[str, list[str]] = {}
         for pdf in it:
             rows: dict[str, list] = {"piece": [], "n": []}
             for w, cnt in zip(pdf["w"], pdf["cnt"]):
-                for piece in viterbi_segment(str(w), probs, max_piece_len):
+                ws = str(w)
+                parse = memo.get(ws)
+                if parse is None:
+                    parse = memo[ws] = viterbi_segment(ws, probs, max_piece_len)
+                for piece in parse:
                     rows["piece"].append(piece)
                     rows["n"].append(int(cnt))
             yield pd.DataFrame(rows)
@@ -150,13 +160,21 @@ def unigram_segment_table(
     max_len = max(len(p) for p in probs)
 
     def seg(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # same per-task memo as the E-step: the parse is pure in
+        # (text, probs), so duplicate documents cost one DP each
+        n_pieces_memo: dict[str, int] = {}
         for pdf in it:
             rows: dict[str, list] = {"id": [], "n_pieces": [], "n_chars": []}
             for i, t in zip(pdf[id_col], pdf[text_col]):
-                parse = viterbi_segment(str(t), probs, max_len)
+                ts = str(t)
+                np_ = n_pieces_memo.get(ts)
+                if np_ is None:
+                    np_ = n_pieces_memo[ts] = len(
+                        viterbi_segment(ts, probs, max_len)
+                    )
                 rows["id"].append(int(i))
-                rows["n_pieces"].append(len(parse))
-                rows["n_chars"].append(len(str(t)))
+                rows["n_pieces"].append(np_)
+                rows["n_chars"].append(len(ts))
             yield pd.DataFrame(rows)
 
     return docs.select(id_col, text_col).mapInPandas(
