@@ -118,12 +118,22 @@ def srp_bucket(vec: F.Column, n_planes: int, dim: int, plane_offset: int = 0) ->
     """
     out = None
     for i in range(n_planes):
+        # One parsed SQL literal instead of `dim` F.lit() py4j calls:
+        # repr(float) round-trips (shortest repr; Double.parseDouble
+        # recovers the identical bits), so the analyzed expression —
+        # CreateArray(Literal(double)...) — is byte-identical to the
+        # old F.array(*[F.lit(...)]) form while costing ~6 py4j round
+        # trips per plane instead of ~70 (driver-side build time, which
+        # dominated the multi-table callers' query construction).
+        arr = F.expr(
+            "array("
+            + ",".join(
+                f"{_hyperplane(plane_offset + i, j)!r}D" for j in range(dim)
+            )
+            + ")"
+        )
         proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(_hyperplane(plane_offset + i, j)) for j in range(dim)]),
-                lambda x, h: x * h,
-            ),
+            F.zip_with(vec, arr, lambda x, h: x * h),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
