@@ -211,6 +211,10 @@ def lsh_bucket_topk(
     key before the exact rerank.
     """
     corpus = _prep(embeddings, id_col, vec_col)
+    # corpus feeds the bucket build AND the exact rerank; persist so the
+    # scan + norm prep runs once (same shape as embedding_near_dup_lsh).
+    corpus = corpus.persist()
+    corpus.count()
     qs = _prep(queries, id_col, vec_col).select(
         F.col(id_col).alias("query_id"),
         F.col("v").alias("qv"),

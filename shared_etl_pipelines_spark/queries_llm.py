@@ -16617,7 +16617,13 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("t")
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # toks feeds the doc-length AND the tf legs, dl feeds the global
+    # stats AND the score join — neither subtree reuses without a
+    # persist (executed plan before: 4 source scans, the tokenize
+    # explode run twice). One count materializes both caches.
+    toks = toks.persist()
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")).persist()
+    dl.count()
     g = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
@@ -16949,7 +16955,11 @@ def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(tokens(F.col("text"))).alias("t")
     )
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # same reuse shape as bm25_topk: persist the tokenize explode and
+    # the doc-length table once for their two consumers each
+    toks = toks.persist()
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")).persist()
+    dl.count()
     g = dl.agg(
         F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
     )
@@ -17068,11 +17078,17 @@ def q_bigram_nll_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(tokens(F.col("text"))).alias("pos", "t"),
     )
     w = Window.partitionBy("doc_id").orderBy("pos")
+    # toks feeds the bigram window AND the vocab count; bg feeds the
+    # bigram/unigram count tables AND the scoring join — persist both
+    # so the tokenize + window pass runs once (4 source scans before)
+    toks = toks.persist()
     bg = (
         toks.withColumn("t2", F.lead("t").over(w))
         .filter(F.col("t2").isNotNull())
         .select("doc_id", F.col("t").alias("t1"), "t2")
     )
+    bg = bg.persist()
+    bg.count()
     c2 = bg.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("n2"))
     c1 = bg.groupBy("t1").agg(F.count(F.lit(1)).alias("n1"))
     vocab = toks.agg(
