@@ -2421,14 +2421,21 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # skew guard (mirrored in the oracle): drop shingles present in >256
     # docs — boilerplate carries no contamination signal and a hot shingle
-    # would otherwise blow up the join at corpus scale
-    rare = (
-        sh.groupBy("s")
-        .agg(F.count(F.lit(1)).alias("_df"))
+    # would otherwise blow up the join at corpus scale. A window count
+    # over s keeps the exact same rows as the old groupBy + self-join
+    # but costs one exchange instead of two (the near_dup_prefix_filter
+    # r13 rewrite), and the guarded frame persists once for its two
+    # consumers (the probe side and the benchmark slice) — the shingle
+    # window ran three times before (4 source scans).
+    sh = (
+        sh.withColumn(
+            "_df", F.count(F.lit(1)).over(Window.partitionBy("s"))
+        )
         .filter(F.col("_df") <= 256)
-        .select("s")
+        .select("doc_id", "s")
+        .persist()
     )
-    sh = sh.join(rare, "s")
+    sh.count()
     bench = sh.filter(F.col("doc_id") % 100 == 0).select(
         F.col("doc_id").alias("bench_id"), "s"
     )
