@@ -678,8 +678,8 @@ _R2_GREEN = frozenset(
         # "raster_tif_rollsum" re-fronted: its fixture corpus now rotates
         # TIFF-LZW in with DEFLATE/uncompressed (decoded values identical,
         # locally re-verified) — a fresh verdict should cover the new codec.
-        "shapefile_clip", "zonal_stats_ranked",
-        "zonal_stats_disc", "doc_fingerprint", "similarity_topk",
+        "shapefile_clip",
+        "doc_fingerprint", "similarity_topk",
         "embedding_near_dup",
         # "similarity_topk_lsh" was r2-green but lsh_bucket_topk's
         # query-side probe construction was refactored for multi-probe
@@ -694,7 +694,6 @@ _R2_GREEN = frozenset(
         # local oracle) — re-fronted for a fresh verdict.
         "tfidf_top_terms", "user_value_iqr", "text_scrub_redactions",
         "embedding_dim_stats", "chunk_documents", "doc_repetition_metrics",
-        "benchmark_contamination",
         # "embedding_covariance" and "similarity_topk_lsh_indexed" were
         # r2-green but modified this round (ragged-input guard; index
         # cache fingerprint) — re-fronted for fresh verdicts.
@@ -831,7 +830,6 @@ _R5_GREEN = frozenset(
         # persist -> localCheckpoint in r11 (floor cut, VERDICT r10
         # task #6) — re-fronted for a fresh verdict.
         "embedding_kmeans_assign",
-        "heavy_demand_parts_sketch",
         "image_ahash_neardup",
         # "incremental_near_dup", "near_dup_levenshtein" and
         # "near_dup_lsh_eval" were r5-green but their shared banded-LSH
@@ -856,8 +854,7 @@ _R5_GREEN = frozenset(
         "per_source_cap", "phrase_search", "pii_scan_events",
         "pmi_collocations", "pq_assign_codes", "quality_band_filter",
         "raster_overview_scan", "raster_tif_rollsum", "sequence_pack",
-        "similarity_topk_lsh",
-        "similarity_topk_lsh_multiprobe", "similarity_topk_pq",
+        "similarity_topk_pq",
         "sorted_neighborhood_pairs", "source_mixing_weights",
         "tfidf_cosine_pairs", "token_budget_pack", "token_entropy_quality",
         "train_val_test_split", "url_domain_stats",
@@ -929,8 +926,8 @@ _R7_GREEN = frozenset(
         "audio_spectral_tones", "ks_drift_exact", "gini_customer_spend",
         "orc_roundtrip_pricing", "jpeg_marker_scan",
         "csv_quarantine_ingest", "similarity_topk_ivfpq",
-        "ab_welch_ttest", "ts_subsequence_search", "near_dup_minhash_lsh",
-        "dedup_clusters", "near_dup_lsh_eval", "xml_nested_ingest",
+        "ab_welch_ttest", "ts_subsequence_search",
+        "near_dup_lsh_eval", "xml_nested_ingest",
         "kn_bigram_lm_quality", "mann_whitney_u",
         "partition_evolution_read", "multimodal_mulaw_decode",
         "multimodal_png_decode", "multimodal_resize_real",
@@ -939,7 +936,6 @@ _R7_GREEN = frozenset(
         "clustering_coefficient", "multimodal_adpcm_decode",
         "near_dup_containment", "twap_event_value", "oov_rate_split",
         "cart_stump_returnflag", "periodogram_daily_revenue",
-        "dedup_cluster_best_keeper",
     }
 )
 
@@ -967,7 +963,7 @@ _R8_GREEN = frozenset(
         # floor cut) — removed pending a fresh driver verdict
         "similarity_topk_lsh_indexed",
         "incremental_dedup", "dup_spans", "near_dup_simhash",
-        "embedding_near_dup_lsh", "hilbert_layout_audit",
+        "hilbert_layout_audit",
         "stream_new_doc_dedup", "ann_index_upsert_topk",
         "ann_index_asof_topk", "stream_ann_index_upsert",
         "mor_orders_state", "mor_orders_time_travel",
@@ -1029,8 +1025,8 @@ _R10_GREEN = frozenset(
         "prom_scrape_audit", "protobuf_wire_audit",
         "qty_price_regression", "regrid_fraction", "rolling_sums",
         "secret_scan_audit", "spi_zscore", "stream_delta_log_cdc",
-        "topk_per_group", "torrent_metainfo_audit", "unigram_lm_train",
-        "unigram_segment_stats", "union_combine", "value_mask",
+        "topk_per_group", "torrent_metainfo_audit",
+        "union_combine", "value_mask",
         "vcard_pii_census", "weighted_zonal", "zonal_stats",
         # zonal_stats_approx: builder edited in r11 (small-zone band
         # guard, ADVICE r10) — removed pending a fresh driver verdict
@@ -1047,7 +1043,7 @@ _R11_GREEN = frozenset(
         "block_codec_roundtrip_audit", "clip_semi_join",
         "columnar_codec_matrix", "crop_weighted_pipeline",
         "date_from_filename", "dedup_keep_latest", "delta_dv_purge_plan",
-        "delta_dv_read", "embedding_dbscan", "embedding_quantize_int8",
+        "delta_dv_read", "embedding_quantize_int8",
         "event_funnel", "geoparquet_feature_audit", "gguf_model_audit",
         "hudi_compaction_plan", "hudi_mor_read", "iceberg_rewrite_plan",
         "iceberg_v2_delete_read", "mode_event_type",
@@ -1073,15 +1069,15 @@ _R11_GREEN = frozenset(
 # set and re-fronted in r13 until re-judged.)
 _R12_GREEN = frozenset(
     {
-        "arrow_ipc_compressed_audit", "bigram_nll_score",
-        "bitmap_index_slice_wide", "bm25_topk", "clip_semi_join",
+        "arrow_ipc_compressed_audit",
+        "bitmap_index_slice_wide", "clip_semi_join",
         "cohort_retention", "crop_weighted_pipeline",
         "customer_order_distribution", "customer_order_trajectory",
         "data_quality_profile", "date_from_filename",
         "dedup_keep_latest", "distinct_users_approx", "event_funnel",
         "expectations_check", "embedding_quantize_int8",
         "gap_fill_interpolated", "heavy_hitters_topk",
-        "hilbert_layout_audit", "hybrid_rrf_topk", "mode_event_type",
+        "hilbert_layout_audit", "mode_event_type",
         "multimodal_vp8_pframes", "multiply_join",
         # near_dup_prefix_filter: r12-green, but its operator was
         # rewritten in r13 (two-sided PPJoin prefix probe + positional
@@ -1160,6 +1156,34 @@ _CARRYOVER_FIRST: tuple[str, ...] = (
     "outlier_mad",
     # semantic_dedup — min_by argmin assignment + persisted av frame
     "semantic_dedup",
+    # bm25/hybrid/bigram scorers — tokenize/doc-length/bigram frames
+    # persisted for their multiple consumers (4 source scans -> cached)
+    "bm25_topk",
+    "hybrid_rrf_topk",
+    "bigram_nll_score",
+    # benchmark_contamination — window-count skew guard + persisted
+    # shingle frame (one exchange instead of two, one shingle pass)
+    "benchmark_contamination",
+    # operator-internal r13-optimization changes with oracle-identical
+    # output, re-fronted per the r7 precedent (compute path changed
+    # since the last verdict even though the builder source did not):
+    # count-min saturated-probe skip
+    "heavy_demand_parts_sketch",
+    # ranked_quantiles range frame persisted (was recomputed 3-4x)
+    "zonal_stats_ranked",
+    "zonal_stats_disc",
+    # embedding_near_dup_lsh / lsh_bucket_topk corpus persists
+    "embedding_near_dup_lsh",
+    "embedding_dbscan",
+    "similarity_topk_lsh",
+    "similarity_topk_lsh_multiprobe",
+    # connected_components single-join round + minhash sig-count skip
+    "dedup_clusters",
+    "dedup_cluster_best_keeper",
+    "near_dup_minhash_lsh",
+    # unigram Viterbi per-task memoization
+    "unigram_lm_train",
+    "unigram_segment_stats",
 )
 
 
