@@ -917,7 +917,9 @@ _R6_GREEN = frozenset(
 # (re-judged r7) already sits in _R1_GREEN.
 _R7_GREEN = frozenset(
     {
-        "near_dup_levenshtein", "incremental_near_dup",
+        # "incremental_near_dup" was r7-green but the fixture-batch
+        # probe path changes in the r14 optimization round — re-fronted.
+        "near_dup_levenshtein",
         "multimodal_jpeg_decode", "image_ahash_neardup_jpeg",
         "video_keyframe_detect",
         # "multimodal_avi_frames" was r7-green but sample_video_frames
@@ -927,7 +929,10 @@ _R7_GREEN = frozenset(
         "orc_roundtrip_pricing", "jpeg_marker_scan",
         "csv_quarantine_ingest", "similarity_topk_ivfpq",
         "ab_welch_ttest", "ts_subsequence_search",
-        "near_dup_lsh_eval", "xml_nested_ingest",
+        # "near_dup_lsh_eval" was r7-green but its operator
+        # (minhash_lsh_pairs) changed in the r13 optimization round
+        # (conditional sig-count skip) — re-fronted per ADVICE r13 #1.
+        "xml_nested_ingest",
         "kn_bigram_lm_quality", "mann_whitney_u",
         "partition_evolution_read", "multimodal_mulaw_decode",
         "multimodal_png_decode", "multimodal_resize_real",
@@ -962,10 +967,14 @@ _R8_GREEN = frozenset(
         # in r12 (freq groupBy+join -> window count, the 5.1 -> 4.5 s
         # floor cut) — removed pending a fresh driver verdict
         "similarity_topk_lsh_indexed",
-        "incremental_dedup", "dup_spans", "near_dup_simhash",
+        # "incremental_dedup" was r8-green but the fixture-batch probe
+        # path changes in the r14 optimization round — re-fronted.
+        "dup_spans", "near_dup_simhash",
         "hilbert_layout_audit",
-        "stream_new_doc_dedup", "ann_index_upsert_topk",
-        "ann_index_asof_topk", "stream_ann_index_upsert",
+        # "ann_index_upsert_topk" / "ann_index_asof_topk" were r8-green
+        # but lsh_topk_from_index's probe side changes in the r14
+        # optimization round — re-fronted.
+        "stream_new_doc_dedup", "stream_ann_index_upsert",
         "mor_orders_state", "mor_orders_time_travel",
         "mor_orders_changelog", "mor_history_audit",
         "mor_schema_evolution", "stream_mor_cdc_apply",
@@ -984,7 +993,10 @@ _R9_GREEN = frozenset(
         "av1_codec_params", "avro_ingest_stats", "caption_cue_extract",
         "compression_codec_audit", "corpus_reshard_plan",
         "corpus_shard_manifest", "crawl_coverage_audit",
-        "curation_drop_audit", "email_mime_audit", "embedding_covariance",
+        # "curation_drop_audit" was r9-green but the LSH-audit and
+        # containment legs share one shingle-hash frame from the r14
+        # optimization round (VERDICT r13 task #4) — re-fronted.
+        "email_mime_audit", "embedding_covariance",
         "embedding_kmeans", "embedding_pca_project", "feed_entry_audit",
         "heic_exif_gps_audit", "heif_item_audit", "hevc_codec_params",
         "jpeg_exif_gps_audit", "jsonld_entity_extract",
@@ -1099,91 +1111,91 @@ _R12_GREEN = frozenset(
     }
 )
 
+# CORRECTNESS_r13.json: 50 judged, 47 green, 3 hash fails (the
+# own-writer fixture trio — parquet_selfread_scan,
+# parquet_pageindex_scan, ownparquet_datasource_scan — reworked again
+# in r14 with an in-query fixture-vs-source content gate and a
+# writer-code-keyed cache, re-fronted below). Green entries whose
+# compute path changes in the r14 optimization round are removed from
+# this set and re-fronted as they are touched.
+_R13_GREEN = frozenset(
+    {
+        "bigram_nll_score", "bm25_topk",
+        "clip_semi_join", "crop_weighted_pipeline",
+        "customer_order_distribution", "date_from_filename",
+        "dedup_cluster_best_keeper", "dedup_clusters",
+        "dedup_keep_latest",
+        "embedding_near_dup_lsh",
+        "embedding_quantize_int8", "event_funnel",
+        "heavy_demand_parts_sketch", "langid_confusion",
+        "mode_event_type", "multimodal_vp8_residuals", "multiply_join",
+        "near_dup_minhash_lsh", "near_dup_prefix_filter",
+        "parquet_write_delta_audit", "parquet_write_list_audit",
+        "pricing_summary", "props_variant_stats", "ql_dirichlet_topk",
+        "qty_price_regression", "recursive_ancestor_depths",
+        "regrid_fraction", "rolling_sums", "semantic_dedup",
+        "similarity_topk_lsh", "similarity_topk_lsh_multiprobe",
+        "spi_zscore", "stream_iceberg_delete_cdc", "topk_per_group",
+        "unigram_lm_train", "unigram_segment_stats", "union_combine",
+        "value_mask", "weighted_zonal", "zonal_stats",
+        "zstd_match_encode_audit",
+        # r13-green entries NOT listed here because their compute path
+        # changes again in the r14 optimization round (re-fronted for a
+        # fresh driver verdict as each change lands):
+        # benchmark_contamination, embedding_dbscan, hybrid_rrf_topk,
+        # outlier_mad, zonal_stats_disc, zonal_stats_ranked
+    }
+)
+
 _JUDGED_GREEN = (
     _R1_GREEN | _R2_GREEN | _R3_GREEN | _R4_GREEN | _R5_GREEN | _R6_GREEN
     | _R7_GREEN | _R8_GREEN | _R9_GREEN | _R10_GREEN | _R11_GREEN
-    | _R12_GREEN
+    | _R12_GREEN | _R13_GREEN
 )
 
 # Round 10: zero sql=None entries remain — the last two approx sketches
 # were converted to oracle-backed error bands (VERDICT r9 task #2).
 _FORCE_FRONT: frozenset[str] = frozenset()
 
-# Round-13 judging window: the two r12 red rows lead, reworked per
-# VERDICT r12 task #1 — fixtures now built through the repo's OWN
-# parquet writer (deterministic bytes in every environment), the
-# `pruned` plan assertion moved out of the hashed row into a pytest
-# plan gate, and an in-query own-vs-pyarrow decode cross-check that
-# raises (diagnosable `err`) instead of hashing divergent values.
-# New r13 queries are appended below in the order they are added.
+# Round-14 judging window: the three r13 hash reds lead, reworked per
+# VERDICT r13 task #1 — the shared own-writer fixture now passes an
+# in-query CONTENT GATE (distributed multiset signature of fixture
+# files vs the source projection) on every acquisition, self-heals by
+# rebuilding once on any mismatch, and RAISES with per-column diffs if
+# a clean rebuild still diverges (driver `err` localizes build vs
+# decode); the /tmp cache key now includes the writer-module code
+# identity, cols and n_shards, never just tag+kwargs. Further entries
+# are appended as r14 optimization changes land.
 _CARRYOVER_FIRST: tuple[str, ...] = (
-    # r11+r12 red: fixture bytes were ambient-pyarrow-written; now
-    # own-writer-built (VERDICT r12 task #1)
+    # r11/r12/r13 red: fixture-vs-source content gate + code-keyed
+    # cache (VERDICT r13 task #1)
     "parquet_selfread_scan",
-    # r12 red, same root cause + hashed plan assertion; both fixed
+    # r12/r13 red, same shared fixture path
     "parquet_pageindex_scan",
-    # operator floor cut (VERDICT r12 task #3): two-sided PPJoin prefix
-    # probe + positional overlap bound — same verified output, clean
-    # A/B 6.97 -> 3.1-4.5 s at sf0.1
-    "near_dup_prefix_filter",
-    # riser audit (VERDICT r12 task #4): explode pre-aggregated to
-    # per-doc bigram counts, ll decomposed so the per-language model
-    # BROADCASTS instead of shuffling the corpus on (cand, bigram) —
-    # interleaved same-session A/B 8.99 -> 4.7 s best-of-4
-    "langid_confusion",
-    # streaming twin for Iceberg v2 delete commits (VERDICT r12 task
-    # #7): appended position/equality delete files emit retractions
-    "stream_iceberg_delete_cdc",
-    # own-writer 3-level LIST encoding for embedding-shaped columns
-    # (VERDICT r12 task #8), wired into TxnBatchSink(writer='own')
-    "parquet_write_list_audit",
-    # zstd compressed-block emit: predefined-FSE sequences + raw/RLE
-    # literals, store fallback (VERDICT r12 task #6)
-    "zstd_match_encode_audit",
-    # VP8 residual coefficients: RFC 6386 token tree + IDCT/IWHT,
-    # texture-accurate keyframes (VERDICT r12 task #5)
-    "multimodal_vp8_residuals",
-    # delta/BSS parquet write encodings, three readers (r13)
-    "parquet_write_delta_audit",
-    # Dirichlet query-likelihood retrieval next to BM25 (r13)
-    "ql_dirichlet_topk",
-    # the own reader as a Spark Python DataSource with stats-pruned
-    # pushFilters row-group scheduling (r13)
+    # arrived red from the partial build round, same shared fixture
     "ownparquet_datasource_scan",
-    # r13 OPTIMIZATION round builder edits (identical output, oracle-
-    # verified locally; re-fronted for fresh driver verdicts):
-    # outlier_mad — group medians persisted (one med pass, not two)
-    "outlier_mad",
-    # semantic_dedup — min_by argmin assignment + persisted av frame
-    "semantic_dedup",
-    # bm25/hybrid/bigram scorers — tokenize/doc-length/bigram frames
-    # persisted for their multiple consumers (4 source scans -> cached)
-    "bm25_topk",
-    "hybrid_rrf_topk",
-    "bigram_nll_score",
-    # benchmark_contamination — window-count skew guard + persisted
-    # shingle frame (one exchange instead of two, one shingle pass)
-    "benchmark_contamination",
-    # operator-internal r13-optimization changes with oracle-identical
-    # output, re-fronted per the r7 precedent (compute path changed
-    # since the last verdict even though the builder source did not):
-    # count-min saturated-probe skip
-    "heavy_demand_parts_sketch",
-    # ranked_quantiles range frame persisted (was recomputed 3-4x)
+    # r7-green but its operator (minhash_lsh_pairs) changed in the r13
+    # optimization round — re-fronted per ADVICE r13 #1
+    "near_dup_lsh_eval",
+    # r13-green entries whose compute path changes again in r14
+    # (VERDICT r13 task #2: lighten the O(N)/O(tokens) persists):
     "zonal_stats_ranked",
     "zonal_stats_disc",
-    # embedding_near_dup_lsh / lsh_bucket_topk corpus persists
-    "embedding_near_dup_lsh",
+    "hybrid_rrf_topk",
+    "outlier_mad",
+    # VERDICT r13 task #3: de-skewed rarity guard (partial-agg form)
+    "benchmark_contamination",
+    # VERDICT r13 task #4: curation_drop_audit shares one shingle-hash
+    # frame between the LSH-audit and containment legs
+    "curation_drop_audit",
+    # VERDICT r13 task #5/#6: reuse the verified-pairs frame across the
+    # degree + CC passes; share the prepped corpus across batch probes
     "embedding_dbscan",
-    "similarity_topk_lsh",
-    "similarity_topk_lsh_multiprobe",
-    # connected_components single-join round + minhash sig-count skip
-    "dedup_clusters",
-    "dedup_cluster_best_keeper",
-    "near_dup_minhash_lsh",
-    # unigram Viterbi per-task memoization
-    "unigram_lm_train",
-    "unigram_segment_stats",
+    "incremental_dedup",
+    "incremental_near_dup",
+    # VERDICT r13 task #7: probe-side reuse inside lsh_topk_from_index
+    "ann_index_upsert_topk",
+    "ann_index_asof_topk",
 )
 
 

@@ -15363,16 +15363,44 @@ def _own_writer_fixture(
     the first column (contiguous key ranges, so sorted fixtures cluster
     for page pruning), each executor task sorts its shard and writes
     one file via tmp-name + os.replace (atomic, concurrency-safe), and
-    a _SUCCESS marker keyed by source content + parameters makes the
-    cache hermetic. Returns the shard file paths in shard order."""
+    a _SUCCESS marker keyed by source content + the full build recipe
+    (tag, cols, n_shards, writer kwargs, writer-module code identity —
+    VERDICT r13 #1: bytes built by older writer code must never be
+    reused) makes the cache hermetic.
+
+    Every acquisition — cache hit or fresh build — then passes a
+    CONTENT GATE (VERDICT r13 #1): a distributed multiset signature
+    (COUNT + SUM(xxhash64(row)) + per-column sums) of the fixture files
+    must equal the same signature over the source projection, and the
+    shard-file set on disk must equal the marker exactly (a stray file
+    would leak into glob readers).  A mismatch deletes the fixture and
+    rebuilds once; a divergence that survives a clean rebuild RAISES
+    with the per-column diffs, so a driver-side failure localizes in
+    the recorded ``err`` instead of hashing silently wrong values.
+    Returns the shard file paths in shard order."""
     import hashlib as _hl
     import json as _json
     import os as _os
+    import shutil as _sh
     import tempfile as _tf
+
+    from shared_etl_pipelines_spark.sources import parquet_write as _pw
 
     src = _os.path.join(sf_dir, f"{table}.parquet")
     h = _hl.sha256()
-    h.update(tag.encode() + b"|" + repr(sorted(writer_kwargs.items())).encode())
+    with open(_pw.__file__, "rb") as fh:
+        h.update(_hl.sha256(fh.read()).digest())
+    h.update(
+        "|".join(
+            [
+                "v2",
+                tag,
+                repr(tuple(cols)),
+                str(n_shards),
+                repr(sorted(writer_kwargs.items())),
+            ]
+        ).encode()
+    )
     with open(src, "rb") as fh:
         for piece in iter(lambda: fh.read(1 << 20), b""):
             h.update(piece)
@@ -15380,64 +15408,124 @@ def _own_writer_fixture(
         _tf.gettempdir(), f"spark_graft_ownfix_{h.hexdigest()[:16]}"
     )
     marker = _os.path.join(fix_dir, "_SUCCESS")
-    if _os.path.exists(marker):
-        with open(marker) as fh:
-            names = _json.load(fh)
-        return [_os.path.join(fix_dir, n) for n in names]
-
-    _os.makedirs(fix_dir, exist_ok=True)
-    key_col = cols[0][0]
-    df = spark.read.parquet(src).select(*[c for c, _ in cols])
-    mx = df.agg(F.max(key_col)).collect()[0][0]
-    shard = F.floor(
-        F.col(key_col).cast("long") * n_shards / (int(mx) + 1)
-    ).cast("int")
-
-    import pandas as pd
 
     col_spec = tuple(cols)
-    sort_names = [c for c, _ in col_spec]
+    col_names = [c for c, _ in col_spec]
+    sort_names = list(col_names)
 
-    def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        import os as _o
-        import uuid as _uuid
+    def _build() -> None:
+        import pandas as pd
 
-        from shared_etl_pipelines_spark.sources.parquet_write import (
-            write_parquet,
+        _os.makedirs(fix_dir, exist_ok=True)
+        key_col = col_spec[0][0]
+        df = spark.read.parquet(src).select(*col_names)
+        mx = df.agg(F.max(key_col)).collect()[0][0]
+        shard = F.floor(
+            F.col(key_col).cast("long") * n_shards / (int(mx) + 1)
+        ).cast("int")
+
+        def build(pdf: pd.DataFrame) -> pd.DataFrame:
+            import os as _o
+            import uuid as _uuid
+
+            from shared_etl_pipelines_spark.sources.parquet_write import (
+                write_parquet,
+            )
+
+            pdf = pdf.sort_values(sort_names, kind="mergesort")
+            sid = int(pdf["__shard"].iloc[0])
+            data = []
+            for name, kind in col_spec:
+                v = pdf[name].tolist()
+                if kind == "int64":
+                    v = [int(x) for x in v]
+                elif kind == "double":
+                    v = [float(x) for x in v]
+                else:
+                    v = [str(x) for x in v]
+                data.append((name, kind, v))
+            blob = write_parquet(data, **writer_kwargs)
+            final = _o.path.join(fix_dir, f"shard_{sid:05d}.parquet")
+            tmp = f"{final}.tmp.{_uuid.uuid4().hex}"
+            with open(tmp, "wb") as fh:
+                fh.write(blob)
+            _o.replace(tmp, final)
+            return pd.DataFrame({"shard": [sid], "n": [len(pdf)]})
+
+        written = (
+            df.withColumn("__shard", shard)
+            .groupBy("__shard")
+            .applyInPandas(build, "shard int, n long")
+            .collect()
         )
+        names = sorted(f"shard_{int(r['shard']):05d}.parquet" for r in written)
+        tmp = f"{marker}.tmp.{_os.getpid()}"
+        with open(tmp, "w") as fh:
+            _json.dump(names, fh)
+        _os.replace(tmp, marker)
 
-        pdf = pdf.sort_values(sort_names, kind="mergesort")
-        sid = int(pdf["__shard"].iloc[0])
-        data = []
+    def _content_gate() -> tuple[list[str], str | None]:
+        with open(marker) as fh:
+            names = _json.load(fh)
+        on_disk = sorted(
+            n
+            for n in _os.listdir(fix_dir)
+            if n.startswith("shard_") and n.endswith(".parquet")
+        )
+        if on_disk != sorted(names):
+            return [], (
+                f"shard files on disk != marker: disk={on_disk[:6]} "
+                f"marker={sorted(names)[:6]}"
+            )
+        paths = [_os.path.join(fix_dir, n) for n in names]
+        sig_cols = [
+            F.count(F.lit(1)).cast("decimal(38,0)").alias("n_rows"),
+            F.sum(F.xxhash64(*col_names).cast("decimal(38,0)")).alias(
+                "rows_sig"
+            ),
+        ]
         for name, kind in col_spec:
-            v = pdf[name].tolist()
             if kind == "int64":
-                v = [int(x) for x in v]
+                sig_cols.append(
+                    F.sum(F.col(name).cast("decimal(38,0)")).alias(name)
+                )
             elif kind == "double":
-                v = [float(x) for x in v]
+                sig_cols.append(F.sum(name).alias(name))
             else:
-                v = [str(x) for x in v]
-            data.append((name, kind, v))
-        blob = write_parquet(data, **writer_kwargs)
-        final = _o.path.join(fix_dir, f"shard_{sid:05d}.parquet")
-        tmp = f"{final}.tmp.{_uuid.uuid4().hex}"
-        with open(tmp, "wb") as fh:
-            fh.write(blob)
-        _o.replace(tmp, final)
-        return pd.DataFrame({"shard": [sid], "n": [len(pdf)]})
+                sig_cols.append(
+                    F.sum(F.length(name).cast("decimal(38,0)")).alias(name)
+                )
+        fx = spark.read.parquet(*paths).select(*col_names)
+        sd = spark.read.parquet(src).select(*col_names)
+        both = fx.withColumn("__side", F.lit("fix")).unionByName(
+            sd.withColumn("__side", F.lit("src"))
+        )
+        rows = {
+            r["__side"]: r for r in both.groupBy("__side").agg(*sig_cols).collect()
+        }
+        if set(rows) != {"fix", "src"}:
+            return [], f"signature sides missing: got {sorted(rows)}"
+        diffs = [
+            f"{c}: fixture={rows['fix'][c]} source={rows['src'][c]}"
+            for c in ["n_rows", "rows_sig", *col_names]
+            if rows["fix"][c] != rows["src"][c]
+        ]
+        if diffs:
+            return [], "; ".join(diffs)
+        return paths, None
 
-    written = (
-        df.withColumn("__shard", shard)
-        .groupBy("__shard")
-        .applyInPandas(build, "shard int, n long")
-        .collect()
+    detail = "unbuilt"
+    for _attempt in (0, 1):
+        if not _os.path.exists(marker):
+            _build()
+        paths, detail = _content_gate()
+        if detail is None:
+            return paths
+        _sh.rmtree(fix_dir, ignore_errors=True)
+    raise ValueError(
+        f"own-writer fixture {table}/{tag}: content diverges from the "
+        f"source table even after a clean rebuild — {detail}"
     )
-    names = sorted(f"shard_{int(r['shard']):05d}.parquet" for r in written)
-    tmp = f"{marker}.tmp.{_os.getpid()}"
-    with open(tmp, "w") as fh:
-        _json.dump(names, fh)
-    _os.replace(tmp, marker)
-    return [_os.path.join(fix_dir, n) for n in names]
 
 
 # ---------------------------------------------------------------------------
