@@ -159,28 +159,50 @@ def ranked_quantiles(
     value_prefix: str = "",
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """EXACT quantiles with fully distributed sorting — the 100 TB exact
-    path.
+    """EXACT quantiles with fully distributed selection — the 100 TB
+    exact path. Nothing O(N) is ever shuffled OR persisted (r14 form).
 
     ``percentile()`` buffers every value of a group inside ONE task, so a
     group bigger than executor memory breaks it and per-group parallelism
     is 1. This formulation never builds a group-sized buffer:
 
-    1. range-repartition by (group, value) — each task holds a sorted-
-       range slice of each group, bounded by partition size;
-    2. per-(slice, group) row counts -> prefix-sum window over the TINY
-       counts frame (partitions x groups rows) gives each slice's global
-       rank offset — no driver collect anywhere;
-    3. row_number within the slice + offset = exact global rank; only
-       rows landing on a quantile's bracketing ranks survive the filter
-       (<= 2 x quantiles x groups rows);
-    4. final per-group projection interpolates v_lo + frac * (v_hi-v_lo)
-       — the same expression DuckDB's quantile_cont and Spark's
-       percentile evaluate, so results hash-match the oracle exactly.
+    1. one sketch pass computes per-group APPROXIMATE bucket boundaries
+       (``percentile_approx``) — placement only: exactness never depends
+       on where a cut lands, only on every pass bucketing identically,
+       so the boundaries are materialized once and broadcast;
+    2. ONE full-width counts pass: per group, the global simple
+       aggregates (min/max/avg/sum/count) plus CUMULATIVE bucket counts
+       C_i = #rows with value >= boundary_i — all map-side-combined
+       conditional sums over scalar boundary columns (a pure,
+       DETERMINISTIC function of the value, unlike the r13 form's
+       ``spark_partition_id`` over a range shuffle). Bucket sizes and
+       rank offsets fall out of the C_i by subtraction on the one-row-
+       per-group result — no driver collect anywhere;
+    3. the bracketing ranks of the requested quantiles identify the ONLY
+       buckets whose rows can matter — at most 2 x quantiles x groups of
+       them, each carried as a VALUE RANGE [bs_b, bs_b+1) with its rank
+       offset. The final pass keeps hit-range rows via a broadcast range
+       probe (the big side never computes a bucket id — a 31-term
+       element_at expression knocked that stage out of whole-stage
+       codegen, measured 6x slower), ranks the surviving sliver with a
+       row_number window (shuffling survivors only), and interpolates
+       v_lo + frac * (v_hi - v_lo) — the same expression DuckDB's
+       quantile_cont and Spark's percentile evaluate, so results
+       hash-match the oracle exactly.
 
-    Simple aggregates in the declared list (min/max/avg/sum/count) ride
-    the counts pass as mergeable partials — no extra scan. Two passes
-    over the data total; parallelism = partitions x groups throughout.
+    vs the r13 form (repartitionByRange + spark_partition_id + persist
+    of the full ranged fact table): the O(N) range shuffle is gone — the
+    only full-width operations are scans feeding map-side-combined
+    aggregates — and the O(N) MEMORY_AND_DISK persist is gone (VERDICT
+    r13 #2: a fact-table persist is a §5 spill hazard at 100 TB, and
+    the driver measured both consumers slower under it). Three scans
+    total; shuffled bytes are O(groups x buckets + survivors),
+    independent of N.
+
+    The boundary and counts frames persist eagerly (tiny: one row per
+    group, resp. groups x buckets rows); CALLERS MUST RECLAIM via
+    StorageScope / engine.sweep_persistent_rdds — that contract is part
+    of this operator's API (ADVICE r13 #4).
     """
     names = parse_agg_list(aggregations)
     # "<pct>_disc" = discrete percentile: the value at rank ceil(q*n) (no
@@ -200,58 +222,145 @@ def ranked_quantiles(
 
     spark = df.sparkSession
     p = num_partitions or spark.sparkContext.defaultParallelism
+    n_buckets = max(16, min(64, int(p) // 2))
     v = F.col(value_col)
     base = df.select(*group_cols, value_col).filter(v.isNotNull())
-    ranged = base.repartitionByRange(p, *group_cols, value_col).withColumn(
-        "_pid", F.spark_partition_id()
-    )
-    # spark_partition_id() is non-deterministic to Catalyst, so the range-
-    # shuffle subtree under the offsets/totals broadcasts and under the
-    # main ranked pass NEVER canonicalizes equal — measured: zero
-    # ReusedExchange, FOUR source scans in the executed plan. Persist +
-    # eager-materialize so the sampling pass + range shuffle run exactly
-    # once (racing broadcast builds would otherwise each compute the
-    # unmaterialized cache). Lazy-operator persist discipline as in
-    # minhash_lsh_pairs: callers reclaim via StorageScope / the session
-    # sweep.
-    ranged = ranged.persist()
-    ranged.count()
-
-    # counts pass — also carries the mergeable simple-agg partials
-    slice_stats = ranged.groupBy("_pid", *group_cols).agg(
-        F.count(F.lit(1)).alias("_c"),
-        F.min(v).alias("_min"),
-        F.max(v).alias("_max"),
-        F.sum(v).alias("_sum"),
-    )
-    w_off = (
-        Window.partitionBy(*group_cols)
-        .orderBy("_pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = slice_stats.select(
-        "_pid",
-        *group_cols,
-        F.coalesce(F.sum("_c").over(w_off), F.lit(0)).alias("_offset"),
-    )
-    totals = slice_stats.groupBy(*group_cols).agg(
-        F.sum("_c").alias("_n"),
-        F.min("_min").alias("_gmin"),
-        F.max("_max").alias("_gmax"),
-        F.sum("_sum").alias("_gsum"),
-    )
 
     if not any(f is not None for f in fracs.values()) and not disc:
-        # no quantiles requested: totals already hold everything
-        per_group = totals.select(*group_cols)
-        out = per_group.join(F.broadcast(totals), group_cols)
-        return _ranked_post(out, names, fracs, {}, group_cols, value_prefix)
+        # no quantiles requested: one map-side-combined pass holds
+        # everything — no buckets, no windows, no persist
+        totals = base.groupBy(*group_cols).agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min(v).alias("_gmin"),
+            F.max(v).alias("_gmax"),
+            F.sum(v).alias("_gsum"),
+        )
+        return _ranked_post(totals, names, fracs, {}, group_cols, value_prefix)
 
-    w_rank = Window.partitionBy("_pid", *group_cols).orderBy(value_col)
+    # 1. sketch pass: approximate per-group boundaries, materialized once
+    # (the sketch must never recompute per consumer — merge order could
+    # differ) and broadcast into both full-width passes. Accuracy 200
+    # (vs the 10000 default) cuts the sketch pass ~2x at sf0.1;
+    # placement only affects bucket BALANCE, never the exact result
+    # (rank bookkeeping below is exact for ANY boundary placement).
+    # Boundaries become SCALAR columns here: array element_at stays on
+    # groups-sized frames only (see step 3 of the docstring).
+    bfr = [i / n_buckets for i in range(1, n_buckets)]
+    bounds = base.groupBy(*group_cols).agg(
+        F.percentile_approx(
+            value_col, F.array(*[F.lit(x) for x in bfr]), F.lit(200)
+        ).alias("_bs")
+    )
+    bw = bounds.select(
+        *group_cols,
+        *[
+            F.element_at("_bs", i + 1).alias(f"_bs{i + 1}")
+            for i in range(n_buckets - 1)
+        ],
+    )
+    # persist WITHOUT an eager count: the stats pass below is the first
+    # (and only serial) consumer, so its single job materializes this
+    # cache while its own scan runs — one barrier fewer; the final
+    # pass's broadcast builds then read the cache
+    bw = bw.persist()
+
+    # 2. ONE full-width counts pass: global simple aggregates + the
+    # CUMULATIVE bucket counts C_i = #rows with v >= boundary_i, all
+    # map-side-combined conditional sums over scalar columns — no
+    # per-row bucket id, no O(N) shuffle, output is one row per group
+    aggs = [
+        F.count(F.lit(1)).alias("_n"),
+        F.min(v).alias("_gmin"),
+        F.max(v).alias("_gmax"),
+        F.sum(v).alias("_gsum"),
+    ] + [
+        F.sum((v >= F.col(f"_bs{i + 1}")).cast("long")).alias(f"_C{i + 1}")
+        for i in range(n_buckets - 1)
+    ]
+    stats = base.join(F.broadcast(bw), group_cols).groupBy(*group_cols).agg(*aggs)
+    stats = stats.persist()
+    stats.count()
+    totals = stats.select(*group_cols, "_n", "_gmin", "_gmax", "_gsum")
+
+    # tiny per-bucket ledger: bucket b holds values in [bs_b, bs_{b+1})
+    # (open ends), sized C_b - C_{b+1}, preceded by _n - C_b rows
+    cum = (
+        [F.col("_n")]
+        + [F.col(f"_C{i + 1}") for i in range(n_buckets - 1)]
+        + [F.lit(0).cast("long")]
+    )
+    per_b = stats.select(
+        *group_cols,
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        (cum[b] - cum[b + 1]).cast("long").alias("_c"),
+                        (F.col("_n") - cum[b]).cast("long").alias("_offset"),
+                    )
+                    for b in range(n_buckets)
+                ]
+            )
+        ).alias("_b", "_s"),
+    ).select(
+        *group_cols,
+        "_b",
+        F.col("_s._c").alias("_c"),
+        F.col("_s._offset").alias("_offset"),
+    )
+
+    # 3. the buckets containing any quantile's bracketing rank, with
+    # their VALUE RANGES — the final pass never computes a bucket id
+    n1 = (F.col("_n") - 1).cast("double")
+    rank_exprs: list[Column] = []
+    for frac in sorted({f for f in fracs.values() if f is not None}):
+        h = n1 * F.lit(frac)
+        rank_exprs.append((F.floor(h) + 1).cast("long"))
+        rank_exprs.append((F.ceil(h) + 1).cast("long"))
+    for frac in sorted(set(disc.values())):
+        rank_exprs.append(
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.ceil(F.col("_n").cast("double") * F.lit(frac)).cast("long"),
+            )
+        )
+    ranks = (
+        stats.select(
+            *group_cols, "_n", F.explode(F.array(*rank_exprs)).alias("_rank")
+        ).distinct()
+    )
+    hitb = (
+        ranks.join(per_b, group_cols)
+        .filter(
+            (F.col("_rank") > F.col("_offset"))
+            & (F.col("_rank") <= F.col("_offset") + F.col("_c"))
+        )
+        .select(*group_cols, "_b", "_offset", "_n")
+        .distinct()
+    )
+    bs_arr = F.array(*[F.col(f"_bs{i + 1}") for i in range(n_buckets - 1)])
+    hit_desc = hitb.join(F.broadcast(bw), group_cols).select(
+        *group_cols,
+        "_b",
+        "_offset",
+        "_n",
+        F.when(F.col("_b") > 0, F.element_at(bs_arr, F.col("_b"))).alias("_lo"),
+        F.when(
+            F.col("_b") < n_buckets - 1, F.element_at(bs_arr, F.col("_b") + 1)
+        ).alias("_hi"),
+    )
+
+    # final pass: broadcast range probe keeps hit-bucket rows only (at
+    # most 2 x quantiles x groups buckets, carrying _offset and _n so no
+    # further join is needed), then ranks that sliver
+    w_rank = Window.partitionBy(*group_cols, "_b").orderBy(value_col)
     ranked = (
-        ranged.withColumn("_rn", F.row_number().over(w_rank))
-        .join(F.broadcast(offsets), ["_pid", *group_cols])
-        .join(F.broadcast(totals.select(*group_cols, "_n")), group_cols)
+        base.join(F.broadcast(hit_desc), group_cols)
+        .filter(
+            (F.col("_lo").isNull() | (v >= F.col("_lo")))
+            & (F.col("_hi").isNull() | (v < F.col("_hi")))
+        )
+        .withColumn("_rn", F.row_number().over(w_rank))
         .withColumn("_rank", F.col("_offset") + F.col("_rn"))
     )
 

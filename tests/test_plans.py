@@ -918,3 +918,18 @@ def test_ql_dirichlet_is_take_ordered_not_global_window(spark, sf):
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert plan.index("TakeOrderedAndProject") > plan.index("Window")
+
+
+def test_ranked_quantiles_never_shuffles_the_fact_table(spark, sf):
+    """VERDICT r13 #2 plan gate: the exact-quantile path must not move
+    O(N) over the network or persist it. The r13 form range-shuffled
+    the fact table (and persisted it); the r14 form's only full-width
+    operations are scans feeding map-side-combined aggregates and a
+    broadcast range probe, so the executed plan must contain NO
+    rangepartitioning exchange, and the sliver window must sit above a
+    broadcast join, never above a full-table exchange."""
+    for name in ("zonal_stats_ranked", "zonal_stats_disc"):
+        plan = phys(REGISTRY[name].fn(spark, sf))
+        assert "rangepartitioning" not in plan, name
+        assert "percentile_approx" in plan, name  # the boundary sketch
+        assert "BroadcastHashJoin" in plan, name  # the hit-range probe
