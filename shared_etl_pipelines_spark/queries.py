@@ -1120,7 +1120,6 @@ _R12_GREEN = frozenset(
 # this set and re-fronted as they are touched.
 _R13_GREEN = frozenset(
     {
-        "bigram_nll_score", "bm25_topk",
         "clip_semi_join", "crop_weighted_pipeline",
         "customer_order_distribution", "date_from_filename",
         "dedup_cluster_best_keeper", "dedup_clusters",
@@ -1142,8 +1141,9 @@ _R13_GREEN = frozenset(
         # r13-green entries NOT listed here because their compute path
         # changes again in the r14 optimization round (re-fronted for a
         # fresh driver verdict as each change lands):
-        # benchmark_contamination, embedding_dbscan, hybrid_rrf_topk,
-        # outlier_mad, zonal_stats_disc, zonal_stats_ranked
+        # benchmark_contamination, bigram_nll_score, bm25_topk,
+        # embedding_dbscan, hybrid_rrf_topk, outlier_mad,
+        # zonal_stats_disc, zonal_stats_ranked
     }
 )
 
@@ -1182,6 +1182,11 @@ _CARRYOVER_FIRST: tuple[str, ...] = (
     "zonal_stats_ranked",
     "zonal_stats_disc",
     "hybrid_rrf_topk",
+    # bm25_topk / bigram_nll_score: r13-green, but the r14 round
+    # removed their O(tokens) persists (one-pass conditional-count
+    # scorer; array-sliced bigrams) — re-fronted
+    "bm25_topk",
+    "bigram_nll_score",
     "outlier_mad",
     # VERDICT r13 task #3: de-skewed rarity guard (partial-agg form)
     "benchmark_contamination",

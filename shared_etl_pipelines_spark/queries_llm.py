@@ -2421,21 +2421,38 @@ def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # skew guard (mirrored in the oracle): drop shingles present in >256
     # docs — boilerplate carries no contamination signal and a hot shingle
-    # would otherwise blow up the join at corpus scale. A window count
-    # over s keeps the exact same rows as the old groupBy + self-join
-    # but costs one exchange instead of two (the near_dup_prefix_filter
-    # r13 rewrite), and the guarded frame persists once for its two
-    # consumers (the probe side and the benchmark slice) — the shingle
-    # window ran three times before (4 source scans).
-    sh = (
-        sh.withColumn(
-            "_df", F.count(F.lit(1)).over(Window.partitionBy("s"))
-        )
-        .filter(F.col("_df") <= 256)
-        .select("doc_id", "s")
-        .persist()
-    )
+    # would otherwise blow up the join at corpus scale. r13 used a window
+    # count over s, which routes EVERY row of a hot shingle to one task —
+    # the guard became the straggler it guards against (VERDICT r13 #3).
+    # Now: a map-side-combined groupBy counts per-shingle docs (a hot key
+    # reduces to one partial row per map task — skew-free by
+    # construction), the over-cap HOT set — bounded above by
+    # rows/256 keys and empty on a normal corpus — broadcasts into an
+    # anti-join, and the guarded frame never re-shuffles. Same rows as
+    # the window form, no single-key task anywhere. The guarded frame
+    # persists once for its two consumers (probe side + benchmark
+    # slice); the session sweep reclaims it.
+    # one full pass total: the pre-guard distinct frame persists, the
+    # hot census reads the cache, and the hot set is collected once with
+    # an empty short-circuit (the _cap_band_buckets pattern) — on a
+    # normal corpus the set is empty and the executed plan returns to
+    # the unguarded shape, with no anti-join machinery at all
+    sh = sh.persist()
     sh.count()
+    hot = (
+        sh.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .filter(F.col("_df") > 256)
+        .select("s")
+    )
+    hot_schema = hot.schema
+    hot_rows = hot.collect()
+    if hot_rows:
+        sh = sh.join(
+            F.broadcast(spark.createDataFrame(hot_rows, hot_schema)),
+            "s",
+            "left_anti",
+        )
     bench = sh.filter(F.col("doc_id") % 100 == 0).select(
         F.col("doc_id").alias("bench_id"), "s"
     )
@@ -16704,50 +16721,7 @@ def q_parquet_own_pageindex_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "text", "retrieval", "scale-path"),
 )
 def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from shared_etl_pipelines_spark.functions.text import tokens
-
-    K1, B = 1.2, 0.75
-    terms = ["spark", "vector", "window"]
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = docs.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("t")
-    )
-    # toks feeds the doc-length AND the tf legs, dl feeds the global
-    # stats AND the score join — neither subtree reuses without a
-    # persist (executed plan before: 4 source scans, the tokenize
-    # explode run twice). One count materializes both caches.
-    toks = toks.persist()
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")).persist()
-    dl.count()
-    g = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
-    tf = (
-        toks.filter(F.col("t").isin(terms))
-        .groupBy("doc_id", "t")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df_ = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
-    scored = (
-        tf.join(F.broadcast(df_), "t")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(g))
-        .withColumn(
-            "part",
-            F.log(
-                F.lit(1.0)
-                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-            )
-            * F.col("tf") * (K1 + 1)
-            / (
-                F.col("tf")
-                + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))
-            ),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("part").alias("score"))
-        .withColumn("score", F.round("score", 4))
-    )
+    scored = _bm25_scores(spark, sf_dir)
     # distributed top-k: orderBy+limit compiles to TakeOrderedAndProject
     # (O(k) per partition, no global sort); the rank window then runs on
     # the 10 surviving rows only
@@ -16757,6 +16731,76 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "score", F.col("rnk").cast("long").alias("rnk")
     )
     return out
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc BM25 scores for the fixed {spark, vector, window} query,
+    shared by bm25_topk and hybrid_rrf_topk.
+
+    ONE tokenize pass (VERDICT r13 #2): the r13 form persisted the
+    O(total-tokens) exploded frame so its two consumers (doc lengths,
+    per-term tfs) could share it — the driver measured hybrid_rrf_topk
+    0.74x under that persist, and an O(tokens) MEMORY_AND_DISK persist
+    is a §5 spill hazard at 100 TB. Because the query terms are a fixed
+    literal list, dl AND the per-term tfs are conditional aggregates of
+    the SAME groupBy(doc_id): the exchange carries one row per doc
+    (guide §2.3 map-side combine), nothing bigger than O(docs) is ever
+    persisted, and the per-term document frequencies reduce to one more
+    tiny aggregate over that frame."""
+    from shared_etl_pipelines_spark.functions.text import tokens
+
+    K1, B = 1.2, 0.75
+    terms = ["spark", "vector", "window"]
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("t")
+    )
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.count(F.when(F.col("t") == t, 1)).alias(f"_tf{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    # O(docs) frame, three consumers (global stats, dfs, the score
+    # projection) — persist once; callers sweep (StorageScope contract)
+    per_doc = per_doc.persist()
+    per_doc.count()
+    g = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.count(F.when(F.col(f"_tf{i}") > 0, 1)).alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    matched = per_doc.filter(
+        " OR ".join(f"_tf{i} > 0" for i in range(len(terms)))
+    )
+    parts = []
+    for i in range(len(terms)):
+        tf = F.col(f"_tf{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"_df{i}") + 0.5)
+            / (F.col(f"_df{i}") + 0.5)
+        )
+        parts.append(
+            F.when(
+                F.col(f"_tf{i}") > 0,
+                idf
+                * tf * (K1 + 1)
+                / (tf + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))),
+            ).otherwise(F.lit(0.0))
+        )
+    total = parts[0]
+    for prt in parts[1:]:
+        total = total + prt
+    return (
+        matched.crossJoin(F.broadcast(g))
+        .withColumn("score", F.round(total, 4))
+        .select("doc_id", "score")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -17039,50 +17083,14 @@ def q_orc_zstd_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "text", "retrieval", "similarity", "scale-path"),
 )
 def q_hybrid_rrf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from shared_etl_pipelines_spark.functions.text import tokens
     from shared_etl_pipelines_spark.operators.similarity import (
         brute_force_topk,
     )
 
-    K1, B = 1.2, 0.75
-    terms = ["spark", "vector", "window"]
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = docs.select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("t")
-    )
-    # same reuse shape as bm25_topk: persist the tokenize explode and
-    # the doc-length table once for their two consumers each
-    toks = toks.persist()
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")).persist()
-    dl.count()
-    g = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
-    )
-    tf = (
-        toks.filter(F.col("t").isin(terms))
-        .groupBy("doc_id", "t")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df_ = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
-    lex = (
-        tf.join(F.broadcast(df_), "t")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(g))
-        .withColumn(
-            "part",
-            F.log(
-                F.lit(1.0)
-                + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-            )
-            * F.col("tf") * (K1 + 1)
-            / (
-                F.col("tf")
-                + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))
-            ),
-        )
-        .groupBy("doc_id")
-        .agg(F.round(F.sum("part"), 4).alias("score"))
-    )
+    # lex leg = the bm25_topk scorer: ONE tokenize pass, O(docs)
+    # conditional-count aggregate, no O(tokens) persist (VERDICT r13 #2
+    # — the driver measured this query 0.74x under the toks persist)
+    lex = _bm25_scores(spark, sf_dir)
     lexr = (
         lex.orderBy(F.col("score").desc(), "doc_id").limit(50)
         .withColumn(
@@ -17168,29 +17176,44 @@ def q_bigram_nll_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shared_etl_pipelines_spark.functions.text import tokens
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    toks = docs.select(
-        "doc_id",
-        F.posexplode(tokens(F.col("text"))).alias("pos", "t"),
+    # Bigrams straight off the token ARRAY (explode(sequence) +
+    # element_at — row-based codegen, no array lambdas): the r13 form
+    # rebuilt adjacency with a lead() window, which re-shuffled every
+    # token row by doc_id and then persisted TWO O(total-tokens) frames
+    # (toks, bg) for their consumers — the §5 spill-hazard class VERDICT
+    # r13 #2 calls out. Here the only O(tokens) operation left is the
+    # in-row explode; nothing O(tokens) is ever shuffled or persisted.
+    tk = tokens(F.col("text"))
+    pairs = (
+        docs.select("doc_id", tk.alias("tk"))
+        .filter(F.size("tk") >= 2)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("tk") - 1)).alias("i"),
+            "tk",
+        )
+        .select(
+            "doc_id",
+            F.element_at("tk", F.col("i")).alias("t1"),
+            F.element_at("tk", F.col("i") + 1).alias("t2"),
+        )
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    # toks feeds the bigram window AND the vocab count; bg feeds the
-    # bigram/unigram count tables AND the scoring join — persist both
-    # so the tokenize + window pass runs once (4 source scans before)
-    toks = toks.persist()
-    bg = (
-        toks.withColumn("t2", F.lead("t").over(w))
-        .filter(F.col("t2").isNotNull())
-        .select("doc_id", F.col("t").alias("t1"), "t2")
+    # per-doc DISTINCT-bigram counts: the scoring probe shrinks from
+    # O(bigram instances) to O(distinct (doc, bigram)) rows, and the
+    # exchange combines map-side (guide §2.3)
+    d2 = pairs.groupBy("doc_id", "t1", "t2").agg(
+        F.count(F.lit(1)).alias("n")
     )
-    bg = bg.persist()
-    bg.count()
-    c2 = bg.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("n2"))
-    c1 = bg.groupBy("t1").agg(F.count(F.lit(1)).alias("n1"))
-    vocab = toks.agg(
-        F.countDistinct("t").alias("vocab")
-    )
+    # corpus bigram counts from their own map-side-combined pass; the
+    # unigram table is a pure DERIVATION of it (n1 = sum over t2) —
+    # the separate O(tokens) unigram pass is gone
+    c2 = pairs.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = c2.groupBy("t1").agg(F.sum("n2").alias("n1"))
+    vocab = docs.select(
+        F.explode(tokens(F.col("text"))).alias("t")
+    ).agg(F.countDistinct("t").alias("vocab"))
     scored = (
-        bg.join(c2, ["t1", "t2"])
+        d2.join(c2, ["t1", "t2"])
         .join(F.broadcast(c1), "t1")
         .crossJoin(F.broadcast(vocab))
         .withColumn(
@@ -17198,9 +17221,12 @@ def q_bigram_nll_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             -F.log((F.col("n2") + 1.0) / (F.col("n1") + F.col("vocab"))),
         )
     )
+    # AVG over instances == sum(n * nll) / sum(n) on the grouped frame
     out = scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.round(F.avg("nll"), 4).alias("avg_nll"),
+        F.sum("n").alias("n_bigrams"),
+        F.round(
+            F.sum(F.col("n") * F.col("nll")) / F.sum("n"), 4
+        ).alias("avg_nll"),
     )
     return out
 

@@ -933,3 +933,18 @@ def test_ranked_quantiles_never_shuffles_the_fact_table(spark, sf):
         assert "rangepartitioning" not in plan, name
         assert "percentile_approx" in plan, name  # the boundary sketch
         assert "BroadcastHashJoin" in plan, name  # the hit-range probe
+
+
+def test_contamination_guard_has_no_shingle_window(spark, sf):
+    """VERDICT r13 #3 plan gate: the >256-docs rarity guard must never
+    route a hot shingle's rows into one task. The r13 form was a window
+    count partitioned by the shingle; the r14 form is a map-side-
+    combined census + a collected hot set (empty on a normal corpus),
+    so the executed plan keeps exactly ONE Window operator — the
+    doc-partitioned shingle builder — and none keyed on the shingle."""
+    plan = phys(REGISTRY["benchmark_contamination"].fn(spark, sf))
+    wlines = [ln for ln in plan.splitlines() if "windowspecdefinition(s#" in ln]
+    assert not wlines, wlines
+    # the doc-partitioned shingle window must still be there (the guard
+    # removal must not have rewritten the builder itself)
+    assert "windowspecdefinition(doc_id#" in plan
