@@ -207,6 +207,7 @@ def lsh_bucket_audit(
     k: int = 8,
     bands: int = 4,
     max_bucket_size: int | None = 256,
+    hash_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Band-bucket occupancy report for the MinHash-LSH family: one row
     per (band_idx, band_hash) with ``size`` and ``dropped`` (whether
@@ -214,9 +215,19 @@ def lsh_bucket_audit(
     dup_pairs`` / ``incremental_minhash_lsh`` would exclude it). Run it
     whenever a capped pair query returns suspiciously few pairs — the
     dropped-bucket count IS the recall debt the cap bought throughput
-    with."""
+    with.
+
+    ``hash_rows`` (VERDICT r13 #4): a prebuilt ``(id_col, h)`` frame —
+    deduplicated or not, the min() signature is duplicate-insensitive —
+    so a caller that also needs the shingle hashes (curation_drop_audit
+    shares one frame between this audit and its containment census)
+    builds them exactly once; ``n`` is ignored when it is given."""
     rows_per_band = k // bands
-    hrows = shingle_hash_rows(df, id_col, text_col, n=n)
+    hrows = (
+        hash_rows
+        if hash_rows is not None
+        else shingle_hash_rows(df, id_col, text_col, n=n)
+    )
     mins = [
         F.min((F.col("h") * a + b) % MINHASH_P).alias(f"mh_{i}")
         for i, (a, b) in ((i, minhash_params(i)) for i in range(k))

@@ -1128,6 +1128,11 @@ _R13_GREEN = frozenset(
         "embedding_quantize_int8", "event_funnel",
         "heavy_demand_parts_sketch", "langid_confusion",
         "mode_event_type", "multimodal_vp8_residuals", "multiply_join",
+        # outlier_mad: r13-green; r14 re-measured the persist form
+        # (interleaved A/B: parity warm, faster cold — the driver's
+        # 0.87x was noise) and left the code untouched, so the r13
+        # verdict stands
+        "outlier_mad",
         "near_dup_minhash_lsh", "near_dup_prefix_filter",
         "parquet_write_delta_audit", "parquet_write_list_audit",
         "pricing_summary", "props_variant_stats", "ql_dirichlet_topk",
@@ -1142,7 +1147,7 @@ _R13_GREEN = frozenset(
         # changes again in the r14 optimization round (re-fronted for a
         # fresh driver verdict as each change lands):
         # benchmark_contamination, bigram_nll_score, bm25_topk,
-        # embedding_dbscan, hybrid_rrf_topk, outlier_mad,
+        # embedding_dbscan, hybrid_rrf_topk,
         # zonal_stats_disc, zonal_stats_ranked
     }
 )
@@ -1187,7 +1192,6 @@ _CARRYOVER_FIRST: tuple[str, ...] = (
     # scorer; array-sliced bigrams) — re-fronted
     "bm25_topk",
     "bigram_nll_score",
-    "outlier_mad",
     # VERDICT r13 task #3: de-skewed rarity guard (partial-agg form)
     "benchmark_contamination",
     # VERDICT r13 task #4: curation_drop_audit shares one shingle-hash

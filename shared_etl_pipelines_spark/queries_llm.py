@@ -9741,12 +9741,22 @@ def q_curation_drop_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flac_rows = flac_audio_stats(synthetic_flac_assets(docs))
     mp3_rows = mp3_stream_scan(synthetic_mp3_assets(docs))
-    audit = lsh_bucket_audit(
-        docs, "doc_id", "text", n=3, k=8, bands=4, max_bucket_size=256
-    )
+    # ONE shingle-hash pass for both census legs (VERDICT r13 #4): the
+    # LSH-audit's min() signature is duplicate-insensitive, so it can
+    # consume the same DISTINCT (doc_id, h) frame the containment
+    # census needs — the tokenize + shingle window ran twice before.
+    # The distinct lands on the window's doc_id partitioning (no extra
+    # exchange); the persisted frame is the post-distinct census input,
+    # reclaimed by the session sweep.
     sh = shingle_hash_rows(docs, "doc_id", "text", n=3).select(
         "doc_id", "h"
     ).distinct()
+    sh = sh.persist()
+    sh.count()
+    audit = lsh_bucket_audit(
+        docs, "doc_id", "text", k=8, bands=4, max_bucket_size=256,
+        hash_rows=sh,
+    )
     freq = sh.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
 
     parts = [

@@ -376,3 +376,27 @@ def test_exact_rank_values_ignores_nulls(spark):
     got = exact_rank_values(df, "x", [1, 50, 100], num_partitions=5)
     assert got == {1: 0.0, 50: 49.0, 100: 99.0}
     assert distributed_exact_median(df, "x") == 49.5
+
+
+def test_lsh_bucket_audit_accepts_prebuilt_hash_rows(spark, sf_dir):
+    """VERDICT r13 #4: the audit must produce the identical bucket
+    census whether it builds its own shingle hashes or consumes a
+    prebuilt (id, h) frame — including a DEDUPLICATED one, since the
+    min() signature is duplicate-insensitive."""
+    from shared_etl_pipelines_spark.operators.dedup import (
+        lsh_bucket_audit,
+        shingle_hash_rows,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    own = lsh_bucket_audit(docs, "doc_id", "text", n=3, k=8, bands=4)
+    pre = shingle_hash_rows(docs, "doc_id", "text", n=3).select(
+        "doc_id", "h"
+    ).distinct()
+    shared = lsh_bucket_audit(
+        docs, "doc_id", "text", k=8, bands=4, hash_rows=pre
+    )
+    assert own.exceptAll(shared).count() == 0
+    assert shared.exceptAll(own).count() == 0
