@@ -17,7 +17,7 @@ results bit-for-bit (see queries_llm.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from shared_etl_pipelines_spark.functions.text import (
@@ -380,7 +380,7 @@ def incremental_dedup(
         ]
         return hrows.groupBy(id_col).agg(*mins, F.collect_set("h").alias("hv"))
 
-    def banded(sig: DataFrame) -> DataFrame:
+    def banded(sig: DataFrame, *carry: Column) -> DataFrame:
         band_cols = [
             F.md5(
                 F.concat_ws(
@@ -391,28 +391,38 @@ def incremental_dedup(
         ]
         return sig.select(
             F.col(id_col),
+            *carry,
             F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash"),
         )
 
     b_sig = signatures(batch).persist()
     b_sig.count()  # materialize once: bands + verify both reuse it
     c_sig = signatures(corpus)
-    cand = (
-        banded(c_sig)
+    # The corpus side carries its own hv THROUGH the band probe, so a
+    # band hit verifies IN-ROW against the broadcast batch hv — the r13
+    # form re-joined candidates against c_sig on c_id, a sort-merge
+    # join that SHUFFLED the whole O(corpus) signature table (and ran
+    # the corpus shingle pass a second time, since c_sig had two
+    # consumers). Now c_sig has one consumer: one corpus pass, zero
+    # corpus shuffles in the near path (VERDICT r13 #6). A pair
+    # colliding in several bands verifies up to `bands` times — local
+    # array compute on candidate rows only; the trailing distinct
+    # dedupes ids exactly as before.
+    near_ids = (
+        banded(c_sig, F.col("hv").alias("hv_c"))
         .withColumnRenamed(id_col, "c_id")
         .join(
             F.broadcast(banded(b_sig).withColumnRenamed(id_col, "b_id")),
             ["band_idx", "band_hash"],
         )
-        .select("b_id", "c_id")
-        .distinct()
-    )
-    near_ids = (
-        cand.join(
-            F.broadcast(b_sig.select(F.col(id_col).alias("b_id"), F.col("hv").alias("hv_b"))),
+        .join(
+            F.broadcast(
+                b_sig.select(
+                    F.col(id_col).alias("b_id"), F.col("hv").alias("hv_b")
+                )
+            ),
             "b_id",
         )
-        .join(c_sig.select(F.col(id_col).alias("c_id"), F.col("hv").alias("hv_c")), "c_id")
         .withColumn("jaccard", jaccard(F.col("hv_b"), F.col("hv_c")))
         .filter(F.col("jaccard") >= threshold)
         .select(F.col("b_id").alias(id_col))
@@ -855,7 +865,7 @@ def incremental_minhash_lsh(
     """
     rows_per_band = k // bands
 
-    def prep(df: DataFrame):
+    def prep(df: DataFrame, carry_hv: bool = False):
         hrows = shingle_hash_rows(df, id_col, text_col, n=n)
         mins = [
             F.min((F.col("h") * a + b) % MINHASH_P).alias(f"mh_{i}")
@@ -873,13 +883,18 @@ def incremental_minhash_lsh(
             )
             for b in range(bands)
         ]
+        # the stream (corpus) side carries its hv THROUGH the band probe
+        # so candidates verify in-row (VERDICT r13 #6); the broadcast
+        # (batch) side must stay narrow, so it never carries arrays
+        carry = [F.col("hv").alias("_hv_c")] if carry_hv else []
         banded = sig.select(
             F.col(id_col),
+            *carry,
             F.posexplode(F.array(*band_cols)).alias("band_idx", "band_hash"),
         )
         return sig, banded
 
-    sig_c, band_c = prep(corpus)
+    sig_c, band_c = prep(corpus, carry_hv=True)
     sig_b, band_b = prep(batch)
 
     if max_bucket_size:
@@ -913,6 +928,17 @@ def incremental_minhash_lsh(
                 F.broadcast(hot), ["band_idx", "band_hash"], "left_anti"
             )
 
+    # Verification happens IN-ROW at the band match (VERDICT r13 #6):
+    # the corpus side carries its hv through the probe and the batch hv
+    # arrives by broadcast, so the old candidate persist + two
+    # sort-merge joins — which SHUFFLED the whole O(corpus) signature
+    # table twice — are gone entirely. A pair colliding in several
+    # bands verifies up to `bands` times (local array compute on match
+    # rows only); the final distinct collapses them to the same
+    # (doc_a, doc_b, jaccard) rows as before. Batch-wins for re-crawled
+    # ids is a broadcast LEFT lookup of the batch hv on the corpus-side
+    # id, coalesced over the carried corpus hv.
+    b_hv = sig_b.select(F.col(id_col).alias("_bid"), F.col("hv").alias("_hv_b"))
     new_old = (
         F.broadcast(band_b.alias("b"))
         .join(
@@ -922,9 +948,26 @@ def incremental_minhash_lsh(
             # re-crawled doc on both sides: never pair a doc with itself
             & (F.col(f"b.{id_col}") != F.col(f"c.{id_col}")),
         )
+        .join(F.broadcast(b_hv), F.col(f"b.{id_col}") == F.col("_bid"))
+        .drop("_bid")
+        .join(
+            F.broadcast(
+                b_hv.withColumnRenamed("_hv_b", "_hv_override")
+            ),
+            F.col(f"c.{id_col}") == F.col("_bid"),
+            "left",
+        )
+        .withColumn(
+            "jaccard",
+            jaccard(
+                F.col("_hv_b"),
+                F.coalesce(F.col("_hv_override"), F.col("_hv_c")),
+            ),
+        )
         .select(
             F.least(F.col(f"b.{id_col}"), F.col(f"c.{id_col}")).alias("doc_a"),
             F.greatest(F.col(f"b.{id_col}"), F.col(f"c.{id_col}")).alias("doc_b"),
+            "jaccard",
         )
     )
     new_new = (
@@ -935,26 +978,23 @@ def incremental_minhash_lsh(
             & (F.col("l.band_hash") == F.col("r.band_hash"))
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
         )
+        .join(F.broadcast(b_hv), F.col(f"l.{id_col}") == F.col("_bid"))
+        .drop("_bid")
+        .join(
+            F.broadcast(b_hv.withColumnRenamed("_hv_b", "_hv_r")),
+            F.col(f"r.{id_col}") == F.col("_bid"),
+        )
+        .withColumn("jaccard", jaccard(F.col("_hv_b"), F.col("_hv_r")))
         .select(
-            F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b")
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
+            "jaccard",
         )
     )
-    cand = new_old.unionByName(new_new).distinct().persist()
-    cand.count()
-    # batch version wins for shared ids — anti-join keeps the signature
-    # table one-row-per-id so verification never duplicates pairs
-    hv_all = (
-        sig_c.select(F.col(id_col), "hv")
-        .join(F.broadcast(sig_b.select(id_col)), id_col, "left_anti")
-        .unionByName(sig_b.select(F.col(id_col), "hv"))
-    )
-    sh_a = hv_all.select(F.col(id_col).alias("doc_a"), F.col("hv").alias("sh_a"))
-    sh_b = hv_all.select(F.col(id_col).alias("doc_b"), F.col("hv").alias("sh_b"))
     verified = (
-        cand.join(sh_a, "doc_a")
-        .join(sh_b, "doc_b")
-        .withColumn("jaccard", jaccard(F.col("sh_a"), F.col("sh_b")))
+        new_old.unionByName(new_new)
         .filter(F.col("jaccard") >= threshold)
+        .distinct()
     )
     return verified.select("doc_a", "doc_b", "jaccard")
 

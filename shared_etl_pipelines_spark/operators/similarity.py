@@ -560,6 +560,13 @@ def lsh_topk_from_index(
 
     idx = spark.read.parquet(index_path).filter(pred)
     idx = _apply_tombstones(spark, index_path, idx, id_col, as_of_seq=as_of_seq)
+    # the pruned, tombstone-applied probe set feeds BOTH the candidate
+    # join and the exact-rescore side — without a persist each consumer
+    # re-ran the bucket-pruned scan + tombstone anti-joins (6 scans in
+    # the r13 audit, VERDICT r13 #7). The frame is bounded by design
+    # (~n_tables x |queries| buckets), so this is the small-frame
+    # persist class; callers reclaim via the session sweep.
+    idx = idx.persist()
     pairs = (
         F.broadcast(qb)
         .join(idx, ["tbl", "bucket"])
