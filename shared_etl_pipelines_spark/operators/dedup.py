@@ -588,6 +588,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    symmetric: bool = False,
 ) -> DataFrame:
     """Connected components by iterative min-label propagation: each node's
     label converges to the smallest node id reachable from it.
@@ -614,11 +615,16 @@ def connected_components(
     # No distinct on the undirected edge list: duplicate edges are absorbed
     # by the min-aggregation each round, and the dedup shuffle would cost
     # more than it saves (LSH pair output is already distinct pairs).
-    und = (
-        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .persist()
-    )
+    # ``symmetric=True`` (r14): a caller whose edge list ALREADY contains
+    # both directions (embedding_dbscan symmetrizes for its degree pass)
+    # skips the union here — the old double-symmetrize duplicated every
+    # edge row into each round's join.
+    und = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    if not symmetric:
+        und = und.unionByName(
+            edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+        )
+    und = und.persist()
     label_sum = F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
     # seed with one propagation fused into the init: label = min(self,
     # direct neighbors) — one groupBy instead of an identity round. The

@@ -1124,7 +1124,8 @@ _R13_GREEN = frozenset(
         "customer_order_distribution", "date_from_filename",
         "dedup_cluster_best_keeper", "dedup_clusters",
         "dedup_keep_latest",
-        "embedding_near_dup_lsh",
+        # embedding_near_dup_lsh: r13-green, but r14 switched its bucket
+        # build to the (bit-identical) Arrow GEMM path — re-fronted
         "embedding_quantize_int8", "event_funnel",
         "heavy_demand_parts_sketch", "langid_confusion",
         "mode_event_type", "multimodal_vp8_residuals", "multiply_join",
@@ -1200,6 +1201,7 @@ _CARRYOVER_FIRST: tuple[str, ...] = (
     # VERDICT r13 task #5/#6: reuse the verified-pairs frame across the
     # degree + CC passes; share the prepped corpus across batch probes
     "embedding_dbscan",
+    "embedding_near_dup_lsh",
     "incremental_dedup",
     "incremental_near_dup",
     # VERDICT r13 task #7: probe-side reuse inside lsh_topk_from_index

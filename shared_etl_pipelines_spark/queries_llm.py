@@ -2899,7 +2899,12 @@ def q_similarity_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from shared_etl_pipelines_spark.operators.similarity import embedding_near_dup_lsh
 
-    out = embedding_near_dup_lsh(_t(spark, sf_dir, "embeddings"), tau=0.4)
+    # arrow_buckets: the numpy GEMM bucket path wins from ~10^3 vectors
+    # up and is bit-identical to the interpreted fold (exceptAll == 0
+    # both ways, r14 re-check) — same choice the topk family made in r5
+    out = embedding_near_dup_lsh(
+        _t(spark, sf_dir, "embeddings"), tau=0.4, arrow_buckets=True
+    )
     return round_floats(out)
 
 
@@ -7001,7 +7006,11 @@ def q_embedding_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = _t(spark, sf_dir, "embeddings")
-    pairs = embedding_near_dup_lsh(emb, tau=0.4).select("id_a", "id_b")
+    # arrow_buckets: bit-identical bucket ids via the numpy GEMM path —
+    # the interpreted HOF fold cost ~0.8 s more per eps-graph build here
+    pairs = embedding_near_dup_lsh(
+        emb, tau=0.4, arrow_buckets=True
+    ).select("id_a", "id_b")
     # The verified eps-edge list is tiny but COSTLY (LSH bucket join +
     # exact cosine verify), and its consumers span MANY separate jobs
     # (the connected-components loop collects a convergence scalar per
@@ -7028,7 +7037,12 @@ def q_embedding_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
         edges.join(core.withColumnRenamed("node", "id_a"), "id_a", "left_semi")
         .join(core.withColumnRenamed("node", "id_b"), "id_b", "left_semi")
     )
-    comp = connected_components(core_edges, src="id_a", dst="id_b")
+    # edges is already symmetric (built as pairs UNION reversed pairs),
+    # so the CC loop must not symmetrize it again (r14: every round's
+    # join processed each edge twice before)
+    comp = connected_components(
+        core_edges, src="id_a", dst="id_b", symmetric=True
+    )
     # isolated core nodes (core but no core neighbor) cluster as themselves
     comp_all = core.join(
         comp.withColumnRenamed("node", "node_c"),
