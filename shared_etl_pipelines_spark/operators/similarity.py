@@ -213,6 +213,8 @@ def lsh_bucket_topk(
     corpus = _prep(embeddings, id_col, vec_col)
     # corpus feeds the bucket build AND the exact rerank; persist so the
     # scan + norm prep runs once (same shape as embedding_near_dup_lsh).
+    # CALLERS MUST RECLAIM via StorageScope / engine.sweep_persistent_rdds
+    # — that contract is part of this operator's API (ADVICE r13 #4).
     corpus = corpus.persist()
     corpus.count()
     qs = _prep(queries, id_col, vec_col).select(

@@ -93,15 +93,21 @@ def _estep_counts(
         # is fixed for the whole task — memoize per distinct word, so a
         # word table with repeated surface forms (the common case before
         # any upstream frequency collapse) pays one DP per distinct word
-        # per task instead of one per row.
+        # per task instead of one per row. Capped (VERDICT r13 minor):
+        # an unbounded per-partition dict is a §5 memory hazard when a
+        # task holds millions of distinct keys — once full, misses just
+        # recompute.
         memo: dict[str, list[str]] = {}
+        MEMO_CAP = 1 << 18
         for pdf in it:
             rows: dict[str, list] = {"piece": [], "n": []}
             for w, cnt in zip(pdf["w"], pdf["cnt"]):
                 ws = str(w)
                 parse = memo.get(ws)
                 if parse is None:
-                    parse = memo[ws] = viterbi_segment(ws, probs, max_piece_len)
+                    parse = viterbi_segment(ws, probs, max_piece_len)
+                    if len(memo) < MEMO_CAP:
+                        memo[ws] = parse
                 for piece in parse:
                     rows["piece"].append(piece)
                     rows["n"].append(int(cnt))
@@ -161,17 +167,20 @@ def unigram_segment_table(
 
     def seg(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # same per-task memo as the E-step: the parse is pure in
-        # (text, probs), so duplicate documents cost one DP each
+        # (text, probs), so duplicate documents cost one DP each.
+        # Capped like the E-step memo — document keys can be large and
+        # plentiful; once full, misses just recompute.
         n_pieces_memo: dict[str, int] = {}
+        MEMO_CAP = 1 << 16
         for pdf in it:
             rows: dict[str, list] = {"id": [], "n_pieces": [], "n_chars": []}
             for i, t in zip(pdf[id_col], pdf[text_col]):
                 ts = str(t)
                 np_ = n_pieces_memo.get(ts)
                 if np_ is None:
-                    np_ = n_pieces_memo[ts] = len(
-                        viterbi_segment(ts, probs, max_len)
-                    )
+                    np_ = len(viterbi_segment(ts, probs, max_len))
+                    if len(n_pieces_memo) < MEMO_CAP:
+                        n_pieces_memo[ts] = np_
                 rows["id"].append(int(i))
                 rows["n_pieces"].append(np_)
                 rows["n_chars"].append(len(ts))

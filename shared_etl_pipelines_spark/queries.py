@@ -1141,7 +1141,11 @@ _R13_GREEN = frozenset(
         "regrid_fraction", "rolling_sums", "semantic_dedup",
         "similarity_topk_lsh", "similarity_topk_lsh_multiprobe",
         "spi_zscore", "stream_iceberg_delete_cdc", "topk_per_group",
-        "unigram_lm_train", "unigram_segment_stats", "union_combine",
+        # unigram_lm_train / unigram_segment_stats: r13-green, but the
+        # r14 round capped the per-task Viterbi memos (VERDICT r13
+        # minor #6) — identical output, re-fronted per the compute-path
+        # precedent
+        "union_combine",
         "value_mask", "weighted_zonal", "zonal_stats",
         "zstd_match_encode_audit",
         # r13-green entries NOT listed here because their compute path
@@ -1207,6 +1211,9 @@ _CARRYOVER_FIRST: tuple[str, ...] = (
     # VERDICT r13 task #7: probe-side reuse inside lsh_topk_from_index
     "ann_index_upsert_topk",
     "ann_index_asof_topk",
+    # per-task Viterbi memo caps (identical output, compute path touched)
+    "unigram_lm_train",
+    "unigram_segment_stats",
 )
 
 
